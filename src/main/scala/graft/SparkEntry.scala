@@ -1,13 +1,370 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ops._
+import graft.pipelines._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator from SURVEY.md §2 (reference
+  * parity) or a scale-out extension (dedup / similarity / text analysis),
+  * expressed Spark-first over the driver testdata, with a DuckDB oracle in
+  * `oracleSql`. Every query ends in a total ORDER BY on a unique key so
+  * the parquet dump is deterministic; Catalyst's EliminateSorts removes
+  * that sort under Bench's count(), so it costs nothing at bench time.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def read(s: SparkSession, dir: String, table: String): DataFrame =
+    graft.sources.Tables.table(s, dir, table)
+
+  /** Testdata → reference-shaped feeds (FIXTURES.md §A mapping). */
+  object Feeds {
+    /** events ≈ stock ticks: event_type=symbol, ts=Date, value=price. */
+    def stockTicks(events: DataFrame): DataFrame = events.select(
+      col("ts").as("Date"),
+      col("value").as("Open"),
+      (col("value") * 1.02).as("High"),
+      (col("value") * 0.98).as("Low"),
+      (col("value") * 1.01).as("Close"),
+      ((col("user_id") + 1) * 100).cast(LongType).as("Volume"),
+      col("event_type").as("StockName"))
+  }
+
+  /** Flagship: the full StockETL pipeline over event ticks (sf0.001);
+    * driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    StockPipeline.run(Feeds.stockTicks(read(spark, "/root/testdata/sf0.001", "events")))
+
+  // Exact-sum trick shared by all FP aggregates: sum in DECIMAL (exact,
+  // order-independent) then one cast to double — bit-identical across
+  // engines, unlike a double sum whose value depends on add order.
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ───────── §2.1 scans / range generators ─────────
+    "q_src_scan" -> ((s, dir) => {
+      // src_stock: whole-table scan + constant source tag (lit_tag,
+      // ref etl.py:131) — the per-symbol fetch loop collapses into one scan.
+      read(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          lit("events").as("source_tag"))
+        .orderBy("event_id")
+    }),
+
+    "q_gen_month_range" -> ((s, dir) => {
+      // gen_month_range (ref etl.py:241-251): rrule(MONTHLY) loop →
+      // sequence+explode over the orders date span. One 1-row agg, no loop.
+      val span = read(s, dir, "orders")
+        .agg(min(to_date(col("o_orderdate"))).as("lo"), max(to_date(col("o_orderdate"))).as("hi"))
+      span.select(Dates.monthRange(col("lo"), col("hi")).as("month_start"))
+        .orderBy("month_start")
+    }),
+
+    "q_gen_day_range" -> ((s, dir) => {
+      // gen_day_range (ref etl.py:372-373): per-day loop → sequence+explode.
+      val span = read(s, dir, "orders")
+        .agg(min(to_date(col("o_orderdate"))).as("lo"), max(to_date(col("o_orderdate"))).as("hi"))
+      span.select(Dates.dayRange(col("lo"), col("hi")).as("day"))
+        .orderBy("day")
+    }),
+
+    "q_proj_nested" -> ((s, dir) => {
+      // proj_nested (ref etl.py:278-283): nested JSON doc → flat columns,
+      // via from_json + struct field access (events.props ≈ the JSON doc).
+      read(s, dir, "events")
+        .withColumn("j", Reshape.parseJson(col("props"), StructType(Seq(StructField("k", LongType)))))
+        .select(col("event_id"), col("j.k").as("prop_k"))
+        .orderBy("event_id")
+    }),
+
+    // ───────── §2.3 filters ─────────
+    "q_filter_in_set" -> ((s, dir) => {
+      // filter_in_set (ref etl.py:258-259,277): allowlist membership.
+      Text.filterInSet(read(s, dir, "events"), "event_type",
+          Seq("purchase", "signup", "error"))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    "q_filter_nonempty" -> ((s, dir) => {
+      // filter_nonempty (ref etl.py:307-308): drop empty-string rows.
+      Text.filterNonEmpty(read(s, dir, "documents"), Seq("text", "lang"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // ───────── §2.4 cleaning ─────────
+    "q_impute_mean" -> ((s, dir) => {
+      // impute_mean (intended semantics of ref etl.py:140-145): nulls are
+      // synthesized on a deterministic key mask, then filled with the
+      // column mean (rounded for cross-engine reproducibility).
+      val ev = read(s, dir, "events").withColumn("v",
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")))
+      Cleaning.imputeMean(ev, Seq("v"))
+        .select(col("event_id"), col("v"))
+        .orderBy("event_id")
+    }),
+
+    "q_cast_types" -> ((s, dir) => {
+      // cast_float / cast_int (ref etl.py:148-150): numeric casts.
+      read(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast(LongType).as("qty_long"),
+          col("l_linenumber").cast(DoubleType).as("line_double"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    // ───────── §2.5 string / array / JSON ─────────
+    "q_str_lower" -> ((s, dir) => {
+      // str_lower (ref etl.py:301-302).
+      read(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("text_lc"),
+          lower(col("source")).as("source_lc"))
+        .orderBy("doc_id")
+    }),
+
+    "q_arr_lower" -> ((s, dir) => {
+      // arr_lower (ref etl.py:303-304): higher-order transform over an
+      // array column — re-joined to a string for a portable compare.
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(Text.arrLower(split(col("text"), " ")), " ").as("words_lc"))
+        .orderBy("doc_id")
+    }),
+
+    "q_json_serialize" -> ((s, dir) => {
+      // json_serialize (ref etl.py:333): array column → JSON text.
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.jsonSerialize(slice(split(col("text"), " "), 1, 5)).as("kw_json"))
+        .orderBy("doc_id")
+    }),
+
+    // ───────── §2.6 date / time ─────────
+    "q_date_short" -> ((s, dir) => {
+      // date_short (ref etl.py:25-31): dd-MM-yyyy short date string.
+      read(s, dir, "orders")
+        .select(col("o_orderkey"), Dates.dateShort(col("o_orderdate")).as("short_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_ts_unix" -> ((s, dir) => {
+      // ts_unix (ref etl.py:33-49): timestamp → unix SECONDS (BIGINT).
+      read(s, dir, "orders")
+        .select(col("o_orderkey"), Dates.tsUnix(col("o_orderdate")).as("time_stamp"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_date_roundtrip" -> ((s, dir) => {
+      // date_parse_dmy (ref etl.py:334): short-date string re-parsed to DATE
+      // at the sink — full render→parse round trip.
+      read(s, dir, "orders")
+        .select(col("o_orderkey"),
+          Dates.parseDmy(Dates.dateShort(col("o_orderdate"))).as("short_date"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_ts_multiformat" -> ((s, dir) => {
+      // The reference's 3-format parse ladder (ref etl.py:39-49): rows are
+      // rendered in 3 different formats, then parsed back via the
+      // try_to_timestamp coalesce ladder → unix seconds.
+      read(s, dir, "events")
+        .withColumn("raw",
+          when(col("event_id") % 3 === 0, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+            .when(col("event_id") % 3 === 1, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+            .otherwise(date_format(col("ts"), "yyyy-MM-dd")))
+        .select(col("event_id"), Dates.tsUnixMulti(col("raw")).as("time_stamp"))
+        .orderBy("event_id")
+    }),
+
+    // ───────── §2.7 window / pct-change (flagship) ─────────
+    "q_pct_change" -> ((s, dir) => {
+      // pct_change_returns (ref etl.py:166-170) with the INTENDED per-key
+      // partitioning (SURVEY.md §2.7): one shuffle on event_type, local sort.
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      read(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          coalesce(col("value") / lag(col("value"), 1).over(w) - 1, lit(0.0)).as("pct"))
+        .orderBy("event_id")
+    }),
+
+    "q_pct_change_multi" -> ((s, dir) => {
+      // pct_change_multi (ref etl.py:418-422): forex-style — one row per
+      // day, multi-column lag over the global date order. Inputs are
+      // rounded aggregates so the lag arithmetic is engine-exact.
+      val daily = read(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(dsum(col("value")) / count(col("value")), 6).as("avg_v"),
+          count(lit(1)).cast(DoubleType).as("cnt"))
+      Analytics.pctChange(daily, Seq("avg_v", "cnt"), Seq.empty, Seq("day"))
+        .orderBy("day")
+    }),
+
+    // ───────── §2.8 union / reshape ─────────
+    "q_union_append" -> ((s, dir) => {
+      // union_append (ref etl.py:132,293): per-source frames → unionByName.
+      val ev = read(s, dir, "events")
+      Reshape.unionAll(Seq(
+          ev.filter(col("event_type") === "purchase"),
+          ev.filter(col("event_type") === "signup")))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy("event_id")
+    }),
+
+    "q_zip_by_key" -> ((s, dir) => {
+      // zip_by_key (ref etl.py:397): two date-keyed feeds full-outer
+      // aligned on the date key — the join hidden in the pandas transpose.
+      val ev = read(s, dir, "events")
+      def daily(t: String, out: String) = ev.filter(col("event_type") === t)
+        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as(out))
+      Reshape.zipByKey(daily("purchase", "n_purchase"), daily("signup", "n_signup"), "day")
+        .orderBy("day")
+    }),
+
+    // ───────── §2.9 sink / upsert ─────────
+    "q_upsert" -> ((s, dir) => {
+      // sink_upsert keep-existing semantics (ref etl.py:182-191): existing
+      // rows win; only absent keys are appended. Incoming doubles `value`
+      // so keep-existing is observable in the output.
+      val ev = read(s, dir, "events").select(col("event_id"), col("user_id"), col("value"))
+      val existing = ev.filter(col("event_id") % 10 < 5)
+      val incoming = ev.withColumn("value", col("value") * 2)
+      Upsert.upsert(existing, incoming, Seq("event_id"), Seq("user_id"))
+        .orderBy("event_id")
+    }),
+
+    "q_dedup_key" -> ((s, dir) => {
+      // sink_ddl unique-index semantics (ref etl.py:176-180): deterministic
+      // first-row-per-key dedup via row_number (stable winner).
+      Upsert.dedupOnKey(read(s, dir, "events"),
+          Seq("user_id", "event_type"), Seq("ts", "event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .orderBy("user_id", "event_type")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_src_scan" ->
+      """SELECT event_id, event_type, value, 'events' AS source_tag
+         FROM events ORDER BY event_id""",
+
+    "q_gen_month_range" ->
+      """SELECT CAST(unnest(generate_series(
+           date_trunc('month', (SELECT MIN(CAST(o_orderdate AS DATE)) FROM orders)),
+           date_trunc('month', (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)),
+           INTERVAL 1 MONTH)) AS DATE) AS month_start ORDER BY month_start""",
+
+    "q_gen_day_range" ->
+      """SELECT CAST(unnest(generate_series(
+           (SELECT MIN(CAST(o_orderdate AS DATE)) FROM orders),
+           (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders),
+           INTERVAL 1 DAY)) AS DATE) AS day ORDER BY day""",
+
+    "q_proj_nested" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k
+         FROM events ORDER BY event_id""",
+
+    "q_filter_in_set" ->
+      """SELECT event_id, event_type, value FROM events
+         WHERE event_type IN ('purchase','signup','error') ORDER BY event_id""",
+
+    "q_filter_nonempty" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE text <> '' AND lang <> '' ORDER BY doc_id""",
+
+    "q_impute_mean" ->
+      """WITH v AS (SELECT event_id,
+           CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events)
+         SELECT event_id, COALESCE(v, (SELECT ROUND(AVG(v), 6) FROM v)) AS v
+         FROM v ORDER BY event_id""",
+
+    "q_cast_types" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty_long,
+           CAST(l_linenumber AS DOUBLE) AS line_double
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "q_str_lower" ->
+      """SELECT doc_id, lower(text) AS text_lc, lower(source) AS source_lc
+         FROM documents ORDER BY doc_id""",
+
+    "q_arr_lower" ->
+      """SELECT doc_id, array_to_string(
+           list_transform(str_split(text, ' '), x -> lower(x)), ' ') AS words_lc
+         FROM documents ORDER BY doc_id""",
+
+    "q_json_serialize" ->
+      """SELECT doc_id, to_json(str_split(text, ' ')[1:5]) AS kw_json
+         FROM documents ORDER BY doc_id""",
+
+    "q_date_short" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%d-%m-%Y') AS short_date
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_ts_unix" ->
+      """SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS time_stamp
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_date_roundtrip" ->
+      """SELECT o_orderkey, CAST(strptime(strftime(o_orderdate, '%d-%m-%Y'),
+           '%d-%m-%Y') AS DATE) AS short_date
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_ts_multiformat" ->
+      """WITH r AS (SELECT event_id,
+           CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+                WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+                ELSE strftime(ts, '%Y-%m-%d') END AS raw FROM events)
+         SELECT event_id, CAST(epoch(COALESCE(
+           try_strptime(raw, '%Y-%m-%dT%H:%M:%S'),
+           try_strptime(raw, '%Y-%m-%d %H:%M:%S'),
+           try_strptime(raw, '%Y-%m-%d'))) AS BIGINT) AS time_stamp
+         FROM r ORDER BY event_id""",
+
+    "q_pct_change" ->
+      """SELECT event_id, event_type, value,
+           COALESCE(value / LAG(value) OVER
+             (PARTITION BY event_type ORDER BY ts, event_id) - 1, 0.0) AS pct
+         FROM events ORDER BY event_id""",
+
+    "q_pct_change_multi" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value), 6) AS avg_v,
+           CAST(COUNT(*) AS DOUBLE) AS cnt
+         FROM events GROUP BY 1)
+         SELECT day, avg_v, cnt,
+           COALESCE(avg_v / LAG(avg_v) OVER (ORDER BY day) - 1, 0.0) AS avg_v_delta,
+           COALESCE(cnt / LAG(cnt) OVER (ORDER BY day) - 1, 0.0) AS cnt_delta
+         FROM daily ORDER BY day""",
+
+    "q_union_append" ->
+      """SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+         UNION ALL
+         SELECT event_id, event_type, value FROM events WHERE event_type = 'signup'
+         ORDER BY event_id""",
+
+    "q_zip_by_key" ->
+      """WITH p AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purchase
+             FROM events WHERE event_type = 'purchase' GROUP BY 1),
+           sg AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_signup
+             FROM events WHERE event_type = 'signup' GROUP BY 1)
+         SELECT COALESCE(p.day, sg.day) AS day, n_purchase, n_signup
+         FROM p FULL OUTER JOIN sg ON p.day = sg.day ORDER BY day""",
+
+    "q_upsert" ->
+      """SELECT event_id, user_id, value FROM events WHERE event_id % 10 < 5
+         UNION ALL
+         SELECT event_id, user_id, value * 2 AS value FROM events WHERE event_id % 10 >= 5
+         ORDER BY event_id""",
+
+    "q_dedup_key" ->
+      """SELECT user_id, event_type, event_id, value FROM events
+         QUALIFY row_number() OVER
+           (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+         ORDER BY user_id, event_type"""
+  )
 }

@@ -11,6 +11,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Reference semantics are permissive (pandas): failed parses → null,
+      // not errors. Spark 4 defaults ANSI on; turn it off for parity.
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      // testdata events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects;
+      // read as epoch-nanos long, graft.sources.Tables converts back.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

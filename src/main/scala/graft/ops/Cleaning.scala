@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Null imputation and casts (SURVEY.md §2.4; ref `etl.py:137-150, 405-412`).
+  *
+  * The reference's mean-impute is broken as written (`etl.py:142` binds the
+  * method, not its result) — we implement the INTENDED fill-with-column-mean.
+  */
+object Cleaning {
+
+  /** Replace nulls in each column with that column's global mean.
+    *
+    * Scale posture: ONE aggregate pass computes all means (map-side partial
+    * agg → 1-row result), then a broadcast cross join feeds `coalesce` —
+    * no driver collect, no per-column pass, no global window. At 100 TB this
+    * is a full scan + a broadcast of one tiny row; the scan would normally be
+    * shared with the consumer via caching or a pre-computed stats table.
+    *
+    * Means are rounded to `scale` decimals so results are reproducible across
+    * engines (float sums are order-dependent; see SURVEY.md §7.4 hazard 7).
+    */
+  def imputeMean(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame = {
+    val aggs = cols.map(c => round(avg(col(c)), scale).as(s"__mean_$c"))
+    val means = df.agg(aggs.head, aggs.tail: _*)
+    val joined = df.crossJoin(broadcast(means))
+    val filled = cols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__mean_$c")))
+    }
+    filled.drop(cols.map(c => s"__mean_$c"): _*)
+  }
+
+  /** Cast a set of columns to one type (ref `etl.py:148-150, 412`). */
+  def castCols(df: DataFrame, cols: Seq[String], to: DataType): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast(to)))
+
+  /** null → 0.0 for lag-edge rows (ref `.fillna(0)`, `etl.py:167,170,422`). */
+  def zeroIfNull(c: Column): Column = coalesce(c, lit(0.0))
+}

@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Idempotent-append ("upsert") semantics of the reference's sink
+  * (SURVEY.md §2.9; ref `etl.py:182-191, 331-341, 438-449`).
+  *
+  * The reference's `INSERT … ON DUPLICATE KEY UPDATE col=col` updates
+  * nothing on conflict — it is insert-if-absent / KEEP-EXISTING. With no
+  * Delta/Iceberg in the jar set, the Spark-native mapping is:
+  * dedup-within-batch + left-anti join against existing + union append.
+  */
+object Upsert {
+
+  /** Deterministic within-batch dedup: keep the first row per key under
+    * `tieBreak` ordering (row_number, not dropDuplicates, so the surviving
+    * row is stable across runs/partitionings — SURVEY.md §7.4 hazard 7). */
+  def dedupOnKey(df: DataFrame, keys: Seq[String], tieBreak: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreak.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Keep-existing upsert: rows of `existing` win; only `incoming` rows whose
+    * key is absent from `existing` are appended.
+    *
+    * Scale posture: the anti-join shuffles both sides on the key (or
+    * broadcasts `existing`'s keys if small); at 100 TB one would partition
+    * the sink table by a key prefix/date so the anti-join prunes to the
+    * touched partitions. Within-batch dedup and the anti-join share the
+    * same key shuffle.
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+             tieBreak: Seq[String]): DataFrame = {
+    val deduped = dedupOnKey(incoming, keys, tieBreak)
+    val fresh = deduped.join(existing.select(keys.map(col): _*).distinct(),
+      keys, "left_anti")
+    existing.unionByName(fresh.select(existing.columns.map(col): _*))
+  }
+}

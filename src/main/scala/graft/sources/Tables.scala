@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, TimestampType}
+
+/** Parquet table reader for the driver testdata layout (`<dir>/<name>.parquet`).
+  *
+  * Normalizes nanosecond-precision parquet timestamps: Spark rejects
+  * TIMESTAMP(NANOS) outright (PARQUET_TYPE_ILLEGAL), so sessions set
+  * `spark.sql.legacy.parquet.nanosAsLong=true` and this reader converts the
+  * resulting epoch-nanos LongType back to TimestampType at microsecond
+  * precision (truncation — same behavior as DuckDB's ns→µs read, which the
+  * oracle sees). Integer `div`, not `/`: epoch-nanos ≈ 1.7e18 overflows the
+  * 53-bit double mantissa.
+  */
+object Tables {
+
+  /** Column names that hold ns-epoch longs after the legacy read. */
+  private val NanoTsCols = Set("ts")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    df.schema.fields.foldLeft(df) {
+      case (d, StructField(n, LongType, _, _)) if NanoTsCols(n) =>
+        d.withColumn(n, timestamp_micros(expr(s"$n div 1000")))
+      case (d, _) => d
+    }
+  }
+
+  val AllTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every testdata table as a temp view for Spark SQL use. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    AllTables.foreach(t => table(spark, dir, t).createOrReplaceTempView(t))
+}
