@@ -1,0 +1,425 @@
+package graft
+
+import graft.ext._
+import graft.ops.Analytics
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Extension operators beyond reference parity (north star, BASELINE.json):
+  * classic relational analytics the engine must have at 100 TB (grouped
+  * aggregation, broadcast/shuffle joins, tumbling windows, top-k), plus the
+  * LLM-training-data ops (dedup family, ANN similarity, text analysis,
+  * multimodal plumbing). Same contract as the parity set: deterministic
+  * output + a DuckDB oracle.
+  */
+object ExtQueries {
+
+  private def read(s: SparkSession, dir: String, table: String): DataFrame =
+    graft.sources.Tables.table(s, dir, table)
+
+  /** Exact decimal sum of a clean-2dp double column, surfaced as double:
+    * bit-identical across engines regardless of add order. */
+  private def dsum2(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  /** Exact decimal sum of a product of two clean-2dp columns. */
+  private def dsumProd(a: Column, b: Column): Column =
+    sum(a.cast(DecimalType(18, 2)) * b.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ───────── relational analytics ─────────
+    "q_agg_group" -> ((s, dir) => {
+      // TPC-H Q1-shaped grouped aggregation: partial (map-side) agg +
+      // one hash shuffle on the 6-value group key; decimal-exact sums.
+      read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base"),
+          dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("sum_disc"),
+          (dsum2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q_join_broadcast" -> ((s, dir) => {
+      // Dimension join: part is tiny → explicit broadcast, so the 100 TB
+      // fact side never shuffles; agg after join is map-side combinable.
+      val li = read(s, dir, "lineitem")
+      val p = read(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")
+    }),
+
+    "q_join_agg" -> ((s, dir) => {
+      // Fact-to-dimension join + rollup by segment: customer is broadcast-
+      // size here; at scale both sides hash-shuffle on the key and AQE
+      // picks the strategy.
+      val o = read(s, dir, "orders")
+      val c = read(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("total"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q_window_hourly" -> ((s, dir) => {
+      // Tumbling-window aggregation (batch twin of the Structured
+      // Streaming path in graft.streaming): window() → hash shuffle on
+      // (bucket, type), map-side partials first.
+      read(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_v"))
+        .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_v"))
+        .orderBy("bucket", "event_type")
+    }),
+
+    "q_topk_per_group" -> ((s, dir) => {
+      // Top-3 per group via ranked window: one shuffle on the group key;
+      // at scale this beats global sort by never ordering across keys.
+      Analytics.topKPerGroup(read(s, dir, "lineitem"), Seq("l_returnflag"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), 3)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("rn"))
+        .orderBy("l_returnflag", "rn")
+    }),
+
+    // ───────── text analysis ─────────
+    "q_lang_id" -> ((s, dir) => {
+      read(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    "q_quality_score" -> ((s, dir) => {
+      val t = col("text")
+      read(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.nWords(t).as("n_words"),
+          TextAnalysis.stopRatio(t).as("stop_ratio"),
+          TextAnalysis.digitRatio(t).as("digit_ratio"),
+          TextAnalysis.qualityScore(t).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q_token_count" -> ((s, dir) => {
+      read(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+          TextAnalysis.tokenCountBpe(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    "q_fingerprint" -> ((s, dir) => {
+      read(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // ───────── dedup family ─────────
+    "q_dedup_exact" -> ((s, dir) => {
+      // Exact dedup on content hash: narrow md5 shuffle key, deterministic
+      // winner per group.
+      Dedup.exactByKey(read(s, dir, "documents"), md5(col("text")), Seq("doc_id"))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "q_minhash_sig" -> ((s, dir) => {
+      // 4-seed shingle MinHash signature: explode → map-side-combined min
+      // aggregates, narrow shuffle rows.
+      Dedup.minhashSignature(read(s, dir, "documents"), "doc_id", "text", 4)
+        .select(col("doc_id"), col("mh0"), col("mh1"), col("mh2"), col("mh3"))
+        .orderBy("doc_id")
+    }),
+
+    "q_lsh_pairs" -> ((s, dir) => {
+      // MinHash-LSH candidate pairs: 2 bands × 2 rows — shuffle on band
+      // hash, join only within buckets (never all-pairs).
+      val sigs = Dedup.minhashSignature(read(s, dir, "documents"), "doc_id", "text", 4)
+      Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 2, 2), "doc_id")
+        .orderBy("a", "b")
+    }),
+
+    "q_jaccard_pairs" -> ((s, dir) => {
+      // Word-set Jaccard verification of the LSH candidates (the
+      // candidate→verify pattern: exact similarity only inside buckets).
+      val docs = read(s, dir, "documents")
+      val sigs = Dedup.minhashSignature(docs, "doc_id", "text", 4)
+      val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 2, 2), "doc_id")
+      val da = docs.select(col("doc_id").as("a"), col("text").as("ta"))
+      val db = docs.select(col("doc_id").as("b"), col("text").as("tb"))
+      pairs.join(da, "a").join(db, "b")
+        .select(col("a"), col("b"), round(Dedup.jaccard(col("ta"), col("tb")), 6).as("jac"))
+        .orderBy("a", "b")
+    }),
+
+    "q_simhash" -> ((s, dir) => {
+      // 16-bit SimHash: explode words → one map-side-combinable shuffle
+      // keyed on doc_id.
+      Dedup.simhash(read(s, dir, "documents"), "doc_id", "text", SimhashBits)
+        .orderBy("doc_id")
+    }),
+
+    // ───────── similarity search ─────────
+    "q_ann_topk" -> ((s, dir) => {
+      // Brute-force cosine top-5: exact baseline; query set broadcast,
+      // corpus streams (no corpus shuffle).
+      val e = read(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.bruteForceTopK(queries, e.select("vec_id", "embedding"), 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      // Sign-LSH bucketed ANN: candidates only within equal 4-bit bucket —
+      // the scale path (bucket-key shuffle instead of cross product).
+      val e = read(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopK(queries, e.select("vec_id", "embedding"), 3, AnnBits)
+        .orderBy("q_id", "rank")
+    }),
+
+    "q_cos_dup_pairs" -> ((s, dir) => {
+      // Embedding-cosine near-dup pairs above threshold, within sign-LSH
+      // buckets.
+      Similarity.cosineDupPairs(read(s, dir, "embeddings")
+          .select("vec_id", "embedding"), "vec_id", "embedding", AnnBits, CosDupThreshold)
+        .orderBy("a", "b")
+    }),
+
+    // ───────── multimodal plumbing ─────────
+    "q_multimodal_decode" -> ((s, dir) => {
+      // Binary media column + stubbed decode features (real schema/batch
+      // shape, fake decoder — see Multimodal.decodeStub).
+      val m = Multimodal.withFakeMedia(read(s, dir, "documents"), "text")
+      m.withColumn("feat", Multimodal.decodeStub(col("media")))
+        .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
+          col("feat.content_sig").as("content_sig"),
+          col("feat.fake_width").as("fake_width"))
+        .orderBy("doc_id")
+    }),
+
+    "q_frame_sample" -> ((s, dir) => {
+      // Video-style frame sampling: explode one row per sampled frame.
+      Multimodal.sampleFrames(
+          Multimodal.withFakeMedia(read(s, dir, "documents"), "text"),
+          "doc_id", FrameEvery)
+        .orderBy("doc_id", "frame_idx")
+    })
+  )
+
+  private val SimhashBits = 16
+  private val AnnBits = 4
+  private val CosDupThreshold = 0.25
+  private val FrameEvery = 100
+
+  // DuckDB mirrors. The multi-line/generated ones are built with Scala
+  // string ops; they are still plain ANSI-ish SQL at the driver.
+  private val MarkerSql: Map[String, String] = TextAnalysis.LangMarkers.map {
+    case (code, ms) => code -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
+  }.toMap
+
+  private def simhashSql: String = {
+    val bitSums = (0 until SimhashBits)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(", ")
+    val sig = (0 until SimhashBits)
+      .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH w AS (SELECT doc_id,
+          unnest(list_distinct(str_split(lower(text), ' '))) AS word FROM documents),
+        h AS (SELECT doc_id,
+          CAST(('0x' || substr(md5(word), 1, 4)) AS BIGINT) AS h FROM w),
+        s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s ORDER BY doc_id"""
+  }
+
+  /** Shared CTE fragments for the ANN oracles. */
+  private def cosSql(a: String, b: String): String =
+    s"""ROUND(list_dot_product(list_transform($a, x -> CAST(x AS DOUBLE)),
+                               list_transform($b, x -> CAST(x AS DOUBLE)))
+        / (sqrt(list_dot_product(list_transform($a, x -> CAST(x AS DOUBLE)),
+                                 list_transform($a, x -> CAST(x AS DOUBLE))))
+         * sqrt(list_dot_product(list_transform($b, x -> CAST(x AS DOUBLE)),
+                                 list_transform($b, x -> CAST(x AS DOUBLE))))), 6)"""
+
+  private def bucketSql(v: String): String = (0 until AnnBits)
+    .map(i => s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+    .mkString(" + ")
+
+  /** 3-gram shingle list of `lower(text)` in DuckDB. */
+  private val ShinglesSql =
+    """list_transform(generate_series(1, len(str_split(lower(text), ' ')) - 2),
+       i -> array_to_string(str_split(lower(text), ' ')[i:i+2], ' '))"""
+
+  private def minhashSqlCol(seed: Int): String =
+    s"""list_aggregate(list_transform(list_distinct($ShinglesSql),
+        w -> md5('$seed:' || w)), 'min') AS mh$seed"""
+
+  def oracles: Map[String, String] = Map(
+    "q_agg_group" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_join_broadcast" ->
+      """SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_join_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_window_hourly" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_topk_per_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+           CAST(rn AS INTEGER) AS rn
+         FROM (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+           FROM lineitem) WHERE rn <= 3
+         ORDER BY l_returnflag, rn""",
+
+    "q_lang_id" -> {
+      val scores = MarkerSql.map { case (code, arr) =>
+        s"len(list_intersect(str_split(lower(text), ' '), $arr)) AS s_$code"
+      }.mkString(", ")
+      val best = MarkerSql.keys.map(c => s"s_$c").mkString("greatest(", ", ", ")")
+      val pick = TextAnalysis.LangMarkers.map(_._1)
+        .map(c => s"WHEN s_$c = best AND s_$c > 0 THEN '$c'").mkString(" ")
+      s"""WITH sc AS (SELECT doc_id, $scores FROM documents),
+          b AS (SELECT *, $best AS best FROM sc)
+          SELECT doc_id, CASE $pick ELSE 'und' END AS pred_lang
+          FROM b ORDER BY doc_id"""
+    },
+
+    "q_quality_score" -> {
+      val en = MarkerSql("en")
+      s"""WITH t AS (SELECT doc_id, text,
+            len(str_split(text, ' ')) AS n_words,
+            CAST(len(list_filter(str_split(lower(text), ' '),
+              w -> list_contains($en, w))) AS DOUBLE)
+              / len(str_split(lower(text), ' ')) AS stop_ratio,
+            CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+              / length(text) AS digit_ratio
+          FROM documents)
+          SELECT doc_id, n_words, stop_ratio, digit_ratio,
+            least(1.0, CAST(n_words AS DOUBLE) / 100) * (1.0 - digit_ratio) AS quality
+          FROM t ORDER BY doc_id"""
+    },
+
+    "q_token_count" ->
+      """SELECT doc_id, len(str_split(text, ' ')) AS n_ws,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
+         FROM documents ORDER BY doc_id""",
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(array_to_string(
+           list_filter(str_split(lower(text), ' '), w -> w <> ''), ' ')) AS fp
+         FROM documents ORDER BY doc_id""",
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, n_chars FROM documents
+         QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+         ORDER BY doc_id""",
+
+    "q_minhash_sig" ->
+      s"""SELECT doc_id, ${(0 until 4).map(minhashSqlCol).mkString(", ")}
+          FROM documents ORDER BY doc_id""",
+
+    "q_lsh_pairs" ->
+      s"""WITH sig AS (SELECT doc_id,
+            ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM documents),
+          bands AS (
+            SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS band_hash FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh2, mh3)) AS band_hash FROM sig)
+          SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+          FROM bands l JOIN bands r USING (band_id, band_hash)
+          WHERE l.doc_id < r.doc_id ORDER BY a, b""",
+
+    "q_jaccard_pairs" ->
+      s"""WITH sig AS (SELECT doc_id,
+            ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM documents),
+          bands AS (
+            SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS band_hash FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh2, mh3)) AS band_hash FROM sig),
+          pairs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r USING (band_id, band_hash)
+            WHERE l.doc_id < r.doc_id)
+          SELECT a, b, ROUND(
+            CAST(len(list_intersect(list_distinct(str_split(lower(da.text), ' ')),
+                                    list_distinct(str_split(lower(db.text), ' ')))) AS DOUBLE)
+            / len(list_distinct(list_concat(list_distinct(str_split(lower(da.text), ' ')),
+                                            list_distinct(str_split(lower(db.text), ' '))))), 6) AS jac
+          FROM pairs JOIN documents da ON pairs.a = da.doc_id
+                     JOIN documents db ON pairs.b = db.doc_id
+          ORDER BY a, b""",
+
+    "q_simhash" -> simhashSql,
+
+    "q_ann_topk" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 5)
+          SELECT q_id, vec_id, ${cosSql("q_vec", "embedding")} AS cos,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id) AS INTEGER) AS rank
+          FROM embeddings CROSS JOIN q
+          QUALIFY rank <= 5 ORDER BY q_id, rank""",
+
+    "q_ann_lsh" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec,
+            ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id < 5),
+          c AS (SELECT vec_id, embedding,
+            ${bucketSql("embedding")} AS bucket FROM embeddings)
+          SELECT q_id, vec_id, ${cosSql("q_vec", "embedding")} AS cos,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id) AS INTEGER) AS rank
+          FROM c JOIN q USING (bucket)
+          QUALIFY rank <= 3 ORDER BY q_id, rank""",
+
+    "q_cos_dup_pairs" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+            ${bucketSql("embedding")} AS bucket FROM embeddings)
+          SELECT l.vec_id AS a, r.vec_id AS b,
+            ${cosSql("l.embedding", "r.embedding")} AS cos
+          FROM b l JOIN b r USING (bucket)
+          WHERE l.vec_id < r.vec_id
+            AND ${cosSql("l.embedding", "r.embedding")} >= $CosDupThreshold
+          ORDER BY a, b""",
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_sig,
+           octet_length(encode(text)) % 64 AS fake_width
+         FROM documents ORDER BY doc_id""",
+
+    "q_frame_sample" ->
+      s"""SELECT doc_id,
+            CAST(unnest(generate_series(0,
+              greatest(octet_length(encode(text)) // $FrameEvery - 1, 0))) AS BIGINT) AS frame_idx,
+            md5(text) AS frame_sig
+          FROM documents ORDER BY doc_id, frame_idx"""
+  )
+}

@@ -44,7 +44,13 @@ object SparkEntry {
   // engines, unlike a double sum whose value depends on add order.
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(25, 6))).cast(DoubleType)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    parityQueries ++ ExtQueries.queries
+
+  def oracleSql: Map[String, String] = parityOracles ++ ExtQueries.oracles
+
+  /** SURVEY.md §2 reference-parity operators. */
+  private def parityQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ───────── §2.1 scans / range generators ─────────
     "q_src_scan" -> ((s, dir) => {
@@ -248,7 +254,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private def parityOracles: Map[String, String] = Map(
     "q_src_scan" ->
       """SELECT event_id, event_type, value, 'events' AS source_tag
          FROM events ORDER BY event_id""",

@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (north-star
+  * extension). Exact, MinHash+LSH, SimHash, and n-gram Jaccard — all as
+  * declarative plans so Catalyst handles pushdown/AQE, and all keyed so
+  * every shuffle is hash-partitioned (no global windows, no driver loops).
+  *
+  * Hash choice: md5 (codegen'd built-in, identical across engines) rather
+  * than murmur3 — minhash compares hashes only by order, so any uniform
+  * hash works, and md5's hex form is portable to the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact dedup: deterministic winner (lowest tie-break) per content key.
+    * One hash-partitioned shuffle on the key — at 100 TB this is the
+    * canonical groupBy-hash dedup, and the md5 key keeps shuffle rows
+    * narrow (32 bytes vs full text). */
+  def exactByKey(df: DataFrame, key: Column, tieBreak: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(tieBreak.map(col): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Distinct word set of a text column. */
+  private def wordSet(text: Column): Column = array_distinct(split(lower(text), " "))
+
+  /** k-signature MinHash over the doc's distinct n-gram SHINGLE set:
+    * mh_i = min over shingles of md5("i:" || shingle). Hex strings compare
+    * lexicographically — minhash needs only order statistics, so string min
+    * is valid. Shingles, not unigrams: over a small shared vocabulary the
+    * distinct-word sets of long docs converge to the whole vocabulary and
+    * every doc collides (measured: 7.6M candidate pairs at sf0.1
+    * word-level vs 593 with 3-gram shingles).
+    *
+    * Shape: explode shingles → groupBy(docKey) with k codegen'd `min`
+    * aggregates. The min is map-side combinable, so the shuffle carries one
+    * narrow row (docKey + k×32B) per doc — this beats per-row array
+    * lambdas (interpreted, and any expression inlined into a lambda is
+    * re-evaluated per element) by ~50× wall-clock at sf0.1, and is the
+    * shape that survives 100 TB. Docs with fewer than n words keep a row
+    * (explode_outer) with null minhashes, matching the SQL oracle's
+    * min-over-empty-list = NULL. Returns (docKey, mh0..mh{k-1}).
+    */
+  def minhashSignature(df: DataFrame, docKey: String, textCol: String,
+                       k: Int, n: Int = 3): DataFrame = {
+    val exploded = df
+      .select(col(docKey), split(lower(col(textCol)), " ").as("__words"))
+      .select(col(docKey),
+        explode_outer(array_distinct(shinglesOfWords(col("__words"), n))).as("__sh"))
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("__sh")))).as(s"mh$i"))
+    exploded.groupBy(col(docKey)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (docKey, band_id, band_hash) rows, `bands` bands of
+    * `rowsPerBand` minhashes each. Docs sharing any band hash are
+    * candidate near-dups. */
+  def lshBands(sigs: DataFrame, docKey: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band_id"), md5(concat_ws("|", parts: _*)).as("band_hash"))
+    }
+    sigs.select(col(docKey), explode(array(bandCols: _*)).as("band"))
+      .select(col(docKey), col("band.band_id"), col("band.band_hash"))
+  }
+
+  /** Candidate near-dup pairs via the band-bucket self-join: one shuffle
+    * on (band_id, band_hash); bucket sizes are the skew knob (more bands ×
+    * fewer rows/band → looser buckets). Returns distinct (a, b), a < b. */
+  def lshCandidatePairs(bands: DataFrame, docKey: String): DataFrame = {
+    val l = bands.select(col("band_id"), col("band_hash"), col(docKey).as("a"))
+    val r = bands.select(col("band_id"), col("band_hash"), col(docKey).as("b"))
+    l.join(r, Seq("band_id", "band_hash"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+  }
+
+  /** Word-set Jaccard similarity between two text columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val (sa, sb) = (wordSet(a), wordSet(b))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
+  /** n-gram (shingle) array from a words column. IMPORTANT: pass a
+    * projected ATTRIBUTE for `words` on hot paths — higher-order lambdas
+    * re-evaluate any inlined subtree (e.g. a split()) once per element. */
+  def shinglesOfWords(words: Column, n: Int): Column = {
+    val count = size(words) - (n - 1)
+    // sequence(0, -1) would DESCEND ([0,-1]), so guard the empty case.
+    when(count > 0,
+      transform(sequence(lit(0), count - 1),
+        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** n-gram (shingle) array of a text column. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesOfWords(split(lower(text), " "), n)
+
+  /** Shingle-set Jaccard (n-gram near-dup measure). */
+  def ngramJaccard(a: Column, b: Column, n: Int): Column = {
+    val (sa, sb) = (array_distinct(shingles(a, n)), array_distinct(shingles(b, n)))
+    size(array_intersect(sa, sb)).cast("double") /
+      size(array_union(sa, sb)).cast("double")
+  }
+
+  /** SimHash over the word multiset: `bits`-bit signature where bit i is
+    * the sign of the sum over words of (±1 by word-hash bit i). Expressed
+    * as explode → groupBy(doc) with `bits` conditional-sum aggregates —
+    * one map-side-combinable shuffle on the doc key. */
+  def simhash(df: DataFrame, docKey: String, textCol: String, bits: Int = 16): DataFrame = {
+    // 16-bit word hash from the md5 hex prefix (conv: hex → decimal).
+    val h = conv(substring(md5(col("word")), 1, 4), 16, 10).cast("long")
+    val exploded = df
+      .select(col(docKey), explode(wordSet(col(textCol))).as("word"))
+      .withColumn("h", h)
+    val bitSums = (0 until bits).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$i"))
+    val agg = exploded.groupBy(col(docKey)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until bits).map(i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col(docKey), sig.as("simhash"))
+  }
+}

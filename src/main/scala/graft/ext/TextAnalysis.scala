@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data-pipeline workloads over the
+  * `documents` table (north-star extension; no reference counterpart —
+  * the reference's text surface stops at lowercase+filter, `etl.py:298-308`).
+  *
+  * All pure column expressions (higher-order functions, no UDFs) → these
+  * stay inside whole-stage codegen and scale embarrassingly: per-row work,
+  * zero shuffles.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a document. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Tiny per-language marker lexicons for the heuristic language ID.
+    * Deliberately small and deterministic — the operator shape (set
+    * intersection scoring) is what matters, not lexicon quality.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "data", "value"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "un", "una", "en", "que"))
+
+  /** Marker-hit count for one language. */
+  def langScore(words: Column, markers: Seq[String]): Column =
+    size(array_intersect(words, array(markers.map(lit): _*)))
+
+  /** Heuristic language ID: argmax of marker-hit counts, ties broken by
+    * language code order, all-zero → 'und'. Pure expression tree. */
+  def langId(text: Column): Column = {
+    val words = tokens(lower(text))
+    val scored = LangMarkers.map { case (code, ms) => (code, langScore(words, ms)) }
+    val best = greatest(scored.map(_._2): _*)
+    scored.foldRight(lit("und")) { case ((code, s), elseCol) =>
+      when(s === best && s > 0, lit(code)).otherwise(elseCol)
+    }
+  }
+
+  /** Quality heuristics: length, word stats, stopword ratio, digit ratio.
+    * Returns (n_words, mean_word_len, stop_ratio, digit_ratio, score). */
+  def nWords(text: Column): Column = size(tokens(text))
+
+  def meanWordLen(text: Column): Column =
+    (length(text) - (nWords(text) - 1).cast("double")) / nWords(text)
+
+  def stopRatio(text: Column): Column = {
+    val words = tokens(lower(text))
+    size(filter(words, w => w.isin(LangMarkers.head._2: _*))).cast("double") /
+      size(words)
+  }
+
+  def digitRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+      length(text)
+
+  /** Composite quality score in [0,1]-ish: favors mid-length docs with low
+    * digit noise — a stand-in for fastText-style quality classifiers. */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), nWords(text).cast("double") / 100) * (lit(1.0) - digitRatio(text))
+
+  /** Whitespace token count + a BPE-ish subword estimate: alpha runs,
+    * digit runs, and residual symbols each count as one token. */
+  def tokenCountWs(text: Column): Column = nWords(text)
+
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+
+  /** Document fingerprint: hash of the whitespace-normalized lowercase text
+    * (content-defined identity for exact dedup across formatting drift). */
+  def fingerprint(text: Column): Column =
+    md5(array_join(filter(tokens(lower(text)), w => w =!= ""), " "))
+}

@@ -1,0 +1,23 @@
+package graft
+
+/** Driver-contract invariants: every query runs at sf0.001 and every oracle
+  * key has a query (the driver joins the two maps by key). */
+class ContractSpec extends SparkSpec {
+
+  test("oracleSql keys ⊆ queries keys, and all queries have oracles") {
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  }
+
+  test("every query executes and returns a schema at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.schema.fields.nonEmpty, s"$name: empty schema")
+      assert(df.count() >= 0, s"$name: failed to execute")
+    }
+  }
+
+  test("entry returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

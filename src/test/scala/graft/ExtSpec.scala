@@ -1,0 +1,111 @@
+package graft
+
+import graft.ext._
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the scale-out extension operators. */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash is equal for equal shingle sets, differs otherwise") {
+    val df = Seq((1L, "a b c d"), (2L, "x y z w")).toDF("id", "t")
+    val sig = Dedup.minhashSignature(df, "id", "t", 2).orderBy("id").collect()
+    assert(sig(0).getString(1) != sig(1).getString(1), "disjoint shingles differ")
+    val dup = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("id", "t")
+    val s2 = Dedup.minhashSignature(dup, "id", "t", 2).collect()
+    assert(s2(0).getString(1) == s2(1).getString(1), "identical docs equal")
+  }
+
+  test("minhash of doc shorter than n words is null, row preserved") {
+    val df = Seq((1L, "one two")).toDF("id", "t")
+    val sig = Dedup.minhashSignature(df, "id", "t", 2).collect()
+    assert(sig.length == 1 && sig(0).isNullAt(1))
+  }
+
+  test("lsh candidate pairs surface near-identical docs") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "p q r s")).toDF("doc_id", "t")
+    val sigs = Dedup.minhashSignature(df, "doc_id", "t", 4)
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 2, 2), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard and ngramJaccard golden values") {
+    val df = Seq(("a b c", "b c d")).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).as[Double].head()
+    assert(math.abs(j - 2.0 / 4.0) < 1e-12)
+    val j2 = df.select(Dedup.ngramJaccard(col("x"), col("y"), 2)).as[Double].head()
+    assert(math.abs(j2 - 1.0 / 3.0) < 1e-12, "bigrams {ab,bc} vs {bc,cd}")
+  }
+
+  test("shingles of short doc: fewer words than n → empty") {
+    val out = Seq("one two").toDF("t")
+      .select(Dedup.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(out.isEmpty)
+  }
+
+  test("simhash: identical docs equal, disjoint docs differ") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta")).toDF("doc_id", "t")
+    val out = Dedup.simhash(df, "doc_id", "t").orderBy("doc_id")
+      .as[(Long, Long)].collect()
+    assert(out(0)._2 == out(1)._2)
+    assert(out(0)._2 != out(2)._2)
+  }
+
+  test("bruteForceTopK: self is rank 1 with cosine 1.0") {
+    val e = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = Similarity.bruteForceTopK(q, e, 3).orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.head == ((1L, 1L, 1.0, 1)))
+    assert(out(1)._2 == 3L, "45° vector beats orthogonal")
+    assert(out(2)._3 == 0.0)
+  }
+
+  test("signBucket groups same-orthant vectors; lshTopK stays in bucket") {
+    val e = Seq((1L, Array(1.0f, 1.0f)), (2L, Array(2.0f, 3.0f)),
+      (3L, Array(-1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val buckets = e.select(Similarity.signBucket(col("embedding"), 2)).as[Long].collect()
+    assert(buckets(0) == buckets(1) && buckets(0) != buckets(2))
+    val q = e.filter(col("vec_id") === 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val ids = Similarity.lshTopK(q, e, 5, 2).select("vec_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), "candidate set excludes other buckets")
+  }
+
+  test("langId picks marker-dominant language, 'und' when no hits") {
+    val out = Seq("the data of the value", "der und die das", "zzz qqq")
+      .toDF("t").select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
+    assert(out == Seq("en", "de", "und"))
+  }
+
+  test("token counts: whitespace vs BPE-ish") {
+    val df = Seq("abc de12 f!").toDF("t")
+    val (ws, bpe) = df.select(TextAnalysis.tokenCountWs(col("t")),
+      TextAnalysis.tokenCountBpe(col("t"))).as[(Int, Int)].head()
+    assert(ws == 3)
+    assert(bpe == 5, "abc | de | 12 | f | !")
+  }
+
+  test("fingerprint invariant to case, sensitive to content") {
+    val df = Seq(("A B", "a b", "a c")).toDF("x", "y", "z")
+    val r = df.select(TextAnalysis.fingerprint(col("x")),
+      TextAnalysis.fingerprint(col("y")), TextAnalysis.fingerprint(col("z")))
+      .as[(String, String, String)].head()
+    assert(r._1 == r._2 && r._1 != r._3)
+  }
+
+  test("multimodal: media bytes + stub decode + frame sampling") {
+    val docs = Seq((1L, "x" * 250)).toDF("doc_id", "text")
+    val m = Multimodal.withFakeMedia(docs, "text")
+    val feat = m.select(Multimodal.decodeStub(col("media")).as("f"))
+      .select("f.n_bytes").as[Int].head()
+    assert(feat == 250)
+    val frames = Multimodal.sampleFrames(m, "doc_id", 100)
+    assert(frames.count() == 2, "250 bytes / 100 → frames 0,1")
+  }
+}

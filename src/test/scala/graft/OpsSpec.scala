@@ -1,0 +1,102 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Edge cases from SURVEY.md §5.2: all-null columns, single-row partitions,
+  * duplicate keys, multi-format timestamps, empty arrays. */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tsUnixMulti parses all three reference formats to unix seconds") {
+    val df = Seq(
+      "2024-01-02T03:04:05",
+      "2024-01-02 03:04:05",
+      "2024-01-02").toDF("raw")
+      .select(Dates.tsUnixMulti(col("raw")).as("ts"))
+    assert(df.as[Long].collect().toSeq ==
+      Seq(1704164645L, 1704164645L, 1704153600L))
+  }
+
+  test("tsUnixMulti yields null (not error) on garbage — permissive parse") {
+    val out = Seq("not-a-date").toDF("raw")
+      .select(Dates.tsUnixMulti(col("raw"))).collect()
+    assert(out.head.isNullAt(0))
+  }
+
+  test("dateShort renders dd-MM-yyyy and parseDmy round-trips") {
+    val df = Seq("2024-03-09").toDF("d")
+      .select(Dates.dateShort(col("d")).as("s"),
+        Dates.parseDmy(Dates.dateShort(col("d"))).as("back"))
+    val row = df.collect().head
+    assert(row.getString(0) == "09-03-2024")
+    assert(row.getDate(1).toString == "2024-03-09")
+  }
+
+  test("imputeMean fills nulls with column mean; all-null column stays null") {
+    val df = Seq(
+      (Some(1.0), Option.empty[Double]),
+      (Some(3.0), Option.empty[Double]),
+      (None, Option.empty[Double])).toDF("a", "b")
+    val out = Cleaning.imputeMean(df, Seq("a", "b")).orderBy("a")
+      .collect()
+    assert(out.map(_.getDouble(0)).toSeq == Seq(1.0, 2.0, 3.0))
+    assert(out.forall(_.isNullAt(1)), "mean of all-null is undefined → null")
+  }
+
+  test("pctChange: single-row partition lags to 0.0; per-key isolation") {
+    val df = Seq(
+      ("A", 1L, 10.0), ("A", 2L, 15.0), ("B", 3L, 99.0)).toDF("k", "t", "v")
+    val out = Analytics.pctChange(df, Seq("v"), Seq("k"), Seq("t"))
+      .orderBy("t").select("v_delta").as[Double].collect().toSeq
+    assert(out == Seq(0.0, 0.5, 0.0), "B must not lag into A's rows")
+  }
+
+  test("upsert keeps existing rows and is idempotent") {
+    val existing = Seq((1L, "old"), (2L, "old")).toDF("k", "v")
+    val incoming = Seq((2L, "new"), (2L, "newer"), (3L, "new")).toDF("k", "v")
+    val once = Upsert.upsert(existing, incoming, Seq("k"), Seq("v"))
+    val got = once.orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "old"), (2L, "old"), (3L, "new")),
+      "existing wins; within-batch dup resolved deterministically")
+    val twice = Upsert.upsert(once, incoming, Seq("k"), Seq("v"))
+    assert(twice.orderBy("k").as[(Long, String)].collect().toSeq == got,
+      "upsert(upsert(x)) == upsert(x)")
+  }
+
+  test("dedupOnKey picks deterministic winner under tie-break order") {
+    val df = Seq((1L, "b", 2.0), (1L, "a", 1.0), (2L, "c", 3.0)).toDF("k", "tb", "v")
+    val out = Upsert.dedupOnKey(df, Seq("k"), Seq("tb")).orderBy("k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(out == Seq((1L, "a", 1.0), (2L, "c", 3.0)))
+  }
+
+  test("arrLower handles empty arrays and empty strings") {
+    val out = Seq("", "A B").toDF("t")
+      .select(Text.arrLower(split(col("t"), " ")).as("a"))
+      .as[Seq[String]].collect().toSeq
+    assert(out == Seq(Seq(""), Seq("a", "b")))
+  }
+
+  test("zipByKey is a full outer join on the key") {
+    val l = Seq(("d1", 1.0), ("d2", 2.0)).toDF("date", "x")
+    val r = Seq(("d2", 20.0), ("d3", 30.0)).toDF("date", "y")
+    val out = Reshape.zipByKey(l, r, "date").orderBy("date")
+    assert(out.count() == 3)
+    val d1 = out.filter(col("date") === "d1").collect().head
+    assert(d1.isNullAt(2), "missing right side → null")
+  }
+
+  test("colSplit splits array column into named columns") {
+    val df = Seq(Seq(1.0, 2.0, 3.0)).toDF("arr")
+    val out = Reshape.colSplit(df, "arr", Seq("a", "b", "c")).collect().head
+    assert((out.getDouble(0), out.getDouble(1), out.getDouble(2)) == (1.0, 2.0, 3.0))
+  }
+
+  test("castCols casts all listed columns") {
+    val df = Seq(("1", "2")).toDF("a", "b")
+    val out = Cleaning.castCols(df, Seq("a", "b"), DoubleType)
+    assert(out.schema.fields.forall(_.dataType == DoubleType))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.pipelines._
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline tests on reference-shaped fixtures (FIXTURES.md §B)
+  * with hand-computed golden values. */
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("StockPipeline: per-symbol lag pct-change with golden values") {
+    val ticks = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 10.0, 11.0, 9.0, 10.0, 100L, "A"),
+      (Timestamp.valueOf("2024-01-02 00:00:00"), 12.0, 13.0, 11.0, 12.5, 200L, "A"),
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 5.0, 6.0, 4.0, 4.0, 50L, "B"))
+      .toDF("Date", "Open", "High", "Low", "Close", "Volume", "StockName")
+    val out = StockPipeline.run(ticks).orderBy("stock_name", "time_stamp").collect()
+    assert(out.length == 3)
+    val a2 = out(1) // second A row
+    assert(a2.getAs[Double]("pct_ret") == 12.0 / 10.0 - 1) // Open2/Close1 - 1
+    assert(a2.getAs[Double]("pct_vol") == 1.0)             // 200/100 - 1
+    val b = out(2)  // single-row symbol → both lags coalesce to 0
+    assert(b.getAs[Double]("pct_ret") == 0.0 && b.getAs[Double]("pct_vol") == 0.0)
+    assert(out(0).getAs[Long]("time_stamp") == 1704067200L) // unix SECONDS
+  }
+
+  test("StockPipeline cleans nulls via column mean before transform") {
+    val ticks = Seq(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), Some(10.0), 11.0, 9.0, 10.0, 100L, "A"),
+      (Timestamp.valueOf("2024-01-02 00:00:00"), None, 13.0, 11.0, 20.0, 200L, "A"),
+      (Timestamp.valueOf("2024-01-03 00:00:00"), Some(30.0), 31.0, 29.0, 30.0, 300L, "A"))
+      .toDF("Date", "Open", "High", "Low", "Close", "Volume", "StockName")
+    val out = StockPipeline.run(ticks).orderBy("time_stamp").collect()
+    assert(out(1).getAs[Double]("price_open") == 20.0, "null Open → mean(10,30)")
+    assert(out(1).getAs[Double]("pct_ret") == 20.0 / 10.0 - 1, "lag uses imputed value")
+  }
+
+  test("NewsPipeline: filter, lowercase, JSON keywords, golden time columns") {
+    val docs = Seq(
+      ("2024-01-02T03:04:05", "Snippet One", "Headline ONE", Seq("Fed", "GDP"), "business"),
+      ("2024-01-02T03:04:05", "", "empty snippet drops", Seq("x"), "business"),
+      ("2024-01-02T03:04:05", "kept text", "", Seq("x"), "business"),
+      ("2024-01-02T03:04:05", "wrong desk drops", "h", Seq("x"), "sports"))
+      .toDF("pub_date", "snippet", "headline", "keywords", "news_desk")
+    val out = NewsPipeline.run(docs).collect()
+    assert(out.length == 1, "allowlist + non-empty filters leave one row")
+    val r = out.head
+    assert(r.getAs[Long]("time_stamp") == 1704164645L)
+    assert(r.getAs[java.sql.Date]("short_date").toString == "2024-01-02")
+    assert(r.getAs[String]("snippet") == "snippet one")
+    assert(r.getAs[String]("keywords") == """["fed","gdp"]""")
+  }
+
+  test("ForexPipeline: full-outer date zip, mean impute, 5-col lag deltas") {
+    val rates = Seq(
+      ("2024-01-01", 2.0, 1.0, 1.0, 1.0),
+      ("2024-01-02", 4.0, 1.0, 1.0, 1.0))
+      .toDF("date", "usd_to_eur", "usd_to_gbp", "usd_to_sek", "usd_to_dkk")
+    val btc = Seq(("2024-01-02", 10.0), ("2024-01-03", 20.0)).toDF("date", "usd_to_btc")
+    val out = ForexPipeline.run(rates, btc).orderBy("short_date").collect()
+    assert(out.length == 3)
+    // d1: btc missing → mean(10,20)=15; d3: eur missing → mean(2,4)=3
+    assert(out(0).getAs[Double]("usd_to_btc") == 15.0)
+    assert(out(2).getAs[Double]("usd_to_eur") == 3.0)
+    assert(out(1).getAs[Double]("usd_to_eur_delta") == 4.0 / 2.0 - 1)
+    assert(out(2).getAs[Double]("usd_to_eur_delta") == 3.0 / 4.0 - 1)
+    assert(out(0).getAs[Double]("usd_to_eur_delta") == 0.0, "first row fillna(0)")
+    assert(out(1).getAs[Double]("usd_to_btc_delta") == 10.0 / 15.0 - 1)
+  }
+
+  test("StockPipeline.load upsert keeps existing on duplicate key") {
+    val mk = (ts: Long, name: String, ret: Double) =>
+      (ts, name, 1.0, 1.0, 1.0, 1.0, 1L, ret, 0.0)
+    val cols = Seq("time_stamp", "stock_name", "price_open", "price_high",
+      "price_low", "price_close", "volume", "pct_ret", "pct_vol")
+    val existing = Seq(mk(1L, "A", 0.1)).toDF(cols: _*)
+    val batch = Seq(mk(1L, "A", 0.9), mk(2L, "A", 0.2)).toDF(cols: _*)
+    val out = StockPipeline.load(existing, batch).orderBy("time_stamp").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("pct_ret") == 0.1, "existing row untouched")
+  }
+}
