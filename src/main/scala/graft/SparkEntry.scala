@@ -32,6 +32,39 @@ object SparkEntry {
       (col("value") * 1.01).as("Close"),
       ((col("user_id") + 1) * 100).cast(LongType).as("Volume"),
       col("event_type").as("StockName"))
+
+    /** Exact decimal mean of a clean-2dp double, rounded 6dp — engine-
+      * reproducible (see SparkEntry dsum note). */
+    private def davg(c: Column): Column =
+      round(sum(c.cast(DecimalType(25, 6))).cast(DoubleType) / count(c), 6)
+
+    /** Daily OHLCV-shaped feed with UNIQUE (symbol, day) keys, so the
+      * pipeline's per-symbol lag has a deterministic order. */
+    def dailyTicks(events: DataFrame): DataFrame = events
+      .groupBy(col("event_type").as("StockName"), to_date(col("ts")).as("d"))
+      .agg(davg(col("value")).as("Open"), count(lit(1)).as("n"))
+      .select(
+        col("d").cast(TimestampType).as("Date"),
+        col("Open"),
+        (col("Open") * 1.02).as("High"),
+        (col("Open") * 0.98).as("Low"),
+        (col("Open") * 1.01).as("Close"),
+        (col("n") * 100).cast(LongType).as("Volume"),
+        col("StockName"))
+
+    /** Forex-shaped feeds: 4 event types → daily "rates", 1 type → "btc",
+      * both keyed by a yyyy-MM-dd date string (FIXTURES.md §B shape). */
+    def forexFeeds(events: DataFrame): (DataFrame, DataFrame) = {
+      def daily(t: String, out: String) = events
+        .filter(col("event_type") === t)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date"))
+        .agg(davg(col("value")).as(out))
+      val rates = daily("purchase", "usd_to_eur")
+        .join(daily("view", "usd_to_gbp"), Seq("date"), "full_outer")
+        .join(daily("click", "usd_to_sek"), Seq("date"), "full_outer")
+        .join(daily("error", "usd_to_dkk"), Seq("date"), "full_outer")
+      (rates, daily("signup", "usd_to_btc"))
+    }
   }
 
   /** Flagship: the full StockETL pipeline over event ticks (sf0.001);
@@ -251,6 +284,56 @@ object SparkEntry {
           Seq("user_id", "event_type"), Seq("ts", "event_id"))
         .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
         .orderBy("user_id", "event_type")
+    }),
+
+    "q_map_explode" -> ((s, dir) => {
+      // src_btc_json + dict_to_rows + proj_map_fields (ref etl.py:387-399):
+      // JSON parsed as a MAP, exploded to (key, value) rows, plus a named
+      // map-key projection — the pandas dict→transpose without the transpose.
+      val m = read(s, dir, "events")
+        .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+      m.select(col("event_id"), explode(col("m")).as(Seq("key", "val")),
+          element_at(col("m"), "k").as("k_field"))
+        .orderBy("event_id", "key")
+    }),
+
+    "q_col_ops" -> ((s, dir) => {
+      // col_rename + col_drop (ref etl.py:401-402, 162): schema surgery.
+      read(s, dir, "events")
+        .withColumnRenamed("value", "price")
+        .drop("props", "ts")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("price"))
+        .orderBy("event_id")
+    }),
+
+    "q_pipeline_stock" -> ((s, dir) => {
+      // The WHOLE StockETL pipeline (§3.1) end-to-end over a daily
+      // tick feed derived from events (unique (symbol, day) keys keep the
+      // lag deterministic).
+      StockPipeline.run(Feeds.dailyTicks(read(s, dir, "events")))
+        .orderBy("stock_name", "time_stamp")
+    }),
+
+    "q_pipeline_forex" -> ((s, dir) => {
+      // The WHOLE ForexETL pipeline (§3.3): two date-keyed daily feeds,
+      // full-outer zip, impute, 5-column lag deltas.
+      val (rates, btc) = Feeds.forexFeeds(read(s, dir, "events"))
+      ForexPipeline.run(rates, btc).orderBy("short_date")
+    }),
+
+    "q_asof_join" -> ((s, dir) => {
+      // Backward as-of join (tick/quote alignment): latest signup value at
+      // or before each purchase, per user. Composed union+window plan —
+      // one key shuffle; DuckDB's native ASOF JOIN is the oracle.
+      val ev = read(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      Analytics.asOfJoinBackward(purchases, signups, "user_id", "ts",
+          Map("value" -> "sig_val"))
+        .select(col("event_id"), col("user_id"), col("sig_val"))
+        .orderBy("event_id")
     })
   )
 
@@ -371,6 +454,65 @@ object SparkEntry {
       """SELECT user_id, event_type, event_id, value FROM events
          QUALIFY row_number() OVER
            (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
-         ORDER BY user_id, event_type"""
+         ORDER BY user_id, event_type""",
+
+    // Every props doc is the single-key object {"k": N} (verified over the
+    // full table), so the exploded (key, value) rows are projectable.
+    "q_map_explode" ->
+      """SELECT event_id, 'k' AS key,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS val,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_field
+         FROM events ORDER BY event_id, key""",
+
+    "q_col_ops" ->
+      """SELECT event_id, user_id, event_type, value AS price
+         FROM events ORDER BY event_id""",
+
+    "q_pipeline_stock" ->
+      """WITH feed AS (
+           SELECT event_type AS stock_name, CAST(ts AS DATE) AS d,
+             ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value), 6) AS open,
+             COUNT(*) * 100 AS volume
+           FROM events GROUP BY 1, 2)
+         SELECT CAST(epoch(CAST(d AS TIMESTAMP)) AS BIGINT) AS time_stamp,
+           stock_name,
+           open AS price_open, open * 1.02 AS price_high,
+           open * 0.98 AS price_low, open * 1.01 AS price_close,
+           CAST(volume AS BIGINT) AS volume,
+           COALESCE(open / LAG(open * 1.01) OVER w - 1, 0.0) AS pct_ret,
+           COALESCE(CAST(volume AS DOUBLE) / LAG(volume) OVER w - 1, 0.0) AS pct_vol
+         FROM feed WINDOW w AS (PARTITION BY stock_name ORDER BY d)
+         ORDER BY stock_name, time_stamp""",
+
+    "q_pipeline_forex" -> {
+      def daily(t: String, out: String) =
+        s"""SELECT strftime(ts, '%Y-%m-%d') AS date,
+            ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(value), 6) AS $out
+            FROM events WHERE event_type = '$t' GROUP BY 1"""
+      val rateCols = Seq("usd_to_btc", "usd_to_eur", "usd_to_gbp", "usd_to_sek", "usd_to_dkk")
+      val imputed = rateCols.map(c =>
+        s"COALESCE($c, (SELECT ROUND(AVG($c), 6) FROM z)) AS $c").mkString(", ")
+      val deltas = rateCols.map(c =>
+        s"COALESCE($c / LAG($c) OVER (ORDER BY date) - 1, 0.0) AS ${c}_delta").mkString(", ")
+      s"""WITH eur AS (${daily("purchase", "usd_to_eur")}),
+          gbp AS (${daily("view", "usd_to_gbp")}),
+          sek AS (${daily("click", "usd_to_sek")}),
+          dkk AS (${daily("error", "usd_to_dkk")}),
+          btc AS (${daily("signup", "usd_to_btc")}),
+          z AS (SELECT * FROM eur
+            FULL JOIN gbp USING (date) FULL JOIN sek USING (date)
+            FULL JOIN dkk USING (date) FULL JOIN btc USING (date)),
+          imp AS (SELECT date, $imputed FROM z)
+          SELECT CAST(date AS DATE) AS short_date, ${rateCols.mkString(", ")}, $deltas
+          FROM imp ORDER BY short_date"""
+    },
+
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.value AS sig_val
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN
+              (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY event_id"""
   )
 }

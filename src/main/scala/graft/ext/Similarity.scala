@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Strict in-order dot product of two array<double> columns. */
+  /** Strict in-order dot product — declarative higher-order-function form.
+    * Kept as the reference implementation; hot paths use the codegen'd
+    * graft.functions.VecMath.vec_dot (bit-identical accumulation order). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -28,6 +30,8 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  import graft.functions.VecMath.{vec_dot, vec_norm}
 
   /** Exact top-k neighbors of each query vector by cosine similarity.
     * `queries` is expected small → broadcast; corpus streams through one
@@ -38,11 +42,11 @@ object Similarity {
                      qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
     // Norms are per-VECTOR, not per-pair: project them before the join so
     // each pair evaluates one dot product instead of three folds.
-    val q = queries.withColumn("__qn", norm(asDouble(col(qVec))))
-    val c = corpus.withColumn("__cn", norm(asDouble(col(cVec))))
+    val q = queries.withColumn("__qn", vec_norm(col(qVec)))
+    val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
     val scored = c.join(broadcast(q))
       .withColumn("cos", round(
-        dot(asDouble(col(qVec)), asDouble(col(cVec))) / (col("__qn") * col("__cn")), 6))
+        vec_dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -64,12 +68,12 @@ object Similarity {
               qId: String = "q_id", cId: String = "vec_id",
               qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
     val qb = queries.withColumn("bucket", signBucket(col(qVec), bits))
-      .withColumn("__qn", norm(asDouble(col(qVec))))
+      .withColumn("__qn", vec_norm(col(qVec)))
     val cb = corpus.withColumn("bucket", signBucket(col(cVec), bits))
-      .withColumn("__cn", norm(asDouble(col(cVec))))
+      .withColumn("__cn", vec_norm(col(cVec)))
     val scored = cb.join(qb, Seq("bucket"))
       .withColumn("cos", round(
-        dot(asDouble(col(qVec)), asDouble(col(cVec))) / (col("__qn") * col("__cn")), 6))
+        vec_dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
     val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -81,13 +85,13 @@ object Similarity {
   def cosineDupPairs(df: DataFrame, id: String, vec: String, bits: Int,
                      threshold: Double): DataFrame = {
     val b = df.withColumn("bucket", signBucket(col(vec), bits))
-      .withColumn("__n", norm(asDouble(col(vec))))
+      .withColumn("__n", vec_norm(col(vec)))
     val l = b.select(col("bucket"), col(id).as("a"), col(vec).as("va"), col("__n").as("__na"))
     val r = b.select(col("bucket"), col(id).as("b"), col(vec).as("vb"), col("__n").as("__nb"))
     l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
       .withColumn("cos", round(
-        dot(asDouble(col("va")), asDouble(col("vb"))) / (col("__na") * col("__nb")), 6))
+        vec_dot(col("va"), col("vb")) / (col("__na") * col("__nb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("a"), col("b"), col("cos"))
   }

@@ -40,6 +40,41 @@ object Analytics {
       coalesce(col(numCol) / lag(col(lagCol), 1).over(w) - 1, lit(0.0)))
   }
 
+  /** Backward as-of join: for each left row, the latest right row with
+    * `right.ts <= left.ts` within the same key (classic tick/quote
+    * alignment; DuckDB's ASOF JOIN is the oracle).
+    *
+    * Spark lacks a DataFrame as-of join; rather than a custom SparkPlan,
+    * compose it: tag both sides, union, and take `last(value, ignoreNulls)`
+    * over a (key-partitioned, ts-ordered) running window — right rows sort
+    * before left rows at equal ts so ties match backward-inclusive
+    * semantics. Cost: ONE shuffle on the key + local sort, same as a
+    * sort-merge join would pay; no range explosion, no per-key driver work.
+    * At 100 TB both sides hash-partition by key and each task streams its
+    * keys in ts order.
+    *
+    * `rightVals` are (colName -> output name); left columns pass through.
+    */
+  def asOfJoinBackward(left: DataFrame, right: DataFrame, key: String,
+                       ts: String, rightVals: Map[String, String]): DataFrame = {
+    val leftTagged = rightVals.foldLeft(left.withColumn("__src", lit(1))) {
+      case (d, (rc, out)) =>
+        d.withColumn(out, lit(null).cast(right.schema(rc).dataType))
+    }
+    val rightTagged = right.select(
+      (Seq(col(key), col(ts), lit(0).as("__src")) ++
+        rightVals.map { case (c, out) => col(c).as(out) }): _*)
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__src"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = rightVals.values.foldLeft(unioned) { (d, out) =>
+      d.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__src") === 1).drop("__src")
+      .select(left.columns.map(col) ++ rightVals.values.map(col): _*)
+  }
+
   /** Top-k rows per group by `orderBy` (extension; deterministic tie-break
     * must be embedded in `orderBy`). Single shuffle on `partCols`. */
   def topKPerGroup(df: DataFrame, partCols: Seq[String], orderBy: Seq[Column],
