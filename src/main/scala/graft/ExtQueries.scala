@@ -211,6 +211,14 @@ object ExtQueries {
           Multimodal.withFakeMedia(read(s, dir, "documents"), "text"),
           "doc_id", FrameEvery)
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    "q_multimodal_batch" -> ((s, dir) => {
+      // Partition-batched decode via mapPartitions (per-partition codec
+      // state) — deterministic, so the SQL oracle still applies.
+      Multimodal.decodePartitioned(
+          Multimodal.withFakeMedia(read(s, dir, "documents"), "text"), "doc_id")
+        .orderBy("doc_id")
     })
   )
 
@@ -322,14 +330,14 @@ object ExtQueries {
             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
               / length(text) AS digit_ratio
           FROM documents)
-          SELECT doc_id, n_words, stop_ratio, digit_ratio,
+          SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, stop_ratio, digit_ratio,
             least(1.0, CAST(n_words AS DOUBLE) / 100) * (1.0 - digit_ratio) AS quality
           FROM t ORDER BY doc_id"""
     },
 
     "q_token_count" ->
-      """SELECT doc_id, len(str_split(text, ' ')) AS n_ws,
-           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe
+      """SELECT doc_id, CAST(len(str_split(text, ' ')) AS INTEGER) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpe
          FROM documents ORDER BY doc_id""",
 
     "q_fingerprint" ->
@@ -410,9 +418,14 @@ object ExtQueries {
           ORDER BY a, b""",
 
     "q_multimodal_decode" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
            md5(text) AS content_sig,
-           octet_length(encode(text)) % 64 AS fake_width
+           CAST(octet_length(encode(text)) % 64 AS INTEGER) AS fake_width
+         FROM documents ORDER BY doc_id""",
+
+    "q_multimodal_batch" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS content_sig
          FROM documents ORDER BY doc_id""",
 
     "q_frame_sample" ->

@@ -52,6 +52,21 @@ object SparkEntry {
         (col("n") * 100).cast(LongType).as("Volume"),
         col("StockName"))
 
+    /** News-doc-shaped feed from documents (FIXTURES.md §B shape):
+      * synthetic ISO pub_date (7-minute cadence from a fixed origin),
+      * mixed-case headline, array keywords, desk derived from source —
+      * with rows that exercise both pipeline filters. */
+    def newsDocs(documents: DataFrame): DataFrame = documents.select(
+      date_format(timestamp_seconds(lit(1704067200L) + col("doc_id") * 420),
+        "yyyy-MM-dd'T'HH:mm:ss").as("pub_date"),
+      when(col("doc_id") % 97 === 0, lit("")).otherwise(col("text")).as("snippet"),
+      upper(substring(col("text"), 1, 30)).as("headline"),
+      slice(split(col("text"), " "), 1, 3).as("keywords"),
+      when(col("source").isin("src0", "src1", "src2", "src3", "src4"), "business")
+        .when(col("source").isin("src5", "src6", "src7"), "politics")
+        .when(col("source").isin("src8", "src9"), "sports")
+        .otherwise("technology").as("news_desk"))
+
     /** Forex-shaped feeds: 4 event types → daily "rates", 1 type → "btc",
       * both keyed by a yyyy-MM-dd date string (FIXTURES.md §B shape). */
     def forexFeeds(events: DataFrame): (DataFrame, DataFrame) = {
@@ -321,6 +336,13 @@ object SparkEntry {
       ForexPipeline.run(rates, btc).orderBy("short_date")
     }),
 
+    "q_pipeline_news" -> ((s, dir) => {
+      // The WHOLE NewsETL pipeline (§3.2): desk allowlist, lowercase clean,
+      // non-empty filters, multi-format time parse, JSON keyword sink.
+      NewsPipeline.run(Feeds.newsDocs(read(s, dir, "documents")))
+        .orderBy("time_stamp", "headline")
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // Backward as-of join (tick/quote alignment): latest signup value at
       // or before each purchase, per user. Composed union+window plan —
@@ -506,6 +528,30 @@ object SparkEntry {
           SELECT CAST(date AS DATE) AS short_date, ${rateCols.mkString(", ")}, $deltas
           FROM imp ORDER BY short_date"""
     },
+
+    "q_pipeline_news" ->
+      """WITH feed AS (SELECT
+           strftime(CAST(to_timestamp(1704067200 + doc_id * 420) AS TIMESTAMP),
+             '%Y-%m-%dT%H:%M:%S') AS pub_date,
+           CASE WHEN doc_id % 97 = 0 THEN '' ELSE text END AS snippet,
+           upper(substr(text, 1, 30)) AS headline,
+           str_split(text, ' ')[1:3] AS keywords,
+           CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'business'
+                WHEN source IN ('src5','src6','src7') THEN 'politics'
+                WHEN source IN ('src8','src9') THEN 'sports'
+                ELSE 'technology' END AS news_desk
+         FROM documents),
+         kept AS (SELECT *,
+             try_strptime(pub_date, '%Y-%m-%dT%H:%M:%S') AS parsed
+           FROM feed
+           WHERE news_desk IN ('business','national','politics','insider',
+             'financial','foreign','technology','science')
+             AND lower(snippet) <> '' AND lower(headline) <> '')
+         SELECT CAST(epoch(parsed) AS BIGINT) AS time_stamp,
+           CAST(strptime(strftime(parsed, '%d-%m-%Y'), '%d-%m-%Y') AS DATE) AS short_date,
+           lower(snippet) AS snippet, lower(headline) AS headline,
+           to_json(list_transform(keywords, k -> lower(k))) AS keywords
+         FROM kept ORDER BY time_stamp, headline""",
 
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, r.value AS sig_val

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (north-star extension): image/audio/video
@@ -41,6 +41,31 @@ object Multimodal {
         explode(sequence(lit(0), greatest(nFrames - 1, lit(0)))))
       .select(col(idCol), col("frame_idx"),
         decodeStub(col("media")).getField("content_sig").as("frame_sig"))
+  }
+
+  case class MediaFeatures(id: Long, n_bytes: Int, content_sig: String)
+
+  /** Partition-batched decode — the Scala analogue of an Arrow/Pandas-UDF
+    * batch decoder: one iterator pass per partition with decoder state
+    * (here a MessageDigest standing in for a codec context) initialized
+    * once per PARTITION, not per row. The row contract (schema, batch
+    * shape, partition distribution) is the real engineering; swap the loop
+    * body for an actual image/audio codec when one is available. Features
+    * are deterministic so the expression-based `decodeStub` cross-checks it.
+    */
+  def decodePartitioned(df: DataFrame, idCol: String): DataFrame = {
+    val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])](inEnc)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          md.reset()
+          val sig = md.digest(bytes).map("%02x".format(_)).mkString
+          MediaFeatures(id, bytes.length, sig)
+        }
+      }(Encoders.product[MediaFeatures])
+      .toDF(idCol, "n_bytes", "content_sig")
   }
 
   /** Resize stub: metadata-only transform (real impl: batch image op). */
