@@ -185,6 +185,18 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF ANN: map-only nearest-centroid assignment (centroids inlined
+      // as literals), top-nProbe probes per query, exact cosine only
+      // within probed lists — the other classic scale path next to LSH.
+      val e = read(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.ivfTopK(queries, e.select("vec_id", "embedding"),
+          k = 3, nLists = IvfLists, nProbe = IvfProbes)
+        .orderBy("q_id", "rank")
+    }),
+
     "q_cos_dup_pairs" -> ((s, dir) => {
       // Embedding-cosine near-dup pairs above threshold, within sign-LSH
       // buckets.
@@ -225,6 +237,8 @@ object ExtQueries {
   private val SimhashBits = 16
   private val AnnBits = 4
   private val CosDupThreshold = 0.25
+  private val IvfLists = 8
+  private val IvfProbes = 2
   private val FrameEvery = 100
 
   // DuckDB mirrors. The multi-line/generated ones are built with Scala
@@ -405,6 +419,25 @@ object ExtQueries {
             CAST(row_number() OVER (PARTITION BY q_id
               ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id) AS INTEGER) AS rank
           FROM c JOIN q USING (bucket)
+          QUALIFY rank <= 3 ORDER BY q_id, rank""",
+
+    "q_ann_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS list, embedding AS c_vec
+            FROM embeddings WHERE vec_id < $IvfLists),
+          assign AS (SELECT vec_id, embedding, list FROM (
+            SELECT e.vec_id, e.embedding, cent.list,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings e CROSS JOIN cent) WHERE rn = 1),
+          probes AS (SELECT q_id, q_vec, list FROM (
+            SELECT q.vec_id AS q_id, q.embedding AS q_vec, cent.list,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5) WHERE rn <= $IvfProbes)
+          SELECT q_id, vec_id, ${cosSql("q_vec", "embedding")} AS cos,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id) AS INTEGER) AS rank
+          FROM assign JOIN probes USING (list)
           QUALIFY rank <= 3 ORDER BY q_id, rank""",
 
     "q_cos_dup_pairs" ->

@@ -68,17 +68,34 @@ object SparkEntry {
         .otherwise("technology").as("news_desk"))
 
     /** Forex-shaped feeds: 4 event types → daily "rates", 1 type → "btc",
-      * both keyed by a yyyy-MM-dd date string (FIXTURES.md §B shape). */
+      * both keyed by a yyyy-MM-dd date string (FIXTURES.md §B shape).
+      *
+      * One-pass plan: a single groupBy(date).pivot(event_type) replaces
+      * 5 scans + 3 full-outer joins — one events scan, one date shuffle,
+      * and both feeds share the exchange (ReuseExchange). The per-type
+      * presence count preserves exact full-outer semantics: a date enters
+      * a feed iff at least one of its types has rows that day, even if
+      * every value that day is null. */
     def forexFeeds(events: DataFrame): (DataFrame, DataFrame) = {
-      def daily(t: String, out: String) = events
-        .filter(col("event_type") === t)
+      val types = Seq("purchase" -> "usd_to_eur", "view" -> "usd_to_gbp",
+        "click" -> "usd_to_sek", "error" -> "usd_to_dkk", "signup" -> "usd_to_btc")
+      // Cache: bounded at one row per day (365 rows/yr × 11 cols) no
+      // matter the input size, and it is read 4× downstream (both feeds,
+      // then twice more by imputeMean's two-pass agg+fill — per-branch
+      // column pruning makes the subtrees differ, so ReuseExchange can't
+      // dedupe them on its own).
+      val pivoted = events
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date"))
-        .agg(davg(col("value")).as(out))
-      val rates = daily("purchase", "usd_to_eur")
-        .join(daily("view", "usd_to_gbp"), Seq("date"), "full_outer")
-        .join(daily("click", "usd_to_sek"), Seq("date"), "full_outer")
-        .join(daily("error", "usd_to_dkk"), Seq("date"), "full_outer")
-      (rates, daily("signup", "usd_to_btc"))
+        .pivot("event_type", types.map(_._1))
+        .agg(davg(col("value")).as("v"), count(lit(1)).as("n"))
+        .cache()
+      val rateTypes = types.init
+      val rates = pivoted
+        .filter(rateTypes.map { case (t, _) => col(s"${t}_n").isNotNull }.reduce(_ || _))
+        .select(col("date") +: rateTypes.map { case (t, out) => col(s"${t}_v").as(out) }: _*)
+      val btc = pivoted.filter(col("signup_n").isNotNull)
+        .select(col("date"), col("signup_v").as("usd_to_btc"))
+      (rates, btc)
     }
   }
 

@@ -80,6 +80,74 @@ object Similarity {
       .select(col(qId), col(cId), col("cos"), col("rank"))
   }
 
+  // ───────────────────────── IVF (inverted-file) ANN ─────────────────────────
+
+  /** Coarse centroids for the IVF index. Real deployments train these with
+    * k-means as an offline job; the engine-side contract is identical
+    * whatever produced them, so here the "trained" set is a deterministic
+    * seed sample (the `nLists` lowest ids) that a SQL oracle can reproduce.
+    * K×dim doubles = index metadata — collecting them to the driver is the
+    * point, not a scale hazard. */
+  def ivfCentroids(corpus: DataFrame, nLists: Int,
+                   cId: String = "vec_id", cVec: String = "embedding"): Seq[(Long, Seq[Double])] =
+    corpus.filter(col(cId) < nLists)
+      .select(col(cId).cast("long"), transform(col(cVec), _.cast("double")))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+
+  /** Rounded cosine of a vector column against one driver-side centroid —
+    * the centroid is inlined as an array literal and its norm folded to a
+    * double constant, so centroid scoring is map-only codegen'd work. */
+  private def centCos(vec: Column, vNorm: Column, cent: Seq[Double]): Column = {
+    val cn = math.sqrt(cent.map(x => x * x).sum)
+    round(vec_dot(vec, typedlit(cent)) / (vNorm * lit(cn)), 6)
+  }
+
+  /** Nearest-centroid list id as a pure column expression:
+    * `array_max` over K `struct(cos, -list)` elements — struct ordering is
+    * lexicographic, so the max is (highest rounded cosine, lowest list id),
+    * the same tie rule as `row_number() OVER (ORDER BY cos DESC, list)` in
+    * the oracle. Linear in K (a when-chain fold would reference its
+    * accumulator twice per step and blow up the expression tree 2^K). NO
+    * shuffle: assigning a 100 TB corpus to lists is one codegen'd map pass. */
+  def ivfAssign(vec: Column, vNorm: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    -array_max(array(cents.map { case (id, c) =>
+      struct(centCos(vec, vNorm, c).as("c"), lit(-id).as("nl"))
+    }: _*)).getField("nl")
+
+  /** IVF search: corpus vectors are assigned to their nearest centroid's
+    * list (map-only); each query probes its `nProbe` nearest lists; exact
+    * cosine runs only inside probed lists. Plan: the query side is tiny →
+    * broadcast equi-join on the list id, so the corpus never shuffles for
+    * the search either — candidates then rank per query. Recall < 1 by
+    * construction (vectors near a list boundary can hide), tuned by
+    * nLists × nProbe. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nLists: Int,
+              nProbe: Int, qId: String = "q_id", cId: String = "vec_id",
+              qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nLists, cId, cVec)
+    val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
+    val assigned = c.withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
+    val q = queries.withColumn("__qn", vec_norm(col(qVec)))
+    val probes = q
+      .withColumn("pc", explode(array(cents.map { case (id, cent) =>
+        struct(centCos(col(qVec), col("__qn"), cent).as("pcos"), lit(id).as("list"))
+      }: _*)))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy(col(qId))
+          .orderBy(col("pc.pcos").desc, col("pc.list"))))
+      .filter(col("prank") <= nProbe)
+      .select(col(qId), col(qVec), col("__qn"), col("pc.list").as("list"))
+    val scored = assigned.join(broadcast(probes), Seq("list"))
+      .withColumn("cos", round(
+        vec_dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("cos"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted
     * to sign-LSH buckets (the scalable near-dup path over embeddings). */
   def cosineDupPairs(df: DataFrame, id: String, vec: String, bits: Int,

@@ -77,6 +77,29 @@ class ExtSpec extends SparkSpec {
     assert(ids == Set(1L, 2L), "candidate set excludes other buckets")
   }
 
+  test("ivfTopK: assignment picks nearest list, search stays in probed lists") {
+    // Centroids (ids < 2) point along the axes; ids 2/3 clearly belong to
+    // list 0 / list 1; id 4 sits at 45° (rounded-cos tie → lowest list).
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(5.0f, 1.0f)), (3L, Array(1.0f, 5.0f)),
+      (4L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(e, 2)
+    assert(cents.map(_._1) == Seq(0L, 1L))
+    val lists = e.select(col("vec_id"), Similarity.ivfAssign(col("embedding"),
+        graft.functions.VecMath.vec_norm(col("embedding")), cents))
+      .as[(Long, Long)].collect().toMap
+    assert(lists(2L) == 0L && lists(3L) == 1L)
+    assert(lists(4L) == 0L, "rounded-cos tie keeps the lowest list id")
+    // nProbe=1: query 2 probes only list 0 → candidates {0,2,4}; self first.
+    val q = e.filter(col("vec_id") === 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = Similarity.ivfTopK(q, e, k = 5, nLists = 2, nProbe = 1)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(out.head._2 == 2L && out.head._3 == 1.0)
+    assert(out.map(_._2).toSet == Set(0L, 2L, 4L), "list-1 members excluded")
+  }
+
   test("langId picks marker-dominant language, 'und' when no hits") {
     val out = Seq("the data of the value", "der und die das", "zzz qqq")
       .toDF("t").select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
