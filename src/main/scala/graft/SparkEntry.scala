@@ -338,6 +338,16 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_col_split" -> ((s, dir) => {
+      // col_split (ref etl.py:398-399): a list-valued column fanned out
+      // into N named columns — the forex [rate, rate, ...] row shape.
+      val withArr = read(s, dir, "events")
+        .select(col("event_id"),
+          array(col("value"), col("user_id").cast(DoubleType)).as("arr"))
+      Reshape.colSplit(withArr, "arr", Seq("rate_v", "rate_u"))
+        .orderBy("event_id")
+    }),
+
     "q_pipeline_stock" -> ((s, dir) => {
       // The WHOLE StockETL pipeline (§3.1) end-to-end over a daily
       // tick feed derived from events (unique (symbol, day) keys keep the
@@ -506,6 +516,11 @@ object SparkEntry {
     "q_col_ops" ->
       """SELECT event_id, user_id, event_type, value AS price
          FROM events ORDER BY event_id""",
+
+    "q_col_split" ->
+      """SELECT event_id, l[1] AS rate_v, l[2] AS rate_u
+         FROM (SELECT event_id, [value, CAST(user_id AS DOUBLE)] AS l FROM events)
+         ORDER BY event_id""",
 
     "q_pipeline_stock" ->
       """WITH feed AS (

@@ -49,6 +49,36 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: the streaming twin of `ext.Dedup.exactByKey` /
+    * the upsert sink's within-batch dedup. State is bounded by the
+    * watermark — a duplicate arriving later than `watermark` after the
+    * original is NOT suppressed (that is the contract that makes state
+    * finite at 100 TB/day; the batch anti-join sweep catches stragglers). */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** Watermarked stream-stream interval join: attach to each purchase the
+    * same user's most-recent-window signup value — the streaming analogue
+    * of the batch backward as-of join (Analytics.asOfJoinBackward), with
+    * the unbounded "latest ever" lookback replaced by a bounded interval
+    * so both join-state stores can evict by watermark. */
+  def intervalJoin(purchases: DataFrame, signups: DataFrame,
+                   lookback: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    val l = purchases.withWatermark("ts", watermark)
+      .select(col("event_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
+    val r = signups.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"), col("value").as("sig_val"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("event_id"), col("l_user").as("user_id"),
+        col("l_ts").as("ts"), col("sig_val"))
+  }
+
   /** File-source streaming read of an events directory with the testdata
     * schema — readStream → transforms → writeStream wiring. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =

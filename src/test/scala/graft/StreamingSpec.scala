@@ -31,6 +31,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 3.0), ("b", 1L, 5.0)))
   }
 
+  test("dedupWithinWatermark drops in-window duplicates, keeps distinct keys") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.dedupWithinWatermark(mem.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      ev(1, "2024-01-01 00:00:00", 1, "a", 1.0),
+      ev(1, "2024-01-01 00:10:00", 1, "a", 1.0), // dup within watermark
+      ev(2, "2024-01-01 00:20:00", 2, "b", 2.0))
+    q.processAllAvailable()
+    mem.addData(ev(1, "2024-01-01 00:30:00", 1, "a", 1.0)) // still in window
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L), "one row per key within the watermark")
+  }
+
+  test("intervalJoin emits purchase with in-window signup value only") {
+    implicit val sc = spark.sqlContext
+    val (pm, sm) = (MemoryStream[Event], MemoryStream[Event])
+    val q = EventStream.intervalJoin(pm.toDF(), sm.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("join_out")
+      .outputMode(OutputMode.Append()).start()
+    sm.addData(
+      ev(10, "2024-01-01 09:30:00", 7, "signup", 42.0),  // in window
+      ev(11, "2024-01-01 07:00:00", 7, "signup", 99.0),  // too old
+      ev(12, "2024-01-01 09:40:00", 8, "signup", 13.0))  // other user
+    pm.addData(ev(1, "2024-01-01 10:00:00", 7, "purchase", 5.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("join_out")
+      .select("event_id", "user_id", "sig_val")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 7L, 42.0)), "only the in-lookback same-user signup joins")
+  }
+
   test("sessionize accumulates per-user state across batches") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
