@@ -44,6 +44,18 @@ object ExtQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    "q_agg_salted" -> ((s, dir) => {
+      // Skew-safe two-stage aggregation: salt from the unique orderkey
+      // spreads any hot group over 16 reducers; algebraic sums make the
+      // two-stage result exactly the one-stage result (the oracle is the
+      // PLAIN group-by — equivalence is the point).
+      Analytics.saltedSumCount(read(s, dir, "lineitem"), Seq("l_returnflag"),
+          col("l_extendedprice").cast(DecimalType(18, 2)), col("l_orderkey"), 16)
+        .select(col("l_returnflag"),
+          col("sum_v").cast(DoubleType).as("sum_v"), col("n"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_join_broadcast" -> ((s, dir) => {
       // Dimension join: part is tiny → explicit broadcast, so the 100 TB
       // fact side never shuffles; agg after join is map-side combinable.
@@ -293,6 +305,12 @@ object ExtQueries {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            COUNT(*) AS n
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_agg_salted" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_join_broadcast" ->
       """SELECT p_brand,

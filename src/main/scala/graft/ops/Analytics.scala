@@ -82,4 +82,27 @@ object Analytics {
     val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderBy: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
+
+  /** Skew-safe grouped aggregation: pre-aggregate on (keys, salt) so one
+    * hot key's rows spread over `nSalts` reducers, then combine the
+    * partials in a second (tiny: |keys|×nSalts rows) stage. For algebraic
+    * aggregates (sum/count here) the two-stage result is exactly the
+    * one-stage result — pass decimal-cast values for bit-reproducibility.
+    *
+    * `saltFrom` must be a deterministic per-row expression (a unique id to
+    * spread uniformly) — NOT rand(), which would break retry/replay
+    * semantics: a recomputed task must salt identically.
+    *
+    * At 100 TB this is the manual fallback when AQE skew handling can't
+    * apply (e.g. partial aggregation already collapsed the skew detector's
+    * signal); at benign cardinality prefer the plain groupBy — same answer,
+    * one fewer exchange. */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: Column,
+                     saltFrom: Column, nSalts: Int,
+                     sumName: String = "sum_v", cntName: String = "n"): DataFrame =
+    df.withColumn("__salt", pmod(saltFrom, lit(nSalts)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as(sumName), sum(col("__pcnt")).as(cntName))
 }

@@ -2,7 +2,7 @@ package graft
 
 import graft.ops._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Edge cases from SURVEY.md §5.2: all-null columns, single-row partitions,
   * duplicate keys, multi-format timestamps, empty arrays. */
@@ -98,5 +98,19 @@ class OpsSpec extends SparkSpec {
     val df = Seq(("1", "2")).toDF("a", "b")
     val out = Cleaning.castCols(df, Seq("a", "b"), DoubleType)
     assert(out.schema.fields.forall(_.dataType == DoubleType))
+  }
+
+  test("saltedSumCount equals the plain groupBy on a skewed key") {
+    // 90 rows on one hot key, 10 on another; salt from the unique row id.
+    val df = (0 until 100)
+      .map(i => (i.toLong, if (i < 90) "hot" else "cold", 1.5))
+      .toDF("id", "k", "v")
+    val salted = Analytics.saltedSumCount(df, Seq("k"),
+        col("v").cast(DecimalType(18, 2)), col("id"), 4)
+      .select(col("k"), col("sum_v").cast(DoubleType), col("n"))
+      .as[(String, Double, Long)].collect()
+      .map { case (k, s, n) => k -> ((s, n)) }.toMap
+    assert(salted("hot") == ((135.0, 90L)))
+    assert(salted("cold") == ((15.0, 10L)))
   }
 }

@@ -13,6 +13,8 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
