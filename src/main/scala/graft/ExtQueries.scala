@@ -131,6 +131,13 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_tfidf" -> ((s, dir) => {
+      // Corpus-statistics text op: top-3 TF-IDF terms per document
+      // (rational smoothed idf — see TextAnalysis.tfidfTopK).
+      TextAnalysis.tfidfTopK(read(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id", "rank")
+    }),
+
     // ───────── dedup family ─────────
     "q_dedup_exact" -> ((s, dir) => {
       // Exact dedup on content hash: narrow md5 shuffle key, deterministic
@@ -376,6 +383,20 @@ object ExtQueries {
       """SELECT doc_id, md5(array_to_string(
            list_filter(str_split(lower(text), ' '), w -> w <> ''), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "q_tfidf" ->
+      """WITH w AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word
+             FROM documents),
+           tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+           dfreq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY 1),
+           n AS (SELECT COUNT(*) AS n FROM documents),
+           s AS (SELECT doc_id, tf.word AS word,
+               ROUND(CAST(tf AS DOUBLE) * (n + 1) / (df + 1), 6) AS score
+             FROM tf JOIN dfreq ON tf.word = dfreq.word CROSS JOIN n)
+         SELECT doc_id, word, score,
+           CAST(row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, word) AS INTEGER) AS rank
+         FROM s QUALIFY rank <= 3 ORDER BY doc_id, rank""",
 
     "q_dedup_exact" ->
       """SELECT doc_id, n_chars FROM documents

@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Text-analysis operators for LLM-data-pipeline workloads over the
   * `documents` table (north-star extension; no reference counterpart —
@@ -74,4 +75,29 @@ object TextAnalysis {
     * (content-defined identity for exact dedup across formatting drift). */
   def fingerprint(text: Column): Column =
     md5(array_join(filter(tokens(lower(text)), w => w =!= ""), " "))
+
+  /** Top-k TF-IDF terms per document — the corpus-statistics operator the
+    * per-row heuristics above can't express (term weight depends on EVERY
+    * document).
+    *
+    * Plan: explode words once per pass; tf = one (doc, word) shuffle with
+    * map-side combine; df = one (word) shuffle (two-phase distinct); the
+    * corpus size N is a broadcast 1-row agg; the word→df join shuffles
+    * narrow (word, count) rows. Rank per doc = one more doc-key shuffle.
+    * IDF is the smoothed RATIONAL form (N+1)/(df+1) — same ordering as the
+    * log form, but products/quotients of exact integers are bit-identical
+    * across engines, where ln() is libm-dependent and would flake the
+    * differential oracle. */
+  def tfidfTopK(df: DataFrame, docKey: String, textCol: String, k: Int): DataFrame = {
+    val words = df.select(col(docKey), explode(tokens(lower(col(textCol)))).as("word"))
+    val tf = words.groupBy(col(docKey), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = words.groupBy(col("word")).agg(countDistinct(col(docKey)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast(DoubleType) * (col("n") + 1) / (col("df") + 1), 6))
+    graft.ops.Analytics.topKPerGroup(scored, Seq(docKey),
+        Seq(col("score").desc, col("word")), k, rankCol = "rank")
+      .select(col(docKey), col("word"), col("score"), col("rank").cast("int").as("rank"))
+  }
 }

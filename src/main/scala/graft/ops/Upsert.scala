@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -39,4 +39,34 @@ object Upsert {
       keys, "left_anti")
     existing.unionByName(fresh.select(existing.columns.map(col): _*))
   }
+
+  /** The batch's fresh rows against a PARTITIONED parquet sink, reading
+    * only the partitions the batch touches — the 100 TB upsert path: a
+    * daily batch against a years-deep sink anti-joins a handful of
+    * partitions, not the whole table.
+    *
+    * The touched-partition list is collected to the driver: bounded by the
+    * number of distinct `partCol` values IN THE BATCH (e.g. days), not by
+    * data volume — same class of driver-side metadata as IVF centroids.
+    * The `isin` filter lands in the scan's PartitionFilters (asserted in
+    * UpsertPartitionedSpec), so unread partitions are never opened. */
+  def freshAgainstPartitionedSink(spark: SparkSession, sinkPath: String,
+      incoming: DataFrame, keys: Seq[String], tieBreak: Seq[String],
+      partCol: String): DataFrame = {
+    val deduped = dedupOnKey(incoming, keys, tieBreak)
+    val touched = deduped.select(col(partCol)).distinct().collect().map(_.get(0))
+    val existingKeys = spark.read.parquet(sinkPath)
+      .filter(col(partCol).isin(touched.toIndexedSeq: _*))
+      .select(keys.map(col): _*).distinct()
+    deduped.join(existingKeys, keys, "left_anti")
+  }
+
+  /** Keep-existing upsert INTO a partitioned parquet sink: append only the
+    * fresh rows, written with the sink's partitioning. Idempotent: a
+    * re-run of the same batch appends nothing. */
+  def upsertPartitioned(spark: SparkSession, sinkPath: String,
+      incoming: DataFrame, keys: Seq[String], tieBreak: Seq[String],
+      partCol: String): Unit =
+    freshAgainstPartitionedSink(spark, sinkPath, incoming, keys, tieBreak, partCol)
+      .write.mode("append").partitionBy(partCol).parquet(sinkPath)
 }

@@ -114,6 +114,21 @@ class ExtSpec extends SparkSpec {
     assert(bpe == 5, "abc | de | 12 | f | !")
   }
 
+  test("tfidfTopK ranks rare terms above corpus-wide terms") {
+    val docs = Seq((1L, "alpha common common"), (2L, "beta common"),
+      (3L, "common gamma gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1).orderBy("rank")
+      .select("word", "rank").as[(String, Int)].collect().toSeq
+    // 'common' appears in every doc (df=3); 'alpha' only here (df=1):
+    // alpha scores 1*(4/2)=2.0 vs common 2*(4/4)=2.0 — tie → word order;
+    // use doc 3 where gamma tf=2: 2*(4/2)=4.0 beats common 1.0.
+    val d3 = TextAnalysis.tfidfTopK(docs, "doc_id", "text", 1)
+      .filter(col("doc_id") === 3).select("word").as[String].head()
+    assert(d3 == "gamma", "high-tf rare term wins")
+    assert(out.map(_._1).contains("alpha"), "doc-specific term ranks in top-2")
+  }
+
   test("fingerprint invariant to case, sensitive to content") {
     val df = Seq(("A B", "a b", "a c")).toDF("x", "y", "z")
     val r = df.select(TextAnalysis.fingerprint(col("x")),

@@ -1,0 +1,41 @@
+package graft
+
+import graft.ops.Upsert
+import org.apache.spark.sql.functions._
+
+/** Partitioned-sink upsert: the anti-join must read ONLY the partitions
+  * the batch touches (PartitionFilters pruning), keep-existing semantics
+  * must hold across partitions, and a re-run must append nothing. */
+class UpsertPartitionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partition-pruned anti-join + idempotent append") {
+    val sink = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    Seq((1L, "d1", 10.0), (2L, "d1", 20.0), (3L, "d2", 30.0))
+      .toDF("id", "day", "v")
+      .write.mode("overwrite").partitionBy("day").parquet(sink)
+
+    // Batch touches ONLY d2: a dup of key 3 (existing wins), a new key 4,
+    // and an in-batch dup of key 4 (lowest v survives per tieBreak).
+    val batch = Seq((3L, "d2", 999.0), (4L, "d2", 40.0), (4L, "d2", 41.0))
+      .toDF("id", "day", "v")
+
+    val fresh = Upsert.freshAgainstPartitionedSink(
+      spark, sink, batch, Seq("id"), Seq("v"), "day")
+    val scan = fresh.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("d2"),
+      s"sink scan must prune to touched partitions, plan:\n$scan")
+    assert(!scan.contains("d1"), s"untouched partition d1 must not be read:\n$scan")
+    assert(fresh.select("id", "v").as[(Long, Double)].collect().toSeq ==
+      Seq((4L, 40.0)), "only the new key survives; existing key 3 wins; in-batch dup collapsed")
+
+    Upsert.upsertPartitioned(spark, sink, batch, Seq("id"), Seq("v"), "day")
+    val after = spark.read.parquet(sink)
+    assert(after.count() == 4)
+    assert(after.filter(col("id") === 3).select("v").as[Double].head() == 30.0,
+      "keep-existing: the sink's row 3 is untouched")
+
+    Upsert.upsertPartitioned(spark, sink, batch, Seq("id"), Seq("v"), "day")
+    assert(spark.read.parquet(sink).count() == 4, "re-run appends nothing")
+  }
+}
