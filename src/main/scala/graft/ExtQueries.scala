@@ -44,6 +44,42 @@ object ExtQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    "q_rolling_mean" -> ((s, dir) => {
+      // Frame window: trailing 7-row mean per event type — the rolling
+      // analytic beyond the reference's lag-1. (event_id breaks ts ties
+      // for a total order.)
+      Analytics.rollingMean(
+          read(s, dir, "events").select("event_id", "event_type", "ts", "value"),
+          "value", Seq("event_type"), Seq("ts", "event_id"), 7, "roll_avg")
+        .select("event_id", "event_type", "roll_avg")
+        .orderBy("event_id")
+    }),
+
+    "q_rollup" -> ((s, dir) => {
+      // Multi-level aggregation (ROLLUP): per (flag, status), per flag,
+      // and grand total in one pass — Catalyst expands the grouping sets;
+      // 'ALL' sentinel keeps the dump hash-stable across engines.
+      read(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum2(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy("flag", "status")
+    }),
+
+    "q_approx_distinct" -> ((s, dir) => {
+      // HLL++ distinct-user sketch per event type: the mergeable-sketch
+      // path for 100 TB distincts (exact distinct = full key shuffle; the
+      // sketch is map-side combinable and constant-size). No SQL oracle —
+      // DuckDB's approx sketch differs — so the driver records the weaker
+      // rows-only check; ExtSpec asserts accuracy against exact counts.
+      read(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .orderBy("event_type")
+    }),
+
     "q_agg_salted" -> ((s, dir) => {
       // Skew-safe two-stage aggregation: salt from the unique orderkey
       // spreads any hot group over 16 reducers; algebraic sums make the
@@ -312,6 +348,23 @@ object ExtQueries {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            COUNT(*) AS n
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_rolling_mean" ->
+      """SELECT event_id, event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) AS roll_avg
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY flag, status""",
 
     "q_agg_salted" ->
       """SELECT l_returnflag,

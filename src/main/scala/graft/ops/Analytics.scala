@@ -83,6 +83,22 @@ object Analytics {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Trailing k-row rolling mean per key — the frame-window analytic
+    * (beyond the reference's lag-1 surface). Decimal-exact running sum /
+    * count, so the value is reproducible under any partitioning. One
+    * shuffle on `partCols`; `orderCols` must be a total order within the
+    * key for determinism. */
+  def rollingMean(df: DataFrame, valueCol: String, partCols: Seq[String],
+                  orderCols: Seq[String], k: Int, out: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(k - 1), 0)
+    df.withColumn(out, round(
+      sum(col(valueCol).cast(DecimalType(25, 6))).over(w).cast(DoubleType) /
+        count(lit(1)).over(w), 6))
+  }
+
   /** Skew-safe grouped aggregation: pre-aggregate on (keys, salt) so one
     * hot key's rows spread over `nSalts` reducers, then combine the
     * partials in a second (tiny: |keys|×nSalts rows) stage. For algebraic

@@ -4,8 +4,13 @@ package graft
   * key has a query (the driver joins the two maps by key). */
 class ContractSpec extends SparkSpec {
 
-  test("oracleSql keys ⊆ queries keys, and all queries have oracles") {
-    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
+  test("oracleSql keys ⊆ queries keys; oracle-less queries are the known sketch ops") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // Driver contract: omitting the oracle is allowed only for ops a SQL
+    // engine can't reproduce (→ weaker rows-only check). Keep this list
+    // deliberate: HLL sketches differ per engine.
+    val rowsOnly = Set("q_approx_distinct")
+    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
   }
 
   test("every query executes and returns a schema at sf0.001") {

@@ -114,6 +114,20 @@ class ExtSpec extends SparkSpec {
     assert(bpe == 5, "abc | de | 12 | f | !")
   }
 
+  test("approx_count_distinct within 2% of exact on the events table") {
+    val ev = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "events")
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("a"))
+      .as[(String, Long)].collect().toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("e"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.02,
+        s"$k: approx ${approx(k)} vs exact $e drifts > 2%")
+    }
+  }
+
   test("tfidfTopK ranks rare terms above corpus-wide terms") {
     val docs = Seq((1L, "alpha common common"), (2L, "beta common"),
       (3L, "common gamma gamma")).toDF("doc_id", "text")

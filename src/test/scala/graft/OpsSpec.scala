@@ -100,6 +100,17 @@ class OpsSpec extends SparkSpec {
     assert(out.schema.fields.forall(_.dataType == DoubleType))
   }
 
+  test("rollingMean: partial leading frames and per-key isolation") {
+    val df = Seq(("a", 1, 2.0), ("a", 2, 4.0), ("a", 3, 6.0), ("b", 1, 100.0))
+      .toDF("k", "t", "v")
+    val out = Analytics.rollingMean(df, "v", Seq("k"), Seq("t"), 2, "m")
+      .select("k", "t", "m").as[(String, Int, Double)].collect()
+      .map { case (k, t, m) => (k, t) -> m }.toMap
+    assert(out(("a", 1)) == 2.0, "first row averages itself")
+    assert(out(("a", 2)) == 3.0 && out(("a", 3)) == 5.0, "trailing 2-row mean")
+    assert(out(("b", 1)) == 100.0, "frames never cross the key boundary")
+  }
+
   test("saltedSumCount equals the plain groupBy on a skewed key") {
     // 90 rows on one hot key, 10 on another; salt from the unique row id.
     val df = (0 until 100)
