@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import scala.util.Random
+
+/** Property-style tests (SURVEY.md §5.3) over seeded random inputs —
+  * deterministic (fixed seeds), no generator dependency. Each property
+  * runs a handful of trials; the invariants, not the trial count, carry
+  * the weight: they must hold for EVERY input, so random shapes guard
+  * against implementations that only work on the curated fixtures. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trials(n: Int)(body: Random => Unit): Unit =
+    (1 to n).foreach(i => body(new Random(42L + i)))
+
+  test("upsert: idempotent, keep-existing, key-superset — random batches") {
+    trials(5) { rnd =>
+      val existing = (0 until rnd.nextInt(20) + 5)
+        .map(i => (i.toLong, rnd.nextDouble())).toDF("k", "v")
+      val batch = (0 until rnd.nextInt(30) + 5)
+        .map(_ => (rnd.nextInt(40).toLong, rnd.nextDouble())).toDF("k", "v")
+      val once = Upsert.upsert(existing, batch, Seq("k"), Seq("v"))
+      val twice = Upsert.upsert(once, batch, Seq("k"), Seq("v"))
+      assert(once.collect().toSet == twice.collect().toSet, "idempotence")
+      val keysBefore = existing.select("k").as[Long].collect().toSet
+      val winners = once.filter(col("k").isin(keysBefore.toSeq: _*))
+      assert(winners.collect().toSet == existing.collect().toSet,
+        "existing rows never change")
+      assert(once.select("k").distinct().count() ==
+        (keysBefore ++ batch.select("k").as[Long].collect().toSet).size,
+        "result keys = union of key sets")
+    }
+  }
+
+  test("pctChange inverts: cur == lag * (1 + delta); first-in-key delta is 0") {
+    trials(5) { rnd =>
+      val rows = for {
+        k <- Seq("a", "b", "c"); t <- 1 to rnd.nextInt(10) + 2
+      } yield (k, t, rnd.nextDouble() * 100 + 1) // strictly positive
+      val df = rows.toDF("k", "t", "v")
+      val out = Analytics.pctChange(df, Seq("v"), Seq("k"), Seq("t"))
+        .select("k", "t", "v", "v_delta")
+        .as[(String, Int, Double, Double)].collect().sortBy(r => (r._1, r._2))
+      out.groupBy(_._1).foreach { case (_, series) =>
+        assert(series.head._4 == 0.0, "first row of each key → 0")
+        series.sliding(2).foreach {
+          case Array((_, _, prev, _), (_, _, cur, d)) =>
+            assert(math.abs(prev * (1 + d) - cur) < 1e-9, "algebraic inverse")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("saltedSumCount equals plain groupBy for arbitrary data and salt counts") {
+    trials(5) { rnd =>
+      val df = (0 until rnd.nextInt(200) + 50)
+        .map(i => (i.toLong, s"k${rnd.nextInt(4)}", (rnd.nextInt(10000) / 100.0)))
+        .toDF("id", "k", "v")
+      val salted = Analytics.saltedSumCount(df, Seq("k"),
+          col("v").cast(DecimalType(18, 2)), col("id"), rnd.nextInt(16) + 1)
+        .select(col("k"), col("sum_v").cast(DoubleType), col("n"))
+        .as[(String, Double, Long)].collect().toSet
+      val plain = df.groupBy("k")
+        .agg(sum(col("v").cast(DecimalType(18, 2))).cast(DoubleType).as("s"),
+          count(lit(1)).as("n"))
+        .as[(String, Double, Long)].collect().toSet
+      assert(salted == plain)
+    }
+  }
+
+  test("union-read equivalence: per-key loop ≡ whole-table scan") {
+    trials(3) { rnd =>
+      val df = (0 until 100)
+        .map(i => (i.toLong, s"k${rnd.nextInt(5)}", rnd.nextDouble()))
+        .toDF("id", "k", "v")
+      val keys = df.select("k").distinct().as[String].collect().toSeq
+      val looped = Reshape.unionAll(keys.map(k => df.filter(col("k") === k)))
+      assert(looped.collect().toSet == df.collect().toSet,
+        "the reference's per-symbol append loop ≡ one scan")
+    }
+  }
+}
