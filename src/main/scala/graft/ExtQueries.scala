@@ -219,6 +219,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_simhash_pairs" -> ((s, dir) => {
+      // SimHash near-dup pairs without all-pairs: 4-bit slice buckets
+      // (pigeonhole: hamming ≤ 3 over 4 bands → one identical slice),
+      // exact bit_count(xor) verify inside buckets only.
+      val sigs = Dedup.simhash(read(s, dir, "documents"), "doc_id", "text", SimhashBits)
+      Dedup.simhashDupPairs(sigs, "doc_id", "simhash", SimhashBits,
+          bands = 4, maxHamming = 3)
+        .orderBy("a", "b")
+    }),
+
     // ───────── similarity search ─────────
     "q_ann_topk" -> ((s, dir) => {
       // Brute-force cosine top-5: exact baseline; query set broadcast,
@@ -302,20 +312,24 @@ object ExtQueries {
     case (code, ms) => code -> ms.map(m => s"'$m'").mkString("[", ", ", "]")
   }.toMap
 
-  private def simhashSql: String = {
+  /** Shared simhash CTE chain ending in `sig(doc_id, simhash)`. */
+  private def simhashCtes: String = {
     val bitSums = (0 until SimhashBits)
       .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
       .mkString(", ")
     val sig = (0 until SimhashBits)
       .map(i => s"CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END")
       .mkString(" + ")
-    s"""WITH w AS (SELECT doc_id,
+    s"""w AS (SELECT doc_id,
           unnest(list_distinct(str_split(lower(text), ' '))) AS word FROM documents),
         h AS (SELECT doc_id,
           CAST(('0x' || substr(md5(word), 1, 4)) AS BIGINT) AS h FROM w),
-        s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-        SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s ORDER BY doc_id"""
+        s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+        sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s)"""
   }
+
+  private def simhashSql: String =
+    s"WITH $simhashCtes SELECT doc_id, simhash FROM sig ORDER BY doc_id"
 
   /** Shared CTE fragments for the ANN oracles. */
   private def cosSql(a: String, b: String): String =
@@ -492,6 +506,18 @@ object ExtQueries {
           ORDER BY a, b""",
 
     "q_simhash" -> simhashSql,
+
+    "q_simhash_pairs" ->
+      s"""WITH $simhashCtes,
+          bandids AS (SELECT unnest(generate_series(0, 3)) AS band_id),
+          banded AS (SELECT doc_id, simhash, band_id,
+              (simhash >> (band_id * 4)) & 15 AS slice
+            FROM sig CROSS JOIN bandids),
+          cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+              CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+            FROM banded l JOIN banded r USING (band_id, slice)
+            WHERE l.doc_id < r.doc_id)
+          SELECT a, b, hamming FROM cand WHERE hamming <= 3 ORDER BY a, b""",
 
     "q_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec

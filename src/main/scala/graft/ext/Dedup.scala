@@ -109,6 +109,35 @@ object Dedup {
       size(array_union(sa, sb)).cast("double")
   }
 
+  /** SimHash near-dup pairs within a Hamming radius, found WITHOUT an
+    * all-pairs comparison: split each `bits`-bit signature into `bands`
+    * equal slices — by pigeonhole, two signatures within Hamming distance
+    * `bands - 1` share at least one identical slice — then self-join only
+    * on (band_id, slice) buckets and verify `bit_count(xor) <= maxHamming`
+    * exactly. Same candidate→verify shape as MinHash-LSH, one shuffle on
+    * the band key. Requires maxHamming < bands for the recall guarantee. */
+  def simhashDupPairs(sigs: DataFrame, docKey: String, simhashCol: String,
+                      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
+    val sliceBits = bits / bands
+    val mask = (1L << sliceBits) - 1
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band_id"),
+      shiftright(col(simhashCol), b * sliceBits).bitwiseAND(mask).as("slice")))
+    val banded = sigs
+      .select(col(docKey), col(simhashCol), explode(array(bandCols: _*)).as("band"))
+      .select(col(docKey), col(simhashCol), col("band.band_id"), col("band.slice"))
+    val l = banded.select(col("band_id"), col("slice"),
+      col(docKey).as("a"), col(simhashCol).as("__sa"))
+    val r = banded.select(col("band_id"), col("slice"),
+      col(docKey).as("b"), col(simhashCol).as("__sb"))
+    l.join(r, Seq("band_id", "slice"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash over the word multiset: `bits`-bit signature where bit i is
     * the sign of the sum over words of (±1 by word-hash bit i). Expressed
     * as explode → groupBy(doc) with `bits` conditional-sum aggregates —
