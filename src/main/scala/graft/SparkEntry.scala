@@ -290,10 +290,19 @@ object SparkEntry {
     "q_zip_by_key" -> ((s, dir) => {
       // zip_by_key (ref etl.py:397): two date-keyed feeds full-outer
       // aligned on the date key — the join hidden in the pandas transpose.
-      val ev = read(s, dir, "events")
-      def daily(t: String, out: String) = ev.filter(col("event_type") === t)
-        .groupBy(to_date(col("ts")).as("day")).agg(count(lit(1)).as(out))
-      Reshape.zipByKey(daily("purchase", "n_purchase"), daily("signup", "n_signup"), "day")
+      // The generic operator is Reshape.zipByKey (full-outer join; used by
+      // ForexPipeline and OpsSpec for heterogeneous sources). Here both
+      // feeds derive from ONE table, so the one-pass plan is conditional
+      // aggregation over a single events scan — one shuffle, no join.
+      // nullif(count, 0) preserves exact full-outer semantics: a type with
+      // no rows that day is NULL, and a day appears iff either type has
+      // rows (guaranteed by the isin filter before the groupBy).
+      read(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "signup"))
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(
+          nullif(count(when(col("event_type") === "purchase", 1)), lit(0)).as("n_purchase"),
+          nullif(count(when(col("event_type") === "signup", 1)), lit(0)).as("n_signup"))
         .orderBy("day")
     }),
 
@@ -418,7 +427,8 @@ object SparkEntry {
     "q_impute_mean" ->
       """WITH v AS (SELECT event_id,
            CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v FROM events)
-         SELECT event_id, COALESCE(v, (SELECT ROUND(AVG(v), 6) FROM v)) AS v
+         SELECT event_id, COALESCE(v, (SELECT ROUND(
+           CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(v), 6) FROM v)) AS v
          FROM v ORDER BY event_id""",
 
     "q_cast_types" ->
@@ -545,7 +555,9 @@ object SparkEntry {
             FROM events WHERE event_type = '$t' GROUP BY 1"""
       val rateCols = Seq("usd_to_btc", "usd_to_eur", "usd_to_gbp", "usd_to_sek", "usd_to_dkk")
       val imputed = rateCols.map(c =>
-        s"COALESCE($c, (SELECT ROUND(AVG($c), 6) FROM z)) AS $c").mkString(", ")
+        s"""COALESCE($c, (SELECT ROUND(
+            CAST(SUM(CAST($c AS DECIMAL(25,6))) AS DOUBLE) / COUNT($c), 6) FROM z)) AS $c""")
+        .mkString(", ")
       val deltas = rateCols.map(c =>
         s"COALESCE($c / LAG($c) OVER (ORDER BY date) - 1, 0.0) AS ${c}_delta").mkString(", ")
       s"""WITH eur AS (${daily("purchase", "usd_to_eur")}),

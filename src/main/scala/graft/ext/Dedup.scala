@@ -130,12 +130,16 @@ object Dedup {
       col(docKey).as("a"), col(simhashCol).as("__sa"))
     val r = banded.select(col("band_id"), col("slice"),
       col(docKey).as("b"), col(simhashCol).as("__sb"))
+    // Hamming filter BEFORE distinct: hamming is a pure function of the
+    // pair, so the two orders are semantically identical — but filtering
+    // first means only surviving near-dups (a tiny fraction) pay the
+    // distinct shuffle, instead of every bucket-collision candidate.
     l.join(r, Seq("band_id", "slice"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** SimHash over the word multiset: `bits`-bit signature where bit i is

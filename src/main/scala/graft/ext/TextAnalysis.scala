@@ -80,10 +80,13 @@ object TextAnalysis {
     * per-row heuristics above can't express (term weight depends on EVERY
     * document).
     *
-    * Plan: explode words once per pass; tf = one (doc, word) shuffle with
-    * map-side combine; df = one (word) shuffle (two-phase distinct); the
-    * corpus size N is a broadcast 1-row agg; the word→df join shuffles
-    * narrow (word, count) rows. Rank per doc = one more doc-key shuffle.
+    * Plan: explode words ONCE; tf = one (doc, word) shuffle with map-side
+    * combine; df derives from tf — tf already holds exactly one row per
+    * distinct (doc, word), so `tf.groupBy(word).count()` IS the document
+    * frequency, and the raw corpus never explodes a second time (the df
+    * shuffle carries narrow pre-aggregated rows). The corpus size N is a
+    * broadcast 1-row agg; the word→df join shuffles narrow (word, count)
+    * rows. Rank per doc = one more doc-key shuffle.
     * IDF is the smoothed RATIONAL form (N+1)/(df+1) — same ordering as the
     * log form, but products/quotients of exact integers are bit-identical
     * across engines, where ln() is libm-dependent and would flake the
@@ -91,7 +94,7 @@ object TextAnalysis {
   def tfidfTopK(df: DataFrame, docKey: String, textCol: String, k: Int): DataFrame = {
     val words = df.select(col(docKey), explode(tokens(lower(col(textCol)))).as("word"))
     val tf = words.groupBy(col(docKey), col("word")).agg(count(lit(1)).as("tf"))
-    val dfreq = words.groupBy(col("word")).agg(countDistinct(col(docKey)).as("df"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
       .withColumn("score",

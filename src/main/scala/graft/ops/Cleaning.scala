@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType}
 
 /** Null imputation and casts (SURVEY.md §2.4; ref `etl.py:137-150, 405-412`).
   *
@@ -19,11 +19,17 @@ object Cleaning {
     * is a full scan + a broadcast of one tiny row; the scan would normally be
     * shared with the consumer via caching or a pre-computed stats table.
     *
-    * Means are rounded to `scale` decimals so results are reproducible across
-    * engines (float sums are order-dependent; see SURVEY.md §7.4 hazard 7).
+    * Means use the repo's decimal-exact-sum convention (sum in
+    * DECIMAL(25,6) → cast double → divide by count → round): a plain
+    * double avg() is add-order-dependent, i.e. partitioning-dependent, and
+    * a half-ulp straddle could flip the rounded digit under different
+    * parallelism. The decimal sum is exact and order-free, so the mean is
+    * bit-identical across engines and cluster sizes.
     */
   def imputeMean(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame = {
-    val aggs = cols.map(c => round(avg(col(c)), scale).as(s"__mean_$c"))
+    val aggs = cols.map(c => round(
+      sum(col(c).cast(DecimalType(25, 6))).cast(DoubleType) / count(col(c)),
+      scale).as(s"__mean_$c"))
     val means = df.agg(aggs.head, aggs.tail: _*)
     val joined = df.crossJoin(broadcast(means))
     val filled = cols.foldLeft(joined) { (d, c) =>

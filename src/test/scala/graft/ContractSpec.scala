@@ -4,13 +4,11 @@ package graft
   * key has a query (the driver joins the two maps by key). */
 class ContractSpec extends SparkSpec {
 
-  test("oracleSql keys ⊆ queries keys; oracle-less queries are the known sketch ops") {
-    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // Driver contract: omitting the oracle is allowed only for ops a SQL
-    // engine can't reproduce (→ weaker rows-only check). Keep this list
-    // deliberate: HLL sketches differ per engine.
-    val rowsOnly = Set("q_approx_distinct")
-    assert(SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet == rowsOnly)
+  test("every query has an oracle and every oracle has a query") {
+    // Full-strength contract: since r2 even the HLL sketch query has a
+    // hash-matchable oracle (exact count + within-tolerance boolean), so
+    // NO query is allowed to fall back to the weaker rows-only check.
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet)
   }
 
   test("every query executes and returns a schema at sf0.001") {
