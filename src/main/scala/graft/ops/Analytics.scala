@@ -45,7 +45,7 @@ object Analytics {
     * alignment; DuckDB's ASOF JOIN is the oracle).
     *
     * Spark lacks a DataFrame as-of join; rather than a custom SparkPlan,
-    * compose it: tag both sides, union, and take `last(value, ignoreNulls)`
+    * compose it: tag both sides, union, and take `last(payload, ignoreNulls)`
     * over a (key-partitioned, ts-ordered) running window — right rows sort
     * before left rows at equal ts so ties match backward-inclusive
     * semantics. Cost: ONE shuffle on the key + local sort, same as a
@@ -53,25 +53,33 @@ object Analytics {
     * At 100 TB both sides hash-partition by key and each task streams its
     * keys in ts order.
     *
+    * The carried values ride INSIDE one struct payload that is non-null
+    * exactly for right rows: `last(payload, ignoreNulls)` then matches the
+    * latest right ROW — so a matched right row whose value is genuinely
+    * NULL yields NULL (true as-of semantics, what DuckDB's ASOF returns),
+    * instead of ignoreNulls skipping back to an older non-null value.
+    * Right rows sharing (key, ts) get a deterministic winner by including
+    * the payload struct itself in the window order (lexicographic struct
+    * comparison — the largest payload wins, independent of partitioning).
+    *
     * `rightVals` are (colName -> output name); left columns pass through.
     */
   def asOfJoinBackward(left: DataFrame, right: DataFrame, key: String,
                        ts: String, rightVals: Map[String, String]): DataFrame = {
-    val leftTagged = rightVals.foldLeft(left.withColumn("__src", lit(1))) {
-      case (d, (rc, out)) =>
-        d.withColumn(out, lit(null).cast(right.schema(rc).dataType))
-    }
-    val rightTagged = right.select(
-      (Seq(col(key), col(ts), lit(0).as("__src")) ++
-        rightVals.map { case (c, out) => col(c).as(out) }): _*)
+    val rightTagged = right.select(col(key), col(ts), lit(0).as("__src"),
+      struct(col(ts).as("__rts") +:
+        rightVals.toSeq.map { case (c, out) => col(c).as(out) }: _*).as("__r"))
+    val leftTagged = left.withColumn("__src", lit(1))
+      .withColumn("__r", lit(null).cast(rightTagged.schema("__r").dataType))
     val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts), col("__src"))
+      .orderBy(col(ts), col("__src"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled = rightVals.values.foldLeft(unioned) { (d, out) =>
-      d.withColumn(out, last(col(out), ignoreNulls = true).over(w))
+    val matched = unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    val extracted = rightVals.values.foldLeft(matched) { (d, out) =>
+      d.withColumn(out, col("__m").getField(out))
     }
-    filled.filter(col("__src") === 1).drop("__src")
+    extracted.filter(col("__src") === 1).drop("__src", "__r", "__m")
       .select(left.columns.map(col) ++ rightVals.values.map(col): _*)
   }
 

@@ -14,9 +14,11 @@ object EventStream {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
-  case class SessionState(nEvents: Long, sumValue: Double, lastTs: Long)
+  case class SessionState(nEvents: Long, sumValue: Double, firstTs: Long, lastTs: Long)
 
-  case class UserSession(user_id: Long, n_events: Long, sum_value: Double)
+  case class UserSession(user_id: Long, n_events: Long, sum_value: Double,
+                         session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp)
 
   /** Tumbling-window counts/sums per event type with a watermark bounding
     * state: identical semantics to the batch q_window_hourly query, so the
@@ -29,23 +31,57 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_v"))
 
-  /** Custom-state sessionization: per-user running (count, sum) emitted when
-    * the group times out (gap-based session close). mapGroupsWithState is
-    * the Spark-native home for the reference's "accumulate rows per key"
-    * imperative loops. */
-  def sessionize(events: Dataset[Event], spark: SparkSession): Dataset[UserSession] = {
+  /** Gap-based sessionization with BOUNDED state: a per-user session is
+    * (count, sum, start, end); it closes — emitted once, state removed —
+    * when event time moves `gapMs` past its last event. Two close paths:
+    *  - a new event for the key arriving beyond the gap closes the old
+    *    session inline (no need to wait for the watermark) and opens a
+    *    fresh one;
+    *  - the event-time timeout fires once the watermark passes
+    *    `lastTs + gapMs`, closing idle sessions and EVICTING their state —
+    *    this is what keeps state finite at 100 TB/day: live state is only
+    *    the users active within the last watermark+gap horizon.
+    * flatMapGroupsWithState(Append, EventTimeTimeout) is the Spark-native
+    * home for the reference's "accumulate rows per key" imperative loops. */
+  def sessionize(events: Dataset[Event], spark: SparkSession,
+                 gapMs: Long = 30 * 60 * 1000L,
+                 watermark: String = "10 minutes"): Dataset[UserSession] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
-          val batch = rows.toSeq
-          val next = SessionState(
-            prev.nEvents + batch.size,
-            prev.sumValue + batch.map(_.value).sum,
-            math.max(prev.lastTs, batch.map(_.ts.getTime).foldLeft(0L)(math.max)))
-          state.update(next)
-          UserSession(userId, next.nEvents, next.sumValue)
+          def close(s: SessionState) = UserSession(userId, s.nEvents, s.sumValue,
+            new java.sql.Timestamp(s.firstTs), new java.sql.Timestamp(s.lastTs))
+          if (state.hasTimedOut) {
+            val closed = close(state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val batch = rows.toSeq
+            val (minTs, maxTs) = (batch.map(_.ts.getTime).min, batch.map(_.ts.getTime).max)
+            val sumV = batch.map(_.value).sum
+            val (emitted, open) = state.getOption match {
+              case Some(p) if minTs - p.lastTs > gapMs =>
+                (Iterator.single(close(p)),
+                  SessionState(batch.size, sumV, minTs, maxTs))
+              case Some(p) =>
+                (Iterator.empty,
+                  SessionState(p.nEvents + batch.size, p.sumValue + sumV,
+                    math.min(p.firstTs, minTs), math.max(p.lastTs, maxTs)))
+              case None =>
+                (Iterator.empty, SessionState(batch.size, sumV, minTs, maxTs))
+            }
+            state.update(open)
+            // Timeout = session end + gap, clamped above the current
+            // watermark (Spark rejects timeouts at or below it, which a
+            // late straggler batch could otherwise produce).
+            state.setTimeoutTimestamp(
+              math.max(open.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            emitted
+          }
       }
   }
 

@@ -111,6 +111,23 @@ class OpsSpec extends SparkSpec {
     assert(out(("b", 1)) == 100.0, "frames never cross the key boundary")
   }
 
+  test("asOfJoinBackward returns the matched row's NULL, not an older value") {
+    // user 1: signup value 5.0 at t=10, then a NULL value at t=20.
+    // A purchase at t=25 matches the t=20 row → must yield NULL (true
+    // as-of semantics), NOT skip back to 5.0; a purchase at t=15 matches
+    // the t=10 row → 5.0; a purchase at t=5 precedes everything → NULL.
+    val purchases = Seq((100L, 1L, 5L), (101L, 1L, 15L), (102L, 1L, 25L))
+      .toDF("event_id", "user_id", "ts")
+    val signups = Seq((1L, 10L, Some(5.0)), (1L, 20L, Option.empty[Double]))
+      .toDF("user_id", "ts", "value")
+    val out = Analytics.asOfJoinBackward(purchases, signups, "user_id", "ts",
+        Map("value" -> "sig_val"))
+      .orderBy("event_id").select("sig_val").collect()
+    assert(out(0).isNullAt(0), "no prior right row → null")
+    assert(out(1).getDouble(0) == 5.0)
+    assert(out(2).isNullAt(0), "matched row's value IS null → null")
+  }
+
   test("saltedSumCount equals the plain groupBy on a skewed key") {
     // 90 rows on one hot key, 10 on another; salt from the unique row id.
     val df = (0 until 100)

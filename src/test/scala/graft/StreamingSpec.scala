@@ -66,18 +66,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 7L, 42.0)), "only the in-lookback same-user signup joins")
   }
 
-  test("sessionize accumulates per-user state across batches") {
+  test("sessionize closes sessions after the gap and evicts state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
-    val q = EventStream.sessionize(mem.toDS(), spark)
+    // 10-minute gap, 5-minute watermark delay.
+    val q = EventStream.sessionize(mem.toDS(), spark,
+        gapMs = 10 * 60 * 1000L, watermark = "5 minutes")
       .writeStream.format("memory").queryName("sess_out")
-      .outputMode(OutputMode.Update()).start()
-    mem.addData(ev(1, "2024-01-01 00:00:01", 7, "a", 1.0))
+      .outputMode(OutputMode.Append()).start()
+    // User 7's session: two in-gap events across two micro-batches.
+    mem.addData(ev(1, "2024-01-01 00:00:00", 7, "a", 1.0))
     q.processAllAvailable()
-    mem.addData(ev(2, "2024-01-01 00:00:02", 7, "a", 2.0))
+    mem.addData(ev(2, "2024-01-01 00:05:00", 7, "a", 2.0))
+    q.processAllAvailable()
+    // Event time jumps to 01:00 (another user): watermark advances to
+    // 00:55, far past user 7's timeout at 00:05 + gap = 00:15 ...
+    mem.addData(ev(3, "2024-01-01 01:00:00", 8, "a", 9.0))
+    q.processAllAvailable()
+    // ... and the timeout fires in the next micro-batch → session emitted
+    // exactly once with state evicted (Append mode: re-emission would add
+    // a second row and fail the assertion below).
+    mem.addData(ev(4, "2024-01-01 01:01:00", 8, "a", 1.0))
+    q.processAllAvailable()
+    val u7 = spark.table("sess_out").filter(col("user_id") === 7)
+      .select("user_id", "n_events", "sum_value").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(u7 == Seq((7L, 2L, 3.0)),
+      "gap timeout closes user 7's merged 2-event session exactly once")
+    // User 8's next event is 2h later — beyond the gap — so the OLD
+    // session closes inline (no watermark wait) and a new one opens.
+    mem.addData(ev(5, "2024-01-01 03:00:00", 8, "a", 5.0))
     q.processAllAvailable(); q.stop()
-    val last = spark.table("sess_out").filter(col("user_id") === 7)
-      .orderBy(col("n_events").desc).as[(Long, Long, Double)].head()
-    assert(last == ((7L, 2L, 3.0)), "state carries count+sum across batches")
+    val u8 = spark.table("sess_out").filter(col("user_id") === 8)
+      .select("user_id", "n_events", "sum_value").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(u8 == Seq((8L, 2L, 10.0)),
+      "a beyond-gap event closes the previous session inline")
   }
 }
