@@ -248,12 +248,13 @@ object ExtQueries {
     }),
 
     "q_ann_lsh" -> ((s, dir) => {
-      // Sign-LSH bucketed ANN: candidates only within equal 4-bit bucket —
-      // the scale path (bucket-key shuffle instead of cross product).
+      // Sign-LSH bucketed ANN: candidates only within equal 4-bit bucket
+      // (seeded random hyperplanes, inlined as literals) — the scale path
+      // (bucket-key shuffle instead of cross product).
       val e = read(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.lshTopK(queries, e.select("vec_id", "embedding"), 3, AnnBits)
+      Similarity.lshTopK(queries, e.select("vec_id", "embedding"), 3, AnnPlanes)
         .orderBy("q_id", "rank")
     }),
 
@@ -273,7 +274,7 @@ object ExtQueries {
       // Embedding-cosine near-dup pairs above threshold, within sign-LSH
       // buckets.
       Similarity.cosineDupPairs(read(s, dir, "embeddings")
-          .select("vec_id", "embedding"), "vec_id", "embedding", AnnBits, CosDupThreshold)
+          .select("vec_id", "embedding"), "vec_id", "embedding", AnnPlanes, CosDupThreshold)
         .orderBy("a", "b")
     }),
 
@@ -308,10 +309,16 @@ object ExtQueries {
 
   private val SimhashBits = 16
   private val AnnBits = 4
+  private val AnnDim = 64   // testdata embeddings are 64-dim float
+  private val AnnSeed = 42L
   private val CosDupThreshold = 0.25
   private val IvfLists = 8
   private val IvfProbes = 2
   private val FrameEvery = 100
+
+  /** Seeded hyperplanes shared by the Spark queries and the generated
+    * DuckDB oracle text — same doubles on both sides by construction. */
+  private lazy val AnnPlanes = Similarity.randomPlanes(AnnBits, AnnDim, AnnSeed)
 
   // DuckDB mirrors. The multi-line/generated ones are built with Scala
   // string ops; they are still plain ANSI-ish SQL at the driver.
@@ -347,9 +354,16 @@ object ExtQueries {
          * sqrt(list_dot_product(list_transform($b, x -> CAST(x AS DOUBLE)),
                                  list_transform($b, x -> CAST(x AS DOUBLE))))), 6)"""
 
-  private def bucketSql(v: String): String = (0 until AnnBits)
-    .map(i => s"(CASE WHEN $v[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
-    .mkString(" + ")
+  /** Sign-LSH bucket in DuckDB: the SAME seeded planes as the Spark side,
+    * rendered as list literals; list_dot_product is bit-identical to the
+    * codegen'd vec_dot (strict in-order accumulation, VecMathSpec). */
+  private def bucketSql(v: String): String = AnnPlanes.zipWithIndex
+    .map { case (p, i) =>
+      val plane = p.mkString("[", ", ", "]")
+      s"""(CASE WHEN list_dot_product(
+            list_transform($v, x -> CAST(x AS DOUBLE)), $plane) > 0
+          THEN ${1L << i} ELSE 0 END)"""
+    }.mkString(" + ")
 
   /** 3-gram shingle list of `lower(text)` in DuckDB. */
   private val ShinglesSql =

@@ -53,23 +53,36 @@ object Similarity {
       .select(col(qId), col(cId), col("cos"), col("rank"))
   }
 
-  /** Sign-LSH bucket key: one bit per leading embedding component
-    * (deterministic axis-aligned hyperplanes — portable to SQL oracles;
-    * a production variant would use seeded random planes). */
-  def signBucket(vec: Column, bitCount: Int): Column =
-    (0 until bitCount).map(i =>
-      when(element_at(vec, i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  /** Seeded pseudo-random hyperplanes for sign-LSH: `bits` planes of `dim`
+    * components in [-1, 1), from java.util.Random(seed) — a fixed LCG, so
+    * the planes are identical on every driver, every run, every engine.
+    * Components are rounded to 6dp so their decimal text (what the SQL
+    * oracle inlines) round-trips to the exact same double. Random planes
+    * (vs axis-aligned component signs) give near-uniform bucket occupancy
+    * on real embeddings, whose leading components are correlated. Planes
+    * are bits×dim doubles of driver-side metadata — inlined as literals,
+    * so bucket assignment stays map-only codegen'd work. */
+  def randomPlanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(bits)(Seq.fill(dim)(math.rint((rnd.nextDouble() * 2 - 1) * 1e6) / 1e6))
+  }
+
+  /** Sign-LSH bucket key: bit i = [vec · plane_i > 0]. */
+  def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(vec_dot(vec, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** Bucketed ANN: join query and corpus on equal sign-bucket, then exact
     * cosine within the bucket. Recall < 1 by construction (that is the
     * point); one hash shuffle on the bucket key. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int,
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Seq[Seq[Double]],
               qId: String = "q_id", cId: String = "vec_id",
               qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
-    val qb = queries.withColumn("bucket", signBucket(col(qVec), bits))
+    val qb = queries.withColumn("bucket", signBucket(col(qVec), planes))
       .withColumn("__qn", vec_norm(col(qVec)))
-    val cb = corpus.withColumn("bucket", signBucket(col(cVec), bits))
+    val cb = corpus.withColumn("bucket", signBucket(col(cVec), planes))
       .withColumn("__cn", vec_norm(col(cVec)))
     val scored = cb.join(qb, Seq("bucket"))
       .withColumn("cos", round(
@@ -150,9 +163,9 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted
     * to sign-LSH buckets (the scalable near-dup path over embeddings). */
-  def cosineDupPairs(df: DataFrame, id: String, vec: String, bits: Int,
-                     threshold: Double): DataFrame = {
-    val b = df.withColumn("bucket", signBucket(col(vec), bits))
+  def cosineDupPairs(df: DataFrame, id: String, vec: String,
+                     planes: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    val b = df.withColumn("bucket", signBucket(col(vec), planes))
       .withColumn("__n", vec_norm(col(vec)))
     val l = b.select(col("bucket"), col(id).as("a"), col(vec).as("va"), col("__n").as("__na"))
     val r = b.select(col("bucket"), col(id).as("b"), col(vec).as("vb"), col("__n").as("__nb"))

@@ -67,14 +67,30 @@ class ExtSpec extends SparkSpec {
   }
 
   test("signBucket groups same-orthant vectors; lshTopK stays in bucket") {
+    // Axis-aligned planes make the orthant structure explicit in the test.
+    val planes = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
     val e = Seq((1L, Array(1.0f, 1.0f)), (2L, Array(2.0f, 3.0f)),
       (3L, Array(-1.0f, 1.0f))).toDF("vec_id", "embedding")
-    val buckets = e.select(Similarity.signBucket(col("embedding"), 2)).as[Long].collect()
+    val buckets = e.select(Similarity.signBucket(col("embedding"), planes)).as[Long].collect()
     assert(buckets(0) == buckets(1) && buckets(0) != buckets(2))
     val q = e.filter(col("vec_id") === 1)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    val ids = Similarity.lshTopK(q, e, 5, 2).select("vec_id").as[Long].collect().toSet
+    val ids = Similarity.lshTopK(q, e, 5, planes).select("vec_id").as[Long].collect().toSet
     assert(ids == Set(1L, 2L), "candidate set excludes other buckets")
+  }
+
+  test("randomPlanes are deterministic and give balanced buckets on real embeddings") {
+    val planes = Similarity.randomPlanes(4, 64)
+    assert(planes == Similarity.randomPlanes(4, 64), "same seed → same planes")
+    assert(planes.flatten.forall(x => x == math.rint(x * 1e6) / 1e6),
+      "components are 6dp-exact so SQL text round-trips bit-identically")
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+    val sizes = e.select(Similarity.signBucket(col("embedding"), planes).as("b"))
+      .groupBy("b").count().as[(Long, Long)].collect().map(_._2)
+    val n = sizes.sum.toDouble
+    assert(sizes.length >= 12, s"only ${sizes.length}/16 buckets occupied")
+    assert(sizes.max / n <= 0.25,
+      s"largest bucket holds ${sizes.max / n} of the corpus — planes not separating")
   }
 
   test("ivfTopK: assignment picks nearest list, search stays in probed lists") {
