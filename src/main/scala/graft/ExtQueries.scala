@@ -259,14 +259,17 @@ object ExtQueries {
     }),
 
     "q_ann_ivf" -> ((s, dir) => {
-      // IVF ANN: map-only nearest-centroid assignment (centroids inlined
-      // as literals), top-nProbe probes per query, exact cosine only
-      // within probed lists — the other classic scale path next to LSH.
+      // IVF ANN: Lloyd-refined centroids (one k-means step as a DataFrame
+      // job over seed samples), then map-only nearest-centroid assignment
+      // (centroids inlined as literals), top-nProbe probes per query,
+      // exact cosine only within probed lists — the other classic scale
+      // path next to LSH.
       val e = read(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      Similarity.ivfTopK(queries, e.select("vec_id", "embedding"),
-          k = 3, nLists = IvfLists, nProbe = IvfProbes)
+      val corpus = e.select("vec_id", "embedding")
+      val cents = Similarity.ivfCentroidsLloyd(corpus, IvfLists)
+      Similarity.ivfTopKWith(queries, corpus, k = 3, cents, nProbe = IvfProbes)
         .orderBy("q_id", "rank")
     }),
 
@@ -566,8 +569,21 @@ object ExtQueries {
           QUALIFY rank <= 3 ORDER BY q_id, rank""",
 
     "q_ann_ivf" ->
-      s"""WITH cent AS (SELECT vec_id AS list, embedding AS c_vec
+      s"""WITH cent0 AS (SELECT vec_id AS list, embedding AS c_vec
             FROM embeddings WHERE vec_id < $IvfLists),
+          assign0 AS (SELECT vec_id, embedding, list FROM (
+            SELECT e.vec_id, e.embedding, cent0.list,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings e CROSS JOIN cent0) WHERE rn = 1),
+          comp AS (SELECT list,
+              unnest(generate_series(1, len(embedding))) AS pos,
+              unnest(list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6))) AS x
+            FROM assign0),
+          cmean AS (SELECT list, pos,
+              ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS m
+            FROM comp GROUP BY 1, 2),
+          cent AS (SELECT list, list(m ORDER BY pos) AS c_vec FROM cmean GROUP BY list),
           assign AS (SELECT vec_id, embedding, list FROM (
             SELECT e.vec_id, e.embedding, cent.list,
               row_number() OVER (PARTITION BY e.vec_id

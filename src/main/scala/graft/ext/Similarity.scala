@@ -129,6 +129,37 @@ object Similarity {
       struct(centCos(vec, vNorm, c).as("c"), lit(-id).as("nl"))
     }: _*)).getField("nl")
 
+  /** One Lloyd refinement of the seed centroids, as a DataFrame job: assign
+    * every vector to its nearest seed centroid (ivfAssign — one map-only
+    * pass, no shuffle of the corpus beyond the per-list component agg),
+    * then average each list's members per component. Averages follow the
+    * decimal-exact-sum convention over 6dp-rounded components
+    * (round → sum DECIMAL(38,6) → /count → round), so the refined
+    * centroids are bit-identical under any partitioning and reproducible
+    * by the SQL oracle. The result stays driver-bounded index metadata
+    * (nLists × dim doubles), inlined as literals downstream exactly like
+    * the seed set. A list that captured no vectors keeps its seed
+    * (k-means convention; can't happen when seeds are corpus members,
+    * which assign to themselves at cosine 1). At 100 TB more Lloyd rounds
+    * are just repeated calls — each is one linear pass + a tiny agg. */
+  def ivfCentroidsLloyd(corpus: DataFrame, nLists: Int,
+                        cId: String = "vec_id", cVec: String = "embedding"): Seq[(Long, Seq[Double])] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val seeds = ivfCentroids(corpus, nLists, cId, cVec)
+    val assigned = corpus.withColumn("__cn", vec_norm(col(cVec)))
+      .withColumn("list", ivfAssign(col(cVec), col("__cn"), seeds))
+    val comp = assigned
+      .select(col("list"),
+        posexplode(transform(col(cVec), x => round(x.cast(DoubleType), 6))).as(Seq("pos", "x")))
+      .groupBy(col("list"), col("pos"))
+      .agg(round(sum(col("x").cast(DecimalType(38, 6))).cast(DoubleType)
+        / count(lit(1)), 6).as("m"))
+      .collect()  // nLists × dim rows — bounded index metadata, like the seeds
+    val byList = comp.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (l, rows) => l -> rows.sortBy(_._2).map(_._3).toSeq }
+    seeds.map { case (id, seed) => id -> byList.getOrElse(id, seed) }
+  }
+
   /** IVF search: corpus vectors are assigned to their nearest centroid's
     * list (map-only); each query probes its `nProbe` nearest lists; exact
     * cosine runs only inside probed lists. Plan: the query side is tiny →
@@ -138,8 +169,16 @@ object Similarity {
     * nLists × nProbe. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nLists: Int,
               nProbe: Int, qId: String = "q_id", cId: String = "vec_id",
-              qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
-    val cents = ivfCentroids(corpus, nLists, cId, cVec)
+              qVec: String = "q_vec", cVec: String = "embedding"): DataFrame =
+    ivfTopKWith(queries, corpus, k, ivfCentroids(corpus, nLists, cId, cVec),
+      nProbe, qId, cId, qVec, cVec)
+
+  /** IVF search against an explicit centroid set (seed sample or Lloyd-
+    * refined — the search contract is identical whatever trained them). */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, k: Int,
+                  cents: Seq[(Long, Seq[Double])], nProbe: Int,
+                  qId: String = "q_id", cId: String = "vec_id",
+                  qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
     val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
     val assigned = c.withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
     val q = queries.withColumn("__qn", vec_norm(col(qVec)))

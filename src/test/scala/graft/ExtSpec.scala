@@ -116,6 +116,25 @@ class ExtSpec extends SparkSpec {
     assert(out.map(_._2).toSet == Set(0L, 2L, 4L), "list-1 members excluded")
   }
 
+  test("ivfCentroidsLloyd refines seeds; IVF recall vs brute force holds") {
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    val seeds = Similarity.ivfCentroids(e, 8)
+    val lloyd = Similarity.ivfCentroidsLloyd(e, 8)
+    assert(lloyd.map(_._1) == seeds.map(_._1), "list ids preserved")
+    assert(lloyd.map(_._2) != seeds.map(_._2), "refinement must move centroids")
+    assert(lloyd == Similarity.ivfCentroidsLloyd(e, 8), "training is deterministic")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(q, e, 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopKWith(q, e, 3, lloyd, nProbe = 2)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(s"IVF recall@3 (nProbe=2/8) = $recall")
+    assert(recall >= 0.4, s"recall $recall too low for nProbe=2 of 8 lists")
+  }
+
   test("langId picks marker-dominant language, 'und' when no hits") {
     val out = Seq("the data of the value", "der und die das", "zzz qqq")
       .toDF("t").select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
