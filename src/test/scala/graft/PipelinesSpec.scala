@@ -52,6 +52,30 @@ class PipelinesSpec extends SparkSpec {
     assert(r.getAs[String]("keywords") == """["fed","gdp"]""")
   }
 
+  test("NewsPipeline end-to-end from an actual JSON file (spark.read.json)") {
+    // The §2.1 JSON source shape exercised through a real file read, not
+    // just from_json over a string column: schema inference must deliver
+    // the pipeline's expected columns (keywords as array<string>).
+    val dir = java.nio.file.Files.createTempDirectory("graft_json")
+    val f = dir.resolve("news.json")
+    java.nio.file.Files.write(f, Seq(
+      """{"pub_date":"2024-01-02T03:04:05","snippet":"Snippet One","headline":"Headline ONE","keywords":["Fed","GDP"],"news_desk":"business"}""",
+      """{"pub_date":"2024-01-02T03:04:06","snippet":"","headline":"empty snippet drops","keywords":["x"],"news_desk":"business"}""",
+      """{"pub_date":"2024-01-02T03:04:07","snippet":"wrong desk drops","headline":"h","keywords":["x"],"news_desk":"sports"}"""
+    ).mkString("\n").getBytes)
+    try {
+      val raw = spark.read.json(f.toString)
+      val out = NewsPipeline.run(raw).collect()
+      assert(out.length == 1, "allowlist + non-empty filters leave one row")
+      assert(out.head.getAs[Long]("time_stamp") == 1704164645L)
+      assert(out.head.getAs[String]("snippet") == "snippet one")
+      assert(out.head.getAs[String]("keywords") == """["fed","gdp"]""")
+    } finally {
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("ForexPipeline: full-outer date zip, mean impute, 5-col lag deltas") {
     val rates = Seq(
       ("2024-01-01", 2.0, 1.0, 1.0, 1.0),
