@@ -76,11 +76,19 @@ object ExtQueries {
       // the exact count plus a boolean asserting the sketch landed within
       // 2% of it — both deterministic (Spark's HLL++ is deterministic for
       // a given input set), so the oracle (exact + literal TRUE) matches.
+      // Two-stage shape: distinct (type, user) pairs first (map-side
+      // partial dedup, one narrow shuffle), then ONE plain agg — mixing a
+      // distinct aggregate with the sketch in a single agg would Expand
+      // every input row 2×. The sketch over the deduped pairs is the same
+      // HLL estimate (a function of the SET); in production the sketch
+      // runs alone over raw rows, constant-size and map-side combinable —
+      // the exact count exists here only to ground the oracle.
       read(s, dir, "events")
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
+          count(lit(1)).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast(DoubleType)
             / col("exact_users") <= 0.02).as("within_2pct"))
@@ -219,6 +227,22 @@ object ExtQueries {
         .orderBy("a", "b")
     }),
 
+    "q_dedup_near" -> ((s, dir) => {
+      // The full near-dup CLEANING pipeline end-to-end: MinHash → LSH
+      // candidates → Jaccard verify → greedy eviction of the higher id of
+      // every verified pair. What remains is the deduplicated corpus.
+      val docs = read(s, dir, "documents")
+      val sigs = Dedup.minhashSignature(docs, "doc_id", "text", 4)
+      val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 2, 2), "doc_id")
+      val da = docs.select(col("doc_id").as("a"), col("text").as("ta"))
+      val db = docs.select(col("doc_id").as("b"), col("text").as("tb"))
+      val verified = cand.join(da, "a").join(db, "b")
+        .filter(round(Dedup.jaccard(col("ta"), col("tb")), 6) >= NearDupJaccard)
+        .select("a", "b")
+      Dedup.removeNearDups(docs, verified, "doc_id")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     "q_simhash" -> ((s, dir) => {
       // 16-bit SimHash: explode words → one map-side-combinable shuffle
       // keyed on doc_id.
@@ -310,6 +334,7 @@ object ExtQueries {
     })
   )
 
+  private val NearDupJaccard = 0.8
   private val SimhashBits = 16
   private val AnnBits = 4
   private val AnnDim = 64   // testdata embeddings are 64-dim float
@@ -533,6 +558,31 @@ object ExtQueries {
           FROM pairs JOIN documents da ON pairs.a = da.doc_id
                      JOIN documents db ON pairs.b = db.doc_id
           ORDER BY a, b""",
+
+    "q_dedup_near" ->
+      s"""WITH sig AS (SELECT doc_id,
+            ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM documents),
+          bands AS (
+            SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS band_hash FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh2, mh3)) AS band_hash FROM sig),
+          pairs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r USING (band_id, band_hash)
+            WHERE l.doc_id < r.doc_id),
+          verified AS (
+            SELECT a, b FROM pairs
+            JOIN documents da ON pairs.a = da.doc_id
+            JOIN documents db ON pairs.b = db.doc_id
+            WHERE ROUND(
+              CAST(len(list_intersect(list_distinct(str_split(lower(da.text), ' ')),
+                                      list_distinct(str_split(lower(db.text), ' ')))) AS DOUBLE)
+              / len(list_distinct(list_concat(list_distinct(str_split(lower(da.text), ' ')),
+                                              list_distinct(str_split(lower(db.text), ' '))))), 6)
+              >= $NearDupJaccard)
+          SELECT doc_id, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT b FROM verified)
+          ORDER BY doc_id""",
 
     "q_simhash" -> simhashSql,
 

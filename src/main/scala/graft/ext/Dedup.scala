@@ -110,37 +110,65 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within a Hamming radius, found WITHOUT an
-    * all-pairs comparison: split each `bits`-bit signature into `bands`
-    * equal slices — by pigeonhole, two signatures within Hamming distance
-    * `bands - 1` share at least one identical slice — then self-join only
-    * on (band_id, slice) buckets and verify `bit_count(xor) <= maxHamming`
-    * exactly. Same candidate→verify shape as MinHash-LSH, one shuffle on
-    * the band key. Requires maxHamming < bands for the recall guarantee. */
+    * all-pairs comparison, in two stages:
+    *
+    * 1. SIGNATURE level: band the DISTINCT signatures (cardinality
+    *    min(#docs, 2^bits) — near-dup-heavy corpora, the target workload,
+    *    collapse hard here since exact dups share a signature). Split each
+    *    `bits`-bit signature into `bands` equal slices — by pigeonhole,
+    *    two signatures within Hamming distance `bands − 1` share at least
+    *    one identical slice — self-join only on (band_id, slice) buckets,
+    *    verify `bit_count(xor) <= maxHamming` exactly, THEN distinct: only
+    *    surviving sig pairs pay the dedup shuffle, not every candidate.
+    * 2. DOC level: expand surviving signature pairs back to document
+    *    pairs with two narrow (docKey, sig) joins — cost proportional to
+    *    real matches, not candidates.
+    *
+    * Same candidate→verify shape as MinHash-LSH; requires
+    * maxHamming < bands for the recall guarantee (which also makes the
+    * bucket join a pure optimization: the output is exactly ALL pairs at
+    * hamming <= maxHamming). */
   def simhashDupPairs(sigs: DataFrame, docKey: String, simhashCol: String,
                       bits: Int, bands: Int, maxHamming: Int): DataFrame = {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
     val sliceBits = bits / bands
     val mask = (1L << sliceBits) - 1
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band_id"),
-      shiftright(col(simhashCol), b * sliceBits).bitwiseAND(mask).as("slice")))
-    val banded = sigs
-      .select(col(docKey), col(simhashCol), explode(array(bandCols: _*)).as("band"))
-      .select(col(docKey), col(simhashCol), col("band.band_id"), col("band.slice"))
-    val l = banded.select(col("band_id"), col("slice"),
-      col(docKey).as("a"), col(simhashCol).as("__sa"))
-    val r = banded.select(col("band_id"), col("slice"),
-      col(docKey).as("b"), col(simhashCol).as("__sb"))
-    // Hamming filter BEFORE distinct: hamming is a pure function of the
-    // pair, so the two orders are semantically identical — but filtering
-    // first means only surviving near-dups (a tiny fraction) pay the
-    // distinct shuffle, instead of every bucket-collision candidate.
-    l.join(r, Seq("band_id", "slice"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"),
+      shiftright(col("__s"), b * sliceBits).bitwiseAND(mask).as("slice")))
+    val banded = sigs.select(col(simhashCol).as("__s")).distinct()
+      .select(col("__s"), explode(array(bandCols: _*)).as("band"))
+      .select(col("__s"), col("band.band_id"), col("band.slice"))
+    val l = banded.select(col("band_id"), col("slice"), col("__s").as("__sa"))
+    val r = banded.select(col("band_id"), col("slice"), col("__s").as("__sb"))
+    // __sa <= __sb keeps one canonical orientation per unordered sig pair
+    // INCLUDING the diagonal (equal signatures = hamming 0 pairs).
+    val sigPairs = l.join(r, Seq("band_id", "slice"))
+      .filter(col("__sa") <= col("__sb"))
+      .select(col("__sa"), col("__sb"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+    val da = sigs.select(col(docKey).as("a"), col(simhashCol).as("__sa"))
+    val db = sigs.select(col(docKey).as("b"), col(simhashCol).as("__sb"))
+    // least/greatest canonicalizes the doc pair (each unordered pair
+    // appears once for __sa < __sb, twice for the diagonal → distinct).
+    sigPairs.join(da, "__sa").join(db, "__sb")
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("hamming"))
+      .distinct()
   }
+
+  /** Greedy near-dup REMOVAL — the cleaning step the candidate→verify
+    * pipeline feeds: keep a document iff it is not the higher-id member of
+    * any verified near-dup pair (every pair (a, b), a < b, evicts b; a
+    * survives unless some smaller neighbor evicts it too). One narrow
+    * left-anti join on the doc key. Deliberately NOT transitive-closure
+    * clustering (connected components = an iterative graph job); greedy
+    * eviction needs no iteration, removes at least one of every dup pair,
+    * and is the standard single-pass policy at corpus scale. */
+  def removeNearDups(docs: DataFrame, pairs: DataFrame, docKey: String): DataFrame =
+    docs.join(pairs.select(col("b").as(docKey)).distinct(), Seq(docKey), "left_anti")
 
   /** SimHash over the word multiset: `bits`-bit signature where bit i is
     * the sign of the sum over words of (±1 by word-hash bit i). Expressed

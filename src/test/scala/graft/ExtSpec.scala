@@ -45,6 +45,14 @@ class ExtSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("removeNearDups evicts the higher id of each pair, keeps the rest") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "q")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 4L)).toDF("a", "b")
+    val kept = Dedup.removeNearDups(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L), "2 and 4 evicted as higher-id pair members")
+  }
+
   test("simhash: identical docs equal, disjoint docs differ") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "delta epsilon zeta")).toDF("doc_id", "t")
