@@ -94,7 +94,14 @@ object TextAnalysis {
   def tfidfTopK(df: DataFrame, docKey: String, textCol: String, k: Int): DataFrame = {
     val words = df.select(col(docKey), explode(tokens(lower(col(textCol)))).as("word"))
     val tf = words.groupBy(col(docKey), col("word")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    // The tf >= 1 filter is always true (count of a present group) but
+    // makes this branch consume tf's count column: without it, column
+    // pruning strips the count from the partial aggregate and the two
+    // branches' exchanges stop being canonically equal — WITH it, AQE's
+    // exchange reuse materializes the exploded (doc, word) shuffle once
+    // and reads it twice (asserted in ExtSpec on the executed plan).
+    val dfreq = tf.filter(col("tf") >= 1)
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
       .withColumn("score",

@@ -193,6 +193,15 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("tfidfTopK reuses the exploded (doc, word) shuffle for df") {
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val out = TextAnalysis.tfidfTopK(docs, "doc_id", "text", 3)
+    out.collect()
+    val executed = out.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedQueryStage") || executed.contains("ReusedExchange"),
+      s"expected the (doc, word) exchange to be reused, got:\n$executed")
+  }
+
   test("tfidfTopK ranks rare terms above corpus-wide terms") {
     val docs = Seq((1L, "alpha common common"), (2L, "beta common"),
       (3L, "common gamma gamma")).toDF("doc_id", "text")
