@@ -19,19 +19,32 @@ object Bench {
     graft.sources.Tables.AllTables.foreach(t =>
       graft.sources.Tables.table(spark, sfDir, t).count())
     import org.apache.spark.sql.functions.{col, sum, xxhash64}
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Reduce to ONE row via a hash over every output column: unlike
+    // count() (under which Catalyst prunes unevaluated projections), this
+    // forces every query's expressions to actually run, while the final
+    // cosmetic ORDER BY is still eliminated below the aggregate — so the
+    // bench measures the operator, not a presentation sort.
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // Reduce to ONE row via a hash over every output column: unlike
-      // count() (under which Catalyst prunes unevaluated projections),
-      // this forces every query's expressions to actually run, while the
-      // final cosmetic ORDER BY is still eliminated below the aggregate —
-      // so the bench measures the operator, not a presentation sort.
       try {
         val df = fn(spark, sfDir)
         df.select(xxhash64(df.columns.map(col): _*).as("__h"))
           .agg(sum(col("__h"))).collect()
       } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Two FULL passes, report each query's min: pass 1 pays codegen
+    // compile + JIT (hundreds of ms of noise that swamps sub-second
+    // operators), and taking the min across separated passes also shakes
+    // off cross-query interference (a GC or cleanup stall right after a
+    // heavy query lands on one pass's victim, not both) — measured: the
+    // same query read 2.8 s consecutive-min vs 0.34 s isolated.
+    // Optional args restrict the run to the named queries (profiling aid).
+    val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
+                   else SparkEntry.queries
+    val pass1 = selected.map { case (name, fn) => name -> once(fn) }
+    val results = selected.map { case (name, fn) =>
+      name -> math.min(pass1(name), once(fn))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
