@@ -19,4 +19,15 @@ object ColumnBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Materialize a SparkSessionExtensions' function injections into a
+    * fresh registry — lets tests assert what an extensions class
+    * registers without tearing down the suite's shared session (session
+    * builders apply extensions only at initial session creation). */
+  def buildRegistry(ext: org.apache.spark.sql.SparkSessionExtensions)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry = {
+    val reg = new org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry
+    ext.registerFunctions(reg)
+    reg
+  }
 }

@@ -40,6 +40,19 @@ class VecMathSpec extends SparkSpec {
     assert(spark.sql("SELECT vec_dot(a, b) FROM vecs").as[Double].head() == 11.0)
   }
 
+  test("GraftExtensions injects vec_dot for spark.sql.extensions sessions") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = ColumnBridge.buildRegistry(ext)
+    assert(reg.functionExists(FunctionIdentifier("vec_dot")))
+    val expr = reg.lookupFunction(FunctionIdentifier("vec_dot"), Seq(
+      Literal.create(Array(1.0, 2.0)), Literal.create(Array(3.0, 4.0))))
+    assert(expr.eval(null) == 11.0)
+  }
+
   test("vec_cosine of identical vectors is 1.0") {
     val df = Seq((Array(0.6f, 0.8f), Array(0.6f, 0.8f))).toDF("a", "b")
     val c = df.select(VecMath.vec_cosine(col("a"), col("b"))).as[Double].head()
