@@ -1,0 +1,44 @@
+package graft
+
+/** Plan-quality regression tests: the shapes SCALING.md promises must
+  * survive refactors. String checks over the optimized/executed plans at
+  * sf0.001 — cheap, and they fail loudly if a rewrite silently
+  * reintroduces a second scan or loses a broadcast/reuse. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.collect()
+    // AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
+    // assert on what actually ran.
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  private def countScans(plan: String): Int =
+    "FileScan parquet".r.findAllIn(plan).size
+
+  test("q_zip_by_key reads events exactly once (conditional agg, no join)") {
+    val plan = executedPlan("q_zip_by_key")
+    assert(countScans(plan) == 1, s"expected 1 scan:\n$plan")
+    assert(!plan.contains("Join"), s"one-pass plan must not join:\n$plan")
+  }
+
+  test("q_pipeline_forex reads events exactly once (cached pivot feed)") {
+    val plan = executedPlan("q_pipeline_forex")
+    assert(countScans(plan) == 1, s"expected 1 scan:\n$plan")
+  }
+
+  test("q_join_broadcast broadcasts the dimension side") {
+    val plan = executedPlan("q_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side must not shuffle:\n$plan")
+  }
+
+  test("q_simhash_pairs computes signatures once (exchange reuse)") {
+    val plan = executedPlan("q_simhash_pairs")
+    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"expected the signature aggregate to be reused across branches:\n$plan")
+  }
+}
