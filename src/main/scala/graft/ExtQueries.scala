@@ -305,6 +305,19 @@ object ExtQueries {
         .orderBy("a", "b")
     }),
 
+    "q_semantic_dedup" -> ((s, dir) => {
+      // Cross-modal near-dup removal: a document is evicted when its
+      // EMBEDDING is a verified cosine near-duplicate of a lower-id
+      // document's (vec_id keys doc_id in the testdata). The text-blind
+      // twin of q_dedup_near — the path that catches paraphrases the
+      // exact/n-gram methods miss. Threshold is the demo knob; real
+      // semantic dedup runs at 0.9+ on purpose-built embeddings.
+      val pairs = Similarity.cosineDupPairs(read(s, dir, "embeddings")
+          .select("vec_id", "embedding"), "vec_id", "embedding", AnnPlanes, CosDupThreshold)
+      Dedup.removeNearDups(read(s, dir, "documents"), pairs, "doc_id")
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    }),
+
     // ───────── multimodal plumbing ─────────
     "q_multimodal_decode" -> ((s, dir) => {
       // Binary media column + stubbed decode features (real schema/batch
@@ -659,6 +672,17 @@ object ExtQueries {
           WHERE l.vec_id < r.vec_id
             AND ${cosSql("l.embedding", "r.embedding")} >= $CosDupThreshold
           ORDER BY a, b""",
+
+    "q_semantic_dedup" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+            ${bucketSql("embedding")} AS bucket FROM embeddings),
+          pairs AS (SELECT l.vec_id AS a, r.vec_id AS b
+            FROM b l JOIN b r USING (bucket)
+            WHERE l.vec_id < r.vec_id
+              AND ${cosSql("l.embedding", "r.embedding")} >= $CosDupThreshold)
+          SELECT doc_id, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT b FROM pairs)
+          ORDER BY doc_id""",
 
     "q_multimodal_decode" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

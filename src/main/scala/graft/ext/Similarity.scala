@@ -139,25 +139,28 @@ object Similarity {
     * by the SQL oracle. The result stays driver-bounded index metadata
     * (nLists × dim doubles), inlined as literals downstream exactly like
     * the seed set. A list that captured no vectors keeps its seed
-    * (k-means convention; can't happen when seeds are corpus members,
-    * which assign to themselves at cosine 1). At 100 TB more Lloyd rounds
-    * are just repeated calls — each is one linear pass + a tiny agg. */
+    * (k-means convention; can't happen on round 1 when seeds are corpus
+    * members, which assign to themselves at cosine 1). `rounds` controls
+    * how many refinements run — each is one linear pass + a tiny agg, so
+    * at 100 TB extra rounds cost scans, not shuffles of the corpus. */
   def ivfCentroidsLloyd(corpus: DataFrame, nLists: Int,
-                        cId: String = "vec_id", cVec: String = "embedding"): Seq[(Long, Seq[Double])] = {
+                        cId: String = "vec_id", cVec: String = "embedding",
+                        rounds: Int = 1): Seq[(Long, Seq[Double])] = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val seeds = ivfCentroids(corpus, nLists, cId, cVec)
-    val assigned = corpus.withColumn("__cn", vec_norm(col(cVec)))
-      .withColumn("list", ivfAssign(col(cVec), col("__cn"), seeds))
-    val comp = assigned
-      .select(col("list"),
-        posexplode(transform(col(cVec), x => round(x.cast(DoubleType), 6))).as(Seq("pos", "x")))
-      .groupBy(col("list"), col("pos"))
-      .agg(round(sum(col("x").cast(DecimalType(38, 6))).cast(DoubleType)
-        / count(lit(1)), 6).as("m"))
-      .collect()  // nLists × dim rows — bounded index metadata, like the seeds
-    val byList = comp.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-      .groupBy(_._1).map { case (l, rows) => l -> rows.sortBy(_._2).map(_._3).toSeq }
-    seeds.map { case (id, seed) => id -> byList.getOrElse(id, seed) }
+    (1 to rounds).foldLeft(ivfCentroids(corpus, nLists, cId, cVec)) { (cents, _) =>
+      val assigned = corpus.withColumn("__cn", vec_norm(col(cVec)))
+        .withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
+      val comp = assigned
+        .select(col("list"),
+          posexplode(transform(col(cVec), x => round(x.cast(DoubleType), 6))).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(round(sum(col("x").cast(DecimalType(38, 6))).cast(DoubleType)
+          / count(lit(1)), 6).as("m"))
+        .collect()  // nLists × dim rows — bounded index metadata, like the seeds
+      val byList = comp.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (l, rows) => l -> rows.sortBy(_._2).map(_._3).toSeq }
+      cents.map { case (id, prev) => id -> byList.getOrElse(id, prev) }
+    }
   }
 
   /** IVF search: corpus vectors are assigned to their nearest centroid's

@@ -66,6 +66,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 7L, 42.0)), "only the in-lookback same-user signup joins")
   }
 
+  test("file source -> windowed agg -> parquet sink wiring end-to-end") {
+    // The full readStream -> transform -> writeStream path over real
+    // files: events parquet in, hourly aggregate parquet out (Append mode
+    // requires the watermark to close a window before rows emit — the
+    // second batch's late event time does that).
+    val in = java.nio.file.Files.createTempDirectory("graft_stream_in")
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt")
+    def writeBatch(rows: Seq[Event], name: String): Unit =
+      rows.toDF().withColumn("props", lit("{}"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$in/$name")
+    writeBatch(Seq(
+      ev(1, "2024-01-01 00:10:00", 1, "a", 1.0),
+      ev(2, "2024-01-01 00:50:00", 1, "a", 2.0)), "b1")
+    val stream = EventStream.readEvents(spark, s"$in/*")
+    val q = EventStream.tumblingCounts(stream, "1 hour", "1 hour")
+      .writeStream.format("parquet")
+      .option("path", out.toString).option("checkpointLocation", ckpt.toString)
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    // Event time 03:30 pushes the watermark to 02:30 → hour-0 closes.
+    writeBatch(Seq(ev(3, "2024-01-01 03:30:00", 2, "b", 5.0)), "b2")
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(out.toString)
+      .select("event_type", "n", "sum_v").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 2L, 3.0)), s"hour-0 window for type a emitted once, got $got")
+  }
+
   test("sessionize closes sessions after the gap and evicts state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
