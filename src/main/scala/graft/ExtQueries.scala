@@ -305,6 +305,18 @@ object ExtQueries {
         .orderBy("a", "b")
     }),
 
+    "q_hash_split" -> ((s, dir) => {
+      // Deterministic sampling + train/val/test split (Sampling.scala):
+      // every decision is a pure function of the row key, so the split
+      // survives reshuffles, reruns, and corpus growth — unlike
+      // rand(seed), whose draws depend on partition layout.
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          Sampling.hashBucket(col("doc_id"), 100).as("bucket"),
+          Sampling.splitLabel(col("doc_id"), 80, 10).as("split"))
+        .orderBy("doc_id")
+    }),
+
     "q_semantic_dedup" -> ((s, dir) => {
       // Cross-modal near-dup removal: a document is evicted when its
       // EMBEDDING is a verified cosine near-duplicate of a lower-id
@@ -672,6 +684,16 @@ object ExtQueries {
           WHERE l.vec_id < r.vec_id
             AND ${cosSql("l.embedding", "r.embedding")} >= $CosDupThreshold
           ORDER BY a, b""",
+
+    "q_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+         FROM documents)
+         SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+         FROM b ORDER BY doc_id""",
 
     "q_semantic_dedup" ->
       s"""WITH b AS (SELECT vec_id, embedding,

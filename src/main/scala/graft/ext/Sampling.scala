@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / split assignment for training-data curation
+  * (north-star extension; no reference counterpart).
+  *
+  * Spark's `sample`/`sampleBy` draw from `rand(seed)`, whose per-row
+  * values depend on partition layout — a repartition silently changes the
+  * sample. These operators key every decision on a HASH of a stable row
+  * key instead: the same row lands in the same bucket on any cluster, any
+  * partitioning, any engine (md5 is the repo's portable-hash convention —
+  * the DuckDB oracle reproduces buckets bit-for-bit). All map-only
+  * codegen'd expressions: zero shuffles, embarrassingly parallel.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a key column: the first 8 md5 hex
+    * digits as an integer, mod buckets. 32 bits of hash for bucket counts
+    * up to ~10⁵ with <0.01% modulo bias. */
+  def hashBucket(key: Column, buckets: Int): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** Keep a deterministic ~`pct`% of rows by key (0 <= pct <= 100).
+    * Repeatable: re-running, resharding, or growing the corpus never
+    * flips a previously-kept row (append-only stability). */
+  def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame =
+    df.filter(hashBucket(key, 100) < pct)
+
+  /** Train/val/test assignment by key hash: percentages are cut points on
+    * the same 100-bucket wheel, so splits are disjoint, exhaustive, and
+    * reproducible anywhere. */
+  def splitLabel(key: Column, trainPct: Int, valPct: Int): Column = {
+    val b = hashBucket(key, 100)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+}

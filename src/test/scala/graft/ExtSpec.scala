@@ -165,6 +165,21 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low for nProbe=2 of 8 lists")
   }
 
+  test("hash sampling is partitioning-independent; splits are exhaustive") {
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+    val a = Sampling.hashSample(docs, col("doc_id"), 20)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(docs.repartition(17), col("doc_id"), 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "the sample must not depend on partition layout")
+    assert(a.size > 50 && a.size < 150, s"~20% of 500 expected, got ${a.size}")
+    val splits = docs.select(Sampling.splitLabel(col("doc_id"), 80, 10).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(splits.keySet == Set("train", "val", "test"), "all three splits present")
+    assert(splits.values.sum == 500, "splits are exhaustive and disjoint")
+    assert(splits("train") > splits("val") && splits("train") > splits("test"))
+  }
+
   test("langId picks marker-dominant language, 'und' when no hits") {
     val out = Seq("the data of the value", "der und die das", "zzz qqq")
       .toDF("t").select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
