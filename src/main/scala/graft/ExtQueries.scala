@@ -182,6 +182,34 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_clean_text" -> ((s, dir) => {
+      // C4-style cleaning over a deterministically-noised feed (every
+      // 10th doc gains a URL + email suffix so the redaction visibly
+      // bites): URL/email → placeholder tokens, whitespace collapsed.
+      read(s, dir, "documents")
+        .withColumn("noisy", when(col("doc_id") % 10 === 0,
+          concat(col("text"),
+            lit(" see https://ex.com/a?b=1 or mail bob@ex.com now")))
+          .otherwise(col("text")))
+        .select(col("doc_id"), TextAnalysis.cleanText(col("noisy")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    "q_gopher_rules" -> ((s, dir) => {
+      // Gopher-style quality gate: word-count bounds, mean word length
+      // bounds, repetition ratio — each a map-only expression; `keep` is
+      // the conjunction a 100 TB curation pass would filter on.
+      val t = col("text")
+      val nW = TextAnalysis.nWords(t)
+      val mwl = round(TextAnalysis.meanWordLen(t), 6)
+      val rep = round(TextAnalysis.repetitionRatio(t), 6)
+      read(s, dir, "documents")
+        .select(col("doc_id"), nW.as("n_words"), mwl.as("mean_wlen"),
+          rep.as("rep_ratio"),
+          (nW.between(50, 100000) && mwl.between(3, 10) && rep < 0.5).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     "q_tfidf" -> ((s, dir) => {
       // Corpus-statistics text op: top-3 TF-IDF terms per document
       // (rational smoothed idf — see TextAnalysis.tfidfTopK).
@@ -529,6 +557,32 @@ object ExtQueries {
       """SELECT doc_id, md5(array_to_string(
            list_filter(str_split(lower(text), ' '), w -> w <> ''), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+
+    "q_clean_text" ->
+      """WITH noised AS (SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0
+             THEN text || ' see https://ex.com/a?b=1 or mail bob@ex.com now'
+             ELSE text END AS noisy
+         FROM documents)
+         SELECT doc_id, trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(noisy, 'https?://\S+', '<URL>', 'g'),
+               '\S+@\S+', '<EMAIL>', 'g'),
+             ' +', ' ', 'g')) AS clean
+         FROM noised ORDER BY doc_id""",
+
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT doc_id,
+           len(str_split(text, ' ')) AS n_words,
+           ROUND((length(text) - (len(str_split(text, ' ')) - 1.0))
+             / len(str_split(text, ' ')), 6) AS mean_wlen,
+           ROUND(1.0 - CAST(len(list_distinct(str_split(lower(text), ' '))) AS DOUBLE)
+             / len(str_split(lower(text), ' ')), 6) AS rep_ratio
+         FROM documents)
+         SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, mean_wlen, rep_ratio,
+           (n_words BETWEEN 50 AND 100000) AND (mean_wlen BETWEEN 3 AND 10)
+             AND rep_ratio < 0.5 AS keep
+         FROM t ORDER BY doc_id""",
 
     "q_tfidf" ->
       """WITH w AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word

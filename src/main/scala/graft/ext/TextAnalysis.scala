@@ -76,6 +76,24 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(filter(tokens(lower(text)), w => w =!= ""), " "))
 
+  /** C4-style cleaning: redact URLs and emails to placeholder tokens,
+    * collapse runs of spaces, trim. Patterns are deliberately simple
+    * (`\S`-based) so Java regex and the oracle's RE2 agree; order matters —
+    * URLs first, or the email pass would eat `scheme://user@host` forms.
+    * Map-only codegen'd work. */
+  def cleanText(c: Column): Column = {
+    val noUrl = regexp_replace(c, "https?://\\S+", "<URL>")
+    val noMail = regexp_replace(noUrl, "\\S+@\\S+", "<EMAIL>")
+    trim(regexp_replace(noMail, " +", " "))
+  }
+
+  /** Word-level repetition ratio: 1 − distinct/total words — the Gopher
+    * repetition signal (high = boilerplate/spam). */
+  def repetitionRatio(text: Column): Column = {
+    val ws = tokens(lower(text))
+    lit(1.0) - size(array_distinct(ws)).cast(DoubleType) / size(ws)
+  }
+
   /** Top-k TF-IDF terms per document — the corpus-statistics operator the
     * per-row heuristics above can't express (term weight depends on EVERY
     * document).

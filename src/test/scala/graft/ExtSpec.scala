@@ -186,6 +186,19 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq("en", "de", "und"))
   }
 
+  test("cleanText redacts URLs and emails, collapses whitespace") {
+    val out = Seq("go to https://x.y/z?a=1  and ping a@b.co  now").toDF("t")
+      .select(TextAnalysis.cleanText(col("t"))).as[String].head()
+    assert(out == "go to <URL> and ping <EMAIL> now")
+  }
+
+  test("repetitionRatio: repeated words high, distinct words zero") {
+    val (hi, lo) = Seq(("a a a a", "a b c d")).toDF("x", "y")
+      .select(TextAnalysis.repetitionRatio(col("x")),
+        TextAnalysis.repetitionRatio(col("y"))).as[(Double, Double)].head()
+    assert(hi == 0.75 && lo == 0.0)
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val df = Seq("abc de12 f!").toDF("t")
     val (ws, bpe) = df.select(TextAnalysis.tokenCountWs(col("t")),
