@@ -379,6 +379,20 @@ object SparkEntry {
         .orderBy("time_stamp", "headline")
     }),
 
+    "q_range_join" -> ((s, dir) => {
+      // Bounded-interval join: per error event, count the same user's
+      // purchases in the preceding hour. Bucketed equi-join (see
+      // Analytics.intervalJoinBucketed) — never a nested-loop plan.
+      val ev = read(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts").as("e_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"))
+      Analytics.intervalJoinBucketed(errors, purchases, "user_id", "e_ts", "p_ts", 3600L)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_purchases"))
+        .orderBy("event_id")
+    }),
+
     "q_asof_join" -> ((s, dir) => {
       // Backward as-of join (tick/quote alignment): latest signup value at
       // or before each purchase, per user. Composed union+window plan —
@@ -596,6 +610,14 @@ object SparkEntry {
            lower(snippet) AS snippet, lower(headline) AS headline,
            to_json(list_transform(keywords, k -> lower(k))) AS keywords
          FROM kept ORDER BY time_stamp, headline""",
+
+    "q_range_join" ->
+      """SELECT e.event_id, COUNT(*) AS n_purchases
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+         JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id
+          AND p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts <= e.ts
+         GROUP BY 1 ORDER BY 1""",
 
     "q_asof_join" ->
       """SELECT l.event_id, l.user_id, r.value AS sig_val

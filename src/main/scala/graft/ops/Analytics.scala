@@ -83,6 +83,31 @@ object Analytics {
       .select(left.columns.map(col) ++ rightVals.values.map(col): _*)
   }
 
+  /** Bounded-interval (range) join without a cross product: for each left
+    * row, the right rows of the same key with `rTs` in
+    * `[lTs − lookbackSec, lTs]`. Spark plans the raw non-equi predicate as
+    * BroadcastNestedLoopJoin — per-pair work, a scale-killer. Bucketing
+    * event time by the window width turns it into an EQUI-join: a right
+    * row lands in one bucket, a left row probes buckets {b−1, b} (an
+    * inclusive window exactly one width long always spans those two — the
+    * left side explodes 2×, never more), and an exact residual filter
+    * keeps true matches. One hash shuffle per side on (key, bucket).
+    * Bucket arithmetic runs in MICROseconds so the bucket unit equals the
+    * comparison unit (second-floored buckets would leak a third bucket at
+    * the boundary). `lTs`/`rTs` must be distinct column names. */
+  def intervalJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+                           lTs: String, rTs: String, lookbackSec: Long): DataFrame = {
+    val w = lookbackSec * 1000000L
+    val lUs = unix_micros(col(lTs))
+    val rUs = unix_micros(col(rTs))
+    val lb = left.withColumn("__b",
+      explode(array(floor(lUs / w).cast("long") - 1, floor(lUs / w).cast("long"))))
+    val rb = right.withColumn("__b", floor(rUs / w).cast("long"))
+    lb.join(rb, Seq(key, "__b"))
+      .filter(rUs >= lUs - w && rUs <= lUs)
+      .drop("__b")
+  }
+
   /** Top-k rows per group by `orderBy` (extension; deterministic tie-break
     * must be embedded in `orderBy`). Single shuffle on `partCols`. */
   def topKPerGroup(df: DataFrame, partCols: Seq[String], orderBy: Seq[Column],

@@ -128,6 +128,25 @@ class OpsSpec extends SparkSpec {
     assert(out(2).isNullAt(0), "matched row's value IS null → null")
   }
 
+  test("intervalJoinBucketed: inclusive boundaries, bucket-edge matches kept") {
+    import java.sql.Timestamp
+    // Window = 1 hour. Left at 10:00:00 exactly (a bucket boundary);
+    // right rows at exactly -1h (kept, inclusive), just inside, at 0,
+    // just outside (dropped), and for another key (dropped).
+    val l = Seq((1L, 7L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("event_id", "k", "l_ts")
+    val r = Seq(
+      (7L, Timestamp.valueOf("2024-01-01 09:00:00"), "edge_kept"),
+      (7L, Timestamp.valueOf("2024-01-01 08:59:59"), "outside"),
+      (7L, Timestamp.valueOf("2024-01-01 09:30:00"), "inside"),
+      (7L, Timestamp.valueOf("2024-01-01 10:00:00"), "now_kept"),
+      (8L, Timestamp.valueOf("2024-01-01 09:30:00"), "other_key"))
+      .toDF("k", "r_ts", "tag")
+    val got = Analytics.intervalJoinBucketed(l, r, "k", "l_ts", "r_ts", 3600L)
+      .select("tag").as[String].collect().toSet
+    assert(got == Set("edge_kept", "inside", "now_kept"))
+  }
+
   test("saltedSumCount equals the plain groupBy on a skewed key") {
     // 90 rows on one hot key, 10 on another; salt from the unique row id.
     val df = (0 until 100)

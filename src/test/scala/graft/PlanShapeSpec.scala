@@ -36,6 +36,12 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"fact side must not shuffle:\n$plan")
   }
 
+  test("q_range_join is an equi-join, never a nested loop") {
+    val plan = executedPlan("q_range_join")
+    assert(!plan.contains("NestedLoop"),
+      s"bucketed range join must not degrade to a nested loop:\n$plan")
+  }
+
   test("q_simhash_pairs computes signatures once (exchange reuse)") {
     val plan = executedPlan("q_simhash_pairs")
     assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
