@@ -345,6 +345,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_stratified_sample" -> ((s, dir) => {
+      // Domain mixing: keep 80% of src0/src1 docs, 10% of src2, 30% of
+      // everything else — deterministic per-key rates, one map-only pass.
+      Sampling.stratifiedHashSample(read(s, dir, "documents"),
+          col("source"), col("doc_id"),
+          Map("src0" -> 80, "src1" -> 80, "src2" -> 10), defaultPct = 30)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     "q_semantic_dedup" -> ((s, dir) => {
       // Cross-modal near-dup removal: a document is evicted when its
       // EMBEDDING is a verified cosine near-duplicate of a lower-id
@@ -748,6 +758,13 @@ object ExtQueries {
                 WHEN bucket < 90 THEN 'val'
                 ELSE 'test' END AS split
          FROM b ORDER BY doc_id""",
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+           < CASE WHEN source = 'src0' THEN 80 WHEN source = 'src1' THEN 80
+                  WHEN source = 'src2' THEN 10 ELSE 30 END
+         ORDER BY doc_id""",
 
     "q_semantic_dedup" ->
       s"""WITH b AS (SELECT vec_id, embedding,

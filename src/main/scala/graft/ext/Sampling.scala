@@ -38,4 +38,18 @@ object Sampling {
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Stratified deterministic sampling: a per-stratum keep-rate (the
+    * domain-mixing primitive — upsample curated sources, downsample
+    * crawl). Rates are inlined into one when-chain, so this is still a
+    * single map-only pass; strata absent from `pctByStratum` fall back to
+    * `defaultPct`. */
+  def stratifiedHashSample(df: DataFrame, stratum: Column, key: Column,
+                           pctByStratum: Map[String, Int],
+                           defaultPct: Int): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(stratum === s, p).otherwise(acc)
+    }
+    df.filter(hashBucket(key, 100) < pct)
+  }
 }
