@@ -379,6 +379,14 @@ object SparkEntry {
         .orderBy("time_stamp", "headline")
     }),
 
+    "q_sessionize" -> ((s, dir) => {
+      // Batch gap sessionization (30-min gap per user) — the twin of the
+      // streaming flatMapGroupsWithState sessionizer, hash-verified here.
+      Analytics.sessionizeBatch(read(s, dir, "events"),
+          "user_id", "ts", "event_id", "value", gapSec = 1800L)
+        .orderBy("user_id", "session_id")
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // Bounded-interval join: per error event, count the same user's
       // purchases in the preceding hour. Bucketed equi-join (see
@@ -610,6 +618,19 @@ object SparkEntry {
            lower(snippet) AS snippet, lower(headline) AS headline,
            to_json(list_transform(keywords, k -> lower(k))) AS keywords
          FROM kept ORDER BY time_stamp, headline""",
+
+    "q_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, value, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
+         SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_range_join" ->
       """SELECT e.event_id, COUNT(*) AS n_purchases

@@ -132,6 +132,31 @@ object Analytics {
         count(lit(1)).over(w), 6))
   }
 
+  /** Gap-based sessionization in BATCH — the oracle-verifiable twin of
+    * streaming.EventStream.sessionize: a session breaks where the gap to
+    * the previous event of the key exceeds `gapSec`; the session id is
+    * the running count of breaks, then one aggregate per (key, session).
+    * Gap arithmetic runs in microseconds (the timestamp's native unit) so
+    * boundary gaps compare exactly. Cost: one hash shuffle on the key for
+    * the window (the session-id aggregate then refines the same key —
+    * rows for a key land in one task either way). `tie` must complete a
+    * total order per key for a deterministic session assignment. */
+  def sessionizeBatch(df: DataFrame, key: String, ts: String, tie: String,
+                      valueCol: String, gapSec: Long): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col(tie))
+    val us = unix_micros(col(ts))
+    val prev = lag(us, 1).over(w)
+    val brk = when(prev.isNull || us - prev > gapSec * 1000000L, 1L).otherwise(0L)
+    df.withColumn("__brk", brk)
+      .withColumn("session_id",
+        sum(col("__brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(key), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(25, 6))).cast(DoubleType).as("sum_value"),
+        min(col(ts)).as("session_start"), max(col(ts)).as("session_end"))
+  }
+
   /** Skew-safe grouped aggregation: pre-aggregate on (keys, salt) so one
     * hot key's rows spread over `nSalts` reducers, then combine the
     * partials in a second (tiny: |keys|×nSalts rows) stage. For algebraic

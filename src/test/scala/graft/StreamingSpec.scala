@@ -95,6 +95,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 3.0)), s"hour-0 window for type a emitted once, got $got")
   }
 
+  test("batch sessionizeBatch agrees with the streaming sessionizer") {
+    // Same five events and 10-minute gap as the streaming test below: the
+    // batch twin must report the two sessions streaming closes, plus the
+    // trailing still-open one (batch sees the whole history, so no
+    // watermark concept applies).
+    val events = Seq(
+      ev(1, "2024-01-01 00:00:00", 7, "a", 1.0),
+      ev(2, "2024-01-01 00:05:00", 7, "a", 2.0),
+      ev(3, "2024-01-01 01:00:00", 8, "a", 9.0),
+      ev(4, "2024-01-01 01:01:00", 8, "a", 1.0),
+      ev(5, "2024-01-01 03:00:00", 8, "a", 5.0)).toDF()
+    val batch = graft.ops.Analytics
+      .sessionizeBatch(events, "user_id", "ts", "event_id", "value", 600L)
+      .select("user_id", "n_events", "sum_value")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch == Set((7L, 2L, 3.0), (8L, 2L, 10.0), (8L, 1L, 5.0)))
+  }
+
   test("sessionize closes sessions after the gap and evicts state") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
