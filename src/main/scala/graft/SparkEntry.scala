@@ -379,6 +379,15 @@ object SparkEntry {
         .orderBy("time_stamp", "headline")
     }),
 
+    "q_table_checksum" -> ((s, dir) => {
+      // Order-insensitive integrity checksum of lineitem's key columns:
+      // one scan, one tiny row — DuckDB computes the identical sum from
+      // the identical per-row md5 render, proving cross-engine validation
+      // of a migrated table works with no row transfer at all.
+      Checksum.tableChecksum(read(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       // Batch gap sessionization (30-min gap per user) — the twin of the
       // streaming flatMapGroupsWithState sessionizer, hash-verified here.
@@ -618,6 +627,16 @@ object SparkEntry {
            lower(snippet) AS snippet, lower(headline) AS headline,
            to_json(list_transform(keywords, k -> lower(k))) AS keywords
          FROM kept ORDER BY time_stamp, headline""",
+
+    "q_table_checksum" ->
+      """SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
+               COALESCE(CAST(l_orderkey AS VARCHAR), chr(2)),
+               COALESCE(CAST(l_linenumber AS VARCHAR), chr(2)),
+               COALESCE(CAST(l_quantity AS VARCHAR), chr(2)),
+               COALESCE(CAST(l_returnflag AS VARCHAR), chr(2)))), 1, 12))
+             AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+         FROM lineitem""",
 
     "q_sessionize" ->
       """WITH g AS (SELECT user_id, ts, value, event_id,

@@ -147,6 +147,23 @@ class OpsSpec extends SparkSpec {
     assert(got == Set("edge_kept", "inside", "now_kept"))
   }
 
+  test("tableChecksum is invariant to row order and partitioning, catches edits") {
+    val df = Seq((1L, "a", Some(1.5)), (2L, "b", None), (3L, "c", Some(2.5)))
+      .toDF("k", "s", "v")
+    val cols = Seq("k", "s", "v")
+    def sums(d: org.apache.spark.sql.DataFrame) =
+      Checksum.tableChecksum(d, cols).collect().head
+    val base = sums(df)
+    assert(sums(df.orderBy(col("k").desc)) == base, "row order must not matter")
+    assert(sums(df.repartition(7)) == base, "partitioning must not matter")
+    val edited = df.withColumn("v",
+      when(col("k") === 3, 9.9).otherwise(col("v")))
+    assert(sums(edited) != base, "a single changed cell must change the sum")
+    val nullVsEmpty = Seq((1L, "", Some(1.5))).toDF("k", "s", "v")
+    val withNull = Seq((1L, null.asInstanceOf[String], Some(1.5))).toDF("k", "s", "v")
+    assert(sums(nullVsEmpty) != sums(withNull), "NULL and '' must hash apart")
+  }
+
   test("saltedSumCount equals the plain groupBy on a skewed key") {
     // 90 rows on one hot key, 10 on another; salt from the unique row id.
     val df = (0 until 100)
