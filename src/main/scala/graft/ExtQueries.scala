@@ -182,6 +182,27 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_length_stats" -> ((s, dir) => {
+      // Per-source length distribution — where curation thresholds come
+      // from. Exact interpolated percentiles (R-7, same as DuckDB's
+      // quantile_cont; quarter-fraction interpolations of ints are
+      // FP-exact, so the hashes match). The 100 TB path swaps in
+      // approx_percentile — a mergeable sketch, same query shape, no
+      // per-group sort — verified against this exact twin in ExtSpec.
+      read(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          percentile(col("n_chars"),
+            array(lit(0.25), lit(0.5), lit(0.75))).as("__p"))
+        .select(col("source"), col("n_docs"), col("min_chars"), col("max_chars"),
+          round(element_at(col("__p"), 1), 6).as("p25"),
+          round(element_at(col("__p"), 2), 6).as("p50"),
+          round(element_at(col("__p"), 3), 6).as("p75"))
+        .orderBy("source")
+    }),
+
     "q_clean_text" -> ((s, dir) => {
       // C4-style cleaning over a deterministically-noised feed (every
       // 10th doc gains a URL + email suffix so the redaction visibly
@@ -253,6 +274,33 @@ object ExtQueries {
       pairs.join(da, "a").join(db, "b")
         .select(col("a"), col("b"), round(Dedup.jaccard(col("ta"), col("tb")), 6).as("jac"))
         .orderBy("a", "b")
+    }),
+
+    "q_curation_pipeline" -> ((s, dir) => {
+      // The WHOLE training-data curation pass composed end-to-end from
+      // the library's operators: quality gate (Gopher-style bounds) →
+      // near-dup eviction (MinHash → LSH → Jaccard verify → greedy
+      // removal) → stratified domain mixing → train/val/test labels.
+      // One scan feeds the quality filter; dedup adds its narrow
+      // candidate→verify joins; sampling and splitting are map-only.
+      val docs = read(s, dir, "documents")
+      val t = col("text")
+      val quality = docs.filter(
+        TextAnalysis.nWords(t).between(20, 100000) &&
+        round(TextAnalysis.repetitionRatio(t), 6) < 0.8)
+      val sigs = Dedup.minhashSignature(quality, "doc_id", "text", 4)
+      val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 2, 2), "doc_id")
+      val da = quality.select(col("doc_id").as("a"), col("text").as("ta"))
+      val db = quality.select(col("doc_id").as("b"), col("text").as("tb"))
+      val verified = cand.join(da, "a").join(db, "b")
+        .filter(round(Dedup.jaccard(col("ta"), col("tb")), 6) >= NearDupJaccard)
+        .select("a", "b")
+      val deduped = Dedup.removeNearDups(quality, verified, "doc_id")
+      Sampling.stratifiedHashSample(deduped, col("source"), col("doc_id"),
+          Map("src0" -> 80, "src1" -> 80, "src2" -> 10), defaultPct = 50)
+        .select(col("doc_id"), col("source"),
+          Sampling.splitLabel(col("doc_id"), 90, 5, salt = "split").as("split"))
+        .orderBy("doc_id")
     }),
 
     "q_dedup_near" -> ((s, dir) => {
@@ -568,6 +616,14 @@ object ExtQueries {
            list_filter(str_split(lower(text), ' '), w -> w <> ''), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
 
+    "q_length_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           ROUND(quantile_cont(n_chars, 0.25), 6) AS p25,
+           ROUND(quantile_cont(n_chars, 0.50), 6) AS p50,
+           ROUND(quantile_cont(n_chars, 0.75), 6) AS p75
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
     "q_clean_text" ->
       """WITH noised AS (SELECT doc_id,
            CASE WHEN doc_id % 10 = 0
@@ -647,6 +703,43 @@ object ExtQueries {
           FROM pairs JOIN documents da ON pairs.a = da.doc_id
                      JOIN documents db ON pairs.b = db.doc_id
           ORDER BY a, b""",
+
+    "q_curation_pipeline" ->
+      s"""WITH q AS (SELECT doc_id, text, source FROM documents
+            WHERE len(str_split(text, ' ')) BETWEEN 20 AND 100000
+              AND ROUND(1.0 - CAST(len(list_distinct(str_split(lower(text), ' '))) AS DOUBLE)
+                / len(str_split(lower(text), ' ')), 6) < 0.8),
+          sig AS (SELECT doc_id, ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM q),
+          bands AS (
+            SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS band_hash FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh2, mh3)) AS band_hash FROM sig),
+          pairs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r USING (band_id, band_hash)
+            WHERE l.doc_id < r.doc_id),
+          verified AS (
+            SELECT a, b FROM pairs
+            JOIN q da ON pairs.a = da.doc_id
+            JOIN q db ON pairs.b = db.doc_id
+            WHERE ROUND(
+              CAST(len(list_intersect(list_distinct(str_split(lower(da.text), ' ')),
+                                      list_distinct(str_split(lower(db.text), ' ')))) AS DOUBLE)
+              / len(list_distinct(list_concat(list_distinct(str_split(lower(da.text), ' ')),
+                                              list_distinct(str_split(lower(db.text), ' '))))), 6)
+              >= $NearDupJaccard),
+          dedup AS (SELECT doc_id, source FROM q
+            WHERE doc_id NOT IN (SELECT b FROM verified)),
+          sampled AS (SELECT doc_id, source FROM dedup
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+              < CASE WHEN source = 'src0' THEN 80 WHEN source = 'src1' THEN 80
+                     WHEN source = 'src2' THEN 10 ELSE 50 END)
+          SELECT doc_id, source,
+            CASE WHEN b2 < 90 THEN 'train' WHEN b2 < 95 THEN 'val' ELSE 'test' END AS split
+          FROM (SELECT doc_id, source,
+              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)) AS BIGINT) % 100 AS b2
+            FROM sampled)
+          ORDER BY doc_id""",
 
     "q_dedup_near" ->
       s"""WITH sig AS (SELECT doc_id,

@@ -18,9 +18,11 @@ object Sampling {
 
   /** Stable bucket in [0, buckets) from a key column: the first 8 md5 hex
     * digits as an integer, mod buckets. 32 bits of hash for bucket counts
-    * up to ~10⁵ with <0.01% modulo bias. */
-  def hashBucket(key: Column, buckets: Int): Column =
-    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+    * up to ~10⁵ with <0.01% modulo bias. `salt` decorrelates independent
+    * decisions on the same key (e.g. sampling vs split assignment —
+    * without it, a 10%-sampled stratum would land entirely in 'train'). */
+  def hashBucket(key: Column, buckets: Int, salt: String = ""): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
       .cast("long") % buckets
 
   /** Keep a deterministic ~`pct`% of rows by key (0 <= pct <= 100).
@@ -32,8 +34,9 @@ object Sampling {
   /** Train/val/test assignment by key hash: percentages are cut points on
     * the same 100-bucket wheel, so splits are disjoint, exhaustive, and
     * reproducible anywhere. */
-  def splitLabel(key: Column, trainPct: Int, valPct: Int): Column = {
-    val b = hashBucket(key, 100)
+  def splitLabel(key: Column, trainPct: Int, valPct: Int,
+                 salt: String = ""): Column = {
+    val b = hashBucket(key, 100, salt)
     when(b < trainPct, "train")
       .when(b < trainPct + valPct, "val")
       .otherwise("test")

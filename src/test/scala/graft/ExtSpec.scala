@@ -165,6 +165,16 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low for nProbe=2 of 8 lists")
   }
 
+  test("approx_percentile (the 100TB path) tracks the exact percentile") {
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+    val r = docs.agg(
+      percentile(col("n_chars"), lit(0.5)).as("exact"),
+      percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("approx"))
+      .select(col("exact"), col("approx").cast("double")).as[(Double, Double)].head()
+    assert(math.abs(r._2 - r._1) / r._1 < 0.02,
+      s"approx median ${r._2} drifts >2% from exact ${r._1}")
+  }
+
   test("hash sampling is partitioning-independent; splits are exhaustive") {
     val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
     val a = Sampling.hashSample(docs, col("doc_id"), 20)
