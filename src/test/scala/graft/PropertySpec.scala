@@ -55,6 +55,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sessionizeBatch invariants: partition, gap bounds, count/sum conservation") {
+    trials(5) { rnd =>
+      val gapSec = 60L
+      val rows = for {
+        u <- 1L to 3L
+        i <- 1 to rnd.nextInt(30) + 5
+      } yield (i.toLong * 10 + u, u,
+        new java.sql.Timestamp(1700000000000L + rnd.nextInt(3600) * 1000L),
+        rnd.nextDouble() * 10)
+      val df = rows.toDF("event_id", "user_id", "ts", "value")
+      val sessions = Analytics.sessionizeBatch(df, "user_id", "ts", "event_id",
+          "value", gapSec)
+        .as[(Long, Long, Long, Double, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect()
+      // Conservation: sessions partition the events exactly.
+      assert(sessions.map(_._3).sum == rows.size, "every event in exactly one session")
+      sessions.groupBy(_._1).foreach { case (u, ss) =>
+        val sorted = ss.sortBy(_._2)
+        sorted.foreach { s =>
+          assert(!s._6.before(s._5), "session end >= start")
+          assert(s._6.getTime - s._5.getTime <= (s._3 - 1) * gapSec * 1000,
+            "a session of n events spans at most (n-1) gaps")
+        }
+        sorted.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(b._5.getTime - a._6.getTime > gapSec * 1000,
+              "consecutive sessions of a user are separated by more than the gap")
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("saltedSumCount equals plain groupBy for arbitrary data and salt counts") {
     trials(5) { rnd =>
       val df = (0 until rnd.nextInt(200) + 50)
