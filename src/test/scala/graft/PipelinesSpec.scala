@@ -93,6 +93,32 @@ class PipelinesSpec extends SparkSpec {
     assert(out(1).getAs[Double]("usd_to_btc_delta") == 10.0 / 15.0 - 1)
   }
 
+  test("StockPipeline end-to-end from an actual CSV file (spark.read.csv)") {
+    // The OHLCV feed shape through a real CSV read with an explicit
+    // schema — the other file format a finance feed arrives in.
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv")
+    val f = dir.resolve("ticks.csv")
+    java.nio.file.Files.write(f, Seq(
+      "Date,Open,High,Low,Close,Volume,StockName",
+      "2024-01-01 00:00:00,10.0,11.0,9.0,10.0,100,A",
+      "2024-01-02 00:00:00,12.0,13.0,11.0,12.5,200,A"
+    ).mkString("\n").getBytes)
+    try {
+      val ticks = spark.read
+        .option("header", "true")
+        .schema("Date TIMESTAMP, Open DOUBLE, High DOUBLE, Low DOUBLE, " +
+          "Close DOUBLE, Volume LONG, StockName STRING")
+        .csv(f.toString)
+      val out = StockPipeline.run(ticks).orderBy("time_stamp").collect()
+      assert(out.length == 2)
+      assert(out(1).getAs[Double]("pct_ret") == 12.0 / 10.0 - 1)
+      assert(out(0).getAs[Long]("time_stamp") == 1704067200L)
+    } finally {
+      java.nio.file.Files.deleteIfExists(f)
+      java.nio.file.Files.deleteIfExists(dir)
+    }
+  }
+
   test("StockPipeline.load upsert keeps existing on duplicate key") {
     val mk = (ts: Long, name: String, ret: Double) =>
       (ts, name, 1.0, 1.0, 1.0, 1.0, 1L, ret, 0.0)

@@ -95,6 +95,27 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 3.0)), s"hour-0 window for type a emitted once, got $got")
   }
 
+  test("deterministic sampling makes identical decisions on stream and batch") {
+    // Sampling is a pure key function (no rand(), no state) so the SAME
+    // rows survive in streaming and batch — a property rand(seed)-based
+    // sampling cannot offer (its draws depend on partition layout).
+    implicit val sc = spark.sqlContext
+    val events = (1L to 40L).map(i =>
+      ev(i, "2024-01-01 00:00:%02d".format(i % 60), i % 5, "a", 1.0))
+    val mem = MemoryStream[Event]
+    val q = graft.ext.Sampling.hashSample(mem.toDF(), col("event_id"), 50)
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(events: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sample_out")
+      .select("event_id").as[Long].collect().toSet
+    val batched = graft.ext.Sampling.hashSample(events.toDF(), col("event_id"), 50)
+      .select("event_id").as[Long].collect().toSet
+    assert(streamed == batched, "stream and batch must keep the same rows")
+    assert(streamed.nonEmpty && streamed.size < 40, "a strict, non-empty subset")
+  }
+
   test("batch sessionizeBatch agrees with the streaming sessionizer") {
     // Same five events and 10-minute gap as the streaming test below: the
     // batch twin must report the two sessions streaming closes, plus the
