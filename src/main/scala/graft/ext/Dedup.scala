@@ -173,10 +173,14 @@ object Dedup {
   /** SimHash over the word multiset: `bits`-bit signature where bit i is
     * the sign of the sum over words of (±1 by word-hash bit i). Expressed
     * as explode → groupBy(doc) with `bits` conditional-sum aggregates —
-    * one map-side-combinable shuffle on the doc key. */
+    * one map-side-combinable shuffle on the doc key. The word hash takes
+    * exactly ⌈bits/4⌉ md5 hex digits, so EVERY signature bit is backed by
+    * hash entropy as `bits` grows with the corpus (SCALING.md sizing
+    * rule); one long caps the signature at 60 bits — wider signatures
+    * split across two columns, same construction. */
   def simhash(df: DataFrame, docKey: String, textCol: String, bits: Int = 16): DataFrame = {
-    // 16-bit word hash from the md5 hex prefix (conv: hex → decimal).
-    val h = conv(substring(md5(col("word")), 1, 4), 16, 10).cast("long")
+    require(bits >= 1 && bits <= 60, "1..60 bits fit a long signature")
+    val h = conv(substring(md5(col("word")), 1, (bits + 3) / 4), 16, 10).cast("long")
     val exploded = df
       .select(col(docKey), explode(wordSet(col(textCol))).as("word"))
       .withColumn("h", h)

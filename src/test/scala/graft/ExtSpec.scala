@@ -45,6 +45,24 @@ class ExtSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("simhash at wider bit widths populates the upper bits") {
+    // At bits=32 the word hash takes 8 md5 hex digits, so bits 16..31
+    // carry real entropy (the old fixed-4-digit hash zeroed them). The
+    // whole pairing stack must keep working at the scaled width.
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val sigs = Dedup.simhash(docs, "doc_id", "text", bits = 32)
+    val m = sigs.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L), "identical docs share the wide signature")
+    assert(m.values.exists(_ > 0xFFFFL), "upper 16 bits actually populated")
+    val pairs = Dedup.simhashDupPairs(sigs, "doc_id", "simhash",
+        bits = 32, bands = 4, maxHamming = 3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "identical docs pair at hamming 0")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "the disjoint doc pairs with nobody")
+  }
+
   test("removeNearDups evicts the higher id of each pair, keeps the rest") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "q")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 4L)).toDF("a", "b")
