@@ -60,6 +60,8 @@ object Dedup {
     * `rowsPerBand` minhashes each. Docs sharing any band hash are
     * candidate near-dups. */
   def lshBands(sigs: DataFrame, docKey: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    require((0 until bands * rowsPerBand).forall(i => sigs.columns.contains(s"mh$i")),
+      s"bands*rowsPerBand = ${bands * rowsPerBand} needs mh0..mh${bands * rowsPerBand - 1}")
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band_id"), md5(concat_ws("|", parts: _*)).as("band_hash"))

@@ -63,6 +63,7 @@ object Similarity {
     * are bits×dim doubles of driver-side metadata — inlined as literals,
     * so bucket assignment stays map-only codegen'd work. */
   def randomPlanes(bits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    require(bits >= 1 && bits <= 62, "1..62 bits fit the long bucket key")
     val rnd = new java.util.Random(seed)
     Seq.fill(bits)(Seq.fill(dim)(math.rint((rnd.nextDouble() * 2 - 1) * 1e6) / 1e6))
   }

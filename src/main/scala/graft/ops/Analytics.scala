@@ -97,6 +97,8 @@ object Analytics {
     * the boundary). `lTs`/`rTs` must be distinct column names. */
   def intervalJoinBucketed(left: DataFrame, right: DataFrame, key: String,
                            lTs: String, rTs: String, lookbackSec: Long): DataFrame = {
+    require(lookbackSec > 0, "window width must be positive")
+    require(lTs != rTs, "timestamp columns must have distinct names")
     val w = lookbackSec * 1000000L
     val lUs = unix_micros(col(lTs))
     val rUs = unix_micros(col(rTs))
