@@ -24,14 +24,19 @@ object Bench {
     // forces every query's expressions to actually run, while the final
     // cosmetic ORDER BY is still eliminated below the aggregate — so the
     // bench measures the operator, not a presentation sort.
+    // A failed query reports -1 (never its time-to-failure — a breakage
+    // must not read as a speedup).
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         df.select(xxhash64(df.columns.map(col): _*).as("__h"))
           .agg(sum(col("__h"))).collect()
-      } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] query failed: ${e.getMessage}")
+        -1.0
+      }
     }
     // Two FULL passes, report each query's min: pass 1 pays codegen
     // compile + JIT (hundreds of ms of noise that swamps sub-second
@@ -39,12 +44,16 @@ object Bench {
     // off cross-query interference (a GC or cleanup stall right after a
     // heavy query lands on one pass's victim, not both) — measured: the
     // same query read 2.8 s consecutive-min vs 0.34 s isolated.
-    // Optional args restrict the run to the named queries (profiling aid).
+    // Optional args restrict the run to the named queries (profiling aid);
+    // an unknown name is an error, not a silent no-op.
+    val unknown = args.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
                    else SparkEntry.queries
     val pass1 = selected.map { case (name, fn) => name -> once(fn) }
     val results = selected.map { case (name, fn) =>
-      name -> math.min(pass1(name), once(fn))
+      val (a, b) = (pass1(name), once(fn))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

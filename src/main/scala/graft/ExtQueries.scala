@@ -88,7 +88,10 @@ object ExtQueries {
         .groupBy(col("event_type"))
         .agg(
           approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          count(lit(1)).as("exact_users"))
+          // count(user_id), not count(1): a NULL user must not count as a
+          // distinct user — the sketch and the oracle's COUNT(DISTINCT)
+          // both exclude NULLs, so the exact side must too.
+          count(col("user_id")).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
           (abs(col("approx_users") - col("exact_users")).cast(DoubleType)
             / col("exact_users") <= 0.02).as("within_2pct"))
@@ -476,7 +479,7 @@ object ExtQueries {
     s"""w AS (SELECT doc_id,
           unnest(list_distinct(str_split(lower(text), ' '))) AS word FROM documents),
         h AS (SELECT doc_id,
-          CAST(('0x' || substr(md5(word), 1, 4)) AS BIGINT) AS h FROM w),
+          CAST(('0x' || substr(md5(word), 1, ${(SimhashBits + 3) / 4})) AS BIGINT) AS h FROM w),
         s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
         sig AS (SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM s)"""
   }

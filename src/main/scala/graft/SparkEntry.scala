@@ -383,8 +383,12 @@ object SparkEntry {
       // Order-insensitive integrity checksum of lineitem's key columns:
       // one scan, one tiny row — DuckDB computes the identical sum from
       // the identical per-row md5 render, proving cross-engine validation
-      // of a migrated table works with no row transfer at all.
-      Checksum.tableChecksum(read(s, dir, "lineitem"),
+      // of a migrated table works with no row transfer at all. The double
+      // column rides as DECIMAL(18,2): FP renders differ across engines,
+      // decimal renders are canonical (enforced by tableChecksum).
+      Checksum.tableChecksum(
+        read(s, dir, "lineitem")
+          .withColumn("l_quantity", col("l_quantity").cast(DecimalType(18, 2))),
         Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"))
     }),
 
@@ -633,7 +637,7 @@ object SparkEntry {
            CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
                COALESCE(CAST(l_orderkey AS VARCHAR), chr(2)),
                COALESCE(CAST(l_linenumber AS VARCHAR), chr(2)),
-               COALESCE(CAST(l_quantity AS VARCHAR), chr(2)),
+               COALESCE(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), chr(2)),
                COALESCE(CAST(l_returnflag AS VARCHAR), chr(2)))), 1, 12))
              AS BIGINT)) AS DECIMAL(38,0)) AS checksum
          FROM lineitem""",

@@ -21,21 +21,27 @@ object Sampling {
     * up to ~10⁵ with <0.01% modulo bias. `salt` decorrelates independent
     * decisions on the same key (e.g. sampling vs split assignment —
     * without it, a 10%-sampled stratum would land entirely in 'train'). */
-  def hashBucket(key: Column, buckets: Int, salt: String = ""): Column =
+  def hashBucket(key: Column, buckets: Int, salt: String = ""): Column = {
+    require(buckets >= 1, "need at least one bucket")
     conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
       .cast("long") % buckets
+  }
 
   /** Keep a deterministic ~`pct`% of rows by key (0 <= pct <= 100).
     * Repeatable: re-running, resharding, or growing the corpus never
     * flips a previously-kept row (append-only stability). */
-  def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame =
+  def hashSample(df: DataFrame, key: Column, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct $pct out of [0, 100]")
     df.filter(hashBucket(key, 100) < pct)
+  }
 
   /** Train/val/test assignment by key hash: percentages are cut points on
     * the same 100-bucket wheel, so splits are disjoint, exhaustive, and
     * reproducible anywhere. */
   def splitLabel(key: Column, trainPct: Int, valPct: Int,
                  salt: String = ""): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"train $trainPct + val $valPct must fit in 100 (rest is test)")
     val b = hashBucket(key, 100, salt)
     when(b < trainPct, "train")
       .when(b < trainPct + valPct, "val")
@@ -50,6 +56,8 @@ object Sampling {
   def stratifiedHashSample(df: DataFrame, stratum: Column, key: Column,
                            pctByStratum: Map[String, Int],
                            defaultPct: Int): DataFrame = {
+    require((pctByStratum.values.toSeq :+ defaultPct).forall(p => p >= 0 && p <= 100),
+      "every rate must be in [0, 100]")
     val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
       when(stratum === s, p).otherwise(acc)
     }

@@ -27,9 +27,21 @@ object Checksum {
       .cast("long")
   }
 
-  /** (n_rows, checksum) in one aggregate pass. */
-  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame =
+  /** (n_rows, checksum) in one aggregate pass.
+    *
+    * Float/double columns are REJECTED: their string renders are not
+    * engine-portable (Java prints 1.0E7 where DuckDB prints 10000000.0,
+    * plus NaN/-0.0 spellings), which would report corruption on a
+    * perfect copy — cast them to an explicit DECIMAL(p, s) first, whose
+    * render is canonical everywhere. */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val fp = cols.filter(c => df.schema(c).dataType == DoubleType ||
+      df.schema(c).dataType == FloatType)
+    require(fp.isEmpty,
+      s"float/double render differs across engines — cast ${fp.mkString(", ")} to DECIMAL first")
     df.agg(
       count(lit(1)).as("n_rows"),
       sum(rowHash(cols.map(col)).cast(DecimalType(38, 0))).as("checksum"))
+  }
 }

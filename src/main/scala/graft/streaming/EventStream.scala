@@ -60,19 +60,25 @@ object EventStream {
             state.remove()
             Iterator.single(closed)
           } else {
-            val batch = rows.toSeq
-            val (minTs, maxTs) = (batch.map(_.ts.getTime).min, batch.map(_.ts.getTime).max)
-            val sumV = batch.map(_.value).sum
-            val (emitted, open) = state.getOption match {
-              case Some(p) if minTs - p.lastTs > gapMs =>
-                (Iterator.single(close(p)),
-                  SessionState(batch.size, sumV, minTs, maxTs))
-              case Some(p) =>
-                (Iterator.empty,
-                  SessionState(p.nEvents + batch.size, p.sumValue + sumV,
-                    math.min(p.firstTs, minTs), math.max(p.lastTs, maxTs)))
-              case None =>
-                (Iterator.empty, SessionState(batch.size, sumV, minTs, maxTs))
+            // Fold the batch's events through the gap rule IN EVENT-TIME
+            // ORDER: a micro-batch can carry several gap-separated runs
+            // (backfill, bursty file sources), and each must close its own
+            // session exactly as the batch twin (Analytics.sessionizeBatch)
+            // would — not be merged because it shared a trigger.
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption.orNull
+            val emitted = Seq.newBuilder[UserSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open = open match {
+                case null => SessionState(1L, e.value, t, t)
+                case p if t - p.lastTs > gapMs =>
+                  emitted += close(p)
+                  SessionState(1L, e.value, t, t)
+                case p =>
+                  SessionState(p.nEvents + 1, p.sumValue + e.value,
+                    math.min(p.firstTs, t), math.max(p.lastTs, t))
+              }
             }
             state.update(open)
             // Timeout = session end + gap, clamped above the current
@@ -80,7 +86,7 @@ object EventStream {
             // late straggler batch could otherwise produce).
             state.setTimeoutTimestamp(
               math.max(open.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
-            emitted
+            emitted.result().iterator
           }
       }
   }

@@ -148,8 +148,10 @@ class OpsSpec extends SparkSpec {
   }
 
   test("tableChecksum is invariant to row order and partitioning, catches edits") {
-    val df = Seq((1L, "a", Some(1.5)), (2L, "b", None), (3L, "c", Some(2.5)))
-      .toDF("k", "s", "v")
+    def dec(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("v", col("v").cast(DecimalType(18, 2)))
+    val df = dec(Seq((1L, "a", Some(1.5)), (2L, "b", None), (3L, "c", Some(2.5)))
+      .toDF("k", "s", "v"))
     val cols = Seq("k", "s", "v")
     def sums(d: org.apache.spark.sql.DataFrame) =
       Checksum.tableChecksum(d, cols).collect().head
@@ -157,11 +159,15 @@ class OpsSpec extends SparkSpec {
     assert(sums(df.orderBy(col("k").desc)) == base, "row order must not matter")
     assert(sums(df.repartition(7)) == base, "partitioning must not matter")
     val edited = df.withColumn("v",
-      when(col("k") === 3, 9.9).otherwise(col("v")))
+      when(col("k") === 3, lit(9.9).cast(DecimalType(18, 2))).otherwise(col("v")))
     assert(sums(edited) != base, "a single changed cell must change the sum")
-    val nullVsEmpty = Seq((1L, "", Some(1.5))).toDF("k", "s", "v")
-    val withNull = Seq((1L, null.asInstanceOf[String], Some(1.5))).toDF("k", "s", "v")
+    val nullVsEmpty = dec(Seq((1L, "", Some(1.5))).toDF("k", "s", "v"))
+    val withNull = dec(Seq((1L, null.asInstanceOf[String], Some(1.5))).toDF("k", "s", "v"))
     assert(sums(nullVsEmpty) != sums(withNull), "NULL and '' must hash apart")
+    // Raw FP columns are rejected: their renders differ across engines.
+    intercept[IllegalArgumentException] {
+      Checksum.tableChecksum(Seq((1L, 1.5)).toDF("k", "v"), Seq("k", "v"))
+    }
   }
 
   test("saltedSumCount equals the plain groupBy on a skewed key") {

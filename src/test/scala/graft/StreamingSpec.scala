@@ -147,6 +147,20 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     mem.addData(ev(2, "2024-01-01 00:05:00", 7, "a", 2.0))
     q.processAllAvailable()
+    // User 9: two gap-separated runs INSIDE one micro-batch (out of
+    // order, as a backfill would deliver them) — the first must close
+    // inline, not merge because it shared a trigger. Timestamps sit at or
+    // after the current watermark (00:00) so nothing is dropped as late.
+    mem.addData(
+      ev(10, "2024-01-01 00:50:00", 9, "a", 4.0),
+      ev(11, "2024-01-01 00:10:00", 9, "a", 1.0),
+      ev(12, "2024-01-01 00:15:00", 9, "a", 2.0))
+    q.processAllAvailable()
+    val u9 = spark.table("sess_out").filter(col("user_id") === 9)
+      .select("user_id", "n_events", "sum_value").as[(Long, Long, Double)]
+      .collect().toSeq
+    assert(u9 == Seq((9L, 2L, 3.0)),
+      "in-batch gap splits the run: first session closes inline")
     // Event time jumps to 01:00 (another user): watermark advances to
     // 00:55, far past user 7's timeout at 00:05 + gap = 00:15 ...
     mem.addData(ev(3, "2024-01-01 01:00:00", 8, "a", 9.0))
