@@ -57,8 +57,12 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // total sums SUCCESSFUL queries only — summing the -1 sentinels would
+    // make a breakage lower the headline number; `failed` carries the
+    // breakage signal instead.
+    val total = results.values.filter(_ >= 0).sum
+    val failed = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

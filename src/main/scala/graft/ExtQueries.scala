@@ -93,8 +93,12 @@ object ExtQueries {
           // both exclude NULLs, so the exact side must too.
           count(col("user_id")).as("exact_users"))
         .select(col("event_type"), col("exact_users"),
-          (abs(col("approx_users") - col("exact_users")).cast(DoubleType)
-            / col("exact_users") <= 0.02).as("within_2pct"))
+          // Equality short-circuits first: a group whose users are all
+          // NULL has exact = approx = 0, and 0/0 would yield NULL where
+          // the oracle emits TRUE.
+          (col("approx_users") === col("exact_users") ||
+            abs(col("approx_users") - col("exact_users")).cast(DoubleType)
+              / col("exact_users") <= 0.02).as("within_2pct"))
         .orderBy("event_type")
     }),
 
@@ -288,16 +292,17 @@ object ExtQueries {
       // candidate→verify joins; sampling and splitting are map-only.
       val docs = read(s, dir, "documents")
       val t = col("text")
+      // cache(): the filtered corpus feeds four branches (signatures,
+      // both verify sides, the eviction anti-join) — without it each
+      // branch re-scans and re-evaluates the quality expressions. At
+      // 100 TB this cache IS the pipeline's materialization point: a
+      // curation pass persists its post-filter corpus anyway (it is the
+      // output), so the demo cache stands in for that parquet write.
       val quality = docs.filter(
         TextAnalysis.nWords(t).between(20, 100000) &&
-        round(TextAnalysis.repetitionRatio(t), 6) < 0.8)
-      val sigs = Dedup.minhashSignature(quality, "doc_id", "text", 4)
-      val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 2, 2), "doc_id")
-      val da = quality.select(col("doc_id").as("a"), col("text").as("ta"))
-      val db = quality.select(col("doc_id").as("b"), col("text").as("tb"))
-      val verified = cand.join(da, "a").join(db, "b")
-        .filter(round(Dedup.jaccard(col("ta"), col("tb")), 6) >= NearDupJaccard)
-        .select("a", "b")
+        round(TextAnalysis.repetitionRatio(t), 6) < 0.8).cache()
+      val verified = Dedup.verifiedNearDupPairs(quality, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
       val deduped = Dedup.removeNearDups(quality, verified, "doc_id")
       Sampling.stratifiedHashSample(deduped, col("source"), col("doc_id"),
           Map("src0" -> 80, "src1" -> 80, "src2" -> 10), defaultPct = 50)
@@ -311,13 +316,8 @@ object ExtQueries {
       // candidates → Jaccard verify → greedy eviction of the higher id of
       // every verified pair. What remains is the deduplicated corpus.
       val docs = read(s, dir, "documents")
-      val sigs = Dedup.minhashSignature(docs, "doc_id", "text", 4)
-      val cand = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 2, 2), "doc_id")
-      val da = docs.select(col("doc_id").as("a"), col("text").as("ta"))
-      val db = docs.select(col("doc_id").as("b"), col("text").as("tb"))
-      val verified = cand.join(da, "a").join(db, "b")
-        .filter(round(Dedup.jaccard(col("ta"), col("tb")), 6) >= NearDupJaccard)
-        .select("a", "b")
+      val verified = Dedup.verifiedNearDupPairs(docs, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
       Dedup.removeNearDups(docs, verified, "doc_id")
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),

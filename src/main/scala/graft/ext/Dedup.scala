@@ -161,6 +161,79 @@ object Dedup {
       .distinct()
   }
 
+  /** WIDE SimHash for the corpus sizes where the sizing rule (SCALING.md)
+    * wants more than 60 signature bits: the signature is an ARRAY with
+    * one element per band, element b an independent sliceBits-bit simhash
+    * under band-salted word hashes. The concatenation is a
+    * (bands × sliceBits)-bit signature — e.g. 4×32 = 128 bits — with no
+    * single-long width cap, pigeonhole still holds (hamming ≤ bands−1 →
+    * some band element identical), and the LSH bucket key is simply
+    * (band_id, element): no cross-word bit slicing anywhere. Same plan
+    * shape as `simhash`: explode words → bands×sliceBits map-side
+    * combinable conditional sums, one doc-key shuffle. */
+  def simhashWide(df: DataFrame, docKey: String, textCol: String,
+                  bands: Int, sliceBits: Int): DataFrame = {
+    require(sliceBits >= 1 && sliceBits <= 60, "1..60 bits per band element")
+    require(bands >= 1, "need at least one band")
+    val exploded = df.select(col(docKey), explode(wordSet(col(textCol))).as("word"))
+    val sums = for { b <- 0 until bands; i <- 0 until sliceBits } yield {
+      val h = conv(substring(md5(concat(lit(s"$b:"), col("word"))),
+        1, (sliceBits + 3) / 4), 16, 10).cast("long")
+      sum(when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s${b}_$i")
+    }
+    val agg = exploded.groupBy(col(docKey)).agg(sums.head, sums.tail: _*)
+    val bandSigs = (0 until bands).map(b =>
+      (0 until sliceBits).map(i =>
+        when(col(s"s${b}_$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _))
+    agg.select(col(docKey), array(bandSigs: _*).as("simhash_bands"))
+  }
+
+  /** Near-dup pairs over wide banded signatures — the same two-stage
+    * signature-level plan as `simhashDupPairs`, with the bucket key
+    * taken directly from the band elements and exact hamming =
+    * Σ over bands of popcount(xor of elements). */
+  def simhashWideDupPairs(sigs: DataFrame, docKey: String, sigCol: String,
+                          bands: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
+    val sigD = sigs.select(col(sigCol).as("__s")).distinct()
+    val banded = sigD.select(col("__s"),
+      posexplode(col("__s")).as(Seq("band_id", "slice")))
+    val l = banded.select(col("band_id"), col("slice"), col("__s").as("__sa"))
+    val r = banded.select(col("band_id"), col("slice"), col("__s").as("__sb"))
+    val hamming = (0 until bands).map(b =>
+      bit_count(element_at(col("__sa"), b + 1)
+        .bitwiseXOR(element_at(col("__sb"), b + 1)))).reduce(_ + _)
+    val sigPairs = l.join(r, Seq("band_id", "slice"))
+      .filter(col("__sa") <= col("__sb"))
+      .select(col("__sa"), col("__sb"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val da = sigs.select(col(docKey).as("a"), col(sigCol).as("__sa"))
+    val db = sigs.select(col(docKey).as("b"), col(sigCol).as("__sb"))
+    sigPairs.join(da, "__sa").join(db, "__sb")
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), col("hamming"))
+      .distinct()
+  }
+
+  /** The full MinHash candidate→verify chain: signatures → LSH bands →
+    * bucket candidates → exact word-set Jaccard ≥ `threshold`, returning
+    * verified (a, b) pairs with a < b. One definition shared by every
+    * consumer (q_dedup_near, the curation pipeline) so the
+    * threshold/banding semantics can't drift between them. */
+  def verifiedNearDupPairs(docs: DataFrame, docKey: String, textCol: String,
+                           k: Int, bands: Int, rowsPerBand: Int,
+                           threshold: Double): DataFrame = {
+    val sigs = minhashSignature(docs, docKey, textCol, k)
+    val cand = lshCandidatePairs(lshBands(sigs, docKey, bands, rowsPerBand), docKey)
+    val da = docs.select(col(docKey).as("a"), col(textCol).as("__ta"))
+    val db = docs.select(col(docKey).as("b"), col(textCol).as("__tb"))
+    cand.join(da, "a").join(db, "b")
+      .filter(round(jaccard(col("__ta"), col("__tb")), 6) >= threshold)
+      .select("a", "b")
+  }
+
   /** Greedy near-dup REMOVAL — the cleaning step the candidate→verify
     * pipeline feeds: keep a document iff it is not the higher-id member of
     * any verified near-dup pair (every pair (a, b), a < b, evicts b; a

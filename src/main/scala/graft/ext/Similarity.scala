@@ -68,11 +68,19 @@ object Similarity {
     Seq.fill(bits)(Seq.fill(dim)(math.rint((rnd.nextDouble() * 2 - 1) * 1e6) / 1e6))
   }
 
-  /** Sign-LSH bucket key: bit i = [vec · plane_i > 0]. */
-  def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
+  /** Sign-LSH bucket key: bit i = [vec · plane_i > 0]. A vector whose
+    * length differs from the plane dimension raises at runtime —
+    * vec_dot would otherwise silently dot the common prefix and bucket
+    * every row from a truncated projection (degraded recall, no error). */
+  def signBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val dim = planes.head.size
+    require(planes.forall(_.size == dim), "planes must share one dimension")
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
       when(vec_dot(vec, typedlit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+    when(size(vec) === dim, bucket).otherwise(raise_error(concat(
+      lit(s"signBucket: expected $dim-dim vector, got "), size(vec).cast("string"))))
+  }
 
   /** Bucketed ANN: join query and corpus on equal sign-bucket, then exact
     * cosine within the bucket. Recall < 1 by construction (that is the

@@ -14,7 +14,10 @@ object EventStream {
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
-  case class SessionState(nEvents: Long, sumValue: Double, firstTs: Long, lastTs: Long)
+  /** Buffered (ts, value) pairs for a key's not-yet-closable sessions —
+    * bounded by the watermark + gap horizon, because anything older has
+    * been emitted and removed. */
+  case class SessionBuffer(ts: Seq[Long], values: Seq[Double])
 
   case class UserSession(user_id: Long, n_events: Long, sum_value: Double,
                          session_start: java.sql.Timestamp,
@@ -31,18 +34,25 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_v"))
 
-  /** Gap-based sessionization with BOUNDED state: a per-user session is
-    * (count, sum, start, end); it closes — emitted once, state removed —
-    * when event time moves `gapMs` past its last event. Two close paths:
-    *  - a new event for the key arriving beyond the gap closes the old
-    *    session inline (no need to wait for the watermark) and opens a
-    *    fresh one;
-    *  - the event-time timeout fires once the watermark passes
-    *    `lastTs + gapMs`, closing idle sessions and EVICTING their state —
-    *    this is what keeps state finite at 100 TB/day: live state is only
-    *    the users active within the last watermark+gap horizon.
-    * flatMapGroupsWithState(Append, EventTimeTimeout) is the Spark-native
-    * home for the reference's "accumulate rows per key" imperative loops. */
+  /** Gap-based sessionization with BOUNDED state and correct handling of
+    * out-of-order arrival ACROSS micro-batches: raw (ts, value) pairs are
+    * buffered per key, and a session is emitted — exactly once, then
+    * dropped from the buffer — only when the WATERMARK passes its
+    * `end + gap`, at which point no event that could extend or split it
+    * can still arrive (anything older is dropped as late before reaching
+    * this operator). Closing any earlier (e.g. inline when a beyond-gap
+    * event arrives) would be wrong under reordering: an in-gap straggler
+    * for the "closed" run could still show up in a later batch. Session
+    * boundaries are recomputed from the sorted buffer on each firing, so
+    * the result matches the batch twin (Analytics.sessionizeBatch) for
+    * every arrival order the watermark admits.
+    *
+    * State per key = events younger than the watermark+gap horizon —
+    * the same bound the aggregate-only variant had, plus the values,
+    * which is the price of reorder-correctness; at 100 TB/day the
+    * horizon (not the corpus) sizes the store. The timeout is set to the
+    * EARLIEST open session's close time, so sessions emit as soon as
+    * they are provably complete, not when the key goes fully idle. */
   def sessionize(events: Dataset[Event], spark: SparkSession,
                  gapMs: Long = 30 * 60 * 1000L,
                  watermark: String = "10 minutes"): Dataset[UserSession] = {
@@ -50,44 +60,34 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, UserSession](
+      .flatMapGroupsWithState[SessionBuffer, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
-          def close(s: SessionState) = UserSession(userId, s.nEvents, s.sumValue,
-            new java.sql.Timestamp(s.firstTs), new java.sql.Timestamp(s.lastTs))
-          if (state.hasTimedOut) {
-            val closed = close(state.get)
-            state.remove()
-            Iterator.single(closed)
-          } else {
-            // Fold the batch's events through the gap rule IN EVENT-TIME
-            // ORDER: a micro-batch can carry several gap-separated runs
-            // (backfill, bursty file sources), and each must close its own
-            // session exactly as the batch twin (Analytics.sessionizeBatch)
-            // would — not be merged because it shared a trigger.
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var open = state.getOption.orNull
-            val emitted = Seq.newBuilder[UserSession]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              open = open match {
-                case null => SessionState(1L, e.value, t, t)
-                case p if t - p.lastTs > gapMs =>
-                  emitted += close(p)
-                  SessionState(1L, e.value, t, t)
-                case p =>
-                  SessionState(p.nEvents + 1, p.sumValue + e.value,
-                    math.min(p.firstTs, t), math.max(p.lastTs, t))
-              }
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionBuffer]) =>
+          // Split the sorted buffer into gap-separated runs.
+          def sessions(buf: Seq[(Long, Double)]): Seq[Seq[(Long, Double)]] =
+            buf.sortBy(_._1).foldLeft(Vector.empty[Vector[(Long, Double)]]) {
+              case (acc, e) if acc.nonEmpty && e._1 - acc.last.last._1 <= gapMs =>
+                acc.init :+ (acc.last :+ e)
+              case (acc, e) => acc :+ Vector(e)
             }
-            state.update(open)
-            // Timeout = session end + gap, clamped above the current
-            // watermark (Spark rejects timeouts at or below it, which a
-            // late straggler batch could otherwise produce).
+          def emit(s: Seq[(Long, Double)]) = UserSession(userId, s.size,
+            s.map(_._2).sum, new java.sql.Timestamp(s.head._1),
+            new java.sql.Timestamp(s.last._1))
+          val incoming = rows.map(e => (e.ts.getTime, e.value)).toSeq
+          val buf = state.getOption
+            .map(b => b.ts.zip(b.values)).getOrElse(Seq.empty) ++ incoming
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = sessions(buf).partition(_.last._1 + gapMs <= wm)
+          if (open.isEmpty) state.remove()
+          else {
+            val keep = open.flatten
+            state.update(SessionBuffer(keep.map(_._1), keep.map(_._2)))
+            // Wake when the EARLIEST open session becomes closable
+            // (clamped above the watermark, which Spark requires).
             state.setTimeoutTimestamp(
-              math.max(open.lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
-            emitted.result().iterator
+              math.max(open.map(_.last._1).min + gapMs, wm + 1))
           }
+          closed.map(emit).iterator
       }
   }
 

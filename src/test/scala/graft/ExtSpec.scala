@@ -45,6 +45,23 @@ class ExtSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("simhashWide: 128-bit banded signatures pair identical docs only") {
+    // bands=4 × sliceBits=32 = the 128-bit width the SCALING.md sizing
+    // rule prescribes at corpus scale — beyond what one long can hold.
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "epsilon zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val sigs = Dedup.simhashWide(docs, "doc_id", "text", bands = 4, sliceBits = 32)
+    val m = sigs.as[(Long, Seq[Long])].collect().toMap
+    assert(m(1L) == m(2L), "identical docs share the wide signature")
+    assert(m(1L).size == 4 && m(1L).exists(_ > 0xFFFFL),
+      "4 band elements with >16-bit entropy each")
+    val pairs = Dedup.simhashWideDupPairs(sigs, "doc_id", "simhash_bands",
+        bands = 4, maxHamming = 3)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 0)),
+      "identical docs pair at hamming 0; the disjoint doc pairs with nobody")
+  }
+
   test("simhash at wider bit widths populates the upper bits") {
     // At bits=32 the word hash takes 8 md5 hex digits, so bits 16..31
     // carry real entropy (the old fixed-4-digit hash zeroed them). The

@@ -134,7 +134,7 @@ class StreamingSpec extends SparkSpec {
     assert(batch == Set((7L, 2L, 3.0), (8L, 2L, 10.0), (8L, 1L, 5.0)))
   }
 
-  test("sessionize closes sessions after the gap and evicts state") {
+  test("sessionize closes sessions once the watermark passes end+gap") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
     // 10-minute gap, 5-minute watermark delay.
@@ -142,47 +142,43 @@ class StreamingSpec extends SparkSpec {
         gapMs = 10 * 60 * 1000L, watermark = "5 minutes")
       .writeStream.format("memory").queryName("sess_out")
       .outputMode(OutputMode.Append()).start()
-    // User 7's session: two in-gap events across two micro-batches.
+    def emitted(user: Long): Seq[(Long, Long, Double)] =
+      spark.table("sess_out").filter(col("user_id") === user)
+        .select("user_id", "n_events", "sum_value")
+        .as[(Long, Long, Double)].collect().toSeq
+    // User 7: two in-gap events across two micro-batches → one session.
     mem.addData(ev(1, "2024-01-01 00:00:00", 7, "a", 1.0))
     q.processAllAvailable()
     mem.addData(ev(2, "2024-01-01 00:05:00", 7, "a", 2.0))
     q.processAllAvailable()
-    // User 9: two gap-separated runs INSIDE one micro-batch (out of
-    // order, as a backfill would deliver them) — the first must close
-    // inline, not merge because it shared a trigger. Timestamps sit at or
-    // after the current watermark (00:00) so nothing is dropped as late.
+    assert(emitted(7).isEmpty,
+      "nothing closes before the watermark passes end+gap — an in-gap " +
+        "straggler could still arrive in a later batch")
+    // User 9: two gap-separated runs inside ONE out-of-order micro-batch
+    // (as a backfill delivers them) — they must become two sessions, not
+    // merge because they shared a trigger. The batch's 00:50 event lifts
+    // the watermark to 00:45, past both pending close times (00:15,
+    // 00:25), so user 7's session and user 9's FIRST session emit
+    // exactly once; user 9's 00:50 run stays open (00:60 > 00:45).
     mem.addData(
       ev(10, "2024-01-01 00:50:00", 9, "a", 4.0),
       ev(11, "2024-01-01 00:10:00", 9, "a", 1.0),
       ev(12, "2024-01-01 00:15:00", 9, "a", 2.0))
     q.processAllAvailable()
-    val u9 = spark.table("sess_out").filter(col("user_id") === 9)
-      .select("user_id", "n_events", "sum_value").as[(Long, Long, Double)]
-      .collect().toSeq
-    assert(u9 == Seq((9L, 2L, 3.0)),
-      "in-batch gap splits the run: first session closes inline")
-    // Event time jumps to 01:00 (another user): watermark advances to
-    // 00:55, far past user 7's timeout at 00:05 + gap = 00:15 ...
+    assert(emitted(7) == Seq((7L, 2L, 3.0)),
+      "user 7's merged 2-event session closes exactly once")
+    assert(emitted(9) == Seq((9L, 2L, 3.0)),
+      "the in-batch gap split user 9's backfill into separate sessions")
+    // User 8: in-gap pair, then a beyond-gap event that lifts the
+    // watermark to 02:55 > the pair's close time 01:11 → the pair closes;
+    // the 03:00 run is still open (03:10 > 02:55).
     mem.addData(ev(3, "2024-01-01 01:00:00", 8, "a", 9.0))
     q.processAllAvailable()
-    // ... and the timeout fires in the next micro-batch → session emitted
-    // exactly once with state evicted (Append mode: re-emission would add
-    // a second row and fail the assertion below).
     mem.addData(ev(4, "2024-01-01 01:01:00", 8, "a", 1.0))
     q.processAllAvailable()
-    val u7 = spark.table("sess_out").filter(col("user_id") === 7)
-      .select("user_id", "n_events", "sum_value").as[(Long, Long, Double)]
-      .collect().toSeq
-    assert(u7 == Seq((7L, 2L, 3.0)),
-      "gap timeout closes user 7's merged 2-event session exactly once")
-    // User 8's next event is 2h later — beyond the gap — so the OLD
-    // session closes inline (no watermark wait) and a new one opens.
     mem.addData(ev(5, "2024-01-01 03:00:00", 8, "a", 5.0))
     q.processAllAvailable(); q.stop()
-    val u8 = spark.table("sess_out").filter(col("user_id") === 8)
-      .select("user_id", "n_events", "sum_value").as[(Long, Long, Double)]
-      .collect().toSeq
-    assert(u8 == Seq((8L, 2L, 10.0)),
-      "a beyond-gap event closes the previous session inline")
+    assert(emitted(8) == Seq((8L, 2L, 10.0)),
+      "user 8's first session closes; the beyond-gap run is still open")
   }
 }
