@@ -634,12 +634,12 @@ object SparkEntry {
 
     "q_table_checksum" ->
       """SELECT COUNT(*) AS n_rows,
-           CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
+           CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
                COALESCE(CAST(l_orderkey AS VARCHAR), chr(2)),
                COALESCE(CAST(l_linenumber AS VARCHAR), chr(2)),
                COALESCE(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR), chr(2)),
                COALESCE(CAST(l_returnflag AS VARCHAR), chr(2)))), 1, 12))
-             AS BIGINT)) AS DECIMAL(38,0)) AS checksum
+             AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
          FROM lineitem""",
 
     "q_sessionize" ->

@@ -40,8 +40,13 @@ object Checksum {
       df.schema(c).dataType == FloatType)
     require(fp.isEmpty,
       s"float/double render differs across engines — cast ${fp.mkString(", ")} to DECIMAL first")
+    // The sum rides as DECIMAL(38,0) (exact; no overflow below ~10^26 rows)
+    // but is EMITTED as its canonical digit string: wide-decimal readers
+    // disagree on the in-memory type (arrow Decimal vs float64) and a
+    // float64 render silently drops the low bits of a 63-bit checksum.
     df.agg(
       count(lit(1)).as("n_rows"),
-      sum(rowHash(cols.map(col)).cast(DecimalType(38, 0))).as("checksum"))
+      sum(rowHash(cols.map(col)).cast(DecimalType(38, 0)))
+        .cast("string").as("checksum"))
   }
 }
