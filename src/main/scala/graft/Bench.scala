@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Testdata parquet is one row group per table → one scan split →
+      // single-threaded map stages. Fan the input out to all cores (see
+      // graft.sources.Tables) — the parallelism a real cluster's input
+      // splits provide for free.
+      .config("spark.graft.input.fanout", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,11 +55,18 @@ object Bench {
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
                    else SparkEntry.queries
-    val pass1 = selected.map { case (name, fn) => name -> once(fn) }
-    val results = selected.map { case (name, fn) =>
+    // Pass 2 runs in REVERSE order: cross-query interference (GC/cleanup
+    // stalls bleeding out of a heavy neighbor) lands on whatever runs next,
+    // and with identical ordering the same victim pays it in both passes —
+    // min() can't shake what hits twice. Reversing gives every query two
+    // different predecessors; measured r02: the same query read 9.0 s in
+    // the suite vs 1.2 s isolated purely from ordering effects.
+    val order = selected.toSeq
+    val pass1 = order.map { case (name, fn) => name -> once(fn) }.toMap
+    val results = order.reverse.map { case (name, fn) =>
       val (a, b) = (pass1(name), once(fn))
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only — summing the -1 sentinels would

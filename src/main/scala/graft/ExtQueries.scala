@@ -449,7 +449,12 @@ object ExtQueries {
   )
 
   private val NearDupJaccard = 0.8
-  private val SimhashBits = 16
+  // 32 bits / 4 bands = 8-bit slices → 256 bucket values per band. The
+  // SCALING.md sizing rule in action: at 16 bits the 4-bit slices gave only
+  // 16 bucket values, so candidate pairs grew ~n²/16 (3M+ candidates at
+  // sf0.1); 8-bit slices cut that ~16× and hamming ≤ 3 over 32 bits is the
+  // tighter (better) near-dup definition.
+  private val SimhashBits = 32
   private val AnnBits = 4
   private val AnnDim = 64   // testdata embeddings are 64-dim float
   private val AnnSeed = 42L
@@ -775,7 +780,7 @@ object ExtQueries {
       s"""WITH $simhashCtes,
           bandids AS (SELECT unnest(generate_series(0, 3)) AS band_id),
           banded AS (SELECT doc_id, simhash, band_id,
-              (simhash >> (band_id * 4)) & 15 AS slice
+              (simhash >> (band_id * ${SimhashBits / 4})) & ${(1L << (SimhashBits / 4)) - 1} AS slice
             FROM sig CROSS JOIN bandids),
           cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
               CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
