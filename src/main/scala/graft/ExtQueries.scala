@@ -445,6 +445,34 @@ object ExtQueries {
       Multimodal.decodePartitioned(
           Multimodal.withFakeMedia(read(s, dir, "documents"), "text"), "doc_id")
         .orderBy("doc_id")
+    }),
+
+    "q_contamination" -> ((s, dir) => {
+      // Benchmark decontamination: every 50th doc stands in for the eval
+      // set; train docs sharing >= 3 distinct 3-gram shingles (after the
+      // bench-side df-cap) are flagged with their hit count.
+      val docs = read(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      Contamination.contaminatedPairs(train, bench, "doc_id", "text",
+          n = 3, minHits = ContamMinHits, maxShingleDf = ContamMaxDf)
+        .orderBy("train_id", "bench_id")
+    }),
+
+    "q_oov_ratio" -> ((s, dir) => {
+      // Corpus-statistics quality signal: per-doc share of word
+      // occurrences outside the global top-200 vocabulary.
+      TextAnalysis.oovRatio(read(s, dir, "documents"), "doc_id", "text", OovVocab)
+        .orderBy("doc_id")
+    }),
+
+    "q_sample_per_group" -> ((s, dir) => {
+      // Fixed-count domain cap: at most 12 docs per source, winners
+      // chosen by stable key hash (reproducible on any partitioning).
+      Sampling.samplePerGroup(read(s, dir, "documents"),
+          col("source"), col("doc_id"), SamplePerSource)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
     })
   )
 
@@ -462,6 +490,10 @@ object ExtQueries {
   private val IvfLists = 8
   private val IvfProbes = 2
   private val FrameEvery = 100
+  private val ContamMinHits = 3
+  private val ContamMaxDf = 3
+  private val OovVocab = 200
+  private val SamplePerSource = 12
 
   /** Seeded hyperplanes shared by the Spark queries and the generated
     * DuckDB oracle text — same doubles on both sides by construction. */
@@ -894,6 +926,43 @@ object ExtQueries {
             CAST(unnest(generate_series(0,
               greatest(octet_length(encode(text)) // $FrameEvery - 1, 0))) AS BIGINT) AS frame_idx,
             md5(text) AS frame_sig
-          FROM documents ORDER BY doc_id, frame_idx"""
+          FROM documents ORDER BY doc_id, frame_idx""",
+
+    "q_contamination" ->
+      s"""WITH bsh AS (SELECT doc_id AS bench_id,
+              unnest(list_distinct($ShinglesSql)) AS sh
+            FROM documents WHERE doc_id % 50 = 0),
+          kept AS (SELECT bench_id, sh FROM (
+              SELECT bench_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM bsh)
+            WHERE df <= $ContamMaxDf),
+          tsh AS (SELECT doc_id AS train_id,
+              unnest(list_distinct($ShinglesSql)) AS sh
+            FROM documents WHERE doc_id % 50 <> 0)
+          SELECT train_id, bench_id, COUNT(*) AS hits
+          FROM tsh JOIN kept USING (sh)
+          WHERE train_id <> bench_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= $ContamMinHits
+          ORDER BY 1, 2""",
+
+    "q_oov_ratio" ->
+      s"""WITH w AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word
+            FROM documents),
+          vocab AS (SELECT word FROM (
+              SELECT word, COUNT(*) AS cnt FROM w GROUP BY 1)
+            ORDER BY cnt DESC, word LIMIT $OovVocab)
+          SELECT doc_id, COUNT(*) AS n_words,
+            CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+            ROUND(CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              / COUNT(*), 6) AS oov_ratio
+          FROM w LEFT JOIN vocab v ON w.word = v.word
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_sample_per_group" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+              row_number() OVER (PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+            FROM documents) WHERE rn <= $SamplePerSource
+          ORDER BY doc_id"""
   )
 }

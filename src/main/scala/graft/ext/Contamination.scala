@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection (north-star extension; no reference
+  * counterpart): find training documents that share n-gram shingles with
+  * an evaluation/benchmark set — the decontamination pass every serious
+  * training-data pipeline runs before a model sees the corpus.
+  *
+  * Shape: explode DISTINCT shingles on both sides → equi-join on the
+  * shingle → count distinct shared shingles per (train, bench) pair.
+  * Never a text-vs-text cross product: the join key is the shingle, so
+  * cost is proportional to actual shingle collisions. Two skew guards
+  * make this survive 100 TB:
+  *
+  *  - The BENCH side drops shingles that appear in more than
+  *    `maxShingleDf` benchmark documents before the join. Ubiquitous
+  *    shingles ("of the united states") are exactly the ones that explode
+  *    the join (hot-key skew) and exactly the ones that signal nothing —
+  *    the standard df-cap from published decontamination setups.
+  *  - The bench side after the cap is (shingle, bench_id) pairs bounded
+  *    by |bench| × shingles/doc — benchmark sets are small by
+  *    construction, so Spark's planner (or an explicit broadcast at the
+  *    call site) turns the join map-side: the 100 TB train side never
+  *    shuffles.
+  */
+object Contamination {
+
+  /** (train_id, bench_id, hits) for every train/bench pair sharing at
+    * least `minHits` distinct n-gram shingles, after the bench-side
+    * df-cap. Train docs present in the bench set are excluded (a doc
+    * cannot contaminate itself). */
+  def contaminatedPairs(train: DataFrame, bench: DataFrame,
+                        docKey: String, textCol: String,
+                        n: Int, minHits: Int, maxShingleDf: Int): DataFrame = {
+    require(n >= 1, "shingle width must be >= 1")
+    require(minHits >= 1, "minHits must be >= 1")
+    require(maxShingleDf >= 1, "maxShingleDf must be >= 1")
+    val benchSh = bench.select(col(docKey).as("bench_id"),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__sh"))
+    // df-cap: a window over the shingle would re-shuffle; an agg + join
+    // keeps it one (shingle) shuffle shared by count and filter.
+    val keptSh = benchSh.withColumn("__df",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__sh"))))
+      .filter(col("__df") <= maxShingleDf).drop("__df")
+    val trainSh = train.select(col(docKey).as("train_id"),
+      explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__sh"))
+    trainSh.join(keptSh, "__sh")
+      .filter(col("train_id") =!= col("bench_id"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("hits"))   // shingles are distinct per side
+      .filter(col("hits") >= minHits)
+  }
+}

@@ -63,4 +63,21 @@ object Sampling {
     }
     df.filter(hashBucket(key, 100) < pct)
   }
+
+  /** Exactly-n-per-group deterministic sample: rank rows within each
+    * group by the md5 of their key (a stable pseudo-random order — same
+    * winners on any cluster, any partitioning) and keep the first `n`.
+    * The fixed-COUNT complement to `stratifiedHashSample`'s fixed-RATE
+    * sampling: "at most n docs per source" caps a dominant domain no
+    * matter how large it grows. One hash shuffle on the group key; the
+    * md5 rank order plus the key itself as tiebreak is total, so the
+    * sample is unique. */
+  def samplePerGroup(df: DataFrame, group: Column, key: Column, n: Int): DataFrame = {
+    require(n >= 1, "need n >= 1 rows per group")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group)
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
 }

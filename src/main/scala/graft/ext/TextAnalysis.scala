@@ -128,4 +128,32 @@ object TextAnalysis {
         Seq(col("score").desc, col("word")), k, rankCol = "rank")
       .select(col(docKey), col("word"), col("score"), col("rank").cast("int").as("rank"))
   }
+
+  /** Out-of-vocabulary ratio per document: the fraction of a doc's word
+    * OCCURRENCES outside the corpus's top-`k` vocabulary — a
+    * corpus-statistics quality signal (high OOV = noise, code, or a
+    * language the vocab doesn't cover; the cheap stand-in for LM
+    * perplexity scoring, with the same plan shape a real one would have).
+    *
+    * Plan: one explode feeds both the vocabulary (word shuffle, rank by
+    * frequency with a deterministic word tiebreak) and the per-doc join;
+    * the vocabulary is k rows — broadcast up to ~10⁶ entries, so the
+    * corpus side never shuffles for the membership test. The ratio is a
+    * quotient of exact integers → bit-identical across engines. */
+  def oovRatio(df: DataFrame, docKey: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "vocabulary size must be >= 1")
+    val words = df.select(col(docKey), explode(tokens(lower(col(textCol)))).as("word"))
+    // Global top-k via orderBy+limit, which Spark plans as
+    // TakeOrderedAndProject: a per-partition k-heap + driver merge — O(k)
+    // memory anywhere, no single-partition global window.
+    val vocab = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(k)
+      .select(col("word"), lit(1).as("__in_vocab"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(docKey))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("__in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+      .withColumn("oov_ratio",
+        round(col("n_oov").cast(DoubleType) / col("n_words"), 6))
+  }
 }

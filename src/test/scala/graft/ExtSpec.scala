@@ -307,4 +307,50 @@ class ExtSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(m, "doc_id", 100)
     assert(frames.count() == 2, "250 bytes / 100 → frames 0,1")
   }
+
+  test("contamination: shared shingles flag a pair; df-cap kills hot shingles") {
+    // bench doc 100 contains the phrase "one two three four"; train doc 1
+    // copies it (2 overlapping 3-gram shingles), train doc 2 does not.
+    val bench = Seq((100L, "one two three four end marker")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "copy of one two three four here"),
+      (2L, "completely different words entirely now")).toDF("doc_id", "text")
+    val hits = Contamination.contaminatedPairs(train, bench, "doc_id", "text",
+        n = 3, minHits = 2, maxShingleDf = 5)
+      .select("train_id", "bench_id", "hits")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hits == Set((1L, 100L, 2L)), s"got $hits")
+    // df-cap = 0-tolerance: a shingle in >1 bench docs is dropped, so a
+    // train doc matching ONLY the repeated shingle is not flagged.
+    val bench2 = Seq((100L, "aa bb cc x1"), (200L, "aa bb cc x2"))
+      .toDF("doc_id", "text")
+    val train2 = Seq((1L, "zz aa bb cc yy")).toDF("doc_id", "text")
+    val capped = Contamination.contaminatedPairs(train2, bench2, "doc_id", "text",
+      n = 3, minHits = 1, maxShingleDf = 1)
+    assert(capped.count() == 0, "df-capped shingle must not flag")
+    val uncapped = Contamination.contaminatedPairs(train2, bench2, "doc_id", "text",
+      n = 3, minHits = 1, maxShingleDf = 2)
+    assert(uncapped.count() == 2, "without the cap both bench docs match")
+  }
+
+  test("oovRatio: in-vocab docs score 0, out-of-vocab words raise the ratio") {
+    val docs = Seq(
+      (1L, "the the the cat"),    // all words in top-2 vocab {the, cat}
+      (2L, "the zebra"),          // 1 of 2 words OOV
+      (3L, "qq rr"))              // all OOV
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.oovRatio(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "oov_ratio").as[(Long, Double)].collect().toMap
+    assert(r(1L) == 0.0 && r(2L) == 0.5 && r(3L) == 1.0, s"got $r")
+  }
+
+  test("samplePerGroup caps each group and is partitioning-invariant") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
+    val a = Sampling.samplePerGroup(df, col("g"), col("k"), 5)
+    assert(a.groupBy("g").count().select("count").as[Long].collect().forall(_ == 5))
+    val b = Sampling.samplePerGroup(df.repartition(13), col("g"), col("k"), 5)
+    assert(a.select("k").as[Long].collect().toSet ==
+      b.select("k").as[Long].collect().toSet,
+      "winners must not depend on partitioning")
+  }
 }
