@@ -466,6 +466,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dup_clusters" -> ((s, dir) => {
+      // Transitive duplicate CLUSTERS over the verified near-dup graph:
+      // min-label propagation to the component minimum (a distributed
+      // loop of join+min rounds, bounded by cluster diameter). The
+      // cluster view is what "keep one copy per duplicate group" means —
+      // greedy pair eviction can over-evict chains.
+      val docs = read(s, dir, "documents")
+      val verified = Dedup.verifiedNearDupPairs(docs, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
+      Dedup.dupClusters(verified)
+        .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     "q_sample_per_group" -> ((s, dir) => {
       // Fixed-count domain cap: at most 12 docs per source, winners
       // chosen by stable key hash (reproducible on any partitioning).
@@ -927,6 +941,36 @@ object ExtQueries {
               greatest(octet_length(encode(text)) // $FrameEvery - 1, 0))) AS BIGINT) AS frame_idx,
             md5(text) AS frame_sig
           FROM documents ORDER BY doc_id, frame_idx""",
+
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE sig AS (SELECT doc_id,
+            ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM documents),
+          bands AS (
+            SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS band_hash FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh2, mh3)) AS band_hash FROM sig),
+          pairs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r USING (band_id, band_hash)
+            WHERE l.doc_id < r.doc_id),
+          verified AS (
+            SELECT a, b FROM pairs
+            JOIN documents da ON pairs.a = da.doc_id
+            JOIN documents db ON pairs.b = db.doc_id
+            WHERE ROUND(
+              CAST(len(list_intersect(list_distinct(str_split(lower(da.text), ' ')),
+                                      list_distinct(str_split(lower(db.text), ' ')))) AS DOUBLE)
+              / len(list_distinct(list_concat(list_distinct(str_split(lower(da.text), ' ')),
+                                              list_distinct(str_split(lower(db.text), ' '))))), 6)
+              >= $NearDupJaccard),
+          edges AS (SELECT a AS src, b AS dst FROM verified
+            UNION SELECT b AS src, a AS dst FROM verified),
+          cc AS (
+            SELECT DISTINCT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst AS node, cc.label FROM cc JOIN edges e ON cc.node = e.src)
+          SELECT node AS doc_id, MIN(label) AS cluster_id
+          FROM cc GROUP BY node ORDER BY doc_id""",
 
     "q_contamination" ->
       s"""WITH bsh AS (SELECT doc_id AS bench_id,

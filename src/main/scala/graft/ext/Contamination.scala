@@ -46,7 +46,11 @@ object Contamination {
       .filter(col("__df") <= maxShingleDf).drop("__df")
     val trainSh = train.select(col(docKey).as("train_id"),
       explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__sh"))
-    trainSh.join(keptSh, "__sh")
+    // The capped bench side is |bench| × shingles/doc rows — small by
+    // construction (benchmark sets are), so broadcast it: the train
+    // side's exploded shingles stream map-side through the join and the
+    // only shuffle left is the per-pair count's partial agg.
+    trainSh.join(broadcast(keptSh), "__sh")
       .filter(col("train_id") =!= col("bench_id"))
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("hits"))   // shingles are distinct per side

@@ -245,6 +245,73 @@ object Dedup {
   def removeNearDups(docs: DataFrame, pairs: DataFrame, docKey: String): DataFrame =
     docs.join(pairs.select(col("b").as(docKey)).distinct(), Seq(docKey), "left_anti")
 
+  /** Connected components over the verified near-dup pair graph: every
+    * document that appears in a pair gets a `cluster` label = the MINIMUM
+    * doc key reachable through any chain of pairs. Greedy pair eviction
+    * (`removeNearDups`) removes at least one of every pair but can
+    * over-evict chains (a–b, b–c evicts b AND c; the cluster view keeps
+    * exactly one representative per transitive group) — cluster-level
+    * assignment is what "keep one copy per duplicate CLUSTER" means.
+    *
+    * Algorithm: min-label propagation — labels start as each node's own
+    * key; each round every node takes the min of its own and its
+    * neighbors' labels; fixpoint = component minimum. Each round is one
+    * (node-key) join + one min aggregate — fully distributed, no driver
+    * data. Rounds needed = graph diameter, and near-dup clusters are
+    * shallow (stars/cliques around a few templates), so the loop
+    * converges in a handful of rounds; `maxIters` bounds the worst case
+    * and failing loudly beats silently wrong labels. The driver-side
+    * convergence probe reads ONE number per round (sum of labels,
+    * monotone non-increasing, exact decimal). At petabyte scale the same
+    * loop runs with per-round checkpointing to cut lineage (the
+    * `persist`/`unpersist` here is that, minus the HDFS write) and the
+    * alternating small-star/large-star variant halves the rounds —
+    * plumbing, not plan-shape, changes.
+    *
+    * Output: (node, cluster), one row per distinct doc appearing in
+    * `pairs`; singleton docs (in no pair) are their own implicit cluster
+    * and are not emitted. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node")).persist()
+    var checksum = labels.agg(sum(col("cluster").cast(DecimalType(38, 0))))
+      .head.getDecimal(0)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val prop = labels.join(edges, labels("node") === edges("src"))
+        .select(col("dst").as("node"), col("cluster"))
+      val next = labels.unionByName(prop)
+        .groupBy("node").agg(min("cluster").as("cluster")).persist()
+      val nextSum = next.agg(sum(col("cluster").cast(DecimalType(38, 0))))
+        .head.getDecimal(0)
+      converged = nextSum.compareTo(checksum) == 0
+      labels.unpersist()
+      labels = next
+      checksum = nextSum
+      it += 1
+    }
+    edges.unpersist()
+    require(converged, s"label propagation did not converge in $maxIters rounds " +
+      "— raise maxIters (diameter exceeds the bound)")
+    labels
+  }
+
+  /** Cluster-level dedup: keep every document that is NOT a non-minimum
+    * member of some near-dup cluster — exactly one survivor (the minimum
+    * key) per transitive duplicate group, plus all singletons. One
+    * left-anti join against the eviction list. */
+  def keepClusterRepresentatives(docs: DataFrame, pairs: DataFrame,
+                                 docKey: String): DataFrame = {
+    val evict = dupClusters(pairs).filter(col("cluster") =!= col("node"))
+      .select(col("node").as(docKey))
+    docs.join(evict, Seq(docKey), "left_anti")
+  }
+
   /** SimHash over the word multiset: `bits`-bit signature where bit i is
     * the sign of the sum over words of (±1 by word-hash bit i). Expressed
     * as explode → groupBy(doc) with `bits` conditional-sum aggregates —

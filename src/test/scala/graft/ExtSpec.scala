@@ -308,6 +308,33 @@ class ExtSpec extends SparkSpec {
     assert(frames.count() == 2, "250 bytes / 100 → frames 0,1")
   }
 
+  test("dupClusters: chains collapse to one component, greedy would over-evict") {
+    // chain 1-2, 2-3, 3-4 plus isolated pair 10-11: two components.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val cc = Dedup.dupClusters(pairs)
+      .select("node", "cluster").as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // cluster dedup keeps exactly one survivor per component (+ singletons)
+    val docs = Seq(1L, 2L, 3L, 4L, 7L, 10L, 11L).toDF("doc_id")
+    val kept = Dedup.keepClusterRepresentatives(docs, pairs, "doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 7L, 10L), s"got $kept")
+    // Where the views differ: pairs (1,3),(2,3) — one component {1,2,3}.
+    // Greedy evicts only the b-sides {3}, keeping BOTH 1 and 2 (transitive
+    // near-dups of each other through 3); cluster dedup keeps exactly 1.
+    val vee = Seq((1L, 3L), (2L, 3L)).toDF("a", "b")
+    val three = Seq(1L, 2L, 3L).toDF("doc_id")
+    assert(Dedup.removeNearDups(three, vee, "doc_id").as[Long].collect().toSet
+      == Set(1L, 2L))
+    assert(Dedup.keepClusterRepresentatives(three, vee, "doc_id")
+      .as[Long].collect().toSet == Set(1L))
+    val unconverged = intercept[IllegalArgumentException] {
+      // a 4-hop chain cannot converge in 1 round
+      Dedup.dupClusters(pairs, maxIters = 1)
+    }
+    assert(unconverged.getMessage.contains("converge"))
+  }
+
   test("contamination: shared shingles flag a pair; df-cap kills hot shingles") {
     // bench doc 100 contains the phrase "one two three four"; train doc 1
     // copies it (2 overlapping 3-gram shingles), train doc 2 does not.
