@@ -480,6 +480,17 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_pack_budget" -> ((s, dir) => {
+      // Sequence packing: whitespace token counts → hash-sharded
+      // first-fit packs under a 2048-token budget.
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      Sampling.packByBudget(docs, col("doc_id"), col("n_tokens"),
+          budget = PackBudget, shards = PackShards)
+        .orderBy("doc_id")
+    }),
+
     "q_sample_per_group" -> ((s, dir) => {
       // Fixed-count domain cap: at most 12 docs per source, winners
       // chosen by stable key hash (reproducible on any partitioning).
@@ -508,6 +519,8 @@ object ExtQueries {
   private val ContamMaxDf = 3
   private val OovVocab = 200
   private val SamplePerSource = 12
+  private val PackBudget = 2048L
+  private val PackShards = 4
 
   /** Seeded hyperplanes shared by the Spark queries and the generated
     * DuckDB oracle text — same doubles on both sides by construction. */
@@ -1000,6 +1013,21 @@ object ExtQueries {
               / COUNT(*), 6) AS oov_ratio
           FROM w LEFT JOIN vocab v ON w.word = v.word
           GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_pack_budget" ->
+      s"""WITH t AS (SELECT doc_id,
+            CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8)) AS BIGINT)
+              % $PackShards AS shard,
+            md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+          c AS (SELECT doc_id, n_tokens, shard,
+            COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM t)
+          SELECT doc_id, n_tokens, shard,
+            CAST(before // $PackBudget AS BIGINT) AS pack_id
+          FROM c ORDER BY doc_id""",
 
     "q_sample_per_group" ->
       s"""SELECT doc_id, source, n_chars FROM (

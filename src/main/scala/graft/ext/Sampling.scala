@@ -80,4 +80,37 @@ object Sampling {
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n).drop("__rn")
   }
+
+  /** Sequence packing: assign each doc a (shard, pack_id) such that docs
+    * sharing a pack fit a token budget — the batching step that turns a
+    * curated corpus into fixed-size training sequences.
+    *
+    * True bin packing is inherently sequential; the scalable form shards
+    * the corpus by key hash (shards = the parallelism knob, each shard
+    * packs independently), orders each shard by the same stable hash
+    * (deterministic on any cluster), and cuts packs at running-token-sum
+    * boundaries: pack_id = floor(exclusive-prefix-sum / budget). A pack's
+    * sum exceeds `budget` only by (part of) its final doc — the standard
+    * first-fit-in-fixed-order approximation; downstream truncation or
+    * overflow-splitting handles the boundary doc, and a doc longer than
+    * the whole budget still gets a pack (its own).
+    *
+    * One shuffle on the shard key; the window order is total (hash, key),
+    * so pack membership is reproducible under any partitioning — packs
+    * are pure functions of the corpus content, like every sampling
+    * decision in this module. */
+  def packByBudget(df: DataFrame, key: Column, tokens: Column,
+                   budget: Long, shards: Int): DataFrame = {
+    require(budget >= 1, "token budget must be >= 1")
+    require(shards >= 1, "need at least one shard")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__shard"))
+      .orderBy(md5(key.cast("string")), key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__shard", hashBucket(key, shards, salt = "pack"))
+      .withColumn("__before", coalesce(sum(tokens).over(w), lit(0L)))
+      .select(df.columns.map(col) :+
+        col("__shard").as("shard") :+
+        floor(col("__before") / budget).as("pack_id"): _*)
+  }
 }

@@ -371,6 +371,28 @@ class ExtSpec extends SparkSpec {
     assert(r(1L) == 0.0 && r(2L) == 0.5 && r(3L) == 1.0, s"got $r")
   }
 
+  test("packByBudget: packs respect the budget up to the straddle doc, invariant to partitioning") {
+    val docs = (1L to 200L).map(i => (i, 10L + i % 7)).toDF("k", "toks")
+    val packed = Sampling.packByBudget(docs, col("k"), col("toks"),
+      budget = 50L, shards = 3)
+    // Within every (shard, pack): the sum MINUS its largest (= the
+    // boundary-straddling last) doc stays under budget, and nonempty.
+    val sums = packed.groupBy("shard", "pack_id")
+      .agg(sum("toks").as("s"), max("toks").as("m"), count(lit(1)).as("n"))
+      .select("s", "m", "n").as[(Long, Long, Long)].collect()
+    assert(sums.nonEmpty && sums.forall { case (s, m, n) => n >= 1 && (s - m) < 50 })
+    val repartitioned = Sampling.packByBudget(docs.repartition(17), col("k"),
+      col("toks"), budget = 50L, shards = 3)
+    assert(packed.select("k", "shard", "pack_id").as[(Long, Long, Long)].collect().toSet
+      == repartitioned.select("k", "shard", "pack_id").as[(Long, Long, Long)].collect().toSet,
+      "pack assignment must be a pure function of content")
+    // A doc bigger than the whole budget still lands in a pack of its own
+    // (its successors start a new pack immediately).
+    val big = Seq((1L, 500L), (2L, 5L)).toDF("k", "toks")
+    assert(Sampling.packByBudget(big, col("k"), col("toks"), 50L, 1)
+      .select("pack_id").distinct().count() == 2)
+  }
+
   test("samplePerGroup caps each group and is partitioning-invariant") {
     val df = (1L to 100L).map(i => (i, s"g${i % 3}")).toDF("k", "g")
     val a = Sampling.samplePerGroup(df, col("g"), col("k"), 5)

@@ -75,4 +75,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
       s"expected the signature aggregate to be reused across branches:\n$plan")
   }
+
+  test("q_contamination broadcasts the capped bench side (train never shuffles for the join)") {
+    val plan = executedPlan("q_contamination")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast shingle join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"train-side shingles must stream map-side, not shuffle:\n$plan")
+  }
+
+  test("q_oov_ratio: top-k vocab via TakeOrdered heap, broadcast membership join") {
+    val plan = executedPlan("q_oov_ratio")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must be a per-partition heap, not a global sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab membership must broadcast, the corpus side must not shuffle:\n$plan")
+  }
 }
