@@ -323,16 +323,16 @@ object ExtQueries {
     }),
 
     "q_simhash" -> ((s, dir) => {
-      // 16-bit SimHash: explode words → one map-side-combinable shuffle
-      // keyed on doc_id.
+      // SimhashBits-bit SimHash: explode words → one map-side-combinable
+      // shuffle keyed on doc_id.
       Dedup.simhash(read(s, dir, "documents"), "doc_id", "text", SimhashBits)
         .orderBy("doc_id")
     }),
 
     "q_simhash_pairs" -> ((s, dir) => {
-      // SimHash near-dup pairs without all-pairs: 4-bit slice buckets
-      // (pigeonhole: hamming ≤ 3 over 4 bands → one identical slice),
-      // exact bit_count(xor) verify inside buckets only.
+      // SimHash near-dup pairs without all-pairs: (SimhashBits/4)-bit
+      // slice buckets (pigeonhole: hamming ≤ 3 over 4 bands → one
+      // identical slice), exact bit_count(xor) verify inside buckets only.
       val sigs = Dedup.simhash(read(s, dir, "documents"), "doc_id", "text", SimhashBits)
       Dedup.simhashDupPairs(sigs, "doc_id", "simhash", SimhashBits,
           bands = 4, maxHamming = 3)
@@ -485,7 +485,7 @@ object ExtQueries {
       // first-fit packs under a 2048-token budget.
       val docs = read(s, dir, "documents")
         .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
       Sampling.packByBudget(docs, col("doc_id"), col("n_tokens"),
           budget = PackBudget, shards = PackShards)
         .orderBy("doc_id")

@@ -7,7 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val outDir = args(1)
     // Optional: further args name a subset of queries to dump (debug aid).
+    // An unknown name is an error — a typo silently dumping nothing would
+    // read as a pass against stale outputs.
     val only = args.drop(2).toSet
+    val unknown = only.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

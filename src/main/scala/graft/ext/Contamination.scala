@@ -39,8 +39,9 @@ object Contamination {
     require(maxShingleDf >= 1, "maxShingleDf must be >= 1")
     val benchSh = bench.select(col(docKey).as("bench_id"),
       explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__sh"))
-    // df-cap: a window over the shingle would re-shuffle; an agg + join
-    // keeps it one (shingle) shuffle shared by count and filter.
+    // df-cap as a count window over the shingle: ONE shingle-key shuffle
+    // serves both the count and the filter (a groupBy + join back would
+    // shuffle the bench shingles twice).
     val keptSh = benchSh.withColumn("__df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__sh"))))
       .filter(col("__df") <= maxShingleDf).drop("__df")

@@ -278,26 +278,33 @@ object Dedup {
       .distinct().persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("cluster", col("node")).persist()
+    // sum over ZERO rows is NULL — an empty pair graph (perfectly clean
+    // corpus) is already converged, not an error.
     var checksum = labels.agg(sum(col("cluster").cast(DecimalType(38, 0))))
       .head.getDecimal(0)
-    var converged = false
+    var converged = checksum == null
     var it = 0
-    while (!converged && it < maxIters) {
-      val prop = labels.join(edges, labels("node") === edges("src"))
-        .select(col("dst").as("node"), col("cluster"))
-      val next = labels.unionByName(prop)
-        .groupBy("node").agg(min("cluster").as("cluster")).persist()
-      val nextSum = next.agg(sum(col("cluster").cast(DecimalType(38, 0))))
-        .head.getDecimal(0)
-      converged = nextSum.compareTo(checksum) == 0
-      labels.unpersist()
-      labels = next
-      checksum = nextSum
-      it += 1
-    }
+    try {
+      while (!converged && it < maxIters) {
+        val prop = labels.join(edges, labels("node") === edges("src"))
+          .select(col("dst").as("node"), col("cluster"))
+        val next = labels.unionByName(prop)
+          .groupBy("node").agg(min("cluster").as("cluster")).persist()
+        val nextSum = next.agg(sum(col("cluster").cast(DecimalType(38, 0))))
+          .head.getDecimal(0)
+        converged = nextSum.compareTo(checksum) == 0
+        labels.unpersist()
+        labels = next
+        checksum = nextSum
+        it += 1
+      }
+      require(converged, s"label propagation did not converge in $maxIters rounds " +
+        "— raise maxIters (diameter exceeds the bound)")
+    } finally if (!converged) { labels.unpersist(); edges.unpersist() }
     edges.unpersist()
-    require(converged, s"label propagation did not converge in $maxIters rounds " +
-      "— raise maxIters (diameter exceeds the bound)")
+    // Returned persisted: its lineage reaches back through every round,
+    // so handing back an unpersisted frame would re-run the whole loop on
+    // first use. Callers that are done with it may unpersist.
     labels
   }
 
@@ -306,8 +313,8 @@ object Dedup {
     * key) per transitive duplicate group, plus all singletons. One
     * left-anti join against the eviction list. */
   def keepClusterRepresentatives(docs: DataFrame, pairs: DataFrame,
-                                 docKey: String): DataFrame = {
-    val evict = dupClusters(pairs).filter(col("cluster") =!= col("node"))
+                                 docKey: String, maxIters: Int = 25): DataFrame = {
+    val evict = dupClusters(pairs, maxIters).filter(col("cluster") =!= col("node"))
       .select(col("node").as(docKey))
     docs.join(evict, Seq(docKey), "left_anti")
   }

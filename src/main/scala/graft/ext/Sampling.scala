@@ -109,8 +109,11 @@ object Sampling {
       .rowsBetween(Window.unboundedPreceding, -1)
     df.withColumn("__shard", hashBucket(key, shards, salt = "pack"))
       .withColumn("__before", coalesce(sum(tokens).over(w), lit(0L)))
+      // `div`, not floor(a / b): long / long is DOUBLE division, whose
+      // 53-bit mantissa mis-floors prefix sums past 2^53 — exactly the
+      // corpus sizes this module advertises. div is exact at any size.
       .select(df.columns.map(col) :+
         col("__shard").as("shard") :+
-        floor(col("__before") / budget).as("pack_id"): _*)
+        expr(s"__before div $budget").as("pack_id"): _*)
   }
 }

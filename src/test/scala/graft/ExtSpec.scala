@@ -333,6 +333,11 @@ class ExtSpec extends SparkSpec {
       Dedup.dupClusters(pairs, maxIters = 1)
     }
     assert(unconverged.getMessage.contains("converge"))
+    // a clean corpus (no pairs) is converged, not an error — and cluster
+    // dedup keeps everything.
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.dupClusters(none).count() == 0)
+    assert(Dedup.keepClusterRepresentatives(docs, none, "doc_id").count() == docs.count())
   }
 
   test("contamination: shared shingles flag a pair; df-cap kills hot shingles") {
