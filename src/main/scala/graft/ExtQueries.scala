@@ -149,6 +149,30 @@ object ExtQueries {
         .orderBy("bucket", "event_type")
     }),
 
+    "q_window_sliding" -> ((s, dir) => {
+      // SLIDING-window aggregation (1 h window every 15 min): each event
+      // lands in 4 overlapping buckets — Spark's window() expands them
+      // map-side, then it is one ordinary (bucket, type) hash shuffle
+      // with partial aggregation, 4× the rows of the tumbling twin.
+      read(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_v"))
+        .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_v"))
+        .orderBy("bucket", "event_type")
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      // Pivot with an EXPLICIT value list: per-day revenue by event type.
+      // Naming the columns up front matters at scale — it skips the
+      // distinct-values discovery job and keeps the plan one conditional
+      // aggregation (the same single-scan trick the forex feed uses).
+      read(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum2(col("value")))
+        .orderBy("day")
+    }),
+
     "q_topk_per_group" -> ((s, dir) => {
       // Top-3 per group via ranked window: one shuffle on the group key;
       // at scale this beats global sort by never ordering across keys.
@@ -636,6 +660,23 @@ object ExtQueries {
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_window_sliding" ->
+      """WITH x AS (SELECT event_type, value,
+             time_bucket(INTERVAL 15 MINUTE, ts) - (s.i * INTERVAL 15 MINUTE) AS bucket
+           FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) s)
+         SELECT bucket, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_topk_per_group" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
