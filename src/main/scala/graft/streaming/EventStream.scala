@@ -25,12 +25,18 @@ object EventStream {
 
   /** Tumbling-window counts/sums per event type with a watermark bounding
     * state: identical semantics to the batch q_window_hourly query, so the
-    * two paths are mutually verifying. */
+    * two paths are mutually verifying. Pass `slide` for overlapping
+    * (sliding) windows — the batch twin is q_window_sliding, and the
+    * watermark bound still holds: state per (window, type) evicts once
+    * the watermark passes window end, the overlap factor only multiplies
+    * live windows by len/slide. */
   def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
-                     watermark: String = "2 hours"): DataFrame =
+                     watermark: String = "2 hours",
+                     slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), window_).as("w"), col("event_type"))
+      .groupBy(window(col("ts"), window_, slide.getOrElse(window_)).as("w"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
       .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_v"))
 

@@ -31,6 +31,24 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 3.0), ("b", 1L, 5.0)))
   }
 
+  test("streaming sliding window: each event lands in len/slide overlapping buckets") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(ev(1, "2024-01-01 00:40:00", 1, "a", 2.0))
+    val q = EventStream.tumblingCounts(mem.toDF(), "1 hour", "2 hours",
+        slide = Some("15 minutes"))
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("slide_out").orderBy("bucket")
+      .select("bucket", "n", "sum_v")
+      .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
+    // 00:40 is inside the 1h windows starting 23:45, 00:00, 00:15, 00:30.
+    assert(got.map(_._1.toString) == Seq("2023-12-31 23:45:00.0",
+      "2024-01-01 00:00:00.0", "2024-01-01 00:15:00.0", "2024-01-01 00:30:00.0"))
+    assert(got.forall { case (_, n, s) => n == 1L && s == 2.0 })
+  }
+
   test("dedupWithinWatermark drops in-window duplicates, keeps distinct keys") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
