@@ -76,6 +76,20 @@ class PlanShapeSpec extends SparkSpec {
       s"expected the signature aggregate to be reused across branches:\n$plan")
   }
 
+  test("q_pivot is one scan + conditional aggregation (no discovery job)") {
+    val plan = executedPlan("q_pivot")
+    assert(countScans(plan) == 1,
+      s"explicit pivot values must not add a distinct-values scan:\n$plan")
+    assert(!plan.contains("Join"), s"pivot must not plan a join:\n$plan")
+  }
+
+  test("q_window_sliding expands buckets map-side over a single scan") {
+    val plan = executedPlan("q_window_sliding")
+    assert(countScans(plan) == 1, s"expected 1 scan:\n$plan")
+    assert(plan.contains("Expand") || plan.contains("explode"),
+      s"overlapping windows must expand map-side:\n$plan")
+  }
+
   test("q_contamination broadcasts the capped bench side (train never shuffles for the join)") {
     val plan = executedPlan("q_contamination")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast shingle join:\n$plan")
