@@ -385,6 +385,17 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_ann_multiprobe" -> ((s, dir) => {
+      // Multi-probe sign-LSH: two independent plane sets, union of
+      // bucket matches — the recall-recovery path at fixed bits.
+      val e = read(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.lshTopKMulti(queries, e.select("vec_id", "embedding"), 3,
+          Seq(AnnPlanes, AnnPlanes2))
+        .orderBy("q_id", "rank")
+    }),
+
     "q_ann_ivf" -> ((s, dir) => {
       // IVF ANN: Lloyd-refined centroids (one k-means step as a DataFrame
       // job over seed samples), then map-only nearest-centroid assignment
@@ -549,6 +560,8 @@ object ExtQueries {
   /** Seeded hyperplanes shared by the Spark queries and the generated
     * DuckDB oracle text — same doubles on both sides by construction. */
   private lazy val AnnPlanes = Similarity.randomPlanes(AnnBits, AnnDim, AnnSeed)
+  /** Second independent set for the multi-probe query. */
+  private lazy val AnnPlanes2 = Similarity.randomPlanes(AnnBits, AnnDim, AnnSeed + 1)
 
   // DuckDB mirrors. The multi-line/generated ones are built with Scala
   // string ops; they are still plain ANSI-ish SQL at the driver.
@@ -587,13 +600,15 @@ object ExtQueries {
   /** Sign-LSH bucket in DuckDB: the SAME seeded planes as the Spark side,
     * rendered as list literals; list_dot_product is bit-identical to the
     * codegen'd vec_dot (strict in-order accumulation, VecMathSpec). */
-  private def bucketSql(v: String): String = AnnPlanes.zipWithIndex
-    .map { case (p, i) =>
+  private def bucketSqlWith(v: String, planes: Seq[Seq[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
       val plane = p.mkString("[", ", ", "]")
       s"""(CASE WHEN list_dot_product(
             list_transform($v, x -> CAST(x AS DOUBLE)), $plane) > 0
           THEN ${1L << i} ELSE 0 END)"""
     }.mkString(" + ")
+
+  private def bucketSql(v: String): String = bucketSqlWith(v, AnnPlanes)
 
   /** 3-gram shingle list of `lower(text)` in DuckDB. */
   private val ShinglesSql =
@@ -907,6 +922,27 @@ object ExtQueries {
               ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id) AS INTEGER) AS rank
           FROM c JOIN q USING (bucket)
           QUALIFY rank <= 3 ORDER BY q_id, rank""",
+
+    "q_ann_multiprobe" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 5),
+          qb AS (SELECT q_id, 0 AS ps, ${bucketSqlWith("q_vec", AnnPlanes)} AS bucket FROM q
+            UNION ALL
+            SELECT q_id, 1 AS ps, ${bucketSqlWith("q_vec", AnnPlanes2)} AS bucket FROM q),
+          cb AS (SELECT vec_id, 0 AS ps, ${bucketSqlWith("embedding", AnnPlanes)} AS bucket
+              FROM embeddings
+            UNION ALL
+            SELECT vec_id, 1 AS ps, ${bucketSqlWith("embedding", AnnPlanes2)} AS bucket
+              FROM embeddings),
+          cand AS (SELECT DISTINCT q_id, vec_id FROM cb JOIN qb USING (ps, bucket)),
+          scored AS (SELECT cand.q_id, cand.vec_id,
+              ${cosSql("qe.embedding", "ce.embedding")} AS cos
+            FROM cand JOIN embeddings qe ON cand.q_id = qe.vec_id
+                      JOIN embeddings ce ON cand.vec_id = ce.vec_id)
+          SELECT q_id, vec_id, cos,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+          FROM scored QUALIFY rank <= 3 ORDER BY q_id, rank""",
 
     "q_ann_ivf" ->
       s"""WITH cent0 AS (SELECT vec_id AS list, embedding AS c_vec

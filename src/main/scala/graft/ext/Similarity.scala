@@ -102,6 +102,40 @@ object Similarity {
       .select(col(qId), col(cId), col("cos"), col("rank"))
   }
 
+  /** Multi-probe sign-LSH: L INDEPENDENT plane sets, candidates = the
+    * union of per-set bucket matches, exact cosine once per distinct
+    * candidate pair. This is the documented recall-recovery path (see
+    * SCALING.md): at fixed bits recall drops as buckets shrink; adding
+    * plane sets multiplies the chance that a true neighbor shares at
+    * least one bucket, at L× the (map-only) bucketing cost and ~L× the
+    * candidate volume — never a cross product. Plan shape: both sides
+    * explode to (set_id, bucket) rows — the same banding trick as
+    * MinHash-LSH — one (set_id, bucket) shuffle, distinct candidates,
+    * then score against the broadcast query set. */
+  def lshTopKMulti(queries: DataFrame, corpus: DataFrame, k: Int,
+                   planeSets: Seq[Seq[Seq[Double]]],
+                   qId: String = "q_id", cId: String = "vec_id",
+                   qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
+    require(planeSets.nonEmpty, "need at least one plane set")
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), explode(array(planeSets.zipWithIndex.map { case (p, i) =>
+          struct(lit(i).as("ps"), signBucket(col(vec), p).as("bucket"))
+        }: _*)).as("b"))
+        .select(col(id), col("b.ps").as("ps"), col("b.bucket").as("bucket"))
+    val cand = banded(corpus, cId, cVec)
+      .join(banded(queries, qId, qVec), Seq("ps", "bucket"))
+      .select(col(qId), col(cId)).distinct()
+    val q = queries.withColumn("__qn", vec_norm(col(qVec)))
+    val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
+    val scored = cand.join(broadcast(q), qId).join(c, cId)
+      .withColumn("cos", round(
+        vec_dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("cos"), col("rank"))
+  }
+
   // ───────────────────────── IVF (inverted-file) ANN ─────────────────────────
 
   /** Coarse centroids for the IVF index. Real deployments train these with

@@ -200,6 +200,28 @@ class ExtSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall too low for nProbe=2 of 8 lists")
   }
 
+  test("multi-probe LSH recall dominates any single plane set's") {
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
+      .select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val exact = Similarity.bruteForceTopK(q, e, 3)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val p1 = Similarity.randomPlanes(4, 64, 42L)
+    val p2 = Similarity.randomPlanes(4, 64, 43L)
+    def recall(hits: Set[(Long, Long)]) =
+      (exact intersect hits).size.toDouble / exact.size
+    val single = recall(Similarity.lshTopK(q, e, 3, p1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet)
+    val multi = recall(Similarity.lshTopKMulti(q, e, 3, Seq(p1, p2))
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet)
+    info(s"recall@3: single-set $single, multi-probe $multi")
+    // The union of candidate sets can only grow, so ranked-list recall
+    // is monotone in the number of plane sets.
+    assert(multi >= single, s"multi-probe $multi < single-set $single")
+    assert(multi > 0.5, s"two 4-bit sets should recover most neighbors, got $multi")
+  }
+
   test("approx_percentile (the 100TB path) tracks the exact percentile") {
     val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
     val r = docs.agg(
