@@ -387,6 +387,30 @@ class ExtSpec extends SparkSpec {
     assert(uncapped.count() == 2, "without the cap both bench docs match")
   }
 
+  test("contamination df-cap keeps candidate volume linear under a hot shingle") {
+    // Every doc (train AND bench) shares the boilerplate phrase — without
+    // the cap the shingle join would emit |train| × |bench| pairs; with it,
+    // output is driven by the genuine per-doc matches only.
+    val boiler = "all rights reserved worldwide"
+    val bench = (0L until 50L).map(i => (i, s"$boiler bench item number $i"))
+      .toDF("doc_id", "text")
+    val train = (1000L until 3000L).map(i =>
+      (i, s"$boiler train document body $i")).toDF("doc_id", "text")
+    val flagged = Contamination.contaminatedPairs(train, bench, "doc_id", "text",
+      n = 3, minHits = 1, maxShingleDf = 5)
+    // boilerplate shingles hit all 50 bench docs → capped out; the
+    // remaining shingles are doc-unique → zero cross matches.
+    assert(flagged.count() == 0,
+      "corpus-wide boilerplate must not produce quadratic pair output")
+    // A genuine leak through the same corpus still surfaces.
+    val leak = train.unionByName(
+      Seq((9999L, "bench item number 7 leaked verbatim")).toDF("doc_id", "text"))
+    val hits = Contamination.contaminatedPairs(leak, bench, "doc_id", "text",
+        n = 3, minHits = 1, maxShingleDf = 5)
+      .select("train_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(hits.contains((9999L, 7L)), s"the real leak must be flagged, got $hits")
+  }
+
   test("oovRatio: in-vocab docs score 0, out-of-vocab words raise the ratio") {
     val docs = Seq(
       (1L, "the the the cat"),    // all words in top-2 vocab {the, cat}
