@@ -363,6 +363,19 @@ object ExtQueries {
         .orderBy("a", "b")
     }),
 
+    "q_simhash_wide" -> ((s, dir) => {
+      // WIDE (banded-array) SimHash: 2 bands × 12 bits under band-salted
+      // word hashes — the construction that scales past the single-long
+      // width cap. Bands surface as separate columns (portable across
+      // engines where array renders are not).
+      val sigs = Dedup.simhashWide(read(s, dir, "documents"), "doc_id", "text",
+        bands = WideBands, sliceBits = WideSliceBits)
+      sigs.select(col("doc_id"),
+        element_at(col("simhash_bands"), 1).as("band0"),
+        element_at(col("simhash_bands"), 2).as("band1"))
+        .orderBy("doc_id")
+    }),
+
     // ───────── similarity search ─────────
     "q_ann_topk" -> ((s, dir) => {
       // Brute-force cosine top-5: exact baseline; query set broadcast,
@@ -556,6 +569,8 @@ object ExtQueries {
   private val SamplePerSource = 12
   private val PackBudget = 2048L
   private val PackShards = 4
+  private val WideBands = 2
+  private val WideSliceBits = 12
 
   /** Seeded hyperplanes shared by the Spark queries and the generated
     * DuckDB oracle text — same doubles on both sides by construction. */
@@ -587,6 +602,29 @@ object ExtQueries {
 
   private def simhashSql: String =
     s"WITH $simhashCtes SELECT doc_id, simhash FROM sig ORDER BY doc_id"
+
+  /** Wide (banded) simhash mirror: band-salted word hashes, one signature
+    * column per band — same construction as `Dedup.simhashWide`. */
+  private def simhashWideSql: String = {
+    val hexChars = (WideSliceBits + 3) / 4
+    val hashes = (0 until WideBands).map(b =>
+      s"CAST(('0x' || substr(md5('$b:' || word), 1, $hexChars)) AS BIGINT) AS h$b")
+      .mkString(", ")
+    val sums = (for { b <- 0 until WideBands; i <- 0 until WideSliceBits } yield
+      s"SUM(CASE WHEN (h$b >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s${b}_$i")
+      .mkString(", ")
+    val bands = (0 until WideBands).map { b =>
+      val sig = (0 until WideSliceBits)
+        .map(i => s"CASE WHEN s${b}_$i > 0 THEN ${1L << i} ELSE 0 END")
+        .mkString(" + ")
+      s"CAST($sig AS BIGINT) AS band$b"
+    }.mkString(", ")
+    s"""WITH w AS (SELECT doc_id,
+          unnest(list_distinct(str_split(lower(text), ' '))) AS word FROM documents),
+        h AS (SELECT doc_id, $hashes FROM w),
+        s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
+        SELECT doc_id, $bands FROM s ORDER BY doc_id"""
+  }
 
   /** Shared CTE fragments for the ANN oracles. */
   private def cosSql(a: String, b: String): String =
@@ -890,6 +928,8 @@ object ExtQueries {
           ORDER BY doc_id""",
 
     "q_simhash" -> simhashSql,
+
+    "q_simhash_wide" -> simhashWideSql,
 
     "q_simhash_pairs" ->
       s"""WITH $simhashCtes,
