@@ -149,6 +149,19 @@ object ExtQueries {
         .orderBy("bucket", "event_type")
     }),
 
+    "q_join_salted" -> ((s, dir) => {
+      // Skew-safe join (the join twin of q_agg_salted): events' hot user
+      // keys spread over 8 salted reducers, customer replicated 8×; the
+      // oracle is the PLAIN join — algebraic equivalence is the point.
+      val ev = read(s, dir, "events")
+        .select(col("user_id").as("c_custkey"), col("value"), col("event_id"))
+      val c = read(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      Analytics.saltedJoin(ev, c, "c_custkey", col("event_id"), 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_v"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_window_sliding" -> ((s, dir) => {
       // SLIDING-window aggregation (1 h window every 15 min): each event
       // lands in 4 overlapping buckets — Spark's window() expands them
@@ -713,6 +726,12 @@ object ExtQueries {
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_join_salted" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1 ORDER BY 1""",
 
     "q_window_sliding" ->
       """WITH x AS (SELECT event_type, value,

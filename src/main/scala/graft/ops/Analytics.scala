@@ -181,4 +181,26 @@ object Analytics {
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__psum")).as(sumName), sum(col("__pcnt")).as(cntName))
+
+  /** Skew-safe equi-join — the join-side twin of `saltedSumCount`: the
+    * skewed (fact) side salts its key from a unique column, the small
+    * side replicates each row across all `nSalts` values, and the join
+    * key becomes (key, salt) — a hot key's rows spread over `nSalts`
+    * reducers instead of serializing on one. Replication costs
+    * |right| × nSalts rows, so the right side must be the small one
+    * (dimension/lookup shape). Result rows are exactly the plain join's
+    * (each left row meets each matching right row once — the salt picks
+    * WHICH replica, never whether). Deterministic salt, not rand():
+    * re-runs and retried tasks salt identically. AQE's skew-join split
+    * covers sort-merge plans after the fact; salting is the explicit
+    * form that also survives plan changes and feeds downstream
+    * aggregation already spread. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltFrom: Column, nSalts: Int): DataFrame = {
+    require(nSalts >= 1, "need at least one salt")
+    val l = left.withColumn("__salt", pmod(saltFrom, lit(nSalts)))
+    val r = right.select(col("*"), explode(
+      array((0 until nSalts).map(lit): _*)).as("__salt"))
+    l.join(r, Seq(key, "__salt")).drop("__salt")
+  }
 }

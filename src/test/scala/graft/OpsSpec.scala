@@ -170,6 +170,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin returns exactly the plain join's rows on a skewed key") {
+    // 95 of 100 fact rows share one hot key; dim has multi-row matches
+    // (key 1 twice) and a dangling key (3) to exercise multiplicity.
+    val fact = (0 until 100)
+      .map(i => (i.toLong, if (i < 95) 1L else 2L, i * 1.5))
+      .toDF("id", "k", "v")
+    val dim = Seq((1L, "hot_a"), (1L, "hot_b"), (2L, "cold"), (3L, "none"))
+      .toDF("k", "tag")
+    val salted = Analytics.saltedJoin(fact, dim, "k", col("id"), 4)
+      .select("id", "tag").as[(Long, String)].collect().sorted.toSeq
+    val plain = fact.join(dim, Seq("k"))
+      .select("id", "tag").as[(Long, String)].collect().sorted.toSeq
+    assert(salted == plain, "salting must not change join multiplicity")
+  }
+
   test("saltedSumCount equals the plain groupBy on a skewed key") {
     // 90 rows on one hot key, 10 on another; salt from the unique row id.
     val df = (0 until 100)
