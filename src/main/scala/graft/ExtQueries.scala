@@ -383,9 +383,10 @@ object ExtQueries {
       // engines where array renders are not).
       val sigs = Dedup.simhashWide(read(s, dir, "documents"), "doc_id", "text",
         bands = WideBands, sliceBits = WideSliceBits)
-      sigs.select(col("doc_id"),
-        element_at(col("simhash_bands"), 1).as("band0"),
-        element_at(col("simhash_bands"), 2).as("band1"))
+      // Band columns derive from WideBands so query and oracle move in
+      // lockstep when the constant changes.
+      sigs.select(col("doc_id") +: (0 until WideBands).map(b =>
+          element_at(col("simhash_bands"), b + 1).as(s"band$b")): _*)
         .orderBy("doc_id")
     }),
 

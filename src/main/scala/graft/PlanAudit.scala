@@ -15,6 +15,46 @@ import org.apache.spark.sql.execution.FormattedMode
   * SPARK_GRAFT_FANOUT=true audits plans under the bench's input fan-out.
   */
 object PlanAudit {
+
+  /** Count plan nodes by WALKING the executed tree — the one shared
+    * definition (PlanShapeSpec asserts with it too). String greps lie:
+    * each InMemoryTableScan PRINTS its cache-fill recipe (including a
+    * FileScan) into the plan string, and "Exchange" is a substring of
+    * Broadcast/ReusedExchange. The walk follows AQE links
+    * (AdaptiveSparkPlanExec.executedPlan, QueryStageExec.plan) and
+    * SUBQUERY plans (DPP / scalar subqueries execute real scans and
+    * exchanges that are not `children`). */
+  def countNodes(plan: org.apache.spark.sql.execution.SparkPlan): Map[String, Int] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.aggregate.HashAggregateExec
+    def walk(p: SparkPlan): Map[String, Int] = {
+      val self = p match {
+        case _: FileSourceScanExec => Map("scans" -> 1)
+        case _: InMemoryTableScanExec => Map("cacheReads" -> 1)
+        case _: ShuffleExchangeExec => Map("shuffles" -> 1)
+        case _: BroadcastExchangeExec => Map("broadcasts" -> 1)
+        case _: ReusedExchangeExec => Map("reuse" -> 1)
+        case _: HashAggregateExec => Map("hashaggs" -> 1)
+        case _ => Map.empty[String, Int]
+      }
+      val kids = p.children ++
+        p.subqueries ++
+        (p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case s: QueryStageExec => Seq(s.plan)
+          case _ => Nil
+        })
+      kids.map(walk).foldLeft(self) { (acc, m) =>
+        (acc.keySet ++ m.keySet).map(k =>
+          k -> (acc.getOrElse(k, 0) + m.getOrElse(k, 0))).toMap
+      }
+    }
+    walk(plan)
+  }
+
   def main(args: Array[String]): Unit = {
     val executed = args.contains("--executed")
     val names0 = args.filterNot(_ == "--executed").toSeq
@@ -39,36 +79,7 @@ object PlanAudit {
         df.collect()
         println(df.queryExecution.executedPlan.toString
           .split("== Initial Plan ==").head)
-        // Count by WALKING the executed tree, not by grepping the plan
-        // string: each InMemoryTableScan PRINTS its cache-fill recipe
-        // (including a FileScan) into the string, and "Exchange" is a
-        // substring of Broadcast/ReusedExchange — string counts lie.
-        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-        import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-        import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
-        import org.apache.spark.sql.execution.aggregate.HashAggregateExec
-        def walk(p: SparkPlan): Map[String, Int] = {
-          val self = p match {
-            case _: FileSourceScanExec => Map("scans" -> 1)
-            case _: InMemoryTableScanExec => Map("cacheReads" -> 1)
-            case _: ShuffleExchangeExec => Map("shuffles" -> 1)
-            case _: BroadcastExchangeExec => Map("broadcasts" -> 1)
-            case _: ReusedExchangeExec => Map("reuse" -> 1)
-            case _: HashAggregateExec => Map("hashaggs" -> 1)
-            case _ => Map.empty[String, Int]
-          }
-          val kids = p.children ++ (p match {
-            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-            case s: QueryStageExec => Seq(s.plan)
-            case _ => Nil
-          })
-          kids.map(walk).foldLeft(self) { (acc, m) =>
-            (acc.keySet ++ m.keySet).map(k =>
-              k -> (acc.getOrElse(k, 0) + m.getOrElse(k, 0))).toMap
-          }
-        }
-        val c = walk(df.queryExecution.executedPlan).withDefaultValue(0)
+        val c = countNodes(df.queryExecution.executedPlan).withDefaultValue(0)
         println(s"[planaudit] scans=${c("scans")} cacheReads=${c("cacheReads")} " +
           s"shuffles=${c("shuffles")} broadcasts=${c("broadcasts")} " +
           s"reuse=${c("reuse")} hashaggs=${c("hashaggs")}")

@@ -33,6 +33,21 @@ object Similarity {
 
   import graft.functions.VecMath.{vec_dot, vec_norm}
 
+  /** The scoring tail every ANN path shares: rounded cosine from
+    * pre-projected norms (`__qn`/`__cn`), rank per query with ties on the
+    * corpus id, keep top-k. ONE definition — the rounding and tie-break
+    * convention is what the oracle hash-match depends on, so it must not
+    * drift between the brute-force, LSH, multi-probe, and IVF paths. */
+  private def scoreAndRank(pairs: DataFrame, k: Int, qId: String, cId: String,
+                           qVec: String, cVec: String): DataFrame = {
+    val scored = pairs.withColumn("cos", round(
+      vec_dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
+    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("cos"), col("rank"))
+  }
+
   /** Exact top-k neighbors of each query vector by cosine similarity.
     * `queries` is expected small → broadcast; corpus streams through one
     * task set. Cosine is rounded to 6dp before ranking so ordering is
@@ -44,13 +59,7 @@ object Similarity {
     // each pair evaluates one dot product instead of three folds.
     val q = queries.withColumn("__qn", vec_norm(col(qVec)))
     val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
-    val scored = c.join(broadcast(q))
-      .withColumn("cos", round(
-        vec_dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col(cId), col("cos"), col("rank"))
+    scoreAndRank(c.join(broadcast(q)), k, qId, cId, qVec, cVec)
   }
 
   /** Seeded pseudo-random hyperplanes for sign-LSH: `bits` planes of `dim`
@@ -93,13 +102,7 @@ object Similarity {
       .withColumn("__qn", vec_norm(col(qVec)))
     val cb = corpus.withColumn("bucket", signBucket(col(cVec), planes))
       .withColumn("__cn", vec_norm(col(cVec)))
-    val scored = cb.join(qb, Seq("bucket"))
-      .withColumn("cos", round(
-        vec_dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col(cId), col("cos"), col("rank"))
+    scoreAndRank(cb.join(qb, Seq("bucket")), k, qId, cId, qVec, cVec)
   }
 
   /** Multi-probe sign-LSH: L INDEPENDENT plane sets, candidates = the
@@ -127,13 +130,7 @@ object Similarity {
       .select(col(qId), col(cId)).distinct()
     val q = queries.withColumn("__qn", vec_norm(col(qVec)))
     val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
-    val scored = cand.join(broadcast(q), qId).join(c, cId)
-      .withColumn("cos", round(
-        vec_dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col(cId), col("cos"), col("rank"))
+    scoreAndRank(cand.join(broadcast(q), qId).join(c, cId), k, qId, cId, qVec, cVec)
   }
 
   // ───────────────────────── IVF (inverted-file) ANN ─────────────────────────
@@ -237,13 +234,8 @@ object Similarity {
           .orderBy(col("pc.pcos").desc, col("pc.list"))))
       .filter(col("prank") <= nProbe)
       .select(col(qId), col(qVec), col("__qn"), col("pc.list").as("list"))
-    val scored = assigned.join(broadcast(probes), Seq("list"))
-      .withColumn("cos", round(
-        vec_dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cos").desc, col(cId))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col(cId), col("cos"), col("rank"))
+    scoreAndRank(assigned.join(broadcast(probes), Seq("list")),
+      k, qId, cId, qVec, cVec)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted

@@ -198,7 +198,11 @@ object Analytics {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltFrom: Column, nSalts: Int): DataFrame = {
     require(nSalts >= 1, "need at least one salt")
-    val l = left.withColumn("__salt", pmod(saltFrom, lit(nSalts)))
+    // NULL saltFrom → salt 0, NOT a NULL salt: an inner join on a NULL
+    // salt would silently drop the row, breaking join equivalence. Salt
+    // quality only affects the skew spread, never correctness.
+    val l = left.withColumn("__salt",
+      coalesce(pmod(saltFrom, lit(nSalts)), lit(0)))
     val r = right.select(col("*"), explode(
       array((0 until nSalts).map(lit): _*)).as("__salt"))
     l.join(r, Seq(key, "__salt")).drop("__salt")

@@ -183,6 +183,11 @@ class OpsSpec extends SparkSpec {
     val plain = fact.join(dim, Seq("k"))
       .select("id", "tag").as[(Long, String)].collect().sorted.toSeq
     assert(salted == plain, "salting must not change join multiplicity")
+    // A NULL salt source must not drop the row (it folds to salt 0).
+    val nullSalt = Seq((Some(7L), 2L, 1.0), (None, 2L, 2.0))
+      .toDF("id", "k", "v")
+    assert(Analytics.saltedJoin(nullSalt, dim, "k", col("id"), 4).count() == 2,
+      "NULL salt source must still join")
   }
 
   test("saltedSumCount equals the plain groupBy on a skewed key") {

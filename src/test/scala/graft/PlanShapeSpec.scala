@@ -45,29 +45,14 @@ class PlanShapeSpec extends SparkSpec {
   test("q_curation_pipeline reads documents only through the cached corpus") {
     // String-counting FileScans would be fooled here: each cache
     // reference PRINTS the InMemoryRelation's fill recipe (which contains
-    // the file scan) — so walk the executed tree instead, where the
-    // cache recipe is not a child and only real scans appear.
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    // the file scan) — so count via the shared executed-tree walk
+    // (PlanAudit.countNodes), where the cache recipe is not a child and
+    // only real scans appear.
     val df = SparkEntry.queries("q_curation_pipeline")(spark, dir)
     df.collect()
-    def walk(p: SparkPlan): (Int, Int) = {
-      val self = p match {
-        case _: FileSourceScanExec => (1, 0)
-        case _: InMemoryTableScanExec => (0, 1)
-        case _ => (0, 0)
-      }
-      val kids = (p.children ++ (p match {
-        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: QueryStageExec => Seq(q.plan)
-        case _ => Nil
-      })).map(walk)
-      (self._1 + kids.map(_._1).sum, self._2 + kids.map(_._2).sum)
-    }
-    val (fileScans, cacheReads) = walk(df.queryExecution.executedPlan)
-    assert(fileScans == 0, "every documents read must go through the cache")
-    assert(cacheReads >= 2, s"expected multiple cache consumers, got $cacheReads")
+    val c = PlanAudit.countNodes(df.queryExecution.executedPlan).withDefaultValue(0)
+    assert(c("scans") == 0, "every documents read must go through the cache")
+    assert(c("cacheReads") >= 2, s"expected multiple cache consumers, got ${c("cacheReads")}")
   }
 
   test("q_simhash_pairs computes signatures once (exchange reuse)") {
