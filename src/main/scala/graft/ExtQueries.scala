@@ -149,6 +149,16 @@ object ExtQueries {
         .orderBy("bucket", "event_type")
     }),
 
+    "q_winsorize" -> ((s, dir) => {
+      // Outlier clipping: events.value clipped to per-type [p05, p95].
+      graft.ops.Cleaning.winsorize(
+          read(s, dir, "events").select("event_id", "event_type", "value"),
+          "value", Seq("event_type"), lo = 0.05, hi = 0.95)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("clipped"))
+        .orderBy("event_id")
+    }),
+
     "q_join_salted" -> ((s, dir) => {
       // Skew-safe join (the join twin of q_agg_salted): events' hot user
       // keys spread over 8 salted reducers, customer replicated 8×; the
@@ -727,6 +737,15 @@ object ExtQueries {
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_winsorize" ->
+      """WITH b AS (SELECT event_type,
+             ROUND(quantile_cont(value, 0.05), 6) AS lo,
+             ROUND(quantile_cont(value, 0.95), 6) AS hi
+           FROM events GROUP BY 1)
+         SELECT event_id, e.event_type,
+           ROUND(LEAST(GREATEST(value, lo), hi), 6) AS clipped
+         FROM events e JOIN b USING (event_type) ORDER BY event_id""",
 
     "q_join_salted" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

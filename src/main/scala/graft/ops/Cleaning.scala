@@ -44,4 +44,25 @@ object Cleaning {
 
   /** null → 0.0 for lag-edge rows (ref `.fillna(0)`, `etl.py:167,170,422`). */
   def zeroIfNull(c: Column): Column = coalesce(c, lit(0.0))
+
+  /** Winsorization: clip a numeric column to its per-group [lo, hi]
+    * percentiles — the standard outlier treatment before a numeric
+    * feature feeds training. Exact R-7 percentiles (the q_length_stats
+    * convention — matches DuckDB quantile_cont), rounded to 6dp BEFORE
+    * clipping so both engines clip against the identical boundary.
+    *
+    * Plan: one aggregate pass computes every group's bounds (map-side
+    * partial percentile buffers), then a broadcast join feeds
+    * least/greatest — group count is dimension-like (bounded), so the
+    * fact side never shuffles; clipping is map-only codegen'd work. */
+  def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    val bounds = df.groupBy(groupCols.map(col): _*).agg(
+      round(percentile(col(valueCol), lit(lo)), 6).as("__lo"),
+      round(percentile(col(valueCol), lit(hi)), 6).as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(valueCol, least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
 }

@@ -170,6 +170,22 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("winsorize clips per group, leaves interior values untouched") {
+    // Group a: 1..100 → p05 ≈ 5.95, p95 ≈ 95.05 (R-7 interpolation).
+    // Group b: constant 7 → bounds 7/7, everything stays 7.
+    val df = ((1 to 100).map(i => ("a", i.toDouble)) ++
+      Seq.fill(10)(("b", 7.0))).toDF("g", "v")
+    val out = graft.ops.Cleaning.winsorize(df, "v", Seq("g"), 0.05, 0.95)
+    val a = out.filter(col("g") === "a").select("v").as[Double].collect()
+    assert(a.min == 5.95 && a.max == 95.05, s"bounds ${a.min}..${a.max}")
+    assert(a.count(v => v == 50.0) == 1, "interior values untouched")
+    assert(out.filter(col("g") === "b").select("v").as[Double].collect()
+      .forall(_ == 7.0), "degenerate group is a no-op")
+    intercept[IllegalArgumentException] {
+      graft.ops.Cleaning.winsorize(df, "v", Seq("g"), 0.9, 0.1)
+    }
+  }
+
   test("saltedJoin returns exactly the plain join's rows on a skewed key") {
     // 95 of 100 fact rows share one hot key; dim has multi-row matches
     // (key 1 twice) and a dangling key (3) to exercise multiplicity.
