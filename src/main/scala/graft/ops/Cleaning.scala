@@ -51,18 +51,32 @@ object Cleaning {
     * convention — matches DuckDB quantile_cont), rounded to 6dp BEFORE
     * clipping so both engines clip against the identical boundary.
     *
-    * Plan: one aggregate pass computes every group's bounds (map-side
-    * partial percentile buffers), then a broadcast join feeds
+    * Semantics a cleaning op owes dirty data: a NULL value stays NULL
+    * (imputation is imputeMean/zeroIfNull's explicit job — greatest/
+    * least SKIP nulls, which would silently fabricate the p05 value);
+    * a NULL group key keeps its rows and clips within the NULL group
+    * (the join is null-safe — plain using-column equality would drop
+    * them); output columns keep the input's order.
+    *
+    * Plan: ONE aggregate pass computes both bounds via a single
+    * array-percentile buffer per group, then a broadcast join feeds
     * least/greatest — group count is dimension-like (bounded), so the
-    * fact side never shuffles; clipping is map-only codegen'd work. */
+    * fact side never shuffles; clipping is map-only codegen'd work.
+    * Exact percentile partials buffer the group's values; at corpus
+    * scale swap in `approx_percentile` (mergeable sketch, same shape —
+    * the q_length_stats twin verifies it tracks exact). */
   def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
                 lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
-    val bounds = df.groupBy(groupCols.map(col): _*).agg(
-      round(percentile(col(valueCol), lit(lo)), 6).as("__lo"),
-      round(percentile(col(valueCol), lit(hi)), 6).as("__hi"))
-    df.join(broadcast(bounds), groupCols)
-      .withColumn(valueCol, least(greatest(col(valueCol), col("__lo")), col("__hi")))
-      .drop("__lo", "__hi")
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), array(lit(lo), lit(hi))).as("__b"))
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) :+
+        round(element_at(col("__b"), 1), 6).as("__lo") :+
+        round(element_at(col("__b"), 2), 6).as("__hi"): _*)
+    val joinCond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(broadcast(bounds), joinCond)
+      .withColumn(valueCol, when(col(valueCol).isNotNull,
+        least(greatest(col(valueCol), col("__lo")), col("__hi"))))
+      .select(df.columns.map(col): _*)
   }
 }

@@ -184,6 +184,18 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       graft.ops.Cleaning.winsorize(df, "v", Seq("g"), 0.9, 0.1)
     }
+    // Dirty-data contract: NULL group keys keep their rows (null-safe
+    // join), NULL values stay NULL (no silent p05 imputation), and the
+    // output schema keeps the input's column order.
+    val dirty = Seq((1L, Some("a"), Some(10.0)), (2L, None, Some(5.0)),
+      (3L, None, Some(50.0)), (4L, Some("a"), None))
+      .toDF("id", "g", "v")
+    val cleaned = graft.ops.Cleaning.winsorize(dirty, "v", Seq("g"), 0.05, 0.95)
+    assert(cleaned.columns.toSeq == Seq("id", "g", "v"), "column order preserved")
+    assert(cleaned.count() == 4, "NULL group keys must not drop rows")
+    val byId = cleaned.select("id", "v").as[(Long, Option[Double])].collect().toMap
+    assert(byId(4L).isEmpty, "NULL value stays NULL")
+    assert(byId(2L).nonEmpty && byId(3L).nonEmpty, "NULL group clips within itself")
   }
 
   test("saltedJoin returns exactly the plain join's rows on a skewed key") {
