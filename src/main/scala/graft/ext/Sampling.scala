@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   * partitioning, any engine (md5 is the repo's portable-hash convention —
   * the DuckDB oracle reproduces buckets bit-for-bit). All map-only
   * codegen'd expressions: zero shuffles, embarrassingly parallel.
+  *
+  * NULL-key contract (explicit, because the hash of NULL is NULL and
+  * three-valued logic decides differently per call): `hashSample` and
+  * `stratifiedHashSample` DROP null-keyed rows (a NULL bucket fails the
+  * filter — matching SQL WHERE semantics); `splitLabel` assigns them
+  * 'test' (the when-chain's otherwise); `samplePerGroup` and
+  * `packByBudget` keep them (window partitions treat NULL as a group).
+  * Sample keys should be non-null ids; filter or synthesize keys first
+  * when they are not.
   */
 object Sampling {
 
