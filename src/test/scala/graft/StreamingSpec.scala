@@ -113,6 +113,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 3.0)), s"hour-0 window for type a emitted once, got $got")
   }
 
+  test("streaming curation composition: quality gate -> dedup -> windowed counts") {
+    // The curation shape end-to-end in STREAMING mode from the same
+    // operator library: map-only quality expressions apply unchanged,
+    // dropDuplicatesWithinWatermark suppresses the re-sent event, and
+    // the windowed aggregate sees each surviving event once. Complete
+    // mode so the assertion reads final state without watermark timing.
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val gated = mem.toDF()
+      .filter(col("value") > 0)                       // quality gate
+      .filter(col("event_type") =!= "error")          // allowlist
+    val deduped = EventStream.dedupWithinWatermark(gated, Seq("event_id"), "1 hour")
+    val q = deduped
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("curated_out")
+      .outputMode(OutputMode.Complete()).start()
+    mem.addData(
+      ev(1, "2024-01-01 00:05:00", 1, "a", 1.0),
+      ev(1, "2024-01-01 00:06:00", 1, "a", 1.0),  // dup: suppressed
+      ev(2, "2024-01-01 00:10:00", 1, "a", -3.0), // fails quality gate
+      ev(3, "2024-01-01 00:20:00", 2, "error", 1.0), // blocked type
+      ev(4, "2024-01-01 00:30:00", 2, "a", 2.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("curated_out")
+      .select("event_type", "n").as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L)), s"expected events 1 and 4 only, got $got")
+  }
+
   test("deterministic sampling makes identical decisions on stream and batch") {
     // Sampling is a pure key function (no rand(), no state) so the SAME
     // rows survive in streaming and batch — a property rand(seed)-based
