@@ -75,6 +75,13 @@ class PlanShapeSpec extends SparkSpec {
       s"overlapping windows must expand map-side:\n$plan")
   }
 
+  test("q_winsorize broadcasts the per-group bounds (fact side never shuffles)") {
+    val plan = executedPlan("q_winsorize")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast bounds join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the clipped side must stream map-side:\n$plan")
+  }
+
   test("q_contamination broadcasts the capped bench side (train never shuffles for the join)") {
     val plan = executedPlan("q_contamination")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast shingle join:\n$plan")
