@@ -744,8 +744,10 @@ object ExtQueries {
              ROUND(quantile_cont(value, 0.95), 6) AS hi
            FROM events GROUP BY 1)
          SELECT event_id, e.event_type,
-           ROUND(LEAST(GREATEST(value, lo), hi), 6) AS clipped
-         FROM events e JOIN b USING (event_type) ORDER BY event_id""",
+           CASE WHEN value IS NULL THEN NULL
+                ELSE ROUND(LEAST(GREATEST(value, lo), hi), 6) END AS clipped
+         FROM events e JOIN b ON e.event_type IS NOT DISTINCT FROM b.event_type
+         ORDER BY event_id""",
 
     "q_join_salted" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

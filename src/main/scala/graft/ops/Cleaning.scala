@@ -73,8 +73,14 @@ object Cleaning {
       .select(groupCols.map(c => col(c).as(s"__g_$c")) :+
         round(element_at(col("__b"), 1), 6).as("__lo") :+
         round(element_at(col("__b"), 2), 6).as("__hi"): _*)
-    val joinCond = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
-    df.join(broadcast(bounds), joinCond)
+    // Empty groupCols = GLOBAL winsorization: one bounds row, broadcast
+    // cross join (the imputeMean shape) — reduce over zero conditions
+    // would throw.
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds),
+        groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _))
+    joined
       .withColumn(valueCol, when(col(valueCol).isNotNull,
         least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .select(df.columns.map(col): _*)

@@ -195,7 +195,16 @@ class OpsSpec extends SparkSpec {
     assert(cleaned.count() == 4, "NULL group keys must not drop rows")
     val byId = cleaned.select("id", "v").as[(Long, Option[Double])].collect().toMap
     assert(byId(4L).isEmpty, "NULL value stays NULL")
-    assert(byId(2L).nonEmpty && byId(3L).nonEmpty, "NULL group clips within itself")
+    // R-7 bounds of the NULL group [5, 50] at .05/.95 are 7.25/47.75 —
+    // exact values pin that NULL-keyed rows clip against THEIR OWN
+    // group's bounds, not some other group's.
+    assert(byId(2L) == Some(7.25) && byId(3L) == Some(47.75),
+      s"NULL group clips within itself, got ${byId(2L)}/${byId(3L)}")
+    // Empty groupCols = global winsorization (broadcast 1-row bounds).
+    val global = graft.ops.Cleaning.winsorize(df, "v", Seq.empty, 0.05, 0.95)
+    assert(global.count() == df.count(), "global winsorize keeps every row")
+    assert(global.agg(max(col("v"))).as[Double].head() < 100.0,
+      "global upper bound must clip the max")
   }
 
   test("saltedJoin returns exactly the plain join's rows on a skewed key") {
