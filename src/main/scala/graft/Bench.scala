@@ -35,7 +35,7 @@ object Bench {
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
-        df.select(xxhash64(df.columns.map(col): _*).as("__h"))
+        df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
           .agg(sum(col("__h"))).collect()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>

@@ -281,7 +281,7 @@ object Dedup {
     // sum over ZERO rows is NULL — an empty pair graph (perfectly clean
     // corpus) is already converged, not an error.
     var checksum = labels.agg(sum(col("cluster").cast(DecimalType(38, 0))))
-      .head.getDecimal(0)
+      .head().getDecimal(0)
     var converged = checksum == null
     var it = 0
     def hop(l: DataFrame): DataFrame = {
@@ -297,7 +297,7 @@ object Dedup {
         // on these shallow graphs — keep the simple loop.
         val next = hop(labels).persist()
         val nextSum = next.agg(sum(col("cluster").cast(DecimalType(38, 0))))
-          .head.getDecimal(0)
+          .head().getDecimal(0)
         converged = nextSum.compareTo(checksum) == 0
         labels.unpersist()
         labels = next

@@ -121,7 +121,7 @@ object Sampling {
       // `div`, not floor(a / b): long / long is DOUBLE division, whose
       // 53-bit mantissa mis-floors prefix sums past 2^53 — exactly the
       // corpus sizes this module advertises. div is exact at any size.
-      .select(df.columns.map(col) :+
+      .select(df.columns.toIndexedSeq.map(col) :+
         col("__shard").as("shard") :+
         expr(s"__before div $budget").as("pack_id"): _*)
   }

@@ -80,7 +80,7 @@ object Analytics {
       d.withColumn(out, col("__m").getField(out))
     }
     extracted.filter(col("__src") === 1).drop("__src", "__r", "__m")
-      .select(left.columns.map(col) ++ rightVals.values.map(col): _*)
+      .select((left.columns.toIndexedSeq.map(col) ++ rightVals.values.map(col)): _*)
   }
 
   /** Bounded-interval (range) join without a cross product: for each left

@@ -83,6 +83,6 @@ object Cleaning {
     joined
       .withColumn(valueCol, when(col(valueCol).isNotNull,
         least(greatest(col(valueCol), col("__lo")), col("__hi"))))
-      .select(df.columns.map(col): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 }

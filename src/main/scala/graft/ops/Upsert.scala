@@ -37,7 +37,7 @@ object Upsert {
     val deduped = dedupOnKey(incoming, keys, tieBreak)
     val fresh = deduped.join(existing.select(keys.map(col): _*).distinct(),
       keys, "left_anti")
-    existing.unionByName(fresh.select(existing.columns.map(col): _*))
+    existing.unionByName(fresh.select(existing.columns.toIndexedSeq.map(col): _*))
   }
 
   /** The batch's fresh rows against a PARTITIONED parquet sink, reading
