@@ -74,7 +74,15 @@ object Bench {
     // breakage signal instead.
     val total = results.values.filter(_ >= 0).sum
     val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures only the TAIL of stdout, so a single long line
+    // loses its head (the total) — r02/r03 both came back parsed:null.
+    // Emit the long per-query line first, then a SHORT final summary line
+    // that survives any tail window; the full JSON also lands in a file.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(full)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

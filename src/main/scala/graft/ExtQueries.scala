@@ -400,6 +400,19 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_simhash_wide_pairs" -> ((s, dir) => {
+      // Near-dup PAIRS over the wide banded signatures — the operator the
+      // wide construction exists for. Bucket key = the band element itself
+      // (no cross-word bit slicing); pigeonhole needs maxHamming < bands,
+      // so 2 bands → hamming ≤ 1, and the bucket join returns EXACTLY all
+      // pairs at that radius (verify inside buckets only).
+      val sigs = Dedup.simhashWide(read(s, dir, "documents"), "doc_id", "text",
+        bands = WideBands, sliceBits = WideSliceBits)
+      Dedup.simhashWideDupPairs(sigs, "doc_id", "simhash_bands",
+          bands = WideBands, maxHamming = WideMaxHamming)
+        .orderBy("a", "b")
+    }),
+
     // ───────── similarity search ─────────
     "q_ann_topk" -> ((s, dir) => {
       // Brute-force cosine top-5: exact baseline; query set broadcast,
@@ -595,6 +608,8 @@ object ExtQueries {
   private val PackShards = 4
   private val WideBands = 2
   private val WideSliceBits = 12
+  // Pigeonhole recall guarantee requires maxHamming < WideBands.
+  private val WideMaxHamming = 1
 
   /** Seeded hyperplanes shared by the Spark queries and the generated
     * DuckDB oracle text — same doubles on both sides by construction. */
@@ -627,9 +642,11 @@ object ExtQueries {
   private def simhashSql: String =
     s"WITH $simhashCtes SELECT doc_id, simhash FROM sig ORDER BY doc_id"
 
-  /** Wide (banded) simhash mirror: band-salted word hashes, one signature
-    * column per band — same construction as `Dedup.simhashWide`. */
-  private def simhashWideSql: String = {
+  /** Wide (banded) simhash CTE chain ending in
+    * `wsig(doc_id, band0..band{WideBands-1})`: band-salted word hashes, one
+    * signature column per band — same construction as `Dedup.simhashWide`.
+    * Shared by the signature query and the pair query. */
+  private def simhashWideCtes: String = {
     val hexChars = (WideSliceBits + 3) / 4
     val hashes = (0 until WideBands).map(b =>
       s"CAST(('0x' || substr(md5('$b:' || word), 1, $hexChars)) AS BIGINT) AS h$b")
@@ -643,11 +660,36 @@ object ExtQueries {
         .mkString(" + ")
       s"CAST($sig AS BIGINT) AS band$b"
     }.mkString(", ")
-    s"""WITH w AS (SELECT doc_id,
+    s"""w AS (SELECT doc_id,
           unnest(list_distinct(str_split(lower(text), ' '))) AS word FROM documents),
         h AS (SELECT doc_id, $hashes FROM w),
-        s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id)
-        SELECT doc_id, $bands FROM s ORDER BY doc_id"""
+        s AS (SELECT doc_id, $sums FROM h GROUP BY doc_id),
+        wsig AS (SELECT doc_id, $bands FROM s)"""
+  }
+
+  private def simhashWideSql: String = {
+    val cols = (0 until WideBands).map(b => s"band$b").mkString(", ")
+    s"WITH $simhashWideCtes SELECT doc_id, $cols FROM wsig ORDER BY doc_id"
+  }
+
+  /** Pair mirror over the wide signatures: band-element bucket join +
+    * exact per-band popcount hamming, same two-stage shape as the Spark
+    * side (pigeonhole: hamming ≤ WideMaxHamming < WideBands → some band
+    * element identical, so the bucket join is lossless). */
+  private def simhashWidePairsSql: String = {
+    val slice = (0 until WideBands)
+      .map(b => s"WHEN $b THEN band$b").mkString("CASE band_id ", " ", " END")
+    val hamming = (0 until WideBands)
+      .map(b => s"bit_count(xor(l.band$b, r.band$b))").mkString(" + ")
+    s"""WITH $simhashWideCtes,
+        bandids AS (SELECT unnest(generate_series(0, ${WideBands - 1})) AS band_id),
+        banded AS (SELECT *, $slice AS slice FROM wsig CROSS JOIN bandids),
+        cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+            CAST($hamming AS INTEGER) AS hamming
+          FROM banded l JOIN banded r USING (band_id, slice)
+          WHERE l.doc_id < r.doc_id)
+        SELECT a, b, hamming FROM cand WHERE hamming <= $WideMaxHamming
+        ORDER BY a, b"""
   }
 
   /** Shared CTE fragments for the ANN oracles. */
@@ -971,6 +1013,8 @@ object ExtQueries {
     "q_simhash" -> simhashSql,
 
     "q_simhash_wide" -> simhashWideSql,
+
+    "q_simhash_wide_pairs" -> simhashWidePairsSql,
 
     "q_simhash_pairs" ->
       s"""WITH $simhashCtes,
