@@ -224,6 +224,71 @@ object Similarity {
                   qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
     val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
     val assigned = c.withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
+    searchAssigned(assigned, queries, cents, k, nProbe, qId, cId, qVec, cVec)
+  }
+
+  // ─────────────────── persisted IVF index (build once, search many) ───────────────────
+
+  /** Materialize an IVF index to `path`: `centroids/` (one row per list:
+    * id + component array — driver-bounded metadata) and `lists/` (every
+    * corpus row with its precomputed norm, written PARTITIONED BY the
+    * assigned list id). At 100 TB the index is built once and searched
+    * many times — the partitioned layout means a search touches only the
+    * probed lists' files (partition pruning), and the stored norms make
+    * scoring one dot product per candidate. Build cost: one Lloyd
+    * training pass (`rounds` linear scans + tiny aggs) + one assign-and-
+    * write pass over the corpus; no corpus shuffle beyond the writer's
+    * per-partition split. */
+  def writeIvfIndex(corpus: DataFrame, nLists: Int, path: String,
+                    rounds: Int = 1, cId: String = "vec_id",
+                    cVec: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val cents = ivfCentroidsLloyd(corpus, nLists, cId, cVec, rounds)
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types._
+    val centSchema = StructType(Seq(StructField("list", LongType, nullable = false),
+      StructField("c_vec", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val centRows = cents.map { case (id, v) =>
+      org.apache.spark.sql.Row(id, v) }.asJava
+    spark.createDataFrame(centRows, centSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
+    c.withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
+  }
+
+  /** Read back the index's centroid metadata (nLists × dim doubles). */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[(Long, Seq[Double])] =
+    spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("list")),
+        r.getSeq[Double](r.fieldIndex("c_vec"))))
+      .sortBy(_._1).toSeq
+
+  /** Search a persisted IVF index: probe selection runs against the tiny
+    * centroid metadata; the probed lists arrive as a BROADCAST join
+    * against the partitioned `lists/` table, so only the probed
+    * partitions' files are read (partition pruning on the partition
+    * column + dynamic pruning under AQE) and the corpus never shuffles.
+    * Same ranking contract as every other ANN path (scoreAndRank). */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, k: Int, nProbe: Int,
+                     qId: String = "q_id", cId: String = "vec_id",
+                     qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
+    val cents = readIvfCentroids(spark, path)
+    val assigned = spark.read.parquet(s"$path/lists")
+    searchAssigned(assigned, queries, cents, k, nProbe, qId, cId, qVec, cVec)
+  }
+
+  /** Shared search tail over an already-assigned corpus (in-memory or read
+    * back from a persisted index): rank each query's nProbe nearest lists,
+    * broadcast the probes into the list-keyed corpus, exact cosine only
+    * inside probed lists. */
+  private def searchAssigned(assigned: DataFrame, queries: DataFrame,
+                             cents: Seq[(Long, Seq[Double])], k: Int, nProbe: Int,
+                             qId: String, cId: String, qVec: String,
+                             cVec: String): DataFrame = {
     val q = queries.withColumn("__qn", vec_norm(col(qVec)))
     val probes = q
       .withColumn("pc", explode(array(cents.map { case (id, cent) =>
