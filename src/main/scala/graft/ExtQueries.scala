@@ -159,6 +159,43 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    "q_winsorize_approx" -> ((s, dir) => {
+      // The sketch-percentile contract (the q_approx_distinct trick,
+      // applied to approx_percentile — SCALING.md's 100 TB path for every
+      // percentile operator): emit the EXACT per-type bounds (oracle-
+      // reproducible via quantile_cont) plus booleans asserting the
+      // sketch bound's EMPIRICAL RANK lands within ε of the target
+      // percentile. Rank, not value, is what the sketch guarantees
+      // (≤ 1/accuracy of the group), so the check is robust to
+      // partitioning while ε = 2% leaves orders of magnitude of margin —
+      // the oracle emits the exact bounds + literal TRUE.
+      val ev = read(s, dir, "events").select("event_type", "value")
+      val bounds = ev.groupBy("event_type").agg(
+        percentile(col("value"), array(lit(0.05), lit(0.95))).as("__ex"),
+        approx_percentile(col("value"), array(lit(0.05), lit(0.95)),
+          lit(PctSketchAccuracy)).as("__ap"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(
+          round(min(element_at(col("__ex"), 1)), 6).as("lo_exact"),
+          round(min(element_at(col("__ex"), 2)), 6).as("hi_exact"),
+          // Empirical CDF at the sketch bound, over non-null values only
+          // (percentile and quantile_cont both ignore NULLs).
+          (sum(when(col("value") <= element_at(col("__ap"), 1), 1).otherwise(0))
+            / count(col("value"))).as("__f_lo"),
+          (sum(when(col("value") <= element_at(col("__ap"), 2), 1).otherwise(0))
+            / count(col("value"))).as("__f_hi"))
+        .select(col("event_type"), col("lo_exact"), col("hi_exact"),
+          // A group with zero non-null values has no bounds to miss
+          // (f = NULL) — that's vacuously within ε, like 0-vs-0 in
+          // q_approx_distinct, not a NULL where the oracle says TRUE.
+          coalesce(abs(col("__f_lo") - 0.05) <= PctRankEps, lit(true))
+            .as("lo_within_eps"),
+          coalesce(abs(col("__f_hi") - 0.95) <= PctRankEps, lit(true))
+            .as("hi_within_eps"))
+        .orderBy("event_type")
+    }),
+
     "q_join_salted" -> ((s, dir) => {
       // Skew-safe join (the join twin of q_agg_salted): events' hot user
       // keys spread over 8 salted reducers, customer replicated 8×; the
@@ -605,6 +642,10 @@ object ExtQueries {
   private val CosDupThreshold = 0.25
   private val IvfLists = 8
   private val IvfProbes = 2
+  // approx_percentile sketch: rank error ≤ group/accuracy (≈ 2 ranks at
+  // sf0.1's 20k-row groups) — far inside the 2% rank ε the oracle pins.
+  private val PctSketchAccuracy = 10000
+  private val PctRankEps = 0.02
   /** Lloyd-trained IVF centroids per corpus dir — deterministic, so the
     * memo is a pure build/search split, not a semantic change. */
   private val IvfCentCache =
@@ -806,6 +847,16 @@ object ExtQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1 ORDER BY 1""",
+
+    // Exact bounds are engine-reproducible; the sketch side is asserted
+    // as a rank-ε boolean (TRUE on the oracle side) — the
+    // q_approx_distinct contract applied to approx_percentile.
+    "q_winsorize_approx" ->
+      """SELECT event_type,
+           ROUND(quantile_cont(value, 0.05), 6) AS lo_exact,
+           ROUND(quantile_cont(value, 0.95), 6) AS hi_exact,
+           TRUE AS lo_within_eps, TRUE AS hi_within_eps
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "q_window_sliding" ->
       """WITH x AS (SELECT event_type, value,

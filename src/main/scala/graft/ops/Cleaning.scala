@@ -68,8 +68,31 @@ object Cleaning {
   def winsorize(df: DataFrame, valueCol: String, groupCols: Seq[String],
                 lo: Double, hi: Double): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    clipToBounds(df, valueCol, groupCols,
+      percentile(col(valueCol), array(lit(lo), lit(hi))))
+  }
+
+  /** The 100 TB winsorization: identical shape and clip semantics, with
+    * the bounds from `approx_percentile` — a constant-size mergeable
+    * sketch (map-side combinable partials), where the exact percentile
+    * buffers every group value in its aggregation buffer. Rank-error
+    * guarantee ≤ 1/accuracy of the group size; q_winsorize_approx pins
+    * the sketch bound's empirical rank to the target percentile with the
+    * within-ε-boolean oracle contract. */
+  def winsorizeApprox(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                      lo: Double, hi: Double, accuracy: Int = 10000): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
+    clipToBounds(df, valueCol, groupCols,
+      approx_percentile(col(valueCol), array(lit(lo), lit(hi)), lit(accuracy)))
+  }
+
+  /** Shared clip tail: one aggregate pass computes both bounds via a
+    * single array-valued buffer per group (`boundsAgg` supplies exact or
+    * sketch percentiles), then a broadcast join feeds least/greatest. */
+  private def clipToBounds(df: DataFrame, valueCol: String,
+                           groupCols: Seq[String], boundsAgg: Column): DataFrame = {
     val bounds = df.groupBy(groupCols.map(col): _*)
-      .agg(percentile(col(valueCol), array(lit(lo), lit(hi))).as("__b"))
+      .agg(boundsAgg.as("__b"))
       .select(groupCols.map(c => col(c).as(s"__g_$c")) :+
         round(element_at(col("__b"), 1), 6).as("__lo") :+
         round(element_at(col("__b"), 2), 6).as("__hi"): _*)

@@ -258,6 +258,28 @@ class ExtSpec extends SparkSpec {
       s"approx median ${r._2} drifts >2% from exact ${r._1}")
   }
 
+  test("winsorizeApprox clips like exact winsorize outside the boundary neighborhood") {
+    import graft.ops.Cleaning
+    val ev = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "events")
+      .select("event_id", "event_type", "value")
+    val exact = Cleaning.winsorize(ev, "value", Seq("event_type"), 0.05, 0.95)
+      .select(col("event_id"), round(col("value"), 6).as("v"))
+    val approx = Cleaning.winsorizeApprox(ev, "value", Seq("event_type"), 0.05, 0.95)
+      .select(col("event_id"), round(col("value"), 6).as("v"))
+    val n = ev.count()
+    // Every CLIPPED row takes the bound value itself, so the two paths
+    // differ on (at most) the clipped tails — ~5% each side — whenever
+    // the sketch bound differs at all from the interpolated exact bound.
+    // The invariant worth pinning: the 90% BODY between the bounds is
+    // bit-identical; only tail rows (plus the few-rank sliver between
+    // the two bounds) may differ.
+    val differing = exact.as("e").join(approx.as("a"), "event_id")
+      .filter(!(col("e.v") <=> col("a.v"))).count()
+    assert(differing <= (n * 0.12).toLong,
+      s"$differing of $n rows clip differently — differences reach beyond the clipped tails")
+    assert(differing < n, "paths must agree on the body (not differ everywhere)")
+  }
+
   test("hash sampling is partitioning-independent; splits are exhaustive") {
     val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
     val a = Sampling.hashSample(docs, col("doc_id"), 20)
