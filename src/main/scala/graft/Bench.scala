@@ -11,18 +11,26 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Testdata parquet is one row group per table → one scan split →
-      // single-threaded map stages. Fan the input out to all cores (see
-      // graft.sources.Tables) — the parallelism a real cluster's input
-      // splits provide for free.
-      .config("spark.graft.input.fanout", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Absorb session/codegen/parquet-footer warmup so it isn't billed to
-    // whichever query happens to run first.
-    graft.sources.Tables.AllTables.foreach(t =>
-      graft.sources.Tables.table(spark, sfDir, t).count())
+    // The driver testdata is ONE row group per table → one scan split →
+    // single-threaded post-scan map stages, which a real cluster never
+    // sees (its multi-file tables split for free). Rounds 2-3 fixed this
+    // with a repartition on every read, but that bench-rig exchange taxed
+    // every query that doesn't shuffle (and added an extra shuffle to the
+    // ones that do). Instead, rewrite each table ONCE into split files —
+    // real input splits, zero artificial exchanges, outside the timed
+    // region — and run the suite against the rewritten dir. Small tables
+    // stay single-file (32 footers for 5 rows is pure overhead). The
+    // rewrite also absorbs session/codegen/footer warmup.
+    val splitDir = s"/tmp/graft_bench_split_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.Tables.AllTables.foreach { t =>
+      val raw = spark.read.parquet(s"$sfDir/$t.parquet")
+      val files = math.max(1L, math.min(cpus.toLong, raw.count() / 100)).toInt
+      raw.repartition(files).write.mode("overwrite").parquet(s"$splitDir/$t.parquet")
+    }
+    val runDir = splitDir
     import org.apache.spark.sql.functions.{col, sum, xxhash64}
     // Reduce to ONE row via a hash over every output column: unlike
     // count() (under which Catalyst prunes unevaluated projections), this
@@ -34,7 +42,7 @@ object Bench {
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {
-        val df = fn(spark, sfDir)
+        val df = fn(spark, runDir)
         df.select(xxhash64(df.columns.toIndexedSeq.map(col): _*).as("__h"))
           .agg(sum(col("__h"))).collect()
         (System.nanoTime() - t0) / 1e9

@@ -26,18 +26,12 @@ object Tables {
         d.withColumn(n, timestamp_micros(expr(s"$n div 1000")))
       case (d, _) => d
     }
-    // Opt-in input fan-out for single-row-group local inputs: a parquet
-    // file with one row group yields ONE scan split no matter what
-    // maxPartitionBytes says, so every post-scan map stage (md5 checksums,
-    // shingle explodes, signature partials) runs on one core. A cluster
-    // reading real multi-file tables gets its splits for free; this
-    // repartition to cluster parallelism is the same rule a production job
-    // applies when input splits < cores. Filters/pruning still push through
-    // the Repartition node to the scan. Default OFF — correctness runs and
-    // plan-shape tests see the undisturbed plan.
-    if (spark.conf.getOption("spark.graft.input.fanout").exists(_.toBoolean))
-      norm.repartition(spark.sparkContext.defaultParallelism)
-    else norm
+    // No fan-out repartition here: single-row-group local testdata used
+    // to be repartitioned to cluster parallelism under a bench-only knob,
+    // but that exchange taxed every read; Bench now rewrites its inputs
+    // once into split files instead (real splits, like a cluster's
+    // multi-file tables), so every consumer sees the undisturbed plan.
+    norm
   }
 
   val AllTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
