@@ -84,6 +84,49 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 7L, 42.0)), "only the in-lookback same-user signup joins")
   }
 
+  test("intervalJoin agrees with batch asOfJoinBackward restricted to the lookback") {
+    // The two operators are documented analogues: the streaming join is
+    // the as-of join with the unbounded lookback replaced by an interval
+    // (so state can evict). Contract: reduce the streaming pairs to the
+    // most recent signup per purchase, and it must equal the batch as-of
+    // result with matches older than the lookback filtered out.
+    implicit val sc = spark.sqlContext
+    val signups = Seq(
+      ev(10, "2024-01-01 07:00:00", 7, "signup", 10.0), // superseded in-as-of, out-of-window
+      ev(11, "2024-01-01 09:30:00", 7, "signup", 42.0), // latest for user 7, in window
+      ev(12, "2024-01-01 05:00:00", 8, "signup", 13.0), // user 8's only signup: too old
+      ev(13, "2024-01-01 09:10:00", 9, "signup", 20.0), // in window, superseded
+      ev(14, "2024-01-01 09:50:00", 9, "signup", 30.0)) // in window, latest
+    val purchases = Seq(
+      ev(1, "2024-01-01 10:00:00", 7, "purchase", 1.0),
+      ev(2, "2024-01-01 10:30:00", 8, "purchase", 1.0),
+      ev(3, "2024-01-01 10:00:00", 9, "purchase", 1.0),
+      ev(4, "2024-01-01 10:00:00", 10, "purchase", 1.0)) // no signup at all
+    val (pm, sm) = (MemoryStream[Event], MemoryStream[Event])
+    val q = EventStream.intervalJoin(pm.toDF(), sm.toDF(), "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("asof_twin_out")
+      .outputMode(OutputMode.Append()).start()
+    sm.addData(signups: _*)
+    pm.addData(purchases: _*)
+    q.processAllAvailable(); q.stop()
+    // Fixture invariant: signup value grows with signup time per user, so
+    // "most recent signup" = max(sig_val) without carrying the right ts.
+    val streaming = spark.table("asof_twin_out")
+      .groupBy("event_id", "user_id").agg(max("sig_val").as("sig_val"))
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.ops.Analytics.asOfJoinBackward(
+        purchases.toDF().select("event_id", "user_id", "ts"),
+        signups.toDF().select("user_id", "ts", "value"),
+        "user_id", "ts", Map("value" -> "sig_val", "ts" -> "sig_ts"))
+      .filter(col("sig_ts") >= col("ts") - expr("INTERVAL 1 hour"))
+      .select("event_id", "user_id", "sig_val")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch == Set((1L, 7L, 42.0), (3L, 9L, 30.0)),
+      "as-of restricted to lookback: user 8 too old, user 10 unmatched")
+    assert(streaming == batch,
+      "streaming interval join must agree with the lookback-restricted as-of join")
+  }
+
   test("file source -> windowed agg -> parquet sink wiring end-to-end") {
     // The full readStream -> transform -> writeStream path over real
     // files: events parquet in, hourly aggregate parquet out (Append mode
