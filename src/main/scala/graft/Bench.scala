@@ -86,11 +86,15 @@ object Bench {
     // The driver captures only the TAIL of stdout, so a single long line
     // loses its head (the total) — r02/r03 both came back parsed:null.
     // Emit the long per-query line first, then a SHORT final summary line
-    // that survives any tail window; the full JSON also lands in a file.
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // that survives any tail window. Print BEFORE the belt-and-suspenders
+    // file write: an unwritable cwd must not destroy the stdout signal the
+    // summary line exists to protect.
     println(full)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir"}""")
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] bench.json not written: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -171,10 +171,14 @@ object ExtQueries {
       // the oracle emits the exact bounds + literal TRUE.
       val ev = read(s, dir, "events").select("event_type", "value")
       val bounds = ev.groupBy("event_type").agg(
-        percentile(col("value"), array(lit(0.05), lit(0.95))).as("__ex"),
-        approx_percentile(col("value"), array(lit(0.05), lit(0.95)),
-          lit(PctSketchAccuracy)).as("__ap"))
-      ev.join(broadcast(bounds), Seq("event_type"))
+          percentile(col("value"), array(lit(0.05), lit(0.95))).as("__ex"),
+          approx_percentile(col("value"), array(lit(0.05), lit(0.95)),
+            lit(PctSketchAccuracy)).as("__ap"))
+        .withColumnRenamed("event_type", "__g_type")
+      // Null-safe group join (the winsorize convention): a NULL event_type
+      // group must keep its rows — plain using-column equality would drop
+      // them while the oracle's GROUP BY emits the NULL group.
+      ev.join(broadcast(bounds), col("event_type") <=> col("__g_type"))
         .groupBy("event_type")
         .agg(
           round(min(element_at(col("__ex"), 1)), 6).as("lo_exact"),
@@ -644,7 +648,9 @@ object ExtQueries {
   private val IvfProbes = 2
   // approx_percentile sketch: rank error ≤ group/accuracy (≈ 2 ranks at
   // sf0.1's 20k-row groups) — far inside the 2% rank ε the oracle pins.
-  private val PctSketchAccuracy = 10000
+  // Shared with the winsorizeApprox operator default so the certified
+  // accuracy IS the accuracy the operator runs with.
+  private val PctSketchAccuracy = graft.ops.Cleaning.DefaultSketchAccuracy
   private val PctRankEps = 0.02
   /** Lloyd-trained IVF centroids per corpus dir — deterministic, so the
     * memo is a pure build/search split, not a semantic change. */

@@ -11,8 +11,7 @@ import org.apache.spark.sql.execution.FormattedMode
   * exchange counts — runtime exchange reuse (`ReusedQueryStage`) is only
   * visible there, never in static explain.
   *
-  * Env: SPARK_GRAFT_SF_DIR picks the scale factor;
-  * SPARK_GRAFT_FANOUT=true audits plans under the bench's input fan-out.
+  * Env: SPARK_GRAFT_SF_DIR picks the scale factor.
   */
 object PlanAudit {
 

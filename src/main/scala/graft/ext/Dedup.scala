@@ -279,6 +279,19 @@ object Dedup {
     * Output: (node, cluster), one row per distinct doc appearing in
     * `pairs`; singleton docs (in no pair) are their own implicit cluster
     * and are not emitted. */
+  /** Free a localCheckpoint'ed frame's blocks NOW. `Dataset.unpersist`
+    * only clears CacheManager entries, and a local checkpoint persists
+    * its RDD directly — without this, each round's blocks would linger
+    * until the driver GC'd the reference and ContextCleaner reaped it
+    * (nondeterministic; 25 rounds of lingering label sets on a big
+    * graph is real executor storage). Falls back to that GC path if the
+    * plan isn't the expected LogicalRDD scan. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
@@ -312,20 +325,24 @@ object Dedup {
         val nextSum = next.agg(sum(col("cluster").cast(DecimalType(38, 0))))
           .head().getDecimal(0)
         converged = nextSum.compareTo(checksum) == 0
-        labels.unpersist()
+        freeCheckpoint(labels)
         labels = next
         checksum = nextSum
         it += 1
       }
       require(converged, s"label propagation did not converge in $maxIters rounds " +
         "— raise maxIters (diameter exceeds the bound)")
-    } finally if (!converged) { labels.unpersist(); edges.unpersist() }
-    edges.unpersist()
+    } finally if (!converged) { freeCheckpoint(labels); freeCheckpoint(edges) }
+    freeCheckpoint(edges)
     // Returned backed by its checkpoint blocks (a LogicalRDD scan, no
-    // lineage back through the rounds). Callers that are done with it may
-    // unpersist.
+    // lineage back through the rounds); they are freed when the frame is
+    // garbage-collected, or eagerly via Dedup.freeClusters.
     labels
   }
+
+  /** Eagerly release a `dupClusters` result's checkpoint blocks once the
+    * caller has consumed it. */
+  def freeClusters(clusters: DataFrame): Unit = freeCheckpoint(clusters)
 
   /** Cluster-level dedup: keep every document that is NOT a non-minimum
     * member of some near-dup cluster — exactly one survivor (the minimum

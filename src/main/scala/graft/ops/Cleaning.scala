@@ -11,6 +11,12 @@ import org.apache.spark.sql.types.{DataType, DecimalType, DoubleType}
   */
 object Cleaning {
 
+  /** Default approx_percentile sketch accuracy (rank error ≤ 1/accuracy of
+    * the group size). ONE definition — q_winsorize_approx certifies the
+    * sketch at exactly this accuracy, so the operator default and the
+    * oracle contract cannot drift apart. */
+  val DefaultSketchAccuracy: Int = 10000
+
   /** Replace nulls in each column with that column's global mean.
     *
     * Scale posture: ONE aggregate pass computes all means (map-side partial
@@ -80,7 +86,8 @@ object Cleaning {
     * the sketch bound's empirical rank to the target percentile with the
     * within-ε-boolean oracle contract. */
   def winsorizeApprox(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                      lo: Double, hi: Double, accuracy: Int = 10000): DataFrame = {
+                      lo: Double, hi: Double,
+                      accuracy: Int = Cleaning.DefaultSketchAccuracy): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got [$lo, $hi]")
     clipToBounds(df, valueCol, groupCols,
       approx_percentile(col(valueCol), array(lit(lo), lit(hi)), lit(accuracy)))

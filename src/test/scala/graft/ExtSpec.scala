@@ -209,21 +209,29 @@ class ExtSpec extends SparkSpec {
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-    Similarity.writeIvfIndex(e, nLists = 4, path)
-    val cents = Similarity.readIvfCentroids(spark, path)
-    assert(cents == Similarity.ivfCentroidsLloyd(e, 4),
-      "persisted centroids equal the trained set")
-    val fromIndex = Similarity.searchIvfIndex(spark, path, q, k = 3, nProbe = 2)
-      .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
-    val inMemory = Similarity.ivfTopKWith(q, e, 3, cents, nProbe = 2)
-      .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
-    assert(fromIndex == inMemory, "index search must equal in-memory search")
-    // The scale property the layout exists for: lists/ is partitioned by
-    // the assigned list id, so probed lists map to partition directories.
-    val listDirs = new java.io.File(s"$path/lists").listFiles()
-      .filter(_.getName.startsWith("list=")).map(_.getName).toSet
-    assert(listDirs.nonEmpty && listDirs.forall(_.matches("list=\\d+")),
-      s"expected list=<id> partition dirs, got $listDirs")
+    try {
+      Similarity.writeIvfIndex(e, nLists = 4, path)
+      val cents = Similarity.readIvfCentroids(spark, path)
+      assert(cents == Similarity.ivfCentroidsLloyd(e, 4),
+        "persisted centroids equal the trained set")
+      val fromIndex = Similarity.searchIvfIndex(spark, path, q, k = 3, nProbe = 2)
+        .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+      val inMemory = Similarity.ivfTopKWith(q, e, 3, cents, nProbe = 2)
+        .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+      assert(fromIndex == inMemory, "index search must equal in-memory search")
+      // The scale property the layout exists for: lists/ is partitioned by
+      // the assigned list id, so probed lists map to partition directories.
+      val listDirs = new java.io.File(s"$path/lists").listFiles()
+        .filter(_.getName.startsWith("list=")).map(_.getName).toSet
+      assert(listDirs.nonEmpty && listDirs.forall(_.matches("list=\\d+")),
+        s"expected list=<id> partition dirs, got $listDirs")
+    } finally {
+      // Drop the index copy — repeated verify loops would otherwise
+      // accumulate an orphaned corpus copy per run under /tmp.
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("multi-probe LSH recall dominates any single plane set's") {
