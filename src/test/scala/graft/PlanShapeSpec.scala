@@ -82,6 +82,14 @@ class PlanShapeSpec extends SparkSpec {
       s"the clipped side must stream map-side:\n$plan")
   }
 
+  test("q_winsorize_approx broadcasts the sketch bounds like the exact path") {
+    val plan = executedPlan("q_winsorize_approx")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"expected broadcast bounds join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the fact side must stream map-side:\n$plan")
+  }
+
   test("q_contamination broadcasts the capped bench side (train never shuffles for the join)") {
     val plan = executedPlan("q_contamination")
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast shingle join:\n$plan")
