@@ -612,6 +612,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dup_clusters_star" -> ((s, dir) => {
+      // Same cluster contract computed by alternating large-star /
+      // small-star contraction — O(log n) rounds instead of
+      // O(diameter), the variant for graphs that may be DEEP (drift
+      // chains). Shares the q_dup_clusters oracle: both must produce
+      // the component-minimum labeling.
+      val docs = read(s, dir, "documents")
+      val verified = Dedup.verifiedNearDupPairs(docs, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
+      Dedup.dupClustersStar(verified)
+        .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     "q_pack_budget" -> ((s, dir) => {
       // Sequence packing: whitespace token counts → hash-sharded
       // first-fit packs under a 2048-token budget.
@@ -779,6 +793,40 @@ object ExtQueries {
   private def minhashSqlCol(seed: Int): String =
     s"""list_aggregate(list_transform(list_distinct($ShinglesSql),
         w -> md5('$seed:' || w)), 'min') AS mh$seed"""
+
+  /** Shared by `q_dup_clusters` and `q_dup_clusters_star`: both
+    * algorithms (min-label propagation, star contraction) must produce
+    * the same component-minimum labeling of the verified near-dup
+    * graph, pinned by one recursive-CTE connected-components oracle. */
+  private def dupClustersOracleSql: String =
+    s"""WITH RECURSIVE sig AS (SELECT doc_id,
+            ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM documents),
+          bands AS (
+            SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS band_hash FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh2, mh3)) AS band_hash FROM sig),
+          pairs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r USING (band_id, band_hash)
+            WHERE l.doc_id < r.doc_id),
+          verified AS (
+            SELECT a, b FROM pairs
+            JOIN documents da ON pairs.a = da.doc_id
+            JOIN documents db ON pairs.b = db.doc_id
+            WHERE ROUND(
+              CAST(len(list_intersect(list_distinct(str_split(lower(da.text), ' ')),
+                                      list_distinct(str_split(lower(db.text), ' ')))) AS DOUBLE)
+              / len(list_distinct(list_concat(list_distinct(str_split(lower(da.text), ' ')),
+                                              list_distinct(str_split(lower(db.text), ' '))))), 6)
+              >= $NearDupJaccard),
+          edges AS (SELECT a AS src, b AS dst FROM verified
+            UNION SELECT b AS src, a AS dst FROM verified),
+          cc AS (
+            SELECT DISTINCT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst AS node, cc.label FROM cc JOIN edges e ON cc.node = e.src)
+          SELECT node AS doc_id, MIN(label) AS cluster_id
+          FROM cc GROUP BY node ORDER BY doc_id"""
 
   def oracles: Map[String, String] = Map(
     "q_agg_group" ->
@@ -1224,35 +1272,11 @@ object ExtQueries {
             md5(text) AS frame_sig
           FROM documents ORDER BY doc_id, frame_idx""",
 
-    "q_dup_clusters" ->
-      s"""WITH RECURSIVE sig AS (SELECT doc_id,
-            ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM documents),
-          bands AS (
-            SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS band_hash FROM sig
-            UNION ALL
-            SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh2, mh3)) AS band_hash FROM sig),
-          pairs AS (
-            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-            FROM bands l JOIN bands r USING (band_id, band_hash)
-            WHERE l.doc_id < r.doc_id),
-          verified AS (
-            SELECT a, b FROM pairs
-            JOIN documents da ON pairs.a = da.doc_id
-            JOIN documents db ON pairs.b = db.doc_id
-            WHERE ROUND(
-              CAST(len(list_intersect(list_distinct(str_split(lower(da.text), ' ')),
-                                      list_distinct(str_split(lower(db.text), ' ')))) AS DOUBLE)
-              / len(list_distinct(list_concat(list_distinct(str_split(lower(da.text), ' ')),
-                                              list_distinct(str_split(lower(db.text), ' '))))), 6)
-              >= $NearDupJaccard),
-          edges AS (SELECT a AS src, b AS dst FROM verified
-            UNION SELECT b AS src, a AS dst FROM verified),
-          cc AS (
-            SELECT DISTINCT src AS node, src AS label FROM edges
-            UNION
-            SELECT e.dst AS node, cc.label FROM cc JOIN edges e ON cc.node = e.src)
-          SELECT node AS doc_id, MIN(label) AS cluster_id
-          FROM cc GROUP BY node ORDER BY doc_id""",
+    "q_dup_clusters" -> dupClustersOracleSql,
+
+    // The star-contraction variant must produce the identical
+    // component-minimum labeling, so it shares the oracle verbatim.
+    "q_dup_clusters_star" -> dupClustersOracleSql,
 
     "q_contamination" ->
       s"""WITH bsh AS (SELECT doc_id AS bench_id,

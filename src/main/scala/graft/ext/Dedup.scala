@@ -344,6 +344,85 @@ object Dedup {
     * caller has consumed it. */
   def freeClusters(clusters: DataFrame): Unit = freeCheckpoint(clusters)
 
+  /** Connected components by alternating star contraction (the
+    * large-star/small-star algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — same output contract as
+    * `dupClusters` (one (node, cluster=component minimum) row per node
+    * appearing in `pairs`), but rounds grow with log(n), not graph
+    * DIAMETER. Min-label propagation needs diameter hops, so a drift
+    * chain of templated documents deeper than `maxIters` aborts it;
+    * star contraction halves long paths every round, so 25 rounds cover
+    * any graph that fits on hardware. Use this for graphs that may be
+    * deep; min-label (`dupClusters`) probes one aggregate fewer per
+    * round and wins on the shallow star/clique graphs near-dup corpora
+    * usually produce.
+    *
+    * Each operation rewires edges toward smaller ids:
+    *  - large-star, from each node u: every LARGER neighbor v connects
+    *    to m(u) = min(Γ(u) ∪ {u});
+    *  - small-star, from each node u: its smaller neighbors N (if any)
+    *    and u itself connect to m = min(N).
+    * Both emit canonical (min, max) edges, keep every edge's endpoint
+    * reachable, and only shrink: per round one node-key shuffle + a
+    * distinct per op. Convergence probe (exact, one row): the pair
+    * (edge count, Σ endpoint sums in DECIMAL). Both ops are
+    * non-increasing in each component and stall only at a joint
+    * fixpoint, where every component is a star centered at its minimum.
+    * Per-round `localCheckpoint` for the same lineage reason as
+    * `dupClusters` (the edge plan would otherwise nest per round). */
+  def dupClustersStar(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def probe(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum((col("a") + col("b")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val dir = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val m = dir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      dir.filter(col("v") > col("u")).join(m, "u")
+        .select(col("m").as("a"), col("v").as("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // Canonical edges already have a < b: N(b) ∋ a, so the "larger
+      // endpoint's view" is the edge list itself.
+      val m = e.groupBy("b").agg(min(col("a")).as("m"))
+      val withM = e.join(m, "b")
+      withM.filter(col("a") =!= col("m"))
+        .select(col("m").as("a"), col("a").as("b"))
+        .unionByName(withM.select(col("m").as("a"), col("b")).distinct())
+        .distinct()
+    }
+    var edges = pairs.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
+    var state = probe(edges)
+    var converged = state._1 == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val nextState = probe(next)
+      // Count and endpoint-sum are both non-increasing under each star
+      // op, so an unchanged pair across a full round means BOTH ops hit
+      // their fixpoint: a star forest centered at component minima.
+      converged = nextState == state
+      freeCheckpoint(edges)
+      edges = next
+      state = nextState
+      round += 1
+    }
+    require(converged || state._1 == 0L,
+      s"star contraction did not converge in $maxRounds rounds")
+    // Star edges are (center, member); centers label themselves.
+    val labels = edges.select(col("b").as("node"), col("a").as("cluster"))
+      .unionByName(edges.select(col("a").as("node"), col("a").as("cluster")))
+      .groupBy("node").agg(min("cluster").as("cluster"))
+      .localCheckpoint()
+    freeCheckpoint(edges)
+    labels
+  }
+
   /** Cluster-level dedup: keep every document that is NOT a non-minimum
     * member of some near-dup cluster — exactly one survivor (the minimum
     * key) per transitive duplicate group, plus all singletons. One

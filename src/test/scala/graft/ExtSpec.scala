@@ -418,6 +418,43 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.keepClusterRepresentatives(docs, none, "doc_id").count() == docs.count())
   }
 
+  test("dupClustersStar: same labels as min-label; depth beyond min-label's rounds converges") {
+    // Same output contract on the shapes the min-label test pins …
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val star = Dedup.dupClustersStar(pairs)
+      .select("node", "cluster").as[(Long, Long)].collect().toMap
+    assert(star == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val vee = Seq((1L, 3L), (2L, 3L)).toDF("a", "b")
+    assert(Dedup.dupClustersStar(vee)
+      .select("node", "cluster").as[(Long, Long)].collect().toMap
+      == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(Dedup.dupClustersStar(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+    // … and on a messier graph (triangle + bridge + reversed/duplicate
+    // input pairs), star labels equal min-label labels exactly.
+    val messy = Seq((5L, 3L), (3L, 5L), (3L, 9L), (9L, 5L), (9L, 20L),
+      (40L, 30L), (40L, 30L)).toDF("a", "b")
+    val viaStar = Dedup.dupClustersStar(messy)
+      .select("node", "cluster").as[(Long, Long)].collect().toMap
+    val viaLabels = Dedup.dupClusters(messy)
+      .select("node", "cluster").as[(Long, Long)].collect().toMap
+    assert(viaStar == viaLabels, "the two algorithms must agree")
+    // The capability the star variant exists for: a drift chain DEEPER
+    // than the round budget. Min-label needs diameter hops and aborts;
+    // star contraction halves long paths per round and closes it in
+    // O(log n). Shuffled ids so the chain order ≠ id order.
+    val n = 60
+    val perm = new scala.util.Random(7).shuffle((0 until n).map(_.toLong * 3 + 1).toVector)
+    val chain = perm.sliding(2).map(p => (p(0), p(1))).toSeq.toDF("a", "b")
+    val failed = intercept[IllegalArgumentException] {
+      Dedup.dupClusters(chain, maxIters = 10)
+    }
+    assert(failed.getMessage.contains("converge"))
+    val deep = Dedup.dupClustersStar(chain, maxRounds = 10)
+      .select("node", "cluster").as[(Long, Long)].collect()
+    assert(deep.length == n && deep.map(_._2).toSet == Set(perm.min),
+      "every chain node labeled with the component minimum")
+  }
+
   test("contamination: shared shingles flag a pair; df-cap kills hot shingles") {
     // bench doc 100 contains the phrase "one two three four"; train doc 1
     // copies it (2 overlapping 3-gram shingles), train doc 2 does not.
