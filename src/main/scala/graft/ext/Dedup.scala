@@ -373,8 +373,12 @@ object Dedup {
   def dupClustersStar(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     def probe(e: DataFrame): (Long, java.math.BigDecimal) = {
+      // Cast each endpoint BEFORE adding: a Long a+b can wrap for ids
+      // near the 64-bit range (hash-derived keys), voiding the
+      // monotone-sum argument the convergence check rests on.
       val r = e.agg(count(lit(1)),
-        sum((col("a") + col("b")).cast(DecimalType(38, 0)))).head()
+        sum(col("a").cast(DecimalType(38, 0))
+          + col("b").cast(DecimalType(38, 0)))).head()
       (r.getLong(0), r.getDecimal(1))
     }
     def largeStar(e: DataFrame): DataFrame = {
@@ -394,33 +398,42 @@ object Dedup {
         .unionByName(withM.select(col("m").as("a"), col("b")).distinct())
         .distinct()
     }
+    // Self-pairs carry no connectivity but their node must still get a
+    // row (the dupClusters contract: one row per node APPEARING in
+    // pairs) — split them out and fold them back in at labeling time.
+    val selfNodes = pairs.filter(col("a") === col("b"))
+      .select(col("a").as("node")).distinct()
     var edges = pairs.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
     var state = probe(edges)
     var converged = state._1 == 0L
     var round = 0
-    while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
-      val nextState = probe(next)
-      // Count and endpoint-sum are both non-increasing under each star
-      // op, so an unchanged pair across a full round means BOTH ops hit
-      // their fixpoint: a star forest centered at component minima.
-      converged = nextState == state
-      freeCheckpoint(edges)
-      edges = next
-      state = nextState
-      round += 1
-    }
-    require(converged || state._1 == 0L,
-      s"star contraction did not converge in $maxRounds rounds")
-    // Star edges are (center, member); centers label themselves.
-    val labels = edges.select(col("b").as("node"), col("a").as("cluster"))
-      .unionByName(edges.select(col("a").as("node"), col("a").as("cluster")))
-      .groupBy("node").agg(min("cluster").as("cluster"))
-      .localCheckpoint()
-    freeCheckpoint(edges)
-    labels
+    try {
+      while (!converged && round < maxRounds) {
+        val next = smallStar(largeStar(edges)).localCheckpoint(false)
+        val nextState = probe(next)
+        // Count and endpoint-sum are both non-increasing under each star
+        // op, so an unchanged pair across a full round means BOTH ops hit
+        // their fixpoint: a star forest centered at component minima.
+        converged = nextState == state
+        freeCheckpoint(edges)
+        edges = next
+        state = nextState
+        round += 1
+      }
+      require(converged || state._1 == 0L,
+        s"star contraction did not converge in $maxRounds rounds")
+      // Star edges are (center, member); centers label themselves, and
+      // self-pair-only nodes label themselves too (the groupBy-min keeps
+      // the component label when such a node also has real edges).
+      val labels = edges.select(col("b").as("node"), col("a").as("cluster"))
+        .unionByName(edges.select(col("a").as("node"), col("a").as("cluster")))
+        .unionByName(selfNodes.select(col("node"), col("node").as("cluster")))
+        .groupBy("node").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      labels
+    } finally freeCheckpoint(edges)
   }
 
   /** Cluster-level dedup: keep every document that is NOT a non-minimum

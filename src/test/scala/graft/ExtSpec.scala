@@ -429,6 +429,16 @@ class ExtSpec extends SparkSpec {
       .select("node", "cluster").as[(Long, Long)].collect().toMap
       == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
     assert(Dedup.dupClustersStar(Seq.empty[(Long, Long)].toDF("a", "b")).count() == 0)
+    // Self-pairs: a node appearing only as (x, x) still gets a row (the
+    // dupClusters contract), labeled by itself; a self-pair on a node
+    // with real edges must not disturb its component label.
+    val selfy = Seq((7L, 7L), (2L, 2L), (1L, 2L)).toDF("a", "b")
+    assert(Dedup.dupClustersStar(selfy)
+      .select("node", "cluster").as[(Long, Long)].collect().toMap
+      == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+    assert(Dedup.dupClusters(selfy)
+      .select("node", "cluster").as[(Long, Long)].collect().toMap
+      == Map(7L -> 7L, 1L -> 1L, 2L -> 1L), "both algorithms, same contract")
     // … and on a messier graph (triangle + bridge + reversed/duplicate
     // input pairs), star labels equal min-label labels exactly.
     val messy = Seq((5L, 3L), (3L, 5L), (3L, 9L), (9L, 5L), (9L, 20L),
