@@ -644,6 +644,35 @@ object ExtQueries {
           col("source"), col("doc_id"), SamplePerSource)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
+    }),
+
+    "q_weighted_sample" -> ((s, dir) => {
+      // Length-weighted deterministic sample (Efraimidis–Spirakis
+      // top-k): longer docs proportionally likelier, yet every draw is
+      // a pure function of doc_id — reproducible on any cluster. Runs
+      // as a per-partition k-heap, never a full sort.
+      Sampling.weightedSample(read(s, dir, "documents"),
+          col("doc_id"), col("n_chars"), WeightedSampleK, salt = "ws")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    "q_redact_pii" -> ((s, dir) => {
+      // PII scrubber end-to-end: the synthetic corpus carries no PII,
+      // so the query plants a deterministic contact block per doc (both
+      // engines build the identical string) and proves the typed masks
+      // plus the per-category audit counts.
+      val planted = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+        lit("-4567, ssn 123-45-6789, host 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7."))
+      read(s, dir, "documents")
+        .select(col("doc_id") +:
+          TextAnalysis.redactPii(planted).as("clean_text") +:
+          TextAnalysis.piiCounts(planted).map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
     })
   )
 
@@ -675,6 +704,7 @@ object ExtQueries {
   private val ContamMaxDf = 3
   private val OovVocab = 200
   private val SamplePerSource = 12
+  private val WeightedSampleK = 120
   private val PackBudget = 2048L
   private val PackShards = 4
   private val WideBands = 2
@@ -1328,6 +1358,45 @@ object ExtQueries {
               row_number() OVER (PARTITION BY source
                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents) WHERE rn <= $SamplePerSource
-          ORDER BY doc_id"""
+          ORDER BY doc_id""",
+
+    // A-ES weighted sample: u exact in both engines (32-bit int + 1 over
+    // 2^32), pow rounded to 6dp per the cross-engine convention, ties
+    // broken on doc_id. Inner ORDER BY ... LIMIT picks the sample;
+    // outer re-sorts for the row-set compare.
+    "q_weighted_sample" ->
+      s"""SELECT doc_id, source, n_chars FROM (
+            SELECT doc_id, source, n_chars,
+              ROUND(POW(
+                (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 8)) AS BIGINT) + 1)
+                  / 4294967296.0,
+                1.0 / n_chars), 6) AS wkey
+            FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            ORDER BY wkey DESC, doc_id LIMIT $WeightedSampleK)
+          ORDER BY doc_id""",
+
+    // Same planted contact block, same Java∩RE2 patterns (interpolated
+    // from the TextAnalysis constants — one source of truth), same
+    // replace order. DuckDB regexp_replace masks only the first match
+    // without the 'g' flag.
+    "q_redact_pii" ->
+      s"""WITH planted AS (SELECT doc_id,
+            text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-'
+              || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+              || '-4567, ssn 123-45-6789, host 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.7.' AS t
+          FROM documents)
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+              '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+              '${TextAnalysis.SsnRe}', '<SSN>', 'g'),
+              '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+              '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS clean_text,
+            CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS INTEGER) AS n_email,
+            CAST(len(regexp_extract_all(t, '${TextAnalysis.SsnRe}')) AS INTEGER) AS n_ssn,
+            CAST(len(regexp_extract_all(t, '${TextAnalysis.PhoneRe}')) AS INTEGER) AS n_phone,
+            CAST(len(regexp_extract_all(t, '${TextAnalysis.Ipv4Re}')) AS INTEGER) AS n_ipv4
+          FROM planted ORDER BY doc_id"""
   )
 }

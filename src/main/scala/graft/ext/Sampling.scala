@@ -90,6 +90,38 @@ object Sampling {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Per-row score for deterministic weighted sampling (Efraimidis–
+    * Spirakis "A-ES"): u^(1/w) with u a hash-derived uniform in (0, 1]
+    * — the k LARGEST scores are a weighted sample without replacement,
+    * inclusion odds scaling with `weight`. Like every decision in this
+    * module the draw is a pure function of the key: reshuffle-, rerun-
+    * and engine-stable (no rand()). The 6dp round keeps the score
+    * bit-identical across engines whose pow() may differ in the final
+    * ulp (the repo's cross-engine rounding convention); ties break on
+    * the key at the call site. u is exact in both engines: a 32-bit
+    * integer + 1 divided by 2^32. */
+  def weightedSampleKey(key: Column, weight: Column, salt: String = ""): Column = {
+    val u = (conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long") + lit(1L)).cast("double") / lit(4294967296.0)
+    round(pow(u, lit(1.0) / weight.cast("double")), 6)
+  }
+
+  /** Keep a deterministic weighted sample of `k` rows: heavier rows
+    * proportionally likelier, selection reproducible on any cluster or
+    * partitioning. Runs as TakeOrderedAndProject (a per-partition
+    * k-heap + merge), never a full sort — the 100 TB shape for a
+    * bounded-k draw. Rows with NULL or non-positive weight cannot be
+    * drawn and are dropped. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+                     salt: String = ""): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    df.filter(weight.isNotNull && weight > 0)
+      .withColumn("__wkey", weightedSampleKey(key, weight, salt))
+      .orderBy(col("__wkey").desc, key)
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Sequence packing: assign each doc a (shard, pack_id) such that docs
     * sharing a pack fit a token budget — the batching step that turns a
     * curated corpus into fixed-size training sequences.

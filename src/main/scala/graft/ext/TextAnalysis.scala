@@ -87,6 +87,39 @@ object TextAnalysis {
     trim(regexp_replace(noMail, " +", " "))
   }
 
+  /** PII patterns, chosen from the Java-regex ∩ RE2 dialect (no
+    * backrefs, no lookaround) so the Spark expression and the DuckDB
+    * oracle match the SAME spans: a precise email shape (unlike
+    * `cleanText`'s blunt `\S+@\S+` scrub, these keep surrounding
+    * punctuation), NANP-style phone, SSN, dotted-quad IPv4. The `\b`
+    * bounds make a BARE dotted quad like `1.2.3.4` in release notes
+    * mask as <IP> (a `v`-prefixed `v1.2.3.4` does not — no word
+    * boundary after the `v`); acceptable for a redactor whose
+    * false-positive cost is a masked token, not a dropped document. */
+  val EmailRe  = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe  = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val SsnRe    = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val Ipv4Re   = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** PII redaction for training corpora: mask emails, SSNs, phones and
+    * IPv4s with typed placeholder tokens. Order is load-bearing: email
+    * first (an address can embed digit runs the later passes would
+    * split), SSN before phone (disjoint shapes, but the 3-2-4 grouping
+    * must not be half-eaten by a phone partial), IP last. Map-only
+    * codegen'd `regexp_replace` chain — zero shuffles, linear in bytes,
+    * the 100 TB shape for a per-row scrubber. */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
+      EmailRe, "<EMAIL>"), SsnRe, "<SSN>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
+
+  /** Per-category PII hit counts (audit view: how much PII does a
+    * source carry BEFORE masking). Same patterns as `redactPii`. */
+  def piiCounts(c: Column): Seq[(String, Column)] = Seq(
+    "n_email" -> regexp_count(c, lit(EmailRe)),
+    "n_ssn"   -> regexp_count(c, lit(SsnRe)),
+    "n_phone" -> regexp_count(c, lit(PhoneRe)),
+    "n_ipv4"  -> regexp_count(c, lit(Ipv4Re)))
+
   /** Word-level repetition ratio: 1 − distinct/total words — the Gopher
     * repetition signal (high = boilerplate/spam). */
   def repetitionRatio(text: Column): Column = {

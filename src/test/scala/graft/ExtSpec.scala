@@ -556,4 +556,45 @@ class ExtSpec extends SparkSpec {
       b.select("k").as[Long].collect().toSet,
       "winners must not depend on partitioning")
   }
+
+  test("weightedSample: k rows, partitioning-invariant, weight-dominant, bad weights dropped") {
+    val df = (1L to 200L).map(i => (i, if (i == 42L) 1000000000L else 1L))
+      .toDF("k", "w")
+    val a = Sampling.weightedSample(df, col("k"), col("w"), 20)
+    val picked = a.select("k").as[Long].collect().toSet
+    assert(picked.size == 20)
+    // u^(1/w) with w = 1e9 is ~1 for any u — the heavy row always wins.
+    assert(picked.contains(42L), "a 10^9-weight row must be drawn")
+    val b = Sampling.weightedSample(df.repartition(13), col("k"), col("w"), 20)
+    assert(b.select("k").as[Long].collect().toSet == picked,
+      "the draw must not depend on partitioning")
+    // Matches a driver-side recomputation of the A-ES rule exactly.
+    val keyed = df.withColumn("wk", Sampling.weightedSampleKey(col("k"), col("w")))
+      .select("k", "wk").as[(Long, Double)].collect()
+    val expect = keyed.sortBy { case (k, wk) => (-wk, k) }.take(20).map(_._1).toSet
+    assert(picked == expect, "top-k must equal the brute-force A-ES ranking")
+    // NULL / non-positive weights cannot be drawn.
+    val bad = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-2L)))
+      .toDF("k", "w")
+    assert(Sampling.weightedSample(bad, col("k"), col("w"), 10)
+      .select("k").as[Long].collect().toSet == Set(1L))
+  }
+
+  test("redactPii masks typed spans and counts them; clean text untouched") {
+    val df = Seq(
+      ("mail a.b+c@x-corp.co.uk, call 555-123-4567 or 555.987.6543",
+        "a"),
+      ("ssn 123-45-6789 from 192.168.1.7, release v1.2.3.4", "b"),
+      ("no pii here, just 12 words and a 3.14 constant", "c")
+    ).toDF("t", "tag")
+    val out = df.select(col("tag") +: TextAnalysis.redactPii(col("t")).as("r") +:
+        TextAnalysis.piiCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .orderBy("tag")
+      .as[(String, String, Int, Int, Int, Int)].collect()
+    assert(out(0) == (("a", "mail <EMAIL>, call <PHONE> or <PHONE>", 1, 0, 2, 0)))
+    // The doc'd \b precision: a bare dotted quad masks, a v-prefixed
+    // version string does not (no word boundary after the `v`).
+    assert(out(1) == (("b", "ssn <SSN> from <IP>, release v1.2.3.4", 0, 1, 0, 1)))
+    assert(out(2) == (("c", "no pii here, just 12 words and a 3.14 constant", 0, 0, 0, 0)))
+  }
 }
