@@ -646,6 +646,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_incremental" -> ((s, dir) => {
+      // Incremental curation: the odd-id half of the corpus arrives as
+      // a "new crawl" and dedups against the even-id half already
+      // curated — exact content-hash anti-join first, then cross-table
+      // LSH near-dup (batch bands vs ref bands, never batch × ref).
+      val docs = read(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 =!= 0)
+      Dedup.dedupAgainstReference(batch, ref, "doc_id", "text",
+          k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "q_weighted_sample" -> ((s, dir) => {
       // Length-weighted deterministic sample (Efraimidis–Spirakis
       // top-k): longer docs proportionally likelier, yet every draw is
@@ -1358,6 +1372,43 @@ object ExtQueries {
               row_number() OVER (PARTITION BY source
                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
             FROM documents) WHERE rn <= $SamplePerSource
+          ORDER BY doc_id""",
+
+    // Mirrors dedupAgainstReference pass for pass: exact anti-join via
+    // NOT EXISTS (null-safe, like Spark's left_anti), then cross-table
+    // banding and the standard word-set Jaccard verify.
+    "q_dedup_incremental" ->
+      s"""WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+          batch AS (SELECT * FROM documents WHERE doc_id % 2 <> 0),
+          fresh AS (SELECT * FROM batch b WHERE NOT EXISTS (
+            SELECT 1 FROM ref r WHERE md5(r.text) = md5(b.text))),
+          sigb AS (SELECT doc_id,
+            ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM fresh),
+          sigr AS (SELECT doc_id,
+            ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM ref),
+          bandsb AS (
+            SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS band_hash FROM sigb
+            UNION ALL
+            SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh2, mh3)) AS band_hash FROM sigb),
+          bandsr AS (
+            SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS band_hash FROM sigr
+            UNION ALL
+            SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh2, mh3)) AS band_hash FROM sigr),
+          cand AS (
+            SELECT DISTINCT l.doc_id AS b, r.doc_id AS a
+            FROM bandsb l JOIN bandsr r USING (band_id, band_hash)),
+          flagged AS (
+            SELECT DISTINCT cand.b FROM cand
+            JOIN fresh fb ON cand.b = fb.doc_id
+            JOIN ref ra ON cand.a = ra.doc_id
+            WHERE ROUND(
+              CAST(len(list_intersect(list_distinct(str_split(lower(ra.text), ' ')),
+                                      list_distinct(str_split(lower(fb.text), ' ')))) AS DOUBLE)
+              / len(list_distinct(list_concat(list_distinct(str_split(lower(ra.text), ' ')),
+                                              list_distinct(str_split(lower(fb.text), ' '))))), 6)
+              >= $NearDupJaccard)
+          SELECT doc_id, source, n_chars FROM fresh f
+          WHERE NOT EXISTS (SELECT 1 FROM flagged WHERE flagged.b = f.doc_id)
           ORDER BY doc_id""",
 
     // A-ES weighted sample: u exact in both engines (32-bit int + 1 over

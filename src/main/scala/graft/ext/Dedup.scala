@@ -245,6 +245,47 @@ object Dedup {
   def removeNearDups(docs: DataFrame, pairs: DataFrame, docKey: String): DataFrame =
     docs.join(pairs.select(col("b").as(docKey)).distinct(), Seq(docKey), "left_anti")
 
+  /** Incremental dedup: keep only the `batch` docs that duplicate
+    * NOTHING in `ref` — the production shape for snapshot-over-snapshot
+    * curation, where each new crawl dedups against the already-curated
+    * corpus instead of re-clustering everything. Asymmetric by design:
+    * `ref` is never filtered, and batch-internal duplicates are NOT
+    * removed here (run `removeNearDups`/`dupClusters` within the batch
+    * for that).
+    *
+    * Two passes, cheap one first:
+    *  1. exact — anti-join on the 32-byte content hash (narrow keys;
+    *     ref's hash set is typically broadcastable even when ref's TEXT
+    *     is huge);
+    *  2. near — cross-table LSH: band both sides' minhash signatures,
+    *     equi-join batch bands against ref bands (candidates only
+    *     within buckets, never batch × ref), verify word-set Jaccard ≥
+    *     `threshold` on the candidates, anti-join the flagged keys.
+    * Pass 2 only signs the exact-pass survivors, so re-submitting an
+    * unchanged crawl costs one narrow anti-join plus signatures for
+    * nothing. */
+  def dedupAgainstReference(batch: DataFrame, ref: DataFrame, docKey: String,
+                            textCol: String, k: Int, bands: Int,
+                            rowsPerBand: Int, threshold: Double): DataFrame = {
+    val refKeys = ref.select(md5(col(textCol)).as("__ck")).distinct()
+    val fresh = batch.withColumn("__ck", md5(col(textCol)))
+      .join(refKeys, Seq("__ck"), "left_anti").drop("__ck")
+    val bBands = lshBands(minhashSignature(fresh, docKey, textCol, k),
+        docKey, bands, rowsPerBand)
+      .select(col(docKey).as("b"), col("band_id"), col("band_hash"))
+    val rBands = lshBands(minhashSignature(ref, docKey, textCol, k),
+        docKey, bands, rowsPerBand)
+      .select(col(docKey).as("a"), col("band_id"), col("band_hash"))
+    val cand = bBands.join(rBands, Seq("band_id", "band_hash"))
+      .select("b", "a").distinct()
+    val flagged = cand
+      .join(fresh.select(col(docKey).as("b"), col(textCol).as("__tb")), "b")
+      .join(ref.select(col(docKey).as("a"), col(textCol).as("__ta")), "a")
+      .filter(round(jaccard(col("__ta"), col("__tb")), 6) >= threshold)
+      .select(col("b").as(docKey)).distinct()
+    fresh.join(flagged, Seq(docKey), "left_anti")
+  }
+
   /** Connected components over the verified near-dup pair graph: every
     * document that appears in a pair gets a `cluster` label = the MINIMUM
     * doc key reachable through any chain of pairs. Greedy pair eviction

@@ -557,6 +557,31 @@ class ExtSpec extends SparkSpec {
       "winners must not depend on partitioning")
   }
 
+  test("dedupAgainstReference: exact and near dups vs ref dropped, batch-internal dups kept") {
+    val mk = (id: Long, t: String) => (id, t)
+    // ref 10: base text. batch 1: EXACT copy → exact pass drops.
+    // batch 3: near copy (1 word changed over 12) → LSH pass drops.
+    // batch 5 & 7: identical to each other but unlike ref → BOTH kept
+    // (batch-internal dedup is explicitly out of scope).
+    // batch 9: unrelated → kept.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val near = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+    val ref = Seq(mk(10L, base)).toDF("doc_id", "text")
+    val batch = Seq(mk(1L, base), mk(3L, near),
+      mk(5L, "one two three four five six seven eight nine ten"),
+      mk(7L, "one two three four five six seven eight nine ten"),
+      mk(9L, "totally different words in this document entirely")).toDF("doc_id", "text")
+    val kept = Dedup.dedupAgainstReference(batch, ref, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L, 7L, 9L))
+    // ref side is never filtered — operator output is batch-only.
+    val all = Dedup.dedupAgainstReference(batch, ref, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, threshold = 0.999)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(3L, 5L, 7L, 9L), "only the exact copy drops at an unreachable threshold")
+  }
+
   test("weightedSample: k rows, partitioning-invariant, weight-dominant, bad weights dropped") {
     val df = (1L to 200L).map(i => (i, if (i == 42L) 1000000000L else 1L))
       .toDF("k", "w")
