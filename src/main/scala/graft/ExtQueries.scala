@@ -551,6 +551,15 @@ object ExtQueries {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    "q_quantize_int8" -> ((s, dir) => {
+      // Per-vector symmetric int8 quantization of the embedding corpus:
+      // codes, the 6dp scale, and the realized reconstruction bound —
+      // all bit-exact across engines (correctly-rounded IEEE ops only).
+      Similarity.quantizeInt8(read(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"))
+        .orderBy("vec_id")
+    }),
+
     // ───────── multimodal plumbing ─────────
     "q_multimodal_decode" -> ((s, dir) => {
       // Binary media column + stubbed decode features (real schema/batch
@@ -1297,6 +1306,29 @@ object ExtQueries {
           SELECT doc_id, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT b FROM pairs)
           ORDER BY doc_id""",
+
+    // Same arithmetic step for step: double casts, ROUND(·, 6) scale,
+    // clamp(round(x/scale), ±127). Every op is correctly-rounded IEEE,
+    // so codes agree bit-for-bit.
+    "q_quantize_int8" ->
+      """WITH d AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+          FROM embeddings),
+          s AS (SELECT vec_id, dv,
+            ROUND(list_max(list_transform(dv, x -> abs(x))) / 127.0, 6) AS scale
+          FROM d)
+          SELECT vec_id, scale,
+            array_to_string(
+              CASE WHEN scale = 0 THEN list_transform(dv, x -> '0')
+                   ELSE list_transform(dv, x -> CAST(CAST(
+                     least(greatest(round(x / scale, 0), -127.0), 127.0)
+                     AS INTEGER) AS VARCHAR))
+              END, ',') AS qcodes,
+            CASE WHEN scale = 0 THEN 0.0
+                 ELSE ROUND(list_max(list_transform(dv, x ->
+                   abs(least(greatest(round(x / scale, 0), -127.0), 127.0) * scale - x))), 6)
+            END AS max_err
+          FROM s ORDER BY vec_id""",
 
     "q_multimodal_decode" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -303,6 +303,40 @@ object Similarity {
       k, qId, cId, qVec, cVec)
   }
 
+  /** Symmetric per-vector int8 quantization — the 4× storage/bandwidth
+    * cut that keeps a 100 TB embedding corpus memory-resident for ANN.
+    * scale = round(max|x|/127, 6), 6dp-rounded so the divisor is
+    * bit-identical across engines; code_i = clamp(round(x_i/scale),
+    * ±127) — the clamp absorbs the one case where the rounded-DOWN
+    * scale pushes the max component to 128. Every step is a correctly-
+    * rounded IEEE double op (cast, divide, round, multiply), so codes
+    * are bit-exact on any engine — the DuckDB oracle reproduces them.
+    * The all-zero vector takes scale 0 with a zero code vector.
+    * `max_err` is the realized per-component reconstruction bound
+    * (≤ scale/2 plus the scale-round slop). Codes are emitted as the
+    * canonical comma-joined string (the repo's cross-engine convention
+    * for non-scalar values — engines and dataframe bridges disagree on
+    * list representations, never on strings); `codesOf` parses it back
+    * to array<int> for compute. Map-only codegen'd work, zero
+    * shuffles. */
+  def quantizeInt8(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val dv = asDouble(vec)
+    val scale = round(array_max(transform(dv, x => abs(x))) / lit(127.0), 6)
+    def code(x: Column, s: Column): Column =
+      least(greatest(round(x / s, 0), lit(-127.0)), lit(127.0))
+    val q = when(scale === 0d, transform(dv, _ => lit(0)))
+      .otherwise(transform(dv, x => code(x, scale).cast("int")))
+    val err = when(scale === 0d, lit(0.0)).otherwise(
+      round(array_max(transform(dv, x => abs(code(x, scale) * scale - x))), 6))
+    df.select(id, scale.as("scale"),
+      concat_ws(",", transform(q, c => c.cast("string"))).as("qcodes"),
+      err.as("max_err"))
+  }
+
+  /** Parse a `qcodes` string back to the int code vector. */
+  def codesOf(qcodes: Column): Column =
+    transform(split(qcodes, ","), c => c.cast("int"))
+
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted
     * to sign-LSH buckets (the scalable near-dup path over embeddings). */
   def cosineDupPairs(df: DataFrame, id: String, vec: String,

@@ -605,6 +605,33 @@ class ExtSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet == Set(1L))
   }
 
+  test("quantizeInt8: codes clamp to ±127, error bounded by scale, zero vector safe") {
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Seq(-2.0f, 2.0f, 1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, col("vec_id"), col("embedding"))
+      .orderBy("vec_id")
+      .as[(Long, Double, String, Double)].collect()
+    val (_, s1, q1, e1) = out(0)
+    assert(q1 == "127,-64,32,0", "codes clamp and round half away from zero")
+    assert(e1 <= s1 / 2 + 1e-6, "reconstruction error within half a step")
+    assert(out(1) == ((2L, 0.0, "0,0,0,0", 0.0)), "zero vector: scale 0, zero codes")
+    val (_, s3, q3, e3) = out(2)
+    assert(q3 == "-127,127,64,-64" && e3 <= s3 / 2 + 1e-6)
+    // Real embeddings: dequantized cosine vs original stays ~1.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val deq = Similarity.quantizeInt8(emb, col("vec_id"), col("embedding"))
+      .join(emb, "vec_id")
+      .withColumn("dq", transform(Similarity.codesOf(col("qcodes")),
+        c => c.cast("double") * col("scale")))
+      .select(Similarity.cosine(col("dq"),
+        transform(col("embedding"), x => x.cast("double"))).as("cos"))
+      .as[Double].collect()
+    assert(deq.forall(_ > 0.999), "int8 dequantization preserves cosine to 3 nines")
+  }
+
   test("redactPii masks typed spans and counts them; clean text untouched") {
     val df = Seq(
       ("mail a.b+c@x-corp.co.uk, call 555-123-4567 or 555.987.6543",
