@@ -551,6 +551,18 @@ object ExtQueries {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    "q_ann_quantized" -> ((s, dir) => {
+      // MIPS top-5 over the int8-quantized corpus: the compressed-ANN
+      // composition (quantize → integer dot → rescale). Scores are
+      // bit-exact (integer dot + two IEEE multiplies), so the oracle
+      // match needs no epsilon.
+      val e = read(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.quantizedTopK(queries, e.select("vec_id", "embedding"), 5)
+        .orderBy("q_id", "rank")
+    }),
+
     "q_quantize_int8" -> ((s, dir) => {
       // Per-vector symmetric int8 quantization of the embedding corpus:
       // codes, the 6dp scale, and the realized reconstruction bound —
@@ -1306,6 +1318,30 @@ object ExtQueries {
           SELECT doc_id, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT b FROM pairs)
           ORDER BY doc_id""",
+
+    // Quantize both sides with the q_quantize_int8 arithmetic, score by
+    // scale_q*scale_c*dot(codes) — list_dot_product over int codes is
+    // exact in double, so scores match bit-for-bit.
+    "q_ann_quantized" ->
+      """WITH s AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+            ROUND(list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS scale
+          FROM embeddings),
+          qt AS (SELECT vec_id, scale,
+            CASE WHEN scale = 0 THEN list_transform(dv, x -> 0)
+                 ELSE list_transform(dv, x -> CAST(least(greatest(
+                   round(x / scale, 0), -127.0), 127.0) AS INTEGER)) END AS codes
+          FROM s),
+          q AS (SELECT vec_id AS q_id, scale AS qs, codes AS qc
+          FROM qt WHERE vec_id < 5)
+          SELECT q_id, vec_id,
+            ROUND(qs * scale * list_dot_product(qc, codes), 6) AS score,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY ROUND(qs * scale * list_dot_product(qc, codes), 6) DESC,
+                vec_id) AS INTEGER) AS rank
+          FROM qt CROSS JOIN q
+          QUALIFY rank <= 5 ORDER BY q_id, rank""",
 
     // Same arithmetic step for step: double casts, ROUND(·, 6) scale,
     // clamp(round(x/scale), ±127). Every op is correctly-rounded IEEE,

@@ -337,6 +337,36 @@ object Similarity {
   def codesOf(qcodes: Column): Column =
     transform(split(qcodes, ","), c => c.cast("int"))
 
+  /** Top-k by approximate inner product over int8-QUANTIZED vectors
+    * (MIPS on the compressed corpus): score = scale_q × scale_c ×
+    * Σ code_q[i]·code_c[i]. The integer dot is EXACT (|code| ≤ 127, so
+    * a 10⁴-dim sum stays far under 2^53) and the two scale multiplies
+    * are correctly-rounded IEEE — a quantized score is bit-identical on
+    * any engine and any partitioning, with none of the accumulation-
+    * order care full-precision dot products need. Same broadcast-query
+    * / streaming-corpus shape as `bruteForceTopK`; at 100 TB the corpus
+    * side reads the 4×-smaller code column instead of the float
+    * vectors. Ties break on corpus id. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    qId: String = "q_id", cId: String = "vec_id",
+                    qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
+    def codesFor(df: DataFrame, id: Column, vec: Column, s: String, c: String) =
+      quantizeInt8(df, id, vec).select(id, col("scale").as(s),
+        codesOf(col("qcodes")).as(c))
+    val q = codesFor(queries, col(qId), col(qVec), "__qs", "__qc")
+    val c = codesFor(corpus, col(cId), col(cVec), "__cs", "__cc")
+    val dotInt = aggregate(
+      zip_with(col("__qc"), col("__cc"), (x, y) => (x * y).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val scored = c.join(broadcast(q))
+      .withColumn("score",
+        round(col("__qs") * col("__cs") * dotInt.cast("double"), 6))
+    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("score"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted
     * to sign-LSH buckets (the scalable near-dup path over embeddings). */
   def cosineDupPairs(df: DataFrame, id: String, vec: String,

@@ -632,6 +632,35 @@ class ExtSpec extends SparkSpec {
     assert(deq.forall(_ > 0.999), "int8 dequantization preserves cosine to 3 nines")
   }
 
+  test("quantizedTopK: self is rank 1; recall vs full-precision MIPS holds") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val qz = Similarity.quantizedTopK(queries, e.select("vec_id", "embedding"), 10)
+    val top = qz.filter(col("rank") === 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    assert(top.forall { case (q, c) => q == c },
+      "a vector's quantized inner product with itself dominates")
+    // Full-precision MIPS via the same exact-integer trick is overkill;
+    // compare against double dot products directly.
+    val exact = e.select(col("vec_id").as("c_id"),
+        transform(col("embedding"), x => x.cast("double")).as("cv"))
+      .crossJoin(queries.select(col("q_id"),
+        transform(col("q_vec"), x => x.cast("double")).as("qv")))
+      .withColumn("d", Similarity.dot(col("qv"), col("cv")))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("d").desc, col("c_id"))))
+      .filter(col("r") <= 10)
+      .select("q_id", "c_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = qz.select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = got.keys.toSeq.map(q =>
+      (got(q) & exact(q)).size.toDouble / 10).sum / got.size
+    assert(recall >= 0.8, s"quantized MIPS recall@10 $recall below 0.8")
+  }
+
   test("redactPii masks typed spans and counts them; clean text untouched") {
     val df = Seq(
       ("mail a.b+c@x-corp.co.uk, call 555-123-4567 or 555.987.6543",
