@@ -1323,11 +1323,15 @@ object ExtQueries {
     // scale_q*scale_c*dot(codes) — list_dot_product over int codes is
     // exact in double, so scores match bit-for-bit.
     "q_ann_quantized" ->
-      """WITH s AS (SELECT vec_id,
+      """WITH m AS (SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
-            ROUND(list_max(list_transform(embedding,
-              x -> abs(CAST(x AS DOUBLE)))) / 127.0, 6) AS scale
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) AS mx
           FROM embeddings),
+          s AS (SELECT vec_id, dv,
+            CASE WHEN mx = 0 THEN 0.0
+                 ELSE greatest(ROUND(mx / 127.0, 6), 0.000001) END AS scale
+          FROM m),
           qt AS (SELECT vec_id, scale,
             CASE WHEN scale = 0 THEN list_transform(dv, x -> 0)
                  ELSE list_transform(dv, x -> CAST(least(greatest(
@@ -1350,9 +1354,12 @@ object ExtQueries {
       """WITH d AS (SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
           FROM embeddings),
+          m AS (SELECT vec_id, dv,
+            list_max(list_transform(dv, x -> abs(x))) AS mx FROM d),
           s AS (SELECT vec_id, dv,
-            ROUND(list_max(list_transform(dv, x -> abs(x))) / 127.0, 6) AS scale
-          FROM d)
+            CASE WHEN mx = 0 THEN 0.0
+                 ELSE greatest(ROUND(mx / 127.0, 6), 0.000001) END AS scale
+          FROM m)
           SELECT vec_id, scale,
             array_to_string(
               CASE WHEN scale = 0 THEN list_transform(dv, x -> '0')
@@ -1496,8 +1503,9 @@ object ExtQueries {
 
     // Same planted contact block, same Java∩RE2 patterns (interpolated
     // from the TextAnalysis constants — one source of truth), same
-    // replace order. DuckDB regexp_replace masks only the first match
-    // without the 'g' flag.
+    // replace order, and the same STAGED counting as piiCounts (each
+    // category counted with earlier categories already masked). DuckDB
+    // regexp_replace masks only the first match without the 'g' flag.
     "q_redact_pii" ->
       s"""WITH planted AS (SELECT doc_id,
             text || ' Contact user' || CAST(doc_id AS VARCHAR)
@@ -1505,17 +1513,22 @@ object ExtQueries {
               || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
               || '-4567, ssn 123-45-6789, host 10.0.'
               || CAST(doc_id % 256 AS VARCHAR) || '.7.' AS t
-          FROM documents)
+          FROM documents),
+          st AS (SELECT doc_id, t,
+            regexp_replace(t, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS r1
+          FROM planted),
+          st2 AS (SELECT doc_id, t, r1,
+            regexp_replace(r1, '${TextAnalysis.SsnRe}', '<SSN>', 'g') AS r2
+          FROM st),
+          st3 AS (SELECT doc_id, t, r1, r2,
+            regexp_replace(r2, '${TextAnalysis.PhoneRe}', '<PHONE>', 'g') AS r3
+          FROM st2)
           SELECT doc_id,
-            regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-              '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
-              '${TextAnalysis.SsnRe}', '<SSN>', 'g'),
-              '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
-              '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS clean_text,
+            regexp_replace(r3, '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS clean_text,
             CAST(len(regexp_extract_all(t, '${TextAnalysis.EmailRe}')) AS INTEGER) AS n_email,
-            CAST(len(regexp_extract_all(t, '${TextAnalysis.SsnRe}')) AS INTEGER) AS n_ssn,
-            CAST(len(regexp_extract_all(t, '${TextAnalysis.PhoneRe}')) AS INTEGER) AS n_phone,
-            CAST(len(regexp_extract_all(t, '${TextAnalysis.Ipv4Re}')) AS INTEGER) AS n_ipv4
-          FROM planted ORDER BY doc_id"""
+            CAST(len(regexp_extract_all(r1, '${TextAnalysis.SsnRe}')) AS INTEGER) AS n_ssn,
+            CAST(len(regexp_extract_all(r2, '${TextAnalysis.PhoneRe}')) AS INTEGER) AS n_phone,
+            CAST(len(regexp_extract_all(r3, '${TextAnalysis.Ipv4Re}')) AS INTEGER) AS n_ipv4
+          FROM st3 ORDER BY doc_id"""
   )
 }

@@ -222,16 +222,27 @@ object Dedup {
     * verified (a, b) pairs with a < b. One definition shared by every
     * consumer (q_dedup_near, the curation pipeline) so the
     * threshold/banding semantics can't drift between them. */
+  /** The ONE verify tail every candidate generator feeds: join (a, b)
+    * candidate pairs back to their texts and keep word-set Jaccard ≥
+    * `threshold` (rounded to 6dp — the cross-engine convention). The
+    * rounding and jaccard definition live HERE only, so the within-table
+    * and cross-table dedup paths cannot drift apart. */
+  private def verifyPairsByJaccard(cand: DataFrame, aDocs: DataFrame,
+                                   bDocs: DataFrame, docKey: String,
+                                   textCol: String, threshold: Double): DataFrame = {
+    val da = aDocs.select(col(docKey).as("a"), col(textCol).as("__ta"))
+    val db = bDocs.select(col(docKey).as("b"), col(textCol).as("__tb"))
+    cand.join(da, "a").join(db, "b")
+      .filter(round(jaccard(col("__ta"), col("__tb")), 6) >= threshold)
+      .select("a", "b")
+  }
+
   def verifiedNearDupPairs(docs: DataFrame, docKey: String, textCol: String,
                            k: Int, bands: Int, rowsPerBand: Int,
                            threshold: Double): DataFrame = {
     val sigs = minhashSignature(docs, docKey, textCol, k)
     val cand = lshCandidatePairs(lshBands(sigs, docKey, bands, rowsPerBand), docKey)
-    val da = docs.select(col(docKey).as("a"), col(textCol).as("__ta"))
-    val db = docs.select(col(docKey).as("b"), col(textCol).as("__tb"))
-    cand.join(da, "a").join(db, "b")
-      .filter(round(jaccard(col("__ta"), col("__tb")), 6) >= threshold)
-      .select("a", "b")
+    verifyPairsByJaccard(cand, docs, docs, docKey, textCol, threshold)
   }
 
   /** Greedy near-dup REMOVAL — the cleaning step the candidate→verify
@@ -268,8 +279,19 @@ object Dedup {
                             textCol: String, k: Int, bands: Int,
                             rowsPerBand: Int, threshold: Double): DataFrame = {
     val refKeys = ref.select(md5(col(textCol)).as("__ck")).distinct()
+    // The exact-pass survivors feed THREE branches (signatures, the
+    // verify join, the final anti-join), so they are cached: without
+    // it, each branch re-runs the batch scan + anti-join, and
+    // per-branch column pruning de-canonicalizes the shared subtree so
+    // exchange reuse cannot save it (the repo's round-4 Catalyst
+    // lesson). Caching the batch is the right asymmetry — it is the
+    // incoming crawl slice, orders smaller than the curated corpus.
+    // `ref` is deliberately NOT cached: at 100 TB the curated side must
+    // stream from storage, column-pruned per pass (hashes, then
+    // signatures, then candidate texts).
     val fresh = batch.withColumn("__ck", md5(col(textCol)))
       .join(refKeys, Seq("__ck"), "left_anti").drop("__ck")
+      .cache()
     val bBands = lshBands(minhashSignature(fresh, docKey, textCol, k),
         docKey, bands, rowsPerBand)
       .select(col(docKey).as("b"), col("band_id"), col("band_hash"))
@@ -278,10 +300,7 @@ object Dedup {
       .select(col(docKey).as("a"), col("band_id"), col("band_hash"))
     val cand = bBands.join(rBands, Seq("band_id", "band_hash"))
       .select("b", "a").distinct()
-    val flagged = cand
-      .join(fresh.select(col(docKey).as("b"), col(textCol).as("__tb")), "b")
-      .join(ref.select(col(docKey).as("a"), col(textCol).as("__ta")), "a")
-      .filter(round(jaccard(col("__ta"), col("__tb")), 6) >= threshold)
+    val flagged = verifyPairsByJaccard(cand, ref, fresh, docKey, textCol, threshold)
       .select(col("b").as(docKey)).distinct()
     fresh.join(flagged, Seq(docKey), "left_anti")
   }

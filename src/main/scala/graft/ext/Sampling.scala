@@ -30,10 +30,17 @@ object Sampling {
     * up to ~10⁵ with <0.01% modulo bias. `salt` decorrelates independent
     * decisions on the same key (e.g. sampling vs split assignment —
     * without it, a 10%-sampled stratum would land entirely in 'train'). */
+  /** First 8 md5 hex digits of (key || salt) as a long — the ONE
+    * portable 32-bit hash every sampling decision in this module
+    * derives from (bucket wheels and A-ES uniforms must stay in
+    * lockstep with the oracle's SQL twin of this expression). */
+  private def hash32(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("long")
+
   def hashBucket(key: Column, buckets: Int, salt: String = ""): Column = {
     require(buckets >= 1, "need at least one bucket")
-    conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
-      .cast("long") % buckets
+    hash32(key, salt) % buckets
   }
 
   /** Keep a deterministic ~`pct`% of rows by key (0 <= pct <= 100).
@@ -101,8 +108,7 @@ object Sampling {
     * the key at the call site. u is exact in both engines: a 32-bit
     * integer + 1 divided by 2^32. */
   def weightedSampleKey(key: Column, weight: Column, salt: String = ""): Column = {
-    val u = (conv(substring(md5(concat(key.cast("string"), lit(salt))), 1, 8), 16, 10)
-      .cast("long") + lit(1L)).cast("double") / lit(4294967296.0)
+    val u = (hash32(key, salt) + lit(1L)).cast("double") / lit(4294967296.0)
     round(pow(u, lit(1.0) / weight.cast("double")), 6)
   }
 
@@ -110,12 +116,15 @@ object Sampling {
     * proportionally likelier, selection reproducible on any cluster or
     * partitioning. Runs as TakeOrderedAndProject (a per-partition
     * k-heap + merge), never a full sort — the 100 TB shape for a
-    * bounded-k draw. Rows with NULL or non-positive weight cannot be
-    * drawn and are dropped. */
+    * bounded-k draw. Rows with NULL, non-positive, or NaN weight cannot
+    * be drawn and are dropped (NaN compares GREATER than every number
+    * in Spark's ordering, so without the explicit guard a single
+    * NaN-weight row — a 0/0 quality score, say — would pass `> 0`,
+    * score a NaN key, and crowd out the whole sample). */
   def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
                      salt: String = ""): DataFrame = {
     require(k >= 1, "need k >= 1")
-    df.filter(weight.isNotNull && weight > 0)
+    df.filter(weight.isNotNull && weight > 0 && !isnan(weight.cast("double")))
       .withColumn("__wkey", weightedSampleKey(key, weight, salt))
       .orderBy(col("__wkey").desc, key)
       .limit(k)

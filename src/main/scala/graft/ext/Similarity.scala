@@ -306,32 +306,43 @@ object Similarity {
   /** Symmetric per-vector int8 quantization — the 4× storage/bandwidth
     * cut that keeps a 100 TB embedding corpus memory-resident for ANN.
     * scale = round(max|x|/127, 6), 6dp-rounded so the divisor is
-    * bit-identical across engines; code_i = clamp(round(x_i/scale),
-    * ±127) — the clamp absorbs the one case where the rounded-DOWN
-    * scale pushes the max component to 128. Every step is a correctly-
-    * rounded IEEE double op (cast, divide, round, multiply), so codes
-    * are bit-exact on any engine — the DuckDB oracle reproduces them.
-    * The all-zero vector takes scale 0 with a zero code vector.
-    * `max_err` is the realized per-component reconstruction bound
-    * (≤ scale/2 plus the scale-round slop). Codes are emitted as the
-    * canonical comma-joined string (the repo's cross-engine convention
-    * for non-scalar values — engines and dataframe bridges disagree on
-    * list representations, never on strings); `codesOf` parses it back
-    * to array<int> for compute. Map-only codegen'd work, zero
-    * shuffles. */
-  def quantizeInt8(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    * bit-identical across engines, and FLOORED at 1e-6 for non-zero
+    * vectors — without the floor, a vector whose max|x| < 6.35e-5
+    * rounds to scale 0 and would silently collapse to zero codes while
+    * reporting max_err 0; the zero branch must mean "genuinely
+    * all-zero", nothing else. code_i = clamp(round(x_i/scale), ±127) —
+    * the clamp absorbs the one case where the rounded-DOWN scale pushes
+    * the max component to 128. Every step is a correctly-rounded IEEE
+    * double op (cast, divide, round, multiply), so codes are bit-exact
+    * on any engine — the DuckDB oracle reproduces them. `max_err` is
+    * the realized per-component reconstruction bound (≤ scale/2 plus
+    * the scale-round slop). Map-only codegen'd work, zero shuffles.
+    *
+    * Returns (id, scale, codes array<int>, max_err) — the compute form
+    * internal consumers (`quantizedTopK`) score straight off.
+    * `quantizeInt8` is the presentation form: codes as the canonical
+    * comma-joined string (the repo's cross-engine convention for
+    * non-scalar values — engines and dataframe bridges disagree on list
+    * representations, never on strings); `codesOf` parses it back. */
+  def quantizeCodes(df: DataFrame, id: Column, vec: Column): DataFrame = {
     val dv = asDouble(vec)
-    val scale = round(array_max(transform(dv, x => abs(x))) / lit(127.0), 6)
+    val mx = array_max(transform(dv, x => abs(x)))
+    val scale = when(mx === 0d, lit(0.0))
+      .otherwise(greatest(round(mx / lit(127.0), 6), lit(1e-6)))
     def code(x: Column, s: Column): Column =
       least(greatest(round(x / s, 0), lit(-127.0)), lit(127.0))
     val q = when(scale === 0d, transform(dv, _ => lit(0)))
       .otherwise(transform(dv, x => code(x, scale).cast("int")))
     val err = when(scale === 0d, lit(0.0)).otherwise(
       round(array_max(transform(dv, x => abs(code(x, scale) * scale - x))), 6))
-    df.select(id, scale.as("scale"),
-      concat_ws(",", transform(q, c => c.cast("string"))).as("qcodes"),
-      err.as("max_err"))
+    df.select(id, scale.as("scale"), q.as("codes"), err.as("max_err"))
   }
+
+  def quantizeInt8(df: DataFrame, id: Column, vec: Column): DataFrame =
+    quantizeCodes(df, id, vec)
+      .select(id, col("scale"),
+        concat_ws(",", transform(col("codes"), c => c.cast("string"))).as("qcodes"),
+        col("max_err"))
 
   /** Parse a `qcodes` string back to the int code vector. */
   def codesOf(qcodes: Column): Column =
@@ -346,21 +357,24 @@ object Similarity {
     * order care full-precision dot products need. Same broadcast-query
     * / streaming-corpus shape as `bruteForceTopK`; at 100 TB the corpus
     * side reads the 4×-smaller code column instead of the float
-    * vectors. Ties break on corpus id. */
+    * vectors. Ties break on corpus id.
+    *
+    * The pair scoring uses the codegen'd `vec_dot` over the codes cast
+    * to double ONCE per vector (products and partial sums of int8
+    * codes are integers well under 2^53, so the double accumulation is
+    * exact in any order) — not the interpreted `aggregate`/`zip_with`
+    * form, which re-evaluates per element in the hot per-pair loop. */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     qId: String = "q_id", cId: String = "vec_id",
                     qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
     def codesFor(df: DataFrame, id: Column, vec: Column, s: String, c: String) =
-      quantizeInt8(df, id, vec).select(id, col("scale").as(s),
-        codesOf(col("qcodes")).as(c))
+      quantizeCodes(df, id, vec).select(id, col("scale").as(s),
+        transform(col("codes"), x => x.cast("double")).as(c))
     val q = codesFor(queries, col(qId), col(qVec), "__qs", "__qc")
     val c = codesFor(corpus, col(cId), col(cVec), "__cs", "__cc")
-    val dotInt = aggregate(
-      zip_with(col("__qc"), col("__cc"), (x, y) => (x * y).cast("long")),
-      lit(0L), (acc, x) => acc + x)
     val scored = c.join(broadcast(q))
-      .withColumn("score",
-        round(col("__qs") * col("__cs") * dotInt.cast("double"), 6))
+      .withColumn("score", round(
+        col("__qs") * col("__cs") * vec_dot(col("__qc"), col("__cc")), 6))
     val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -112,13 +112,24 @@ object TextAnalysis {
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(c,
       EmailRe, "<EMAIL>"), SsnRe, "<SSN>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
 
-  /** Per-category PII hit counts (audit view: how much PII does a
-    * source carry BEFORE masking). Same patterns as `redactPii`. */
-  def piiCounts(c: Column): Seq[(String, Column)] = Seq(
-    "n_email" -> regexp_count(c, lit(EmailRe)),
-    "n_ssn"   -> regexp_count(c, lit(SsnRe)),
-    "n_phone" -> regexp_count(c, lit(PhoneRe)),
-    "n_ipv4"  -> regexp_count(c, lit(Ipv4Re)))
+  /** Per-category PII hit counts, STAGED to mirror `redactPii` exactly:
+    * each category is counted on the text with all earlier categories
+    * already masked, so the counts are precisely the spans the redactor
+    * replaces — an audit reconciling "did we mask everything we
+    * counted?" balances to zero. (Counting every pattern on the raw
+    * text instead would double-count overlaps: in
+    * `555-123-4567@relay.example.com` the email swallows the digits,
+    * yet PhoneRe still matches them raw — a phantom unmasked phone.) */
+  def piiCounts(c: Column): Seq[(String, Column)] = {
+    val afterEmail = regexp_replace(c, EmailRe, "<EMAIL>")
+    val afterSsn   = regexp_replace(afterEmail, SsnRe, "<SSN>")
+    val afterPhone = regexp_replace(afterSsn, PhoneRe, "<PHONE>")
+    Seq(
+      "n_email" -> regexp_count(c, lit(EmailRe)),
+      "n_ssn"   -> regexp_count(afterEmail, lit(SsnRe)),
+      "n_phone" -> regexp_count(afterSsn, lit(PhoneRe)),
+      "n_ipv4"  -> regexp_count(afterPhone, lit(Ipv4Re)))
+  }
 
   /** Word-level repetition ratio: 1 − distinct/total words — the Gopher
     * repetition signal (high = boilerplate/spam). */

@@ -603,6 +603,12 @@ class ExtSpec extends SparkSpec {
       .toDF("k", "w")
     assert(Sampling.weightedSample(bad, col("k"), col("w"), 10)
       .select("k").as[Long].collect().toSet == Set(1L))
+    // NaN weights pass `> 0` (NaN sorts above every number in Spark)
+    // and would crowd out the whole sample without the explicit guard.
+    val nanW = Seq((1L, 5.0), (2L, Double.NaN), (3L, 3.0)).toDF("k", "w")
+    assert(Sampling.weightedSample(nanW, col("k"), col("w"), 2)
+      .select("k").as[Long].collect().toSet == Set(1L, 3L),
+      "NaN-weight rows must be dropped, not win")
   }
 
   test("quantizeInt8: codes clamp to ±127, error bounded by scale, zero vector safe") {
@@ -620,8 +626,16 @@ class ExtSpec extends SparkSpec {
     assert(out(1) == ((2L, 0.0, "0,0,0,0", 0.0)), "zero vector: scale 0, zero codes")
     val (_, s3, q3, e3) = out(2)
     assert(q3 == "-127,127,64,-64" && e3 <= s3 / 2 + 1e-6)
+    // Tiny-magnitude vectors: round(max|x|/127, 6) would hit 0 and
+    // silently zero the codes while claiming max_err 0 — the 1e-6 scale
+    // floor keeps them representable; scale 0 means all-zero ONLY.
+    val tiny = Seq((9L, Seq(5e-5f, -5e-5f, 2e-5f))).toDF("vec_id", "embedding")
+    val (_, st, qt, et) = Similarity.quantizeInt8(tiny, col("vec_id"), col("embedding"))
+      .as[(Long, Double, String, Double)].head()
+    assert(st == 1e-6 && qt == "50,-50,20" && et <= st / 2 + 1e-9,
+      s"floored scale must keep tiny vectors representable, got ($st, $qt, $et)")
     // Real embeddings: dequantized cosine vs original stays ~1.
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(50)
+    val emb = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
     val deq = Similarity.quantizeInt8(emb, col("vec_id"), col("embedding"))
       .join(emb, "vec_id")
       .withColumn("dq", transform(Similarity.codesOf(col("qcodes")),
@@ -633,7 +647,7 @@ class ExtSpec extends SparkSpec {
   }
 
   test("quantizedTopK: self is rank 1; recall vs full-precision MIPS holds") {
-    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
     val queries = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val qz = Similarity.quantizedTopK(queries, e.select("vec_id", "embedding"), 10)
@@ -677,5 +691,14 @@ class ExtSpec extends SparkSpec {
     // version string does not (no word boundary after the `v`).
     assert(out(1) == (("b", "ssn <SSN> from <IP>, release v1.2.3.4", 0, 1, 0, 1)))
     assert(out(2) == (("c", "no pii here, just 12 words and a 3.14 constant", 0, 0, 0, 0)))
+    // Counts reconcile with masks: the email swallows the phone-shaped
+    // digits, and the STAGED phone count (run after the email mask)
+    // agrees — no phantom unmasked phone in the audit.
+    val overlap = Seq("reach me at 555-123-4567@relay.example.com").toDF("t")
+    val o = overlap.select(TextAnalysis.redactPii(col("t")).as("r") +:
+        TextAnalysis.piiCounts(col("t")).map { case (n, c) => c.as(n) }: _*)
+      .as[(String, Int, Int, Int, Int)].head()
+    assert(o == (("reach me at <EMAIL>", 1, 0, 0, 0)),
+      "one mask, one count — audit balances to zero")
   }
 }

@@ -104,4 +104,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"vocab membership must broadcast, the corpus side must not shuffle:\n$plan")
   }
+
+  test("q_weighted_sample: bounded-k draw is a heap, never a full sort") {
+    val plan = executedPlan("q_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"A-ES top-k must run as a per-partition k-heap:\n$plan")
+  }
+
+  test("q_ann_quantized broadcasts the quantized queries (corpus never shuffles)") {
+    val plan = executedPlan("q_ann_quantized")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"quantized query side must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the corpus codes must stream through one task set:\n$plan")
+  }
+
+  test("q_dedup_incremental reads the batch through its cache (exact-pass survivors cached)") {
+    val df = SparkEntry.queries("q_dedup_incremental")(spark, dir)
+    df.collect()
+    val c = PlanAudit.countNodes(df.queryExecution.executedPlan).withDefaultValue(0)
+    assert(c("cacheReads") >= 2,
+      s"the three fresh-consuming branches must share the cache, got ${c("cacheReads")} cache reads")
+  }
 }
