@@ -133,4 +133,36 @@ object EventStream {
     spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
+
+  /** Streaming keep-existing upsert sink: each micro-batch dedups within
+    * itself, anti-joins the partitioned parquet sink (reading ONLY the
+    * partitions the batch touches — `Upsert.freshAgainstPartitionedSink`),
+    * and appends the fresh keys. This turns at-least-once delivery into
+    * exactly-once-per-key sink contents: a replayed batch finds all its
+    * keys already present and appends nothing, which is the idempotence
+    * Structured Streaming needs from a foreachBatch sink. First batch
+    * bootstraps the sink (nothing to anti-join yet). The 100 TB story is
+    * the batch one: state lives in the sink table itself, partitioned so
+    * each micro-batch prunes to its touched partitions — no streaming
+    * state store grows with corpus size. */
+  def upsertSink(stream: DataFrame, sinkPath: String, keys: Seq[String],
+                 tieBreak: Seq[String], partCol: String,
+                 checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val write: (DataFrame, Long) => Unit = (batch, _) => {
+      val s = batch.sparkSession
+      val sink = new org.apache.hadoop.fs.Path(sinkPath)
+      val exists = sink.getFileSystem(s.sparkContext.hadoopConfiguration).exists(sink)
+      val fresh =
+        if (exists)
+          graft.ops.Upsert.freshAgainstPartitionedSink(
+            s, sinkPath, batch, keys, tieBreak, partCol)
+        else graft.ops.Upsert.dedupOnKey(batch, keys, tieBreak)
+      fresh.write.mode("append").partitionBy(partCol).parquet(sinkPath)
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch(write)
+      .start()
+  }
 }

@@ -156,6 +156,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 3.0)), s"hour-0 window for type a emitted once, got $got")
   }
 
+  test("streaming upsert sink: keep-existing per key across batches, replay appends nothing") {
+    implicit val sc = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("graft_upsert_sink")
+      .resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_ckpt").toString
+    val mem = MemoryStream[(Long, Double, String)]
+    val q = EventStream.upsertSink(
+      mem.toDF().toDF("id", "value", "day"),
+      sink, keys = Seq("id"), tieBreak = Seq("value"), partCol = "day",
+      checkpoint = ckpt)
+    // Batch 1 bootstraps the sink (and dedups within itself: id 2 keeps
+    // its lowest tie-break value).
+    mem.addData((1L, 10.0, "d1"), (2L, 20.0, "d1"), (2L, 99.0, "d1"))
+    q.processAllAvailable()
+    // Batch 2: id 2 re-arrives with a NEW value → existing row wins;
+    // id 3 is fresh → appended.
+    mem.addData((2L, 555.0, "d1"), (3L, 30.0, "d2"))
+    q.processAllAvailable()
+    // Batch 3 replays batch 2 verbatim (at-least-once delivery) → the
+    // sink must not change.
+    mem.addData((2L, 555.0, "d1"), (3L, 30.0, "d2"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(sink).select("id", "value")
+      .as[(Long, Double)].collect().sorted.toSeq
+    assert(got == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      s"keep-existing semantics + replay idempotence, got $got")
+  }
+
   test("streaming curation composition: quality gate -> dedup -> windowed counts") {
     // The curation shape end-to-end in STREAMING mode from the same
     // operator library: map-only quality expressions apply unchanged,
