@@ -681,6 +681,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_length_bins" -> ((s, dir) => {
+      // Scale-correct ntile: per-source quartile binning of doc length
+      // via broadcast percentile bounds + a map-only when-chain (a
+      // corpus-wide ntile(4) window would sort everything in ONE task).
+      graft.ops.Cleaning.percentileBins(read(s, dir, "documents")
+          .select("doc_id", "source", "n_chars"),
+        "n_chars", Seq("source"), Seq(0.25, 0.5, 0.75))
+        .orderBy("doc_id")
+    }),
+
     "q_weighted_sample" -> ((s, dir) => {
       // Length-weighted deterministic sample (Efraimidis–Spirakis
       // top-k): longer docs proportionally likelier, yet every draw is
@@ -1484,6 +1494,23 @@ object ExtQueries {
               >= $NearDupJaccard)
           SELECT doc_id, source, n_chars FROM fresh f
           WHERE NOT EXISTS (SELECT 1 FROM flagged WHERE flagged.b = f.doc_id)
+          ORDER BY doc_id""",
+
+    // Quartile boundaries per source (quantile_cont == Spark percentile
+    // interpolation, both 6dp-rounded); bin = count of boundaries at or
+    // below the value — the same when-chain as the Spark side.
+    "q_length_bins" ->
+      """WITH b AS (SELECT source,
+            ROUND(quantile_cont(n_chars, 0.25), 6) AS b0,
+            ROUND(quantile_cont(n_chars, 0.50), 6) AS b1,
+            ROUND(quantile_cont(n_chars, 0.75), 6) AS b2
+          FROM documents GROUP BY 1)
+          SELECT doc_id, d.source, n_chars,
+            CASE WHEN n_chars IS NULL THEN NULL ELSE
+              (CASE WHEN n_chars >= b0 THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars >= b1 THEN 1 ELSE 0 END)
+            + (CASE WHEN n_chars >= b2 THEN 1 ELSE 0 END) END AS bin
+          FROM documents d JOIN b ON d.source IS NOT DISTINCT FROM b.source
           ORDER BY doc_id""",
 
     // A-ES weighted sample: u exact in both engines (32-bit int + 1 over

@@ -115,4 +115,42 @@ object Cleaning {
         least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
+
+  /** Percentile binning — the scale-correct ntile. `ntile(n)` over a
+    * corpus-wide window is a GLOBAL sort in one task (Window with no
+    * partition key); this shape is one (optionally per-group) aggregate
+    * pass for the boundaries — exact `percentile`, or the
+    * `approx_percentile` sketch when `accuracy` is given (the 100 TB
+    * variant, same trade as winsorizeApprox) — broadcast to the fact
+    * side, then a map-only codegen'd when-chain: bin = how many
+    * boundaries sit at or below the value (0 .. probs.size). Unlike
+    * ntile's equal-COUNT buckets, bins are equal-RANGE-BY-QUANTILE:
+    * ties straddling a boundary land in the same bin, which is what
+    * curriculum/mixing policies actually want (same score ⇒ same
+    * treatment). Boundaries are 6dp-rounded (the cross-engine
+    * convention); NULL values take a NULL bin. Appends `bin` to the
+    * input columns. */
+  def percentileBins(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                     probs: Seq[Double], accuracy: Option[Int] = None): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1) &&
+      probs == probs.sorted && probs.distinct == probs,
+      s"probs must be strictly increasing in (0, 1), got $probs")
+    val arr = array(probs.map(lit): _*)
+    val agg = accuracy
+      .map(a => approx_percentile(col(valueCol), arr, lit(a)))
+      .getOrElse(percentile(col(valueCol), arr))
+    val bounds = df.groupBy(groupCols.map(col): _*)
+      .agg(agg.as("__b"))
+      .select(groupCols.map(c => col(c).as(s"__g_$c")) ++
+        probs.indices.map(i => round(element_at(col("__b"), i + 1), 6).as(s"__b$i")): _*)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(broadcast(bounds),
+        groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _))
+    joined
+      .withColumn("bin", when(col(valueCol).isNotNull,
+        probs.indices.map(i =>
+          when(col(valueCol) >= col(s"__b$i"), 1).otherwise(0)).reduce(_ + _)))
+      .select(df.columns.toIndexedSeq.map(col) :+ col("bin"): _*)
+  }
 }

@@ -170,6 +170,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("percentileBins: quantile bins per group, ties share a bin, NULLs null") {
+    // Group a: 1..8 → quartile bounds 2.75 / 4.5 / 6.25 → bins 0,0,1,1,2,2,3,3.
+    val df = ((1 to 8).map(i => ("a", Some(i.toDouble))) :+ ("b", None))
+      .toDF("g", "v").withColumn("id", monotonically_increasing_id())
+    val out = graft.ops.Cleaning.percentileBins(df, "v", Seq("g"), Seq(0.25, 0.5, 0.75))
+    assert(out.columns.toSeq == Seq("g", "v", "id", "bin"), "input columns + bin")
+    val bins = out.filter(col("g") === "a").orderBy("v")
+      .select("bin").as[Int].collect().toSeq
+    assert(bins == Seq(0, 0, 1, 1, 2, 2, 3, 3), s"quartiles split 2-2-2-2, got $bins")
+    assert(out.filter(col("v").isNull).select("bin").head().isNullAt(0),
+      "NULL value takes a NULL bin, not bin 0")
+    // Ties straddling a boundary land in ONE bin (equal-range-by-quantile,
+    // not ntile's equal-count): constant group → every row in the top bin.
+    val const = Seq.fill(6)(("c", 5.0)).toDF("g", "v")
+    assert(graft.ops.Cleaning.percentileBins(const, "v", Seq("g"), Seq(0.5))
+      .select("bin").as[Int].collect().forall(_ == 1))
+    // The sketch variant bins identically away from boundary neighborhoods.
+    val approx = graft.ops.Cleaning.percentileBins(df, "v", Seq("g"),
+      Seq(0.25, 0.5, 0.75), accuracy = Some(10000))
+    assert(approx.filter(col("g") === "a").count() == 8)
+    intercept[IllegalArgumentException] {
+      graft.ops.Cleaning.percentileBins(df, "v", Seq("g"), Seq(0.75, 0.25))
+    }
+  }
+
   test("winsorize clips per group, leaves interior values untouched") {
     // Group a: 1..100 → p05 ≈ 5.95, p95 ≈ 95.05 (R-7 interpolation).
     // Group b: constant 7 → bounds 7/7, everything stays 7.
