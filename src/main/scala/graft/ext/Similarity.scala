@@ -253,7 +253,18 @@ object Similarity {
     spark.createDataFrame(centRows, centSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
-    c.withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
+    val assigned = c.withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
+    // Lists carry BOTH the float vectors and the int8 quantization
+    // (scale + codes) of each vector, computed once at build time: the
+    // full-precision search reads the vectors, the quantized search reads
+    // only (scale, codes) — column pruning means the 4×-smaller compressed
+    // payload is all a quantized probe touches. codes are |v| ≤ 127 ints,
+    // which parquet bit-packs to ~1 byte each on disk.
+    val dv = asDouble(col(cVec))
+    assigned
+      .withColumn("scale", quantScale(dv))
+      .withColumn("codes", transform(quantCodesDouble(dv, col("scale")),
+        x => x.cast("int")))
       .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
   }
 
@@ -281,17 +292,18 @@ object Similarity {
     searchAssigned(assigned, queries, cents, k, nProbe, qId, cId, qVec, cVec)
   }
 
-  /** Shared search tail over an already-assigned corpus (in-memory or read
-    * back from a persisted index): rank each query's nProbe nearest lists,
-    * broadcast the probes into the list-keyed corpus, exact cosine only
-    * inside probed lists. */
-  private def searchAssigned(assigned: DataFrame, queries: DataFrame,
-                             cents: Seq[(Long, Seq[Double])], k: Int, nProbe: Int,
-                             qId: String, cId: String, qVec: String,
-                             cVec: String): DataFrame = {
+  /** Probe selection — one definition shared by the full-precision and
+    * quantized search tails: rank each query's lists by rounded cosine
+    * against the (full-precision) centroid metadata, keep the nProbe
+    * nearest. Routing always runs at full precision even when the list
+    * payload is quantized: centroids are driver-bounded metadata, so
+    * there is nothing to save by quantizing them, and a mis-routed probe
+    * costs recall that int8 centroid error would silently introduce.
+    * Returns (qId, qVec, __qn, list), one row per (query, probe). */
+  private def probesFor(queries: DataFrame, cents: Seq[(Long, Seq[Double])],
+                        nProbe: Int, qId: String, qVec: String): DataFrame = {
     val q = queries.withColumn("__qn", vec_norm(col(qVec)))
-    val probes = q
-      .withColumn("pc", explode(array(cents.map { case (id, cent) =>
+    q.withColumn("pc", explode(array(cents.map { case (id, cent) =>
         struct(centCos(col(qVec), col("__qn"), cent).as("pcos"), lit(id).as("list"))
       }: _*)))
       .withColumn("prank", row_number().over(
@@ -299,9 +311,19 @@ object Similarity {
           .orderBy(col("pc.pcos").desc, col("pc.list"))))
       .filter(col("prank") <= nProbe)
       .select(col(qId), col(qVec), col("__qn"), col("pc.list").as("list"))
-    scoreAndRank(assigned.join(broadcast(probes), Seq("list")),
-      k, qId, cId, qVec, cVec)
   }
+
+  /** Shared search tail over an already-assigned corpus (in-memory or read
+    * back from a persisted index): rank each query's nProbe nearest lists,
+    * broadcast the probes into the list-keyed corpus, exact cosine only
+    * inside probed lists. */
+  private def searchAssigned(assigned: DataFrame, queries: DataFrame,
+                             cents: Seq[(Long, Seq[Double])], k: Int, nProbe: Int,
+                             qId: String, cId: String, qVec: String,
+                             cVec: String): DataFrame =
+    scoreAndRank(assigned.join(
+        broadcast(probesFor(queries, cents, nProbe, qId, qVec)), Seq("list")),
+      k, qId, cId, qVec, cVec)
 
   /** Symmetric per-vector int8 quantization — the 4× storage/bandwidth
     * cut that keeps a 100 TB embedding corpus memory-resident for ANN.
@@ -324,17 +346,32 @@ object Similarity {
     * comma-joined string (the repo's cross-engine convention for
     * non-scalar values — engines and dataframe bridges disagree on list
     * representations, never on strings); `codesOf` parses it back. */
+  /** The q_quantize_int8 scale rule as a column: 0.0 only for the
+    * all-zero vector, otherwise round(max|x|/127, 6) floored at 1e-6. */
+  private def quantScale(dv: Column): Column = {
+    val mx = array_max(transform(dv, x => abs(x)))
+    when(mx === 0d, lit(0.0))
+      .otherwise(greatest(round(mx / lit(127.0), 6), lit(1e-6)))
+  }
+
+  private def quantCode(x: Column, s: Column): Column =
+    least(greatest(round(x / s, 0), lit(-127.0)), lit(127.0))
+
+  /** Int8 codes kept in DOUBLE form — what every MIPS scorer consumes
+    * (products and partial sums of |code| ≤ 127 stay far under 2^53, so
+    * double accumulation is exact in any order; casting to int and back
+    * would be an identity round-trip paid per element). */
+  private def quantCodesDouble(dv: Column, scale: Column): Column =
+    when(scale === 0d, transform(dv, _ => lit(0.0)))
+      .otherwise(transform(dv, x => quantCode(x, scale)))
+
   def quantizeCodes(df: DataFrame, id: Column, vec: Column): DataFrame = {
     val dv = asDouble(vec)
-    val mx = array_max(transform(dv, x => abs(x)))
-    val scale = when(mx === 0d, lit(0.0))
-      .otherwise(greatest(round(mx / lit(127.0), 6), lit(1e-6)))
-    def code(x: Column, s: Column): Column =
-      least(greatest(round(x / s, 0), lit(-127.0)), lit(127.0))
+    val scale = quantScale(dv)
     val q = when(scale === 0d, transform(dv, _ => lit(0)))
-      .otherwise(transform(dv, x => code(x, scale).cast("int")))
+      .otherwise(transform(dv, x => quantCode(x, scale).cast("int")))
     val err = when(scale === 0d, lit(0.0)).otherwise(
-      round(array_max(transform(dv, x => abs(code(x, scale) * scale - x))), 6))
+      round(array_max(transform(dv, x => abs(quantCode(x, scale) * scale - x))), 6))
     df.select(id, scale.as("scale"), q.as("codes"), err.as("max_err"))
   }
 
@@ -364,21 +401,38 @@ object Similarity {
     * codes are integers well under 2^53, so the double accumulation is
     * exact in any order) — not the interpreted `aggregate`/`zip_with`
     * form, which re-evaluates per element in the hot per-pair loop. */
-  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-                    qId: String = "q_id", cId: String = "vec_id",
-                    qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
-    def codesFor(df: DataFrame, id: Column, vec: Column, s: String, c: String) =
-      quantizeCodes(df, id, vec).select(id, col("scale").as(s),
-        transform(col("codes"), x => x.cast("double")).as(c))
-    val q = codesFor(queries, col(qId), col(qVec), "__qs", "__qc")
-    val c = codesFor(corpus, col(cId), col(cVec), "__cs", "__cc")
-    val scored = c.join(broadcast(q))
-      .withColumn("score", round(
-        col("__qs") * col("__cs") * vec_dot(col("__qc"), col("__cc")), 6))
+  /** The MIPS ranking tail every quantized scorer shares: pairs must carry
+    * `__qs`/`__cs` (scales) and `__qc`/`__cc` (double-form codes). Score =
+    * scale_q × scale_c × Σ code_q[i]·code_c[i], rounded 6dp (the integer
+    * dot is exact, the two multiplies correctly-rounded IEEE — bit-exact
+    * cross-engine), rank per query, ties on the corpus id. ONE definition
+    * so the brute-force and IVF-composed paths cannot drift. */
+  private def mipsRank(pairs: DataFrame, k: Int, qId: String, cId: String): DataFrame = {
+    val scored = pairs.withColumn("score", round(
+      col("__qs") * col("__cs") * vec_dot(col("__qc"), col("__cc")), 6))
     val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), col("score"), col("rank"))
+  }
+
+  /** Quantize a frame's vector column in place: appends scale + double-form
+    * code columns, keeping everything else. */
+  private def withQuantCols(df: DataFrame, vec: Column,
+                            scaleName: String, codesName: String): DataFrame = {
+    val dv = asDouble(vec)
+    df.withColumn(scaleName, quantScale(dv))
+      .withColumn(codesName, quantCodesDouble(dv, col(scaleName)))
+  }
+
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                    qId: String = "q_id", cId: String = "vec_id",
+                    qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
+    val q = withQuantCols(queries, col(qVec), "__qs", "__qc")
+      .select(col(qId), col("__qs"), col("__qc"))
+    val c = withQuantCols(corpus, col(cVec), "__cs", "__cc")
+      .select(col(cId), col("__cs"), col("__cc"))
+    mipsRank(c.join(broadcast(q)), k, qId, cId)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted
