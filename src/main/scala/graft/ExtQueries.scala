@@ -563,6 +563,23 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_ann_ivf_quantized" -> ((s, dir) => {
+      // The production ANN composition: persisted IVF index (Lloyd-trained,
+      // list-partitioned, int8 payload stored at build time) searched with
+      // integer MIPS over ONLY the stored (__scale, __codes) columns of
+      // the probed lists — partition pruning keeps the scan to nProbe
+      // lists, column pruning keeps it to the 4×-smaller compressed
+      // payload. Index built once per corpus (memoized — build/search
+      // split, like IvfCentCache); scores are bit-exact integer MIPS.
+      val e = read(s, dir, "embeddings")
+      val path = ivfIndexFor(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.searchIvfIndexQuantized(s, path, queries, k = 5,
+          nProbe = IvfProbes)
+        .orderBy("q_id", "rank")
+    }),
+
     "q_quantize_int8" -> ((s, dir) => {
       // Per-vector symmetric int8 quantization of the embedding corpus:
       // codes, the 6dp scale, and the realized reconstruction bound —
@@ -744,6 +761,20 @@ object ExtQueries {
     * memo is a pure build/search split, not a semantic change. */
   private val IvfCentCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Double])]]
+  /** Persisted IVF index per corpus dir — same build/search split for the
+    * on-disk form. The path is DETERMINISTIC (one dir per corpus) and the
+    * build writes mode(overwrite), so repeated verify/bench runs reuse one
+    * location instead of accumulating orphaned corpus copies under /tmp. */
+  private val IvfIndexCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ivfIndexFor(s: SparkSession, dir: String): String =
+    IvfIndexCache.getOrElseUpdate(dir, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.writeIvfIndex(
+        read(s, dir, "embeddings").select("vec_id", "embedding"), IvfLists, p)
+      p
+    })
   private val FrameEvery = 100
   private val ContamMinHits = 3
   private val ContamMaxDf = 3
@@ -1355,6 +1386,61 @@ object ExtQueries {
               ORDER BY ROUND(qs * scale * list_dot_product(qc, codes), 6) DESC,
                 vec_id) AS INTEGER) AS rank
           FROM qt CROSS JOIN q
+          QUALIFY rank <= 5 ORDER BY q_id, rank""",
+
+    // Persisted-index quantized search: Lloyd centroids + assignment +
+    // probe selection exactly as q_ann_ivf, per-vector quantization
+    // exactly as q_quantize_int8, MIPS scoring exactly as q_ann_quantized
+    // — the composition is the only new thing, so the oracle composes the
+    // same three verified fragments.
+    "q_ann_ivf_quantized" ->
+      s"""WITH cent0 AS (SELECT vec_id AS list, embedding AS c_vec
+            FROM embeddings WHERE vec_id < $IvfLists),
+          assign0 AS (SELECT vec_id, embedding, list FROM (
+            SELECT e.vec_id, e.embedding, cent0.list,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings e CROSS JOIN cent0) WHERE rn = 1),
+          comp AS (SELECT list,
+              unnest(generate_series(1, len(embedding))) AS pos,
+              unnest(list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6))) AS x
+            FROM assign0),
+          cmean AS (SELECT list, pos,
+              ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS m
+            FROM comp GROUP BY 1, 2),
+          cent AS (SELECT list, list(m ORDER BY pos) AS c_vec FROM cmean GROUP BY list),
+          assign AS (SELECT vec_id, list FROM (
+            SELECT e.vec_id, cent.list,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings e CROSS JOIN cent) WHERE rn = 1),
+          probes AS (SELECT q_id, list FROM (
+            SELECT q.vec_id AS q_id, cent.list,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5) WHERE rn <= $IvfProbes),
+          m AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) AS mx
+          FROM embeddings),
+          sc AS (SELECT vec_id, dv,
+            CASE WHEN mx = 0 THEN 0.0
+                 ELSE greatest(ROUND(mx / 127.0, 6), 0.000001) END AS scale
+          FROM m),
+          qt AS (SELECT vec_id, scale,
+            CASE WHEN scale = 0 THEN list_transform(dv, x -> 0)
+                 ELSE list_transform(dv, x -> CAST(least(greatest(
+                   round(x / scale, 0), -127.0), 127.0) AS INTEGER)) END AS codes
+          FROM sc),
+          cand AS (SELECT p.q_id, a.vec_id FROM assign a JOIN probes p USING (list))
+          SELECT cand.q_id, cand.vec_id,
+            ROUND(q.scale * c.scale * list_dot_product(q.codes, c.codes), 6) AS score,
+            CAST(row_number() OVER (PARTITION BY cand.q_id
+              ORDER BY ROUND(q.scale * c.scale * list_dot_product(q.codes, c.codes), 6) DESC,
+                cand.vec_id) AS INTEGER) AS rank
+          FROM cand JOIN qt c ON cand.vec_id = c.vec_id
+                    JOIN qt q ON cand.q_id = q.vec_id
           QUALIFY rank <= 5 ORDER BY q_id, rank""",
 
     // Same arithmetic step for step: double casts, ROUND(·, 6) scale,

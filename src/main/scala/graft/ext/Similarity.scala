@@ -255,15 +255,18 @@ object Similarity {
     val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
     val assigned = c.withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
     // Lists carry BOTH the float vectors and the int8 quantization
-    // (scale + codes) of each vector, computed once at build time: the
+    // (__scale + __codes) of each vector, computed once at build time: the
     // full-precision search reads the vectors, the quantized search reads
-    // only (scale, codes) — column pruning means the 4×-smaller compressed
-    // payload is all a quantized probe touches. codes are |v| ≤ 127 ints,
-    // which parquet bit-packs to ~1 byte each on disk.
+    // only (__scale, __codes) — column pruning means the 4×-smaller
+    // compressed payload is all a quantized probe touches. codes are
+    // |v| ≤ 127 ints, which parquet bit-packs to ~1 byte each on disk.
+    // Reserved double-underscore names (the __cn convention): plain
+    // `scale`/`codes` are plausible user column names and withColumn would
+    // silently overwrite them, corrupting the persisted payload.
     val dv = asDouble(col(cVec))
     assigned
-      .withColumn("scale", quantScale(dv))
-      .withColumn("codes", transform(quantCodesDouble(dv, col("scale")),
+      .withColumn("__scale", quantScale(dv))
+      .withColumn("__codes", transform(quantCodesDouble(dv, col("__scale")),
         x => x.cast("int")))
       .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
   }
@@ -290,6 +293,33 @@ object Similarity {
     val cents = readIvfCentroids(spark, path)
     val assigned = spark.read.parquet(s"$path/lists")
     searchAssigned(assigned, queries, cents, k, nProbe, qId, cId, qVec, cVec)
+  }
+
+  /** Quantized search of a persisted IVF index — the production ANN shape
+    * at 100 TB. Probe selection runs at full precision against the tiny
+    * centroid metadata (`probesFor`); scoring is integer MIPS over ONLY
+    * the stored int8 payload (`__scale`, `__codes`) of the probed lists.
+    * Column pruning means the corpus scan reads the 4×-smaller compressed
+    * columns and never touches the float vectors; partition pruning on the
+    * `list` key means only the probed lists' files are read; the probe set
+    * is broadcast, so the corpus never shuffles. Scores follow the
+    * `quantizedTopK` contract (bit-exact integer MIPS, 6dp-rounded, ties
+    * on corpus id) — NOT full-precision cosine, so rankings may differ
+    * from `searchIvfIndex` within quantization error; that is the trade
+    * the compressed payload buys. */
+  def searchIvfIndexQuantized(spark: org.apache.spark.sql.SparkSession,
+                              path: String, queries: DataFrame, k: Int,
+                              nProbe: Int, qId: String = "q_id",
+                              cId: String = "vec_id",
+                              qVec: String = "q_vec"): DataFrame = {
+    val cents = readIvfCentroids(spark, path)
+    val probes = withQuantCols(
+        probesFor(queries, cents, nProbe, qId, qVec), col(qVec), "__qs", "__qc")
+      .select(col(qId), col("list"), col("__qs"), col("__qc"))
+    val lists = spark.read.parquet(s"$path/lists")
+      .select(col("list"), col(cId), col("__scale").as("__cs"),
+        transform(col("__codes"), _.cast("double")).as("__cc"))
+    mipsRank(lists.join(broadcast(probes), Seq("list")), k, qId, cId)
   }
 
   /** Probe selection — one definition shared by the full-precision and
@@ -325,6 +355,25 @@ object Similarity {
         broadcast(probesFor(queries, cents, nProbe, qId, qVec)), Seq("list")),
       k, qId, cId, qVec, cVec)
 
+  /** The q_quantize_int8 scale rule as a column: 0.0 only for the
+    * all-zero vector, otherwise round(max|x|/127, 6) floored at 1e-6. */
+  private def quantScale(dv: Column): Column = {
+    val mx = array_max(transform(dv, x => abs(x)))
+    when(mx === 0d, lit(0.0))
+      .otherwise(greatest(round(mx / lit(127.0), 6), lit(1e-6)))
+  }
+
+  private def quantCode(x: Column, s: Column): Column =
+    least(greatest(round(x / s, 0), lit(-127.0)), lit(127.0))
+
+  /** Int8 codes kept in DOUBLE form — what every MIPS scorer consumes
+    * (products and partial sums of |code| ≤ 127 stay far under 2^53, so
+    * double accumulation is exact in any order; casting to int and back
+    * would be an identity round-trip paid per element). */
+  private def quantCodesDouble(dv: Column, scale: Column): Column =
+    when(scale === 0d, transform(dv, _ => lit(0.0)))
+      .otherwise(transform(dv, x => quantCode(x, scale)))
+
   /** Symmetric per-vector int8 quantization — the 4× storage/bandwidth
     * cut that keeps a 100 TB embedding corpus memory-resident for ANN.
     * scale = round(max|x|/127, 6), 6dp-rounded so the divisor is
@@ -346,25 +395,6 @@ object Similarity {
     * comma-joined string (the repo's cross-engine convention for
     * non-scalar values — engines and dataframe bridges disagree on list
     * representations, never on strings); `codesOf` parses it back. */
-  /** The q_quantize_int8 scale rule as a column: 0.0 only for the
-    * all-zero vector, otherwise round(max|x|/127, 6) floored at 1e-6. */
-  private def quantScale(dv: Column): Column = {
-    val mx = array_max(transform(dv, x => abs(x)))
-    when(mx === 0d, lit(0.0))
-      .otherwise(greatest(round(mx / lit(127.0), 6), lit(1e-6)))
-  }
-
-  private def quantCode(x: Column, s: Column): Column =
-    least(greatest(round(x / s, 0), lit(-127.0)), lit(127.0))
-
-  /** Int8 codes kept in DOUBLE form — what every MIPS scorer consumes
-    * (products and partial sums of |code| ≤ 127 stay far under 2^53, so
-    * double accumulation is exact in any order; casting to int and back
-    * would be an identity round-trip paid per element). */
-  private def quantCodesDouble(dv: Column, scale: Column): Column =
-    when(scale === 0d, transform(dv, _ => lit(0.0)))
-      .otherwise(transform(dv, x => quantCode(x, scale)))
-
   def quantizeCodes(df: DataFrame, id: Column, vec: Column): DataFrame = {
     val dv = asDouble(vec)
     val scale = quantScale(dv)
@@ -385,22 +415,6 @@ object Similarity {
   def codesOf(qcodes: Column): Column =
     transform(split(qcodes, ","), c => c.cast("int"))
 
-  /** Top-k by approximate inner product over int8-QUANTIZED vectors
-    * (MIPS on the compressed corpus): score = scale_q × scale_c ×
-    * Σ code_q[i]·code_c[i]. The integer dot is EXACT (|code| ≤ 127, so
-    * a 10⁴-dim sum stays far under 2^53) and the two scale multiplies
-    * are correctly-rounded IEEE — a quantized score is bit-identical on
-    * any engine and any partitioning, with none of the accumulation-
-    * order care full-precision dot products need. Same broadcast-query
-    * / streaming-corpus shape as `bruteForceTopK`; at 100 TB the corpus
-    * side reads the 4×-smaller code column instead of the float
-    * vectors. Ties break on corpus id.
-    *
-    * The pair scoring uses the codegen'd `vec_dot` over the codes cast
-    * to double ONCE per vector (products and partial sums of int8
-    * codes are integers well under 2^53, so the double accumulation is
-    * exact in any order) — not the interpreted `aggregate`/`zip_with`
-    * form, which re-evaluates per element in the hot per-pair loop. */
   /** The MIPS ranking tail every quantized scorer shares: pairs must carry
     * `__qs`/`__cs` (scales) and `__qc`/`__cc` (double-form codes). Score =
     * scale_q × scale_c × Σ code_q[i]·code_c[i], rounded 6dp (the integer
@@ -425,6 +439,22 @@ object Similarity {
       .withColumn(codesName, quantCodesDouble(dv, col(scaleName)))
   }
 
+  /** Top-k by approximate inner product over int8-QUANTIZED vectors
+    * (MIPS on the compressed corpus): score = scale_q × scale_c ×
+    * Σ code_q[i]·code_c[i]. The integer dot is EXACT (|code| ≤ 127, so
+    * a 10⁴-dim sum stays far under 2^53) and the two scale multiplies
+    * are correctly-rounded IEEE — a quantized score is bit-identical on
+    * any engine and any partitioning, with none of the accumulation-
+    * order care full-precision dot products need. Same broadcast-query
+    * / streaming-corpus shape as `bruteForceTopK`; at 100 TB the corpus
+    * side reads the 4×-smaller code column instead of the float
+    * vectors. Ties break on corpus id.
+    *
+    * The pair scoring uses the codegen'd `vec_dot` over the codes cast
+    * to double ONCE per vector (products and partial sums of int8
+    * codes are integers well under 2^53, so the double accumulation is
+    * exact in any order) — not the interpreted `aggregate`/`zip_with`
+    * form, which re-evaluates per element in the hot per-pair loop. */
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                     qId: String = "q_id", cId: String = "vec_id",
                     qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {

@@ -219,6 +219,28 @@ class ExtSpec extends SparkSpec {
       val inMemory = Similarity.ivfTopKWith(q, e, 3, cents, nProbe = 2)
         .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
       assert(fromIndex == inMemory, "index search must equal in-memory search")
+      // The stored quantized payload must BE quantizeCodes' output — a
+      // corrupt stored code would otherwise surface only as silently bad
+      // quantized-search rankings.
+      val stored = spark.read.parquet(s"$path/lists")
+        .select(col("vec_id"), col("__scale"), col("__codes"))
+        .as[(Long, Double, Seq[Int])].collect().toSeq.sortBy(_._1)
+      val expected = Similarity.quantizeCodes(e, col("vec_id"), col("embedding"))
+        .select(col("vec_id"), col("scale"), col("codes"))
+        .as[(Long, Double, Seq[Int])].collect().toSeq.sortBy(_._1)
+      assert(stored == expected, "stored (__scale, __codes) must equal quantizeCodes output")
+      // Quantized search over the stored payload: same candidate lists as
+      // the full-precision search (probe selection is shared), so recall
+      // vs the full-precision result is bounded below only by int8 error.
+      val quant = Similarity.searchIvfIndexQuantized(spark, path, q, k = 3, nProbe = 2)
+        .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+      assert(quant.map(r => (r._1, r._4)) == fromIndex.map(r => (r._1, r._4)),
+        "quantized search returns the same (query, rank) grid")
+      val fullSet = fromIndex.map(r => (r._1, r._2)).toSet
+      val quantSet = quant.map(r => (r._1, r._2)).toSet
+      val recall = (fullSet intersect quantSet).size.toDouble / fullSet.size
+      info(s"quantized IVF recall vs full-precision = $recall")
+      assert(recall >= 0.8, s"int8 quantization cost too much recall: $recall")
       // The scale property the layout exists for: lists/ is partitioned by
       // the assigned list id, so probed lists map to partition directories.
       val listDirs = new java.io.File(s"$path/lists").listFiles()
