@@ -55,7 +55,13 @@ object Upsert {
       partCol: String): DataFrame = {
     val deduped = dedupOnKey(incoming, keys, tieBreak)
     val touched = deduped.select(col(partCol)).distinct().collect().map(_.get(0))
-    val existingKeys = spark.read.parquet(sinkPath)
+    // Schema is PINNED to the batch's, never inferred: a sink that exists
+    // but holds no data files yet (an empty first micro-batch commits only
+    // _SUCCESS) would fail parquet schema inference and kill the caller —
+    // with the schema supplied, it reads as a valid empty relation. The
+    // partition column in the pinned schema is populated from the
+    // directory values, as with inference.
+    val existingKeys = spark.read.schema(incoming.schema).parquet(sinkPath)
       .filter(col(partCol).isin(touched.toIndexedSeq: _*))
       .select(keys.map(col): _*).distinct()
     deduped.join(existingKeys, keys, "left_anti")

@@ -141,7 +141,10 @@ object EventStream {
     * exactly-once-per-key sink contents: a replayed batch finds all its
     * keys already present and appends nothing, which is the idempotence
     * Structured Streaming needs from a foreachBatch sink. First batch
-    * bootstraps the sink (nothing to anti-join yet). The 100 TB story is
+    * bootstraps the sink (nothing to anti-join yet); an EMPTY first batch
+    * commits a data-file-less sink dir, which later batches read safely
+    * because the anti-join pins the batch schema instead of inferring
+    * (`Upsert.freshAgainstPartitionedSink`). The 100 TB story is
     * the batch one: state lives in the sink table itself, partitioned so
     * each micro-batch prunes to its touched partitions — no streaming
     * state store grows with corpus size. */

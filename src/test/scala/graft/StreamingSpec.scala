@@ -184,6 +184,36 @@ class StreamingSpec extends SparkSpec {
       s"keep-existing semantics + replay idempotence, got $got")
   }
 
+  test("upsertSink survives an empty first micro-batch") {
+    // An empty first batch commits a sink dir holding only _SUCCESS; the
+    // next batch's anti-join then reads the sink — which, inferred, has no
+    // parquet footers and would throw, killing the query. The pinned-
+    // schema read (freshAgainstPartitionedSink) makes it a valid empty
+    // relation instead.
+    implicit val sc = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("graft_upsert_empty")
+      .resolve("t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_upsert_empty_ckpt").toString
+    val mem = MemoryStream[(Long, Double, String)]
+    // The gate empties batch 1 entirely (the source still triggers the
+    // micro-batch, so the sink commit happens — the crash setup).
+    val q = EventStream.upsertSink(
+      mem.toDF().toDF("id", "value", "day").filter(col("id") =!= 99L),
+      sink, keys = Seq("id"), tieBreak = Seq("value"), partCol = "day",
+      checkpoint = ckpt)
+    mem.addData((99L, 1.0, "d1"))
+    q.processAllAvailable()
+    mem.addData((1L, 10.0, "d1"), (99L, 2.0, "d1"))
+    q.processAllAvailable()
+    // Keep-existing still holds after the empty bootstrap.
+    mem.addData((1L, 555.0, "d1"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(sink).select("id", "value")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0)),
+      s"empty first batch must not kill the query nor change semantics, got $got")
+  }
+
   test("streaming curation composition: quality gate -> dedup -> windowed counts") {
     // The curation shape end-to-end in STREAMING mode from the same
     // operator library: map-only quality expressions apply unchanged,
