@@ -71,6 +71,14 @@ object Bench {
     // the suite vs 1.2 s isolated purely from ordering effects.
     val order = selected.toSeq
     val pass1 = order.map { case (name, fn) => name -> once(fn) }.toMap
+    // Drop every cached relation before pass 2: operators that .cache() an
+    // internal frame (dedupAgainstReference's exact-pass survivors, the
+    // curation pipeline's quality gate) build structurally identical plans
+    // in both passes, so pass 2 would silently read pass 1's cache and the
+    // reported min() would exclude the cached stage's real work (batch
+    // scan + anti-join). Clearing between passes keeps min() a measurement
+    // of the operator, not of the cache.
+    spark.catalog.clearCache()
     val results = order.reverse.map { case (name, fn) =>
       val (a, b) = (pass1(name), once(fn))
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
