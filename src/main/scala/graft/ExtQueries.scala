@@ -427,6 +427,26 @@ object ExtQueries {
         .orderBy("a", "b")
     }),
 
+    "q_dup_clusters_sig" -> ((s, dir) => {
+      // Cluster labeling WITHOUT doc-pair expansion: cluster the simhash
+      // SIGNATURE graph (nodes bounded by distinct signatures), then label
+      // docs through one (sig → component) join + a component-window min.
+      // Semantics pinned to dupClusters-over-expanded-pairs (ExtSpec);
+      // cost is Θ(docs + sig pairs) instead of Θ(cluster²) — the dedup
+      // default at 100 TB.
+      // sigs feed two consumers (the sig-pair graph and the doc labeling
+      // join) — cached for the same reason dedupAgainstReference caches
+      // its survivors: per-branch pruning de-canonicalizes the shared
+      // simhash aggregation, so without the cache it runs twice.
+      val sigs = Dedup.simhash(read(s, dir, "documents"), "doc_id", "text", SimhashBits)
+        .cache()
+      val sigPairs = Dedup.simhashSigPairs(sigs, "simhash", SimhashBits,
+        bands = 4, maxHamming = 3)
+      Dedup.dupClustersFromSigPairs(sigPairs, sigs, "doc_id", "simhash")
+        .select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     "q_simhash_wide" -> ((s, dir) => {
       // WIDE (banded-array) SimHash: 2 bands × 12 bits under band-salted
       // word hashes — the construction that scales past the single-long
@@ -1248,6 +1268,29 @@ object ExtQueries {
             FROM banded l JOIN banded r USING (band_id, slice)
             WHERE l.doc_id < r.doc_id)
           SELECT a, b, hamming FROM cand WHERE hamming <= 3 ORDER BY a, b""",
+
+    // Connected components over the simhash near-dup DOC graph (the
+    // oracle may expand pairs — it is the 500-doc referee, not the scale
+    // path): same banding as q_simhash_pairs, then the same recursive-CTE
+    // min-label CC as the q_dup_clusters oracle.
+    "q_dup_clusters_sig" ->
+      s"""WITH RECURSIVE $simhashCtes,
+          bandids AS (SELECT unnest(generate_series(0, 3)) AS band_id),
+          banded AS (SELECT doc_id, simhash, band_id,
+              (simhash >> (band_id * ${SimhashBits / 4})) & ${(1L << (SimhashBits / 4)) - 1} AS slice
+            FROM sig CROSS JOIN bandids),
+          pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r USING (band_id, slice)
+            WHERE l.doc_id < r.doc_id
+              AND bit_count(xor(l.simhash, r.simhash)) <= 3),
+          edges AS (SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b AS src, a AS dst FROM pairs),
+          cc AS (
+            SELECT DISTINCT src AS node, src AS label FROM edges
+            UNION
+            SELECT e.dst AS node, cc.label FROM cc JOIN edges e ON cc.node = e.src)
+          SELECT node AS doc_id, MIN(label) AS cluster_id
+          FROM cc GROUP BY node ORDER BY doc_id""",
 
     "q_ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec

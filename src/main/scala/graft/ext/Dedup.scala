@@ -130,7 +130,15 @@ object Dedup {
     * maxHamming < bands for the recall guarantee (which also makes the
     * bucket join a pure optimization: the output is exactly ALL pairs at
     * hamming <= maxHamming). */
-  def simhashDupPairs(sigs: DataFrame, docKey: String, simhashCol: String,
+  /** Stage 1 alone — the SIGNATURE-level near-dup pair graph: distinct
+    * (sa, sb, hamming) with sa <= sb, INCLUDING the diagonal (every
+    * distinct signature self-pairs at hamming 0, which is what links
+    * exact-duplicate docs when the graph is clustered). Cardinality is
+    * Θ(true signature pairs) — min(#docs, 2^bits) nodes, never doc
+    * pairs — so this is the frame to cluster at 100 TB
+    * (`dupClustersFromSigPairs`); expand to doc pairs
+    * (`simhashDupPairs`) only when the pairs themselves are the ask. */
+  def simhashSigPairs(sigs: DataFrame, simhashCol: String,
                       bits: Int, bands: Int, maxHamming: Int): DataFrame = {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
     val sliceBits = bits / bands
@@ -144,12 +152,18 @@ object Dedup {
     val r = banded.select(col("band_id"), col("slice"), col("__s").as("__sb"))
     // __sa <= __sb keeps one canonical orientation per unordered sig pair
     // INCLUDING the diagonal (equal signatures = hamming 0 pairs).
-    val sigPairs = l.join(r, Seq("band_id", "slice"))
+    l.join(r, Seq("band_id", "slice"))
       .filter(col("__sa") <= col("__sb"))
-      .select(col("__sa"), col("__sb"),
+      .select(col("__sa").as("sa"), col("__sb").as("sb"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  def simhashDupPairs(sigs: DataFrame, docKey: String, simhashCol: String,
+                      bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    val sigPairs = simhashSigPairs(sigs, simhashCol, bits, bands, maxHamming)
+      .select(col("sa").as("__sa"), col("sb").as("__sb"), col("hamming"))
     val da = sigs.select(col(docKey).as("a"), col(simhashCol).as("__sa"))
     val db = sigs.select(col(docKey).as("b"), col(simhashCol).as("__sb"))
     // least/greatest canonicalizes the doc pair (each unordered pair
@@ -159,6 +173,46 @@ object Dedup {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"), col("hamming"))
       .distinct()
+  }
+
+  /** Cluster labels for near-dup docs WITHOUT ever materializing doc
+    * pairs — the 100 TB default for simhash dedup. `simhashDupPairs` →
+    * `dupClusters` expands each signature component to Θ(docs²) pairs
+    * before contracting them right back to components (1.57 M pairs from
+    * 5 000 docs at sf0.1); this path clusters the SIGNATURE graph
+    * (nodes = distinct signatures, bounded by min(#docs, 2^bits)) and
+    * labels docs through one (sig → component) join + a per-component
+    * min — cost Θ(docs + signature pairs), independent of cluster sizes.
+    *
+    * Output contract: IDENTICAL to
+    * `dupClusters(simhashDupPairs(sigs, …))` — (node, cluster =
+    * component-minimum doc key), one row per doc appearing in some doc
+    * pair (pinned in ExtSpec). The equivalence: two docs land in one
+    * doc-graph component iff their signatures share a sig-graph
+    * component (docs of one signature are linked by its diagonal
+    * self-pair; docs of adjacent signatures by the expanded pair), and a
+    * doc appears in some pair iff its component holds ≥ 2 docs.
+    *
+    * `sigPairs` must include the diagonal self-pairs — exactly what
+    * `simhashSigPairs` emits. */
+  def dupClustersFromSigPairs(sigPairs: DataFrame, sigs: DataFrame,
+                              docKey: String, sigCol: String,
+                              maxIters: Int = 25): DataFrame = {
+    val sigClusters = dupClusters(
+      sigPairs.select(col("sa").as("a"), col("sb").as("b")), maxIters)
+    val docsWithComp = sigs.select(col(docKey), col(sigCol).as("__s"))
+      .join(sigClusters.select(col("node").as("__s"), col("cluster").as("__comp")),
+        Seq("__s"))
+    // One window over the component key gives the doc-minimum label AND
+    // the ≥2-docs membership gate in a single shuffle — a groupBy +
+    // join-back would scan (and recompute) the signature aggregation
+    // twice.
+    val w = Window.partitionBy(col("__comp"))
+    docsWithComp
+      .withColumn("__minDoc", min(col(docKey)).over(w))
+      .withColumn("__nDocs", count(lit(1)).over(w))
+      .filter(col("__nDocs") >= 2)
+      .select(col(docKey).as("node"), col("__minDoc").as("cluster"))
   }
 
   /** WIDE SimHash for the corpus sizes where the sizing rule (SCALING.md)

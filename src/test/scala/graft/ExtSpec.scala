@@ -440,6 +440,27 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.keepClusterRepresentatives(docs, none, "doc_id").count() == docs.count())
   }
 
+  test("dupClustersFromSigPairs equals dupClusters over expanded doc pairs") {
+    // The equivalence the signature-level path rests on: clustering the
+    // signature graph and labeling docs through their signature must give
+    // EXACTLY the labels that expanding every doc pair and clustering
+    // those gives — including which docs are emitted at all (only those
+    // appearing in some doc pair). Real corpus, both code paths end to
+    // end.
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+    val sigs = Dedup.simhash(docs, "doc_id", "text", 32)
+    val sigPairs = Dedup.simhashSigPairs(sigs, "simhash", 32, bands = 4, maxHamming = 3)
+    val viaSigs = Dedup.dupClustersFromSigPairs(sigPairs, sigs, "doc_id", "simhash")
+      .select("node", "cluster").as[(Long, Long)].collect().toMap
+    val docPairs = Dedup.simhashDupPairs(sigs, "doc_id", "simhash",
+      bits = 32, bands = 4, maxHamming = 3)
+    val viaDocPairs = Dedup.dupClusters(docPairs)
+      .select("node", "cluster").as[(Long, Long)].collect().toMap
+    assert(viaSigs.nonEmpty, "fixture must actually contain near-dup clusters")
+    assert(viaSigs == viaDocPairs,
+      "signature-level labeling must equal doc-pair-expansion labeling")
+  }
+
   test("dupClustersStar: same labels as min-label; depth beyond min-label's rounds converges") {
     // Same output contract on the shapes the min-label test pins …
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
