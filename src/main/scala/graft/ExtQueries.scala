@@ -1642,19 +1642,21 @@ object ExtQueries {
           FROM documents d JOIN b ON d.source IS NOT DISTINCT FROM b.source
           ORDER BY doc_id""",
 
-    // A-ES weighted sample: u exact in both engines (32-bit int + 1 over
-    // 2^32), pow rounded to 6dp per the cross-engine convention, ties
-    // broken on doc_id. Inner ORDER BY ... LIMIT picks the sample;
-    // outer re-sorts for the row-set compare.
+    // A-ES weighted sample in the log domain: u exact in both engines
+    // (32-bit int + 1 over 2^32), -ln(u) rounded to 6dp per the
+    // cross-engine convention (the engines' ln may differ in the last
+    // ulp), the divide by the weight exact IEEE — so the key never
+    // saturates at large weights. k SMALLEST keys win, ties broken on
+    // doc_id. Inner ORDER BY ... LIMIT picks the sample; outer re-sorts
+    // for the row-set compare.
     "q_weighted_sample" ->
       s"""SELECT doc_id, source, n_chars FROM (
             SELECT doc_id, source, n_chars,
-              ROUND(POW(
+              ROUND(-ln(
                 (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'ws'), 1, 8)) AS BIGINT) + 1)
-                  / 4294967296.0,
-                1.0 / n_chars), 6) AS wkey
+                  / 4294967296.0), 6) / CAST(n_chars AS DOUBLE) AS wkey
             FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
-            ORDER BY wkey DESC, doc_id LIMIT $WeightedSampleK)
+            ORDER BY wkey ASC, doc_id LIMIT $WeightedSampleK)
           ORDER BY doc_id""",
 
     // Same planted contact block, same Java∩RE2 patterns (interpolated

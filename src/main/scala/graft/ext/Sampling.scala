@@ -97,36 +97,47 @@ object Sampling {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
-  /** Per-row score for deterministic weighted sampling (Efraimidis–
-    * Spirakis "A-ES"): u^(1/w) with u a hash-derived uniform in (0, 1]
-    * — the k LARGEST scores are a weighted sample without replacement,
-    * inclusion odds scaling with `weight`. Like every decision in this
-    * module the draw is a pure function of the key: reshuffle-, rerun-
-    * and engine-stable (no rand()). The 6dp round keeps the score
-    * bit-identical across engines whose pow() may differ in the final
-    * ulp (the repo's cross-engine rounding convention); ties break on
-    * the key at the call site. u is exact in both engines: a 32-bit
-    * integer + 1 divided by 2^32. */
+  /** Per-row key for deterministic weighted sampling (Efraimidis–
+    * Spirakis "A-ES") in the LOG domain: -ln(u)/w with u a hash-derived
+    * uniform in (0, 1] — the k SMALLEST keys are a weighted sample
+    * without replacement, inclusion odds scaling with `weight`
+    * (u^(1/w) largest ⟺ -ln(u)/w smallest; ln is monotone). The direct
+    * u^(1/w) form silently saturates: for w ≳ 10⁶ every 6dp-rounded
+    * pow() lands on 1.000000 and "weighted" selection degrades to the
+    * key tie-break. In the log domain the numerator -ln(u) spans
+    * (0, ~22.18] — full precision at 6dp — and the divide by w is a
+    * correctly-rounded IEEE op at ANY weight magnitude, so weight
+    * dominance survives w = 10⁹ and beyond (ExtSpec pins w ∈
+    * {1, 10⁶, 10⁹}). Rounding the NUMERATOR, not the quotient, is what
+    * keeps cross-engine bit-equality without re-introducing the
+    * collapse: round(-ln u, 6) absorbs the engines' last-ulp ln()
+    * disagreement, the division of identical doubles is exact. Like
+    * every decision in this module the draw is a pure function of the
+    * key (no rand()); u is exact in both engines: a 32-bit integer + 1
+    * divided by 2^32. */
   def weightedSampleKey(key: Column, weight: Column, salt: String = ""): Column = {
     val u = (hash32(key, salt) + lit(1L)).cast("double") / lit(4294967296.0)
-    round(pow(u, lit(1.0) / weight.cast("double")), 6)
+    round(-log(u), 6) / weight.cast("double")
   }
 
   /** Keep a deterministic weighted sample of `k` rows: heavier rows
     * proportionally likelier, selection reproducible on any cluster or
     * partitioning. Runs as TakeOrderedAndProject (a per-partition
     * k-heap + merge), never a full sort — the 100 TB shape for a
-    * bounded-k draw. Rows with NULL, non-positive, or NaN weight cannot
-    * be drawn and are dropped (NaN compares GREATER than every number
-    * in Spark's ordering, so without the explicit guard a single
-    * NaN-weight row — a 0/0 quality score, say — would pass `> 0`,
-    * score a NaN key, and crowd out the whole sample). */
+    * bounded-k draw; the k SMALLEST log-domain keys win. Rows with
+    * NULL, non-positive, or NaN weight cannot be drawn and are dropped
+    * (NaN compares GREATER than every number in Spark's ordering, so
+    * without the explicit guard a single NaN-weight row — a 0/0
+    * quality score, say — would pass `> 0`, score a NaN key, and under
+    * the former descending order crowd out the whole sample; ascending
+    * order would instead never draw it, but the guard keeps the
+    * contract explicit either way). */
   def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
                      salt: String = ""): DataFrame = {
     require(k >= 1, "need k >= 1")
     df.filter(weight.isNotNull && weight > 0 && !isnan(weight.cast("double")))
       .withColumn("__wkey", weightedSampleKey(key, weight, salt))
-      .orderBy(col("__wkey").desc, key)
+      .orderBy(col("__wkey").asc, key)
       .limit(k)
       .drop("__wkey")
   }

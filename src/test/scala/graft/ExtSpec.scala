@@ -631,15 +631,16 @@ class ExtSpec extends SparkSpec {
     val a = Sampling.weightedSample(df, col("k"), col("w"), 20)
     val picked = a.select("k").as[Long].collect().toSet
     assert(picked.size == 20)
-    // u^(1/w) with w = 1e9 is ~1 for any u — the heavy row always wins.
+    // -ln(u)/w with w = 1e9 is ~0 for any u — the heavy row always wins.
     assert(picked.contains(42L), "a 10^9-weight row must be drawn")
     val b = Sampling.weightedSample(df.repartition(13), col("k"), col("w"), 20)
     assert(b.select("k").as[Long].collect().toSet == picked,
       "the draw must not depend on partitioning")
-    // Matches a driver-side recomputation of the A-ES rule exactly.
+    // Matches a driver-side recomputation of the A-ES rule exactly
+    // (ascending log-domain keys).
     val keyed = df.withColumn("wk", Sampling.weightedSampleKey(col("k"), col("w")))
       .select("k", "wk").as[(Long, Double)].collect()
-    val expect = keyed.sortBy { case (k, wk) => (-wk, k) }.take(20).map(_._1).toSet
+    val expect = keyed.sortBy { case (k, wk) => (wk, k) }.take(20).map(_._1).toSet
     assert(picked == expect, "top-k must equal the brute-force A-ES ranking")
     // NULL / non-positive weights cannot be drawn.
     val bad = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)), (4L, Some(-2L)))
@@ -652,6 +653,31 @@ class ExtSpec extends SparkSpec {
     assert(Sampling.weightedSample(nanW, col("k"), col("w"), 2)
       .select("k").as[Long].collect().toSet == Set(1L, 3L),
       "NaN-weight rows must be dropped, not win")
+  }
+
+  test("weightedSampleKey: weight dominance survives saturating magnitudes (1, 1e6, 1e9)") {
+    // The direct u^(1/w) key rounded to 6dp collapses to 1.000000 for
+    // w >= ~1e6 — a 1e6-weight and a 1e9-weight row became
+    // indistinguishable and selection fell to the key tie-break. The
+    // log-domain key must keep strict ordering between weight tiers for
+    // the SAME uniform (same key string -> same u), at any magnitude.
+    val one = Seq(Tuple1("doc")).toDF("k")
+    val Seq((k1, k6, k9)) = one.select(
+        Sampling.weightedSampleKey(col("k"), lit(1.0)),
+        Sampling.weightedSampleKey(col("k"), lit(1e6)),
+        Sampling.weightedSampleKey(col("k"), lit(1e9)))
+      .as[(Double, Double, Double)].collect().toSeq
+    assert(k9 > 0 && k6 > 0 && k1 > 0, "log-domain keys must not collapse to 0")
+    assert(k9 < k6 && k6 < k1,
+      s"heavier weight must strictly win at every magnitude: $k9 < $k6 < $k1")
+    // And across DIFFERENT uniforms: with a 1000x weight ratio, heavy
+    // rows crowd out light ones in the realized sample.
+    val tiers = ((1L to 100L).map(i => (i, 1.0e6)) ++
+      (1001L to 1010L).map(i => (i, 1.0e9))).toDF("k", "w")
+    val pickedTier = Sampling.weightedSample(tiers, col("k"), col("w"), 10)
+      .select("k").as[Long].collect().toSet
+    assert(pickedTier.count(_ >= 1001L) >= 8,
+      s"1e9-weight rows must dominate a 1e6-weight majority, got $pickedTier")
   }
 
   test("quantizeInt8: codes clamp to ±127, error bounded by scale, zero vector safe") {
