@@ -611,13 +611,14 @@ object ExtQueries {
 
     // ───────── multimodal plumbing ─────────
     "q_multimodal_decode" -> ((s, dir) => {
-      // Binary media column + stubbed decode features (real schema/batch
-      // shape, fake decoder — see Multimodal.decodeStub).
-      val m = Multimodal.withFakeMedia(read(s, dir, "documents"), "text")
-      m.withColumn("feat", Multimodal.decodeStub(col("media")))
-        .select(col("doc_id"), col("media_meta.n_bytes").as("n_bytes"),
-          col("feat.content_sig").as("content_sig"),
-          col("feat.fake_width").as("fake_width"))
+      // REAL image decode end-to-end: every doc gets an actual PNG
+      // (javax.imageio, pixels an analytic function of doc_id), the
+      // decoder parses the compressed bytes back per partition, and the
+      // oracle predicts dimensions + exact channel sums from the pixel
+      // formula WITHOUT decoding — a codec, channel-order, or roundtrip
+      // bug breaks the hash.
+      val m = Multimodal.withSyntheticPng(read(s, dir, "documents"), "doc_id")
+      Multimodal.decodeImages(m, "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -1512,11 +1513,24 @@ object ExtQueries {
             END AS max_err
           FROM s ORDER BY vec_id""",
 
+    // The analytic twin of the PNG pixel formula (Multimodal.synthPng):
+    // the Spark side ENCODES then DECODES real compressed images; the
+    // oracle never touches a codec — it recomputes what the decoded
+    // raster must sum to.
     "q_multimodal_decode" ->
-      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
-           md5(text) AS content_sig,
-           CAST(octet_length(encode(text)) % 64 AS INTEGER) AS fake_width
-         FROM documents ORDER BY doc_id""",
+      """WITH dims AS (SELECT doc_id,
+            CAST(4 + doc_id % 5 AS INTEGER) AS width,
+            CAST(3 + doc_id % 4 AS INTEGER) AS height
+          FROM documents),
+          px AS (SELECT doc_id, width, height,
+            unnest(generate_series(0, width - 1)) AS x FROM dims),
+          pxy AS (SELECT doc_id, width, height, x,
+            unnest(generate_series(0, height - 1)) AS y FROM px)
+          SELECT doc_id, width, height,
+            CAST(SUM((doc_id * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS r_sum,
+            CAST(SUM((doc_id * 11 + x * 13 + y * 17) % 256) AS BIGINT) AS g_sum,
+            CAST(SUM((doc_id * 19 + x * 23 + y * 29) % 256) AS BIGINT) AS b_sum
+          FROM pxy GROUP BY 1, 2, 3 ORDER BY doc_id""",
 
     "q_multimodal_batch" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

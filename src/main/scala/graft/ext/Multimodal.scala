@@ -8,12 +8,97 @@ import org.apache.spark.sql.functions._
   * ordinary DataFrame plans (parquet stores binary natively; shuffles and
   * pushdown work unchanged).
   *
-  * The actual media DECODE is stubbed (`decodeStub`) — codec libraries are
-  * not in this container — with a deterministic fake that preserves the
-  * real engineering surface: schema, batch shape, partitioning, and the
-  * per-row feature contract a Pandas-UDF/mapPartitions decoder would have.
+  * The IMAGE path is real end-to-end: `withSyntheticPng` encodes an actual
+  * PNG per row (javax.imageio — in every JDK, no external codec needed)
+  * with pixels a pure function of the row id, and `decodeImages` decodes
+  * the bytes back per partition and reports dimensions + exact channel
+  * sums. Because the pixel function is analytic, a SQL oracle predicts the
+  * decoded stats without decoding — any codec/channel-order/roundtrip bug
+  * breaks the hash match. Audio/video decodes stay stubbed (`decodeStub`)
+  * with a deterministic fake that preserves the engineering surface:
+  * schema, batch shape, partitioning, per-row feature contract.
   */
 object Multimodal {
+
+  /** Deterministic tiny PNG for row `id`: width 4..8, height 3..6, channel
+    * (r,g,b) at (x,y) = ((id·7+3x+5y), (id·11+13x+17y), (id·19+23x+29y))
+    * mod 256 — the analytic contract `decodeImages`' oracle recomputes.
+    * PNG is lossless, so the decoded raster equals this formula exactly. */
+  private[ext] def synthPng(id: Long): Array[Byte] = {
+    import java.lang.Math.floorMod
+    val w = 4 + floorMod(id, 5).toInt
+    val h = 3 + floorMod(id, 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = floorMod(id * 7 + x * 3 + y * 5, 256).toInt
+        val g = floorMod(id * 11 + x * 13 + y * 17, 256).toInt
+        val b = floorMod(id * 19 + x * 23 + y * 29, 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Attach a REAL (tiny, deterministic) PNG per row as a binary `media`
+    * column + typed metadata — the image-corpus stand-in whose decode is
+    * honest: the bytes are a genuine compressed image a codec must parse.
+    * mapPartitions, not a per-row UDF: the encoder is JVM work with no
+    * Catalyst expression form, and per-partition iteration is the shape a
+    * real (Arrow-batched) media reader has. */
+  def withSyntheticPng(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long")).as[Long](Encoders.scalaLong)
+      .mapPartitions(it => it.map(id => (id, synthPng(id))))(enc)
+      .toDF(idCol, "media")
+      .withColumn("media_meta", struct(
+        octet_length(col("media")).as("n_bytes"),
+        lit("image/png").as("mime")))
+  }
+
+  case class ImageFeatures(id: Long, width: Int, height: Int,
+                           r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL image decode, partition-batched: javax.imageio parses each
+    * row's PNG bytes and the decoded raster reduces to dimensions + exact
+    * per-channel pixel sums (integers — no FP accumulation to round).
+    * The codec context lives once per partition (the mapPartitions
+    * contract a Pandas-UDF/Arrow decoder would have); swapping in a JPEG/
+    * audio codec changes only the loop body. Channel sums, not means:
+    * exact integers hash identically on any engine. */
+  def decodeImages(df: DataFrame, idCol: String): DataFrame = {
+    val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])](inEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          require(img != null, s"row $id: media bytes are not a decodable image")
+          var (rs, gs, bs) = (0L, 0L, 0L)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              rs += (rgb >> 16) & 0xFF
+              gs += (rgb >> 8) & 0xFF
+              bs += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(id, img.getWidth, img.getHeight, rs, gs, bs)
+        }
+      }(Encoders.product[ImageFeatures])
+      .toDF(idCol, "width", "height", "r_sum", "g_sum", "b_sum")
+  }
 
   /** Attach a binary media column + metadata struct to a text row —
     * stand-in for reading (path, bytes, metadata) from an object store. */

@@ -408,6 +408,35 @@ class ExtSpec extends SparkSpec {
     assert(frames.count() == 2, "250 bytes / 100 → frames 0,1")
   }
 
+  test("synthetic PNGs are real images and decode to exact analytic pixel stats") {
+    import java.lang.Math.floorMod
+    val ids = Seq(0L, 1L, 7L, 42L)
+    val m = Multimodal.withSyntheticPng(ids.toDF("doc_id"), "doc_id")
+    // The media column holds genuine PNG bytes (magic number), not a fake.
+    val bytes = m.orderBy("doc_id").select("media").as[Array[Byte]].head()
+    assert(bytes.take(8).map(_ & 0xFF).toSeq ==
+      Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A), "PNG magic bytes")
+    // Roundtrip the binary column through parquet — the storage claim —
+    // then decode and compare against the pixel formula computed here,
+    // independently of the codec path.
+    val dir = java.nio.file.Files.createTempDirectory("graft_png").toString
+    m.write.mode("overwrite").parquet(dir)
+    val got = Multimodal.decodeImages(spark.read.parquet(dir), "doc_id")
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Long, Long, Long)].collect().toSeq
+    def expect(id: Long): (Long, Int, Int, Long, Long, Long) = {
+      val w = 4 + floorMod(id, 5).toInt
+      val h = 3 + floorMod(id, 4).toInt
+      val px = for { y <- 0 until h; x <- 0 until w } yield (
+        floorMod(id * 7 + x * 3 + y * 5, 256),
+        floorMod(id * 11 + x * 13 + y * 17, 256),
+        floorMod(id * 19 + x * 23 + y * 29, 256))
+      (id, w, h, px.map(_._1).sum, px.map(_._2).sum, px.map(_._3).sum)
+    }
+    assert(got == ids.sorted.map(expect),
+      "decoded dimensions + channel sums must equal the analytic formula")
+  }
+
   test("dupClusters: chains collapse to one component, greedy would over-evict") {
     // chain 1-2, 2-3, 3-4 plus isolated pair 10-11: two components.
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
