@@ -213,6 +213,19 @@ object ExtQueries {
         .orderBy("c_mktsegment")
     }),
 
+    "q_join_bucketed" -> ((s, dir) => {
+      // Co-located bucketed join: both sides bucketed+sorted on the join
+      // key at WRITE time (build-once, memoized), so the join consumes
+      // the bucket layout with no Exchange (BucketingSpec pins the
+      // shuffle-free SMJ plan). The oracle is the PLAIN join — layout
+      // equivalence is the point.
+      val (liT, ordT) = bucketedTablesFor(s, dir)
+      s.table(liT).join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_orderkey")
+    }),
+
     "q_window_sliding" -> ((s, dir) => {
       // SLIDING-window aggregation (1 h window every 15 min): each event
       // lands in 4 overlapping buckets — Spark's window() expands them
@@ -788,6 +801,27 @@ object ExtQueries {
     * location instead of accumulating orphaned corpus copies under /tmp. */
   private val IvfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Bucketed-table pair per corpus dir (build-once like the IVF index):
+    * lineitem and orders bucketed+sorted on the join key into EXTERNAL
+    * tables under tmp — the pay-the-shuffle-at-write-time layout whose
+    * join needs no Exchange (BucketingSpec pins the shuffle-free SMJ). */
+  private val BucketedCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def bucketedTablesFor(s: SparkSession, dir: String): (String, String) =
+    BucketedCache.getOrElseUpdate(dir, {
+      val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$slug"
+      val (liT, ordT) = (s"li_bucketed$slug", s"ord_bucketed$slug")
+      s.sql(s"DROP TABLE IF EXISTS $liT")
+      s.sql(s"DROP TABLE IF EXISTS $ordT")
+      read(s, dir, "lineitem").select("l_orderkey", "l_extendedprice")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/li").mode("overwrite").saveAsTable(liT)
+      read(s, dir, "orders").select("o_orderkey", "o_custkey")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/ord").mode("overwrite").saveAsTable(ordT)
+      (liT, ordT)
+    })
   private def ivfIndexFor(s: SparkSession, dir: String): String =
     IvfIndexCache.getOrElseUpdate(dir, {
       val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${
@@ -1028,6 +1062,14 @@ object ExtQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          GROUP BY 1 ORDER BY 1""",
+
+    // The bucketed layout must be INVISIBLE in the result: the oracle is
+    // the plain join + group-by over the raw tables.
+    "q_join_bucketed" ->
+      """SELECT l_orderkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY l_orderkey""",
 
     // Exact bounds are engine-reproducible; the sketch side is asserted
     // as a rank-ε boolean (TRUE on the oracle side) — the
