@@ -72,10 +72,31 @@ object Dedup {
 
   /** Candidate near-dup pairs via the band-bucket self-join: one shuffle
     * on (band_id, band_hash); bucket sizes are the skew knob (more bands ×
-    * fewer rows/band → looser buckets). Returns distinct (a, b), a < b. */
-  def lshCandidatePairs(bands: DataFrame, docKey: String): DataFrame = {
-    val l = bands.select(col("band_id"), col("band_hash"), col(docKey).as("a"))
-    val r = bands.select(col("band_id"), col("band_hash"), col(docKey).as("b"))
+    * fewer rows/band → looser buckets). Returns distinct (a, b), a < b.
+    *
+    * `maxBucketSize` is the df-cap escape hatch for HOT buckets: a band
+    * hash shared by a large corpus fraction (boilerplate headers, empty
+    * docs, a template) makes the self-join Θ(bucket²) — at 30% occupancy
+    * that is ~9% of all doc pairs through one reducer. Buckets larger
+    * than the cap are dropped BEFORE the join (the size count rides the
+    * same bucket-key shuffle as a window — no extra exchange). The recall
+    * cost is explicit and bounded: a pair lost with its hot bucket is
+    * still found through any OTHER band the two docs share, which is how
+    * banding recovers recall by construction; contamination's shingle
+    * join uses the same cap for the same reason. Default None preserves
+    * exact all-candidates semantics (the oracle contract). */
+  def lshCandidatePairs(bands: DataFrame, docKey: String,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
+    val capped = maxBucketSize match {
+      case Some(cap) =>
+        require(cap >= 2, "a cap below 2 would drop every pairable bucket")
+        val w = Window.partitionBy(col("band_id"), col("band_hash"))
+        bands.withColumn("__bn", count(lit(1)).over(w))
+          .filter(col("__bn") <= cap).drop("__bn")
+      case None => bands
+    }
+    val l = capped.select(col("band_id"), col("band_hash"), col(docKey).as("a"))
+    val r = capped.select(col("band_id"), col("band_hash"), col(docKey).as("b"))
     l.join(r, Seq("band_id", "band_hash"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()

@@ -469,6 +469,28 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.keepClusterRepresentatives(docs, none, "doc_id").count() == docs.count())
   }
 
+  test("lshCandidatePairs: planted 30% hot bucket explodes quadratically; df-cap defuses it") {
+    // 500 docs; docs 1..150 (30%) share one planted band hash — the
+    // boilerplate-template scenario. Two normal docs share a small bucket;
+    // every doc also holds a unique (noise) bucket. The pair the hot
+    // bucket ALSO covers (1, 2) shares a second, small bucket — the
+    // banding-recovers-recall property the cap's contract cites.
+    val hot = (1L to 150L).map(i => (0, "HOT", i))
+    val recovery = Seq((1, "second-chance", 1L), (1, "second-chance", 2L))
+    val smallPair = Seq((1, "pair", 200L), (1, "pair", 201L))
+    val noise = (1L to 500L).map(i => (2, s"u$i", i))
+    val bands = (hot ++ recovery ++ smallPair ++ noise)
+      .toDF("band_id", "band_hash", "doc_id")
+    val uncapped = Dedup.lshCandidatePairs(bands, "doc_id")
+    assert(uncapped.count() == 150L * 149 / 2 + 1,
+      "30% bucket alone contributes C(150,2) = 11175 candidate pairs")
+    val capped = Dedup.lshCandidatePairs(bands, "doc_id", maxBucketSize = Some(100))
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L), (200L, 201L)),
+      "cap drops the hot bucket; small buckets — including the second-chance " +
+        "band covering a hot pair — survive intact")
+  }
+
   test("dupClustersFromSigPairs equals dupClusters over expanded doc pairs") {
     // The equivalence the signature-level path rests on: clustering the
     // signature graph and labeling docs through their signature must give
