@@ -9,6 +9,13 @@ class PlanShapeSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   private def executedPlan(q: String): String = {
+    // Pins assert COLD-session shapes: queries that cache an internal
+    // frame (q_dup_clusters_sig's signatures, the curation corpus) leak
+    // their InMemoryRelation into the shared test session, and
+    // CacheManager then substitutes it into any later query with a
+    // canonically identical subtree — tiny cached stats flip joins to
+    // broadcast and erase the exchange the pin asserts on.
+    spark.catalog.clearCache()
     val df = SparkEntry.queries(q)(spark, dir)
     df.collect()
     // AQE prints "== Final Plan ==" followed by "== Initial Plan ==";
@@ -48,6 +55,7 @@ class PlanShapeSpec extends SparkSpec {
     // the file scan) — so count via the shared executed-tree walk
     // (PlanAudit.countNodes), where the cache recipe is not a child and
     // only real scans appear.
+    spark.catalog.clearCache()
     val df = SparkEntry.queries("q_curation_pipeline")(spark, dir)
     df.collect()
     val c = PlanAudit.countNodes(df.queryExecution.executedPlan).withDefaultValue(0)
@@ -119,7 +127,18 @@ class PlanShapeSpec extends SparkSpec {
       s"the corpus codes must stream through one task set:\n$plan")
   }
 
+  test("q_length_bins broadcasts the percentile boundaries (fact side never shuffles for the join)") {
+    val plan = executedPlan("q_length_bins")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast boundaries join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the binned side must stream map-side:\n$plan")
+    assert(!plan.contains("Window"),
+      s"binning must not fall back to an ntile window (global sort in one task):\n$plan")
+  }
+
   test("q_dedup_incremental reads the batch through its cache (exact-pass survivors cached)") {
+    spark.catalog.clearCache()
     val df = SparkEntry.queries("q_dedup_incremental")(spark, dir)
     df.collect()
     val c = PlanAudit.countNodes(df.queryExecution.executedPlan).withDefaultValue(0)
