@@ -613,6 +613,20 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_ann_ivf_refined" -> ((s, dir) => {
+      // Two-stage ANN over the persisted index: integer-MIPS shortlist of
+      // AnnRefine×k per query from the compressed payload, then exact
+      // cosine re-rank of the shortlist alone against the float vectors
+      // of the probed partitions. The production recall/bandwidth trade.
+      val e = read(s, dir, "embeddings")
+      val path = ivfIndexFor(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.searchIvfIndexRefined(s, path, queries, k = 5,
+          nProbe = IvfProbes, refine = AnnRefine)
+        .orderBy("q_id", "rank")
+    }),
+
     "q_quantize_int8" -> ((s, dir) => {
       // Per-vector symmetric int8 quantization of the embedding corpus:
       // codes, the 6dp scale, and the realized reconstruction bound —
@@ -785,6 +799,11 @@ object ExtQueries {
   private val CosDupThreshold = 0.25
   private val IvfLists = 8
   private val IvfProbes = 2
+  // Two-stage search shortlist factor: stage 1 keeps AnnRefine×k MIPS
+  // candidates per query, stage 2 re-ranks them at full precision. 2×
+  // keeps the shortlist well under the probed candidate count at every
+  // test SF, so the refined path is exercised as a genuine subset.
+  private val AnnRefine = 2
   // approx_percentile sketch: rank error ≤ group/accuracy (≈ 2 ranks at
   // sf0.1's 20k-row groups) — far inside the 2% rank ε the oracle pins.
   // Shared with the winsorizeApprox operator default so the certified
@@ -1527,6 +1546,65 @@ object ExtQueries {
                 cand.vec_id) AS INTEGER) AS rank
           FROM cand JOIN qt c ON cand.vec_id = c.vec_id
                     JOIN qt q ON cand.q_id = q.vec_id
+          QUALIFY rank <= 5 ORDER BY q_id, rank""",
+
+    // Two-stage refined search: the q_ann_ivf_quantized chain kept to an
+    // AnnRefine×k MIPS shortlist, then the q_ann_ivf exact-cosine contract
+    // over the shortlist alone — both stages are verified fragments, the
+    // composition is the only new thing.
+    "q_ann_ivf_refined" ->
+      s"""WITH cent0 AS (SELECT vec_id AS list, embedding AS c_vec
+            FROM embeddings WHERE vec_id < $IvfLists),
+          assign0 AS (SELECT vec_id, embedding, list FROM (
+            SELECT e.vec_id, e.embedding, cent0.list,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings e CROSS JOIN cent0) WHERE rn = 1),
+          comp AS (SELECT list,
+              unnest(generate_series(1, len(embedding))) AS pos,
+              unnest(list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6))) AS x
+            FROM assign0),
+          cmean AS (SELECT list, pos,
+              ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS m
+            FROM comp GROUP BY 1, 2),
+          cent AS (SELECT list, list(m ORDER BY pos) AS c_vec FROM cmean GROUP BY list),
+          assign AS (SELECT vec_id, list FROM (
+            SELECT e.vec_id, cent.list,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings e CROSS JOIN cent) WHERE rn = 1),
+          probes AS (SELECT q_id, list FROM (
+            SELECT q.vec_id AS q_id, cent.list,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5) WHERE rn <= $IvfProbes),
+          m AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv,
+            list_max(list_transform(embedding,
+              x -> abs(CAST(x AS DOUBLE)))) AS mx
+          FROM embeddings),
+          sc AS (SELECT vec_id, dv,
+            CASE WHEN mx = 0 THEN 0.0
+                 ELSE greatest(ROUND(mx / 127.0, 6), 0.000001) END AS scale
+          FROM m),
+          qt AS (SELECT vec_id, scale,
+            CASE WHEN scale = 0 THEN list_transform(dv, x -> 0)
+                 ELSE list_transform(dv, x -> CAST(least(greatest(
+                   round(x / scale, 0), -127.0), 127.0) AS INTEGER)) END AS codes
+          FROM sc),
+          cand AS (SELECT p.q_id, a.vec_id FROM assign a JOIN probes p USING (list)),
+          short AS (SELECT q_id, vec_id FROM (
+            SELECT cand.q_id, cand.vec_id,
+              row_number() OVER (PARTITION BY cand.q_id
+                ORDER BY ROUND(q.scale * c.scale * list_dot_product(q.codes, c.codes), 6) DESC,
+                  cand.vec_id) AS srank
+            FROM cand JOIN qt c ON cand.vec_id = c.vec_id
+                      JOIN qt q ON cand.q_id = q.vec_id) WHERE srank <= ${AnnRefine * 5})
+          SELECT s.q_id, s.vec_id, ${cosSql("q.embedding", "c.embedding")} AS cos,
+            CAST(row_number() OVER (PARTITION BY s.q_id
+              ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, s.vec_id) AS INTEGER) AS rank
+          FROM short s JOIN embeddings c ON s.vec_id = c.vec_id
+                       JOIN embeddings q ON s.q_id = q.vec_id
           QUALIFY rank <= 5 ORDER BY q_id, rank""",
 
     // Same arithmetic step for step: double casts, ROUND(·, 6) scale,

@@ -322,6 +322,50 @@ object Similarity {
     mipsRank(lists.join(broadcast(probes), Seq("list")), k, qId, cId)
   }
 
+  /** Two-stage search of a persisted IVF index — quantized shortlist,
+    * exact re-rank. Stage 1 is `searchIvfIndexQuantized`'s integer-MIPS
+    * scan of the probed lists' compressed payload, kept to the top
+    * `refine × k` candidates per query; stage 2 re-scores ONLY those
+    * candidates at full precision (rounded cosine, `scoreAndRank`'s
+    * contract) and keeps the final top-k. This recovers most of the
+    * recall that quantization costs while still never reading the float
+    * vectors of non-candidates: stage 1 touches (list, id, scale, codes)
+    * of the probed partitions, stage 2 touches (list, id, vec, norm) of
+    * the same partitions filtered by the broadcast candidate set — the
+    * corpus never shuffles in either stage, and the two scans prune to
+    * disjoint column sets of the same pruned partitions. The candidate
+    * set is queries × refine × k rows (driver-bounded, like the query
+    * set itself), so the stage-2 join broadcasts.
+    *
+    * With `refine × k` ≥ the probed candidate count this equals
+    * `searchIvfIndex` exactly (same probes, exact scoring of every
+    * candidate) — the property ExtSpec pins. */
+  def searchIvfIndexRefined(spark: org.apache.spark.sql.SparkSession,
+                            path: String, queries: DataFrame, k: Int,
+                            nProbe: Int, refine: Int, qId: String = "q_id",
+                            cId: String = "vec_id", qVec: String = "q_vec",
+                            cVec: String = "embedding"): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1, got $refine")
+    val cents = readIvfCentroids(spark, path)
+    val probes = withQuantCols(
+        probesFor(queries, cents, nProbe, qId, qVec), col(qVec), "__qs", "__qc")
+      .select(col(qId), col("list"), col("__qs"), col("__qc"))
+    val codes = spark.read.parquet(s"$path/lists")
+      .select(col("list"), col(cId), col("__scale").as("__cs"),
+        transform(col("__codes"), _.cast("double")).as("__cc"))
+    val shortlist = mipsScored(codes.join(broadcast(probes), Seq("list")))
+      .withColumn("__srank", row_number().over(mipsWindow(qId, cId)))
+      .filter(col("__srank") <= refine * k)
+      .select(col(qId), col("list"), col(cId))
+    val q = queries.withColumn("__qn", vec_norm(col(qVec)))
+      .select(col(qId), col(qVec), col("__qn"))
+    val vecs = spark.read.parquet(s"$path/lists")
+      .select(col("list"), col(cId), col(cVec), col("__cn"))
+    scoreAndRank(
+      vecs.join(broadcast(shortlist.join(q, Seq(qId))), Seq("list", cId)),
+      k, qId, cId, qVec, cVec)
+  }
+
   /** Probe selection — one definition shared by the full-precision and
     * quantized search tails: rank each query's lists by rounded cosine
     * against the (full-precision) centroid metadata, keep the nProbe
@@ -421,14 +465,17 @@ object Similarity {
     * dot is exact, the two multiplies correctly-rounded IEEE — bit-exact
     * cross-engine), rank per query, ties on the corpus id. ONE definition
     * so the brute-force and IVF-composed paths cannot drift. */
-  private def mipsRank(pairs: DataFrame, k: Int, qId: String, cId: String): DataFrame = {
-    val scored = pairs.withColumn("score", round(
+  private def mipsScored(pairs: DataFrame): DataFrame =
+    pairs.withColumn("score", round(
       col("__qs") * col("__cs") * vec_dot(col("__qc"), col("__cc")), 6))
-    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
-    scored.withColumn("rank", row_number().over(w))
+
+  private def mipsWindow(qId: String, cId: String) =
+    Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
+
+  private def mipsRank(pairs: DataFrame, k: Int, qId: String, cId: String): DataFrame =
+    mipsScored(pairs).withColumn("rank", row_number().over(mipsWindow(qId, cId)))
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), col("score"), col("rank"))
-  }
 
   /** Quantize a frame's vector column in place: appends scale + double-form
     * code columns, keeping everything else. */

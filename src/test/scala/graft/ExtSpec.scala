@@ -241,6 +241,25 @@ class ExtSpec extends SparkSpec {
       val recall = (fullSet intersect quantSet).size.toDouble / fullSet.size
       info(s"quantized IVF recall vs full-precision = $recall")
       assert(recall >= 0.8, s"int8 quantization cost too much recall: $recall")
+      // Two-stage refined search: a shortlist covering every probed
+      // candidate makes the exact re-rank THE full-precision search —
+      // the exact equality the refine knob then trades away gradually.
+      val refinedAll = Similarity.searchIvfIndexRefined(spark, path, q, k = 3,
+          nProbe = 2, refine = 1000)
+        .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+      assert(refinedAll == fromIndex,
+        "refine covering all probed candidates must equal full-precision search")
+      // A tight 2× shortlist: stage 2 re-ranks the quantized top-6 at
+      // full precision — on this (deterministic) corpus that recovers at
+      // least the pure-quantized recall.
+      val refined = Similarity.searchIvfIndexRefined(spark, path, q, k = 3,
+          nProbe = 2, refine = 2)
+        .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+      val refSet = refined.map(r => (r._1, r._2)).toSet
+      val refRecall = (fullSet intersect refSet).size.toDouble / fullSet.size
+      info(s"refined IVF recall vs full-precision = $refRecall")
+      assert(refRecall >= recall,
+        s"2x re-rank recall $refRecall fell below pure-quantized $recall")
       // The scale property the layout exists for: lists/ is partitioned by
       // the assigned list id, so probed lists map to partition directories.
       val listDirs = new java.io.File(s"$path/lists").listFiles()
