@@ -746,6 +746,25 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_paragraph" -> ((s, dir) => {
+      // Corpus-wide paragraph dedup — the boilerplate-removal shape
+      // (repeated headers/license blocks across docs that are not dups
+      // of each other). Docs are re-chunked into ParaChunkWords-word
+      // paragraphs (the corpus has no natural newlines; its small
+      // vocabulary makes cross-doc chunk repetition real), each distinct
+      // paragraph keeps only its first (doc, position) occurrence,
+      // survivors reassemble in order, fully-emptied docs drop.
+      val ws = split(col("text"), " ")
+      val chunked = read(s, dir, "documents").select(col("doc_id"),
+        array_join(transform(
+            sequence(lit(0),
+              ceil(size(ws) / lit(ParaChunkWords.toDouble)).cast("int") - 1),
+            i => array_join(slice(ws, i * ParaChunkWords + 1, lit(ParaChunkWords)), " ")),
+          "\n").as("text"))
+      Dedup.dedupParagraphs(chunked, "doc_id", "text", "\n")
+        .orderBy("doc_id")
+    }),
+
     "q_length_bins" -> ((s, dir) => {
       // Scale-correct ntile: per-source quartile binning of doc length
       // via broadcast percentile bounds + a map-only when-chain (a
@@ -787,6 +806,10 @@ object ExtQueries {
   )
 
   private val NearDupJaccard = 0.8
+  // Paragraph dedup re-chunks the newline-less word-soup corpus into
+  // fixed word-count "paragraphs"; 8 words is small enough that the
+  // ~30-word vocabulary produces real cross-document repetition.
+  private val ParaChunkWords = 8
   // 32 bits / 4 bands = 8-bit slices → 256 bucket values per band. The
   // SCALING.md sizing rule in action: at 16 bits the 4-bit slices gave only
   // 16 bucket values, so candidate pairs grew ~n²/16 (3M+ candidates at
@@ -1758,6 +1781,31 @@ object ExtQueries {
           SELECT doc_id, source, n_chars FROM fresh f
           WHERE NOT EXISTS (SELECT 1 FROM flagged WHERE flagged.b = f.doc_id)
           ORDER BY doc_id""",
+
+    // Same chunking arithmetic (ceil(words/n), 1-based clamped slices),
+    // first occurrence = min (doc_id, position) via the row_number twin
+    // of Spark's min(struct), reassembly ordered by position. DuckDB list
+    // slices are 1-based inclusive and clamp at the end, matching
+    // Spark's slice(arr, start, length).
+    "q_dedup_paragraph" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          pages AS (SELECT doc_id,
+              array_to_string(list_transform(
+                generate_series(0, CAST(ceil(len(ws) / ${ParaChunkWords}.0) AS INT) - 1),
+                i -> array_to_string(
+                  ws[i*$ParaChunkWords+1 : i*$ParaChunkWords+$ParaChunkWords], ' ')),
+                chr(10)) AS text
+            FROM w),
+          paras AS (SELECT doc_id,
+              unnest(generate_series(1, len(string_split(text, chr(10))))) AS idx,
+              unnest(string_split(text, chr(10))) AS para
+            FROM pages),
+          keep AS (SELECT doc_id, para, idx,
+              row_number() OVER (PARTITION BY md5(para)
+                ORDER BY doc_id, idx) AS rn
+            FROM paras)
+          SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text
+          FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
 
     // Quartile boundaries per source (quantile_cont == Spark percentile
     // interpolation, both 6dp-rounded); bin = count of boundaries at or

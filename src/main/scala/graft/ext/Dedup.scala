@@ -380,6 +380,44 @@ object Dedup {
     fresh.join(flagged, Seq(docKey), "left_anti")
   }
 
+  /** Corpus-wide paragraph-level exact dedup — the sub-document shape
+    * (boilerplate headers, repeated license blocks, templated intros
+    * duplicate across documents that are NOT duplicates of each other).
+    * Split every doc's text on `sep`, keep each distinct paragraph's
+    * FIRST occurrence only — first = minimum (docKey, position), a total
+    * deterministic order — and reassemble surviving paragraphs in their
+    * original in-document order. A document whose every paragraph
+    * occurred earlier somewhere else disappears (the empty shell carries
+    * no training signal). Returns (docKey, textCol) only: reassembly is
+    * an aggregation, so sibling columns would need their own agg
+    * semantics — join the result back on the key to re-attach them.
+    *
+    * Shape at 100 TB — three hash shuffles, all skew-tolerant:
+    *  1. first-occurrence agg keyed on the paragraph's md5: min(struct)
+    *     is map-side combinable, so a boilerplate paragraph duplicated
+    *     a billion times reduces inside each task before it shuffles
+    *     (the window-over-hash alternative would sort that key's entire
+    *     billion-row partition in one task);
+    *  2. keeper semi-join keyed (docKey, position) — uniform by
+    *     construction, paragraph skew cannot concentrate it;
+    *  3. reassembly groupBy docKey — bounded by document size.
+    * Shuffles 2 and 3 carry paragraph text; 1 carries 32-byte keys. */
+  def dedupParagraphs(docs: DataFrame, docKey: String, textCol: String,
+                      sep: String): DataFrame = {
+    val paras = docs.select(col(docKey),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__idx", "__para")))
+    val first = paras
+      .groupBy(md5(col("__para")).as("__h"))
+      .agg(min(struct(col(docKey).as("__d"), col("__idx").as("__i"))).as("__k"))
+      .select(col("__k.__d").as(docKey), col("__k.__i").as("__idx"))
+    paras.join(first, Seq(docKey, "__idx"), "left_semi")
+      .groupBy(col(docKey))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__idx"), col("__para")))),
+          x => x.getField("__para")), sep).as(textCol))
+  }
+
   /** Connected components over the verified near-dup pair graph: every
     * document that appears in a pair gets a `cluster` label = the MINIMUM
     * doc key reachable through any chain of pairs. Greedy pair eviction

@@ -695,6 +695,23 @@ class ExtSpec extends SparkSpec {
     assert(all == Set(3L, 5L, 7L, 9L), "only the exact copy drops at an unreachable threshold")
   }
 
+  test("dedupParagraphs: first occurrence survives, order preserved, emptied docs drop") {
+    val docs = Seq(
+      (1L, "A\nB"),
+      (2L, "B\nC\nA"),  // B and A seen in doc 1 → only C survives
+      (3L, "A\nB"),     // every paragraph seen earlier → doc disappears
+      (4L, "D\nC\nD")   // in-doc repeat: first D survives, second drops
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(docs, "doc_id", "text", "\n")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "A\nB"), (2L, "C"), (4L, "D")))
+    // Partitioning must not change the winners (min(struct) is a total
+    // order, not an encounter order).
+    val shuffled = Dedup.dedupParagraphs(docs.repartition(7), "doc_id", "text", "\n")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(shuffled == out, "winners must be partitioning-invariant")
+  }
+
   test("weightedSample: k rows, partitioning-invariant, weight-dominant, bad weights dropped") {
     val df = (1L to 200L).map(i => (i, if (i == 42L) 1000000000L else 1L))
       .toDF("k", "w")
