@@ -339,6 +339,44 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_rep_lines" -> ((s, dir) => {
+      // Gopher duplicate line / line-char fractions: the corpus has no
+      // natural newlines, so docs are re-chunked into ParaChunkWords-word
+      // "lines" (the q_dedup_paragraph convention) and both signals are
+      // pure higher-order expressions over the chunk array — map-only,
+      // zero shuffles, whole-stage codegen.
+      val ws = split(col("text"), " ")
+      val chunks = transform(
+        sequence(lit(0),
+          ceil(size(ws) / lit(ParaChunkWords.toDouble)).cast("int") - 1),
+        i => array_join(slice(ws, i * ParaChunkWords + 1, lit(ParaChunkWords)), " "))
+      read(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextAnalysis.dupElemFraction(chunks), 6).as("dup_line_frac"),
+          round(TextAnalysis.dupElemCharFraction(chunks), 6).as("dup_line_char_frac"))
+        .orderBy("doc_id")
+    }),
+
+    "q_rep_ngram_top" -> ((s, dir) => {
+      // Gopher top-2-gram character fraction: one map-side gram build +
+      // one (doc, gram) combinable aggregation; the per-doc window and
+      // final agg share the doc-hash partitioning (no third shuffle).
+      TextAnalysis.ngramRepetition(read(s, dir, "documents"),
+          "doc_id", "text", n = RepTopN)
+        .select(col("doc_id"), col("top_frac"))
+        .orderBy("doc_id")
+    }),
+
+    "q_rep_ngram_dup" -> ((s, dir) => {
+      // Gopher duplicated-5-gram character fraction (overlap-counting
+      // upper bound — see TextAnalysis.ngramRepetition): same plan shape
+      // as q_rep_ngram_top at the dedup-filter gram order.
+      TextAnalysis.ngramRepetition(read(s, dir, "documents"),
+          "doc_id", "text", n = RepDupN)
+        .select(col("doc_id"), col("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
     "q_tfidf" -> ((s, dir) => {
       // Corpus-statistics text op: top-3 TF-IDF terms per document
       // (rational smoothed idf — see TextAnalysis.tfidfTopK).
@@ -810,6 +848,11 @@ object ExtQueries {
   // fixed word-count "paragraphs"; 8 words is small enough that the
   // ~30-word vocabulary produces real cross-document repetition.
   private val ParaChunkWords = 8
+  // Gopher repetition gram orders: top-gram char fraction is most
+  // informative at small n (2..4), duplicated-gram char fraction at the
+  // dedup-filter orders (5..10) — one representative of each family.
+  private val RepTopN = 2
+  private val RepDupN = 5
   // 32 bits / 4 bands = 8-bit slices → 256 bucket values per band. The
   // SCALING.md sizing rule in action: at 16 bits the 4-bit slices gave only
   // 16 bucket values, so candidate pairs grew ~n²/16 (3M+ candidates at
@@ -996,6 +1039,33 @@ object ExtQueries {
   private def minhashSqlCol(seed: Int): String =
     s"""list_aggregate(list_transform(list_distinct($ShinglesSql),
         w -> md5('$seed:' || w)), 'min') AS mh$seed"""
+
+  /** Shared CTE chain for the n-gram repetition oracles: per-doc word
+    * n-gram counts → deterministic top (count desc, gram asc) + the
+    * duplicated-gram char sum, both normalized by length(text). Ends at
+    * CTE `a(doc_id, top_frac, dup_frac)`; the caller SELECTs the column
+    * it asserts and COALESCEs docs shorter than n words to 0. */
+  private def ngramRepSql(n: Int): String =
+    s"""WITH w AS (SELECT doc_id, length(text) AS tlen,
+            str_split(lower(text), ' ') AS ws FROM documents),
+          ix AS (SELECT doc_id, tlen, ws,
+              unnest(generate_series(1, len(ws) - ${n - 1})) AS i
+            FROM w WHERE len(ws) >= $n),
+          g AS (SELECT doc_id, tlen,
+              array_to_string(ws[i : i + ${n - 1}], ' ') AS gram FROM ix),
+          c AS (SELECT doc_id, tlen, gram, COUNT(*) AS cnt,
+              length(gram) AS glen
+            FROM g GROUP BY 1, 2, 3),
+          r AS (SELECT doc_id, tlen, cnt, glen,
+              row_number() OVER (PARTITION BY doc_id
+                ORDER BY cnt DESC, gram) AS rn
+            FROM c),
+          a AS (SELECT doc_id,
+              ROUND(CAST(MAX(CASE WHEN rn = 1 THEN cnt * glen END) AS DOUBLE)
+                / tlen, 6) AS top_frac,
+              ROUND(CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END)
+                AS DOUBLE) / tlen, 6) AS dup_frac
+            FROM r GROUP BY doc_id, tlen)"""
 
   /** Shared by `q_dup_clusters` and `q_dup_clusters_star`: both
     * algorithms (min-label propagation, star contraction) must produce
@@ -1219,6 +1289,38 @@ object ExtQueries {
            (n_words BETWEEN 50 AND 100000) AND (mean_wlen BETWEEN 3 AND 10)
              AND rep_ratio < 0.5 AS keep
          FROM t ORDER BY doc_id""",
+
+    // Chunking mirrors q_dedup_paragraph's (DuckDB slices are 1-based
+    // inclusive and clamp, matching Spark's slice(arr, start, length));
+    // the two fractions are pure list arithmetic over the chunk array.
+    "q_rep_lines" ->
+      s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+          ch AS (SELECT doc_id,
+              list_transform(
+                generate_series(0, CAST(ceil(len(ws) / ${ParaChunkWords}.0) AS INT) - 1),
+                i -> array_to_string(
+                  ws[i*$ParaChunkWords+1 : i*$ParaChunkWords+$ParaChunkWords], ' '))
+                AS chunks
+            FROM w)
+          SELECT doc_id,
+            ROUND(CAST(len(chunks) - len(list_distinct(chunks)) AS DOUBLE)
+              / len(chunks), 6) AS dup_line_frac,
+            ROUND(CAST(list_sum(list_transform(chunks, x -> length(x)))
+                - list_sum(list_transform(list_distinct(chunks), x -> length(x)))
+                AS DOUBLE)
+              / list_sum(list_transform(chunks, x -> length(x))), 6)
+              AS dup_line_char_frac
+          FROM ch ORDER BY doc_id""",
+
+    "q_rep_ngram_top" ->
+      s"""${ngramRepSql(RepTopN)}
+          SELECT d.doc_id, COALESCE(a.top_frac, 0.0) AS top_frac
+          FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""",
+
+    "q_rep_ngram_dup" ->
+      s"""${ngramRepSql(RepDupN)}
+          SELECT d.doc_id, COALESCE(a.dup_frac, 0.0) AS dup_frac
+          FROM documents d LEFT JOIN a USING (doc_id) ORDER BY doc_id""",
 
     "q_tfidf" ->
       """WITH w AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -171,6 +172,79 @@ object TextAnalysis {
     graft.ops.Analytics.topKPerGroup(scored, Seq(docKey),
         Seq(col("score").desc, col("word")), k, rankCol = "rank")
       .select(col(docKey), col("word"), col("score"), col("rank").cast("int").as("rank"))
+  }
+
+  /** Duplicate-element fraction over a pre-split element array (lines,
+    * paragraphs, fixed-word chunks): the fraction of elements that are a
+    * repeat of an earlier element = (total − distinct) / total — the
+    * Gopher duplicate line / paragraph fraction signal. Pure higher-order
+    * expression, zero shuffles; null on an empty array. */
+  def dupElemFraction(elems: Column): Column =
+    (size(elems) - size(array_distinct(elems))).cast(DoubleType) / size(elems)
+
+  /** Character-weighted twin of [[dupElemFraction]]: the fraction of
+    * CHARACTERS sitting inside repeat occurrences =
+    * (Σ len over all elements − Σ len over distinct elements) / Σ len.
+    * Catches the "few but huge duplicated paragraphs" doc that the
+    * count-based fraction under-scores. Null when the elements hold zero
+    * characters. */
+  def dupElemCharFraction(elems: Column): Column = {
+    def chars(a: Column): Column =
+      aggregate(transform(a, x => length(x).cast("long")), lit(0L), _ + _)
+    val total = chars(elems)
+    (total - chars(array_distinct(elems))).cast(DoubleType) / total
+  }
+
+  /** Per-document word n-gram repetition signals — Gopher's
+    * "top n-gram character fraction" (n = 2..4) and "duplicated n-gram
+    * character fraction" (n = 5..10), both normalized by the document's
+    * character length:
+    *
+    *   top_frac = cnt(top gram) · len(top gram) / len(text)
+    *   dup_frac = Σ over grams with cnt ≥ 2 of cnt · len(gram) / len(text)
+    *
+    * where len(gram) is the space-joined n-gram string's length, the top
+    * gram ties deterministically to the lexicographically smallest at the
+    * max count, and words are lowercased for gram identity. dup_frac
+    * counts overlapping occurrences independently — a documented
+    * upper-bound estimate of true character coverage (exact
+    * non-overlapping marking is inherently sequential per document; the
+    * estimate keeps the operator a combinable aggregation, and the filter
+    * direction is the same: high means repetitive).
+    *
+    * Plan at 100 TB: grams are built map-side by one transform(sequence)
+    * over the token array (no self-join), then ONE (doc, gram) hash
+    * aggregation with map-side combine — a boilerplate gram repeated 10⁶×
+    * in a doc pre-reduces inside each task — then a doc-key window whose
+    * hash partitioning also satisfies the final groupBy (no third
+    * shuffle). Docs with fewer than n words have no grams and surface
+    * with zero fractions through the closing left join. */
+  def ngramRepetition(df: DataFrame, docKey: String, textCol: String,
+                      n: Int): DataFrame = {
+    require(n >= 1, s"n-gram order must be >= 1, got $n")
+    val ws = tokens(lower(col(textCol)))
+    val grams = df.filter(size(ws) >= n)
+      .select(col(docKey), length(col(textCol)).as("__tlen"),
+        explode(transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n))))).as("__g"))
+    val counts = grams
+      .groupBy(col(docKey), col("__tlen"), col("__g"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__glen", length(col("__g")).cast("long"))
+    val w = Window.partitionBy(col(docKey))
+      .orderBy(col("__cnt").desc, col("__g"))
+    val sigs = counts
+      .withColumn("__rn", row_number().over(w))
+      .groupBy(col(docKey), col("__tlen"))
+      .agg(
+        max(when(col("__rn") === 1, col("__cnt") * col("__glen"))).as("__topchars"),
+        sum(when(col("__cnt") >= 2, col("__cnt") * col("__glen"))
+          .otherwise(lit(0L))).as("__dupchars"))
+      .select(col(docKey),
+        round(col("__topchars").cast(DoubleType) / col("__tlen"), 6).as("top_frac"),
+        round(col("__dupchars").cast(DoubleType) / col("__tlen"), 6).as("dup_frac"))
+    df.select(col(docKey)).join(sigs, Seq(docKey), "left")
+      .na.fill(0.0, Seq("top_frac", "dup_frac"))
   }
 
   /** Out-of-vocabulary ratio per document: the fraction of a doc's word

@@ -363,6 +363,38 @@ class ExtSpec extends SparkSpec {
     assert(hi == 0.75 && lo == 0.0)
   }
 
+  test("dupElemFraction / dupElemCharFraction: count vs char weighting diverge") {
+    // ["aaaa","b","aaaa"]: 1 of 3 elements is a repeat (0.333333) but 4 of
+    // 9 chars sit in repeats (0.444444) — the char-weighted signal catches
+    // the huge-duplicated-paragraph doc the count fraction under-scores.
+    val df = Seq("aaaa b aaaa").toDF("t").select(split(col("t"), " ").as("e"))
+    val (f, cf) = df.select(
+      round(TextAnalysis.dupElemFraction(col("e")), 6),
+      round(TextAnalysis.dupElemCharFraction(col("e")), 6))
+      .as[(Double, Double)].head()
+    assert(f == 0.333333 && cf == 0.444444)
+    val (z, cz) = Seq("x y z").toDF("t").select(split(col("t"), " ").as("e"))
+      .select(TextAnalysis.dupElemFraction(col("e")),
+        TextAnalysis.dupElemCharFraction(col("e"))).as[(Double, Double)].head()
+    assert(z == 0.0 && cz == 0.0)
+  }
+
+  test("ngramRepetition: overlap-counted top/dup fractions, ties and short docs") {
+    // "a b a b a b" (11 chars), n=2: grams [a b, b a, a b, b a, a b] →
+    // top gram "a b" ×3 → 3·3/11; dup = (3·3 + 2·3)/11 (overlap-counted
+    // upper bound, deliberately > 1 here). "x y z": all counts 1 → top
+    // tie-breaks to the lexicographically smallest gram "x y" → 3/5, dup
+    // 0. "q" has no 2-grams → surfaces with zeros via the left join.
+    val docs = Seq((1L, "a b a b a b"), (2L, "x y z"), (3L, "q"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetition(docs, "doc_id", "text", n = 2)
+      .orderBy("doc_id").as[(Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0.818182, 1.363636),
+      (2L, 0.6, 0.0),
+      (3L, 0.0, 0.0)))
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val df = Seq("abc de12 f!").toDF("t")
     val (ws, bpe) = df.select(TextAnalysis.tokenCountWs(col("t")),
