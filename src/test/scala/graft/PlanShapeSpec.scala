@@ -127,6 +127,25 @@ class PlanShapeSpec extends SparkSpec {
       s"the corpus codes must stream through one task set:\n$plan")
   }
 
+  test("q_rep_ngram_top: two shuffles total; final agg reuses the window's partitioning") {
+    // The claim in TextAnalysis.ngramRepetition: shuffle 1 = the
+    // (doc, gram) count agg, shuffle 2 = the doc-key window, and the
+    // closing per-doc groupBy must ride the window's hash partitioning
+    // (a third exchange would mean the grouping no longer satisfies
+    // ClusteredDistribution). The join back to the full doc list must
+    // broadcast the narrow per-doc signal side, never shuffle the corpus.
+    spark.catalog.clearCache()
+    val df = SparkEntry.queries("q_rep_ngram_top")(spark, dir)
+    df.collect()
+    val c = PlanAudit.countNodes(df.queryExecution.executedPlan).withDefaultValue(0)
+    // +1 for the presentation ORDER BY's range exchange (collect() keeps
+    // it; Bench's aggregate consumer eliminates it).
+    assert(c("shuffles") <= 3,
+      s"expected (doc,gram) agg + window + presentation sort only, got ${c("shuffles")} shuffles")
+    assert(c("broadcasts") == 1,
+      s"per-doc signals must broadcast into the left join, got ${c("broadcasts")}")
+  }
+
   test("q_length_bins broadcasts the percentile boundaries (fact side never shuffles for the join)") {
     val plan = executedPlan("q_length_bins")
     assert(plan.contains("BroadcastHashJoin"),
