@@ -55,6 +55,22 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    "q_rolling_corr" -> ((s, dir) => {
+      // Rolling lag-1 autocorrelation of the value series per event type
+      // over a trailing 30-row window — the co-movement analytic past
+      // rollingMean. The lag rides the SAME (event_type, ts, event_id)
+      // window the correlation uses, so the plan stays one shuffle.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ts", "event_id")
+      val withLag = read(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+        .withColumn("value_lag", lag(col("value"), 1).over(w))
+      Analytics.rollingCorr(withLag, "value", "value_lag",
+          Seq("event_type"), Seq("ts", "event_id"), RollCorrWindow, "roll_corr")
+        .select("event_id", "event_type", "roll_corr")
+        .orderBy("event_id")
+    }),
+
     "q_rollup" -> ((s, dir) => {
       // Multi-level aggregation (ROLLUP): per (flag, status), per flag,
       // and grand total in one pass — Catalyst expands the grouping sets;
@@ -848,6 +864,7 @@ object ExtQueries {
   // fixed word-count "paragraphs"; 8 words is small enough that the
   // ~30-word vocabulary produces real cross-document repetition.
   private val ParaChunkWords = 8
+  private val RollCorrWindow = 30
   // Gopher repetition gram orders: top-gram char fraction is most
   // informative at small n (2..4), duplicated-gram char fraction at the
   // dedup-filter orders (5..10) — one representative of each family.
@@ -1119,6 +1136,44 @@ object ExtQueries {
          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+
+    // Same moment/closing arithmetic as Analytics.rollingCorr: exact
+    // DECIMAL(18,6) window sums (products fit (38,12)) cast to double
+    // once, then one double expression tree — every op correctly-rounded
+    // IEEE, so the rounded corr hash-matches bit-for-bit. greatest(·, 0)
+    // clamps the tiny negative variance double rounding can leave where
+    // the exact value is 0 (a bare sqrt would give engine-dependent NaN).
+    "q_rolling_corr" ->
+      s"""WITH l AS (SELECT event_id, event_type, ts, value,
+            lag(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+              AS value_lag
+          FROM events),
+          m AS (SELECT event_id, event_type,
+            CAST(COUNT(CASE WHEN value IS NOT NULL AND value_lag IS NOT NULL
+              THEN 1 END) OVER w AS DOUBLE) AS n,
+            CAST(SUM(CASE WHEN value IS NOT NULL AND value_lag IS NOT NULL
+              THEN CAST(value AS DECIMAL(18,6)) END) OVER w AS DOUBLE) AS sx,
+            CAST(SUM(CASE WHEN value IS NOT NULL AND value_lag IS NOT NULL
+              THEN CAST(value_lag AS DECIMAL(18,6)) END) OVER w AS DOUBLE) AS sy,
+            CAST(SUM(CAST(value AS DECIMAL(18,6))
+              * CAST(value_lag AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxy,
+            CAST(SUM(CASE WHEN value_lag IS NOT NULL
+              THEN CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))
+              END) OVER w AS DOUBLE) AS sxx,
+            CAST(SUM(CASE WHEN value IS NOT NULL
+              THEN CAST(value_lag AS DECIMAL(18,6)) * CAST(value_lag AS DECIMAL(18,6))
+              END) OVER w AS DOUBLE) AS syy
+          FROM l
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+            ROWS BETWEEN ${RollCorrWindow - 1} PRECEDING AND CURRENT ROW))
+          SELECT event_id, event_type,
+            CASE WHEN n >= 2 AND sqrt(greatest(n * sxx - sx * sx, 0.0)
+                * greatest(n * syy - sy * sy, 0.0)) > 0
+              THEN ROUND((n * sxy - sx * sy)
+                / sqrt(greatest(n * sxx - sx * sx, 0.0)
+                     * greatest(n * syy - sy * sy, 0.0)), 6)
+            END AS roll_corr
+          FROM m ORDER BY event_id""",
 
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,

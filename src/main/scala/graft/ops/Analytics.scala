@@ -134,6 +134,43 @@ object Analytics {
         count(lit(1)).over(w), 6))
   }
 
+  /** Trailing-window Pearson correlation of two clean-decimal series per
+    * key — rolling co-movement, one analytic step past `rollingMean`
+    * (feed y = lag(x) for rolling autocorrelation). Rows where either
+    * side is null are excluded from every moment symmetrically.
+    *
+    * Numeric contract: the five window moments (Σx, Σy, Σxy, Σx², Σy²)
+    * are EXACT decimal partials — inputs cast to DECIMAL(18,6), whose
+    * products fit DECIMAL(38,12) with no precision adjustment — each
+    * cast to double once; the closing corr arithmetic is one fixed
+    * double expression tree (correctly-rounded IEEE ops → bit-identical
+    * on any engine, reproducible under any partitioning). Degenerate
+    * windows (n < 2, or a zero-variance side — including the tiny
+    * NEGATIVE variance double rounding can leave where the exact value
+    * is 0, which a bare sqrt would turn into engine-dependent NaN) give
+    * NULL. Plan: one window over the key partitioning — a single hash
+    * shuffle, same shape as `rollingMean`. */
+  def rollingCorr(df: DataFrame, xCol: String, yCol: String,
+                  partCols: Seq[String], orderCols: Seq[String],
+                  k: Int, out: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(k - 1), 0)
+    val valid = col(xCol).isNotNull && col(yCol).isNotNull
+    val xi = when(valid, col(xCol)).cast(DecimalType(18, 6))
+    val yi = when(valid, col(yCol)).cast(DecimalType(18, 6))
+    def m(c: Column) = sum(c).over(w).cast(DoubleType)
+    val n = count(when(valid, lit(1))).over(w).cast(DoubleType)
+    val (sx, sy) = (m(xi), m(yi))
+    val (sxy, sxx, syy) = (m(xi * yi), m(xi * xi), m(yi * yi))
+    val cov = n * sxy - sx * sy
+    val vx = greatest(n * sxx - sx * sx, lit(0.0))
+    val vy = greatest(n * syy - sy * sy, lit(0.0))
+    val den = sqrt(vx * vy)
+    df.withColumn(out, when(n >= 2 && den > 0, round(cov / den, 6)))
+  }
+
   /** Gap-based sessionization in BATCH — the oracle-verifiable twin of
     * streaming.EventStream.sessionize: a session breaks where the gap to
     * the previous event of the key exceeds `gapSec`; the session id is

@@ -111,6 +111,32 @@ class OpsSpec extends SparkSpec {
     assert(out(("b", 1)) == 100.0, "frames never cross the key boundary")
   }
 
+  test("rollingCorr: ±1 on exact co-movement, NULL on degenerate windows") {
+    // Key a: y = 2x (corr +1 once n >= 2). Key b: y = -x (corr -1).
+    // Key c: constant x (zero variance -> NULL, not NaN). Leading rows
+    // (n < 2 after the null-pair exclusion) are NULL.
+    val rows = Seq(
+      ("a", 1, 1.0, 2.0), ("a", 2, 2.0, 4.0), ("a", 3, 4.0, 8.0),
+      ("b", 1, 1.0, -1.0), ("b", 2, 3.0, -3.0),
+      ("c", 1, 5.0, 1.0), ("c", 2, 5.0, 2.0), ("c", 3, 5.0, 3.0))
+    val df = rows.toDF("k", "t", "x", "y")
+    val out = Analytics.rollingCorr(df, "x", "y", Seq("k"), Seq("t"), 3, "c")
+      .select("k", "t", "c").as[(String, Int, Option[Double])].collect()
+      .map { case (k, t, c) => (k, t) -> c }.toMap
+    assert(out(("a", 1)).isEmpty, "single-row window has no correlation")
+    assert(out(("a", 2)).contains(1.0) && out(("a", 3)).contains(1.0))
+    assert(out(("b", 2)).contains(-1.0))
+    assert(out(("c", 3)).isEmpty, "zero variance must be NULL, never NaN")
+    // Null pairs are excluded symmetrically: a null y row contributes to
+    // no moment, so the window around it behaves as if the row is absent.
+    val withNull = Seq(("a", 1, 1.0, Some(2.0)), ("a", 2, 9.0, Option.empty[Double]),
+      ("a", 3, 2.0, Some(4.0)), ("a", 4, 3.0, Some(6.0)))
+      .toDF("k", "t", "x", "y")
+    val nOut = Analytics.rollingCorr(withNull, "x", "y", Seq("k"), Seq("t"), 4, "c")
+      .select("t", "c").as[(Int, Option[Double])].collect().toMap
+    assert(nOut(4).contains(1.0), "null pair dropped from moments, corr over the rest")
+  }
+
   test("asOfJoinBackward returns the matched row's NULL, not an older value") {
     // user 1: signup value 5.0 at t=10, then a NULL value at t=20.
     // A purchase at t=25 matches the t=20 row → must yield NULL (true
