@@ -55,6 +55,27 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    "q_chunk_budget" -> ((s, dir) => {
+      // Long-document splitting: every doc into 64-token chunks (the
+      // stage BEFORE packByBudget packs the pieces). Map-only HOF —
+      // zero shuffles.
+      TextAnalysis.chunkByBudget(read(s, dir, "documents"),
+          "doc_id", "text", ChunkBudget)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "q_rolling_std" -> ((s, dir) => {
+      // Rolling 30-row sample volatility of the value series per event
+      // type — exact decimal moments, IEEE closing tree (see
+      // Analytics.rollingStd).
+      Analytics.rollingStd(
+          read(s, dir, "events").select("event_id", "event_type", "ts", "value"),
+          "value", Seq("event_type"), Seq("ts", "event_id"),
+          RollCorrWindow, "roll_std")
+        .select("event_id", "event_type", "roll_std")
+        .orderBy("event_id")
+    }),
+
     "q_rolling_corr" -> ((s, dir) => {
       // Rolling lag-1 autocorrelation of the value series per event type
       // over a trailing 30-row window — the co-movement analytic past
@@ -865,6 +886,7 @@ object ExtQueries {
   // ~30-word vocabulary produces real cross-document repetition.
   private val ParaChunkWords = 8
   private val RollCorrWindow = 30
+  private val ChunkBudget = 64
   // Gopher repetition gram orders: top-gram char fraction is most
   // informative at small n (2..4), duplicated-gram char fraction at the
   // dedup-filter orders (5..10) — one representative of each family.
@@ -1136,6 +1158,39 @@ object ExtQueries {
          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+
+    // DuckDB slices are 1-based inclusive and clamp at the end, matching
+    // Spark's slice(arr, start, length) — same parity q_dedup_paragraph
+    // relies on.
+    "q_chunk_budget" ->
+      s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+          ch AS (SELECT doc_id, ws,
+              unnest(generate_series(0,
+                CAST(ceil(len(ws) / ${ChunkBudget}.0) AS INT) - 1)) AS chunk_idx
+            FROM w),
+          c AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+              array_to_string(
+                ws[chunk_idx*$ChunkBudget+1 : chunk_idx*$ChunkBudget+$ChunkBudget],
+                ' ') AS text
+            FROM ch)
+          SELECT doc_id, chunk_idx, text,
+            CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens
+          FROM c ORDER BY doc_id, chunk_idx""",
+
+    "q_rolling_std" ->
+      s"""SELECT event_id, event_type,
+            CASE WHEN n >= 2
+              THEN ROUND(sqrt(greatest(n * sxx - sx * sx, 0.0) / (n * (n - 1))), 6)
+            END AS roll_std
+          FROM (SELECT event_id, event_type,
+              CAST(COUNT(value) OVER w AS DOUBLE) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))
+                * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN ${RollCorrWindow - 1} PRECEDING AND CURRENT ROW))
+          ORDER BY event_id""",
 
     // Same moment/closing arithmetic as Analytics.rollingCorr: exact
     // DECIMAL(18,6) window sums (products fit (38,12)) cast to double

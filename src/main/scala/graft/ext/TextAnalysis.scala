@@ -247,6 +247,27 @@ object TextAnalysis {
       .na.fill(0.0, Seq("top_frac", "dup_frac"))
   }
 
+  /** Split each document into consecutive `budget`-token chunks —
+    * long-document splitting, the upstream twin of
+    * [[graft.ext.Sampling.packByBudget]] (split oversized docs first,
+    * then pack the pieces into shard-sized sequences). Output one row
+    * per chunk: (docKey, chunk_idx, textCol, n_tokens), chunk_idx
+    * 0-based in document order, every chunk except possibly the last
+    * holding exactly `budget` whitespace tokens. Pure map-only
+    * higher-order expression (transform + slice + posexplode) — zero
+    * shuffles, embarrassingly parallel at any corpus size. */
+  def chunkByBudget(df: DataFrame, docKey: String, textCol: String,
+                    budget: Int): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    val ws = tokens(col(textCol))
+    val nChunks = ceil(size(ws) / lit(budget.toDouble)).cast("int")
+    df.select(col(docKey),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(ws, i * budget + 1, lit(budget)), " ")))
+          .as(Seq("chunk_idx", textCol)))
+      .withColumn("n_tokens", size(tokens(col(textCol))))
+  }
+
   /** Out-of-vocabulary ratio per document: the fraction of a doc's word
     * OCCURRENCES outside the corpus's top-`k` vocabulary — a
     * corpus-statistics quality signal (high OOV = noise, code, or a

@@ -171,6 +171,27 @@ object Analytics {
     df.withColumn(out, when(n >= 2 && den > 0, round(cov / den, 6)))
   }
 
+  /** Trailing-window SAMPLE standard deviation per key — rolling
+    * volatility, the scale analytic between `rollingMean` and
+    * `rollingCorr`. Same numeric contract as `rollingCorr`: exact
+    * DECIMAL(18,6) window moments cast to double once, one fixed IEEE
+    * closing tree (sqrt(max(nΣx²−(Σx)², 0) / (n(n−1)))), NULL for n < 2.
+    * One hash shuffle on `partCols`. */
+  def rollingStd(df: DataFrame, valueCol: String, partCols: Seq[String],
+                 orderCols: Seq[String], k: Int, out: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(k - 1), 0)
+    val xi = col(valueCol).cast(DecimalType(18, 6))
+    val n = count(col(valueCol)).over(w).cast(DoubleType)
+    val sx = sum(xi).over(w).cast(DoubleType)
+    val sxx = sum(xi * xi).over(w).cast(DoubleType)
+    val vx = greatest(n * sxx - sx * sx, lit(0.0))
+    df.withColumn(out,
+      when(n >= 2, round(sqrt(vx / (n * (n - 1))), 6)))
+  }
+
   /** Gap-based sessionization in BATCH — the oracle-verifiable twin of
     * streaming.EventStream.sessionize: a session breaks where the gap to
     * the previous event of the key exceeds `gapSec`; the session id is

@@ -395,6 +395,24 @@ class ExtSpec extends SparkSpec {
       (3L, 0.0, 0.0)))
   }
 
+  test("chunkByBudget: full chunks, short tail, short doc intact") {
+    val docs = Seq((1L, "a b c d e"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkByBudget(docs, "doc_id", "text", budget = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, "a b", 2), (1L, 1, "c d", 2), (1L, 2, "e", 1),
+      (2L, 0, "x", 1)))
+    // Chunks reassemble to the original document, in order.
+    val rejoined = TextAnalysis.chunkByBudget(docs, "doc_id", "text", budget = 3)
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("chunk_idx"), col("text")))),
+        x => x.getField("text")), " ").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(rejoined == Map(1L -> "a b c d e", 2L -> "x"))
+  }
+
   test("token counts: whitespace vs BPE-ish") {
     val df = Seq("abc de12 f!").toDF("t")
     val (ws, bpe) = df.select(TextAnalysis.tokenCountWs(col("t")),

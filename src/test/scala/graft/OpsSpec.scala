@@ -137,6 +137,18 @@ class OpsSpec extends SparkSpec {
     assert(nOut(4).contains(1.0), "null pair dropped from moments, corr over the rest")
   }
 
+  test("rollingStd: golden sample std, NULL below two observations") {
+    // [2, 4, 6]: sample std of trailing-3 window = sqrt(((3*56)-144)/6)
+    // = 2.0; the 2-row prefix [2, 4] gives sqrt(2)/... = sqrt(2)·? —
+    // sample std of {2,4} = sqrt(2) ≈ 1.414214 (rounded to 6dp).
+    val df = Seq(("a", 1, 2.0), ("a", 2, 4.0), ("a", 3, 6.0)).toDF("k", "t", "v")
+    val out = Analytics.rollingStd(df, "v", Seq("k"), Seq("t"), 3, "s")
+      .select("t", "s").as[(Int, Option[Double])].collect().toMap
+    assert(out(1).isEmpty, "one observation has no sample std")
+    assert(out(2).contains(1.414214))
+    assert(out(3).contains(2.0))
+  }
+
   test("asOfJoinBackward returns the matched row's NULL, not an older value") {
     // user 1: signup value 5.0 at t=10, then a NULL value at t=20.
     // A purchase at t=25 matches the t=20 row → must yield NULL (true
