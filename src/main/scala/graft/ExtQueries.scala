@@ -752,6 +752,18 @@ object ExtQueries {
         .orderBy("train_id", "bench_id")
     }),
 
+    "q_decontaminate" -> ((s, dir) => {
+      // The stage q_contamination's flags exist FOR: drop flagged train
+      // docs via a broadcast anti-join, survivors pass through untouched.
+      val docs = read(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      Contamination.decontaminate(train, bench, "doc_id", "text",
+          n = 3, minHits = ContamMinHits, maxShingleDf = ContamMaxDf)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q_oov_ratio" -> ((s, dir) => {
       // Corpus-statistics quality signal: per-doc share of word
       // occurrences outside the global top-200 vocabulary.
@@ -1920,6 +1932,25 @@ object ExtQueries {
           WHERE train_id <> bench_id
           GROUP BY 1, 2 HAVING COUNT(*) >= $ContamMinHits
           ORDER BY 1, 2""",
+
+    "q_decontaminate" ->
+      s"""WITH bsh AS (SELECT doc_id AS bench_id,
+              unnest(list_distinct($ShinglesSql)) AS sh
+            FROM documents WHERE doc_id % 50 = 0),
+          kept AS (SELECT bench_id, sh FROM (
+              SELECT bench_id, sh, COUNT(*) OVER (PARTITION BY sh) AS df FROM bsh)
+            WHERE df <= $ContamMaxDf),
+          tsh AS (SELECT doc_id AS train_id,
+              unnest(list_distinct($ShinglesSql)) AS sh
+            FROM documents WHERE doc_id % 50 <> 0),
+          flagged AS (SELECT train_id
+            FROM tsh JOIN kept USING (sh)
+            WHERE train_id <> bench_id
+            GROUP BY train_id, bench_id HAVING COUNT(*) >= $ContamMinHits)
+          SELECT doc_id, n_chars FROM documents
+          WHERE doc_id % 50 <> 0
+            AND doc_id NOT IN (SELECT DISTINCT train_id FROM flagged)
+          ORDER BY doc_id""",
 
     "q_oov_ratio" ->
       s"""WITH w AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) AS word

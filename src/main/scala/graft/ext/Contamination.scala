@@ -57,4 +57,19 @@ object Contamination {
       .agg(count(lit(1)).as("hits"))   // shingles are distinct per side
       .filter(col("hits") >= minHits)
   }
+
+  /** The decontamination stage itself: drop every training document
+    * `contaminatedPairs` flags, keep the rest intact. The flagged-id set
+    * is bounded by the benchmark's shingle reach (tiny next to the
+    * corpus), so the anti-join broadcasts and the 100 TB train side
+    * streams map-side — one projection-only pass over the corpus beyond
+    * the detection cost. */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+                    docKey: String, textCol: String,
+                    n: Int, minHits: Int, maxShingleDf: Int): DataFrame = {
+    val flagged = contaminatedPairs(train, bench, docKey, textCol,
+        n, minHits, maxShingleDf)
+      .select(col("train_id").as(docKey)).distinct()
+    train.join(broadcast(flagged), Seq(docKey), "left_anti")
+  }
 }

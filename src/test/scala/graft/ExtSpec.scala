@@ -653,6 +653,18 @@ class ExtSpec extends SparkSpec {
     assert(uncapped.count() == 2, "without the cap both bench docs match")
   }
 
+  test("decontaminate drops exactly the flagged train docs, survivors intact") {
+    val bench = Seq((100L, "one two three four end marker")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "copy of one two three four here"),
+      (2L, "completely different words entirely now")).toDF("doc_id", "text")
+    val kept = Contamination.decontaminate(train, bench, "doc_id", "text",
+        n = 3, minHits = 2, maxShingleDf = 5)
+      .as[(Long, String)].collect().toSeq
+    assert(kept == Seq((2L, "completely different words entirely now")),
+      "flagged doc 1 dropped; doc 2 passes through with its columns untouched")
+  }
+
   test("contamination df-cap keeps candidate volume linear under a hot shingle") {
     // Every doc (train AND bench) shares the boilerplate phrase — without
     // the cap the shingle join would emit |train| × |bench| pairs; with it,
