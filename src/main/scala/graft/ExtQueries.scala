@@ -92,6 +92,60 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    "q_drawdown" -> ((s, dir) => {
+      // Running peak + drawdown of the value series per event type — the
+      // risk analytic over a price-shaped feed. One window shuffle; peak
+      // is a raw input (exact), drawdown one rounded IEEE divide.
+      Analytics.drawdown(
+          read(s, dir, "events").select("event_id", "event_type", "ts", "value"),
+          "value", Seq("event_type"), Seq("ts", "event_id"))
+        .select("event_id", "event_type", "value", "peak", "drawdown")
+        .orderBy("event_id")
+    }),
+
+    "q_cum_return" -> ((s, dir) => {
+      // Growth since series start per event type: ratio-to-first-value,
+      // not a running product — one exact division per row.
+      Analytics.cumReturn(
+          read(s, dir, "events").select("event_id", "event_type", "ts", "value"),
+          "value", Seq("event_type"), Seq("ts", "event_id"))
+        .select("event_id", "event_type", "cum_return")
+        .orderBy("event_id")
+    }),
+
+    "q_ohlc_bars" -> ((s, dir) => {
+      // Tick → daily OHLCV+VWAP bars per event type: ONE combine-enabled
+      // hash aggregate (min_by/max_by pick the endpoints — no window
+      // sort), decimal-exact vwap. The canonical finance downsample.
+      Analytics.ohlcBars(
+          read(s, dir, "events")
+            .select(col("event_type").as("symbol"), col("ts"), col("event_id"),
+              col("value"), (col("user_id") + 1).as("qty")),
+          Seq(col("symbol")), to_date(col("ts")).as("day"), col("ts"),
+          col("event_id"), col("value"), col("qty"), bucketName = "day")
+        .orderBy("symbol", "day")
+    }),
+
+    "q_bollinger" -> ((s, dir) => {
+      // Trailing 20-row mean ± 2σ bands per event type in one window
+      // pass — same exact decimal moments as q_rolling_std, three
+      // outputs off one shared closing tree.
+      Analytics.bollinger(
+          read(s, dir, "events").select("event_id", "event_type", "ts", "value"),
+          "value", Seq("event_type"), Seq("ts", "event_id"),
+          BollingerWindow, 2.0)
+        .select("event_id", "event_type", "bb_mid", "bb_upper", "bb_lower")
+        .orderBy("event_id")
+    }),
+
+    "q_key_skew" -> ((s, dir) => {
+      // Hot-key diagnostic: top-25 users by event count with share and
+      // ratio-to-mean-key — what decides which keys need salting at
+      // 100 TB. Bounded top-k runs as TakeOrdered, never a full sort.
+      Analytics.keySkewProfile(read(s, dir, "events"), Seq("user_id"), SkewTopK)
+        .orderBy(col("n").desc, col("user_id"))
+    }),
+
     "q_rollup" -> ((s, dir) => {
       // Multi-level aggregation (ROLLUP): per (flag, status), per flag,
       // and grand total in one pass — Catalyst expands the grouping sets;
@@ -764,6 +818,17 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_corpus_overlap" -> ((s, dir) => {
+      // One-number leakage check between two corpus halves: exact
+      // Jaccard + containment over content fingerprints — one
+      // fingerprint shuffle, a 1-row close, no join. The templated
+      // testdata duplicates texts across sources, so overlap is real.
+      val docs = read(s, dir, "documents")
+      Contamination.corpusOverlap(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "text")
+    }),
+
     "q_oov_ratio" -> ((s, dir) => {
       // Corpus-statistics quality signal: per-doc share of word
       // occurrences outside the global top-200 vocabulary.
@@ -898,6 +963,8 @@ object ExtQueries {
   // ~30-word vocabulary produces real cross-document repetition.
   private val ParaChunkWords = 8
   private val RollCorrWindow = 30
+  private val BollingerWindow = 20
+  private val SkewTopK = 25
   private val ChunkBudget = 64
   // Gopher repetition gram orders: top-gram char fraction is most
   // informative at small n (2..4), duplicated-gram char fraction at the
@@ -1241,6 +1308,71 @@ object ExtQueries {
                      * greatest(n * syy - sy * sy, 0.0)), 6)
             END AS roll_corr
           FROM m ORDER BY event_id""",
+
+    "q_drawdown" ->
+      """SELECT event_id, event_type, value,
+           MAX(value) OVER w AS peak,
+           ROUND(value / MAX(value) OVER w - 1, 6) AS drawdown
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    "q_cum_return" ->
+      """SELECT event_id, event_type,
+           ROUND(value / FIRST_VALUE(value) OVER
+             (PARTITION BY event_type ORDER BY ts, event_id) - 1, 6)
+             AS cum_return
+         FROM events ORDER BY event_id""",
+
+    // open/close via per-bar window endpoints (DuckDB's arg_min/arg_max
+    // take a single scalar ordering, so the (ts, event_id) tie-broken
+    // endpoint needs the window form); the Spark side is the one-agg
+    // min_by/max_by plan.
+    "q_ohlc_bars" ->
+      """WITH t AS (SELECT event_type AS symbol, CAST(ts AS DATE) AS day,
+             value, user_id + 1 AS qty,
+             FIRST_VALUE(value) OVER w AS o,
+             LAST_VALUE(value) OVER (PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+           FROM events
+           WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+             ORDER BY ts, event_id))
+         SELECT symbol, day, MIN(o) AS open, MAX(value) AS high,
+           MIN(value) AS low, MIN(c) AS close,
+           CAST(SUM(qty) AS BIGINT) AS volume,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))
+               * CAST(qty AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(qty AS DECIMAL(18,6))) AS DOUBLE), 6) AS vwap
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_bollinger" ->
+      s"""SELECT event_id, event_type,
+            ROUND(sx / n, 6) AS bb_mid,
+            CASE WHEN n >= 2 THEN ROUND(sx / n
+              + 2.0 * sqrt(greatest(n * sxx - sx * sx, 0.0) / (n * (n - 1))), 6)
+            END AS bb_upper,
+            CASE WHEN n >= 2 THEN ROUND(sx / n
+              - 2.0 * sqrt(greatest(n * sxx - sx * sx, 0.0) / (n * (n - 1))), 6)
+            END AS bb_lower
+          FROM (SELECT event_id, event_type,
+              CAST(COUNT(value) OVER w AS DOUBLE) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))
+                * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN ${BollingerWindow - 1} PRECEDING AND CURRENT ROW))
+          ORDER BY event_id""",
+
+    "q_key_skew" ->
+      s"""WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+          t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total,
+                  CAST(COUNT(*) AS DOUBLE) AS nkeys FROM c)
+          SELECT user_id, n, ROUND(n / total, 6) AS share,
+            ROUND(n * nkeys / total, 6) AS skew
+          FROM c, t ORDER BY n DESC, user_id LIMIT $SkewTopK""",
 
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
@@ -1932,6 +2064,24 @@ object ExtQueries {
           WHERE train_id <> bench_id
           GROUP BY 1, 2 HAVING COUNT(*) >= $ContamMinHits
           ORDER BY 1, 2""",
+
+    "q_corpus_overlap" ->
+      """WITH s AS (
+           SELECT md5(text) AS fp, 0 AS side FROM documents WHERE doc_id % 2 = 0
+           UNION
+           SELECT md5(text) AS fp, 1 AS side FROM documents WHERE doc_id % 2 <> 0),
+         p AS (SELECT fp,
+             MAX(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+           FROM s GROUP BY fp),
+         t AS (SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+             CAST(SUM(in_b) AS BIGINT) AS n_b,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_both FROM p)
+         SELECT n_a, n_b, n_both,
+           ROUND(n_both / (n_a + n_b - n_both), 6) AS jaccard,
+           ROUND(n_both / n_a, 6) AS containment_a,
+           ROUND(n_both / n_b, 6) AS containment_b
+         FROM t""",
 
     "q_decontaminate" ->
       s"""WITH bsh AS (SELECT doc_id AS bench_id,

@@ -58,6 +58,35 @@ object Contamination {
       .filter(col("hits") >= minHits)
   }
 
+  /** Cross-corpus overlap statistic: exact Jaccard + per-side containment
+    * between two corpora's content-fingerprint sets — the one-number
+    * leakage check a pipeline runs between train and held-out splits (or
+    * between two crawl snapshots) before the per-document contamination
+    * pass is worth its cost.
+    *
+    * Shape: md5 content fingerprints, deduped per side map-side, tagged
+    * and unioned, then ONE fingerprint-key shuffle (groupBy fp → per-side
+    * presence) and a 1-row closing aggregate. No join, no cross product;
+    * at 100 TB both sides stream through the same combine-enabled
+    * aggregation. Counts are exact longs; the three ratios are single
+    * IEEE divides rounded 6dp — bit-identical cross-engine. */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def fps(df: DataFrame, tag: Int) =
+      df.select(md5(col(textCol)).as("fp")).distinct()
+        .select(col("fp"), lit(tag).as("__side"))
+    fps(a, 0).union(fps(b, 1))
+      .groupBy(col("fp"))
+      .agg(max(when(col("__side") === 0, 1).otherwise(0)).as("in_a"),
+        max(when(col("__side") === 1, 1).otherwise(0)).as("in_b"))
+      .agg(sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .select(col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both") / (col("n_a") + col("n_b") - col("n_both")), 6)
+          .as("jaccard"),
+        round(col("n_both") / col("n_a"), 6).as("containment_a"),
+        round(col("n_both") / col("n_b"), 6).as("containment_b"))
+  }
+
   /** The decontamination stage itself: drop every training document
     * `contaminatedPairs` flags, keep the rest intact. The flagged-id set
     * is bounded by the benchmark's shingle reach (tiny next to the

@@ -192,6 +192,117 @@ object Analytics {
       when(n >= 2, round(sqrt(vx / (n * (n - 1))), 6)))
   }
 
+  /** Running peak and drawdown per key — the classic risk analytic over a
+    * price series (how far below its historical high the series sits).
+    * `peak` = cumulative max of the raw value (no arithmetic — exact);
+    * drawdown = value/peak − 1 ≤ 0, one correctly-rounded IEEE divide then
+    * a 6dp round, so the output is bit-identical on any engine and any
+    * partitioning. Values must be positive (a non-positive price makes
+    * the ratio meaningless). One hash shuffle on `partCols`; `orderCols`
+    * must complete a total order per key. */
+  def drawdown(df: DataFrame, valueCol: String, partCols: Seq[String],
+               orderCols: Seq[String], peakOut: String = "peak",
+               out: String = "drawdown"): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(peakOut, max(col(valueCol)).over(w))
+      .withColumn(out, round(col(valueCol) / col(peakOut) - 1, 6))
+  }
+
+  /** Cumulative return per key: value / first value of the series − 1 —
+    * growth since series start, without the cross-engine hazards of a
+    * running product (Π(1+rᵢ) needs exp/ln or sequential state; the
+    * ratio-to-first form is ONE exact division of two raw inputs). Same
+    * window/shuffle shape and rounding contract as `drawdown`. */
+  def cumReturn(df: DataFrame, valueCol: String, partCols: Seq[String],
+                orderCols: Seq[String], out: String = "cum_return"): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(out,
+      round(col(valueCol) / first(col(valueCol)).over(w) - 1, 6))
+  }
+
+  /** OHLCV + VWAP bar resampling: a tick-level series → one bar per
+    * (key, bucket) — the finance feed's canonical downsample (reference
+    * consumes daily bars; see /root/reference/etl.py stock surface).
+    *
+    * open/close are the first/last price in (ts, tie) order via
+    * `min_by`/`max_by` over a struct ordering — ONE partial-aggregable
+    * hash aggregate, so a 100 TB tick table resamples with a single
+    * combine-enabled shuffle on the bar key and NO window sort (the
+    * window formulation would sort every partition just to pick two
+    * endpoints). high/low are plain extrema; volume is an exact long
+    * sum; vwap = Σ(price·qty)/Σqty with decimal-exact sums (products
+    * fit DECIMAL(38,12)) and one closing double divide, 6dp-rounded —
+    * bit-identical cross-engine. `tie` must make (ts, tie) a total
+    * order within a bar. */
+  def ohlcBars(df: DataFrame, keyCols: Seq[Column], bucket: Column,
+               ts: Column, tie: Column, price: Column, qty: Column,
+               bucketName: String = "bar"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val ord = struct(ts, tie)
+    df.groupBy((keyCols :+ bucket.as(bucketName)): _*)
+      .agg(
+        min_by(price, ord).as("open"),
+        max(price).as("high"),
+        min(price).as("low"),
+        max_by(price, ord).as("close"),
+        sum(qty).as("volume"),
+        round(
+          sum(price.cast(DecimalType(18, 6)) * qty.cast(DecimalType(18, 6)))
+            .cast(DoubleType)
+            / sum(qty.cast(DecimalType(18, 6))).cast(DoubleType), 6).as("vwap"))
+  }
+
+  /** Bollinger bands: trailing k-row mean ± `width` sample standard
+    * deviations per key, in ONE window pass — mid, upper, and lower all
+    * close over the same exact decimal moments `rollingStd` uses (Σx,
+    * Σx² as DECIMAL(18,6) partials cast to double once), so adding the
+    * bands costs no extra shuffle or sort over the plain rolling mean.
+    * Bands are NULL below two observations (std undefined); mid is
+    * defined from n = 1. */
+  def bollinger(df: DataFrame, valueCol: String, partCols: Seq[String],
+                orderCols: Seq[String], k: Int, width: Double,
+                midOut: String = "bb_mid", upOut: String = "bb_upper",
+                loOut: String = "bb_lower"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(k - 1), 0)
+    val xi = col(valueCol).cast(DecimalType(18, 6))
+    val n = count(col(valueCol)).over(w).cast(DoubleType)
+    val sx = sum(xi).over(w).cast(DoubleType)
+    val sxx = sum(xi * xi).over(w).cast(DoubleType)
+    val mean = sx / n
+    val sd = sqrt(greatest(n * sxx - sx * sx, lit(0.0)) / (n * (n - 1)))
+    df.withColumn(midOut, round(mean, 6))
+      .withColumn(upOut, when(n >= 2, round(mean + lit(width) * sd, 6)))
+      .withColumn(loOut, when(n >= 2, round(mean - lit(width) * sd, 6)))
+  }
+
+  /** Key-skew profile: per-key row counts with share-of-total and
+    * ratio-to-mean-key — the pre-flight diagnostic for a 100 TB shuffle
+    * (skew ≫ 1 keys are the ones that need `saltedSumCount`/`saltedJoin`
+    * or AQE skew handling). One combine-enabled groupBy, a broadcast
+    * 1-row totals join, then a bounded top-k that runs as
+    * TakeOrderedAndProject (per-partition k-heap + merge, never a full
+    * sort). Ties on n break on the key columns for a deterministic cut. */
+  def keySkewProfile(df: DataFrame, keys: Seq[String], topK: Int): DataFrame = {
+    require(topK >= 1, "need topK >= 1")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).cast("double").as("__total"),
+      count(lit(1)).cast("double").as("__nkeys"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("share", round(col("n") / col("__total"), 6))
+      .withColumn("skew", round(col("n") * col("__nkeys") / col("__total"), 6))
+      .drop("__total", "__nkeys")
+      .orderBy(col("n").desc +: keys.map(col): _*)
+      .limit(topK)
+  }
+
   /** Gap-based sessionization in BATCH — the oracle-verifiable twin of
     * streaming.EventStream.sessionize: a session breaks where the gap to
     * the previous event of the key exceeds `gapSec`; the session id is

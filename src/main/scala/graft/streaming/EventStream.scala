@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -106,6 +106,26 @@ object EventStream {
                            watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming OHLCV+VWAP bars — the streaming twin of
+    * `ops.Analytics.ohlcBars`, built by CALLING it on the watermarked
+    * stream with a tumbling window as the bar bucket: the shared agg
+    * (min_by/max_by endpoints, exact decimal vwap) runs as ONE streaming
+    * aggregation whose state is a single combine-form row per
+    * (symbol, window), evicted once the watermark passes window end —
+    * live ticks never accumulate raw rows. Because batch and stream
+    * execute the SAME aggregate expressions, the paths are mutually
+    * verifying (StreamingSpec pins bar-for-bar agreement). */
+  def ohlcBars(events: DataFrame, price: Column, qty: Column,
+               window_ : String = "1 hour",
+               watermark: String = "2 hours"): DataFrame =
+    graft.ops.Analytics.ohlcBars(
+        events.withWatermark("ts", watermark),
+        Seq(col("event_type")), window(col("ts"), window_), col("ts"),
+        col("event_id"), price, qty)
+      .select(col("bar.start").as("bucket"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"), col("vwap"))
 
   /** Watermarked stream-stream interval join: attach to each purchase the
     * same user's most-recent-window signup value — the streaming analogue

@@ -665,6 +665,21 @@ class ExtSpec extends SparkSpec {
       "flagged doc 1 dropped; doc 2 passes through with its columns untouched")
   }
 
+  test("corpusOverlap: exact jaccard/containment; duplicates within a side don't double-count") {
+    // a = {x, y}; b = {y, z} with z appearing twice (must count once).
+    val a = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
+    val b = Seq((3L, "y"), (4L, "z"), (5L, "z")).toDF("doc_id", "text")
+    val r = Contamination.corpusOverlap(a, b, "text").collect().head
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_both"))
+      == ((2L, 2L, 1L)))
+    assert(r.getAs[Double]("jaccard") == 0.333333)
+    assert(r.getAs[Double]("containment_a") == 0.5)
+    assert(r.getAs[Double]("containment_b") == 0.5)
+    val disjoint = Contamination.corpusOverlap(
+      a, Seq((9L, "q")).toDF("doc_id", "text"), "text").collect().head
+    assert(disjoint.getAs[Double]("jaccard") == 0.0)
+  }
+
   test("contamination df-cap keeps candidate volume linear under a hot shingle") {
     // Every doc (train AND bench) shares the boilerplate phrase — without
     // the cap the shingle join would emit |train| × |bench| pairs; with it,

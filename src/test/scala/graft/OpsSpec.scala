@@ -149,6 +149,66 @@ class OpsSpec extends SparkSpec {
     assert(out(3).contains(2.0))
   }
 
+  test("drawdown: peak is running max, drawdown ≤ 0, keys isolated") {
+    val df = Seq(("a", 1, 100.0), ("a", 2, 80.0), ("a", 3, 120.0),
+      ("a", 4, 90.0), ("b", 5, 50.0)).toDF("k", "t", "v")
+    val out = Analytics.drawdown(df, "v", Seq("k"), Seq("t"))
+      .select("t", "peak", "drawdown")
+      .as[(Int, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1) == (100.0, 0.0))
+    assert(out(2) == (100.0, -0.2))
+    assert(out(3) == (120.0, 0.0), "new high resets the peak")
+    assert(out(4) == (120.0, -0.25))
+    assert(out(5) == (50.0, 0.0), "b must not see a's peak")
+  }
+
+  test("cumReturn: ratio to the series' first value") {
+    val df = Seq(("a", 1, 100.0), ("a", 2, 110.0), ("a", 3, 90.0))
+      .toDF("k", "t", "v")
+    val out = Analytics.cumReturn(df, "v", Seq("k"), Seq("t"))
+      .select("t", "cum_return").as[(Int, Double)].collect().toMap
+    assert(out == Map(1 -> 0.0, 2 -> 0.1, 3 -> -0.1))
+  }
+
+  test("ohlcBars: tie-broken endpoints, extrema, exact volume and vwap") {
+    // Two rows share ts=1; the tie column decides open. close comes from
+    // the latest (ts, tie). vwap = (10·1 + 20·2 + 5·3)/6 = 65/6.
+    val df = Seq(
+      ("s", 1L, 2L, 10.0, 1L), ("s", 1L, 1L, 20.0, 2L), ("s", 2L, 1L, 5.0, 3L))
+      .toDF("sym", "t", "tie", "p", "q")
+    val out = Analytics.ohlcBars(df, Seq(col("sym")), lit(0).as("bar"),
+      col("t"), col("tie"), col("p"), col("q")).collect().head
+    assert(out.getAs[Double]("open") == 20.0, "tie column must decide open")
+    assert(out.getAs[Double]("high") == 20.0)
+    assert(out.getAs[Double]("low") == 5.0)
+    assert(out.getAs[Double]("close") == 5.0)
+    assert(out.getAs[Long]("volume") == 6L)
+    assert(out.getAs[Double]("vwap") == 10.833333)
+  }
+
+  test("bollinger: mid from n=1, bands null below two observations") {
+    val df = Seq(("a", 1, 2.0), ("a", 2, 4.0), ("a", 3, 6.0)).toDF("k", "t", "v")
+    val out = Analytics.bollinger(df, "v", Seq("k"), Seq("t"), 3, 2.0)
+      .select("t", "bb_mid", "bb_upper", "bb_lower")
+      .as[(Int, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1) == (Some(2.0), None, None), "one row: mid only")
+    // {2,4}: mean 3, sample std √2 → 3 ± 2√2
+    assert(out(2) == (Some(3.0), Some(5.828427), Some(0.171573)))
+    // {2,4,6}: mean 4, sample std 2 → 8 / 0
+    assert(out(3) == (Some(4.0), Some(8.0), Some(0.0)))
+  }
+
+  test("keySkewProfile: share and ratio-to-mean, deterministic top-k cut") {
+    val rows = Seq.fill(6)("a") ++ Seq.fill(2)("c") ++ Seq.fill(2)("b")
+    val out = Analytics.keySkewProfile(rows.toDF("k"), Seq("k"), 2)
+      .select("k", "n", "share", "skew")
+      .as[(String, Long, Double, Double)].collect()
+    assert(out.length == 2)
+    assert(out(0) == (("a", 6L, 0.6, 1.8)), "6 of 10 rows, 3 keys → skew 1.8")
+    assert(out(1) == (("b", 2L, 0.2, 0.6)), "n-tie must break on the key")
+  }
+
   test("asOfJoinBackward returns the matched row's NULL, not an older value") {
     // user 1: signup value 5.0 at t=10, then a NULL value at t=20.
     // A purchase at t=25 matches the t=20 row → must yield NULL (true

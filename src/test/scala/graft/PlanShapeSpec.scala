@@ -156,6 +156,24 @@ class PlanShapeSpec extends SparkSpec {
       s"binning must not fall back to an ntile window (global sort in one task):\n$plan")
   }
 
+  test("q_ohlc_bars is one combine-enabled aggregate — no window sort") {
+    val plan = executedPlan("q_ohlc_bars")
+    assert(!plan.contains("Window"),
+      s"bar endpoints must come from min_by/max_by in the agg, not a per-bar window sort:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("HashAggregate"),
+      s"expected a partial-aggregable hash agg:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"tick resampling must shuffle exactly once, on the bar key:\n$plan")
+  }
+
+  test("q_key_skew: bounded top-k is a heap, never a full sort") {
+    val plan = executedPlan("q_key_skew")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected per-partition k-heap + merge:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the 1-row totals must broadcast:\n$plan")
+  }
+
   test("q_dedup_incremental reads the batch through its cache (exact-pass survivors cached)") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("q_dedup_incremental")(spark, dir)

@@ -49,6 +49,43 @@ class StreamingSpec extends SparkSpec {
     assert(got.forall { case (_, n, s) => n == 1L && s == 2.0 })
   }
 
+  test("streaming ohlcBars agrees bar-for-bar with the batch aggregate") {
+    implicit val sc = spark.sqlContext
+    // Two symbols, two hour-bars; ids 1/2 share a timestamp so the
+    // event_id tie decides the bar's open in both paths.
+    val rows = Seq(
+      ev(2, "2024-01-01 00:10:00", 2, "a", 30.0),
+      ev(1, "2024-01-01 00:10:00", 1, "a", 10.0),
+      ev(3, "2024-01-01 00:40:00", 3, "a", 20.0),
+      ev(4, "2024-01-01 01:10:00", 1, "a", 40.0),
+      ev(5, "2024-01-01 00:20:00", 2, "b", 5.0))
+    val mem = MemoryStream[Event]
+    mem.addData(rows: _*)
+    val q = EventStream.ohlcBars(mem.toDF(),
+        col("value"), col("user_id") + 1, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode(OutputMode.Complete()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ohlc_out")
+      .orderBy("event_type", "bucket").collect().toSeq
+    val batch = graft.ops.Analytics.ohlcBars(rows.toDF(),
+        Seq(col("event_type")), date_trunc("hour", col("ts")).as("bucket"),
+        col("ts"), col("event_id"), col("value"), col("user_id") + 1,
+        bucketName = "bucket")
+      .select("bucket", "event_type", "open", "high", "low", "close",
+        "volume", "vwap")
+      .orderBy("event_type", "bucket").collect().toSeq
+    assert(got == batch, s"stream $got != batch $batch")
+    // Spot-check the tie-broken endpoint: symbol a, first bar opens at
+    // the LOWER event_id's price despite equal timestamps.
+    val aBar = spark.table("ohlc_out")
+      .filter(col("event_type") === "a" && hour(col("bucket")) === 0)
+      .collect().head
+    assert(aBar.getAs[Double]("open") == 10.0)
+    assert(aBar.getAs[Double]("close") == 20.0)
+    assert(aBar.getAs[Long]("volume") == 2 + 3 + 4)
+  }
+
   test("dedupWithinWatermark drops in-window duplicates, keeps distinct keys") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
