@@ -118,20 +118,51 @@ object Analytics {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Trailing-frame window moments as the DIFFERENCE of two growing
+    * cumulative frames — the O(n) form of a k-row sliding sum.
+    *
+    * Spark's WindowExec evaluates a fixed-lower-bound frame
+    * (`UNBOUNDED PRECEDING .. x`) incrementally, one accumulate per row,
+    * but re-aggregates a both-bounds-moving sliding frame
+    * (`k PRECEDING .. CURRENT ROW`) from scratch at EVERY row — O(n·k)
+    * decimal adds per partition, and at k = 30 that was the bench's
+    * slowest query (q_rolling_corr 4.9 s isolated; 5 moments × 30-row
+    * re-aggregation of DECIMAL(38,12) products). The subtraction form
+    * `cum[start..t] − cum[start..t−k]` runs both frames incrementally
+    * and is bit-identical: decimal arithmetic is exact, so the
+    * difference of the running sums IS the frame sum (no float
+    * cancellation — the reason this classic trick is usually UNSAFE on
+    * doubles and safe here). Both frames share one Window node (same
+    * partition/order spec), so the plan keeps a single shuffle + sort.
+    *
+    * Null contract: `sums` yields NULL when no non-null input exists in
+    * [start..t] (matching the frame-sum's NULL on all-null frames needs
+    * the caller's n-guard — an all-null FRAME after earlier values gives
+    * 0, not NULL, which every consumer masks with its `count ≥ x` gate);
+    * `counts` never yields NULL (COUNT of an empty frame is 0). */
+  private def frameMoments(w0: org.apache.spark.sql.expressions.WindowSpec,
+                           k: Int): (Column => Column, Column => Column) = {
+    val wCum = w0.rowsBetween(Window.unboundedPreceding, 0)
+    val wPrev = w0.rowsBetween(Window.unboundedPreceding, -k)
+    (c => sum(c).over(wCum) - coalesce(sum(c).over(wPrev), lit(0)),
+      c => count(c).over(wCum) - count(c).over(wPrev))
+  }
+
   /** Trailing k-row rolling mean per key — the frame-window analytic
     * (beyond the reference's lag-1 surface). Decimal-exact running sum /
     * count, so the value is reproducible under any partitioning. One
     * shuffle on `partCols`; `orderCols` must be a total order within the
-    * key for determinism. */
+    * key for determinism. O(n) via `frameMoments`; the n-valid guard
+    * keeps the all-null-frame NULL the plain frame sum produced. */
   def rollingMean(df: DataFrame, valueCol: String, partCols: Seq[String],
                   orderCols: Seq[String], k: Int, out: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val w = Window.partitionBy(partCols.map(col): _*)
+    val w0 = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-      .rowsBetween(-(k - 1), 0)
-    df.withColumn(out, round(
-      sum(col(valueCol).cast(DecimalType(25, 6))).over(w).cast(DoubleType) /
-        count(lit(1)).over(w), 6))
+    val (fsum, fcnt) = frameMoments(w0, k)
+    val sx = fsum(col(valueCol).cast(DecimalType(25, 6))).cast(DoubleType)
+    df.withColumn(out, when(fcnt(col(valueCol)) >= 1,
+      round(sx / fcnt(lit(1)), 6)))
   }
 
   /** Trailing-window Pearson correlation of two clean-decimal series per
@@ -154,14 +185,14 @@ object Analytics {
                   partCols: Seq[String], orderCols: Seq[String],
                   k: Int, out: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val w = Window.partitionBy(partCols.map(col): _*)
+    val w0 = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-      .rowsBetween(-(k - 1), 0)
+    val (fsum, fcnt) = frameMoments(w0, k)
     val valid = col(xCol).isNotNull && col(yCol).isNotNull
     val xi = when(valid, col(xCol)).cast(DecimalType(18, 6))
     val yi = when(valid, col(yCol)).cast(DecimalType(18, 6))
-    def m(c: Column) = sum(c).over(w).cast(DoubleType)
-    val n = count(when(valid, lit(1))).over(w).cast(DoubleType)
+    def m(c: Column) = fsum(c).cast(DoubleType)
+    val n = fcnt(when(valid, lit(1))).cast(DoubleType)
     val (sx, sy) = (m(xi), m(yi))
     val (sxy, sxx, syy) = (m(xi * yi), m(xi * xi), m(yi * yi))
     val cov = n * sxy - sx * sy
@@ -180,13 +211,13 @@ object Analytics {
   def rollingStd(df: DataFrame, valueCol: String, partCols: Seq[String],
                  orderCols: Seq[String], k: Int, out: String): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val w = Window.partitionBy(partCols.map(col): _*)
+    val w0 = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-      .rowsBetween(-(k - 1), 0)
+    val (fsum, fcnt) = frameMoments(w0, k)
     val xi = col(valueCol).cast(DecimalType(18, 6))
-    val n = count(col(valueCol)).over(w).cast(DoubleType)
-    val sx = sum(xi).over(w).cast(DoubleType)
-    val sxx = sum(xi * xi).over(w).cast(DoubleType)
+    val n = fcnt(col(valueCol)).cast(DoubleType)
+    val sx = fsum(xi).cast(DoubleType)
+    val sxx = fsum(xi * xi).cast(DoubleType)
     val vx = greatest(n * sxx - sx * sx, lit(0.0))
     df.withColumn(out,
       when(n >= 2, round(sqrt(vx / (n * (n - 1))), 6)))
@@ -268,16 +299,16 @@ object Analytics {
                 midOut: String = "bb_mid", upOut: String = "bb_upper",
                 loOut: String = "bb_lower"): DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
-    val w = Window.partitionBy(partCols.map(col): _*)
+    val w0 = Window.partitionBy(partCols.map(col): _*)
       .orderBy(orderCols.map(col): _*)
-      .rowsBetween(-(k - 1), 0)
+    val (fsum, fcnt) = frameMoments(w0, k)
     val xi = col(valueCol).cast(DecimalType(18, 6))
-    val n = count(col(valueCol)).over(w).cast(DoubleType)
-    val sx = sum(xi).over(w).cast(DoubleType)
-    val sxx = sum(xi * xi).over(w).cast(DoubleType)
+    val n = fcnt(col(valueCol)).cast(DoubleType)
+    val sx = fsum(xi).cast(DoubleType)
+    val sxx = fsum(xi * xi).cast(DoubleType)
     val mean = sx / n
     val sd = sqrt(greatest(n * sxx - sx * sx, lit(0.0)) / (n * (n - 1)))
-    df.withColumn(midOut, round(mean, 6))
+    df.withColumn(midOut, when(n >= 1, round(mean, 6)))
       .withColumn(upOut, when(n >= 2, round(mean + lit(width) * sd, 6)))
       .withColumn(loOut, when(n >= 2, round(mean - lit(width) * sd, 6)))
   }
