@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext._
-import graft.ops.Analytics
+import graft.ops.{Analytics, Checksum}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -136,6 +136,40 @@ object ExtQueries {
           BollingerWindow, 2.0)
         .select("event_id", "event_type", "bb_mid", "bb_upper", "bb_lower")
         .orderBy("event_id")
+    }),
+
+    "q_rsi" -> ((s, dir) => {
+      // Cutler's 14-diff RSI per event type — the bounded-window
+      // momentum oscillator; exact decimal gain/loss sums via the O(n)
+      // growing-frame form, one closing double expression.
+      Analytics.rsi(
+          read(s, dir, "events").select("event_id", "event_type", "ts", "value"),
+          "value", Seq("event_type"), Seq("ts", "event_id"), RsiWindow)
+        .select("event_id", "event_type", "rsi")
+        .orderBy("event_id")
+    }),
+
+    "q_partition_diff" -> ((s, dir) => {
+      // Partition-level snapshot diff: v2 drops one partition, edits the
+      // 'R' partitions' qty, appends a synthetic partition — the diff
+      // reports exactly those keys as removed/changed/added from two
+      // aggregate scans + a tiny summary join (never a row compare).
+      val base = read(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast(DecimalType(19, 2)).as("qty"))
+      val edited = base
+        .filter(!(col("l_returnflag") === "A" && col("l_linestatus") === "F"))
+        .withColumn("qty", when(col("l_returnflag") === "R",
+          col("qty") + 1).otherwise(col("qty")).cast(DecimalType(19, 2)))
+      val extra = s.range(5).select(
+        col("id").as("l_orderkey"), lit(1).cast(IntegerType).as("l_linenumber"),
+        lit("Z").as("l_returnflag"), lit("Z").as("l_linestatus"),
+        lit(1).cast(DecimalType(19, 2)).as("qty"))
+      Checksum.diffPartitions(base, edited.unionByName(extra),
+          Seq("l_returnflag", "l_linestatus"),
+          Seq("l_orderkey", "l_linenumber", "qty"))
+        .orderBy("l_returnflag", "l_linestatus")
     }),
 
     "q_key_skew" -> ((s, dir) => {
@@ -964,6 +998,7 @@ object ExtQueries {
   private val ParaChunkWords = 8
   private val RollCorrWindow = 30
   private val BollingerWindow = 20
+  private val RsiWindow = 14
   private val SkewTopK = 25
   private val ChunkBudget = 64
   // Gopher repetition gram orders: top-gram char fraction is most
@@ -1365,6 +1400,64 @@ object ExtQueries {
             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
               ROWS BETWEEN ${BollingerWindow - 1} PRECEDING AND CURRENT ROW))
           ORDER BY event_id""",
+
+    "q_rsi" ->
+      s"""WITH d AS (SELECT event_id, event_type, ts,
+            CAST(value - LAG(value) OVER
+              (PARTITION BY event_type ORDER BY ts, event_id)
+              AS DECIMAL(18,6)) AS diff
+          FROM events),
+          m AS (SELECT event_id, event_type,
+            SUM(CASE WHEN diff > 0 THEN diff
+                ELSE CAST(0 AS DECIMAL(18,6)) END) OVER w AS sg,
+            SUM(CASE WHEN diff < 0 THEN -diff
+                ELSE CAST(0 AS DECIMAL(18,6)) END) OVER w AS sl
+          FROM d
+          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+            ROWS BETWEEN ${RsiWindow - 1} PRECEDING AND CURRENT ROW))
+          SELECT event_id, event_type,
+            CASE WHEN sg + sl > 0
+              THEN ROUND(100 * CAST(sg AS DOUBLE) / CAST(sg + sl AS DOUBLE), 6)
+            END AS rsi
+          FROM m ORDER BY event_id""",
+
+    // Same row-hash render as q_table_checksum, grouped per partition
+    // key on each snapshot, then a summary-level full outer join.
+    "q_partition_diff" ->
+      """WITH base AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+             l_linestatus, CAST(l_quantity AS DECIMAL(19,2)) AS qty
+           FROM lineitem),
+         v2 AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+             CAST(CASE WHEN l_returnflag = 'R' THEN qty + 1 ELSE qty END
+               AS DECIMAL(19,2)) AS qty
+           FROM base WHERE NOT (l_returnflag = 'A' AND l_linestatus = 'F')
+           UNION ALL
+           SELECT i, 1, 'Z', 'Z', CAST(1 AS DECIMAL(19,2)) FROM range(5) t(i)),
+         ca AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n_a,
+             CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
+                 COALESCE(CAST(l_orderkey AS VARCHAR), chr(2)),
+                 COALESCE(CAST(l_linenumber AS VARCHAR), chr(2)),
+                 COALESCE(CAST(qty AS VARCHAR), chr(2)))), 1, 12))
+               AS BIGINT)) AS DECIMAL(38,0)) AS c
+           FROM base GROUP BY 1, 2),
+         cb AS (SELECT l_returnflag, l_linestatus, COUNT(*) AS n_b,
+             CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
+                 COALESCE(CAST(l_orderkey AS VARCHAR), chr(2)),
+                 COALESCE(CAST(l_linenumber AS VARCHAR), chr(2)),
+                 COALESCE(CAST(qty AS VARCHAR), chr(2)))), 1, 12))
+               AS BIGINT)) AS DECIMAL(38,0)) AS c
+           FROM v2 GROUP BY 1, 2),
+         j AS (SELECT COALESCE(ca.l_returnflag, cb.l_returnflag) AS l_returnflag,
+             COALESCE(ca.l_linestatus, cb.l_linestatus) AS l_linestatus,
+             ca.n_a AS n_a, cb.n_b AS n_b,
+             CASE WHEN cb.c IS NULL THEN 'removed'
+                  WHEN ca.c IS NULL THEN 'added'
+                  WHEN ca.c <> cb.c THEN 'changed' END AS status
+           FROM ca FULL OUTER JOIN cb
+             ON ca.l_returnflag = cb.l_returnflag
+            AND ca.l_linestatus = cb.l_linestatus)
+         SELECT * FROM j WHERE status IS NOT NULL
+         ORDER BY l_returnflag, l_linestatus""",
 
     "q_key_skew" ->
       s"""WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),

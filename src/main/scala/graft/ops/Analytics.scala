@@ -313,6 +313,37 @@ object Analytics {
       .withColumn(loOut, when(n >= 2, round(mean - lit(width) * sd, 6)))
   }
 
+  /** Relative Strength Index (Cutler's SMA form) over a trailing k-diff
+    * window per key: RSI = 100 · ΣG / (ΣG + ΣL), where G/L are the
+    * positive/negative parts of the one-row price diff — algebraically
+    * 100 − 100/(1 + avgG/avgL) with the counts cancelled, which avoids
+    * a division by zero when the window has no losses. (Wilder's
+    * original uses a recursive smoothed average — sequential state,
+    * not window-expressible; Cutler's SMA variant exists precisely for
+    * this and is the standard batch form.) Diffs are cast to
+    * DECIMAL(18,6) so the two frame sums are exact; the close is one
+    * double expression, 6dp-rounded. NULL until the window holds at
+    * least one diff with movement (ΣG + ΣL > 0 exact-decimal test) —
+    * each key's first row has no diff and never contributes. Two
+    * Window nodes (the diff lag, then the O(n) growing-frame moments)
+    * over one partitioning: a single shuffle + sort. */
+  def rsi(df: DataFrame, valueCol: String, partCols: Seq[String],
+          orderCols: Seq[String], k: Int, out: String = "rsi"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w0 = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val (fsum, _) = frameMoments(w0, k)
+    val zero = lit(0).cast(DecimalType(18, 6))
+    val withDiff = df.withColumn("__diff",
+      (col(valueCol) - lag(col(valueCol), 1).over(w0)).cast(DecimalType(18, 6)))
+    val sg = fsum(when(col("__diff") > 0, col("__diff")).otherwise(zero))
+    val sl = fsum(when(col("__diff") < 0, -col("__diff")).otherwise(zero))
+    withDiff
+      .withColumn(out, when(sg + sl > 0,
+        round(lit(100.0) * sg.cast(DoubleType) / (sg + sl).cast(DoubleType), 6)))
+      .drop("__diff")
+  }
+
   /** Key-skew profile: per-key row counts with share-of-total and
     * ratio-to-mean-key — the pre-flight diagnostic for a 100 TB shuffle
     * (skew ≫ 1 keys are the ones that need `saltedSumCount`/`saltedJoin`

@@ -27,6 +27,14 @@ object Checksum {
       .cast("long")
   }
 
+  private def rejectFp(df: DataFrame, cols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val fp = cols.filter(c => df.schema(c).dataType == DoubleType ||
+      df.schema(c).dataType == FloatType)
+    require(fp.isEmpty,
+      s"float/double render differs across engines — cast ${fp.mkString(", ")} to DECIMAL first")
+  }
+
   /** (n_rows, checksum) in one aggregate pass.
     *
     * Float/double columns are REJECTED: their string renders are not
@@ -35,11 +43,7 @@ object Checksum {
     * perfect copy — cast them to an explicit DECIMAL(p, s) first, whose
     * render is canonical everywhere. */
   def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, FloatType}
-    val fp = cols.filter(c => df.schema(c).dataType == DoubleType ||
-      df.schema(c).dataType == FloatType)
-    require(fp.isEmpty,
-      s"float/double render differs across engines — cast ${fp.mkString(", ")} to DECIMAL first")
+    rejectFp(df, cols)
     // The sum rides as DECIMAL(38,0) (exact; no overflow below ~10^26 rows)
     // but is EMITTED as its canonical digit string: wide-decimal readers
     // disagree on the in-memory type (arrow Decimal vs float64) and a
@@ -48,5 +52,44 @@ object Checksum {
       count(lit(1)).as("n_rows"),
       sum(rowHash(cols.map(col)).cast(DecimalType(38, 0)))
         .cast("string").as("checksum"))
+  }
+
+  /** Per-partition-key checksums — the incremental-integrity unit at
+    * 100 TB: one combine-enabled groupBy instead of one global agg, so a
+    * migration validates partition by partition and a re-check after an
+    * incremental load touches only summaries. Same row hash, same
+    * float/double rejection, same canonical digit-string emission as
+    * `tableChecksum`. */
+  def partitionChecksums(df: DataFrame, partCols: Seq[String],
+                         cols: Seq[String]): DataFrame = {
+    rejectFp(df, cols)
+    df.groupBy(partCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(rowHash(cols.map(col)).cast(DecimalType(38, 0)))
+          .cast("string").as("checksum"))
+  }
+
+  /** Partition-level diff of two table versions: which partition keys
+    * were `added`, `removed`, or `changed` between snapshot `a` and
+    * snapshot `b` — identical partitions are absent from the output.
+    * Cost: one aggregate scan per side, then a full-outer join of the
+    * TINY per-partition summaries (|distinct partition keys| rows) —
+    * never a row-level compare, so diffing two 100 TB snapshots moves
+    * two scans and kilobytes. The checksum is order-insensitive, so
+    * a pure re-shard reports unchanged. */
+  def diffPartitions(a: DataFrame, b: DataFrame, partCols: Seq[String],
+                     cols: Seq[String]): DataFrame = {
+    val pa = partitionChecksums(a, partCols, cols)
+      .withColumnRenamed("n_rows", "n_a").withColumnRenamed("checksum", "__ca")
+    val pb = partitionChecksums(b, partCols, cols)
+      .withColumnRenamed("n_rows", "n_b").withColumnRenamed("checksum", "__cb")
+    pa.join(pb, partCols, "full_outer")
+      .withColumn("status",
+        when(col("__cb").isNull, "removed")
+          .when(col("__ca").isNull, "added")
+          .when(col("__ca") =!= col("__cb"), "changed"))
+      .filter(col("status").isNotNull)
+      .select(partCols.map(col) ++ Seq(col("n_a"), col("n_b"), col("status")): _*)
   }
 }

@@ -199,6 +199,40 @@ class OpsSpec extends SparkSpec {
     assert(out(3) == (Some(4.0), Some(8.0), Some(0.0)))
   }
 
+  test("rsi: golden gains/losses, NULL before any movement, all-gain is 100") {
+    // diffs: [null, +1, -1, +2]; k=3 window of diffs at t4 = {+1, -1, +2}
+    // → G=3, L=1 → RSI = 100·3/4 = 75. At t2 only +1 → 100. t1: no diff.
+    val df = Seq(("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 1.0), ("a", 4, 3.0))
+      .toDF("k", "t", "v")
+    val out = Analytics.rsi(df, "v", Seq("k"), Seq("t"), 3)
+      .select("t", "rsi").as[(Int, Option[Double])].collect().toMap
+    assert(out(1).isEmpty, "first row has no diff")
+    assert(out(2).contains(100.0))
+    assert(out(3).contains(50.0), "+1/-1 → G=L → 50")
+    assert(out(4).contains(75.0))
+  }
+
+  test("rsi: flat series stays NULL (no movement, never 0/0)") {
+    val df = Seq(("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 5.0)).toDF("k", "t", "v")
+    val out = Analytics.rsi(df, "v", Seq("k"), Seq("t"), 3)
+      .select("rsi").collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
+  test("diffPartitions reports added/removed/changed only; re-shard is unchanged") {
+    def dec(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("v", col("v").cast(DecimalType(18, 2)))
+    val a = dec(Seq(("p1", 1L, 1.0), ("p1", 2L, 2.0), ("p2", 3L, 3.0),
+      ("p3", 4L, 4.0)).toDF("p", "k", "v"))
+    // b: p1 edited, p2 dropped, p4 added, p3 identical (but resharded).
+    val b = dec(Seq(("p1", 1L, 9.0), ("p1", 2L, 2.0), ("p4", 5L, 5.0),
+      ("p3", 4L, 4.0)).toDF("p", "k", "v")).repartition(7)
+    val got = Checksum.diffPartitions(a, b, Seq("p"), Seq("k", "v"))
+      .select("p", "status").as[(String, String)].collect().toMap
+    assert(got == Map("p1" -> "changed", "p2" -> "removed", "p4" -> "added"),
+      "p3 is identical content on a different sharding → absent")
+  }
+
   test("keySkewProfile: share and ratio-to-mean, deterministic top-k cut") {
     val rows = Seq.fill(6)("a") ++ Seq.fill(2)("c") ++ Seq.fill(2)("b")
     val out = Analytics.keySkewProfile(rows.toDF("k"), Seq("k"), 2)
