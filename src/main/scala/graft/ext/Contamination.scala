@@ -64,16 +64,18 @@ object Contamination {
     * between two crawl snapshots) before the per-document contamination
     * pass is worth its cost.
     *
-    * Shape: md5 content fingerprints, deduped per side map-side, tagged
-    * and unioned, then ONE fingerprint-key shuffle (groupBy fp → per-side
-    * presence) and a 1-row closing aggregate. No join, no cross product;
-    * at 100 TB both sides stream through the same combine-enabled
-    * aggregation. Counts are exact longs; the three ratios are single
-    * IEEE divides rounded 6dp — bit-identical cross-engine. */
+    * Shape: md5 content fingerprints tagged per side and unioned, then
+    * ONE fingerprint-key shuffle (groupBy fp → per-side presence via max,
+    * which also absorbs within-side duplicates — an explicit per-side
+    * distinct would add a shuffle per side for nothing; the partial max
+    * is the same map-side dedup) and a 1-row closing aggregate. No join,
+    * no cross product; at 100 TB both sides stream through the same
+    * combine-enabled aggregation. Counts are exact longs; the three
+    * ratios are single IEEE divides rounded 6dp — bit-identical
+    * cross-engine. */
   def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
     def fps(df: DataFrame, tag: Int) =
-      df.select(md5(col(textCol)).as("fp")).distinct()
-        .select(col("fp"), lit(tag).as("__side"))
+      df.select(md5(col(textCol)).as("fp"), lit(tag).as("__side"))
     fps(a, 0).union(fps(b, 1))
       .groupBy(col("fp"))
       .agg(max(when(col("__side") === 0, 1).otherwise(0)).as("in_a"),

@@ -174,6 +174,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the 1-row totals must broadcast:\n$plan")
   }
 
+  test("q_corpus_overlap: one fingerprint shuffle, no join, no per-side distinct") {
+    val plan = executedPlan("q_corpus_overlap")
+    assert(!plan.contains("Join"), s"presence flags come from the agg, never a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"per-side distincts would add fp shuffles — the groupBy's partial max is the dedup:\n$plan")
+  }
+
   test("q_dedup_incremental reads the batch through its cache (exact-pass survivors cached)") {
     spark.catalog.clearCache()
     val df = SparkEntry.queries("q_dedup_incremental")(spark, dir)
