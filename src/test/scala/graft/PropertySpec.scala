@@ -35,6 +35,78 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("ohlcBars: endpoints are real prices, bounds hold, volume partitions — random ticks") {
+    trials(5) { rnd =>
+      val rows = (0 until rnd.nextInt(60) + 20).map { i =>
+        (Seq("x", "y")(rnd.nextInt(2)), rnd.nextInt(5).toLong, i.toLong,
+          math.rint(rnd.nextDouble() * 1000) / 100 + 1, rnd.nextInt(9).toLong + 1)
+      }
+      val df = rows.toDF("sym", "bar", "tie", "p", "q")
+      val bars = Analytics.ohlcBars(df, Seq(col("sym")), col("bar"),
+          col("bar"), col("tie"), col("p"), col("q"))
+        .collect()
+      val byKey = rows.groupBy(r => (r._1, r._2))
+      bars.foreach { b =>
+        val grp = byKey((b.getAs[String]("sym"), b.getAs[Long]("bar")))
+        val prices = grp.map(_._4)
+        assert(b.getAs[Double]("high") == prices.max)
+        assert(b.getAs[Double]("low") == prices.min)
+        assert(b.getAs[Double]("open") == grp.minBy(_._3)._4, "open = price at min tie")
+        assert(b.getAs[Double]("close") == grp.maxBy(_._3)._4)
+        assert(b.getAs[Long]("volume") == grp.map(_._5).sum)
+        val v = b.getAs[Double]("vwap")
+        assert(v >= prices.min - 1e-6 && v <= prices.max + 1e-6,
+          "vwap is a convex combination of prices")
+      }
+      assert(bars.map(_.getAs[Long]("volume")).sum == rows.map(_._5).sum,
+        "bars partition the ticks: total volume preserved")
+    }
+  }
+
+  test("drawdown in [-1, 0] and 0 at each running high; rsi in [0, 100] — random series") {
+    trials(5) { rnd =>
+      val rows = for (k <- Seq("a", "b"); t <- 1 to rnd.nextInt(40) + 10)
+        yield (k, t, math.rint(rnd.nextDouble() * 10000) / 100 + 1)
+      val df = rows.toDF("k", "t", "v")
+      val dd = Analytics.drawdown(df, "v", Seq("k"), Seq("t"))
+        .select("k", "t", "v", "peak", "drawdown")
+        .as[(String, Int, Double, Double, Double)].collect()
+      dd.foreach { case (_, _, v, peak, d) =>
+        assert(d <= 0.0 && d >= -1.0, s"drawdown $d out of [-1, 0]")
+        assert(v <= peak + 1e-9)
+        if (v == peak) assert(d == 0.0, "at the running high, drawdown is 0")
+      }
+      dd.groupBy(_._1).foreach { case (_, s) =>
+        val sorted = s.sortBy(_._2)
+        assert(sorted.map(_._4).toSeq ==
+          sorted.map(_._4).scanLeft(0.0)(math.max).tail.toSeq,
+          "peak IS the running max")
+      }
+      val rsis = Analytics.rsi(df, "v", Seq("k"), Seq("t"), 5)
+        .select("rsi").as[Option[Double]].collect().flatten
+      rsis.foreach(r => assert(r >= 0.0 && r <= 100.0, s"rsi $r out of [0, 100]"))
+    }
+  }
+
+  test("diffPartitions: no edit → empty; any single-row edit → exactly that partition") {
+    trials(5) { rnd =>
+      val rows = (0 until rnd.nextInt(30) + 10)
+        .map(i => (s"p${i % 4}", i.toLong, math.rint(rnd.nextDouble() * 100) / 100))
+      def dec(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("v", col("v").cast(DecimalType(18, 2)))
+      val a = dec(rows.toDF("p", "k", "v"))
+      assert(Checksum.diffPartitions(a, dec(rows.reverse.toDF("p", "k", "v")),
+        Seq("p"), Seq("k", "v")).isEmpty, "row order must not register as change")
+      val victim = rows(rnd.nextInt(rows.size))
+      val edited = rows.map(r => if (r == victim) r.copy(_3 = r._3 + 1) else r)
+      val got = Checksum.diffPartitions(a, dec(edited.toDF("p", "k", "v")),
+        Seq("p"), Seq("k", "v")).select("p", "status")
+        .as[(String, String)].collect().toSeq
+      assert(got == Seq((victim._1, "changed")),
+        s"exactly the victim's partition flags: $got")
+    }
+  }
+
   test("pctChange inverts: cur == lag * (1 + delta); first-in-key delta is 0") {
     trials(5) { rnd =>
       val rows = for {
