@@ -402,6 +402,22 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_char_stats" -> ((s, dir) => {
+      // Character-level junk signals: Shannon entropy of the char
+      // distribution + non-printable share. Every 7th doc gets planted
+      // non-ASCII (the corpus is pure-ASCII word soup, so the ratio
+      // would otherwise be identically 0) — same planted-fixture
+      // pattern as q_redact_pii. Map-only HOFs, zero shuffles.
+      val planted = read(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" \u00e9\u00fc\u00f1")))
+          .otherwise(col("text")))
+      planted.select(col("doc_id"),
+          TextAnalysis.charEntropy(col("text")).as("entropy"),
+          TextAnalysis.nonPrintableRatio(col("text")).as("non_printable"))
+        .orderBy("doc_id")
+    }),
+
     "q_token_count" -> ((s, dir) => {
       read(s, dir, "documents").select(col("doc_id"),
           TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
@@ -1577,6 +1593,31 @@ object ExtQueries {
           SELECT doc_id, CASE $pick ELSE 'und' END AS pred_lang
           FROM b ORDER BY doc_id"""
     },
+
+    // Entropy terms: 6dp-rounded p·log2(p) per char, summed as exact
+    // DECIMAL — order-free, so the GROUP BY form here equals the Spark
+    // side's in-array fold term for term.
+    "q_char_stats" ->
+      """WITH p AS (SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' \u00e9\u00fc\u00f1'
+               ELSE text END AS text
+           FROM documents),
+         c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM p),
+         h AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+         e AS (SELECT h.doc_id,
+             CAST(-SUM(CAST(ROUND(
+               (CAST(cnt AS DOUBLE) / length(p.text))
+                 * log2(CAST(cnt AS DOUBLE) / length(p.text)), 6)
+               AS DECIMAL(18,6))) AS DOUBLE) AS entropy
+           FROM h JOIN p ON h.doc_id = p.doc_id GROUP BY 1)
+         SELECT p.doc_id,
+           CASE WHEN length(p.text) > 0 THEN e.entropy END AS entropy,
+           CASE WHEN length(p.text) > 0 THEN ROUND(
+             CAST(length(p.text) - length(regexp_replace(p.text,
+               '[^\x20-\x7E]', '', 'g')) AS DOUBLE) / length(p.text), 6)
+           END AS non_printable
+         FROM p LEFT JOIN e ON p.doc_id = e.doc_id
+         ORDER BY p.doc_id""",
 
     "q_quality_score" -> {
       val en = MarkerSql("en")

@@ -65,6 +65,39 @@ object TextAnalysis {
   def qualityScore(text: Column): Column =
     least(lit(1.0), nWords(text).cast("double") / 100) * (lit(1.0) - digitRatio(text))
 
+  /** Shannon entropy (bits/char) of the document's character
+    * distribution — the junk detector past word-level heuristics:
+    * random/encrypted blobs score near log2(alphabet), single-char runs
+    * score 0, natural language sits in between. Map-only higher-order
+    * functions, zero shuffles.
+    *
+    * Numeric contract: each character's term p·log2(p) is 6dp-rounded
+    * (the A-ES convention — absorbs the engines' last-ulp log()
+    * disagreement) and the terms are summed as EXACT decimals, so the
+    * total is independent of character iteration order — the oracle
+    * sums the same terms from a GROUP BY in whatever order it likes.
+    * NULL for empty text. */
+  def charEntropy(text: Column): Column = {
+    import org.apache.spark.sql.types.DecimalType
+    val chars = split(text, "")
+    val n = size(chars).cast(DoubleType)
+    val terms = transform(array_distinct(chars), ch => {
+      val p = size(filter(chars, x => x === ch)).cast(DoubleType) / n
+      round(p * log2(p), 6).cast(DecimalType(18, 6))
+    })
+    when(length(text) > 0,
+      (-aggregate(terms, lit(0).cast(DecimalType(28, 6)),
+        (acc, t) => (acc + t).cast(DecimalType(28, 6)))).cast(DoubleType))
+  }
+
+  /** Share of characters outside printable ASCII (0x20–0x7E) — the
+    * mojibake / binary-junk companion signal to `charEntropy`. NULL for
+    * empty text. */
+  def nonPrintableRatio(text: Column): Column =
+    when(length(text) > 0, round(
+      (length(text) - length(regexp_replace(text, "[^\\x20-\\x7E]", "")))
+        .cast(DoubleType) / length(text), 6))
+
   /** Whitespace token count + a BPE-ish subword estimate: alpha runs,
     * digit runs, and residual symbols each count as one token. */
   def tokenCountWs(text: Column): Column = nWords(text)

@@ -665,6 +665,28 @@ class ExtSpec extends SparkSpec {
       "flagged doc 1 dropped; doc 2 passes through with its columns untouched")
   }
 
+  test("charEntropy/nonPrintableRatio: goldens, zero-entropy runs, empty text NULL") {
+    val df = Seq(
+      (1L, "aabb"),          // two chars, p=1/2 each → 1 bit
+      (2L, "aaaa"),          // single-char run → 0
+      (3L, "abcd"),          // uniform over 4 → 2 bits
+      (4L, ""),              // empty → NULL
+      (5L, "ab\u00e9\u00fc") // 2 of 4 chars non-printable-ASCII
+    ).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        TextAnalysis.charEntropy(col("text")).as("e"),
+        TextAnalysis.nonPrintableRatio(col("text")).as("np"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1)._1.contains(1.0))
+    assert(out(2)._1.contains(0.0))
+    assert(out(3)._1.contains(2.0))
+    assert(out(4) == (None, None), "empty text: both signals undefined")
+    assert(out(5)._2.contains(0.5))
+    assert(out(1)._2.contains(0.0))
+  }
+
   test("corpusOverlap: exact jaccard/containment; duplicates within a side don't double-count") {
     // a = {x, y}; b = {y, z} with z appearing twice (must count once).
     val a = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text")
