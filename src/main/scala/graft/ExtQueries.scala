@@ -172,6 +172,16 @@ object ExtQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    "q_linear_trend" -> ((s, dir) => {
+      // Per-symbol OLS drift: slope/intercept/r² of value against its
+      // observation rank — exact decimal moments, one key shuffle (the
+      // moment groupBy reuses the rank window's partitioning).
+      Analytics.linearTrend(
+          read(s, dir, "events").select("event_id", "event_type", "ts", "value"),
+          "value", Seq("event_type"), Seq("ts", "event_id"))
+        .orderBy("event_type")
+    }),
+
     "q_key_skew" -> ((s, dir) => {
       // Hot-key diagnostic: top-25 users by event count with share and
       // ratio-to-mean-key — what decides which keys need salting at
@@ -1474,6 +1484,32 @@ object ExtQueries {
             AND ca.l_linestatus = cb.l_linestatus)
          SELECT * FROM j WHERE status IS NOT NULL
          ORDER BY l_returnflag, l_linestatus""",
+
+    "q_linear_trend" ->
+      """WITH r AS (SELECT event_type, value,
+             CAST(ROW_NUMBER() OVER
+               (PARTITION BY event_type ORDER BY ts, event_id)
+               AS DECIMAL(12,0)) AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+           FROM events WHERE value IS NOT NULL),
+         m AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+           FROM r GROUP BY 1)
+         SELECT event_type, n,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+             THEN ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS slope,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+             THEN ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+               / n, 6) END AS intercept,
+           CASE WHEN n >= 2 AND n * sxx - sx * sx > 0
+                 AND greatest(n * syy - sy * sy, 0.0) > 0
+             THEN ROUND((n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * greatest(n * syy - sy * sy, 0.0)), 6)
+           END AS r2
+         FROM m ORDER BY event_type""",
 
     "q_key_skew" ->
       s"""WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),

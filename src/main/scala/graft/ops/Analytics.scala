@@ -344,6 +344,52 @@ object Analytics {
       .drop("__diff")
   }
 
+  /** Per-key ordinary-least-squares trend of a series against its
+    * observation index: one (slope, intercept, r2, n) row per key — the
+    * "is this symbol drifting" analytic past rolling windows. x is the
+    * 1-based rank of the row in (orderCols) order, NOT a raw timestamp:
+    * ranks keep every moment small enough that the DECIMAL sums (Σx,
+    * Σy, Σxy, Σx², Σy²) stay exact where epoch-micro squares would
+    * overflow DECIMAL(38). The closing slope/intercept/r² arithmetic is
+    * one fixed double tree over the exact moments, 6dp-rounded. Keys
+    * with n < 2 or zero x/y variance give NULL slope/intercept/r².
+    *
+    * Plan: one hash shuffle on the key for the rank window; the moment
+    * groupBy refines the SAME partitioning, so Catalyst plans no second
+    * exchange. Null y rows are dropped up front (they contribute to no
+    * moment and must not consume ranks). */
+  def linearTrend(df: DataFrame, yCol: String, partCols: Seq[String],
+                  orderCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    // x is an integer rank: scale-0 decimal keeps x·y and x² products
+    // narrow (DuckDB's 18,6 × 18,6 multiply overflows int64 units).
+    val ranked = df.filter(col(yCol).isNotNull)
+      .withColumn("__x", row_number().over(w).cast(DecimalType(12, 0)))
+      .withColumn("__y", col(yCol).cast(DecimalType(18, 6)))
+    def m(c: Column) = sum(c).cast(DoubleType)
+    val agg = ranked.groupBy(partCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        m(col("__x")).as("sx"), m(col("__y")).as("sy"),
+        m(col("__x") * col("__y")).as("sxy"),
+        m(col("__x") * col("__x")).as("sxx"),
+        m(col("__y") * col("__y")).as("syy"))
+    val n = col("n").cast(DoubleType)
+    val vx = n * col("sxx") - col("sx") * col("sx")
+    val vy = greatest(n * col("syy") - col("sy") * col("sy"), lit(0.0))
+    val cov = n * col("sxy") - col("sx") * col("sy")
+    val slope = cov / vx
+    agg.select(
+      (partCols.map(col) ++ Seq(
+        col("n"),
+        when(n >= 2 && vx > 0, round(slope, 6)).as("slope"),
+        when(n >= 2 && vx > 0,
+          round((col("sy") - slope * col("sx")) / n, 6)).as("intercept"),
+        when(n >= 2 && vx > 0 && vy > 0,
+          round(cov * cov / (vx * vy), 6)).as("r2"))): _*)
+  }
+
   /** Key-skew profile: per-key row counts with share-of-total and
     * ratio-to-mean-key — the pre-flight diagnostic for a 100 TB shuffle
     * (skew ≫ 1 keys are the ones that need `saltedSumCount`/`saltedJoin`

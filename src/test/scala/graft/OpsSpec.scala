@@ -233,6 +233,25 @@ class OpsSpec extends SparkSpec {
       "p3 is identical content on a different sharding → absent")
   }
 
+  test("linearTrend: exact fit recovers slope/intercept, degenerate keys NULL") {
+    val df = Seq(
+      ("a", 1, Some(3.0)), ("a", 2, Some(5.0)), ("a", 3, Some(7.0)), // y = 2x+1
+      ("b", 4, Some(4.0)), ("b", 5, Some(4.0)),                      // flat
+      ("c", 6, Some(9.0)),                                           // n = 1
+      ("d", 7, Option.empty[Double]), ("d", 8, Some(1.0)))           // null y dropped
+      .toDF("k", "t", "v")
+    val out = Analytics.linearTrend(df, "v", Seq("k"), Seq("t"))
+      .select("k", "n", "slope", "intercept", "r2")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("a") == ((3L, Some(2.0), Some(1.0), Some(1.0))))
+    assert(out("b") == ((2L, Some(0.0), Some(4.0), None)),
+      "flat series: slope 0, r2 undefined (zero y variance)")
+    assert(out("c") == ((1L, None, None, None)))
+    assert(out("d") == ((1L, None, None, None)),
+      "null y must not consume a rank or form a 2-point fit")
+  }
+
   test("keySkewProfile: share and ratio-to-mean, deterministic top-k cut") {
     val rows = Seq.fill(6)("a") ++ Seq.fill(2)("c") ++ Seq.fill(2)("b")
     val out = Analytics.keySkewProfile(rows.toDF("k"), Seq("k"), 2)

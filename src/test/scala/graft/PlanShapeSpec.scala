@@ -174,6 +174,16 @@ class PlanShapeSpec extends SparkSpec {
       s"the 1-row totals must broadcast:\n$plan")
   }
 
+  test("q_linear_trend: moment aggregate reuses the rank window's partitioning") {
+    val plan = executedPlan("q_linear_trend")
+    // One exchange feeds the window; the groupBy on the same key must
+    // not re-shuffle. (The trailing presentation sort's exchange is
+    // eliminated under aggregation — not visible here either way.)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"moment groupBy re-shuffled the ranked rows:\n$plan")
+    assert(plan.contains("Window"), s"expected the rank window:\n$plan")
+  }
+
   test("q_corpus_overlap: one fingerprint shuffle, no join, no per-side distinct") {
     val plan = executedPlan("q_corpus_overlap")
     assert(!plan.contains("Join"), s"presence flags come from the agg, never a join:\n$plan")
