@@ -838,6 +838,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_multimodal_audio" -> ((s, dir) => {
+      // REAL audio decode end-to-end: every doc gets a raw s16le PCM
+      // ramp clip, the decoder parses bytes back per partition into
+      // exact integers (n, Σs², peak), and duration/RMS close over them
+      // as rounded expressions. The oracle predicts every feature from
+      // the ramp's closed forms without touching bytes — an endianness,
+      // width, or offset bug breaks the hash.
+      Multimodal.audioMetrics(
+          Multimodal.decodeAudio(
+            Multimodal.withSyntheticPcm(read(s, dir, "documents"), "doc_id"),
+            "doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "q_frame_sample" -> ((s, dir) => {
       // Video-style frame sampling: explode one row per sampled frame.
       Multimodal.sampleFrames(
@@ -2205,6 +2219,19 @@ object ExtQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
            md5(text) AS content_sig
          FROM documents ORDER BY doc_id""",
+
+    // Ramp-PCM closed forms: Σs² = (n−1)n(2n−1)/6 (exactly divisible by
+    // 6 → integer //), peak = n−1; duration/RMS repeat the Spark side's
+    // one-divide-one-sqrt rounded trees.
+    "q_multimodal_audio" ->
+      """WITH a AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents)
+         SELECT doc_id, CAST(n AS INTEGER) AS n_samples,
+           CAST((n - 1) * n * (2 * n - 1) // 6 AS BIGINT) AS sum_sq,
+           CAST(n - 1 AS INTEGER) AS peak,
+           ROUND(CAST(n AS DOUBLE) / 16000, 6) AS duration_s,
+           ROUND(sqrt(CAST((n - 1) * n * (2 * n - 1) // 6 AS DOUBLE) / n), 6)
+             AS rms
+         FROM a ORDER BY doc_id""",
 
     "q_frame_sample" ->
       s"""SELECT doc_id,

@@ -142,6 +142,82 @@ object Multimodal {
       .toDF(idCol, "width", "height", "r_sum", "g_sum", "b_sum")
   }
 
+  /** Deterministic PCM clip for row `id`: n = 64 + (id mod 64) samples of
+    * little-endian int16 forming the exact ramp 0, 1, …, n−1. Because the
+    * samples are an analytic function of n, every decoded feature has a
+    * CLOSED FORM the SQL oracle computes without touching bytes —
+    * Σs² = (n−1)n(2n−1)/6, peak = n−1 — so an endianness, sample-width,
+    * or offset bug in the decoder breaks the hash match. */
+  private def synthPcm(id: Long): Array[Byte] = {
+    val n = 64 + java.lang.Math.floorMod(id, 64).toInt
+    val bb = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) { bb.putShort(i.toShort); i += 1 }
+    bb.array()
+  }
+
+  /** Attach a real (raw PCM s16le) audio clip per row — the audio-corpus
+    * stand-in whose decode is honest byte parsing. Same mapPartitions
+    * shape as the PNG path; PCM needs no codec context, but the batch
+    * iteration contract (one pass per partition, decoder-state-ready) is
+    * kept so a compressed codec drops in without a plan change. */
+  def withSyntheticPcm(df: DataFrame, idCol: String,
+                       sampleRate: Int = 16000): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long")).as[Long](Encoders.scalaLong)
+      .mapPartitions(it => it.map(id => (id, synthPcm(id))))(enc)
+      .toDF(idCol, "media")
+      .withColumn("media_meta", struct(
+        octet_length(col("media")).as("n_bytes"),
+        lit("audio/pcm;s16le").as("mime"),
+        lit(sampleRate).as("sample_rate")))
+  }
+
+  case class AudioFeatures(id: Long, n_samples: Int, sum_sq: Long, peak: Int)
+
+  /** REAL audio decode, partition-batched: parse each row's s16le bytes
+    * and reduce to exact INTEGER features (sample count, Σs², peak
+    * magnitude) — like `decodeImages`' channel sums, integers hash
+    * identically on any engine; derived float metrics (duration, RMS)
+    * are column expressions on top (`audioMetrics`), where the repo's
+    * round-parity conventions apply. */
+  def decodeAudio(df: DataFrame, idCol: String): DataFrame = {
+    val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])](inEnc)
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          require(bytes.length % 2 == 0,
+            s"row $id: odd byte count ${bytes.length} is not s16le PCM")
+          val sb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+          val n = sb.remaining()
+          var (ss, pk) = (0L, 0)
+          var i = 0
+          while (i < n) {
+            val s = sb.get(i).toInt
+            ss += s.toLong * s
+            val a = math.abs(s)
+            if (a > pk) pk = a
+            i += 1
+          }
+          AudioFeatures(id, n, ss, pk)
+        }
+      }(Encoders.product[AudioFeatures])
+      .toDF(idCol, "n_samples", "sum_sq", "peak")
+  }
+
+  /** Derived audio metrics over `decodeAudio`'s exact integers: duration
+    * and RMS as 6dp-rounded column expressions (one IEEE tree each —
+    * cross-engine round parity, per the repo convention). */
+  def audioMetrics(decoded: DataFrame, sampleRate: Int = 16000): DataFrame =
+    decoded
+      .withColumn("duration_s",
+        round(col("n_samples").cast("double") / sampleRate, 6))
+      .withColumn("rms",
+        round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 6))
+
   /** Attach a binary media column + metadata struct to a text row —
     * stand-in for reading (path, bytes, metadata) from an object store. */
   def withFakeMedia(df: DataFrame, textCol: String): DataFrame = df

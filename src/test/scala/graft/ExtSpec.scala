@@ -506,6 +506,33 @@ class ExtSpec extends SparkSpec {
       "decoded dimensions + channel sums must equal the analytic formula")
   }
 
+  test("synthetic PCM round-trips parquet and decodes to the ramp's closed forms") {
+    val ids = Seq(0L, 1L, 63L, 64L, 130L)
+    val m = Multimodal.withSyntheticPcm(ids.toDF("doc_id"), "doc_id")
+    // s16le bytes: sample i's low byte at offset 2i — byte 2 must be 1
+    // (sample #1 == 1); a big-endian writer would put the 1 at byte 3.
+    val bytes = m.filter(col("doc_id") === 1L).select("media")
+      .as[Array[Byte]].head()
+    assert(bytes.length == (64 + 1) * 2)
+    assert(bytes(2) == 1.toByte && bytes(3) == 0.toByte, "little-endian s16")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pcm").toString
+    m.write.mode("overwrite").parquet(dir)
+    val got = Multimodal.audioMetrics(
+        Multimodal.decodeAudio(spark.read.parquet(dir), "doc_id"))
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Int, Double, Double)].collect().toSeq
+    def expect(id: Long): (Long, Int, Long, Int, Double, Double) = {
+      val n = 64 + (id % 64).toInt
+      val ss = (0 until n).map(i => i.toLong * i).sum
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, n, ss, n - 1, r6(n.toDouble / 16000), r6(math.sqrt(ss.toDouble / n)))
+    }
+    assert(got == ids.sorted.map(expect),
+      "decoded features must equal the ramp's closed forms")
+    assert(got.map(_._2).distinct.size == 4, "ids 0 and 64 share n; others differ")
+  }
+
   test("dupClusters: chains collapse to one component, greedy would over-evict") {
     // chain 1-2, 2-3, 3-4 plus isolated pair 10-11: two components.
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
