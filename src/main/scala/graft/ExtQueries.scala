@@ -852,6 +852,18 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_video_frames" -> ((s, dir) => {
+      // REAL frame sampling: a multi-frame clip container per doc
+      // (genuine PNG frames), the sampler walks length prefixes,
+      // decodes every 2nd frame, and skips unsampled bytes — the
+      // oracle predicts each sampled frame's dims + channel sums from
+      // the pixel formula with frame id = doc_id·31 + frame_idx.
+      Multimodal.sampleFramesDecoded(
+          Multimodal.withSyntheticClip(read(s, dir, "documents"), "doc_id"),
+          "doc_id", every = 2)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     "q_frame_sample" -> ((s, dir) => {
       // Video-style frame sampling: explode one row per sampled frame.
       Multimodal.sampleFrames(
@@ -2232,6 +2244,29 @@ object ExtQueries {
            ROUND(sqrt(CAST((n - 1) * n * (2 * n - 1) // 6 AS DOUBLE) / n), 6)
              AS rms
          FROM a ORDER BY doc_id""",
+
+    // Sampled frames: nFrames = 2 + doc_id % 3, sampled idx ∈ {0, 2} ∩
+    // [0, nFrames); frame id = doc_id·31 + idx feeds the same pixel
+    // formula q_multimodal_decode pins.
+    "q_video_frames" ->
+      """WITH f AS (SELECT doc_id, unnest([0, 2]) AS frame_idx,
+             2 + doc_id % 3 AS n_frames
+           FROM documents),
+         s AS (SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+             doc_id * 31 + frame_idx AS fid,
+             CAST(4 + (doc_id * 31 + frame_idx) % 5 AS INTEGER) AS width,
+             CAST(3 + (doc_id * 31 + frame_idx) % 4 AS INTEGER) AS height
+           FROM f WHERE frame_idx < n_frames),
+         px AS (SELECT doc_id, frame_idx, fid, width, height,
+             unnest(generate_series(0, width - 1)) AS x FROM s),
+         pxy AS (SELECT doc_id, frame_idx, fid, width, height, x,
+             unnest(generate_series(0, height - 1)) AS y FROM px)
+         SELECT doc_id, frame_idx, width, height,
+           CAST(SUM((fid * 7 + x * 3 + y * 5) % 256) AS BIGINT) AS r_sum,
+           CAST(SUM((fid * 11 + x * 13 + y * 17) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((fid * 19 + x * 23 + y * 29) % 256) AS BIGINT) AS b_sum
+         FROM pxy GROUP BY 1, 2, 3, 4
+         ORDER BY doc_id, frame_idx""",
 
     "q_frame_sample" ->
       s"""SELECT doc_id,

@@ -218,6 +218,94 @@ object Multimodal {
       .withColumn("rms",
         round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 6))
 
+  /** Deterministic "video" container for row `id`: 2 + (id mod 3) PNG
+    * frames, frame f carrying the analytic raster of derived id
+    * id·31 + f, laid out as [int32 nFrames][int32 len, bytes]… (big-
+    * endian lengths). A toy container, but the parsing is real: the
+    * frame sampler must walk the length prefixes and decode genuine
+    * compressed frames — and the oracle predicts every sampled frame's
+    * stats from the pixel formula without touching bytes. */
+  private def synthClip(writer: javax.imageio.ImageWriter, id: Long): Array[Byte] = {
+    val nFrames = 2 + java.lang.Math.floorMod(id, 3).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeInt(nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val png = encodePng(writer, synthImage(id * 31 + f))
+      dos.writeInt(png.length)
+      dos.write(png)
+      f += 1
+    }
+    dos.close()
+    bos.toByteArray
+  }
+
+  /** Attach a real multi-frame clip per row (see `synthClip`). Same
+    * per-partition writer contract as the PNG path. */
+  def withSyntheticClip(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long")).as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        val writer = pngWriter()
+        it.map(id => (id, synthClip(writer, id))) ++
+          { writer.dispose(); Iterator.empty }
+      }(enc)
+      .toDF(idCol, "media")
+      .withColumn("media_meta", struct(
+        octet_length(col("media")).as("n_bytes"),
+        lit("video/x-graft-frames").as("mime")))
+  }
+
+  case class FrameFeatures(id: Long, frame_idx: Int, width: Int, height: Int,
+                           r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL frame sampling: walk the clip container, decode every
+    * `every`-th frame (genuine PNG parse, one reader per partition),
+    * and emit that frame's exact stats — the video analogue of
+    * `decodeImages`, exploding one row per SAMPLED frame while
+    * skipping the bytes of unsampled frames entirely (the seek-don't-
+    * decode shape a production frame sampler must have). */
+  def sampleFramesDecoded(df: DataFrame, idCol: String, every: Int): DataFrame = {
+    require(every >= 1, "need every >= 1")
+    val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])](inEnc)
+      .mapPartitions { it =>
+        val reader = pngReader()
+        val out = it.flatMap { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          val nFrames = bb.getInt()
+          (0 until nFrames).flatMap { f =>
+            val len = bb.getInt()
+            if (f % every != 0) { bb.position(bb.position() + len); None }
+            else {
+              val frame = new Array[Byte](len)
+              bb.get(frame)
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(frame))
+              reader.setInput(iis, true, true)
+              val img = try reader.read(0) finally iis.close()
+              var (rs, gs, bs) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  rs += (rgb >> 16) & 0xFF; gs += (rgb >> 8) & 0xFF; bs += rgb & 0xFF
+                  x += 1
+                }
+                y += 1
+              }
+              Some(FrameFeatures(id, f, img.getWidth, img.getHeight, rs, gs, bs))
+            }
+          }
+        }
+        out ++ { reader.dispose(); Iterator.empty }
+      }(Encoders.product[FrameFeatures])
+      .toDF(idCol, "frame_idx", "width", "height", "r_sum", "g_sum", "b_sum")
+  }
+
   /** Attach a binary media column + metadata struct to a text row —
     * stand-in for reading (path, bytes, metadata) from an object store. */
   def withFakeMedia(df: DataFrame, textCol: String): DataFrame = df

@@ -533,6 +533,32 @@ class ExtSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size == 4, "ids 0 and 64 share n; others differ")
   }
 
+  test("clip container frame-samples decode to the analytic per-frame stats") {
+    import java.lang.Math.floorMod
+    val ids = Seq(0L, 1L, 2L, 5L)  // nFrames 2, 3, 4, 2
+    val clips = Multimodal.withSyntheticClip(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.sampleFramesDecoded(clips, "doc_id", every = 2)
+      .orderBy("doc_id", "frame_idx")
+      .as[(Long, Int, Int, Int, Long, Long, Long)].collect().toSeq
+    def frame(id: Long, f: Int): (Long, Int, Int, Int, Long, Long, Long) = {
+      val fid = id * 31 + f
+      val w = 4 + floorMod(fid, 5).toInt
+      val h = 3 + floorMod(fid, 4).toInt
+      val px = for { y <- 0 until h; x <- 0 until w } yield (
+        floorMod(fid * 7 + x * 3 + y * 5, 256),
+        floorMod(fid * 11 + x * 13 + y * 17, 256),
+        floorMod(fid * 19 + x * 23 + y * 29, 256))
+      (id, f, w, h, px.map(_._1).sum, px.map(_._2).sum, px.map(_._3).sum)
+    }
+    val want = ids.sorted.flatMap { id =>
+      val n = 2 + (id % 3).toInt
+      (0 until n by 2).map(frame(id, _))
+    }
+    assert(got == want, "every 2nd frame decoded, odd frames skipped unparsed")
+    assert(got.count(_._1 == 2L) == 2, "4-frame clip samples frames 0 and 2")
+    assert(got.count(_._1 == 0L) == 1, "2-frame clip samples frame 0 only")
+  }
+
   test("dupClusters: chains collapse to one component, greedy would over-evict") {
     // chain 1-2, 2-3, 3-4 plus isolated pair 10-11: two components.
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
