@@ -738,6 +738,21 @@ object ExtQueries {
         .orderBy("a", "b")
     }),
 
+    "q_export_manifest" -> ((s, dir) => {
+      // Training-data export: hash-sharded parquet write + a manifest
+      // computed from the data READ BACK off the sink. The oracle
+      // computes the same manifest from the logical corpus directly —
+      // a hash match proves the write+read round trip preserved every
+      // row of every shard (receiver-side validation with zero row
+      // comparisons).
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_export_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Export.writeShardedCorpus(s,
+          read(s, dir, "documents").select("doc_id", "text", "n_chars"),
+          col("doc_id"), ExportShards, path, Seq("doc_id", "text", "n_chars"))
+        .orderBy("shard")
+    }),
+
     "q_hash_split" -> ((s, dir) => {
       // Deterministic sampling + train/val/test split (Sampling.scala):
       // every decision is a pure function of the row key, so the split
@@ -849,6 +864,17 @@ object ExtQueries {
           Multimodal.decodeAudio(
             Multimodal.withSyntheticPcm(read(s, dir, "documents"), "doc_id"),
             "doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    "q_image_resize" -> ((s, dir) => {
+      // REAL resize: decode each PNG, nearest-neighbor resample to 8×8,
+      // exact channel sums of the resized raster. Nearest neighbor means
+      // every output pixel copies one input pixel — the oracle recomputes
+      // the sums from the pixel formula + the floor index mapping.
+      Multimodal.resizeImages(
+          Multimodal.withSyntheticPng(read(s, dir, "documents"), "doc_id"),
+          "doc_id", outW = 8, outH = 8)
         .orderBy("doc_id")
     }),
 
@@ -1120,6 +1146,7 @@ object ExtQueries {
         read(s, dir, "embeddings").select("vec_id", "embedding"), IvfLists, p)
       p
     })
+  private val ExportShards = 8
   private val FrameEvery = 100
   private val ContamMinHits = 3
   private val ContamMaxDf = 3
@@ -2012,6 +2039,21 @@ object ExtQueries {
             AND ${cosSql("l.embedding", "r.embedding")} >= $CosDupThreshold
           ORDER BY a, b""",
 
+    // The receiver-side manifest recomputation: same md5 shard bucket,
+    // same per-shard row-hash checksum as q_table_checksum, grouped.
+    "q_export_manifest" ->
+      """WITH sh AS (SELECT doc_id, text, n_chars,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 8 AS INTEGER) AS shard
+           FROM documents)
+         SELECT shard, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
+               COALESCE(CAST(doc_id AS VARCHAR), chr(2)),
+               COALESCE(CAST(text AS VARCHAR), chr(2)),
+               COALESCE(CAST(n_chars AS VARCHAR), chr(2)))), 1, 12))
+             AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+         FROM sh GROUP BY 1 ORDER BY shard""",
+
     "q_hash_split" ->
       """WITH b AS (SELECT doc_id,
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
@@ -2244,6 +2286,24 @@ object ExtQueries {
            ROUND(sqrt(CAST((n - 1) * n * (2 * n - 1) // 6 AS DOUBLE) / n), 6)
              AS rms
          FROM a ORDER BY doc_id""",
+
+    // Resized stats: output pixel (x, y) copies input pixel
+    // (x·w // 8, y·h // 8) of the analytic raster.
+    "q_image_resize" ->
+      """WITH dims AS (SELECT doc_id,
+             4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+           FROM documents),
+         px AS (SELECT doc_id, w, h,
+             unnest(generate_series(0, 7)) AS x FROM dims),
+         pxy AS (SELECT doc_id, w, h, x,
+             unnest(generate_series(0, 7)) AS y FROM px),
+         m AS (SELECT doc_id, (x * w) // 8 AS sx, (y * h) // 8 AS sy
+           FROM pxy)
+         SELECT doc_id, CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+           CAST(SUM((doc_id * 7 + sx * 3 + sy * 5) % 256) AS BIGINT) AS r_sum,
+           CAST(SUM((doc_id * 11 + sx * 13 + sy * 17) % 256) AS BIGINT) AS g_sum,
+           CAST(SUM((doc_id * 19 + sx * 23 + sy * 29) % 256) AS BIGINT) AS b_sum
+         FROM m GROUP BY 1 ORDER BY doc_id""",
 
     // Sampled frames: nFrames = 2 + doc_id % 3, sampled idx ∈ {0, 2} ∩
     // [0, nFrames); frame id = doc_id·31 + idx feeds the same pixel

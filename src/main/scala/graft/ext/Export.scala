@@ -1,0 +1,44 @@
+package graft.ext
+
+import graft.ops.Checksum
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data EXPORT — the pipeline's last mile: ship a curated
+  * corpus as hash-sharded parquet plus a manifest the RECEIVER can
+  * verify without trusting the writer.
+  *
+  * Shard assignment is the repo's deterministic md5 bucket (a pure
+  * content function — re-exports and re-shards of the same corpus
+  * produce byte-stable shard membership), the layout is
+  * `PARTITION BY shard` (each shard is one directory a downstream
+  * trainer streams independently), and the manifest carries each
+  * shard's row count + order-insensitive checksum
+  * (`Checksum.partitionChecksums`). Validation = recompute the same
+  * two-column table on the receiving side and diff two tiny frames —
+  * the 100 TB transfer is verified with zero row comparisons, and any
+  * dropped/duplicated/corrupted row pins to its shard. */
+object Export {
+
+  /** Write `df` sharded by `key` into `path` and return the manifest
+    * (shard, n_rows, checksum) COMPUTED FROM THE DATA READ BACK off the
+    * sink — so the returned manifest vouches for what is actually on
+    * disk, not for what the writer intended (a write-path bug surfaces
+    * as a manifest mismatch, not a silent corrupt export).
+    * `cols` must be checksum-portable (no raw float/double — cast to
+    * DECIMAL first; enforced by partitionChecksums). */
+  def writeShardedCorpus(spark: SparkSession, df: DataFrame, key: Column,
+                         nShards: Int, path: String,
+                         cols: Seq[String]): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    df.withColumn("shard", Sampling.hashBucket(key, nShards))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    manifestOf(spark.read.parquet(path), cols)
+  }
+
+  /** Manifest of a sharded corpus (works on either side of the wire). */
+  def manifestOf(sharded: DataFrame, cols: Seq[String]): DataFrame =
+    Checksum.partitionChecksums(
+      sharded.withColumn("shard", col("shard").cast("int")),
+      Seq("shard"), cols)
+}

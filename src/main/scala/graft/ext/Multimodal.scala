@@ -364,4 +364,44 @@ object Multimodal {
     featCol.getField("n_bytes").as("n_bytes"),
     featCol.getField("content_sig").as("content_sig"),
     lit(w).as("fake_width"), lit(h).as("fake_height"))
+
+  /** REAL image resize, partition-batched: decode each row's PNG and
+    * resample to `outW`×`outH` by NEAREST NEIGHBOR — output pixel (x, y)
+    * reads input pixel (⌊x·wᵢ/wₒ⌋, ⌊y·hᵢ/hₒ⌋) — then reduce the resized
+    * raster to exact channel sums. Nearest neighbor (not bilinear) is
+    * deliberate: every output pixel is an EXACT copy of one input pixel,
+    * so the resized stats stay integer-exact, closed-form, and
+    * engine-independent — the oracle recomputes them from the pixel
+    * formula + the index mapping, and any interpolation/rounding
+    * disagreement a float resampler would smuggle in cannot exist. */
+  def resizeImages(df: DataFrame, idCol: String, outW: Int, outH: Int): DataFrame = {
+    require(outW >= 1 && outH >= 1, "target dimensions must be >= 1")
+    val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])](inEnc)
+      .mapPartitions { it =>
+        val reader = pngReader()
+        val out = it.map { case (id, bytes) =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis, true, true)
+          val img = try reader.read(0) finally iis.close()
+          var (rs, gs, bs) = (0L, 0L, 0L)
+          var y = 0
+          while (y < outH) {
+            val sy = y * img.getHeight / outH
+            var x = 0
+            while (x < outW) {
+              val rgb = img.getRGB(x * img.getWidth / outW, sy)
+              rs += (rgb >> 16) & 0xFF; gs += (rgb >> 8) & 0xFF; bs += rgb & 0xFF
+              x += 1
+            }
+            y += 1
+          }
+          ImageFeatures(id, outW, outH, rs, gs, bs)
+        }
+        out ++ { reader.dispose(); Iterator.empty }
+      }(Encoders.product[ImageFeatures])
+      .toDF(idCol, "width", "height", "r_sum", "g_sum", "b_sum")
+  }
 }

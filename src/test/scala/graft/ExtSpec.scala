@@ -533,6 +533,49 @@ class ExtSpec extends SparkSpec {
     assert(got.map(_._2).distinct.size == 4, "ids 0 and 64 share n; others differ")
   }
 
+  test("export manifest vouches for the sink: round-trip equal, tamper pins the shard") {
+    val docs = (0L until 40L).map(i => (i, s"doc $i", i * 3)).toDF("doc_id", "text", "n")
+    val path = java.nio.file.Files.createTempDirectory("graft_export").toString
+    val cols = Seq("doc_id", "text", "n")
+    val manifest = Export.writeShardedCorpus(spark, docs, col("doc_id"), 4, path, cols)
+      .orderBy("shard").collect().toSeq
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum == 40)
+    // Receiver-side recomputation from the logical corpus agrees.
+    val logical = Export.manifestOf(
+      docs.withColumn("shard", Sampling.hashBucket(col("doc_id"), 4)), cols)
+      .orderBy("shard").collect().toSeq
+    assert(manifest == logical, "sink manifest == logical manifest")
+    // Tamper with one shard on the sink: only that shard's row changes.
+    val shard0 = manifest.head.getAs[Int]("shard")
+    val tampered = spark.read.parquet(path)
+      .filter(!(col("shard") === shard0 && col("doc_id") === 0L))
+    val after = Export.manifestOf(tampered, cols).orderBy("shard").collect().toSeq
+    assert(after != manifest)
+    assert(after.count(r => !manifest.contains(r)) == 1,
+      "exactly the tampered shard's manifest row differs")
+  }
+
+  test("nearest-neighbor resize: output pixels are exact copies per the index map") {
+    import java.lang.Math.floorMod
+    val ids = Seq(0L, 3L, 11L)
+    val m = Multimodal.withSyntheticPng(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.resizeImages(m, "doc_id", outW = 8, outH = 8)
+      .orderBy("doc_id")
+      .as[(Long, Int, Int, Long, Long, Long)].collect().toSeq
+    def expect(id: Long): (Long, Int, Int, Long, Long, Long) = {
+      val w = 4 + floorMod(id, 5).toInt
+      val h = 3 + floorMod(id, 4).toInt
+      val px = for { y <- 0 until 8; x <- 0 until 8 } yield {
+        val (sx, sy) = (x * w / 8, y * h / 8)
+        (floorMod(id * 7 + sx * 3 + sy * 5, 256),
+          floorMod(id * 11 + sx * 13 + sy * 17, 256),
+          floorMod(id * 19 + sx * 23 + sy * 29, 256))
+      }
+      (id, 8, 8, px.map(_._1).sum, px.map(_._2).sum, px.map(_._3).sum)
+    }
+    assert(got == ids.sorted.map(expect))
+  }
+
   test("clip container frame-samples decode to the analytic per-frame stats") {
     import java.lang.Math.floorMod
     val ids = Seq(0L, 1L, 2L, 5L)  // nFrames 2, 3, 4, 2
