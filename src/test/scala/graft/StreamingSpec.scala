@@ -193,6 +193,33 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 3.0)), s"hour-0 window for type a emitted once, got $got")
   }
 
+  test("streaming export sink: sharded sink manifest equals the logical manifest, replay-safe") {
+    implicit val sc = spark.sqlContext
+    import graft.ext.{Export, Sampling}
+    val sink = java.nio.file.Files.createTempDirectory("graft_export_sink")
+      .resolve("corpus").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_export_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = Export.exportSink(mem.toDF().toDF("doc_id", "text"),
+      "doc_id", nShards = 4, sink, tieBreak = Seq("text"), ckpt)
+    val b1 = (0L until 10L).map(i => (i, s"doc $i"))
+    val b2 = (5L until 15L).map(i => (i, s"doc $i"))  // 5 overlap, 5 fresh
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()      // replayed batch
+    q.stop()
+    val cols = Seq("doc_id", "text")
+    val got = Export.manifestOf(spark.read.parquet(sink), cols)
+      .orderBy("shard").collect().toSeq
+    val logical = Export.manifestOf(
+      (0L until 15L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+        .withColumn("shard", Sampling.hashBucket(col("doc_id"), 4)), cols)
+      .orderBy("shard").collect().toSeq
+    assert(got == logical,
+      "sink manifest == logical manifest of the distinct keys; replay added nothing")
+    assert(spark.read.parquet(sink).count() == 15)
+  }
+
   test("streaming upsert sink: keep-existing per key across batches, replay appends nothing") {
     implicit val sc = spark.sqlContext
     val sink = java.nio.file.Files.createTempDirectory("graft_upsert_sink")
