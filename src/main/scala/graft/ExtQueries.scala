@@ -800,6 +800,20 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_ann_ivf_persisted" -> ((s, dir) => {
+      // Full-precision search of the PERSISTED index: probed lists come
+      // back partition-pruned with their stored norms, ranked under the
+      // shared contract — must reproduce the in-memory Lloyd IVF search
+      // (q_ann_ivf) bit-for-bit, which is exactly what the shared oracle
+      // asserts.
+      val e = read(s, dir, "embeddings")
+      val path = ivfIndexFor(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.searchIvfIndex(s, path, queries, k = 3, nProbe = IvfProbes)
+        .orderBy("q_id", "rank")
+    }),
+
     "q_ann_ivf_quantized" -> ((s, dir) => {
       // The production ANN composition: persisted IVF index (Lloyd-trained,
       // list-partitioned, int8 payload stored at build time) searched with
@@ -1149,6 +1163,42 @@ object ExtQueries {
   private val ExportShards = 8
   private val FrameEvery = 100
   private val ContamMinHits = 3
+
+  /** The Lloyd-IVF search oracle: seed centroids (lowest ids) → one
+    * decimal-exact refinement → assignment, probes, rounded-cosine rank.
+    * Shared verbatim by q_ann_ivf (in-memory) and q_ann_ivf_persisted
+    * (on-disk index) — the two paths' equality is the point. */
+  private lazy val IvfLloydOracleSql: String =
+    s"""WITH cent0 AS (SELECT vec_id AS list, embedding AS c_vec
+            FROM embeddings WHERE vec_id < $IvfLists),
+          assign0 AS (SELECT vec_id, embedding, list FROM (
+            SELECT e.vec_id, e.embedding, cent0.list,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings e CROSS JOIN cent0) WHERE rn = 1),
+          comp AS (SELECT list,
+              unnest(generate_series(1, len(embedding))) AS pos,
+              unnest(list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6))) AS x
+            FROM assign0),
+          cmean AS (SELECT list, pos,
+              ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS m
+            FROM comp GROUP BY 1, 2),
+          cent AS (SELECT list, list(m ORDER BY pos) AS c_vec FROM cmean GROUP BY list),
+          assign AS (SELECT vec_id, embedding, list FROM (
+            SELECT e.vec_id, e.embedding, cent.list,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosSql("e.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings e CROSS JOIN cent) WHERE rn = 1),
+          probes AS (SELECT q_id, q_vec, list FROM (
+            SELECT q.vec_id AS q_id, q.embedding AS q_vec, cent.list,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5) WHERE rn <= $IvfProbes)
+          SELECT q_id, vec_id, ${cosSql("q_vec", "embedding")} AS cos,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id) AS INTEGER) AS rank
+          FROM assign JOIN probes USING (list)
+          QUALIFY rank <= 3 ORDER BY q_id, rank"""
   private val ContamMaxDf = 3
   private val OovVocab = 200
   private val SamplePerSource = 12
@@ -1997,37 +2047,13 @@ object ExtQueries {
               ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
           FROM scored QUALIFY rank <= 3 ORDER BY q_id, rank""",
 
-    "q_ann_ivf" ->
-      s"""WITH cent0 AS (SELECT vec_id AS list, embedding AS c_vec
-            FROM embeddings WHERE vec_id < $IvfLists),
-          assign0 AS (SELECT vec_id, embedding, list FROM (
-            SELECT e.vec_id, e.embedding, cent0.list,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY ${cosSql("e.embedding", "c_vec")} DESC, list) AS rn
-            FROM embeddings e CROSS JOIN cent0) WHERE rn = 1),
-          comp AS (SELECT list,
-              unnest(generate_series(1, len(embedding))) AS pos,
-              unnest(list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE), 6))) AS x
-            FROM assign0),
-          cmean AS (SELECT list, pos,
-              ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS m
-            FROM comp GROUP BY 1, 2),
-          cent AS (SELECT list, list(m ORDER BY pos) AS c_vec FROM cmean GROUP BY list),
-          assign AS (SELECT vec_id, embedding, list FROM (
-            SELECT e.vec_id, e.embedding, cent.list,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY ${cosSql("e.embedding", "c_vec")} DESC, list) AS rn
-            FROM embeddings e CROSS JOIN cent) WHERE rn = 1),
-          probes AS (SELECT q_id, q_vec, list FROM (
-            SELECT q.vec_id AS q_id, q.embedding AS q_vec, cent.list,
-              row_number() OVER (PARTITION BY q.vec_id
-                ORDER BY ${cosSql("q.embedding", "c_vec")} DESC, list) AS rn
-            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5) WHERE rn <= $IvfProbes)
-          SELECT q_id, vec_id, ${cosSql("q_vec", "embedding")} AS cos,
-            CAST(row_number() OVER (PARTITION BY q_id
-              ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id) AS INTEGER) AS rank
-          FROM assign JOIN probes USING (list)
-          QUALIFY rank <= 3 ORDER BY q_id, rank""",
+    "q_ann_ivf" -> IvfLloydOracleSql,
+
+    // The persisted index stores the SAME Lloyd centroids (rounds = 1)
+    // and the same ranking contract, so the full-precision search of the
+    // on-disk index must reproduce the in-memory search bit-for-bit —
+    // the oracle IS q_ann_ivf's.
+    "q_ann_ivf_persisted" -> IvfLloydOracleSql,
 
     "q_cos_dup_pairs" ->
       s"""WITH b AS (SELECT vec_id, embedding,
