@@ -107,6 +107,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("corpusOverlap bounds: jaccard ≤ each containment ≤ 1; identical corpora → all 1") {
+    import graft.ext.Contamination
+    trials(5) { rnd =>
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      def corpus(n: Int) = (1 to n)
+        .map(i => (i.toLong, vocab(rnd.nextInt(vocab.size))))
+      val a = corpus(rnd.nextInt(20) + 5).toDF("id", "text")
+      val b = corpus(rnd.nextInt(20) + 5).toDF("id", "text")
+      val r = Contamination.corpusOverlap(a, b, "text").collect().head
+      val (j, ca, cb) = (r.getAs[Double]("jaccard"),
+        r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b"))
+      assert(j <= ca + 1e-9 && j <= cb + 1e-9, "jaccard never exceeds containment")
+      assert(ca <= 1.0 && cb <= 1.0 && j >= 0.0)
+      val self = Contamination.corpusOverlap(a, a, "text").collect().head
+      assert(self.getAs[Double]("jaccard") == 1.0, "a corpus fully overlaps itself")
+    }
+  }
+
+  test("charEntropy bounded by log2 of the distinct-char count, within 6dp slack") {
+    import graft.ext.TextAnalysis
+    trials(5) { rnd =>
+      val rows = (1 to 20).map { i =>
+        (i.toLong, (1 to rnd.nextInt(60) + 1)
+          .map(_ => ('a' + rnd.nextInt(6)).toChar).mkString)
+      }
+      val out = rows.toDF("id", "text")
+        .select(col("text"), TextAnalysis.charEntropy(col("text")).as("e"))
+        .as[(String, Double)].collect()
+      out.foreach { case (t, e) =>
+        val bound = math.log(t.distinct.length.toDouble) / math.log(2)
+        // each of ≤6 per-char terms is individually 6dp-rounded → ≤3e-6 slack
+        assert(e >= -1e-5 && e <= bound + 1e-5,
+          s"entropy $e out of [0, log2(${t.distinct.length})] for '$t'")
+      }
+    }
+  }
+
   test("pctChange inverts: cur == lag * (1 + delta); first-in-key delta is 0") {
     trials(5) { rnd =>
       val rows = for {
