@@ -738,6 +738,18 @@ object ExtQueries {
         .orderBy("a", "b")
     }),
 
+    "q_src_csv" -> ((s, dir) => {
+      // CSV source round trip: documents written as quoted CSV once per
+      // corpus (memoized), read back through the schema-pinned reader,
+      // compared against DuckDB's view of the ORIGINAL parquet — any
+      // quoting/escaping/type bug in either half breaks the hash.
+      val path = csvDocsFor(s, dir)
+      graft.sources.Tables.readCsv(s, path,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars INT"))
+        .orderBy("doc_id")
+    }),
+
     "q_export_manifest" -> ((s, dir) => {
       // Training-data export: hash-sharded parquet write + a manifest
       // computed from the data READ BACK off the sink. The oracle
@@ -1161,6 +1173,14 @@ object ExtQueries {
       p
     })
   private val ExportShards = 8
+  private val CsvDocsCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def csvDocsFor(s: SparkSession, dir: String): String =
+    CsvDocsCache.getOrElseUpdate(dir, {
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_csv_docs_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Tables.writeCsv(read(s, dir, "documents"), p)
+      p
+    })
   private val FrameEvery = 100
   private val ContamMinHits = 3
 
@@ -2064,6 +2084,10 @@ object ExtQueries {
           WHERE l.vec_id < r.vec_id
             AND ${cosSql("l.embedding", "r.embedding")} >= $CosDupThreshold
           ORDER BY a, b""",
+
+    "q_src_csv" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
 
     // The receiver-side manifest recomputation: same md5 shard bucket,
     // same per-shard row-hash checksum as q_table_checksum, grouped.

@@ -34,6 +34,33 @@ object Tables {
     norm
   }
 
+  /** Schema-pinned CSV read — the third source format next to parquet
+    * and JSON. The schema is SUPPLIED, never inferred: inference costs
+    * an extra full pass over 100 TB of text and silently changes types
+    * when the data drifts; a pinned schema reads in one pass and makes
+    * drift a visible null (PERMISSIVE mode, the reference's pandas-like
+    * leniency) instead of a type flip. Quoting/escaping are Spark CSV
+    * defaults (RFC-4180-style double quotes), matching what `writeCsv`
+    * emits, so the pair round-trips any cell content.
+    *
+    * `multiLine` stays FALSE by default: single-line mode keeps CSV
+    * files SPLITTABLE (a 100 TB CSV reads in parallel per split);
+    * multiLine forces one reader per file and exists only for data with
+    * embedded newlines — prefer fixing the producer. */
+  def readCsv(spark: SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType,
+              multiLine: Boolean = false): DataFrame =
+    spark.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("multiLine", multiLine.toString)
+      .csv(path)
+
+  /** CSV write half of the round-trip contract (header + default
+    * quoting). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
   val AllTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

@@ -119,6 +119,29 @@ class PipelinesSpec extends SparkSpec {
     }
   }
 
+  test("CSV round trip preserves hostile cells; multiLine handles embedded newlines") {
+    import org.apache.spark.sql.types.StructType
+    val rows = Seq((1L, "plain"), (2L, "a,b,c"), (3L, "say \"hi\""),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    graft.sources.Tables.writeCsv(rows, dir)
+    val back = graft.sources.Tables.readCsv(spark, dir,
+        StructType.fromDDL("id LONG, text STRING"))
+      .as[(Long, Option[String])].collect().toSet
+    assert(back == Set(1L -> Some("plain"), 2L -> Some("a,b,c"),
+      3L -> Some("say \"hi\""), 4L -> None),
+      "commas and quotes survive the quoted round trip; null stays null")
+    // Embedded newline: written quoted, readable only under multiLine
+    // (the documented splittability trade).
+    val nl = Seq((9L, "line1\nline2")).toDF("id", "text")
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_csv_nl").toString
+    graft.sources.Tables.writeCsv(nl, dir2)
+    val back2 = graft.sources.Tables.readCsv(spark, dir2,
+        StructType.fromDDL("id LONG, text STRING"), multiLine = true)
+      .as[(Long, String)].collect().toSeq
+    assert(back2 == Seq(9L -> "line1\nline2"))
+  }
+
   test("StockPipeline.load upsert keeps existing on duplicate key") {
     val mk = (ts: Long, name: String, ret: Double) =>
       (ts, name, 1.0, 1.0, 1.0, 1.0, 1L, ret, 0.0)
