@@ -80,14 +80,48 @@ object TextAnalysis {
   def charEntropy(text: Column): Column = {
     import org.apache.spark.sql.types.DecimalType
     val chars = split(text, "")
-    val n = size(chars).cast(DoubleType)
-    val terms = transform(array_distinct(chars), ch => {
-      val p = size(filter(chars, x => x === ch)).cast(DoubleType) / n
-      round(p * log2(p), 6).cast(DecimalType(18, 6))
-    })
-    when(length(text) > 0,
-      (-aggregate(terms, lit(0).cast(DecimalType(28, 6)),
-        (acc, t) => (acc + t).cast(DecimalType(28, 6)))).cast(DoubleType))
+    val n = size(chars)
+    // One sort + run-length counting: O(len·log len) per document instead
+    // of rescanning the full array once per distinct character
+    // (O(distinct·len) — expensive on long wide-alphabet documents).
+    // `starts` holds each distinct character once, with the 0-based index
+    // where its run begins in the sorted array; the run length (= count)
+    // is the gap to the next run start. Same term multiset as the
+    // per-distinct-char scan, and the decimal term sum is order-free, so
+    // the result is bit-identical.
+    // CRITICAL shape constraint: never reference an expensive expression
+    // from INSIDE a lambda. HOF lambdas re-evaluate every captured
+    // expression per ELEMENT (there is no common-subexpression sharing
+    // in interpreted eval), so e.g. `element_at(sorted, i)` inside a
+    // `transform` re-sorts the whole array per character — O(n²·log n)
+    // per row; measured as a multi-hour wedge on the 0.01 corpus. Every
+    // step below therefore consumes only its own lambda variables; the
+    // one outer value the term formula needs (n) rides into the
+    // `aggregate` through the accumulator's zero, where it is evaluated
+    // once per row.
+    val sorted = array_sort(chars)
+    // Run ends: position i (1-based) where sorted[i] != sorted[i+1].
+    val nextChar = concat(slice(sorted, lit(2), greatest(n - 1, lit(0))),
+      array(lit(null).cast("string")))
+    val endFlags = zip_with(sorted, nextChar,
+      (c, nx) => coalesce(c =!= nx, lit(true)))
+    val endPos = filter(
+      transform(endFlags, (f, i) => when(f, i + 1)), p => p.isNotNull)
+    // Run lengths = gaps between consecutive end positions.
+    val prevEnd = concat(array(lit(0)),
+      slice(endPos, lit(1), greatest(size(endPos) - 1, lit(0))))
+    val counts = zip_with(endPos, prevEnd, (e, b) => e - b)
+    val total = aggregate(counts,
+      struct(lit(0).cast(DecimalType(28, 6)).as("s"), n.as("n")),
+      (acc, c) => {
+        val p = c.cast(DoubleType) / acc.getField("n").cast(DoubleType)
+        struct(
+          (acc.getField("s") + round(p * log2(p), 6).cast(DecimalType(18, 6)))
+            .cast(DecimalType(28, 6)).as("s"),
+          acc.getField("n").as("n"))
+      },
+      acc => acc.getField("s"))
+    when(length(text) > 0, (-total).cast(DoubleType))
   }
 
   /** Share of characters outside printable ASCII (0x20–0x7E) — the

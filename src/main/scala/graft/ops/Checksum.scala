@@ -77,19 +77,29 @@ object Checksum {
     * TINY per-partition summaries (|distinct partition keys| rows) —
     * never a row-level compare, so diffing two 100 TB snapshots moves
     * two scans and kilobytes. The checksum is order-insensitive, so
-    * a pure re-shard reports unchanged. */
+    * a pure re-shard reports unchanged.
+    *
+    * The join is NULL-SAFE on every partition column (`<=>`): a NULL
+    * partition-key value is legal in Hive-style layouts (the
+    * `__HIVE_DEFAULT_PARTITION__` directory), and a plain equi-join
+    * would never match it against itself — an unchanged null-keyed
+    * partition would be reported twice, as both `removed` and `added`. */
   def diffPartitions(a: DataFrame, b: DataFrame, partCols: Seq[String],
                      cols: Seq[String]): DataFrame = {
     val pa = partitionChecksums(a, partCols, cols)
       .withColumnRenamed("n_rows", "n_a").withColumnRenamed("checksum", "__ca")
-    val pb = partitionChecksums(b, partCols, cols)
-      .withColumnRenamed("n_rows", "n_b").withColumnRenamed("checksum", "__cb")
-    pa.join(pb, partCols, "full_outer")
+    val pb = partCols.foldLeft(
+      partitionChecksums(b, partCols, cols)
+        .withColumnRenamed("n_rows", "n_b").withColumnRenamed("checksum", "__cb")
+    )((d, c) => d.withColumnRenamed(c, s"__b_$c"))
+    val keysMatch = partCols.map(c => col(c) <=> col(s"__b_$c")).reduce(_ && _)
+    pa.join(pb, keysMatch, "full_outer")
       .withColumn("status",
         when(col("__cb").isNull, "removed")
           .when(col("__ca").isNull, "added")
           .when(col("__ca") =!= col("__cb"), "changed"))
       .filter(col("status").isNotNull)
-      .select(partCols.map(col) ++ Seq(col("n_a"), col("n_b"), col("status")): _*)
+      .select(partCols.map(c => coalesce(col(c), col(s"__b_$c")).as(c)) ++
+        Seq(col("n_a"), col("n_b"), col("status")): _*)
   }
 }

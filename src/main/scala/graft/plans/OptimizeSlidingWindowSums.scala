@@ -24,8 +24,17 @@ import org.apache.spark.sql.types.{Decimal, DecimalType, IntegerType, LongType}
   *
   * The rewrite is applied ONLY where it is exact:
   *
-  *  - `Sum` over a DECIMAL child: decimal arithmetic is exact, so the
-  *    difference of the running sums IS the frame sum. (On FLOAT/DOUBLE
+  *  - `Sum` over a DECIMAL child with full widening headroom: decimal
+  *    arithmetic is exact, so the difference of the running sums IS the
+  *    frame sum. Sum over DECIMAL(p, s) is typed DECIMAL(min(38, p+10), s),
+  *    so the rewrite requires p + 10 <= 38 — then the partition-length
+  *    running sum holds >= 10^10 worst-case child values, the same
+  *    headroom the original frame sum had, and the rewrite cannot
+  *    overflow where the original succeeded. Children with p > 28 are
+  *    left alone: their widened sum type is clamped to 38 digits, and a
+  *    long partition's running sum could overflow (NULL under non-ANSI —
+  *    which Coalesce would silently zero — or throw under ANSI) where
+  *    every k-row frame sum stays in range. (On FLOAT/DOUBLE
   *    the same trick suffers catastrophic cancellation — those sums are
   *    left alone. Integral sums are also left alone: a running sum can
   *    overflow where every k-row frame sum stays in range.)
@@ -67,7 +76,13 @@ object OptimizeSlidingWindowSums extends Rule[LogicalPlan] {
     !ae.isDistinct && ae.filter.isEmpty &&
       slidingK(spec.frameSpecification).isDefined &&
       (ae.aggregateFunction match {
-        case Sum(c, _) => c.dataType.isInstanceOf[DecimalType]
+        // Only rewrite when the widened sum type keeps the full +10-digit
+        // headroom (see scaladoc): at p > 28 the cumulative sum can
+        // overflow where the k-row frame sum cannot.
+        case Sum(c, _) => c.dataType match {
+          case dt: DecimalType => dt.precision + 10 <= DecimalType.MAX_PRECISION
+          case _               => false
+        }
         case _: Count  => true
         case _         => false
       })

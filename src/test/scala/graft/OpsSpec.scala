@@ -233,6 +233,25 @@ class OpsSpec extends SparkSpec {
       "p3 is identical content on a different sharding → absent")
   }
 
+  test("diffPartitions: NULL partition key matches itself (null-safe join)") {
+    // Hive-style layouts admit a NULL partition value; a plain equi-join
+    // would report an unchanged null-keyed partition as removed+added.
+    def dec(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("v", col("v").cast(DecimalType(18, 2)))
+    val a = dec(Seq((Option("p1"), 1L, 1.0), (Option.empty[String], 2L, 2.0))
+      .toDF("p", "k", "v"))
+    val same = dec(Seq((Option("p1"), 1L, 1.0), (Option.empty[String], 2L, 2.0))
+      .toDF("p", "k", "v"))
+    assert(Checksum.diffPartitions(a, same, Seq("p"), Seq("k", "v")).isEmpty,
+      "unchanged null-keyed partition must be absent from the diff")
+    val edit = dec(Seq((Option("p1"), 1L, 1.0), (Option.empty[String], 2L, 9.0))
+      .toDF("p", "k", "v"))
+    val got = Checksum.diffPartitions(a, edit, Seq("p"), Seq("k", "v"))
+      .select("p", "status").as[(Option[String], String)].collect().toMap
+    assert(got == Map(Option.empty[String] -> "changed"),
+      "edited null-keyed partition reports exactly once, with a NULL key")
+  }
+
   test("linearTrend: exact fit recovers slope/intercept, degenerate keys NULL") {
     val df = Seq(
       ("a", 1, Some(3.0)), ("a", 2, Some(5.0)), ("a", 3, Some(7.0)), // y = 2x+1

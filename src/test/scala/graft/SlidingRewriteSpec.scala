@@ -105,6 +105,27 @@ class SlidingRewriteSpec extends SparkSpec {
       "count(v) sees 0, count(*) sees the 2 rows")
   }
 
+  test("wide-decimal sums (p + 10 > 38) are left alone — overflow headroom") {
+    // Sum over DECIMAL(p,s) widens to DECIMAL(min(38, p+10), s): at p > 28
+    // the partition-length running sum loses headroom the k-row frame sum
+    // keeps, so the rewrite could NULL (non-ANSI) or throw (ANSI) where
+    // the original succeeds. Boundary: p = 28 still rewrites.
+    import extSpark.implicits._
+    val df = Seq(("a", 1, BigDecimal(1.5)), ("a", 2, BigDecimal(2.5)))
+      .toDF("k", "t", "v")
+    val w = Window.partitionBy("k").orderBy("t").rowsBetween(-4, 0)
+    def planFor(p: Int): String =
+      df.withColumn("v", col("v").cast(DecimalType(p, 2)))
+        .select(sum(col("v")).over(w))
+        .queryExecution.optimizedPlan.toString
+    assert(planFor(38).contains("specifiedwindowframe(RowFrame, -4, currentrow$())"),
+      s"DECIMAL(38,2) sum must keep its sliding frame:\n${planFor(38)}")
+    assert(planFor(29).contains("specifiedwindowframe(RowFrame, -4, currentrow$())"),
+      s"DECIMAL(29,2) sum must keep its sliding frame:\n${planFor(29)}")
+    assert(!planFor(28).contains("specifiedwindowframe(RowFrame, -4, currentrow$())"),
+      s"DECIMAL(28,2) keeps full +10 headroom and must rewrite:\n${planFor(28)}")
+  }
+
   test("double sums and distinct aggregates are left alone") {
     import extSpark.implicits._
     val df = Seq(("a", 1, 1.5), ("a", 2, 2.5)).toDF("k", "t", "v")
