@@ -757,12 +757,63 @@ object ExtQueries {
       // a hash match proves the write+read round trip preserved every
       // row of every shard (receiver-side validation with zero row
       // comparisons).
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_export_${
+      val path = s"$RunScratch/graft_export_${
         dir.replaceAll("[^A-Za-z0-9]", "_")}"
       Export.writeShardedCorpus(s,
           read(s, dir, "documents").select("doc_id", "text", "n_chars"),
           col("doc_id"), ExportShards, path, Seq("doc_id", "text", "n_chars"))
         .orderBy("shard")
+    }),
+
+    "q_export_jsonl" -> ((s, dir) => {
+      // The JSONL last mile: gzipped JSONL shards under the SAME pure
+      // md5 shard key as the parquet export, manifest computed from the
+      // sink read back through the schema-pinned JSONL reader. The
+      // oracle recomputes the manifest from the logical corpus — and is
+      // TEXT-IDENTICAL to q_export_manifest's, which is the
+      // shard-compatibility claim stated as a testable fact: parquet
+      // and JSONL deliveries of one corpus carry one manifest.
+      val path = s"$RunScratch/graft_export_jsonl_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Export.writeJsonlCorpus(s,
+          read(s, dir, "documents").select("doc_id", "text", "n_chars"),
+          col("doc_id"), ExportShards, path, Seq("doc_id", "text", "n_chars"))
+        .orderBy("shard")
+    }),
+
+    "q_src_jsonl" -> ((s, dir) => {
+      // JSONL source round trip: documents written as gzipped JSONL once
+      // per corpus (memoized), read back through the schema-pinned
+      // reader, compared against DuckDB's view of the ORIGINAL parquet —
+      // any escaping/type bug in either half breaks the hash.
+      val path = jsonlDocsFor(s, dir)
+      graft.sources.Tables.readJsonl(s, path,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars INT"))
+        .orderBy("doc_id")
+    }),
+
+    "q_url_normalize" -> ((s, dir) => {
+      // URL canonicalization + registered domain over a deterministic
+      // gnarly URL-space synthesized from the corpus (mixed-case
+      // scheme/host, default port, tracking params, fragment). The
+      // oracle rebuilds the same raw strings and runs the same
+      // Java-regex ∩ RE2 pipeline plus the same suffix-rule join.
+      Curation.withRegisteredDomain(
+          urlSpace(read(s, dir, "documents")), col("host"), "domain")
+        .select("doc_id", "url", "host", "domain").orderBy("doc_id")
+    }),
+
+    "q_domain_cap" -> ((s, dir) => {
+      // The anti-dominance curation step: at most DomainCap docs per
+      // registered domain, winners a pure hash function of the doc key
+      // (samplePerGroup) — no site floods the training mix however
+      // large it grows.
+      val dom = Curation.withRegisteredDomain(
+          urlSpace(read(s, dir, "documents")), col("host"), "domain")
+        .select("doc_id", "domain")
+      Sampling.samplePerGroup(dom, col("domain"), col("doc_id"), DomainCap)
+        .orderBy("doc_id")
     }),
 
     "q_hash_split" -> ((s, dir) => {
@@ -1135,12 +1186,30 @@ object ExtQueries {
   private val PctRankEps = 0.02
   /** Lloyd-trained IVF centroids per corpus dir — deterministic, so the
     * memo is a pure build/search split, not a semantic change. */
+  /** Per-JVM unique scratch root for every on-disk artifact the queries
+    * build (CSV cache, export sink, IVF index, bucketed tables). A fixed
+    * `java.io.tmpdir` path derived only from the corpus dir name let two
+    * concurrent harness runs (or a stale previous run) share a sink: one
+    * run's mode(overwrite) could race another's read-back and mix shard
+    * contents (r6 ADVICE). A `createTempDirectory` root keeps the
+    * build-once memoization within a run while isolating runs from each
+    * other; the shutdown hook reclaims the scratch on JVM exit. */
+  private lazy val RunScratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_run_")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p.toString
+  }
   private val IvfCentCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[(Long, Seq[Double])]]
   /** Persisted IVF index per corpus dir — same build/search split for the
-    * on-disk form. The path is DETERMINISTIC (one dir per corpus) and the
-    * build writes mode(overwrite), so repeated verify/bench runs reuse one
-    * location instead of accumulating orphaned corpus copies under /tmp. */
+    * on-disk form. One dir per corpus under the per-run scratch, so
+    * repeated builds within a run reuse one location and concurrent runs
+    * never share one. */
   private val IvfIndexCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
   /** Bucketed-table pair per corpus dir (build-once like the IVF index):
@@ -1152,7 +1221,7 @@ object ExtQueries {
   private def bucketedTablesFor(s: SparkSession, dir: String): (String, String) =
     BucketedCache.getOrElseUpdate(dir, {
       val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$slug"
+      val base = s"$RunScratch/graft_bucketed_$slug"
       val (liT, ordT) = (s"li_bucketed$slug", s"ord_bucketed$slug")
       s.sql(s"DROP TABLE IF EXISTS $liT")
       s.sql(s"DROP TABLE IF EXISTS $ordT")
@@ -1166,7 +1235,7 @@ object ExtQueries {
     })
   private def ivfIndexFor(s: SparkSession, dir: String): String =
     IvfIndexCache.getOrElseUpdate(dir, {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_${
+      val p = s"$RunScratch/graft_ivf_index_${
         dir.replaceAll("[^A-Za-z0-9]", "_")}"
       Similarity.writeIvfIndex(
         read(s, dir, "embeddings").select("vec_id", "embedding"), IvfLists, p)
@@ -1176,13 +1245,38 @@ object ExtQueries {
   private val CsvDocsCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def csvDocsFor(s: SparkSession, dir: String): String =
     CsvDocsCache.getOrElseUpdate(dir, {
-      val p = s"${System.getProperty("java.io.tmpdir")}/graft_csv_docs_${
+      val p = s"$RunScratch/graft_csv_docs_${
         dir.replaceAll("[^A-Za-z0-9]", "_")}"
       graft.sources.Tables.writeCsv(read(s, dir, "documents"), p)
       p
     })
+  private val JsonlDocsCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def jsonlDocsFor(s: SparkSession, dir: String): String =
+    JsonlDocsCache.getOrElseUpdate(dir, {
+      val p = s"$RunScratch/graft_jsonl_docs_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      graft.sources.Tables.writeJsonl(read(s, dir, "documents"), p)
+      p
+    })
   private val FrameEvery = 100
   private val ContamMinHits = 3
+  /** The URL fixture's TLD wheel — cycles suffix-rule widths 1..3. */
+  private val UrlTlds = Seq("com", "co.uk", "org", "github.io", "de", "nsw.edu.au")
+  private val DomainCap = 30
+  /** Deterministic gnarly URL per doc (mixed case, default port,
+    * tracking params, fragment) + its canonical form and host — the
+    * URL-space fixture both engines rebuild from the parquet. */
+  private def urlSpace(docs: DataFrame): DataFrame = {
+    val tld = element_at(array(UrlTlds.map(lit): _*),
+      (col("doc_id") % UrlTlds.size).cast("int") + 1)
+    val raw = concat(lit("HTTPS://WWW."), upper(col("source")), lit(".EXAMPLE."),
+      upper(tld), lit(":443/Page/"), col("doc_id").cast("string"),
+      lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+      lit("&fbclid=zz&x=Y#Frag"))
+    docs.select(col("doc_id"), raw.as("raw_url"))
+      .withColumn("url", Curation.normalizeUrl(col("raw_url")))
+      .withColumn("host", Curation.hostOf(col("url")))
+  }
 
   /** The Lloyd-IVF search oracle: seed centroids (lowest ids) → one
     * decimal-exact refinement → assignment, probes, rounded-cosine rank.
@@ -1403,7 +1497,86 @@ object ExtQueries {
           SELECT node AS doc_id, MIN(label) AS cluster_id
           FROM cc GROUP BY node ORDER BY doc_id"""
 
+  /** Shared CTE chain for the URL-curation oracles: rebuild the
+    * deterministic raw URL-space, then mirror `Curation.normalizeUrl` /
+    * `hostOf` step for step (same RE2 ∩ Java patterns) and resolve the
+    * registered domain with the same suffix-rule join
+    * (`Curation.MultiLabelSuffixes` inlined as VALUES). Ends at `dom`
+    * (doc_id, url, host, domain). */
+  private def pslValues(width: Int): String =
+    Curation.MultiLabelSuffixes
+      .filter(_.count(_ == '.') + 1 == width)
+      .map(sfx => s"('$sfx')").mkString(", ")
+  private lazy val UrlDomainSqlChain: String =
+    s"""WITH raw AS (SELECT doc_id,
+            'HTTPS://WWW.' || upper(source) || '.EXAMPLE.' ||
+            upper(list_extract([${UrlTlds.map(t => s"'$t'").mkString(", ")}],
+              CAST(doc_id % ${UrlTlds.size} AS INTEGER) + 1)) ||
+            ':443/Page/' || CAST(doc_id AS VARCHAR) ||
+            '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR) ||
+            '&fbclid=zz&x=Y#Frag' AS raw_url
+          FROM documents),
+        nf AS (SELECT doc_id, regexp_replace(trim(raw_url), '#.*$$', '') AS u
+          FROM raw),
+        pp AS (SELECT doc_id, u,
+            regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*') AS prefix
+          FROM nf),
+        pr AS (SELECT doc_id,
+            regexp_replace(regexp_replace(lower(prefix),
+              '^(http://[^:/?#]*):80$$', '\\1'),
+              '^(https://[^:/?#]*):443$$', '\\1') AS lowpre,
+            substr(u, length(prefix) + 1) AS rest FROM pp),
+        pq AS (SELECT doc_id, lowpre,
+            regexp_extract(rest, '^[^?]*') AS path,
+            regexp_extract(rest, '^[^?]*\\?(.*)$$', 1) AS q FROM pr),
+        nq AS (SELECT doc_id, lowpre, path,
+            array_to_string(list_filter(string_split(q, '&'),
+              p -> NOT regexp_matches(p,
+                '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref|ref_src)=')
+                AND p <> ''), '&') AS kept FROM pq),
+        urls AS (SELECT doc_id,
+            lowpre || path ||
+            CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS url FROM nq),
+        hosts AS (SELECT doc_id, url,
+            regexp_replace(regexp_replace(
+              lower(regexp_extract(url,
+                '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+              '^[^@]*@', ''), ':[0-9]+$$', '') AS host FROM urls),
+        cand AS (SELECT doc_id, url, host,
+            string_split(host, '.') AS labels,
+            len(string_split(host, '.')) AS n FROM hosts),
+        c23 AS (SELECT *,
+            CASE WHEN n >= 2
+              THEN array_to_string(list_slice(labels, n - 1, n), '.') END AS c2,
+            CASE WHEN n >= 3
+              THEN array_to_string(list_slice(labels, n - 2, n), '.') END AS c3
+          FROM cand),
+        psl2(sfx) AS (VALUES ${pslValues(2)}),
+        psl3(sfx) AS (VALUES ${pslValues(3)}),
+        j AS (SELECT c23.*, p3.sfx AS s3, p2.sfx AS s2 FROM c23
+          LEFT JOIN psl3 p3 ON c23.c3 = p3.sfx
+          LEFT JOIN psl2 p2 ON c23.c2 = p2.sfx),
+        dom AS (SELECT doc_id, url, host,
+            CASE WHEN s3 IS NOT NULL THEN (CASE WHEN n >= 4
+                   THEN array_to_string(list_slice(labels, n - 3, n), '.') END)
+                 WHEN s2 IS NOT NULL THEN (CASE WHEN n >= 3
+                   THEN array_to_string(list_slice(labels, n - 2, n), '.') END)
+                 ELSE (CASE WHEN n >= 2
+                   THEN array_to_string(list_slice(labels, n - 1, n), '.') END)
+            END AS domain FROM j)"""
+
   def oracles: Map[String, String] = Map(
+    "q_url_normalize" ->
+      s"""$UrlDomainSqlChain
+          SELECT doc_id, url, host, domain FROM dom ORDER BY doc_id""",
+
+    "q_domain_cap" ->
+      s"""$UrlDomainSqlChain
+          SELECT doc_id, domain FROM dom
+          QUALIFY row_number() OVER (PARTITION BY domain
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= $DomainCap
+          ORDER BY doc_id""",
+
     "q_agg_group" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -2103,6 +2276,25 @@ object ExtQueries {
                COALESCE(CAST(n_chars AS VARCHAR), chr(2)))), 1, 12))
              AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
          FROM sh GROUP BY 1 ORDER BY shard""",
+
+    // TEXT-IDENTICAL to q_export_manifest on purpose: one corpus, one
+    // manifest, regardless of the wire format (parquet vs JSONL).
+    "q_export_jsonl" ->
+      """WITH sh AS (SELECT doc_id, text, n_chars,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 8 AS INTEGER) AS shard
+           FROM documents)
+         SELECT shard, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
+               COALESCE(CAST(doc_id AS VARCHAR), chr(2)),
+               COALESCE(CAST(text AS VARCHAR), chr(2)),
+               COALESCE(CAST(n_chars AS VARCHAR), chr(2)))), 1, 12))
+             AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+         FROM sh GROUP BY 1 ORDER BY shard""",
+
+    "q_src_jsonl" ->
+      """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
 
     "q_hash_split" ->
       """WITH b AS (SELECT doc_id,

@@ -36,6 +36,30 @@ object Export {
     manifestOf(spark.read.parquet(path), cols)
   }
 
+  /** JSONL twin of `writeShardedCorpus` — the interchange last mile:
+    * gzipped JSONL under the SAME pure md5 shard key, so a corpus
+    * exported as parquet, CSV, or JSONL has byte-identical shard
+    * membership (a consumer can mix formats per shard and the manifest
+    * still lines up). The returned manifest is computed from the sink
+    * READ BACK through the schema-pinned JSONL reader — it vouches for
+    * what a downstream trainer will actually PARSE, so a serialization
+    * or escaping bug surfaces as a manifest mismatch, not a corrupt
+    * delivery. Gzip members are not splittable: each shard directory's
+    * part-file count (the writer's task count) is the consumer's read
+    * parallelism — size shards/partitions accordingly. */
+  def writeJsonlCorpus(spark: SparkSession, df: DataFrame, key: Column,
+                       nShards: Int, path: String,
+                       cols: Seq[String]): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    df.withColumn("shard", Sampling.hashBucket(key, nShards))
+      .write.partitionBy("shard").mode("overwrite")
+      .option("compression", "gzip").json(path)
+    // Read back with the DATA schema pinned; the shard partition column
+    // comes from directory discovery (manifestOf normalizes its type).
+    manifestOf(graft.sources.Tables.readJsonl(spark, path,
+      org.apache.spark.sql.types.StructType(df.schema.fields)), cols)
+  }
+
   /** Manifest of a sharded corpus (works on either side of the wire). */
   def manifestOf(sharded: DataFrame, cols: Seq[String]): DataFrame =
     Checksum.partitionChecksums(

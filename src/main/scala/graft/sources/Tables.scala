@@ -61,6 +61,30 @@ object Tables {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Schema-pinned JSONL read — the interchange format most training
+    * stacks actually consume. Like `readCsv`, the schema is SUPPLIED,
+    * never inferred: inference costs an extra full pass over 100 TB of
+    * text and silently flips types when the data drifts; a pinned schema
+    * reads in one pass and PERMISSIVE mode surfaces a malformed line as
+    * nulls instead of failing the job. Gzipped inputs (`*.json.gz`) read
+    * transparently — but NOTE a gzip member is NOT splittable, so read
+    * parallelism is per FILE: the writer's shard/part-file count, not
+    * intra-file splitting, sets the scan fan-out at 100 TB (keep part
+    * files ~100 MB–1 GB compressed). */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+  /** JSONL write half (gzip by default — the corpus interchange
+    * convention). JSON string escaping keeps every record on one
+    * physical line, so text with embedded newlines round-trips without
+    * the CSV `multiLine` trap — every output file stays splittable-ready
+    * (per-file parallel) and line-countable by any consumer. */
+  def writeJsonl(df: DataFrame, path: String, gzip: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
+
   val AllTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

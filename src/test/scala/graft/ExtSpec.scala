@@ -555,6 +555,81 @@ class ExtSpec extends SparkSpec {
       "exactly the tampered shard's manifest row differs")
   }
 
+  test("JSONL export: one manifest across formats, newline-safe lines, tamper pins the shard") {
+    // Embedded newlines are the case CSV can't carry without multiLine;
+    // JSON escaping must keep each record on one physical line.
+    val docs = (0L until 40L).map(i => (i, s"line1\nline2 of $i", i * 3))
+      .toDF("doc_id", "text", "n")
+    val cols = Seq("doc_id", "text", "n")
+    val jsonlPath = java.nio.file.Files.createTempDirectory("graft_ej").toString
+    val pqPath = java.nio.file.Files.createTempDirectory("graft_ep").toString
+    val manifest = Export.writeJsonlCorpus(spark, docs, col("doc_id"), 4,
+      jsonlPath, cols).orderBy("shard").collect().toSeq
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum == 40)
+    // Same corpus, same shard key, different wire format → SAME manifest.
+    val pq = Export.writeShardedCorpus(spark, docs, col("doc_id"), 4,
+      pqPath, cols).orderBy("shard").collect().toSeq
+    assert(manifest == pq, "JSONL and parquet exports carry one manifest")
+    // One JSON record per physical line (gzip text read counts lines).
+    assert(spark.read.text(jsonlPath).count() == 40,
+      "embedded newlines must stay escaped — 40 rows, 40 lines")
+    // Tamper: drop one row off the sink read-back; only its shard moves.
+    val schema = org.apache.spark.sql.types.StructType(docs.schema.fields)
+    val tampered = graft.sources.Tables.readJsonl(spark, jsonlPath, schema)
+      .filter(col("doc_id") =!= 0L)
+    val after = Export.manifestOf(tampered, cols).orderBy("shard").collect().toSeq
+    assert(after != manifest)
+    assert(after.count(r => !manifest.contains(r)) == 1,
+      "exactly the tampered shard's manifest row differs")
+  }
+
+  test("normalizeUrl goldens: case, default ports, tracking params, fragments") {
+    val cases = Seq(
+      // lowercased scheme+host, :80 stripped, utm_* dropped, order kept
+      "HTTP://ExAmple.COM:80/Path/Q?a=1&utm_source=x&b=2#frag" ->
+        "http://example.com/Path/Q?a=1&b=2",
+      // :443 stripped for https; all-tracking query drops its '?'
+      "https://Sub.Example.Co.UK:443/?utm_campaign=z" ->
+        "https://sub.example.co.uk/",
+      // non-default port kept; path/query case preserved
+      "https://WWW.Example.org:8443/A/b?ref=r&X=1" ->
+        "https://www.example.org:8443/A/b?X=1",
+      // scheme-less input: no prefix to fold, query pass still applies
+      "example.com/path?gclid=1&z=2" -> "example.com/path?z=2",
+      // empty-segment params (&&) vanish
+      "https://h.com/p?utm_a=1&&b=2" -> "https://h.com/p?b=2",
+      // fragment-only tail
+      "https://A.com#x" -> "https://a.com")
+    val got = cases.map(_._1).toDF("u")
+      .select(col("u"), Curation.normalizeUrl(col("u")).as("n"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"normalizeUrl($in)") }
+    assert(Curation.hostOf(lit("https://user:pw@WWW.Ex.org:8443/a")) != null)
+    val hosts = Seq("https://user:pw@WWW.Ex.org:8443/a", "http://H.com/x", "no-scheme/p")
+      .toDF("u").select(Curation.hostOf(col("u"))).as[String].collect().toSeq
+    assert(hosts == Seq("www.ex.org", "h.com", ""),
+      "hostOf strips userinfo + port, lowercases; empty without a scheme")
+  }
+
+  test("registeredDomain: longest-suffix match, TLD fallback, suffix-only NULL") {
+    val hosts = Seq("www.example.co.uk", "a.b.github.io", "school.nsw.edu.au",
+      "deep.sub.example.com", "example.de", "co.uk", "localhost", "foo.unknowntld")
+    val got = Curation.withRegisteredDomain(hosts.toDF("host"), col("host"), "d")
+      .select("host", "d").as[(String, Option[String])].collect().toMap
+    assert(got("www.example.co.uk").contains("example.co.uk"))
+    assert(got("a.b.github.io").contains("b.github.io"),
+      "github.io is the suffix; b is the owner label")
+    assert(got("school.nsw.edu.au").contains("school.nsw.edu.au"),
+      "3-label rule beats the 2-label edu.au rule (longest match)")
+    assert(got("deep.sub.example.com").contains("example.com"))
+    assert(got("example.de").contains("example.de"), "bare-TLD fallback")
+    assert(got("co.uk").isEmpty, "a public suffix itself registers nothing")
+    assert(got("localhost").isEmpty, "single label: no registrable domain")
+    assert(got("foo.unknowntld").contains("foo.unknowntld"),
+      "unknown TLD falls back to last-two-labels")
+  }
+
   test("nearest-neighbor resize: output pixels are exact copies per the index map") {
     import java.lang.Math.floorMod
     val ids = Seq(0L, 3L, 11L)
