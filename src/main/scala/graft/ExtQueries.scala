@@ -582,15 +582,18 @@ object ExtQueries {
       // candidate→verify joins; sampling and splitting are map-only.
       val docs = read(s, dir, "documents")
       val t = col("text")
-      // cache(): the filtered corpus feeds four branches (signatures,
-      // both verify sides, the eviction anti-join) — without it each
+      // The filtered corpus feeds four branches (signatures, both verify
+      // sides, the eviction anti-join) — without a materialization each
       // branch re-scans and re-evaluates the quality expressions. At
-      // 100 TB this cache IS the pipeline's materialization point: a
+      // 100 TB this point IS the pipeline's materialization point: a
       // curation pass persists its post-filter corpus anyway (it is the
-      // output), so the demo cache stands in for that parquet write.
+      // output), so the demo materialization stands in for that parquet
+      // write. Eager localCheckpoint, not .cache(): no CacheManager
+      // entry → no session-lifetime leak, no substitution into later
+      // plans; blocks free with the result frame (ContextCleaner).
       val quality = docs.filter(
         TextAnalysis.nWords(t).between(20, 100000) &&
-        round(TextAnalysis.repetitionRatio(t), 6) < 0.8).cache()
+        round(TextAnalysis.repetitionRatio(t), 6) < 0.8).localCheckpoint()
       val verified = Dedup.verifiedNearDupPairs(quality, "doc_id", "text",
         k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
       val deduped = Dedup.removeNearDups(quality, verified, "doc_id")
@@ -637,11 +640,16 @@ object ExtQueries {
       // cost is Θ(docs + sig pairs) instead of Θ(cluster²) — the dedup
       // default at 100 TB.
       // sigs feed two consumers (the sig-pair graph and the doc labeling
-      // join) — cached for the same reason dedupAgainstReference caches
-      // its survivors: per-branch pruning de-canonicalizes the shared
-      // simhash aggregation, so without the cache it runs twice.
+      // join) — materialized once for the same reason
+      // dedupAgainstReference materializes its survivors: per-branch
+      // pruning de-canonicalizes the shared simhash aggregation, so
+      // without it the aggregation runs twice. Eager localCheckpoint,
+      // not .cache(): no CacheManager entry means no release-point
+      // problem and no canonical subtree that could substitute into a
+      // later query's plan; the blocks are freed by the ContextCleaner
+      // when the result frame is dropped.
       val sigs = Dedup.simhash(read(s, dir, "documents"), "doc_id", "text", SimhashBits)
-        .cache()
+        .localCheckpoint()
       val sigPairs = Dedup.simhashSigPairs(sigs, "simhash", SimhashBits,
         bands = 4, maxHamming = 3)
       Dedup.dupClustersFromSigPairs(sigPairs, sigs, "doc_id", "simhash")

@@ -79,16 +79,22 @@ object SparkEntry {
     def forexFeeds(events: DataFrame): (DataFrame, DataFrame) = {
       val types = Seq("purchase" -> "usd_to_eur", "view" -> "usd_to_gbp",
         "click" -> "usd_to_sek", "error" -> "usd_to_dkk", "signup" -> "usd_to_btc")
-      // Cache: bounded at one row per day (365 rows/yr × 11 cols) no
-      // matter the input size, and it is read 4× downstream (both feeds,
-      // then twice more by imputeMean's two-pass agg+fill — per-branch
-      // column pruning makes the subtrees differ, so ReuseExchange can't
-      // dedupe them on its own).
-      val pivoted = events
+      // Bounded at one row per day (365 rows/yr × 11 cols) no matter the
+      // input size, and read 4× downstream (both feeds, then twice more
+      // by imputeMean's two-pass agg+fill — per-branch column pruning
+      // makes the subtrees differ, so ReuseExchange can't dedupe them on
+      // its own). Materialized to a driver-side LocalRelation rather
+      // than .cache(): the downstream plans embed the tiny table itself,
+      // so the aggregation still runs once, but nothing rides the
+      // CacheManager — a .cache() here had no release point (the
+      // consuming action happens in the caller) and its canonical
+      // subtree could silently substitute into a LATER query's plan.
+      val pivotedQ = events
         .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date"))
         .pivot("event_type", types.map(_._1))
         .agg(davg(col("value")).as("v"), count(lit(1)).as("n"))
-        .cache()
+      val pivoted = events.sparkSession.createDataFrame(
+        java.util.Arrays.asList(pivotedQ.collect(): _*), pivotedQ.schema)
       val rateTypes = types.init
       val rates = pivoted
         .filter(rateTypes.map { case (t, _) => col(s"${t}_n").isNotNull }.reduce(_ || _))

@@ -355,18 +355,24 @@ object Dedup {
                             rowsPerBand: Int, threshold: Double): DataFrame = {
     val refKeys = ref.select(md5(col(textCol)).as("__ck")).distinct()
     // The exact-pass survivors feed THREE branches (signatures, the
-    // verify join, the final anti-join), so they are cached: without
-    // it, each branch re-runs the batch scan + anti-join, and
+    // verify join, the final anti-join), so they are materialized once:
+    // without it, each branch re-runs the batch scan + anti-join, and
     // per-branch column pruning de-canonicalizes the shared subtree so
     // exchange reuse cannot save it (the repo's round-4 Catalyst
-    // lesson). Caching the batch is the right asymmetry — it is the
-    // incoming crawl slice, orders smaller than the curated corpus.
-    // `ref` is deliberately NOT cached: at 100 TB the curated side must
-    // stream from storage, column-pruned per pass (hashes, then
-    // signatures, then candidate texts).
+    // lesson). Materializing the batch is the right asymmetry — it is
+    // the incoming crawl slice, orders smaller than the curated corpus.
+    // Eager localCheckpoint, not .cache(): a cache here had no release
+    // point (the consuming action happens in the caller, so the
+    // InMemoryRelation leaked for the session and could silently
+    // substitute into any later plan sharing the subtree); checkpoint
+    // blocks belong to the returned frame's RDD lineage and are freed
+    // by the ContextCleaner once the result is dropped.
+    // `ref` is deliberately NOT materialized: at 100 TB the curated
+    // side must stream from storage, column-pruned per pass (hashes,
+    // then signatures, then candidate texts).
     val fresh = batch.withColumn("__ck", md5(col(textCol)))
       .join(refKeys, Seq("__ck"), "left_anti").drop("__ck")
-      .cache()
+      .localCheckpoint()
     val bBands = lshBands(minhashSignature(fresh, docKey, textCol, k),
         docKey, bands, rowsPerBand)
       .select(col(docKey).as("b"), col("band_id"), col("band_hash"))

@@ -583,6 +583,22 @@ class ExtSpec extends SparkSpec {
       "exactly the tampered shard's manifest row differs")
   }
 
+  test("query functions leave no CacheManager residue after their action") {
+    // r6 ADVICE: a .cache() inside a query function has no release point
+    // (the consuming action runs in the caller), so the InMemoryRelation
+    // leaked for the session and its canonical subtree could silently
+    // substitute into a LATER query's plan. The former cache sites now
+    // materialize via LocalRelation / eager localCheckpoint instead —
+    // neither touches the CacheManager.
+    val dir = "/root/testdata/sf0.001"
+    Seq("q_pipeline_forex", "q_dup_clusters_sig", "q_dedup_incremental",
+      "q_curation_pipeline").foreach { n =>
+      SparkEntry.queries(n)(spark, dir).collect()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$n left a cached plan registered in the CacheManager")
+    }
+  }
+
   test("normalizeUrl goldens: case, default ports, tracking params, fragments") {
     val cases = Seq(
       // lowercased scheme+host, :80 stripped, utm_* dropped, order kept
