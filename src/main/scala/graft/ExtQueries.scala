@@ -801,6 +801,17 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_token_bpe" -> ((s, dir) => {
+      // REAL merge-table BPE token counts (greedy segmenter over the
+      // inlined merge table, mapPartitions with a per-partition compiled
+      // rank map — map-only, zero shuffles). The oracle replays the SAME
+      // merge loop as a recursive CTE: one recursion step = one merge of
+      // the best-ranked (leftmost on ties) adjacent pair, so Spark and
+      // DuckDB converge on identical segmentations, not just counts.
+      Bpe.withTokenCount(read(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     "q_url_normalize" -> ((s, dir) => {
       // URL canonicalization + registered domain over a deterministic
       // gnarly URL-space synthesized from the corpus (mixed-case
@@ -1573,7 +1584,48 @@ object ExtQueries {
                    THEN array_to_string(list_slice(labels, n - 1, n), '.') END)
             END AS domain FROM j)"""
 
+  /** The BPE oracle's merge table, inlined from the one Scala constant
+    * so query and oracle can never drift. */
+  private lazy val BpeMergeValues: String =
+    Bpe.Merges.zipWithIndex
+      .map { case ((l, r), i) => s"('$l $r', ${i + 1})" }.mkString(", ")
+
   def oracles: Map[String, String] = Map(
+    // Replays Bpe.tokenCount as a recursive CTE: each word starts as its
+    // character list; every recursion step merges the best-ranked
+    // (leftmost on ties) adjacent pair, or marks the word done when no
+    // table pair remains. Rows recurse independently (UNION ALL keeps
+    // duplicate words); the final count left-joins back to documents so
+    // wordless docs report 0 like the Spark side.
+    "q_token_bpe" ->
+      s"""WITH RECURSIVE merges(pair, rank) AS (VALUES $BpeMergeValues),
+          words AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+              '${Bpe.PreTokenPattern}')) AS word
+            FROM documents),
+          seg(doc_id, toks, done) AS (
+            SELECT doc_id, string_split(word, ''), false FROM words
+            UNION ALL
+            SELECT s.doc_id,
+              CASE WHEN b.bi IS NULL THEN s.toks
+                   ELSE list_concat(list_concat(
+                     s.toks[1:b.bi-1], [s.toks[b.bi] || s.toks[b.bi+1]]),
+                     s.toks[b.bi+2:len(s.toks)]) END,
+              b.bi IS NULL
+            FROM seg s LEFT JOIN LATERAL (
+              SELECT gs.i AS bi
+              FROM (SELECT unnest(range(1, len(s.toks))) AS i) gs
+              JOIN merges m ON m.pair = s.toks[gs.i] || ' ' || s.toks[gs.i+1]
+              ORDER BY m.rank, gs.i LIMIT 1
+            ) b ON true
+            WHERE NOT s.done)
+          SELECT d.doc_id, CAST(COALESCE(t.n, 0) AS INTEGER) AS n_tokens_bpe
+          FROM documents d LEFT JOIN
+            (SELECT doc_id, SUM(len(toks)) AS n FROM seg WHERE done
+             GROUP BY doc_id) t
+            USING (doc_id)
+          ORDER BY doc_id""",
+
     "q_url_normalize" ->
       s"""$UrlDomainSqlChain
           SELECT doc_id, url, host, domain FROM dom ORDER BY doc_id""",

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Real merge-table BPE token counting — replaces the "BPE-ish" regex
+  * ESTIMATE (`TextAnalysis.tokenCountBpe`) for the places a drift of
+  * tens of percent matters: pack/chunk budgets keyed on token counts.
+  *
+  * Algorithm (the Sennrich-style greedy segmenter, deterministic
+  * variant): lowercase text splits into pre-tokens (alpha runs, digit
+  * runs, single non-alphanumeric symbols — whitespace never tokenizes);
+  * each pre-token starts as its code-point sequence and repeatedly
+  * merges the best-ranked adjacent pair per the merge table — leftmost
+  * occurrence on rank ties, rescanning after every merge — until no
+  * table pair remains. Rescan-per-merge (rather than merge-all-
+  * occurrences-per-scan) is chosen because one step = one list rewrite,
+  * which the DuckDB oracle reproduces EXACTLY as a recursive CTE — the
+  * fixed point is the classic greedy BPE segmentation for
+  * non-overlapping tables like this one.
+  *
+  * Execution shape: `mapPartitions` with the rank table compiled ONCE
+  * per partition into a hash map — per-pair lookup is O(1), the whole
+  * loop is O(len²) worst-case on a pre-token (len ≤ a word), and the
+  * operator stays map-only: zero shuffles, embarrassingly parallel,
+  * the same shape at 100 TB. An imperative loop has no Catalyst
+  * expression form (HOFs cannot express iterate-until-fixed-point, and
+  * their lambdas re-evaluate captured expressions per element — the
+  * r7 charEntropy lesson), so mapPartitions is the honest tier here,
+  * exactly like the multimodal codecs.
+  *
+  * Multi-byte text segments by CODE POINT (surrogate-safe), so CJK or
+  * accented input degrades to per-character tokens instead of
+  * miscounting — the worst case is an honest upper bound, never a
+  * crash or a split surrogate.
+  */
+object Bpe {
+
+  /** The merge table, rank = position (hand-computed over frequent
+    * English pairs; a production vocabulary would broadcast ~50k
+    * learned merges through the same code path). */
+  val Merges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("h", "e"), ("a", "t"),
+    ("e", "n"), ("n", "d"), ("t", "i"), ("e", "s"), ("o", "r"),
+    ("o", "u"), ("i", "s"), ("i", "t"), ("a", "l"), ("a", "r"),
+    ("s", "t"), ("t", "o"), ("n", "t"), ("e", "d"))
+
+  /** Pre-tokenizer classes (shared with the regex estimator): alpha
+    * runs, digit runs, one token per other non-space character. */
+  val PreTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Token count of ONE pre-token under `rank` (the greedy merge loop). */
+  def tokenCount(word: String, rank: Map[(String, String), Int]): Int = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      buf += word.substring(i, i + n)
+      i += n
+    }
+    var done = buf.length <= 1
+    while (!done) {
+      var bestRank = Int.MaxValue
+      var bestIdx = -1
+      var j = 0
+      while (j < buf.length - 1) {
+        val r = rank.getOrElse((buf(j), buf(j + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = j }
+        j += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        buf(bestIdx) = buf(bestIdx) + buf(bestIdx + 1)
+        buf.remove(bestIdx + 1)
+        if (buf.length <= 1) done = true
+      }
+    }
+    buf.length
+  }
+
+  /** (docKey, n_tokens_bpe) per document — the real-BPE token count
+    * `Sampling.packByBudget` / chunking budgets should be keyed on. */
+  def withTokenCount(df: DataFrame, docKey: String, textCol: String): DataFrame = {
+    val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
+    val rank: Map[(String, String), Int] = Merges.zipWithIndex.toMap
+    df.select(col(docKey).cast("long"), lower(col(textCol)))
+      .as[(Long, String)](inEnc)
+      .mapPartitions { it =>
+        val pre = java.util.regex.Pattern.compile(PreTokenPattern)
+        it.map { case (id, text) =>
+          var total = 0
+          val m = pre.matcher(if (text == null) "" else text)
+          while (m.find()) total += tokenCount(m.group(), rank)
+          (id, total)
+        }
+      }(outEnc)
+      .toDF(docKey, "n_tokens_bpe")
+  }
+}

@@ -583,6 +583,44 @@ class ExtSpec extends SparkSpec {
       "exactly the tampered shard's manifest row differs")
   }
 
+  test("BPE goldens: merge order, ties, multi-byte, digits, empty") {
+    val rank = Bpe.Merges.zipWithIndex.toMap
+    // Hand-traced merge sequences over the inlined table.
+    assert(Bpe.tokenCount("the", rank) == 1, "t+h then th+e")
+    assert(Bpe.tokenCount("and", rank) == 1, "a+n then an+d")
+    assert(Bpe.tokenCount("standard", rank) == 4,
+      "a+n, an+d, a+r, s+t -> [st, and, ar, d]")
+    assert(Bpe.tokenCount("xyz", rank) == 3, "no table pair applies")
+    assert(Bpe.tokenCount("café", rank) == 4,
+      "accented char is its own code point token")
+    assert(Bpe.tokenCount("a😀b", rank) == 3,
+      "astral code point (surrogate pair) stays one token, never split")
+    // End-to-end over docs incl. pre-tokenization and the 0 contract.
+    val docs = Seq((1L, "The THE the"), (2L, "café 42!"), (3L, ""),
+      (4L, "is it and")).toDF("doc_id", "text")
+    val got = Bpe.withTokenCount(docs, "doc_id", "text")
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 7, 3L -> 0, 4L -> 3),
+      "lowercased: 3x'the'=3; caf+é+4,2+! = 7; empty = 0; is/it/and = 3")
+  }
+
+  test("packByBudget composes with real BPE counts as the budget key") {
+    val docs = Seq((1L, "the and is"), (2L, "standard standard"),
+      (3L, "xyz"), (4L, "it")).toDF("doc_id", "text")
+    val withCounts = docs.join(
+      Bpe.withTokenCount(docs, "doc_id", "text"), Seq("doc_id"))
+    val packed = Sampling.packByBudget(withCounts, col("doc_id"),
+      col("n_tokens_bpe"), budget = 8, shards = 1)
+    // Every pack's token sum exceeds the budget only by (part of) its
+    // final doc — the contract packByBudget documents.
+    val perPack = packed.groupBy("pack_id")
+      .agg(sum(col("n_tokens_bpe")).as("s"), count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    assert(perPack.map(_._3).sum == 4, "every doc packed exactly once")
+    assert(packed.select("n_tokens_bpe").as[Int].collect().sum ==
+      (3 + 8 + 3 + 1), "BPE counts: 3, 2x4=8, 3, 1")
+  }
+
   test("query functions leave no CacheManager residue after their action") {
     // r6 ADVICE: a .cache() inside a query function has no release point
     // (the consuming action runs in the caller), so the InMemoryRelation
