@@ -271,6 +271,39 @@ object Similarity {
       .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
   }
 
+  /** Append a batch to a persisted index under its FROZEN centroids —
+    * the streaming-ingest path for the on-disk index (before this, any
+    * new data forced a full rebuild). New rows are assigned to the
+    * EXISTING lists (assignment is a pure function of
+    * (vector, centroids), one map-only pass, no retraining, no corpus
+    * shuffle) and land in the affected `lists/` partitions via dynamic
+    * partition append, with the same stored norms and int8 payload the
+    * builder writes — so every search variant (full-precision,
+    * quantized, refined) sees appended rows exactly as a rebuild under
+    * the same centroids would place them (ExtSpec pins the equality).
+    *
+    * What freezing costs: recall degrades only as the DATA DISTRIBUTION
+    * drifts from the trained centroids, and it surfaces as list-size
+    * skew (hot lists collect the drifted mass), never as wrong scores.
+    * Retrain trigger: profile per-list counts
+    * (`ops.Analytics.keySkewProfile` on `lists/`, key = `list`) and
+    * rebuild with fresh Lloyd rounds when max/mean list size exceeds a
+    * small factor (~4× is a reasonable default) — the rebuild is the
+    * same one-pass write the initial build was. */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       batch: DataFrame, cId: String = "vec_id",
+                       cVec: String = "embedding"): Unit = {
+    val cents = readIvfCentroids(spark, path)
+    val assigned = batch.withColumn("__cn", vec_norm(col(cVec)))
+      .withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
+    val dv = asDouble(col(cVec))
+    assigned
+      .withColumn("__scale", quantScale(dv))
+      .withColumn("__codes", transform(quantCodesDouble(dv, col("__scale")),
+        x => x.cast("int")))
+      .write.mode("append").partitionBy("list").parquet(s"$path/lists")
+  }
+
   /** Read back the index's centroid metadata (nLists × dim doubles). */
   def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
                        path: String): Seq[(Long, Seq[Double])] =

@@ -583,6 +583,39 @@ class ExtSpec extends SparkSpec {
       "exactly the tampered shard's manifest row differs")
   }
 
+  test("IVF append: search-after-append == rebuild under frozen centroids") {
+    val dim = 4
+    def vec(id: Long): Seq[Double] =
+      (0 until dim).map(d => ((id * 31 + d * 7) % 13).toDouble - 6.0)
+    val a = (0L until 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val b = (40L until 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    Similarity.writeIvfIndex(a, nLists = 4, path)
+    Similarity.appendToIvfIndex(spark, path, b)
+    val cents = Similarity.readIvfCentroids(spark, path)
+    val queries = (0L until 5L).map(i => (i, vec(i * 3 + 1))).toDF("q_id", "q_vec")
+    // Reference = assigning the FULL union under the same frozen
+    // centroids (what a rebuild that skips retraining would produce).
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_id", "rank").collect().toSeq
+    val viaAppend = canon(
+      Similarity.searchIvfIndex(spark, path, queries, k = 3, nProbe = 2))
+    val viaRebuild = canon(
+      Similarity.ivfTopKWith(queries, a.union(b), k = 3, cents, nProbe = 2))
+    assert(viaAppend == viaRebuild,
+      "appended index must search exactly like a frozen-centroid rebuild")
+    // The appended rows carry the full stored payload: the generator has
+    // period 13, so ids {6, 19, 32, 45, 58} share ONE vector — a
+    // quantized search for it ties all five at maximal integer MIPS and
+    // ranks by id, so top-5 must surface the two APPENDED members (45,
+    // 58) alongside the three originals.
+    val q45 = Seq((45L, vec(45L))).toDF("q_id", "q_vec")
+    val top = Similarity.searchIvfIndexQuantized(spark, path, q45,
+      k = 5, nProbe = 2).orderBy("rank").select("vec_id").as[Long].collect()
+    assert(top.toSeq == Seq(6L, 19L, 32L, 45L, 58L),
+      "quantized search must see the appended rows' int8 payload")
+  }
+
   test("BPE goldens: merge order, ties, multi-byte, digits, empty") {
     val rank = Bpe.Merges.zipWithIndex.toMap
     // Hand-traced merge sequences over the inlined table.
