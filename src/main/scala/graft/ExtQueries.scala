@@ -801,6 +801,28 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_window_sliding_rule" -> ((s, dir) => {
+      // The optimizer rule exercised END-TO-END against the engine
+      // oracle: a NAIVE trailing ROW-frame decimal sum — exactly what
+      // ad-hoc user SQL writes — submitted through a GraftExtensions
+      // session, where OptimizeSlidingWindowSums rewrites the O(n·k)
+      // frame into a difference of two O(n) growing frames
+      // (SlidingRewriteSpec pins that the frame is gone from this very
+      // plan). The oracle computes the naive frame in DuckDB, so a hash
+      // match proves the REWRITTEN plan is value-identical on the real
+      // corpus — Spark-vs-engine, not just Spark-vs-Spark.
+      val es = extensionSession(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+      graft.sources.Tables.table(es, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .over(w).cast("double").as("win_sum"),
+          count(col("value")).over(w).as("win_n"))
+        .orderBy("event_id")
+    }),
+
     "q_token_bpe" -> ((s, dir) => {
       // REAL merge-table BPE token counts (greedy segmenter over the
       // inlined merge table, mapPartitions with a per-partition compiled
@@ -1269,6 +1291,30 @@ object ExtQueries {
       graft.sources.Tables.writeCsv(read(s, dir, "documents"), p)
       p
     })
+  /** One extension-enabled session per JVM, sharing the harness
+    * session's SparkContext. `spark.sql.extensions` is a STATIC conf —
+    * inert once a context exists — so the builder's `withExtensions`
+    * hook injects the same `GraftExtensions` a fresh cluster names in
+    * the conf (the SlidingRewriteSpec pattern). The active/default
+    * session is cleared so getOrCreate mints a NEW session rather than
+    * returning the harness one, then both are restored. */
+  @volatile private var ExtSess: SparkSession = null
+  private def extensionSession(s: SparkSession): SparkSession = synchronized {
+    if (ExtSess == null || ExtSess.sparkContext.isStopped) {
+      s.sparkContext
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      ExtSess = SparkSession.builder()
+        .withExtensions(new GraftExtensions())
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+      SparkSession.setDefaultSession(s)
+      SparkSession.setActiveSession(s)
+    }
+    ExtSess
+  }
   private val JsonlDocsCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def jsonlDocsFor(s: SparkSession, dir: String): String =
     JsonlDocsCache.getOrElseUpdate(dir, {
@@ -1591,6 +1637,18 @@ object ExtQueries {
       .map { case ((l, r), i) => s"('$l $r', ${i + 1})" }.mkString(", ")
 
   def oracles: Map[String, String] = Map(
+    // The NAIVE frame, deliberately: Spark executes the REWRITTEN plan
+    // (two growing frames), DuckDB the original sliding frame — equality
+    // is the rule's exactness claim checked engine-to-engine.
+    "q_window_sliding_rule" ->
+      """SELECT event_id, event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS win_sum,
+           COUNT(value) OVER w AS win_n
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
     // Replays Bpe.tokenCount as a recursive CTE: each word starts as its
     // character list; every recursion step merges the best-ranked
     // (leftmost on ties) adjacent pair, or marks the word done when no

@@ -126,6 +126,20 @@ class SlidingRewriteSpec extends SparkSpec {
       s"DECIMAL(28,2) keeps full +10 headroom and must rewrite:\n${planFor(28)}")
   }
 
+  test("q_window_sliding_rule's plan actually runs the rewrite") {
+    // The oracle entry claims Spark executes the REWRITTEN plan; pin it,
+    // so a refactor that silently drops the extension session turns the
+    // oracle row into a plain naive-frame check without anyone noticing.
+    val df = SparkEntry.queries("q_window_sliding_rule")(
+      spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("specifiedwindowframe(RowFrame, -6, currentrow$())"),
+      s"the sliding frame survived — extension session not in effect:\n$plan")
+    assert(plan.contains("specifiedwindowframe(RowFrame, unboundedpreceding$(), -7)"),
+      s"expected the lagged growing frame:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("double sums and distinct aggregates are left alone") {
     import extSpark.implicits._
     val df = Seq(("a", 1, 1.5), ("a", 2, 2.5)).toDF("k", "t", "v")
