@@ -165,6 +165,52 @@ object Analytics {
       round(sx / fcnt(lit(1)), 6)))
   }
 
+  /** SALTED trailing-window recipe — the skew escape hatch for the
+    * rolling/lag family. A window's hash shuffle sends EVERY row of a
+    * key to one task; one hot symbol at 100 TB therefore serializes one
+    * reducer, and AQE cannot help: `OptimizeSkewedJoin` splits
+    * SortMergeJoin partitions because each split re-joins independently,
+    * but a window partition carries ORDER-DEPENDENT state — splitting it
+    * would need cross-split frame context that no runtime rule
+    * re-injects (see SCALING.md). The recipe injects that context
+    * explicitly, and is EXACT for any bounded trailing frame
+    * (`k-1 PRECEDING .. CURRENT ROW` sums/means, `lag(n)` with
+    * n < k) — not for unbounded/running aggregates:
+    *
+    *  1. chunk each key's sequence by `chunk` — any expression MONOTONE
+    *     NON-DECREASING in `orderCols` (a time bucket, an id range);
+    *  2. rank each key's distinct chunks (a window over #chunks rows
+    *     per key — metadata-sized, never the hot data) so "previous
+    *     chunk" is well-defined even when buckets skip;
+    *  3. replicate each chunk's LAST k-1 rows into the next chunk as
+    *     GHOST rows: every row's trailing frame is complete inside its
+    *     own (key, chunk) partition;
+    *  4. run the ordinary window partitioned by (key, chunk) — the hot
+    *     key now spreads across its chunks — and drop ghost outputs.
+    *
+    * Cost: one extra tiny distinct + broadcast, ghosts add k-1 rows per
+    * (key, chunk). Correctness is pinned against the unsalted operator
+    * under planted skew (OpsSpec). */
+  def rollingMeanSalted(df: DataFrame, valueCol: String, partCols: Seq[String],
+                        orderCols: Seq[String], k: Int, out: String,
+                        chunk: Column): DataFrame = {
+    val keyed = df.withColumn("__chunk", chunk)
+    val wChunks = Window.partitionBy(partCols.map(col): _*).orderBy(col("__chunk"))
+    val idx = keyed.select((partCols :+ "__chunk").map(col): _*).distinct()
+      .withColumn("__cidx", row_number().over(wChunks))
+    val withIdx = keyed.join(broadcast(idx), partCols :+ "__chunk")
+    val wTail = Window.partitionBy((partCols :+ "__cidx").map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val ghosts = withIdx.withColumn("__rn", row_number().over(wTail))
+      .filter(col("__rn") < k).drop("__rn")
+      .withColumn("__cidx", col("__cidx") + 1)
+      .withColumn("__ghost", lit(true))
+    val aug = withIdx.withColumn("__ghost", lit(false)).unionByName(ghosts)
+    rollingMean(aug, valueCol, partCols :+ "__cidx", orderCols, k, out)
+      .filter(!col("__ghost"))
+      .drop("__chunk", "__cidx", "__ghost")
+  }
+
   /** Trailing-window Pearson correlation of two clean-decimal series per
     * key — rolling co-movement, one analytic step past `rollingMean`
     * (feed y = lag(x) for rolling autocorrelation). Rows where either

@@ -252,6 +252,27 @@ class OpsSpec extends SparkSpec {
       "edited null-keyed partition reports exactly once, with a NULL key")
   }
 
+  test("salted rolling window: exact under planted skew, hot key actually splits") {
+    // One hot key dominating the table — the shape where an unsalted
+    // window serializes a single reducer at scale.
+    val rows = (1 to 900).map(i => ("hot", i, BigDecimal((i % 7) + 1))) ++
+      (1 to 60).map(i => ("cold", i, BigDecimal((i % 5) + 1)))
+    val df = rows.toDF("k", "t", "v")
+      .withColumn("v", col("v").cast(DecimalType(18, 2)))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "t", "m").orderBy("k", "t").collect().toSeq
+    val base = canon(Analytics.rollingMean(df, "v", Seq("k"), Seq("t"), 7, "m"))
+    val salted = canon(Analytics.rollingMeanSalted(df, "v", Seq("k"), Seq("t"),
+      7, "m", chunk = (col("t") / 100).cast("int")))
+    assert(salted == base,
+      "ghost rows must make every chunk-local frame complete")
+    // The recipe only helps if the hot key really spreads: 900 rows at
+    // chunk width 100 -> 9+ distinct (key, chunk) partitions.
+    val hotChunks = df.filter(col("k") === "hot")
+      .select(((col("t") / 100).cast("int")).as("c")).distinct().count()
+    assert(hotChunks >= 9, s"expected the hot key split across chunks, got $hotChunks")
+  }
+
   test("linearTrend: exact fit recovers slope/intercept, degenerate keys NULL") {
     val df = Seq(
       ("a", 1, Some(3.0)), ("a", 2, Some(5.0)), ("a", 3, Some(7.0)), // y = 2x+1
