@@ -352,7 +352,23 @@ object Dedup {
     * nothing. */
   def dedupAgainstReference(batch: DataFrame, ref: DataFrame, docKey: String,
                             textCol: String, k: Int, bands: Int,
-                            rowsPerBand: Int, threshold: Double): DataFrame = {
+                            rowsPerBand: Int, threshold: Double): DataFrame =
+    dedupAgainstReferenceWithBands(batch, ref,
+      lshBands(minhashSignature(ref, docKey, textCol, k), docKey, bands, rowsPerBand),
+      docKey, textCol, k, bands, rowsPerBand, threshold)
+
+  /** `dedupAgainstReference` with the reference's band table SUPPLIED
+    * instead of recomputed — the incremental-maintenance form: a caller
+    * that persists the accepted corpus's bands (the streaming near-dup
+    * sink, a nightly curation job) signs each accepted doc ONCE and
+    * re-reads the band table per batch, instead of re-signing the whole
+    * curated corpus on every arrival. `refBands` must be the
+    * `lshBands(minhashSignature(ref, k), bands, rowsPerBand)` table of
+    * exactly `ref` under the same (k, bands, rowsPerBand). */
+  def dedupAgainstReferenceWithBands(batch: DataFrame, ref: DataFrame,
+                                     refBands: DataFrame, docKey: String,
+                                     textCol: String, k: Int, bands: Int,
+                                     rowsPerBand: Int, threshold: Double): DataFrame = {
     val refKeys = ref.select(md5(col(textCol)).as("__ck")).distinct()
     // The exact-pass survivors feed THREE branches (signatures, the
     // verify join, the final anti-join), so they are materialized once:
@@ -376,8 +392,7 @@ object Dedup {
     val bBands = lshBands(minhashSignature(fresh, docKey, textCol, k),
         docKey, bands, rowsPerBand)
       .select(col(docKey).as("b"), col("band_id"), col("band_hash"))
-    val rBands = lshBands(minhashSignature(ref, docKey, textCol, k),
-        docKey, bands, rowsPerBand)
+    val rBands = refBands
       .select(col(docKey).as("a"), col("band_id"), col("band_hash"))
     val cand = bBands.join(rBands, Seq("band_id", "band_hash"))
       .select("b", "a").distinct()

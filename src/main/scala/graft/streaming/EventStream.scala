@@ -168,6 +168,65 @@ object EventStream {
     * the batch one: state lives in the sink table itself, partitioned so
     * each micro-batch prunes to its touched partitions — no streaming
     * state store grows with corpus size. */
+  /** Streaming NEAR-dup dedup sink — the near-dup twin of
+    * `dedupWithinWatermark` (which is exact-only), built as the
+    * incremental-dedup shape (`Dedup.dedupAgainstReferenceWithBands`)
+    * driven from foreachBatch. Each micro-batch:
+    *
+    *  1. dedups WITHIN itself: exact key drop + verified near-dup
+    *     eviction (MinHash → LSH candidates → Jaccard verify);
+    *  2. dedups AGAINST everything accepted so far: exact content-hash
+    *     anti-join, then batch bands equi-joined against the PERSISTED
+    *     band table — candidates only within buckets, never
+    *     batch × corpus, and the curated corpus is never re-signed
+    *     (each accepted doc is signed once, its bands appended once);
+    *  3. appends survivors to `docs/` and their bands to `bands/`.
+    *
+    * State lives in the SINK, like `upsertSink`: no streaming state
+    * store grows with the corpus, so no watermark is needed for
+    * boundedness (compose `dedupWithinWatermark` upstream to pre-thin
+    * exact duplicates cheaply). A REPLAYED batch is removed wholesale
+    * by the exact pass — at-least-once delivery becomes
+    * exactly-once-per-content sink contents. Empty first batch commits
+    * data-file-less dirs; later reads pin the schema instead of
+    * inferring (the `upsertSink` contract). */
+  def nearDupDedupSink(stream: DataFrame, sinkPath: String, docKey: String,
+                       textCol: String, k: Int, bands: Int, rowsPerBand: Int,
+                       threshold: Double, checkpoint: String
+                      ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ext.Dedup
+    val write: (DataFrame, Long) => Unit = (batch0, _) => {
+      val s = batch0.sparkSession
+      val docsPath = s"$sinkPath/docs"
+      val bandsPath = s"$sinkPath/bands"
+      val fs = new org.apache.hadoop.fs.Path(sinkPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val b1 = batch0.dropDuplicates(docKey)
+      val within = Dedup.verifiedNearDupPairs(b1, docKey, textCol,
+        k, bands, rowsPerBand, threshold)
+      val b2 = Dedup.removeNearDups(b1, within, docKey)
+      val exists = fs.exists(new org.apache.hadoop.fs.Path(docsPath))
+      val accepted = (if (!exists) b2 else {
+        val ref = s.read.schema(batch0.schema).parquet(docsPath)
+        val bandSchema = Dedup.lshBands(
+          Dedup.minhashSignature(b1, docKey, textCol, k),
+          docKey, bands, rowsPerBand).schema
+        val refBands = s.read.schema(bandSchema).parquet(bandsPath)
+        Dedup.dedupAgainstReferenceWithBands(b2, ref, refBands,
+          docKey, textCol, k, bands, rowsPerBand, threshold)
+      }).localCheckpoint() // two writes below — don't run the chain twice
+      accepted.write.mode("append").parquet(docsPath)
+      Dedup.lshBands(Dedup.minhashSignature(accepted, docKey, textCol, k),
+          docKey, bands, rowsPerBand)
+        .write.mode("append").parquet(bandsPath)
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch(write)
+      .start()
+  }
+
   def upsertSink(stream: DataFrame, sinkPath: String, keys: Seq[String],
                  tieBreak: Seq[String], partCol: String,
                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {

@@ -220,6 +220,54 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(sink).count() == 15)
   }
 
+  test("streaming near-dup sink: agrees with the batch incremental pipeline, replay-safe") {
+    implicit val sc = spark.sqlContext
+    import graft.ext.Dedup
+    val sink = java.nio.file.Files.createTempDirectory("graft_nd_sink")
+      .resolve("c").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nd_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.nearDupDedupSink(mem.toDF().toDF("doc_id", "text"),
+      sink, "doc_id", "text", k = 4, bands = 2, rowsPerBand = 2,
+      threshold = 0.7, checkpoint = ckpt)
+    // ROTATIONS of a cyclic word sequence share the identical 3-gram
+    // shingle SET (and word set): identical minhash signatures make
+    // candidacy guaranteed, word-set Jaccard 1.0 passes the verify —
+    // the test is deterministic whatever the hash constants, while the
+    // texts (and their md5s) all differ.
+    val b1 = Seq(
+      1L -> "alpha beta gamma alpha beta",
+      2L -> "totally different words over here",
+      3L -> "beta gamma alpha beta gamma")         // rotation of 1: within-batch evict
+    val b2 = Seq(
+      4L -> "alpha beta gamma alpha beta",         // exact copy of 1: exact pass
+      5L -> "gamma alpha beta gamma alpha",        // rotation of 1: band-table hit
+      6L -> "completely unrelated token sequence")
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()    // replay: must add nothing
+    q.stop()
+    val got = spark.read.parquet(s"$sink/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // Batch reference: the SAME incremental policy run batch-by-batch
+    // with the reference bands recomputed from scratch (no persisted
+    // band table, no replay) — stream and batch must agree doc-for-doc.
+    def withinDedup(b: Seq[(Long, String)]) = {
+      val df = b.toDF("doc_id", "text")
+      Dedup.removeNearDups(df,
+        Dedup.verifiedNearDupPairs(df, "doc_id", "text", 4, 2, 2, 0.7), "doc_id")
+    }
+    val acc1 = withinDedup(b1)
+    val acc2 = acc1.unionByName(Dedup.dedupAgainstReference(
+      withinDedup(b2), acc1, "doc_id", "text", 4, 2, 2, 0.7))
+    val expected = acc2.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expected, "stream sink != batch incremental pipeline")
+    assert(got == Seq(1L, 2L, 6L),
+      "3 evicted within-batch, 4 by exact pass, 5 by the persisted bands")
+    // Band table stays in lockstep with the accepted corpus.
+    assert(spark.read.parquet(s"$sink/bands").select("doc_id").distinct().count() == 3)
+  }
+
   test("streaming upsert sink: keep-existing per key across batches, replay appends nothing") {
     implicit val sc = spark.sqlContext
     val sink = java.nio.file.Files.createTempDirectory("graft_upsert_sink")
