@@ -24,7 +24,7 @@ object PlanAudit {
     * SUBQUERY plans (DPP / scalar subqueries execute real scans and
     * exchanges that are not `children`). */
   def countNodes(plan: org.apache.spark.sql.execution.SparkPlan): Map[String, Int] = {
-    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, LocalTableScanExec, RDDScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec, ShuffleExchangeExec}
@@ -33,6 +33,11 @@ object PlanAudit {
       val self = p match {
         case _: FileSourceScanExec => Map("scans" -> 1)
         case _: InMemoryTableScanExec => Map("cacheReads" -> 1)
+        // The two cache-free materialization reads (r7 hygiene change):
+        // a LocalRelation embeds a driver-collected bounded table; an
+        // RDDScan reads an eager localCheckpoint's blocks.
+        case _: LocalTableScanExec => Map("localReads" -> 1)
+        case _: RDDScanExec => Map("rddReads" -> 1)
         case _: ShuffleExchangeExec => Map("shuffles" -> 1)
         case _: BroadcastExchangeExec => Map("broadcasts" -> 1)
         case _: ReusedExchangeExec => Map("reuse" -> 1)
@@ -78,6 +83,7 @@ object PlanAudit {
           .split("== Initial Plan ==").head)
         val c = countNodes(df.queryExecution.executedPlan).withDefaultValue(0)
         println(s"[planaudit] scans=${c("scans")} cacheReads=${c("cacheReads")} " +
+          s"localReads=${c("localReads")} rddReads=${c("rddReads")} " +
           s"shuffles=${c("shuffles")} broadcasts=${c("broadcasts")} " +
           s"reuse=${c("reuse")} hashaggs=${c("hashaggs")}")
       } else println(df.queryExecution.explainString(FormattedMode))

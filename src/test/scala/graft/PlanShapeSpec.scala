@@ -32,9 +32,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"one-pass plan must not join:\n$plan")
   }
 
-  test("q_pipeline_forex reads events exactly once (cached pivot feed)") {
-    val plan = executedPlan("q_pipeline_forex")
-    assert(countScans(plan) == 1, s"expected 1 scan:\n$plan")
+  test("q_pipeline_forex: pivot feed materialized — no event scan in the plan") {
+    // The bounded daily pivot is collected to a LocalRelation at query
+    // build (the r7 cache-hygiene change): events are read once,
+    // EAGERLY, outside the returned plan, and the four downstream
+    // consumers read the embedded table — so the executed plan itself
+    // scans no files at all.
+    val df = SparkEntry.queries("q_pipeline_forex")(spark, dir)
+    df.collect()
+    val c = PlanAudit.countNodes(df.queryExecution.executedPlan).withDefaultValue(0)
+    assert(c("scans") == 0, "event reads must happen in the eager pivot, not the plan")
+    assert(c("localReads") >= 2,
+      s"expected multiple LocalRelation consumers, got ${c("localReads")}")
   }
 
   test("q_join_broadcast broadcasts the dimension side") {
@@ -49,18 +58,17 @@ class PlanShapeSpec extends SparkSpec {
       s"bucketed range join must not degrade to a nested loop:\n$plan")
   }
 
-  test("q_curation_pipeline reads documents only through the cached corpus") {
-    // String-counting FileScans would be fooled here: each cache
-    // reference PRINTS the InMemoryRelation's fill recipe (which contains
-    // the file scan) — so count via the shared executed-tree walk
-    // (PlanAudit.countNodes), where the cache recipe is not a child and
-    // only real scans appear.
-    spark.catalog.clearCache()
+  test("q_curation_pipeline reads documents only through the checkpointed corpus") {
+    // The post-filter corpus is an eager localCheckpoint (r7 hygiene
+    // change — no CacheManager entry to leak): the documents scan runs
+    // once at materialization, and every downstream branch reads the
+    // checkpoint's RDD blocks, so the executed plan has zero file scans
+    // and multiple RDD reads.
     val df = SparkEntry.queries("q_curation_pipeline")(spark, dir)
     df.collect()
     val c = PlanAudit.countNodes(df.queryExecution.executedPlan).withDefaultValue(0)
-    assert(c("scans") == 0, "every documents read must go through the cache")
-    assert(c("cacheReads") >= 2, s"expected multiple cache consumers, got ${c("cacheReads")}")
+    assert(c("scans") == 0, "every documents read must go through the checkpoint")
+    assert(c("rddReads") >= 2, s"expected multiple checkpoint consumers, got ${c("rddReads")}")
   }
 
   test("q_simhash_pairs computes signatures once (exchange reuse)") {
@@ -191,12 +199,16 @@ class PlanShapeSpec extends SparkSpec {
       s"per-side distincts would add fp shuffles — the groupBy's partial max is the dedup:\n$plan")
   }
 
-  test("q_dedup_incremental reads the batch through its cache (exact-pass survivors cached)") {
-    spark.catalog.clearCache()
+  test("q_dedup_incremental reads the batch through its checkpoint (survivors materialized once)") {
+    // The exact-pass survivors are an eager localCheckpoint (r7 hygiene
+    // change); the fresh-consuming branches read its RDD blocks while
+    // the reference side still streams from parquet, column-pruned.
     val df = SparkEntry.queries("q_dedup_incremental")(spark, dir)
     df.collect()
     val c = PlanAudit.countNodes(df.queryExecution.executedPlan).withDefaultValue(0)
-    assert(c("cacheReads") >= 2,
-      s"the three fresh-consuming branches must share the cache, got ${c("cacheReads")} cache reads")
+    assert(c("rddReads") >= 2,
+      s"the fresh-consuming branches must share the checkpoint, got ${c("rddReads")} RDD reads")
+    assert(c("scans") >= 1,
+      "the reference side must still stream from storage, never be materialized")
   }
 }
