@@ -845,6 +845,17 @@ object ExtQueries {
         .select("doc_id", "url", "host", "domain").orderBy("doc_id")
     }),
 
+    "q_domain_block" -> ((s, dir) => {
+      // Blocklist eviction — the reject half of per-domain curation: the
+      // synthesized corpus minus two blocked registered domains, via one
+      // broadcast anti-join (the corpus never shuffles).
+      val dom = Curation.withRegisteredDomain(
+          urlSpace(read(s, dir, "documents")), col("host"), "domain")
+        .select("doc_id", "domain")
+      Curation.filterBlockedDomains(dom, col("domain"), BlockedDomains)
+        .orderBy("doc_id")
+    }),
+
     "q_domain_cap" -> ((s, dir) => {
       // The anti-dominance curation step: at most DomainCap docs per
       // registered domain, winners a pure hash function of the doc key
@@ -1328,6 +1339,9 @@ object ExtQueries {
   /** The URL fixture's TLD wheel — cycles suffix-rule widths 1..3. */
   private val UrlTlds = Seq("com", "co.uk", "org", "github.io", "de", "nsw.edu.au")
   private val DomainCap = 30
+  /** Registered domains the blocklist query evicts (the example.{tld}
+    * fixture yields six domains; two are blocked). */
+  private val BlockedDomains = Seq("example.co.uk", "example.github.io")
   /** Deterministic gnarly URL per doc (mixed case, default port,
     * tracking params, fragment) + its canonical form and host — the
     * URL-space fixture both engines rebuild from the parquet. */
@@ -1693,6 +1707,13 @@ object ExtQueries {
           SELECT doc_id, domain FROM dom
           QUALIFY row_number() OVER (PARTITION BY domain
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= $DomainCap
+          ORDER BY doc_id""",
+
+    "q_domain_block" ->
+      s"""$UrlDomainSqlChain
+          SELECT doc_id, domain FROM dom
+          WHERE domain IS NULL OR domain NOT IN
+            (${BlockedDomains.map(d => s"'$d'").mkString(", ")})
           ORDER BY doc_id""",
 
     "q_agg_group" ->

@@ -84,6 +84,22 @@ object Curation {
         "^[^@]*@", ""),
       ":[0-9]+$", "")
 
+  /** Drop rows whose registered domain is on the blocklist — the other
+    * half of per-domain curation next to the cap. One broadcast hash
+    * anti-join: the blocklist (thousands of entries in practice) rides
+    * once per executor and the corpus scan stays map-side; a NULL
+    * domain (suffix-only or single-label host) is kept — blocklists
+    * name domains, and the quality gates, not the blocklist, decide
+    * hostless rows. Entries must be lowercase registered domains
+    * (`withRegisteredDomain` output), not bare hosts. */
+  def filterBlockedDomains(df: DataFrame, domain: Column,
+                           blocked: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.join(broadcast(blocked.toDF("__blocked_domain")),
+      domain === col("__blocked_domain"), "left_anti")
+  }
+
   /** Last `k` labels of a dot-separated host, NULL when fewer exist. */
   private def lastLabels(labels: Column, n: Column, k: Column): Column =
     when(n >= k, array_join(slice(labels, n - k + 1, k), "."))

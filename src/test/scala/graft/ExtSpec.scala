@@ -699,6 +699,15 @@ class ExtSpec extends SparkSpec {
       "hostOf strips userinfo + port, lowercases; empty without a scheme")
   }
 
+  test("filterBlockedDomains: blocklist anti-join drops matches, keeps NULL domains") {
+    val df = Seq((1L, Some("bad.com")), (2L, Some("good.org")),
+      (3L, Option.empty[String])).toDF("doc_id", "domain")
+    val got = Curation.filterBlockedDomains(df, col("domain"), Seq("bad.com"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 3L),
+      "blocked domain dropped; NULL domain is not blocklist business")
+  }
+
   test("registeredDomain: longest-suffix match, TLD fallback, suffix-only NULL") {
     val hosts = Seq("www.example.co.uk", "a.b.github.io", "school.nsw.edu.au",
       "deep.sub.example.com", "example.de", "co.uk", "localhost", "foo.unknowntld")
