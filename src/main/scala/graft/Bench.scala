@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Per-query seconds from a previous round's bench artifact. A
+    * tolerant pair scan, NOT a `"queries":{...}` structural match: the
+    * driver's `BENCH_r*.json` wraps the bench stdout with ESCAPED
+    * quotes inside a TRUNCATED `tail` field, where only flat
+    * `\"q_name\":seconds` pairs survive. Every query name starts with
+    * `q_`, so the scan never picks up wrapper metadata (n/rc/cpus/sf),
+    * and a `flagged` sub-object's `"q_x":{...}` head fails the
+    * number-follows requirement. Works on the raw `bench.json` format
+    * too (unescaped). */
+  def parsePerQuerySeconds(txt: String): Map[String, Double] =
+    """(q_[A-Za-z0-9_]+)\\?"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -107,13 +120,9 @@ object Bench {
       val files = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
       files.sortBy(_.getName.replaceAll("\\D", "").toInt).lastOption.map { f =>
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)
-        """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
-          .map(_.group(1)).map { body =>
-            """"([^"]+)"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(body)
-              .map(m => m.group(1) -> m.group(2).toDouble).toMap
-          }.getOrElse(Map.empty[String, Double])
+        parsePerQuerySeconds(new String(
+          java.nio.file.Files.readAllBytes(f.toPath),
+          java.nio.charset.StandardCharsets.UTF_8))
       }.getOrElse(Map.empty)
     }
     val flagged = order.collect { case (name, fn)

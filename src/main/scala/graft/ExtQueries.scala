@@ -823,6 +823,18 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    "q_chunk_bpe" -> ((s, dir) => {
+      // Long-doc chunking under a REAL-BPE budget — chunkByBudget's
+      // word-count proxy replaced by the merge-table tokenizer, same
+      // exclusive-prefix-sum chunk rule as packByBudget (a chunk
+      // overflows only by part of its final pre-token). Map-only
+      // mapPartitions; the oracle replays the per-word merge CTE plus
+      // the same prefix-sum assignment.
+      Bpe.chunkByBpeBudget(read(s, dir, "documents"), "doc_id", "text",
+          ChunkBudget)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q_token_bpe" -> ((s, dir) => {
       // REAL merge-table BPE token counts (greedy segmenter over the
       // inlined merge table, mapPartitions with a per-partition compiled
@@ -1662,6 +1674,46 @@ object ExtQueries {
          WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+
+    // The BPE merge CTE extended with per-word identity (wid), then the
+    // packByBudget prefix-sum chunk rule: before = exclusive prefix sum
+    // of per-word counts, chunk = before div budget, chunk text =
+    // order-preserving re-join of pre-tokens.
+    "q_chunk_bpe" ->
+      s"""WITH RECURSIVE merges(pair, rank) AS (VALUES $BpeMergeValues),
+          words AS (
+            SELECT doc_id,
+              unnest(regexp_extract_all(lower(text),
+                '${Bpe.PreTokenPattern}')) AS word,
+              unnest(range(1, len(regexp_extract_all(lower(text),
+                '${Bpe.PreTokenPattern}')) + 1)) AS wid
+            FROM documents),
+          seg(doc_id, wid, toks, done) AS (
+            SELECT doc_id, wid, string_split(word, ''), false FROM words
+            UNION ALL
+            SELECT s.doc_id, s.wid,
+              CASE WHEN b.bi IS NULL THEN s.toks
+                   ELSE list_concat(list_concat(
+                     s.toks[1:b.bi-1], [s.toks[b.bi] || s.toks[b.bi+1]]),
+                     s.toks[b.bi+2:len(s.toks)]) END,
+              b.bi IS NULL
+            FROM seg s LEFT JOIN LATERAL (
+              SELECT gs.i AS bi
+              FROM (SELECT unnest(range(1, len(s.toks))) AS i) gs
+              JOIN merges m ON m.pair = s.toks[gs.i] || ' ' || s.toks[gs.i+1]
+              ORDER BY m.rank, gs.i LIMIT 1
+            ) b ON true
+            WHERE NOT s.done),
+          counts AS (SELECT doc_id, wid, len(toks) AS t FROM seg WHERE done),
+          wc AS (SELECT w.doc_id, w.wid, w.word, c.t
+                 FROM words w JOIN counts c USING (doc_id, wid)),
+          pre AS (SELECT *, COALESCE(SUM(t) OVER (PARTITION BY doc_id
+                    ORDER BY wid ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS before FROM wc)
+          SELECT doc_id, CAST(before // $ChunkBudget AS INTEGER) AS chunk_idx,
+            string_agg(word, ' ' ORDER BY wid) AS text,
+            CAST(SUM(t) AS INTEGER) AS n_tokens_bpe
+          FROM pre GROUP BY doc_id, chunk_idx ORDER BY doc_id, chunk_idx""",
 
     // Replays Bpe.tokenCount as a recursive CTE: each word starts as its
     // character list; every recursion step merges the best-ranked

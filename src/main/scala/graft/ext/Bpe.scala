@@ -80,6 +80,57 @@ object Bpe {
     buf.length
   }
 
+  /** Split each document into chunks under a REAL-BPE token budget —
+    * `TextAnalysis.chunkByBudget`'s word-count proxy replaced by the
+    * merge-table tokenizer, so chunk sizes track what a trainer's
+    * tokenizer will actually see. Chunk rule = `packByBudget`'s:
+    * a pre-token starts a new chunk when the exclusive prefix sum of
+    * BPE counts crosses a budget multiple, so a chunk exceeds `budget`
+    * only by (part of) its final pre-token and every document yields
+    * ceil(total/budget) chunks (empty docs yield none). Pre-token order
+    * is preserved and chunks reassemble to the pre-token stream.
+    * Same mapPartitions shape as `withTokenCount`: map-only, zero
+    * shuffles, rank table compiled once per partition.
+    * Returns (docKey, chunk_idx, textCol, n_tokens_bpe). */
+  def chunkByBpeBudget(df: DataFrame, docKey: String, textCol: String,
+                       budget: Int): DataFrame = {
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+      Encoders.STRING, Encoders.scalaInt)
+    val rank: Map[(String, String), Int] = Merges.zipWithIndex.toMap
+    df.select(col(docKey).cast("long"), lower(col(textCol)))
+      .as[(Long, String)](inEnc)
+      .mapPartitions { it =>
+        val pre = java.util.regex.Pattern.compile(PreTokenPattern)
+        it.flatMap { case (id, text) =>
+          val m = pre.matcher(if (text == null) "" else text)
+          val chunks = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, Int)]
+          val sb = new StringBuilder
+          var chunkTokens = 0
+          var chunkIdx = 0
+          var before = 0L // exclusive prefix sum of BPE counts
+          while (m.find()) {
+            val w = m.group()
+            val t = tokenCount(w, rank)
+            val idx = (before / budget).toInt
+            if (idx != chunkIdx && sb.nonEmpty) {
+              chunks += ((id, chunkIdx, sb.result(), chunkTokens))
+              sb.clear(); chunkTokens = 0
+            }
+            chunkIdx = idx
+            if (sb.nonEmpty) sb.append(' ')
+            sb.append(w)
+            chunkTokens += t
+            before += t
+          }
+          if (sb.nonEmpty) chunks += ((id, chunkIdx, sb.result(), chunkTokens))
+          chunks.iterator
+        }
+      }(outEnc)
+      .toDF(docKey, "chunk_idx", textCol, "n_tokens_bpe")
+  }
+
   /** (docKey, n_tokens_bpe) per document — the real-BPE token count
     * `Sampling.packByBudget` / chunking budgets should be keyed on. */
   def withTokenCount(df: DataFrame, docKey: String, textCol: String): DataFrame = {

@@ -637,6 +637,23 @@ class ExtSpec extends SparkSpec {
       "lowercased: 3x'the'=3; caf+é+4,2+! = 7; empty = 0; is/it/and = 3")
   }
 
+  test("chunkByBpeBudget: budget rule, lossless pre-token reassembly, empty docs") {
+    // "the and" = 2 BPE tokens, so budget 2 cuts every two merged words.
+    val docs = Seq((1L, "the and the and the"), (2L, ""), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val got = Bpe.chunkByBpeBudget(docs, "doc_id", "text", budget = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, "the and", 2), (1L, 1, "the and", 2), (1L, 2, "the", 1),
+      (3L, 0, "xyz", 3)),
+      "five 1-token words cut at budget 2; empty doc yields nothing; " +
+        "xyz (3 tokens, no merges) overflows only by its own final word")
+    // Reassembly: chunks re-join to the full pre-token stream.
+    val whole = got.filter(_._1 == 1L).map(_._3).mkString(" ")
+    assert(whole == "the and the and the")
+  }
+
   test("packByBudget composes with real BPE counts as the budget key") {
     val docs = Seq((1L, "the and is"), (2L, "standard standard"),
       (3L, "xyz"), (4L, "it")).toDF("doc_id", "text")

@@ -252,6 +252,22 @@ class OpsSpec extends SparkSpec {
       "edited null-keyed partition reports exactly once, with a NULL key")
   }
 
+  test("bench prev-round parser handles raw, wrapped-escaped, and flagged forms") {
+    val raw = """{"metric":"total","queries":{"q_a":1.5,"q_b":0.25},"sf":"x"}"""
+    assert(Bench.parsePerQuerySeconds(raw) == Map("q_a" -> 1.5, "q_b" -> 0.25))
+    // Driver wrapper: escaped quotes inside a truncated "tail" field.
+    val wrapped = """{"n":6,"rc":0,"tail":"up\":0.64,\"q_c\":0.171,\"q_d\":2.5,\"sf"}"""
+    assert(Bench.parsePerQuerySeconds(wrapped) == Map("q_c" -> 0.171, "q_d" -> 2.5))
+    // A flagged sub-object must not bind the query name to a sub-field.
+    val flagged = """"queries":{"q_e":3.0},"flagged":{"q_e":{"p1":9.9,"p2":3.0}}"""
+    assert(Bench.parsePerQuerySeconds(flagged) == Map("q_e" -> 3.0))
+    // The real previous-round artifact yields a non-empty map.
+    val r6 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("BENCH_r06.json")))
+    assert(Bench.parsePerQuerySeconds(r6).size > 50,
+      "the driver wrapper's tail must be recoverable")
+  }
+
   test("salted rolling window: exact under planted skew, hot key actually splits") {
     // One hot key dominating the table — the shape where an unsalted
     // window serializes a single reducer at scale.
