@@ -927,6 +927,19 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_ivf_skew" -> ((s, dir) => {
+      // The incremental-index RETRAIN TRIGGER, operationalized: per-list
+      // counts of the persisted IVF index through the generic key-skew
+      // profiler — the `skew` column (ratio to mean list size) is the
+      // number appendToIvfIndex's contract says to watch (rebuild past
+      // ~4×). Scans only the `list` partition column of `lists/`.
+      val path = ivfIndexFor(s, dir)
+      Analytics.keySkewProfile(
+          s.read.parquet(s"$path/lists").select(col("list").cast("long").as("list")),
+          Seq("list"), IvfLists)
+        .orderBy(col("n").desc, col("list"))
+    }),
+
     "q_ann_ivf_persisted" -> ((s, dir) => {
       // Full-precision search of the PERSISTED index: probed lists come
       // back partition-pruned with their stored norms, ranked under the
@@ -1373,7 +1386,9 @@ object ExtQueries {
     * decimal-exact refinement → assignment, probes, rounded-cosine rank.
     * Shared verbatim by q_ann_ivf (in-memory) and q_ann_ivf_persisted
     * (on-disk index) — the two paths' equality is the point. */
-  private lazy val IvfLloydOracleSql: String =
+  /** The Lloyd assignment chain alone (ends at `assign`): shared by the
+    * search oracle below and the index-skew profile oracle. */
+  private lazy val IvfAssignSqlChain: String =
     s"""WITH cent0 AS (SELECT vec_id AS list, embedding AS c_vec
             FROM embeddings WHERE vec_id < $IvfLists),
           assign0 AS (SELECT vec_id, embedding, list FROM (
@@ -1393,7 +1408,9 @@ object ExtQueries {
             SELECT e.vec_id, e.embedding, cent.list,
               row_number() OVER (PARTITION BY e.vec_id
                 ORDER BY ${cosSql("e.embedding", "c_vec")} DESC, list) AS rn
-            FROM embeddings e CROSS JOIN cent) WHERE rn = 1),
+            FROM embeddings e CROSS JOIN cent) WHERE rn = 1)"""
+  private lazy val IvfLloydOracleSql: String =
+    s"""$IvfAssignSqlChain,
           probes AS (SELECT q_id, q_vec, list FROM (
             SELECT q.vec_id AS q_id, q.embedding AS q_vec, cent.list,
               row_number() OVER (PARTITION BY q.vec_id
@@ -2438,6 +2455,17 @@ object ExtQueries {
     // on-disk index must reproduce the in-memory search bit-for-bit —
     // the oracle IS q_ann_ivf's.
     "q_ann_ivf_persisted" -> IvfLloydOracleSql,
+
+    // The assignment chain alone, profiled: per-list counts + share +
+    // ratio-to-mean — the q_key_skew math over the index's lists.
+    "q_ivf_skew" ->
+      s"""$IvfAssignSqlChain,
+          c AS (SELECT list, COUNT(*) AS n FROM assign GROUP BY 1),
+          t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total,
+                  CAST(COUNT(*) AS DOUBLE) AS nkeys FROM c)
+          SELECT list, n, ROUND(n / total, 6) AS share,
+            ROUND(n * nkeys / total, 6) AS skew
+          FROM c, t ORDER BY n DESC, list LIMIT $IvfLists""",
 
     "q_cos_dup_pairs" ->
       s"""WITH b AS (SELECT vec_id, embedding,

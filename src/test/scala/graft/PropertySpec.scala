@@ -144,6 +144,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("normalizeUrl is idempotent and strips every tracking param — random URLs") {
+    import graft.ext.Curation
+    trials(5) { rnd =>
+      def pick[A](xs: Seq[A]) = xs(rnd.nextInt(xs.size))
+      val urls = (1 to 40).map { i =>
+        val scheme = pick(Seq("http", "HTTPS", "Http", "ftp"))
+        val host = pick(Seq("Example.COM", "a.b.Co.UK", "X.github.IO", "h-1.de"))
+        val port = pick(Seq("", ":80", ":443", ":8080"))
+        val path = pick(Seq("", "/", "/A/b", "/p%20q"))
+        val params = (0 until rnd.nextInt(4)).map(_ =>
+          pick(Seq("a=1", "utm_source=x", "gclid=9", "B=2", "ref=r", "")))
+        val q = if (params.isEmpty) "" else "?" + params.mkString("&")
+        val frag = pick(Seq("", "#f", "#a/b?c=1"))
+        (i.toLong, s"$scheme://$host$port$path$q$frag")
+      }
+      val df = urls.toDF("id", "u")
+        .withColumn("n1", Curation.normalizeUrl(col("u")))
+        .withColumn("n2", Curation.normalizeUrl(col("n1")))
+      val rows = df.select("u", "n1", "n2").as[(String, String, String)].collect()
+      rows.foreach { case (u, n1, n2) =>
+        assert(n1 == n2, s"not idempotent: $u -> $n1 -> $n2")
+        assert(!n1.contains("#"), s"fragment survived: $u -> $n1")
+        assert(!n1.contains("utm_") && !n1.contains("gclid"),
+          s"tracking param survived: $u -> $n1")
+      }
+    }
+  }
+
   test("pctChange inverts: cur == lag * (1 + delta); first-in-key delta is 0") {
     trials(5) { rnd =>
       val rows = for {
