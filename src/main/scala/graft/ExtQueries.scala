@@ -880,6 +880,23 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_export_compacted" -> ((s, dir) => {
+      // Small-files compaction, PROVEN content-preserving: the sharded
+      // export rewritten to one file per shard, re-manifested from the
+      // compacted sink's read-back. Oracle text is identical to
+      // q_export_manifest's — compaction must be invisible to the
+      // receiver's validation token.
+      val src = s"$RunScratch/graft_export_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Export.writeShardedCorpus(s,
+        read(s, dir, "documents").select("doc_id", "text", "n_chars"),
+        col("doc_id"), ExportShards, src, Seq("doc_id", "text", "n_chars"))
+      val out = s"${src}_compacted"
+      Export.compactShards(s, src, out, filesPerShard = 1)
+      Export.manifestOf(s.read.parquet(out), Seq("doc_id", "text", "n_chars"))
+        .orderBy("shard")
+    }),
+
     "q_hash_split" -> ((s, dir) => {
       // Deterministic sampling + train/val/test split (Sampling.scala):
       // every decision is a pure function of the row key, so the split
@@ -2514,6 +2531,21 @@ object ExtQueries {
     "q_src_jsonl" ->
       """SELECT doc_id, text, lang, source, n_chars
          FROM documents ORDER BY doc_id""",
+
+    // TEXT-IDENTICAL to q_export_manifest: compaction must not move the
+    // receiver's validation token.
+    "q_export_compacted" ->
+      """WITH sh AS (SELECT doc_id, text, n_chars,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 8 AS INTEGER) AS shard
+           FROM documents)
+         SELECT shard, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
+               COALESCE(CAST(doc_id AS VARCHAR), chr(2)),
+               COALESCE(CAST(text AS VARCHAR), chr(2)),
+               COALESCE(CAST(n_chars AS VARCHAR), chr(2)))), 1, 12))
+             AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+         FROM sh GROUP BY 1 ORDER BY shard""",
 
     "q_hash_split" ->
       """WITH b AS (SELECT doc_id,

@@ -66,6 +66,33 @@ object Export {
       sharded.withColumn("shard", col("shard").cast("int")),
       Seq("shard"), cols)
 
+  /** Compact a sharded corpus sink in place-to-new-path: rewrite each
+    * shard's many small part files (the debris a long-running streaming
+    * upsert or many tiny appends leave behind — the classic small-files
+    * problem: a 100 TB sink with 10⁶ KB-sized files pays per-file open/
+    * footer cost on every scan) into `filesPerShard` files per shard.
+    * Content is untouched BY CONSTRUCTION and the caller can prove it:
+    * the manifest is order-insensitive, so `manifestOf(compacted)` must
+    * equal `manifestOf(original)` bit for bit (ExtSpec pins this; the
+    * oracle query proves it against DuckDB). One shuffle (the
+    * repartition that coalesces files); shard membership never changes,
+    * so the manifest stays the receiver-side validation token across
+    * compactions. */
+  def compactShards(spark: SparkSession, path: String, outPath: String,
+                    filesPerShard: Int): Unit = {
+    require(filesPerShard >= 1, "need at least one file per shard")
+    val df = spark.read.parquet(path).withColumn("shard", col("shard").cast("int"))
+    // Content-derived file salt (deterministic, unlike round-robin):
+    // each shard spans at most `filesPerShard` salt values, each salt
+    // value lands whole in one shuffle task, so each shard directory
+    // gets at most `filesPerShard` part files however fragmented the
+    // input was.
+    val salt = pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
+      lit(filesPerShard.toLong))
+    df.repartition(col("shard"), salt)
+      .write.partitionBy("shard").mode("overwrite").parquet(outPath)
+  }
+
   /** Streaming export sink — the continuous-ingest last mile: each
     * micro-batch is shard-assigned (same pure md5 bucket as the batch
     * writer, so batch- and stream-exported corpora are shard-compatible)

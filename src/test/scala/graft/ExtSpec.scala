@@ -555,6 +555,28 @@ class ExtSpec extends SparkSpec {
       "exactly the tampered shard's manifest row differs")
   }
 
+  test("compactShards: file count bounded per shard, manifest bit-identical") {
+    val docs = (0L until 200L).map(i => (i, s"doc $i", i * 3)).toDF("doc_id", "text", "n")
+    val cols = Seq("doc_id", "text", "n")
+    val src = java.nio.file.Files.createTempDirectory("graft_cmp_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_cmp_out").toString
+    // Fragmented write: many tiny part files per shard.
+    val before = Export.writeShardedCorpus(spark,
+      docs.repartition(16), col("doc_id"), 4, src, cols)
+      .orderBy("shard").collect().toSeq
+    Export.compactShards(spark, src, out, filesPerShard = 1)
+    val after = Export.manifestOf(spark.read.parquet(out), cols)
+      .orderBy("shard").collect().toSeq
+    assert(after == before, "compaction must be invisible to the manifest")
+    val shardDirs = new java.io.File(out).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles.count(_.getName.endsWith(".parquet"))
+      assert(parts <= 1, s"${d.getName}: expected 1 part file, got $parts")
+    }
+  }
+
   test("JSONL export: one manifest across formats, newline-safe lines, tamper pins the shard") {
     // Embedded newlines are the case CSV can't carry without multiLine;
     // JSON escaping must keep each record on one physical line.
