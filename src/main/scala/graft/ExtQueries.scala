@@ -1181,6 +1181,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_edit_dup_pairs" -> ((s, dir) => {
+      // Character-level near-dup pairs over the doc HEAD (first 60
+      // chars — the templated-prefix field where word-set Jaccard is
+      // too coarse): banded minhash candidates, bounded-Levenshtein
+      // verify (threshold form, O(len·d) per pair). The oracle rebuilds
+      // the same signatures over the same prefix and verifies with
+      // DuckDB's levenshtein.
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("head"))
+      Dedup.editDistanceDupPairs(docs, "doc_id", "head",
+          k = 4, bands = 2, rowsPerBand = 2, maxDist = EditDupMaxDist)
+        .orderBy("a", "b")
+    }),
+
     "q_dedup_paragraph" -> ((s, dir) => {
       // Corpus-wide paragraph dedup — the boilerplate-removal shape
       // (repeated headers/license blocks across docs that are not dups
@@ -1378,6 +1392,7 @@ object ExtQueries {
     })
   private val FrameEvery = 100
   private val ContamMinHits = 3
+  private val EditDupMaxDist = 8
   /** The URL fixture's TLD wheel — cycles suffix-rule widths 1..3. */
   private val UrlTlds = Seq("com", "co.uk", "org", "github.io", "de", "nsw.edu.au")
   private val DomainCap = 30
@@ -1553,13 +1568,15 @@ object ExtQueries {
   private def bucketSql(v: String): String = bucketSqlWith(v, AnnPlanes)
 
   /** 3-gram shingle list of `lower(text)` in DuckDB. */
-  private val ShinglesSql =
-    """list_transform(generate_series(1, len(str_split(lower(text), ' ')) - 2),
-       i -> array_to_string(str_split(lower(text), ' ')[i:i+2], ' '))"""
+  private def shinglesSqlOf(expr: String): String =
+    s"""list_transform(generate_series(1, len(str_split(lower($expr), ' ')) - 2),
+       i -> array_to_string(str_split(lower($expr), ' ')[i:i+2], ' '))"""
+  private val ShinglesSql = shinglesSqlOf("text")
 
-  private def minhashSqlCol(seed: Int): String =
-    s"""list_aggregate(list_transform(list_distinct($ShinglesSql),
+  private def minhashSqlColOf(seed: Int, expr: String): String =
+    s"""list_aggregate(list_transform(list_distinct(${shinglesSqlOf(expr)}),
         w -> md5('$seed:' || w)), 'min') AS mh$seed"""
+  private def minhashSqlCol(seed: Int): String = minhashSqlColOf(seed, "text")
 
   /** Shared CTE chain for the n-gram repetition oracles: per-doc word
     * n-gram counts → deterministic top (count desc, gram asc) + the
@@ -2285,6 +2302,24 @@ object ExtQueries {
       """SELECT doc_id, n_chars FROM documents
          QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
          ORDER BY doc_id""",
+
+    "q_edit_dup_pairs" ->
+      s"""WITH d AS (SELECT doc_id, substr(text, 1, 60) AS head FROM documents),
+          sig AS (SELECT doc_id, head,
+            ${(0 until 4).map(i => minhashSqlColOf(i, "head")).mkString(", ")}
+            FROM d),
+          bands AS (
+            SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS band_hash FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh2, mh3)) AS band_hash FROM sig),
+          cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r USING (band_id, band_hash)
+            WHERE l.doc_id < r.doc_id)
+          SELECT a, b FROM cand
+          JOIN d da ON cand.a = da.doc_id
+          JOIN d db ON cand.b = db.doc_id
+          WHERE levenshtein(da.head, db.head) <= $EditDupMaxDist
+          ORDER BY a, b""",
 
     "q_minhash_sig" ->
       s"""SELECT doc_id, ${(0 until 4).map(minhashSqlCol).mkString(", ")}

@@ -320,6 +320,28 @@ object Dedup {
     verifyPairsByJaccard(cand, docs, docs, docKey, textCol, threshold)
   }
 
+  /** Edit-distance near-dup PAIRS — the verify metric for short or
+    * templated fields (titles, headers, doc prefixes) where word-set
+    * Jaccard is too coarse: one word swapped in a 5-word title moves
+    * Jaccard by ~30% but is 1-2 edits. Same banded candidate generator
+    * as every other dedup path (recall is the generator's — the
+    * standard candidate→verify contract); the verify tail is BOUNDED
+    * Levenshtein: the threshold form short-circuits at
+    * O(len·maxDist) per pair instead of O(len²), which is what makes a
+    * character metric affordable inside buckets at scale. */
+  def editDistanceDupPairs(docs: DataFrame, docKey: String, textCol: String,
+                           k: Int, bands: Int, rowsPerBand: Int,
+                           maxDist: Int): DataFrame = {
+    val cand = lshCandidatePairs(
+      lshBands(minhashSignature(docs, docKey, textCol, k),
+        docKey, bands, rowsPerBand), docKey)
+    val da = docs.select(col(docKey).as("a"), col(textCol).as("__ta"))
+    val db = docs.select(col(docKey).as("b"), col(textCol).as("__tb"))
+    cand.join(da, "a").join(db, "b")
+      .filter(levenshtein(col("__ta"), col("__tb"), maxDist) >= 0)
+      .select("a", "b")
+  }
+
   /** Greedy near-dup REMOVAL — the cleaning step the candidate→verify
     * pipeline feeds: keep a document iff it is not the higher-id member of
     * any verified near-dup pair (every pair (a, b), a < b, evicts b; a

@@ -555,6 +555,36 @@ class ExtSpec extends SparkSpec {
       "exactly the tampered shard's manifest row differs")
   }
 
+  test("editDistanceDupPairs: bounded Levenshtein verify inside shared buckets") {
+    // Rotations share the shingle set (guaranteed candidates); the edit
+    // metric then separates small rewrites from full rewrites.
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "alpha beta gamma alpha betX"),  // 1 edit from 1 (candidacy not asserted)
+      (3L, "beta gamma alpha beta gamma"),  // rotation of 1: candidate, ~12 edits
+      (4L, "zzz yyy xxx www vvv")).toDF("doc_id", "text")
+    val got = Dedup.editDistanceDupPairs(docs, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, maxDist = 6)
+      .as[(Long, Long)].collect().toSet
+    // (1,3) is a guaranteed candidate (identical shingle sets) but ~12
+    // edits apart -> rejected by the verify tail at maxDist 6.
+    assert(!got.contains((1L, 3L)),
+      "candidate beyond the edit bound must be rejected")
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    // Any emitted pair respects the bound (verify tail contract).
+    val texts = docs.as[(Long, String)].collect().toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    got.foreach { case (a, b) =>
+      assert(lev(texts(a), texts(b)) <= 6, s"pair ($a,$b) exceeds the bound") }
+  }
+
   test("compactShards: file count bounded per shard, manifest bit-identical") {
     val docs = (0L until 200L).map(i => (i, s"doc $i", i * 3)).toDF("doc_id", "text", "n")
     val cols = Seq("doc_id", "text", "n")
