@@ -462,6 +462,18 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    "q_nfc_normalize" -> ((s, dir) => {
+      // Unicode NFC canonicalization (UAX #15 on both engines) + the
+      // content fingerprint of the NORMALIZED text — the dedup-key
+      // discipline for multilingual corpora: combining-mark and
+      // precomposed spellings of the same text must hash identically.
+      val n = TextAnalysis.normalizeNfc(read(s, dir, "documents"),
+        "doc_id", "text")
+      n.select(col("doc_id"), md5(col("text")).as("nfc_hash"),
+          length(col("text")).as("nfc_len"))
+        .orderBy("doc_id")
+    }),
+
     "q_clean_text" -> ((s, dir) => {
       // C4-style cleaning over a deterministically-noised feed (every
       // 10th doc gains a URL + email suffix so the redaction visibly
@@ -2302,6 +2314,11 @@ object ExtQueries {
       """SELECT doc_id, n_chars FROM documents
          QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
          ORDER BY doc_id""",
+
+    "q_nfc_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_hash,
+           CAST(length(nfc_normalize(text)) AS INTEGER) AS nfc_len
+         FROM documents ORDER BY doc_id""",
 
     "q_edit_dup_pairs" ->
       s"""WITH d AS (SELECT doc_id, substr(text, 1, 60) AS head FROM documents),

@@ -144,6 +144,29 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(filter(tokens(lower(text)), w => w =!= ""), " "))
 
+  /** Unicode NFC normalization — the canonicalization step BEFORE any
+    * hash-keyed dedup on multilingual text: "café" as e+combining-acute
+    * and as precomposed é are the same text to a reader but different
+    * bytes to md5/minhash, so un-normalized corpora under-dedup exactly
+    * the documents that repeat across sources with different encoders.
+    * Both engines implement UAX #15 (JDK `java.text.Normalizer` here,
+    * utf8proc's `nfc_normalize` in the oracle), so the outputs agree
+    * code point for code point. No Catalyst expression form exists, so
+    * this is the mapPartitions tier like the codecs — map-only, zero
+    * shuffles; the Normalizer is stateless and shared per partition. */
+  def normalizeNfc(df: org.apache.spark.sql.DataFrame, docKey: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    df.select(col(docKey).cast("long"), col(textCol))
+      .as[(Long, String)](inEnc)
+      .mapPartitions(_.map { case (id, t) =>
+        (id, if (t == null) null
+             else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC))
+      })(inEnc)
+      .toDF(docKey, textCol)
+  }
+
   /** C4-style cleaning: redact URLs and emails to placeholder tokens,
     * collapse runs of spaces, trim. Patterns are deliberately simple
     * (`\S`-based) so Java regex and the oracle's RE2 agree; order matters —

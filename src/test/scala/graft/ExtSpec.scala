@@ -555,6 +555,23 @@ class ExtSpec extends SparkSpec {
       "exactly the tampered shard's manifest row differs")
   }
 
+  test("normalizeNfc: combining marks compose, precomposed text is a fixed point") {
+    // "cafe" + U+0301 (combining acute) must compose to precomposed U+00E9;
+    // \uXXXX escapes keep the fixture independent of source encoding.
+    val decomposed = "cafe\u0301 au lait"
+    val precomposed = "caf\u00e9 au lait"
+    val docs = Seq((1L, decomposed), (2L, precomposed), (3L, "ascii only"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = TextAnalysis.normalizeNfc(docs, "doc_id", "text")
+      .as[(Long, Option[String])].collect().toMap
+    assert(got(1L).contains(precomposed), "NFC composes the combining mark")
+    assert(got(2L).contains(precomposed), "precomposed input is a fixed point")
+    assert(got(3L).contains("ascii only"))
+    assert(got(4L).isEmpty, "null text stays null")
+    assert(got(1L) == got(2L),
+      "the two spellings hash identically after normalization — the dedup point")
+  }
+
   test("editDistanceDupPairs: bounded Levenshtein verify inside shared buckets") {
     // Rotations share the shingle set (guaranteed candidates); the edit
     // metric then separates small rewrites from full rewrites.
