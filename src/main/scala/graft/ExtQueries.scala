@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext._
-import graft.ops.{Analytics, Checksum}
+import graft.ops.{Analytics, BloomJoin, Checksum}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1109,6 +1109,43 @@ object ExtQueries {
       val train = docs.filter(col("doc_id") % 50 =!= 0)
       Contamination.decontaminate(train, bench, "doc_id", "text",
           n = 3, minHits = ContamMinHits, maxShingleDf = ContamMaxDf)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "q_anti_join_bloom" -> ((s, dir) => {
+      // Incremental curation's exact pass at corpus scale: keep batch
+      // docs (every 10th) whose content hash appears NOWHERE in the
+      // accepted corpus (the other 9/10) — but instead of anti-joining
+      // against the corpus's full hash set (a corpus-wide shuffle), the
+      // corpus scan is reduced map-side by a bloom of the BATCH's keys;
+      // only matches + fpp residue reach the exact tail. Result is
+      // row-identical to the plain anti-join, so the oracle is NOT IN.
+      // Key = md5 of the 60-char head (the edit-dup family's prefix
+      // fingerprint): the templated corpus shares heads across the
+      // split, so both outcomes are populated — full-text md5 has zero
+      // exact dups in this testdata and would make the check trivial.
+      val docs = read(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("__ck", md5(substring(col("text"), 1, 60)))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(md5(substring(col("text"), 1, 60)).as("__ck"))
+      BloomJoin.antiJoinViaBloom(batch, corpus, "__ck", expectedItems = 10000L)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "q_semi_join_bloom" -> ((s, dir) => {
+      // The complement surface of q_anti_join_bloom: batch docs whose
+      // content hash IS present in the accepted corpus (the dup report a
+      // curation run logs), same bloom-reduced corpus scan and the same
+      // 60-char-head fingerprint key.
+      val docs = read(s, dir, "documents")
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("__ck", md5(substring(col("text"), 1, 60)))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+        .select(md5(substring(col("text"), 1, 60)).as("__ck"))
+      BloomJoin.semiJoinViaBloom(batch, corpus, "__ck", expectedItems = 10000L)
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
     }),
@@ -2901,6 +2938,20 @@ object ExtQueries {
           WHERE train_id <> bench_id
           GROUP BY 1, 2 HAVING COUNT(*) >= $ContamMinHits
           ORDER BY 1, 2""",
+
+    "q_anti_join_bloom" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE doc_id % 10 = 0
+           AND md5(substr(text, 1, 60)) NOT IN
+             (SELECT md5(substr(text, 1, 60)) FROM documents WHERE doc_id % 10 <> 0)
+         ORDER BY doc_id""",
+
+    "q_semi_join_bloom" ->
+      """SELECT doc_id, n_chars FROM documents
+         WHERE doc_id % 10 = 0
+           AND md5(substr(text, 1, 60)) IN
+             (SELECT md5(substr(text, 1, 60)) FROM documents WHERE doc_id % 10 <> 0)
+         ORDER BY doc_id""",
 
     "q_corpus_overlap" ->
       """WITH s AS (

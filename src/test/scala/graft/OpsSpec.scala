@@ -472,4 +472,50 @@ class OpsSpec extends SparkSpec {
     assert(salted("hot") == ((135.0, 90L)))
     assert(salted("cold") == ((15.0, 10L)))
   }
+
+  test("antiJoinViaBloom / semiJoinViaBloom match the exact joins and probe map-side") {
+    // 20 batch keys, 7 of which are planted in the 200-key corpus; the
+    // bloom path must agree with the exact anti/semi joins row for row.
+    val small = (0 until 20).map(i => (i.toLong, s"key_$i")).toDF("id", "k")
+    val big = ((0 until 7).map(i => s"key_${i * 3}") ++
+      (0 until 200).map(i => s"other_$i")).toDF("k")
+    val anti = BloomJoin.antiJoinViaBloom(small, big, "k", expectedItems = 100L)
+    val semi = BloomJoin.semiJoinViaBloom(small, big, "k", expectedItems = 100L)
+    val exactAnti = small.join(big, Seq("k"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    val exactSemi = small.join(big, Seq("k"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(anti.select("id").as[Long].collect().toSet == exactAnti)
+    assert(semi.select("id").as[Long].collect().toSet == exactSemi)
+    assert(exactSemi == Set(0L, 3L, 6L, 9L, 12L, 15L, 18L), "planted dups found")
+    // The reduction is really in the plan: a might_contain predicate
+    // filters the big side before any join. Seq-backed frames won't do
+    // for this check — ConvertToLocalRelation evaluates filters over
+    // LocalRelation at optimization time — so pin it on range-backed
+    // frames, where the probe must survive into the physical plan.
+    val smallR = spark.range(20).select(col("id"), concat(lit("key_"), col("id")).as("k"))
+    val bigR = spark.range(200).select(concat(lit("other_"), col("id")).as("k"))
+    val antiR = BloomJoin.antiJoinViaBloom(smallR, bigR, "k", expectedItems = 100L)
+    assert(antiR.queryExecution.executedPlan.toString.contains("might_contain"),
+      "bloom probe must appear in the physical plan")
+    assert(antiR.count() == 20, "disjoint corpus: whole batch survives")
+  }
+
+  test("bloom joins: empty sides degrade correctly, not to null-semantics surprises") {
+    val small = Seq((1L, "a"), (2L, "b")).toDF("id", "k")
+    val emptyBig = spark.emptyDataset[String].toDF("k")
+    // Empty corpus: nothing can match, the whole batch survives the anti.
+    assert(BloomJoin.antiJoinViaBloom(small, emptyBig, "k", 10L).count() == 2)
+    assert(BloomJoin.semiJoinViaBloom(small, emptyBig, "k", 10L).count() == 0)
+    // Empty batch: the zero-row bloom aggregate yields the EMPTY filter
+    // (keyBloom substitutes it for Spark's null), so the corpus probe is
+    // uniformly false rather than null, and results stay empty.
+    val emptySmall = spark.emptyDataset[(Long, String)].toDF("id", "k")
+    val big = Seq("a", "z").toDF("k")
+    assert(BloomJoin.antiJoinViaBloom(emptySmall, big, "k", 10L).count() == 0)
+    assert(BloomJoin.semiJoinViaBloom(emptySmall, big, "k", 10L).count() == 0)
+    val bloom = BloomJoin.keyBloom(emptySmall, col("k"), 10L)
+    val probed = big.filter(BloomJoin.mightContain(bloom, col("k"))).count()
+    assert(probed == 0, "empty bloom rules out everything")
+  }
 }
