@@ -1,7 +1,7 @@
 package graft
 
 import graft.ext._
-import graft.ops.{Analytics, BloomJoin, Checksum}
+import graft.ops.{Analytics, BloomJoin, Cardinality, Checksum}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1111,6 +1111,15 @@ object ExtQueries {
           n = 3, minHits = ContamMinHits, maxShingleDf = ContamMaxDf)
         .select(col("doc_id"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    "q_distinct_kmv" -> ((s, dir) => {
+      // Engine-independent cardinality sketch: the k smallest distinct
+      // md5 fingerprints of l_partkey (one scan, capped per-partition
+      // buffers, no distinct-key shuffle) and the (k-1)/R_k estimate —
+      // a set-valued fact of the data plus one IEEE divide, so DuckDB
+      // reproduces it bit-for-bit where HLL sketches never agree.
+      Cardinality.kmvEstimate(read(s, dir, "lineitem"), col("l_partkey"), 64)
     }),
 
     "q_anti_join_bloom" -> ((s, dir) => {
@@ -2938,6 +2947,22 @@ object ExtQueries {
           WHERE train_id <> bench_id
           GROUP BY 1, 2 HAVING COUNT(*) >= $ContamMinHits
           ORDER BY 1, 2""",
+
+    "q_distinct_kmv" ->
+      """WITH sk AS (
+           SELECT DISTINCT md5(CAST(l_partkey AS VARCHAR)) AS fp
+           FROM lineitem ORDER BY fp LIMIT 64),
+         p AS (SELECT fp,
+             CAST((SELECT SUM(((strpos('0123456789abcdef', substr(fp, i, 1)) - 1)::BIGINT
+                          << (4*(15-i)))::BIGINT)
+              FROM generate_series(1,15) AS t(i)) AS BIGINT) AS pref
+           FROM sk),
+         a AS (SELECT COUNT(*) AS n_sketch, CAST(MAX(pref) AS BIGINT) AS kth_prefix FROM p)
+         SELECT CAST(n_sketch AS BIGINT) AS n_sketch, kth_prefix,
+           CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+                ELSE ROUND(63.0 * 1152921504606846976.0 / kth_prefix, 6)
+           END AS n_est
+         FROM a""",
 
     "q_anti_join_bloom" ->
       """SELECT doc_id, n_chars FROM documents

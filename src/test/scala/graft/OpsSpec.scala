@@ -518,4 +518,35 @@ class OpsSpec extends SparkSpec {
     val probed = big.filter(BloomJoin.mightContain(bloom, col("k"))).count()
     assert(probed == 0, "empty bloom rules out everything")
   }
+
+  test("kmvSketch is the brute-force k smallest distinct fingerprints, any partitioning") {
+    // 500 values with heavy duplication, shuffled across 7 partitions:
+    // the capped per-partition buffers + tiny merge must equal the
+    // global answer computed the naive way.
+    val vals = (0 until 500).map(i => (i % 125).toLong)
+    val df = spark.createDataFrame(vals.map(Tuple1(_))).toDF("v").repartition(7)
+    val got = Cardinality.kmvSketch(df, col("v"), 16)
+      .as[String].collect().toSeq
+    val brute = vals.distinct
+      .map(v => java.security.MessageDigest.getInstance("MD5")
+        .digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+      .sorted.take(16)
+    assert(got == brute)
+  }
+
+  test("kmvEstimate: exact below k, (k-1)/R_k at or above k, within the error bound") {
+    // Fewer distincts than k -> the sketch IS the value set, estimate exact.
+    val small = spark.createDataFrame((0 until 40).map(i => Tuple1((i % 7).toLong))).toDF("v")
+    val exact = Cardinality.kmvEstimate(small, col("v"), 16).head
+    assert(exact.getAs[Long]("n_sketch") == 7L)
+    assert(exact.getAs[Double]("n_est") == 7.0)
+    // 1000 distincts, k=64: the estimator must land within 4x the
+    // 1/sqrt(k-2) standard error (a deterministic fact of these hashes,
+    // not a flaky statistical assertion).
+    val big = spark.createDataFrame((0 until 3000).map(i => Tuple1((i % 1000).toLong))).toDF("v")
+    val est = Cardinality.kmvEstimate(big, col("v"), 64).head.getAs[Double]("n_est")
+    val relErr = math.abs(est - 1000.0) / 1000.0
+    assert(relErr < 4.0 / math.sqrt(62.0), s"estimate $est too far from 1000")
+  }
 }
