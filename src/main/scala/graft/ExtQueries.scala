@@ -813,6 +813,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_src_evolving" -> ((s, dir) => {
+      // Schema-evolution read: the corpus's shards were written under
+      // two pipeline generations (gen-1 part files lack `lang`), and the
+      // merged read must null-fill the missing column per file — DuckDB's
+      // union_by_name semantics, which the oracle states over the
+      // original table directly. Exercises the mergeSchema footer-union
+      // path; EvolvingSchemaSpec pins that a catalog-pinned superset
+      // schema reads the identical rows without the footer sweep.
+      val path = evolvedDocsFor(s, dir)
+      graft.sources.Tables.readParquetEvolved(s, path)
+        .select("doc_id", "source", "n_chars", "lang")
+        .orderBy("doc_id")
+    }),
+
     "q_window_sliding_rule" -> ((s, dir) => {
       // The optimizer rule exercised END-TO-END against the engine
       // oracle: a NAIVE trailing ROW-frame decimal sum — exactly what
@@ -1440,6 +1454,26 @@ object ExtQueries {
     }
     ExtSess
   }
+  /** Two-generation parquet layout for the schema-evolution source:
+    * generation 1 (even doc_ids) written WITHOUT `lang` — the column a
+    * later pipeline version added — generation 2 (odd doc_ids) with it,
+    * both as plain part files of one dataset directory, the way a
+    * long-lived corpus actually accretes on a lake. Memoized per corpus
+    * under the per-run scratch. */
+  private val EvolvedDocsCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def evolvedDocsFor(s: SparkSession, dir: String): String =
+    EvolvedDocsCache.getOrElseUpdate(dir, {
+      val p = s"$RunScratch/graft_evolved_docs_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val docs = read(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select("doc_id", "source", "n_chars")
+        .write.mode("overwrite").parquet(p)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select("doc_id", "source", "n_chars", "lang")
+        .write.mode("append").parquet(p)
+      p
+    })
   private val JsonlDocsCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def jsonlDocsFor(s: SparkSession, dir: String): String =
     JsonlDocsCache.getOrElseUpdate(dir, {
@@ -2594,6 +2628,13 @@ object ExtQueries {
 
     "q_src_csv" ->
       """SELECT doc_id, text, lang, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    // Gen-1 shards (even ids) predate the lang column: the merged read
+    // must surface exactly a null there and the value everywhere else.
+    "q_src_evolving" ->
+      """SELECT doc_id, source, n_chars,
+           CASE WHEN doc_id % 2 <> 0 THEN lang END AS lang
          FROM documents ORDER BY doc_id""",
 
     // The receiver-side manifest recomputation: same md5 shard bucket,

@@ -85,6 +85,32 @@ object Tables {
     (if (gzip) w.option("compression", "gzip") else w).json(path)
   }
 
+  /** Read a parquet dataset whose shards were written under EVOLVING
+    * schemas — the data-lake reality for any corpus appended to over
+    * months: early shards lack columns later shards carry. Spark's
+    * per-file reader projects each file by name and null-fills columns
+    * absent from that file; the question is only where the UNION schema
+    * comes from:
+    *
+    *  - `schema = Some(...)` (the 100 TB path): the caller supplies the
+    *    current superset schema (from its catalog / schema registry).
+    *    One pinned one-pass read, no footer sweep.
+    *  - `schema = None`: `mergeSchema=true` — Spark reads EVERY file's
+    *    footer (a distributed job over potentially millions of files)
+    *    to union the schemas before the scan. Correct, and the right
+    *    tool for ad-hoc exploration, but it is an extra metadata pass
+    *    the pinned form avoids; EvolvingSchemaSpec pins that both forms
+    *    read identical rows.
+    *
+    * Columns a file lacks surface as nulls — the same semantics DuckDB's
+    * `union_by_name` gives the oracle. */
+  def readParquetEvolved(spark: SparkSession, path: String,
+                         schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None    => spark.read.option("mergeSchema", "true").parquet(path)
+    }
+
   val AllTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

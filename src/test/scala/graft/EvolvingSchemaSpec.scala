@@ -1,0 +1,46 @@
+package graft
+
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Schema-evolution reads: a dataset whose early part files lack columns
+  * later ones carry must read identically through the mergeSchema
+  * footer-union path and the catalog-pinned superset-schema path (the
+  * 100 TB form that skips the per-file footer job). */
+class EvolvingSchemaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeEvolved(path: String): Unit = {
+    Seq((1L, "a", 10), (2L, "b", 20)).toDF("id", "s", "n")
+      .write.mode("overwrite").parquet(path)
+    Seq((3L, "c", 30, "en"), (4L, "d", 40, "fr")).toDF("id", "s", "n", "lang")
+      .write.mode("append").parquet(path)
+  }
+
+  test("mergeSchema and pinned-superset reads agree, null-filling gen-1 rows") {
+    val path = java.nio.file.Files.createTempDirectory("evolved").toString
+    writeEvolved(path)
+    val merged = Tables.readParquetEvolved(spark, path)
+      .select("id", "s", "n", "lang").orderBy("id")
+    val pinned = Tables.readParquetEvolved(spark, path,
+        Some(StructType.fromDDL("id LONG, s STRING, n INT, lang STRING")))
+      .select("id", "s", "n", "lang").orderBy("id")
+    val m = merged.as[(Long, String, Int, Option[String])].collect().toSeq
+    val p = pinned.as[(Long, String, Int, Option[String])].collect().toSeq
+    assert(m == p, "footer-union and pinned-schema reads must be identical")
+    assert(m == Seq((1L, "a", 10, None), (2L, "b", 20, None),
+      (3L, "c", 30, Some("en")), (4L, "d", 40, Some("fr"))))
+  }
+
+  test("pinned read also projects a SUBSET without touching dropped columns") {
+    // Column pruning composes with evolution: asking only for gen-0
+    // columns reads every file without mentioning lang at all.
+    val path = java.nio.file.Files.createTempDirectory("evolved2").toString
+    writeEvolved(path)
+    val sub = Tables.readParquetEvolved(spark, path,
+        Some(StructType.fromDDL("id LONG, n INT")))
+      .orderBy("id").as[(Long, Int)].collect().toSeq
+    assert(sub == Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40)))
+  }
+}
