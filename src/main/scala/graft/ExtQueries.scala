@@ -1205,6 +1205,21 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_keep_best" -> ((s, dir) => {
+      // Quality-aware survivor selection: per near-dup cluster keep the
+      // HIGHEST-quality member (ties to the smallest id), not the
+      // arbitrary min-id copy — the curation policy that decides which
+      // variant of each boilerplate family a model actually trains on.
+      // Survivors = unclustered docs + one argmax per cluster.
+      val docs = read(s, dir, "documents")
+      val verified = Dedup.verifiedNearDupPairs(docs, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
+      Dedup.keepBestPerCluster(docs, Dedup.dupClusters(verified), "doc_id",
+          TextAnalysis.qualityScore(col("text")))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q_dup_clusters_star" -> ((s, dir) => {
       // Same cluster contract computed by alternating large-star /
       // small-star contraction — O(log n) rounds instead of
@@ -1701,7 +1716,10 @@ object ExtQueries {
     * algorithms (min-label propagation, star contraction) must produce
     * the same component-minimum labeling of the verified near-dup
     * graph, pinned by one recursive-CTE connected-components oracle. */
-  private def dupClustersOracleSql: String =
+  /** The recursive-CTE chain computing near-dup clusters (ends at `cc`:
+    * (node, label) rows whose per-node MIN(label) is the cluster id) —
+    * shared by the cluster-labeling oracles and the keep-best oracle. */
+  private def dupClustersCte: String =
     s"""WITH RECURSIVE sig AS (SELECT doc_id,
             ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM documents),
           bands AS (
@@ -1727,9 +1745,34 @@ object ExtQueries {
           cc AS (
             SELECT DISTINCT src AS node, src AS label FROM edges
             UNION
-            SELECT e.dst AS node, cc.label FROM cc JOIN edges e ON cc.node = e.src)
+            SELECT e.dst AS node, cc.label FROM cc JOIN edges e ON cc.node = e.src)"""
+
+  private def dupClustersOracleSql: String =
+    s"""$dupClustersCte
           SELECT node AS doc_id, MIN(label) AS cluster_id
           FROM cc GROUP BY node ORDER BY doc_id"""
+
+  /** Keep-best oracle: rank each cluster's members by (quality DESC,
+    * doc_id ASC) — quality is the same single-divide double chain as
+    * q_quality_score, bit-identical cross-engine — and evict everything
+    * past rank 1; unclustered docs pass through. */
+  private def dedupKeepBestOracleSql: String =
+    s"""$dupClustersCte,
+          clus AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM cc GROUP BY node),
+          scored AS (SELECT doc_id,
+              least(1.0, CAST(len(str_split(text, ' ')) AS DOUBLE) / 100)
+                * (1.0 - CAST(length(text) -
+                    length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+                  / length(text)) AS q
+            FROM documents),
+          ranked AS (SELECT c.doc_id,
+              row_number() OVER (PARTITION BY c.cluster_id
+                                 ORDER BY s.q DESC, c.doc_id ASC) AS rn
+            FROM clus c JOIN scored s USING (doc_id))
+          SELECT doc_id, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+          ORDER BY doc_id"""
 
   /** Shared CTE chain for the URL-curation oracles: rebuild the
     * deterministic raw URL-space, then mirror `Curation.normalizeUrl` /
@@ -2968,6 +3011,8 @@ object ExtQueries {
           FROM documents ORDER BY doc_id, frame_idx""",
 
     "q_dup_clusters" -> dupClustersOracleSql,
+
+    "q_dedup_keep_best" -> dedupKeepBestOracleSql,
 
     // The star-contraction variant must produce the identical
     // component-minimum labeling, so it shares the oracle verbatim.

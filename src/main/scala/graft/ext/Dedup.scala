@@ -353,6 +353,37 @@ object Dedup {
   def removeNearDups(docs: DataFrame, pairs: DataFrame, docKey: String): DataFrame =
     docs.join(pairs.select(col("b").as(docKey)).distinct(), Seq(docKey), "left_anti")
 
+  /** Quality-aware cluster survivor selection: keep, per duplicate
+    * cluster, the member with the HIGHEST `score` (ties to the smallest
+    * key — a total deterministic order), plus every unclustered doc.
+    * Min-id eviction (`dupClusters` + drop non-minimum) is the cheap
+    * default, but it keeps an arbitrary copy; real curation keeps the
+    * best one — the boilerplate-free, well-formed variant — and that
+    * choice measurably changes what a model trains on.
+    *
+    * Shape: `clusters` (node, cluster) is the near-dup family's bounded
+    * output — orders smaller than the corpus. Scores are computed only
+    * for CLUSTERED docs (inner join with the cluster table prunes the
+    * corpus scan to key + score inputs), the per-cluster argmax is one
+    * combine-enabled max(struct) on the small cluster table, and the
+    * corpus pays exactly one anti-join against the evicted-key set.
+    * `score` must be deterministic for the survivor set to be one
+    * (engine-reproducible) answer — qualityScore's single-divide doubles
+    * qualify. */
+  def keepBestPerCluster(docs: DataFrame, clusters: DataFrame, docKey: String,
+                         score: Column): DataFrame = {
+    val members = clusters.select(col("node").as(docKey), col("cluster").as("__cl"))
+    val scored = docs.select(col(docKey), score.as("__score"))
+      .join(members, Seq(docKey))
+    val winners = scored
+      .groupBy(col("__cl"))
+      .agg(max(struct(col("__score").as("s"), (-col(docKey)).as("nk"))).as("__w"))
+      .select((-col("__w.nk")).as(docKey))
+    val evicted = members.select(col(docKey))
+      .join(winners, Seq(docKey), "left_anti")
+    docs.join(evicted, Seq(docKey), "left_anti")
+  }
+
   /** Incremental dedup: keep only the `batch` docs that duplicate
     * NOTHING in `ref` — the production shape for snapshot-over-snapshot
     * curation, where each new crawl dedups against the already-curated

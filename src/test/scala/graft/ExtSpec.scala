@@ -572,6 +572,20 @@ class ExtSpec extends SparkSpec {
       "the two spellings hash identically after normalization — the dedup point")
   }
 
+  test("keepBestPerCluster: argmax survivor per cluster, ties to min id, singletons pass") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 30.0),  // cluster A: 2 and 3 tie on score -> keep 2
+      (4L, 99.0),                          // unclustered -> survives
+      (5L, 5.0), (6L, 7.0)                 // cluster B: keep 6
+    ).toDF("doc_id", "q")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("node", "cluster")
+    val kept = ext.Dedup.keepBestPerCluster(docs, clusters, "doc_id", col("q"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
   test("editDistanceDupPairs: bounded Levenshtein verify inside shared buckets") {
     // Rotations share the shingle set (guaranteed candidates); the edit
     // metric then separates small rewrites from full rewrites.
