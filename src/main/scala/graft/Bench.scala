@@ -14,6 +14,33 @@ object Bench {
     """(q_[A-Za-z0-9_]+)\\?"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(txt)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
+  /** The noise-flagger baseline from the harness's OWN history file
+    * (`bench_history.json`, one JSON line per run): the LAST recorded
+    * run at the same scale factor, parsed with the tolerant scan. The
+    * r7 flagger seeded itself from the driver's `BENCH_r*.json`
+    * instead, whose `tail` field is TRUNCATED — any query cut from the
+    * tail could never be flagged, which is how a 15.8 s suite-noise
+    * reading of a 2.7 s query reached the published artifact unflagged.
+    * History lines are written by this harness untruncated, so every
+    * query has a baseline from its second run on. */
+  def latestHistory(lines: Seq[String], sf: String): Map[String, Double] =
+    lines.filter(_.contains("\"sf\":\"" + sf + "\""))
+      .lastOption.map(parsePerQuerySeconds).getOrElse(Map.empty)
+
+  /** Should `v` (a query's min-of-two-passes seconds) re-run isolated?
+    * With a previous-round baseline: the r7 rule, > 2.5× prev. Without
+    * one (new query, or a failed previous run): the ABSOLUTE fallback —
+    * larger than both ~5% of the suite total and ~3× the suite median,
+    * so a planted multi-second outlier is flagged on its very first
+    * appearance while the suite's genuinely-heavy tail (bounded CC
+    * loops at ~4% of total) is not re-run every round. */
+  def shouldFlag(v: Double, prev: Option[Double],
+                 suiteTotal: Double, suiteMedian: Double): Boolean =
+    v >= 0 && (prev match {
+      case Some(p) if p > 0 => v > 2.5 * p
+      case _ => v > math.max(0.05 * suiteTotal, 3 * suiteMedian)
+    })
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -116,18 +143,39 @@ object Bench {
     // value is the min over all samples (the isolated number is as real
     // a measurement as either pass); `flagged` carries the full sample
     // set so a reader can classify noise vs regression at a glance.
+    // Baseline preference order: (1) the harness's own bench_history.json
+    // (full per-query map, appended after every run — never truncated);
+    // (2) the driver's latest BENCH_r*.json (tail-truncated: covers only
+    // the queries that survived the tail window — the r7 blind spot, kept
+    // only as a bootstrap before the first history line exists). Queries
+    // with no baseline from either source fall to shouldFlag's absolute
+    // rule, so a brand-new query's outlier is still caught.
+    val historyPath = java.nio.file.Paths.get("bench_history.json")
     val prevBench: Map[String, Double] = {
-      val files = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
-        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      files.sortBy(_.getName.replaceAll("\\D", "").toInt).lastOption.map { f =>
-        parsePerQuerySeconds(new String(
-          java.nio.file.Files.readAllBytes(f.toPath),
-          java.nio.charset.StandardCharsets.UTF_8))
-      }.getOrElse(Map.empty)
+      import scala.jdk.CollectionConverters._
+      val hist =
+        if (java.nio.file.Files.exists(historyPath))
+          latestHistory(
+            java.nio.file.Files.readAllLines(historyPath,
+              java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq, sfDir)
+        else Map.empty[String, Double]
+      if (hist.nonEmpty) hist
+      else {
+        val files = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        files.sortBy(_.getName.replaceAll("\\D", "").toInt).lastOption.map { f =>
+          parsePerQuerySeconds(new String(
+            java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8))
+        }.getOrElse(Map.empty)
+      }
     }
+    val succOrdered = results.values.filter(_ >= 0).toSeq.sorted
+    val suiteTotal = succOrdered.sum
+    val suiteMedian =
+      if (succOrdered.isEmpty) 0.0 else succOrdered(succOrdered.size / 2)
     val flagged = order.collect { case (name, fn)
-      if results(name) >= 0 &&
-        prevBench.get(name).exists(p => p > 0 && results(name) > 2.5 * p) =>
+      if shouldFlag(results(name), prevBench.get(name), suiteTotal, suiteMedian) =>
       System.gc()
       name -> once(fn)
     }.toMap
@@ -139,9 +187,11 @@ object Bench {
     }
     val qs = finalResults.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // prev is -1 for absolute-rule flags (no baseline existed).
     val flaggedJson = flagged.map { case (k, iso) =>
       s"\"" + k + "\":" +
-        s"""{"p1":${pass1(k)},"p2":${pass2(k)},"prev":${prevBench(k)},"isolated":$iso}"""
+        s"""{"p1":${pass1(k)},"p2":${pass2(k)},"prev":${
+          prevBench.getOrElse(k, -1.0)},"isolated":$iso}"""
     }.mkString("{", ",", "}")
     // total sums SUCCESSFUL queries only — summing the -1 sentinels would
     // make a breakage lower the headline number; `failed` carries the
@@ -161,6 +211,20 @@ object Bench {
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] bench.json not written: ${e.getMessage}") }
+    // Append this run's FULL per-query map to the committed history file —
+    // the next run's flagger baseline (see latestHistory). Post-isolated
+    // values: a flagged query records its corrected min, so one noisy run
+    // does not poison the next round's baseline. Full-suite runs only — a
+    // subset profiling run must not shadow the last complete baseline.
+    if (args.isEmpty) {
+      val histLine = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","queries":$qs}""" + "\n"
+      try java.nio.file.Files.write(historyPath,
+        histLine.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] bench_history.json not appended: ${e.getMessage}") }
+    }
     spark.stop()
   }
 }

@@ -268,6 +268,38 @@ class OpsSpec extends SparkSpec {
       "the driver wrapper's tail must be recoverable")
   }
 
+  test("bench flagger: history baseline + absolute fallback close the r7 blind spot") {
+    // History file: last line at the matching sf wins; other sfs ignored.
+    val lines = Seq(
+      """{"ts":"t0","sf":"/d/sf0.1","queries":{"q_a":1.0,"q_b":0.5}}""",
+      """{"ts":"t1","sf":"/d/sf0.01","queries":{"q_a":9.0}}""",
+      """{"ts":"t2","sf":"/d/sf0.1","queries":{"q_a":2.0,"q_b":0.4}}""")
+    assert(Bench.latestHistory(lines, "/d/sf0.1") ==
+      Map("q_a" -> 2.0, "q_b" -> 0.4))
+    assert(Bench.latestHistory(lines, "/d/sf1") == Map.empty)
+    // With a baseline: the 2.5x rule, exactly as before.
+    assert(Bench.shouldFlag(5.1, Some(2.0), 100.0, 0.5))
+    assert(!Bench.shouldFlag(4.9, Some(2.0), 100.0, 0.5))
+    // The r7 incident shape: a 15 s in-suite reading of a query with NO
+    // baseline (cut from the truncated BENCH tail) must now flag via the
+    // absolute rule — > 5% of a ~100 s suite and > 3x its 0.5 s median.
+    assert(Bench.shouldFlag(15.8, None, 100.0, 0.5))
+    // A normal new query does not re-run; nor does a genuinely-heavy one
+    // sitting under 5% of the suite (the bounded CC loops at ~4%).
+    assert(!Bench.shouldFlag(0.8, None, 100.0, 0.5))
+    assert(!Bench.shouldFlag(4.4, None, 100.0, 0.5))
+    // A -1 baseline (failed previous run) falls to the absolute rule.
+    assert(Bench.shouldFlag(15.8, Some(-1.0), 100.0, 0.5))
+    // Failed current queries never re-run.
+    assert(!Bench.shouldFlag(-1.0, None, 100.0, 0.5))
+    // The seeded committed history covers the full r7 query surface —
+    // including the queries the truncated BENCH tail dropped.
+    val hist = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_history.json")))
+    assert(Bench.parsePerQuerySeconds(hist).size > 120,
+      "bench_history.json must carry the complete per-query map")
+  }
+
   test("salted rolling window: exact under planted skew, hot key actually splits") {
     // One hot key dominating the table — the shape where an unsalted
     // window serializes a single reducer at scale.
