@@ -364,8 +364,11 @@ object Dedup {
     * Shape: `clusters` (node, cluster) is the near-dup family's bounded
     * output — orders smaller than the corpus. Scores are computed only
     * for CLUSTERED docs (inner join with the cluster table prunes the
-    * corpus scan to key + score inputs), the per-cluster argmax is one
-    * combine-enabled max(struct) on the small cluster table, and the
+    * corpus scan to key + score inputs), the per-cluster argmax is two
+    * combine-enabled aggregates on the small cluster table (max score,
+    * then min key among the ties — `min`/`max` order ANY orderable key
+    * type natively, so a STRING docKey tie-breaks correctly instead of
+    * silently null-casting as an arithmetic negation would), and the
     * corpus pays exactly one anti-join against the evicted-key set.
     * `score` must be deterministic for the survivor set to be one
     * (engine-reproducible) answer — qualityScore's single-divide doubles
@@ -375,10 +378,17 @@ object Dedup {
     val members = clusters.select(col("node").as(docKey), col("cluster").as("__cl"))
     val scored = docs.select(col(docKey), score.as("__score"))
       .join(members, Seq(docKey))
+    val best = scored.groupBy(col("__cl"))
+      .agg(max(col("__score")).as("__best"))
+      .withColumnRenamed("__cl", "__bcl") // derived from `scored`: rename
+      // both columns so the self-join resolves unambiguously
     val winners = scored
+      .join(best, col("__cl") === col("__bcl") &&
+        col("__score") <=> col("__best")) // <=> so an all-null-score
+      // cluster still keeps its min-key member instead of vanishing
       .groupBy(col("__cl"))
-      .agg(max(struct(col("__score").as("s"), (-col(docKey)).as("nk"))).as("__w"))
-      .select((-col("__w.nk")).as(docKey))
+      .agg(min(col(docKey)).as(docKey))
+      .select(col(docKey))
     val evicted = members.select(col(docKey))
       .join(winners, Seq(docKey), "left_anti")
     docs.join(evicted, Seq(docKey), "left_anti")

@@ -179,36 +179,67 @@ object Analytics {
     *
     *  1. chunk each key's sequence by `chunk` — any expression MONOTONE
     *     NON-DECREASING in `orderCols` (a time bucket, an id range);
-    *  2. rank each key's distinct chunks (a window over #chunks rows
-    *     per key — metadata-sized, never the hot data) so "previous
-    *     chunk" is well-defined even when buckets skip;
-    *  3. replicate each chunk's LAST k-1 rows into the next chunk as
-    *     GHOST rows: every row's trailing frame is complete inside its
-    *     own (key, chunk) partition;
+    *  2. rank each key's distinct chunks AND count their rows (one agg
+    *     over #chunks rows per key — metadata-sized, never the hot
+    *     data); a running sum of counts gives every chunk's global
+    *     START/END position in the key's order without any window over
+    *     the hot rows themselves;
+    *  3. replicate each chunk's LAST k-1 rows as GHOST rows into EVERY
+    *     later chunk whose start position lies within their k-1 reach —
+    *     when chunks are dense that is just the next chunk, but a
+    *     sparse chunk (fewer than k-1 rows, e.g. a quiet time bucket)
+    *     forwards ghosts it received across the boundary, so each
+    *     chunk receives exactly its min(k-1, #predecessors) global
+    *     predecessor rows and every trailing frame is complete inside
+    *     its own (key, chunk) partition — no density precondition;
     *  4. run the ordinary window partitioned by (key, chunk) — the hot
     *     key now spreads across its chunks — and drop ghost outputs.
     *
-    * Cost: one extra tiny distinct + broadcast, ghosts add k-1 rows per
-    * (key, chunk). Correctness is pinned against the unsalted operator
-    * under planted skew (OpsSpec). */
+    * Cost: one extra tiny count-agg + broadcast, ghosts add ≤ k-1 rows
+    * per (key, chunk). Correctness is pinned against the unsalted
+    * operator under planted skew AND under sparse 1-row chunks
+    * (OpsSpec). */
   def rollingMeanSalted(df: DataFrame, valueCol: String, partCols: Seq[String],
                         orderCols: Seq[String], k: Int, out: String,
                         chunk: Column): DataFrame = {
     val keyed = df.withColumn("__chunk", chunk)
     val wChunks = Window.partitionBy(partCols.map(col): _*).orderBy(col("__chunk"))
-    val idx = keyed.select((partCols :+ "__chunk").map(col): _*).distinct()
+    // Metadata table: one row per (key, chunk) with its rank and the
+    // global END position of its last row (running sum of counts).
+    val meta = keyed.groupBy((partCols :+ "__chunk").map(col): _*)
+      .agg(count(lit(1)).as("__ccnt"))
       .withColumn("__cidx", row_number().over(wChunks))
-    val withIdx = keyed.join(broadcast(idx), partCols :+ "__chunk")
+      .withColumn("__cend", sum(col("__ccnt")).over(
+        wChunks.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val withIdx = keyed.join(broadcast(meta.drop("__ccnt")),
+      partCols :+ "__chunk")
     val wTail = Window.partitionBy((partCols :+ "__cidx").map(col): _*)
       .orderBy(orderCols.map(c => col(c).desc): _*)
-    val ghosts = withIdx.withColumn("__rn", row_number().over(wTail))
-      .filter(col("__rn") < k).drop("__rn")
-      .withColumn("__cidx", col("__cidx") + 1)
+    // Candidates: a chunk's last k-1 rows (__rn = 1 is the chunk's final
+    // row, global position __cend - __rn + 1). A candidate reaches the
+    // k-1 rows after it, so it ghosts into every later chunk that STARTS
+    // at or before position __cend - __rn + k; chunk positions are
+    // contiguous, so "starts at or before" is __cstart <= reach with
+    // __cstart = prior __cend + 1 — expressed below as target's
+    // (__cend - __ccnt) < reach.
+    val cand = withIdx.withColumn("__rn", row_number().over(wTail))
+      .filter(col("__rn") < k)
+    val tgt = meta.select((partCols.map(c => col(c).as(s"__t_$c"))
+      :+ col("__cidx").as("__tidx") :+ col("__ccnt").as("__tcnt")
+      :+ col("__cend").as("__tend")): _*)
+    val ghosts = cand.join(broadcast(tgt),
+        partCols.map(c => col(c) === col(s"__t_$c")).reduce(_ && _) &&
+          col("__tidx") > col("__cidx") &&
+          (col("__tend") - col("__tcnt")) < (col("__cend") - col("__rn") + k),
+        "inner")
+      .withColumn("__cidx", col("__tidx"))
+      .drop((partCols.map(c => s"__t_$c") ++
+        Seq("__rn", "__tidx", "__tcnt", "__tend")): _*)
       .withColumn("__ghost", lit(true))
     val aug = withIdx.withColumn("__ghost", lit(false)).unionByName(ghosts)
     rollingMean(aug, valueCol, partCols :+ "__cidx", orderCols, k, out)
       .filter(!col("__ghost"))
-      .drop("__chunk", "__cidx", "__ghost")
+      .drop("__chunk", "__cidx", "__cend", "__ghost")
   }
 
   /** Trailing-window Pearson correlation of two clean-decimal series per

@@ -47,17 +47,47 @@ object BloomJoin {
 
   /** Constant-size bloom over `key` of every row in `df`, computed as a
     * distributed mergeable aggregate and returned as its serialized
-    * bytes. Null keys are skipped (an aggregate over only-null or zero
-    * rows yields an EMPTY filter, not null — `might_contain` on it is
-    * uniformly false, which is the correct semi-join semantics). */
+    * bytes. Null keys are GENUINELY skipped: the hash is wrapped as
+    * `when(key.isNotNull, xxhash64(key))`, because a bare
+    * `xxhash64(NULL)` returns the hash seed — a real value that would
+    * insert one phantom key into the filter (an aggregate over only-null
+    * or zero rows then yields an EMPTY filter, not null —
+    * `might_contain` on it is uniformly false, which is the correct
+    * semi-join semantics).
+    *
+    * Sizing note: `BloomFilterAggregate` clamps its item/bit arguments
+    * to `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
+    * `.maxNumBits` (defaults 4M items / 8 MB — sized for AQE's injected
+    * runtime filters, not for a hand-placed reduction). A silently
+    * clamped filter stays CORRECT but its fpp explodes and the reduction
+    * quietly degrades, so when the requested size exceeds either cap
+    * this method raises the session conf for the duration of the (eager,
+    * synchronous) aggregate job and restores it after. */
   def keyBloom(df: DataFrame, key: Column, expectedItems: Long,
                bitsPerItem: Long = DefaultBitsPerItem): Array[Byte] = {
     require(expectedItems > 0, "expectedItems must be positive")
+    val hashed = when(key.isNotNull, xxhash64(key))
     val agg = new BloomFilterAggregate(
-      ColumnBridge.expression(xxhash64(key)),
+      ColumnBridge.expression(hashed),
       Literal(expectedItems), Literal(expectedItems * bitsPerItem))
-    val bytes = df.agg(ColumnBridge.column(agg.toAggregateExpression()).as("__bf"))
-      .head.getAs[Array[Byte]]("__bf")
+    val conf = df.sparkSession.conf
+    def raise(k: String, needed: Long): Option[String] = {
+      val cur = conf.get(k)
+      if (needed > cur.toLong) { conf.set(k, needed.toString); Some(cur) }
+      else None
+    }
+    val (kItems, kBits) = (
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+    val savedItems = raise(kItems, expectedItems)
+    val savedBits = raise(kBits, expectedItems * bitsPerItem)
+    val bytes =
+      try df.agg(ColumnBridge.column(agg.toAggregateExpression()).as("__bf"))
+        .head.getAs[Array[Byte]]("__bf")
+      finally {
+        savedItems.foreach(conf.set(kItems, _))
+        savedBits.foreach(conf.set(kBits, _))
+      }
     // Spark returns null for a zero-row input; substitute the serialized
     // empty filter so downstream `might_contain` is false, not null.
     if (bytes != null) bytes
@@ -72,10 +102,14 @@ object BloomJoin {
 
   /** Codegen'd membership probe against a driver-built bloom: true iff
     * the filter cannot rule `key` out. Map-only — safe to place directly
-    * behind the scan of an arbitrarily large frame. */
+    * behind the scan of an arbitrarily large frame. Null keys probe as
+    * NULL (same `when(isNotNull, …)` wrapping as [[keyBloom]]), so a
+    * `filter(mightContain(…))` drops them at the scan — the correct
+    * equi-join semantics (NULL matches nothing) applied map-side. */
   def mightContain(bloom: Array[Byte], key: Column): Column =
     ColumnBridge.column(BloomFilterMightContain(
-      Literal(bloom, BinaryType), ColumnBridge.expression(xxhash64(key))))
+      Literal(bloom, BinaryType),
+      ColumnBridge.expression(when(key.isNotNull, xxhash64(key)))))
 
   /** `small LEFT ANTI big ON small(key) = big(key)` without shuffling
     * `big` in full: bloom the small side's keys, stream `big` through the

@@ -189,7 +189,21 @@ object EventStream {
     * by the exact pass — at-least-once delivery becomes
     * exactly-once-per-content sink contents. Empty first batch commits
     * data-file-less dirs; later reads pin the schema instead of
-    * inferring (the `upsertSink` contract). */
+    * inferring (the `upsertSink` contract).
+    *
+    * Crash-ordering contract: `bands/` is written BEFORE `docs/`. The
+    * two appends are not atomic together, so a crash can land between
+    * them; with bands-first the failure mode is an ORPHAN band set — a
+    * replayed batch re-admits the doc (the exact anti-join sees no
+    * docs/ row) and re-appends identical band rows, so the doc is never
+    * silently missing from the band table and future near-dup detection
+    * against it keeps working. Duplicate band rows are benign: the
+    * candidate join has set semantics (pairs are distinct-ed before
+    * verify), they just cost one extra bucket row. The reverse order
+    * (docs first, the r7 layout) was strictly worse: a crash there made
+    * the exact pass drop the replayed doc, so its bands were NEVER
+    * appended and the accepted doc became permanently invisible to
+    * near-dup checks. */
   def nearDupDedupSink(stream: DataFrame, sinkPath: String, docKey: String,
                        textCol: String, k: Int, bands: Int, rowsPerBand: Int,
                        threshold: Double, checkpoint: String
@@ -215,10 +229,11 @@ object EventStream {
         Dedup.dedupAgainstReferenceWithBands(b2, ref, refBands,
           docKey, textCol, k, bands, rowsPerBand, threshold)
       }).localCheckpoint() // two writes below — don't run the chain twice
-      accepted.write.mode("append").parquet(docsPath)
+      // bands BEFORE docs — see the crash-ordering contract above.
       Dedup.lshBands(Dedup.minhashSignature(accepted, docKey, textCol, k),
           docKey, bands, rowsPerBand)
         .write.mode("append").parquet(bandsPath)
+      accepted.write.mode("append").parquet(docsPath)
     }
     stream.writeStream
       .option("checkpointLocation", checkpoint)

@@ -586,6 +586,23 @@ class ExtSpec extends SparkSpec {
     assert(kept == Set(2L, 4L, 6L))
   }
 
+  test("keepBestPerCluster: STRING doc keys tie-break deterministically (no numeric cast)") {
+    import org.apache.spark.sql.functions.col
+    // The r7 tie-break negated the key arithmetically; a string key cast
+    // to NULL there, making ties silently nondeterministic. Now min(key)
+    // over the tied members uses the key type's own ordering.
+    val docs = Seq(
+      ("doc_b", 30.0), ("doc_a", 30.0), ("doc_c", 10.0), // tie: keep doc_a
+      ("solo", 1.0),                                      // unclustered
+      ("x2", 7.0), ("x1", 5.0)                            // keep x2 on score
+    ).toDF("doc_id", "q")
+    val clusters = Seq(("doc_a", "c1"), ("doc_b", "c1"), ("doc_c", "c1"),
+      ("x1", "c2"), ("x2", "c2")).toDF("node", "cluster")
+    val kept = ext.Dedup.keepBestPerCluster(docs, clusters, "doc_id", col("q"))
+      .select("doc_id").as[String].collect().toSet
+    assert(kept == Set("doc_a", "solo", "x2"))
+  }
+
   test("editDistanceDupPairs: bounded Levenshtein verify inside shared buckets") {
     // Rotations share the shingle set (guaranteed candidates); the edit
     // metric then separates small rewrites from full rewrites.

@@ -321,6 +321,28 @@ class OpsSpec extends SparkSpec {
     assert(hotChunks >= 9, s"expected the hot key split across chunks, got $hotChunks")
   }
 
+  test("salted rolling window: exact for SPARSE chunks (ghosts cascade across boundaries)") {
+    // k=7 with 1-row and 2-row chunks: a frame needs rows from up to six
+    // PRECEDING chunks, so next-chunk-only ghosting (the r7 layout) would
+    // silently truncate frames. Ghosts now cascade: each chunk receives
+    // its min(k-1, #predecessors) global predecessor rows.
+    val rows = (1 to 40).map(i => ("hot", i, BigDecimal((i % 9) + 1))) ++
+      (1 to 11).map(i => ("cold", i, BigDecimal((i % 4) + 1)))
+    val df = rows.toDF("k", "t", "v")
+      .withColumn("v", col("v").cast(DecimalType(18, 2)))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "t", "m").orderBy("k", "t").collect().toSeq
+    val base = canon(Analytics.rollingMean(df, "v", Seq("k"), Seq("t"), 7, "m"))
+    // chunk = t: every chunk holds exactly ONE row.
+    assert(canon(Analytics.rollingMeanSalted(df, "v", Seq("k"), Seq("t"),
+      7, "m", chunk = col("t"))) == base,
+      "1-row chunks: every frame must assemble from six cascaded ghosts")
+    // Mixed density: 2-row chunks (still < k-1) plus skipped bucket ids.
+    assert(canon(Analytics.rollingMeanSalted(df, "v", Seq("k"), Seq("t"),
+      7, "m", chunk = (col("t") / 2).cast("int") * 10)) == base,
+      "sparse 2-row chunks with gaps in the bucket ids must stay exact")
+  }
+
   test("linearTrend: exact fit recovers slope/intercept, degenerate keys NULL") {
     val df = Seq(
       ("a", 1, Some(3.0)), ("a", 2, Some(5.0)), ("a", 3, Some(7.0)), // y = 2x+1
@@ -549,6 +571,36 @@ class OpsSpec extends SparkSpec {
     val bloom = BloomJoin.keyBloom(emptySmall, col("k"), 10L)
     val probed = big.filter(BloomJoin.mightContain(bloom, col("k"))).count()
     assert(probed == 0, "empty bloom rules out everything")
+  }
+
+  test("bloom joins: null keys genuinely skipped on both build and probe sides") {
+    // xxhash64(NULL) evaluates to the hash SEED, not NULL — a bare hash
+    // would insert one phantom key per null build row and probe null big
+    // rows as a real value. keyBloom/mightContain wrap the hash in
+    // when(isNotNull, ...), so:
+    //  - a bloom built over ONLY null keys is the empty filter;
+    //  - null big-side keys are dropped AT THE PROBE (null predicate),
+    //    matching equi-join semantics map-side instead of in the tail.
+    val allNull = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "k")
+    val big = Seq(Some("a"), Some("z"), Option.empty[String]).toDF("k")
+    val bloomNulls = BloomJoin.keyBloom(allNull, col("k"), 10L)
+    assert(big.filter(BloomJoin.mightContain(bloomNulls, col("k"))).count() == 0,
+      "only-null build input must yield the EMPTY filter")
+    // Mixed nulls both sides: results identical to the exact joins, and
+    // the probe itself already rules out the null corpus row.
+    val small = Seq((1L, Some("a")), (2L, Option.empty[String]), (3L, Some("q")))
+      .toDF("id", "k")
+    val bloom = BloomJoin.keyBloom(small, col("k"), 10L)
+    assert(big.filter(BloomJoin.mightContain(bloom, col("k")))
+      .filter(col("k").isNull).count() == 0,
+      "null corpus keys must not survive the probe")
+    val gotAnti = BloomJoin.antiJoinViaBloom(small, big, "k", 10L)
+      .select("id").as[Long].collect().toSet
+    val exactAnti = small.join(big, Seq("k"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(gotAnti == exactAnti && gotAnti == Set(2L, 3L),
+      "null-keyed batch rows match nothing -> kept by anti")
   }
 
   test("kmvSketch is the brute-force k smallest distinct fingerprints, any partitioning") {
