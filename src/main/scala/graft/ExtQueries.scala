@@ -55,6 +55,24 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    "q_rolling_mean_salted" -> ((s, dir) => {
+      // The SALTED-window recipe on the real corpus: the same trailing
+      // 7-row mean as q_rolling_mean, but each event_type's sequence is
+      // chunked by calendar day (monotone in ts) and the window runs per
+      // (key, chunk) with ghost rows carrying the cross-boundary frame
+      // context — the skew escape hatch for a hot key whose plain window
+      // would serialize one reducer. The oracle is the PLAIN
+      // trailing-frame AVG OVER: a hash match proves the salted plan is
+      // value-identical to the unsalted window on real data, not just
+      // on the spec's fixtures.
+      Analytics.rollingMeanSalted(
+          read(s, dir, "events").select("event_id", "event_type", "ts", "value"),
+          "value", Seq("event_type"), Seq("ts", "event_id"), 7, "roll_avg",
+          chunk = to_date(col("ts")))
+        .select("event_id", "event_type", "roll_avg")
+        .orderBy("event_id")
+    }),
+
     "q_chunk_budget" -> ((s, dir) => {
       // Long-document splitting: every doc into 64-token chunks (the
       // stage BEFORE packByBudget packs the pieces). Map-only HOF —
@@ -1964,6 +1982,18 @@ object ExtQueries {
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_rolling_mean" ->
+      """SELECT event_id, event_type,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) AS roll_avg
+         FROM events
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+
+    // The salted recipe must be value-identical to the PLAIN unsalted
+    // trailing window — the oracle is deliberately the same SQL as
+    // q_rolling_mean's.
+    "q_rolling_mean_salted" ->
       """SELECT event_id, event_type,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
              / COUNT(*) OVER w, 6) AS roll_avg

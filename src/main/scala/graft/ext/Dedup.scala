@@ -364,33 +364,26 @@ object Dedup {
     * Shape: `clusters` (node, cluster) is the near-dup family's bounded
     * output — orders smaller than the corpus. Scores are computed only
     * for CLUSTERED docs (inner join with the cluster table prunes the
-    * corpus scan to key + score inputs), the per-cluster argmax is two
-    * combine-enabled aggregates on the small cluster table (max score,
-    * then min key among the ties — `min`/`max` order ANY orderable key
-    * type natively, so a STRING docKey tie-breaks correctly instead of
-    * silently null-casting as an arithmetic negation would), and the
-    * corpus pays exactly one anti-join against the evicted-key set.
-    * `score` must be deterministic for the survivor set to be one
-    * (engine-reproducible) answer — qualityScore's single-divide doubles
-    * qualify. */
+    * corpus scan to key + score inputs), the per-cluster argmax is ONE
+    * window pass over the bounded cluster table —
+    * `row_number` ordered (score desc NULLS LAST, key asc), so the
+    * winner is the max-score member, ties to the smallest key under the
+    * key type's OWN ordering (a STRING docKey tie-breaks correctly; an
+    * all-null-score cluster still keeps its min-key member because
+    * nulls sort last uniformly) — and the corpus pays exactly one
+    * anti-join against the evicted-key set. `score` must be
+    * deterministic for the survivor set to be one (engine-reproducible)
+    * answer — qualityScore's single-divide doubles qualify. */
   def keepBestPerCluster(docs: DataFrame, clusters: DataFrame, docKey: String,
                          score: Column): DataFrame = {
     val members = clusters.select(col("node").as(docKey), col("cluster").as("__cl"))
     val scored = docs.select(col(docKey), score.as("__score"))
       .join(members, Seq(docKey))
-    val best = scored.groupBy(col("__cl"))
-      .agg(max(col("__score")).as("__best"))
-      .withColumnRenamed("__cl", "__bcl") // derived from `scored`: rename
-      // both columns so the self-join resolves unambiguously
-    val winners = scored
-      .join(best, col("__cl") === col("__bcl") &&
-        col("__score") <=> col("__best")) // <=> so an all-null-score
-      // cluster still keeps its min-key member instead of vanishing
-      .groupBy(col("__cl"))
-      .agg(min(col(docKey)).as(docKey))
+    val w = Window.partitionBy(col("__cl"))
+      .orderBy(col("__score").desc_nulls_last, col(docKey).asc)
+    val evicted = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
       .select(col(docKey))
-    val evicted = members.select(col(docKey))
-      .join(winners, Seq(docKey), "left_anti")
     docs.join(evicted, Seq(docKey), "left_anti")
   }
 
@@ -415,10 +408,11 @@ object Dedup {
     * nothing. */
   def dedupAgainstReference(batch: DataFrame, ref: DataFrame, docKey: String,
                             textCol: String, k: Int, bands: Int,
-                            rowsPerBand: Int, threshold: Double): DataFrame =
+                            rowsPerBand: Int, threshold: Double,
+                            expectedBatchKeys: Long = DefaultExpectedBatchKeys): DataFrame =
     dedupAgainstReferenceWithBands(batch, ref,
       lshBands(minhashSignature(ref, docKey, textCol, k), docKey, bands, rowsPerBand),
-      docKey, textCol, k, bands, rowsPerBand, threshold)
+      docKey, textCol, k, bands, rowsPerBand, threshold, expectedBatchKeys)
 
   /** `dedupAgainstReference` with the reference's band table SUPPLIED
     * instead of recomputed — the incremental-maintenance form: a caller
@@ -428,11 +422,43 @@ object Dedup {
     * curated corpus on every arrival. `refBands` must be the
     * `lshBands(minhashSignature(ref, k), bands, rowsPerBand)` table of
     * exactly `ref` under the same (k, bands, rowsPerBand). */
+  /** Sentinel for the exact pass's batch-key bloom sizing: ≤ 0 means
+    * COUNT the batch first (one extra narrow job over the small side —
+    * the batch is the incoming slice, so the count is cheap, and the
+    * resulting right-sized filter keeps the probe's plan literal at
+    * ~1 byte/key instead of a fixed multi-MB constant shipped with
+    * every task). Callers that know their batch scale pass it
+    * explicitly to skip the count; underestimating costs only fpp —
+    * extra corpus keys into the exact anti-join tail — never wrong
+    * answers. */
+  val DefaultExpectedBatchKeys: Long = 0L
+
   def dedupAgainstReferenceWithBands(batch: DataFrame, ref: DataFrame,
                                      refBands: DataFrame, docKey: String,
                                      textCol: String, k: Int, bands: Int,
-                                     rowsPerBand: Int, threshold: Double): DataFrame = {
-    val refKeys = ref.select(md5(col(textCol)).as("__ck")).distinct()
+                                     rowsPerBand: Int, threshold: Double,
+                                     expectedBatchKeys: Long = DefaultExpectedBatchKeys
+                                    ): DataFrame = {
+    // Exact pass, bloom-composed (the 100 TB incremental shape): build
+    // a constant-size bloom over the BATCH's content keys (the small
+    // side — one mergeable aggregate, collected like any sketch), then
+    // stream the corpus keys through `might_contain` AT THE SCAN — a
+    // map-only codegen'd filter, so the curated side pays no distinct
+    // and no shuffle per batch (the previous plan re-distincted the
+    // full corpus keys every arrival — a full-corpus shuffle per
+    // increment). Survivors ≈ true matches (≤ |batch|) plus
+    // fpp × |corpus keys|; the exact anti-join on them restores
+    // exactly the unreduced semantics: a false-positive survivor is a
+    // REAL corpus key that matches no batch key, so it evicts nothing
+    // (no false negatives exist by construction).
+    val batchKeyed = batch.withColumn("__ck", md5(col(textCol)))
+    val bloomItems =
+      if (expectedBatchKeys > 0) expectedBatchKeys
+      else math.max(batchKeyed.count(), 1L)
+    val bloom = graft.ops.BloomJoin.keyBloom(batchKeyed, col("__ck"),
+      bloomItems)
+    val survivors = ref.select(md5(col(textCol)).as("__ck"))
+      .filter(graft.ops.BloomJoin.mightContain(bloom, col("__ck")))
     // The exact-pass survivors feed THREE branches (signatures, the
     // verify join, the final anti-join), so they are materialized once:
     // without it, each branch re-runs the batch scan + anti-join, and
@@ -449,8 +475,8 @@ object Dedup {
     // `ref` is deliberately NOT materialized: at 100 TB the curated
     // side must stream from storage, column-pruned per pass (hashes,
     // then signatures, then candidate texts).
-    val fresh = batch.withColumn("__ck", md5(col(textCol)))
-      .join(refKeys, Seq("__ck"), "left_anti").drop("__ck")
+    val fresh = batchKeyed
+      .join(survivors, Seq("__ck"), "left_anti").drop("__ck")
       .localCheckpoint()
     val bBands = lshBands(minhashSignature(fresh, docKey, textCol, k),
         docKey, bands, rowsPerBand)

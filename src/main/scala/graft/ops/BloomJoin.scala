@@ -70,7 +70,8 @@ object BloomJoin {
     val agg = new BloomFilterAggregate(
       ColumnBridge.expression(hashed),
       Literal(expectedItems), Literal(expectedItems * bitsPerItem))
-    val conf = df.sparkSession.conf
+    val session = df.sparkSession
+    val conf = session.conf
     def raise(k: String, needed: Long): Option[String] = {
       val cur = conf.get(k)
       if (needed > cur.toLong) { conf.set(k, needed.toString); Some(cur) }
@@ -79,15 +80,23 @@ object BloomJoin {
     val (kItems, kBits) = (
       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
       "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
-    val savedItems = raise(kItems, expectedItems)
-    val savedBits = raise(kBits, expectedItems * bitsPerItem)
-    val bytes =
+    // The raise/aggregate/restore round-trip is serialized per session:
+    // two concurrent unsynchronized calls could interleave their
+    // raise/restore pairs and leave a cap permanently raised (or clobber
+    // the other call's raise mid-aggregate). Filters that fit the
+    // default caps never enter the raise branch, but the lock still
+    // bounds them — keyBloom is a driver-blocking sketch build, not a
+    // hot path, so the serialization costs nothing real.
+    val bytes = session.synchronized {
+      val savedItems = raise(kItems, expectedItems)
+      val savedBits = raise(kBits, expectedItems * bitsPerItem)
       try df.agg(ColumnBridge.column(agg.toAggregateExpression()).as("__bf"))
         .head.getAs[Array[Byte]]("__bf")
       finally {
         savedItems.foreach(conf.set(kItems, _))
         savedBits.foreach(conf.set(kBits, _))
       }
+    }
     // Spark returns null for a zero-row input; substitute the serialized
     // empty filter so downstream `might_contain` is false, not null.
     if (bytes != null) bytes

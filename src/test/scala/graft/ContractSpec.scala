@@ -23,4 +23,19 @@ class ContractSpec extends SparkSpec {
   test("entry returns rows (driver t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("COVERAGE.md header count matches SparkEntry.queries.size") {
+    // The header's "N/N hash-match" claim drifted twice when queries were
+    // added without a doc update (121→126 in r6, 126→131 in r8) — derive
+    // the check instead of hand-auditing it each round.
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("COVERAGE.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = """(\d+)/(\d+) hash-match""".r.findFirstMatchIn(text)
+    assert(m.isDefined, "COVERAGE.md must state an 'N/N hash-match' count")
+    val n = SparkEntry.queries.size
+    assert(m.get.group(1).toInt == n && m.get.group(2).toInt == n,
+      s"COVERAGE.md says ${m.get.group(1)}/${m.get.group(2)} but " +
+        s"SparkEntry.queries has $n entries — update the header")
+  }
 }

@@ -1178,6 +1178,31 @@ class ExtSpec extends SparkSpec {
     assert(all == Set(3L, 5L, 7L, 9L), "only the exact copy drops at an unreachable threshold")
   }
 
+  test("dedupAgainstReference: bloom-composed exact pass is fpp-insensitive (exact at any sizing)") {
+    // The exact pass streams corpus keys through a bloom built over the
+    // batch keys. A DELIBERATELY undersized bloom (1 expected item = 8
+    // bits for a 40-key corpus) floods the exact tail with false
+    // positives — the result must still be identical, because an fpp
+    // survivor is a real corpus key that equals no batch key and so
+    // evicts nothing. Equality here vs the well-sized path is the
+    // reduction's exactness contract stated as a test.
+    val ref = (0L until 40L).map(i => (i, s"ref document number $i with words w$i x$i y$i z$i"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "ref document number 7 with words w7 x7 y7 z7"),  // exact dup of ref 7
+      (101L, "completely novel text payload alpha beta gamma delta epsilon zeta eta"),
+      (102L, "another novel document with its own distinct words entirely here today")
+    ).toDF("doc_id", "text")
+    def run(expected: Long) = Dedup.dedupAgainstReference(batch, ref, "doc_id",
+        "text", k = 4, bands = 2, rowsPerBand = 2, threshold = 0.8,
+        expectedBatchKeys = expected)
+      .select("doc_id").as[Long].collect().toSet
+    val wellSized = run(1L << 20)
+    assert(wellSized == Set(101L, 102L), "exact dup vs ref must drop")
+    assert(run(1L) == wellSized,
+      "an undersized bloom (fpp ~ 1) must change cost only, never the answer")
+  }
+
   test("dedupParagraphs: first occurrence survives, order preserved, emptied docs drop") {
     val docs = Seq(
       (1L, "A\nB"),
