@@ -1519,7 +1519,14 @@ object ExtQueries {
   private val ContamMinHits = 3
   private val EditDupMaxDist = 8
   /** The URL fixture's TLD wheel — cycles suffix-rule widths 1..3. */
-  private val UrlTlds = Seq("com", "co.uk", "org", "github.io", "de", "nsw.edu.au")
+  /** Mix of bare TLDs, multi-label exact suffixes, and WILDCARD
+    * suffixes (`*.ck` base width 1, `*.kawasaki.jp` base width 2) so
+    * the oracle-verified domain queries exercise the PSL wildcard join
+    * arms, not just exact matches (exceptions are pinned by the ExtSpec
+    * goldens — the fixture's `www.{src}.example.{tld}` shape cannot
+    * reach one). */
+  private val UrlTlds = Seq("com", "co.uk", "org", "github.io", "de",
+    "nsw.edu.au", "ck", "kawasaki.jp")
   private val DomainCap = 30
   /** Registered domains the blocklist query evicts (the example.{tld}
     * fixture yields six domains; two are blocked). */
@@ -1795,13 +1802,70 @@ object ExtQueries {
   /** Shared CTE chain for the URL-curation oracles: rebuild the
     * deterministic raw URL-space, then mirror `Curation.normalizeUrl` /
     * `hostOf` step for step (same RE2 ∩ Java patterns) and resolve the
-    * registered domain with the same suffix-rule join
-    * (`Curation.MultiLabelSuffixes` inlined as VALUES). Ends at `dom`
+    * registered domain with the SAME publicsuffix.org algorithm over
+    * the SAME parsed rule groups (`Curation.exactRulesByWidth` /
+    * `wildcardRulesByBaseWidth` / `exceptionRulesByWidth` inlined as
+    * VALUES — one generated join arm per kind×width, exception beats
+    * all, else longest match, else the default rule). Ends at `dom`
     * (doc_id, url, host, domain). */
-  private def pslValues(width: Int): String =
-    Curation.MultiLabelSuffixes
-      .filter(_.count(_ == '.') + 1 == width)
-      .map(sfx => s"('$sfx')").mkString(", ")
+  private def pslVals(rules: Seq[String]): String =
+    rules.sorted.map(r => s"('$r')").mkString(", ")
+
+  /** The generated registered-domain SQL tail: candidates → rule joins
+    * → prevailing-width CASE → domain slice. Derived from the same
+    * Curation rule groups the Spark operator joins against, so the two
+    * engines cannot drift. Input CTE must expose
+    * (doc_id, url, host, labels, n). */
+  private lazy val pslDomainSqlTail: String = {
+    val exact = Curation.exactRulesByWidth
+    val wild = Curation.wildcardRulesByBaseWidth
+    val exc = Curation.exceptionRulesByWidth
+    val candWidths = (exact.keySet ++ wild.keySet ++ exc.keySet).toSeq.sorted
+    val candCols = candWidths.map(w =>
+      s"CASE WHEN n >= $w THEN array_to_string(list_slice(labels, n - ${w - 1}, n), '.') END AS c$w")
+      .mkString(",\n            ")
+    val tables =
+      (exact.toSeq.sortBy(_._1).map { case (w, rs) =>
+        s"psl_e$w(sfx) AS (VALUES ${pslVals(rs)})" } ++
+       wild.toSeq.sortBy(_._1).map { case (b, rs) =>
+        s"psl_w$b(sfx) AS (VALUES ${pslVals(rs)})" } ++
+       exc.toSeq.sortBy(_._1).map { case (w, rs) =>
+        s"psl_x$w(sfx) AS (VALUES ${pslVals(rs)})" }).mkString(",\n        ")
+    val joins =
+      (exact.keys.toSeq.sorted.map(w =>
+        s"LEFT JOIN psl_e$w e$w ON cw.c$w = e$w.sfx") ++
+       wild.keys.toSeq.sorted.map(b =>
+        s"LEFT JOIN psl_w$b w$b ON cw.c$b = w$b.sfx") ++
+       exc.keys.toSeq.sorted.map(w =>
+        s"LEFT JOIN psl_x$w x$w ON cw.c$w = x$w.sfx")).mkString("\n          ")
+    val sel =
+      (exact.keys.toSeq.sorted.map(w => s"e$w.sfx AS m_e$w") ++
+       wild.keys.toSeq.sorted.map(b => s"w$b.sfx AS m_w$b") ++
+       exc.keys.toSeq.sorted.map(w => s"x$w.sfx AS m_x$w")).mkString(", ")
+    def maxOf(arms: Seq[String]) = arms match {
+      case Nil      => "CAST(NULL AS INTEGER)"
+      case Seq(one) => one
+      case many     => s"GREATEST(${many.mkString(", ")})"
+    }
+    val excExpr = maxOf(exc.keys.toSeq.sorted.map(w =>
+      s"CASE WHEN m_x$w IS NOT NULL THEN ${w - 1} END"))
+    val normExpr = maxOf(
+      exact.keys.toSeq.sorted.map(w =>
+        s"CASE WHEN m_e$w IS NOT NULL THEN $w END") ++
+      wild.keys.toSeq.sorted.map(b =>
+        s"CASE WHEN m_w$b IS NOT NULL AND n >= ${b + 1} THEN ${b + 1} END"))
+    s"""cw AS (SELECT *,
+            $candCols
+          FROM cand),
+        $tables,
+        j AS (SELECT cw.*, $sel FROM cw
+          $joins),
+        sfxw AS (SELECT *, COALESCE($excExpr, $normExpr, 1) AS sw FROM j),
+        dom AS (SELECT doc_id, url, host,
+            CASE WHEN n >= sw + 1
+              THEN array_to_string(list_slice(labels, n - sw, n), '.') END AS domain
+          FROM sfxw)"""
+  }
   private lazy val UrlDomainSqlChain: String =
     s"""WITH raw AS (SELECT doc_id,
             'HTTPS://WWW.' || upper(source) || '.EXAMPLE.' ||
@@ -1840,25 +1904,7 @@ object ExtQueries {
         cand AS (SELECT doc_id, url, host,
             string_split(host, '.') AS labels,
             len(string_split(host, '.')) AS n FROM hosts),
-        c23 AS (SELECT *,
-            CASE WHEN n >= 2
-              THEN array_to_string(list_slice(labels, n - 1, n), '.') END AS c2,
-            CASE WHEN n >= 3
-              THEN array_to_string(list_slice(labels, n - 2, n), '.') END AS c3
-          FROM cand),
-        psl2(sfx) AS (VALUES ${pslValues(2)}),
-        psl3(sfx) AS (VALUES ${pslValues(3)}),
-        j AS (SELECT c23.*, p3.sfx AS s3, p2.sfx AS s2 FROM c23
-          LEFT JOIN psl3 p3 ON c23.c3 = p3.sfx
-          LEFT JOIN psl2 p2 ON c23.c2 = p2.sfx),
-        dom AS (SELECT doc_id, url, host,
-            CASE WHEN s3 IS NOT NULL THEN (CASE WHEN n >= 4
-                   THEN array_to_string(list_slice(labels, n - 3, n), '.') END)
-                 WHEN s2 IS NOT NULL THEN (CASE WHEN n >= 3
-                   THEN array_to_string(list_slice(labels, n - 2, n), '.') END)
-                 ELSE (CASE WHEN n >= 2
-                   THEN array_to_string(list_slice(labels, n - 1, n), '.') END)
-            END AS domain FROM j)"""
+        $pslDomainSqlTail"""
 
   /** The BPE oracle's merge table, inlined from the one Scala constant
     * so query and oracle can never drift. */

@@ -21,27 +21,61 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Multi-label public-suffix rules (a representative subset of the
-    * public PSL — real deployments load the full published list; the
-    * lookup shape is identical). Single-label TLDs need no entry: the
-    * fallback already treats the last label as the suffix. Entries must
-    * be lowercase. */
-  val MultiLabelSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
-    "com.br", "net.br", "org.br",
-    "com.cn", "net.cn", "org.cn",
-    "co.in", "net.in", "org.in",
-    "co.kr", "or.kr", "go.kr",
-    "com.mx", "org.mx", "gob.mx",
-    "co.nz", "net.nz", "org.nz",
-    "com.sg", "org.sg", "edu.sg",
-    "com.tr", "org.tr",
-    "com.ar", "org.ar",
-    "co.za", "org.za",
-    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
-    "nsw.edu.au", "vic.edu.au")
+  /** One parsed public-suffix rule. `base` is the literal label part,
+    * lowercase: for a wildcard rule `*.ck` the base is `ck` (the `*`
+    * matches exactly one extra label); for an exception rule `!www.ck`
+    * the base is `www.ck`. */
+  final case class PslRule(base: String, wildcard: Boolean, exception: Boolean) {
+    /** Label count of the literal part. */
+    val baseWidth: Int = base.count(_ == '.') + 1
+    /** Host-label count the full rule spans (a wildcard adds one). */
+    val width: Int = baseWidth + (if (wildcard) 1 else 0)
+  }
+
+  /** The public-suffix rules, loaded from the bundled
+    * `public_suffix_list.dat` resource (publicsuffix.org line format:
+    * `//` comments, `*.` wildcards, `!` exceptions). The resource ships
+    * a curated load; swap the file for the full published list in
+    * deployment — everything downstream (join arms, the oracle SQL) is
+    * data-driven over the rule widths and kinds found here. */
+  lazy val PslRules: Seq[PslRule] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    require(in != null, "bundled public_suffix_list.dat resource is missing")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try src.getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//"))
+      .map { l =>
+        val exception = l.startsWith("!")
+        val wildcard = l.startsWith("*.")
+        val base =
+          if (exception) l.substring(1) else if (wildcard) l.substring(2) else l
+        require(!base.contains("*"),
+          s"only leading wildcards are supported (the published list uses no others): $l")
+        PslRule(base.toLowerCase, wildcard, exception)
+      }.toVector
+    finally src.close()
+  }
+
+  /** Exact (non-wildcard, non-exception) rule bases by label width,
+    * multi-label only — a single-label exact rule ("com") is
+    * semantically the default `*` rule the resolver already applies as
+    * its fallback, so it needs no join arm. */
+  lazy val exactRulesByWidth: Map[Int, Seq[String]] =
+    PslRules.filter(r => !r.wildcard && !r.exception && r.baseWidth >= 2)
+      .map(_.base).distinct.groupBy(_.count(_ == '.') + 1)
+
+  /** Wildcard rule bases by BASE width (the rule spans base+1 host
+    * labels; the `*` label's content is irrelevant to the match). */
+  lazy val wildcardRulesByBaseWidth: Map[Int, Seq[String]] =
+    PslRules.filter(_.wildcard)
+      .map(_.base).distinct.groupBy(_.count(_ == '.') + 1)
+
+  /** Exception rule bases by width. A matching exception prevails over
+    * every other rule; its public suffix is the base minus its leftmost
+    * label (width − 1). */
+  lazy val exceptionRulesByWidth: Map[Int, Seq[String]] =
+    PslRules.filter(_.exception)
+      .map(_.base).distinct.groupBy(_.count(_ == '.') + 1)
 
   /** Tracking query parameters to strip (the classic cross-site set). */
   private val TrackingParamPattern =
@@ -105,36 +139,65 @@ object Curation {
     when(n >= k, array_join(slice(labels, n - k + 1, k), "."))
 
   /** Adds `out` = the registered domain of lowercase host column `host`:
-    * the public suffix plus one owner label. Suffix resolution is
-    * longest-match over `MultiLabelSuffixes` via one broadcast hash join
-    * per suffix width (2- and 3-label rules here — constant joins, no
-    * shuffle, no per-row scan of the rule list), falling back to the
-    * bare TLD. NULL when the host IS a public suffix (nothing is
-    * registered) or has a single label (`localhost`). */
+    * the public suffix plus one owner label, under the full
+    * publicsuffix.org algorithm over the bundled rule list
+    * ([[PslRules]]):
+    *
+    *  - a rule matches when its labels are a suffix of the host's
+    *    labels, the wildcard `*` standing for exactly one label;
+    *  - a matching EXCEPTION rule prevails over everything, and its
+    *    public suffix is the rule minus its leftmost label;
+    *  - otherwise the LONGEST matching rule prevails;
+    *  - no rule matches → the default rule `*` (the bare TLD is the
+    *    suffix — which also absorbs the list's single-label entries).
+    *
+    * Plan shape: one broadcast hash join per (rule kind, width) present
+    * in the data — the rule tables ride once per executor, each host
+    * probes O(1) by its last-k-label candidates, and the corpus scan
+    * stays map-only with zero shuffles (the shape that holds when the
+    * list is the full ~10k-entry PSL and the corpus is 100 TB). NULL
+    * when the host IS a public suffix (nothing is registered) or has a
+    * single label (`localhost`). */
   def withRegisteredDomain(df: DataFrame, host: Column, out: String): DataFrame = {
     val spark = df.sparkSession
-    val byWidth: Map[Int, Seq[String]] =
-      MultiLabelSuffixes.groupBy(_.count(_ == '.') + 1)
-    require(byWidth.keySet.subsetOf(Set(2, 3)),
-      "suffix rules wider than 3 labels need another join arm")
-    def ruleTable(w: Int): DataFrame = {
-      import spark.implicits._
-      byWidth.getOrElse(w, Seq.empty).toDF(s"__sfx$w")
+    import spark.implicits._
+    val (exact, wild, exc) =
+      (exactRulesByWidth, wildcardRulesByBaseWidth, exceptionRulesByWidth)
+    val candWidths = (exact.keySet ++ wild.keySet ++ exc.keySet).toSeq.sorted
+    def labels = split(host, "\\.")
+    def n = size(labels)
+    val staged = candWidths.foldLeft(df) { (d, w) =>
+      d.withColumn(s"__cand$w", lastLabels(labels, n, lit(w)))
     }
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val staged = df
-      .withColumn("__c2", lastLabels(labels, n, lit(2)))
-      .withColumn("__c3", lastLabels(labels, n, lit(3)))
-    val joined = staged
-      .join(broadcast(ruleTable(3)), staged("__c3") === col("__sfx3"), "left")
-      .join(broadcast(ruleTable(2)), staged("__c2") === col("__sfx2"), "left")
-    // Longest matching suffix width; bare-TLD fallback is width 1.
-    val k = when(col("__sfx3").isNotNull, 3)
-      .when(col("__sfx2").isNotNull, 2)
-      .otherwise(1)
+    def arm(d: DataFrame, w: Int, rules: Seq[String], name: String) =
+      d.join(broadcast(rules.toDF(name)), col(s"__cand$w") === col(name), "left")
+    val joined0 = exact.toSeq.sortBy(_._1).foldLeft(staged) {
+      case (d, (w, rs)) => arm(d, w, rs, s"__sfx_e$w") }
+    val joined1 = wild.toSeq.sortBy(_._1).foldLeft(joined0) {
+      case (d, (b, rs)) => arm(d, b, rs, s"__sfx_w$b") }
+    val joined = exc.toSeq.sortBy(_._1).foldLeft(joined1) {
+      case (d, (w, rs)) => arm(d, w, rs, s"__sfx_x$w") }
+    // Prevailing suffix width: exceptions first (width − 1), else the
+    // longest normal match (a wildcard needs the extra host label its
+    // `*` consumes), else the default rule. greatest() ignores NULLs.
+    def maxOf(arms: Seq[Column]): Column = arms match {
+      case Nil       => lit(null).cast("int")
+      case Seq(one)  => one
+      case many      => greatest(many: _*)
+    }
+    val excArms = exc.keys.toSeq.sorted.map(w =>
+      when(col(s"__sfx_x$w").isNotNull, lit(w - 1)))
+    val normArms =
+      exact.keys.toSeq.sorted.map(w =>
+        when(col(s"__sfx_e$w").isNotNull, lit(w))) ++
+      wild.keys.toSeq.sorted.map(b =>
+        when(col(s"__sfx_w$b").isNotNull && n >= b + 1, lit(b + 1)))
+    val sfx = coalesce(maxOf(excArms), maxOf(normArms), lit(1))
     joined
-      .withColumn(out, lastLabels(split(host, "\\."), size(split(host, "\\.")), k + 1))
-      .drop("__c2", "__c3", "__sfx2", "__sfx3")
+      .withColumn(out, lastLabels(labels, n, sfx + 1))
+      .drop(candWidths.map(w => s"__cand$w") ++
+        exact.keys.map(w => s"__sfx_e$w") ++
+        wild.keys.map(b => s"__sfx_w$b") ++
+        exc.keys.map(w => s"__sfx_x$w"): _*)
   }
 }

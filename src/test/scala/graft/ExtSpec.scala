@@ -843,6 +843,46 @@ class ExtSpec extends SparkSpec {
       "unknown TLD falls back to last-two-labels")
   }
 
+  test("registeredDomain: PSL wildcard/exception/4-label rules (official test vectors)") {
+    // Vectors from publicsuffix.org's test_psl.txt for the rule shapes
+    // the previous fixed-width implementation could not express: `*.ck`
+    // (wildcard, base width 1), `*.kobe.jp` (wildcard, base width 2),
+    // `!www.ck` / `!city.kobe.jp` (exceptions), `pvt.k12.ma.us`
+    // (4-label exact). None = the host IS a public suffix.
+    val cases = Seq(
+      // *.ck + !www.ck
+      "ck" -> None,
+      "test.ck" -> None,
+      "b.test.ck" -> Some("b.test.ck"),
+      "a.b.test.ck" -> Some("b.test.ck"),
+      "www.ck" -> Some("www.ck"),
+      "www.www.ck" -> Some("www.ck"),
+      // *.kobe.jp + !city.kobe.jp
+      "c.kobe.jp" -> None,
+      "b.c.kobe.jp" -> Some("b.c.kobe.jp"),
+      "a.b.c.kobe.jp" -> Some("b.c.kobe.jp"),
+      "city.kobe.jp" -> Some("city.kobe.jp"),
+      "www.city.kobe.jp" -> Some("city.kobe.jp"),
+      // jp exact rules at widths 1 and 2
+      "test.jp" -> Some("test.jp"),
+      "www.test.jp" -> Some("test.jp"),
+      "ac.jp" -> None,
+      "test.ac.jp" -> Some("test.ac.jp"),
+      "kyoto.jp" -> None,
+      "test.kyoto.jp" -> Some("test.kyoto.jp"),
+      // us k12 ladder: 2-, 3-, and 4-label exact rules stack
+      "test.ma.us" -> Some("test.ma.us"),
+      "cherry.k12.ma.us" -> Some("cherry.k12.ma.us"),
+      "www.cherry.k12.ma.us" -> Some("cherry.k12.ma.us"),
+      "pvt.k12.ma.us" -> None,
+      "x.pvt.k12.ma.us" -> Some("x.pvt.k12.ma.us"))
+    val got = Curation.withRegisteredDomain(
+        cases.map(_._1).toDF("host"), col("host"), "d")
+      .select("host", "d").as[(String, Option[String])].collect().toMap
+    cases.foreach { case (host, want) =>
+      assert(got(host) == want, s"registeredDomain($host)") }
+  }
+
   test("nearest-neighbor resize: output pixels are exact copies per the index map") {
     import java.lang.Math.floorMod
     val ids = Seq(0L, 3L, 11L)
