@@ -819,6 +819,24 @@ object ExtQueries {
         .orderBy("shard")
     }),
 
+    "q_export_sorted" -> ((s, dir) => {
+      // Range-partitioned SORTED export: shard k holds exactly the keys
+      // in [cut_{k-1}, cut_k) (cuts = exact integer interpolation over
+      // the key range — deterministic, engine-replayable), every part
+      // file is key-sorted, and the manifest carries each shard's
+      // [key_min, key_max] so a receiver binary-searches shards. The
+      // oracle recomputes cuts + shard membership + per-shard
+      // count/checksum/range from the logical corpus — a hash match
+      // proves the sorted layout landed content-complete.
+      val docs = read(s, dir, "documents").select("doc_id", "text", "n_chars")
+      val cuts = Export.valueRangeCuts(docs, col("doc_id"), ExportShards)
+      val path = s"$RunScratch/graft_export_sorted_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Export.writeSortedCorpus(s, docs, "doc_id", cuts, path,
+          Seq("doc_id", "text", "n_chars"))
+        .orderBy("shard")
+    }),
+
     "q_src_jsonl" -> ((s, dir) => {
       // JSONL source round trip: documents written as gzipped JSONL once
       // per corpus (memoized), read back through the schema-pinned
@@ -2758,6 +2776,27 @@ object ExtQueries {
 
     // The receiver-side manifest recomputation: same md5 shard bucket,
     // same per-shard row-hash checksum as q_table_checksum, grouped.
+    // Same cut arithmetic as Export.valueRangeCuts (integer-exact, so
+    // both engines place every key in the same shard), same row hash as
+    // the manifest family, plus the per-shard key range.
+    "q_export_sorted" -> {
+      val shardExpr = (1 until ExportShards)
+        .map(i => s"(CASE WHEN doc_id >= lo + (($i * (hi - lo)) // $ExportShards) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH mm AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+          sh AS (SELECT doc_id, text, n_chars,
+              CAST($shardExpr AS INTEGER) AS shard
+            FROM documents CROSS JOIN mm)
+          SELECT shard, COUNT(*) AS n_rows,
+            CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
+                COALESCE(CAST(doc_id AS VARCHAR), chr(2)),
+                COALESCE(CAST(text AS VARCHAR), chr(2)),
+                COALESCE(CAST(n_chars AS VARCHAR), chr(2)))), 1, 12))
+              AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum,
+            MIN(doc_id) AS key_min, MAX(doc_id) AS key_max
+          FROM sh GROUP BY 1 ORDER BY shard"""
+    },
+
     "q_export_manifest" ->
       """WITH sh AS (SELECT doc_id, text, n_chars,
              CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -93,6 +93,75 @@ object Export {
       .write.partitionBy("shard").mode("overwrite").parquet(outPath)
   }
 
+  /** Evenly-spaced cut points over `key`'s VALUE range: one tiny
+    * min/max aggregate, then exact integer interpolation
+    * cut_i = lo + (i·(hi−lo)) div n for i = 1..n−1. Value-uniform by
+    * construction — the right default for dense surrogate keys (doc
+    * ids); for skewed distributions compute quantile cuts upstream and
+    * hand them to [[writeSortedCorpus]] directly (the writer takes ANY
+    * ascending cut list). Deterministic and integer-exact, unlike
+    * `repartitionByRange`'s sampled boundaries — which is what lets a
+    * receiver (or the DuckDB oracle) reproduce shard membership
+    * bit-for-bit from the manifest alone. Empty input → no cuts. */
+  def valueRangeCuts(df: DataFrame, key: Column, nShards: Int): Seq[Long] = {
+    require(nShards >= 1, "need at least one shard")
+    val r = df.agg(min(key.cast("long")).as("lo"), max(key.cast("long")).as("hi")).head()
+    if (r.isNullAt(0)) Seq.empty
+    else {
+      val (lo, hi) = (r.getLong(0), r.getLong(1))
+      (1 until nShards).map(i => (BigInt(hi - lo) * i / nShards + lo).toLong)
+    }
+  }
+
+  /** Shard of `key` under ascending `cuts`: the count of cut points at
+    * or below the key — searchsorted expressed as a codegen'd
+    * when-chain, map-only. NULL keys land in shard 0 (every comparison
+    * is null → otherwise(0)). */
+  def rangeShard(key: Column, cuts: Seq[Long]): Column =
+    if (cuts.isEmpty) lit(0)
+    else cuts.map(c => when(key >= c, 1).otherwise(0)).reduce(_ + _)
+
+  /** RANGE-partitioned SORTED export — the layout receivers need for
+    * per-shard binary search: shard k holds exactly the keys in
+    * [cut_{k-1}, cut_k) (contiguous, disjoint, ordered by shard id),
+    * and every part file is sorted by the key. One shuffle (hash on the
+    * shard id — each shard lands whole in one task, so `partitionBy`
+    * emits one file per shard per write) + the task-local sort;
+    * `sortWithinPartitions(shard, key)` keeps per-file key order even
+    * when several shards share a task. Returns the SORTED manifest
+    * (shard, n_rows, checksum, key_min, key_max) computed from the data
+    * READ BACK off the sink — the same vouch-for-what-landed contract
+    * as [[writeShardedCorpus]], extended with each shard's key range so
+    * the manifest doubles as the shard index. */
+  def writeSortedCorpus(spark: SparkSession, df: DataFrame, keyCol: String,
+                        cuts: Seq[Long], path: String,
+                        cols: Seq[String]): DataFrame = {
+    require(cuts == cuts.sorted, "cut points must be ascending")
+    df.withColumn("shard", rangeShard(col(keyCol), cuts).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(keyCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    sortedManifestOf(spark.read.parquet(path), keyCol, cols)
+  }
+
+  /** Manifest of a sorted sharded corpus: the plain manifest columns
+    * plus each shard's [key_min, key_max] — the receiver's
+    * binary-search index (a point/range lookup touches only the shards
+    * whose range intersects it). Works on either side of the wire, like
+    * [[manifestOf]]. */
+  def sortedManifestOf(sharded: DataFrame, keyCol: String,
+                       cols: Seq[String]): DataFrame = {
+    Checksum.rejectFp(sharded, cols)
+    sharded.withColumn("shard", col("shard").cast("int"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(Checksum.rowHash(cols.map(col))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").as("checksum"),
+        min(col(keyCol)).as("key_min"),
+        max(col(keyCol)).as("key_max"))
+  }
+
   /** Streaming export sink — the continuous-ingest last mile: each
     * micro-batch is shard-assigned (same pure md5 bucket as the batch
     * writer, so batch- and stream-exported corpora are shard-compatible)

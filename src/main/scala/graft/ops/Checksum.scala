@@ -27,7 +27,7 @@ object Checksum {
       .cast("long")
   }
 
-  private def rejectFp(df: DataFrame, cols: Seq[String]): Unit = {
+  private[graft] def rejectFp(df: DataFrame, cols: Seq[String]): Unit = {
     import org.apache.spark.sql.types.{DoubleType, FloatType}
     val fp = cols.filter(c => df.schema(c).dataType == DoubleType ||
       df.schema(c).dataType == FloatType)

@@ -555,6 +555,44 @@ class ExtSpec extends SparkSpec {
       "exactly the tampered shard's manifest row differs")
   }
 
+  test("sorted export: disjoint ordered shard ranges, key-sorted files, tamper-evident manifest") {
+    // Keys arrive shuffled (i·7 mod 101 is a permutation); the sorted
+    // export must land them as contiguous ordered ranges with sorted
+    // files regardless.
+    val docs = (0L until 100L).map(i => (i * 7 % 101, s"d$i")).toDF("k", "text")
+    val cols = Seq("k", "text")
+    val cuts = Export.valueRangeCuts(docs, col("k"), 4)
+    assert(cuts == Seq(25L, 50L, 75L), "integer interpolation over [0, 100]")
+    val path = java.nio.file.Files.createTempDirectory("graft_sorted").toString
+    val manifest = Export.writeSortedCorpus(spark, docs, "k", cuts, path, cols)
+      .orderBy("shard").collect().toSeq
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum == 100, "every row landed")
+    // Shard ranges are disjoint and ordered by shard id.
+    val ranges = manifest.map(r => (r.getAs[Int]("shard"),
+      r.getAs[Long]("key_min"), r.getAs[Long]("key_max")))
+    ranges.sliding(2).foreach {
+      case Seq((s1, _, max1), (s2, min2, _)) =>
+        assert(s1 < s2 && max1 < min2, s"ranges must be disjoint+ordered: $ranges")
+      case _ => ()
+    }
+    // Every shard's file content is key-sorted (binary-search ready).
+    ranges.foreach { case (sh, _, _) =>
+      val ks = spark.read.parquet(s"$path/shard=$sh")
+        .select("k").as[Long].collect().toSeq
+      assert(ks == ks.sorted, s"shard $sh not sorted") }
+    // Receiver-side recomputation from the logical corpus agrees.
+    val logical = Export.sortedManifestOf(
+        docs.withColumn("shard", Export.rangeShard(col("k"), cuts)), "k", cols)
+      .orderBy("shard").collect().toSeq
+    assert(manifest == logical, "sink manifest == logical manifest")
+    // Tamper with one shard: exactly that shard's manifest row changes.
+    val tampered = spark.read.parquet(path).filter(col("k") =!= 0L)
+    val after = Export.sortedManifestOf(tampered, "k", cols)
+      .orderBy("shard").collect().toSeq
+    assert(after != manifest && after.count(r => !manifest.contains(r)) == 1,
+      "exactly the tampered shard's manifest row differs")
+  }
+
   test("normalizeNfc: combining marks compose, precomposed text is a fixed point") {
     // "cafe" + U+0301 (combining acute) must compose to precomposed U+00E9;
     // \uXXXX escapes keep the fixture independent of source encoding.
