@@ -23,9 +23,41 @@ object Bench {
     * reading of a 2.7 s query reached the published artifact unflagged.
     * History lines are written by this harness untruncated, so every
     * query has a baseline from its second run on. */
+  /** sf paths are compared NORMALIZED (trailing slashes stripped): a
+    * `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1/` run must still find the
+    * baseline written by a slashless run — the raw-substring match here
+    * used to silently lose it. */
+  private def normSf(s: String): String = s.replaceAll("/+$", "")
+  private val sfField = """"sf"\s*:\s*"([^"]*)"""".r
+  private def linesAtSf(lines: Seq[String], sf: String): Seq[String] =
+    lines.filter(l =>
+      sfField.findFirstMatchIn(l).exists(m => normSf(m.group(1)) == normSf(sf)))
+
   def latestHistory(lines: Seq[String], sf: String): Map[String, Double] =
-    lines.filter(_.contains("\"sf\":\"" + sf + "\""))
-      .lastOption.map(parsePerQuerySeconds).getOrElse(Map.empty)
+    linesAtSf(lines, sf).lastOption.map(parsePerQuerySeconds).getOrElse(Map.empty)
+
+  /** Calibration-probe seconds recorded in prior history lines at this
+    * sf (`"probe":N`, written by every guarded run). */
+  def probeHistory(lines: Seq[String], sf: String): Seq[Double] =
+    linesAtSf(lines, sf).flatMap(l =>
+      """"probe"\s*:\s*(-?[0-9.eE+]+)""".r.findFirstMatchIn(l)
+        .map(_.group(1).toDouble))
+
+  /** Load guard: is THIS machine, RIGHT NOW, too loaded for the run to
+    * be a usable baseline? The probe is a fixed data-independent Spark
+    * job whose only variable is ambient load; if it runs > 2x slower
+    * than the BEST this machine has ever recorded (min of history — the
+    * machine's quiet capability, robust to past loaded runs), the whole
+    * suite's numbers are suspect: the run is published (stdout +
+    * bench.json, marked degraded) but NOT appended to
+    * bench_history.json, so it can never become the next round's
+    * flagger baseline. The r9 run (sbt wall 788 s vs 415 s quiet) was
+    * appended exactly this way and poisoned the r10 baseline — this
+    * guard is the fix. No history → not degraded (bootstrap). */
+  def probeDegraded(probe: Double, history: Seq[Double]): Boolean = {
+    val quiet = history.filter(_ > 0)
+    quiet.nonEmpty && probe > 2.0 * quiet.min
+  }
 
   /** Should `v` (a query's min-of-two-passes seconds) re-run isolated?
     * With a previous-round baseline: the r7 rule, > 2.5× prev. Without
@@ -111,6 +143,28 @@ object Bench {
     // an unknown name is an error, not a silent no-op.
     val unknown = args.filterNot(SparkEntry.queries.keySet)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    // Calibration probe (see probeDegraded): a fixed data-independent
+    // job — hash-sum over a 64M range, codegen'd, all cores — run AFTER
+    // the split-rewrite warmup, min of 3 to shake a one-off GC. Its only
+    // variable is ambient machine load.
+    val histLines: Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get("bench_history.json")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readAllLines(p,
+          java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+      else Seq.empty
+    }
+    val probeSec = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1L << 26).select(sum(xxhash64(col("id")))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val degraded = probeDegraded(probeSec, probeHistory(histLines, sfDir))
+    if (degraded) System.err.println(
+      f"[bench] LOAD GUARD: probe $probeSec%.3f s vs quiet best ${
+        probeHistory(histLines, sfDir).filter(_ > 0).min}%.3f s — " +
+        "run marked degraded; history will NOT be appended")
     val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
                    else SparkEntry.queries
     // Pass 2 runs in REVERSE order: cross-query interference (GC/cleanup
@@ -152,13 +206,7 @@ object Bench {
     // rule, so a brand-new query's outlier is still caught.
     val historyPath = java.nio.file.Paths.get("bench_history.json")
     val prevBench: Map[String, Double] = {
-      import scala.jdk.CollectionConverters._
-      val hist =
-        if (java.nio.file.Files.exists(historyPath))
-          latestHistory(
-            java.nio.file.Files.readAllLines(historyPath,
-              java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq, sfDir)
-        else Map.empty[String, Double]
+      val hist = latestHistory(histLines, sfDir)
       if (hist.nonEmpty) hist
       else {
         val files = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
@@ -174,11 +222,17 @@ object Bench {
     val suiteTotal = succOrdered.sum
     val suiteMedian =
       if (succOrdered.isEmpty) 0.0 else succOrdered(succOrdered.size / 2)
-    val flagged = order.collect { case (name, fn)
-      if shouldFlag(results(name), prevBench.get(name), suiteTotal, suiteMedian) =>
-      System.gc()
-      name -> once(fn)
-    }.toMap
+    // Subset (profiling) runs skip the flagger entirely: suiteTotal /
+    // suiteMedian are computed over the subset only, so the absolute
+    // rule would mis-fire, and a subset run is a human at the wheel —
+    // isolation re-runs are theirs to do.
+    val flagged =
+      if (args.nonEmpty) Map.empty[String, Double]
+      else order.collect { case (name, fn)
+        if shouldFlag(results(name), prevBench.get(name), suiteTotal, suiteMedian) =>
+        System.gc()
+        name -> once(fn)
+      }.toMap
     val finalResults = results.map { case (name, v) =>
       name -> (flagged.get(name) match {
         case Some(iso) if iso >= 0 && v >= 0 => math.min(v, iso)
@@ -198,7 +252,7 @@ object Bench {
     // breakage signal instead.
     val total = finalResults.values.filter(_ >= 0).sum
     val failed = finalResults.values.count(_ < 0)
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"flagged":$flaggedJson,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"probe":$probeSec,"degraded":$degraded,"queries":$qs,"flagged":$flaggedJson,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of stdout, so a single long line
     // loses its head (the total) — r02/r03 both came back parsed:null.
     // Emit the long per-query line first, then a SHORT final summary line
@@ -206,7 +260,7 @@ object Bench {
     // file write: an unwritable cwd must not destroy the stdout signal the
     // summary line exists to protect.
     println(full)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"degraded":$degraded,"sf":"$sfDir"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
@@ -215,9 +269,11 @@ object Bench {
     // the next run's flagger baseline (see latestHistory). Post-isolated
     // values: a flagged query records its corrected min, so one noisy run
     // does not poison the next round's baseline. Full-suite runs only — a
-    // subset profiling run must not shadow the last complete baseline.
-    if (args.isEmpty) {
-      val histLine = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","queries":$qs}""" + "\n"
+    // subset profiling run must not shadow the last complete baseline —
+    // and NON-degraded runs only: a load-inflated run must never become
+    // the baseline (the probe line records the machine's state).
+    if (args.isEmpty && !degraded) {
+      val histLine = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","probe":$probeSec,"queries":$qs}""" + "\n"
       try java.nio.file.Files.write(historyPath,
         histLine.getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,

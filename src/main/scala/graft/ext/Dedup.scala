@@ -377,8 +377,16 @@ object Dedup {
   def keepBestPerCluster(docs: DataFrame, clusters: DataFrame, docKey: String,
                          score: Column): DataFrame = {
     val members = clusters.select(col("node").as(docKey), col("cluster").as("__cl"))
+    // One row per (key, cluster) BEFORE ranking: if `docs` carries
+    // duplicate docKey rows, the winner's key would otherwise reappear
+    // at rn=2 and land in the evicted set — the anti-join would then
+    // remove the whole cluster, winner included. max(score) keeps the
+    // reduction deterministic (no arbitrary dropDuplicates pick); the
+    // extra exchange is over the bounded cluster-membership table.
     val scored = docs.select(col(docKey), score.as("__score"))
       .join(members, Seq(docKey))
+      .groupBy(col(docKey), col("__cl"))
+      .agg(max(col("__score")).as("__score"))
     val w = Window.partitionBy(col("__cl"))
       .orderBy(col("__score").desc_nulls_last, col(docKey).asc)
     val evicted = scored.withColumn("__rn", row_number().over(w))
@@ -451,7 +459,18 @@ object Dedup {
     // exactly the unreduced semantics: a false-positive survivor is a
     // REAL corpus key that matches no batch key, so it evicts nothing
     // (no false negatives exist by construction).
-    val batchKeyed = batch.withColumn("__ck", md5(col(textCol)))
+    // In the count-the-batch sizing path the batch feeds THREE jobs
+    // before `fresh` materializes (the sizing count, the bloom
+    // aggregate, the anti-join) — materialize it once up front so the
+    // upstream batch scan/transform runs once, not three times. Same
+    // eager-localCheckpoint rationale as `fresh` below; skipped when
+    // the caller supplied the size (then only bloom + anti-join read
+    // it, and `fresh`'s own checkpoint bounds the recompute at two
+    // narrow passes).
+    val batchKeyed = {
+      val keyed = batch.withColumn("__ck", md5(col(textCol)))
+      if (expectedBatchKeys > 0) keyed else keyed.localCheckpoint()
+    }
     val bloomItems =
       if (expectedBatchKeys > 0) expectedBatchKeys
       else math.max(batchKeyed.count(), 1L)

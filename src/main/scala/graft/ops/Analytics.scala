@@ -165,6 +165,13 @@ object Analytics {
       round(sx / fcnt(lit(1)), 6)))
   }
 
+  /** Default ceiling for [[rollingMeanSalted]]'s (key, chunk) metadata
+    * row count — the density guard. 4M small rows is comfortably
+    * driver-broadcastable; a metadata table past it means the chunk
+    * expression is near-degenerate (rows-per-chunk ≈ 1) and the recipe
+    * would broadcast data-sized tables. */
+  val MaxSaltedChunkMetaRows: Long = 4L * 1000 * 1000
+
   /** SALTED trailing-window recipe — the skew escape hatch for the
     * rolling/lag family. A window's hash shuffle sends EVERY row of a
     * key to one task; one hot symbol at 100 TB therefore serializes one
@@ -201,16 +208,33 @@ object Analytics {
     * (OpsSpec). */
   def rollingMeanSalted(df: DataFrame, valueCol: String, partCols: Seq[String],
                         orderCols: Seq[String], k: Int, out: String,
-                        chunk: Column): DataFrame = {
+                        chunk: Column,
+                        maxMetaRows: Long = MaxSaltedChunkMetaRows): DataFrame = {
     val keyed = df.withColumn("__chunk", chunk)
     val wChunks = Window.partitionBy(partCols.map(col): _*).orderBy(col("__chunk"))
     // Metadata table: one row per (key, chunk) with its rank and the
     // global END position of its last row (running sum of counts).
+    // Materialized ONCE (eager localCheckpoint): it feeds TWO broadcasts
+    // below (__cidx/__cend join keys, then the ghost-target table), each
+    // of which would otherwise re-run the agg scan of the hot data — and
+    // the materialized count doubles as the density guard.
     val meta = keyed.groupBy((partCols :+ "__chunk").map(col): _*)
       .agg(count(lit(1)).as("__ccnt"))
       .withColumn("__cidx", row_number().over(wChunks))
       .withColumn("__cend", sum(col("__ccnt")).over(
         wChunks.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint()
+    // Density guard: the recipe assumes rows-per-chunk >> 1 — meta is
+    // METADATA-sized, orders smaller than the data, and both its uses
+    // are driver broadcasts. A degenerate `chunk` expression (one chunk
+    // per row, e.g. chunk == orderCol) silently makes those broadcasts
+    // data-sized; fail fast with the cause instead.
+    val metaRows = meta.count()
+    require(metaRows <= maxMetaRows,
+      s"rollingMeanSalted: $metaRows (key, chunk) metadata rows exceed " +
+        s"the broadcast-safe ceiling $maxMetaRows — the `chunk` " +
+        "expression is too fine-grained (expected rows-per-chunk >> 1); " +
+        "coarsen it (e.g. a wider time bucket) or raise maxMetaRows")
     val withIdx = keyed.join(broadcast(meta.drop("__ccnt")),
       partCols :+ "__chunk")
     val wTail = Window.partitionBy((partCols :+ "__cidx").map(col): _*)

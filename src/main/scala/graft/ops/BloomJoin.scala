@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.BinaryType
@@ -55,58 +54,36 @@ object BloomJoin {
     * `might_contain` on it is uniformly false, which is the correct
     * semi-join semantics).
     *
-    * Sizing note: `BloomFilterAggregate` clamps its item/bit arguments
-    * to `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` /
-    * `.maxNumBits` (defaults 4M items / 8 MB — sized for AQE's injected
-    * runtime filters, not for a hand-placed reduction). A silently
-    * clamped filter stays CORRECT but its fpp explodes and the reduction
-    * quietly degrades, so when the requested size exceeds either cap
-    * this method raises the session conf for the duration of the (eager,
-    * synchronous) aggregate job and restores it after. */
+    * Build path: a `treeAggregate` over the sketch library's
+    * `BloomFilter` (`putLong` per map task, `mergeInPlace` up the tree —
+    * the same distributed-mergeable shape as
+    * `DataFrameStatFunctions.bloomFilter`), serialized with `writeTo` —
+    * byte-compatible with the `BloomFilterMightContain` probe, which is
+    * `BloomFilter.readFrom` + `mightContainLong` over the same xxhash64
+    * key. Deliberately NOT `BloomFilterAggregate`: that expression
+    * silently clamps its sizing to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`.maxNumBits`
+    * (AQE runtime-filter caps — 4M items / 8 MB, far under a 100M-key
+    * batch), so a hand-placed reduction had to raise-and-restore session
+    * confs around the job, a window in which concurrent queries on the
+    * same session observed raised caps. The sketch aggregate reads no
+    * conf at all: exact requested sizing, no round-trip, no lock. */
   def keyBloom(df: DataFrame, key: Column, expectedItems: Long,
                bitsPerItem: Long = DefaultBitsPerItem): Array[Byte] = {
     require(expectedItems > 0, "expectedItems must be positive")
-    val hashed = when(key.isNotNull, xxhash64(key))
-    val agg = new BloomFilterAggregate(
-      ColumnBridge.expression(hashed),
-      Literal(expectedItems), Literal(expectedItems * bitsPerItem))
-    val session = df.sparkSession
-    val conf = session.conf
-    def raise(k: String, needed: Long): Option[String] = {
-      val cur = conf.get(k)
-      if (needed > cur.toLong) { conf.set(k, needed.toString); Some(cur) }
-      else None
-    }
-    val (kItems, kBits) = (
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
-      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
-    // The raise/aggregate/restore round-trip is serialized per session:
-    // two concurrent unsynchronized calls could interleave their
-    // raise/restore pairs and leave a cap permanently raised (or clobber
-    // the other call's raise mid-aggregate). Filters that fit the
-    // default caps never enter the raise branch, but the lock still
-    // bounds them — keyBloom is a driver-blocking sketch build, not a
-    // hot path, so the serialization costs nothing real.
-    val bytes = session.synchronized {
-      val savedItems = raise(kItems, expectedItems)
-      val savedBits = raise(kBits, expectedItems * bitsPerItem)
-      try df.agg(ColumnBridge.column(agg.toAggregateExpression()).as("__bf"))
-        .head.getAs[Array[Byte]]("__bf")
-      finally {
-        savedItems.foreach(conf.set(kItems, _))
-        savedBits.foreach(conf.set(kBits, _))
-      }
-    }
-    // Spark returns null for a zero-row input; substitute the serialized
-    // empty filter so downstream `might_contain` is false, not null.
-    if (bytes != null) bytes
-    else {
-      val bf = org.apache.spark.util.sketch.BloomFilter.create(
-        expectedItems, expectedItems * bitsPerItem)
-      val out = new java.io.ByteArrayOutputStream()
-      bf.writeTo(out)
-      out.toByteArray
-    }
+    val hashes = df
+      .select(when(key.isNotNull, xxhash64(key)).as("__h"))
+      .where(col("__h").isNotNull)
+    val bf = hashes.queryExecution.toRdd
+      .treeAggregate(org.apache.spark.util.sketch.BloomFilter.create(
+        expectedItems, expectedItems * bitsPerItem))(
+        seqOp = (b, row) => { b.putLong(row.getLong(0)); b },
+        combOp = (a, b) => a.mergeInPlace(b))
+    // Zero input rows → the untouched zero filter: uniformly false under
+    // might_contain, which is the correct empty-set semi-join semantics.
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
   }
 
   /** Codegen'd membership probe against a driver-built bloom: true iff

@@ -28,8 +28,14 @@ class ContractSpec extends SparkSpec {
     // The header's "N/N hash-match" claim drifted twice when queries were
     // added without a doc update (121→126 in r6, 126→131 in r8) — derive
     // the check instead of hand-auditing it each round.
-    val text = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("COVERAGE.md")),
+    // Resolve robustly: CWD first, then user.dir (sbt fork working dirs
+    // can differ from the repo root).
+    val candidates = Seq(
+      java.nio.file.Paths.get("COVERAGE.md"),
+      java.nio.file.Paths.get(sys.props("user.dir"), "COVERAGE.md"))
+    val covPath = candidates.find(java.nio.file.Files.exists(_)).getOrElse(
+      fail("COVERAGE.md not found in CWD or user.dir — run tests from the repo root"))
+    val text = new String(java.nio.file.Files.readAllBytes(covPath),
       java.nio.charset.StandardCharsets.UTF_8)
     val m = """(\d+)/(\d+) hash-match""".r.findFirstMatchIn(text)
     assert(m.isDefined, "COVERAGE.md must state an 'N/N hash-match' count")

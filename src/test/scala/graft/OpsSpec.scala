@@ -300,6 +300,33 @@ class OpsSpec extends SparkSpec {
       "bench_history.json must carry the complete per-query map")
   }
 
+  test("bench load guard: probe predicate, probe history, sf normalization") {
+    // Guard predicate: degraded iff > 2x the machine's quiet best.
+    assert(Bench.probeDegraded(1.1, Seq(0.5, 0.6)))      // 2.2x the 0.5 best
+    assert(!Bench.probeDegraded(0.9, Seq(0.5, 0.6)))     // 1.8x — fine
+    assert(!Bench.probeDegraded(9.9, Seq.empty),         // bootstrap run
+      "no probe history must accept the run (first guarded run seeds it)")
+    assert(!Bench.probeDegraded(9.9, Seq(-1.0)),
+      "non-positive history entries are ignored")
+    // The quiet BEST is the baseline — one past loaded run in the
+    // history must not raise the bar (r9's poisoning shape).
+    assert(Bench.probeDegraded(1.1, Seq(3.0, 0.5)))
+    // Probe history parses only lines at the matching sf.
+    val lines = Seq(
+      """{"ts":"t0","sf":"/d/sf0.1","probe":0.5,"queries":{"q_a":1.0}}""",
+      """{"ts":"t1","sf":"/d/sf0.01","probe":9.0,"queries":{"q_a":1.0}}""",
+      """{"ts":"t2","sf":"/d/sf0.1","probe":0.6,"queries":{"q_a":1.0}}""",
+      """{"ts":"t3","sf":"/d/sf0.1","queries":{"q_a":1.0}}""")  // pre-guard line: no probe
+    assert(Bench.probeHistory(lines, "/d/sf0.1") == Seq(0.5, 0.6))
+    // sf matching is slash-normalized BOTH ways: a trailing-slash env
+    // value still finds the slashless history, and vice versa (the raw
+    // substring match used to silently lose the baseline).
+    assert(Bench.probeHistory(lines, "/d/sf0.1/") == Seq(0.5, 0.6))
+    assert(Bench.latestHistory(lines, "/d/sf0.1/") == Map("q_a" -> 1.0))
+    val slashed = Seq("""{"ts":"t0","sf":"/d/sf0.1/","queries":{"q_b":2.0}}""")
+    assert(Bench.latestHistory(slashed, "/d/sf0.1") == Map("q_b" -> 2.0))
+  }
+
   test("salted rolling window: exact under planted skew, hot key actually splits") {
     // One hot key dominating the table — the shape where an unsalted
     // window serializes a single reducer at scale.
@@ -341,6 +368,23 @@ class OpsSpec extends SparkSpec {
     assert(canon(Analytics.rollingMeanSalted(df, "v", Seq("k"), Seq("t"),
       7, "m", chunk = (col("t") / 2).cast("int") * 10)) == base,
       "sparse 2-row chunks with gaps in the bucket ids must stay exact")
+  }
+
+  test("salted rolling window: density guard rejects a degenerate chunk expression") {
+    // chunk == orderCol makes one (key, chunk) metadata row PER DATA ROW
+    // — the shape where the recipe's two broadcasts silently become
+    // data-sized. With the ceiling lowered below the row count the guard
+    // must fail fast and name the cause.
+    val df = (1 to 50).map(i => ("k", i, BigDecimal(i % 5)))
+      .toDF("k", "t", "v")
+      .withColumn("v", col("v").cast(DecimalType(18, 2)))
+    val e = intercept[IllegalArgumentException] {
+      Analytics.rollingMeanSalted(df, "v", Seq("k"), Seq("t"), 7, "m",
+        chunk = col("t"), maxMetaRows = 10)
+    }
+    assert(e.getMessage.contains("chunk"), s"guard message names the cause: $e")
+    // The default ceiling accepts sane densities (the sparse test above
+    // runs 1-row chunks on 51 rows — far under 4M metadata rows).
   }
 
   test("linearTrend: exact fit recovers slope/intercept, degenerate keys NULL") {
