@@ -981,6 +981,33 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_mixture_sample" -> ((s, dir) => {
+      // Pretraining mixture: per-source token budgets → deterministic
+      // hash-ordered prefix selection, sharded so a dominant source
+      // never serializes one window reducer.
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      Sampling.mixtureByTokenBudget(docs, col("source"), col("doc_id"),
+          col("n_tokens"), MixtureBudgets.toMap, shards = MixtureShards)
+        .orderBy("doc_id")
+    }),
+
+    "q_mixture_report" -> ((s, dir) => {
+      // The mixture's published accounting: achieved vs target tokens
+      // and shares per source (src2's budget exceeds supply at sf0.01,
+      // so its achieved share falls short — visible, not silent).
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      val selected = Sampling.mixtureByTokenBudget(docs, col("source"),
+        col("doc_id"), col("n_tokens"), MixtureBudgets.toMap,
+        shards = MixtureShards)
+      Sampling.mixtureReport(selected, col("source"), col("n_tokens"),
+          MixtureBudgets.toMap)
+        .orderBy("source")
+    }),
+
     "q_semantic_dedup" -> ((s, dir) => {
       // Cross-modal near-dup removal: a document is evicted when its
       // EMBEDDING is a verified cosine near-duplicate of a lower-id
@@ -1609,6 +1636,33 @@ object ExtQueries {
   private val WeightedSampleK = 120
   private val PackBudget = 2048L
   private val PackShards = 4
+  /** Mixture targets (tokens): src2's budget exceeds its sf0.01 supply,
+    * so the report shows a genuine shortfall; unlisted sources are
+    * excluded. Shared verbatim by the Spark query and the oracle SQL. */
+  private val MixtureShards = 4
+  private val MixtureBudgets: Seq[(String, Long)] = Seq(
+    "src0" -> 800L, "src1" -> 400L, "src2" -> 2600L, "src3" -> 600L)
+
+  /** DuckDB twin of `Sampling.mixtureByTokenBudget` over `documents`
+    * with ws token counts — generated from MixtureBudgets/MixtureShards
+    * (see the q_mixture_sample oracle comment). Ends defining `sel`. */
+  private def mixtureSelSql: String = {
+    val cases = MixtureBudgets
+      .map { case (s, b) => s"WHEN '$s' THEN $b" }.mkString(" ")
+    s"""t AS (SELECT doc_id, source,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8)) AS BIGINT)
+           % $MixtureShards AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(CASE source $cases ELSE 0 END AS BIGINT) AS budget
+       FROM documents),
+       c AS (SELECT *, budget // $MixtureShards +
+           CASE WHEN shard < budget % $MixtureShards THEN 1 ELSE 0 END AS shard_budget,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       FROM t),
+       sel AS (SELECT doc_id, source, n_tokens FROM c WHERE before < shard_budget)"""
+  }
   private val WideBands = 2
   private val WideSliceBits = 12
   // Pigeonhole recall guarantee requires maxHamming < WideBands.
@@ -2860,6 +2914,34 @@ object ExtQueries {
            < CASE WHEN source = 'src0' THEN 80 WHEN source = 'src1' THEN 80
                   WHEN source = 'src2' THEN 10 ELSE 30 END
          ORDER BY doc_id""",
+
+    // Mixture selection CTE shared by both mixture oracles — GENERATED
+    // from the same MixtureBudgets/MixtureShards constants the Spark
+    // queries use, so the two engines cannot drift. Replays the op
+    // exactly: hash shard, per-(source, shard) budget with remainder
+    // spread, stable (md5(key), key) order, exclusive-prefix-sum rule.
+    "q_mixture_sample" ->
+      s"""WITH $mixtureSelSql
+          SELECT doc_id, source, n_tokens FROM sel ORDER BY doc_id""",
+
+    "q_mixture_report" ->
+      s"""WITH $mixtureSelSql,
+          tgt AS (SELECT * FROM (VALUES ${
+            MixtureBudgets.map { case (s, b) =>
+              s"('$s', CAST($b AS BIGINT))" }.mkString(", ")
+          }) AS v(source, target_tokens)),
+          ach AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS achieved_tokens
+            FROM sel GROUP BY 1)
+          SELECT t.source,
+            CAST(COALESCE(a.achieved_tokens, 0) AS BIGINT) AS achieved_tokens,
+            t.target_tokens,
+            ROUND(CAST(COALESCE(a.achieved_tokens, 0) AS DOUBLE)
+              / CAST(SUM(COALESCE(a.achieved_tokens, 0)) OVER () AS DOUBLE), 6)
+              AS achieved_share,
+            ROUND(CAST(t.target_tokens AS DOUBLE)
+              / CAST(SUM(t.target_tokens) OVER () AS DOUBLE), 6) AS target_share
+          FROM tgt t LEFT JOIN ach a USING (source)
+          ORDER BY source""",
 
     "q_semantic_dedup" ->
       s"""WITH b AS (SELECT vec_id, embedding,

@@ -160,6 +160,90 @@ object Sampling {
     * so pack membership is reproducible under any partitioning — packs
     * are pure functions of the corpus content, like every sampling
     * decision in this module. */
+  /** Pretraining-mixture sampling: select, per source, a deterministic
+    * subset of docs whose token mass hits that source's budget — the op
+    * that turns "we want 30% wiki, 60% web, 10% code BY TOKENS" into a
+    * concrete reproducible document set. Composes `withTokenCount` (or
+    * any token column) with the module's hash-ordered selection:
+    *
+    *  - rows shard by key hash (`shards` = the parallelism knob; a
+    *    dominant source — web crawl at 90% of the corpus — would
+    *    otherwise serialize one window reducer at 100 TB);
+    *  - each (source, shard) gets budget/shards tokens (remainder
+    *    spread one token to the first `budget % shards` shards, so the
+    *    per-source total is exact);
+    *  - within a (source, shard), docs are ordered by (md5(key), key) —
+    *    the module's stable pseudo-random total order — and selected
+    *    while the EXCLUSIVE running token sum is under the shard
+    *    budget: the doc that crosses the boundary is kept, so a shard
+    *    overshoots by at most one doc (the standard prefix rule;
+    *    first-fit packing's cousin), and a source with fewer tokens
+    *    than its budget simply contributes everything (the shortfall is
+    *    visible in [[mixtureReport]]).
+    *
+    * Sources ABSENT from `budgetBySource` are excluded — the map IS the
+    * mixture. Selection is a pure function of (key, source, tokens):
+    * append-only growth of OTHER sources never flips a decision, and
+    * within a source new docs only perturb selections past their hash
+    * position. One shuffle on (source, shard). */
+  def mixtureByTokenBudget(df: DataFrame, source: Column, key: Column,
+                           tokens: Column, budgetBySource: Map[String, Long],
+                           shards: Int, salt: String = "mix"): DataFrame = {
+    require(shards >= 1, "need at least one shard")
+    require(budgetBySource.values.forall(_ >= 0), "budgets must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val budget = budgetBySource.foldLeft(lit(0L)) { case (acc, (s, b)) =>
+      when(source === s, b).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__msrc"), col("__mshard"))
+      .orderBy(md5(key.cast("string")), key)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__msrc", source.cast("string"))
+      .withColumn("__mshard", hashBucket(key, shards, salt))
+      .withColumn("__mbudget", budget)
+      // div, not /: long/long is double division (see packByBudget).
+      .withColumn("__mshardBudget",
+        expr(s"__mbudget div $shards") +
+          when(col("__mshard") < col("__mbudget") % shards, 1L).otherwise(0L))
+      .withColumn("__mbefore", coalesce(sum(tokens).over(w), lit(0L)))
+      .filter(col("__mbefore") < col("__mshardBudget"))
+      .drop("__msrc", "__mshard", "__mbudget", "__mshardBudget", "__mbefore")
+  }
+
+  /** Achieved-vs-target accounting for [[mixtureByTokenBudget]]'s
+    * output: one row per TARGETED source (a zero-budget or exhausted
+    * source still reports, with achieved 0) carrying achieved and
+    * target token totals and both as shares of their respective grand
+    * totals. The number a mixture job must publish — "we asked for 60%
+    * web and got 58.7% because wiki ran out" is the difference between
+    * a reproducible data recipe and a surprise at eval time.
+    *
+    * Plan: one agg over the selection keyed by source, joined onto the
+    * (driver-local, |sources|-row) target table; grand totals come from
+    * a single-row agg of that bounded table broadcast back in — no
+    * global window, no single-partition stage over anything
+    * data-sized. */
+  def mixtureReport(selected: DataFrame, source: Column, tokens: Column,
+                    budgetBySource: Map[String, Long]): DataFrame = {
+    val spark = selected.sparkSession
+    import spark.implicits._
+    val targets = budgetBySource.toSeq.sortBy(_._1)
+      .toDF("source", "target_tokens")
+    val achieved = selected.groupBy(source.cast("string").as("source"))
+      .agg(sum(tokens).cast("long").as("achieved_tokens"))
+    val per = targets.join(achieved, Seq("source"), "left")
+      .withColumn("achieved_tokens", coalesce(col("achieved_tokens"), lit(0L)))
+    val totals = per.agg(
+      sum(col("achieved_tokens")).as("__atot"),
+      sum(col("target_tokens")).as("__ttot"))
+    per.crossJoin(broadcast(totals))
+      .withColumn("achieved_share", round(
+        col("achieved_tokens").cast("double") / col("__atot"), 6))
+      .withColumn("target_share", round(
+        col("target_tokens").cast("double") / col("__ttot"), 6))
+      .drop("__atot", "__ttot")
+  }
+
   def packByBudget(df: DataFrame, key: Column, tokens: Column,
                    budget: Long, shards: Int): DataFrame = {
     require(budget >= 1, "token budget must be >= 1")

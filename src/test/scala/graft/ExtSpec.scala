@@ -344,6 +344,51 @@ class ExtSpec extends SparkSpec {
     assert(splits("train") > splits("val") && splits("train") > splits("test"))
   }
 
+  test("mixture sampling: per-source token totals hit budgets within one doc per shard") {
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+    val budgets = Map("src0" -> 800L, "src1" -> 400L, "src2" -> 999999L,
+      "src3" -> 0L)
+    val shards = 4
+    val sel = Sampling.mixtureByTokenBudget(docs, col("source"), col("doc_id"),
+      col("n_tokens"), budgets, shards)
+    val got = sel.groupBy("source").agg(sum("n_tokens").as("t"),
+        max("n_tokens").as("mx"))
+      .as[(String, Long, Long)].collect()
+      .map { case (s, t, mx) => s -> (t, mx) }.toMap
+    // Tolerance property: a source with ample supply lands in
+    // [budget, budget + shards * maxDocTokens) — the exclusive-prefix
+    // rule overshoots by at most the boundary doc per shard, and cannot
+    // undershoot while docs remain.
+    for (s <- Seq("src0", "src1")) {
+      val (t, mx) = got(s)
+      assert(t >= budgets(s) && t < budgets(s) + shards * mx,
+        s"$s: $t tokens vs budget ${budgets(s)} (max doc $mx, $shards shards)")
+    }
+    // A budget past the supply takes everything — shortfall, not error.
+    val src2All = docs.filter(col("source") === "src2")
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(got("src2")._1 == src2All, "exhausted source contributes everything")
+    // Zero-budget and unlisted sources are excluded.
+    assert(!got.contains("src3") && !got.contains("src7"))
+    // Deterministic under repartition (pure function of content).
+    val again = Sampling.mixtureByTokenBudget(docs.repartition(17),
+        col("source"), col("doc_id"), col("n_tokens"), budgets, shards)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == sel.select("doc_id").as[Long].collect().toSet)
+    // The report accounts for every TARGETED source, including the
+    // zero-budget one, and shares sum to ~1 on each axis.
+    val rep = Sampling.mixtureReport(sel, col("source"), col("n_tokens"), budgets)
+      .select("source", "achieved_tokens", "target_tokens",
+        "achieved_share", "target_share")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(rep.map(_._1).toSet == budgets.keySet)
+    assert(rep.find(_._1 == "src3").exists(r => r._2 == 0L && r._4 == 0.0))
+    assert(math.abs(rep.map(_._4).sum - 1.0) < 1e-5)
+    assert(math.abs(rep.map(_._5).sum - 1.0) < 1e-5)
+  }
+
   test("langId picks marker-dominant language, 'und' when no hits") {
     val out = Seq("the data of the value", "der und die das", "zzz qqq")
       .toDF("t").select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
