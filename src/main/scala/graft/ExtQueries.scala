@@ -1033,6 +1033,21 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_ann_pq" -> ((s, dir) => {
+      // Product quantization + asymmetric distance: corpus stored as
+      // m=8 four-bit-scale codes (64x compression vs float — the
+      // memory-bound ANN regime), queries full-precision with
+      // per-subspace lookup tables. Seed codebooks (first PqK corpus
+      // rows) so the oracle replays training exactly.
+      val e = read(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val books = Similarity.pqCodebooks(e.select("vec_id", "embedding"),
+        PqM, PqK)
+      Similarity.pqTopK(queries, e.select("vec_id", "embedding"), 5, books)
+        .orderBy("q_id", "rank")
+    }),
+
     "q_ivf_skew" -> ((s, dir) => {
       // The incremental-index RETRAIN TRIGGER, operationalized: per-list
       // counts of the persisted IVF index through the generic key-skew
@@ -1632,6 +1647,44 @@ object ExtQueries {
           QUALIFY rank <= 3 ORDER BY q_id, rank"""
   private val ContamMaxDf = 3
   private val OovVocab = 200
+  /** PQ: 8 subspaces × 16 entries over the 64-dim embeddings. */
+  private val PqM = 8
+  private val PqK = 16
+
+  /** DuckDB twin of `Similarity.pqCodebooks(rounds=0)` + `pqEncode` +
+    * `pqTopK` — generated from PqM/PqK/AnnDim so the subspace slicing,
+    * assignment formula (argmax of round(2·x·c − ‖c‖², 6), tie smallest
+    * j), and the left-to-right ADC sum cannot drift from the Spark
+    * expressions. */
+  private def pqOracleSql: String = {
+    val sub = AnnDim / PqM
+    def sl(c: String, mi: Int) = s"$c[${mi * sub + 1}:${(mi + 1) * sub}]"
+    val codeCols = (0 until PqM).map { mi =>
+      s"""(SELECT j FROM cb ORDER BY
+            round(2 * list_dot_product(${sl("ev.v", mi)}, ${sl("cb.cv", mi)})
+              - list_dot_product(${sl("cb.cv", mi)}, ${sl("cb.cv", mi)}), 6) DESC,
+            j LIMIT 1) AS code_$mi""" }.mkString(",\n          ")
+    val joins = (0 until PqM).map(mi =>
+      s"JOIN cb cb$mi ON cb$mi.j = c.code_$mi").mkString(" ")
+    val adc = (0 until PqM).map(mi =>
+      s"list_dot_product(${sl("q.qv", mi)}, ${sl(s"cb$mi.cv", mi)})")
+      .mkString("\n            + ")
+    s"""WITH ev AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+          cb AS (SELECT vec_id AS j, v AS cv FROM ev WHERE vec_id < $PqK),
+          codes AS (SELECT vec_id,
+          $codeCols
+          FROM ev),
+          q AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 5),
+          scored AS (SELECT q.q_id, c.vec_id,
+            round($adc, 6) AS score
+          FROM q CROSS JOIN codes c $joins)
+          SELECT q_id, vec_id, score,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+          FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank"""
+  }
   private val SamplePerSource = 12
   private val WeightedSampleK = 120
   private val PackBudget = 2048L
@@ -2953,6 +3006,8 @@ object ExtQueries {
           SELECT doc_id, n_chars FROM documents
           WHERE doc_id NOT IN (SELECT b FROM pairs)
           ORDER BY doc_id""",
+
+    "q_ann_pq" -> pqOracleSql,
 
     // Quantize both sides with the q_quantize_int8 arithmetic, score by
     // scale_q*scale_c*dot(codes) — list_dot_product over int codes is

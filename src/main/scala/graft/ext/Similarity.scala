@@ -545,6 +545,127 @@ object Similarity {
     mipsRank(c.join(broadcast(q)), k, qId, cId)
   }
 
+  // ─────────────────── product quantization (PQ + ADC) ───────────────────
+
+  /** Train product-quantization codebooks: the vector space splits into
+    * `m` contiguous subspaces of dim/m components, and codebook `mi`
+    * holds `k` entries for subspace `mi`. Seeds are the first `k`
+    * corpus rows' sub-vectors (`vec_id < k` — the same corpus-member
+    * seeding convention as [[ivfCentroids]], so seeds are real data and
+    * deterministic), optionally Lloyd-refined `rounds` times: assign
+    * every sub-vector to its nearest entry (one map-only pass over the
+    * corpus — [[pqAssignCode]]'s codegen'd argmax), then average each
+    * cell per component under the decimal-exact-sum convention
+    * (round 6dp → DECIMAL(38,6) sum → /count → round 6dp), so refined
+    * codebooks are bit-identical under any partitioning. An empty cell
+    * keeps its previous entry. The result is m × k × (dim/m) doubles of
+    * driver-bounded index metadata, inlined as literals downstream —
+    * exactly the IVF centroid lifecycle.
+    *
+    * Why PQ at 100 TB: int8 cuts an embedding corpus 4×; PQ cuts it
+    * dim×32/(m×log2 k)× (64-dim floats at m=8, k=16 → 64×), which is
+    * the difference between an ANN sweep that streams from disk and one
+    * whose codes sit in executor memory. */
+  def pqCodebooks(corpus: DataFrame, m: Int, k: Int,
+                  cId: String = "vec_id", cVec: String = "embedding",
+                  rounds: Int = 0): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val seeds = ivfCentroids(corpus, k, cId, cVec)
+    require(seeds.size == k, s"need the first $k corpus rows as seeds, got ${seeds.size}")
+    val dim = seeds.head._2.size
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    val books0: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(mi => seeds.map(_._2.slice(mi * sub, (mi + 1) * sub)))
+    (1 to rounds).foldLeft(books0) { (books, _) =>
+      val withCodes = corpus
+        .withColumn("__dv", asDouble(col(cVec)))
+        .withColumn("__codes", array((0 until m).map(mi =>
+          pqAssignCode(slice(col("__dv"), mi * sub + 1, sub), books(mi))): _*))
+      val comp = withCodes
+        .select(col("__codes"),
+          posexplode(transform(col("__dv"), x => round(x, 6))).as(Seq("pos", "x")))
+        .withColumn("__m", expr(s"pos div $sub").cast("int"))
+        .withColumn("__code", element_at(col("__codes"), col("__m") + 1))
+        .groupBy(col("__m"), col("__code"), col("pos"))
+        .agg(round(sum(col("x").cast(DecimalType(38, 6))).cast(DoubleType)
+          / count(lit(1)), 6).as("mu"))
+        .collect()  // m × k × sub rows — bounded index metadata
+      val byCell = comp.map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2), r.getDouble(3)))
+        .groupBy(_._1).map { case (cell, rows) =>
+          cell -> rows.sortBy(_._2).map(_._3).toSeq }
+      (0 until m).map(mi => (0 until k).map(j =>
+        byCell.getOrElse((mi, j), books(mi)(j))))
+    }
+  }
+
+  /** Nearest-codebook-entry index for one sub-vector, as a pure column
+    * expression: argmin_j ‖x − c_j‖² = argmax_j (2·x·c_j − ‖c_j‖²) (the
+    * ‖x‖² term is constant per x, so it cannot change the argmax and is
+    * dropped — no second fold over x). ‖c_j‖² folds to a driver-side
+    * double constant (summed left-to-right, the same sequence as the
+    * oracle's list_dot_product(c, c)); the score rounds to 6dp before
+    * comparison so the winner is engine-independent, ties to the
+    * smallest j via the [[ivfAssign]] struct-max idiom. Map-only
+    * codegen'd work — encoding a 100 TB corpus is one pass, no
+    * shuffle. */
+  def pqAssignCode(subVec: Column, book: Seq[Seq[Double]]): Column =
+    (-array_max(array(book.zipWithIndex.map { case (c, j) =>
+      val cn2 = c.map(x => x * x).sum
+      struct(
+        round(lit(2.0) * vec_dot(subVec, typedlit(c)) - lit(cn2), 6).as("s"),
+        lit(-j).as("nj"))
+    }: _*)).getField("nj")).cast("int")
+
+  /** Encode a corpus to PQ codes: (id, codes array<int> of length m) —
+    * the stored form. m × k sub-dots per row, all codegen'd, zero
+    * shuffles. */
+  def pqEncode(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
+               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val m = books.size
+    val sub = books.head.head.size
+    val dv = asDouble(col(cVec))
+    corpus.select(col(cId), array((0 until m).map(mi =>
+      pqAssignCode(slice(dv, mi * sub + 1, sub), books(mi))): _*).as("codes"))
+  }
+
+  /** Top-k by ASYMMETRIC distance (ADC) over the PQ-encoded corpus: the
+    * query stays full-precision; each query precomputes, per subspace,
+    * the k-entry table T_mi[j] = q_mi · c_mi,j (m × k doubles, computed
+    * ONCE on the broadcast query side); a corpus row then scores as the
+    * m table lookups T_0[code_0] + … + T_{m-1}[code_{m-1}] — summed
+    * left-to-right, rounded 6dp, so the oracle's per-subspace
+    * list_dot_product chain reproduces it bit-for-bit. The corpus side
+    * touches ONLY the codes column (the 64×-compressed payload — the
+    * memory-bound regime's win over int8's 4×); per-pair work is m
+    * array lookups + m−1 adds, no per-pair dot product at all. Same
+    * broadcast-query / streaming-corpus shape as [[bruteForceTopK]];
+    * ties break on corpus id. Recall < 1 by construction (quantization
+    * cells blur near-ties), tuned by m × k — ExtSpec pins it at or
+    * above the int8 baseline at equal code bytes. */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+             books: Seq[Seq[Seq[Double]]],
+             qId: String = "q_id", cId: String = "vec_id",
+             qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
+    val m = books.size
+    val sub = books.head.head.size
+    val codes = pqEncode(corpus, books, cId, cVec)
+    val qdv = asDouble(col(qVec))
+    val q = queries.select(col(qId) +: (0 until m).map { mi =>
+      array(books(mi).map(c =>
+        vec_dot(slice(qdv, mi * sub + 1, sub), typedlit(c))): _*).as(s"__t$mi")
+    }: _*)
+    val score = round((0 until m).map(mi =>
+      element_at(col(s"__t$mi"), element_at(col("codes"), mi + 1) + 1))
+      .reduceLeft(_ + _), 6)
+    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
+    codes.join(broadcast(q))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("score"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted
     * to sign-LSH buckets (the scalable near-dup path over embeddings). */
   def cosineDupPairs(df: DataFrame, id: String, vec: String,

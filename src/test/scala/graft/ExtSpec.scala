@@ -275,6 +275,101 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("pq: codes over a seed-only corpus reconstruct exactly — ADC IS the dot product") {
+    // Every corpus row is a codebook seed (vec_id < k), so each sub-vector's
+    // nearest entry is itself and the ADC score is the true inner product.
+    // The expected ranking is computed driver-side with the SAME
+    // association as the ADC sum (per-subspace left-to-right dot, then the
+    // m partials left-to-right), so the comparison is bit-exact, not
+    // tolerance-based.
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding").filter(col("vec_id") < 16)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val books = Similarity.pqCodebooks(e, m = 8, k = 16)
+    val got = Similarity.pqTopK(q, e, 5, books)
+      .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+    val vecs = e.select(col("vec_id"), transform(col("embedding"), _.cast("double")))
+      .as[(Long, Seq[Double])].collect().toMap
+    def adc(a: Seq[Double], b: Seq[Double]): Double = {
+      val partials = (0 until 8).map { mi =>
+        (mi * 8 until (mi + 1) * 8).foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      }
+      math.rint(partials.reduceLeft(_ + _) * 1e6) / 1e6
+    }
+    val want = (for {
+      (qid, qv) <- vecs.toSeq if qid < 3
+      ranked = vecs.toSeq.map { case (cid, cv) => (cid, adc(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(5)
+      ((cid, s), r) <- ranked.zipWithIndex
+    } yield (qid, cid, s, r + 1)).sortBy(t => (t._1, t._4))
+    assert(got == want, "seed-only PQ search must equal the exact MIPS ranking")
+  }
+
+  test("pq: at equal code bytes, PQ recall is at least the int8 baseline's") {
+    // dim-8 vectors: int8 stores 8 one-byte codes; PQ at m=8, k=256 stores
+    // 8 one-byte codes too (sub=1). Equal code bytes, so the recall
+    // comparison against exact MIPS is apples-to-apples. Deterministic
+    // fixture (seeded per-row LCG), deterministic training (first-k
+    // seeds), so the measured recalls are pinned, not flaky.
+    val dim = 8
+    val rows = (0L until 300L).map { id =>
+      val r = new java.util.Random(id * 2654435761L)
+      (id, Array.fill(dim)((math.rint((r.nextDouble() * 2 - 1) * 1e6) / 1e6).toFloat))
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val q = e.filter(col("vec_id") >= 290)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val vecs = rows.map { case (id, v) => (id, v.map(_.toDouble).toSeq) }.toMap
+    val exact = (for {
+      (qid, qv) <- vecs.toSeq if qid >= 290
+      (cid, _) <- vecs.toSeq.map { case (cid, cv) =>
+        (cid, cv.indices.foldLeft(0.0)((s, i) => s + qv(i) * cv(i)))
+      }.sortBy { case (cid, s) => (-s, cid) }.take(5)
+    } yield (qid, cid)).toSet
+    def recall(hits: Set[(Long, Long)]) =
+      (exact intersect hits).size.toDouble / exact.size
+    val books = Similarity.pqCodebooks(e, m = dim, k = 256)
+    val pq = recall(Similarity.pqTopK(q, e, 5, books)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet)
+    val int8 = recall(Similarity.quantizedTopK(q, e, 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet)
+    info(s"recall@5 vs exact MIPS: pq(m=8,k=256) $pq, int8 $int8")
+    assert(pq >= int8, s"PQ recall $pq below int8 baseline $int8 at equal code bytes")
+    assert(pq > 0.8, s"PQ recall $pq unexpectedly low on a dense 1-dim-subspace codebook")
+  }
+
+  test("pq: Lloyd refinement is deterministic and never raises assignment distortion") {
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val seeds = Similarity.pqCodebooks(e, m = 8, k = 16)
+    val refined = Similarity.pqCodebooks(e, m = 8, k = 16, rounds = 2)
+    assert(refined == Similarity.pqCodebooks(e, m = 8, k = 16, rounds = 2),
+      "same data, same rounds -> bit-identical codebooks")
+    assert(refined.size == 8 && refined.forall(b => b.size == 16 && b.forall(_.size == 8)),
+      "refinement preserves the m x k x sub shape")
+    // Mean squared reconstruction error per codebook generation: Lloyd's
+    // assign-then-average round cannot increase it (up to the 6dp rounding
+    // convention, absorbed by the tolerance).
+    def distortion(books: Seq[Seq[Seq[Double]]]): Double = {
+      val enc = Similarity.pqEncode(e, books)
+      val joined = e.join(enc, "vec_id")
+        .select(transform(col("embedding"), _.cast("double")), col("codes"))
+        .as[(Seq[Double], Seq[Int])].collect()
+      val errs = joined.map { case (v, codes) =>
+        (0 until 8).map { mi =>
+          val c = books(mi)(codes(mi))
+          (0 until 8).map(i => math.pow(v(mi * 8 + i) - c(i), 2)).sum
+        }.sum
+      }
+      errs.sum / errs.length
+    }
+    val d0 = distortion(seeds)
+    val d2 = distortion(refined)
+    info(s"PQ distortion: seeds $d0, 2 Lloyd rounds $d2")
+    assert(d2 <= d0 + 1e-6, s"Lloyd refinement raised distortion: $d0 -> $d2")
+  }
+
   test("multi-probe LSH recall dominates any single plane set's") {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
       .select("vec_id", "embedding")
