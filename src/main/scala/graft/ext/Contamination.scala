@@ -27,31 +27,52 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** (train_id, bench_id, hits) for every train/bench pair sharing at
-    * least `minHits` distinct n-gram shingles, after the bench-side
-    * df-cap. Train docs present in the bench set are excluded (a doc
-    * cannot contaminate itself). */
-  def contaminatedPairs(train: DataFrame, bench: DataFrame,
-                        docKey: String, textCol: String,
-                        n: Int, minHits: Int, maxShingleDf: Int): DataFrame = {
+  /** The df-capped bench-side shingle table (bench_id, __sh) — the
+    * STATIC half of the detection join, split out so a caller with a
+    * fixed benchmark set (a nightly job, the streaming sink) computes it
+    * ONCE and reuses it across arbitrarily many train slices, instead of
+    * re-exploding and re-capping the benchmark per call. Bounded by
+    * |bench| × shingles/doc — small by construction. */
+  def cappedBenchShingles(bench: DataFrame, docKey: String, textCol: String,
+                          n: Int, maxShingleDf: Int): DataFrame = {
     require(n >= 1, "shingle width must be >= 1")
-    require(minHits >= 1, "minHits must be >= 1")
     require(maxShingleDf >= 1, "maxShingleDf must be >= 1")
     val benchSh = bench.select(col(docKey).as("bench_id"),
       explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__sh"))
     // df-cap as a count window over the shingle: ONE shingle-key shuffle
     // serves both the count and the filter (a groupBy + join back would
     // shuffle the bench shingles twice).
-    val keptSh = benchSh.withColumn("__df",
+    benchSh.withColumn("__df",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("__sh"))))
       .filter(col("__df") <= maxShingleDf).drop("__df")
+  }
+
+  /** (train_id, bench_id, hits) for every train/bench pair sharing at
+    * least `minHits` distinct n-gram shingles, after the bench-side
+    * df-cap. Train docs present in the bench set are excluded (a doc
+    * cannot contaminate itself). */
+  def contaminatedPairs(train: DataFrame, bench: DataFrame,
+                        docKey: String, textCol: String,
+                        n: Int, minHits: Int, maxShingleDf: Int): DataFrame =
+    contaminatedPairsAgainst(train,
+      cappedBenchShingles(bench, docKey, textCol, n, maxShingleDf),
+      docKey, textCol, n, minHits)
+
+  /** `contaminatedPairs` with the capped bench shingle table SUPPLIED —
+    * the reuse form ([[cappedBenchShingles]]). `benchShingles` must be
+    * that function's output (same docKey text, same n, cap applied). */
+  def contaminatedPairsAgainst(train: DataFrame, benchShingles: DataFrame,
+                               docKey: String, textCol: String,
+                               n: Int, minHits: Int): DataFrame = {
+    require(n >= 1, "shingle width must be >= 1")
+    require(minHits >= 1, "minHits must be >= 1")
     val trainSh = train.select(col(docKey).as("train_id"),
       explode(array_distinct(Dedup.shingles(col(textCol), n))).as("__sh"))
     // The capped bench side is |bench| × shingles/doc rows — small by
     // construction (benchmark sets are), so broadcast it: the train
     // side's exploded shingles stream map-side through the join and the
     // only shuffle left is the per-pair count's partial agg.
-    trainSh.join(broadcast(keptSh), "__sh")
+    trainSh.join(broadcast(benchShingles), "__sh")
       .filter(col("train_id") =!= col("bench_id"))
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("hits"))   // shingles are distinct per side
@@ -97,9 +118,19 @@ object Contamination {
     * the detection cost. */
   def decontaminate(train: DataFrame, bench: DataFrame,
                     docKey: String, textCol: String,
-                    n: Int, minHits: Int, maxShingleDf: Int): DataFrame = {
-    val flagged = contaminatedPairs(train, bench, docKey, textCol,
-        n, minHits, maxShingleDf)
+                    n: Int, minHits: Int, maxShingleDf: Int): DataFrame =
+    decontaminateAgainst(train,
+      cappedBenchShingles(bench, docKey, textCol, n, maxShingleDf),
+      docKey, textCol, n, minHits)
+
+  /** [[decontaminate]] with the capped bench shingle table SUPPLIED —
+    * the reuse form for a fixed benchmark set ([[cappedBenchShingles]];
+    * the streaming sink's per-batch call). */
+  def decontaminateAgainst(train: DataFrame, benchShingles: DataFrame,
+                           docKey: String, textCol: String,
+                           n: Int, minHits: Int): DataFrame = {
+    val flagged = contaminatedPairsAgainst(train, benchShingles, docKey,
+        textCol, n, minHits)
       .select(col("train_id").as(docKey)).distinct()
     train.join(broadcast(flagged), Seq(docKey), "left_anti")
   }

@@ -447,37 +447,6 @@ object Dedup {
                                      rowsPerBand: Int, threshold: Double,
                                      expectedBatchKeys: Long = DefaultExpectedBatchKeys
                                     ): DataFrame = {
-    // Exact pass, bloom-composed (the 100 TB incremental shape): build
-    // a constant-size bloom over the BATCH's content keys (the small
-    // side — one mergeable aggregate, collected like any sketch), then
-    // stream the corpus keys through `might_contain` AT THE SCAN — a
-    // map-only codegen'd filter, so the curated side pays no distinct
-    // and no shuffle per batch (the previous plan re-distincted the
-    // full corpus keys every arrival — a full-corpus shuffle per
-    // increment). Survivors ≈ true matches (≤ |batch|) plus
-    // fpp × |corpus keys|; the exact anti-join on them restores
-    // exactly the unreduced semantics: a false-positive survivor is a
-    // REAL corpus key that matches no batch key, so it evicts nothing
-    // (no false negatives exist by construction).
-    // In the count-the-batch sizing path the batch feeds THREE jobs
-    // before `fresh` materializes (the sizing count, the bloom
-    // aggregate, the anti-join) — materialize it once up front so the
-    // upstream batch scan/transform runs once, not three times. Same
-    // eager-localCheckpoint rationale as `fresh` below; skipped when
-    // the caller supplied the size (then only bloom + anti-join read
-    // it, and `fresh`'s own checkpoint bounds the recompute at two
-    // narrow passes).
-    val batchKeyed = {
-      val keyed = batch.withColumn("__ck", md5(col(textCol)))
-      if (expectedBatchKeys > 0) keyed else keyed.localCheckpoint()
-    }
-    val bloomItems =
-      if (expectedBatchKeys > 0) expectedBatchKeys
-      else math.max(batchKeyed.count(), 1L)
-    val bloom = graft.ops.BloomJoin.keyBloom(batchKeyed, col("__ck"),
-      bloomItems)
-    val survivors = ref.select(md5(col(textCol)).as("__ck"))
-      .filter(graft.ops.BloomJoin.mightContain(bloom, col("__ck")))
     // The exact-pass survivors feed THREE branches (signatures, the
     // verify join, the final anti-join), so they are materialized once:
     // without it, each branch re-runs the batch scan + anti-join, and
@@ -491,11 +460,7 @@ object Dedup {
     // substitute into any later plan sharing the subtree); checkpoint
     // blocks belong to the returned frame's RDD lineage and are freed
     // by the ContextCleaner once the result is dropped.
-    // `ref` is deliberately NOT materialized: at 100 TB the curated
-    // side must stream from storage, column-pruned per pass (hashes,
-    // then signatures, then candidate texts).
-    val fresh = batchKeyed
-      .join(survivors, Seq("__ck"), "left_anti").drop("__ck")
+    val fresh = freshByContent(batch, ref, textCol, expectedBatchKeys)
       .localCheckpoint()
     val bBands = lshBands(minhashSignature(fresh, docKey, textCol, k),
         docKey, bands, rowsPerBand)
@@ -507,6 +472,51 @@ object Dedup {
     val flagged = verifyPairsByJaccard(cand, ref, fresh, docKey, textCol, threshold)
       .select(col("b").as(docKey)).distinct()
     fresh.join(flagged, Seq(docKey), "left_anti")
+  }
+
+  /** The exact incremental pass on its own: keep only the `batch` rows
+    * whose CONTENT fingerprint (md5 of `textCol`) matches nothing in
+    * `ref` — the replay/exactly-once-per-content primitive (the
+    * streaming decontamination sink's guard, the cheap first pass of
+    * [[dedupAgainstReferenceWithBands]]). */
+  def freshByContent(batch: DataFrame, ref: DataFrame, textCol: String,
+                     expectedBatchKeys: Long = DefaultExpectedBatchKeys
+                    ): DataFrame = {
+    // Exact pass, bloom-composed (the 100 TB incremental shape): build
+    // a constant-size bloom over the BATCH's content keys (the small
+    // side — one mergeable aggregate, collected like any sketch), then
+    // stream the corpus keys through `might_contain` AT THE SCAN — a
+    // map-only codegen'd filter, so the curated side pays no distinct
+    // and no shuffle per batch (the previous plan re-distincted the
+    // full corpus keys every arrival — a full-corpus shuffle per
+    // increment). Survivors ≈ true matches (≤ |batch|) plus
+    // fpp × |corpus keys|; the exact anti-join on them restores
+    // exactly the unreduced semantics: a false-positive survivor is a
+    // REAL corpus key that matches no batch key, so it evicts nothing
+    // (no false negatives exist by construction).
+    // In the count-the-batch sizing path the batch feeds THREE jobs
+    // before the result materializes (the sizing count, the bloom
+    // aggregate, the anti-join) — materialize it once up front so the
+    // upstream batch scan/transform runs once, not three times; skipped
+    // when the caller supplied the size (then only bloom + anti-join
+    // read it, and the caller's own materialization — the near-dup
+    // composition checkpoints the result — bounds the recompute at two
+    // narrow passes).
+    val batchKeyed = {
+      val keyed = batch.withColumn("__ck", md5(col(textCol)))
+      if (expectedBatchKeys > 0) keyed else keyed.localCheckpoint()
+    }
+    val bloomItems =
+      if (expectedBatchKeys > 0) expectedBatchKeys
+      else math.max(batchKeyed.count(), 1L)
+    val bloom = graft.ops.BloomJoin.keyBloom(batchKeyed, col("__ck"),
+      bloomItems)
+    val survivors = ref.select(md5(col(textCol)).as("__ck"))
+      .filter(graft.ops.BloomJoin.mightContain(bloom, col("__ck")))
+    // `ref` is deliberately NOT materialized: at 100 TB the curated
+    // side must stream from storage, column-pruned per pass (hashes,
+    // then signatures, then candidate texts).
+    batchKeyed.join(survivors, Seq("__ck"), "left_anti").drop("__ck")
   }
 
   /** Corpus-wide paragraph-level exact dedup — the sub-document shape

@@ -242,6 +242,59 @@ object EventStream {
       .start()
   }
 
+  /** Streaming decontamination: append to `sinkPath` only the arriving
+    * documents that share fewer than `minHits` distinct n-gram shingles
+    * with the benchmark set — the streaming twin of
+    * `Contamination.decontaminate`, in the [[nearDupDedupSink]] mold:
+    * state lives in the SINK plus one STATIC bench-side table, never in
+    * a streaming state store, so nothing grows with the stream and no
+    * watermark is needed for boundedness.
+    *
+    * The df-capped bench shingle table is computed ONCE here (eager
+    * `localCheckpoint` — benchmark sets are small by construction) and
+    * broadcast into every micro-batch's detection join; the batch side
+    * pays exactly the batch operator's cost per arrival and the
+    * benchmark is never re-shingled.
+    *
+    * Replay contract: survivors anti-join on their content fingerprint
+    * against the docs already landed (`Dedup.freshByContent` — the
+    * bloom-composed exact pass, map-only on the sink side), so
+    * at-least-once delivery becomes exactly-once-per-content sink
+    * contents; a replayed batch appends nothing. Within one batch only
+    * key duplicates are dropped — two same-content docs under different
+    * keys both land (compose an exact-dedup stage upstream if content
+    * uniqueness within a batch matters). Empty first batch commits a
+    * data-file-less dir; later reads pin the schema instead of
+    * inferring (the `upsertSink` contract). */
+  def decontaminationSink(stream: DataFrame, bench: DataFrame,
+                          sinkPath: String, docKey: String, textCol: String,
+                          n: Int, minHits: Int, maxShingleDf: Int,
+                          checkpoint: String
+                         ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ext.{Contamination, Dedup}
+    val benchSh = Contamination
+      .cappedBenchShingles(bench, docKey, textCol, n, maxShingleDf)
+      .localCheckpoint()
+    val write: (DataFrame, Long) => Unit = (batch0, _) => {
+      val s = batch0.sparkSession
+      val sink = new org.apache.hadoop.fs.Path(sinkPath)
+      val fs = sink.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val b1 = batch0.dropDuplicates(docKey)
+      val clean = Contamination.decontaminateAgainst(b1, benchSh, docKey,
+        textCol, n, minHits)
+      val fresh =
+        if (!fs.exists(sink)) clean
+        else Dedup.freshByContent(clean,
+          s.read.schema(batch0.schema).parquet(sinkPath), textCol)
+      fresh.write.mode("append").parquet(sinkPath)
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch(write)
+      .start()
+  }
+
   def upsertSink(stream: DataFrame, sinkPath: String, keys: Seq[String],
                  tieBreak: Seq[String], partCol: String,
                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {

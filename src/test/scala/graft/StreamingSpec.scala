@@ -296,6 +296,40 @@ class StreamingSpec extends SparkSpec {
       s"keep-existing semantics + replay idempotence, got $got")
   }
 
+  test("streaming decontamination sink: planted contamination filtered, stream == batch, replay appends nothing") {
+    implicit val sc = spark.sqlContext
+    import graft.ext.Contamination
+    val sink = java.nio.file.Files.createTempDirectory("graft_decon_sink")
+      .resolve("c").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_decon_ckpt").toString
+    val bench = Seq(100L -> "the quick brown fox jumps over the lazy dog",
+      101L -> "pack my box with five dozen liquor jugs").toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.decontaminationSink(mem.toDF().toDF("doc_id", "text"),
+      bench, sink, "doc_id", "text", n = 3, minHits = 2, maxShingleDf = 2,
+      checkpoint = ckpt)
+    // Docs 1 and 3 each share >= 2 distinct 3-gram shingles with a
+    // benchmark doc (planted contamination); 2 and 4 share none.
+    val b1 = Seq(1L -> "the quick brown fox jumps high today",
+      2L -> "totally clean words nothing shared here at all")
+    val b2 = Seq(3L -> "pack my box with care every day",
+      4L -> "another clean document arrives in batch two")
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()   // replay: must add nothing
+    q.stop()
+    val got = spark.read.parquet(sink).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 4L), s"contaminated docs 1 and 3 must not land, got $got")
+    // The batch operator over the union of unique arrivals must agree
+    // doc-for-doc — the two paths are mutually verifying.
+    val expected = Contamination.decontaminate(
+        (b1 ++ b2).toDF("doc_id", "text"), bench, "doc_id", "text",
+        n = 3, minHits = 2, maxShingleDf = 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == expected, "stream sink != batch decontaminate over the same docs")
+  }
+
   test("upsertSink survives an empty first micro-batch") {
     // An empty first batch commits a sink dir holding only _SUCCESS; the
     // next batch's anti-join then reads the sink — which, inferred, has no
