@@ -97,6 +97,7 @@ object Bench {
     // stay single-file (32 footers for 5 rows is pure overhead). The
     // rewrite also absorbs session/codegen/footer warmup.
     val splitDir = s"/tmp/graft_bench_split_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.Tables.configureReads(spark)
     graft.sources.Tables.AllTables.foreach { t =>
       val raw = spark.read.parquet(s"$sfDir/$t.parquet")
       val files = math.max(1L, math.min(cpus.toLong, raw.count() / 100)).toInt

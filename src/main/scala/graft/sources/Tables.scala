@@ -6,20 +6,37 @@ import org.apache.spark.sql.types.{LongType, StructField, TimestampType}
 
 /** Parquet table reader for the driver testdata layout (`<dir>/<name>.parquet`).
   *
-  * Normalizes nanosecond-precision parquet timestamps: Spark rejects
-  * TIMESTAMP(NANOS) outright (PARQUET_TYPE_ILLEGAL), so sessions set
-  * `spark.sql.legacy.parquet.nanosAsLong=true` and this reader converts the
-  * resulting epoch-nanos LongType back to TimestampType at microsecond
-  * precision (truncation — same behavior as DuckDB's ns→µs read, which the
-  * oracle sees). Integer `div`, not `/`: epoch-nanos ≈ 1.7e18 overflows the
-  * 53-bit double mantissa.
+  * Timestamp normalization — the testdata generator has produced two
+  * physical encodings across rounds and this reader accepts both:
+  *
+  *  - ns-precision (`timestamp[ns]`): Spark rejects TIMESTAMP(NANOS)
+  *    outright (PARQUET_TYPE_ILLEGAL), so sessions set
+  *    `spark.sql.legacy.parquet.nanosAsLong=true` and this reader converts
+  *    the resulting epoch-nanos LongType back to TimestampType at
+  *    microsecond precision (truncation — same behavior as DuckDB's ns→µs
+  *    read, which the oracle sees). Integer `div`, not `/`: epoch-nanos
+  *    ≈ 1.7e18 overflows the 53-bit double mantissa.
+  *  - µs-precision without the UTC flag (`timestamp[us]`,
+  *    isAdjustedToUTC=false): Spark 4 infers TIMESTAMP_NTZ by default,
+  *    which time-arithmetic functions (`unix_micros`, …) reject. We
+  *    disable the inference (`spark.sql.parquet.inferTimestampNTZ.enabled
+  *    =false`) so the column reads as session-local TIMESTAMP — under the
+  *    project-wide UTC session that is value-identical to DuckDB's naive
+  *    read, and no cast node lands on top of the scan.
   */
 object Tables {
 
   /** Column names that hold ns-epoch longs after the legacy read. */
   private val NanoTsCols = Set("ts")
 
+  /** Runtime confs every testdata read needs (idempotent; callers with
+    * their own `spark.read.parquet` on driver testdata must apply this
+    * too — `Bench`'s split-file rewrite does). */
+  def configureReads(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configureReads(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     val norm = df.schema.fields.foldLeft(df) {
       case (d, StructField(n, LongType, _, _)) if NanoTsCols(n) =>
