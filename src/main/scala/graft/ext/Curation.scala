@@ -34,10 +34,13 @@ object Curation {
 
   /** The public-suffix rules, loaded from the bundled
     * `public_suffix_list.dat` resource (publicsuffix.org line format:
-    * `//` comments, `*.` wildcards, `!` exceptions). The resource ships
-    * a curated load; swap the file for the full published list in
-    * deployment — everything downstream (join arms, the oracle SQL) is
-    * data-driven over the rule widths and kinds found here. */
+    * `//` comments, `*.` wildcards, `!` exceptions). The resource IS the
+    * full published list (ICANN + private sections, ~9.5k rules, MPL
+    * 2.0 header retained) — everything downstream (join arms, the
+    * oracle SQL) is data-driven over the rule widths and kinds found
+    * here, so a list refresh is a file swap: exact rules join at widths
+    * 2–5, wildcards at base widths 1–4, exceptions at widths 2–3, ten
+    * broadcast arms total, each ≤ ~5.5k rows riding once per executor. */
   lazy val PslRules: Seq[PslRule] = {
     val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
     require(in != null, "bundled public_suffix_list.dat resource is missing")
