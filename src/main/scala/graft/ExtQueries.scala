@@ -1106,6 +1106,21 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_ann_ivf_pq" -> ((s, dir) => {
+      // IVF-PQ — the standard production ANN layout: PQ codes stored per
+      // IVF list at build time (same persisted index as the other
+      // searches, memoized), search = partition-pruned probed lists →
+      // per-query ADC lookup tables → rank. The corpus scan touches
+      // nProbe/nLists partitions × ONLY the m-int code column —
+      // q_ann_pq's full code-table scan is gone.
+      val e = read(s, dir, "embeddings")
+      val path = ivfIndexFor(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.searchIvfIndexPq(s, path, queries, k = 5, nProbe = IvfProbes)
+        .orderBy("q_id", "rank")
+    }),
+
     "q_quantize_int8" -> ((s, dir) => {
       // Per-vector symmetric int8 quantization of the embedding corpus:
       // codes, the 6dp scale, and the realized reconstruction bound —
@@ -1511,7 +1526,8 @@ object ExtQueries {
       val p = s"$RunScratch/graft_ivf_index_${
         dir.replaceAll("[^A-Za-z0-9]", "_")}"
       Similarity.writeIvfIndex(
-        read(s, dir, "embeddings").select("vec_id", "embedding"), IvfLists, p)
+        read(s, dir, "embeddings").select("vec_id", "embedding"), IvfLists, p,
+        pq = Some((PqM, PqK)))
       p
     })
   private val ExportShards = 8
@@ -1651,40 +1667,78 @@ object ExtQueries {
   private val PqM = 8
   private val PqK = 16
 
-  /** DuckDB twin of `Similarity.pqCodebooks(rounds=0)` + `pqEncode` +
-    * `pqTopK` — generated from PqM/PqK/AnnDim so the subspace slicing,
-    * assignment formula (argmax of round(2·x·c − ‖c‖², 6), tie smallest
-    * j), and the left-to-right ADC sum cannot drift from the Spark
-    * expressions. */
-  private def pqOracleSql: String = {
+  /** PQ oracle fragment builders — generated from PqM/PqK/AnnDim and
+    * shared VERBATIM by the flat (q_ann_pq) and IVF-composed
+    * (q_ann_ivf_pq) oracles, so the subspace slicing, assignment formula
+    * (argmax of round(2·x·c − ‖c‖², 6), tie smallest j), and the
+    * left-to-right ADC sum cannot drift between them or from the Spark
+    * expressions. All assume CTEs `ev(vec_id, v)`, `cb(j, cv)`, and a
+    * scored scope with `c` = codes and `cb0..cb{m-1}` joined. */
+  private def pqSl(c: String, mi: Int): String = {
     val sub = AnnDim / PqM
-    def sl(c: String, mi: Int) = s"$c[${mi * sub + 1}:${(mi + 1) * sub}]"
-    val codeCols = (0 until PqM).map { mi =>
-      s"""(SELECT j FROM cb ORDER BY
-            round(2 * list_dot_product(${sl("ev.v", mi)}, ${sl("cb.cv", mi)})
-              - list_dot_product(${sl("cb.cv", mi)}, ${sl("cb.cv", mi)}), 6) DESC,
-            j LIMIT 1) AS code_$mi""" }.mkString(",\n          ")
-    val joins = (0 until PqM).map(mi =>
-      s"JOIN cb cb$mi ON cb$mi.j = c.code_$mi").mkString(" ")
-    val adc = (0 until PqM).map(mi =>
-      s"list_dot_product(${sl("q.qv", mi)}, ${sl(s"cb$mi.cv", mi)})")
-      .mkString("\n            + ")
+    s"$c[${mi * sub + 1}:${(mi + 1) * sub}]"
+  }
+  private def pqCodeCols: String = (0 until PqM).map { mi =>
+    s"""(SELECT j FROM cb ORDER BY
+          round(2 * list_dot_product(${pqSl("ev.v", mi)}, ${pqSl("cb.cv", mi)})
+            - list_dot_product(${pqSl("cb.cv", mi)}, ${pqSl("cb.cv", mi)}), 6) DESC,
+          j LIMIT 1) AS code_$mi""" }.mkString(",\n          ")
+  private def pqJoins: String = (0 until PqM).map(mi =>
+    s"JOIN cb cb$mi ON cb$mi.j = c.code_$mi").mkString(" ")
+  private def pqAdc(qv: String): String = (0 until PqM).map(mi =>
+    s"list_dot_product(${pqSl(qv, mi)}, ${pqSl(s"cb$mi.cv", mi)})")
+    .mkString("\n            + ")
+
+  /** DuckDB twin of `Similarity.pqCodebooks(rounds=0)` + `pqEncode` +
+    * `pqTopK`. */
+  private def pqOracleSql: String =
     s"""WITH ev AS (SELECT vec_id,
             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           FROM embeddings),
           cb AS (SELECT vec_id AS j, v AS cv FROM ev WHERE vec_id < $PqK),
           codes AS (SELECT vec_id,
-          $codeCols
+          $pqCodeCols
           FROM ev),
           q AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 5),
           scored AS (SELECT q.q_id, c.vec_id,
-            round($adc, 6) AS score
-          FROM q CROSS JOIN codes c $joins)
+            round(${pqAdc("q.qv")}, 6) AS score
+          FROM q CROSS JOIN codes c $pqJoins)
           SELECT q_id, vec_id, score,
             CAST(row_number() OVER (PARTITION BY q_id
               ORDER BY score DESC, vec_id) AS INTEGER) AS rank
           FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank"""
-  }
+
+  /** DuckDB twin of `Similarity.searchIvfIndexPq` over the persisted
+    * IVF-PQ index: Lloyd centroids + assignment + probe selection exactly
+    * as q_ann_ivf (`IvfAssignSqlChain`), PQ codebooks + codes + ADC
+    * scoring exactly as q_ann_pq (the shared fragments) — restricted to
+    * (query, candidate) pairs whose candidate sits in a probed list. The
+    * composition is the only new thing. */
+  private def ivfPqOracleSql: String =
+    s"""$IvfAssignSqlChain,
+          probes AS (SELECT q_id, list FROM (
+            SELECT q.vec_id AS q_id, cent.list,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5) WHERE rn <= $IvfProbes),
+          ev AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+          cb AS (SELECT vec_id AS j, v AS cv FROM ev WHERE vec_id < $PqK),
+          codes AS (SELECT vec_id,
+          $pqCodeCols
+          FROM ev),
+          qt AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 5),
+          scored AS (SELECT p.q_id, a.vec_id,
+            round(${pqAdc("q.qv")}, 6) AS score
+          FROM probes p JOIN assign a USING (list)
+          JOIN codes c ON c.vec_id = a.vec_id
+          JOIN qt q ON q.q_id = p.q_id
+          $pqJoins)
+          SELECT q_id, vec_id, score,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+          FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank"""
   private val SamplePerSource = 12
   private val WeightedSampleK = 120
   private val PackBudget = 2048L
@@ -3008,6 +3062,8 @@ object ExtQueries {
           ORDER BY doc_id""",
 
     "q_ann_pq" -> pqOracleSql,
+
+    "q_ann_ivf_pq" -> ivfPqOracleSql,
 
     // Quantize both sides with the q_quantize_int8 arithmetic, score by
     // scale_q*scale_c*dot(codes) — list_dot_product over int codes is

@@ -241,7 +241,8 @@ object Similarity {
     * per-partition split. */
   def writeIvfIndex(corpus: DataFrame, nLists: Int, path: String,
                     rounds: Int = 1, cId: String = "vec_id",
-                    cVec: String = "embedding"): Unit = {
+                    cVec: String = "embedding",
+                    pq: Option[(Int, Int)] = None): Unit = {
     val spark = corpus.sparkSession
     val cents = ivfCentroidsLloyd(corpus, nLists, cId, cVec, rounds)
     import scala.jdk.CollectionConverters._
@@ -252,6 +253,26 @@ object Similarity {
       org.apache.spark.sql.Row(id, v) }.asJava
     spark.createDataFrame(centRows, centSchema)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // Optional PQ payload (IVF-PQ — the production ANN layout): train the
+    // per-subspace codebooks once at build time, persist them as index
+    // metadata next to the centroids, and store each row's m-int code
+    // array in its list. Search then prunes to the probed lists AND reads
+    // only the ~m-byte codes — partition pruning × 64×-at-m=8/k=16 column
+    // compression, the composition `pqTopK` alone (full code-table scan)
+    // lacks.
+    val pqBooks = pq.map { case (m, kk) => pqCodebooks(corpus, m, kk, cId, cVec) }
+    pqBooks.foreach { books =>
+      val bookSchema = StructType(Seq(
+        StructField("m", IntegerType, nullable = false),
+        StructField("j", IntegerType, nullable = false),
+        StructField("c_vec", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      val rows = (for {
+        (book, mi) <- books.zipWithIndex
+        (c, j) <- book.zipWithIndex
+      } yield org.apache.spark.sql.Row(mi, j, c)).asJava
+      spark.createDataFrame(rows, bookSchema)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_books")
+    }
     val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
     val assigned = c.withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
     // Lists carry BOTH the float vectors and the int8 quantization
@@ -264,10 +285,12 @@ object Similarity {
     // `scale`/`codes` are plausible user column names and withColumn would
     // silently overwrite them, corrupting the persisted payload.
     val dv = asDouble(col(cVec))
-    assigned
+    val quantized = assigned
       .withColumn("__scale", quantScale(dv))
       .withColumn("__codes", transform(quantCodesDouble(dv, col("__scale")),
         x => x.cast("int")))
+    pqBooks.fold(quantized)(books =>
+        quantized.withColumn("__pq", pqCodesCol(col(cVec), books)))
       .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
   }
 
@@ -297,11 +320,61 @@ object Similarity {
     val assigned = batch.withColumn("__cn", vec_norm(col(cVec)))
       .withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
     val dv = asDouble(col(cVec))
-    assigned
+    val quantized = assigned
       .withColumn("__scale", quantScale(dv))
       .withColumn("__codes", transform(quantCodesDouble(dv, col("__scale")),
         x => x.cast("int")))
-      .write.mode("append").partitionBy("list").parquet(s"$path/lists")
+    // An index built with the PQ payload must keep it through appends —
+    // the codebooks are FROZEN like the centroids (assignment is a pure
+    // function of (vector, books)), so appended rows land with exactly
+    // the codes a rebuild under the same books would give them.
+    val withPq =
+      if (pqBooksExist(spark, path))
+        quantized.withColumn("__pq", pqCodesCol(col(cVec), readPqBooks(spark, path)))
+      else quantized
+    withPq.write.mode("append").partitionBy("list").parquet(s"$path/lists")
+  }
+
+  private def pqBooksExist(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/pq_books")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Read back a persisted index's PQ codebooks (m × k × sub doubles of
+    * driver-bounded metadata — the [[readIvfCentroids]] lifecycle). */
+  def readPqBooks(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Seq[Seq[Seq[Double]]] = {
+    val rows = spark.read.parquet(s"$path/pq_books")
+      .collect()
+      .map(r => (r.getInt(r.fieldIndex("m")), r.getInt(r.fieldIndex("j")),
+        r.getSeq[Double](r.fieldIndex("c_vec"))))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, cells) => cells.sortBy(_._2).map(_._3).toSeq }
+  }
+
+  /** IVF-PQ search of a persisted index — probe-then-ADC, the standard
+    * production ANN layout. Probe selection runs at full precision
+    * against the centroid metadata ([[probesFor]] — shared with every
+    * other index search); scoring is asymmetric distance over ONLY the
+    * stored `__pq` code column of the probed lists: each (query, probe)
+    * row carries the per-subspace lookup tables (computed once on the
+    * broadcast side), a candidate costs m lookups + m−1 adds, and the
+    * corpus scan prunes to nProbe/nLists partitions × the ~m-byte code
+    * column. The corpus never shuffles. Same ranking contract as
+    * [[pqTopK]] (ADC desc, ties on corpus id) — with nProbe = nLists the
+    * two are row-identical, the property ExtSpec pins. */
+  def searchIvfIndexPq(spark: org.apache.spark.sql.SparkSession, path: String,
+                       queries: DataFrame, k: Int, nProbe: Int,
+                       qId: String = "q_id", cId: String = "vec_id",
+                       qVec: String = "q_vec"): DataFrame = {
+    val cents = readIvfCentroids(spark, path)
+    val books = readPqBooks(spark, path)
+    val probes = probesFor(queries, cents, nProbe, qId, qVec)
+      .select(Seq(col(qId), col("list")) ++ adcTableCols(col(qVec), books): _*)
+    val codes = spark.read.parquet(s"$path/lists")
+      .select(col("list"), col(cId), col("__pq").as("codes"))
+    adcRank(codes.join(broadcast(probes), Seq("list")), books.size, k, qId, cId)
   }
 
   /** Read back the index's centroid metadata (nLists × dim doubles). */
@@ -617,16 +690,50 @@ object Similarity {
         lit(-j).as("nj"))
     }: _*)).getField("nj")).cast("int")
 
+  /** The full-vector PQ code array as one column expression — shared by
+    * [[pqEncode]] (the standalone stored form) and [[writeIvfIndex]]'s
+    * per-list payload, so the two cannot drift. */
+  private def pqCodesCol(vec: Column, books: Seq[Seq[Seq[Double]]]): Column = {
+    val m = books.size
+    val sub = books.head.head.size
+    val dv = asDouble(vec)
+    array((0 until m).map(mi =>
+      pqAssignCode(slice(dv, mi * sub + 1, sub), books(mi))): _*)
+  }
+
   /** Encode a corpus to PQ codes: (id, codes array<int> of length m) —
     * the stored form. m × k sub-dots per row, all codegen'd, zero
     * shuffles. */
   def pqEncode(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
-               cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val m = books.size
+               cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
+    corpus.select(col(cId), pqCodesCol(col(cVec), books).as("codes"))
+
+  /** Per-query ADC lookup-table columns `__t0..__t{m-1}`: table mi holds
+    * the k sub-dots q_mi · c_mi,j, computed ONCE on the (broadcast) query
+    * side. ONE definition shared by the flat and IVF-composed searches. */
+  private def adcTableCols(qVec: Column, books: Seq[Seq[Seq[Double]]]): Seq[Column] = {
     val sub = books.head.head.size
-    val dv = asDouble(col(cVec))
-    corpus.select(col(cId), array((0 until m).map(mi =>
-      pqAssignCode(slice(dv, mi * sub + 1, sub), books(mi))): _*).as("codes"))
+    val qdv = asDouble(qVec)
+    books.zipWithIndex.map { case (book, mi) =>
+      array(book.map(c =>
+        vec_dot(slice(qdv, mi * sub + 1, sub), typedlit(c))): _*).as(s"__t$mi")
+    }
+  }
+
+  /** The ADC ranking tail: pairs must carry `codes` plus the `__t*`
+    * lookup tables. Score = the m table lookups summed left-to-right,
+    * rounded 6dp; rank per query, ties on the corpus id — the same
+    * contract as every other ANN path. */
+  private def adcRank(pairs: DataFrame, m: Int, k: Int,
+                      qId: String, cId: String): DataFrame = {
+    val score = round((0 until m).map(mi =>
+      element_at(col(s"__t$mi"), element_at(col("codes"), mi + 1) + 1))
+      .reduceLeft(_ + _), 6)
+    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
+    pairs.withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("score"), col("rank"))
   }
 
   /** Top-k by ASYMMETRIC distance (ADC) over the PQ-encoded corpus: the
@@ -647,23 +754,9 @@ object Similarity {
              books: Seq[Seq[Seq[Double]]],
              qId: String = "q_id", cId: String = "vec_id",
              qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
-    val m = books.size
-    val sub = books.head.head.size
     val codes = pqEncode(corpus, books, cId, cVec)
-    val qdv = asDouble(col(qVec))
-    val q = queries.select(col(qId) +: (0 until m).map { mi =>
-      array(books(mi).map(c =>
-        vec_dot(slice(qdv, mi * sub + 1, sub), typedlit(c))): _*).as(s"__t$mi")
-    }: _*)
-    val score = round((0 until m).map(mi =>
-      element_at(col(s"__t$mi"), element_at(col("codes"), mi + 1) + 1))
-      .reduceLeft(_ + _), 6)
-    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
-    codes.join(broadcast(q))
-      .withColumn("score", score)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qId), col(cId), col("score"), col("rank"))
+    val q = queries.select(col(qId) +: adcTableCols(col(qVec), books): _*)
+    adcRank(codes.join(broadcast(q)), books.size, k, qId, cId)
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted

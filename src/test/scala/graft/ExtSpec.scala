@@ -370,6 +370,60 @@ class ExtSpec extends SparkSpec {
     assert(d2 <= d0 + 1e-6, s"Lloyd refinement raised distortion: $d0 -> $d2")
   }
 
+  test("ivf-pq: persisted codes survive appends; probing all lists equals flat PQ") {
+    // The probe-then-ADC composition: with nProbe = nLists every corpus
+    // code is a candidate, so the IVF-PQ search must be ROW-IDENTICAL to
+    // the flat pqTopK under the same (persisted) codebooks — the
+    // composition changes which codes are read, never how they score.
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_pq").toString
+    try {
+      // Build on the first half, append the rest: the frozen-codebook
+      // append path must leave the index indistinguishable from a
+      // single-shot build for the PQ payload too.
+      val cut = 400L
+      Similarity.writeIvfIndex(e.filter(col("vec_id") < cut), nLists = 4, path,
+        pq = Some((8, 16)))
+      Similarity.appendToIvfIndex(spark, path, e.filter(col("vec_id") >= cut))
+      val books = Similarity.readPqBooks(spark, path)
+      assert(books == Similarity.pqCodebooks(e.filter(col("vec_id") < cut), 8, 16),
+        "persisted codebooks equal the trained set")
+      assert(books.size == 8 && books.forall(b => b.size == 16 && b.forall(_.size == 8)),
+        "m x k x sub shape")
+      // Stored codes (build + append halves alike) must BE pqEncode's
+      // output under the frozen books.
+      val stored = spark.read.parquet(s"$path/lists")
+        .select(col("vec_id"), col("__pq"))
+        .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+      val expected = Similarity.pqEncode(e, books)
+        .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+      assert(stored == expected, "stored __pq must equal pqEncode under frozen books")
+      val all = Similarity.searchIvfIndexPq(spark, path, q, k = 3, nProbe = 4)
+        .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+      val flat = Similarity.pqTopK(q, e, 3, books)
+        .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+      assert(all == flat, "probing all lists must equal the flat PQ search")
+      // Pruned probes score a SUBSET of the flat candidates with the same
+      // ADC contract; recall vs the full-precision search of the same
+      // probed lists is bounded by PQ error alone (deterministic corpus +
+      // deterministic training, so the floor is pinned, not flaky).
+      val pruned = Similarity.searchIvfIndexPq(spark, path, q, k = 3, nProbe = 2)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      val full = Similarity.searchIvfIndex(spark, path, q, k = 3, nProbe = 2)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      val recall = (full intersect pruned).size.toDouble / full.size
+      info(s"IVF-PQ recall vs full-precision IVF at nProbe=2 = $recall")
+      assert(recall >= 0.4, s"IVF-PQ recall $recall collapsed vs full-precision IVF")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("multi-probe LSH recall dominates any single plane set's") {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
       .select("vec_id", "embedding")
