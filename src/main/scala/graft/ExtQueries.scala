@@ -819,6 +819,22 @@ object ExtQueries {
         .orderBy("shard")
     }),
 
+    "q_export_jsonl_sized" -> ((s, dir) => {
+      // SIZE-targeted zstd JSONL shards: boundaries fall on cumulative
+      // BYTES over the striped (md5(key), key) order — ~targetBytes per
+      // shard whatever the size distribution — written through the
+      // bundled pure-Java zstd codec (`.json.zst` part files). Manifest
+      // from the sink read back through the schema-pinned reader; the
+      // oracle replays the prefix-sum shard rule on the logical corpus.
+      val path = s"$RunScratch/graft_export_jsonl_sized_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Export.writeJsonlCorpusSized(s,
+          read(s, dir, "documents").select("doc_id", "text", "n_chars"),
+          col("doc_id"), octet_length(col("text")), ExportTargetBytes,
+          ExportStripes, path, Seq("doc_id", "text", "n_chars"))
+        .orderBy("shard")
+    }),
+
     "q_export_sorted" -> ((s, dir) => {
       // Range-partitioned SORTED export: shard k holds exactly the keys
       // in [cut_{k-1}, cut_k) (cuts = exact integer interpolation over
@@ -1531,6 +1547,12 @@ object ExtQueries {
       p
     })
   private val ExportShards = 8
+  /** Size-targeted export: ~16 KiB of text bytes per shard, 4 stripes
+    * (≈9 shards at sf0.01's 149 KB corpus — the boundary rule is
+    * exercised with several packs per stripe). Shared verbatim by the
+    * Spark query and the generated oracle. */
+  private val ExportTargetBytes = 16384L
+  private val ExportStripes = 4
   private val CsvDocsCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def csvDocsFor(s: SparkSession, dir: String): String =
     CsvDocsCache.getOrElseUpdate(dir, {
@@ -2978,6 +3000,32 @@ object ExtQueries {
              CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                AS BIGINT) % 8 AS INTEGER) AS shard
            FROM documents)
+         SELECT shard, COUNT(*) AS n_rows,
+           CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
+               COALESCE(CAST(doc_id AS VARCHAR), chr(2)),
+               COALESCE(CAST(text AS VARCHAR), chr(2)),
+               COALESCE(CAST(n_chars AS VARCHAR), chr(2)))), 1, 12))
+             AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+         FROM sh GROUP BY 1 ORDER BY shard""",
+
+    // The packByBudget prefix-sum shard rule over BYTES (strlen = UTF-8
+    // octets, Spark's octet_length), flattened to pack*stripes + stripe;
+    // manifest checksum identical to q_export_manifest's convention.
+    "q_export_jsonl_sized" ->
+      s"""WITH t AS (SELECT doc_id, text, n_chars,
+             CAST(strlen(text) AS BIGINT) AS bytes,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8))
+               AS BIGINT) % $ExportStripes AS stripe,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+           c AS (SELECT *, COALESCE(SUM(bytes) OVER (PARTITION BY stripe
+               ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+           FROM t),
+           sh AS (SELECT doc_id, text, n_chars,
+             CAST((before // $ExportTargetBytes) * $ExportStripes + stripe
+               AS INTEGER) AS shard
+           FROM c)
          SELECT shard, COUNT(*) AS n_rows,
            CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
                COALESCE(CAST(doc_id AS VARCHAR), chr(2)),

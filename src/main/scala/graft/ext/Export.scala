@@ -60,6 +60,78 @@ object Export {
       org.apache.spark.sql.types.StructType(df.schema.fields)), cols)
   }
 
+  /** Pure-Java zstd Hadoop codec bundled with Spark (aircompressor —
+    * shipped in `/opt/spark/jars` for parquet/orc): the modern
+    * interchange codec for text sinks. Spark's built-in short names for
+    * text sources stop at gzip/lz4 because Hadoop's own `ZStandardCodec`
+    * needs native libhadoop+libzstd; the aircompressor adapter is a full
+    * `CompressionCodec` with no native dependency, and Spark's
+    * `compression` option accepts a codec CLASS name, so
+    * `option("compression", ZstdCodecClass)` writes `.json.zst` part
+    * files anywhere the jar is present. */
+  val ZstdCodecClass = "io.airlift.compress.zstd.ZstdCodec"
+
+  /** Register `codecClass` with Hadoop's codec factory so READS resolve
+    * the part-file extension (`.zst`) to it — the write path takes the
+    * class name directly, but `CompressionCodecFactory` only consults
+    * `io.compression.codecs`. Appends (never replaces) so the stock
+    * gzip/bzip2/deflate extensions keep working; session-global by
+    * nature (the factory reads the context's Hadoop conf), idempotent. */
+  def ensureCodecReadable(spark: SparkSession, codecClass: String = ZstdCodecClass): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val key = "io.compression.codecs"
+    val defaults = Seq(
+      "org.apache.hadoop.io.compress.DefaultCodec",
+      "org.apache.hadoop.io.compress.GzipCodec",
+      "org.apache.hadoop.io.compress.BZip2Codec")
+    val current = Option(conf.get(key))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(defaults)
+    if (!current.contains(codecClass))
+      conf.set(key, (current :+ codecClass).mkString(","))
+  }
+
+  /** SIZE-targeted zstd JSONL export — shard boundaries fall on a
+    * cumulative-BYTE threshold, not a row count or hash bucket: a corpus
+    * of mixed tiny and huge documents still lands in ~`targetBytes`
+    * shards (hash sharding would leave shard sizes at the mercy of the
+    * size distribution; a 100 TB delivery wants "shards of ~1 GiB", not
+    * "shards of ~n rows").
+    *
+    * Sharding is [[Sampling.packByBudget]]'s striped prefix-sum rule
+    * applied to `sizeBytes`: rows hash into `stripes` independent
+    * stripes (the parallelism knob — the cumulative sum is per-stripe,
+    * so no global window serializes one reducer at 100 TB), each stripe
+    * orders by the stable (md5(key), key) total order and cuts at
+    * running-byte boundaries; the flattened shard id is
+    * `pack · stripes + stripe` (globally unique; each shard's rows come
+    * whole from one stripe). Every shard except each stripe's last
+    * carries ≥ `targetBytes`, and any shard overshoots by at most its
+    * boundary row (ExtSpec pins both bounds). Deterministic — a pure
+    * function of (key, sizeBytes) — so the DuckDB oracle reproduces
+    * membership bit-for-bit.
+    *
+    * `sizeBytes` is the caller's size measure (payload bytes like
+    * `octet_length(text)`, or the full serialized line — the boundary
+    * rule only needs it deterministic). Returns the manifest computed
+    * from the sink READ BACK through the schema-pinned JSONL reader,
+    * like [[writeJsonlCorpus]]. */
+  def writeJsonlCorpusSized(spark: SparkSession, df: DataFrame, key: Column,
+                            sizeBytes: Column, targetBytes: Long, stripes: Int,
+                            path: String, cols: Seq[String],
+                            codecClass: String = ZstdCodecClass): DataFrame = {
+    require(targetBytes >= 1, "target bytes per shard must be >= 1")
+    ensureCodecReadable(spark, codecClass)
+    Sampling.packByBudget(df, key, sizeBytes, targetBytes, stripes)
+      .withColumn("shard",
+        (col("pack_id") * stripes + col("shard")).cast("int"))
+      .drop("pack_id")
+      .write.partitionBy("shard").mode("overwrite")
+      .option("compression", codecClass).json(path)
+    manifestOf(graft.sources.Tables.readJsonl(spark, path,
+      org.apache.spark.sql.types.StructType(df.schema.fields)), cols)
+  }
+
   /** Manifest of a sharded corpus (works on either side of the wire). */
   def manifestOf(sharded: DataFrame, cols: Seq[String]): DataFrame =
     Checksum.partitionChecksums(

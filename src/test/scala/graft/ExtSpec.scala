@@ -915,6 +915,56 @@ class ExtSpec extends SparkSpec {
       "exactly the tampered shard's manifest row differs")
   }
 
+  test("sized JSONL export: byte-targeted shards, zstd part files, bounds hold") {
+    // The cumulative-byte boundary rule: every shard except each
+    // stripe's LAST carries >= targetBytes, and no shard overshoots by
+    // more than its boundary row — the two bounds that make
+    // "~targetBytes per shard" a contract instead of a hope.
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text", "n_chars")
+    val cols = Seq("doc_id", "text", "n_chars")
+    val target = 16384L
+    val stripes = 4
+    val path = java.nio.file.Files.createTempDirectory("graft_ejs").toString
+    try {
+      val manifest = Export.writeJsonlCorpusSized(spark, docs, col("doc_id"),
+        octet_length(col("text")), target, stripes, path, cols)
+        .orderBy("shard").collect().toSeq
+      assert(manifest.map(_.getAs[Long]("n_rows")).sum == docs.count(),
+        "every row landed in some shard")
+      // Part files are zstd-compressed JSONL.
+      val parts = new java.io.File(path).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+        .flatMap(_.listFiles.filter(_.getName.startsWith("part")))
+      assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".json.zst")),
+        s"expected .json.zst part files, got ${parts.map(_.getName).take(3).toSeq}")
+      // Recompute the boundary rule's inputs and check the size bounds.
+      val sized = graft.sources.Tables.readJsonl(spark, path,
+          org.apache.spark.sql.types.StructType(docs.schema.fields))
+        .withColumn("bytes", octet_length(col("text")).cast("long"))
+      val perShard = sized.groupBy(col("shard").cast("int").as("shard"))
+        .agg(sum(col("bytes")).as("b"), max(col("bytes")).as("mx"))
+        .as[(Int, Long, Long)].collect().toSeq
+      val maxRow = perShard.map(_._3).max
+      perShard.foreach { case (sh, b, _) =>
+        assert(b < target + maxRow,
+          s"shard $sh holds $b bytes — overshot the boundary row bound")
+      }
+      // Each stripe's last pack may undershoot; everything else must
+      // reach the target. shard = pack*stripes + stripe.
+      val lastPerStripe = perShard.map(_._1).groupBy(_ % stripes)
+        .values.map(_.max).toSet
+      perShard.filterNot(s => lastPerStripe(s._1)).foreach { case (sh, b, _) =>
+        assert(b >= target, s"non-final shard $sh holds only $b < $target bytes")
+      }
+      info(s"${perShard.size} shards, sizes ${perShard.sortBy(_._1).map(_._2)}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("IVF append: search-after-append == rebuild under frozen centroids") {
     val dim = 4
     def vec(id: Long): Seq[Double] =
