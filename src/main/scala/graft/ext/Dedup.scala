@@ -481,7 +481,22 @@ object Dedup {
     * [[dedupAgainstReferenceWithBands]]). */
   def freshByContent(batch: DataFrame, ref: DataFrame, textCol: String,
                      expectedBatchKeys: Long = DefaultExpectedBatchKeys
-                    ): DataFrame = {
+                    ): DataFrame =
+    freshByFingerprint(batch, ref.select(md5(col(textCol)).as("__fp")),
+      "__fp", textCol, expectedBatchKeys)
+
+  /** [[freshByContent]] against PRECOMPUTED reference fingerprints
+    * (md5-of-content, e.g. a stored `__fp` column): the corpus side
+    * reads 32-byte hashes instead of re-hashing full text — on a
+    * columnar sink that is a column-pruned scan of ~32 B/doc, the
+    * difference between a replay guard that re-reads a 100 TB text
+    * column every micro-batch and one that reads the corpus's key
+    * column only. Same bloom-composed shape and exactly-once-per-content
+    * contract as [[freshByContent]]. */
+  def freshByFingerprint(batch: DataFrame, refFp: DataFrame, fpCol: String,
+                         textCol: String,
+                         expectedBatchKeys: Long = DefaultExpectedBatchKeys
+                        ): DataFrame = {
     // Exact pass, bloom-composed (the 100 TB incremental shape): build
     // a constant-size bloom over the BATCH's content keys (the small
     // side — one mergeable aggregate, collected like any sketch), then
@@ -511,7 +526,7 @@ object Dedup {
       else math.max(batchKeyed.count(), 1L)
     val bloom = graft.ops.BloomJoin.keyBloom(batchKeyed, col("__ck"),
       bloomItems)
-    val survivors = ref.select(md5(col(textCol)).as("__ck"))
+    val survivors = refFp.select(col(fpCol).as("__ck"))
       .filter(graft.ops.BloomJoin.mightContain(bloom, col("__ck")))
     // `ref` is deliberately NOT materialized: at 100 TB the curated
     // side must stream from storage, column-pruned per pass (hashes,
@@ -582,15 +597,50 @@ object Dedup {
     * candidate-generation subtree multiplied into every copy — and
     * Catalyst re-optimization, not the data, becomes the per-round cost
     * (measured ~1.5 s/round at sf0.1 on a 563-node graph; ~0.2 s with
-    * truncation). `localCheckpoint` materializes each round (and the
-    * edge set once) to executor-stored blocks and replaces the plan with
-    * a LogicalRDD scan; on a cluster job the same call (or reliable
-    * `checkpoint()` for executor-loss tolerance) is the standard
-    * iterative-algorithm idiom.
+    * truncation). By default `localCheckpoint` materializes each round
+    * (and the edge set once) to executor-stored blocks and replaces the
+    * plan with a LogicalRDD scan — fast, but executor loss drops blocks
+    * and kills the JOB (local checkpoints sever the lineage needed to
+    * recompute). Long cluster jobs set [[ReliableCheckpointConf]]=true
+    * to route every round's truncation through RELIABLE `checkpoint()`
+    * into [[ReliableCheckpointDirConf]] (or a dir already set via
+    * `SparkContext.setCheckpointDir`): rounds persist to the checkpoint
+    * filesystem and survive any executor, at the standard cost of the
+    * checkpoint write (plus Spark's recompute-on-write for non-eager
+    * checkpoints). Same plans, same results — ExtSpec runs the loops
+    * under both modes.
     *
     * Output: (node, cluster), one row per distinct doc appearing in
     * `pairs`; singleton docs (in no pair) are their own implicit cluster
     * and are not emitted. */
+  /** Conf keys for the iterative loops' lineage truncation (see above):
+    * set `graft.checkpoint.reliable=true` (runtime conf) to use reliable
+    * `checkpoint()`; the dir comes from `graft.checkpoint.dir` or an
+    * already-configured `SparkContext.setCheckpointDir`. */
+  val ReliableCheckpointConf = "graft.checkpoint.reliable"
+  val ReliableCheckpointDirConf = "graft.checkpoint.dir"
+
+  /** One round's lineage truncation: local (executor blocks) by
+    * default, reliable (checkpoint-FS files) under the conf above.
+    * Checkpoint-dir files are reclaimed by the cluster's dir hygiene
+    * (or `spark.cleaner.referenceTracking.cleanCheckpoints`), not by
+    * [[freeCheckpoint]] — which stays correct in both modes (reliable
+    * plans have no storage blocks to free). */
+  private def truncateLineage(df: DataFrame, eager: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption(ReliableCheckpointConf).exists(_.toBoolean)
+    if (!reliable) df.localCheckpoint(eager)
+    else {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          spark.conf.getOption(ReliableCheckpointDirConf).getOrElse(
+            throw new IllegalArgumentException(
+              s"$ReliableCheckpointConf=true but no checkpoint dir: set " +
+                s"$ReliableCheckpointDirConf or SparkContext.setCheckpointDir")))
+      df.checkpoint(eager)
+    }
+  }
+
   /** Free a localCheckpoint'ed frame's blocks NOW. `Dataset.unpersist`
     * only clears CacheManager entries, and a local checkpoint persists
     * its RDD directly — without this, each round's blocks would linger
@@ -606,13 +656,14 @@ object Dedup {
 
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
-      .distinct().localCheckpoint()
+    val edges = truncateLineage(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .distinct(), eager = true)
     // Lazy: the initial checksum probe below materializes the seed labels
     // in the same job.
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("cluster", col("node")).localCheckpoint(false)
+    var labels = truncateLineage(edges.select(col("src").as("node")).distinct()
+      .withColumn("cluster", col("node")), eager = false)
     // sum over ZERO rows is NULL — an empty pair graph (perfectly clean
     // corpus) is already converged, not an error.
     var checksum = labels.agg(sum(col("cluster").cast(DecimalType(38, 0))))
@@ -633,7 +684,7 @@ object Dedup {
         // Lazy checkpoint: the probe action below materializes the round's
         // blocks AND reads the sum in ONE job (eager would spend a
         // separate job per round on materialization alone).
-        val next = hop(labels).localCheckpoint(false)
+        val next = truncateLineage(hop(labels), eager = false)
         val nextSum = next.agg(sum(col("cluster").cast(DecimalType(38, 0))))
           .head().getDecimal(0)
         converged = nextSum.compareTo(checksum) == 0
@@ -715,15 +766,15 @@ object Dedup {
     // pairs) — split them out and fold them back in at labeling time.
     val selfNodes = pairs.filter(col("a") === col("b"))
       .select(col("a").as("node")).distinct()
-    var edges = pairs.select(least(col("a"), col("b")).as("a"),
+    var edges = truncateLineage(pairs.select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(false)
+      .filter(col("a") =!= col("b")).distinct(), eager = false)
     var state = probe(edges)
     var converged = state._1 == 0L
     var round = 0
     try {
       while (!converged && round < maxRounds) {
-        val next = smallStar(largeStar(edges)).localCheckpoint(false)
+        val next = truncateLineage(smallStar(largeStar(edges)), eager = false)
         val nextState = probe(next)
         // Count and endpoint-sum are both non-increasing under each star
         // op, so an unchanged pair across a full round means BOTH ops hit
@@ -739,11 +790,11 @@ object Dedup {
       // Star edges are (center, member); centers label themselves, and
       // self-pair-only nodes label themselves too (the groupBy-min keeps
       // the component label when such a node also has real edges).
-      val labels = edges.select(col("b").as("node"), col("a").as("cluster"))
-        .unionByName(edges.select(col("a").as("node"), col("a").as("cluster")))
-        .unionByName(selfNodes.select(col("node"), col("node").as("cluster")))
-        .groupBy("node").agg(min("cluster").as("cluster"))
-        .localCheckpoint()
+      val labels = truncateLineage(
+        edges.select(col("b").as("node"), col("a").as("cluster"))
+          .unionByName(edges.select(col("a").as("node"), col("a").as("cluster")))
+          .unionByName(selfNodes.select(col("node"), col("node").as("cluster")))
+          .groupBy("node").agg(min("cluster").as("cluster")), eager = true)
       labels
     } finally freeCheckpoint(edges)
   }

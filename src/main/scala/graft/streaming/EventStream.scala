@@ -257,13 +257,23 @@ object EventStream {
     * benchmark is never re-shingled.
     *
     * Replay contract: survivors anti-join on their content fingerprint
-    * against the docs already landed (`Dedup.freshByContent` — the
-    * bloom-composed exact pass, map-only on the sink side), so
-    * at-least-once delivery becomes exactly-once-per-content sink
-    * contents; a replayed batch appends nothing. Within one batch only
-    * key duplicates are dropped — two same-content docs under different
-    * keys both land (compose an exact-dedup stage upstream if content
-    * uniqueness within a batch matters). Empty first batch commits a
+    * against the docs already landed, so at-least-once delivery becomes
+    * exactly-once-per-content sink contents; a replayed batch appends
+    * nothing. The landed fingerprints are STORED: every sink row
+    * carries a `__fp` column (md5 of its text, the reserved-name
+    * convention) written in the same parquet files as the doc itself,
+    * and the guard (`Dedup.freshByFingerprint`) scans ONLY that column
+    * — a column-pruned ~32 B/doc read instead of re-hashing the sink's
+    * full text every micro-batch (at 100 TB, the difference between
+    * re-reading the corpus per batch and reading its key column). A
+    * sibling fingerprint TABLE would be cheaper still to scan but
+    * cannot be atomic with the docs append (fp-first loses docs on a
+    * crash between the writes; docs-first re-admits them) — the stored
+    * column shares the data files, so the guard can never disagree
+    * with the sink contents. Within one batch only key duplicates are
+    * dropped — two same-content docs under different keys both land
+    * (compose an exact-dedup stage upstream if content uniqueness
+    * within a batch matters). Empty first batch commits a
     * data-file-less dir; later reads pin the schema instead of
     * inferring (the `upsertSink` contract). */
   def decontaminationSink(stream: DataFrame, bench: DataFrame,
@@ -282,11 +292,16 @@ object EventStream {
       val b1 = batch0.dropDuplicates(docKey)
       val clean = Contamination.decontaminateAgainst(b1, benchSh, docKey,
         textCol, n, minHits)
+      val sinkSchema = org.apache.spark.sql.types.StructType(
+        batch0.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "__fp", org.apache.spark.sql.types.StringType))
       val fresh =
         if (!fs.exists(sink)) clean
-        else Dedup.freshByContent(clean,
-          s.read.schema(batch0.schema).parquet(sinkPath), textCol)
-      fresh.write.mode("append").parquet(sinkPath)
+        else Dedup.freshByFingerprint(clean,
+          s.read.schema(sinkSchema).parquet(sinkPath).select("__fp"),
+          "__fp", textCol)
+      fresh.withColumn("__fp", md5(col(textCol)))
+        .write.mode("append").parquet(sinkPath)
     }
     stream.writeStream
       .option("checkpointLocation", checkpoint)

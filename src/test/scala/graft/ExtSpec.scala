@@ -1334,6 +1334,42 @@ class ExtSpec extends SparkSpec {
       "every chain node labeled with the component minimum")
   }
 
+  test("CC loops under reliable checkpoint: same labels, files land in the dir") {
+    // graft.checkpoint.reliable=true routes every round's lineage
+    // truncation through checkpoint() into the configured dir — the
+    // executor-loss-tolerant mode for long cluster jobs. Same plans,
+    // same results as local mode; the checkpoint FILES are the proof
+    // the reliable path actually ran.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (7L, 7L))
+      .toDF("a", "b")
+    val localLabels = Dedup.dupClusters(pairs)
+      .select("node", "cluster").as[(Long, Long)].collect().toMap
+    val localStar = Dedup.dupClustersStar(pairs)
+      .select("node", "cluster").as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set(Dedup.ReliableCheckpointConf, "true")
+    spark.conf.set(Dedup.ReliableCheckpointDirConf, dir)
+    try {
+      val reliable = Dedup.dupClusters(pairs)
+        .select("node", "cluster").as[(Long, Long)].collect().toMap
+      val reliableStar = Dedup.dupClustersStar(pairs)
+        .select("node", "cluster").as[(Long, Long)].collect().toMap
+      assert(reliable == localLabels, "reliable mode must not change min-label output")
+      assert(reliableStar == localStar, "reliable mode must not change star output")
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten
+          .flatMap(c => if (c.getName.startsWith("rdd-")) Seq(c) else rddDirs(c))
+      assert(rddDirs(new java.io.File(dir)).nonEmpty,
+        s"reliable checkpoints must write rdd-* dirs under $dir")
+    } finally {
+      spark.conf.unset(Dedup.ReliableCheckpointConf)
+      spark.conf.unset(Dedup.ReliableCheckpointDirConf)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("contamination: shared shingles flag a pair; df-cap kills hot shingles") {
     // bench doc 100 contains the phrase "one two three four"; train doc 1
     // copies it (2 overlapping 3-gram shingles), train doc 2 does not.

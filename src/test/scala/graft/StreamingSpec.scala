@@ -328,6 +328,28 @@ class StreamingSpec extends SparkSpec {
         n = 3, minHits = 2, maxShingleDf = 2)
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(got == expected, "stream sink != batch decontaminate over the same docs")
+    // Every landed row carries its stored fingerprint, and the replay
+    // guard's sink scan reads ONLY that column — the plan the stored
+    // __fp exists for: no re-read of the sink text on batch N>1.
+    val landed = spark.read.parquet(sink)
+    assert(landed.columns.contains("__fp"))
+    assert(landed.filter(col("__fp") =!= md5(col("text"))).count() == 0,
+      "stored __fp must be the md5 of the landed text")
+    val sinkSchema = org.apache.spark.sql.types.StructType(
+      Seq(1L -> "x").toDF("doc_id", "text").schema.fields :+
+        org.apache.spark.sql.types.StructField("__fp",
+          org.apache.spark.sql.types.StringType))
+    val guard = graft.ext.Dedup.freshByFingerprint(
+      Seq(5L -> "probe doc").toDF("doc_id", "text"),
+      spark.read.schema(sinkSchema).parquet(sink).select("__fp"),
+      "__fp", "text")
+    // (plan-string match, the PlanShapeSpec idiom — AQE wraps the scan)
+    val planStr = guard.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(planStr.contains("ReadSchema: struct<__fp:string>"),
+      s"sink scan must prune to __fp only:\n$planStr")
+    assert(!planStr.contains("ReadSchema: struct<doc_id"),
+      s"guard must not re-read the sink's data columns:\n$planStr")
   }
 
   test("upsertSink survives an empty first micro-batch") {
