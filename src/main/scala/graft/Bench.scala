@@ -46,17 +46,32 @@ object Bench {
   /** Load guard: is THIS machine, RIGHT NOW, too loaded for the run to
     * be a usable baseline? The probe is a fixed data-independent Spark
     * job whose only variable is ambient load; if it runs > 2x slower
-    * than the BEST this machine has ever recorded (min of history — the
-    * machine's quiet capability, robust to past loaded runs), the whole
-    * suite's numbers are suspect: the run is published (stdout +
+    * than this machine's quiet capability (see [[probeBaseline]]), the
+    * whole suite's numbers are suspect: the run is published (stdout +
     * bench.json, marked degraded) but NOT appended to
     * bench_history.json, so it can never become the next round's
     * flagger baseline. The r9 run (sbt wall 788 s vs 415 s quiet) was
     * appended exactly this way and poisoned the r10 baseline — this
     * guard is the fix. No history → not degraded (bootstrap). */
-  def probeDegraded(probe: Double, history: Seq[Double]): Boolean = {
-    val quiet = history.filter(_ > 0)
-    quiet.nonEmpty && probe > 2.0 * quiet.min
+  def probeDegraded(probe: Double, history: Seq[Double]): Boolean =
+    probeBaseline(history).exists(probe > 2.0 * _)
+
+  /** The "quiet capability" the guard compares against: the LOWER
+    * QUARTILE of the last [[ProbeWindow]] positive probes — not the
+    * all-time min. The min was a ratchet with two failure modes: one
+    * anomalously FAST line (timer glitch, an unusually cold cache)
+    * would permanently tighten the threshold and flag every honest run
+    * after it, and a machine that genuinely slowed (new co-tenant,
+    * thermal cap) could never re-baseline. The recency window heals
+    * both (any single line ages out); the quartile inside it shrugs
+    * off one outlier-fast line as soon as 4+ probes exist, while a
+    * history of ≤ 3 still uses its min (bootstrap behavior
+    * unchanged). Past LOADED runs never enter: degraded runs are not
+    * appended, and the quartile leans low regardless. */
+  val ProbeWindow = 8
+  def probeBaseline(history: Seq[Double]): Option[Double] = {
+    val quiet = history.filter(_ > 0).takeRight(ProbeWindow).sorted
+    if (quiet.isEmpty) None else Some(quiet(quiet.size / 4))
   }
 
   /** Should `v` (a query's min-of-two-passes seconds) re-run isolated?
@@ -163,8 +178,8 @@ object Bench {
     }.min
     val degraded = probeDegraded(probeSec, probeHistory(histLines, sfDir))
     if (degraded) System.err.println(
-      f"[bench] LOAD GUARD: probe $probeSec%.3f s vs quiet best ${
-        probeHistory(histLines, sfDir).filter(_ > 0).min}%.3f s — " +
+      f"[bench] LOAD GUARD: probe $probeSec%.3f s vs quiet baseline ${
+        probeBaseline(probeHistory(histLines, sfDir)).get}%.3f s — " +
         "run marked degraded; history will NOT be appended")
     val selected = if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
                    else SparkEntry.queries

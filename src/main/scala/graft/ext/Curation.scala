@@ -32,6 +32,17 @@ object Curation {
     val width: Int = baseWidth + (if (wildcard) 1 else 0)
   }
 
+  /** The A-label (punycode / IDNA) form of a dotted base, label by
+    * label; identity for all-ASCII bases. A label the JDK encoder
+    * rejects keeps its U-label form (the published list contains none
+    * such today — the guard is for future list refreshes). */
+  private def punycode(base: String): String =
+    base.split('.').map { l =>
+      if (l.forall(_ < 128)) l
+      else try java.net.IDN.toASCII(l)
+      catch { case _: IllegalArgumentException => l }
+    }.mkString(".")
+
   /** The public-suffix rules, loaded from the bundled
     * `public_suffix_list.dat` resource (publicsuffix.org line format:
     * `//` comments, `*.` wildcards, `!` exceptions). The resource IS the
@@ -40,7 +51,17 @@ object Curation {
     * oracle SQL) is data-driven over the rule widths and kinds found
     * here, so a list refresh is a file swap: exact rules join at widths
     * 2–5, wildcards at base widths 1–4, exceptions at widths 2–3, ten
-    * broadcast arms total, each ≤ ~5.5k rows riding once per executor. */
+    * broadcast arms total, each ≤ ~6k rows riding once per executor.
+    *
+    * The list publishes IDN rules as U-labels (`左注.jp`) but real-world
+    * hosts normally arrive punycoded (`xn--...`) — matching U-label
+    * rules only would silently default-rule every IDN host. Each
+    * non-ASCII rule therefore loads BOTH forms (its A-label twin via
+    * the JDK's IDNA encoder, ~470 extra rules); hosts in either form
+    * match, per the canonical PSL algorithm's canonicalization step.
+    * Lowercasing is Locale.ROOT: the default locale would, e.g. under
+    * tr-TR, fold an uppercase rule `I` to dotless `ı` and never match
+    * hosts lowercased by Spark's locale-agnostic `lower()`. */
   lazy val PslRules: Seq[PslRule] = {
     val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
     require(in != null, "bundled public_suffix_list.dat resource is missing")
@@ -54,8 +75,12 @@ object Curation {
           if (exception) l.substring(1) else if (wildcard) l.substring(2) else l
         require(!base.contains("*"),
           s"only leading wildcards are supported (the published list uses no others): $l")
-        PslRule(base.toLowerCase, wildcard, exception)
+        PslRule(base.toLowerCase(java.util.Locale.ROOT), wildcard, exception)
       }.toVector
+      .flatMap { r =>
+        val ascii = punycode(r.base)
+        if (ascii == r.base) Seq(r) else Seq(r, r.copy(base = ascii))
+      }
     finally src.close()
   }
 

@@ -210,6 +210,73 @@ object Sampling {
       .drop("__msrc", "__mshard", "__mbudget", "__mshardBudget", "__mbefore")
   }
 
+  /** Budgets after ONE shortfall-redistribution pass: any budget a
+    * source cannot fill (its whole supply selects and still falls
+    * short) is handed pro-rata — by ORIGINAL budget share — to the
+    * sources that still have unselected docs, as extra budget. The knob
+    * real mixture jobs reach for when a curated source runs dry: "we
+    * asked for 2600 wiki tokens, wiki has 900 — fill the gap from web
+    * and code in their 2:1 target ratio" becomes a concrete adjusted
+    * budget map, still a pure deterministic function of the corpus.
+    *
+    * Integer-exact: extras are `floor(unused · b_s / Σ b_absorbers)`
+    * (BigInt — no overflow at any corpus size) with the remainder
+    * spread one token to the leading absorbers in source-name order, so
+    * `Σ extra = unused` EXACTLY and the adjusted grand total equals the
+    * original grand total plus nothing — what a source keeps in budget
+    * it keeps in name only (its selection already took everything).
+    * Absorbers may themselves run dry under the extra load — that
+    * residual shortfall stays visible in [[mixtureReport]] against the
+    * adjusted budgets (run another pass if chasing it matters; each
+    * pass costs one selection + two bounded aggs).
+    *
+    * Exhausted sources keep their ORIGINAL budget in the returned map:
+    * shrinking it to `achieved` would re-split the per-shard budgets
+    * (div/mod) and could FLIP individual shard selections; keeping it
+    * leaves their selection bit-identical (the prefix rule already
+    * takes their whole supply). Budget monotonicity guarantees the
+    * pass-2 selection is a SUPERSET of pass 1 per (source, shard) —
+    * redistribution only adds docs. */
+  def redistributedBudgets(df: DataFrame, source: Column, key: Column,
+                           tokens: Column, budgetBySource: Map[String, Long],
+                           shards: Int, salt: String = "mix"): Map[String, Long] = {
+    val selected = mixtureByTokenBudget(df, source, key, tokens,
+      budgetBySource, shards, salt)
+    def totals(d: DataFrame): Map[String, Long] =
+      d.groupBy(source.cast("string").as("__s"))
+        .agg(sum(tokens).cast("long").as("__t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val achieved = totals(selected).withDefaultValue(0L)
+    val supply = totals(df.filter(
+      source.cast("string").isin(budgetBySource.keys.toSeq: _*)))
+      .withDefaultValue(0L)
+    val unused = budgetBySource.map { case (s, b) =>
+      math.max(0L, b - achieved(s)) }.sum
+    val absorbers = budgetBySource.keys.toSeq.sorted
+      .filter(s => supply(s) > achieved(s))
+    val bAbs = absorbers.map(budgetBySource).sum
+    if (unused == 0L || bAbs == 0L) budgetBySource
+    else {
+      val extras = absorbers.map(s =>
+        s -> (BigInt(unused) * budgetBySource(s) / bAbs).toLong).toMap
+      val remainder = unused - extras.values.sum
+      val bumped = absorbers.take(remainder.toInt).toSet
+      budgetBySource.map { case (s, b) =>
+        s -> (b + extras.getOrElse(s, 0L) + (if (bumped(s)) 1L else 0L)) }
+    }
+  }
+
+  /** [[mixtureByTokenBudget]] with one shortfall-redistribution pass
+    * (see [[redistributedBudgets]] — report against THOSE budgets). */
+  def mixtureByTokenBudgetRedistributed(df: DataFrame, source: Column,
+                                        key: Column, tokens: Column,
+                                        budgetBySource: Map[String, Long],
+                                        shards: Int,
+                                        salt: String = "mix"): DataFrame =
+    mixtureByTokenBudget(df, source, key, tokens,
+      redistributedBudgets(df, source, key, tokens, budgetBySource, shards, salt),
+      shards, salt)
+
   /** Achieved-vs-target accounting for [[mixtureByTokenBudget]]'s
     * output: one row per TARGETED source (a zero-budget or exhausted
     * source still reports, with achieved 0) carrying achieved and

@@ -31,7 +31,16 @@ object Tables {
 
   /** Runtime confs every testdata read needs (idempotent; callers with
     * their own `spark.read.parquet` on driver testdata must apply this
-    * too — `Bench`'s split-file rewrite does). */
+    * too — `Bench`'s split-file rewrite does).
+    *
+    * SESSION-GLOBAL side effect, by design: `inferTimestampNTZ` is a
+    * runtime conf, so every read in the session — including ones that
+    * never touch testdata — loses NTZ inference after the first
+    * `table()` call. Under the project-wide UTC/LTZ convention that is
+    * the intended state everywhere; a co-resident workload that
+    * genuinely needs TIMESTAMP_NTZ inference must run in its own
+    * session (`SparkSession.newSession` shares the context but not
+    * runtime confs). */
   def configureReads(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
 

@@ -43,4 +43,38 @@ class EvolvingSchemaSpec extends SparkSpec {
       .orderBy("id").as[(Long, Int)].collect().toSeq
     assert(sub == Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40)))
   }
+
+  test("testdata events.ts reads as session-local timestamps whatever the generation's encoding") {
+    // The generator has produced two physical encodings across rounds
+    // (see TESTDATA.md): timestamp[ns] (rounds ≤ 9; nanosAsLong +
+    // div-conversion) and timestamp[us] without the UTC flag (round 10+;
+    // NTZ inference disabled). Tables.table must yield plain LTZ
+    // TimestampType either way — time-arithmetic functions usable, no
+    // cast on the scan — and, for the NTZ generation, values must be
+    // the naive datetimes reinterpreted under the UTC session (what the
+    // DuckDB oracle sees). Note: this pins PYARROW-written files (no
+    // Spark schema metadata in the footer — a Spark NTZ write carries
+    // its own schema and bypasses inference entirely).
+    val dir = "/root/testdata/sf0.001"
+    val back = Tables.table(spark, dir, "events")
+    assert(back.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"expected LTZ TimestampType, got ${back.schema("ts").dataType}")
+    assert(back.select(unix_micros(col("ts"))).limit(1).collect().nonEmpty)
+    // A FRESH session (default confs — NTZ inference on, no legacy
+    // nanos) sees the raw encoding; when that is TIMESTAMP_NTZ, its
+    // naive rendering must equal the UTC-session rendering of ours.
+    val fresh = spark.newSession()
+    val rawType = fresh.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    if (rawType == org.apache.spark.sql.types.TimestampNTZType) {
+      val naive = fresh.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .orderBy("event_id").limit(100).collect().map(r => (r.getLong(0), r.getString(1)))
+      val ltz = back
+        .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .orderBy("event_id").limit(100).collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(naive.toSeq == ltz.toSeq,
+        "NTZ naive datetimes must reinterpret value-identically under the UTC session")
+    } else info(s"raw encoding is $rawType (ns generation) — conversion path covered above")
+  }
 }

@@ -538,6 +538,56 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(rep.map(_._5).sum - 1.0) < 1e-5)
   }
 
+  test("mixture redistribution: dry-source budget flows pro-rata, totals conserve") {
+    // src2 runs dry (budget = its supply + 600); src0/src1 have deep
+    // supply at a 3:1 budget ratio — the unused 600 must flow to them
+    // in exactly that ratio, integer-exact, and the final mixture must
+    // deliver the full grand budget minus only the genuinely missing
+    // supply.
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+    val shards = 4
+    val supply2 = docs.filter(col("source") === "src2")
+      .agg(sum("n_tokens")).as[Long].head()
+    val budgets = Map("src0" -> 900L, "src1" -> 300L, "src2" -> (supply2 + 600L))
+    val base = Sampling.mixtureByTokenBudget(docs, col("source"),
+      col("doc_id"), col("n_tokens"), budgets, shards)
+    val achieved2 = base.filter(col("source") === "src2")
+      .agg(sum("n_tokens")).as[Long].head()
+    assert(achieved2 == supply2, "src2 must be genuinely exhausted")
+    // Per-source adjusted totals: 600 unused splits 900:300 → +450/+150;
+    // the dry source keeps its (name-only) budget; grand total conserved.
+    val adjusted = Sampling.redistributedBudgets(docs, col("source"),
+      col("doc_id"), col("n_tokens"), budgets, shards)
+    assert(adjusted == Map("src0" -> 1350L, "src1" -> 450L,
+      "src2" -> (supply2 + 600L)),
+      s"exact pro-rata split expected, got $adjusted")
+    assert(adjusted.values.sum == budgets.values.sum + 600L,
+      "grand total = original + unused, exactly")
+    // The redistributed selection is a SUPERSET of the base selection
+    // (budget monotonicity — redistribution only adds docs) and its
+    // achieved total covers the deliverable grand budget (what the knob
+    // is FOR: the requested token mass still arrives, re-sourced).
+    val sel = Sampling.mixtureByTokenBudgetRedistributed(docs, col("source"),
+      col("doc_id"), col("n_tokens"), budgets, shards)
+    val baseIds = base.select("doc_id").as[Long].collect().toSet
+    val selIds = sel.select("doc_id").as[Long].collect().toSet
+    assert(baseIds.subsetOf(selIds), "redistribution must only add docs")
+    val achievedTotal = sel.agg(sum("n_tokens")).as[Long].head()
+    assert(achievedTotal >= 900L + 300L + 600L + supply2,
+      s"redistributed mixture must deliver the deliverable grand budget, got $achievedTotal")
+    // Deterministic under repartition, like the base sampler.
+    val again = Sampling.mixtureByTokenBudgetRedistributed(docs.repartition(17),
+      col("source"), col("doc_id"), col("n_tokens"), budgets, shards)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == selIds, "pure function of content")
+    // Nothing unused → exact no-op.
+    val noShort = Map("src0" -> 100L, "src1" -> 100L)
+    assert(Sampling.redistributedBudgets(docs, col("source"), col("doc_id"),
+      col("n_tokens"), noShort, shards) == noShort)
+  }
+
   test("langId picks marker-dominant language, 'und' when no hits") {
     val out = Seq("the data of the value", "der und die das", "zzz qqq")
       .toDF("t").select(TextAnalysis.langId(col("t"))).as[String].collect().toSeq
@@ -1157,7 +1207,20 @@ class ExtSpec extends SparkSpec {
       "cherry.k12.ma.us" -> Some("cherry.k12.ma.us"),
       "www.cherry.k12.ma.us" -> Some("cherry.k12.ma.us"),
       "pvt.k12.ma.us" -> None,
-      "x.pvt.k12.ma.us" -> Some("x.pvt.k12.ma.us"))
+      "x.pvt.k12.ma.us" -> Some("x.pvt.k12.ma.us"),
+      // IDN rules match in BOTH forms (official punycoded vectors): the
+      // list publishes 公司.cn / 中国 as U-labels; the loader's A-label
+      // twins make punycoded hosts — the form real-world DNS carries —
+      // match identically (r10 ADVICE).
+      "xn--85x722f.xn--55qx5d.cn" -> Some("xn--85x722f.xn--55qx5d.cn"),
+      "www.xn--85x722f.xn--55qx5d.cn" -> Some("xn--85x722f.xn--55qx5d.cn"),
+      "shishi.xn--55qx5d.cn" -> Some("shishi.xn--55qx5d.cn"),
+      "xn--55qx5d.cn" -> None,
+      "xn--fiqs8s" -> None,
+      "xn--85x722f.xn--fiqs8s" -> Some("xn--85x722f.xn--fiqs8s"),
+      // …and the published U-label form keeps matching too.
+      "食狮.公司.cn" -> Some("食狮.公司.cn"),
+      "公司.cn" -> None)
     val got = Curation.withRegisteredDomain(
         cases.map(_._1).toDF("host"), col("host"), "d")
       .select("host", "d").as[(String, Option[String])].collect().toMap

@@ -301,16 +301,32 @@ class OpsSpec extends SparkSpec {
   }
 
   test("bench load guard: probe predicate, probe history, sf normalization") {
-    // Guard predicate: degraded iff > 2x the machine's quiet best.
+    // Guard predicate: degraded iff > 2x the machine's quiet baseline.
     assert(Bench.probeDegraded(1.1, Seq(0.5, 0.6)))      // 2.2x the 0.5 best
     assert(!Bench.probeDegraded(0.9, Seq(0.5, 0.6)))     // 1.8x — fine
     assert(!Bench.probeDegraded(9.9, Seq.empty),         // bootstrap run
       "no probe history must accept the run (first guarded run seeds it)")
     assert(!Bench.probeDegraded(9.9, Seq(-1.0)),
       "non-positive history entries are ignored")
-    // The quiet BEST is the baseline — one past loaded run in the
+    // The quiet baseline leans LOW — one past loaded run in the
     // history must not raise the bar (r9's poisoning shape).
     assert(Bench.probeDegraded(1.1, Seq(3.0, 0.5)))
+    // …but it is NOT the all-time min: one anomalously FAST line among
+    // normal probes must not permanently tighten the threshold (the
+    // lower-quartile rule shrugs it off at 4+ entries; under the old
+    // min rule every entry here reads degraded vs 2x0.01 forever).
+    assert(!Bench.probeDegraded(0.14, Seq(0.13, 0.01, 0.12, 0.14, 0.13)),
+      "an outlier-fast history line must not flag honest runs")
+    assert(Bench.probeBaseline(Seq(0.13, 0.01, 0.12, 0.14, 0.13)).get == 0.12,
+      "baseline = lower quartile of the window, not the outlier min")
+    // A genuine slowdown still flags against the healthy quartile.
+    assert(Bench.probeDegraded(0.30, Seq(0.13, 0.01, 0.12, 0.14, 0.13)))
+    // Recency window: ancient fast probes age out entirely.
+    val ancientFast = Seq(0.05) ++ Seq.fill(Bench.ProbeWindow)(0.2)
+    assert(!Bench.probeDegraded(0.35, ancientFast),
+      "probes beyond the window must not set the bar")
+    // ≤ 3 entries: quartile degenerates to the min (bootstrap shape).
+    assert(Bench.probeBaseline(Seq(0.6, 0.5)).get == 0.5)
     // Probe history parses only lines at the matching sf.
     val lines = Seq(
       """{"ts":"t0","sf":"/d/sf0.1","probe":0.5,"queries":{"q_a":1.0}}""",
