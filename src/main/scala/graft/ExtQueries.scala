@@ -1024,6 +1024,24 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    "q_mixture_redistributed" -> ((s, dir) => {
+      // Shortfall redistribution end-to-end against the engine oracle:
+      // src2's budget exceeds its supply at sf0.01, so its unused mass
+      // flows pro-rata (by target share, integer-exact, remainder to
+      // the first absorbers in name order) to the sources that still
+      // have unselected docs, and the final selection is the prefix
+      // rule under the ADJUSTED budgets. The oracle recomputes the
+      // whole chain — pass-1 selection, achieved/supply, the division
+      // arithmetic, pass-2 selection — from the parquet alone.
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      Sampling.mixtureByTokenBudgetRedistributed(docs, col("source"),
+          col("doc_id"), col("n_tokens"), MixtureBudgets.toMap,
+          shards = MixtureShards)
+        .orderBy("doc_id")
+    }),
+
     "q_semantic_dedup" -> ((s, dir) => {
       // Cross-modal near-dup removal: a document is evicted when its
       // EMBEDDING is a verified cosine near-duplicate of a lower-id
@@ -1134,6 +1152,22 @@ object ExtQueries {
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.searchIvfIndexPq(s, path, queries, k = 5, nProbe = IvfProbes)
+        .orderBy("q_id", "rank")
+    }),
+
+    "q_ann_ivf_pq_refined" -> ((s, dir) => {
+      // Two-stage IVF-PQ: ADC shortlist of AnnRefine×k per query from
+      // the 64×-compressed stored codes of the probed lists, then exact
+      // cosine over the shortlist alone against the float vectors of
+      // the same pruned partitions — the recall/bandwidth trade at PQ
+      // compression (q_ann_ivf_refined's shape with a 16× smaller
+      // stage-1 payload).
+      val e = read(s, dir, "embeddings")
+      val path = ivfIndexFor(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.searchIvfIndexPqRefined(s, path, queries, k = 5,
+          nProbe = IvfProbes, refine = AnnRefine)
         .orderBy("q_id", "rank")
     }),
 
@@ -1761,6 +1795,40 @@ object ExtQueries {
             CAST(row_number() OVER (PARTITION BY q_id
               ORDER BY score DESC, vec_id) AS INTEGER) AS rank
           FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank"""
+
+  /** DuckDB twin of `Similarity.searchIvfIndexPqRefined`: the IVF-PQ
+    * chain's ADC scores kept to an AnnRefine×k shortlist, then the
+    * q_ann_ivf exact-cosine contract over the shortlist alone — every
+    * fragment verified elsewhere, the composition the only new thing. */
+  private def ivfPqRefinedOracleSql: String =
+    s"""$IvfAssignSqlChain,
+          probes AS (SELECT q_id, list FROM (
+            SELECT q.vec_id AS q_id, cent.list,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5) WHERE rn <= $IvfProbes),
+          ev AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+          cb AS (SELECT vec_id AS j, v AS cv FROM ev WHERE vec_id < $PqK),
+          codes AS (SELECT vec_id,
+          $pqCodeCols
+          FROM ev),
+          qt AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 5),
+          short AS (SELECT q_id, vec_id FROM (
+            SELECT p.q_id, a.vec_id,
+              row_number() OVER (PARTITION BY p.q_id
+                ORDER BY round(${pqAdc("q.qv")}, 6) DESC, a.vec_id) AS srank
+            FROM probes p JOIN assign a USING (list)
+            JOIN codes c ON c.vec_id = a.vec_id
+            JOIN qt q ON q.q_id = p.q_id
+            $pqJoins) WHERE srank <= ${AnnRefine * 5})
+          SELECT s.q_id, s.vec_id, ${cosSql("q.embedding", "c.embedding")} AS cos,
+            CAST(row_number() OVER (PARTITION BY s.q_id
+              ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, s.vec_id) AS INTEGER) AS rank
+          FROM short s JOIN embeddings c ON s.vec_id = c.vec_id
+                       JOIN embeddings q ON s.q_id = q.vec_id
+          QUALIFY rank <= 5 ORDER BY q_id, rank"""
   private val SamplePerSource = 12
   private val WeightedSampleK = 120
   private val PackBudget = 2048L
@@ -1791,6 +1859,53 @@ object ExtQueries {
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
        FROM t),
        sel AS (SELECT doc_id, source, n_tokens FROM c WHERE before < shard_budget)"""
+  }
+
+  /** DuckDB twin of `Sampling.mixtureByTokenBudgetRedistributed` —
+    * extends `mixtureSelSql` with the full redistribution chain:
+    * achieved/supply per targeted source, unused = Σ(b − achieved)₊,
+    * absorbers = sources with supply left, extras = floor pro-rata by
+    * original budget with the remainder spread one token to the
+    * leading absorbers in name order (EXACTLY `redistributedBudgets`'
+    * integer arithmetic), then the pass-2 prefix selection under the
+    * adjusted budgets. */
+  private def mixtureRedistSql: String = {
+    val keysIn = MixtureBudgets.map { case (s, _) => s"'$s'" }.mkString(", ")
+    s"""$mixtureSelSql,
+       tgt AS (SELECT * FROM (VALUES ${
+      MixtureBudgets.map { case (s, b) =>
+        s"('$s', CAST($b AS BIGINT))" }.mkString(", ")
+    }) AS v(source, b)),
+       ach AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS a
+         FROM sel GROUP BY 1),
+       sup AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS s
+         FROM t WHERE source IN ($keysIn) GROUP BY 1),
+       st AS (SELECT tgt.source, tgt.b,
+           COALESCE(ach.a, 0) AS a, COALESCE(sup.s, 0) AS s
+         FROM tgt LEFT JOIN ach USING (source) LEFT JOIN sup USING (source)),
+       un AS (SELECT CAST(SUM(GREATEST(0, b - a)) AS BIGINT) AS unused FROM st),
+       absb AS (SELECT source, b,
+           row_number() OVER (ORDER BY source) AS rk,
+           SUM(b) OVER () AS babs
+         FROM st WHERE s > a),
+       ext AS (SELECT source, rk,
+           CAST((SELECT unused FROM un) * b // babs AS BIGINT) AS extra
+         FROM absb),
+       rem AS (SELECT (SELECT unused FROM un)
+           - CAST(COALESCE(SUM(extra), 0) AS BIGINT) AS r FROM ext),
+       adj AS (SELECT st.source,
+           st.b + COALESCE(ext.extra, 0)
+                + CASE WHEN ext.rk <= (SELECT r FROM rem) THEN 1 ELSE 0 END AS b2
+         FROM st LEFT JOIN ext USING (source)),
+       t2 AS (SELECT t.doc_id, t.source, t.n_tokens, t.shard, t.h,
+           COALESCE(adj.b2, 0) AS budget2
+         FROM t LEFT JOIN adj ON t.source = adj.source),
+       c2 AS (SELECT *, budget2 // $MixtureShards +
+           CASE WHEN shard < budget2 % $MixtureShards THEN 1 ELSE 0 END AS shard_budget2,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before2
+       FROM t2),
+       sel2 AS (SELECT doc_id, source, n_tokens FROM c2 WHERE before2 < shard_budget2)"""
   }
   private val WideBands = 2
   private val WideSliceBits = 12
@@ -3079,6 +3194,10 @@ object ExtQueries {
       s"""WITH $mixtureSelSql
           SELECT doc_id, source, n_tokens FROM sel ORDER BY doc_id""",
 
+    "q_mixture_redistributed" ->
+      s"""WITH $mixtureRedistSql
+          SELECT doc_id, source, n_tokens FROM sel2 ORDER BY doc_id""",
+
     "q_mixture_report" ->
       s"""WITH $mixtureSelSql,
           tgt AS (SELECT * FROM (VALUES ${
@@ -3112,6 +3231,8 @@ object ExtQueries {
     "q_ann_pq" -> pqOracleSql,
 
     "q_ann_ivf_pq" -> ivfPqOracleSql,
+
+    "q_ann_ivf_pq_refined" -> ivfPqRefinedOracleSql,
 
     // Quantize both sides with the q_quantize_int8 arithmetic, score by
     // scale_q*scale_c*dot(codes) — list_dot_product over int codes is

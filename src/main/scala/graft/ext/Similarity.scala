@@ -377,6 +377,47 @@ object Similarity {
     adcRank(codes.join(broadcast(probes), Seq("list")), books.size, k, qId, cId)
   }
 
+  /** Two-stage IVF-PQ search — ADC shortlist, exact re-rank: stage 1 is
+    * [[searchIvfIndexPq]]'s probe-then-ADC scan of the stored `__pq`
+    * codes kept to the top `refine × k` per query; stage 2 re-scores
+    * ONLY those candidates at full precision against the float vectors
+    * of the same probed partitions (rounded cosine, `scoreAndRank`'s
+    * contract) and keeps the final top-k — [[searchIvfIndexRefined]]'s
+    * recall/bandwidth trade with the 64×-compressed (not 4×) payload
+    * driving stage 1. The two scans prune to disjoint column sets of
+    * the same pruned partitions; the corpus never shuffles; the
+    * candidate set is queries × refine × k rows, driver-bounded, so
+    * the stage-2 join broadcasts. With `refine × k` ≥ the probed
+    * candidate count this equals [[searchIvfIndex]] exactly (same
+    * probes, exact scoring of every candidate) — the property ExtSpec
+    * pins. */
+  def searchIvfIndexPqRefined(spark: org.apache.spark.sql.SparkSession,
+                              path: String, queries: DataFrame, k: Int,
+                              nProbe: Int, refine: Int, qId: String = "q_id",
+                              cId: String = "vec_id", qVec: String = "q_vec",
+                              cVec: String = "embedding"): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1, got $refine")
+    val cents = readIvfCentroids(spark, path)
+    val books = readPqBooks(spark, path)
+    val probes = probesFor(queries, cents, nProbe, qId, qVec)
+      .select(Seq(col(qId), col("list")) ++ adcTableCols(col(qVec), books): _*)
+    val codes = spark.read.parquet(s"$path/lists")
+      .select(col("list"), col(cId), col("__pq").as("codes"))
+    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
+    val shortlist = codes.join(broadcast(probes), Seq("list"))
+      .withColumn("score", adcScoreCol(books.size))
+      .withColumn("__srank", row_number().over(w))
+      .filter(col("__srank") <= refine * k)
+      .select(col(qId), col("list"), col(cId))
+    val q = queries.withColumn("__qn", vec_norm(col(qVec)))
+      .select(col(qId), col(qVec), col("__qn"))
+    val vecs = spark.read.parquet(s"$path/lists")
+      .select(col("list"), col(cId), col(cVec), col("__cn"))
+    scoreAndRank(
+      vecs.join(broadcast(shortlist.join(q, Seq(qId))), Seq("list", cId)),
+      k, qId, cId, qVec, cVec)
+  }
+
   /** Read back the index's centroid metadata (nLists × dim doubles). */
   def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
                        path: String): Seq[(Long, Seq[Double])] =
@@ -720,17 +761,20 @@ object Similarity {
     }
   }
 
+  /** The ADC score off the `__t*` lookup tables and the `codes` column:
+    * the m table lookups summed left-to-right, rounded 6dp. */
+  private def adcScoreCol(m: Int): Column =
+    round((0 until m).map(mi =>
+      element_at(col(s"__t$mi"), element_at(col("codes"), mi + 1) + 1))
+      .reduceLeft(_ + _), 6)
+
   /** The ADC ranking tail: pairs must carry `codes` plus the `__t*`
-    * lookup tables. Score = the m table lookups summed left-to-right,
-    * rounded 6dp; rank per query, ties on the corpus id — the same
+    * lookup tables. Rank per query, ties on the corpus id — the same
     * contract as every other ANN path. */
   private def adcRank(pairs: DataFrame, m: Int, k: Int,
                       qId: String, cId: String): DataFrame = {
-    val score = round((0 until m).map(mi =>
-      element_at(col(s"__t$mi"), element_at(col("codes"), mi + 1) + 1))
-      .reduceLeft(_ + _), 6)
     val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
-    pairs.withColumn("score", score)
+    pairs.withColumn("score", adcScoreCol(m))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), col("score"), col("rank"))

@@ -417,6 +417,23 @@ class ExtSpec extends SparkSpec {
       val recall = (full intersect pruned).size.toDouble / full.size
       info(s"IVF-PQ recall vs full-precision IVF at nProbe=2 = $recall")
       assert(recall >= 0.4, s"IVF-PQ recall $recall collapsed vs full-precision IVF")
+      // Two-stage refined: a shortlist covering every probed candidate
+      // makes the exact re-rank THE full-precision search; a tight 2×
+      // shortlist must recover at least pure-ADC recall.
+      val fullRows = Similarity.searchIvfIndex(spark, path, q, k = 3, nProbe = 2)
+        .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+      val refinedAll = Similarity.searchIvfIndexPqRefined(spark, path, q, k = 3,
+          nProbe = 2, refine = 1000)
+        .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+      assert(refinedAll == fullRows,
+        "refine covering all probed candidates must equal full-precision search")
+      val refined = Similarity.searchIvfIndexPqRefined(spark, path, q, k = 3,
+          nProbe = 2, refine = 2)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      val refRecall = (full intersect refined).size.toDouble / full.size
+      info(s"refined IVF-PQ recall vs full-precision IVF = $refRecall")
+      assert(refRecall >= recall,
+        s"2x exact re-rank recall $refRecall fell below pure ADC $recall")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
