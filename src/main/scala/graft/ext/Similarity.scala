@@ -372,7 +372,7 @@ object Similarity {
     val books = readPqBooks(spark, path)
     val probes = probesFor(queries, cents, nProbe, qId, qVec)
       .select(Seq(col(qId), col("list")) ++ adcTableCols(col(qVec), books): _*)
-    val codes = spark.read.parquet(s"$path/lists")
+    val codes = readProbedLists(spark, path, probes)
       .select(col("list"), col(cId), col("__pq").as("codes"))
     adcRank(codes.join(broadcast(probes), Seq("list")), books.size, k, qId, cId)
   }
@@ -401,7 +401,10 @@ object Similarity {
     val books = readPqBooks(spark, path)
     val probes = probesFor(queries, cents, nProbe, qId, qVec)
       .select(Seq(col(qId), col("list")) ++ adcTableCols(col(qVec), books): _*)
-    val codes = spark.read.parquet(s"$path/lists")
+    // One pruned read shared by both stages (one probe-id collect);
+    // each branch's select prunes to its own disjoint column set.
+    val pruned = readProbedLists(spark, path, probes)
+    val codes = pruned
       .select(col("list"), col(cId), col("__pq").as("codes"))
     val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
     val shortlist = codes.join(broadcast(probes), Seq("list"))
@@ -411,7 +414,7 @@ object Similarity {
       .select(col(qId), col("list"), col(cId))
     val q = queries.withColumn("__qn", vec_norm(col(qVec)))
       .select(col(qId), col(qVec), col("__qn"))
-    val vecs = spark.read.parquet(s"$path/lists")
+    val vecs = pruned
       .select(col("list"), col(cId), col(cVec), col("__cn"))
     scoreAndRank(
       vecs.join(broadcast(shortlist.join(q, Seq(qId))), Seq("list", cId)),
@@ -427,19 +430,43 @@ object Similarity {
         r.getSeq[Double](r.fieldIndex("c_vec"))))
       .sortBy(_._1).toSeq
 
+  /** Distinct probed list ids, collected to the driver — bounded by
+    * nLists however large the query set (and the query set is the
+    * BROADCAST side by contract throughout this module). Collecting
+    * them is what buys STATIC partition pruning on the persisted
+    * `lists/` scan: the broadcast join alone leaves pruning to runtime
+    * DPP, which Spark plans as `dynamicpruningexpression(true)` — i.e.
+    * no pruning, every partition read and filtered after the scan —
+    * for this join shape (measured; PlanShapeSpec pins the static
+    * filter instead). Cost: one tiny extra job per search over the
+    * (small) query side. */
+  private def probedListIds(probes: DataFrame): Seq[Long] =
+    probes.select(col("list").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  /** The persisted `lists/` table restricted to the probed partitions —
+    * a literal IN filter on the partition column, so the file index
+    * lists only nProbe-ish directories at planning time (the pruning
+    * every persisted search shape relies on at 100 TB). */
+  private def readProbedLists(spark: org.apache.spark.sql.SparkSession,
+                              path: String, probes: DataFrame): DataFrame =
+    spark.read.parquet(s"$path/lists")
+      .filter(col("list").isin(probedListIds(probes): _*))
+
   /** Search a persisted IVF index: probe selection runs against the tiny
-    * centroid metadata; the probed lists arrive as a BROADCAST join
-    * against the partitioned `lists/` table, so only the probed
-    * partitions' files are read (partition pruning on the partition
-    * column + dynamic pruning under AQE) and the corpus never shuffles.
-    * Same ranking contract as every other ANN path (scoreAndRank). */
+    * centroid metadata; the `lists/` scan statically prunes to the
+    * probed partitions ([[readProbedLists]]); the probes arrive as a
+    * BROADCAST join, so the corpus never shuffles. Same ranking
+    * contract as every other ANN path (scoreAndRank). */
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, k: Int, nProbe: Int,
                      qId: String = "q_id", cId: String = "vec_id",
                      qVec: String = "q_vec", cVec: String = "embedding"): DataFrame = {
     val cents = readIvfCentroids(spark, path)
-    val assigned = spark.read.parquet(s"$path/lists")
-    searchAssigned(assigned, queries, cents, k, nProbe, qId, cId, qVec, cVec)
+    val probes = probesFor(queries, cents, nProbe, qId, qVec)
+    scoreAndRank(
+      readProbedLists(spark, path, probes).join(broadcast(probes), Seq("list")),
+      k, qId, cId, qVec, cVec)
   }
 
   /** Quantized search of a persisted IVF index — the production ANN shape
@@ -463,7 +490,7 @@ object Similarity {
     val probes = withQuantCols(
         probesFor(queries, cents, nProbe, qId, qVec), col(qVec), "__qs", "__qc")
       .select(col(qId), col("list"), col("__qs"), col("__qc"))
-    val lists = spark.read.parquet(s"$path/lists")
+    val lists = readProbedLists(spark, path, probes)
       .select(col("list"), col(cId), col("__scale").as("__cs"),
         transform(col("__codes"), _.cast("double")).as("__cc"))
     mipsRank(lists.join(broadcast(probes), Seq("list")), k, qId, cId)
@@ -497,7 +524,10 @@ object Similarity {
     val probes = withQuantCols(
         probesFor(queries, cents, nProbe, qId, qVec), col(qVec), "__qs", "__qc")
       .select(col(qId), col("list"), col("__qs"), col("__qc"))
-    val codes = spark.read.parquet(s"$path/lists")
+    // One pruned read shared by both stages (one probe-id collect);
+    // each branch's select prunes to its own disjoint column set.
+    val pruned = readProbedLists(spark, path, probes)
+    val codes = pruned
       .select(col("list"), col(cId), col("__scale").as("__cs"),
         transform(col("__codes"), _.cast("double")).as("__cc"))
     val shortlist = mipsScored(codes.join(broadcast(probes), Seq("list")))
@@ -506,7 +536,7 @@ object Similarity {
       .select(col(qId), col("list"), col(cId))
     val q = queries.withColumn("__qn", vec_norm(col(qVec)))
       .select(col(qId), col(qVec), col("__qn"))
-    val vecs = spark.read.parquet(s"$path/lists")
+    val vecs = pruned
       .select(col("list"), col(cId), col(cVec), col("__cn"))
     scoreAndRank(
       vecs.join(broadcast(shortlist.join(q, Seq(qId))), Seq("list", cId)),

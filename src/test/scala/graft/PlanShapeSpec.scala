@@ -199,6 +199,24 @@ class PlanShapeSpec extends SparkSpec {
       s"per-side distincts would add fp shuffles — the groupBy's partial max is the dedup:\n$plan")
   }
 
+  test("q_ann_ivf_pq: lists scan statically prunes to probed partitions, code column only") {
+    // The persisted IVF searches collect the (driver-bounded) probed
+    // list ids and filter the partitioned scan with a literal IN —
+    // runtime DPP plans as dynamicpruningexpression(true), i.e. NO
+    // pruning, for this broadcast shape, so the static filter is the
+    // only thing keeping a 100 TB index scan to nProbe/nLists.
+    val plan = executedPlan("q_ann_ivf_pq")
+    val scan = plan.split("\n")
+      .find(l => l.contains("FileScan parquet") && l.contains("__pq"))
+      .getOrElse(fail(s"no lists scan found:\n$plan"))
+    assert(scan.contains(" IN (") && scan.contains("PartitionFilters"),
+      s"expected a static partition IN filter on the lists scan:\n$scan")
+    assert(!scan.contains("__codes") && !scan.contains("embedding"),
+      s"ADC search must read ONLY the PQ code column of the index:\n$scan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probes must broadcast — the corpus never shuffles:\n$plan")
+  }
+
   test("q_dedup_incremental reads the batch through its checkpoint (survivors materialized once)") {
     // The exact-pass survivors are an eager localCheckpoint (r7 hygiene
     // change); the fresh-consuming branches read its RDD blocks while
