@@ -1388,6 +1388,21 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_pack_examples" -> ((s, dir) => {
+      // The packing last mile: packs materialized as concatenated
+      // training examples (EOS-joined member texts in the exact pack
+      // order) with per-pack doc/token accounting — what a dataloader
+      // consumes. One (shard, pack) agg on top of the map-only
+      // assignment; the oracle replays the prefix rule and re-joins
+      // with string_agg under the same order.
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      Sampling.packToExamples(docs, col("doc_id"), col("n_tokens"), "text",
+          budget = PackBudget, shards = PackShards, sep = PackSep)
+        .orderBy("shard", "pack_id")
+    }),
+
     "q_sample_per_group" -> ((s, dir) => {
       // Fixed-count domain cap: at most 12 docs per source, winners
       // chosen by stable key hash (reproducible on any partitioning).
@@ -1833,6 +1848,9 @@ object ExtQueries {
   private val WeightedSampleK = 120
   private val PackBudget = 2048L
   private val PackShards = 4
+  /** EOS-style separator for the packed-example materialization —
+    * ASCII, SQL-literal-safe, shared by both engines. */
+  private val PackSep = "<|endoftext|>"
   /** Mixture targets (tokens): src2's budget exceeds its sf0.01 supply,
     * so the report shows a genuine shortfall; unlisted sources are
     * excluded. Shared verbatim by the Spark query and the oracle SQL. */
@@ -3605,6 +3623,24 @@ object ExtQueries {
           SELECT doc_id, n_tokens, shard,
             CAST(before // $PackBudget AS BIGINT) AS pack_id
           FROM c ORDER BY doc_id""",
+
+    // Same prefix-rule chain as q_pack_budget; string_agg under the
+    // identical (h, doc_id) order materializes the packs as examples.
+    "q_pack_examples" ->
+      s"""WITH t AS (SELECT doc_id, text,
+            CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8)) AS BIGINT)
+              % $PackShards AS shard,
+            md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+          c AS (SELECT doc_id, text, n_tokens, shard, h,
+            COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+          FROM t)
+          SELECT shard, CAST(before // $PackBudget AS BIGINT) AS pack_id,
+            string_agg(text, '$PackSep' ORDER BY h, doc_id) AS text,
+            COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+          FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""",
 
     "q_sample_per_group" ->
       s"""SELECT doc_id, source, n_chars FROM (

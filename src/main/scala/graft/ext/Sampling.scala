@@ -311,6 +311,35 @@ object Sampling {
       .drop("__atot", "__ttot")
   }
 
+  /** The packing last mile: materialize [[packByBudget]]'s (shard,
+    * pack) assignment as CONCATENATED training examples — one row per
+    * pack carrying the member texts joined by `sep` (an EOS-style
+    * separator) in the SAME (md5(key), key) order the prefix rule
+    * packed them, plus the pack's doc and token counts. What a
+    * pretraining dataloader actually consumes: fixed-budget examples,
+    * reproducible bit-for-bit on any partitioning.
+    *
+    * Plan: packByBudget's map-only assignment + ONE (shard, pack) agg
+    * — the shuffle carries each text once, groups are bounded by the
+    * token budget (plus the straddle doc), and the in-group order is
+    * re-derived inside the agg (array_sort over (hash, key, text)
+    * structs — the dedupParagraphs reassembly idiom), so no second
+    * window or sort stage. A doc longer than the whole budget still
+    * becomes its own (oversized) example — truncation is the
+    * tokenizer's call downstream, not silent data loss here. */
+  def packToExamples(df: DataFrame, key: Column, tokens: Column,
+                     textCol: String, budget: Long, shards: Int,
+                     sep: String): DataFrame =
+    packByBudget(df, key, tokens, budget, shards)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(
+            md5(key.cast("string")).as("h"), key.as("k"),
+            col(textCol).as("x")))),
+          s => s.getField("x")), sep).as(textCol),
+        count(lit(1)).as("n_docs"),
+        sum(tokens).cast("long").as("n_tokens"))
+
   def packByBudget(df: DataFrame, key: Column, tokens: Column,
                    budget: Long, shards: Int): DataFrame = {
     require(budget >= 1, "token budget must be >= 1")
