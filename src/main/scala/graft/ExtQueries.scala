@@ -1388,6 +1388,18 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_upsample_epochs" -> ((s, dir) => {
+      // Fractional-epoch upsampling: src0 at 2.30x (2 copies + a ~30%
+      // hash-selected third), src1 at 0.50x (half the docs, hash-
+      // selected), src2 dropped, everything else at 1x — the mixing
+      // knob that repeats curated sources. Map-only explode; the
+      // oracle replays the bucket arithmetic with generate_series.
+      Sampling.upsampleByEpochs(read(s, dir, "documents")
+          .select("doc_id", "source", "n_chars"),
+          col("source"), col("doc_id"), UpsampleEpochsBp.toMap)
+        .orderBy("doc_id", "copy")
+    }),
+
     "q_pack_examples" -> ((s, dir) => {
       // The packing last mile: packs materialized as concatenated
       // training examples (EOS-joined member texts in the exact pack
@@ -1851,6 +1863,9 @@ object ExtQueries {
   /** EOS-style separator for the packed-example materialization —
     * ASCII, SQL-literal-safe, shared by both engines. */
   private val PackSep = "<|endoftext|>"
+  /** Upsampling epochs in hundredths: 2.30×, 0.50×, dropped. */
+  private val UpsampleEpochsBp: Seq[(String, Int)] =
+    Seq("src0" -> 230, "src1" -> 50, "src2" -> 0)
   /** Mixture targets (tokens): src2's budget exceeds its sf0.01 supply,
     * so the report shows a genuine shortfall; unlisted sources are
     * excluded. Shared verbatim by the Spark query and the oracle SQL. */
@@ -3623,6 +3638,24 @@ object ExtQueries {
           SELECT doc_id, n_tokens, shard,
             CAST(before // $PackBudget AS BIGINT) AS pack_id
           FROM c ORDER BY doc_id""",
+
+    // The epoch bucket arithmetic replayed: floor copies + one extra
+    // under the bp%100 hash gate, materialized with generate_series.
+    "q_upsample_epochs" -> {
+      val cases = UpsampleEpochsBp
+        .map { case (s, e) => s"WHEN '$s' THEN $e" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, source, n_chars,
+            CASE source $cases ELSE 100 END AS bp,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'epoch'), 1, 8))
+              AS BIGINT) % 100 AS b
+          FROM documents),
+          n AS (SELECT *, bp // 100 +
+            CASE WHEN b < bp % 100 THEN 1 ELSE 0 END AS copies FROM t)
+          SELECT doc_id, source, n_chars,
+            CAST(unnest(generate_series(1, copies)) - 1 AS BIGINT) AS copy
+          FROM n WHERE copies >= 1
+          ORDER BY doc_id, copy"""
+    },
 
     // Same prefix-rule chain as q_pack_budget; string_agg under the
     // identical (h, doc_id) order materializes the packs as examples.

@@ -210,6 +210,43 @@ object Sampling {
       .drop("__msrc", "__mshard", "__mbudget", "__mshardBudget", "__mbefore")
   }
 
+  /** Fractional-epoch upsampling — the OTHER half of data mixing:
+    * where [[mixtureByTokenBudget]] selects DOWN to a token budget,
+    * this repeats a curated source UP ("2.3 epochs of wiki per web
+    * epoch"). Epochs are given in integer HUNDREDTHS (230 = 2.30×) so
+    * the arithmetic is exact — a Double epochs knob would make copy
+    * counts depend on float rounding. Every row gets
+    * `floor(bp/100)` full copies plus one extra when its 100-bucket
+    * key hash (salt "epoch") lands under `bp % 100` — so a 2.30×
+    * source emits 2 copies of ~70% of its docs and 3 of the ~30%
+    * hash-selected slice, the SAME slice on any cluster, any
+    * partitioning, any rerun. Sources absent from the map keep one
+    * copy (epochs 100); 0 drops the source. Output rows carry `copy`
+    * (0-based) so downstream shuffling/packing can keep copies apart.
+    *
+    * Map-only: copies materialize as an explode of a per-row sequence
+    * — no shuffle, no join; at 100 TB the op is pure output-volume
+    * (Σ epochs × source bytes), which is exactly what upsampling
+    * means. */
+  def upsampleByEpochs(df: DataFrame, source: Column, key: Column,
+                       epochsBpBySource: Map[String, Int]): DataFrame = {
+    require(epochsBpBySource.values.forall(_ >= 0), "epochs must be >= 0")
+    val bp = epochsBpBySource.foldLeft(lit(100)) { case (acc, (s, e)) =>
+      when(source === s, e).otherwise(acc)
+    }
+    // sequence(a, b) runs DESCENDING when b < a — guard zero-copy rows
+    // out before building the per-row copy list.
+    df.withColumn("__bp", bp)
+      .withColumn("__copies",
+        expr("__bp div 100") +
+          when(hashBucket(key, 100, salt = "epoch") < col("__bp") % 100, 1)
+            .otherwise(0))
+      .filter(col("__copies") >= 1)
+      .withColumn("__cp", explode(sequence(lit(1), col("__copies"))))
+      .withColumn("copy", col("__cp") - 1)
+      .drop("__bp", "__copies", "__cp")
+  }
+
   /** Budgets after ONE shortfall-redistribution pass: any budget a
     * source cannot fill (its whole supply selects and still falls
     * short) is handed pro-rata — by ORIGINAL budget share — to the

@@ -555,6 +555,37 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(rep.map(_._5).sum - 1.0) < 1e-5)
   }
 
+  test("upsampleByEpochs: exact copy multiplicities, hash-gated fraction, dropped source") {
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "source")
+    val epochs = Map("src0" -> 230, "src1" -> 50, "src2" -> 0)
+    val up = Sampling.upsampleByEpochs(docs, col("source"), col("doc_id"), epochs)
+    val perDoc = up.groupBy("doc_id", "source").agg(
+        count(lit(1)).as("n"), max("copy").as("mx"), min("copy").as("mn"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    // Copies are 0..n-1 with no gaps (count == max+1, min == 0).
+    perDoc.foreach { case (id, _, n, mx, mn) =>
+      assert(mn == 0L && mx == n - 1, s"doc $id: copies not dense 0..${n - 1}") }
+    // src0 docs get 2 or 3 copies; the 3-copy share is the hash gate's
+    // ~30% (exact per construction, pinned loosely against skew).
+    val src0 = perDoc.filter(_._2 == "src0").map(_._3)
+    assert(src0.nonEmpty && src0.forall(n => n == 2L || n == 3L))
+    val share3 = src0.count(_ == 3L).toDouble / src0.size
+    assert(share3 > 0.1 && share3 < 0.5, s"3-copy share $share3 far off 30%")
+    // src1 at 0.5x keeps a strict hash-selected subset, one copy each.
+    val src1All = docs.filter(col("source") === "src1").count()
+    val src1 = perDoc.filter(_._2 == "src1")
+    assert(src1.forall(_._3 == 1L) && src1.length < src1All && src1.nonEmpty)
+    // src2 dropped entirely; unlisted sources exactly 1x.
+    assert(!perDoc.exists(_._2 == "src2"))
+    assert(perDoc.filter(_._2 == "src5").forall(_._3 == 1L))
+    // Pure function of content: same rows under any partitioning.
+    val again = Sampling.upsampleByEpochs(docs.repartition(13), col("source"),
+        col("doc_id"), epochs)
+      .select("doc_id", "copy").as[(Long, Long)].collect().toSet
+    assert(again == up.select("doc_id", "copy").as[(Long, Long)].collect().toSet)
+  }
+
   test("mixture redistribution: dry-source budget flows pro-rata, totals conserve") {
     // src2 runs dry (budget = its supply + 600); src0/src1 have deep
     // supply at a 3:1 budget ratio — the unused 600 must flow to them
