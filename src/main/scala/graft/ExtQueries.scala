@@ -1388,6 +1388,18 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_chunk_sliding" -> ((s, dir) => {
+      // Overlapping context windows: 32-token chunks every 24 tokens —
+      // 25% overlap carried across boundaries, the LM training-window
+      // shape (demo-scale constants: testdata docs average ~58 ws
+      // tokens; real corpora run 1024/768+). stride == size
+      // degenerates to q_chunk_budget's disjoint split. Map-only
+      // posexplode, zero shuffles.
+      TextAnalysis.chunkSliding(read(s, dir, "documents"), "doc_id", "text",
+          size = SlideSize, stride = SlideStride)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q_upsample_epochs" -> ((s, dir) => {
       // Fractional-epoch upsampling: src0 at 2.30x (2 copies + a ~30%
       // hash-selected third), src1 at 0.50x (half the docs, hash-
@@ -1866,6 +1878,9 @@ object ExtQueries {
   /** Upsampling epochs in hundredths: 2.30×, 0.50×, dropped. */
   private val UpsampleEpochsBp: Seq[(String, Int)] =
     Seq("src0" -> 230, "src1" -> 50, "src2" -> 0)
+  /** Sliding chunking: 128-token windows advancing 96 (25% overlap). */
+  private val SlideSize = 32
+  private val SlideStride = 24
   /** Mixture targets (tokens): src2's budget exceeds its sf0.01 supply,
     * so the report shows a genuine shortfall; unlisted sources are
     * excluded. Shared verbatim by the Spark query and the oracle SQL. */
@@ -2409,6 +2424,26 @@ object ExtQueries {
           c AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
               array_to_string(
                 ws[chunk_idx*$ChunkBudget+1 : chunk_idx*$ChunkBudget+$ChunkBudget],
+                ' ') AS text
+            FROM ch)
+          SELECT doc_id, chunk_idx, text,
+            CAST(len(str_split(text, ' ')) AS INTEGER) AS n_tokens
+          FROM c ORDER BY doc_id, chunk_idx""",
+
+    // Same slicing chain as q_chunk_budget with stride-spaced starts;
+    // a doc of <= size tokens is one chunk, the last chunk may run
+    // short, starts past n never generate.
+    "q_chunk_sliding" ->
+      s"""WITH w AS (SELECT doc_id, str_split(text, ' ') AS ws FROM documents),
+          ch AS (SELECT doc_id, ws,
+              unnest(generate_series(0,
+                CASE WHEN len(ws) <= $SlideSize THEN 0
+                     ELSE CAST(ceil((len(ws) - $SlideSize) / ${SlideStride}.0) AS INT)
+                END)) AS chunk_idx
+            FROM w),
+          c AS (SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+              array_to_string(
+                ws[chunk_idx*$SlideStride+1 : chunk_idx*$SlideStride+$SlideSize],
                 ' ') AS text
             FROM ch)
           SELECT doc_id, chunk_idx, text,

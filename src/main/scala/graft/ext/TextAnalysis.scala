@@ -358,6 +358,36 @@ object TextAnalysis {
       .withColumn("n_tokens", size(tokens(col(textCol))))
   }
 
+  /** SLIDING-window chunking — the LM context-window shape: chunks of
+    * up to `size` whitespace tokens starting every `stride` tokens, so
+    * consecutive chunks OVERLAP by `size − stride` (the overlap that
+    * keeps context across chunk boundaries at training time;
+    * `stride == size` degenerates to [[chunkByBudget]]'s disjoint
+    * split). Chunk starts are 0, stride, 2·stride, …; the last start is
+    * the first multiple of stride at-or-past `n − size`, so coverage is
+    * complete (stride ≤ size guarantees no gap) and only the final
+    * chunk may run short. A doc of ≤ `size` tokens is one chunk.
+    * Same map-only posexplode shape as [[chunkByBudget]] — zero
+    * shuffles, embarrassingly parallel. */
+  def chunkSliding(df: DataFrame, docKey: String, textCol: String,
+                   size: Int, stride: Int): DataFrame = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(stride >= 1 && stride <= size,
+      s"stride must be in [1, size]: stride $stride, size $size")
+    val ws = tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(ws)
+    // Per-doc counts are tiny — double division is exact here, the
+    // chunkByBudget convention (prefix sums over corpus-scale values
+    // are where `div` is load-bearing).
+    val nChunks = when(n <= size, lit(1))
+      .otherwise(ceil((n - size) / lit(stride.toDouble)).cast("int") + 1)
+    df.select(col(docKey),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(ws, i * stride + 1, lit(size)), " ")))
+          .as(Seq("chunk_idx", textCol)))
+      .withColumn("n_tokens", org.apache.spark.sql.functions.size(tokens(col(textCol))))
+  }
+
   /** Out-of-vocabulary ratio per document: the fraction of a doc's word
     * OCCURRENCES outside the corpus's top-`k` vocabulary — a
     * corpus-statistics quality signal (high OOV = noise, code, or a

@@ -555,6 +555,37 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(rep.map(_._5).sum - 1.0) < 1e-5)
   }
 
+  test("chunkSliding: complete coverage, exact overlap, degenerates to disjoint split") {
+    val doc = Seq((1L, (0 until 25).map(i => s"w$i").mkString(" ")),
+      (2L, "short doc"), (3L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkSliding(doc, "doc_id", "text", size = 10, stride = 6)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, String, Int)].collect().toSeq
+    // 25 tokens, size 10, stride 6 → starts 0, 6, 12, 18 (ceil(15/6)=3, +1).
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._2) == Seq(0, 1, 2, 3))
+    assert(d1.map(_._3.split(" ").head) == Seq("w0", "w6", "w12", "w18"),
+      "chunk starts advance by stride")
+    assert(d1.map(_._4) == Seq(10, 10, 10, 7), "last chunk runs short, others full")
+    // Overlap: chunk i's last (size - stride) tokens == chunk i+1's first.
+    d1.sliding(2).foreach { case Seq((_, _, a, _), (_, _, b, _)) =>
+      assert(a.split(" ").takeRight(4).toSeq == b.split(" ").take(4).toSeq,
+        "4-token overlap must carry verbatim")
+    case _ => () }
+    // Every token of the doc appears in some chunk (coverage).
+    assert(d1.flatMap(_._3.split(" ")).toSet == (0 until 25).map(i => s"w$i").toSet)
+    // Short and empty docs are single chunks.
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0, "short doc", 2)))
+    assert(out.filter(_._1 == 3L) == Seq((3L, 0, "", 1)))
+    // stride == size is exactly the disjoint split.
+    val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val slid = TextAnalysis.chunkSliding(docs, "doc_id", "text", 48, 48)
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    val budget = TextAnalysis.chunkByBudget(docs, "doc_id", "text", 48)
+      .orderBy("doc_id", "chunk_idx").collect().toSeq
+    assert(slid == budget, "stride == size must equal chunkByBudget")
+  }
+
   test("upsampleByEpochs: exact copy multiplicities, hash-gated fraction, dropped source") {
     val docs = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "documents")
       .select("doc_id", "source")
