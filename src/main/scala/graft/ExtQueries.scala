@@ -835,6 +835,21 @@ object ExtQueries {
         .orderBy("shard")
     }),
 
+    "q_export_parquet_sized" -> ((s, dir) => {
+      // Parquet delivery of the SAME size-targeted shards: shard rule
+      // shared verbatim with q_export_jsonl_sized (sizedShards), zstd
+      // parquet part files, manifest from the sink read-back — and the
+      // oracle is TEXT-IDENTICAL to q_export_jsonl_sized's, which is
+      // the format-independence claim stated as a testable fact.
+      val path = s"$RunScratch/graft_export_pq_sized_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Export.writeShardedCorpusSized(s,
+          read(s, dir, "documents").select("doc_id", "text", "n_chars"),
+          col("doc_id"), octet_length(col("text")), ExportTargetBytes,
+          ExportStripes, path, Seq("doc_id", "text", "n_chars"))
+        .orderBy("shard")
+    }),
+
     "q_export_sorted" -> ((s, dir) => {
       // Range-partitioned SORTED export: shard k holds exactly the keys
       // in [cut_{k-1}, cut_k) (cuts = exact integer interpolation over
@@ -1626,6 +1641,31 @@ object ExtQueries {
     * Spark query and the generated oracle. */
   private val ExportTargetBytes = 16384L
   private val ExportStripes = 4
+
+  /** The sized-export manifest oracle — shared VERBATIM by the JSONL
+    * and parquet sized exports (one shard rule, one manifest). */
+  private lazy val sizedExportOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, text, n_chars,
+           CAST(strlen(text) AS BIGINT) AS bytes,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8))
+             AS BIGINT) % $ExportStripes AS stripe,
+           md5(CAST(doc_id AS VARCHAR)) AS h
+         FROM documents),
+         c AS (SELECT *, COALESCE(SUM(bytes) OVER (PARTITION BY stripe
+             ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         FROM t),
+         sh AS (SELECT doc_id, text, n_chars,
+           CAST((before // $ExportTargetBytes) * $ExportStripes + stripe
+             AS INTEGER) AS shard
+         FROM c)
+       SELECT shard, COUNT(*) AS n_rows,
+         CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
+             COALESCE(CAST(doc_id AS VARCHAR), chr(2)),
+             COALESCE(CAST(text AS VARCHAR), chr(2)),
+             COALESCE(CAST(n_chars AS VARCHAR), chr(2)))), 1, 12))
+           AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+       FROM sh GROUP BY 1 ORDER BY shard"""
   private val CsvDocsCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private def csvDocsFor(s: SparkSession, dir: String): String =
     CsvDocsCache.getOrElseUpdate(dir, {
@@ -3194,28 +3234,11 @@ object ExtQueries {
     // The packByBudget prefix-sum shard rule over BYTES (strlen = UTF-8
     // octets, Spark's octet_length), flattened to pack*stripes + stripe;
     // manifest checksum identical to q_export_manifest's convention.
-    "q_export_jsonl_sized" ->
-      s"""WITH t AS (SELECT doc_id, text, n_chars,
-             CAST(strlen(text) AS BIGINT) AS bytes,
-             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8))
-               AS BIGINT) % $ExportStripes AS stripe,
-             md5(CAST(doc_id AS VARCHAR)) AS h
-           FROM documents),
-           c AS (SELECT *, COALESCE(SUM(bytes) OVER (PARTITION BY stripe
-               ORDER BY h, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
-           FROM t),
-           sh AS (SELECT doc_id, text, n_chars,
-             CAST((before // $ExportTargetBytes) * $ExportStripes + stripe
-               AS INTEGER) AS shard
-           FROM c)
-         SELECT shard, COUNT(*) AS n_rows,
-           CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
-               COALESCE(CAST(doc_id AS VARCHAR), chr(2)),
-               COALESCE(CAST(text AS VARCHAR), chr(2)),
-               COALESCE(CAST(n_chars AS VARCHAR), chr(2)))), 1, 12))
-             AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
-         FROM sh GROUP BY 1 ORDER BY shard""",
+    "q_export_jsonl_sized" -> sizedExportOracleSql,
+
+    // TEXT-IDENTICAL to q_export_jsonl_sized on purpose: one sized-shard
+    // membership, one manifest, regardless of the wire format.
+    "q_export_parquet_sized" -> sizedExportOracleSql,
 
     "q_src_jsonl" ->
       """SELECT doc_id, text, lang, source, n_chars

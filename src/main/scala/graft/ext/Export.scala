@@ -116,20 +116,44 @@ object Export {
     * rule only needs it deterministic). Returns the manifest computed
     * from the sink READ BACK through the schema-pinned JSONL reader,
     * like [[writeJsonlCorpus]]. */
-  def writeJsonlCorpusSized(spark: SparkSession, df: DataFrame, key: Column,
-                            sizeBytes: Column, targetBytes: Long, stripes: Int,
-                            path: String, cols: Seq[String],
-                            codecClass: String = ZstdCodecClass): DataFrame = {
+  /** The size-targeted shard assignment alone — [[Sampling.packByBudget]]'s
+    * striped prefix-sum rule over `sizeBytes`, flattened to the globally
+    * unique `shard = pack · stripes + stripe`. Format-independent by
+    * construction: the parquet and JSONL sized writers share it
+    * verbatim, so one corpus carries ONE sized-shard membership (and
+    * one manifest) whatever the wire format. */
+  def sizedShards(df: DataFrame, key: Column, sizeBytes: Column,
+                  targetBytes: Long, stripes: Int): DataFrame = {
     require(targetBytes >= 1, "target bytes per shard must be >= 1")
-    ensureCodecReadable(spark, codecClass)
     Sampling.packByBudget(df, key, sizeBytes, targetBytes, stripes)
       .withColumn("shard",
         (col("pack_id") * stripes + col("shard")).cast("int"))
       .drop("pack_id")
+  }
+
+  def writeJsonlCorpusSized(spark: SparkSession, df: DataFrame, key: Column,
+                            sizeBytes: Column, targetBytes: Long, stripes: Int,
+                            path: String, cols: Seq[String],
+                            codecClass: String = ZstdCodecClass): DataFrame = {
+    ensureCodecReadable(spark, codecClass)
+    sizedShards(df, key, sizeBytes, targetBytes, stripes)
       .write.partitionBy("shard").mode("overwrite")
       .option("compression", codecClass).json(path)
     manifestOf(graft.sources.Tables.readJsonl(spark, path,
       org.apache.spark.sql.types.StructType(df.schema.fields)), cols)
+  }
+
+  /** Parquet twin of [[writeJsonlCorpusSized]] — same shard rule, same
+    * manifest, columnar wire format, zstd-compressed (parquet's zstd is
+    * the bundled zstd-jni — no codec registration needed on reads). */
+  def writeShardedCorpusSized(spark: SparkSession, df: DataFrame, key: Column,
+                              sizeBytes: Column, targetBytes: Long,
+                              stripes: Int, path: String, cols: Seq[String],
+                              codec: String = "zstd"): DataFrame = {
+    sizedShards(df, key, sizeBytes, targetBytes, stripes)
+      .write.partitionBy("shard").mode("overwrite")
+      .option("compression", codec).parquet(path)
+    manifestOf(spark.read.parquet(path), cols)
   }
 
   /** Manifest of a sharded corpus (works on either side of the wire). */
