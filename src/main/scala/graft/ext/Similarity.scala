@@ -345,6 +345,9 @@ object Similarity {
     * driver-bounded metadata — the [[readIvfCentroids]] lifecycle). */
   def readPqBooks(spark: org.apache.spark.sql.SparkSession,
                   path: String): Seq[Seq[Seq[Double]]] = {
+    require(pqBooksExist(spark, path),
+      s"no pq_books under $path — this index was built without a PQ " +
+        "payload; rebuild with writeIvfIndex(pq = Some((m, k)))")
     val rows = spark.read.parquet(s"$path/pq_books")
       .collect()
       .map(r => (r.getInt(r.fieldIndex("m")), r.getInt(r.fieldIndex("j")),
