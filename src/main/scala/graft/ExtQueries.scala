@@ -2808,7 +2808,7 @@ object ExtQueries {
     // side's in-array fold term for term.
     "q_char_stats" ->
       """WITH p AS (SELECT doc_id,
-             CASE WHEN doc_id % 7 = 0 THEN text || ' \u00e9\u00fc\u00f1'
+             CASE WHEN doc_id % 7 = 0 THEN text || ' éüñ'
                ELSE text END AS text
            FROM documents),
          c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM p),
