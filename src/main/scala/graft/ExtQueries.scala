@@ -1057,6 +1057,23 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_mixture_redistributed_report" -> ((s, dir) => {
+      // The redistribution's published accounting: achieved-vs-ADJUSTED
+      // budgets per source — "src2 ran dry, its unused mass moved to
+      // src0/src1/src3 and they delivered it" as a verifiable table.
+      // Shares use the adjusted targets, so a fully-absorbed
+      // redistribution reads ~1.0 achieved/target across the board.
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      val adjusted = Sampling.redistributedBudgets(docs, col("source"),
+        col("doc_id"), col("n_tokens"), MixtureBudgets.toMap, MixtureShards)
+      val selected = Sampling.mixtureByTokenBudget(docs, col("source"),
+        col("doc_id"), col("n_tokens"), adjusted, MixtureShards)
+      Sampling.mixtureReport(selected, col("source"), col("n_tokens"), adjusted)
+        .orderBy("source")
+    }),
+
     "q_semantic_dedup" -> ((s, dir) => {
       // Cross-modal near-dup removal: a document is evicted when its
       // EMBEDDING is a verified cosine near-duplicate of a lower-id
@@ -3288,6 +3305,23 @@ object ExtQueries {
     "q_mixture_redistributed" ->
       s"""WITH $mixtureRedistSql
           SELECT doc_id, source, n_tokens FROM sel2 ORDER BY doc_id""",
+
+    // The q_mixture_report tail over the ADJUSTED budgets and pass-2
+    // selection — the redistribution chain's accounting.
+    "q_mixture_redistributed_report" ->
+      s"""WITH $mixtureRedistSql,
+          ach2 AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS achieved_tokens
+            FROM sel2 GROUP BY 1)
+          SELECT adj.source,
+            CAST(COALESCE(a.achieved_tokens, 0) AS BIGINT) AS achieved_tokens,
+            CAST(adj.b2 AS BIGINT) AS target_tokens,
+            ROUND(CAST(COALESCE(a.achieved_tokens, 0) AS DOUBLE)
+              / CAST(SUM(COALESCE(a.achieved_tokens, 0)) OVER () AS DOUBLE), 6)
+              AS achieved_share,
+            ROUND(CAST(adj.b2 AS DOUBLE)
+              / CAST(SUM(adj.b2) OVER () AS DOUBLE), 6) AS target_share
+          FROM adj LEFT JOIN ach2 a USING (source)
+          ORDER BY source""",
 
     "q_mixture_report" ->
       s"""WITH $mixtureSelSql,
