@@ -105,11 +105,14 @@ object Export {
     * orders by the stable (md5(key), key) total order and cuts at
     * running-byte boundaries; the flattened shard id is
     * `pack · stripes + stripe` (globally unique; each shard's rows come
-    * whole from one stripe). Every shard except each stripe's last
-    * carries ≥ `targetBytes`, and any shard overshoots by at most its
-    * boundary row (ExtSpec pins both bounds). Deterministic — a pure
-    * function of (key, sizeBytes) — so the DuckDB oracle reproduces
-    * membership bit-for-bit.
+    * whole from one stripe). Size bounds: any shard overshoots the
+    * target by at most its boundary row, and every shard except each
+    * stripe's last carries ≥ `targetBytes` when rows fit the target —
+    * a row LARGER than the target jumps the running sum mid-pack, so
+    * the general non-final lower bound is > targetBytes − maxRowBytes
+    * (ExtSpec pins the fits case, PropertySpec the jump-in case).
+    * Deterministic — a pure function of (key, sizeBytes) — so the
+    * DuckDB oracle reproduces membership bit-for-bit.
     *
     * `sizeBytes` is the caller's size measure (payload bytes like
     * `octet_length(text)`, or the full serialized line — the boundary

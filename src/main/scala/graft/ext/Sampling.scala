@@ -250,7 +250,14 @@ object Sampling {
   /** Budgets after ONE shortfall-redistribution pass: any budget a
     * source cannot fill (its whole supply selects and still falls
     * short) is handed pro-rata — by ORIGINAL budget share — to the
-    * sources that still have unselected docs, as extra budget. The knob
+    * sources that still have unselected docs, as extra budget.
+    * "Has unselected docs" (supply > achieved) is the absorber test,
+    * and under the per-(source, shard) budget split it can include a
+    * source whose TOTAL budget exceeds its total supply: an uneven
+    * hash split leaves one shard's docs unselected while another
+    * shard's budget goes spare, and extra budget genuinely adds docs
+    * there — so the supply-vs-achieved test, not budget-vs-supply, is
+    * the correct one (PropertySpec exercises the distinction). The knob
     * real mixture jobs reach for when a curated source runs dry: "we
     * asked for 2600 wiki tokens, wiki has 900 — fill the gap from web
     * and code in their 2:1 target ratio" becomes a concrete adjusted

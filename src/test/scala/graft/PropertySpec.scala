@@ -253,4 +253,88 @@ class PropertySpec extends SparkSpec {
         "the reference's per-symbol append loop ≡ one scan")
     }
   }
+
+  test("sizedShards: byte bounds and completeness hold on random size distributions") {
+    trials(3) { rnd =>
+      // Mixed tiny and huge rows — exactly the distribution hash
+      // sharding cannot size-balance.
+      val rows = (0 until rnd.nextInt(150) + 80).map { i =>
+        (i.toLong, if (rnd.nextInt(5) == 0) rnd.nextInt(5000).toLong + 2000
+                   else rnd.nextInt(200).toLong + 1) }
+      val target = 4000L
+      val stripes = 3
+      val sharded = graft.ext.Export.sizedShards(rows.toDF("k", "bytes"),
+        col("k"), col("bytes"), target, stripes)
+      val got = sharded.select("k", "bytes", "shard")
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(got.map(_._1).sorted == rows.map(_._1).sorted,
+        "every row lands in exactly one shard")
+      val perShard = got.groupBy(_._3)
+      val maxRow = rows.map(_._2).max
+      perShard.foreach { case (sh, members) =>
+        assert(members.map(_._2).sum < target + maxRow,
+          s"shard $sh overshot the boundary-row bound") }
+      // Rows LARGER than the target can jump the running sum into the
+      // middle of a pack, so the general non-final lower bound is
+      // > target − maxRow (it tightens to ≥ target when every row fits
+      // the target — the ExtSpec corpus case).
+      val lastPerStripe = perShard.keys.groupBy(_ % stripes).values.map(_.max).toSet
+      perShard.filterNot { case (sh, _) => lastPerStripe(sh) }
+        .foreach { case (sh, members) =>
+          assert(members.map(_._2).sum > target - maxRow,
+            s"non-final shard $sh below the jump-in bound") }
+    }
+  }
+
+  test("upsampleByEpochs: copy counts are floor/ceil of epochs, totals add up — random maps") {
+    trials(3) { rnd =>
+      val srcs = Seq("a", "b", "c", "d")
+      val epochs = srcs.map(s => s -> rnd.nextInt(400)).toMap
+      val rows = (0 until 200).map(i => (i.toLong, srcs(rnd.nextInt(srcs.size))))
+      val up = graft.ext.Sampling.upsampleByEpochs(rows.toDF("k", "src"),
+          col("src"), col("k"), epochs)
+        .groupBy("k", "src").count().as[(Long, String, Long)].collect()
+      up.foreach { case (_, s, n) =>
+        val bp = epochs(s)
+        assert(n == bp / 100 || n == bp / 100 + 1,
+          s"source $s at $bp bp must emit floor or floor+1 copies, got $n") }
+      // Dropped rows are exactly the 0-copy ones; everything else appears.
+      val emitted = up.map(_._1).toSet
+      rows.foreach { case (k, s) =>
+        if (epochs(s) >= 100) assert(emitted(k), s"row $k of ${s} lost") }
+    }
+  }
+
+  test("redistributedBudgets: conservation and no-op hold on random corpora") {
+    trials(3) { rnd =>
+      val srcs = Seq("a", "b", "c")
+      val rows = (0 until 150).map(i =>
+        (i.toLong, srcs(rnd.nextInt(srcs.size)), rnd.nextInt(50).toLong + 1))
+      val df = rows.toDF("k", "src", "t")
+      val supply = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+      // One GENUINELY dry source — budget ≥ 2×supply guarantees every
+      // per-shard budget exceeds its shard's supply, so the whole
+      // source selects (a budget merely above total supply can leave
+      // docs unselected in one shard under an uneven hash split, and
+      // such a source is then a legitimate absorber, not a dry one).
+      val budgets = Map("a" -> (supply("a") * 2 + rnd.nextInt(500) + 100L),
+        "b" -> supply("b") / 4, "c" -> supply("c") / 4)
+      val adj = graft.ext.Sampling.redistributedBudgets(df, col("src"),
+        col("k"), col("t"), budgets, shards = 2)
+      assert(adj("a") == budgets("a"), "dry source keeps its name-only budget")
+      assert(adj.keySet == budgets.keySet)
+      // Σ adjusted = Σ original + unused (computed from the pass-1 run).
+      val base = graft.ext.Sampling.mixtureByTokenBudget(df, col("src"),
+        col("k"), col("t"), budgets, shards = 2)
+      val achievedA = base.filter(col("src") === "a").agg(sum("t"))
+        .as[Long].head()
+      val unused = budgets("a") - achievedA
+      assert(adj.values.sum == budgets.values.sum + unused,
+        "grand total conserved exactly")
+      // No shortfall → exact no-op.
+      val slack = Map("b" -> supply("b") / 4, "c" -> supply("c") / 4)
+      assert(graft.ext.Sampling.redistributedBudgets(df, col("src"), col("k"),
+        col("t"), slack, shards = 2) == slack)
+    }
+  }
 }
