@@ -835,6 +835,20 @@ object ExtQueries {
         .orderBy("shard")
     }),
 
+    "q_export_shuffled" -> ((s, dir) => {
+      // Global-shuffle export: rows sorted by their md5-derived
+      // position, range-cut into near-equal shards — a dataloader
+      // reading shards in order sees a reproducible pseudo-random
+      // permutation. Oracle recomputes positions, cuts, membership,
+      // and the per-shard count/checksum/position-range.
+      val path = s"$RunScratch/graft_export_shuffled_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Export.writeShuffledCorpus(s,
+          read(s, dir, "documents").select("doc_id", "text", "n_chars"),
+          col("doc_id"), ExportShards, path, Seq("doc_id", "text", "n_chars"))
+        .orderBy("shard")
+    }),
+
     "q_export_parquet_sized" -> ((s, dir) => {
       // Parquet delivery of the SAME size-targeted shards: shard rule
       // shared verbatim with q_export_jsonl_sized (sizedShards), zstd
@@ -3217,6 +3231,32 @@ object ExtQueries {
                 COALESCE(CAST(n_chars AS VARCHAR), chr(2)))), 1, 12))
               AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum,
             MIN(doc_id) AS key_min, MAX(doc_id) AS key_max
+          FROM sh GROUP BY 1 ORDER BY shard"""
+    },
+
+    // q_export_sorted's oracle shape with the md5-derived shuffle
+    // position as the range key (and checksummed as a data column —
+    // the order is part of the delivery).
+    "q_export_shuffled" -> {
+      val shardExpr = (1 until ExportShards)
+        .map(i => s"(CASE WHEN shuffle_pos >= lo + (($i * (hi - lo)) // $ExportShards) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT doc_id, text, n_chars,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 15))
+              AS BIGINT) AS shuffle_pos
+          FROM documents),
+          mm AS (SELECT MIN(shuffle_pos) AS lo, MAX(shuffle_pos) AS hi FROM s),
+          sh AS (SELECT doc_id, text, n_chars, shuffle_pos,
+              CAST($shardExpr AS INTEGER) AS shard
+            FROM s CROSS JOIN mm)
+          SELECT shard, COUNT(*) AS n_rows,
+            CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
+                COALESCE(CAST(doc_id AS VARCHAR), chr(2)),
+                COALESCE(CAST(text AS VARCHAR), chr(2)),
+                COALESCE(CAST(n_chars AS VARCHAR), chr(2)),
+                COALESCE(CAST(shuffle_pos AS VARCHAR), chr(2)))), 1, 12))
+              AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR) AS checksum,
+            MIN(shuffle_pos) AS key_min, MAX(shuffle_pos) AS key_max
           FROM sh GROUP BY 1 ORDER BY shard"""
     },
 

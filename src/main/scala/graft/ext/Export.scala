@@ -261,6 +261,35 @@ object Export {
         max(col(keyCol)).as("key_max"))
   }
 
+  /** Deterministic GLOBAL-SHUFFLE export — the training-order last
+    * mile: every row gets a pseudo-random 60-bit position (a pure md5
+    * function of its key, salt "shuffle"), and the corpus lands
+    * range-partitioned and sorted BY POSITION ([[writeSortedCorpus]] —
+    * hash-uniform positions make the integer-interpolated cuts
+    * near-equal shards). A dataloader streaming shards in order reads
+    * a reproducible pseudo-random permutation of the corpus — no
+    * shuffled copy materialized corpus-side beyond the one sorted
+    * write, and re-exports of the same corpus produce the identical
+    * order on any cluster. The returned sorted manifest carries each
+    * shard's position range, so shards can also be sampled or resumed
+    * mid-epoch by position. 60 bits means position COLLISIONS (two
+    * docs, one position) appear around the billion-doc scale
+    * (birthday); membership and the manifest stay deterministic
+    * regardless — only the relative order WITHIN a collision pair is
+    * engine-chosen, which no training run can observe. `shuffle_pos`
+    * is emitted as a data column (checksummed — the order is part of
+    * the delivery). */
+  def writeShuffledCorpus(spark: SparkSession, df: DataFrame, key: Column,
+                          nShards: Int, path: String,
+                          cols: Seq[String]): DataFrame = {
+    val pos = conv(substring(md5(concat(key.cast("string"), lit("shuffle"))),
+      1, 15), 16, 10).cast("long")
+    val positioned = df.withColumn("shuffle_pos", pos)
+    val cuts = valueRangeCuts(positioned, col("shuffle_pos"), nShards)
+    writeSortedCorpus(spark, positioned, "shuffle_pos", cuts, path,
+      cols :+ "shuffle_pos")
+  }
+
   /** Streaming export sink — the continuous-ingest last mile: each
     * micro-batch is shard-assigned (same pure md5 bucket as the batch
     * writer, so batch- and stream-exported corpora are shard-compatible)
