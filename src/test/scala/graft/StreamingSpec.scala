@@ -352,6 +352,28 @@ class StreamingSpec extends SparkSpec {
       s"guard must not re-read the sink's data columns:\n$planStr")
   }
 
+  test("decontaminationSink survives an empty first micro-batch") {
+    // Same shape as the upsertSink case: an empty first batch commits a
+    // footer-less sink dir; batch 2's replay guard reads it with the
+    // PINNED schema (including __fp) and must see an empty relation,
+    // not throw.
+    implicit val sc = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("graft_decon_e")
+      .resolve("c").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_decon_eck").toString
+    val bench = Seq(100L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.decontaminationSink(mem.toDF().toDF("doc_id", "text"),
+      bench, sink, "doc_id", "text", n = 3, minHits = 2, maxShingleDf = 2,
+      checkpoint = ckpt)
+    q.processAllAvailable()                       // batch 0: empty
+    mem.addData(5L -> "totally clean words here") // batch 1: must land
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(5L), s"clean doc must land after an empty first batch, got $got")
+  }
+
   test("upsertSink survives an empty first micro-batch") {
     // An empty first batch commits a sink dir holding only _SUCCESS; the
     // next batch's anti-join then reads the sink — which, inferred, has no
