@@ -1874,13 +1874,12 @@ object ExtQueries {
               ORDER BY score DESC, vec_id) AS INTEGER) AS rank
           FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank"""
 
-  /** DuckDB twin of `Similarity.searchIvfIndexPq` over the persisted
-    * IVF-PQ index: Lloyd centroids + assignment + probe selection exactly
-    * as q_ann_ivf (`IvfAssignSqlChain`), PQ codebooks + codes + ADC
-    * scoring exactly as q_ann_pq (the shared fragments) — restricted to
-    * (query, candidate) pairs whose candidate sits in a probed list. The
-    * composition is the only new thing. */
-  private def ivfPqOracleSql: String =
+  /** The shared IVF-PQ oracle prefix — the Lloyd assignment chain,
+    * probe selection, and the PQ codebook/code CTEs (ends at
+    * `qt(q_id, qv)`) — factored so the plain and refined IVF-PQ
+    * oracles cannot drift on the probe tie-break or codebook
+    * seeding. */
+  private def ivfPqChainSql: String =
     s"""$IvfAssignSqlChain,
           probes AS (SELECT q_id, list FROM (
             SELECT q.vec_id AS q_id, cent.list,
@@ -1894,7 +1893,16 @@ object ExtQueries {
           codes AS (SELECT vec_id,
           $pqCodeCols
           FROM ev),
-          qt AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 5),
+          qt AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 5)"""
+
+  /** DuckDB twin of `Similarity.searchIvfIndexPq` over the persisted
+    * IVF-PQ index: Lloyd centroids + assignment + probe selection exactly
+    * as q_ann_ivf (`IvfAssignSqlChain`), PQ codebooks + codes + ADC
+    * scoring exactly as q_ann_pq (the shared fragments) — restricted to
+    * (query, candidate) pairs whose candidate sits in a probed list. The
+    * composition is the only new thing. */
+  private def ivfPqOracleSql: String =
+    s"""$ivfPqChainSql,
           scored AS (SELECT p.q_id, a.vec_id,
             round(${pqAdc("q.qv")}, 6) AS score
           FROM probes p JOIN assign a USING (list)
@@ -1911,20 +1919,7 @@ object ExtQueries {
     * q_ann_ivf exact-cosine contract over the shortlist alone — every
     * fragment verified elsewhere, the composition the only new thing. */
   private def ivfPqRefinedOracleSql: String =
-    s"""$IvfAssignSqlChain,
-          probes AS (SELECT q_id, list FROM (
-            SELECT q.vec_id AS q_id, cent.list,
-              row_number() OVER (PARTITION BY q.vec_id
-                ORDER BY ${cosSql("q.embedding", "c_vec")} DESC, list) AS rn
-            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5) WHERE rn <= $IvfProbes),
-          ev AS (SELECT vec_id,
-            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-          FROM embeddings),
-          cb AS (SELECT vec_id AS j, v AS cv FROM ev WHERE vec_id < $PqK),
-          codes AS (SELECT vec_id,
-          $pqCodeCols
-          FROM ev),
-          qt AS (SELECT vec_id AS q_id, v AS qv FROM ev WHERE vec_id < 5),
+    s"""$ivfPqChainSql,
           short AS (SELECT q_id, vec_id FROM (
             SELECT p.q_id, a.vec_id,
               row_number() OVER (PARTITION BY p.q_id
@@ -2006,7 +2001,7 @@ object ExtQueries {
        absb AS (SELECT source, b,
            row_number() OVER (ORDER BY source) AS rk,
            SUM(b) OVER () AS babs
-         FROM st WHERE s > a),
+         FROM st WHERE s > a AND b > 0),
        ext AS (SELECT source, rk,
            CAST((SELECT unused FROM un) * b // babs AS BIGINT) AS extra
          FROM absb),

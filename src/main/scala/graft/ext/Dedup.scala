@@ -492,10 +492,19 @@ object Dedup {
     * difference between a replay guard that re-reads a 100 TB text
     * column every micro-batch and one that reads the corpus's key
     * column only. Same bloom-composed shape and exactly-once-per-content
-    * contract as [[freshByContent]]. */
+    * contract as [[freshByContent]].
+    *
+    * `batchFp` overrides the batch-side fingerprint expression (default
+    * `md5(textCol)`) — it must be the SAME function the reference
+    * fingerprints were stored with, or the guard silently stops
+    * recognizing landed content. A null-producing fingerprint (md5 of
+    * NULL text) can never match and re-admits its row every replay —
+    * callers with nullable text pass a null-safe expression on both
+    * sides (the decontamination sink does). */
   def freshByFingerprint(batch: DataFrame, refFp: DataFrame, fpCol: String,
                          textCol: String,
-                         expectedBatchKeys: Long = DefaultExpectedBatchKeys
+                         expectedBatchKeys: Long = DefaultExpectedBatchKeys,
+                         batchFp: Option[Column] = None
                         ): DataFrame = {
     // Exact pass, bloom-composed (the 100 TB incremental shape): build
     // a constant-size bloom over the BATCH's content keys (the small
@@ -518,7 +527,8 @@ object Dedup {
     // composition checkpoints the result — bounds the recompute at two
     // narrow passes).
     val batchKeyed = {
-      val keyed = batch.withColumn("__ck", md5(col(textCol)))
+      val keyed = batch.withColumn("__ck",
+        batchFp.getOrElse(md5(col(textCol))))
       if (expectedBatchKeys > 0) keyed else keyed.localCheckpoint()
     }
     val bloomItems =

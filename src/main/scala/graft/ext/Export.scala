@@ -74,19 +74,19 @@ object Export {
   /** Register `codecClass` with Hadoop's codec factory so READS resolve
     * the part-file extension (`.zst`) to it — the write path takes the
     * class name directly, but `CompressionCodecFactory` only consults
-    * `io.compression.codecs`. Appends (never replaces) so the stock
-    * gzip/bzip2/deflate extensions keep working; session-global by
-    * nature (the factory reads the context's Hadoop conf), idempotent. */
+    * `io.compression.codecs`. Appends to the factory's CURRENT codec
+    * set (`CompressionCodecFactory.getCodecClasses` — the conf list if
+    * set, else the full ServiceLoader discovery), never replaces it: a
+    * hand-rolled fallback list would silently unregister the
+    * deflate/lz4/snappy extensions for every later text read in the
+    * session. Session-global by nature (the factory reads the
+    * context's Hadoop conf), idempotent. */
   def ensureCodecReadable(spark: SparkSession, codecClass: String = ZstdCodecClass): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val key = "io.compression.codecs"
-    val defaults = Seq(
-      "org.apache.hadoop.io.compress.DefaultCodec",
-      "org.apache.hadoop.io.compress.GzipCodec",
-      "org.apache.hadoop.io.compress.BZip2Codec")
-    val current = Option(conf.get(key))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(defaults)
+    import scala.jdk.CollectionConverters._
+    val current = org.apache.hadoop.io.compress.CompressionCodecFactory
+      .getCodecClasses(conf).asScala.map(_.getName).toSeq
     if (!current.contains(codecClass))
       conf.set(key, (current :+ codecClass).mkString(","))
   }
@@ -282,6 +282,13 @@ object Export {
   def writeShuffledCorpus(spark: SparkSession, df: DataFrame, key: Column,
                           nShards: Int, path: String,
                           cols: Seq[String]): DataFrame = {
+    // Output-column contract: `shuffle_pos` is emitted (and
+    // checksummed) — a pre-existing column of that name would be
+    // SILENTLY overwritten by withColumn, corrupting the delivery
+    // with matching manifests. Fail loudly instead (the
+    // writeIvfIndex reserved-name lesson).
+    require(!df.columns.contains("shuffle_pos"),
+      "input already has a shuffle_pos column — rename it before exporting")
     val pos = conv(substring(md5(concat(key.cast("string"), lit("shuffle"))),
       1, 15), 16, 10).cast("long")
     val positioned = df.withColumn("shuffle_pos", pos)

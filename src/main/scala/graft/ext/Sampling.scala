@@ -231,6 +231,10 @@ object Sampling {
   def upsampleByEpochs(df: DataFrame, source: Column, key: Column,
                        epochsBpBySource: Map[String, Int]): DataFrame = {
     require(epochsBpBySource.values.forall(_ >= 0), "epochs must be >= 0")
+    // `copy` is the emitted output column — a pre-existing one would be
+    // silently overwritten; fail loudly instead.
+    require(!df.columns.contains("copy"),
+      "input already has a copy column — rename it before upsampling")
     val bp = epochsBpBySource.foldLeft(lit(100)) { case (acc, (s, e)) =>
       when(source === s, e).otherwise(acc)
     }
@@ -296,8 +300,12 @@ object Sampling {
       .withDefaultValue(0L)
     val unused = budgetBySource.map { case (s, b) =>
       math.max(0L, b - achieved(s)) }.sum
+    // Zero-budget sources are EXCLUSIONS, not candidates: without the
+    // b > 0 filter the remainder spread could bump one to budget 1 and
+    // admit a doc the caller explicitly shut out (pro-rata by original
+    // share — a 0-share source absorbs 0, remainder included).
     val absorbers = budgetBySource.keys.toSeq.sorted
-      .filter(s => supply(s) > achieved(s))
+      .filter(s => supply(s) > achieved(s) && budgetBySource(s) > 0)
     val bAbs = absorbers.map(budgetBySource).sum
     if (unused == 0L || bAbs == 0L) budgetBySource
     else {

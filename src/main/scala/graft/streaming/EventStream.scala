@@ -270,12 +270,21 @@ object EventStream {
     * cannot be atomic with the docs append (fp-first loses docs on a
     * crash between the writes; docs-first re-admits them) — the stored
     * column shares the data files, so the guard can never disagree
-    * with the sink contents. Within one batch only key duplicates are
-    * dropped — two same-content docs under different keys both land
-    * (compose an exact-dedup stage upstream if content uniqueness
-    * within a batch matters). Empty first batch commits a
-    * data-file-less dir; later reads pin the schema instead of
-    * inferring (the `upsertSink` contract). */
+    * with the sink contents. The fingerprint is NULL-SAFE
+    * (null-text docs map to a sentinel outside the md5 hex space) so a
+    * nullable text column cannot re-admit its rows on every replay.
+    * Within one batch only key duplicates are dropped — two
+    * same-content docs under different keys both land (compose an
+    * exact-dedup stage upstream if content uniqueness within a batch
+    * matters). Empty first batch commits a data-file-less dir; later
+    * reads pin the schema instead of inferring (the `upsertSink`
+    * contract).
+    *
+    * Format note: a sink written by a pre-`__fp` version of this sink
+    * has no stored fingerprints — resuming on it would read `__fp` as
+    * NULL for every landed row and the guard would recognize nothing
+    * (replays would duplicate). Migrate once before resuming: read the
+    * old sink, add `__fp` with the same null-safe md5, rewrite. */
   def decontaminationSink(stream: DataFrame, bench: DataFrame,
                           sinkPath: String, docKey: String, textCol: String,
                           n: Int, minHits: Int, maxShingleDf: Int,
@@ -295,12 +304,17 @@ object EventStream {
       val sinkSchema = org.apache.spark.sql.types.StructType(
         batch0.schema.fields :+ org.apache.spark.sql.types.StructField(
           "__fp", org.apache.spark.sql.types.StringType))
+      // Null-safe: md5(NULL) is NULL, and a NULL fingerprint matches
+      // nothing in the anti-join — a null-text doc would re-land on
+      // every replay. The sentinel is not 32 hex chars, so it cannot
+      // collide with any real md5 (and stays distinct from md5('')).
+      val fp = coalesce(md5(col(textCol)), lit("__fp:null-text"))
       val fresh =
         if (!fs.exists(sink)) clean
         else Dedup.freshByFingerprint(clean,
           s.read.schema(sinkSchema).parquet(sinkPath).select("__fp"),
-          "__fp", textCol)
-      fresh.withColumn("__fp", md5(col(textCol)))
+          "__fp", textCol, batchFp = Some(fp))
+      fresh.withColumn("__fp", fp)
         .write.mode("append").parquet(sinkPath)
     }
     stream.writeStream

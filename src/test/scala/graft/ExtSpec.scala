@@ -665,6 +665,15 @@ class ExtSpec extends SparkSpec {
     val noShort = Map("src0" -> 100L, "src1" -> 100L)
     assert(Sampling.redistributedBudgets(docs, col("source"), col("doc_id"),
       col("n_tokens"), noShort, shards) == noShort)
+    // A zero-budget source is an EXCLUSION: it must absorb nothing —
+    // not even the remainder token — however much supply it has.
+    val withZero = Map("src0" -> 0L, "src1" -> 300L,
+      "src2" -> (supply2 + 601L))
+    val adjZero = Sampling.redistributedBudgets(docs, col("source"),
+      col("doc_id"), col("n_tokens"), withZero, shards)
+    assert(adjZero("src0") == 0L, "zero-budget source must stay excluded")
+    assert(adjZero("src1") == 300L + 601L,
+      "the whole shortfall flows to the only positive-budget absorber")
   }
 
   test("langId picks marker-dominant language, 'und' when no hits") {

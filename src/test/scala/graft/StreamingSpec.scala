@@ -369,9 +369,17 @@ class StreamingSpec extends SparkSpec {
       checkpoint = ckpt)
     q.processAllAvailable()                       // batch 0: empty
     mem.addData(5L -> "totally clean words here") // batch 1: must land
+    q.processAllAvailable()
+    // A NULL-text doc lands once and its REPLAY appends nothing: the
+    // stored fingerprint is null-safe (md5(NULL) would match nothing
+    // in the anti-join and re-land the doc on every replay).
+    mem.addData(6L -> (null: String))
+    q.processAllAvailable()
+    mem.addData(6L -> (null: String))             // replay
     q.processAllAvailable(); q.stop()
-    val got = spark.read.parquet(sink).select("doc_id").as[Long].collect().toSeq
-    assert(got == Seq(5L), s"clean doc must land after an empty first batch, got $got")
+    val got = spark.read.parquet(sink).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(5L, 6L),
+      s"clean + null-text docs must land exactly once each, got $got")
   }
 
   test("upsertSink survives an empty first micro-batch") {
