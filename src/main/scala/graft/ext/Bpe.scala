@@ -80,6 +80,89 @@ object Bpe {
     buf.length
   }
 
+  /** LEARN a merge table from the corpus — the training half of the
+    * tokenizer story ([[Merges]] is a hand learner's output; this
+    * computes one from data). Classic Sennrich BPE on the
+    * WORD-FREQUENCY table:
+    *
+    *  1. ONE distributed corpus pass: pre-tokenize
+    *     ([[PreTokenPattern]], the same classes the segmenter uses),
+    *     count distinct pre-tokens, keep the `maxVocab` most frequent
+    *     (ties broken on the word — deterministic). The vocab table is
+    *     bounded by VOCABULARY, not corpus size: this is the only step
+    *     that touches the corpus, and it is one explode + one
+    *     combine-enabled count agg + a TakeOrdered top-V.
+    *  2. `nMerges` training rounds on the collected table (≤ maxVocab
+    *     rows of (symbols, count) — driver-bounded metadata, the IVF
+    *     centroid / PQ codebook lifecycle): count frequency-weighted
+    *     adjacent symbol pairs, take the max (ties lexicographic on
+    *     the pair — deterministic on any cluster), merge every
+    *     occurrence left-to-right, repeat. Stops early when no
+    *     adjacent pair remains.
+    *
+    * The result feeds [[withTokenCount]] / [[chunkByBpeBudget]] via
+    * their `merges` parameter — learn on a corpus sample, tokenize the
+    * full corpus, same code path as the hand table. Deterministic: a
+    * pure function of the pre-token frequency table, which is itself a
+    * pure function of the corpus (repartition-stable, ExtSpec-pinned). */
+  def learnMerges(df: DataFrame, textCol: String, nMerges: Int,
+                  maxVocab: Int = 100000): Seq[(String, String)] = {
+    require(nMerges >= 0, "nMerges must be >= 0")
+    require(maxVocab >= 1, "maxVocab must be >= 1")
+    val vocab: Seq[(String, Long)] = df
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit(PreTokenPattern), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // Driver loop over the bounded table: symbols start as code points
+    // (surrogate-safe, like tokenCount's splitter).
+    def codePoints(w: String): Vector[String] = {
+      val b = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        val n = Character.charCount(w.codePointAt(i))
+        b += w.substring(i, i + n); i += n
+      }
+      b.result()
+    }
+    var words: Seq[(Vector[String], Long)] =
+      vocab.map { case (w, n) => (codePoints(w), n) }
+    val merges = Seq.newBuilder[(String, String)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, n) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts(p) = counts.getOrElse(p, 0L) + n
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        merges += best
+        val joined = best._1 + best._2
+        words = words.map { case (syms, n) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+              out += joined; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.result(), n)
+        }
+        round += 1
+      }
+    }
+    merges.result()
+  }
+
   /** Split each document into chunks under a REAL-BPE token budget —
     * `TextAnalysis.chunkByBudget`'s word-count proxy replaced by the
     * merge-table tokenizer, so chunk sizes track what a trainer's
@@ -93,12 +176,13 @@ object Bpe {
     * shuffles, rank table compiled once per partition.
     * Returns (docKey, chunk_idx, textCol, n_tokens_bpe). */
   def chunkByBpeBudget(df: DataFrame, docKey: String, textCol: String,
-                       budget: Int): DataFrame = {
+                       budget: Int,
+                       merges: Seq[(String, String)] = Merges): DataFrame = {
     require(budget >= 1, s"token budget must be >= 1, got $budget")
     val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
       Encoders.STRING, Encoders.scalaInt)
-    val rank: Map[(String, String), Int] = Merges.zipWithIndex.toMap
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
     df.select(col(docKey).cast("long"), lower(col(textCol)))
       .as[(Long, String)](inEnc)
       .mapPartitions { it =>
@@ -133,10 +217,11 @@ object Bpe {
 
   /** (docKey, n_tokens_bpe) per document — the real-BPE token count
     * `Sampling.packByBudget` / chunking budgets should be keyed on. */
-  def withTokenCount(df: DataFrame, docKey: String, textCol: String): DataFrame = {
+  def withTokenCount(df: DataFrame, docKey: String, textCol: String,
+                     merges: Seq[(String, String)] = Merges): DataFrame = {
     val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
-    val rank: Map[(String, String), Int] = Merges.zipWithIndex.toMap
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
     df.select(col(docKey).cast("long"), lower(col(textCol)))
       .as[(Long, String)](inEnc)
       .mapPartitions { it =>

@@ -555,6 +555,45 @@ class ExtSpec extends SparkSpec {
     assert(math.abs(rep.map(_._5).sum - 1.0) < 1e-5)
   }
 
+  test("learnMerges: frequency-greedy merges, deterministic ties, composes with the segmenter") {
+    // Hand-computable corpus: 'aaab' ×3, 'ab' ×2 → pre-tokens {aaab:3,
+    // ab:2}. Pair counts round 1: (a,a)=6, (a,b)=5 → merge (a,a).
+    // Round 2: aaab = [aa,a,b] → (aa,a)=3, (a,b)=5 (3+2) → merge (a,b).
+    // Round 3: aaab=[aa,ab], ab=[ab] → (aa,ab)=3 → merge (aa,ab).
+    val docs = Seq((1L, "aaab aaab ab"), (2L, "aaab ab")).toDF("doc_id", "text")
+    val learned = Bpe.learnMerges(docs, "text", nMerges = 3)
+    assert(learned == Seq(("a", "a"), ("a", "b"), ("aa", "ab")),
+      s"greedy frequency order with lexicographic ties, got $learned")
+    // Early exhaustion: asking for more merges than pairs exist stops.
+    assert(Bpe.learnMerges(docs, "text", nMerges = 50).size <= 6)
+    // Deterministic under repartition (pure function of frequencies).
+    assert(Bpe.learnMerges(docs.repartition(7), "text", 3) == learned)
+    // The learned table drives the SAME segmenter code path: under
+    // {aa, ab, aaab} merges, 'aaab' is ONE token and 'ab' one token.
+    val counts = Bpe.withTokenCount(docs, "doc_id", "text", merges = learned)
+      .orderBy("doc_id").as[(Long, Int)].collect().toSeq
+    assert(counts == Seq((1L, 3), (2L, 2)),
+      s"learned merges must collapse the training words, got $counts")
+    // maxVocab cap: only the most frequent word ('aaab' ×3) is visible.
+    // Round 1 merges (a,a); round 2 ties (aa,a)=3 with (a,b)=3 and the
+    // LEXICOGRAPHIC rule picks (a,b) — pinned: the tie-break is part
+    // of the contract, and under the cap 'ab' itself contributed
+    // nothing (it was never seen).
+    val capped = Bpe.learnMerges(docs, "text", nMerges = 2, maxVocab = 1)
+    assert(capped == Seq(("a", "a"), ("a", "b")),
+      s"cap + lexicographic tie expected, got $capped")
+    // Real corpus smoke: learned merges reduce token counts vs chars.
+    val real = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "documents")
+    val learnedReal = Bpe.learnMerges(real, "text", nMerges = 30)
+    assert(learnedReal.size == 30 && learnedReal.distinct.size == 30)
+    val withLearned = Bpe.withTokenCount(real, "doc_id", "text", learnedReal)
+      .agg(sum("n_tokens_bpe")).as[Long].head()
+    val noMerges = Bpe.withTokenCount(real, "doc_id", "text", Seq.empty)
+      .agg(sum("n_tokens_bpe")).as[Long].head()
+    assert(withLearned < noMerges,
+      s"30 learned merges must compress: $withLearned vs char-level $noMerges")
+  }
+
   test("chunkSliding: complete coverage, exact overlap, degenerates to disjoint split") {
     val doc = Seq((1L, (0 until 25).map(i => s"w$i").mkString(" ")),
       (2L, "short doc"), (3L, "")).toDF("doc_id", "text")
