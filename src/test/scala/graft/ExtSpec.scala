@@ -1092,6 +1092,25 @@ class ExtSpec extends SparkSpec {
       "exactly the tampered shard's manifest row differs")
   }
 
+  test("ensureCodecReadable appends to the discovered codec set, never replaces it") {
+    // Setting io.compression.codecs REPLACES Hadoop's ServiceLoader
+    // discovery — a short fallback list would silently unregister the
+    // deflate/lz4/snappy extensions for every later text read in the
+    // session. The register must carry the full discovered set plus
+    // ours.
+    Export.ensureCodecReadable(spark)
+    val listed = spark.sparkContext.hadoopConfiguration
+      .get("io.compression.codecs", "")
+    assert(listed.contains(Export.ZstdCodecClass), "airlift zstd registered")
+    Seq("DefaultCodec", "GzipCodec", "BZip2Codec", "DeflateCodec", "Lz4Codec")
+      .foreach(c => assert(listed.contains(c),
+        s"$c lost from the codec set — .${c.toLowerCase.take(3)} reads would parse garbage"))
+    // Idempotent: a second call adds nothing.
+    Export.ensureCodecReadable(spark)
+    assert(spark.sparkContext.hadoopConfiguration
+      .get("io.compression.codecs") == listed)
+  }
+
   test("sized JSONL export: byte-targeted shards, zstd part files, bounds hold") {
     // The cumulative-byte boundary rule: every shard except each
     // stripe's LAST carries >= targetBytes, and no shard overshoots by
