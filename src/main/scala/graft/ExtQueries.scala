@@ -1217,6 +1217,24 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_ann_ivf_pq_residual" -> ((s, dir) => {
+      // IVFADC proper: the stored __pqr codes quantize RESIDUALS
+      // (x − centroid_of_list) under codebooks trained on residual
+      // space, and search ranks by asymmetric squared distance from
+      // per-(query, probe) lookup tables built from q − centroid_list.
+      // Same m×k budget as q_ann_ivf_pq, spent on the within-list
+      // variance instead of the corpus-global spread — the canonical
+      // production layout (and on these unit-norm embeddings, distance
+      // ranking = cosine ranking on exact vectors).
+      val e = read(s, dir, "embeddings")
+      val path = ivfIndexFor(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.searchIvfIndexPqResidual(s, path, queries, k = 5,
+          nProbe = IvfProbes)
+        .orderBy("q_id", "rank")
+    }),
+
     "q_quantize_int8" -> ((s, dir) => {
       // Per-vector symmetric int8 quantization of the embedding corpus:
       // codes, the 6dp scale, and the realized reconstruction bound —
@@ -1844,13 +1862,15 @@ object ExtQueries {
     val sub = AnnDim / PqM
     s"$c[${mi * sub + 1}:${(mi + 1) * sub}]"
   }
-  private def pqCodeCols: String = (0 until PqM).map { mi =>
-    s"""(SELECT j FROM cb ORDER BY
-          round(2 * list_dot_product(${pqSl("ev.v", mi)}, ${pqSl("cb.cv", mi)})
-            - list_dot_product(${pqSl("cb.cv", mi)}, ${pqSl("cb.cv", mi)}), 6) DESC,
+  private def pqCodeColsFor(v: String, cb: String): String = (0 until PqM).map { mi =>
+    s"""(SELECT j FROM $cb ORDER BY
+          round(2 * list_dot_product(${pqSl(v, mi)}, ${pqSl(s"$cb.cv", mi)})
+            - list_dot_product(${pqSl(s"$cb.cv", mi)}, ${pqSl(s"$cb.cv", mi)}), 6) DESC,
           j LIMIT 1) AS code_$mi""" }.mkString(",\n          ")
-  private def pqJoins: String = (0 until PqM).map(mi =>
-    s"JOIN cb cb$mi ON cb$mi.j = c.code_$mi").mkString(" ")
+  private def pqCodeCols: String = pqCodeColsFor("ev.v", "cb")
+  private def pqJoinsOn(cb: String): String = (0 until PqM).map(mi =>
+    s"JOIN $cb cb$mi ON cb$mi.j = c.code_$mi").mkString(" ")
+  private def pqJoins: String = pqJoinsOn("cb")
   private def pqAdc(qv: String): String = (0 until PqM).map(mi =>
     s"list_dot_product(${pqSl(qv, mi)}, ${pqSl(s"cb$mi.cv", mi)})")
     .mkString("\n            + ")
@@ -1934,6 +1954,85 @@ object ExtQueries {
           FROM short s JOIN embeddings c ON s.vec_id = c.vec_id
                        JOIN embeddings q ON s.q_id = q.vec_id
           QUALIFY rank <= 5 ORDER BY q_id, rank"""
+
+  /** DuckDB twin of `Similarity.searchIvfIndexPqResidual` — the IVFADC
+    * layout under the module's inner-product contract. Chain: residuals
+    * are exact IEEE differences v[i] − c_vec[i] against the Lloyd
+    * centroids; seed residual codebooks are the first-PqK rows'
+    * residual sub-slices; ONE decimal-exact Lloyd refinement in
+    * residual space (assign unrounded sub-residuals with the shared
+    * formula, average 6dp-rounded components per cell, empty cells keep
+    * their seed — `pqRefineBooks` verbatim); codes assign against the
+    * REFINED books; score = q·centroid_list + the m per-subspace table
+    * dots, summed left-to-right, rounded 6dp, ranked DESC with ties on
+    * vec_id. */
+  private def ivfPqResidualOracleSql: String = {
+    val sub = AnnDim / PqM
+    // Per-subspace code columns vs a (mi, j, cv)-shaped SUB-VECTOR
+    // codebook table (refined entries are per-subspace, unlike the
+    // full-vector seed tables pqCodeColsFor slices).
+    def subCodeCols(cb: String): String = (0 until PqM).map { mi =>
+      s"""(SELECT j FROM $cb WHERE mi = $mi ORDER BY
+            round(2 * list_dot_product(${pqSl("res.rv", mi)}, cv)
+              - list_dot_product(cv, cv), 6) DESC,
+            j LIMIT 1) AS code_$mi""" }.mkString(",\n          ")
+    val caseJ = (0 until PqM).map(mi => s"WHEN $mi THEN a.code_$mi").mkString(" ")
+    val scoreTerms = (("list_dot_product(qv.v, ct.c_vec)") +:
+      (0 until PqM).map(mi =>
+        s"list_dot_product(${pqSl("qv.v", mi)}, cb$mi.cv)")).mkString("\n            + ")
+    val cbJoins = (0 until PqM).map(mi =>
+      s"JOIN rcb cb$mi ON cb$mi.mi = $mi AND cb$mi.j = c.code_$mi").mkString(" ")
+    s"""$IvfAssignSqlChain,
+          probes AS (SELECT q_id, list FROM (
+            SELECT q.vec_id AS q_id, cent.list,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY ${cosSql("q.embedding", "c_vec")} DESC, list) AS rn
+            FROM embeddings q CROSS JOIN cent WHERE q.vec_id < 5) WHERE rn <= $IvfProbes),
+          ev AS (SELECT vec_id,
+            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+          res AS (SELECT a.vec_id, a.list,
+            list_transform(generate_series(1, $AnnDim),
+              i -> e.v[i] - cent.c_vec[i]) AS rv
+          FROM assign a JOIN ev e USING (vec_id) JOIN cent USING (list)),
+          mis AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS mi),
+          rcb0 AS (SELECT m.mi, res.vec_id AS j,
+            list_slice(res.rv, m.mi * $sub + 1, (m.mi + 1) * $sub) AS cv
+          FROM res CROSS JOIN mis m WHERE res.vec_id < $PqK),
+          rass AS (SELECT vec_id,
+          ${subCodeCols("rcb0")}
+          FROM res),
+          rexp AS (SELECT vec_id, unnest(generate_series(1, $AnnDim)) AS pos,
+            unnest(list_transform(rv, x -> round(x, 6))) AS x FROM res),
+          rcell AS (SELECT CAST((e.pos - 1) // $sub AS INTEGER) AS mi, e.pos, e.x,
+            CASE (e.pos - 1) // $sub $caseJ END AS j
+          FROM rexp e JOIN rass a USING (vec_id)),
+          rmu AS (SELECT mi, j, pos,
+            ROUND(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6) AS mu
+          FROM rcell GROUP BY 1, 2, 3),
+          rcbm AS (SELECT mi, j, list(mu ORDER BY pos) AS cv
+          FROM rmu GROUP BY mi, j),
+          grid AS (SELECT m.mi, j.j FROM mis m CROSS JOIN
+            (SELECT unnest(generate_series(0, ${PqK - 1})) AS j) j),
+          rcb AS (SELECT g.mi, g.j, COALESCE(rm.cv, s.cv) AS cv
+          FROM grid g LEFT JOIN rcbm rm ON rm.mi = g.mi AND rm.j = g.j
+                      LEFT JOIN rcb0 s ON s.mi = g.mi AND s.j = g.j),
+          rcodes AS (SELECT vec_id,
+          ${subCodeCols("rcb")}
+          FROM res),
+          scored AS (SELECT p.q_id, a.vec_id,
+            round($scoreTerms, 6) AS score
+          FROM probes p
+          JOIN cent ct ON ct.list = p.list
+          JOIN ev qv ON qv.vec_id = p.q_id
+          JOIN assign a ON a.list = p.list
+          JOIN rcodes c ON c.vec_id = a.vec_id
+          $cbJoins)
+          SELECT q_id, vec_id, score,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, vec_id) AS INTEGER) AS rank
+          FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank"""
+  }
   private val SamplePerSource = 12
   private val WeightedSampleK = 120
   private val PackBudget = 2048L
@@ -1944,7 +2043,7 @@ object ExtQueries {
   /** Upsampling epochs in hundredths: 2.30×, 0.50×, dropped. */
   private val UpsampleEpochsBp: Seq[(String, Int)] =
     Seq("src0" -> 230, "src1" -> 50, "src2" -> 0)
-  /** Sliding chunking: 128-token windows advancing 96 (25% overlap). */
+  /** Sliding chunking: 32-token windows advancing 24 (25% overlap). */
   private val SlideSize = 32
   private val SlideStride = 24
   /** Mixture targets (tokens): src2's budget exceeds its sf0.01 supply,
@@ -3393,6 +3492,7 @@ object ExtQueries {
     "q_ann_ivf_pq" -> ivfPqOracleSql,
 
     "q_ann_ivf_pq_refined" -> ivfPqRefinedOracleSql,
+    "q_ann_ivf_pq_residual" -> ivfPqResidualOracleSql,
 
     // Quantize both sides with the q_quantize_int8 arithmetic, score by
     // scale_q*scale_c*dot(codes) — list_dot_product over int codes is

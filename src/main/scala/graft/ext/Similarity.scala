@@ -244,6 +244,17 @@ object Similarity {
                     cVec: String = "embedding",
                     pq: Option[(Int, Int)] = None): Unit = {
     val spark = corpus.sparkSession
+    // True overwrite semantics for the WHOLE index dir: a rebuild with
+    // pq = None must also remove any PQ payload a previous build left,
+    // or pqBooksExist would see the stale codebooks, appendToIvfIndex
+    // would write __pq/__pqr codes the rebuilt base files lack, and the
+    // PQ searches would read NULL codes for base rows — silently
+    // searching only the appended slice.
+    if (pq.isEmpty) Seq("pq_books", "pq_books_res").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val cents = ivfCentroidsLloyd(corpus, nLists, cId, cVec, rounds)
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.types._
@@ -261,7 +272,15 @@ object Similarity {
     // compression, the composition `pqTopK` alone (full code-table scan)
     // lacks.
     val pqBooks = pq.map { case (m, kk) => pqCodebooks(corpus, m, kk, cId, cVec) }
-    pqBooks.foreach { books =>
+    // Residual codebooks (IVFADC proper) travel with the raw-vector
+    // books: trained on x − centroid_of_list, they spend the same m×k
+    // budget on the within-list variance instead of the corpus-global
+    // spread — the recall difference between "PQ that works" and the
+    // production layout. Both payloads are stored so one built index
+    // serves both search families.
+    val resBooks = pq.map { case (m, kk) =>
+      pqResidualCodebooks(corpus, cents, m, kk, cId, cVec) }
+    def writeBooks(books: Seq[Seq[Seq[Double]]], sub: String): Unit = {
       val bookSchema = StructType(Seq(
         StructField("m", IntegerType, nullable = false),
         StructField("j", IntegerType, nullable = false),
@@ -271,8 +290,10 @@ object Similarity {
         (c, j) <- book.zipWithIndex
       } yield org.apache.spark.sql.Row(mi, j, c)).asJava
       spark.createDataFrame(rows, bookSchema)
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/pq_books")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/$sub")
     }
+    pqBooks.foreach(writeBooks(_, "pq_books"))
+    resBooks.foreach(writeBooks(_, "pq_books_res"))
     val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
     val assigned = c.withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
     // Lists carry BOTH the float vectors and the int8 quantization
@@ -289,8 +310,11 @@ object Similarity {
       .withColumn("__scale", quantScale(dv))
       .withColumn("__codes", transform(quantCodesDouble(dv, col("__scale")),
         x => x.cast("int")))
-    pqBooks.fold(quantized)(books =>
-        quantized.withColumn("__pq", pqCodesCol(col(cVec), books)))
+    val withPq = pqBooks.fold(quantized)(books =>
+      quantized.withColumn("__pq", pqCodesCol(col(cVec), books)))
+    resBooks.fold(withPq)(books =>
+        withPq.withColumn("__pqr",
+          pqCodesCol(residualCol(col(cVec), col("list"), cents), books)))
       .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
   }
 
@@ -332,23 +356,39 @@ object Similarity {
       if (pqBooksExist(spark, path))
         quantized.withColumn("__pq", pqCodesCol(col(cVec), readPqBooks(spark, path)))
       else quantized
-    withPq.write.mode("append").partitionBy("list").parquet(s"$path/lists")
+    val withPqr =
+      if (pqBooksExist(spark, path, "pq_books_res"))
+        withPq.withColumn("__pqr",
+          pqCodesCol(residualCol(col(cVec), col("list"), cents),
+            readPqBooksRes(spark, path)))
+      else withPq
+    withPqr.write.mode("append").partitionBy("list").parquet(s"$path/lists")
   }
 
   private def pqBooksExist(spark: org.apache.spark.sql.SparkSession,
-                           path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/pq_books")
+                           path: String, sub: String = "pq_books"): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
   /** Read back a persisted index's PQ codebooks (m × k × sub doubles of
     * driver-bounded metadata — the [[readIvfCentroids]] lifecycle). */
   def readPqBooks(spark: org.apache.spark.sql.SparkSession,
-                  path: String): Seq[Seq[Seq[Double]]] = {
-    require(pqBooksExist(spark, path),
-      s"no pq_books under $path — this index was built without a PQ " +
+                  path: String): Seq[Seq[Seq[Double]]] =
+    readBooksDir(spark, path, "pq_books")
+
+  /** Read back the RESIDUAL codebooks (trained on x − centroid_of_list —
+    * the IVFADC payload; same driver-bounded lifecycle). */
+  def readPqBooksRes(spark: org.apache.spark.sql.SparkSession,
+                     path: String): Seq[Seq[Seq[Double]]] =
+    readBooksDir(spark, path, "pq_books_res")
+
+  private def readBooksDir(spark: org.apache.spark.sql.SparkSession,
+                           path: String, sub: String): Seq[Seq[Seq[Double]]] = {
+    require(pqBooksExist(spark, path, sub),
+      s"no $sub under $path — this index was built without a PQ " +
         "payload; rebuild with writeIvfIndex(pq = Some((m, k)))")
-    val rows = spark.read.parquet(s"$path/pq_books")
+    val rows = spark.read.parquet(s"$path/$sub")
       .collect()
       .map(r => (r.getInt(r.fieldIndex("m")), r.getInt(r.fieldIndex("j")),
         r.getSeq[Double](r.fieldIndex("c_vec"))))
@@ -724,14 +764,32 @@ object Similarity {
     val sub = dim / m
     val books0: Seq[Seq[Seq[Double]]] =
       (0 until m).map(mi => seeds.map(_._2.slice(mi * sub, (mi + 1) * sub)))
+    pqRefineBooks(corpus.withColumn("__dv", asDouble(col(cVec))), "__dv",
+      books0, k, rounds)
+  }
+
+  /** The shared PQ Lloyd-refinement loop over an arbitrary vector frame
+    * (`vCol` must be array<double>): assign every sub-vector to its
+    * nearest entry (one map-only pass — [[pqAssignCode]]'s codegen'd
+    * argmax), then average each cell per component under the
+    * decimal-exact-sum convention (round 6dp → DECIMAL(38,6) sum →
+    * /count → round 6dp), so refined codebooks are bit-identical under
+    * any partitioning. An empty cell keeps its previous entry. Used by
+    * both raw-vector ([[pqCodebooks]]) and residual
+    * ([[pqResidualCodebooks]]) training. */
+  private def pqRefineBooks(vecs: DataFrame, vCol: String,
+                            books0: Seq[Seq[Seq[Double]]], k: Int,
+                            rounds: Int): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val m = books0.size
+    val sub = books0.head.head.size
     (1 to rounds).foldLeft(books0) { (books, _) =>
-      val withCodes = corpus
-        .withColumn("__dv", asDouble(col(cVec)))
+      val withCodes = vecs
         .withColumn("__codes", array((0 until m).map(mi =>
-          pqAssignCode(slice(col("__dv"), mi * sub + 1, sub), books(mi))): _*))
+          pqAssignCode(slice(col(vCol), mi * sub + 1, sub), books(mi))): _*))
       val comp = withCodes
         .select(col("__codes"),
-          posexplode(transform(col("__dv"), x => round(x, 6))).as(Seq("pos", "x")))
+          posexplode(transform(col(vCol), x => round(x, 6))).as(Seq("pos", "x")))
         .withColumn("__m", expr(s"pos div $sub").cast("int"))
         .withColumn("__code", element_at(col("__codes"), col("__m") + 1))
         .groupBy(col("__m"), col("__code"), col("pos"))
@@ -781,6 +839,141 @@ object Similarity {
   def pqEncode(corpus: DataFrame, books: Seq[Seq[Seq[Double]]],
                cId: String = "vec_id", cVec: String = "embedding"): DataFrame =
     corpus.select(col(cId), pqCodesCol(col(cVec), books).as("codes"))
+
+  // ─────────────── residual PQ (IVFADC proper) ───────────────
+
+  /** The residual x − centroid_of_list as a column expression: the
+    * centroid table inlines as one array-of-arrays literal indexed by
+    * the row's list id, so residual computation is map-only codegen'd
+    * work — no join, no shuffle. Components are exact IEEE differences
+    * (float→double cast is exact, subtraction correctly rounded), so
+    * residuals are bit-identical on any engine. Requires the contiguous
+    * 0..n−1 list ids [[ivfCentroids]] produces. */
+  private def residualCol(vec: Column, list: Column,
+                          cents: Seq[(Long, Seq[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    require(sorted.map(_._1) == (0L until sorted.size.toLong),
+      "residual encoding needs contiguous 0..n-1 list ids")
+    val arr = typedlit(sorted.map(_._2))
+    zip_with(asDouble(vec), element_at(arr, list.cast("int") + 1), (x, c) => x - c)
+  }
+
+  /** Train RESIDUAL codebooks — the IVFADC layout (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search"): codebook mi quantizes
+    * subspace mi of r = x − centroid_of_list. At equal m×k the quantizer
+    * spends its budget on the within-list variance instead of the
+    * corpus-global spread, which is where the recall at fixed code bytes
+    * comes from. Seeds are the residuals of the first `k` corpus rows
+    * (the [[pqCodebooks]] corpus-member convention, shifted to residual
+    * space) — computed by a bounded k-row job that reuses the exact
+    * assignment/residual column expressions, so the SQL oracle replays
+    * training verbatim. Result: m × k × (dim/m) doubles of driver-bounded
+    * index metadata. */
+  def pqResidualCodebooks(corpus: DataFrame, cents: Seq[(Long, Seq[Double])],
+                          m: Int, k: Int, cId: String = "vec_id",
+                          cVec: String = "embedding",
+                          rounds: Int = 1): Seq[Seq[Seq[Double]]] = {
+    val residuals = corpus
+      .withColumn("__cn", vec_norm(col(cVec)))
+      .withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
+      .withColumn("__rv", residualCol(col(cVec), col("list"), cents))
+    val seeds = residuals.filter(col(cId) < k)
+      .select(col(cId).cast("long"), col("__rv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(seeds.size == k, s"need the first $k corpus rows as seeds, got ${seeds.size}")
+    val dim = seeds.head._2.size
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val sub = dim / m
+    // Seed residuals skew SMALL (the low-id rows seeded the coarse
+    // centroids, so they sit close to their list's centroid), which makes
+    // the seed-only codebook unrepresentative of residual space — unlike
+    // the raw-vector case, refinement is load-bearing here, so it
+    // defaults ON (rounds = 1).
+    val books0: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(mi => seeds.map(_._2.slice(mi * sub, (mi + 1) * sub).toSeq).toSeq)
+    pqRefineBooks(residuals, "__rv", books0, k, rounds)
+  }
+
+  /** Encode a corpus to residual PQ codes under explicit centroids +
+    * residual books: (id, list, codes array<int> of length m) — the
+    * stored `__pqr` form. Map-only (assignment + residual + m argmax
+    * sub-dots, all codegen'd), zero shuffles. */
+  def pqResidualEncode(corpus: DataFrame, cents: Seq[(Long, Seq[Double])],
+                       books: Seq[Seq[Seq[Double]]],
+                       cId: String = "vec_id",
+                       cVec: String = "embedding"): DataFrame = {
+    val assigned = corpus.withColumn("__cn", vec_norm(col(cVec)))
+      .withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
+    assigned.select(col(cId), col("list"),
+      pqCodesCol(residualCol(col(cVec), col("list"), cents), books).as("codes"))
+  }
+
+  /** The per-(query, probe) centroid dot q · centroid_list — the scalar
+    * that turns residual-ADC table sums into an estimate of the full
+    * inner product: q·x ≈ q·c_list + q·r̂. Map-only (centroid table
+    * inlined, indexed by the probe's list id). */
+  private def centDotCol(qVec: Column, list: Column,
+                         cents: Seq[(Long, Seq[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    require(sorted.map(_._1) == (0L until sorted.size.toLong),
+      "residual scoring needs contiguous 0..n-1 list ids")
+    vec_dot(asDouble(qVec), element_at(typedlit(sorted.map(_._2)), list.cast("int") + 1))
+  }
+
+  /** The residual-ADC ranking tail: score = q·c_list + the m table
+    * lookups (q_mi · r̂_mi), summed left-to-right, rounded 6dp, ranked
+    * DESC with ties on the corpus id — the same inner-product contract
+    * as every other ANN path. Why inner-product and not the textbook
+    * ‖(q−c) − r̂‖² distance: expanding that distance gives
+    * ‖q‖² − 2·q·x̂ + ‖x̂‖², and the ‖x̂‖² term varies with RECONSTRUCTION
+    * error even on unit-norm data — distance ranking injects
+    * reconstruction-norm noise a dot ranking doesn't have (measured: it
+    * LOSES recall to raw-vector dot-ADC on the unit-norm corpus). The
+    * residual layout's fidelity win lives entirely in q·x̂ = q·c + q·r̂,
+    * which this scores exactly. */
+  private def residualAdcRank(pairs: DataFrame, m: Int, k: Int,
+                              qId: String, cId: String): DataFrame = {
+    val score = round((col("__qc0") +: (0 until m).map(mi =>
+      element_at(col(s"__t$mi"), element_at(col("codes"), mi + 1) + 1)))
+      .reduceLeft(_ + _), 6)
+    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
+    pairs.withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("score"), col("rank"))
+  }
+
+  /** Residual IVF-PQ search — the IVFADC layout adapted to this module's
+    * inner-product contract: probe selection at full precision against
+    * the centroid metadata ([[probesFor]]), then asymmetric scoring over
+    * ONLY the stored `__pqr` residual codes of the probed lists as
+    * q·x ≈ q·c_list + Σ T_mi[code_mi], with T the per-subspace tables of
+    * q against the RESIDUAL codebooks and q·c_list a per-(query, probe)
+    * scalar — both computed once broadcast-side. A candidate costs m
+    * lookups + m adds; the corpus scan prunes to nProbe/nLists
+    * partitions × the m-int residual-code column and never shuffles.
+    * Same output shape and ranking contract as [[searchIvfIndexPq]];
+    * the residual codes approximate q·x strictly better at the same
+    * m×k budget because the quantizer spends it on within-list
+    * variance (ExtSpec pins recall ≥ the raw-vector payload's). */
+  def searchIvfIndexPqResidual(spark: org.apache.spark.sql.SparkSession,
+                               path: String, queries: DataFrame, k: Int,
+                               nProbe: Int, qId: String = "q_id",
+                               cId: String = "vec_id",
+                               qVec: String = "q_vec"): DataFrame = {
+    val cents = readIvfCentroids(spark, path)
+    val books = readPqBooksRes(spark, path)
+    val probes = probesFor(queries, cents, nProbe, qId, qVec)
+      .select(Seq(col(qId), col("list"),
+        centDotCol(col(qVec), col("list"), cents).as("__qc0")) ++
+        adcTableCols(col(qVec), books): _*)
+    val codes = readProbedLists(spark, path, probes)
+      .select(col("list"), col(cId), col("__pqr").as("codes"))
+    residualAdcRank(codes.join(broadcast(probes), Seq("list")),
+      books.size, k, qId, cId)
+  }
 
   /** Per-query ADC lookup-table columns `__t0..__t{m-1}`: table mi holds
     * the k sub-dots q_mi · c_mi,j, computed ONCE on the (broadcast) query

@@ -441,6 +441,70 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("ivf-pq residual: stored codes survive appends; recall >= raw-vector ADC") {
+    // IVFADC proper: __pqr quantizes x − centroid_of_list under
+    // residual-trained books. Same index, same probes, same code bytes
+    // as the raw-vector __pq payload — the residual layout's whole claim
+    // is better fidelity at equal budget, so its recall against the
+    // full-precision search must not fall below raw ADC's.
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_pqr").toString
+    try {
+      val cut = 400L
+      Similarity.writeIvfIndex(e.filter(col("vec_id") < cut), nLists = 4, path,
+        pq = Some((8, 16)))
+      Similarity.appendToIvfIndex(spark, path, e.filter(col("vec_id") >= cut))
+      val cents = Similarity.readIvfCentroids(spark, path)
+      val resBooks = Similarity.readPqBooksRes(spark, path)
+      assert(resBooks == Similarity.pqResidualCodebooks(
+          e.filter(col("vec_id") < cut), cents, 8, 16),
+        "persisted residual codebooks equal the trained set")
+      // Stored residual codes (build + append halves alike) must BE
+      // pqResidualEncode's output under the frozen centroids + books.
+      val stored = spark.read.parquet(s"$path/lists")
+        .select(col("vec_id"), col("__pqr"))
+        .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+      val expected = Similarity.pqResidualEncode(e, cents, resBooks)
+        .select(col("vec_id"), col("codes"))
+        .as[(Long, Seq[Int])].collect().toSeq.sortBy(_._1)
+      assert(stored == expected,
+        "stored __pqr must equal pqResidualEncode under frozen cents+books")
+      // Recall vs the full-precision search of the same probed lists, at
+      // the same nProbe and the same m x k code budget: residual ADC must
+      // be at least as good as raw-vector ADC. Measured over EVERY corpus
+      // row as a query (2500 pairs) — per-query top-k overlap is noisy
+      // enough at this corpus size that a handful of queries can rank
+      // either way; the corpus-wide rate is the pinned, deterministic
+      // quantity (small per-query evals measured both above and below).
+      val qAll = e.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val full = Similarity.searchIvfIndex(spark, path, qAll, k = 5, nProbe = 2)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+      def recall(s: Set[(Long, Long)]) = (full intersect s).size.toDouble / full.size
+      val raw = recall(Similarity.searchIvfIndexPq(spark, path, qAll, k = 5, nProbe = 2)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet)
+      val res = recall(Similarity.searchIvfIndexPqResidual(spark, path, qAll, k = 5,
+          nProbe = 2)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet)
+      info(s"recall@5 vs full-precision IVF at nProbe=2 (500 queries): raw ADC $raw, residual ADC $res")
+      assert(res >= raw, s"residual ADC recall $res fell below raw ADC $raw")
+      assert(res >= 0.3, s"residual ADC recall $res collapsed")
+      // A rebuild WITHOUT the PQ payload must remove the stale codebooks
+      // (true overwrite semantics for the whole index dir) — otherwise
+      // appendToIvfIndex would write __pq/__pqr codes the rebuilt base
+      // files lack and PQ searches would silently score NULL codes.
+      Similarity.writeIvfIndex(e, nLists = 4, path)
+      assertThrows[IllegalArgumentException](Similarity.readPqBooks(spark, path))
+      assertThrows[IllegalArgumentException](Similarity.readPqBooksRes(spark, path))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("multi-probe LSH recall dominates any single plane set's") {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
       .select("vec_id", "embedding")
