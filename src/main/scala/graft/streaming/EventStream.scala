@@ -262,66 +262,251 @@ object EventStream {
     * nothing. The landed fingerprints are STORED: every sink row
     * carries a `__fp` column (md5 of its text, the reserved-name
     * convention) written in the same parquet files as the doc itself,
-    * and the guard (`Dedup.freshByFingerprint`) scans ONLY that column
-    * — a column-pruned ~32 B/doc read instead of re-hashing the sink's
-    * full text every micro-batch (at 100 TB, the difference between
-    * re-reading the corpus per batch and reading its key column). A
-    * sibling fingerprint TABLE would be cheaper still to scan but
-    * cannot be atomic with the docs append (fp-first loses docs on a
-    * crash between the writes; docs-first re-admits them) — the stored
-    * column shares the data files, so the guard can never disagree
-    * with the sink contents. The fingerprint is NULL-SAFE
-    * (null-text docs map to a sentinel outside the md5 hex space) so a
-    * nullable text column cannot re-admit its rows on every replay.
-    * Within one batch only key duplicates are dropped — two
+    * so the exact guard can never disagree with the sink contents (a
+    * sibling fingerprint TABLE would be cheaper to scan but cannot be
+    * atomic with the docs append — fp-first loses docs on a crash
+    * between the writes, docs-first re-admits them). The fingerprint is
+    * NULL-SAFE (null-text docs map to a sentinel outside the md5 hex
+    * space) so a nullable text column cannot re-admit its rows on every
+    * replay. Within one batch only key duplicates are dropped — two
     * same-content docs under different keys both land (compose an
     * exact-dedup stage upstream if content uniqueness within a batch
     * matters). Empty first batch commits a data-file-less dir; later
     * reads pin the schema instead of inferring (the `upsertSink`
     * contract).
     *
-    * Format note: a sink written by a pre-`__fp` version of this sink
-    * has no stored fingerprints — resuming on it would read `__fp` as
-    * NULL for every landed row and the guard would recognize nothing
-    * (replays would duplicate). Migrate once before resuming: read the
-    * old sink, add `__fp` with the same null-safe md5, rewrite. */
+    * Guard cost — O(batch), not O(sink), per micro-batch: beside the
+    * data files lives `_fp_blooms/`, fixed-size bloom filters over the
+    * landed fingerprints (one per committed batch, merged at read
+    * time). Each batch's bloom is written durably BEFORE its data
+    * append, so every landed row is bloom-covered at every crash point
+    * — a merged-bloom MISS therefore proves the row's content has never
+    * landed, and those rows append with ZERO sink IO (the normal
+    * fresh-content case: the guard is |batch| map-side probes against
+    * driver-merged metadata). Only bloom HITS — replays, cross-batch
+    * content re-deliveries, and an fpp-bounded residue of false
+    * positives — fall through to the exact anti-join against the
+    * sink's `__fp` column (column-pruned, bloom-prefiltered at the
+    * scan, ~32 B/doc: the [[graft.ext.Dedup.freshByFingerprint]]
+    * shape). Bloom false positives cost only that fallback, never a
+    * dropped row. A bloom written for an append that then crashed
+    * claims content that never landed — harmless for the same reason:
+    * hits are verified exactly. As the stream outgrows
+    * `guardBloomItems` × committed batches the merged filter saturates
+    * and more batches pay the exact fallback — degradation is back to
+    * the pre-bloom guard cost, never incorrectness; recompact or
+    * rebuild `_fp_blooms/` with larger sizing to restore the fast
+    * path. Sizing is part of the sink's on-disk contract: all bloom
+    * files must share one (items × bitsPerItem) shape to merge, so
+    * changing the parameters on an existing sink requires rebuilding
+    * the bloom dir.
+    *
+    * Format notes. A sink written by a pre-`__fp` version has no
+    * stored fingerprints — the guard cannot recognize anything, so
+    * resuming FAILS FAST with a migrate-once instruction instead of
+    * silently duplicating (the actual file footers are inspected, not
+    * the pinned read schema). A sink written by the pre-bloom `__fp`
+    * version migrates automatically: one O(sink-fp) scan builds a
+    * single legacy bloom covering everything landed so far (if the
+    * landed count exceeds `guardBloomItems` that bloom is saturated —
+    * correct but slow — so pass sizing that covers the legacy
+    * corpus). */
   def decontaminationSink(stream: DataFrame, bench: DataFrame,
                           sinkPath: String, docKey: String, textCol: String,
                           n: Int, minHits: Int, maxShingleDf: Int,
-                          checkpoint: String
+                          checkpoint: String,
+                          guardBloomItems: Long = 1L << 20,
+                          guardBloomBitsPerItem: Long = 8L,
+                          guardCompactAt: Int = 64
                          ): org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.ext.{Contamination, Dedup}
+    import graft.ext.Contamination
     val benchSh = Contamination
       .cappedBenchShingles(bench, docKey, textCol, n, maxShingleDf)
       .localCheckpoint()
-    val write: (DataFrame, Long) => Unit = (batch0, _) => {
+    // Once per query run, not per batch: the footer inspection +
+    // legacy-bloom migration below list and read sink files.
+    var guardReady = false
+    val write: (DataFrame, Long) => Unit = (batch0, batchId) => {
       val s = batch0.sparkSession
       val sink = new org.apache.hadoop.fs.Path(sinkPath)
       val fs = sink.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val b1 = batch0.dropDuplicates(docKey)
-      val clean = Contamination.decontaminateAgainst(b1, benchSh, docKey,
-        textCol, n, minHits)
       val sinkSchema = org.apache.spark.sql.types.StructType(
         batch0.schema.fields :+ org.apache.spark.sql.types.StructField(
           "__fp", org.apache.spark.sql.types.StringType))
+      if (!guardReady) {
+        ensureGuardReady(s, fs, sink, sinkPath, sinkSchema,
+          guardBloomItems, guardBloomBitsPerItem)
+        guardReady = true
+      }
+      val b1 = batch0.dropDuplicates(docKey)
+      val clean = Contamination.decontaminateAgainst(b1, benchSh, docKey,
+        textCol, n, minHits)
       // Null-safe: md5(NULL) is NULL, and a NULL fingerprint matches
       // nothing in the anti-join — a null-text doc would re-land on
       // every replay. The sentinel is not 32 hex chars, so it cannot
       // collide with any real md5 (and stays distinct from md5('')).
       val fp = coalesce(md5(col(textCol)), lit("__fp:null-text"))
-      val fresh =
-        if (!fs.exists(sink)) clean
-        else Dedup.freshByFingerprint(clean,
-          s.read.schema(sinkSchema).parquet(sinkPath).select("__fp"),
-          "__fp", textCol, batchFp = Some(fp))
-      fresh.withColumn("__fp", fp)
-        .write.mode("append").parquet(sinkPath)
+      val (fresh0, consultedSink) =
+        bloomGuardedFresh(clean, fp, sinkPath, sinkSchema, textCol)
+      // The consulted path embeds the sink anti-join, and `fresh` feeds
+      // three jobs below (emptiness probe, bloom aggregate, append) —
+      // materialize once so the sink fp column is scanned once, not 3×.
+      val fresh = if (consultedSink) fresh0.localCheckpoint() else fresh0
+      // Bloom BEFORE data — the coverage invariant the whole guard
+      // rests on: whatever the crash point, every landed row already
+      // has a durable bloom claiming it. (Bloom-then-crash claims rows
+      // that never landed; the exact fallback on hits absorbs that.)
+      if (!fresh.isEmpty) {
+        val bytes = graft.ops.BloomJoin.keyBloom(fresh, col("__fp"),
+          guardBloomItems, guardBloomBitsPerItem)
+        FpBlooms.write(fs, sink,
+          s"batch-$batchId-${java.util.UUID.randomUUID}.bloom", bytes)
+      }
+      fresh.write.mode("append").parquet(sinkPath)
+      // Bound the per-batch driver merge (and the small-files creep):
+      // fold the accumulated per-batch blooms into one. Write-new-then-
+      // delete-old, so a crash mid-compaction leaves double coverage,
+      // never a gap.
+      val files = FpBlooms.list(fs, sink)
+      if (files.size > guardCompactAt) FpBlooms.compact(fs, sink, files, batchId)
     }
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch(write)
       .start()
+  }
+
+  /** The bloom-guarded exactly-once-per-content filter behind
+    * [[decontaminationSink]], exposed for direct testing. Returns the
+    * fresh rows (with `__fp` attached) and whether the sink's stored
+    * fingerprint column had to be consulted — `false` exactly when
+    * every batch row missed the merged persisted bloom, i.e. the
+    * normal fresh-content batch pays no sink IO at all. Callers must
+    * have run the migration check first ([[decontaminationSink]]
+    * does): with no bloom files present the guard treats everything
+    * as fresh. */
+  private[graft] def bloomGuardedFresh(batch: DataFrame,
+      fp: org.apache.spark.sql.Column, sinkPath: String,
+      sinkSchema: org.apache.spark.sql.types.StructType,
+      textCol: String): (DataFrame, Boolean) = {
+    val s = batch.sparkSession
+    val sink = new org.apache.hadoop.fs.Path(sinkPath)
+    val fs = sink.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // The batch feeds two filters plus the downstream jobs — pin it so
+    // the decontamination chain upstream runs once.
+    val keyed = batch.withColumn("__fp", fp).localCheckpoint()
+    FpBlooms.readMerged(fs, FpBlooms.list(fs, sink)) match {
+      case None => (keyed, false) // nothing ever landed (post-migration)
+      case Some(merged) =>
+        val hit = graft.ops.BloomJoin.mightContain(merged, col("__fp"))
+        val suspects = keyed.filter(hit)
+        val definite = keyed.filter(!hit)
+        if (suspects.isEmpty) (definite, false)
+        else if (!fs.exists(sink)) (keyed, false) // bloom-then-crash before 1st append
+        else {
+          val landedFp = s.read.schema(sinkSchema).parquet(sinkPath)
+            .select("__fp")
+          val verified = graft.ext.Dedup.freshByFingerprint(suspects,
+            landedFp, "__fp", textCol, batchFp = Some(col("__fp")))
+          (definite.unionByName(verified), true)
+        }
+    }
+  }
+
+  /** Once per resume: fail fast on a pre-`__fp` sink (no stored
+    * fingerprints — the guard would silently duplicate on replay), and
+    * auto-migrate a pre-bloom `__fp` sink by building one legacy bloom
+    * over everything landed (a single column-pruned O(sink-fp) scan).
+    * Inspects the ACTUAL parquet footers, not the pinned read schema —
+    * the pinned read would happily return `__fp` as all-NULL. */
+  private def ensureGuardReady(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, sink: org.apache.hadoop.fs.Path,
+      sinkPath: String, sinkSchema: org.apache.spark.sql.types.StructType,
+      bloomItems: Long, bloomBitsPerItem: Long): Unit = {
+    if (!fs.exists(sink)) return
+    // Inference throws on a data-file-less dir (empty first batch
+    // committed only _SUCCESS) — nothing landed, nothing to migrate.
+    scala.util.Try(s.read.parquet(sinkPath).schema).foreach { actual =>
+      require(actual.fieldNames.contains("__fp"),
+        s"decontamination sink at $sinkPath was written without stored " +
+          "fingerprints (no __fp column in the data files): resuming " +
+          "would silently duplicate on replay. Migrate once: read the " +
+          "old sink, add __fp = coalesce(md5(<textCol>), " +
+          "'__fp:null-text'), and rewrite the sink.")
+      if (FpBlooms.list(fs, sink).isEmpty) {
+        val landed = s.read.schema(sinkSchema).parquet(sinkPath)
+        val bytes = graft.ops.BloomJoin.keyBloom(landed.select("__fp"),
+          col("__fp"), bloomItems, bloomBitsPerItem)
+        FpBlooms.write(fs, sink, "legacy-0.bloom", bytes)
+      }
+    }
+  }
+
+  /** On-disk replay-guard blooms for [[decontaminationSink]]:
+    * `.bloom` files under `<sink>/_fp_blooms`, each a fixed-size
+    * `org.apache.spark.util.sketch.BloomFilter` over landed `__fp`
+    * values (xxhash64 keys — the [[graft.ops.BloomJoin]] encoding, so
+    * the probe side is the same codegen'd `might_contain`). All files
+    * share one sizing so they OR together; membership is the union of
+    * files, so duplicate coverage (retry attempts, interrupted
+    * compactions) is always harmless. */
+  private object FpBlooms {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    import org.apache.spark.util.sketch.BloomFilter
+
+    private def dir(sink: Path) = new Path(sink, "_fp_blooms")
+
+    def list(fs: FileSystem, sink: Path): Seq[Path] = {
+      val d = dir(sink)
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".bloom"))
+    }
+
+    private def readOne(fs: FileSystem, p: Path): BloomFilter = {
+      val in = fs.open(p)
+      try BloomFilter.readFrom(in) finally in.close()
+    }
+
+    /** Driver-side union of every persisted bloom, serialized for the
+      * codegen'd probe. Distinct sizings cannot OR — surface the
+      * contract instead of the sketch library's internal error. */
+    def readMerged(fs: FileSystem, files: Seq[Path]): Option[Array[Byte]] =
+      files.map(readOne(fs, _)).reduceOption { (a, b) =>
+        try a.mergeInPlace(b)
+        catch {
+          case e: org.apache.spark.util.sketch.IncompatibleMergeException =>
+            throw new IllegalStateException(
+              "_fp_blooms files have mixed sizings (guardBloomItems × " +
+                "guardBloomBitsPerItem changed on an existing sink?); " +
+                "rebuild the bloom dir with one sizing", e)
+        }
+      }.map { bf =>
+        val out = new java.io.ByteArrayOutputStream()
+        bf.writeTo(out)
+        out.toByteArray
+      }
+
+    /** Durable create via tmp + rename so a crash mid-write cannot
+      * leave a truncated `.bloom` for the next batch's `readFrom`. */
+    def write(fs: FileSystem, sink: Path, name: String,
+              bloom: Array[Byte]): Unit = {
+      val d = dir(sink)
+      if (!fs.exists(d)) fs.mkdirs(d)
+      val tmp = new Path(d, s".$name.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bloom) finally out.close()
+      fs.rename(tmp, new Path(d, name))
+    }
+
+    def compact(fs: FileSystem, sink: Path, files: Seq[Path],
+                batchId: Long): Unit =
+      readMerged(fs, files).foreach { merged =>
+        write(fs, sink,
+          s"compact-$batchId-${java.util.UUID.randomUUID}.bloom", merged)
+        files.foreach(fs.delete(_, false))
+      }
   }
 
   def upsertSink(stream: DataFrame, sinkPath: String, keys: Seq[String],

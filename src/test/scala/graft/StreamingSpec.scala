@@ -352,6 +352,94 @@ class StreamingSpec extends SparkSpec {
       s"guard must not re-read the sink's data columns:\n$planStr")
   }
 
+  test("decontamination guard: fresh batches pay zero sink IO, hits fall back exactly") {
+    implicit val sc = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("graft_decon_bloom")
+      .resolve("c").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_decon_bloom_ck").toString
+    val bench = Seq(100L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.decontaminationSink(mem.toDF().toDF("doc_id", "text"),
+      bench, sink, "doc_id", "text", n = 3, minHits = 2, maxShingleDf = 2,
+      checkpoint = ckpt)
+    mem.addData(1L -> "alpha beta gamma delta", 2L -> "epsilon zeta eta theta")
+    q.processAllAvailable()
+    mem.addData(3L -> "iota kappa lambda mu")
+    q.processAllAvailable(); q.stop()
+    val bloomDir = new java.io.File(s"$sink/_fp_blooms")
+    assert(bloomDir.listFiles().count(_.getName.endsWith(".bloom")) == 2,
+      "one guard bloom per non-empty committed batch")
+    val fpExpr = coalesce(md5(col("text")), lit("__fp:null-text"))
+    val sinkSchema = org.apache.spark.sql.types.StructType(
+      Seq(1L -> "x").toDF("doc_id", "text").schema.fields :+
+        org.apache.spark.sql.types.StructField("__fp",
+          org.apache.spark.sql.types.StringType))
+    // Hit path first (needs the data files): a batch re-delivering doc
+    // 1's content plus one fresh doc consults the sink and drops
+    // exactly the landed content.
+    val (dup, consulted) = EventStream.bloomGuardedFresh(
+      Seq(9L -> "alpha beta gamma delta", 10L -> "nu xi omicron pi")
+        .toDF("doc_id", "text"),
+      fpExpr, sink, sinkSchema, "text")
+    assert(consulted, "re-delivered content must hit the bloom and verify exactly")
+    assert(dup.select("doc_id").as[Long].collect().toSeq == Seq(10L),
+      "only the genuinely fresh doc survives the exact fallback")
+    // IO proof for the miss path: delete every parquet data file
+    // (blooms stay). A disjoint-content batch's guard can now only
+    // succeed if it truly never reads the sink's fp column.
+    new java.io.File(sink).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach(f => assert(f.delete()))
+    val (fresh, consulted2) = EventStream.bloomGuardedFresh(
+      Seq(11L -> "rho sigma tau upsilon", 12L -> "phi chi psi omega")
+        .toDF("doc_id", "text"),
+      fpExpr, sink, sinkSchema, "text")
+    assert(!consulted2, "all-miss batch must not consult the sink")
+    assert(fresh.count() == 2, "every miss is definitely fresh")
+  }
+
+  test("decontaminationSink: pre-__fp sink fails fast; pre-bloom __fp sink auto-migrates") {
+    implicit val sc = spark.sqlContext
+    // Pre-__fp sink: data files without stored fingerprints.
+    val oldSink = java.nio.file.Files.createTempDirectory("graft_decon_prefp")
+      .resolve("c").toString
+    Seq(1L -> "previously landed doc").toDF("doc_id", "text")
+      .write.parquet(oldSink)
+    val bench = Seq(100L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.decontaminationSink(mem.toDF().toDF("doc_id", "text"),
+      bench, oldSink, "doc_id", "text", n = 3, minHits = 2, maxShingleDf = 2,
+      checkpoint = java.nio.file.Files.createTempDirectory("graft_prefp_ck").toString)
+    mem.addData(2L -> "some arriving doc")
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(err.getMessage.contains("Migrate once") ||
+      Option(err.getCause).exists(_.getMessage.contains("Migrate once")),
+      s"must fail with the migrate-once instruction, got: ${err.getMessage}")
+    // Pre-bloom sink: stored __fp but no _fp_blooms — one legacy bloom
+    // is built automatically and the guard stays exact.
+    val legacy = java.nio.file.Files.createTempDirectory("graft_decon_legacy")
+      .resolve("c").toString
+    Seq(1L -> "previously landed doc").toDF("doc_id", "text")
+      .withColumn("__fp", coalesce(md5(col("text")), lit("__fp:null-text")))
+      .write.parquet(legacy)
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStream.decontaminationSink(mem2.toDF().toDF("doc_id", "text"),
+      bench, legacy, "doc_id", "text", n = 3, minHits = 2, maxShingleDf = 2,
+      checkpoint = java.nio.file.Files.createTempDirectory("graft_legacy_ck").toString)
+    mem2.addData(2L -> "previously landed doc", 3L -> "a new doc entirely")
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.read.parquet(legacy).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L),
+      s"legacy content must be recognized via the migrated bloom, got $got")
+    assert(new java.io.File(s"$legacy/_fp_blooms").listFiles()
+      .exists(_.getName.startsWith("legacy-")), "legacy bloom written once")
+  }
+
   test("decontaminationSink survives an empty first micro-batch") {
     // Same shape as the upsertSink case: an empty first batch commits a
     // footer-less sink dir; batch 2's replay guard reads it with the
