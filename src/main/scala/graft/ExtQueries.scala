@@ -1088,6 +1088,23 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    "q_mixture_temp" -> ((s, dir) => {
+      // α-temperature mixture end-to-end: supplies → floor(supply^α·10⁶)
+      // integer weights → largest-remainder apportionment of the total
+      // → mixture selection with one shortfall-redistribution pass
+      // (α 0.5 hands src8 more than its supply at sf0.01, so the
+      // redistribution genuinely fires). The oracle replays the whole
+      // arithmetic from the parquet alone — power() is the single
+      // double step on either side, quantized to integers immediately.
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      Sampling.mixtureByTemperature(docs, col("source"), col("doc_id"),
+          col("n_tokens"), TempSources, TempTotal, TempAlphaHundredths,
+          shards = MixtureShards)
+        .orderBy("doc_id")
+    }),
+
     "q_semantic_dedup" -> ((s, dir) => {
       // Cross-modal near-dup removal: a document is evicted when its
       // EMBEDDING is a verified cosine near-duplicate of a lower-id
@@ -2082,17 +2099,16 @@ object ExtQueries {
     * leading absorbers in name order (EXACTLY `redistributedBudgets`'
     * integer arithmetic), then the pass-2 prefix selection under the
     * adjusted budgets. */
-  private def mixtureRedistSql: String = {
-    val keysIn = MixtureBudgets.map { case (s, _) => s"'$s'" }.mkString(", ")
-    s"""$mixtureSelSql,
-       tgt AS (SELECT * FROM (VALUES ${
-      MixtureBudgets.map { case (s, b) =>
-        s"('$s', CAST($b AS BIGINT))" }.mkString(", ")
-    }) AS v(source, b)),
-       ach AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS a
+  /** Redistribution + pass-2 selection tail shared by the
+    * literal-budget and temperature oracles. Assumes CTEs
+    * `t(doc_id, source, n_tokens, shard, h, ...)`,
+    * `sel(doc_id, source, n_tokens)` (the pass-1 selection),
+    * `tgt(source, b)` (the pass-1 budgets), and `sup(source, s)`
+    * (per-source token supply) are already defined; ends defining
+    * `adj(source, b2)` and `sel2`. */
+  private def mixtureRedistTailSql: String =
+    s"""ach AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS a
          FROM sel GROUP BY 1),
-       sup AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS s
-         FROM t WHERE source IN ($keysIn) GROUP BY 1),
        st AS (SELECT tgt.source, tgt.b,
            COALESCE(ach.a, 0) AS a, COALESCE(sup.s, 0) AS s
          FROM tgt LEFT JOIN ach USING (source) LEFT JOIN sup USING (source)),
@@ -2119,6 +2135,75 @@ object ExtQueries {
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before2
        FROM t2),
        sel2 AS (SELECT doc_id, source, n_tokens FROM c2 WHERE before2 < shard_budget2)"""
+
+  private def mixtureRedistSql: String = {
+    val keysIn = MixtureBudgets.map { case (s, _) => s"'$s'" }.mkString(", ")
+    s"""$mixtureSelSql,
+       tgt AS (SELECT * FROM (VALUES ${
+      MixtureBudgets.map { case (s, b) =>
+        s"('$s', CAST($b AS BIGINT))" }.mkString(", ")
+    }) AS v(source, b)),
+       sup AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS s
+         FROM t WHERE source IN ($keysIn) GROUP BY 1),
+       $mixtureRedistTailSql"""
+  }
+
+  /** α-temperature mixture over `documents`: shared verbatim by the
+    * Spark query and the generated oracle. total 5000 with α 0.50 over
+    * these four sources makes src8 (the thinnest supply at sf0.01) run
+    * dry, so the redistribution tail is genuinely exercised. */
+  private val TempSources = Seq("src0", "src2", "src8", "src19")
+  private val TempTotal = 5000L
+  private val TempAlphaHundredths = 50
+
+  /** DuckDB twin of `Sampling.mixtureByTemperature`: per-source
+    * supplies → integer milli-weights `floor(supply^α · 10⁶)` (the one
+    * double step, quantized immediately — `power` is the only
+    * non-integer arithmetic either engine runs) → largest-remainder
+    * apportionment of the total (floor shares in HUGEINT, leftover
+    * tokens one each to the largest remainders, remainder DESC / name
+    * ASC, zero-weight sources never bumped) → the literal-budget
+    * mixture chain under those budgets, redistribution pass included. */
+  private def mixtureTempSql: String = {
+    val srcVals = TempSources.map(s => s"('$s')").mkString(", ")
+    val keysIn = TempSources.map(s => s"'$s'").mkString(", ")
+    val alphaLit = TempAlphaHundredths / 100.0
+    s"""base AS (SELECT doc_id, source,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8)) AS BIGINT)
+           % $MixtureShards AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+       FROM documents),
+       srcs AS (SELECT * FROM (VALUES $srcVals) AS v(source)),
+       sup0 AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS s
+         FROM base WHERE source IN ($keysIn) GROUP BY 1),
+       sup AS (SELECT srcs.source, COALESCE(sup0.s, 0) AS s
+         FROM srcs LEFT JOIN sup0 USING (source)),
+       wts AS (SELECT source,
+           CAST(floor(power(CAST(s AS DOUBLE), $alphaLit) * 1000000) AS HUGEINT) AS w
+         FROM sup),
+       wtot AS (SELECT SUM(w) AS wt FROM wts),
+       bfl AS (SELECT source, w,
+           CAST(CAST($TempTotal AS HUGEINT) * w // (SELECT wt FROM wtot) AS BIGINT) AS bf,
+           CAST($TempTotal AS HUGEINT) * w % (SELECT wt FROM wtot) AS fr
+         FROM wts),
+       rnk AS (SELECT source, row_number() OVER (ORDER BY fr DESC, source) AS rk
+         FROM bfl WHERE w > 0),
+       lft AS (SELECT $TempTotal - CAST(SUM(bf) AS BIGINT) AS r FROM bfl),
+       tgt AS (SELECT bfl.source, bf +
+           CASE WHEN rnk.rk IS NOT NULL AND rnk.rk <= (SELECT r FROM lft)
+             THEN 1 ELSE 0 END AS b
+         FROM bfl LEFT JOIN rnk USING (source)),
+       t AS (SELECT base.doc_id, base.source, base.n_tokens, base.shard, base.h,
+           CAST(COALESCE(tgt.b, 0) AS BIGINT) AS budget
+         FROM base LEFT JOIN tgt ON base.source = tgt.source),
+       c AS (SELECT *, budget // $MixtureShards +
+           CASE WHEN shard < budget % $MixtureShards THEN 1 ELSE 0 END AS shard_budget,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY h, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+       FROM t),
+       sel AS (SELECT doc_id, source, n_tokens FROM c WHERE before < shard_budget),
+       $mixtureRedistTailSql"""
   }
   private val WideBands = 2
   private val WideSliceBits = 12
@@ -3438,6 +3523,10 @@ object ExtQueries {
 
     "q_mixture_redistributed" ->
       s"""WITH $mixtureRedistSql
+          SELECT doc_id, source, n_tokens FROM sel2 ORDER BY doc_id""",
+
+    "q_mixture_temp" ->
+      s"""WITH $mixtureTempSql
           SELECT doc_id, source, n_tokens FROM sel2 ORDER BY doc_id""",
 
     // The q_mixture_report tail over the ADJUSTED budgets and pass-2

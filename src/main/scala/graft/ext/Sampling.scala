@@ -329,6 +329,73 @@ object Sampling {
       redistributedBudgets(df, source, key, tokens, budgetBySource, shards, salt),
       shards, salt)
 
+  /** α-temperature mixture budgets — the multilingual-LM sampling rule
+    * (the `p_s ∝ supply_s^α` reweighting of the XLM-R/mT5 line of
+    * work): source s's token budget is `total · supply_s^α / Σ
+    * supply^α`. α = 1 is proportional sampling (the corpus as it is);
+    * α → 0 is uniform (every source equal); the 0.3–0.7 middle
+    * upweights small curated sources against a dominant crawl without
+    * flattening the mixture entirely. α arrives in integer HUNDREDTHS
+    * (the module's exact-knob convention — 50 = α 0.5).
+    *
+    * The arithmetic is pinned so an independent engine can replay it:
+    * weights are `floor(supply^α · 10⁶)` (the one double step,
+    * quantized to an integer immediately), and `total` is apportioned
+    * by largest remainder over those integer weights — floor shares in
+    * BigInt (no overflow at any corpus scale), then the leftover
+    * tokens go one each to the largest fractional remainders
+    * (remainder DESC, source name ASC; zero-weight sources never
+    * bumped). Σ budgets = total EXACTLY whenever any source has
+    * supply; all-zero supply yields all-zero budgets.
+    *
+    * Supplies are measured with one combine-enabled aggregation
+    * collected at |sources| rows — driver-bounded metadata, like every
+    * budget map in this module. */
+  def temperatureBudgets(df: DataFrame, source: Column, tokens: Column,
+                         sources: Seq[String], total: Long,
+                         alphaHundredths: Int): Map[String, Long] = {
+    require(total >= 0, "total must be >= 0")
+    require(alphaHundredths >= 0, "alphaHundredths must be >= 0")
+    require(sources.nonEmpty, "need at least one source")
+    require(sources.distinct == sources, "sources must be distinct")
+    val alpha = alphaHundredths / 100.0
+    val supply = df.filter(source.cast("string").isin(sources: _*))
+      .groupBy(source.cast("string").as("__s"))
+      .agg(sum(tokens).cast("long").as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .withDefaultValue(0L)
+    val w = sources.map(s => s ->
+      BigInt(math.floor(math.pow(supply(s).toDouble, alpha) * 1e6).toLong))
+      .toMap
+    val wTot = w.values.sum
+    if (wTot == 0) sources.map(_ -> 0L).toMap
+    else {
+      val floorShare = sources.map(s => s -> BigInt(total) * w(s) / wTot).toMap
+      val leftover = (BigInt(total) - floorShare.values.sum).toInt
+      val bumped = sources.filter(s => w(s) > 0)
+        .sortBy(s => (BigInt(total) * w(s) % wTot, s))(
+          Ordering.Tuple2(Ordering[BigInt].reverse, Ordering[String]))
+        .take(leftover).toSet
+      sources.map(s =>
+        s -> (floorShare(s) + (if (bumped(s)) 1 else 0)).toLong).toMap
+    }
+  }
+
+  /** [[mixtureByTokenBudget]] under [[temperatureBudgets]], with one
+    * shortfall-redistribution pass: α < 1 deliberately hands small
+    * sources MORE than their proportional share, so a curated source
+    * running dry is the expected case, not the edge case — the unused
+    * mass flows to the sources that still have docs
+    * ([[redistributedBudgets]]) instead of silently shrinking the
+    * corpus. */
+  def mixtureByTemperature(df: DataFrame, source: Column, key: Column,
+                           tokens: Column, sources: Seq[String],
+                           total: Long, alphaHundredths: Int, shards: Int,
+                           salt: String = "mix"): DataFrame =
+    mixtureByTokenBudgetRedistributed(df, source, key, tokens,
+      temperatureBudgets(df, source, tokens, sources, total, alphaHundredths),
+      shards, salt)
+
   /** Achieved-vs-target accounting for [[mixtureByTokenBudget]]'s
     * output: one row per TARGETED source (a zero-budget or exhausted
     * source still reports, with achieved 0) carrying achieved and

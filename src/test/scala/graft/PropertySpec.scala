@@ -337,4 +337,48 @@ class PropertySpec extends SparkSpec {
         col("t"), slack, shards = 2) == slack)
     }
   }
+
+  test("temperatureBudgets: exact apportionment, α endpoints, supply monotonicity") {
+    trials(3) { rnd =>
+      val srcs = Seq("a", "b", "c", "d")
+      val rows = (0 until 200).map(i =>
+        (i.toLong, srcs(rnd.nextInt(srcs.size)), rnd.nextInt(50).toLong + 1))
+      val df = rows.toDF("k", "src", "t")
+      val supply = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+        .withDefaultValue(0L)
+      val total = 1000L + rnd.nextInt(5000)
+      for (alpha <- Seq(0, 30, 50, 70, 100)) {
+        val b = graft.ext.Sampling.temperatureBudgets(df, col("src"),
+          col("t"), srcs, total, alpha)
+        assert(b.keySet == srcs.toSet)
+        assert(b.values.sum == total,
+          s"Σ budgets must equal total exactly at α=$alpha, got ${b.values.sum}")
+        assert(b.values.forall(_ >= 0))
+        // Monotone in supply: a larger supply never gets a smaller
+        // budget (largest-remainder can differ by at most the bump).
+        for (s1 <- srcs; s2 <- srcs if supply(s1) > supply(s2))
+          assert(b(s1) + 1 >= b(s2),
+            s"α=$alpha: supply(${s1})=${supply(s1)} > supply(${s2})=${supply(s2)} " +
+              s"but budget ${b(s1)} < ${b(s2)} - 1")
+      }
+      // α = 0: uniform weights → equal split ±1 (largest remainder).
+      val uni = graft.ext.Sampling.temperatureBudgets(df, col("src"),
+        col("t"), srcs, total, 0)
+      assert(uni.values.max - uni.values.min <= 1, s"α=0 must split evenly, got $uni")
+      // α = 100: proportional — each budget within 1 of total·supply/Σ.
+      val prop = graft.ext.Sampling.temperatureBudgets(df, col("src"),
+        col("t"), srcs, total, 100)
+      val supTot = srcs.map(supply).sum
+      srcs.foreach { s =>
+        val exact = BigInt(total) * supply(s) / supTot
+        assert((BigInt(prop(s)) - exact).abs <= 1,
+          s"α=1 budget for $s must be proportional ±1: got ${prop(s)} vs ~$exact")
+      }
+      // Zero-supply source gets zero (never bumped by the remainder).
+      val withGhost = graft.ext.Sampling.temperatureBudgets(df, col("src"),
+        col("t"), srcs :+ "ghost", total, 50)
+      assert(withGhost("ghost") == 0L, "zero-supply source must get budget 0")
+      assert(withGhost.values.sum == total)
+    }
+  }
 }
