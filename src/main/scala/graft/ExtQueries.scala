@@ -1288,6 +1288,21 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_audio_wav" -> ((s, dir) => {
+      // REAL WAV container decode end-to-end: every doc gets a genuine
+      // RIFF/WAVE file (fmt chunk, an odd-sized JUNK chunk exercising
+      // the chunk walk + pad rule, interleaved s16le frames; channels,
+      // sample rate, and samples all analytic in doc_id), the JDK's
+      // javax.sound codec parses it back per partition, and per-channel
+      // exact integers close to duration/RMS. The oracle predicts every
+      // stat from the shifted-ramp closed forms without touching bytes.
+      Multimodal.wavMetrics(
+          Multimodal.decodeWav(
+            Multimodal.withSyntheticWav(read(s, dir, "documents"), "doc_id"),
+            "doc_id"))
+        .orderBy("doc_id", "channel")
+    }),
+
     "q_image_resize" -> ((s, dir) => {
       // REAL resize: decode each PNG, nearest-neighbor resample to 8×8,
       // exact channel sums of the resized raster. Nearest neighbor means
@@ -3787,6 +3802,36 @@ object ExtQueries {
            ROUND(sqrt(CAST((n - 1) * n * (2 * n - 1) // 6 AS DOUBLE) / n), 6)
              AS rms
          FROM a ORDER BY doc_id""",
+
+    // WAV closed forms: channel ch of an n-frame clip carries samples
+    // i + ch, so Σs² = S(n−1+ch) − S(ch−1) with S(m) = m(m+1)(2m+1)/6
+    // (each S exactly divisible by 6 → integer //), peak = n−1+ch;
+    // channels/sample rate replay the synthesis arithmetic, and
+    // duration/RMS repeat the Spark side's rounded trees.
+    "q_audio_wav" ->
+      """WITH a AS (SELECT doc_id,
+            64 + doc_id % 64 AS n,
+            1 + doc_id % 2 AS c,
+            8000 + 4000 * (doc_id % 3) AS sr
+          FROM documents),
+         ch AS (SELECT doc_id, n, c, sr,
+            unnest(generate_series(0, c - 1)) AS channel FROM a),
+         s AS (SELECT doc_id, n, c, sr, channel,
+            ((n - 1 + channel) * (n + channel) * (2 * (n - 1 + channel) + 1)) // 6
+              - CASE WHEN channel > 0
+                  THEN ((channel - 1) * channel * (2 * channel - 1)) // 6
+                  ELSE 0 END AS ssq
+          FROM ch)
+         SELECT doc_id,
+           CAST(c AS INTEGER) AS channels,
+           CAST(sr AS INTEGER) AS sample_rate,
+           CAST(channel AS INTEGER) AS channel,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(ssq AS BIGINT) AS sum_sq,
+           CAST(n - 1 + channel AS INTEGER) AS peak,
+           ROUND(CAST(n AS DOUBLE) / sr, 6) AS duration_s,
+           ROUND(sqrt(CAST(ssq AS DOUBLE) / n), 6) AS rms
+         FROM s ORDER BY doc_id, channel""",
 
     // Resized stats: output pixel (x, y) copies input pixel
     // (x·w // 8, y·h // 8) of the analytic raster.

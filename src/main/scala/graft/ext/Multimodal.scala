@@ -218,6 +218,122 @@ object Multimodal {
       .withColumn("rms",
         round(sqrt(col("sum_sq").cast("double") / col("n_samples")), 6))
 
+  /** Deterministic RIFF/WAVE container for row `id` — a REAL wav file,
+    * not bare samples: RIFF header, canonical 16-byte fmt chunk, an
+    * ODD-sized JUNK chunk between fmt and data (so a parser must walk
+    * chunks and honor RIFF's even-byte padding rule — the 44-byte
+    * fixed-offset shortcut reads garbage), then interleaved s16le
+    * frames. Every field is an analytic function of `id`:
+    * frames n = 64 + (id mod 64), channels c = 1 + (id mod 2),
+    * sample rate = 8000 + 4000·(id mod 3), and frame i of channel ch
+    * carries sample i + ch — so per-channel Σs² and peak have closed
+    * forms (Σ_{i=0}^{n−1} (i+ch)² = S(n−1+ch) − S(ch−1) with
+    * S(m) = m(m+1)(2m+1)/6) the SQL oracle computes without touching
+    * bytes. A header-offset, channel-deinterleave, endianness, or
+    * pad-rule bug breaks the hash match. */
+  private def synthWav(id: Long): Array[Byte] = {
+    val n = 64 + java.lang.Math.floorMod(id, 64).toInt
+    val c = 1 + java.lang.Math.floorMod(id, 2).toInt
+    val sr = 8000 + 4000 * java.lang.Math.floorMod(id, 3).toInt
+    val dataLen = n * c * 2
+    val junkBody = "graft".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val junkChunk = 8 + junkBody.length + (junkBody.length % 2)
+    val riffSize = 4 + (8 + 16) + junkChunk + (8 + dataLen)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(riffSize).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1.toShort).putShort(c.toShort).putInt(sr)
+      .putInt(sr * c * 2).putShort((c * 2).toShort).putShort(16.toShort)
+    bb.put("JUNK".getBytes).putInt(junkBody.length).put(junkBody).put(0.toByte)
+    bb.put("data".getBytes).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      var ch = 0
+      while (ch < c) { bb.putShort((i + ch).toShort); ch += 1 }
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Attach a real RIFF/WAVE clip per row (see [[synthWav]]) — the
+    * audio-corpus stand-in whose decode exercises a genuine container
+    * parser, the way `withSyntheticPng` does for images. */
+  def withSyntheticWav(df: DataFrame, idCol: String): DataFrame = {
+    val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long")).as[Long](Encoders.scalaLong)
+      .mapPartitions(it => it.map(id => (id, synthWav(id))))(enc)
+      .toDF(idCol, "media")
+      .withColumn("media_meta", struct(
+        octet_length(col("media")).as("n_bytes"),
+        lit("audio/wav;pcm_s16le").as("mime")))
+  }
+
+  case class WavChannelStats(id: Long, channels: Int, sample_rate: Int,
+                             channel: Int, n_frames: Long, sum_sq: Long,
+                             peak: Int)
+
+  /** REAL WAV decode via the JDK's own codec, partition-batched:
+    * `javax.sound.sampled.AudioSystem` parses each row's RIFF bytes
+    * (chunk walk, fmt negotiation, pad rule — the whole container
+    * format, not a fixed offset), the stream deinterleaves to
+    * per-channel exact integers (frame count, Σs², peak magnitude),
+    * and one row per (id, channel) comes back — integers hash
+    * identically on any engine; derived float metrics close over them
+    * in [[wavMetrics]]. Retires the stubbed audio tier: like the
+    * imageio PNG path, the bytes go through a genuine third-party
+    * decoder the synthesis code shares nothing with. */
+  def decodeWav(df: DataFrame, idCol: String): DataFrame = {
+    val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])](inEnc)
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val f = ais.getFormat
+          require(f.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && !f.isBigEndian,
+            s"row $id: expected s16le PCM wav, got $f")
+          val c = f.getChannels
+          val pcm = try ais.readAllBytes() finally ais.close()
+          val sb = java.nio.ByteBuffer.wrap(pcm)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+          val nFrames = sb.remaining() / c
+          val ssq = new Array[Long](c)
+          val pk = new Array[Int](c)
+          var i = 0
+          while (i < nFrames) {
+            var ch = 0
+            while (ch < c) {
+              val s = sb.get(i * c + ch).toInt
+              ssq(ch) += s.toLong * s
+              val a = math.abs(s)
+              if (a > pk(ch)) pk(ch) = a
+              ch += 1
+            }
+            i += 1
+          }
+          (0 until c).iterator.map(ch =>
+            WavChannelStats(id, c, f.getSampleRate.toInt, ch,
+              nFrames.toLong, ssq(ch), pk(ch)))
+        }
+      }(Encoders.product[WavChannelStats])
+      .toDF(idCol, "channels", "sample_rate", "channel", "n_frames",
+        "sum_sq", "peak")
+  }
+
+  /** Duration/RMS over [[decodeWav]]'s exact integers, with the sample
+    * rate read FROM the container (not assumed) — one rounded IEEE
+    * tree each, the repo's cross-engine round-parity convention. */
+  def wavMetrics(decoded: DataFrame): DataFrame =
+    decoded
+      .withColumn("duration_s",
+        round(col("n_frames").cast("double") / col("sample_rate"), 6))
+      .withColumn("rms",
+        round(sqrt(col("sum_sq").cast("double") / col("n_frames")), 6))
+
   /** Deterministic "video" container for row `id`: 2 + (id mod 3) PNG
     * frames, frame f carrying the analytic raster of derived id
     * id·31 + f, laid out as [int32 nFrames][int32 len, bytes]… (big-
