@@ -953,6 +953,24 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_token_bpe_bytes" -> ((s, dir) => {
+      // Byte-fallback BPE over deterministically internationalized
+      // text: each doc's ASCII prefix gains a CJK run (数据 repeated
+      // 1 + doc_id%3 times) and an accented é. Non-ASCII runs
+      // pre-tokenize WHOLE and explode to UTF-8 <0xHH> byte symbols,
+      // which the table's byte merges reassemble — each 数据 costs ONE
+      // token (below per-character, per-code-point mode's floor) and
+      // é one. The oracle replays the same byte explosion
+      // (hex(encode(run)) pairs) through the same recursive merge CTE.
+      val docs = read(s, dir, "documents").withColumn("itext",
+        concat(substring(col("text"), 1, 80), lit(" "),
+          expr("repeat('数据', CAST(doc_id % 3 + 1 AS INT))"),
+          lit(" é")))
+      Bpe.withTokenCount(docs, "doc_id", "itext", Bpe.ByteMerges,
+          byteFallback = true)
+        .orderBy("doc_id")
+    }),
+
     "q_url_normalize" -> ((s, dir) => {
       // URL canonicalization + registered domain over a deterministic
       // gnarly URL-space synthesized from the corpus (mixed-case
@@ -2541,6 +2559,12 @@ object ExtQueries {
     Bpe.Merges.zipWithIndex
       .map { case ((l, r), i) => s"('$l $r', ${i + 1})" }.mkString(", ")
 
+  /** The byte-fallback table ([[graft.ext.Bpe.ByteMerges]]), same
+    * inlining. */
+  private lazy val BpeByteMergeValues: String =
+    Bpe.ByteMerges.zipWithIndex
+      .map { case ((l, r), i) => s"('$l $r', ${i + 1})" }.mkString(", ")
+
   def oracles: Map[String, String] = Map(
     // The NAIVE frame, deliberately: Spark executes the REWRITTEN plan
     // (two growing frames), DuckDB the original sliding frame — equality
@@ -2608,6 +2632,52 @@ object ExtQueries {
             FROM documents),
           seg(doc_id, toks, done) AS (
             SELECT doc_id, string_split(word, ''), false FROM words
+            UNION ALL
+            SELECT s.doc_id,
+              CASE WHEN b.bi IS NULL THEN s.toks
+                   ELSE list_concat(list_concat(
+                     s.toks[1:b.bi-1], [s.toks[b.bi] || s.toks[b.bi+1]]),
+                     s.toks[b.bi+2:len(s.toks)]) END,
+              b.bi IS NULL
+            FROM seg s LEFT JOIN LATERAL (
+              SELECT gs.i AS bi
+              FROM (SELECT unnest(range(1, len(s.toks))) AS i) gs
+              JOIN merges m ON m.pair = s.toks[gs.i] || ' ' || s.toks[gs.i+1]
+              ORDER BY m.rank, gs.i LIMIT 1
+            ) b ON true
+            WHERE NOT s.done)
+          SELECT d.doc_id, CAST(COALESCE(t.n, 0) AS INTEGER) AS n_tokens_bpe
+          FROM documents d LEFT JOIN
+            (SELECT doc_id, SUM(len(toks)) AS n FROM seg WHERE done
+             GROUP BY doc_id) t
+            USING (doc_id)
+          ORDER BY doc_id""",
+
+    // Byte-fallback twin: non-ASCII pre-tokens seed as their UTF-8
+    // bytes — hex(encode(run)) split into '<0xHH>' pairs — and run
+    // through the SAME recursive merge CTE under the byte-extended
+    // table. ASCII words seed as characters, exactly like q_token_bpe.
+    "q_token_bpe_bytes" ->
+      s"""WITH RECURSIVE merges(pair, rank) AS (VALUES $BpeByteMergeValues),
+          docs2 AS (
+            SELECT doc_id,
+              substr(text, 1, 80) || ' ' ||
+                repeat('数据', CAST(doc_id % 3 + 1 AS INTEGER)) || ' é'
+                AS itext
+            FROM documents),
+          words AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(itext),
+              '${Bpe.PreTokenPatternBytes}')) AS word
+            FROM docs2),
+          seg(doc_id, toks, done) AS (
+            SELECT doc_id,
+              CASE WHEN regexp_matches(word, '[^\\x00-\\x7f]')
+                THEN list_transform(
+                  range(1, len(hex(encode(word))) // 2 + 1),
+                  i -> '<0x' || substr(hex(encode(word)), 2*i - 1, 2) || '>')
+                ELSE string_split(word, '') END,
+              false
+            FROM words
             UNION ALL
             SELECT s.doc_id,
               CASE WHEN b.bi IS NULL THEN s.toks

@@ -32,7 +32,11 @@ import org.apache.spark.sql.functions._
   * Multi-byte text segments by CODE POINT (surrogate-safe), so CJK or
   * accented input degrades to per-character tokens instead of
   * miscounting — the worst case is an honest upper bound, never a
-  * crash or a split surrogate.
+  * crash or a split surrogate. Byte-fallback mode (`byteFallback =
+  * true` on the public operators) goes further: non-ASCII runs become
+  * pre-tokens of their own and explode to UTF-8 `<0xHH>` byte symbols,
+  * so a byte-level merge table can compress CJK below
+  * one-token-per-character — per-code-point mode's structural floor.
   */
 object Bpe {
 
@@ -50,16 +54,62 @@ object Bpe {
     * runs, digit runs, one token per other non-space character. */
   val PreTokenPattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
-  /** Token count of ONE pre-token under `rank` (the greedy merge loop). */
-  def tokenCount(word: String, rank: Map[(String, String), Int]): Int = {
+  /** Byte-fallback pre-tokenizer: non-ASCII RUNS become one pre-token
+    * (instead of one token per character), so the merge loop gets to
+    * operate on their UTF-8 bytes. Ordered before the symbol class —
+    * both engines' regex alternation is leftmost-first. */
+  val PreTokenPatternBytes = "[a-z]+|[0-9]+|[^\\x00-\\x7f]+|[^a-z0-9\\s]"
+
+  /** [[Merges]] extended with byte-level merges — the demo table for
+    * byte-fallback mode (a learned byte-level vocabulary flows through
+    * the same parameter). The chains assemble the UTF-8 bytes of 数
+    * (E6 95 B0), 据 (E6 8D AE), then the word 数据, and é (C3 A9) —
+    * so CJK text compresses BELOW one-token-per-character, which
+    * per-code-point mode structurally cannot do. */
+  val ByteMerges: Seq[(String, String)] = Merges ++ Seq(
+    ("<0xE6>", "<0x95>"), ("<0xE6><0x95>", "<0xB0>"),
+    ("<0xE6>", "<0x8D>"), ("<0xE6><0x8D>", "<0xAE>"),
+    ("<0xE6><0x95><0xB0>", "<0xE6><0x8D><0xAE>"),
+    ("<0xC3>", "<0xA9>"))
+
+  /** Initial symbol sequence of one pre-token. Code-point mode splits
+    * surrogate-safely; byte-fallback mode explodes any pre-token
+    * containing a non-ASCII character into its UTF-8 bytes rendered as
+    * `<0xHH>` markers (uppercase hex — the GPT-2/Llama byte-fallback
+    * convention), so sub-character units can merge back up through the
+    * table: a 3-byte CJK character costs 3 tokens only until its byte
+    * merges are learned, after which frequent multi-character words
+    * drop below one token per character. ASCII pre-tokens are
+    * byte-identical to their code points, so the two modes differ only
+    * where fallback applies. */
+  private def initialSymbols(word: String, byteFallback: Boolean
+                            ): scala.collection.mutable.ArrayBuffer[String] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    var i = 0
-    while (i < word.length) {
-      val cp = word.codePointAt(i)
-      val n = Character.charCount(cp)
-      buf += word.substring(i, i + n)
-      i += n
+    if (byteFallback && word.exists(_ > 0x7f)) {
+      word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => buf += f"<0x${b & 0xff}%02X>")
+    } else {
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        val n = Character.charCount(cp)
+        buf += word.substring(i, i + n)
+        i += n
+      }
     }
+    buf
+  }
+
+  /** Token count of ONE pre-token under `rank` (the greedy merge loop). */
+  def tokenCount(word: String, rank: Map[(String, String), Int]): Int =
+    mergeLoop(initialSymbols(word, byteFallback = false), rank)
+
+  /** [[tokenCount]] in byte-fallback mode (see [[initialSymbols]]). */
+  def tokenCountBytes(word: String, rank: Map[(String, String), Int]): Int =
+    mergeLoop(initialSymbols(word, byteFallback = true), rank)
+
+  private def mergeLoop(buf: scala.collection.mutable.ArrayBuffer[String],
+                        rank: Map[(String, String), Int]): Int = {
     var done = buf.length <= 1
     while (!done) {
       var bestRank = Int.MaxValue
@@ -177,7 +227,8 @@ object Bpe {
     * Returns (docKey, chunk_idx, textCol, n_tokens_bpe). */
   def chunkByBpeBudget(df: DataFrame, docKey: String, textCol: String,
                        budget: Int,
-                       merges: Seq[(String, String)] = Merges): DataFrame = {
+                       merges: Seq[(String, String)] = Merges,
+                       byteFallback: Boolean = false): DataFrame = {
     require(budget >= 1, s"token budget must be >= 1, got $budget")
     val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
@@ -186,7 +237,8 @@ object Bpe {
     df.select(col(docKey).cast("long"), lower(col(textCol)))
       .as[(Long, String)](inEnc)
       .mapPartitions { it =>
-        val pre = java.util.regex.Pattern.compile(PreTokenPattern)
+        val pre = java.util.regex.Pattern.compile(
+          if (byteFallback) PreTokenPatternBytes else PreTokenPattern)
         it.flatMap { case (id, text) =>
           val m = pre.matcher(if (text == null) "" else text)
           val chunks = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String, Int)]
@@ -196,7 +248,7 @@ object Bpe {
           var before = 0L // exclusive prefix sum of BPE counts
           while (m.find()) {
             val w = m.group()
-            val t = tokenCount(w, rank)
+            val t = mergeLoop(initialSymbols(w, byteFallback), rank)
             val idx = (before / budget).toInt
             if (idx != chunkIdx && sb.nonEmpty) {
               chunks += ((id, chunkIdx, sb.result(), chunkTokens))
@@ -218,18 +270,21 @@ object Bpe {
   /** (docKey, n_tokens_bpe) per document — the real-BPE token count
     * `Sampling.packByBudget` / chunking budgets should be keyed on. */
   def withTokenCount(df: DataFrame, docKey: String, textCol: String,
-                     merges: Seq[(String, String)] = Merges): DataFrame = {
+                     merges: Seq[(String, String)] = Merges,
+                     byteFallback: Boolean = false): DataFrame = {
     val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
     val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
     val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
     df.select(col(docKey).cast("long"), lower(col(textCol)))
       .as[(Long, String)](inEnc)
       .mapPartitions { it =>
-        val pre = java.util.regex.Pattern.compile(PreTokenPattern)
+        val pre = java.util.regex.Pattern.compile(
+          if (byteFallback) PreTokenPatternBytes else PreTokenPattern)
         it.map { case (id, text) =>
           var total = 0
           val m = pre.matcher(if (text == null) "" else text)
-          while (m.find()) total += tokenCount(m.group(), rank)
+          while (m.find())
+            total += mergeLoop(initialSymbols(m.group(), byteFallback), rank)
           (id, total)
         }
       }(outEnc)

@@ -1279,6 +1279,41 @@ class ExtSpec extends SparkSpec {
       "lowercased: 3x'the'=3; caf+é+4,2+! = 7; empty = 0; is/it/and = 3")
   }
 
+  test("byte-fallback BPE goldens: UTF-8 explosion, byte merges, mixed script") {
+    val rank = Bpe.ByteMerges.zipWithIndex.toMap
+    // 数 = E6 95 B0 (3 bytes): the two chained byte merges collapse it
+    // to one token; 数据 (6 bytes) further merges to ONE token — below
+    // the per-character floor code-point mode is stuck at.
+    assert(Bpe.tokenCountBytes("数", rank) == 1, "3 bytes -> 1 via byte merges")
+    assert(Bpe.tokenCountBytes("数据", rank) == 1, "6 bytes -> 1 via word merge")
+    assert(Bpe.tokenCountBytes("数据数据", rank) == 2,
+      "repeat merges per occurrence; (数据,数据) not in the table")
+    assert(Bpe.tokenCount("数据", Bpe.Merges.zipWithIndex.toMap) == 2,
+      "code-point mode: one token per character is the floor")
+    // é = C3 A9 merges to 1; an unmerged char (中 = E4 B8 AD) stays 3
+    // byte tokens — an honest count, never a crash.
+    assert(Bpe.tokenCountBytes("é", rank) == 1)
+    assert(Bpe.tokenCountBytes("中", rank) == 3, "no byte merges for E4 B8 AD")
+    // ASCII pre-tokens are mode-identical (same merges, same counts).
+    assert(Bpe.tokenCountBytes("the", rank) == 1)
+    assert(Bpe.tokenCountBytes("standard", rank) == 4)
+    // Mixed script end-to-end: the bytes pattern pre-tokenizes the CJK
+    // RUN whole (数据中 = one pre-token, 1 + 3 tokens... merged
+    // greedily across the run: 数据 merges, 中's bytes stay).
+    assert(Bpe.tokenCountBytes("数据中", rank) == 4,
+      "one run: [数据, E4, B8, AD]")
+    val docs = Seq((1L, "the 数据数据 café"), (2L, "数据中 x"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Bpe.withTokenCount(docs, "doc_id", "text", Bpe.ByteMerges,
+        byteFallback = true)
+      .as[(Long, Int)].collect().toMap
+    // doc 1: 'caf' matches [a-z]+ (3 tokens — no table pair) and 'é'
+    // is its own non-ASCII run (1 via the byte merge), so
+    // the=1 + 数据数据=2 + caf=3 + é=1 = 7; doc 2: 数据中=4 + x=1 = 5.
+    assert(got == Map(1L -> 7, 2L -> 5, 3L -> 0),
+      s"mixed-script counts: got $got")
+  }
+
   test("chunkByBpeBudget: budget rule, lossless pre-token reassembly, empty docs") {
     // "the and" = 2 BPE tokens, so budget 2 cuts every two merged words.
     val docs = Seq((1L, "the and the and the"), (2L, ""), (3L, "xyz"))
