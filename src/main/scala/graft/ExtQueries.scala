@@ -3503,13 +3503,14 @@ object ExtQueries {
     // the order is part of the delivery).
     "q_export_shuffled" -> {
       val shardExpr = (1 until ExportShards)
-        .map(i => s"(CASE WHEN shuffle_pos >= lo + (($i * (hi - lo)) // $ExportShards) THEN 1 ELSE 0 END)")
+        .map(i => s"(CASE WHEN pos_hi >= lo + (($i * (hi - lo)) // $ExportShards) THEN 1 ELSE 0 END)")
         .mkString(" + ")
       s"""WITH s AS (SELECT doc_id, text, n_chars,
+            md5(CAST(doc_id AS VARCHAR) || 'shuffle') AS shuffle_pos,
             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shuffle'), 1, 15))
-              AS BIGINT) AS shuffle_pos
+              AS BIGINT) AS pos_hi
           FROM documents),
-          mm AS (SELECT MIN(shuffle_pos) AS lo, MAX(shuffle_pos) AS hi FROM s),
+          mm AS (SELECT MIN(pos_hi) AS lo, MAX(pos_hi) AS hi FROM s),
           sh AS (SELECT doc_id, text, n_chars, shuffle_pos,
               CAST($shardExpr AS INTEGER) AS shard
             FROM s CROSS JOIN mm)

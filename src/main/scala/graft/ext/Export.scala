@@ -262,23 +262,29 @@ object Export {
   }
 
   /** Deterministic GLOBAL-SHUFFLE export — the training-order last
-    * mile: every row gets a pseudo-random 60-bit position (a pure md5
-    * function of its key, salt "shuffle"), and the corpus lands
-    * range-partitioned and sorted BY POSITION ([[writeSortedCorpus]] —
-    * hash-uniform positions make the integer-interpolated cuts
-    * near-equal shards). A dataloader streaming shards in order reads
-    * a reproducible pseudo-random permutation of the corpus — no
+    * mile: every row gets a pseudo-random 128-bit position (the FULL
+    * md5 of its key + salt "shuffle", kept as the 32-char lowercase
+    * hex string — fixed-length hex compares bytewise exactly as the
+    * 128-bit integer does, in Spark, parquet stats, and any SQL
+    * engine), and the corpus lands range-partitioned and sorted BY
+    * POSITION. A dataloader streaming shards in order reads a
+    * reproducible pseudo-random permutation of the corpus — no
     * shuffled copy materialized corpus-side beyond the one sorted
     * write, and re-exports of the same corpus produce the identical
     * order on any cluster. The returned sorted manifest carries each
     * shard's position range, so shards can also be sampled or resumed
-    * mid-epoch by position. 60 bits means position COLLISIONS (two
-    * docs, one position) appear around the billion-doc scale
-    * (birthday); membership and the manifest stay deterministic
-    * regardless — only the relative order WITHIN a collision pair is
-    * engine-chosen, which no training run can observe. `shuffle_pos`
-    * is emitted as a data column (checksummed — the order is part of
-    * the delivery). */
+    * mid-epoch by position.
+    *
+    * Shard cuts interpolate over the position's LEADING 60 bits (hash
+    * uniformity lives in any prefix, so cuts stay near-equal), while
+    * rows order by the full 128 bits — prefix order agrees with full
+    * order, so shard ranges and the in-shard sort describe one total
+    * order. At 128 bits position collisions are gone at any corpus
+    * size (the 60-bit layout's documented billion-doc birthday pair
+    * is deleted, not just pushed out): distinct keys mean distinct
+    * positions, and the exported order is a true pure permutation of
+    * the corpus. `shuffle_pos` is emitted as a data column
+    * (checksummed — the order is part of the delivery). */
   def writeShuffledCorpus(spark: SparkSession, df: DataFrame, key: Column,
                           nShards: Int, path: String,
                           cols: Seq[String]): DataFrame = {
@@ -289,11 +295,18 @@ object Export {
     // writeIvfIndex reserved-name lesson).
     require(!df.columns.contains("shuffle_pos"),
       "input already has a shuffle_pos column — rename it before exporting")
-    val pos = conv(substring(md5(concat(key.cast("string"), lit("shuffle"))),
-      1, 15), 16, 10).cast("long")
-    val positioned = df.withColumn("shuffle_pos", pos)
-    val cuts = valueRangeCuts(positioned, col("shuffle_pos"), nShards)
-    writeSortedCorpus(spark, positioned, "shuffle_pos", cuts, path,
+    val positioned = df.withColumn("shuffle_pos",
+      md5(concat(key.cast("string"), lit("shuffle"))))
+    val posHi = conv(substring(col("shuffle_pos"), 1, 15), 16, 10)
+      .cast("long")
+    val cuts = valueRangeCuts(positioned, posHi, nShards)
+    // writeSortedCorpus inlined with the split contract: shard by the
+    // 60-bit prefix (integer-interpolated cuts), sort by the full hex.
+    positioned.withColumn("shard", rangeShard(posHi, cuts).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shuffle_pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    sortedManifestOf(spark.read.parquet(path), "shuffle_pos",
       cols :+ "shuffle_pos")
   }
 

@@ -990,6 +990,54 @@ class ExtSpec extends SparkSpec {
       "exactly the tampered shard's manifest row differs")
   }
 
+  test("shuffled export: 128-bit positions, collision-free permutation, shard/full order agree") {
+    // Adversarial shape: many keys with a high shard count, so the
+    // 60-bit-prefix cut boundaries land between close positions — the
+    // split contract (shard by prefix, sort by full hex) must still
+    // describe one total order.
+    val n = 500
+    val docs = (0L until n.toLong).map(i => (i, s"t$i", i * 2))
+      .toDF("doc_id", "text", "n_chars")
+    val path = java.nio.file.Files.createTempDirectory("graft_shufex").toString
+    val manifest = Export.writeShuffledCorpus(spark, docs, col("doc_id"),
+        16, path, Seq("doc_id", "text", "n_chars"))
+      .orderBy("shard").collect().toSeq
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum == n)
+    val landed = spark.read.parquet(path)
+      .select("shard", "shuffle_pos", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // Position = the FULL md5 (no truncation) — distinct keys give
+    // distinct positions, so the export is a true pure permutation.
+    assert(landed.forall(_._2.length == 32), "full 128-bit hex positions")
+    assert(landed.map(_._2).distinct.size == n, "no position collisions")
+    val expectPos = landed.map { case (_, _, id) =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${id}shuffle".getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+    }
+    assert(landed.map(_._2) == expectPos, "position is md5(key || 'shuffle')")
+    // Streaming shards in shard order concatenates to the global
+    // full-position sort: shard ranges and in-shard order are one
+    // total order (prefix cuts agree with full-hex comparisons).
+    val inShardOrder = landed.sortBy(r => (r._1, r._2)).map(_._2)
+    assert(inShardOrder == landed.map(_._2).sorted,
+      "shard-major order must equal the global position sort")
+    // Manifest position ranges tile without overlap, in shard order.
+    val ranges = manifest.map(r =>
+      (r.getAs[String]("key_min"), r.getAs[String]("key_max")))
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax < bMin, s"shard ranges must be disjoint and ordered")
+      case _ =>
+    }
+    // Deterministic under any input partitioning.
+    val path2 = java.nio.file.Files.createTempDirectory("graft_shufex2").toString
+    val again = Export.writeShuffledCorpus(spark, docs.repartition(13),
+        col("doc_id"), 16, path2, Seq("doc_id", "text", "n_chars"))
+      .orderBy("shard").collect().toSeq
+    assert(again == manifest, "re-export reproduces the identical order")
+  }
+
   test("sorted export: disjoint ordered shard ranges, key-sorted files, tamper-evident manifest") {
     // Keys arrive shuffled (i·7 mod 101 is a permutation); the sorted
     // export must land them as contiguous ordered ranges with sorted
