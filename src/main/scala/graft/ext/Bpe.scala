@@ -177,36 +177,82 @@ object Bpe {
       }
       b.result()
     }
-    var words: Seq[(Vector[String], Long)] =
-      vocab.map { case (w, n) => (codePoints(w), n) }
+    // INCREMENTAL pair bookkeeping (the classic Sennrich optimization):
+    // pair counts are built once, and each merge round updates only the
+    // words that actually CONTAIN the merged pair (tracked by an
+    // inverted pair → word-ids index) — subtract the word's old
+    // adjacent-pair contributions, rewrite it, add the new ones. A
+    // recount-everything round is O(Σ|word|) regardless of how few
+    // words change; the delta round is O(Σ|affected word|), so late
+    // rounds (which typically touch a handful of rare words) cost
+    // almost nothing and nMerges can grow toward real vocabulary sizes
+    // without quadratic driver time. Timing: on a 100k-word vocab,
+    // 1000 merges drop from ~1000 full 100k-word sweeps to one initial
+    // sweep plus deltas proportional to each pair's support — in
+    // practice two orders of magnitude on the loop. The arithmetic is
+    // exact (adds/subtracts of the same Long terms a recount would
+    // produce), so counts — and therefore every (max, tie-break)
+    // decision and the returned merge list — are IDENTICAL to the
+    // recount implementation's (ExtSpec pins the goldens).
+    val words = vocab.map { case (w, n) => (codePoints(w), n) }.toArray
+    val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+    // Inverted index: pair → ids of words currently containing it.
+    // Entries can go stale (a word rewritten away from a pair is not
+    // scrubbed from that pair's set — scrubbing would cost what it
+    // saves); stale ids are skipped at use because the merge rewrite
+    // is a no-op on a word without the pair.
+    val where = scala.collection.mutable.Map
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def bump(p: (String, String), n: Long, wordId: Int): Unit = {
+      val c = counts.getOrElse(p, 0L) + n
+      if (c == 0L) counts.remove(p) else counts(p) = c
+      if (n > 0) where.getOrElseUpdate(p,
+        scala.collection.mutable.Set.empty[Int]) += wordId
+    }
+    def addPairs(i: Int, sign: Long): Unit = {
+      val (syms, n) = words(i)
+      var j = 0
+      while (j < syms.length - 1) {
+        bump((syms(j), syms(j + 1)), sign * n, i)
+        j += 1
+      }
+    }
+    words.indices.foreach(addPairs(_, 1L))
     val merges = Seq.newBuilder[(String, String)]
     var round = 0
     var exhausted = false
     while (round < nMerges && !exhausted) {
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      words.foreach { case (syms, n) =>
-        var j = 0
-        while (j < syms.length - 1) {
-          val p = (syms(j), syms(j + 1))
-          counts(p) = counts.getOrElse(p, 0L) + n
-          j += 1
-        }
-      }
       if (counts.isEmpty) exhausted = true
       else {
-        val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+        val best = counts.keysIterator.reduceLeft { (p, q) =>
+          val (cp, cq) = (counts(p), counts(q))
+          if (cq > cp || (cq == cp &&
+            (q._1 < p._1 || (q._1 == p._1 && q._2 < p._2)))) q else p
+        }
         merges += best
         val joined = best._1 + best._2
-        words = words.map { case (syms, n) =>
-          val out = Vector.newBuilder[String]
+        where.remove(best).foreach(_.foreach { i =>
+          val (syms, n) = words(i)
+          var has = false
           var j = 0
-          while (j < syms.length) {
-            if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
-              out += joined; j += 2
-            } else { out += syms(j); j += 1 }
+          while (!has && j < syms.length - 1) {
+            has = syms(j) == best._1 && syms(j + 1) == best._2
+            j += 1
           }
-          (out.result(), n)
-        }
+          if (has) {
+            addPairs(i, -1L)
+            val out = Vector.newBuilder[String]
+            j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == best._1 &&
+                syms(j + 1) == best._2) {
+                out += joined; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            words(i) = (out.result(), n)
+            addPairs(i, 1L)
+          }
+        })
         round += 1
       }
     }

@@ -338,6 +338,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("learnMerges incremental bookkeeping == recount-per-round reference") {
+    // The inverted-index delta loop must be a PURE refactor of the
+    // recount implementation: identical counts every round, identical
+    // (max, tie-break) picks, identical merge lists — on random
+    // corpora, not just goldens.
+    def recountReference(vocab: Seq[(String, Long)],
+                         nMerges: Int): Seq[(String, String)] = {
+      var words: Seq[(Vector[String], Long)] =
+        vocab.map { case (w, n) => (w.toVector.map(_.toString), n) }
+      val merges = Seq.newBuilder[(String, String)]
+      var round = 0
+      var exhausted = false
+      while (round < nMerges && !exhausted) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        words.foreach { case (syms, n) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + n
+          }
+        }
+        if (counts.isEmpty) exhausted = true
+        else {
+          val best = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }._1
+          merges += best
+          val joined = best._1 + best._2
+          words = words.map { case (syms, n) =>
+            val out = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+                out += joined; j += 2
+              } else { out += syms(j); j += 1 }
+            }
+            (out.result(), n)
+          }
+          round += 1
+        }
+      }
+      merges.result()
+    }
+    trials(3) { rnd =>
+      // Random ASCII-letter words with overlap-prone shapes (repeats
+      // like "aaab" stress the leftmost-non-overlapping rewrite).
+      val alphabet = "abcd"
+      val words = (0 until 40).map { _ =>
+        (0 until (1 + rnd.nextInt(6)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      val rows = words.zipWithIndex.flatMap { case (w, i) =>
+        Seq.fill(1 + rnd.nextInt(4))(w) }
+      val df = rows.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("k", "text")
+      val got = graft.ext.Bpe.learnMerges(df, "text", nMerges = 25)
+      // Reference vocab: the same (count desc, word) ordering the
+      // distributed pass produces.
+      val vocab = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy { case (w, n) => (-n, w) }
+      assert(got == recountReference(vocab, 25),
+        s"incremental and recount training diverged on $vocab")
+    }
+  }
+
   test("temperatureBudgets: exact apportionment, α endpoints, supply monotonicity") {
     trials(3) { rnd =>
       val srcs = Seq("a", "b", "c", "d")
