@@ -287,9 +287,24 @@ object Sampling {
     * redistribution only adds docs. */
   def redistributedBudgets(df: DataFrame, source: Column, key: Column,
                            tokens: Column, budgetBySource: Map[String, Long],
-                           shards: Int, salt: String = "mix"): Map[String, Long] = {
+                           shards: Int, salt: String = "mix"): Map[String, Long] =
+    redistributedWithSelection(df, source, key, tokens, budgetBySource,
+      shards, salt)._2
+
+  /** [[redistributedBudgets]] plus the MEASURED pass-1 selection it
+    * computed along the way (localCheckpointed — it feeds the two
+    * measurement aggs here and, in the composed operator, the final
+    * output for every source whose budget the redistribution left
+    * unchanged, so the selection chain executes once, not three
+    * times). The checkpoint materializes only the SELECTED rows —
+    * bounded by the token budgets, not the corpus. */
+  private def redistributedWithSelection(df: DataFrame, source: Column,
+                                         key: Column, tokens: Column,
+                                         budgetBySource: Map[String, Long],
+                                         shards: Int, salt: String
+                                        ): (DataFrame, Map[String, Long]) = {
     val selected = mixtureByTokenBudget(df, source, key, tokens,
-      budgetBySource, shards, salt)
+      budgetBySource, shards, salt).localCheckpoint()
     def totals(d: DataFrame): Map[String, Long] =
       d.groupBy(source.cast("string").as("__s"))
         .agg(sum(tokens).cast("long").as("__t"))
@@ -307,27 +322,48 @@ object Sampling {
     val absorbers = budgetBySource.keys.toSeq.sorted
       .filter(s => supply(s) > achieved(s) && budgetBySource(s) > 0)
     val bAbs = absorbers.map(budgetBySource).sum
-    if (unused == 0L || bAbs == 0L) budgetBySource
-    else {
-      val extras = absorbers.map(s =>
-        s -> (BigInt(unused) * budgetBySource(s) / bAbs).toLong).toMap
-      val remainder = unused - extras.values.sum
-      val bumped = absorbers.take(remainder.toInt).toSet
-      budgetBySource.map { case (s, b) =>
-        s -> (b + extras.getOrElse(s, 0L) + (if (bumped(s)) 1L else 0L)) }
-    }
+    val adjusted =
+      if (unused == 0L || bAbs == 0L) budgetBySource
+      else {
+        val extras = absorbers.map(s =>
+          s -> (BigInt(unused) * budgetBySource(s) / bAbs).toLong).toMap
+        val remainder = unused - extras.values.sum
+        val bumped = absorbers.take(remainder.toInt).toSet
+        budgetBySource.map { case (s, b) =>
+          s -> (b + extras.getOrElse(s, 0L) + (if (bumped(s)) 1L else 0L)) }
+      }
+    (selected, adjusted)
   }
 
   /** [[mixtureByTokenBudget]] with one shortfall-redistribution pass
-    * (see [[redistributedBudgets]] — report against THOSE budgets). */
+    * (see [[redistributedBudgets]] — report against THOSE budgets).
+    *
+    * Pass-1 reuse: redistribution only ever RAISES budgets, and only
+    * for absorbers — every other source's pass-2 selection is, by the
+    * purity of the prefix rule, bit-identical to the pass-1 selection
+    * already measured. So the composed operator re-selects ONLY the
+    * changed sources (the corpus pre-filtered to them before the
+    * shuffle — selection is per-(source, shard), so other sources'
+    * rows cannot affect it) and serves everything else from the
+    * checkpointed pass-1 rows: one full-corpus selection pass plus an
+    * absorbers-only pass, instead of two full passes. No
+    * redistribution → the pass-1 selection IS the answer. */
   def mixtureByTokenBudgetRedistributed(df: DataFrame, source: Column,
                                         key: Column, tokens: Column,
                                         budgetBySource: Map[String, Long],
                                         shards: Int,
-                                        salt: String = "mix"): DataFrame =
-    mixtureByTokenBudget(df, source, key, tokens,
-      redistributedBudgets(df, source, key, tokens, budgetBySource, shards, salt),
-      shards, salt)
+                                        salt: String = "mix"): DataFrame = {
+    val (pass1, adjusted) = redistributedWithSelection(df, source, key,
+      tokens, budgetBySource, shards, salt)
+    val changed = adjusted.keys.toSeq.sorted
+      .filter(s => adjusted(s) != budgetBySource(s))
+    if (changed.isEmpty) pass1
+    else pass1.filter(!source.cast("string").isin(changed: _*))
+      .unionByName(mixtureByTokenBudget(
+        df.filter(source.cast("string").isin(changed: _*)),
+        source, key, tokens,
+        adjusted.view.filterKeys(changed.contains).toMap, shards, salt))
+  }
 
   /** α-temperature mixture budgets — the multilingual-LM sampling rule
     * (the `p_s ∝ supply_s^α` reweighting of the XLM-R/mT5 line of
