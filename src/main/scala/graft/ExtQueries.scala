@@ -953,6 +953,18 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_lm_perplexity" -> ((s, dir) => {
+      // CCNet-style quality scoring: every 10th doc stands in for the
+      // clean reference corpus; an add-one-smoothed bigram LM trained
+      // on it scores every document's perplexity. The oracle retrains
+      // the same model and replays the 6dp-rounded decimal-exact
+      // log-prob sums from the parquet alone.
+      val docs = read(s, dir, "documents")
+      TextAnalysis.perplexity(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "text")
+        .orderBy("doc_id")
+    }),
+
     "q_token_bpe_bytes" -> ((s, dir) => {
       // Byte-fallback BPE over deterministically internationalized
       // text: each doc's ASCII prefix gains a CJK run (数据 repeated
@@ -2652,6 +2664,39 @@ object ExtQueries {
              GROUP BY doc_id) t
             USING (doc_id)
           ORDER BY doc_id""",
+
+    // Bigram-LM perplexity: retrain the add-one model on the same
+    // reference slice, join counts onto each doc's bigrams, 6dp-round
+    // each ln P (absorbing last-ulp ln disagreement), sum as exact
+    // decimals, close with one exp/divide/round tree.
+    "q_lm_perplexity" ->
+      """WITH refd AS (SELECT str_split(lower(text), ' ') AS ws
+            FROM documents WHERE doc_id % 10 = 0),
+          rb0 AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM refd WHERE len(ws) >= 2),
+          rbi AS (SELECT ws[i] AS w1, ws[i+1] AS w2, COUNT(*) AS c12
+            FROM rb0 GROUP BY 1, 2),
+          runi AS (SELECT w1, COUNT(*) AS c1
+            FROM (SELECT unnest(ws) AS w1 FROM refd) GROUP BY 1),
+          v AS (SELECT COUNT(*) AS v FROM runi),
+          d AS (SELECT doc_id, str_split(lower(text), ' ') AS ws
+            FROM documents),
+          db0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+            FROM d WHERE len(ws) >= 2),
+          dbi AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM db0),
+          lp AS (SELECT doc_id,
+              CAST(ROUND(ln(CAST(COALESCE(rbi.c12, 0) + 1 AS DOUBLE)
+                / (COALESCE(runi.c1, 0) + (SELECT v FROM v))), 6)
+                AS DECIMAL(25,6)) AS lp
+            FROM dbi LEFT JOIN rbi USING (w1, w2)
+              LEFT JOIN runi USING (w1)),
+          agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS slp
+            FROM lp GROUP BY 1)
+         SELECT d0.doc_id,
+           CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(exp((-CAST(agg.slp AS DOUBLE)) / agg.n_bigrams), 6) AS ppl
+         FROM documents d0 LEFT JOIN agg USING (doc_id)
+         ORDER BY doc_id""",
 
     // Byte-fallback twin: non-ASCII pre-tokens seed as their UTF-8
     // bytes — hex(encode(run)) split into '<0xHH>' pairs — and run

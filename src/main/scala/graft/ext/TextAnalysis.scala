@@ -415,4 +415,75 @@ object TextAnalysis {
       .withColumn("oov_ratio",
         round(col("n_oov").cast(DoubleType) / col("n_words"), 6))
   }
+
+  /** CCNet-style n-gram LM perplexity scoring — the quality filter
+    * real pretraining pipelines run between dedup and mixing: train a
+    * small LM on a clean reference corpus, score every crawl document
+    * by perplexity under it, and keep/bucket by score (fluent text
+    * scores low, gibberish and boilerplate score high). The model here
+    * is an add-one-smoothed word BIGRAM LM (a production pipeline
+    * swaps in a 5-gram KenLM through the same join shape — the model
+    * is just a (history, word) → count table either way):
+    *
+    *   P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
+    *
+    * with V = |reference vocabulary|; an unseen history degrades to
+    * the uniform 1/(V) floor, so out-of-domain text is penalized, not
+    * crashed on. Per-document perplexity = exp(−Σ ln P / n) over the
+    * doc's n word bigrams; documents with fewer than two words emit
+    * n_bigrams 0 and a NULL ppl (they carry no evidence — the caller
+    * decides their fate).
+    *
+    * Numeric contract (the [[charEntropy]] convention): each bigram's
+    * ln P is 6dp-rounded — absorbing the engines' last-ulp ln()
+    * disagreement — and summed as EXACT decimals, so the total is
+    * independent of row order; the closing exp/divide/round is one
+    * IEEE tree.
+    *
+    * Shape at 100 TB: the model is TWO combine-enabled aggregations
+    * over the reference (reference corpora are curated and small by
+    * construction — wiki-scale, not crawl-scale); V rides in as a
+    * broadcast single-row agg. Scoring is one explode (map-only
+    * slice/zip, no per-element re-evaluation) and a left join on the
+    * bigram key — AQE broadcasts the model when it fits, and a
+    * crawl-scale model falls back to a hash join whose skewed keys
+    * ("of the") cost probe-side time, not correctness; the per-doc
+    * close is one combine-enabled agg. */
+  def perplexity(df: DataFrame, docKey: String, textCol: String,
+                 ref: DataFrame, refTextCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def bigramsOf(d: DataFrame, keep: Seq[String], text: String): DataFrame = {
+      val ws = tokens(lower(col(text)))
+      // zip of the two shifted slices; the lambda touches only its own
+      // variables (the charEntropy HOF lesson — captured expressions
+      // re-evaluate per element).
+      d.withColumn("__bp", explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))))
+        .select(keep.map(col) ++
+          Seq(col("__bp.w1").as("__w1"), col("__bp.w2").as("__w2")): _*)
+    }
+    val refBi = bigramsOf(ref, Seq.empty, refTextCol)
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    val refUni = ref
+      .select(explode(tokens(lower(col(refTextCol)))).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val vocabSize = refUni.agg(count(lit(1)).as("__v"))
+    val scored = bigramsOf(df, Seq(docKey), textCol)
+      .join(refBi, Seq("__w1", "__w2"), "left")
+      .join(refUni, Seq("__w1"), "left")
+      .crossJoin(broadcast(vocabSize))
+      .withColumn("__lp", round(log(
+          (coalesce(col("__c12"), lit(0L)) + 1).cast(DoubleType) /
+            (coalesce(col("__c1"), lit(0L)) + col("__v"))), 6)
+        .cast(DecimalType(25, 6)))
+      .groupBy(col(docKey))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__slp"))
+      .withColumn("ppl",
+        round(exp((-col("__slp")).cast(DoubleType) / col("n_bigrams")), 6))
+      .drop("__slp")
+    df.select(col(docKey)).distinct()
+      .join(scored, Seq(docKey), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
 }

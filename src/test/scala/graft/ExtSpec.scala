@@ -1835,6 +1835,41 @@ class ExtSpec extends SparkSpec {
     assert(r(1L) == 0.0 && r(2L) == 0.5 && r(3L) == 1.0, s"got $r")
   }
 
+  test("perplexity: in-domain text scores below gibberish; short docs abstain") {
+    val ref = Seq(
+      (100L, "the cat sat on the mat"),
+      (101L, "the dog sat on the rug"),
+      (102L, "the cat ran to the dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // verbatim in-domain
+      (2L, "the dog ran to the cat"), // in-domain vocabulary, seen bigrams
+      (3L, "zq xv plorp wug blick"),  // gibberish: every bigram unseen
+      (4L, "mat"),                    // one word -> no bigrams -> NULL
+      (5L, ""))                       // empty -> no bigrams
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.perplexity(docs, "doc_id", "text", ref, "text")
+      .collect().map(row => row.getLong(0) ->
+        (row.getLong(1), Option(row.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(r(1L)._1 == 5 && r(2L)._1 == 5, "five bigrams per 6-word doc")
+    assert(r(4L) == (0L, None) && r(5L) == (0L, None),
+      "sub-2-word docs emit n_bigrams 0 and NULL ppl")
+    val (p1, p3) = (r(1L)._2.get, r(3L)._2.get)
+    assert(p1 < p3, s"in-domain $p1 must score below gibberish $p3")
+    // Unseen-everything gibberish sits at the uniform smoothing floor:
+    // every bigram P = 1/V (c12 = c1 = 0), so ppl = V exactly (V = 9
+    // distinct reference words), up to the 6dp rounding convention.
+    assert(math.abs(p3 - 9.0) < 1e-4, s"uniform floor ppl ~ V, got $p3")
+    // Deterministic under repartition.
+    val again = TextAnalysis.perplexity(docs.repartition(7), "doc_id",
+        "text", ref, "text")
+      .collect().map(row => row.getLong(0) ->
+        (row.getLong(1), Option(row.get(2)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(again == r, "scores must be partitioning-invariant")
+  }
+
   test("packByBudget: packs respect the budget up to the straddle doc, invariant to partitioning") {
     val docs = (1L to 200L).map(i => (i, 10L + i % 7)).toDF("k", "toks")
     val packed = Sampling.packByBudget(docs, col("k"), col("toks"),
