@@ -965,6 +965,20 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_quality_buckets" -> ((s, dir) => {
+      // CCNet's head/middle/tail: perplexity scores binned at the
+      // corpus 0.33/0.67 quantiles via percentileBins — the
+      // scale-correct ntile (one bounds aggregate broadcast to a
+      // map-side when-chain; a global ntile window would sort the
+      // corpus in one task). Sub-2-word docs carry NULL ppl → NULL bin.
+      val docs = read(s, dir, "documents")
+      val scored = TextAnalysis.perplexity(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text")
+      graft.ops.Cleaning.percentileBins(scored, "ppl", Seq.empty,
+          Seq(0.33, 0.67))
+        .orderBy("doc_id")
+    }),
+
     "q_token_bpe_bytes" -> ((s, dir) => {
       // Byte-fallback BPE over deterministically internationalized
       // text: each doc's ASCII prefix gains a CJK run (数据 repeated
@@ -2577,6 +2591,37 @@ object ExtQueries {
     Bpe.ByteMerges.zipWithIndex
       .map { case ((l, r), i) => s"('$l $r', ${i + 1})" }.mkString(", ")
 
+  /** Shared CTE chain for the bigram-LM oracles: retrain the add-one
+    * model on the every-10th-doc reference slice and score every
+    * document — ends defining `scored(doc_id, n_bigrams, ppl)`. */
+  private def lmPerplexitySql: String =
+    """refd AS (SELECT str_split(lower(text), ' ') AS ws
+          FROM documents WHERE doc_id % 10 = 0),
+        rb0 AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          FROM refd WHERE len(ws) >= 2),
+        rbi AS (SELECT ws[i] AS w1, ws[i+1] AS w2, COUNT(*) AS c12
+          FROM rb0 GROUP BY 1, 2),
+        runi AS (SELECT w1, COUNT(*) AS c1
+          FROM (SELECT unnest(ws) AS w1 FROM refd) GROUP BY 1),
+        v AS (SELECT COUNT(*) AS v FROM runi),
+        d AS (SELECT doc_id, str_split(lower(text), ' ') AS ws
+          FROM documents),
+        db0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          FROM d WHERE len(ws) >= 2),
+        dbi AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM db0),
+        lp AS (SELECT doc_id,
+            CAST(ROUND(ln(CAST(COALESCE(rbi.c12, 0) + 1 AS DOUBLE)
+              / (COALESCE(runi.c1, 0) + (SELECT v FROM v))), 6)
+              AS DECIMAL(25,6)) AS lp
+          FROM dbi LEFT JOIN rbi USING (w1, w2)
+            LEFT JOIN runi USING (w1)),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS slp
+          FROM lp GROUP BY 1),
+        scored AS (SELECT d0.doc_id,
+            CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+            ROUND(exp((-CAST(agg.slp AS DOUBLE)) / agg.n_bigrams), 6) AS ppl
+          FROM documents d0 LEFT JOIN agg USING (doc_id))"""
+
   def oracles: Map[String, String] = Map(
     // The NAIVE frame, deliberately: Spark executes the REWRITTEN plan
     // (two growing frames), DuckDB the original sliding frame — equality
@@ -2670,33 +2715,23 @@ object ExtQueries {
     // each ln P (absorbing last-ulp ln disagreement), sum as exact
     // decimals, close with one exp/divide/round tree.
     "q_lm_perplexity" ->
-      """WITH refd AS (SELECT str_split(lower(text), ' ') AS ws
-            FROM documents WHERE doc_id % 10 = 0),
-          rb0 AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
-            FROM refd WHERE len(ws) >= 2),
-          rbi AS (SELECT ws[i] AS w1, ws[i+1] AS w2, COUNT(*) AS c12
-            FROM rb0 GROUP BY 1, 2),
-          runi AS (SELECT w1, COUNT(*) AS c1
-            FROM (SELECT unnest(ws) AS w1 FROM refd) GROUP BY 1),
-          v AS (SELECT COUNT(*) AS v FROM runi),
-          d AS (SELECT doc_id, str_split(lower(text), ' ') AS ws
-            FROM documents),
-          db0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
-            FROM d WHERE len(ws) >= 2),
-          dbi AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM db0),
-          lp AS (SELECT doc_id,
-              CAST(ROUND(ln(CAST(COALESCE(rbi.c12, 0) + 1 AS DOUBLE)
-                / (COALESCE(runi.c1, 0) + (SELECT v FROM v))), 6)
-                AS DECIMAL(25,6)) AS lp
-            FROM dbi LEFT JOIN rbi USING (w1, w2)
-              LEFT JOIN runi USING (w1)),
-          agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS slp
-            FROM lp GROUP BY 1)
-         SELECT d0.doc_id,
-           CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           ROUND(exp((-CAST(agg.slp AS DOUBLE)) / agg.n_bigrams), 6) AS ppl
-         FROM documents d0 LEFT JOIN agg USING (doc_id)
-         ORDER BY doc_id""",
+      s"""WITH $lmPerplexitySql
+         SELECT doc_id, n_bigrams, ppl FROM scored ORDER BY doc_id""",
+
+    // Quality buckets over the same scores: percentileBins' rule
+    // (bin = count of 6dp-rounded quantile bounds at or below ppl;
+    // NULL ppl -> NULL bin) at the corpus 0.33/0.67 quantiles.
+    "q_quality_buckets" ->
+      s"""WITH $lmPerplexitySql,
+          b AS (SELECT ROUND(quantile_cont(ppl, 0.33), 6) AS q1,
+              ROUND(quantile_cont(ppl, 0.67), 6) AS q2
+            FROM scored)
+         SELECT doc_id, n_bigrams, ppl,
+           CASE WHEN ppl IS NULL THEN NULL
+                ELSE CAST((CASE WHEN ppl >= q1 THEN 1 ELSE 0 END)
+                   + (CASE WHEN ppl >= q2 THEN 1 ELSE 0 END) AS INTEGER) END
+             AS bin
+         FROM scored CROSS JOIN b ORDER BY doc_id""",
 
     // Byte-fallback twin: non-ASCII pre-tokens seed as their UTF-8
     // bytes — hex(encode(run)) split into '<0xHH>' pairs — and run
