@@ -849,6 +849,20 @@ object ExtQueries {
         .orderBy("shard")
     }),
 
+    "q_export_tar" -> ((s, dir) => {
+      // WebDataset-style tar shards: one <doc_id>.txt member per doc,
+      // deterministic ustar bytes (mtime 0, checksummed headers,
+      // 512-block padding). The manifest's tar_bytes is the LANDED
+      // file size; the oracle predicts it to the byte from text
+      // lengths alone — Σ (512 + ceil(bytes/512)·512) + 1024 — so any
+      // header/padding/member-count drift breaks the hash.
+      val path = s"$RunScratch/graft_export_tar_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Export.writeTarShards(s, read(s, dir, "documents"),
+          col("doc_id"), col("text"), ExportShards, path)
+        .orderBy("shard")
+    }),
+
     "q_export_parquet_sized" -> ((s, dir) => {
       // Parquet delivery of the SAME size-targeted shards: shard rule
       // shared verbatim with q_export_jsonl_sized (sizedShards), zstd
@@ -972,8 +986,10 @@ object ExtQueries {
       // map-side when-chain; a global ntile window would sort the
       // corpus in one task). Sub-2-word docs carry NULL ppl → NULL bin.
       val docs = read(s, dir, "documents")
+      // percentileBins reads its input twice (bounds agg + the binning
+      // join) — pin the scores so the bigram scoring chain runs once.
       val scored = TextAnalysis.perplexity(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 10 === 0), "text")
+        docs.filter(col("doc_id") % 10 === 0), "text").localCheckpoint()
       graft.ops.Cleaning.percentileBins(scored, "ppl", Seq.empty,
           Seq(0.33, 0.67))
         .orderBy("doc_id")
@@ -3604,6 +3620,18 @@ object ExtQueries {
             MIN(shuffle_pos) AS key_min, MAX(shuffle_pos) AS key_max
           FROM sh GROUP BY 1 ORDER BY shard"""
     },
+
+    // ustar size closed form: header 512 + data padded to 512-blocks
+    // per member, plus the two terminating zero blocks per tar.
+    "q_export_tar" ->
+      """WITH sh AS (SELECT doc_id, octet_length(encode(text)) AS nb,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 8 AS INTEGER) AS shard
+           FROM documents)
+         SELECT shard, COUNT(*) AS n_files,
+           CAST(SUM(512 + ((nb + 511) // 512) * 512) + 1024 AS BIGINT)
+             AS tar_bytes
+         FROM sh GROUP BY 1 ORDER BY shard""",
 
     "q_export_manifest" ->
       """WITH sh AS (SELECT doc_id, text, n_chars,

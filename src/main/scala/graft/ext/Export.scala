@@ -310,6 +310,143 @@ object Export {
       cols :+ "shuffle_pos")
   }
 
+  /** WebDataset-style TAR-SHARD export — the sample-per-file delivery
+    * format sequential training loaders stream (each shard is one tar;
+    * each document is one `<key>.txt` member; a loader reads members
+    * in order with zero seeks). Membership is the repo's md5 hash
+    * bucket (shard-compatible with every other export of the same
+    * corpus), member order inside a tar is the stable pseudo-random
+    * (md5(key), key) order, and the bytes are fully deterministic
+    * ustar: mtime 0, mode 644, uid/gid 0, checksummed headers, data
+    * padded to 512-byte blocks, two zero blocks at the end — so a
+    * shard's byte size has a CLOSED FORM
+    * (Σ (512 + ceil(bytes/512)·512) + 1024) an independent engine
+    * computes from text lengths alone, and the returned manifest's
+    * `tar_bytes` column is the size of the file ACTUALLY LANDED
+    * (filesystem-reported, the vouch-for-what-landed contract): a
+    * header-layout, padding, or member-count bug breaks the equality.
+    *
+    * Write path: one shuffle (repartition on the shard id — a shard's
+    * rows land whole in one task) + a task-local sort; each task
+    * streams its shards' members straight to `shard-NNNN.tar` through
+    * a tmp-file + rename (content is a pure function of the corpus,
+    * so a retried or speculated task rewrites identical bytes and
+    * last-writer-wins is harmless). Keys must fit tar's 100-char name
+    * field (enforced). */
+  def writeTarShards(spark: SparkSession, df: DataFrame, key: Column,
+                     textCol: Column, nShards: Int, path: String): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    // Overwrite semantics, like every other export writer: a previous
+    // export's shard files (and any crashed attempt's tmp litter) must
+    // not survive into this delivery's manifest.
+    locally {
+      val base = new org.apache.hadoop.fs.Path(path)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(base)) fs.listStatus(base).foreach { st =>
+        val n = st.getPath.getName
+        if (n.matches("shard-\\d+\\.tar") || n.endsWith(".tar.tmp"))
+          fs.delete(st.getPath, false)
+      }
+    }
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.tuple(Encoders.scalaInt, Encoders.STRING, Encoders.STRING)
+    val rows = df
+      .select(key.cast("string").as("__k"), textCol.cast("string").as("__t"))
+      .withColumn("__shard", Sampling.hashBucket(col("__k"), nShards).cast("int"))
+      .repartition(nShards, col("__shard"))
+      .sortWithinPartitions(col("__shard"), md5(col("__k")), col("__k"))
+      .select(col("__shard"), col("__k"), col("__t")).as[(Int, String, String)](enc)
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    rows.foreachPartition {
+      (it: Iterator[(Int, String, String)]) =>
+        val conf = confB.value.value
+        val base = new org.apache.hadoop.fs.Path(path)
+        val fs = base.getFileSystem(conf)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
+        var cur = -1
+        var out: org.apache.hadoop.fs.FSDataOutputStream = null
+        var tmp: org.apache.hadoop.fs.Path = null
+        def closeShard(): Unit = if (out != null) {
+          out.write(new Array[Byte](1024)) // two terminating zero blocks
+          out.close()
+          val fin = new org.apache.hadoop.fs.Path(base, f"shard-$cur%04d.tar")
+          if (fs.exists(fin)) fs.delete(fin, false)
+          fs.rename(tmp, fin)
+          out = null
+        }
+        it.foreach { case (shard, k, t) =>
+          if (shard != cur) {
+            closeShard()
+            cur = shard
+            tmp = new org.apache.hadoop.fs.Path(base,
+              f".shard-$shard%04d-a$attempt.tar.tmp")
+            if (!fs.exists(base)) fs.mkdirs(base)
+            out = fs.create(tmp, true)
+          }
+          val name = s"$k.txt"
+          val data =
+            if (t == null) Array.emptyByteArray
+            else t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          out.write(tarHeader(name, data.length))
+          out.write(data)
+          val pad = (512 - data.length % 512) % 512
+          if (pad > 0) out.write(new Array[Byte](pad))
+        }
+        closeShard()
+    }
+    // Manifest: logical member counts + byte totals from what LANDED.
+    val sizes = {
+      val base = new org.apache.hadoop.fs.Path(path)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(base).toSeq
+        .filter(_.getPath.getName.matches("shard-\\d+\\.tar"))
+        .map(st => (st.getPath.getName.stripPrefix("shard-")
+          .stripSuffix(".tar").toInt, st.getLen))
+    }
+    import spark.implicits._
+    val sizeDf = sizes.toDF("shard", "tar_bytes")
+    df.select(key.cast("string").as("__k"), textCol.cast("string").as("__t"))
+      .withColumn("shard", Sampling.hashBucket(col("__k"), nShards).cast("int"))
+      .groupBy("shard").agg(count(lit(1)).as("n_files"))
+      .join(sizeDf, Seq("shard"), "full_outer")
+  }
+
+  /** One deterministic 512-byte ustar header: name, mode 0644,
+    * uid/gid 0, mtime 0, checksum over the header with the checksum
+    * field spaced (the tar rule), typeflag '0', magic "ustar"+NUL+"00".
+    * Numeric fields are zero-padded octal per POSIX. */
+  private def tarHeader(name: String, size: Int): Array[Byte] = {
+    val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    require(nameB.length <= 100,
+      s"tar member name exceeds ustar's 100-byte field: $name")
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    System.arraycopy(nameB, 0, h, 0, nameB.length)
+    put(100, "0000644 ")              // mode
+    put(108, "0000000 ")              // uid
+    put(116, "0000000 ")              // gid
+    put(124, f"$size%011o ")          // size, 11-digit octal
+    put(136, "00000000000 ")          // mtime 0 — determinism
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum spaced for the sum
+    h(156) = '0'                           // typeflag: regular file
+    put(257, "ustar")                 // POSIX magic, NUL at 262
+    h(262) = 0
+    put(263, "00")                    // version
+    var sum = 0
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    put(148, f"$sum%06o")             // 6 octal digits + NUL + space
+    h(154) = 0
+    h(155) = ' '
+    h
+  }
+
   /** Streaming export sink — the continuous-ingest last mile: each
     * micro-batch is shard-assigned (same pure md5 bucket as the batch
     * writer, so batch- and stream-exported corpora are shard-compatible)
