@@ -365,6 +365,62 @@ object Similarity {
     withPqr.write.mode("append").partitionBy("list").parquet(s"$path/lists")
   }
 
+  /** Retrain-and-rewrite maintenance for a persisted index — the
+    * answer to what [[appendToIvfIndex]]'s frozen centroids cost:
+    * drifted appends pile into hot lists (surfacing as list-size skew,
+    * never wrong scores), and once max/mean exceeds the caller's
+    * comfort factor the index wants fresh centroids. This op reads the
+    * stored corpus back off `lists/` (ids + float vectors only — every
+    * derived payload is recomputed), retrains through the SAME
+    * [[writeIvfIndex]] build (deterministic Lloyd, so rebalancing
+    * equals a fresh build over the union corpus, ExtSpec-pinned
+    * row-for-row), keeps the PQ payload iff the index had one (shape
+    * inferred from the stored books, codebooks retrained on the
+    * current distribution — retraining is the point), and swaps the
+    * new index into place.
+    *
+    * The swap is rename-based and NOT atomic across the index's
+    * subdirectories: each live dir is first renamed to `.old-<dir>`,
+    * the rebuilt dir renamed in, then the `.old-*` backups deleted. A
+    * crash mid-swap therefore never loses the corpus — at every point
+    * each dir exists as live, `.old-*`, or still inside `.rebuild/` —
+    * and recovery is mechanical (finish the renames in that order by
+    * hand, or restore `.old-*`). Searches racing the swap should be
+    * quiesced; a production deployment would put the swap behind a
+    * manifest pointer, which parquet-dir layout cannot express. */
+  def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, rounds: Int = 1, nLists: Int = 0,
+                        cId: String = "vec_id",
+                        cVec: String = "embedding"): Unit = {
+    val n = if (nLists > 0) nLists else readIvfCentroids(spark, path).size
+    val pqShape =
+      if (pqBooksExist(spark, path)) {
+        val books = readPqBooks(spark, path)
+        Some((books.size, books.head.size))
+      } else None
+    val corpus = spark.read.parquet(s"$path/lists").select(col(cId), col(cVec))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val rebuild = s"$path/.rebuild"
+    fs.delete(new org.apache.hadoop.fs.Path(rebuild), true)
+    // Every job inside the build is eager (Lloyd collects, the final
+    // write is an action), so the old lists/ is fully read before any
+    // swap step below touches it.
+    writeIvfIndex(corpus, n, rebuild, rounds, cId, cVec, pqShape)
+    val dirs = Seq("centroids", "lists", "pq_books", "pq_books_res")
+    dirs.foreach { d =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/$d")
+      val old = new org.apache.hadoop.fs.Path(s"$path/.old-$d")
+      val fresh = new org.apache.hadoop.fs.Path(s"$rebuild/$d")
+      fs.delete(old, true)
+      if (fs.exists(live)) fs.rename(live, old)
+      if (fs.exists(fresh)) fs.rename(fresh, live)
+    }
+    dirs.foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/.old-$d"), true))
+    fs.delete(new org.apache.hadoop.fs.Path(rebuild), true)
+  }
+
   private def pqBooksExist(spark: org.apache.spark.sql.SparkSession,
                            path: String, sub: String = "pq_books"): Boolean = {
     val p = new org.apache.hadoop.fs.Path(s"$path/$sub")

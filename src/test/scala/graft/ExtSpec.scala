@@ -505,6 +505,63 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("rebalanceIvfIndex: equals a fresh build over the union, heals skew, keeps PQ") {
+    val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.001", "embeddings")
+      .select("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_reb").toString
+    val fresh = java.nio.file.Files.createTempDirectory("graft_ivf_fr").toString
+    try {
+      // Build on raw (roughly centered) vectors, then append a DRIFTED
+      // batch — everything folded into the positive orthant clusters
+      // near few frozen centroids, so appended mass piles into hot
+      // lists: the skew scenario the scaladoc's retrain trigger is for.
+      val cut = 400L
+      val base = e.filter(col("vec_id") < cut)
+      val drift = e.filter(col("vec_id") >= cut)
+        .withColumn("embedding", transform(col("embedding"), x => abs(x)))
+      val union = base.unionByName(drift)
+      Similarity.writeIvfIndex(base, nLists = 4, path, pq = Some((8, 16)))
+      Similarity.appendToIvfIndex(spark, path, drift)
+      def maxOverMean(p: String): Double = {
+        val sizes = spark.read.parquet(s"$p/lists").groupBy("list").count()
+          .select("count").as[Long].collect()
+        sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+      }
+      val skewBefore = maxOverMean(path)
+      Similarity.rebalanceIvfIndex(spark, path)
+      // Deterministic Lloyd ⇒ the rebalanced index IS a fresh build
+      // over the union corpus: centroids, stored codes, and every
+      // search variant agree row-for-row.
+      Similarity.writeIvfIndex(union, nLists = 4, fresh, pq = Some((8, 16)))
+      assert(Similarity.readIvfCentroids(spark, path) ==
+        Similarity.readIvfCentroids(spark, fresh), "centroids retrained")
+      assert(Similarity.readPqBooks(spark, path) ==
+        Similarity.readPqBooks(spark, fresh), "PQ books retrained, kept")
+      val q = union.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      def res(p: String) =
+        Similarity.searchIvfIndexPqResidual(spark, p, q, k = 3, nProbe = 2)
+          .select("q_id", "vec_id", "score")
+          .as[(Long, Long, Double)].collect().toSet
+      assert(res(path) == res(fresh),
+        "rebalanced searches must equal the fresh-build searches")
+      val skewAfter = maxOverMean(path)
+      info(s"max/mean list size: $skewBefore before, $skewAfter after")
+      assert(skewBefore > 1.3,
+        s"premise: the drifted append must actually skew lists, got $skewBefore")
+      assert(skewAfter < skewBefore,
+        s"retrained centroids must heal skew ($skewBefore -> $skewAfter)")
+      // No swap litter left behind.
+      val leftover = new java.io.File(path).listFiles().map(_.getName)
+        .filter(n => n.startsWith(".old-") || n == ".rebuild")
+      assert(leftover.isEmpty, s"swap litter: ${leftover.mkString(", ")}")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(path, fresh).foreach(p =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+          .toSeq.reverse.foreach(f => java.nio.file.Files.deleteIfExists(f)))
+    }
+  }
+
   test("multi-probe LSH recall dominates any single plane set's") {
     val e = graft.sources.Tables.table(spark, "/root/testdata/sf0.01", "embeddings")
       .select("vec_id", "embedding")
