@@ -433,6 +433,22 @@ object SparkEntry {
           Map("value" -> "sig_val"))
         .select(col("event_id"), col("user_id"), col("sig_val"))
         .orderBy("event_id")
+    }),
+
+    "q_asof_forward" -> ((s, dir) => {
+      // Forward as-of join (label construction): the NEXT click value at
+      // or after each purchase, per user — the leakage-free future-label
+      // attach. Same composed plan, frame reversed; DuckDB ASOF with
+      // l.ts <= r.ts is the oracle.
+      val ev = read(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      Analytics.asOfJoinForward(purchases, clicks, "user_id", "ts",
+          Map("value" -> "next_click_val"))
+        .select(col("event_id"), col("user_id"), col("next_click_val"))
+        .orderBy("event_id")
     })
   )
 
@@ -675,6 +691,14 @@ object SparkEntry {
          ASOF LEFT JOIN
               (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY event_id""",
+
+    "q_asof_forward" ->
+      """SELECT l.event_id, l.user_id, r.value AS next_click_val
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN
+              (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id AND l.ts <= r.ts
          ORDER BY event_id"""
   )
 }

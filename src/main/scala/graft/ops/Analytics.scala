@@ -83,6 +83,40 @@ object Analytics {
       .select((left.columns.toIndexedSeq.map(col) ++ rightVals.values.map(col)): _*)
   }
 
+  /** Forward as-of join — the label-construction twin of
+    * [[asOfJoinBackward]]: for each left row, the EARLIEST right row
+    * with `right.ts >= left.ts` in the same key ("the next quote at or
+    * after this tick"). This is the leakage-free way to attach FUTURE
+    * outcomes as training labels: the matched value is the first thing
+    * that happened at-or-after the example's time, never something
+    * before it dressed up as a label. Same composed union+window plan
+    * as the backward twin with the frame reversed —
+    * `first(payload, ignoreNulls)` over the key-partitioned ts-ordered
+    * window running [current row, +∞); LEFT rows sort before right
+    * rows at equal ts, so ties match forward-INCLUSIVE semantics
+    * (DuckDB `ASOF ... ON l.ts <= r.ts` is the oracle), and the
+    * payload struct inside the window order picks a deterministic
+    * winner among right rows sharing (key, ts). One shuffle on the key
+    * + a local sort — the sort-merge price, no range explosion. */
+  def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
+                      ts: String, rightVals: Map[String, String]): DataFrame = {
+    val rightTagged = right.select(col(key), col(ts), lit(1).as("__src"),
+      struct(col(ts).as("__rts") +:
+        rightVals.toSeq.map { case (c, out) => col(c).as(out) }: _*).as("__r"))
+    val leftTagged = left.withColumn("__src", lit(0))
+      .withColumn("__r", lit(null).cast(rightTagged.schema("__r").dataType))
+    val unioned = leftTagged.unionByName(rightTagged, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__src"), col("__r"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val matched = unioned.withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+    val extracted = rightVals.values.foldLeft(matched) { (d, out) =>
+      d.withColumn(out, col("__m").getField(out))
+    }
+    extracted.filter(col("__src") === 0).drop("__src", "__r", "__m")
+      .select((left.columns.toIndexedSeq.map(col) ++ rightVals.values.map(col)): _*)
+  }
+
   /** Bounded-interval (range) join without a cross product: for each left
     * row, the right rows of the same key with `rTs` in
     * `[lTs − lookbackSec, lTs]`. Spark plans the raw non-equi predicate as
