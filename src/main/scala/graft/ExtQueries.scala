@@ -1639,6 +1639,80 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dup_spans" -> ((s, dir) => {
+      // Substring-level duplication report (the Lee et al. 2022 span
+      // shape): maximal runs of word 8-grams occurring more than once
+      // corpus-wide, at 1-based word-index resolution. Gram generation
+      // is map-only; counts shuffle combine-reduced 32-byte keys; span
+      // assembly windows per doc.
+      Dedup.duplicateSpans(read(s, dir, "documents"), "doc_id", "text",
+          DupGramWords)
+        .orderBy("doc_id", "span_start")
+    }),
+
+    "q_dedup_substring" -> ((s, dir) => {
+      // Keep-first substring removal over the same 8-gram instances:
+      // non-canonical duplicated grams drop every word they cover,
+      // survivors reassemble in order, fully-emptied docs drop.
+      Dedup.removeDuplicateSubstrings(read(s, dir, "documents"),
+          "doc_id", "text", DupGramWords)
+        .orderBy("doc_id")
+    }),
+
+    "q_split_by_cluster" -> ((s, dir) => {
+      // Leakage-safe splitting: the hash wheel keys on the near-dup
+      // CLUSTER representative, so a duplicate family can never
+      // straddle train/test — the contamination mode doc-keyed
+      // splitting cannot prevent.
+      val docs = read(s, dir, "documents")
+      val verified = Dedup.verifiedNearDupPairs(docs, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
+      Sampling.splitByCluster(docs.select("doc_id", "source"),
+          Dedup.dupClusters(verified), "doc_id", "node", "cluster",
+          trainPct = 80, valPct = 10, salt = "clsplit")
+        .select("doc_id", "source", "cluster_id", "split")
+        .orderBy("doc_id")
+    }),
+
+    "q_importance_weights" -> ((s, dir) => {
+      // DSIR (Xie et al. 2023): hashed-unigram importance log-weights
+      // of every doc against the src0 target domain — two bounded
+      // bucket-count aggs, a broadcast llr table, one per-doc agg.
+      val docs = read(s, dir, "documents")
+      Sampling.importanceWeights(docs, "doc_id", "text",
+          docs.filter(col("source") === DsirTargetSource), "text", DsirBuckets)
+        .orderBy("doc_id")
+    }),
+
+    "q_importance_sample" -> ((s, dir) => {
+      // Gumbel-top-k importance resampling over those weights —
+      // deterministic draw ∝ exp(logw), runs as a per-partition k-heap.
+      val docs = read(s, dir, "documents")
+      Sampling.importanceResample(docs, "doc_id", "text",
+          docs.filter(col("source") === DsirTargetSource), "text",
+          DsirBuckets, DsirSampleK)
+        .orderBy("doc_id")
+    }),
+
+    "q_winnow_fp" -> ((s, dir) => {
+      // Winnowing fingerprint selection (Schleimer et al., MOSS):
+      // window-min over rolling 16-char gram hashes, rightmost-min
+      // ties, per-doc distinct before the explode — map-only, zero
+      // shuffles.
+      TextAnalysis.winnowFingerprints(read(s, dir, "documents"),
+          "doc_id", "text", WinnowGram, WinnowWindow)
+        .orderBy("doc_id", "pos")
+    }),
+
+    "q_winnow_pairs" -> ((s, dir) => {
+      // Fingerprint-bucket pair detection: docs sharing >= minShared
+      // selected hashes, overlap = shared / min fingerprint-set size.
+      // Any >= w+k-1-char common substring guarantees a meeting.
+      TextAnalysis.winnowSimilarPairs(read(s, dir, "documents"),
+          "doc_id", "text", WinnowGram, WinnowWindow, WinnowMinShared)
+        .orderBy("a", "b")
+    }),
+
     "q_length_bins" -> ((s, dir) => {
       // Scale-correct ntile: per-source quartile binning of doc length
       // via broadcast percentile bounds + a map-only when-chain (a
@@ -2138,6 +2212,50 @@ object ExtQueries {
   /** Sliding chunking: 32-token windows advancing 24 (25% overlap). */
   private val SlideSize = 32
   private val SlideStride = 24
+  /** Substring (span) dedup gram width in words — the corpus's injected
+    * near-dup runs repeat well past 8 words, so spans are non-trivial
+    * while random 8-grams from the synthetic vocabulary stay unique. */
+  private val DupGramWords = 8
+  /** Winnowing: 16-char grams, window of 8 — guarantees detection of
+    * shared substrings >= 23 chars; at these sizes the pair query
+    * isolates the injected near-dup families (24 pairs at sf0.01)
+    * instead of the synthetic vocabulary's chance-level 8-char
+    * collisions. */
+  private val WinnowGram = 16
+  private val WinnowWindow = 8
+  private val WinnowMinShared = 10
+  /** DSIR importance weighting: 256 hashed-unigram feature buckets,
+    * src0 as the target domain, 100-doc Gumbel-top-k resample. */
+  private val DsirBuckets = 256
+  private val DsirTargetSource = "src0"
+  private val DsirSampleK = 100
+
+  /** The importance-weight table both DSIR oracles share (weights alone,
+    * and weights + Gumbel draw). */
+  private def dsirWeightsSql: String =
+    s"""WITH b AS (SELECT doc_id,
+            CAST(('0x' || substr(md5(word || 'dsir'), 1, 8)) AS BIGINT)
+              % $DsirBuckets AS bk
+          FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+                FROM documents)),
+        tb AS (SELECT
+            CAST(('0x' || substr(md5(word || 'dsir'), 1, 8)) AS BIGINT)
+              % $DsirBuckets AS bk
+          FROM (SELECT unnest(string_split(lower(text), ' ')) AS word
+                FROM documents WHERE source = '$DsirTargetSource')),
+        cr AS (SELECT bk, count(*) AS c FROM b GROUP BY bk),
+        ct AS (SELECT bk, count(*) AS c FROM tb GROUP BY bk),
+        tr AS (SELECT count(*) AS t FROM b),
+        tt AS (SELECT count(*) AS t FROM tb),
+        tab AS (SELECT cr.bk,
+            ROUND(ln(CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+                / CAST(tt.t + $DsirBuckets AS DOUBLE))
+              - ln(CAST(cr.c + 1 AS DOUBLE)
+                / CAST(tr.t + $DsirBuckets AS DOUBLE)), 6) AS llr
+          FROM cr LEFT JOIN ct ON cr.bk = ct.bk, tr, tt)
+        SELECT b.doc_id, count(*) AS n_words,
+          CAST(SUM(CAST(llr AS DECIMAL(25,6))) AS DOUBLE) AS logw
+        FROM b JOIN tab ON b.bk = tab.bk GROUP BY b.doc_id"""
   /** Mixture targets (tokens): src2's budget exceeds its sf0.01 supply,
     * so the report shows a genuine shortfall; unlisted sources are
     * excluded. Shared verbatim by the Spark query and the oracle SQL. */
@@ -4284,6 +4402,142 @@ object ExtQueries {
             FROM paras)
           SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text
           FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+
+    // Word 8-gram instances (docs shorter than the gram emit none), dup
+    // = corpus count > 1, islands merge instances whose [p, p+n-1]
+    // intervals overlap or touch (gap <= n). lag NULL on the first
+    // instance falls through CASE to 1 — the same null-falsy island
+    // opener as the Spark when/otherwise.
+    "q_dup_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          g AS (SELECT doc_id, CAST(i AS INTEGER) AS p,
+                  md5(array_to_string(ws[i:i+$DupGramWords-1], ' ')) AS h
+                FROM w, LATERAL (SELECT unnest(
+                  generate_series(1, len(ws)-$DupGramWords+1)) AS i)
+                WHERE len(ws) >= $DupGramWords),
+          d AS (SELECT doc_id, p FROM g
+                QUALIFY count(*) OVER (PARTITION BY h) > 1),
+          i AS (SELECT doc_id, p,
+                  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         <= $DupGramWords THEN 0 ELSE 1 END AS nw FROM d),
+          s AS (SELECT doc_id, p,
+                  SUM(nw) OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM i)
+          SELECT doc_id, CAST(MIN(p) AS INTEGER) AS span_start,
+            CAST(MAX(p) + $DupGramWords - 1 AS INTEGER) AS span_end,
+            CAST(MAX(p) - MIN(p) + $DupGramWords AS INTEGER) AS span_words,
+            COUNT(*) AS n_grams
+          FROM s GROUP BY doc_id, isl ORDER BY doc_id, span_start""",
+
+    // Same gram table; removable = duplicated AND not the canonical
+    // minimum-(doc, p) instance; covered word indices drop; fully
+    // emptied docs vanish with their group.
+    "q_dedup_substring" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          g AS (SELECT doc_id, CAST(i AS INTEGER) AS p,
+                  md5(array_to_string(ws[i:i+$DupGramWords-1], ' ')) AS h
+                FROM w, LATERAL (SELECT unnest(
+                  generate_series(1, len(ws)-$DupGramWords+1)) AS i)
+                WHERE len(ws) >= $DupGramWords),
+          r AS (SELECT doc_id, p FROM
+                  (SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS cnt,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+                   FROM g)
+                WHERE cnt > 1 AND rn > 1),
+          cov AS (SELECT DISTINCT doc_id, wi FROM
+                  (SELECT doc_id,
+                     unnest(generate_series(p, p+$DupGramWords-1)) AS wi FROM r)),
+          words AS (SELECT doc_id,
+              unnest(generate_series(1, len(ws))) AS wi, unnest(ws) AS word
+            FROM w)
+          SELECT doc_id, string_agg(word, ' ' ORDER BY wi) AS text
+          FROM words x WHERE NOT EXISTS
+            (SELECT 1 FROM cov c WHERE c.doc_id = x.doc_id AND c.wi = x.wi)
+          GROUP BY doc_id ORDER BY doc_id""",
+
+    // Cluster labels from the shared recursive-CC chain; singleton docs
+    // represent themselves; the split wheel hashes the representative
+    // (CAST || salt — the hash32 convention).
+    "q_split_by_cluster" ->
+      s"""$dupClustersCte,
+          clus AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+            FROM cc GROUP BY node),
+          rep AS (SELECT d.doc_id, d.source,
+              COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN clus c USING (doc_id))
+          SELECT doc_id, source, cluster_id,
+            CASE WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+                   || 'clsplit'), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+                 WHEN CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+                   || 'clsplit'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM rep ORDER BY doc_id""",
+
+    // DSIR replayed: the same md5 bucket wheel (word || salt — the
+    // hash32 convention), add-one-smoothed bucket distributions, llr
+    // rounded 6dp per bucket (absorbing ln() last-ulp drift) and
+    // decimal-summed per doc.
+    "q_importance_weights" -> (dsirWeightsSql + " ORDER BY doc_id"),
+
+    "q_importance_sample" ->
+      s"""WITH w AS (${dsirWeightsSql}),
+          s AS (SELECT doc_id, n_words, logw,
+                  ROUND(logw + ROUND(-ln(-ln(
+                    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                      || 'dsir:gumbel'), 1, 8)) AS BIGINT) + 1 AS DOUBLE)
+                    / 4294967296.0)), 6), 6) AS score
+                FROM w),
+          top AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT $DsirSampleK)
+          SELECT * FROM top ORDER BY doc_id""",
+
+    // Winnowing selection replayed list-for-list: 60-bit md5-prefix gram
+    // hashes, window min with rightmost ties via list_reverse +
+    // list_position, DISTINCT standing in for the Spark side's per-doc
+    // array_distinct (same set, and the output re-sorts).
+    "q_winnow_fp" ->
+      s"""WITH t AS (SELECT doc_id, lower(text) AS tt,
+              CAST(len(lower(text)) AS INTEGER) - $WinnowGram + 1 AS m
+            FROM documents),
+          g AS (SELECT doc_id, m,
+              list_transform(generate_series(1, m), i ->
+                CAST(('0x' || substr(md5(substr(tt, CAST(i AS INTEGER),
+                  $WinnowGram)), 1, 15)) AS BIGINT)) AS hs
+            FROM t WHERE m >= 1),
+          sel AS (SELECT doc_id,
+              unnest(list_transform(
+                generate_series(1, greatest(m - $WinnowWindow + 1, 1)), i ->
+                struct_pack(
+                  pos := CAST(i + len(hs[i:i+$WinnowWindow-1])
+                    - list_position(list_reverse(hs[i:i+$WinnowWindow-1]),
+                                    list_min(hs[i:i+$WinnowWindow-1]))
+                    AS INTEGER),
+                  fp := list_min(hs[i:i+$WinnowWindow-1])))) AS s
+            FROM g)
+          SELECT DISTINCT doc_id, s.pos AS pos, s.fp AS fp FROM sel
+          ORDER BY doc_id, pos""",
+
+    "q_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, lower(text) AS tt,
+              CAST(len(lower(text)) AS INTEGER) - $WinnowGram + 1 AS m
+            FROM documents),
+          g AS (SELECT doc_id, m,
+              list_transform(generate_series(1, m), i ->
+                CAST(('0x' || substr(md5(substr(tt, CAST(i AS INTEGER),
+                  $WinnowGram)), 1, 15)) AS BIGINT)) AS hs
+            FROM t WHERE m >= 1),
+          sel AS (SELECT doc_id,
+              unnest(list_transform(
+                generate_series(1, greatest(m - $WinnowWindow + 1, 1)), i ->
+                list_min(hs[i:i+$WinnowWindow-1]))) AS fp
+            FROM g),
+          d AS (SELECT DISTINCT doc_id, fp FROM sel),
+          n AS (SELECT doc_id, count(*) AS nf FROM d GROUP BY doc_id),
+          p AS (SELECT da.doc_id AS a, db.doc_id AS b, count(*) AS n_shared
+                FROM d da JOIN d db ON da.fp = db.fp AND da.doc_id < db.doc_id
+                GROUP BY 1, 2)
+          SELECT p.a, p.b, p.n_shared,
+            ROUND(CAST(p.n_shared AS DOUBLE) / least(na.nf, nb.nf), 6) AS overlap
+          FROM p JOIN n na ON na.doc_id = p.a JOIN n nb ON nb.doc_id = p.b
+          WHERE p.n_shared >= $WinnowMinShared ORDER BY p.a, p.b""",
 
     // Quartile boundaries per source (quantile_cont == Spark percentile
     // interpolation, both 6dp-rounded); bin = count of boundaries at or

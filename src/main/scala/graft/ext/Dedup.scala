@@ -841,4 +841,127 @@ object Dedup {
       when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
     agg.select(col(docKey), sig.as("simhash"))
   }
+
+  // ───────── substring-level (span) dedup — the Lee et al. 2022 shape ─────────
+
+  /** Every word n-gram instance of every document: one row per
+    * (doc, 1-based word position), `__h` = md5 of the n words joined by a
+    * single space. The distributed stand-in for a corpus suffix array
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better": repeated spans ≥ some token length are duplicated text even
+    * between documents that are NOT near-dups of each other — license
+    * blocks, boilerplate, quoted passages). A doc shorter than n words
+    * emits no grams. Map-only: the word array projects once per doc and
+    * the positions explode off a sequence, so gram generation never
+    * shuffles; the ~W gram rows per W-word doc are the honest cost of
+    * position-level resolution (the suffix-array paper pays the same
+    * linear blowup in its index). */
+  private def gramInstances(docs: DataFrame, docKey: String, textCol: String,
+                            n: Int): DataFrame = {
+    val base = docs
+      .select(col(docKey), split(col(textCol), " ").as("__ws"))
+      .withColumn("__m", (size(col("__ws")) - n + 1).cast("int"))
+    // sequence(1, m) with m < 1 would generate DESCENDING positions
+    // (Spark's sequence runs backwards when start > stop) — the guard
+    // maps short docs to an empty position array instead.
+    base
+      .select(col(docKey), col("__ws"),
+        explode(when(col("__m") >= 1, sequence(lit(1), col("__m")))
+          .otherwise(lit(Array.empty[Int]))).as("__p"))
+      .select(col(docKey), col("__p"),
+        md5(array_join(slice(col("__ws"), col("__p"), lit(n)), " ")).as("__h"))
+  }
+
+  /** Per-gram global occurrence stats: instance count and the canonical
+    * (minimum (doc, position)) occurrence. min(struct) and count are
+    * map-side combinable, so a boilerplate gram duplicated a billion
+    * times reduces inside each task before its 32-byte key shuffles —
+    * the [[dedupParagraphs]] aggregation discipline at gram grain. */
+  private def gramStats(grams: DataFrame, docKey: String): DataFrame =
+    grams.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(docKey).as("__d"), col("__p").as("__i"))).as("__first"))
+
+  /** Maximal duplicated spans per document, at word n-gram resolution:
+    * a span is a maximal run of positions whose n-grams each occur MORE
+    * THAN ONCE in the corpus (in any document, itself included —
+    * position-level, so a doc repeating its own boilerplate reports
+    * too). Gram instances at positions p1 < p2 merge into one span when
+    * p2 − p1 ≤ n, i.e. their word intervals [p, p+n−1] overlap or touch
+    * back-to-back — adjacent duplicated grams are one continuous
+    * duplicated region, not two findings.
+    *
+    * Output: (docKey, span_start, span_end, span_words, n_grams) — 1-based
+    * inclusive WORD indices, ordered by construction for the caller.
+    *
+    * Shape at 100 TB: gram generation is map-only; the occurrence count
+    * shuffles combine-reduced 32-byte keys; the dup-gram filter is a
+    * semi-join back on the same key; span assembly is one window + one
+    * agg PER DOCUMENT (partitioned by the doc key — bounded by document
+    * length, uniform by construction, no global sort anywhere). */
+  def duplicateSpans(docs: DataFrame, docKey: String, textCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 2, s"span grams need n >= 2 words, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val grams = gramInstances(docs, docKey, textCol, n)
+    val dup = gramStats(grams, docKey).filter(col("__cnt") > 1).select("__h")
+    val w = Window.partitionBy(col(docKey)).orderBy(col("__p"))
+    // lag is NULL on each doc's first dup gram: NULL <= n is NULL, so the
+    // when-condition falls to otherwise(1) — first gram opens an island
+    // (the same null-falsy convention the oracle's CASE relies on).
+    grams.join(dup, Seq("__h"), "left_semi")
+      .withColumn("__new",
+        when(col("__p") - lag(col("__p"), 1).over(w) <= n, 0).otherwise(1))
+      .withColumn("__isl", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(docKey), col("__isl"))
+      .agg(min(col("__p")).as("span_start"),
+        (max(col("__p")) + n - 1).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("span_words", col("span_end") - col("span_start") + 1)
+      .select(col(docKey), col("span_start"), col("span_end"),
+        col("span_words"), col("n_grams"))
+  }
+
+  /** Remove duplicated substrings, keeping the FIRST occurrence: a gram
+    * instance is removable when its gram occurs elsewhere in the corpus
+    * AND it is not the canonical (minimum (doc, position)) instance of
+    * that gram; every word covered by a removable instance's [p, p+n−1]
+    * interval is dropped, survivors reassemble in order, fully-emptied
+    * docs drop (the [[dedupParagraphs]] convention). The union of
+    * covered words is identical whether or not overlapping intervals
+    * are first merged, so removal composes exactly with
+    * [[duplicateSpans]]' merged reporting.
+    *
+    * Keep-first is per GRAM, so overlapping grams interact: a doc
+    * holding the canonical copy of gram G can still lose G's words when
+    * a different, overlapping gram H is canonical elsewhere — the price
+    * of position-level keep-one semantics (the suffix-array original
+    * has the same property: it keeps one occurrence of each maximal
+    * repeated substring, not one per enclosing context).
+    *
+    * Shape: gram stats as [[duplicateSpans]]; removable instances
+    * explode into at most n covered word indices each; the kept-word
+    * filter is a left-anti join keyed (docKey, word index) — uniform by
+    * construction — and reassembly is one groupBy(docKey) agg. */
+  def removeDuplicateSubstrings(docs: DataFrame, docKey: String,
+                                textCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"span grams need n >= 2 words, got $n")
+    val grams = gramInstances(docs, docKey, textCol, n)
+    val removable = grams.join(gramStats(grams, docKey), Seq("__h"))
+      .filter(col("__cnt") > 1 &&
+        !(col(docKey) === col("__first.__d") && col("__p") === col("__first.__i")))
+      .select(col(docKey), col("__p"))
+    val covered = removable
+      .select(col(docKey), explode(sequence(col("__p"), col("__p") + n - 1)).as("__wi"))
+      .distinct()
+    val words = docs
+      .select(col(docKey), posexplode(split(col(textCol), " ")).as(Seq("__i0", "__w")))
+      .withColumn("__wi", col("__i0") + 1)
+    words.join(covered, Seq(docKey, "__wi"), "left_anti")
+      .groupBy(col(docKey))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("__wi"), col("__w")))),
+          x => x.getField("__w")), " ").as(textCol))
+  }
 }

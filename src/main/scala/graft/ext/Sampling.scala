@@ -512,4 +512,121 @@ object Sampling {
         col("__shard").as("shard") :+
         expr(s"__before div $budget").as("pack_id"): _*)
   }
+
+  /** Leakage-safe train/val/test assignment: the split key is the
+    * document's duplicate-CLUSTER representative, not the document —
+    * so a near-duplicate family lands in ONE split and the eval set
+    * never contains a paraphrase of a training doc (the contamination
+    * mode document-keyed splitting cannot prevent: hash(doc A) and
+    * hash(dup-of-A) are independent coin flips, so a corpus with d%
+    * duplicated docs leaks ~d·testPct% of its test set).
+    *
+    * `clusters` is a (nodeCol, clusterCol) membership table — the
+    * [[graft.ext.Dedup.dupClusters]] output (or any clustering with
+    * the same shape); singleton docs (absent from it) represent
+    * themselves. One left join on the doc key + the [[splitLabel]]
+    * wheel on the representative: same disjoint/exhaustive/reproducible
+    * contract, same append-only stability — and adding a NEW doc to an
+    * existing cluster routes it to the cluster's split, never the
+    * other way around. Returns the input plus (cluster_id, split). */
+  def splitByCluster(docs: DataFrame, clusters: DataFrame, docKey: String,
+                     nodeCol: String, clusterCol: String,
+                     trainPct: Int, valPct: Int,
+                     salt: String = ""): DataFrame = {
+    val membership = clusters.select(
+      col(nodeCol).as(docKey), col(clusterCol).as("__cl"))
+    docs.join(membership, Seq(docKey), "left")
+      .withColumn("cluster_id", coalesce(col("__cl"), col(docKey)))
+      .withColumn("split", splitLabel(col("cluster_id"), trainPct, valPct, salt))
+      .drop("__cl")
+  }
+
+  // ───────── DSIR-style hashed importance weights (Xie et al. 2023) ─────────
+
+  /** Per-document importance log-weight against a TARGET domain — the
+    * "Data Selection for Language Models via Importance Resampling"
+    * recipe (Xie et al., NeurIPS 2023) on hashed unigram features:
+    * every word hashes into one of `buckets` feature buckets (the same
+    * md5 wheel as every sampling decision here — collisions are the
+    * method, not a bug: hashing IS the dimensionality reduction), the
+    * target and raw bucket distributions are estimated add-one-smoothed
+    * from the two corpora, and a document scores the sum over its word
+    * instances of
+    *
+    *   llr(b) = ln((c_target(b)+1)/(T_target+B)) − ln((c_raw(b)+1)/(T_raw+B))
+    *
+    * — positive for docs whose features look like the target domain,
+    * negative for ones that look like the raw pool. Returns (docKey,
+    * n_words, logw).
+    *
+    * Numeric contract (the [[graft.ext.TextAnalysis.perplexity]]
+    * convention): both probability quotients are exact-integer divides
+    * in IEEE doubles, each per-bucket llr rounds to 6dp — absorbing the
+    * engines' last-ulp ln() disagreement — and the per-doc sum runs in
+    * EXACT decimals, so logw is independent of word order and
+    * partitioning.
+    *
+    * Shape at 100 TB: two combine-enabled bucket-count aggregations
+    * (the llr table is ≤ `buckets` rows — driver-bounded like every
+    * budget map here) plus single-row totals broadcast in; scoring is
+    * one explode + a BROADCAST join on the bucket id + one
+    * combine-enabled per-doc agg. The raw pool never shuffles. */
+  def importanceWeights(df: DataFrame, docKey: String, textCol: String,
+                        target: DataFrame, targetTextCol: String,
+                        buckets: Int, salt: String = "dsir"): DataFrame = {
+    require(buckets >= 1, "need at least one feature bucket")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    def bucketed(d: DataFrame, keep: Seq[String], text: String): DataFrame =
+      d.select(keep.map(col) :+
+          explode(split(lower(col(text)), " ")).as("__w"): _*)
+        .withColumn("__b", hashBucket(col("__w"), buckets, salt))
+    val raw = bucketed(df, Seq.empty, textCol)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val tgt = bucketed(target, Seq.empty, targetTextCol)
+      .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val rawTot = raw.agg(sum(col("__cr")).as("__tr"))
+    val tgtTot = tgt.agg(sum(col("__ct")).as("__tt"))
+    // Raw counts cover every bucket the scored corpus produces (raw IS
+    // the scored corpus), so the left join only needs the target side.
+    val table = raw.join(tgt, Seq("__b"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .withColumn("__llr", round(
+        log((coalesce(col("__ct"), lit(0L)) + 1).cast(DoubleType)
+          / (col("__tt") + buckets).cast(DoubleType))
+          - log((col("__cr") + 1).cast(DoubleType)
+            / (col("__tr") + buckets).cast(DoubleType)), 6)
+        .cast(DecimalType(25, 6)))
+      .select(col("__b"), col("__llr"))
+    bucketed(df, Seq(docKey), textCol)
+      .join(broadcast(table), Seq("__b"))
+      .groupBy(col(docKey))
+      .agg(count(lit(1)).as("n_words"), sum(col("__llr")).as("__s"))
+      .withColumn("logw", col("__s").cast(DoubleType))
+      .drop("__s")
+  }
+
+  /** Deterministic importance RESAMPLING over [[importanceWeights]] —
+    * the paper's Gumbel-top-k draw (sampling without replacement with
+    * probabilities ∝ exp(logw); Kool et al. 2019 establish the
+    * equivalence) made reproducible the [[weightedSampleKey]] way: the
+    * Gumbel noise g = −ln(−ln(u)) comes from the hash-derived uniform
+    * u ∈ (0, 1] (exact in both engines: 32-bit integer + 1 over 2^32),
+    * rounded to 6dp to absorb last-ulp ln() drift, and the k LARGEST
+    * logw + g win, ties on the doc key. (The u = 1 endpoint maps to
+    * g = +∞ — one doc in 2^32 sorts first deterministically in both
+    * engines; the continuity convention, not a hazard.) Runs as
+    * TakeOrderedAndProject — a per-partition k-heap, never a full
+    * sort. Returns (docKey, n_words, logw, score). */
+  def importanceResample(df: DataFrame, docKey: String, textCol: String,
+                         target: DataFrame, targetTextCol: String,
+                         buckets: Int, k: Int, salt: String = "dsir"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val wts = importanceWeights(df, docKey, textCol, target, targetTextCol,
+      buckets, salt)
+    val u = (hash32(col(docKey), salt + ":gumbel") + lit(1L)).cast("double") /
+      lit(4294967296.0)
+    wts.withColumn("score", round(col("logw") + round(-log(-log(u)), 6), 6))
+      .orderBy(col("score").desc, col(docKey))
+      .limit(k)
+  }
 }

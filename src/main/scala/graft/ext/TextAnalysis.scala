@@ -144,6 +144,122 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(filter(tokens(lower(text)), w => w =!= ""), " "))
 
+  // ───────── winnowing fingerprints (Schleimer et al., MOSS) ─────────
+
+  /** Per-document winnowing fingerprint selections — the local document
+    * fingerprinting algorithm of Schleimer/Wilkerson/Aiken ("Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
+    * every k-char gram of the lowercased text, slide a window of `w`
+    * consecutive gram hashes, and select each window's MINIMUM hash
+    * (rightmost on ties — the paper's robust-winnowing rule, which keeps
+    * re-selecting the same physical position across overlapping windows
+    * and so thins the output). The guarantee: any substring match of at
+    * least w + k − 1 chars between two documents shares at least one
+    * selected fingerprint — detection without comparing full texts.
+    *
+    * Returns one row per distinct selected (position, hash): (docKey,
+    * pos, fp) with pos the 1-based char index of the selected gram and
+    * fp a 60-bit md5-derived hash (the [[graft.ext.Dedup.simhash]] hex-
+    * prefix convention — portable, oracle-reproducible). Docs shorter
+    * than k chars emit no rows.
+    *
+    * Shape at 100 TB: everything through selection is per-row
+    * higher-order-function work over projected ATTRIBUTES (the
+    * [[charEntropy]] lambda-capture discipline — hashes project once per
+    * doc, each window slices O(w) off the array), and the per-doc
+    * de-dup runs as array_distinct BEFORE the explode — so fingerprint
+    * extraction is map-only codegen'd work, zero shuffles. */
+  def winnowFingerprints(df: DataFrame, docKey: String, textCol: String,
+                         k: Int, w: Int): DataFrame =
+    winnowSelected(df, docKey, textCol, k, w)
+      // explode_OUTER, deliberately: plain explode triggers
+      // InferFiltersFromGenerate, whose size(__sel) > 0 predicate
+      // pushes down THROUGH the projections with every alias
+      // substituted — the full window-min expression (gram-hash array
+      // re-computed per window) lands in a per-row scan filter and
+      // turns a linear pass quadratic (measured: sf0.01 ran minutes
+      // instead of seconds). The rule skips outer generators, and the
+      // two are row-identical here because __sel is non-empty for
+      // every retained doc (m >= 1 ⇒ at least one window). The
+      // isNotNull guard keys on the GENERATOR OUTPUT, so it cannot be
+      // pushed below the generate and stays free.
+      .select(col(docKey), explode_outer(col("__sel")).as("__s"))
+      .filter(col("__s").isNotNull)
+      .select(col(docKey), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
+
+  /** The shared selection pipeline: (docKey, __sel array<struct<pos,fp>>)
+    * with __sel already per-doc distinct. */
+  private def winnowSelected(df: DataFrame, docKey: String, textCol: String,
+                             k: Int, w: Int): DataFrame = {
+    require(k >= 2, s"gram width k must be >= 2 chars, got $k")
+    require(w >= 1, s"window must span >= 1 grams, got $w")
+    val base = df
+      .select(col(docKey), lower(col(textCol)).as("__t"))
+      .withColumn("__m", (length(col("__t")) - k + 1).cast("int"))
+    // Gram hashes project ONCE per doc (attribute, not expression — HOF
+    // lambdas re-evaluate captured expressions per element); the short-doc
+    // guard keeps sequence() from running backwards.
+    val hashed = base.withColumn("__hs",
+      when(col("__m") >= 1, transform(sequence(lit(1), col("__m")),
+        i => conv(substring(md5(col("__t").substr(i, lit(k))), 1, 15), 16, 10)
+          .cast("long")))
+        .otherwise(lit(Array.empty[Long])))
+    // A doc with 1 <= m < w grams is one clamped window (the slice stops
+    // at the array end); selection still yields its minimum.
+    val sel = transform(
+      sequence(lit(1), greatest(col("__m") - w + 1, lit(1))),
+      i => {
+        val s = slice(col("__hs"), i, lit(w))
+        // Rightmost occurrence of the window min: position from the
+        // right end via reverse + first-position, folded back to the
+        // 1-based char index of the selected gram.
+        struct(
+          (i + size(s) - array_position(reverse(s), array_min(s)))
+            .cast("int").as("pos"),
+          array_min(s).as("fp"))
+      })
+    hashed.filter(col("__m") >= 1)
+      .select(col(docKey), array_distinct(sel).as("__sel"))
+  }
+
+  /** Document pairs sharing at least `minShared` winnowing fingerprint
+    * HASHES, with the containment-style overlap ratio
+    * shared / min(|fps_a|, |fps_b|) (6dp-rounded). The MOSS shape: the
+    * join key is the fingerprint hash — candidates only meet inside a
+    * shared fingerprint's bucket, never all-pairs — and the guarantee
+    * above means any ≥ w+k−1-char shared substring produces at least
+    * one meeting. A boilerplate fingerprint shared by D docs costs
+    * O(D²) candidate rows in its bucket — the accepted LSH-band shape;
+    * winnow w (selection density ~2/(w+1)) is the knob. Output:
+    * (a, b, n_shared, overlap), a < b under the doc key's ordering. */
+  def winnowSimilarPairs(df: DataFrame, docKey: String, textCol: String,
+                         k: Int, w: Int, minShared: Int): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // Distinct HASH set per doc (positions drop — two docs sharing a
+    // fingerprint at different offsets still match); sizes ride along so
+    // the overlap close needs no second aggregation.
+    val fps = winnowSelected(df, docKey, textCol, k, w)
+      .select(col(docKey),
+        array_distinct(transform(col("__sel"), s => s.getField("fp"))).as("__f"))
+      // explode_outer for the same InferFiltersFromGenerate reason as
+      // [[winnowFingerprints]] — the inferred size() filter would
+      // re-inline the whole selection pipeline into the scan. __f is
+      // never empty for a retained doc; the join key drops any null.
+      .select(col(docKey), size(col("__f")).as("__nf"),
+        explode_outer(col("__f")).as("fp"))
+      .filter(col("fp").isNotNull)
+    val l = fps.select(col(docKey).as("a"), col("__nf").as("__na"), col("fp"))
+    val r = fps.select(col(docKey).as("b"), col("__nf").as("__nb"), col("fp"))
+    l.join(r, Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"), col("__na"), col("__nb"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .withColumn("overlap", round(
+        col("n_shared").cast(DoubleType) / least(col("__na"), col("__nb")), 6))
+      .select(col("a"), col("b"), col("n_shared"), col("overlap"))
+  }
+
   /** Unicode NFC normalization — the canonicalization step BEFORE any
     * hash-keyed dedup on multilingual text: "café" as e+combining-acute
     * and as precomposed é are the same text to a reader but different

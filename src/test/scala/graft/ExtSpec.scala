@@ -2247,4 +2247,191 @@ class ExtSpec extends SparkSpec {
     assert(o == (("reach me at <EMAIL>", 1, 0, 0, 0)),
       "one mask, one count — audit balances to zero")
   }
+
+  test("duplicateSpans merges overlapping and back-to-back gram runs") {
+    // Docs 1 and 2 share the 4-word run "a b c d" twice over, doc 3 is
+    // clean. With n=2: doc 1's dup bigrams sit at p=1,2,3 (a b, b c,
+    // c d) — one merged span [1, 4].
+    val df = Seq(
+      (1L, "a b c d x1 y1 z1"),
+      (2L, "q2 a b c d r2"),
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", 2)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Int, Int, Int, Long)].collect()
+    assert(spans.toSeq == Seq((1L, 1, 4, 4, 3L), (2L, 2, 5, 4, 3L)))
+    // Back-to-back (gap exactly n, intervals touching) merges; a gap of
+    // n+1 (one clean word between) does not.
+    val touch = Seq(
+      (1L, "a b x c d y1 y2"),   // dup pairs at p=1 and p=4: gap 3 > n → two spans
+      (2L, "a b z1 z2 c d")).toDF("doc_id", "text")
+    val s2 = Dedup.duplicateSpans(touch, "doc_id", "text", 2)
+      .orderBy("doc_id", "span_start").as[(Long, Int, Int, Int, Long)].collect()
+    assert(s2.toSeq == Seq(
+      (1L, 1, 2, 2, 1L), (1L, 4, 5, 2, 1L),
+      (2L, 1, 2, 2, 1L), (2L, 5, 6, 2, 1L)))
+    val adj = Seq(
+      (1L, "a b c d"),           // dup bigrams p=1 (a b) and p=3 (c d): gap 2 = n → one span
+      (2L, "a b x c d")).toDF("doc_id", "text")
+    val s3 = Dedup.duplicateSpans(adj, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1L).as[(Long, Int, Int, Int, Long)].collect()
+    assert(s3.toSeq == Seq((1L, 1, 4, 4, 2L)), "touching intervals are one span")
+  }
+
+  test("duplicateSpans: docs shorter than n emit nothing; self-repeats count") {
+    val df = Seq((1L, "a"), (2L, "a b a b a b")).toDF("doc_id", "text")
+    // Doc 2 repeats its own bigram "a b" at p=1,3,5 — position-level
+    // duplication within ONE doc reports too (boilerplate inside a doc).
+    val spans = Dedup.duplicateSpans(df, "doc_id", "text", 2)
+      .as[(Long, Int, Int, Int, Long)].collect()
+    assert(spans.forall(_._1 == 2L), "1-word doc emits no grams")
+    assert(spans.map(s => (s._2, s._3)).toSeq == Seq((1, 6)))
+  }
+
+  test("removeDuplicateSubstrings keeps the canonical first occurrence") {
+    val df = Seq(
+      (1L, "a b c d x1 y1 z1"),
+      (2L, "q2 a b c d r2"),
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSubstrings(df, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // Doc 1 holds every canonical (min (doc, p)) instance — untouched;
+    // doc 2 loses the covered words a b c d; doc 3 clean.
+    assert(out == Seq(
+      (1L, "a b c d x1 y1 z1"),
+      (2L, "q2 r2"),
+      (3L, "p q r s t u")))
+    // A doc that is ENTIRELY a duplicate of an earlier doc empties and
+    // drops; the earlier doc survives whole.
+    val dup = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out2 = Dedup.removeDuplicateSubstrings(dup, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(out2 == Seq((1L, "a b c d")), "fully-duplicated doc drops")
+  }
+
+  test("winnowing guarantees a shared fingerprint for long-enough matches") {
+    val k = 4; val w = 3
+    // Shared substring "common substring here" (21 chars) >= w+k-1 = 6:
+    // the winnowing guarantee says the two docs MUST share a selected
+    // hash; the third doc shares nothing that long.
+    val df = Seq(
+      (1L, "AAAA common substring here BBBB"),
+      (2L, "xxxx common substring here yyyy"),
+      (3L, "zzzz totally unrelated wwww qqqq")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.winnowSimilarPairs(df, "doc_id", "text", k, w, 1)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L),
+      "guaranteed meeting for a >= w+k-1-char shared substring")
+    // Identical docs share their whole fingerprint set: overlap 1.0.
+    val dup = Seq((1L, "the same document text"), (2L, "the same document text"))
+      .toDF("doc_id", "text")
+    val p2 = TextAnalysis.winnowSimilarPairs(dup, "doc_id", "text", k, w, 1)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(p2.length == 1 && p2.head._4 == 1.0)
+  }
+
+  test("winnowing selections are windows' rightmost minima, per-doc distinct") {
+    val k = 2; val w = 2
+    // "abab": grams ab(1) ba(2) ab(3) — h(1)=h(3). Window 1 covers
+    // grams {1,2}, window 2 covers {2,3}. Whichever of h(ab)/h(ba) is
+    // smaller, the rightmost-tie rule and dedup keep selections ≤ 2 and
+    // positions strictly within each window.
+    val df = Seq((1L, "abab")).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(df, "doc_id", "text", k, w)
+      .orderBy("pos").as[(Long, Int, Long)].collect()
+    assert(fps.nonEmpty && fps.length <= 2)
+    assert(fps.forall(f => f._2 >= 1 && f._2 <= 3))
+    // A doc shorter than k chars emits nothing; one with m < w grams
+    // yields exactly one (clamped) window's minimum.
+    val short = Seq((1L, "a"), (2L, "abc")).toDF("doc_id", "text")
+    val f2 = TextAnalysis.winnowFingerprints(short, "doc_id", "text", k, w)
+      .as[(Long, Int, Long)].collect()
+    assert(f2.forall(_._1 == 2L), "sub-k doc emits no fingerprints")
+    assert(f2.length == 1, "m < w clamps to one window")
+    // Case-insensitive: selections match across case drift.
+    val cased = Seq((1L, "Hello World"), (2L, "hello world")).toDF("doc_id", "text")
+    val sets = TextAnalysis.winnowFingerprints(cased, "doc_id", "text", 4, 3)
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    assert(sets(1L) == sets(2L))
+  }
+
+  test("DSIR importance weights favor target-looking documents") {
+    val raw = Seq(
+      (1L, "alpha alpha beta", "pool"),
+      (2L, "gamma delta gamma", "pool"),
+      (3L, "alpha beta alpha", "tgt")).toDF("doc_id", "text", "src")
+    val target = raw.filter(col("src") === "tgt")
+    val wts = Sampling.importanceWeights(raw, "doc_id", "text", target, "text", 64)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(wts.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(wts.forall(_._2 == 3L), "word instance counts")
+    // Docs 1 and 3 are made of target words; doc 2's words never appear
+    // in the target — its weight must be strictly lowest.
+    assert(wts(1)._3 < wts(0)._3 && wts(1)._3 < wts(2)._3)
+    // Weight is a pure function of content: identical docs tie exactly.
+    assert(wts(0)._3 == wts(2)._3 ||
+      math.abs(wts(0)._3 - wts(2)._3) < 1e-9)
+  }
+
+  test("DSIR Gumbel resample is deterministic and k-bounded") {
+    val docs = (1L to 40L).map(i =>
+      (i, if (i % 4 == 0) "alpha beta alpha beta" else "noise junk filler words"))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    def draw() = Sampling.importanceResample(docs, "doc_id", "text",
+        target, "text", 64, 10)
+      .select("doc_id").as[Long].collect().toSet
+    val d1 = draw(); val d2 = draw()
+    assert(d1 == d2, "pure function of the keys")
+    assert(d1.size == 10)
+    // Target-looking docs (multiples of 4) should dominate the draw.
+    assert(d1.count(_ % 4 == 0) >= 7, s"importance dominated draw: $d1")
+  }
+
+  test("splitByCluster keeps duplicate families in one split") {
+    val docs = (1L to 60L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // Three chains: {1,2,3}, {10,11}, {20,21} — transitive via pairs.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val clusters = Dedup.dupClusters(pairs)
+    val out = Sampling.splitByCluster(docs, clusters, "doc_id",
+        "node", "cluster", 60, 20, salt = "t")
+      .select("doc_id", "cluster_id", "split")
+      .as[(Long, Long, String)].collect()
+    Dedup.freeClusters(clusters)
+    val byDoc = out.map(r => r._1 -> r).toMap
+    assert(out.length == 60, "every doc assigned")
+    // The invariant splitting exists for: one split per cluster.
+    for (fam <- Seq(Seq(1L, 2L, 3L), Seq(10L, 11L), Seq(20L, 21L))) {
+      assert(fam.map(byDoc(_)._3).distinct.size == 1, s"family $fam split apart")
+      assert(fam.map(byDoc(_)._2).distinct == Seq(fam.min), "min-label rep")
+    }
+    // Singletons represent themselves and all three labels appear
+    // somewhere on the 60-doc wheel.
+    assert(byDoc(40L)._2 == 40L)
+    assert(out.map(_._3).distinct.sorted.toSeq == Seq("test", "train", "val"))
+    // Append-only stability: re-splitting a superset never moves a doc.
+    val more = (1L to 80L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusters2 = Dedup.dupClusters(pairs)
+    val out2 = Sampling.splitByCluster(more, clusters2, "doc_id",
+        "node", "cluster", 60, 20, salt = "t")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    Dedup.freeClusters(clusters2)
+    assert(out.forall(r => out2(r._1) == r._3))
+  }
+
+  test("removeDuplicateSubstrings composes with duplicateSpans coverage") {
+    // Removal drops exactly the words of non-canonical instances'
+    // intervals — merged or not, the covered-word union is identical.
+    val df = Seq(
+      (10L, "h1 h2 h3 h4 body1 body2 h1 h2 h3 h4"),
+      (20L, "intro h1 h2 h3 h4 outro")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSubstrings(df, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    // Doc 10 keeps its first header (canonical) + body, loses the
+    // repeat; doc 20 loses the shared header, keeps intro/outro.
+    assert(out == Seq(
+      (10L, "h1 h2 h3 h4 body1 body2"),
+      (20L, "intro outro")))
+  }
 }
