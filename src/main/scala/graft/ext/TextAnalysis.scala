@@ -188,9 +188,24 @@ object TextAnalysis {
       .select(col(docKey), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
 
   /** The shared selection pipeline: (docKey, __sel array<struct<pos,fp>>)
-    * with __sel already per-doc distinct. */
+    * with __sel already per-doc distinct. Hot path is the native
+    * [[graft.functions.WinnowSelect]] expression (one pass per row: md5
+    * over gram byte ranges + a linear rightmost-min window scan); the
+    * declarative HOF pipeline below is the bit-identical reference
+    * implementation the spec cross-checks — the vec_dot arrangement. */
   private def winnowSelected(df: DataFrame, docKey: String, textCol: String,
-                             k: Int, w: Int): DataFrame = {
+                             k: Int, w: Int): DataFrame =
+    df.select(col(docKey),
+        graft.functions.TextHash.winnow_select(lower(col(textCol)), k, w)
+          .as("__sel"))
+      .filter(col("__sel").isNotNull)
+
+  /** Reference implementation of [[winnowSelected]] as pure declarative
+    * column expressions — kept for the spec's native-vs-declarative
+    * cross-check; semantics documented there apply to both. */
+  private[graft] def winnowSelectedHof(df: DataFrame, docKey: String,
+                                     textCol: String,
+                                     k: Int, w: Int): DataFrame = {
     require(k >= 2, s"gram width k must be >= 2 chars, got $k")
     require(w >= 1, s"window must span >= 1 grams, got $w")
     val base = df

@@ -2356,6 +2356,29 @@ class ExtSpec extends SparkSpec {
     assert(sets(1L) == sets(2L))
   }
 
+  test("native winnow_select matches the declarative reference bit-for-bit") {
+    // Mixed-script corpus: multi-byte UTF-8 (code-point gram semantics),
+    // repeats (tie-breaking), short docs (null guard), clamped windows.
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog the quick brown fox"),
+      (2L, "héllo wörld héllo wörld héllo wörld naïve café"),
+      (3L, "日本語のテキストと日本語のテキスト repeated here"),
+      (4L, "aaaaaaaaaaaaaaaaaaaaaaaa"),
+      (5L, "short"),
+      (6L, "x")).toDF("doc_id", "text")
+    for ((k, w) <- Seq((4, 3), (16, 8), (2, 1))) {
+      val native = TextAnalysis.winnowFingerprints(docs, "doc_id", "text", k, w)
+        .as[(Long, Int, Long)].collect().sorted.toSeq
+      val ref = TextAnalysis.winnowSelectedHof(docs, "doc_id", "text", k, w)
+        .select(col("doc_id"), explode_outer(col("__sel")).as("__s"))
+        .filter(col("__s").isNotNull)
+        .select(col("doc_id"), col("__s.pos"), col("__s.fp"))
+        .as[(Long, Int, Long)].collect().sorted.toSeq
+      assert(native == ref, s"k=$k w=$w")
+      assert(native.nonEmpty)
+    }
+  }
+
   test("DSIR importance weights favor target-looking documents") {
     val raw = Seq(
       (1L, "alpha alpha beta", "pool"),
