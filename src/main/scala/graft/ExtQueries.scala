@@ -1178,6 +1178,20 @@ object ExtQueries {
         .select("doc_id", "n_chars").orderBy("doc_id")
     }),
 
+    "q_semdedup" -> ((s, dir) => {
+      // SemDeDup (Abbas et al. 2023): cluster with the SAME Lloyd
+      // centroids the IVF index trains, pair only within clusters,
+      // flag the higher-centroid-cosine member of every ε-near pair
+      // (keep cluster-edge outliers). Threshold is the demo knob on
+      // these random synthetic embeddings; purpose-built embedding
+      // spaces run 0.9+.
+      val emb = read(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.semDeDupFlags(emb,
+          Similarity.ivfCentroidsLloyd(emb, IvfLists, "vec_id", "embedding"),
+          SemDedupCos)
+        .orderBy("vec_id")
+    }),
+
     "q_ann_quantized" -> ((s, dir) => {
       // MIPS top-5 over the int8-quantized corpus: the compressed-ANN
       // composition (quantize → integer dot → rescale). Scores are
@@ -1779,6 +1793,10 @@ object ExtQueries {
   private val AnnSeed = 42L
   private val CosDupThreshold = 0.25
   private val IvfLists = 8
+  /** SemDeDup in-cluster cosine threshold — demo-scaled to the random
+    * synthetic embeddings (max pairwise cosine ≈ 0.51); purpose-built
+    * embedding spaces run 0.9+. */
+  private val SemDedupCos = 0.35
   private val IvfProbes = 2
   // Two-stage search shortlist factor: stage 1 keeps AnnRefine×k MIPS
   // candidates per query, stage 2 re-ranks them at full precision. 2×
@@ -3650,6 +3668,23 @@ object ExtQueries {
           FROM scored QUALIFY rank <= 3 ORDER BY q_id, rank""",
 
     "q_ann_ivf" -> IvfLloydOracleSql,
+
+    // SemDeDup over the SAME Lloyd assignment chain as the IVF oracles:
+    // centroid cosine per member, in-cluster ε-pairs, flag the
+    // higher-(ccos, id) side of each pair.
+    "q_semdedup" ->
+      s"""$IvfAssignSqlChain,
+          wc AS (SELECT a.vec_id, a.embedding, a.list,
+              ${cosSql("a.embedding", "cent.c_vec")} AS ccos
+            FROM assign a JOIN cent ON a.list = cent.list),
+          dup AS (SELECT DISTINCT x.vec_id FROM wc x JOIN wc y
+            ON x.list = y.list AND x.vec_id != y.vec_id
+            AND ${cosSql("x.embedding", "y.embedding")} >= $SemDedupCos
+            AND (x.ccos > y.ccos OR (x.ccos = y.ccos AND x.vec_id > y.vec_id)))
+          SELECT wc.vec_id, wc.list, wc.ccos,
+            (dup.vec_id IS NOT NULL) AS is_dup
+          FROM wc LEFT JOIN dup ON wc.vec_id = dup.vec_id
+          ORDER BY wc.vec_id""",
 
     // The persisted index stores the SAME Lloyd centroids (rounds = 1)
     // and the same ranking contract, so the full-precision search of the

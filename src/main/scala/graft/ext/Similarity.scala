@@ -1085,6 +1085,70 @@ object Similarity {
     adcRank(codes.join(broadcast(q)), books.size, k, qId, cId)
   }
 
+  // ───────── SemDeDup (Abbas et al. 2023) ─────────
+
+  /** SemDeDup semantic-duplicate flags — "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication": cluster the
+    * embedding space (k-means — here the same [[ivfCentroidsLloyd]]
+    * centroids the ANN index trains, so one clustering serves both),
+    * compare pairs ONLY within a cluster, and among ε-near pairs keep
+    * the member with the LOWEST cosine to its cluster centroid (the
+    * paper's finding: keeping cluster-edge "outliers" beats keeping
+    * medoids). A row is flagged `is_dup` when some same-cluster
+    * neighbor scores ≥ `threshold` cosine against it AND that neighbor
+    * is closer to keeping than this row — strictly lower centroid
+    * cosine, ties on the lower id — so every near-pair keeps at least
+    * its minimal-(ccos, id) member, deterministically.
+    *
+    * Output: (cId, list, ccos, is_dup) for every corpus row.
+    *
+    * Shape at 100 TB: assignment and centroid cosine are map-only
+    * (centroids inlined as literals); the pair stage is one self-join
+    * keyed on the cluster id — O(Σ cluster²) pair work, which is the
+    * published cost model (SemDeDup sizes k precisely to bound cluster
+    * width; list-size skew is visible via `keySkewProfile` on the
+    * assignment before committing to a k). Never all-pairs across
+    * clusters. */
+  def semDeDupFlags(corpus: DataFrame, cents: Seq[(Long, Seq[Double])],
+                    threshold: Double, cId: String = "vec_id",
+                    cVec: String = "embedding"): DataFrame = {
+    val sorted = cents.sortBy(_._1)
+    require(sorted.map(_._1) == (0L until sorted.size.toLong),
+      "semantic dedup needs contiguous 0..n-1 cluster ids")
+    val centArr = typedlit(sorted.map(_._2))
+    val cvec = element_at(centArr, col("list").cast("int") + 1)
+    val withC = corpus
+      .withColumn("__cn", vec_norm(col(cVec)))
+      .withColumn("list", ivfAssign(col(cVec), col("__cn"), cents))
+      .withColumn("ccos", round(
+        vec_dot(col(cVec), cvec) / (col("__cn") * sqrt(vec_dot(cvec, cvec))), 6))
+    val l = withC.select(col("list"), col(cId).as("__a"), col(cVec).as("__va"),
+      col("__cn").as("__na"), col("ccos").as("__ca"))
+    val r = withC.select(col("list"), col(cId).as("__b"), col(cVec).as("__vb"),
+      col("__cn").as("__nb"), col("ccos").as("__cb"))
+    val dupIds = l.join(r, Seq("list"))
+      .filter(col("__a") =!= col("__b"))
+      .filter(round(vec_dot(col("__va"), col("__vb"))
+        / (col("__na") * col("__nb")), 6) >= threshold)
+      .filter(col("__ca") > col("__cb") ||
+        (col("__ca") === col("__cb") && col("__a") > col("__b")))
+      .select(col("__a").as(cId)).distinct()
+    withC.join(dupIds.withColumn("__dup", lit(true)), Seq(cId), "left")
+      .withColumn("is_dup", coalesce(col("__dup"), lit(false)))
+      .select(col(cId), col("list"), col("ccos"), col("is_dup"))
+  }
+
+  /** [[semDeDupFlags]] applied: train `nClusters` Lloyd centroids on
+    * the corpus itself and keep only the unflagged rows. */
+  def semDeDup(corpus: DataFrame, nClusters: Int, threshold: Double,
+               cId: String = "vec_id", cVec: String = "embedding",
+               rounds: Int = 1): DataFrame = {
+    val cents = ivfCentroidsLloyd(corpus, nClusters, cId, cVec, rounds)
+    val keep = semDeDupFlags(corpus, cents, threshold, cId, cVec)
+      .filter(!col("is_dup")).select(col(cId))
+    corpus.join(keep, Seq(cId), "left_semi")
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, restricted
     * to sign-LSH buckets (the scalable near-dup path over embeddings). */
   def cosineDupPairs(df: DataFrame, id: String, vec: String,

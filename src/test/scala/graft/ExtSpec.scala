@@ -2379,6 +2379,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("semDeDup keeps the cluster-edge member of each near pair") {
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.05f)),  // cluster 0, nearest the centroid
+      (11L, Array(1.0f, 0.10f)),  // cluster 0, near-dup of 10, lower ccos
+      (12L, Array(0.6f, -0.8f)),  // cluster 0, far from both
+      (20L, Array(0.05f, 1.0f)),  // cluster 1, alone
+      (30L, Array(-1.0f, 0.0f)),  // cluster 1, identical twin of 31
+      (31L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val flags = Similarity.semDeDupFlags(corpus, cents, 0.99)
+      .orderBy("vec_id").as[(Long, Long, Double, Boolean)].collect()
+    val dup = flags.filter(_._4).map(_._1).toSet
+    // 10 loses to 11 (higher centroid cosine goes); the identical twins
+    // tie on ccos, so the HIGHER id goes; everyone else is clean.
+    assert(dup == Set(10L, 31L), s"flags: ${flags.toSeq}")
+    // End-to-end helper trains its own Lloyd centroids: identical
+    // vectors always co-cluster, so exactly one of the twins drops.
+    val c2 = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.3f)), (3L, Array(0.2f, 0.95f)),
+      (4L, Array(-0.7f, -0.7f)), (5L, Array(-0.7f, -0.7f)))
+      .toDF("vec_id", "embedding")
+    val kept = Similarity.semDeDup(c2, 2, 0.99).select("vec_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 4L), "ccos tie drops the higher id")
+  }
+
   test("DSIR importance weights favor target-looking documents") {
     val raw = Seq(
       (1L, "alpha alpha beta", "pool"),
