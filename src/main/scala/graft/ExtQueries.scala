@@ -1708,6 +1708,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_corpus_datasheet" -> ((s, dir) => {
+      // Per-source release datasheet: doc/char/token counts, shares,
+      // and exact-dup exposure — bounded aggs + one hash semi-join,
+      // the mixtureReport totals shape.
+      TextAnalysis.corpusDatasheet(read(s, dir, "documents"),
+          "doc_id", "text", "source")
+        .orderBy("source")
+    }),
+
     "q_winnow_fp" -> ((s, dir) => {
       // Winnowing fingerprint selection (Schleimer et al., MOSS):
       // window-min over rolling 16-char gram hashes, rightmost-min
@@ -4523,6 +4532,24 @@ object ExtQueries {
                 FROM w),
           top AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT $DsirSampleK)
           SELECT * FROM top ORDER BY doc_id""",
+
+    "q_corpus_datasheet" ->
+      """WITH b AS (SELECT source, md5(text) AS h,
+              len(string_split(text, ' ')) AS tok, len(text) AS nc
+            FROM documents),
+          duph AS (SELECT h FROM b GROUP BY h HAVING count(*) > 1),
+          per AS (SELECT source, count(*) AS n_docs,
+              CAST(SUM(nc) AS BIGINT) AS n_chars,
+              CAST(SUM(tok) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN duph.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_docs
+            FROM b LEFT JOIN duph ON b.h = duph.h GROUP BY source),
+          tot AS (SELECT SUM(n_docs) AS td, SUM(n_tokens) AS tt FROM per)
+          SELECT source, n_docs, n_chars, n_tokens, dup_docs,
+            ROUND(CAST(n_tokens AS DOUBLE) / n_docs, 6) AS avg_tokens,
+            ROUND(CAST(n_docs AS DOUBLE) / td, 6) AS share_docs,
+            ROUND(CAST(n_tokens AS DOUBLE) / tt, 6) AS share_tokens
+          FROM per, tot ORDER BY source""",
 
     // Winnowing selection replayed list-for-list: 60-bit md5-prefix gram
     // hashes, window min with rightmost ties via list_reverse +

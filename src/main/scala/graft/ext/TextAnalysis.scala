@@ -144,6 +144,49 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(filter(tokens(lower(text)), w => w =!= ""), " "))
 
+  /** Per-source corpus datasheet — the one-table summary a dataset
+    * release publishes ("Datasheets for Datasets" §composition, scoped
+    * to what an engine can derive without human input): doc / char /
+    * whitespace-token counts, mean doc length, corpus shares, and the
+    * exact-duplicate exposure (docs whose full-text md5 occurs more
+    * than once ANYWHERE in the corpus — cross-source duplication
+    * counts against every source holding a copy, which is the number
+    * a mixing decision needs).
+    *
+    * Shape at 100 TB: one map pass projects (hash, token count, char
+    * count); the dup-hash table is a combine-reduced 32-byte-key agg
+    * joined back (the dedupParagraphs discipline); per-source rollup
+    * is one combine-enabled agg to |sources| rows; grand totals come
+    * from a single-row agg of that bounded table broadcast back in
+    * (the mixtureReport shape). No global windows, no driver data
+    * beyond the |sources|-row result. */
+  def corpusDatasheet(df: DataFrame, docKey: String, textCol: String,
+                      sourceCol: String): DataFrame = {
+    val base = df.select(col(sourceCol).as("source"),
+        md5(col(textCol)).as("__h"),
+        size(tokens(col(textCol))).as("__tok"),
+        length(col(textCol)).as("__nc"))
+    val dupH = base.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select(col("__h"))
+    val per = base
+      .join(dupH.withColumn("__d", lit(true)), Seq("__h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nc")).as("n_chars"),
+        sum(col("__tok")).as("n_tokens"),
+        sum(when(col("__d"), 1).otherwise(0)).as("dup_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("__td"),
+      sum(col("n_tokens")).as("__tt"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("avg_tokens",
+        round(col("n_tokens").cast(DoubleType) / col("n_docs"), 6))
+      .withColumn("share_docs",
+        round(col("n_docs").cast(DoubleType) / col("__td"), 6))
+      .withColumn("share_tokens",
+        round(col("n_tokens").cast(DoubleType) / col("__tt"), 6))
+      .drop("__td", "__tt")
+  }
+
   // ───────── winnowing fingerprints (Schleimer et al., MOSS) ─────────
 
   /** Per-document winnowing fingerprint selections — the local document

@@ -2379,6 +2379,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("corpusDatasheet counts cross-source dup exposure against both holders") {
+    val df = Seq(
+      (1L, "a b c", "s1"),     // duplicated across sources
+      (2L, "a b c", "s2"),
+      (3L, "d e", "s1"),
+      (4L, "f g h i", "s2"),
+      (5L, "f g h i", "s2")).toDF("doc_id", "text", "source")
+    val ds = TextAnalysis.corpusDatasheet(df, "doc_id", "text", "source")
+      .orderBy("source")
+      .select("source", "n_docs", "n_tokens", "dup_docs", "share_tokens")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // s1: docs 1,3 → 5 tokens, dup_docs 1 (doc 1's text also in s2);
+    // s2: docs 2,4,5 → 11 tokens, dup_docs 3 (doc 2 cross-source, 4+5
+    // in-source). Shares close over the 16-token corpus.
+    assert(ds == Seq(
+      ("s1", 2L, 5L, 1L, 0.3125),
+      ("s2", 3L, 11L, 3L, 0.6875)))
+  }
+
   test("semDeDup keeps the cluster-edge member of each near pair") {
     val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
     val corpus = Seq(
