@@ -1708,6 +1708,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_zorder_key" -> ((s, dir) => {
+      // Morton key interleaving customer and order-day-of-year — the
+      // OPTIMIZE ZORDER BY layout key as a pure codegen'd integer
+      // expression (the writeZOrdered sort key).
+      read(s, dir, "orders").select(col("o_orderkey"),
+          Export.zorderKey(Seq(col("o_custkey"),
+            dayofyear(col("o_orderdate")).cast("long")), ZorderBits).as("zkey"))
+        .orderBy("o_orderkey")
+    }),
+
     "q_corpus_datasheet" -> ((s, dir) => {
       // Per-source release datasheet: doc/char/token counts, shares,
       // and exact-dup exposure — bounded aggs + one hash semi-join,
@@ -1802,6 +1812,10 @@ object ExtQueries {
   private val AnnSeed = 42L
   private val CosDupThreshold = 0.25
   private val IvfLists = 8
+  /** Z-order: 12 bits per dimension × 2 dims = 24-bit keys; custkey and
+    * day-of-year both fit 12 bits at every test SF. */
+  private val ZorderBits = 12
+
   /** SemDeDup in-cluster cosine threshold — demo-scaled to the random
     * synthetic embeddings (max pairwise cosine ≈ 0.51); purpose-built
     * embedding spaces run 0.9+. */
@@ -4532,6 +4546,15 @@ object ExtQueries {
                 FROM w),
           top AS (SELECT * FROM s ORDER BY score DESC, doc_id LIMIT $DsirSampleK)
           SELECT * FROM top ORDER BY doc_id""",
+
+    // Bit-for-bit Morton interleave: bit b of column i at position
+    // b*2 + i, generated for the same ZorderBits.
+    "q_zorder_key" ->
+      s"""SELECT o_orderkey, CAST(${(0 until ZorderBits).map(b =>
+            s"((o_custkey >> $b) & 1) * ${1L << (2 * b)} + " +
+              s"((dayofyear(o_orderdate) >> $b) & 1) * ${1L << (2 * b + 1)}")
+            .mkString(" + ")} AS BIGINT) AS zkey
+          FROM orders ORDER BY o_orderkey""",
 
     "q_corpus_datasheet" ->
       """WITH b AS (SELECT source, md5(text) AS h,

@@ -466,4 +466,51 @@ object Export {
     graft.streaming.EventStream.upsertSink(
       sharded, path, Seq(key), tieBreak, "shard", checkpoint)
   }
+
+  // ───────── Z-order layout (multi-dimensional pruning) ─────────
+
+  /** Morton (Z-order) key over N non-negative integer columns: bit `b`
+    * of column `i` lands at position `b·N + i` of the key, so sorting
+    * by the key clusters rows that are close in EVERY dimension — the
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` layout idea expressed as a
+    * plain integer column expression (shifts and masks, fully
+    * codegen'd, oracle-reproducible). A file layout sorted by one
+    * column prunes on that column only; sorted by the Z-key, every
+    * parquet footer's min/max stays narrow on ALL interleaved columns
+    * at once, so a multi-predicate scan skips files on whichever
+    * dimension its filter touches.
+    *
+    * Callers scale each column into [0, 2^bits) first (range-bucket,
+    * quantile bin, or epoch-day — any monotone integer mapping keeps
+    * locality); bits beyond `bits` are truncated, negatives are the
+    * caller's bug. bits × N ≤ 62 keeps the key in a long. */
+  def zorderKey(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 1, "need at least one column")
+    require(bits >= 1 && bits * n <= 62,
+      s"bits($bits) x cols($n) must fit a 62-bit key")
+    cols.zipWithIndex.map { case (c, i) =>
+      (0 until bits).map { b =>
+        shiftright(c.cast("long"), b).bitwiseAND(1) * lit(1L << (b * n + i))
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` parquet Z-ORDERED on `cols`: range-partition by the
+    * Morton key into `shards` files, sort within each — one range
+    * shuffle (sampled bounds, the writeSortedCorpus shape), no global
+    * single-task sort. The key column is dropped before the write (it
+    * is derivable; layouts should not ship derived columns). At 100 TB
+    * this is the compaction job you run once so that every subsequent
+    * multi-dimensional scan prunes by footer stats instead of reading
+    * the corpus. */
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    bits: Int, shards: Int): Unit = {
+    require(shards >= 1, "need at least one shard")
+    df.withColumn("__z", zorderKey(cols.map(col), bits))
+      .repartitionByRange(shards, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

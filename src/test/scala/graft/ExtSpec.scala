@@ -2379,6 +2379,37 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("zorderKey interleaves bits; writeZOrdered keeps every file narrow in both dims") {
+    // Goldens: x=3 (11b), y=1 (01b) at 2 bits → positions x:{0,2}, y:{1}
+    // → 1+4+2 = 7; x=0,y=3 → positions {1,3} = 10.
+    val g = Seq((3L, 1L), (0L, 3L)).toDF("x", "y")
+      .select(Export.zorderKey(Seq(col("x"), col("y")), 2).as("z"))
+      .as[Long].collect().toSeq
+    assert(g == Seq(7L, 10L))
+    // 32×32 grid → 8 Z-ordered files: every file must stay narrow in
+    // BOTH dimensions (a single-column sort would leave the other
+    // dimension's spread at the full 31). A contiguous Morton interval
+    // of ~128 keys spans a handful of 8×8 quads, so 24 is generous yet
+    // far below 31.
+    val grid = (for (x <- 0 until 32; y <- 0 until 32) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    Export.writeZOrdered(grid, dir, Seq("x", "y"), 5, 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length == 8)
+    var total = 0L
+    for (f <- files) {
+      val stats = spark.read.parquet(f)
+        .agg(min("x"), max("x"), min("y"), max("y"), count(lit(1)))
+        .as[(Long, Long, Long, Long, Long)].head()
+      assert(stats._2 - stats._1 <= 24, s"x spread in $f: $stats")
+      assert(stats._4 - stats._3 <= 24, s"y spread in $f: $stats")
+      total += stats._5
+    }
+    assert(total == 1024, "round trip preserves every row")
+  }
+
   test("corpusDatasheet counts cross-source dup exposure against both holders") {
     val df = Seq(
       (1L, "a b c", "s1"),     // duplicated across sources
