@@ -238,10 +238,14 @@ object TextAnalysis {
     * implementation the spec cross-checks — the vec_dot arrangement. */
   private def winnowSelected(df: DataFrame, docKey: String, textCol: String,
                              k: Int, w: Int): DataFrame =
+    // No isNotNull here: a filter on __sel pushes BELOW the projection
+    // and evaluates winnow_select a second time per row (PlanShapeSpec
+    // pins the single evaluation). Short docs carry a null __sel; both
+    // consumers explode_outer and drop the null on the GENERATOR
+    // OUTPUT, which cannot be pushed past the generate.
     df.select(col(docKey),
         graft.functions.TextHash.winnow_select(lower(col(textCol)), k, w)
           .as("__sel"))
-      .filter(col("__sel").isNotNull)
 
   /** Reference implementation of [[winnowSelected]] as pure declarative
     * column expressions — kept for the spec's native-vs-declarative

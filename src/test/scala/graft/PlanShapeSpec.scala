@@ -217,6 +217,49 @@ class PlanShapeSpec extends SparkSpec {
       s"probes must broadcast — the corpus never shuffles:\n$plan")
   }
 
+  test("q_winnow_fp: the selection never leaks into a pushed-down filter") {
+    // The r12 InferFiltersFromGenerate hazard (SCALING.md): a plain
+    // explode over the selection array let the optimizer push a size()
+    // predicate to the scan with the WHOLE pipeline inlined —
+    // re-evaluating the native selection per row per reference. The
+    // guard: winnow_select appears exactly once in the optimized plan,
+    // and the scan's data filters never mention it.
+    val df = SparkEntry.queries("q_winnow_fp")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    val n = "winnow_select".r.findAllIn(plan).size
+    assert(n == 1, s"expected exactly one winnow_select, got $n:\n$plan")
+    val physical = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scanSection = physical.split("FileScan parquet").last
+    assert(!scanSection.contains("winnow_select"),
+      s"selection must not run inside the scan filter:\n$scanSection")
+  }
+
+  test("q_semdedup: in-cluster pairs only — the join is keyed on the cluster id") {
+    val plan = executedPlan("q_semdedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"SemDeDup must never go all-pairs:\n$plan")
+    assert(plan.contains("list"), s"pair join keys on the cluster id:\n$plan")
+  }
+
+  test("writeZOrdered plans one range shuffle and an in-partition sort") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val laid = grid
+      .withColumn("__z", graft.ext.Export.zorderKey(Seq(col("x"), col("y")), 4))
+      .repartitionByRange(4, col("__z"))
+      .sortWithinPartitions(col("__z"))
+    laid.collect()
+    val plan = laid.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("rangepartitioning"),
+      s"range shuffle on the Morton key:\n$plan")
+    assert(!plan.contains("Sort [__z") || !plan.contains("global=true"),
+      s"never a global single-task sort:\n$plan")
+  }
+
   test("q_dedup_incremental reads the batch through its checkpoint (survivors materialized once)") {
     // The exact-pass survivors are an eager localCheckpoint (r7 hygiene
     // change); the fresh-consuming branches read its RDD blocks while
