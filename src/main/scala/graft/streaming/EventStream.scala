@@ -242,6 +242,89 @@ object EventStream {
       .start()
   }
 
+  /** Streaming WINNOW-fingerprint dedup sink — the fuzzy twin of
+    * [[nearDupDedupSink]] built on MOSS winnowing instead of
+    * MinHash-LSH-verify: a doc is a duplicate when it shares at least
+    * `minShared` distinct selected fingerprint hashes with an accepted
+    * doc (the [[graft.ext.TextAnalysis.winnowSimilarPairs]] criterion —
+    * any shared substring ≥ w+k−1 chars guarantees a shared selection,
+    * so this catches copied PASSAGES, not just near-identical docs).
+    * Each micro-batch:
+    *
+    *  1. dedups WITHIN itself (within-batch pairs, greedy higher-id
+    *     eviction);
+    *  2. drops exact replays (content-hash anti-join against `docs/` —
+    *     the bloom-composed [[graft.ext.Dedup.freshByContent]] guard,
+    *     which also makes at-least-once delivery exactly-once even for
+    *     docs too short to carry `minShared` fingerprints);
+    *  3. drops fuzzy duplicates: batch fingerprints equi-join the
+    *     PERSISTED `fps/` table on the hash — candidates only inside a
+    *     shared fingerprint's bucket, never batch × corpus — and a
+    *     per-(batch doc, landed doc) distinct-hash count ≥ `minShared`
+    *     evicts;
+    *  4. appends survivors' fingerprints to `fps/` THEN the docs to
+    *     `docs/`.
+    *
+    * Crash-ordering: with fps-first, a crash between the writes leaves
+    * ORPHAN fingerprints. Unlike [[nearDupDedupSink]]'s bands (mere
+    * candidates, neutralized by the text verify), a fingerprint match
+    * IS the decision here — so the landed side is SEMI-JOINED to
+    * `docs/` keys before matching, which filters orphans out: the
+    * replayed doc re-admits, re-appends its fps (duplicate rows are
+    * collapsed by the distinct on read), and lands. State lives in the
+    * sink — no streaming state store grows with the corpus. */
+  def winnowDedupSink(stream: DataFrame, sinkPath: String, docKey: String,
+                      textCol: String, k: Int, w: Int, minShared: Int,
+                      checkpoint: String
+                     ): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.ext.{Dedup, TextAnalysis}
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val write: (DataFrame, Long) => Unit = (batch0, _) => {
+      val s = batch0.sparkSession
+      val docsPath = s"$sinkPath/docs"
+      val fpsPath = s"$sinkPath/fps"
+      val fs = new org.apache.hadoop.fs.Path(sinkPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val b1 = batch0.dropDuplicates(docKey)
+      val within = TextAnalysis.winnowSimilarPairs(b1, docKey, textCol,
+        k, w, minShared).select(col("a"), col("b"))
+      val b2 = Dedup.removeNearDups(b1, within, docKey)
+      val exists = fs.exists(new org.apache.hadoop.fs.Path(docsPath))
+      val accepted = (if (!exists) b2 else {
+        val ref = s.read.schema(batch0.schema).parquet(docsPath)
+        val fresh = Dedup.freshByContent(b2, ref, textCol)
+        val fpSchema = org.apache.spark.sql.types.StructType(Seq(
+          batch0.schema(docKey),
+          org.apache.spark.sql.types.StructField("fp",
+            org.apache.spark.sql.types.LongType)))
+        // Orphan-proof landed side: only fingerprints whose doc actually
+        // committed to docs/ may evict (see crash-ordering above).
+        val landed = s.read.schema(fpSchema).parquet(fpsPath)
+          .join(ref.select(col(docKey)), Seq(docKey), "left_semi")
+          .select(col(docKey).as("__ref"), col("fp")).distinct()
+        val batchFps = TextAnalysis.winnowFingerprints(fresh, docKey,
+            textCol, k, w)
+          .select(col(docKey), col("fp")).distinct()
+        val dupIds = batchFps.join(landed, Seq("fp"))
+          .groupBy(col(docKey), col("__ref"))
+          .agg(count(lit(1)).as("__sh"))
+          .filter(col("__sh") >= minShared)
+          .select(col(docKey)).distinct()
+        fresh.join(dupIds, Seq(docKey), "left_anti")
+      }).localCheckpoint() // two writes below — don't run the chain twice
+      // fps BEFORE docs — see the crash-ordering contract above.
+      TextAnalysis.winnowFingerprints(accepted, docKey, textCol, k, w)
+        .select(col(docKey), col("fp")).distinct()
+        .write.mode("append").parquet(fpsPath)
+      accepted.write.mode("append").parquet(docsPath)
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch(write)
+      .start()
+  }
+
   /** Streaming decontamination: append to `sinkPath` only the arriving
     * documents that share fewer than `minHits` distinct n-gram shingles
     * with the benchmark set — the streaming twin of

@@ -268,6 +268,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$sink/bands").select("doc_id").distinct().count() == 3)
   }
 
+  test("streaming winnow sink: shared passages evict, short docs replay-safe") {
+    implicit val sc = spark.sqlContext
+    val sink = java.nio.file.Files.createTempDirectory("graft_wn_sink")
+      .resolve("c").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_wn_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.winnowDedupSink(mem.toDF().toDF("doc_id", "text"),
+      sink, "doc_id", "text", k = 6, w = 3, minShared = 4, checkpoint = ckpt)
+    // Distinctive vocabularies: only the planted shared passage
+    // ("magenta crocodile waltzes beneath turquoise umbrella stands",
+    // far past w+k-1 chars) produces shared fingerprints.
+    val b1 = Seq(
+      1L -> "magenta crocodile waltzes beneath turquoise umbrella stands quietly watching",
+      2L -> "zebra fixation proves nothing interesting regarding quantum billiards",
+      3L -> "today magenta crocodile waltzes beneath turquoise umbrella stands happily")
+    val b2 = Seq(
+      4L -> "magenta crocodile waltzes beneath turquoise umbrella stands quietly watching",
+      5L -> "magenta crocodile waltzes beneath turquoise umbrella stands elsewhere",
+      6L -> "seventeen lavender bicycles rolled past wooden fences during autumn rainfall",
+      7L -> "hi")                                     // shorter than k: no fingerprints
+    mem.addData(b1: _*); q.processAllAvailable()
+    mem.addData(b2: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()      // replay: must add nothing
+    mem.addData(b2: _*); q.processAllAvailable()      // replay incl. the no-fp doc
+    q.stop()
+    val got = spark.read.parquet(s"$sink/docs")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 3 evicted within-batch (shares the passage with 1), 4 by the
+    // exact pass, 5 by the persisted fingerprints; 7 lands despite
+    // carrying zero fingerprints and survives replay via the exact
+    // guard.
+    assert(got == Seq(1L, 2L, 6L, 7L), s"sink holds $got")
+    assert(spark.read.parquet(s"$sink/fps").select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 6L),
+      "fingerprint table tracks accepted docs with >= 1 selection")
+  }
+
   test("streaming upsert sink: keep-existing per key across batches, replay appends nothing") {
     implicit val sc = spark.sqlContext
     val sink = java.nio.file.Files.createTempDirectory("graft_upsert_sink")
