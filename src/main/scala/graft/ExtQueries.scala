@@ -1653,6 +1653,24 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_gram_novelty" -> ((s, dir) => {
+      // Per-doc 8-gram novelty (1 − duplication exposure): boilerplate
+      // docs score near 0, original text near 1; sub-8-word docs carry
+      // no evidence → NULL.
+      Dedup.gramNovelty(read(s, dir, "documents"), "doc_id", "text",
+          DupGramWords)
+        .orderBy("doc_id")
+    }),
+
+    "q_duplication_report" -> ((s, dir) => {
+      // Per-source duplication exposure: how much volume sits under
+      // corpus-duplicated 8-gram spans — the go/no-go number for the
+      // substring-removal pass.
+      Dedup.duplicationReport(read(s, dir, "documents"), "doc_id", "text",
+          "source", DupGramWords)
+        .orderBy("source")
+    }),
+
     "q_dup_spans" -> ((s, dir) => {
       // Substring-level duplication report (the Lee et al. 2022 span
       // shape): maximal runs of word 8-grams occurring more than once
@@ -4460,6 +4478,61 @@ object ExtQueries {
             FROM paras)
           SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text
           FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+
+    "q_gram_novelty" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          g AS (SELECT doc_id, CAST(i AS INTEGER) AS p,
+                  md5(array_to_string(ws[i:i+$DupGramWords-1], ' ')) AS h
+                FROM w, LATERAL (SELECT unnest(
+                  generate_series(1, len(ws)-$DupGramWords+1)) AS i)
+                WHERE len(ws) >= $DupGramWords),
+          sc AS (SELECT doc_id, count(*) AS n_grams,
+                  CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS unique_grams
+                FROM (SELECT doc_id, count(*) OVER (PARTITION BY h) AS cnt
+                      FROM g)
+                GROUP BY doc_id)
+          SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams,
+            COALESCE(sc.unique_grams, 0) AS unique_grams,
+            ROUND(CAST(sc.unique_grams AS DOUBLE) / sc.n_grams, 6) AS novelty
+          FROM (SELECT DISTINCT doc_id FROM documents) d
+          LEFT JOIN sc ON d.doc_id = sc.doc_id ORDER BY d.doc_id""",
+
+    "q_duplication_report" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                FROM documents),
+          g AS (SELECT doc_id, CAST(i AS INTEGER) AS p,
+                  md5(array_to_string(ws[i:i+$DupGramWords-1], ' ')) AS h
+                FROM w, LATERAL (SELECT unnest(
+                  generate_series(1, len(ws)-$DupGramWords+1)) AS i)
+                WHERE len(ws) >= $DupGramWords),
+          f AS (SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS cnt FROM g),
+          ga AS (SELECT w.source, count(*) AS n_grams,
+                  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS dup_grams
+                FROM f JOIN w ON f.doc_id = w.doc_id GROUP BY w.source),
+          cov AS (SELECT DISTINCT doc_id, wi FROM
+                  (SELECT doc_id,
+                     unnest(generate_series(p, p+$DupGramWords-1)) AS wi
+                   FROM f WHERE cnt > 1)),
+          words AS (SELECT doc_id, source,
+              unnest(generate_series(1, len(ws))) AS wi FROM w),
+          wa AS (SELECT words.source, count(*) AS n_words,
+                  CAST(SUM(CASE WHEN cov.wi IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS dup_words
+                FROM words LEFT JOIN cov
+                  ON words.doc_id = cov.doc_id AND words.wi = cov.wi
+                GROUP BY words.source)
+          SELECT COALESCE(ga.source, wa.source) AS source,
+            COALESCE(n_grams, 0) AS n_grams,
+            COALESCE(dup_grams, 0) AS dup_grams,
+            COALESCE(n_words, 0) AS n_words,
+            COALESCE(dup_words, 0) AS dup_words,
+            CASE WHEN COALESCE(n_grams, 0) > 0 THEN
+              ROUND(CAST(dup_grams AS DOUBLE) / n_grams, 6) END AS dup_gram_rate,
+            CASE WHEN COALESCE(n_words, 0) > 0 THEN
+              ROUND(CAST(dup_words AS DOUBLE) / n_words, 6) END AS dup_word_rate
+          FROM ga FULL JOIN wa ON ga.source = wa.source ORDER BY source""",
 
     // Word 8-gram instances (docs shorter than the gram emit none), dup
     // = corpus count > 1, islands merge instances whose [p, p+n-1]

@@ -923,6 +923,76 @@ object Dedup {
         col("span_words"), col("n_grams"))
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a doc's word n-grams
+    * that occur nowhere else in the corpus (and only once in the doc
+    * itself) — the inverse of duplication exposure, the quality signal
+    * that separates boilerplate-heavy docs (novelty → 0) from original
+    * text (novelty → 1). Docs shorter than n words emit n_grams 0 and
+    * NULL novelty (no evidence — the perplexity convention). Exact
+    * integer quotient rounded 6dp. Same plan as [[duplicateSpans]]
+    * minus the span window: map-only grams, combine-reduced hash agg,
+    * one semi-join-shaped join back, one per-doc agg. */
+  def gramNovelty(docs: DataFrame, docKey: String, textCol: String,
+                  n: Int): DataFrame = {
+    require(n >= 2, s"novelty grams need n >= 2 words, got $n")
+    import org.apache.spark.sql.types.DoubleType
+    val grams = gramInstances(docs, docKey, textCol, n)
+    val scored = grams.join(gramStats(grams, docKey).select("__h", "__cnt"), Seq("__h"))
+      .groupBy(col(docKey))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__cnt") === 1, 1).otherwise(0)).as("unique_grams"))
+      .withColumn("novelty", round(
+        col("unique_grams").cast(DoubleType) / col("n_grams"), 6))
+    docs.select(col(docKey)).distinct()
+      .join(scored, Seq(docKey), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("unique_grams", coalesce(col("unique_grams"), lit(0L)))
+  }
+
+  /** Per-source duplication-exposure report — what [[duplicateSpans]]
+    * aggregates to at release time: gram instances, how many of them
+    * are duplicated anywhere in the corpus (itself included), and how
+    * many WORDS sit under at least one duplicated gram's [p, p+n−1]
+    * interval. `dup_word_rate` is the fraction of a source's volume
+    * that substring-level dedup would inspect — the number that tells
+    * you whether to run the removal pass at all. Same bounded-agg
+    * shape as [[graft.ext.TextAnalysis.corpusDatasheet]]. */
+  def duplicationReport(docs: DataFrame, docKey: String, textCol: String,
+                        sourceCol: String, n: Int): DataFrame = {
+    require(n >= 2, s"span grams need n >= 2 words, got $n")
+    import org.apache.spark.sql.types.DoubleType
+    val grams = gramInstances(docs, docKey, textCol, n)
+    val flagged = grams
+      .join(gramStats(grams, docKey).select("__h", "__cnt"), Seq("__h"))
+    val srcOf = docs.select(col(docKey), col(sourceCol).as("__src"))
+    val gramAgg = flagged.join(srcOf, Seq(docKey))
+      .groupBy(col("__src"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__cnt") > 1, 1).otherwise(0)).as("dup_grams"))
+    val covered = flagged.filter(col("__cnt") > 1)
+      .select(col(docKey), explode(sequence(col("__p"), col("__p") + n - 1)).as("__wi"))
+      .distinct()
+    val words = docs
+      .select(col(docKey), col(sourceCol).as("__src"),
+        posexplode(split(col(textCol), " ")).as(Seq("__i0", "__w")))
+      .withColumn("__wi", col("__i0") + 1)
+    val wordAgg = words
+      .join(covered.withColumn("__c", lit(true)), Seq(docKey, "__wi"), "left")
+      .groupBy(col("__src"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("__c"), 1).otherwise(0)).as("dup_words"))
+    gramAgg.join(wordAgg, Seq("__src"), "full")
+      .select(col("__src").as("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("dup_words"), lit(0L)).as("dup_words"))
+      .withColumn("dup_gram_rate", when(col("n_grams") > 0,
+        round(col("dup_grams").cast(DoubleType) / col("n_grams"), 6)))
+      .withColumn("dup_word_rate", when(col("n_words") > 0,
+        round(col("dup_words").cast(DoubleType) / col("n_words"), 6)))
+  }
+
   /** Remove duplicated substrings, keeping the FIRST occurrence: a gram
     * instance is removable when its gram occurs elsewhere in the corpus
     * AND it is not the canonical (minimum (doc, position)) instance of

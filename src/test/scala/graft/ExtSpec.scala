@@ -2288,6 +2288,31 @@ class ExtSpec extends SparkSpec {
     assert(spans.map(s => (s._2, s._3)).toSeq == Seq((1, 6)))
   }
 
+  test("gramNovelty and duplicationReport account every gram and word") {
+    val df = Seq(
+      (1L, "a b c d x y", "s1"),   // bigrams: ab bc cd dx xy — ab,bc,cd dup'd via doc 2
+      (2L, "q a b c d r", "s2"),   // qa ab bc cd dr
+      (3L, "u v", "s1"),           // one unique bigram
+      (4L, "w", "s2")).toDF("doc_id", "text", "source") // sub-n: no grams
+    val nov = Dedup.gramNovelty(df, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Option[Double])].collect().toSeq
+    assert(nov == Seq(
+      (1L, 5L, 2L, Some(0.4)),    // dx, xy unique of 5
+      (2L, 5L, 2L, Some(0.4)),    // qa, dr unique of 5
+      (3L, 1L, 1L, Some(1.0)),
+      (4L, 0L, 0L, None)))
+    val rep = Dedup.duplicationReport(df, "doc_id", "text", "source", 2)
+      .orderBy("source")
+      .as[(String, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    // s1: grams 5+1, dups 3 (doc 1's ab bc cd); words 6+2, covered
+    // words of doc 1 = positions 1..4; s2: grams 5, dups 3 (positions
+    // 2,3,4 → covered words 2..5), words 6+1.
+    assert(rep == Seq(
+      ("s1", 6L, 3L, 8L, 4L, Some(0.5), Some(0.5)),
+      ("s2", 5L, 3L, 7L, 4L, Some(0.6), Some(0.571429))))
+  }
+
   test("removeDuplicateSubstrings keeps the canonical first occurrence") {
     val df = Seq(
       (1L, "a b c d x1 y1 z1"),
