@@ -1653,6 +1653,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_chunk_cdc" -> ((s, dir) => {
+      // Content-defined chunking (Rabin rolling hash): boundaries move
+      // with the content, so chunk-hash dedup survives edits that
+      // shift offsets. Map-only; expected chunk ~2^5 chars here.
+      TextAnalysis.chunkContentDefined(read(s, dir, "documents"),
+          "doc_id", "text", CdcWindow, CdcBits)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     "q_gram_novelty" -> ((s, dir) => {
       // Per-doc 8-gram novelty (1 − duplication exposure): boilerplate
       // docs score near 0, original text near 1; sub-8-word docs carry
@@ -1833,6 +1842,17 @@ object ExtQueries {
   /** Z-order: 12 bits per dimension × 2 dims = 24-bit keys; custkey and
     * day-of-year both fit 12 bits at every test SF. */
   private val ZorderBits = 12
+
+  /** Content-defined chunking: 8-char rolling window, 5 boundary bits
+    * (expected chunk ~32 chars), Karp-Rabin base/modulus. */
+  private val CdcWindow = 8
+  private val CdcBits = 5
+  private val CdcM = 1000000007L
+  private def cdcTermsSql: String = (0 until CdcWindow).map { j =>
+    val p = BigInt(257).modPow(BigInt(CdcWindow - 1 - j), BigInt(CdcM)).toLong
+    s"(CAST(ascii(substr(tt, CAST(i AS INTEGER)-$CdcWindow+$j+1, 1)) AS BIGINT)" +
+      s" % $CdcM * $p) % $CdcM"
+  }.mkString(" + ")
 
   /** SemDeDup in-cluster cosine threshold — demo-scaled to the random
     * synthetic embeddings (max pairwise cosine ≈ 0.51); purpose-built
@@ -4478,6 +4498,30 @@ object ExtQueries {
             FROM paras)
           SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text
           FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+
+    // Same Karp-Rabin arithmetic (B=257, M=1e9+7, BIGINT casts), sorted
+    // distinct boundary list, 1-based substr slicing.
+    "q_chunk_cdc" ->
+      s"""WITH t AS (SELECT doc_id, text AS tt, len(text) AS n FROM documents),
+          b AS (SELECT doc_id, tt, n,
+              CASE WHEN n >= $CdcWindow THEN
+                list_filter(generate_series($CdcWindow, n), i ->
+                  ((${cdcTermsSql}) % ${CdcM}) % ${1L << CdcBits} = 0)
+              ELSE [] END AS cuts
+            FROM t),
+          ba AS (SELECT doc_id, tt, n,
+              list_sort(list_distinct(
+                list_concat(list_concat([0], cuts), [n]))) AS bs FROM b),
+          c AS (SELECT doc_id,
+              unnest(generate_series(1, len(bs)-1)) AS ci, tt, bs FROM ba)
+          SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+            substr(tt, CAST(bs[ci] AS INTEGER) + 1,
+              CAST(bs[ci+1] - bs[ci] AS INTEGER)) AS chunk,
+            CAST(len(substr(tt, CAST(bs[ci] AS INTEGER) + 1,
+              CAST(bs[ci+1] - bs[ci] AS INTEGER))) AS INTEGER) AS n_chars,
+            md5(substr(tt, CAST(bs[ci] AS INTEGER) + 1,
+              CAST(bs[ci+1] - bs[ci] AS INTEGER))) AS chunk_hash
+          FROM c ORDER BY doc_id, chunk_idx""",
 
     "q_gram_novelty" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

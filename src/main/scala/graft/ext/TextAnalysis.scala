@@ -144,6 +144,67 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(filter(tokens(lower(text)), w => w =!= ""), " "))
 
+  /** Content-defined chunking (Rabin-style rolling hash — the LBFS /
+    * rsync family): cut a document AFTER char i whenever the
+    * Karp–Rabin hash of its trailing `window` chars lands on 0 mod
+    * 2^bits, giving chunks whose boundaries move WITH the content —
+    * insert one word at the top of a doc and every chunk after the
+    * edit point re-aligns (fixed-size chunking would shift every
+    * boundary and defeat chunk-hash dedup). Expected chunk length
+    * ≈ 2^bits chars. The md5 `chunk_hash` rides along as the dedup /
+    * delta-sync key: duplicated passages across docs become duplicated
+    * chunk hashes ([[graft.ext.Dedup.exactByKey]] on the hash is
+    * chunk-level dedup).
+    *
+    * Semantics (both engines replay bit-for-bit): hash =
+    * (Σ_j code(c_{i−window+1+j}) · B^{window−1−j}) mod M with B = 257,
+    * M = 1e9+7, codes = code points; docs shorter than `window` are
+    * one whole-doc chunk; empty docs emit nothing. Chunks concatenate
+    * back to the exact input (spec-pinned).
+    *
+    * Shape: pure per-row HOF work over projected attributes (codes
+    * array computed once per doc, the boundary filter reads only its
+    * own lambda variable and the codes attribute) — map-only, zero
+    * shuffles, O(len · window) arithmetic per doc. */
+  def chunkContentDefined(df: DataFrame, docKey: String, textCol: String,
+                          window: Int = 8, bits: Int = 5): DataFrame = {
+    require(window >= 2, s"rolling window must be >= 2 chars, got $window")
+    require(bits >= 1 && bits <= 20, s"boundary bits must be in 1..20, got $bits")
+    val M = 1000000007L
+    val pows: Seq[Long] = (0 until window)
+      .map(j => BigInt(257).modPow(BigInt(window - 1 - j), BigInt(M)).toLong)
+    val base = df
+      .select(col(docKey), col(textCol).as("__t"))
+      .withColumn("__n", length(col("__t")))
+      .withColumn("__cd", transform(split(col("__t"), ""),
+        c => ascii(c).cast("long")))
+    // Boundary positions: i in window..n (guarded — sequence() runs
+    // backwards for n < window) where the trailing-window hash lands
+    // on the 2^bits wheel.
+    val cuts = filter(
+      when(col("__n") >= window, sequence(lit(window), col("__n")))
+        .otherwise(lit(Array.empty[Int])),
+      i => {
+        val h = (0 until window)
+          .map(j => element_at(col("__cd"), i - window + 1 + j) % M * pows(j) % M)
+          .reduce(_ + _) % M
+        h % (1L << bits) === 0
+      })
+    val withBounds = base.withColumn("__bs", array_sort(array_distinct(
+      concat(array(lit(0)), cuts, array(col("__n"))))))
+    withBounds
+      .select(col(docKey), col("__t"), col("__bs"),
+        posexplode(when(size(col("__bs")) > 1,
+            sequence(lit(1), size(col("__bs")) - 1))
+          .otherwise(lit(Array.empty[Int]))).as(Seq("__x", "__ci")))
+      .select(col(docKey), col("__ci").cast("int").as("chunk_idx"),
+        col("__t").substr(element_at(col("__bs"), col("__ci")) + 1,
+          element_at(col("__bs"), col("__ci") + 1)
+            - element_at(col("__bs"), col("__ci"))).as("chunk"))
+      .withColumn("n_chars", length(col("chunk")))
+      .withColumn("chunk_hash", md5(col("chunk")))
+  }
+
   /** Per-source corpus datasheet — the one-table summary a dataset
     * release publishes ("Datasheets for Datasets" §composition, scoped
     * to what an engine can derive without human input): doc / char /

@@ -2288,6 +2288,32 @@ class ExtSpec extends SparkSpec {
     assert(spans.map(s => (s._2, s._3)).toSeq == Seq((1, 6)))
   }
 
+  test("content-defined chunks reassemble exactly and re-align after edits") {
+    val docs = Seq(
+      (1L, ("alpha bravo charlie delta echo foxtrot golf hotel " * 8).trim),
+      (2L, "short"),      // < window: one whole-doc chunk
+      (3L, "")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkContentDefined(docs, "doc_id", "text", 8, 4)
+      .orderBy("doc_id", "chunk_idx").collect()
+    // Exact reassembly per doc; empty docs emit nothing.
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(!byDoc.contains(3L))
+    assert(byDoc(2L).map(_.getString(2)).mkString == "short")
+    val original = docs.filter(col("doc_id") === 1L)
+      .select("text").as[String].head()
+    assert(byDoc(1L).map(_.getString(2)).mkString == original)
+    assert(byDoc(1L).length > 1, "long doc splits")
+    // The CDC property: prepend an edit — boundaries RE-ALIGN, so the
+    // tail chunks keep their hashes (fixed-size chunking would lose
+    // every one).
+    val edited = Seq((9L, "EDIT INSERTED " + original)).toDF("doc_id", "text")
+    val h1 = byDoc(1L).map(_.getString(4)).toSet
+    val h2 = TextAnalysis.chunkContentDefined(edited, "doc_id", "text", 8, 4)
+      .collect().map(_.getString(4)).toSet
+    assert((h1 intersect h2).size >= h1.size - 2,
+      s"all but the edit-region chunks survive: ${h1.size} vs shared ${(h1 intersect h2).size}")
+  }
+
   test("gramNovelty and duplicationReport account every gram and word") {
     val df = Seq(
       (1L, "a b c d x y", "s1"),   // bigrams: ab bc cd dx xy — ab,bc,cd dup'd via doc 2
