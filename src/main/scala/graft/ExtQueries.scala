@@ -1326,6 +1326,20 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_ann_ivf_pq_residual_refined" -> ((s, dir) => {
+      // The full IVFADC production shape: residual-ADC shortlist
+      // (the best stage-1 the m×k budget buys) + exact re-rank of
+      // refine×k candidates — completing the search matrix
+      // {raw, residual} × {plain, refined}.
+      val e = read(s, dir, "embeddings")
+      val path = ivfIndexFor(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.searchIvfIndexPqResidualRefined(s, path, queries, k = 5,
+          nProbe = IvfProbes, refine = AnnRefine)
+        .orderBy("q_id", "rank")
+    }),
+
     "q_quantize_int8" -> ((s, dir) => {
       // Per-vector symmetric int8 quantization of the embedding corpus:
       // codes, the 6dp scale, and the realized reconstruction bound —
@@ -1660,6 +1674,14 @@ object ExtQueries {
       TextAnalysis.chunkContentDefined(read(s, dir, "documents"),
           "doc_id", "text", CdcWindow, CdcBits)
         .orderBy("doc_id", "chunk_idx")
+    }),
+
+    "q_dedup_cdc" -> ((s, dir) => {
+      // Chunk-level keep-first dedup over the content-defined chunks —
+      // mid-line boilerplate dedups without any separator convention.
+      TextAnalysis.dedupCdcChunks(read(s, dir, "documents"),
+          "doc_id", "text", CdcWindow, CdcBits)
+        .orderBy("doc_id")
     }),
 
     "q_gram_novelty" -> ((s, dir) => {
@@ -2211,7 +2233,11 @@ object ExtQueries {
     * REFINED books; score = q·centroid_list + the m per-subspace table
     * dots, summed left-to-right, rounded 6dp, ranked DESC with ties on
     * vec_id. */
-  private def ivfPqResidualOracleSql: String = {
+  /** The residual chain through `scored` (per-candidate IVFADC scores
+    * over the probed lists) — shared by the plain and REFINED residual
+    * search oracles so the training/encoding/scoring arithmetic cannot
+    * drift between them. */
+  private def ivfPqResidualChainSql: String = {
     val sub = AnnDim / PqM
     // Per-subspace code columns vs a (mi, j, cv)-shaped SUB-VECTOR
     // codebook table (refined entries are per-subspace, unlike the
@@ -2272,12 +2298,31 @@ object ExtQueries {
           JOIN ev qv ON qv.vec_id = p.q_id
           JOIN assign a ON a.list = p.list
           JOIN rcodes c ON c.vec_id = a.vec_id
-          $cbJoins)
+          $cbJoins)"""
+  }
+
+  private def ivfPqResidualOracleSql: String =
+    s"""$ivfPqResidualChainSql
           SELECT q_id, vec_id, score,
             CAST(row_number() OVER (PARTITION BY q_id
               ORDER BY score DESC, vec_id) AS INTEGER) AS rank
           FROM scored QUALIFY rank <= 5 ORDER BY q_id, rank"""
-  }
+
+  /** Residual shortlist (top refine×k by IVFADC score), exact cosine
+    * re-rank — the ivfPqRefinedOracleSql tail over the residual chain. */
+  private def ivfPqResidualRefinedOracleSql: String =
+    s"""$ivfPqResidualChainSql,
+          short AS (SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+              row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, vec_id) AS srank
+            FROM scored) WHERE srank <= ${AnnRefine * 5})
+          SELECT s.q_id, s.vec_id, ${cosSql("q.embedding", "c.embedding")} AS cos,
+            CAST(row_number() OVER (PARTITION BY s.q_id
+              ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, s.vec_id) AS INTEGER) AS rank
+          FROM short s JOIN embeddings c ON s.vec_id = c.vec_id
+                       JOIN embeddings q ON s.q_id = q.vec_id
+          QUALIFY rank <= 5 ORDER BY q_id, rank"""
   private val SamplePerSource = 12
   private val WeightedSampleK = 120
   private val PackBudget = 2048L
@@ -3990,6 +4035,7 @@ object ExtQueries {
 
     "q_ann_ivf_pq_refined" -> ivfPqRefinedOracleSql,
     "q_ann_ivf_pq_residual" -> ivfPqResidualOracleSql,
+    "q_ann_ivf_pq_residual_refined" -> ivfPqResidualRefinedOracleSql,
 
     // Quantize both sides with the q_quantize_int8 arithmetic, score by
     // scale_q*scale_c*dot(codes) — list_dot_product over int codes is
@@ -4522,6 +4568,32 @@ object ExtQueries {
             md5(substr(tt, CAST(bs[ci] AS INTEGER) + 1,
               CAST(bs[ci+1] - bs[ci] AS INTEGER))) AS chunk_hash
           FROM c ORDER BY doc_id, chunk_idx""",
+
+    // The CDC chain + the dedupParagraphs keep-first/reassemble tail
+    // (row_number over the chunk hash, byte-exact string_agg).
+    "q_dedup_cdc" ->
+      s"""WITH t AS (SELECT doc_id, text AS tt, len(text) AS n FROM documents),
+          b AS (SELECT doc_id, tt, n,
+              CASE WHEN n >= $CdcWindow THEN
+                list_filter(generate_series($CdcWindow, n), i ->
+                  ((${cdcTermsSql}) % ${CdcM}) % ${1L << CdcBits} = 0)
+              ELSE [] END AS cuts
+            FROM t),
+          ba AS (SELECT doc_id, tt, n,
+              list_sort(list_distinct(
+                list_concat(list_concat([0], cuts), [n]))) AS bs FROM b),
+          c AS (SELECT doc_id,
+              unnest(generate_series(1, len(bs)-1)) AS ci, tt, bs FROM ba),
+          ch AS (SELECT doc_id, CAST(ci AS INTEGER) AS ci,
+              substr(tt, CAST(bs[ci] AS INTEGER) + 1,
+                CAST(bs[ci+1] - bs[ci] AS INTEGER)) AS chunk
+            FROM c),
+          keep AS (SELECT doc_id, ci, chunk,
+              row_number() OVER (PARTITION BY md5(chunk)
+                ORDER BY doc_id, ci) AS rn
+            FROM ch)
+          SELECT doc_id, string_agg(chunk, '' ORDER BY ci) AS text
+          FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
 
     "q_gram_novelty" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

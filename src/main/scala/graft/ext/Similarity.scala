@@ -1031,6 +1031,56 @@ object Similarity {
       books.size, k, qId, cId)
   }
 
+  /** Two-stage residual IVF-PQ search — IVFADC shortlist, exact
+    * re-rank: stage 1 is [[searchIvfIndexPqResidual]]'s probe-then-
+    * residual-ADC scan of the stored `__pqr` codes kept to the top
+    * `refine × k` per query; stage 2 re-scores ONLY those candidates
+    * at full precision against the float vectors of the same probed
+    * partitions (rounded cosine, `scoreAndRank`'s contract) and keeps
+    * the final top-k — [[searchIvfIndexPqRefined]] with the
+    * residual-trained stage-1 quantizer, i.e. the best shortlist the
+    * m×k code budget buys driving the cheapest exact tail. Same
+    * disjoint-column-pruning / broadcast-shortlist plan as the raw
+    * refined search; with `refine × k` ≥ the probed candidate count
+    * this equals [[searchIvfIndex]] exactly (ExtSpec pins it). */
+  def searchIvfIndexPqResidualRefined(spark: org.apache.spark.sql.SparkSession,
+                                      path: String, queries: DataFrame, k: Int,
+                                      nProbe: Int, refine: Int,
+                                      qId: String = "q_id",
+                                      cId: String = "vec_id",
+                                      qVec: String = "q_vec",
+                                      cVec: String = "embedding"): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1, got $refine")
+    val cents = readIvfCentroids(spark, path)
+    val books = readPqBooksRes(spark, path)
+    val probes = probesFor(queries, cents, nProbe, qId, qVec)
+      .select(Seq(col(qId), col("list"),
+        centDotCol(col(qVec), col("list"), cents).as("__qc0")) ++
+        adcTableCols(col(qVec), books): _*)
+    // One pruned read shared by both stages (one probe-id collect);
+    // each branch's select prunes to its own disjoint column set.
+    val pruned = readProbedLists(spark, path, probes)
+    val codes = pruned
+      .select(col("list"), col(cId), col("__pqr").as("codes"))
+    val m = books.size
+    val score = round((col("__qc0") +: (0 until m).map(mi =>
+      element_at(col(s"__t$mi"), element_at(col("codes"), mi + 1) + 1)))
+      .reduceLeft(_ + _), 6)
+    val w = Window.partitionBy(col(qId)).orderBy(col("score").desc, col(cId))
+    val shortlist = codes.join(broadcast(probes), Seq("list"))
+      .withColumn("score", score)
+      .withColumn("__srank", row_number().over(w))
+      .filter(col("__srank") <= refine * k)
+      .select(col(qId), col("list"), col(cId))
+    val q = queries.withColumn("__qn", vec_norm(col(qVec)))
+      .select(col(qId), col(qVec), col("__qn"))
+    val vecs = pruned
+      .select(col("list"), col(cId), col(cVec), col("__cn"))
+    scoreAndRank(
+      vecs.join(broadcast(shortlist.join(q, Seq(qId))), Seq("list", cId)),
+      k, qId, cId, qVec, cVec)
+  }
+
   /** Per-query ADC lookup-table columns `__t0..__t{m-1}`: table mi holds
     * the k sub-dots q_mi · c_mi,j, computed ONCE on the (broadcast) query
     * side. ONE definition shared by the flat and IVF-composed searches. */

@@ -205,6 +205,36 @@ object TextAnalysis {
       .withColumn("chunk_hash", md5(col("chunk")))
   }
 
+  /** Chunk-level dedup over [[chunkContentDefined]] — boilerplate
+    * removal at CONTENT-DEFINED granularity: every chunk keeps only its
+    * first (doc, position) occurrence corpus-wide, survivors
+    * reassemble in order (byte-exact concatenation — CDC chunks carry
+    * their own whitespace), fully-emptied docs drop. The CDC twin of
+    * [[graft.ext.Dedup.dedupParagraphs]]: where paragraph dedup needs
+    * a separator the corpus must already contain, CDC boundaries come
+    * from the content itself, so a license block pasted MID-LINE still
+    * dedups — and an edit upstream of the block does not hide it
+    * (boundaries re-align; fixed windows would shift).
+    *
+    * Plan: chunking is map-only; first-occurrence is the
+    * combine-reduced min(struct) agg on the 32-byte chunk hash; the
+    * keeper semi-join keys (doc, position); reassembly is one
+    * groupBy(doc) agg — the dedupParagraphs shuffle discipline at
+    * chunk grain. */
+  def dedupCdcChunks(docs: DataFrame, docKey: String, textCol: String,
+                     window: Int = 8, bits: Int = 5): DataFrame = {
+    val chunks = chunkContentDefined(docs, docKey, textCol, window, bits)
+    val first = chunks
+      .groupBy(col("chunk_hash"))
+      .agg(min(struct(col(docKey).as("__d"), col("chunk_idx").as("__i"))).as("__k"))
+      .select(col("__k.__d").as(docKey), col("__k.__i").as("chunk_idx"))
+    chunks.join(first, Seq(docKey, "chunk_idx"), "left_semi")
+      .groupBy(col(docKey))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("chunk_idx"), col("chunk")))),
+          x => x.getField("chunk")), "").as(textCol))
+  }
+
   /** Per-source corpus datasheet — the one-table summary a dataset
     * release publishes ("Datasheets for Datasets" §composition, scoped
     * to what an engine can derive without human input): doc / char /

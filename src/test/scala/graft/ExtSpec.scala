@@ -491,6 +491,21 @@ class ExtSpec extends SparkSpec {
       info(s"recall@5 vs full-precision IVF at nProbe=2 (500 queries): raw ADC $raw, residual ADC $res")
       assert(res >= raw, s"residual ADC recall $res fell below raw ADC $raw")
       assert(res >= 0.3, s"residual ADC recall $res collapsed")
+      // Residual-refined: a shortlist covering every probed candidate
+      // makes the exact re-rank THE full-precision search; a tight 2×
+      // shortlist must recover at least pure residual-ADC recall.
+      val fullRows = Similarity.searchIvfIndex(spark, path, qAll, k = 5, nProbe = 2)
+        .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+      val rrAll = Similarity.searchIvfIndexPqResidualRefined(spark, path, qAll,
+          k = 5, nProbe = 2, refine = 1000)
+        .orderBy("q_id", "rank").as[(Long, Long, Double, Int)].collect().toSeq
+      assert(rrAll == fullRows,
+        "residual refine covering all candidates must equal full-precision search")
+      val rr = recall(Similarity.searchIvfIndexPqResidualRefined(spark, path, qAll,
+          k = 5, nProbe = 2, refine = 2)
+        .select("q_id", "vec_id").as[(Long, Long)].collect().toSet)
+      info(s"residual-refined recall@5 = $rr")
+      assert(rr >= res, s"2x exact re-rank recall $rr fell below pure residual ADC $res")
       // A rebuild WITHOUT the PQ payload must remove the stale codebooks
       // (true overwrite semantics for the whole index dir) — otherwise
       // appendToIvfIndex would write __pq/__pqr codes the rebuilt base
