@@ -44,6 +44,57 @@ object ExtQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    "q_tpch_q3" -> ((s, dir) => {
+      // TPC-H Q3 (shipping-priority revenue): selective dimension
+      // filter, two key joins, decimal-exact revenue, top-10 via
+      // TakeOrdered — the canonical mid-size analytic join. Catalyst
+      // pushes both date filters to the scans; AQE picks the join
+      // strategy from runtime sizes.
+      val cust = read(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = read(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = read(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01").cast("date"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q_tpch_q5" -> ((s, dir) => {
+      // TPC-H Q5 (local-supplier revenue by nation): the six-table
+      // snowflake with the c_nationkey = s_nationkey locality
+      // constraint — broadcast dims, shuffle joins for the fact
+      // tables, decimal-exact close.
+      val cust = read(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val ord = read(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 1998)
+        .select("o_orderkey", "o_custkey")
+      val li = read(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      val sup = read(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val nat = read(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val reg = read(s, dir, "region")
+        .filter(col("r_name") === "EUROPE").select("r_regionkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "q_rolling_mean" -> ((s, dir) => {
       // Frame window: trailing 7-row mean per event type — the rolling
       // analytic beyond the reference's lag-1. (event_id breaks ts ties
@@ -3063,6 +3114,32 @@ object ExtQueries {
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
            COUNT(*) AS n
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < DATE '1997-01-01'
+           AND l_shipdate > DATE '1997-01-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE' AND year(o_orderdate) = 1998
+         GROUP BY n_name ORDER BY revenue DESC, n_name""",
 
     "q_rolling_mean" ->
       """SELECT event_id, event_type,
