@@ -776,6 +776,19 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_hard_negatives" -> ((s, dir) => {
+      // Contrastive hard-negative mining: top-5 most-similar vectors
+      // carrying a DIFFERENT label than the query — the negatives at
+      // the decision boundary.
+      val e = read(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      Similarity.hardNegatives(queries,
+          e.select("vec_id", "embedding", "label"), 5)
+        .orderBy("q_id", "rank")
+    }),
+
     "q_ann_lsh" -> ((s, dir) => {
       // Sign-LSH bucketed ANN: candidates only within equal 4-bit bucket
       // (seeded random hyperplanes, inlined as literals) — the scale path
@@ -1816,6 +1829,14 @@ object ExtQueries {
           Export.zorderKey(Seq(col("o_custkey"),
             dayofyear(col("o_orderdate")).cast("long")), ZorderBits).as("zkey"))
         .orderBy("o_orderkey")
+    }),
+
+    "q_script_profile" -> ((s, dir) => {
+      // Unicode-script ratios + dominant script per doc — the
+      // multilingual routing signal upstream of langId. Map-only
+      // regexp delete-and-diff counting.
+      TextAnalysis.scriptProfile(read(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     "q_corpus_datasheet" -> ((s, dir) => {
@@ -3818,6 +3839,16 @@ object ExtQueries {
           FROM embeddings CROSS JOIN q
           QUALIFY rank <= 5 ORDER BY q_id, rank""",
 
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+            FROM embeddings WHERE vec_id < 5)
+          SELECT q_id, vec_id, ${cosSql("q_vec", "embedding")} AS cos,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id) AS INTEGER) AS rank
+          FROM embeddings CROSS JOIN q
+          WHERE label != q_label
+          QUALIFY rank <= 5 ORDER BY q_id, rank""",
+
     "q_ann_lsh" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec,
             ${bucketSql("embedding")} AS bucket FROM embeddings WHERE vec_id < 5),
@@ -4821,6 +4852,30 @@ object ExtQueries {
               s"((dayofyear(o_orderdate) >> $b) & 1) * ${1L << (2 * b + 1)}")
             .mkString(" + ")} AS BIGINT) AS zkey
           FROM orders ORDER BY o_orderkey""",
+
+    // Same Unicode script properties (Java \p{IsX} == RE2 \p{X}), same
+    // delete-and-diff counting, same fixed tie order.
+    "q_script_profile" ->
+      s"""WITH c AS (SELECT doc_id, len(text) AS n,
+            len(text) - len(regexp_replace(text, '\\p{Arabic}', '', 'g')) AS ar,
+            len(text) - len(regexp_replace(text, '\\p{Cyrillic}', '', 'g')) AS cy,
+            len(text) - len(regexp_replace(text, '\\p{Han}', '', 'g')) AS ha,
+            len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS dg,
+            len(text) - len(regexp_replace(text, '\\p{Latin}', '', 'g')) AS la
+          FROM documents)
+          SELECT doc_id,
+            CASE WHEN n > 0 THEN ROUND(CAST(ar AS DOUBLE) / n, 6) END AS arabic_ratio,
+            CASE WHEN n > 0 THEN ROUND(CAST(cy AS DOUBLE) / n, 6) END AS cyrillic_ratio,
+            CASE WHEN n > 0 THEN ROUND(CAST(ha AS DOUBLE) / n, 6) END AS han_ratio,
+            CASE WHEN n > 0 THEN ROUND(CAST(la AS DOUBLE) / n, 6) END AS latin_ratio,
+            CASE WHEN n > 0 THEN ROUND(CAST(dg AS DOUBLE) / n, 6) END AS digit_ratio,
+            CASE WHEN n = 0 THEN 'none'
+                 WHEN greatest(ar, cy, ha, la) = 0 THEN 'other'
+                 WHEN ar = greatest(ar, cy, ha, la) THEN 'arabic'
+                 WHEN cy = greatest(ar, cy, ha, la) THEN 'cyrillic'
+                 WHEN ha = greatest(ar, cy, ha, la) THEN 'han'
+                 ELSE 'latin' END AS dominant_script
+          FROM c ORDER BY doc_id""",
 
     "q_corpus_datasheet" ->
       """WITH b AS (SELECT source, md5(text) AS h,

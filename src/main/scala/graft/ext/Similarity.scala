@@ -1135,6 +1135,28 @@ object Similarity {
     adcRank(codes.join(broadcast(q)), books.size, k, qId, cId)
   }
 
+  /** Hard-negative mining for contrastive training: each query's top-k
+    * most-similar corpus vectors whose LABEL differs from the query's —
+    * the negatives that actually move an embedding model (random
+    * negatives are trivially separable; the hard ones live right at
+    * the decision boundary). Same broadcast-query / streaming-corpus
+    * shape and ranking contract as [[bruteForceTopK]], with the label
+    * inequality applied before ranking so every returned rank is a
+    * usable negative; at corpus scale the brute pass swaps for any of
+    * the index-backed searches (filter on label after the probe, refine
+    * k accordingly). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+                    qId: String = "q_id", cId: String = "vec_id",
+                    qVec: String = "q_vec", cVec: String = "embedding",
+                    qLabel: String = "q_label",
+                    cLabel: String = "label"): DataFrame = {
+    val q = queries.withColumn("__qn", vec_norm(col(qVec)))
+    val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
+    scoreAndRank(
+      c.join(broadcast(q)).filter(col(cLabel) =!= col(qLabel)),
+      k, qId, cId, qVec, cVec)
+  }
+
   // ───────── SemDeDup (Abbas et al. 2023) ─────────
 
   /** SemDeDup semantic-duplicate flags — "SemDeDup: Data-efficient

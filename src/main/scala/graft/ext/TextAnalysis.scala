@@ -132,6 +132,40 @@ object TextAnalysis {
       (length(text) - length(regexp_replace(text, "[^\\x20-\\x7E]", "")))
         .cast(DoubleType) / length(text), 6))
 
+  /** Unicode-script profile — the multilingual routing signal upstream
+    * of [[langId]]: per-doc character ratios for the major scripts
+    * (plus digits) and the dominant script. Script classes are the
+    * Unicode properties both regex engines implement (Java
+    * `\p{IsLatin}` ≡ RE2 `\p{Latin}` etc.), counted by the
+    * delete-and-diff idiom [[digitRatio]] uses — map-only regexp work,
+    * zero shuffles. Ratios are over ALL characters (spaces dilute —
+    * deliberately, so pure-script text scores high and mixed text
+    * splits); empty text → NULL ratios and dominant 'none'; text whose
+    * characters match no tracked script (symbols, spaces) → dominant
+    * 'other'. Ties break by the fixed script order below (langId's
+    * convention). */
+  val Scripts: Seq[(String, String)] = Seq(
+    "arabic" -> "\\p{IsArabic}", "cyrillic" -> "\\p{IsCyrillic}",
+    "han" -> "\\p{IsHan}", "latin" -> "\\p{IsLatin}")
+
+  def scriptProfile(df: DataFrame, docKey: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t)
+    def cnt(re: String): Column = n - length(regexp_replace(t, re, ""))
+    val counts = Scripts.map { case (name, re) => name -> cnt(re) }
+    val digit = cnt("[0-9]")
+    val best = greatest(counts.map(_._2): _*)
+    val dominant = when(n === 0, lit("none")).otherwise(
+      counts.foldRight(lit("other")) { case ((name, c), acc) =>
+        when(c === best && best > 0, lit(name)).otherwise(acc)
+      })
+    df.select(Seq(col(docKey)) ++
+      counts.map { case (name, c) =>
+        when(n > 0, round(c.cast(DoubleType) / n, 6)).as(s"${name}_ratio") } ++
+      Seq(when(n > 0, round(digit.cast(DoubleType) / n, 6)).as("digit_ratio"),
+        dominant.as("dominant_script")): _*)
+  }
+
   /** Whitespace token count + a BPE-ish subword estimate: alpha runs,
     * digit runs, and residual symbols each count as one token. */
   def tokenCountWs(text: Column): Column = nWords(text)

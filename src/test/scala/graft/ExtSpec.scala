@@ -2495,6 +2495,40 @@ class ExtSpec extends SparkSpec {
       ("s2", 3L, 11L, 3L, 0.6875)))
   }
 
+  test("hardNegatives ranks only cross-label vectors") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.99f, 0.1f), "a"),   // nearest overall, SAME label
+      (3L, Array(0.9f, 0.2f), "b"),    // nearest cross-label
+      (4L, Array(0.0f, 1.0f), "b"),
+      (5L, Array(-1.0f, 0.0f), "c")).toDF("vec_id", "embedding", "label")
+    val q = corpus.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val negs = Similarity.hardNegatives(q, corpus, 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(negs.map(_._2) == Seq(3L, 4L, 5L),
+      s"same-label vec 2 (and self) must never appear: $negs")
+  }
+
+  test("scriptProfile counts scripts and picks the dominant one") {
+    val df = Seq(
+      (1L, "hello world"),
+      (2L, "今日は漢字 ok"),  // Han-heavy with some Latin
+      (3L, "12345"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.scriptProfile(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "latin_ratio", "han_ratio", "digit_ratio", "dominant_script")
+      .as[(Long, Option[Double], Option[Double], Option[Double], String)]
+      .collect().toSeq
+    assert(out(0)._5 == "latin" && out(0)._2.get > 0.9)
+    assert(out(1)._5 == "han" && out(1)._3.get >= 0.5)
+    assert(out(2)._5 == "other" && out(2)._4.contains(1.0),
+      "digits are not a script — dominant falls to 'other'")
+    assert(out(3) == ((4L, None, None, None, "none")))
+  }
+
   test("semDeDup keeps the cluster-edge member of each near pair") {
     val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
     val corpus = Seq(
