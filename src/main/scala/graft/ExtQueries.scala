@@ -1831,6 +1831,17 @@ object ExtQueries {
         .orderBy("o_orderkey")
     }),
 
+    "q_html_extract" -> ((s, dir) => {
+      // HTML → text extraction over a deterministic page per doc (the
+      // urlSpace fixture convention): script/style/comment removal,
+      // block closers → paragraph breaks, tag strip, entity unescape,
+      // whitespace normalization — the step between a crawl and every
+      // text op here.
+      val h = htmlSpace(read(s, dir, "documents"))
+      h.select(col("doc_id"), TextAnalysis.stripHtml(col("raw_html")).as("text"))
+        .orderBy("doc_id")
+    }),
+
     "q_script_profile" -> ((s, dir) => {
       // Unicode-script ratios + dominant script per doc — the
       // multilingual routing signal upstream of langId. Map-only
@@ -2130,6 +2141,27 @@ object ExtQueries {
   /** Registered domains the blocklist query evicts (the example.{tld}
     * fixture yields six domains; two are blocked). */
   private val BlockedDomains = Seq("example.co.uk", "example.github.io")
+  /** Deterministic HTML page per doc — the crawl-space fixture both
+    * engines rebuild from the parquet: head with title/script/style, a
+    * comment, an h1, and the doc's words split into two paragraphs
+    * carrying escaped entities. Exercises every stripHtml stage. */
+  private def htmlSpace(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val half = (size(ws) / 2).cast("int")
+    val p1 = array_join(slice(ws, lit(1), half), " ")
+    val p2 = array_join(slice(ws, half + 1, size(ws)), " ")
+    val raw = concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title><script type=\"text/javascript\">var id = "),
+      col("doc_id").cast("string"),
+      lit(";</script><style>p { margin: 0 }</style></head>\n<body><h1>Doc "),
+      col("doc_id").cast("string"),
+      lit("</h1><!-- generated -->\n<p>"), p1,
+      lit(" &amp; more</p><p>"), p2,
+      lit(" &lt;end&gt;</p></body></html>"))
+    docs.select(col("doc_id"), raw.as("raw_html"))
+  }
+
   /** Deterministic gnarly URL per doc (mixed case, default port,
     * tracking params, fragment) + its canonical form and host — the
     * URL-space fixture both engines rebuild from the parquet. */
@@ -4852,6 +4884,45 @@ object ExtQueries {
               s"((dayofyear(o_orderdate) >> $b) & 1) * ${1L << (2 * b + 1)}")
             .mkString(" + ")} AS BIGINT) AS zkey
           FROM orders ORDER BY o_orderkey""",
+
+    // Fixture rebuilt verbatim, then the stripHtml stages replayed in
+    // RE2 (same patterns — RE2 ∩ Java syntax; chr(10) is the literal
+    // newline Spark's replacement strings carry).
+    "q_html_extract" ->
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+            FROM documents),
+          h AS (SELECT doc_id,
+              '<html><head><title>' || source ||
+              '</title><script type="text/javascript">var id = ' ||
+              CAST(doc_id AS VARCHAR) ||
+              ';</script><style>p { margin: 0 }</style></head>' || chr(10) ||
+              '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+              '</h1><!-- generated -->' || chr(10) || '<p>' ||
+              array_to_string(ws[1:len(ws)//2], ' ') ||
+              ' &amp; more</p><p>' ||
+              array_to_string(ws[len(ws)//2+1:len(ws)], ' ') ||
+              ' &lt;end&gt;</p></body></html>' AS raw
+            FROM w),
+          s1 AS (SELECT doc_id, regexp_replace(raw,
+              '(?is)<(script|style)\\b[^>]*>.*?</(script|style)>', ' ', 'g') AS t
+            FROM h),
+          s2 AS (SELECT doc_id,
+              regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s1),
+          s3 AS (SELECT doc_id, regexp_replace(t,
+              '(?i)<(br|/p|/div|/h[1-6]|/li|/tr)\\b[^>]*>', chr(10), 'g') AS t
+            FROM s2),
+          s4 AS (SELECT doc_id,
+              regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s3),
+          s5 AS (SELECT doc_id,
+              replace(replace(replace(replace(replace(t,
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', CHR(39)), '&amp;', '&') AS t FROM s4),
+          s6 AS (SELECT doc_id, regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(t, '[ \\t]+', ' ', 'g'),
+                ' ?\\n ?', chr(10), 'g'),
+              '\\n{2,}', chr(10), 'g'),
+              '^\\s+|\\s+$$', '', 'g') AS text FROM s5)
+          SELECT doc_id, text FROM s6 ORDER BY doc_id""",
 
     // Same Unicode script properties (Java \p{IsX} == RE2 \p{X}), same
     // delete-and-diff counting, same fixed tie order.

@@ -132,6 +132,46 @@ object TextAnalysis {
       (length(text) - length(regexp_replace(text, "[^\\x20-\\x7E]", "")))
         .cast(DoubleType) / length(text), 6))
 
+  /** HTML → text extraction — the step between a crawl and every text
+    * op in this module. Deterministic regexp pipeline (RE2 ∩ Java
+    * syntax, so the oracle replays it verbatim):
+    *  1. drop <script>/<style> ELEMENTS wholesale (their text is code,
+    *     not prose) and <!-- comments -->;
+    *  2. block-level closers/br become newlines BEFORE tags are
+    *     stripped (so "<p>a</p><p>b</p>" keeps its paragraph break —
+    *     naive tag-stripping would weld the paragraphs);
+    *  3. strip every remaining tag;
+    *  4. unescape the five common entities (&lt; &gt; &quot; &#39;
+    *     &amp; — amp LAST, so double-escapes decode one level);
+    *  5. normalize whitespace: runs of spaces/tabs collapse, ≥2
+    *     newlines collapse to one paragraph break, lines trim, edges
+    *     trim.
+    * Map-only codegen'd regexp work, zero shuffles. Not a browser: CDATA
+    * and exotic entities pass through literally — the honest contract
+    * for an engine-side extractor (a production pipeline bolts a real
+    * parser in at the mapPartitions tier like the image codecs). */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val breaks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/h[1-6]|/li|/tr)\\b[^>]*>", "\n")
+    val noTags = regexp_replace(breaks, "(?s)<[^>]*>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&amp;" -> "&" // last — "&amp;lt;" must become "&lt;", not "<"
+    ).foldLeft(noTags) { case (col0, (e, r)) =>
+      regexp_replace(col0, java.util.regex.Pattern.quote(e), r)
+    }
+    val collapsed = regexp_replace(
+      regexp_replace(unescaped, "[ \\t]+", " "),
+      " ?\\n ?", "\n")
+    // regexp trim, not trim(): trim() strips spaces only, and stage 2's
+    // break insertion legitimately leaves trailing newlines.
+    regexp_replace(regexp_replace(collapsed, "\\n{2,}", "\n"),
+      "^\\s+|\\s+$", "")
+  }
+
   /** Unicode-script profile — the multilingual routing signal upstream
     * of [[langId]]: per-doc character ratios for the major scripts
     * (plus digits) and the dominant script. Script classes are the

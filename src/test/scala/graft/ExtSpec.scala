@@ -2511,6 +2511,24 @@ class ExtSpec extends SparkSpec {
       s"same-label vec 2 (and self) must never appear: $negs")
   }
 
+  test("stripHtml keeps prose, drops code, decodes one entity level") {
+    val cases = Seq(
+      // paragraphs keep their break; inline tags weld with a space
+      "<p>hello <b>world</b></p><p>next para</p>" -> "hello world\nnext para",
+      // script/style bodies are code, not prose — dropped wholesale
+      "<p>keep</p><script>var x = '<p>no</p>';</script><style>p{}</style>" -> "keep",
+      "before<!-- hidden -->after" -> "before after",
+      // one decode level: &amp;lt; is an ESCAPED "&lt;", not a "<"
+      "a &amp; b &lt;tag&gt; &amp;lt;" -> "a & b <tag> &lt;",
+      "<ul><li>one</li><li>two</li></ul>" -> "one\ntwo",
+      "line<br>break" -> "line\nbreak")
+    val df = cases.zipWithIndex.map { case ((in, _), i) => (i.toLong, in) }
+      .toDF("id", "html")
+    val got = df.select(col("id"), TextAnalysis.stripHtml(col("html")).as("t"))
+      .orderBy("id").as[(Long, String)].collect().map(_._2).toSeq
+    assert(got == cases.map(_._2), s"got $got")
+  }
+
   test("scriptProfile counts scripts and picks the dominant one") {
     val df = Seq(
       (1L, "hello world"),
