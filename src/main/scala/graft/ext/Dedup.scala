@@ -872,15 +872,27 @@ object Dedup {
         md5(array_join(slice(col("__ws"), col("__p"), lit(n)), " ")).as("__h"))
   }
 
-  /** Per-gram global occurrence stats: instance count and the canonical
-    * (minimum (doc, position)) occurrence. min(struct) and count are
-    * map-side combinable, so a boilerplate gram duplicated a billion
-    * times reduces inside each task before its 32-byte key shuffles —
-    * the [[dedupParagraphs]] aggregation discipline at gram grain. */
-  private def gramStats(grams: DataFrame, docKey: String): DataFrame =
-    grams.groupBy(col("__h"))
-      .agg(count(lit(1)).as("__cnt"),
-        min(struct(col(docKey).as("__d"), col("__p").as("__i"))).as("__first"))
+  /** Gram instances with their global occurrence stats attached:
+    * `__cnt` (corpus-wide instance count of the gram) and `__first`
+    * (the canonical minimum-(doc, position) occurrence) as WINDOW
+    * aggregates over the gram hash. One hash-partitioned shuffle of
+    * the gram rows computes everything — the groupBy+join-back
+    * alternative has the IDENTICAL reduce-side key distribution at its
+    * join (gram rows still meet on `__h`), plus a second combined-key
+    * shuffle, plus the `grams` subtree evaluated once per reference
+    * (measured 3–6× recompute across the span/novelty/report family —
+    * the dominant cost of every gram query before this shape). Skew: a
+    * gram duplicated B times is B rows in one window partition —
+    * bounded by the corpus's worst boilerplate, and exactly what the
+    * join-back form's reducer saw too. */
+  private def gramsWithStats(grams: DataFrame, docKey: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__h"))
+    grams
+      .withColumn("__cnt", count(lit(1)).over(w))
+      .withColumn("__first",
+        min(struct(col(docKey).as("__d"), col("__p").as("__i"))).over(w))
+  }
 
   /** Maximal duplicated spans per document, at word n-gram resolution:
     * a span is a maximal run of positions whose n-grams each occur MORE
@@ -894,22 +906,23 @@ object Dedup {
     * Output: (docKey, span_start, span_end, span_words, n_grams) — 1-based
     * inclusive WORD indices, ordered by construction for the caller.
     *
-    * Shape at 100 TB: gram generation is map-only; the occurrence count
-    * shuffles combine-reduced 32-byte keys; the dup-gram filter is a
-    * semi-join back on the same key; span assembly is one window + one
-    * agg PER DOCUMENT (partitioned by the doc key — bounded by document
+    * Shape at 100 TB: gram generation is map-only and runs ONCE; the
+    * occurrence count is a window over the gram hash
+    * ([[gramsWithStats]] — one hash shuffle of the gram rows, no
+    * join-back, no recompute); span assembly is one window + one agg
+    * PER DOCUMENT (partitioned by the doc key — bounded by document
     * length, uniform by construction, no global sort anywhere). */
   def duplicateSpans(docs: DataFrame, docKey: String, textCol: String,
                      n: Int): DataFrame = {
     require(n >= 2, s"span grams need n >= 2 words, got $n")
     import org.apache.spark.sql.expressions.Window
     val grams = gramInstances(docs, docKey, textCol, n)
-    val dup = gramStats(grams, docKey).filter(col("__cnt") > 1).select("__h")
     val w = Window.partitionBy(col(docKey)).orderBy(col("__p"))
     // lag is NULL on each doc's first dup gram: NULL <= n is NULL, so the
     // when-condition falls to otherwise(1) — first gram opens an island
     // (the same null-falsy convention the oracle's CASE relies on).
-    grams.join(dup, Seq("__h"), "left_semi")
+    gramsWithStats(grams, docKey).filter(col("__cnt") > 1)
+      .select(col(docKey), col("__p"))
       .withColumn("__new",
         when(col("__p") - lag(col("__p"), 1).over(w) <= n, 0).otherwise(1))
       .withColumn("__isl", sum(col("__new")).over(
@@ -937,7 +950,7 @@ object Dedup {
     require(n >= 2, s"novelty grams need n >= 2 words, got $n")
     import org.apache.spark.sql.types.DoubleType
     val grams = gramInstances(docs, docKey, textCol, n)
-    val scored = grams.join(gramStats(grams, docKey).select("__h", "__cnt"), Seq("__h"))
+    val scored = gramsWithStats(grams, docKey)
       .groupBy(col(docKey))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__cnt") === 1, 1).otherwise(0)).as("unique_grams"))
@@ -962,8 +975,12 @@ object Dedup {
     require(n >= 2, s"span grams need n >= 2 words, got $n")
     import org.apache.spark.sql.types.DoubleType
     val grams = gramInstances(docs, docKey, textCol, n)
-    val flagged = grams
-      .join(gramStats(grams, docKey).select("__h", "__cnt"), Seq("__h"))
+    // The flagged instance table feeds TWO aggregation branches (gram
+    // rates, word coverage); materialize it once — a report op reading
+    // the whole corpus anyway can afford the executor-local copy, and
+    // the alternative evaluates the gram+window subtree per branch.
+    val flagged = gramsWithStats(grams, docKey)
+      .select(col(docKey), col("__p"), col("__cnt")).localCheckpoint()
     val srcOf = docs.select(col(docKey), col(sourceCol).as("__src"))
     val gramAgg = flagged.join(srcOf, Seq(docKey))
       .groupBy(col("__src"))
@@ -1018,7 +1035,7 @@ object Dedup {
                                 textCol: String, n: Int): DataFrame = {
     require(n >= 2, s"span grams need n >= 2 words, got $n")
     val grams = gramInstances(docs, docKey, textCol, n)
-    val removable = grams.join(gramStats(grams, docKey), Seq("__h"))
+    val removable = gramsWithStats(grams, docKey)
       .filter(col("__cnt") > 1 &&
         !(col(docKey) === col("__first.__d") && col("__p") === col("__first.__i")))
       .select(col(docKey), col("__p"))
