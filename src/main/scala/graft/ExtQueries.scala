@@ -776,6 +776,19 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_contrastive_triplets" -> ((s, dir) => {
+      // (anchor, hardest positive, hardest negative) triplets with the
+      // margin — ONE combine-enabled agg per anchor, no windows;
+      // negative-margin anchors are the batch-mining targets.
+      val e = read(s, dir, "embeddings")
+      val anchors = e.filter(col("vec_id") < TripletAnchors)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("label").as("q_label"))
+      Similarity.contrastiveTriplets(anchors,
+          e.select("vec_id", "embedding", "label"))
+        .orderBy("q_id")
+    }),
+
     "q_hard_negatives" -> ((s, dir) => {
       // Contrastive hard-negative mining: top-5 most-similar vectors
       // carrying a DIFFERENT label than the query — the negatives at
@@ -1958,6 +1971,9 @@ object ExtQueries {
     s"(CAST(ascii(substr(tt, CAST(i AS INTEGER)-$CdcWindow+$j+1, 1)) AS BIGINT)" +
       s" % $CdcM * $p) % $CdcM"
   }.mkString(" + ")
+
+  /** Contrastive triplet mining: first 100 vectors as anchors. */
+  private val TripletAnchors = 100
 
   /** SemDeDup in-cluster cosine threshold — demo-scaled to the random
     * synthetic embeddings (max pairwise cosine ≈ 0.51); purpose-built
@@ -3870,6 +3886,26 @@ object ExtQueries {
               ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id) AS INTEGER) AS rank
           FROM embeddings CROSS JOIN q
           QUALIFY rank <= 5 ORDER BY q_id, rank""",
+
+    // Conditional-argmax twins of the Spark agg: per (anchor, side)
+    // rank by (cos DESC, id ASC), keep rank 1, join the two sides.
+    "q_contrastive_triplets" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+            FROM embeddings WHERE vec_id < $TripletAnchors),
+          p AS (SELECT q_id, vec_id, label, q_label,
+              ${cosSql("q_vec", "embedding")} AS cos
+            FROM embeddings CROSS JOIN q WHERE vec_id != q_id),
+          pos AS (SELECT q_id, vec_id AS pos_id, cos AS pos_cos FROM p
+            WHERE label = q_label
+            QUALIFY row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) = 1),
+          neg AS (SELECT q_id, vec_id AS neg_id, cos AS neg_cos FROM p
+            WHERE label != q_label
+            QUALIFY row_number() OVER (PARTITION BY q_id
+              ORDER BY cos DESC, vec_id) = 1)
+          SELECT pos.q_id, pos_id, pos_cos, neg_id, neg_cos,
+            pos_cos - neg_cos AS margin
+          FROM pos JOIN neg ON pos.q_id = neg.q_id ORDER BY pos.q_id""",
 
     "q_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label

@@ -1157,6 +1157,45 @@ object Similarity {
       k, qId, cId, qVec, cVec)
   }
 
+  /** Contrastive TRIPLET mining — the (anchor, positive, negative)
+    * table a metric-learning dataloader consumes: per anchor, the
+    * most-similar SAME-label vector (hardest positive to keep close)
+    * and the most-similar CROSS-label vector ([[hardNegatives]]' k=1
+    * case), plus the margin between them — anchors with a negative
+    * margin are the batch-mining targets (the negative currently sits
+    * closer than the positive).
+    *
+    * Plan: anchors broadcast into the corpus (one streamed pass, no
+    * corpus shuffle), then ONE combine-enabled aggregation per anchor —
+    * the pos/neg argmaxes are conditional `max(struct(cos, −id))`
+    * aggregates (highest rounded cosine, ties to the lowest id — the
+    * [[ivfAssign]] struct-ordering idiom), so there is no window and no
+    * per-anchor sort anywhere. Anchors lacking any same-label or any
+    * cross-label counterpart drop (no usable triplet). Margin is one
+    * exact IEEE subtraction of two 6dp-rounded cosines. */
+  def contrastiveTriplets(anchors: DataFrame, corpus: DataFrame,
+                          qId: String = "q_id", cId: String = "vec_id",
+                          qVec: String = "q_vec", cVec: String = "embedding",
+                          qLabel: String = "q_label",
+                          cLabel: String = "label"): DataFrame = {
+    val q = anchors.withColumn("__qn", vec_norm(col(qVec)))
+    val c = corpus.withColumn("__cn", vec_norm(col(cVec)))
+    val pairs = c.join(broadcast(q))
+      .filter(col(cId) =!= col(qId))
+      .withColumn("cos", round(
+        vec_dot(col(qVec), col(cVec)) / (col("__qn") * col("__cn")), 6))
+    val cand = struct(col("cos").as("c"), (-col(cId)).as("ni"))
+    pairs.groupBy(col(qId))
+      .agg(
+        max(when(col(cLabel) === col(qLabel), cand)).as("__p"),
+        max(when(col(cLabel) =!= col(qLabel), cand)).as("__n"))
+      .filter(col("__p").isNotNull && col("__n").isNotNull)
+      .select(col(qId),
+        (-col("__p.ni")).as("pos_id"), col("__p.c").as("pos_cos"),
+        (-col("__n.ni")).as("neg_id"), col("__n.c").as("neg_cos"),
+        (col("__p.c") - col("__n.c")).as("margin"))
+  }
+
   // ───────── SemDeDup (Abbas et al. 2023) ─────────
 
   /** SemDeDup semantic-duplicate flags — "SemDeDup: Data-efficient

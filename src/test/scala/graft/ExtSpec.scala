@@ -2495,6 +2495,37 @@ class ExtSpec extends SparkSpec {
       ("s2", 3L, 11L, 3L, 0.6875)))
   }
 
+  test("contrastiveTriplets pairs each anchor with hardest pos and neg") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.95f, 0.3f), "a"),
+      (3L, Array(0.9f, 0.4f), "b"),
+      (4L, Array(0.0f, 1.0f), "b"),
+      (5L, Array(0.99f, 0.1f), "a"),   // hardest positive for 1
+      (9L, Array(0.5f, 0.5f), "only")) // no same-label partner → drops
+      .toDF("vec_id", "embedding", "label")
+    val anchors = corpus.filter(col("vec_id").isin(1L, 9L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val t = Similarity.contrastiveTriplets(anchors, corpus)
+      .as[(Long, Long, Double, Long, Double, Double)].collect().toSeq
+    assert(t.map(_._1) == Seq(1L), "anchor 9 has no positive — no triplet")
+    val (_, posId, posCos, negId, negCos, margin) = t.head
+    assert(posId == 5L && negId == 3L)
+    assert(margin == posCos - negCos && margin > 0)
+    // Tie on cosine: identical twins resolve to the LOWER id.
+    val twins = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (6L, Array(0.9f, 0.1f), "a"), (7L, Array(0.9f, 0.1f), "a"),
+      (8L, Array(0.8f, 0.2f), "b")).toDF("vec_id", "embedding", "label")
+    val a2 = twins.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val t2 = Similarity.contrastiveTriplets(a2, twins)
+      .as[(Long, Long, Double, Long, Double, Double)].collect().head
+    assert(t2._2 == 6L, "cosine tie breaks to the lower id")
+  }
+
   test("hardNegatives ranks only cross-label vectors") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f), "a"),
