@@ -654,6 +654,16 @@ object ExtQueries {
         .orderBy("a", "b")
     }),
 
+    "q_containment_pairs" -> ((s, dir) => {
+      // Asymmetric doc-in-doc detection: >= 60% of a's distinct
+      // 3-gram shingles occur in b (Jaccard misses the short-quote-
+      // inside-long-article case this catches). Candidates only meet
+      // inside shared-shingle buckets.
+      Dedup.containmentPairs(read(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = ContainmentTau)
+        .orderBy("a", "b")
+    }),
+
     "q_curation_pipeline" -> ((s, dir) => {
       // The WHOLE training-data curation pass composed end-to-end from
       // the library's operators: quality gate (Gopher-style bounds) →
@@ -2233,6 +2243,8 @@ object ExtQueries {
           FROM assign JOIN probes USING (list)
           QUALIFY rank <= 3 ORDER BY q_id, rank"""
   private val ContamMaxDf = 3
+  /** Containment pair threshold (share of a's shingles found in b). */
+  private val ContainmentTau = 0.6
   private val OovVocab = 200
   /** PQ: 8 subspaces × 16 entries over the 64-dim embeddings. */
   private val PqM = 8
@@ -4503,6 +4515,21 @@ object ExtQueries {
     // The star-contraction variant must produce the identical
     // component-minimum labeling, so it shares the oracle verbatim.
     "q_dup_clusters_star" -> dupClustersOracleSql,
+
+    "q_containment_pairs" ->
+      s"""WITH s AS (SELECT doc_id,
+              unnest(list_distinct($ShinglesSql)) AS sh
+            FROM documents),
+          l AS (SELECT doc_id, sh,
+              count(*) OVER (PARTITION BY doc_id) AS na FROM s),
+          p AS (SELECT l.doc_id AS a, r.doc_id AS b, l.na,
+              count(*) AS n_shared
+            FROM l JOIN s r ON l.sh = r.sh AND l.doc_id != r.doc_id
+            GROUP BY 1, 2, 3)
+          SELECT a, b, n_shared,
+            ROUND(CAST(n_shared AS DOUBLE) / na, 6) AS containment
+          FROM p WHERE ROUND(CAST(n_shared AS DOUBLE) / na, 6) >= $ContainmentTau
+          ORDER BY a, b""",
 
     "q_contamination" ->
       s"""WITH bsh AS (SELECT doc_id AS bench_id,

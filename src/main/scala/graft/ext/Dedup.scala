@@ -936,6 +936,41 @@ object Dedup {
         col("span_words"), col("n_grams"))
   }
 
+  /** Asymmetric CONTAINMENT pairs (Broder's resemblance companion):
+    * ordered pairs (a, b) where at least `threshold` of a's distinct
+    * word n-gram shingles also occur in b — the doc-IN-doc detector
+    * Jaccard structurally misses (a short quote inside a long article
+    * has tiny Jaccard but containment ≈ 1). One row per ordered pair
+    * ≥ threshold, so a ⊂ b and b ⊂ a report independently.
+    *
+    * Plan: distinct shingles explode once per side; |A| rides along as
+    * a count window over the doc key (no size-table join-back — the
+    * gram-stats lesson); candidates meet ONLY inside a shared
+    * shingle's bucket (the contamination join shape — never
+    * all-pairs); one (a, b) agg closes. Skew: a boilerplate shingle
+    * shared by D docs costs O(D²) bucket rows — cap hot shingles
+    * upstream (the [[graft.ext.Contamination.cappedBenchShingles]]
+    * df-cap) when a corpus has them. */
+  def containmentPairs(docs: DataFrame, docKey: String, textCol: String,
+                       n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    val sh = docs.select(col(docKey),
+      explode(array_distinct(shingles(col(textCol), n))).as("__sh"))
+    val l = sh
+      .withColumn("__na", count(lit(1)).over(Window.partitionBy(col(docKey))))
+      .select(col(docKey).as("a"), col("__na"), col("__sh"))
+    val r = sh.select(col(docKey).as("b"), col("__sh"))
+    l.join(r, Seq("__sh"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b"), col("__na"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("containment",
+        round(col("n_shared").cast(DoubleType) / col("__na"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("n_shared"), col("containment"))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a doc's word n-grams
     * that occur nowhere else in the corpus (and only once in the doc
     * itself) — the inverse of duplication exposure, the quality signal

@@ -2495,6 +2495,21 @@ class ExtSpec extends SparkSpec {
       ("s2", 3L, 11L, 3L, 0.6875)))
   }
 
+  test("containmentPairs detects a quote inside a long article asymmetrically") {
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val article = s"long article begins here $quote and then continues with much more " +
+      "unrelated prose about entirely different things for a while longer"
+    val df = Seq((1L, quote), (2L, article), (3L, "nothing in common at all here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.6)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // The quote is ~fully contained in the article (1 → 2 passes); the
+    // article is NOT contained in the quote (2 → 1 fails the 0.6 bar);
+    // doc 3 pairs with nobody.
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)), s"got $pairs")
+    assert(pairs.head._4 >= 0.8, "quote containment near 1")
+  }
+
   test("contrastiveTriplets pairs each anchor with hardest pos and neg") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f), "a"),
