@@ -1066,6 +1066,16 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_lm_perplexity_jm" -> ((s, dir) => {
+      // Jelinek-Mercer interpolation (λ=0.75 on the ML bigram, add-one
+      // unigram back-off) — the smoothing upgrade over q_lm_perplexity's
+      // add-one model; same reference corpus, same determinism contract.
+      val docs = read(s, dir, "documents")
+      TextAnalysis.perplexityInterpolated(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "text", JmLambdaHundredths)
+        .orderBy("doc_id")
+    }),
+
     "q_quality_buckets" -> ((s, dir) => {
       // CCNet's head/middle/tail: perplexity scores binned at the
       // corpus 0.33/0.67 quantiles via percentileBins — the
@@ -2984,6 +2994,48 @@ object ExtQueries {
   /** Shared CTE chain for the bigram-LM oracles: retrain the add-one
     * model on the every-10th-doc reference slice and score every
     * document — ends defining `scored(doc_id, n_bigrams, ppl)`. */
+  /** JM interpolation weight (hundredths of λ on the ML bigram). 75
+    * keeps both λ and 1−λ exactly representable doubles, so the SQL
+    * literals and the Scala-side lit()s are bit-identical. */
+  private val JmLambdaHundredths = 75
+
+  /** The interpolated twin of [[lmPerplexitySql]]: same reference
+    * corpus, P = λ·c12/c1 + (1−λ)·(c(w2)+1)/(T+V). */
+  private def lmPerplexityJmSql: String = {
+    val lam = JmLambdaHundredths / 100.0
+    s"""refd AS (SELECT str_split(lower(text), ' ') AS ws
+          FROM documents WHERE doc_id % 10 = 0),
+        rb0 AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          FROM refd WHERE len(ws) >= 2),
+        rbi AS (SELECT ws[i] AS w1, ws[i+1] AS w2, COUNT(*) AS c12
+          FROM rb0 GROUP BY 1, 2),
+        runi AS (SELECT w1, COUNT(*) AS c1
+          FROM (SELECT unnest(ws) AS w1 FROM refd) GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS v, CAST(SUM(c1) AS BIGINT) AS t FROM runi),
+        d AS (SELECT doc_id, str_split(lower(text), ' ') AS ws
+          FROM documents),
+        db0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          FROM d WHERE len(ws) >= 2),
+        dbi AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM db0),
+        lp AS (SELECT doc_id,
+            CAST(ROUND(ln(
+              $lam * (CASE WHEN COALESCE(ru1.c1, 0) > 0
+                THEN CAST(COALESCE(rbi.c12, 0) AS DOUBLE) / ru1.c1
+                ELSE 0.0 END)
+              + ${1 - lam} * (CAST(COALESCE(ru2.c1, 0) + 1 AS DOUBLE)
+                / CAST((SELECT t FROM tot) + (SELECT v FROM tot) AS DOUBLE))
+            ), 6) AS DECIMAL(25,6)) AS lp
+          FROM dbi LEFT JOIN rbi USING (w1, w2)
+            LEFT JOIN runi ru1 ON dbi.w1 = ru1.w1
+            LEFT JOIN runi ru2 ON dbi.w2 = ru2.w1),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS slp
+          FROM lp GROUP BY 1),
+        scored AS (SELECT d0.doc_id,
+            CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+            ROUND(exp((-CAST(agg.slp AS DOUBLE)) / agg.n_bigrams), 6) AS ppl
+          FROM documents d0 LEFT JOIN agg USING (doc_id))"""
+  }
+
   private def lmPerplexitySql: String =
     """refd AS (SELECT str_split(lower(text), ' ') AS ws
           FROM documents WHERE doc_id % 10 = 0),
@@ -3106,6 +3158,10 @@ object ExtQueries {
     // decimals, close with one exp/divide/round tree.
     "q_lm_perplexity" ->
       s"""WITH $lmPerplexitySql
+         SELECT doc_id, n_bigrams, ppl FROM scored ORDER BY doc_id""",
+
+    "q_lm_perplexity_jm" ->
+      s"""WITH $lmPerplexityJmSql
          SELECT doc_id, n_bigrams, ppl FROM scored ORDER BY doc_id""",
 
     // Quality buckets over the same scores: percentileBins' rule

@@ -792,20 +792,25 @@ object TextAnalysis {
     * crawl-scale model falls back to a hash join whose skewed keys
     * ("of the") cost probe-side time, not correctness; the per-doc
     * close is one combine-enabled agg. */
+  /** Word-bigram instances of a frame: (keep..., __w1, __w2) — zip of
+    * the two shifted slices; the lambda touches only its own variables
+    * (the charEntropy HOF lesson — captured expressions re-evaluate
+    * per element). Shared by the add-one and interpolated LMs. */
+  private def wordBigrams(d: DataFrame, keep: Seq[String],
+                          text: String): DataFrame = {
+    val ws = tokens(lower(col(text)))
+    d.withColumn("__bp", explode(zip_with(
+        slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .select(keep.map(col) ++
+        Seq(col("__bp.w1").as("__w1"), col("__bp.w2").as("__w2")): _*)
+  }
+
   def perplexity(df: DataFrame, docKey: String, textCol: String,
                  ref: DataFrame, refTextCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    def bigramsOf(d: DataFrame, keep: Seq[String], text: String): DataFrame = {
-      val ws = tokens(lower(col(text)))
-      // zip of the two shifted slices; the lambda touches only its own
-      // variables (the charEntropy HOF lesson — captured expressions
-      // re-evaluate per element).
-      d.withColumn("__bp", explode(zip_with(
-          slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))))
-        .select(keep.map(col) ++
-          Seq(col("__bp.w1").as("__w1"), col("__bp.w2").as("__w2")): _*)
-    }
+    def bigramsOf(d: DataFrame, keep: Seq[String], text: String): DataFrame =
+      wordBigrams(d, keep, text)
     val refBi = bigramsOf(ref, Seq.empty, refTextCol)
       .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
     val refUni = ref
@@ -820,6 +825,63 @@ object TextAnalysis {
           (coalesce(col("__c12"), lit(0L)) + 1).cast(DoubleType) /
             (coalesce(col("__c1"), lit(0L)) + col("__v"))), 6)
         .cast(DecimalType(25, 6)))
+      .groupBy(col(docKey))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__slp"))
+      .withColumn("ppl",
+        round(exp((-col("__slp")).cast(DoubleType) / col("n_bigrams")), 6))
+      .drop("__slp")
+    df.select(col(docKey)).distinct()
+      .join(scored, Seq(docKey), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
+  /** Jelinek–Mercer INTERPOLATED bigram perplexity — the smoothing
+    * upgrade over [[perplexity]]'s add-one model:
+    *
+    *   P(w2|w1) = λ·P_ML(w2|w1) + (1−λ)·(c(w2)+1)/(T+V)
+    *
+    * with P_ML = c(w1 w2)/c(w1) (0 for an unseen history), T the
+    * reference token count, V its vocabulary. Add-one flattens every
+    * conditional toward uniform (a frequent continuation after a rare
+    * history is crushed by the +V denominator); interpolation keeps the
+    * ML bigram signal at weight λ and backs off to the add-one UNIGRAM
+    * — the textbook fix, and the standard baseline below Kneser–Ney.
+    * `lambdaHundredths` ∈ [0, 99]: the unigram floor must keep positive
+    * mass or an unseen history would hit ln(0).
+    *
+    * Numeric contract: P_ML is one exact-integer IEEE divide, the
+    * λ-mix two multiplies and an add of correctly-rounded doubles (λ
+    * inlined as the same literal in both engines), each bigram's ln
+    * 6dp-rounded and decimal-summed — [[perplexity]]'s determinism
+    * verbatim. Same plan shape: two reference aggs + broadcast totals,
+    * one extra broadcast join for the w2 unigram count. */
+  def perplexityInterpolated(df: DataFrame, docKey: String, textCol: String,
+                             ref: DataFrame, refTextCol: String,
+                             lambdaHundredths: Int): DataFrame = {
+    require(lambdaHundredths >= 0 && lambdaHundredths < 100,
+      s"lambda must be in [0, 99] hundredths, got $lambdaHundredths")
+    import org.apache.spark.sql.types.DecimalType
+    val lam = lambdaHundredths / 100.0
+    val refBi = wordBigrams(ref, Seq.empty, refTextCol)
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    val refUni = ref
+      .select(explode(tokens(lower(col(refTextCol)))).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val totals = refUni.agg(count(lit(1)).as("__v"), sum(col("__c1")).as("__t"))
+    val uniOf2 = refUni.select(col("__w1").as("__w2"), col("__c1").as("__c2"))
+    val pBi = when(coalesce(col("__c1"), lit(0L)) > 0,
+      coalesce(col("__c12"), lit(0L)).cast(DoubleType) / col("__c1"))
+      .otherwise(lit(0.0))
+    val pUni = (coalesce(col("__c2"), lit(0L)) + 1).cast(DoubleType) /
+      (col("__t") + col("__v")).cast(DoubleType)
+    val scored = wordBigrams(df, Seq(docKey), textCol)
+      .join(refBi, Seq("__w1", "__w2"), "left")
+      .join(refUni, Seq("__w1"), "left")
+      .join(uniOf2, Seq("__w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lp",
+        round(log(lit(lam) * pBi + lit(1 - lam) * pUni), 6)
+          .cast(DecimalType(25, 6)))
       .groupBy(col(docKey))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__slp"))
       .withColumn("ppl",

@@ -2495,6 +2495,31 @@ class ExtSpec extends SparkSpec {
       ("s2", 3L, 11L, 3L, 0.6875)))
   }
 
+  test("interpolated perplexity keeps the bigram signal add-one crushes") {
+    val ref = Seq((100L, "the cat sat on the mat the cat sat on the rug"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),      // in-domain
+      (2L, "zz qq ww ee rr tt")).toDF("doc_id", "text") // out-of-domain
+    val jm = TextAnalysis.perplexityInterpolated(docs, "doc_id", "text",
+        ref, "text", 75)
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect()
+    val ao = TextAnalysis.perplexity(docs, "doc_id", "text", ref, "text")
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect()
+    // Both models rank in-domain below gibberish…
+    assert(jm(0)._3.get < jm(1)._3.get && ao(0)._3.get < ao(1)._3.get)
+    // …but interpolation scores the in-domain doc SHARPER: add-one's +V
+    // denominator flattens P("cat"|"the") toward uniform, the λ-weighted
+    // ML term does not.
+    assert(jm(0)._3.get < ao(0)._3.get,
+      s"JM ${jm(0)._3.get} should beat add-one ${ao(0)._3.get} in-domain")
+    // λ=0 degenerates to the pure add-one UNIGRAM (history-free).
+    val uni = TextAnalysis.perplexityInterpolated(docs, "doc_id", "text",
+        ref, "text", 0)
+      .orderBy("doc_id").as[(Long, Long, Option[Double])].collect()
+    assert(uni(0)._3.get > jm(0)._3.get, "no bigram signal at lambda 0")
+  }
+
   test("containmentPairs detects a quote inside a long article asymmetrically") {
     val quote = "the quick brown fox jumps over the lazy dog"
     val article = s"long article begins here $quote and then continues with much more " +
