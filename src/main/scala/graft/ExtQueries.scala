@@ -786,6 +786,18 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_bm25" -> ((s, dir) => {
+      // Okapi BM25 top-10: first-6-word pseudo-queries from the first
+      // 5 docs against the whole corpus. Query terms broadcast into
+      // the tf table — the corpus never shuffles for the search.
+      val docs = read(s, dir, "documents")
+      val queries = docs.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("q_id"),
+          array_join(slice(split(col("text"), " "), 1, 6), " ").as("q_text"))
+      Retrieval.bm25TopK(queries, docs.select("doc_id", "text"), k = 10)
+        .orderBy("q_id", "rank")
+    }),
+
     "q_contrastive_triplets" -> ((s, dir) => {
       // (anchor, hardest positive, hardest negative) triplets with the
       // margin — ONE combine-enabled agg per anchor, no windows;
@@ -3954,6 +3966,41 @@ object ExtQueries {
               ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id) AS INTEGER) AS rank
           FROM embeddings CROSS JOIN q
           QUALIFY rank <= 5 ORDER BY q_id, rank""",
+
+    // BM25 replayed: same Lucene idf (6dp), same fixed IEEE tree per
+    // term (k1=1.2, b=0.75 inlined as identical literals), decimal
+    // term sums, rank ties on doc id.
+    "q_bm25" ->
+      s"""WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents),
+          tf AS (SELECT doc_id, t, count(*) AS tf FROM w GROUP BY 1, 2),
+          dl AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY 1),
+          dft AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+          st AS (SELECT (SELECT count(*) FROM documents) AS n,
+              CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+                / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS avgdl),
+          q AS (SELECT doc_id AS q_id, unnest(list_distinct(string_split(
+                lower(array_to_string((string_split(text, ' '))[1:6], ' ')),
+                ' '))) AS t
+            FROM documents WHERE doc_id < 5),
+          sc AS (SELECT q.q_id, tf.doc_id,
+              CAST(ROUND(
+                ROUND(ln((st.n - dft.df + 0.5) / (dft.df + 0.5) + 1), 6)
+                * (CAST(tf.tf AS DOUBLE) * ${1.2 + 1})
+                / (CAST(tf.tf AS DOUBLE)
+                   + ${1.2} * (${1 - 0.75} + ${0.75}
+                     * (CAST(dl.dl AS DOUBLE) / st.avgdl))), 6)
+                AS DECIMAL(25,6)) AS s
+            FROM tf JOIN q ON tf.t = q.t
+            JOIN dft ON tf.t = dft.t
+            JOIN dl ON tf.doc_id = dl.doc_id, st)
+          SELECT q_id, doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS score,
+            COUNT(*) AS n_terms,
+            CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY ROUND(CAST(SUM(s) AS DOUBLE), 6) DESC, doc_id)
+              AS INTEGER) AS rank
+          FROM sc GROUP BY q_id, doc_id
+          QUALIFY rank <= 10 ORDER BY q_id, rank""",
 
     // Conditional-argmax twins of the Spark agg: per (anchor, side)
     // rank by (cos DESC, id ASC), keep rank 1, join the two sides.

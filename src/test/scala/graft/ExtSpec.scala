@@ -2495,6 +2495,34 @@ class ExtSpec extends SparkSpec {
       ("s2", 3L, 11L, 3L, 0.6875)))
   }
 
+  test("bm25 ranks term-matching docs by saturated tf and idf") {
+    val corpus = Seq(
+      (1L, "spark engine spark engine spark"),  // high tf on both terms
+      (2L, "spark engine"),                     // both terms, short doc
+      (3L, "spark only here with lots of other padding words everywhere"),
+      (4L, "engine alone"),
+      (5L, "nothing relevant whatsoever")).toDF("doc_id", "text")
+    val q = Seq((0L, "spark engine")).toDF("q_id", "q_text")
+    val top = Retrieval.bm25TopK(q, corpus, k = 5)
+      .orderBy("rank").as[(Long, Long, Double, Long, Int)].collect().toSeq
+    // Doc 5 shares no term — absent; two-term matches beat one-term.
+    assert(top.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+    assert(top.take(2).map(_._2).toSet == Set(1L, 2L),
+      s"two-term docs outrank single-term: $top")
+    assert(top.forall(r => r._4 <= 2), "n_terms bounded by query terms")
+    // Length normalization: the padded one-term doc 3 scores below the
+    // tight one-term doc 4 on its shared term ('spark' and 'engine'
+    // have equal df, so the comparison isolates |d|/avgdl).
+    val s3 = top.find(_._2 == 3L).get._3
+    val s4 = top.find(_._2 == 4L).get._3
+    assert(s4 > s3, s"length normalization: $s4 <= $s3")
+    // tf saturation: doc 1's 3x'spark'+2x'engine' beats doc 2 but by
+    // far less than 2.5x (k1 caps the tf term).
+    val s1 = top.find(_._2 == 1L).get._3
+    val s2 = top.find(_._2 == 2L).get._3
+    assert(s1 > s2 && s1 < s2 * 2.5, s"saturation: $s1 vs $s2")
+  }
+
   test("interpolated perplexity keeps the bigram signal add-one crushes") {
     val ref = Seq((100L, "the cat sat on the mat the cat sat on the rug"))
       .toDF("doc_id", "text")
