@@ -786,6 +786,22 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_ann_recall" -> ((s, dir) => {
+      // Recall@3 of the pruned IVF search against the brute-force truth
+      // — the ANN quality number as a first-class query (the metric
+      // every nProbe/nLists tuning decision reads).
+      val e = read(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = e.select("vec_id", "embedding")
+      val cents = IvfCentCache.getOrElseUpdate(dir,
+        Similarity.ivfCentroidsLloyd(corpus, IvfLists))
+      val res = Similarity.ivfTopKWith(queries, corpus, k = 3, cents,
+        nProbe = IvfProbes)
+      val truth = Similarity.bruteForceTopK(queries, corpus, 3)
+      Retrieval.recallAtK(res, truth, k = 3).orderBy("q_id")
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // Okapi BM25 top-10: first-6-word pseudo-queries from the first
       // 5 docs against the whole corpus. Query terms broadcast into
@@ -3966,6 +3982,28 @@ object ExtQueries {
               ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id) AS INTEGER) AS rank
           FROM embeddings CROSS JOIN q
           QUALIFY rank <= 5 ORDER BY q_id, rank""",
+
+    // Truth = brute-force top-3, result = the full IVF Lloyd chain's
+    // top-3; per-query hit counting over the two bounded tables.
+    "q_ann_recall" ->
+      s"""WITH res0 AS ($IvfLloydOracleSql),
+          tr0 AS (SELECT q_id, vec_id,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id)
+                AS INTEGER) AS rank
+            FROM embeddings CROSS JOIN
+              (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5) q
+            QUALIFY rank <= 3),
+          r AS (SELECT q_id, vec_id FROM res0 WHERE rank <= 3)
+          SELECT tr0.q_id, COUNT(*) AS n_truth,
+            CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit,
+            ROUND(CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*), 6) AS recall
+          FROM tr0 LEFT JOIN r
+            ON tr0.q_id = r.q_id AND tr0.vec_id = r.vec_id
+          GROUP BY tr0.q_id ORDER BY tr0.q_id""",
 
     // BM25 replayed: same Lucene idf (6dp), same fixed IEEE tree per
     // term (k1=1.2, b=0.75 inlined as identical literals), decimal

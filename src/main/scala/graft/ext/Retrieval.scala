@@ -78,4 +78,28 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col(qId), col(cId), col("score"), col("n_terms"), col("rank"))
   }
+
+  /** Recall@k of one ranking against another — the evaluation operator
+    * behind every ANN/retrieval quality claim in this library, as a
+    * first-class query instead of a spec-only number: per query,
+    * |result@k ∩ truth@k| / |truth@k|. Both inputs are ranking tables
+    * (qId, cId, …, rank); rows past `k` are ignored on both sides, and
+    * queries absent from `result` score 0 (a search that returned
+    * nothing has recall 0, not a missing row). Exact integer quotient
+    * rounded 6dp; two bounded (≤ queries × k row) tables, one key
+    * join, one per-query agg — trivially broadcastable at any corpus
+    * size because the CORPUS is already gone by this stage. */
+  def recallAtK(result: DataFrame, truth: DataFrame, k: Int,
+                qId: String = "q_id", cId: String = "vec_id"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val t = truth.filter(col("rank") <= k).select(col(qId), col(cId))
+    val r = result.filter(col("rank") <= k).select(col(qId), col(cId))
+      .withColumn("__hit", lit(1))
+    t.join(r, Seq(qId, cId), "left")
+      .groupBy(col(qId))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+      .withColumn("recall", round(
+        col("n_hit").cast(DoubleType) / col("n_truth"), 6))
+  }
 }

@@ -2495,6 +2495,18 @@ class ExtSpec extends SparkSpec {
       ("s2", 3L, 11L, 3L, 0.6875)))
   }
 
+  test("recallAtK counts hits against truth, zero for empty results") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2)).toDF("q_id", "vec_id", "rank")
+    val res = Seq((1L, 10L, 1), (1L, 99L, 2), (1L, 12L, 4),  // rank 4 > k ignored
+      (3L, 30L, 1)).toDF("q_id", "vec_id", "rank")           // not in truth
+    val r = Retrieval.recallAtK(res, truth, k = 3)
+      .orderBy("q_id").as[(Long, Long, Long, Double)].collect().toSeq
+    // q1: truth {10,11,12}, result@3 {10,99} → 1 hit of 3; q2: no
+    // result rows at all → recall 0, row present.
+    assert(r == Seq((1L, 3L, 1L, 0.333333), (2L, 2L, 0L, 0.0)))
+  }
+
   test("bm25 ranks term-matching docs by saturated tf and idf") {
     val corpus = Seq(
       (1L, "spark engine spark engine spark"),  // high tf on both terms
