@@ -260,6 +260,14 @@ class PlanShapeSpec extends SparkSpec {
       s"never a global single-task sort:\n$plan")
   }
 
+  test("q_bm25 broadcasts the query terms (corpus never shuffles for the search)") {
+    val plan = executedPlan("q_bm25")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term join must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"scoring joins stay keyed:\n$plan")
+  }
+
   test("q_dedup_incremental reads the batch through its checkpoint (survivors materialized once)") {
     // The exact-pass survivors are an eager localCheckpoint (r7 hygiene
     // change); the fresh-consuming branches read its RDD blocks while
