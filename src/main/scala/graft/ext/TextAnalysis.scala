@@ -236,34 +236,23 @@ object TextAnalysis {
     * one whole-doc chunk; empty docs emit nothing. Chunks concatenate
     * back to the exact input (spec-pinned).
     *
-    * Shape: pure per-row HOF work over projected attributes (codes
-    * array computed once per doc, the boundary filter reads only its
-    * own lambda variable and the codes attribute) — map-only, zero
-    * shuffles, O(len · window) arithmetic per doc. */
+    * Shape: one native boundary scan per row ([[graft.functions.CdcCuts]])
+    * plus slicing HOFs over projected attributes — map-only, zero
+    * shuffles, O(len · window) primitive arithmetic per doc. */
   def chunkContentDefined(df: DataFrame, docKey: String, textCol: String,
                           window: Int = 8, bits: Int = 5): DataFrame = {
     require(window >= 2, s"rolling window must be >= 2 chars, got $window")
     require(bits >= 1 && bits <= 20, s"boundary bits must be in 1..20, got $bits")
-    val M = 1000000007L
-    val pows: Seq[Long] = (0 until window)
-      .map(j => BigInt(257).modPow(BigInt(window - 1 - j), BigInt(M)).toLong)
+    // Boundary scan is the native [[graft.functions.CdcCuts]]
+    // expression — one pass of primitive long arithmetic per row (the
+    // per-position interpreted filter lambda it replaces ran ~10⁷
+    // element-at evaluations per corpus pass and showed multi-second
+    // jitter on the bench), and it pins CODE-POINT position semantics
+    // (split("") counted UTF-16 units — divergent on astral text).
     val base = df
       .select(col(docKey), col(textCol).as("__t"))
       .withColumn("__n", length(col("__t")))
-      .withColumn("__cd", transform(split(col("__t"), ""),
-        c => ascii(c).cast("long")))
-    // Boundary positions: i in window..n (guarded — sequence() runs
-    // backwards for n < window) where the trailing-window hash lands
-    // on the 2^bits wheel.
-    val cuts = filter(
-      when(col("__n") >= window, sequence(lit(window), col("__n")))
-        .otherwise(lit(Array.empty[Int])),
-      i => {
-        val h = (0 until window)
-          .map(j => element_at(col("__cd"), i - window + 1 + j) % M * pows(j) % M)
-          .reduce(_ + _) % M
-        h % (1L << bits) === 0
-      })
+    val cuts = graft.functions.TextHash.cdc_cuts(col("__t"), window, bits)
     val withBounds = base.withColumn("__bs", array_sort(array_distinct(
       concat(array(lit(0)), cuts, array(col("__n"))))))
     withBounds

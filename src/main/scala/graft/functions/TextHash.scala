@@ -135,6 +135,75 @@ case class WinnowSelect(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Native Karp–Rabin content-defined-chunking boundary scan — the
+  * [[WinnowSelect]] treatment for the CDC hot loop: the declarative
+  * form (a per-position filter lambda evaluating `window` element_at
+  * products interpreted) ran single-threaded over the one-file corpus
+  * partition at ~10⁷ interpreted evals per pass and showed multi-second
+  * jitter; this computes the same boundary set in one native pass of
+  * primitive long arithmetic.
+  *
+  * Semantics (the q_chunk_cdc oracle's, bit-for-bit): positions are
+  * CODE POINTS (DuckDB substr/len semantics — note the declarative
+  * form's split("") counted UTF-16 code units, which diverges on
+  * astral-plane text; native pins the code-point contract), hash at
+  * end-position i (window ≤ i ≤ n) is
+  * Σ_j codepoint(i−window+1+j) · B^{window−1−j} mod M with B = 257,
+  * M = 1e9+7, and i is a cut when hash ≡ 0 mod 2^bits. Returns the
+  * (possibly empty) ascending cut array; docs shorter than `window`
+  * cut nowhere. */
+case class CdcCuts(child: Expression, window: Int, bits: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(window >= 2, s"rolling window must be >= 2 chars, got $window")
+  require(bits >= 1 && bits <= 20, s"boundary bits must be in 1..20, got $bits")
+
+  private val M = 1000000007L
+  @transient private lazy val pows: Array[Long] = (0 until window)
+    .map(j => BigInt(257).modPow(BigInt(window - 1 - j), BigInt(M)).toLong)
+    .toArray
+
+  override def prettyName: String = "cdc_cuts"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"cdc_cuts expects a string column, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // Code points, one linear walk.
+    val n = s.codePointCount(0, s.length)
+    if (n < window) return new GenericArrayData(Array.empty[Int])
+    val cp = new Array[Long](n)
+    var ci = 0
+    var off = 0
+    while (off < s.length) {
+      val c = s.codePointAt(off)
+      cp(ci) = c.toLong; ci += 1; off += Character.charCount(c)
+    }
+    val mask = (1L << bits) - 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = window
+    while (i <= n) {
+      var h = 0L
+      var j = 0
+      while (j < window) {
+        h = (h + cp(i - window + j) % M * pows(j) % M) % M
+        j += 1
+      }
+      if ((h & mask) == 0) out += i
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextHash {
 
   /** Native winnowing selection over a (pre-lowercased) text column:
@@ -142,4 +211,9 @@ object TextHash {
     * selections, NULL for docs shorter than k code points. */
   def winnow_select(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowSelect(ColumnBridge.expression(text), k, w))
+
+  /** Native CDC boundary scan: ascending cut positions (1-based code
+    * point end indices) of the Karp–Rabin 2^bits wheel. */
+  def cdc_cuts(text: Column, window: Int, bits: Int): Column =
+    ColumnBridge.column(CdcCuts(ColumnBridge.expression(text), window, bits))
 }
