@@ -1,9 +1,9 @@
 package graft
 
-import graft.functions.VectorDotProduct
+import graft.functions.{CdcCuts, VectorDotProduct, WinnowSelect}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Session-extension entry point: registers the library's native
   * expressions in every session of a cluster via
@@ -23,6 +23,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDotProduct].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VectorDotProduct(exprs(0), exprs(1))))
+    // The two text-hashing natives take their shape constants as
+    // FOLDABLE int literals in SQL — winnow_select(lower(text), 16, 8),
+    // cdc_cuts(text, 8, 5) — extracted at resolution (a non-literal
+    // would make the per-row shape undefined; fail loudly).
+    def intLit(e: Expression, name: String, arg: Int): Int = e match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name argument $arg must be an integer literal, got $other")
+    }
+    ext.injectFunction((
+      FunctionIdentifier("winnow_select"),
+      new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
+      (exprs: Seq[Expression]) => WinnowSelect(exprs(0),
+        intLit(exprs(1), "winnow_select", 1), intLit(exprs(2), "winnow_select", 2))))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_cuts"),
+      new ExpressionInfo(classOf[CdcCuts].getName, "cdc_cuts"),
+      (exprs: Seq[Expression]) => CdcCuts(exprs(0),
+        intLit(exprs(1), "cdc_cuts", 1), intLit(exprs(2), "cdc_cuts", 2))))
     ext.injectOptimizerRule(_ => graft.plans.OptimizeSlidingWindowSums)
   }
 }

@@ -53,6 +53,29 @@ class VecMathSpec extends SparkSpec {
     assert(expr.eval(null) == 11.0)
   }
 
+  test("GraftExtensions injects the text-hashing natives with literal shape args") {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.unsafe.types.UTF8String
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = ColumnBridge.buildRegistry(ext)
+    for (f <- Seq("winnow_select", "cdc_cuts"))
+      assert(reg.functionExists(FunctionIdentifier(f)))
+    val ws = reg.lookupFunction(FunctionIdentifier("winnow_select"), Seq(
+      Literal.create(UTF8String.fromString("abcdefgh"), org.apache.spark.sql.types.StringType),
+      Literal(4), Literal(2)))
+    assert(ws.eval(null) != null, "selection on an 8-char doc")
+    // Non-literal shape args fail loudly at resolution.
+    assertThrows[IllegalArgumentException](
+      reg.lookupFunction(FunctionIdentifier("cdc_cuts"), Seq(
+        Literal.create(UTF8String.fromString("x"), org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "w", org.apache.spark.sql.types.IntegerType)(),
+        Literal(5))))
+  }
+
   test("vec_cosine of identical vectors is 1.0") {
     val df = Seq((Array(0.6f, 0.8f), Array(0.6f, 0.8f))).toDF("a", "b")
     val c = df.select(VecMath.vec_cosine(col("a"), col("b"))).as[Double].head()
