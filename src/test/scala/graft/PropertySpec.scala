@@ -442,4 +442,36 @@ class PropertySpec extends SparkSpec {
       assert(withGhost.values.sum == total)
     }
   }
+
+  test("r12 scoring ops are bit-deterministic under repartitioning") {
+    // The decimal-sum/fixed-IEEE-tree claims, exercised: DSIR weights,
+    // BM25 scores, and JM perplexity must not move a single bit when
+    // the input's partitioning (and thus every partial-agg order)
+    // changes.
+    import graft.ext.{Retrieval, Sampling, TextAnalysis}
+    val docs = (1L to 120L).map { i =>
+      (i, (1 to (i % 13 + 3).toInt)
+        .map(j => s"w${(i * 31 + j * 17) % 23}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 5 === 0)
+    val q = docs.filter(col("doc_id") < 4)
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    def all(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.collect().map(_.toString).sorted.toSeq
+    for (parts <- Seq(1, 7)) {
+      val dr = docs.repartition(parts)
+      assert(all(Sampling.importanceWeights(dr, "doc_id", "text",
+          target.repartition(parts), "text", 64)) ==
+        all(Sampling.importanceWeights(docs, "doc_id", "text", target, "text", 64)),
+        s"DSIR weights moved at parts=$parts")
+      assert(all(Retrieval.bm25TopK(q, dr, 5, cId = "doc_id", cText = "text")) ==
+        all(Retrieval.bm25TopK(q, docs, 5, cId = "doc_id", cText = "text")),
+        s"BM25 moved at parts=$parts")
+      assert(all(TextAnalysis.perplexityInterpolated(dr, "doc_id", "text",
+          target.repartition(parts), "text", 75)) ==
+        all(TextAnalysis.perplexityInterpolated(docs, "doc_id", "text",
+          target, "text", 75)),
+        s"JM perplexity moved at parts=$parts")
+    }
+  }
 }
