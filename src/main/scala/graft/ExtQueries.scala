@@ -802,6 +802,21 @@ object ExtQueries {
       Retrieval.recallAtK(res, truth, k = 3).orderBy("q_id")
     }),
 
+    "q_ann_mrr" -> ((s, dir) => {
+      // Reciprocal rank@3 of the same IVF-vs-brute pairing as
+      // q_ann_recall — the order-sensitive companion metric.
+      val e = read(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = e.select("vec_id", "embedding")
+      val cents = IvfCentCache.getOrElseUpdate(dir,
+        Similarity.ivfCentroidsLloyd(corpus, IvfLists))
+      val res = Similarity.ivfTopKWith(queries, corpus, k = 3, cents,
+        nProbe = IvfProbes)
+      val truth = Similarity.bruteForceTopK(queries, corpus, 3)
+      Retrieval.reciprocalRankAtK(res, truth, k = 3).orderBy("q_id")
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // Okapi BM25 top-10: first-6-word pseudo-queries from the first
       // 5 docs against the whole corpus. Query terms broadcast into
@@ -4004,6 +4019,25 @@ object ExtQueries {
           FROM tr0 LEFT JOIN r
             ON tr0.q_id = r.q_id AND tr0.vec_id = r.vec_id
           GROUP BY tr0.q_id ORDER BY tr0.q_id""",
+
+    "q_ann_mrr" ->
+      s"""WITH res0 AS ($IvfLloydOracleSql),
+          tr0 AS (SELECT q_id, vec_id,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id)
+                AS INTEGER) AS rank
+            FROM embeddings CROSS JOIN
+              (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5) q
+            QUALIFY rank <= 3),
+          h AS (SELECT res0.q_id, MIN(res0.rank) AS first_hit_rank
+            FROM res0 JOIN tr0
+              ON res0.q_id = tr0.q_id AND res0.vec_id = tr0.vec_id
+            WHERE res0.rank <= 3 GROUP BY res0.q_id)
+          SELECT qd.q_id, h.first_hit_rank,
+            COALESCE(ROUND(1.0 / h.first_hit_rank, 6), 0.0) AS rr
+          FROM (SELECT DISTINCT q_id FROM tr0) qd
+          LEFT JOIN h ON qd.q_id = h.q_id ORDER BY qd.q_id""",
 
     // BM25 replayed: same Lucene idf (6dp), same fixed IEEE tree per
     // term (k1=1.2, b=0.75 inlined as identical literals), decimal

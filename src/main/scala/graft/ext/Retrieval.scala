@@ -102,4 +102,27 @@ object Retrieval {
       .withColumn("recall", round(
         col("n_hit").cast(DoubleType) / col("n_truth"), 6))
   }
+
+  /** Reciprocal rank@k — [[recallAtK]]'s order-sensitive companion:
+    * per query, 1/rank of the FIRST result row whose id appears in
+    * truth@k (the metric that rewards putting a right answer on top,
+    * where recall treats all k slots alike). Queries present in truth
+    * but never hit score 0 with a NULL first_hit_rank. Same two
+    * bounded ranking tables, one join, one min agg; 1/rank is one
+    * correctly-rounded IEEE divide, 6dp-rounded. Averaging the `rr`
+    * column gives MRR. */
+  def reciprocalRankAtK(result: DataFrame, truth: DataFrame, k: Int,
+                        qId: String = "q_id",
+                        cId: String = "vec_id"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val t = truth.filter(col("rank") <= k).select(col(qId), col(cId))
+    val hits = result.filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("rank"))
+      .join(t, Seq(qId, cId), "left_semi")
+      .groupBy(col(qId)).agg(min(col("rank")).as("first_hit_rank"))
+    truth.select(col(qId)).distinct()
+      .join(hits, Seq(qId), "left")
+      .withColumn("rr", when(col("first_hit_rank").isNotNull,
+        round(lit(1.0) / col("first_hit_rank"), 6)).otherwise(lit(0.0)))
+  }
 }
