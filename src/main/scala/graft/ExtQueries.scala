@@ -817,6 +817,22 @@ object ExtQueries {
       Retrieval.reciprocalRankAtK(res, truth, k = 3).orderBy("q_id")
     }),
 
+    "q_ann_ndcg" -> ((s, dir) => {
+      // Binary-relevance nDCG@3 of the same pairing — the position-
+      // weighted metric between recall (position-blind) and MRR
+      // (first-hit-only).
+      val e = read(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val corpus = e.select("vec_id", "embedding")
+      val cents = IvfCentCache.getOrElseUpdate(dir,
+        Similarity.ivfCentroidsLloyd(corpus, IvfLists))
+      val res = Similarity.ivfTopKWith(queries, corpus, k = 3, cents,
+        nProbe = IvfProbes)
+      val truth = Similarity.bruteForceTopK(queries, corpus, 3)
+      Retrieval.ndcgAtK(res, truth, k = 3).orderBy("q_id")
+    }),
+
     "q_bm25" -> ((s, dir) => {
       // Okapi BM25 top-10: first-6-word pseudo-queries from the first
       // 5 docs against the whole corpus. Query terms broadcast into
@@ -4019,6 +4035,34 @@ object ExtQueries {
           FROM tr0 LEFT JOIN r
             ON tr0.q_id = r.q_id AND tr0.vec_id = r.vec_id
           GROUP BY tr0.q_id ORDER BY tr0.q_id""",
+
+    // Discount/ideal constants inlined from the SAME driver derivation
+    // the Spark op uses (Retrieval.ndcgDiscounts/ndcgIdeals).
+    "q_ann_ndcg" -> {
+      val disc = graft.ext.Retrieval.ndcgDiscounts(3)
+      val ideal = graft.ext.Retrieval.ndcgIdeals(3)
+      val discCase = (1 to 3).map(r => s"WHEN $r THEN ${disc(r - 1)}").mkString(" ")
+      val idealCase = (1 to 3).map(n => s"WHEN $n THEN ${ideal(n - 1)}").mkString(" ")
+      s"""WITH res0 AS ($IvfLloydOracleSql),
+          tr0 AS (SELECT q_id, vec_id,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id)
+                AS INTEGER) AS rank
+            FROM embeddings CROSS JOIN
+              (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5) q
+            QUALIFY rank <= 3),
+          nt AS (SELECT q_id, COUNT(*) AS n_truth FROM tr0 GROUP BY q_id),
+          dcg AS (SELECT res0.q_id,
+              SUM(CAST(CASE res0.rank $discCase END AS DECIMAL(18,6))) AS d
+            FROM res0 JOIN tr0
+              ON res0.q_id = tr0.q_id AND res0.vec_id = tr0.vec_id
+            WHERE res0.rank <= 3 GROUP BY res0.q_id)
+          SELECT nt.q_id, nt.n_truth,
+            ROUND(COALESCE(CAST(dcg.d AS DOUBLE), 0.0)
+              / (CASE least(nt.n_truth, 3) $idealCase END), 6) AS ndcg
+          FROM nt LEFT JOIN dcg ON nt.q_id = dcg.q_id ORDER BY nt.q_id"""
+    },
 
     "q_ann_mrr" ->
       s"""WITH res0 AS ($IvfLloydOracleSql),

@@ -125,4 +125,46 @@ object Retrieval {
       .withColumn("rr", when(col("first_hit_rank").isNotNull,
         round(lit(1.0) / col("first_hit_rank"), 6)).otherwise(lit(0.0)))
   }
+
+  /** Binary-relevance nDCG@k — position-weighted quality between
+    * [[recallAtK]] (position-blind) and [[reciprocalRankAtK]]
+    * (first-hit-only): DCG = Σ_{hits} 1/log2(rank+1) over the result's
+    * hit positions, normalized by the ideal DCG of min(|truth@k|, k)
+    * consecutive top ranks, so a perfect ordering scores 1 regardless
+    * of truth size. Numeric contract: each position's discount rounds
+    * to 6dp (absorbing log() last-ulp drift — and making the ideal
+    * table an exact driver-side constant the oracle can inline), sums
+    * run as exact decimals, one final rounded divide. */
+  /** The 6dp position discounts / ideal-DCG prefix sums [[ndcgAtK]]
+    * inlines — public so an oracle generator shares the exact
+    * constants instead of re-deriving them. */
+  def ndcgDiscounts(k: Int): Seq[Double] = (1 to k)
+    .map(r => math.rint(1e6 / (math.log(r + 1.0) / math.log(2.0))) / 1e6)
+  def ndcgIdeals(k: Int): Seq[Double] = ndcgDiscounts(k)
+    .scanLeft(0.0)((acc, d) => (BigDecimal(acc) + BigDecimal(d)).toDouble).tail
+
+  def ndcgAtK(result: DataFrame, truth: DataFrame, k: Int,
+              qId: String = "q_id", cId: String = "vec_id"): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    import org.apache.spark.sql.types.DecimalType
+    // discount(r) = round(1/log2(r+1), 6) for r = 1..k, driver-computed
+    // once — identical constants on every engine by construction.
+    val disc: Seq[Double] = ndcgDiscounts(k)
+    val ideal: Seq[Double] = ndcgIdeals(k)
+    val discCol = element_at(typedlit(disc), col("rank").cast("int"))
+    val idealCol = element_at(typedlit(ideal),
+      least(col("n_truth"), lit(k)).cast("int"))
+    val t = truth.filter(col("rank") <= k).select(col(qId), col(cId))
+    val nTruth = t.groupBy(col(qId)).agg(count(lit(1)).as("n_truth"))
+    val dcg = result.filter(col("rank") <= k)
+      .select(col(qId), col(cId), col("rank"))
+      .join(t, Seq(qId, cId), "left_semi")
+      .groupBy(col(qId))
+      .agg(sum(discCol.cast(DecimalType(18, 6))).as("__dcg"))
+    nTruth.join(dcg, Seq(qId), "left")
+      .withColumn("ndcg", round(
+        coalesce(col("__dcg").cast(org.apache.spark.sql.types.DoubleType),
+          lit(0.0)) / idealCol, 6))
+      .select(col(qId), col("n_truth"), col("ndcg"))
+  }
 }

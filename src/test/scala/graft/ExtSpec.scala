@@ -2495,6 +2495,25 @@ class ExtSpec extends SparkSpec {
       ("s2", 3L, 11L, 3L, 0.6875)))
   }
 
+  test("ndcgAtK: perfect order scores 1, reversal less, total miss 0") {
+    val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("q_id", "vec_id", "rank")
+    def res(rows: (Long, Long, Int)*) = rows.toDF("q_id", "vec_id", "rank")
+    def ndcg(r: org.apache.spark.sql.DataFrame) =
+      Retrieval.ndcgAtK(r, truth, 3).select("ndcg").as[Double].head()
+    assert(ndcg(res((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))) == 1.0)
+    // One miss at the TOP costs more than the same miss at the bottom.
+    val topMiss = ndcg(res((1L, 99L, 1), (1L, 11L, 2), (1L, 12L, 3)))
+    val botMiss = ndcg(res((1L, 10L, 1), (1L, 11L, 2), (1L, 99L, 3)))
+    assert(topMiss < botMiss && botMiss < 1.0, s"$topMiss vs $botMiss")
+    assert(ndcg(res((1L, 97L, 1), (1L, 98L, 2), (1L, 99L, 3))) == 0.0)
+    // Truth smaller than k: ideal normalizes by |truth|, so a result
+    // leading with the single truth doc still scores 1.
+    val t1 = Seq((2L, 20L, 1)).toDF("q_id", "vec_id", "rank")
+    val one = Retrieval.ndcgAtK(res((2L, 20L, 1), (2L, 9L, 2)), t1, 3)
+      .select("ndcg").as[Double].head()
+    assert(one == 1.0)
+  }
+
   test("recallAtK counts hits against truth, zero for empty results") {
     val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
       (2L, 20L, 1), (2L, 21L, 2)).toDF("q_id", "vec_id", "rank")
