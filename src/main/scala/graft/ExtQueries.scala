@@ -1934,6 +1934,15 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_lang_audit" -> ((s, dir) => {
+      // Stored-label vs re-detected language, per source — the canary
+      // for mislabeled shards or detector drift; NULL labels count as
+      // mismatches (unlabeled rows are what the audit surfaces).
+      TextAnalysis.langAudit(read(s, dir, "documents"), "text", "lang",
+          "source")
+        .orderBy("group")
+    }),
+
     "q_script_profile" -> ((s, dir) => {
       // Unicode-script ratios + dominant script per doc — the
       // multilingual routing signal upstream of langId. Map-only
@@ -3707,6 +3716,27 @@ object ExtQueries {
           b AS (SELECT *, $best AS best FROM sc)
           SELECT doc_id, CASE $pick ELSE 'und' END AS pred_lang
           FROM b ORDER BY doc_id"""
+    },
+
+    // Same marker-score chain as q_lang_id, compared null-safely (IS
+    // DISTINCT FROM == Spark's !(<=>)) against the stored label.
+    "q_lang_audit" -> {
+      val scores = MarkerSql.map { case (code, arr) =>
+        s"len(list_intersect(str_split(lower(text), ' '), $arr)) AS s_$code"
+      }.mkString(", ")
+      val best = MarkerSql.keys.map(c => s"s_$c").mkString("greatest(", ", ", ")")
+      val pick = TextAnalysis.LangMarkers.map(_._1)
+        .map(c => s"WHEN s_$c = best AND s_$c > 0 THEN '$c'").mkString(" ")
+      s"""WITH sc AS (SELECT doc_id, source, lang, $scores FROM documents),
+          b AS (SELECT *, $best AS best FROM sc),
+          p AS (SELECT doc_id, source, lang,
+              CASE $pick ELSE 'und' END AS pred FROM b)
+          SELECT source AS "group", count(*) AS n_docs,
+            CAST(SUM(CASE WHEN pred IS DISTINCT FROM lang THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_mismatch,
+            ROUND(CAST(SUM(CASE WHEN pred IS DISTINCT FROM lang
+              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS mismatch_rate
+          FROM p GROUP BY source ORDER BY source"""
     },
 
     // Entropy terms: 6dp-rounded p·log2(p) per char, summed as exact

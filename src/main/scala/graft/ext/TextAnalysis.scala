@@ -132,6 +132,26 @@ object TextAnalysis {
       (length(text) - length(regexp_replace(text, "[^\\x20-\\x7E]", "")))
         .cast(DoubleType) / length(text), 6))
 
+  /** Language-label AUDIT — the data-quality check between ingestion
+    * and language-routed processing: re-detect every doc's language
+    * ([[langId]]) and report, per group, how often the detector
+    * DISAGREES with the stored label. A rising mismatch rate is the
+    * canary for mislabeled upstream shards or a drifted detector —
+    * either way, the language-conditioned mixture downstream is
+    * routing on bad data. Null-safe comparison (a NULL label counts
+    * as a mismatch against any prediction — unlabeled rows are
+    * exactly what the audit should surface). One map pass + one
+    * bounded per-group agg. */
+  def langAudit(df: DataFrame, textCol: String, langCol: String,
+                groupCol: String): DataFrame =
+    df.select(col(groupCol).as("group"), col(langCol).as("__l"),
+        langId(col(textCol)).as("__p"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!(col("__p") <=> col("__l")), 1).otherwise(0)).as("n_mismatch"))
+      .withColumn("mismatch_rate", round(
+        col("n_mismatch").cast(DoubleType) / col("n_docs"), 6))
+
   /** HTML → text extraction — the step between a crawl and every text
     * op in this module. Deterministic regexp pipeline (RE2 ∩ Java
     * syntax, so the oracle replays it verbatim):
