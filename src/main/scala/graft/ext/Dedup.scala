@@ -936,6 +936,27 @@ object Dedup {
         col("span_words"), col("n_grams"))
   }
 
+  /** LSH parameter planning — the sizing rule behind every
+    * bands/rowsPerBand constant in this library, as a function: for a
+    * MinHash signature of `sigLen` hashes, the banding S-curve puts
+    * its 50%-candidacy threshold at (1/b)^(1/r); among the
+    * factorizations b·r = sigLen this returns the (bands, rowsPerBand)
+    * whose threshold lands closest to `targetJaccard` (ties to MORE
+    * bands — at equal distance the steeper-recall side, since missed
+    * true pairs are unrecoverable while false candidates merely pay
+    * the verify). Driver-side pure math — the planning step you run
+    * BEFORE committing a 100 TB corpus to a signature layout. */
+  def lshPlan(sigLen: Int, targetJaccard: Double): (Int, Int) = {
+    require(sigLen >= 1, "need a positive signature length")
+    require(targetJaccard > 0 && targetJaccard < 1,
+      s"threshold must be in (0, 1), got $targetJaccard")
+    val options = (1 to sigLen).filter(sigLen % _ == 0)
+      .map { b => (b, sigLen / b) }
+    options.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - targetJaccard), -b)
+    }
+  }
+
   /** Asymmetric CONTAINMENT pairs (Broder's resemblance companion):
     * ordered pairs (a, b) where at least `threshold` of a's distinct
     * word n-gram shingles also occur in b — the doc-IN-doc detector

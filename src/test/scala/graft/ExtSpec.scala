@@ -2495,6 +2495,19 @@ class ExtSpec extends SparkSpec {
       ("s2", 3L, 11L, 3L, 0.6875)))
   }
 
+  test("lshPlan picks the factorization nearest the target threshold") {
+    // 16 hashes: thresholds — (16,1)=0.0625… wait, (b,r): (1,16)≈1,
+    // (2,8)≈0.917, (4,4)≈0.707, (8,2)≈0.354, (16,1)=0.0625.
+    assert(Dedup.lshPlan(16, 0.7) == ((4, 4)))
+    assert(Dedup.lshPlan(16, 0.9) == ((2, 8)))
+    assert(Dedup.lshPlan(16, 0.3) == ((8, 2)))
+    // The repo's own 4-hash / 2x2 layout targets mid thresholds.
+    assert(Dedup.lshPlan(4, 0.7) == ((2, 2)))
+    // Lower targets always get at least as many bands.
+    val plans = Seq(0.2, 0.5, 0.8).map(t => Dedup.lshPlan(60, t)._1)
+    assert(plans == plans.sorted.reverse, s"bands non-increasing: $plans")
+  }
+
   test("ndcgAtK: perfect order scores 1, reversal less, total miss 0") {
     val truth = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3)).toDF("q_id", "vec_id", "rank")
     def res(rows: (Long, Long, Int)*) = rows.toDF("q_id", "vec_id", "rank")
