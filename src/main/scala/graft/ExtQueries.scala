@@ -664,6 +664,18 @@ object ExtQueries {
         .orderBy("a", "b")
     }),
 
+    "q_containment_capped" -> ((s, dir) => {
+      // Same doc-in-doc detector with the O(D²)-per-hot-shingle hazard
+      // capped INSIDE the operator: shingles in more than 8 docs leave
+      // both join sides (boilerplate stops generating df² bucket rows),
+      // |A| still counts them — containment only shrinks, a recall
+      // trade the softer tau absorbs.
+      Dedup.containmentPairs(read(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = ContainmentCapTau,
+          maxShingleDf = ContainmentMaxDf)
+        .orderBy("a", "b")
+    }),
+
     "q_curation_pipeline" -> ((s, dir) => {
       // The WHOLE training-data curation pass composed end-to-end from
       // the library's operators: quality gate (Gopher-style bounds) →
@@ -679,12 +691,14 @@ object ExtQueries {
       // 100 TB this point IS the pipeline's materialization point: a
       // curation pass persists its post-filter corpus anyway (it is the
       // output), so the demo materialization stands in for that parquet
-      // write. Eager localCheckpoint, not .cache(): no CacheManager
+      // write. Eager pin, not .cache(): no CacheManager
       // entry → no session-lifetime leak, no substitution into later
       // plans; blocks free with the result frame (ContextCleaner).
-      val quality = docs.filter(
+      // Dedup.pin routes through graft.checkpoint.reliable, so one conf
+      // makes this executor-loss-safe on a real cluster.
+      val quality = Dedup.pin(docs.filter(
         TextAnalysis.nWords(t).between(20, 100000) &&
-        round(TextAnalysis.repetitionRatio(t), 6) < 0.8).localCheckpoint()
+        round(TextAnalysis.repetitionRatio(t), 6) < 0.8))
       val verified = Dedup.verifiedNearDupPairs(quality, "doc_id", "text",
         k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
       val deduped = Dedup.removeNearDups(quality, verified, "doc_id")
@@ -734,13 +748,14 @@ object ExtQueries {
       // join) — materialized once for the same reason
       // dedupAgainstReference materializes its survivors: per-branch
       // pruning de-canonicalizes the shared simhash aggregation, so
-      // without it the aggregation runs twice. Eager localCheckpoint,
+      // without it the aggregation runs twice. Eager conf-routed pin,
       // not .cache(): no CacheManager entry means no release-point
       // problem and no canonical subtree that could substitute into a
       // later query's plan; the blocks are freed by the ContextCleaner
-      // when the result frame is dropped.
-      val sigs = Dedup.simhash(read(s, dir, "documents"), "doc_id", "text", SimhashBits)
-        .localCheckpoint()
+      // when the result frame is dropped (reliable mode writes files
+      // instead — executor-loss-safe).
+      val sigs = Dedup.pin(
+        Dedup.simhash(read(s, dir, "documents"), "doc_id", "text", SimhashBits))
       val sigPairs = Dedup.simhashSigPairs(sigs, "simhash", SimhashBits,
         bands = 4, maxHamming = 3)
       Dedup.dupClustersFromSigPairs(sigPairs, sigs, "doc_id", "simhash")
@@ -1144,8 +1159,10 @@ object ExtQueries {
       val docs = read(s, dir, "documents")
       // percentileBins reads its input twice (bounds agg + the binning
       // join) — pin the scores so the bigram scoring chain runs once.
-      val scored = TextAnalysis.perplexity(docs, "doc_id", "text",
-        docs.filter(col("doc_id") % 10 === 0), "text").localCheckpoint()
+      // Conf-routed (Dedup.pin): graft.checkpoint.reliable flips this
+      // to a checkpoint-FS pin, surviving executor loss on a cluster.
+      val scored = Dedup.pin(TextAnalysis.perplexity(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text"))
       graft.ops.Cleaning.percentileBins(scored, "ppl", Seq.empty,
           Seq(0.33, 0.67))
         .orderBy("doc_id")
@@ -1559,13 +1576,15 @@ object ExtQueries {
     }),
 
     "q_video_frames" -> ((s, dir) => {
-      // REAL frame sampling: a multi-frame clip container per doc
-      // (genuine PNG frames), the sampler walks length prefixes,
-      // decodes every 2nd frame, and skips unsampled bytes — the
-      // oracle predicts each sampled frame's dims + channel sums from
-      // the pixel formula with frame id = doc_id·31 + frame_idx.
+      // REAL video frame sampling over a REAL container: an animated
+      // GIF per doc (javax.imageio writes and re-reads it — logical
+      // screen, frame directory, LZW rasters), every 2nd frame decoded
+      // to exact channel sums. Palettes are exact per frame, so the
+      // encode is lossless and the oracle predicts each sampled
+      // frame's stats from the pixel formula (seed doc_id·31 +
+      // frame_idx at the clip-wide w/h) without touching bytes.
       Multimodal.sampleFramesDecoded(
-          Multimodal.withSyntheticClip(read(s, dir, "documents"), "doc_id"),
+          Multimodal.withSyntheticGif(read(s, dir, "documents"), "doc_id"),
           "doc_id", every = 2)
         .orderBy("doc_id", "frame_idx")
     }),
@@ -1878,6 +1897,29 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dedup_spans_removed" -> ((s, dir) => {
+      // Span EXCISION (the Lee et al. 2022 transform itself): every
+      // corpus-duplicated 8-gram span — merged maximal intervals, ALL
+      // copies — cut out of the text; every doc survives with exact
+      // spans/words/chars-removed accounting (docs excised to '' stay,
+      // so the corpus-shrink number is reportable).
+      Dedup.exciseDuplicateSpans(read(s, dir, "documents"), "doc_id",
+          "text", DupGramWords)
+        .orderBy("doc_id")
+    }),
+
+    "q_quality_classifier" -> ((s, dir) => {
+      // Learned quality scoring, the third leg next to Gopher rules
+      // and LM perplexity: fastText-shaped hashed unigram+bigram
+      // features, a BROADCAST 6dp weight table (deterministic fixture
+      // standing in for a trained model), decimal-exact per-doc dot,
+      // 6dp mean/sigmoid close. Map-only but the one per-doc agg.
+      Classify.scoreLinear(read(s, dir, "documents"), "doc_id", "text",
+          Classify.fixtureWeights(s, ClsBuckets), ClsBuckets,
+          bias = ClsBias)
+        .orderBy("doc_id")
+    }),
+
     "q_split_by_cluster" -> ((s, dir) => {
       // Leakage-safe splitting: the hash wheel keys on the near-dup
       // CLUSTER representative, so a duplicate family can never
@@ -2045,9 +2087,12 @@ object ExtQueries {
   private val AnnSeed = 42L
   private val CosDupThreshold = 0.25
   private val IvfLists = 8
-  /** Z-order: 12 bits per dimension × 2 dims = 24-bit keys; custkey and
-    * day-of-year both fit 12 bits at every test SF. */
-  private val ZorderBits = 12
+  /** Z-order: 14 bits per dimension × 2 dims = 28-bit keys (well under
+    * zorderKey's 62-bit bound). 14 bits covers custkey at sf0.1
+    * (max 15,000 < 2^14 = 16,384) — at 12 bits the high custkey bits
+    * silently truncated, colliding distant customers into one Morton
+    * key; day-of-year (≤ 366) needs only 9 but shares the width. */
+  private val ZorderBits = 14
 
   /** Content-defined chunking: 8-char rolling window, 5 boundary bits
     * (expected chunk ~32 chars), Karp-Rabin base/modulus. */
@@ -2323,6 +2368,15 @@ object ExtQueries {
   private val ContamMaxDf = 3
   /** Containment pair threshold (share of a's shingles found in b). */
   private val ContainmentTau = 0.6
+  /** Capped-containment variant: lower tau (the cap can only SHRINK
+    * containment, so a softer threshold keeps the fixture's pairs
+    * visible) and an in-operator hot-shingle df-cap. */
+  private val ContainmentCapTau = 0.4
+  private val ContainmentMaxDf = 8
+  /** Learned quality classifier: fastText-shaped hashed unigram+bigram
+    * buckets, deterministic fixture weights, small positive bias. */
+  private val ClsBuckets = 1024
+  private val ClsBias = 0.05
   private val OovVocab = 200
   /** PQ: 8 subspaces × 16 entries over the 64-dim embeddings. */
   private val PqM = 8
@@ -4730,14 +4784,16 @@ object ExtQueries {
     // Sampled frames: nFrames = 2 + doc_id % 3, sampled idx ∈ {0, 2} ∩
     // [0, nFrames); frame id = doc_id·31 + idx feeds the same pixel
     // formula q_multimodal_decode pins.
+    // Animated-GIF clips: frame size is CLIP-wide (the GIF logical
+    // screen), pixels seeded per frame.
     "q_video_frames" ->
       """WITH f AS (SELECT doc_id, unnest([0, 2]) AS frame_idx,
              2 + doc_id % 3 AS n_frames
            FROM documents),
          s AS (SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
              doc_id * 31 + frame_idx AS fid,
-             CAST(4 + (doc_id * 31 + frame_idx) % 5 AS INTEGER) AS width,
-             CAST(3 + (doc_id * 31 + frame_idx) % 4 AS INTEGER) AS height
+             CAST(4 + doc_id % 5 AS INTEGER) AS width,
+             CAST(5 + doc_id % 4 AS INTEGER) AS height
            FROM f WHERE frame_idx < n_frames),
          px AS (SELECT doc_id, frame_idx, fid, width, height,
              unnest(generate_series(0, width - 1)) AS x FROM s),
@@ -4778,6 +4834,26 @@ object ExtQueries {
           SELECT a, b, n_shared,
             ROUND(CAST(n_shared AS DOUBLE) / na, 6) AS containment
           FROM p WHERE ROUND(CAST(n_shared AS DOUBLE) / na, 6) >= $ContainmentTau
+          ORDER BY a, b""",
+
+    // df-cap replayed: |A| over the UNCAPPED per-doc shingles, hot
+    // shingles (df > cap) leave both join sides before candidates form.
+    "q_containment_capped" ->
+      s"""WITH s AS (SELECT doc_id,
+              unnest(list_distinct($ShinglesSql)) AS sh
+            FROM documents),
+          n AS (SELECT doc_id, sh,
+              count(*) OVER (PARTITION BY doc_id) AS na FROM s),
+          k AS (SELECT doc_id, sh, na FROM n
+            QUALIFY count(*) OVER (PARTITION BY sh) <= $ContainmentMaxDf),
+          p AS (SELECT l.doc_id AS a, r.doc_id AS b, l.na,
+              count(*) AS n_shared
+            FROM k l JOIN k r ON l.sh = r.sh AND l.doc_id != r.doc_id
+            GROUP BY 1, 2, 3)
+          SELECT a, b, n_shared,
+            ROUND(CAST(n_shared AS DOUBLE) / na, 6) AS containment
+          FROM p
+          WHERE ROUND(CAST(n_shared AS DOUBLE) / na, 6) >= $ContainmentCapTau
           ORDER BY a, b""",
 
     "q_contamination" ->
@@ -5153,6 +5229,78 @@ object ExtQueries {
             (SELECT 1 FROM cov c WHERE c.doc_id = x.doc_id AND c.wi = x.wi)
           GROUP BY doc_id ORDER BY doc_id""",
 
+    // Span EXCISION replayed: the q_dup_spans island arithmetic down to
+    // disjoint [s, e] word intervals, covered words cut, survivors
+    // rejoin; counts close against the space-NORMALIZED original.
+    "q_dedup_spans_removed" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          g AS (SELECT doc_id, CAST(i AS INTEGER) AS p,
+                  md5(array_to_string(ws[i:i+$DupGramWords-1], ' ')) AS h
+                FROM w, LATERAL (SELECT unnest(
+                  generate_series(1, len(ws)-$DupGramWords+1)) AS i)
+                WHERE len(ws) >= $DupGramWords),
+          d AS (SELECT doc_id, p FROM g
+                QUALIFY count(*) OVER (PARTITION BY h) > 1),
+          i AS (SELECT doc_id, p,
+                  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         <= $DupGramWords THEN 0 ELSE 1 END AS nw FROM d),
+          si AS (SELECT doc_id, p,
+                  SUM(nw) OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM i),
+          sp AS (SELECT doc_id, MIN(p) AS s, MAX(p) + $DupGramWords - 1 AS e
+                FROM si GROUP BY doc_id, isl),
+          agg AS (SELECT doc_id, COUNT(*) AS nsp, SUM(e - s + 1) AS nwr
+                FROM sp GROUP BY doc_id),
+          words AS (SELECT doc_id,
+              unnest(generate_series(1, len(ws))) AS wi, unnest(ws) AS word
+            FROM w),
+          kept AS (SELECT x.doc_id, string_agg(word, ' ' ORDER BY wi) AS ktext
+                FROM words x WHERE NOT EXISTS
+                  (SELECT 1 FROM sp WHERE sp.doc_id = x.doc_id
+                     AND x.wi BETWEEN sp.s AND sp.e)
+                GROUP BY x.doc_id)
+          SELECT w.doc_id, COALESCE(k.ktext, '') AS text,
+            CAST(COALESCE(a.nsp, 0) AS BIGINT) AS n_spans_removed,
+            CAST(COALESCE(a.nwr, 0) AS BIGINT) AS n_words_removed,
+            CAST(len(array_to_string(ws, ' ')) - len(COALESCE(k.ktext, ''))
+              AS INTEGER) AS n_chars_removed
+          FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
+            LEFT JOIN agg a ON w.doc_id = a.doc_id
+          ORDER BY w.doc_id""",
+
+    // fastText-shaped scorer replayed: the same md5 bucket wheel on
+    // unigram + bigram terms, the same md5-derived fixture weights,
+    // decimal-exact dot, 6dp mean/sigmoid (round absorbing last-ulp
+    // exp() drift — the perplexity convention).
+    "q_quality_classifier" ->
+      s"""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents),
+          t AS (SELECT doc_id, unnest(w) AS t FROM ws
+                UNION ALL
+                SELECT doc_id, w[CAST(i AS INTEGER)] || ' '
+                    || w[CAST(i AS INTEGER) + 1] AS t
+                FROM ws, LATERAL (SELECT unnest(
+                  generate_series(1, len(w) - 1)) AS i)
+                WHERE len(w) >= 2),
+          f AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(t || 'qcls'), 1, 8)) AS BIGINT)
+                    % $ClsBuckets AS b FROM t),
+          wt AS (SELECT CAST(b AS BIGINT) AS b,
+                  CAST(ROUND(CAST(('0x' || substr(md5(CAST(b AS VARCHAR)
+                      || 'qcls:w'), 1, 8)) AS BIGINT)
+                    / 4294967296.0 - 0.5, 6) AS DECIMAL(18, 6)) AS wgt
+                FROM (SELECT unnest(generate_series(0, $ClsBuckets - 1)) AS b)),
+          per AS (SELECT doc_id, COUNT(*) AS n_feats,
+                  SUM(COALESCE(wgt, CAST(0 AS DECIMAL(18, 6)))) AS dot
+                FROM f LEFT JOIN wt USING (b) GROUP BY doc_id),
+          sc AS (SELECT doc_id, n_feats,
+                  ROUND($ClsBias + CAST(dot AS DOUBLE) / n_feats, 6) AS logit
+                FROM per)
+          SELECT doc_id, n_feats, logit,
+            ROUND(1 / (1 + exp(-logit)), 6) AS prob,
+            CASE WHEN ROUND(1 / (1 + exp(-logit)), 6) >= 0.5
+              THEN 'keep' ELSE 'drop' END AS label
+          FROM sc ORDER BY doc_id""",
+
     // Cluster labels from the shared recursive-CC chain; singleton docs
     // represent themselves; the split wheel hashes the representative
     // (CAST || salt — the hash32 convention).
@@ -5252,7 +5400,8 @@ object ExtQueries {
             CASE WHEN n > 0 THEN ROUND(CAST(ha AS DOUBLE) / n, 6) END AS han_ratio,
             CASE WHEN n > 0 THEN ROUND(CAST(la AS DOUBLE) / n, 6) END AS latin_ratio,
             CASE WHEN n > 0 THEN ROUND(CAST(dg AS DOUBLE) / n, 6) END AS digit_ratio,
-            CASE WHEN n = 0 THEN 'none'
+            CASE WHEN n IS NULL THEN NULL
+                 WHEN n = 0 THEN 'none'
                  WHEN greatest(ar, cy, ha, la) = 0 THEN 'other'
                  WHEN ar = greatest(ar, cy, ha, la) THEN 'arabic'
                  WHEN cy = greatest(ar, cy, ha, la) THEN 'cyrillic'

@@ -27,6 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // FOLDABLE int literals in SQL — winnow_select(lower(text), 16, 8),
     // cdc_cuts(text, 8, 5) — extracted at resolution (a non-literal
     // would make the per-row shape undefined; fail loudly).
+    // `arg` is the 1-BASED SQL argument position (the string column is
+    // argument 1), so the message matches what the user typed.
     def intLit(e: Expression, name: String, arg: Int): Int = e match {
       case Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(
@@ -36,12 +38,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("winnow_select"),
       new ExpressionInfo(classOf[WinnowSelect].getName, "winnow_select"),
       (exprs: Seq[Expression]) => WinnowSelect(exprs(0),
-        intLit(exprs(1), "winnow_select", 1), intLit(exprs(2), "winnow_select", 2))))
+        intLit(exprs(1), "winnow_select", 2), intLit(exprs(2), "winnow_select", 3))))
     ext.injectFunction((
       FunctionIdentifier("cdc_cuts"),
       new ExpressionInfo(classOf[CdcCuts].getName, "cdc_cuts"),
       (exprs: Seq[Expression]) => CdcCuts(exprs(0),
-        intLit(exprs(1), "cdc_cuts", 1), intLit(exprs(2), "cdc_cuts", 2))))
+        intLit(exprs(1), "cdc_cuts", 2), intLit(exprs(2), "cdc_cuts", 3))))
     ext.injectOptimizerRule(_ => graft.plans.OptimizeSlidingWindowSums)
   }
 }

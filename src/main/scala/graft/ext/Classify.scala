@@ -1,0 +1,100 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DecimalType, DoubleType, StringType}
+
+/** Learned quality-classifier INFERENCE (north-star extension; no
+  * reference counterpart): the fastText shape — hashed word-n-gram
+  * features into a fixed bucket space, a linear model over the bucket
+  * weights, a sigmoid — run as pure map-side Spark SQL. This is the
+  * third standard quality leg next to heuristic rules
+  * ([[TextAnalysis]]'s Gopher bounds) and LM perplexity
+  * ([[TextAnalysis.perplexity]]): score every document with a model
+  * TRAINED ELSEWHERE (the CCNet/fastText quality-classifier recipe;
+  * Joulin et al. 2016, "Bag of Tricks for Efficient Text
+  * Classification" — feature hashing + linear head is the whole
+  * inference).
+  *
+  * Shape at 100 TB: the weight table is ≤ `buckets` rows — a model
+  * artifact, driver-bounded like every budget map in this library —
+  * and BROADCASTS to a map-side hash join on the bucket id; scoring is
+  * explode → hash → join → one combine-enabled per-doc agg. The corpus
+  * never shuffles for the model; the only wide exchange is the per-doc
+  * agg every scorer pays.
+  *
+  * Determinism contract (the [[Sampling.importanceWeights]]
+  * convention): buckets come from the repo's portable md5 wheel
+  * ([[Sampling.hashBucket]] — bit-for-bit replayable in the oracle's
+  * SQL), weights are exact 6dp decimals so the per-doc dot product is
+  * an EXACT decimal sum (word order and partitioning cannot move it),
+  * and only the last step — mean, bias, sigmoid — runs in doubles,
+  * each rounded to 6dp to absorb last-ulp exp() disagreement. */
+object Classify {
+
+  /** Feature terms of a document: lowercased whitespace unigrams plus
+    * adjacent-word bigrams (joined by one space) — the fastText
+    * wordNgrams=2 feature set. A doc of W words emits 2W−1 terms
+    * (W ≥ 2), W terms otherwise. */
+  def terms(text: Column): Column = {
+    val ws = split(lower(text), " ")
+    // sequence(1, 0) would run BACKWARDS (the gramInstances guard) —
+    // single-word docs get an empty bigram array instead.
+    val bi = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+    concat(ws, bi)
+  }
+
+  /** Score every document with a hashed-n-gram linear classifier.
+    *
+    * `weights` is the model: (bucket long, weight decimal-exact 6dp),
+    * ≤ `buckets` rows, absent buckets meaning weight 0 (a dense hashed
+    * model stored sparsely — the fastText artifact shape). Output per
+    * doc: `n_feats` (term instances), `logit` = round(bias +
+    * dot/n_feats, 6), `prob` = round(sigmoid(logit), 6), `label` =
+    * 'keep' iff prob ≥ `threshold`.
+    *
+    * Docs with NULL text emit nothing (no evidence — the repo's
+    * perplexity convention); empty text scores on the single empty
+    * term (deterministic, documented, harmless). */
+  def scoreLinear(df: DataFrame, docKey: String, textCol: String,
+                  weights: DataFrame, buckets: Int, bias: Double,
+                  threshold: Double = 0.5,
+                  salt: String = "qcls"): DataFrame = {
+    require(buckets >= 1, s"need at least one feature bucket, got $buckets")
+    val wt = weights.select(col("bucket").as("__b"),
+      col("weight").cast(DecimalType(18, 6)).as("__w"))
+    df.select(col(docKey), explode(terms(col(textCol))).as("__t"))
+      .withColumn("__b", Sampling.hashBucket(col("__t"), buckets, salt))
+      .join(broadcast(wt), Seq("__b"), "left")
+      .groupBy(col(docKey))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("__w"), lit(0).cast(DecimalType(18, 6)))).as("__dot"))
+      .withColumn("logit", round(
+        lit(bias) + col("__dot").cast(DoubleType) / col("n_feats"), 6))
+      .withColumn("prob",
+        round(lit(1.0) / (lit(1.0) + exp(-col("logit"))), 6))
+      .withColumn("label",
+        when(col("prob") >= threshold, lit("keep")).otherwise(lit("drop")))
+      .select(col(docKey), col("n_feats"), col("logit"), col("prob"),
+        col("label"))
+  }
+
+  /** Deterministic DEMO weight table: weight(b) = round(u(b) − 0.5, 6)
+    * with u(b) the md5-derived uniform of (b || salt) — a fixed
+    * pseudo-random model both engines regenerate bit-for-bit, standing
+    * in for trained weights loaded from parquet. Production use: train
+    * offline, write (bucket, weight) parquet, pass it to
+    * [[scoreLinear]] unchanged. */
+  def fixtureWeights(spark: SparkSession, buckets: Int,
+                     salt: String = "qcls:w"): DataFrame = {
+    require(buckets >= 1, s"need at least one bucket, got $buckets")
+    spark.range(buckets.toLong).select(col("id").as("bucket"),
+      round(
+        conv(substring(md5(concat(col("id").cast("string"), lit(salt))), 1, 8),
+          16, 10).cast("long").cast(DoubleType) / lit(4294967296.0) - lit(0.5),
+        6).cast(DecimalType(18, 6)).as("weight"))
+  }
+}

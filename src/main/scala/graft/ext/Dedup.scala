@@ -636,6 +636,15 @@ object Dedup {
     * (or `spark.cleaner.referenceTracking.cleanCheckpoints`), not by
     * [[freeCheckpoint]] — which stays correct in both modes (reliable
     * plans have no storage blocks to free). */
+  /** Public conf-routed PIN for query-level "read this subtree twice"
+    * materialization: local checkpoint (executor blocks — fast, but an
+    * executor loss loses blocks) by default, reliable `checkpoint()`
+    * (checkpoint-FS files) when `graft.checkpoint.reliable` is set —
+    * the same switch the CC rounds use. Query code should call this,
+    * never raw `.localCheckpoint()`, so one cluster conf makes every
+    * pin in the library executor-loss-safe. */
+  def pin(df: DataFrame): DataFrame = truncateLineage(df, eager = true)
+
   private def truncateLineage(df: DataFrame, eager: Boolean): DataFrame = {
     val spark = df.sparkSession
     val reliable = spark.conf.getOption(ReliableCheckpointConf).exists(_.toBoolean)
@@ -936,6 +945,56 @@ object Dedup {
         col("span_words"), col("n_grams"))
   }
 
+  /** Substring-span EXCISION — the Lee et al. 2022 transform itself:
+    * CUT every corpus-duplicated span ([[duplicateSpans]]) out of the
+    * document and keep the rest, instead of dropping whole documents
+    * (what doc-level dedup does) or only non-canonical gram coverage
+    * (what [[removeDuplicateSubstrings]] keeps one copy of). Every doc
+    * survives with accounting — `n_spans_removed` / `n_words_removed` /
+    * `n_chars_removed` — including docs excised to the EMPTY string
+    * (callers filter on the accounting; dropping silently would hide
+    * the corpus-shrink number a curation pass must report).
+    *
+    * Span arithmetic: [[duplicateSpans]] merges overlapping/adjacent
+    * gram intervals, so its spans are disjoint per doc — word w (1-based
+    * after the single-space split) drops iff some span's
+    * [span_start, span_end] covers it; survivors rejoin with single
+    * spaces. `n_chars_removed` counts against the space-NORMALIZED
+    * original (split + rejoin), so the three counts close exactly:
+    * output text is always the normalized original minus the excised
+    * words (the [[removeDuplicateSubstrings]] normalization contract).
+    *
+    * Shape at 100 TB: the span side is [[duplicateSpans]] (map-only
+    * grams, one hash-window shuffle, per-doc span windows) collapsed to
+    * one bounded row per affected doc (spans-per-doc ≤ doc words / n);
+    * the rewrite is a left join on the doc key + a per-row
+    * higher-order filter — no second gram pass, no explode of kept
+    * words, no driver work. */
+  def exciseDuplicateSpans(docs: DataFrame, docKey: String, textCol: String,
+                           n: Int): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val spans = duplicateSpans(docs, docKey, textCol, n)
+      .groupBy(col(docKey))
+      .agg(
+        sort_array(collect_list(struct(
+          col("span_start").as("s"), col("span_end").as("e")))).as("__spans"),
+        count(lit(1)).as("__nsp"),
+        sum(col("span_words")).as("__nwr"))
+    val ws = split(col(textCol), " ")
+    docs.select(col(docKey), col(textCol))
+      .join(spans, Seq(docKey), "left")
+      .withColumn("__norm", array_join(ws, " "))
+      .withColumn("__kept", when(col("__spans").isNull, ws).otherwise(
+        filter(ws, (_, i) => !exists(col("__spans"),
+          sp => (i + 1).between(sp.getField("s"), sp.getField("e"))))))
+      .withColumn(textCol, array_join(col("__kept"), " "))
+      .select(col(docKey), col(textCol),
+        coalesce(col("__nsp"), lit(0L)).cast(LongType).as("n_spans_removed"),
+        coalesce(col("__nwr"), lit(0L)).cast(LongType).as("n_words_removed"),
+        (length(col("__norm")) - length(col(textCol)))
+          .cast(IntegerType).as("n_chars_removed"))
+  }
+
   /** LSH parameter planning — the sizing rule behind every
     * bands/rowsPerBand constant in this library, as a function: for a
     * MinHash signature of `sigLen` hashes, the banding S-curve puts
@@ -973,15 +1032,33 @@ object Dedup {
     * upstream (the [[graft.ext.Contamination.cappedBenchShingles]]
     * df-cap) when a corpus has them. */
   def containmentPairs(docs: DataFrame, docKey: String, textCol: String,
-                       n: Int, threshold: Double): DataFrame = {
+                       n: Int, threshold: Double,
+                       maxShingleDf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
-    val sh = docs.select(col(docKey),
+    require(maxShingleDf >= 1, s"maxShingleDf must be >= 1, got $maxShingleDf")
+    val raw = docs.select(col(docKey),
       explode(array_distinct(shingles(col(textCol), n))).as("__sh"))
-    val l = sh
-      .withColumn("__na", count(lit(1)).over(Window.partitionBy(col(docKey))))
+    // The df-cap (the Contamination df-cap, in-operator): shingles in
+    // more than `maxShingleDf` docs leave BOTH join sides — they stop
+    // generating O(df²) bucket rows and stop counting as shared — while
+    // |A| below keeps counting them (a's denominator is its whole
+    // profile), so containment only SHRINKS under the cap: a recall
+    // trade on corpus boilerplate, never a precision one. Below the cap
+    // the output is identical to the uncapped form, and the default
+    // compiles to the uncapped plan (no df window, no extra shuffle).
+    def capped(d: DataFrame): DataFrame =
+      if (maxShingleDf == Int.MaxValue) d
+      else d
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__sh"))))
+        .filter(col("__df") <= maxShingleDf)
+        .drop("__df")
+    // ORDER MATTERS on the left side: the |A| window runs on the raw
+    // (uncapped) shingle rows, the df filter prunes after.
+    val l = capped(raw
+        .withColumn("__na", count(lit(1)).over(Window.partitionBy(col(docKey)))))
       .select(col(docKey).as("a"), col("__na"), col("__sh"))
-    val r = sh.select(col(docKey).as("b"), col("__sh"))
+    val r = capped(raw).select(col(docKey).as("b"), col("__sh"))
     l.join(r, Seq("__sh"))
       .filter(col("a") =!= col("b"))
       .groupBy(col("a"), col("b"), col("__na"))

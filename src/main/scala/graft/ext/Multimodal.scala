@@ -14,9 +14,14 @@ import org.apache.spark.sql.functions._
   * the bytes back per partition and reports dimensions + exact channel
   * sums. Because the pixel function is analytic, a SQL oracle predicts the
   * decoded stats without decoding — any codec/channel-order/roundtrip bug
-  * breaks the hash match. Audio/video decodes stay stubbed (`decodeStub`)
-  * with a deterministic fake that preserves the engineering surface:
-  * schema, batch shape, partitioning, per-row feature contract.
+  * breaks the hash match. The AUDIO path is equally real: `wavMetrics`
+  * parses genuine RIFF/WAVE bytes (chunk walk, fmt/data, PCM samples) to
+  * exact per-clip stats. VIDEO decodes real frames too: `sampleFramesDecoded`
+  * walks a clip container and decodes genuine PNG frames, and the GIF
+  * path (`withSyntheticGif` / `sampleGifFrames`) reads a real
+  * JVM-standard animated container end-to-end. Only `decodeStub` remains
+  * deliberately synthetic — a hash-features fake kept for the
+  * expression-vs-mapPartitions cross-check contract it documents.
   */
 object Multimodal {
 
@@ -334,74 +339,129 @@ object Multimodal {
       .withColumn("rms",
         round(sqrt(col("sum_sq").cast("double") / col("n_frames")), 6))
 
-  /** Deterministic "video" container for row `id`: 2 + (id mod 3) PNG
-    * frames, frame f carrying the analytic raster of derived id
-    * id·31 + f, laid out as [int32 nFrames][int32 len, bytes]… (big-
-    * endian lengths). A toy container, but the parsing is real: the
-    * frame sampler must walk the length prefixes and decode genuine
-    * compressed frames — and the oracle predicts every sampled frame's
-    * stats from the pixel formula without touching bytes. */
-  private def synthClip(writer: javax.imageio.ImageWriter, id: Long): Array[Byte] = {
-    val nFrames = 2 + java.lang.Math.floorMod(id, 3).toInt
+  /** Deterministic palette frame for clip seed `seed` at a FIXED clip
+    * size: the standard analytic channel formula rendered as a
+    * TYPE_BYTE_INDEXED raster whose IndexColorModel holds EXACTLY the
+    * frame's distinct colors (≤ w·h ≤ 48 « 256) — so the GIF encode is
+    * LOSSLESS by construction (no quantizer ever runs) and the oracle's
+    * pixel formula predicts the decoded raster bit-for-bit. */
+  private def synthFrame(seed: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
+    import java.lang.Math.floorMod
+    val rgb = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = floorMod(seed * 7 + x * 3 + y * 5, 256).toInt
+        val g = floorMod(seed * 11 + x * 13 + y * 17, 256).toInt
+        val b = floorMod(seed * 19 + x * 23 + y * 29, 256).toInt
+        rgb(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    val palette = rgb.distinct
+    val icm = new java.awt.image.IndexColorModel(8, palette.length,
+      palette.map(0xFF000000 | _), 0, false, -1,
+      java.awt.image.DataBuffer.TYPE_BYTE)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val idx = new Array[Byte](w * h)
+    var i = 0
+    while (i < rgb.length) { idx(i) = palette.indexOf(rgb(i)).toByte; i += 1 }
+    img.getRaster.setDataElements(0, 0, w, h, idx)
+    img
+  }
+
+  /** Deterministic REAL video clip for row `id`: an ANIMATED GIF
+    * (GIF89a, the JVM-standard multi-frame container javax.imageio
+    * writes and reads with no external codec) of 2 + (id mod 3) frames
+    * at the clip-wide size w = 4 + id mod 5, h = 5 + id mod 4, frame f
+    * carrying the analytic raster seeded id·31 + f. Height floor is 5,
+    * NOT the PNG path's 3: the JDK's GIF codec row-shifts any frame
+    * shorter than 5 rows (verified empirically — h<5 round-trips drop
+    * the last row and insert a palette[0] fill row; h>=5 is exact over
+    * 500-clip sweeps), so the size formula stays out of the broken
+    * regime. Frames are indexed
+    * with exact per-frame palettes (see [[synthFrame]]), so the encode
+    * is lossless and every sampled frame's stats have the closed form
+    * the SQL oracle computes without touching bytes. Replaces the
+    * earlier invented `video/x-graft-frames` layout — the container a
+    * sampler must now walk is a real interchange format (logical
+    * screen descriptor, per-frame image descriptors + local color
+    * tables, LZW-compressed rasters). */
+  private def synthGif(writer: javax.imageio.ImageWriter, id: Long): Array[Byte] = {
+    import java.lang.Math.floorMod
+    val nFrames = 2 + floorMod(id, 3).toInt
+    val w = 4 + floorMod(id, 5).toInt
+    val h = 5 + floorMod(id, 4).toInt
     val bos = new java.io.ByteArrayOutputStream()
-    val dos = new java.io.DataOutputStream(bos)
-    dos.writeInt(nFrames)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
     var f = 0
     while (f < nFrames) {
-      val png = encodePng(writer, synthImage(id * 31 + f))
-      dos.writeInt(png.length)
-      dos.write(png)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(synthFrame(id * 31 + f, w, h), null, null),
+        null)
       f += 1
     }
-    dos.close()
+    writer.endWriteSequence()
+    ios.close()
     bos.toByteArray
   }
 
-  /** Attach a real multi-frame clip per row (see `synthClip`). Same
+  private def gifWriter(): javax.imageio.ImageWriter =
+    javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+
+  private def gifReader(): javax.imageio.ImageReader =
+    javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+
+  /** Attach a real animated-GIF clip per row (see [[synthGif]]). Same
     * per-partition writer contract as the PNG path. */
-  def withSyntheticClip(df: DataFrame, idCol: String): DataFrame = {
+  def withSyntheticGif(df: DataFrame, idCol: String): DataFrame = {
     val enc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     df.select(col(idCol).cast("long")).as[Long](Encoders.scalaLong)
       .mapPartitions { it =>
-        val writer = pngWriter()
-        it.map(id => (id, synthClip(writer, id))) ++
+        val writer = gifWriter()
+        it.map(id => (id, synthGif(writer, id))) ++
           { writer.dispose(); Iterator.empty }
       }(enc)
       .toDF(idCol, "media")
       .withColumn("media_meta", struct(
         octet_length(col("media")).as("n_bytes"),
-        lit("video/x-graft-frames").as("mime")))
+        lit("image/gif").as("mime")))
   }
 
   case class FrameFeatures(id: Long, frame_idx: Int, width: Int, height: Int,
                            r_sum: Long, g_sum: Long, b_sum: Long)
 
-  /** REAL frame sampling: walk the clip container, decode every
-    * `every`-th frame (genuine PNG parse, one reader per partition),
-    * and emit that frame's exact stats — the video analogue of
-    * `decodeImages`, exploding one row per SAMPLED frame while
-    * skipping the bytes of unsampled frames entirely (the seek-don't-
-    * decode shape a production frame sampler must have). */
+  /** REAL frame sampling over a real container: javax.imageio's GIF
+    * reader parses each row's animated-GIF bytes (logical screen, frame
+    * directory, LZW), decodes every `every`-th frame, and emits that
+    * frame's exact stats — the video analogue of `decodeImages`,
+    * exploding one row per SAMPLED frame. Unsampled frames are never
+    * DECODED (no LZW expansion, no raster) — the reader still indexes
+    * their directory entries, which is what any container format
+    * charges for a frame seek. One reader per partition. */
   def sampleFramesDecoded(df: DataFrame, idCol: String, every: Int): DataFrame = {
     require(every >= 1, "need every >= 1")
     val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     df.select(col(idCol).cast("long"), col("media"))
       .as[(Long, Array[Byte])](inEnc)
       .mapPartitions { it =>
-        val reader = pngReader()
+        val reader = gifReader()
         val out = it.flatMap { case (id, bytes) =>
-          val bb = java.nio.ByteBuffer.wrap(bytes)
-          val nFrames = bb.getInt()
-          (0 until nFrames).flatMap { f =>
-            val len = bb.getInt()
-            if (f % every != 0) { bb.position(bb.position() + len); None }
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          // seekForwardOnly = false: getNumImages(allowSearch = true)
+          // walks the frame directory before any decode.
+          reader.setInput(iis, false, true)
+          val nFrames = reader.getNumImages(true)
+          val rows = (0 until nFrames).flatMap { f =>
+            if (f % every != 0) None
             else {
-              val frame = new Array[Byte](len)
-              bb.get(frame)
-              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-                new java.io.ByteArrayInputStream(frame))
-              reader.setInput(iis, true, true)
-              val img = try reader.read(0) finally iis.close()
+              val img = reader.read(f)
               var (rs, gs, bs) = (0L, 0L, 0L)
               var y = 0
               while (y < img.getHeight) {
@@ -416,6 +476,8 @@ object Multimodal {
               Some(FrameFeatures(id, f, img.getWidth, img.getHeight, rs, gs, bs))
             }
           }
+          iis.close()
+          rows
         }
         out ++ { reader.dispose(); Iterator.empty }
       }(Encoders.product[FrameFeatures])
@@ -474,12 +536,6 @@ object Multimodal {
       }(Encoders.product[MediaFeatures])
       .toDF(idCol, "n_bytes", "content_sig")
   }
-
-  /** Resize stub: metadata-only transform (real impl: batch image op). */
-  def resizeStub(featCol: Column, w: Int, h: Int): Column = struct(
-    featCol.getField("n_bytes").as("n_bytes"),
-    featCol.getField("content_sig").as("content_sig"),
-    lit(w).as("fake_width"), lit(h).as("fake_height"))
 
   /** REAL image resize, partition-batched: decode each row's PNG and
     * resample to `outW`×`outH` by NEAREST NEIGHBOR — output pixel (x, y)

@@ -566,11 +566,15 @@ object Sampling {
     * EXACT decimals, so logw is independent of word order and
     * partitioning.
     *
-    * Shape at 100 TB: two combine-enabled bucket-count aggregations
-    * (the llr table is ≤ `buckets` rows — driver-bounded like every
-    * budget map here) plus single-row totals broadcast in; scoring is
-    * one explode + a BROADCAST join on the bucket id + one
-    * combine-enabled per-doc agg. The raw pool never shuffles. */
+    * Shape at 100 TB: the scored corpus EXPLODES ONCE into pinned
+    * per-(doc, bucket) counts — ≤ docs × min(doc length, buckets)
+    * rows, far below the word-instance blowup — and that one
+    * materialization feeds BOTH the global bucket table (a second-stage
+    * agg of the per-doc counts) and per-doc scoring (broadcast join on
+    * the bucket id + one combine-enabled agg with instance counts as
+    * weights). The llr table is ≤ `buckets` rows — driver-bounded like
+    * every budget map here; single-row totals broadcast in. The raw
+    * pool never shuffles and is never scanned twice. */
   def importanceWeights(df: DataFrame, docKey: String, textCol: String,
                         target: DataFrame, targetTextCol: String,
                         buckets: Int, salt: String = "dsir"): DataFrame = {
@@ -580,8 +584,11 @@ object Sampling {
       d.select(keep.map(col) :+
           explode(split(lower(col(text)), " ")).as("__w"): _*)
         .withColumn("__b", hashBucket(col("__w"), buckets, salt))
-    val raw = bucketed(df, Seq.empty, textCol)
-      .groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    // Single corpus pass, conf-routed pin (Dedup.pin): without it the
+    // two consumers below would each re-explode the corpus words.
+    val perDoc = Dedup.pin(bucketed(df, Seq(docKey), textCol)
+      .groupBy(col(docKey), col("__b")).agg(count(lit(1)).as("__c")))
+    val raw = perDoc.groupBy(col("__b")).agg(sum(col("__c")).as("__cr"))
     val tgt = bucketed(target, Seq.empty, targetTextCol)
       .groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
     val rawTot = raw.agg(sum(col("__cr")).as("__tr"))
@@ -597,10 +604,14 @@ object Sampling {
             / (col("__tr") + buckets).cast(DoubleType)), 6)
         .cast(DecimalType(25, 6)))
       .select(col("__b"), col("__llr"))
-    bucketed(df, Seq(docKey), textCol)
+    // Instance-weighted close: Σ __c·llr over (doc, bucket) is the
+    // exact-decimal equal of Σ llr over word instances, so logw is
+    // bit-identical to the two-pass form.
+    perDoc
       .join(broadcast(table), Seq("__b"))
       .groupBy(col(docKey))
-      .agg(count(lit(1)).as("n_words"), sum(col("__llr")).as("__s"))
+      .agg(sum(col("__c")).as("n_words"),
+        sum(col("__c") * col("__llr")).as("__s"))
       .withColumn("logw", col("__s").cast(DoubleType))
       .drop("__s")
   }

@@ -200,7 +200,9 @@ object TextAnalysis {
     * delete-and-diff idiom [[digitRatio]] uses — map-only regexp work,
     * zero shuffles. Ratios are over ALL characters (spaces dilute —
     * deliberately, so pure-script text scores high and mixed text
-    * splits); empty text → NULL ratios and dominant 'none'; text whose
+    * splits); NULL text → NULL ratios and NULL dominant (no evidence —
+    * the perplexity convention); empty text → NULL ratios and dominant
+    * 'none'; text whose
     * characters match no tracked script (symbols, spaces) → dominant
     * 'other'. Ties break by the fixed script order below (langId's
     * convention). */
@@ -215,10 +217,15 @@ object TextAnalysis {
     val counts = Scripts.map { case (name, re) => name -> cnt(re) }
     val digit = cnt("[0-9]")
     val best = greatest(counts.map(_._2): _*)
-    val dominant = when(n === 0, lit("none")).otherwise(
-      counts.foldRight(lit("other")) { case ((name, c), acc) =>
-        when(c === best && best > 0, lit(name)).otherwise(acc)
-      })
+    // NULL text → NULL dominant, pinned EXPLICITLY on both engines:
+    // without the guard the Spark fold's all-NULL when-conditions land
+    // on 'other' while a CASE oracle would fall through to its ELSE —
+    // a contract divergence only visible on NULL fixtures.
+    val dominant = when(n.isNull, lit(null).cast("string"))
+      .when(n === 0, lit("none")).otherwise(
+        counts.foldRight(lit("other")) { case ((name, c), acc) =>
+          when(c === best && best > 0, lit(name)).otherwise(acc)
+        })
     df.select(Seq(col(docKey)) ++
       counts.map { case (name, c) =>
         when(n > 0, round(c.cast(DoubleType) / n, 6)).as(s"${name}_ratio") } ++

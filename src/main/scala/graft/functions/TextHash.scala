@@ -151,7 +151,12 @@ case class WinnowSelect(child: Expression, k: Int, w: Int)
   * Σ_j codepoint(i−window+1+j) · B^{window−1−j} mod M with B = 257,
   * M = 1e9+7, and i is a cut when hash ≡ 0 mod 2^bits. Returns the
   * (possibly empty) ascending cut array; docs shorter than `window`
-  * cut nowhere. */
+  * cut nowhere.
+  *
+  * Cost is O(n) INDEPENDENT of `window`: the scan maintains the hash
+  * with one rolling subtract-multiply-add per position (the actual
+  * Karp–Rabin update), so callers may size the window to their chunk
+  * semantics, not to a hidden per-position recompute. */
 case class CdcCuts(child: Expression, window: Int, bits: Int)
     extends UnaryExpression with CodegenFallback {
 
@@ -159,9 +164,10 @@ case class CdcCuts(child: Expression, window: Int, bits: Int)
   require(bits >= 1 && bits <= 20, s"boundary bits must be in 1..20, got $bits")
 
   private val M = 1000000007L
-  @transient private lazy val pows: Array[Long] = (0 until window)
-    .map(j => BigInt(257).modPow(BigInt(window - 1 - j), BigInt(M)).toLong)
-    .toArray
+  // B^(window-1) mod M — the coefficient of the OUTGOING code point in
+  // the rolling update (the only power the O(n) scan needs).
+  @transient private lazy val powOut: Long =
+    BigInt(257).modPow(BigInt(window - 1), BigInt(M)).toLong
 
   override def prettyName: String = "cdc_cuts"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -186,15 +192,24 @@ case class CdcCuts(child: Expression, window: Int, bits: Int)
     }
     val mask = (1L << bits) - 1
     val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    // True rolling Karp–Rabin, O(n): seed the first window by Horner,
+    // then one subtract-multiply-add per position — h' = (h − cp_out ·
+    // B^{window−1}) · B + cp_in mod M, identical (exact modular
+    // arithmetic) to the windowed sum Σ cp_j · B^{window−1−j}.
+    // Bounds: cp ≤ 0x10FFFF and powOut < M < 2³⁰, so cp·powOut < 2⁵¹
+    // and (h mod M)·257 < 2³⁸ — no Long overflow anywhere.
+    var h = 0L
+    var j = 0
+    while (j < window) {
+      h = (h * 257 + cp(j)) % M
+      j += 1
+    }
     var i = window
     while (i <= n) {
-      var h = 0L
-      var j = 0
-      while (j < window) {
-        h = (h + cp(i - window + j) % M * pows(j) % M) % M
-        j += 1
-      }
       if ((h & mask) == 0) out += i
+      if (i < n) {
+        h = (((h - cp(i - window) * powOut % M) % M + M) % M * 257 + cp(i)) % M
+      }
       i += 1
     }
     new GenericArrayData(out.toArray)

@@ -1690,17 +1690,21 @@ class ExtSpec extends SparkSpec {
     assert(got == ids.sorted.map(expect))
   }
 
-  test("clip container frame-samples decode to the analytic per-frame stats") {
+  test("animated-GIF clips frame-sample to the analytic per-frame stats") {
     import java.lang.Math.floorMod
     val ids = Seq(0L, 1L, 2L, 5L)  // nFrames 2, 3, 4, 2
-    val clips = Multimodal.withSyntheticClip(ids.toDF("doc_id"), "doc_id")
+    val clips = Multimodal.withSyntheticGif(ids.toDF("doc_id"), "doc_id")
+    // the container really is a GIF: magic bytes + animated (multi-image)
+    val bytes = clips.select("media").as[Array[Byte]].collect()
+    assert(bytes.forall(b => new String(b.take(4), "US-ASCII") == "GIF8"),
+      "clips must be genuine GIF streams (GIF87a/GIF89a signature)")
     val got = Multimodal.sampleFramesDecoded(clips, "doc_id", every = 2)
       .orderBy("doc_id", "frame_idx")
       .as[(Long, Int, Int, Int, Long, Long, Long)].collect().toSeq
     def frame(id: Long, f: Int): (Long, Int, Int, Int, Long, Long, Long) = {
       val fid = id * 31 + f
-      val w = 4 + floorMod(fid, 5).toInt
-      val h = 3 + floorMod(fid, 4).toInt
+      val w = 4 + floorMod(id, 5).toInt
+      val h = 5 + floorMod(id, 4).toInt  // >= 5: below that the JDK GIF codec row-shifts
       val px = for { y <- 0 until h; x <- 0 until w } yield (
         floorMod(fid * 7 + x * 3 + y * 5, 256),
         floorMod(fid * 11 + x * 13 + y * 17, 256),
@@ -1711,7 +1715,7 @@ class ExtSpec extends SparkSpec {
       val n = 2 + (id % 3).toInt
       (0 until n by 2).map(frame(id, _))
     }
-    assert(got == want, "every 2nd frame decoded, odd frames skipped unparsed")
+    assert(got == want, "every 2nd frame decoded losslessly from the GIF")
     assert(got.count(_._1 == 2L) == 2, "4-frame clip samples frames 0 and 2")
     assert(got.count(_._1 == 0L) == 1, "2-frame clip samples frame 0 only")
   }
@@ -2794,5 +2798,179 @@ class ExtSpec extends SparkSpec {
     assert(out == Seq(
       (10L, "h1 h2 h3 h4 body1 body2"),
       (20L, "intro outro")))
+  }
+
+  test("exciseDuplicateSpans cuts merged spans, keeps docs, accounts exactly") {
+    // Docs 1 and 2 share "a b c d"; doc 3 is clean. n=2 spans: doc1
+    // [1,4] (doc start), doc2 [2,5] (mid).
+    val df = Seq(
+      (1L, "a b c d x1 y1 z1"),
+      (2L, "q2 a b c d r2"),
+      (3L, "p q r s t u")).toDF("doc_id", "text")
+    val out = Dedup.exciseDuplicateSpans(df, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long, Int)].collect().toSeq
+    assert(out == Seq(
+      (1L, "x1 y1 z1", 1L, 4L, "a b c d x1 y1 z1".length - "x1 y1 z1".length),
+      (2L, "q2 r2", 1L, 4L, "q2 a b c d r2".length - "q2 r2".length),
+      (3L, "p q r s t u", 0L, 0L, 0)))
+  }
+
+  test("exciseDuplicateSpans: spans at both doc edges, and whole-doc removal") {
+    // "a b" opens and "y z" closes both docs — two disjoint spans per
+    // doc, one at each edge; the middle survives.
+    val edges = Seq(
+      (1L, "a b m1 m2 y z"),
+      (2L, "a b k1 k2 y z")).toDF("doc_id", "text")
+    val got = Dedup.exciseDuplicateSpans(edges, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, "m1 m2", 2L, 4L, "a b m1 m2 y z".length - "m1 m2".length),
+      (2L, "k1 k2", 2L, 4L, "a b k1 k2 y z".length - "k1 k2".length)))
+    // Fully-duplicated docs excise to the EMPTY string but SURVIVE with
+    // their accounting — the corpus-shrink number stays reportable.
+    val whole = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val w = Dedup.exciseDuplicateSpans(whole, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long, Int)].collect().toSeq
+    assert(w == Seq((1L, "", 1L, 4L, 7), (2L, "", 1L, 4L, 7)))
+  }
+
+  test("exciseDuplicateSpans: adjacent (touching) dup runs cut as one span") {
+    // Doc 1's dup bigrams at p=1 and p=3 touch (gap n) — one merged
+    // span [1,4] removes all four words even though "b c" itself is
+    // unique to doc 1.
+    val df = Seq((1L, "a b c d tail1 tail2"), (2L, "a b x c d")).toDF("doc_id", "text")
+    val one = Dedup.exciseDuplicateSpans(df, "doc_id", "text", 2)
+      .filter(col("doc_id") === 1L).as[(Long, String, Long, Long, Int)].head()
+    assert(one == ((1L, "tail1 tail2", 1L, 4L,
+      "a b c d tail1 tail2".length - "tail1 tail2".length)))
+  }
+
+  test("containmentPairs df-cap: identity below the cap, prunes boilerplate above") {
+    // Two near-identical docs + four short docs that are MOSTLY the
+    // boilerplate head "x y z" (2 shingles each, one of them the
+    // boilerplate, so boilerplate-only overlap already clears tau 0.5
+    // uncapped). "x y z" has df = 6.
+    val docs = (Seq(
+      (1L, "x y z a b c"),
+      (2L, "x y z a b c")) ++
+      (3 to 6).map(i => (i.toLong, s"x y z u$i"))).toDF("doc_id", "text")
+    val uncapped = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5)
+      .orderBy("a", "b").as[(Long, Long, Long, Double)].collect().toSeq
+    // A generous cap (nothing reaches it) must be output-identical.
+    val generous = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5,
+        maxShingleDf = 100)
+      .orderBy("a", "b").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(generous == uncapped, "cap above every df is the identity")
+    // Cap 3 drops the df-6 boilerplate shingle from both sides: docs
+    // 1-2 still surface on their 3 remaining shared shingles with the
+    // FULL 4-shingle denominator; the boilerplate-only pairs vanish.
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5,
+        maxShingleDf = 3)
+      .orderBy("a", "b").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(capped == Seq((1L, 2L, 3L, 0.75), (2L, 1L, 3L, 0.75)))
+    assert(uncapped.size > capped.size,
+      "uncapped sees the boilerplate-only pairs too")
+  }
+
+  test("Classify.terms: unigrams + adjacent bigrams, single-word safe") {
+    val t = Seq("hello world again", "solo", "").toDF("t")
+      .select(Classify.terms(col("t")).as("terms")).as[Seq[String]].collect()
+    assert(t(0) == Seq("hello", "world", "again", "hello world", "world again"))
+    assert(t(1) == Seq("solo"), "no backwards sequence() bigrams")
+    assert(t(2) == Seq(""), "empty text is the single empty term")
+  }
+
+  test("Classify.scoreLinear: uniform weights give closed-form scores") {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta")).toDF("doc_id", "text")
+    def uniform(w: Double) = spark.range(64).select(col("id").as("bucket"),
+      lit(w).cast(DecimalType(18, 6)).as("weight"))
+    // dot = w * n_feats, so logit = bias + w for every doc.
+    val pos = Classify.scoreLinear(docs, "doc_id", "text", uniform(0.1),
+        buckets = 64, bias = 0.0)
+      .orderBy("doc_id").as[(Long, Long, Double, Double, String)].collect().toSeq
+    assert(pos == Seq(
+      (1L, 5L, 0.1, 0.524979, "keep"),
+      (2L, 1L, 0.1, 0.524979, "keep")))
+    val neg = Classify.scoreLinear(docs, "doc_id", "text", uniform(-0.2),
+        buckets = 64, bias = 0.0)
+      .orderBy("doc_id").as[(Long, Long, Double, Double, String)].collect().toSeq
+    assert(neg.forall(r => r._3 == -0.2 && r._4 == 0.450166 && r._5 == "drop"))
+    // A sparse (empty) model scores pure bias — absent buckets are 0.
+    val empty = spark.range(0).select(col("id").as("bucket"),
+      lit(0).cast(DecimalType(18, 6)).as("weight"))
+    val b = Classify.scoreLinear(docs, "doc_id", "text", empty,
+        buckets = 64, bias = 2.0)
+      .orderBy("doc_id").as[(Long, Long, Double, Double, String)].collect().toSeq
+    assert(b.forall(r => r._3 == 2.0 && r._5 == "keep"))
+  }
+
+  test("Classify.fixtureWeights: deterministic, bounded, full-cover") {
+    val a = Classify.fixtureWeights(spark, 32).orderBy("bucket")
+      .as[(Long, BigDecimal)].collect().toSeq
+    val b = Classify.fixtureWeights(spark, 32).orderBy("bucket")
+      .as[(Long, BigDecimal)].collect().toSeq
+    assert(a == b, "same salt, same table")
+    assert(a.map(_._1) == (0L until 32L), "one row per bucket")
+    assert(a.forall { case (_, w) => w >= BigDecimal(-0.5) && w < BigDecimal(0.5) })
+  }
+
+  test("Dedup.pin routes through the reliable-checkpoint conf") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+    val local = Dedup.pin(df).orderBy("id").as[(Long, String)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft_pin").toString
+    spark.conf.set(Dedup.ReliableCheckpointConf, "true")
+    // The context checkpoint dir is sticky once ANY earlier test (or
+    // job) set one — pin only falls back to the conf when it is unset —
+    // so point the context at this test's dir explicitly.
+    spark.sparkContext.setCheckpointDir(dir)
+    spark.conf.set(Dedup.ReliableCheckpointDirConf, dir)
+    try {
+      val reliable = Dedup.pin(df).orderBy("id").as[(Long, String)].collect().toSeq
+      assert(reliable == local, "reliable pin must not change results")
+      def rddDirs(f: java.io.File): Seq[java.io.File] =
+        Option(f.listFiles).toSeq.flatten
+          .flatMap(c => if (c.getName.startsWith("rdd-")) Seq(c) else rddDirs(c))
+      assert(rddDirs(new java.io.File(dir)).nonEmpty,
+        s"reliable pin must write rdd-* dirs under $dir")
+    } finally {
+      spark.conf.unset(Dedup.ReliableCheckpointConf)
+      spark.conf.unset(Dedup.ReliableCheckpointDirConf)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(pp => java.nio.file.Files.deleteIfExists(pp))
+    }
+  }
+
+  test("CdcCuts rolling hash equals the windowed-sum definition, any window") {
+    // The O(n) rolling update must be bit-identical to the definition
+    // h(i) = sum cp(i-window+j) * B^(window-1-j) mod M — checked here
+    // against a direct reimplementation at a window far from the
+    // default 8 (the regime the old O(n*window) scan made expensive).
+    val M = 1000000007L
+    def direct(text: String, window: Int, bits: Int): Seq[Int] = {
+      val cp = text.codePoints().toArray
+      if (cp.length < window) return Seq.empty
+      val pows = (0 until window)
+        .map(j => BigInt(257).modPow(window - 1 - j, M).toLong)
+      (window to cp.length).filter { i =>
+        val h = (0 until window)
+          .map(j => BigInt(cp(i - window + j)) * pows(j) % M)
+          .sum % M
+        (h.toLong & ((1L << bits) - 1)) == 0
+      }
+    }
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog " * 20,
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "\u00e9\u6570\u636e mixed ascii and multibyte \ud83d\ude00 tail " * 9,
+      "short")
+    for (window <- Seq(2, 8, 16, 31); bits <- Seq(1, 3, 5)) {
+      val got = texts.toDF("t")
+        .select(graft.functions.TextHash.cdc_cuts(col("t"), window, bits).as("c"))
+        .as[Seq[Int]].collect().toSeq
+      val want = texts.map(t => direct(t, window, bits))
+      assert(got == want, s"window=$window bits=$bits")
+    }
   }
 }
