@@ -1920,6 +1920,52 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_classifier_buckets" -> ((s, dir) => {
+      // Head/middle/tail over the LEARNED scorer (the CCNet curriculum
+      // split driven by the classifier instead of perplexity):
+      // probabilities binned at the corpus 0.33/0.67 quantiles. Scores
+      // pin conf-routed (Dedup.pin) so the scoring chain runs once
+      // under percentileBins' two reads.
+      val scored = Dedup.pin(Classify.scoreLinear(read(s, dir, "documents"),
+        "doc_id", "text", Classify.fixtureWeights(s, ClsBuckets),
+        ClsBuckets, bias = ClsBias))
+      graft.ops.Cleaning.percentileBins(scored, "prob", Seq.empty,
+          Seq(0.33, 0.67))
+        .orderBy("doc_id")
+    }),
+
+    "q_c4_lines" -> ((s, dir) => {
+      // C4 cleaning (Raffel et al. 2020 §2.2) at LINE resolution, on
+      // deterministically line-structured text (the corpus is one-line
+      // word soup, so the fixture builds 7-word lines with a
+      // (doc_id+i)%4-cycled terminal mark, poisons the (doc_id+i)%11==5
+      // lines with 'javascript', and appends 'lorem ipsum' / '{' doc
+      // poisons on the %23 / %29 wheels — every rule fires). The
+      // filter itself is map-only higher-order work: zero shuffles.
+      val docs = read(s, dir, "documents")
+      val ws = split(col("text"), " ")
+      // Column `/` is TRUE division (double) — cast back for sequence's
+      // integral bound; nonnegative, so the cast truncation IS floor.
+      val lines = transform(
+        sequence(lit(0), ((size(ws) - 1) / 7).cast("int")), i => {
+        val base = concat(array_join(slice(ws, i * 7 + 1, lit(7)), " "),
+          when((col("doc_id") + i) % 4 === 0, ".")
+            .when((col("doc_id") + i) % 4 === 1, "!")
+            .when((col("doc_id") + i) % 4 === 2, "?")
+            .otherwise(""))
+        when((col("doc_id") + i) % 11 === 5,
+          concat(lit("javascript "), base)).otherwise(base)
+      })
+      val fixture = docs.select(col("doc_id"),
+        concat(array_join(lines, "\n"),
+          when(col("doc_id") % 23 === 5, "\nlorem ipsum filler line.")
+            .otherwise(""),
+          when(col("doc_id") % 29 === 7, "\ncode { block }.")
+            .otherwise("")).as("itext"))
+      TextAnalysis.c4LineFilter(fixture, "doc_id", "itext")
+        .orderBy("doc_id")
+    }),
+
     "q_split_by_cluster" -> ((s, dir) => {
       // Leakage-safe splitting: the hash wheel keys on the near-dup
       // CLUSTER representative, so a duplicate family can never
@@ -3185,6 +3231,41 @@ object ExtQueries {
             CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
             ROUND(exp((-CAST(agg.slp AS DOUBLE)) / agg.n_bigrams), 6) AS ppl
           FROM documents d0 LEFT JOIN agg USING (doc_id))"""
+
+  /** fastText-shaped classifier scoring, as a reusable CTE chain ending
+    * in `cls(doc_id, n_feats, logit, prob, label)` — the exact twin of
+    * [[graft.ext.Classify.scoreLinear]] over [[graft.ext.Classify.fixtureWeights]]:
+    * same md5 bucket wheel on unigram+bigram terms, same md5-derived 6dp
+    * fixture weights, decimal-exact dot, 6dp mean/sigmoid. */
+  private def classifierScoreCte: String =
+    s"""cws AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+            FROM documents),
+          ct AS (SELECT doc_id, unnest(w) AS t FROM cws
+                UNION ALL
+                SELECT doc_id, w[CAST(i AS INTEGER)] || ' '
+                    || w[CAST(i AS INTEGER) + 1] AS t
+                FROM cws, LATERAL (SELECT unnest(
+                  generate_series(1, len(w) - 1)) AS i)
+                WHERE len(w) >= 2),
+          cf AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(t || 'qcls'), 1, 8)) AS BIGINT)
+                    % $ClsBuckets AS b FROM ct),
+          cwt AS (SELECT CAST(b AS BIGINT) AS b,
+                  CAST(ROUND(CAST(('0x' || substr(md5(CAST(b AS VARCHAR)
+                      || 'qcls:w'), 1, 8)) AS BIGINT)
+                    / 4294967296.0 - 0.5, 6) AS DECIMAL(18, 6)) AS wgt
+                FROM (SELECT unnest(generate_series(0, $ClsBuckets - 1)) AS b)),
+          cper AS (SELECT doc_id, COUNT(*) AS n_feats,
+                  SUM(COALESCE(wgt, CAST(0 AS DECIMAL(18, 6)))) AS dot
+                FROM cf LEFT JOIN cwt USING (b) GROUP BY doc_id),
+          csc AS (SELECT doc_id, n_feats,
+                  ROUND($ClsBias + CAST(dot AS DOUBLE) / n_feats, 6) AS logit
+                FROM cper),
+          cls AS (SELECT doc_id, n_feats, logit,
+                  ROUND(1 / (1 + exp(-logit)), 6) AS prob,
+                  CASE WHEN ROUND(1 / (1 + exp(-logit)), 6) >= 0.5
+                    THEN 'keep' ELSE 'drop' END AS label
+                FROM csc)"""
 
   def oracles: Map[String, String] = Map(
     // The NAIVE frame, deliberately: Spark executes the REWRITTEN plan
@@ -5272,34 +5353,57 @@ object ExtQueries {
     // decimal-exact dot, 6dp mean/sigmoid (round absorbing last-ulp
     // exp() drift — the perplexity convention).
     "q_quality_classifier" ->
-      s"""WITH ws AS (SELECT doc_id, string_split(lower(text), ' ') AS w
-            FROM documents),
-          t AS (SELECT doc_id, unnest(w) AS t FROM ws
-                UNION ALL
-                SELECT doc_id, w[CAST(i AS INTEGER)] || ' '
-                    || w[CAST(i AS INTEGER) + 1] AS t
-                FROM ws, LATERAL (SELECT unnest(
-                  generate_series(1, len(w) - 1)) AS i)
-                WHERE len(w) >= 2),
-          f AS (SELECT doc_id,
-                  CAST(('0x' || substr(md5(t || 'qcls'), 1, 8)) AS BIGINT)
-                    % $ClsBuckets AS b FROM t),
-          wt AS (SELECT CAST(b AS BIGINT) AS b,
-                  CAST(ROUND(CAST(('0x' || substr(md5(CAST(b AS VARCHAR)
-                      || 'qcls:w'), 1, 8)) AS BIGINT)
-                    / 4294967296.0 - 0.5, 6) AS DECIMAL(18, 6)) AS wgt
-                FROM (SELECT unnest(generate_series(0, $ClsBuckets - 1)) AS b)),
-          per AS (SELECT doc_id, COUNT(*) AS n_feats,
-                  SUM(COALESCE(wgt, CAST(0 AS DECIMAL(18, 6)))) AS dot
-                FROM f LEFT JOIN wt USING (b) GROUP BY doc_id),
-          sc AS (SELECT doc_id, n_feats,
-                  ROUND($ClsBias + CAST(dot AS DOUBLE) / n_feats, 6) AS logit
-                FROM per)
-          SELECT doc_id, n_feats, logit,
-            ROUND(1 / (1 + exp(-logit)), 6) AS prob,
-            CASE WHEN ROUND(1 / (1 + exp(-logit)), 6) >= 0.5
-              THEN 'keep' ELSE 'drop' END AS label
-          FROM sc ORDER BY doc_id""",
+      s"""WITH $classifierScoreCte
+          SELECT doc_id, n_feats, logit, prob, label
+          FROM cls ORDER BY doc_id""",
+
+    // The classifier-driven curriculum split: quantile bounds over the
+    // same scored table, 6dp-rounded, >= bin rule (percentileBins').
+    "q_classifier_buckets" ->
+      s"""WITH $classifierScoreCte,
+          cb AS (SELECT ROUND(quantile_cont(prob, 0.33), 6) AS q1,
+              ROUND(quantile_cont(prob, 0.67), 6) AS q2 FROM cls)
+          SELECT doc_id, n_feats, logit, prob, label,
+            CASE WHEN prob IS NULL THEN NULL
+                 ELSE CAST((CASE WHEN prob >= q1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN prob >= q2 THEN 1 ELSE 0 END) AS INTEGER) END
+              AS bin
+          FROM cls CROSS JOIN cb ORDER BY doc_id""",
+
+    // Fixture rebuilt verbatim (7-word lines, %4 punctuation wheel,
+    // %11 javascript poison, %23/%29 doc poisons), then the C4 line
+    // rules and doc gates replayed with list_filter.
+    "q_c4_lines" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          li AS (SELECT doc_id, i,
+                  array_to_string(ws[CAST(i*7+1 AS INTEGER):CAST(i*7+7 AS INTEGER)], ' ')
+                    || CASE (doc_id + i) % 4 WHEN 0 THEN '.' WHEN 1 THEN '!'
+                         WHEN 2 THEN '?' ELSE '' END AS line0
+                FROM w, LATERAL (SELECT unnest(
+                  generate_series(0, (len(ws) - 1) // 7)) AS i)),
+          li2 AS (SELECT doc_id, i,
+                  CASE WHEN (doc_id + i) % 11 = 5 THEN 'javascript ' || line0
+                       ELSE line0 END AS line FROM li),
+          doc AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i)
+                  || CASE WHEN doc_id % 23 = 5
+                       THEN chr(10) || 'lorem ipsum filler line.' ELSE '' END
+                  || CASE WHEN doc_id % 29 = 7
+                       THEN chr(10) || 'code { block }.' ELSE '' END AS itext
+                FROM li2 GROUP BY doc_id),
+          flt AS (SELECT doc_id, itext,
+                  list_filter(string_split(itext, chr(10)), x ->
+                    right(x, 1) IN ('.', '!', '?')
+                    AND len(string_split(trim(x), ' ')) >= 3
+                    AND position('javascript' IN lower(x)) = 0) AS kept,
+                  len(string_split(itext, chr(10))) AS nl
+                FROM doc)
+          SELECT doc_id, array_to_string(kept, chr(10)) AS itext,
+            CAST(len(kept) AS INTEGER) AS n_lines_kept,
+            CAST(nl - len(kept) AS INTEGER) AS n_lines_dropped
+          FROM flt
+          WHERE len(kept) >= 3 AND position('{' IN itext) = 0
+            AND position('lorem ipsum' IN lower(itext)) = 0
+          ORDER BY doc_id""",
 
     // Cluster labels from the shared recursive-CC chain; singleton docs
     // represent themselves; the split wheel hashes the representative

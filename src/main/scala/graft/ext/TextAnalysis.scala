@@ -192,6 +192,43 @@ object TextAnalysis {
       "^\\s+|\\s+$", "")
   }
 
+  /** C4-style LINE filtering (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning…" §2.2 — the C4 cleaning recipe): the
+    * line-resolution cleaning pass that sits between [[stripHtml]] and
+    * the doc-level Gopher gates. Per LINE of `textCol` (newline-split):
+    * keep only lines that (a) end in terminal punctuation (. ! ?),
+    * (b) carry at least `minLineWords` whitespace words, and (c) do not
+    * mention 'javascript' (case-insensitive). Per DOC: drop the whole
+    * document when fewer than `minLines` lines survive, or when the
+    * ORIGINAL text contains '{' (code) or 'lorem ipsum' (template
+    * filler) anywhere. Survivors re-emit with the kept lines rejoined
+    * by newline plus kept/dropped line counts.
+    *
+    * The paper's closing-quote terminal mark is deliberately omitted
+    * (a two-engine parity subset; add it at the `isin` below and the
+    * oracle's IN-list together). Map-only higher-order work over the
+    * line array — zero shuffles, embarrassingly parallel, the 100 TB
+    * shape a per-line cleaner must have. */
+  def c4LineFilter(df: DataFrame, docKey: String, textCol: String,
+                   minLineWords: Int = 3, minLines: Int = 3): DataFrame = {
+    require(minLineWords >= 1, s"need minLineWords >= 1, got $minLineWords")
+    require(minLines >= 1, s"need minLines >= 1, got $minLines")
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?") &&
+        size(split(trim(l), " ")) >= minLineWords &&
+        instr(lower(l), "javascript") === 0)
+    df.select(col(docKey), t, lines.as("__lines"), kept.as("__kept"))
+      .filter(size(col("__kept")) >= minLines &&
+        instr(t, "{") === 0 &&
+        instr(lower(t), "lorem ipsum") === 0)
+      .select(col(docKey),
+        array_join(col("__kept"), "\n").as(textCol),
+        size(col("__kept")).as("n_lines_kept"),
+        (size(col("__lines")) - size(col("__kept"))).as("n_lines_dropped"))
+  }
+
   /** Unicode-script profile — the multilingual routing signal upstream
     * of [[langId]]: per-doc character ratios for the major scripts
     * (plus digits) and the dominant script. Script classes are the

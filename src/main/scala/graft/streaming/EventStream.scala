@@ -592,6 +592,44 @@ object EventStream {
       }
   }
 
+  /** Streaming LEARNED-quality gate — the streaming twin of
+    * [[graft.ext.Classify.scoreLinear]] ∘ filter(label = 'keep'),
+    * composed with the keyed keep-existing upsert so at-least-once
+    * replays append nothing. Per micro-batch: score against the
+    * broadcast weight table (map-only + ONE batch-local per-doc agg —
+    * no cross-batch streaming state; the model is the only state and
+    * it is read-only), keep docs whose 6dp sigmoid clears the
+    * threshold, re-attach the batch's payload columns by key, then
+    * the [[upsertSink]] idempotence shape: anti-join only the sink
+    * partitions the batch touches, append the fresh keys. State lives
+    * in the sink table itself — nothing grows with stream length. */
+  def classifierGatedSink(stream: DataFrame, sinkPath: String, docKey: String,
+                          textCol: String, weights: DataFrame, buckets: Int,
+                          bias: Double, threshold: Double, partCol: String,
+                          checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    val write: (DataFrame, Long) => Unit = (batch, _) => {
+      val s = batch.sparkSession
+      val kept = graft.ext.Classify
+        .scoreLinear(batch, docKey, textCol, weights, buckets, bias, threshold)
+        .filter(col("label") === "keep")
+        .select(col(docKey), col("prob"))
+        .join(batch, Seq(docKey))
+      val sink = new org.apache.hadoop.fs.Path(sinkPath)
+      val exists = sink.getFileSystem(s.sparkContext.hadoopConfiguration).exists(sink)
+      val fresh =
+        if (exists)
+          graft.ops.Upsert.freshAgainstPartitionedSink(
+            s, sinkPath, kept, Seq(docKey), Seq("prob"), partCol)
+        else graft.ops.Upsert.dedupOnKey(kept, Seq(docKey), Seq("prob"))
+      fresh.write.mode("append").partitionBy(partCol).parquet(sinkPath)
+    }
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch(write)
+      .start()
+  }
+
   def upsertSink(stream: DataFrame, sinkPath: String, keys: Seq[String],
                  tieBreak: Seq[String], partCol: String,
                  checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {

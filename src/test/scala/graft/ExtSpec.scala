@@ -2973,4 +2973,29 @@ class ExtSpec extends SparkSpec {
       assert(got == want, s"window=$window bits=$bits")
     }
   }
+
+  test("c4LineFilter: line rules and doc gates, with exact accounting") {
+    val docs = Seq(
+      // 4 good lines -> kept whole (needs >= 3 kept lines)
+      (1L, "alpha beta gamma.\ndelta echo foxtrot!\ngolf hotel india?\njuliet kilo lima."),
+      // one short line, one unterminated line, one javascript line ->
+      // only 3 of 6 survive
+      (2L, "alpha beta gamma.\nno punct here\ntoo short.\nthis javascript line dies.\ndelta echo foxtrot!\ngolf hotel india."),
+      // only 2 survivors -> doc dropped (minLines = 3)
+      (3L, "alpha beta gamma.\ndelta echo foxtrot."),
+      // '{' anywhere kills the doc even with good lines
+      (4L, "alpha beta gamma.\ndelta { echo } foxtrot.\ngolf hotel india.\njuliet kilo lima."),
+      // 'lorem ipsum' anywhere kills the doc (case-insensitive)
+      (5L, "alpha beta gamma.\nLorem Ipsum dolor sit.\ngolf hotel india.\njuliet kilo lima.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Int, Int)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L), "docs 3 (too few), 4 ({), 5 (lorem) drop")
+    assert(out(0) == ((1L,
+      "alpha beta gamma.\ndelta echo foxtrot!\ngolf hotel india?\njuliet kilo lima.",
+      4, 0)))
+    assert(out(1) == ((2L,
+      "alpha beta gamma.\ndelta echo foxtrot!\ngolf hotel india.", 3, 3)))
+  }
+
 }

@@ -652,4 +652,41 @@ class StreamingSpec extends SparkSpec {
     assert(emitted(8) == Seq((8L, 2L, 10.0)),
       "user 8's first session closes; the beyond-gap run is still open")
   }
+
+  test("classifier-gated sink: stream == batch gate, drops 'drop' docs, replay-safe") {
+    implicit val sc = spark.sqlContext
+    import graft.ext.Classify
+    val sink = java.nio.file.Files.createTempDirectory("graft_cls_sink")
+      .resolve("q").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cls_ckpt").toString
+    val weights = Classify.fixtureWeights(spark, 64)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "d1"),
+      (2L, "one two three four five six seven", "d1"),
+      (3L, "data table scan merge join filter sort", "d1"),
+      (4L, "quick brown fox jumps over lazy dog", "d2"),
+      (5L, "spark stream batch window state sink", "d2"))
+    // Batch twin: what the gate must reproduce bit-for-bit.
+    val batchKeep = Classify.scoreLinear(docs.toDF("doc_id", "text", "day"),
+        "doc_id", "text", weights, 64, bias = 0.0)
+      .filter(col("label") === "keep")
+      .select("doc_id", "prob").as[(Long, Double)].collect().toMap
+    assert(batchKeep.nonEmpty && batchKeep.size < docs.size,
+      s"fixture must split keep/drop, got keep=${batchKeep.keySet}")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = EventStream.classifierGatedSink(
+      mem.toDF().toDF("doc_id", "text", "day"), sink, "doc_id", "text",
+      weights, buckets = 64, bias = 0.0, threshold = 0.5, partCol = "day",
+      checkpoint = ckpt)
+    mem.addData(docs.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(docs.drop(3): _*)
+    q.processAllAvailable()
+    // replay batch 2 verbatim (at-least-once delivery) — no growth
+    mem.addData(docs.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(sink).select("doc_id", "prob")
+      .as[(Long, Double)].collect().toMap
+    assert(got == batchKeep, s"stream gate must equal the batch gate, got $got")
+  }
 }
