@@ -1966,6 +1966,48 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_leakage_cross_source" -> ((s, dir) => {
+      // Cross-source duplicate-family LEAKAGE report: verified near-dup
+      // pairs joined to their sources, normalized (least, greatest) so
+      // each unordered source combination counts once. Off-diagonal
+      // rows are the canary that breaks source-keyed splits: a family
+      // straddling sources leaks between train and eval no matter how
+      // the split wheel is keyed.
+      val docs = read(s, dir, "documents")
+      val verified = Dedup.verifiedNearDupPairs(docs, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
+      val src = docs.select(col("doc_id"), col("source"))
+      verified
+        .join(src.toDF("a", "sa"), Seq("a"))
+        .join(src.toDF("b", "sb"), Seq("b"))
+        .groupBy(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source", col("source_a") =!= col("source_b"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    "q_token_fertility" -> ((s, dir) => {
+      // Tokenizer FERTILITY report: chars per BPE token per source —
+      // the budgeting number that converts corpus bytes to training
+      // tokens, and the drift canary for domains the tokenizer
+      // fragments (high fertility = out-of-vocabulary-heavy). The
+      // segmenter is the real merge-table BPE (map-only); one bounded
+      // per-source agg closes.
+      val docs = read(s, dir, "documents")
+      Bpe.withTokenCount(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"), col("source"),
+          length(col("text")).as("__nc")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__nc").cast("long")).as("n_chars"),
+          sum(col("n_tokens_bpe").cast("long")).as("n_tokens"))
+        .withColumn("chars_per_token",
+          when(col("n_tokens") > 0,
+            round(col("n_chars").cast("double") / col("n_tokens"), 6)))
+        .orderBy("source")
+    }),
+
     "q_split_by_cluster" -> ((s, dir) => {
       // Leakage-safe splitting: the hash wheel keys on the near-dup
       // CLUSTER representative, so a duplicate family can never
@@ -2985,8 +3027,11 @@ object ExtQueries {
   /** The recursive-CTE chain computing near-dup clusters (ends at `cc`:
     * (node, label) rows whose per-node MIN(label) is the cluster id) —
     * shared by the cluster-labeling oracles and the keep-best oracle. */
-  private def dupClustersCte: String =
-    s"""WITH RECURSIVE sig AS (SELECT doc_id,
+  /** The banded-minhash candidate + Jaccard-verify chain, ending in
+    * `verified(a, b)` — shared by the CC oracles and the cross-source
+    * leakage report. */
+  private def verifiedPairsCte: String =
+    s"""sig AS (SELECT doc_id,
             ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM documents),
           bands AS (
             SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS band_hash FROM sig
@@ -3005,7 +3050,10 @@ object ExtQueries {
                                       list_distinct(str_split(lower(db.text), ' ')))) AS DOUBLE)
               / len(list_distinct(list_concat(list_distinct(str_split(lower(da.text), ' ')),
                                               list_distinct(str_split(lower(db.text), ' '))))), 6)
-              >= $NearDupJaccard),
+              >= $NearDupJaccard)"""
+
+  private def dupClustersCte: String =
+    s"""WITH RECURSIVE $verifiedPairsCte,
           edges AS (SELECT a AS src, b AS dst FROM verified
             UNION SELECT b AS src, a AS dst FROM verified),
           cc AS (
@@ -5422,6 +5470,55 @@ object ExtQueries {
                    || 'clsplit'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
                  ELSE 'test' END AS split
           FROM rep ORDER BY doc_id""",
+
+    // Same verified-pairs chain, closed by a source-pair rollup; the
+    // cross flag derives from the grouped keys.
+    "q_leakage_cross_source" ->
+      s"""WITH $verifiedPairsCte,
+          srcp AS (SELECT da.source AS sa, db.source AS sb
+            FROM verified v
+            JOIN documents da ON v.a = da.doc_id
+            JOIN documents db ON v.b = db.doc_id)
+          SELECT LEAST(sa, sb) AS source_a, GREATEST(sa, sb) AS source_b,
+            COUNT(*) AS n_pairs,
+            LEAST(sa, sb) != GREATEST(sa, sb) AS cross_source
+          FROM srcp GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // The q_token_bpe recursive segmenter, closed by a per-source agg;
+    // chars counted fresh from text on both engines.
+    "q_token_fertility" ->
+      s"""WITH RECURSIVE merges(pair, rank) AS (VALUES $BpeMergeValues),
+          words AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text),
+              '${Bpe.PreTokenPattern}')) AS word
+            FROM documents),
+          seg(doc_id, toks, done) AS (
+            SELECT doc_id, string_split(word, ''), false FROM words
+            UNION ALL
+            SELECT s.doc_id,
+              CASE WHEN b.bi IS NULL THEN s.toks
+                   ELSE list_concat(list_concat(
+                     s.toks[1:b.bi-1], [s.toks[b.bi] || s.toks[b.bi+1]]),
+                     s.toks[b.bi+2:len(s.toks)]) END,
+              b.bi IS NULL
+            FROM seg s LEFT JOIN LATERAL (
+              SELECT gs.i AS bi
+              FROM (SELECT unnest(range(1, len(s.toks))) AS i) gs
+              JOIN merges m ON m.pair = s.toks[gs.i] || ' ' || s.toks[gs.i+1]
+              ORDER BY m.rank, gs.i LIMIT 1
+            ) b ON true
+            WHERE NOT s.done),
+          per AS (SELECT d.doc_id, d.source, len(d.text) AS nc,
+              COALESCE(t.n, 0) AS nt
+            FROM documents d LEFT JOIN
+              (SELECT doc_id, SUM(len(toks)) AS n FROM seg WHERE done
+               GROUP BY doc_id) t USING (doc_id))
+          SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(nc) AS BIGINT) AS n_chars,
+            CAST(SUM(nt) AS BIGINT) AS n_tokens,
+            CASE WHEN SUM(nt) > 0 THEN
+              ROUND(CAST(SUM(nc) AS DOUBLE) / SUM(nt), 6) END AS chars_per_token
+          FROM per GROUP BY source ORDER BY source""",
 
     // DSIR replayed: the same md5 bucket wheel (word || salt — the
     // hash32 convention), add-one-smoothed bucket distributions, llr
