@@ -1966,6 +1966,52 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_heavy_hitters" -> ((s, dir) => {
+      // Exact frequent-word report: one combine-reduced vocab shuffle +
+      // a broadcast total — stop-word / boilerplate-token discovery
+      // without a sketch (exact beats count-min until the vocabulary
+      // itself stops fitting).
+      TextAnalysis.heavyHitterWords(read(s, dir, "documents"), "text",
+          minShare = HeavyShare)
+        .orderBy("word")
+    }),
+
+    "q_length_quantiles" -> ((s, dir) => {
+      // Per-source doc-length quantiles (p50/p90/p99 words) — the
+      // sequence-length planning table (context-window budgeting,
+      // packing shard sizing). Exact percentile per bounded group.
+      read(s, dir, "documents")
+        .select(col("source"), TextAnalysis.nWords(col("text")).as("__w"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(element_at(percentile(col("__w"),
+            array(lit(0.5), lit(0.9), lit(0.99))), 1), 6).as("p50_words"),
+          round(element_at(percentile(col("__w"),
+            array(lit(0.5), lit(0.9), lit(0.99))), 2), 6).as("p90_words"),
+          round(element_at(percentile(col("__w"),
+            array(lit(0.5), lit(0.9), lit(0.99))), 3), 6).as("p99_words"))
+        .orderBy("source")
+    }),
+
+    "q_dedup_threshold_sweep" -> ((s, dir) => {
+      // Near-dup threshold CALIBRATION: the verified-Jaccard histogram
+      // over LSH candidates in 0.1 bins — the sweep you read BEFORE
+      // committing a 100 TB corpus to one threshold (how many pairs
+      // does each notch admit?). Candidates only from band buckets;
+      // the histogram is a bounded 11-row agg.
+      val docs = read(s, dir, "documents")
+      val sigs = Dedup.minhashSignature(docs, "doc_id", "text", 4)
+      val cand = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sigs, "doc_id", 2, 2), "doc_id")
+      val da = docs.select(col("doc_id").as("a"), col("text").as("__ta"))
+      val db = docs.select(col("doc_id").as("b"), col("text").as("__tb"))
+      cand.join(da, "a").join(db, "b")
+        .withColumn("__j", round(Dedup.jaccard(col("__ta"), col("__tb")), 6))
+        .withColumn("bin", floor(col("__j") * 10) / 10)
+        .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy("bin")
+    }),
+
     "q_leakage_cross_source" -> ((s, dir) => {
       // Cross-source duplicate-family LEAKAGE report: verified near-dup
       // pairs joined to their sources, normalized (least, greatest) so
@@ -2465,6 +2511,8 @@ object ExtQueries {
     * buckets, deterministic fixture weights, small positive bias. */
   private val ClsBuckets = 1024
   private val ClsBias = 0.05
+  /** Heavy-hitter share floor (0.4% of word instances at any SF). */
+  private val HeavyShare = 0.004
   private val OovVocab = 200
   /** PQ: 8 subspaces × 16 entries over the 64-dim embeddings. */
   private val PqM = 8
@@ -5470,6 +5518,50 @@ object ExtQueries {
                    || 'clsplit'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
                  ELSE 'test' END AS split
           FROM rep ORDER BY doc_id""",
+
+    // Exact integer quotient, 6dp round, share floor replayed.
+    "q_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+            FROM documents),
+          c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+          t AS (SELECT SUM(n) AS tot FROM c)
+          SELECT word, n, ROUND(CAST(n AS DOUBLE) / tot, 6) AS share
+          FROM c CROSS JOIN t
+          WHERE ROUND(CAST(n AS DOUBLE) / tot, 6) >= $HeavyShare
+          ORDER BY word""",
+
+    // quantile_cont is DuckDB's exact interpolated percentile — the
+    // twin of Spark's percentile() (both 6dp-rounded).
+    "q_length_quantiles" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+            ROUND(quantile_cont(len(string_split(text, ' ')), 0.5), 6) AS p50_words,
+            ROUND(quantile_cont(len(string_split(text, ' ')), 0.9), 6) AS p90_words,
+            ROUND(quantile_cont(len(string_split(text, ' ')), 0.99), 6) AS p99_words
+          FROM documents GROUP BY source ORDER BY source""",
+
+    // Candidate generation as q_lsh_pairs, verified Jaccard binned at
+    // 0.1 — floor on the 6dp-rounded value, both engines.
+    "q_dedup_threshold_sweep" ->
+      s"""WITH sig AS (SELECT doc_id,
+            ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM documents),
+          bands AS (
+            SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS band_hash FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh2, mh3)) AS band_hash FROM sig),
+          pairs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r USING (band_id, band_hash)
+            WHERE l.doc_id < r.doc_id),
+          jac AS (SELECT ROUND(
+              CAST(len(list_intersect(list_distinct(str_split(lower(da.text), ' ')),
+                                      list_distinct(str_split(lower(db.text), ' ')))) AS DOUBLE)
+              / len(list_distinct(list_concat(list_distinct(str_split(lower(da.text), ' ')),
+                                              list_distinct(str_split(lower(db.text), ' '))))), 6) AS j
+            FROM pairs
+            JOIN documents da ON pairs.a = da.doc_id
+            JOIN documents db ON pairs.b = db.doc_id)
+          SELECT FLOOR(j * 10) / 10 AS bin, COUNT(*) AS n_pairs
+          FROM jac GROUP BY 1 ORDER BY 1""",
 
     // Same verified-pairs chain, closed by a source-pair rollup; the
     // cross flag derives from the grouped keys.

@@ -229,6 +229,29 @@ object TextAnalysis {
         (size(col("__lines")) - size(col("__kept"))).as("n_lines_dropped"))
   }
 
+  /** EXACT corpus heavy hitters: words whose instance share is at
+    * least `minShare` of all word instances — stop-word discovery,
+    * boilerplate-token detection, tokenizer-vocab sanity. Exact, not
+    * sketched: the word-count agg is combine-enabled (map-side partial
+    * counts shuffle ≤ |vocab| narrow rows per partition), the total
+    * rides in as a broadcast single row, and the share filter is
+    * map-side — at 100 TB this is ONE combine-reduced shuffle of the
+    * vocabulary, which is why the exact form beats a count-min sketch
+    * until the vocabulary itself stops fitting (then cap with a
+    * [[graft.ext.Sampling.hashBucket]] pre-bucket). Share rounds 6dp
+    * (exact integer quotient — engine-independent). */
+  def heavyHitterWords(df: DataFrame, textCol: String,
+                       minShare: Double): DataFrame = {
+    require(minShare > 0 && minShare <= 1, s"minShare in (0,1], got $minShare")
+    val words = df.select(explode(tokens(lower(col(textCol)))).as("word"))
+    val counts = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__t"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share", round(col("n").cast(DoubleType) / col("__t"), 6))
+      .filter(col("share") >= minShare)
+      .select(col("word"), col("n"), col("share"))
+  }
+
   /** Unicode-script profile — the multilingual routing signal upstream
     * of [[langId]]: per-doc character ratios for the major scripts
     * (plus digits) and the dominant script. Script classes are the

@@ -2998,4 +2998,17 @@ class ExtSpec extends SparkSpec {
       "alpha beta gamma.\ndelta echo foxtrot!\ngolf hotel india.", 3, 3)))
   }
 
+
+  test("heavyHitterWords: exact shares, floor inclusive") {
+    val df = Seq("a a a b", "a b c d").toDF("t")
+    // counts: a=4, b=2, c=1, d=1, total=8
+    val got = TextAnalysis.heavyHitterWords(df, "t", minShare = 0.25)
+      .orderBy("word").as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 4L, 0.5), ("b", 2L, 0.25)),
+      "0.25 floor keeps b (inclusive), drops c and d")
+    val all = TextAnalysis.heavyHitterWords(df, "t", minShare = 0.125)
+      .as[(String, Long, Double)].collect()
+    assert(all.map(_._3).sum == 1.0 && all.length == 4,
+      "at the 1/total floor every word reports and shares close to 1")
+  }
 }
