@@ -1150,6 +1150,18 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_lm_perplexity_kn" -> ((s, dir) => {
+      // Interpolated Kneser–Ney (D = 0.75): the classical
+      // state-of-the-art smoother — continuation-count novelty backoff
+      // instead of raw frequency; same reference slice, same
+      // determinism contract as the add-one and JM models.
+      val docs = read(s, dir, "documents")
+      TextAnalysis.perplexityKneserNey(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 10 === 0), "text",
+          KnDiscountHundredths)
+        .orderBy("doc_id")
+    }),
+
     "q_quality_buckets" -> ((s, dir) => {
       // CCNet's head/middle/tail: perplexity scores binned at the
       // corpus 0.33/0.67 quantiles via percentileBins — the
@@ -2513,6 +2525,9 @@ object ExtQueries {
   private val ClsBias = 0.05
   /** Heavy-hitter share floor (0.4% of word instances at any SF). */
   private val HeavyShare = 0.004
+  /** Kneser–Ney absolute discount (hundredths): the 0.75 default the
+    * literature converged on (Chen & Goodman 1999). */
+  private val KnDiscountHundredths = 75
   private val OovVocab = 200
   /** PQ: 8 subspaces × 16 entries over the 64-dim embeddings. */
   private val PqM = 8
@@ -3300,6 +3315,50 @@ object ExtQueries {
           FROM documents d0 LEFT JOIN agg USING (doc_id))"""
   }
 
+  private def lmPerplexityKnSql: String = {
+    val d = KnDiscountHundredths / 100.0
+    s"""refd AS (SELECT str_split(lower(text), ' ') AS ws
+          FROM documents WHERE doc_id % 10 = 0),
+        rb0 AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          FROM refd WHERE len(ws) >= 2),
+        rbi AS (SELECT ws[i] AS w1, ws[i+1] AS w2, COUNT(*) AS c12
+          FROM rb0 GROUP BY 1, 2),
+        runi AS (SELECT w1, COUNT(*) AS c1
+          FROM (SELECT unnest(ws) AS w1 FROM refd) GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS v FROM runi),
+        rhist AS (SELECT w1, COUNT(*) AS n1p FROM rbi GROUP BY 1),
+        rcont AS (SELECT w2, COUNT(*) AS nc FROM rbi GROUP BY 1),
+        btot AS (SELECT COUNT(*) AS b FROM rbi),
+        d AS (SELECT doc_id, str_split(lower(text), ' ') AS ws
+          FROM documents),
+        db0 AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+          FROM d WHERE len(ws) >= 2),
+        dbi AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM db0),
+        lp AS (SELECT doc_id,
+            CAST(ROUND(ln(
+              CASE WHEN COALESCE(ru1.c1, 0) > 0 AND COALESCE(rh.n1p, 0) > 0
+                THEN GREATEST(CAST(COALESCE(rbi.c12, 0) AS DOUBLE) - $d, 0.0)
+                       / ru1.c1
+                     + $d * rh.n1p / ru1.c1 *
+                       (CAST(COALESCE(rc.nc, 0) + 1 AS DOUBLE)
+                         / CAST((SELECT b FROM btot) + (SELECT v FROM tot)
+                             AS DOUBLE))
+                ELSE (CAST(COALESCE(rc.nc, 0) + 1 AS DOUBLE)
+                       / CAST((SELECT b FROM btot) + (SELECT v FROM tot)
+                           AS DOUBLE)) END
+            ), 6) AS DECIMAL(25,6)) AS lp
+          FROM dbi LEFT JOIN rbi USING (w1, w2)
+            LEFT JOIN runi ru1 ON dbi.w1 = ru1.w1
+            LEFT JOIN rhist rh ON dbi.w1 = rh.w1
+            LEFT JOIN rcont rc ON dbi.w2 = rc.w2),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(lp) AS slp
+          FROM lp GROUP BY 1),
+        scored AS (SELECT d0.doc_id,
+            CAST(COALESCE(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+            ROUND(exp((-CAST(agg.slp AS DOUBLE)) / agg.n_bigrams), 6) AS ppl
+          FROM documents d0 LEFT JOIN agg USING (doc_id))"""
+  }
+
   private def lmPerplexitySql: String =
     """refd AS (SELECT str_split(lower(text), ' ') AS ws
           FROM documents WHERE doc_id % 10 = 0),
@@ -3461,6 +3520,10 @@ object ExtQueries {
 
     "q_lm_perplexity_jm" ->
       s"""WITH $lmPerplexityJmSql
+         SELECT doc_id, n_bigrams, ppl FROM scored ORDER BY doc_id""",
+
+    "q_lm_perplexity_kn" ->
+      s"""WITH $lmPerplexityKnSql
          SELECT doc_id, n_bigrams, ppl FROM scored ORDER BY doc_id""",
 
     // Quality buckets over the same scores: percentileBins' rule

@@ -931,6 +931,73 @@ object TextAnalysis {
     * 6dp-rounded and decimal-summed — [[perplexity]]'s determinism
     * verbatim. Same plan shape: two reference aggs + broadcast totals,
     * one extra broadcast join for the w2 unigram count. */
+  /** Interpolated KNESER–NEY bigram perplexity — the classical
+    * state-of-the-art above [[perplexityInterpolated]]'s
+    * Jelinek–Mercer mix (Kneser & Ney 1995; Chen & Goodman 1999 rank
+    * interpolated KN strongest among n-gram smoothers):
+    *
+    *   P(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+    *              + D·N1+(w1,·)/c(w1) · Pcont(w2)     [seen history]
+    *   Pcont(w2) = (N1+(·,w2) + 1)/(B + V)            [novelty + floor]
+    *
+    * D = absolute discount, N1+(w1,·) = the history's distinct
+    * continuation count, N1+(·,w2) = the word's distinct HISTORY
+    * count — the "appears in many contexts" novelty signal that makes
+    * KN back off to versatility instead of raw frequency (the reason
+    * "francisco" scores low despite being frequent: it follows only
+    * "san"). B = distinct bigram types, V = vocabulary. A history
+    * that is unseen (c=0) or has no observed continuation backs off
+    * to Pcont alone. The +1/(B+V) add-one floor on Pcont deviates
+    * from the textbook (which strands unseen words at 0) for the same
+    * reason every model here floors: ln(0) must be unreachable.
+    * `discountHundredths` ∈ [1, 99].
+    *
+    * Numeric contract and plan shape: [[perplexityInterpolated]]
+    * verbatim — bounded reference aggs broadcast onto the doc
+    * bigrams, per-bigram ln 6dp-rounded, decimal-exact per-doc sums,
+    * exp(−mean) rounded 6dp; sub-2-word docs abstain with NULL ppl. */
+  def perplexityKneserNey(df: DataFrame, docKey: String, textCol: String,
+                          ref: DataFrame, refTextCol: String,
+                          discountHundredths: Int): DataFrame = {
+    require(discountHundredths >= 1 && discountHundredths < 100,
+      s"discount must be in [1, 99] hundredths, got $discountHundredths")
+    import org.apache.spark.sql.types.DecimalType
+    val disc = discountHundredths / 100.0
+    val refBi = wordBigrams(ref, Seq.empty, refTextCol)
+      .groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    val refUni = ref
+      .select(explode(tokens(lower(col(refTextCol)))).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val hist = refBi.groupBy(col("__w1")).agg(count(lit(1)).as("__n1p"))
+    val cont = refBi.groupBy(col("__w2")).agg(count(lit(1)).as("__nc"))
+    val totals = refBi.agg(count(lit(1)).as("__b"))
+      .crossJoin(refUni.agg(count(lit(1)).as("__v")))
+    val pc = (coalesce(col("__nc"), lit(0L)) + 1).cast(DoubleType) /
+      (col("__b") + col("__v")).cast(DoubleType)
+    val seen = coalesce(col("__c1"), lit(0L)) > 0 &&
+      coalesce(col("__n1p"), lit(0L)) > 0
+    val pkn = when(seen,
+        greatest(coalesce(col("__c12"), lit(0L)).cast(DoubleType) - disc,
+          lit(0.0)) / col("__c1") +
+          lit(disc) * col("__n1p") / col("__c1") * pc)
+      .otherwise(pc)
+    val scored = wordBigrams(df, Seq(docKey), textCol)
+      .join(refBi, Seq("__w1", "__w2"), "left")
+      .join(refUni, Seq("__w1"), "left")
+      .join(hist, Seq("__w1"), "left")
+      .join(cont, Seq("__w2"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__lp", round(log(pkn), 6).cast(DecimalType(25, 6)))
+      .groupBy(col(docKey))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lp")).as("__slp"))
+      .withColumn("ppl",
+        round(exp((-col("__slp")).cast(DoubleType) / col("n_bigrams")), 6))
+      .drop("__slp")
+    df.select(col(docKey)).distinct()
+      .join(scored, Seq(docKey), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+  }
+
   def perplexityInterpolated(df: DataFrame, docKey: String, textCol: String,
                              ref: DataFrame, refTextCol: String,
                              lambdaHundredths: Int): DataFrame = {

@@ -3011,4 +3011,34 @@ class ExtSpec extends SparkSpec {
     assert(all.map(_._3).sum == 1.0 && all.length == 4,
       "at the 1/total floor every word reports and shares close to 1")
   }
+
+  test("Kneser-Ney: versatile continuations beat single-context ones at equal frequency") {
+    // In the reference, 'versa' follows FOUR different histories while
+    // 'fixed' (equally frequent) only ever follows 'anchor' — KN's
+    // continuation count N1+(.,w) must prefer 'versa' when both appear
+    // after an UNSEEN history, which frequency-based backoff (add-one,
+    // JM) cannot distinguish.
+    val ref = Seq(
+      (0L, "p1 versa p2 versa p3 versa p4 versa"),
+      (1L, "anchor fixed anchor fixed anchor fixed anchor fixed")
+    ).toDF("doc_id", "text")
+    val probe = Seq((10L, "zz versa"), (11L, "zz fixed")).toDF("doc_id", "text")
+    val ppl = TextAnalysis.perplexityKneserNey(probe, "doc_id", "text",
+        ref, "text", discountHundredths = 75)
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(ppl(10L) < ppl(11L),
+      s"KN should score the 4-context word likelier: $ppl")
+    // ...and the seen-history path discounts but keeps the bigram signal:
+    // a doc of pure in-reference bigrams scores far below the unseen probes.
+    val indom = Seq((20L, "anchor fixed anchor fixed")).toDF("doc_id", "text")
+    val pplIn = TextAnalysis.perplexityKneserNey(indom, "doc_id", "text",
+        ref, "text", discountHundredths = 75)
+      .select("ppl").as[Double].head()
+    assert(pplIn < ppl(10L) && pplIn < ppl(11L), s"in-domain $pplIn must win")
+    // sub-2-word docs abstain with NULL ppl, row preserved
+    val short = TextAnalysis.perplexityKneserNey(
+        Seq((30L, "solo")).toDF("doc_id", "text"), "doc_id", "text", ref, "text", 75)
+      .collect()
+    assert(short.length == 1 && short(0).getLong(1) == 0L && short(0).isNullAt(2))
+  }
 }
