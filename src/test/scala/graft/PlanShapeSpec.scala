@@ -280,4 +280,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(c("scans") >= 1,
       "the reference side must still stream from storage, never be materialized")
   }
+
+  test("q_quality_classifier: model join is broadcast, corpus shuffles once") {
+    val df = SparkEntry.queries("q_quality_classifier")(spark, dir)
+    df.collect()
+    val c = PlanAudit.countNodes(df.queryExecution.executedPlan).withDefaultValue(0)
+    assert(c("broadcasts") >= 1, "the weight table must broadcast")
+    // one per-doc agg + the presentation sort = 2 exchanges max
+    assert(c("shuffles") <= 2,
+      s"corpus must shuffle only for the per-doc agg (+sort), got ${c("shuffles")}")
+    assert(c("scans") == 1, "one corpus scan — the model is a Range, not a file")
+  }
+
+  test("q_dedup_spans_removed runs ONE gram pass (two doc scans total)") {
+    val plan = executedPlan("q_dedup_spans_removed")
+    // documents scans: the gram side and the rewrite side — the span
+    // detector must NOT re-derive grams per consumer.
+    assert(countScans(plan) == 2, s"expected 2 scans: $plan")
+  }
+
+  test("q_excise default containment plan unchanged: no df window unless capped") {
+    // The maxShingleDf default must compile to the uncapped plan —
+    // cap-off has exactly two Window nodes' worth of work: |A| per doc
+    // on the left; capped adds a df window per side.
+    val off = executedPlan("q_containment_pairs")
+    val on = executedPlan("q_containment_capped")
+    def windows(p: String) = "Window".r.findAllIn(p).size
+    assert(windows(on) > windows(off),
+      s"cap must add df windows: off=${windows(off)} on=${windows(on)}")
+  }
 }
