@@ -1978,6 +1978,36 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_quality_ensemble" -> ((s, dir) => {
+      // The three quality legs VOTING together — heuristics (Gopher
+      // bounds), LM perplexity (head/middle of the corpus by the
+      // add-one model), learned classifier — with per-leg accounting:
+      // the ensemble gate a production curation pass actually ships
+      // (any single leg both over- and under-fires; the conjunction
+      // is the standard conservative gate). Perplexity scores pin
+      // conf-routed; everything else is map-side over broadcasts.
+      val docs = read(s, dir, "documents")
+      val t = col("text")
+      val gopher = docs.select(col("doc_id"),
+        (TextAnalysis.nWords(t).between(50, 100000) &&
+          round(TextAnalysis.meanWordLen(t), 6).between(3, 10) &&
+          round(TextAnalysis.repetitionRatio(t), 6) < 0.5).as("gopher_keep"))
+      val scored = Dedup.pin(TextAnalysis.perplexity(docs, "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 0), "text"))
+      val bucketed = graft.ops.Cleaning.percentileBins(scored, "ppl",
+          Seq.empty, Seq(0.33, 0.67))
+        .select(col("doc_id"), col("bin").as("ppl_bin"))
+      val cls = Classify.scoreLinear(docs, "doc_id", "text",
+          Classify.fixtureWeights(s, ClsBuckets), ClsBuckets, bias = ClsBias)
+        .select(col("doc_id"), col("label").as("cls_label"))
+      gopher.join(bucketed, Seq("doc_id")).join(cls, Seq("doc_id"))
+        .withColumn("n_pass", (col("gopher_keep").cast("int")
+          + when(col("ppl_bin") <= 1, 1).otherwise(0)
+          + (col("cls_label") === "keep").cast("int")).cast("int"))
+        .withColumn("keep", col("n_pass") === 3)
+        .orderBy("doc_id")
+    }),
+
     "q_heavy_hitters" -> ((s, dir) => {
       // Exact frequent-word report: one combine-reduced vocab shuffle +
       // a broadcast total — stop-word / boilerplate-token discovery
@@ -5581,6 +5611,40 @@ object ExtQueries {
                    || 'clsplit'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
                  ELSE 'test' END AS split
           FROM rep ORDER BY doc_id""",
+
+    // All three legs replayed from their pinned fragments; NULL ppl_bin
+    // (sub-2-word docs) falls to the ELSE 0 vote on both engines.
+    "q_quality_ensemble" ->
+      s"""WITH $lmPerplexitySql,
+          eb AS (SELECT ROUND(quantile_cont(ppl, 0.33), 6) AS q1,
+              ROUND(quantile_cont(ppl, 0.67), 6) AS q2 FROM scored),
+          pb AS (SELECT doc_id,
+              CASE WHEN ppl IS NULL THEN NULL
+                   ELSE CAST((CASE WHEN ppl >= q1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN ppl >= q2 THEN 1 ELSE 0 END) AS INTEGER) END
+                AS ppl_bin
+            FROM scored CROSS JOIN eb),
+          $classifierScoreCte,
+          gq AS (SELECT doc_id,
+              (len(str_split(text, ' ')) BETWEEN 50 AND 100000)
+              AND (ROUND((length(text) - (len(str_split(text, ' ')) - 1.0))
+                    / len(str_split(text, ' ')), 6) BETWEEN 3 AND 10)
+              AND (ROUND(1.0 - CAST(len(list_distinct(str_split(lower(text), ' ')))
+                    AS DOUBLE) / len(str_split(lower(text), ' ')), 6) < 0.5)
+                AS gopher_keep
+            FROM documents)
+          SELECT gq.doc_id, gq.gopher_keep, pb.ppl_bin,
+            cls.label AS cls_label,
+            CAST(CAST(gq.gopher_keep AS INTEGER)
+              + (CASE WHEN pb.ppl_bin <= 1 THEN 1 ELSE 0 END)
+              + (CASE WHEN cls.label = 'keep' THEN 1 ELSE 0 END)
+              AS INTEGER) AS n_pass,
+            (CAST(gq.gopher_keep AS INTEGER)
+              + (CASE WHEN pb.ppl_bin <= 1 THEN 1 ELSE 0 END)
+              + (CASE WHEN cls.label = 'keep' THEN 1 ELSE 0 END)) = 3 AS keep
+          FROM gq JOIN pb ON gq.doc_id = pb.doc_id
+            JOIN cls ON gq.doc_id = cls.doc_id
+          ORDER BY gq.doc_id""",
 
     // Exact integer quotient, 6dp round, share floor replayed.
     "q_heavy_hitters" ->
