@@ -1,5 +1,6 @@
 package graft
 
+import graft.ext.TextAnalysis
 import graft.ops._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -472,6 +473,82 @@ class PropertySpec extends SparkSpec {
         all(TextAnalysis.perplexityInterpolated(docs, "doc_id", "text",
           target, "text", 75)),
         s"JM perplexity moved at parts=$parts")
+    }
+  }
+
+  test("c4LineFilter: every surviving line satisfies every line rule — random lines") {
+    trials(5) { rnd =>
+      val terms = Seq(".", "!", "?", "", " x", ":")
+      val fill = Seq("alpha", "beta", "gamma", "javascript", "delta")
+      val docs = (0 until rnd.nextInt(20) + 5).map { i =>
+        val nLines = rnd.nextInt(8) + 1
+        val text = (0 until nLines).map { _ =>
+          val words = (0 until rnd.nextInt(6)).map(_ =>
+            fill(rnd.nextInt(fill.size))).mkString(" ")
+          words + terms(rnd.nextInt(terms.size))
+        }.mkString("\n")
+        (i.toLong, text)
+      }.toDF("doc_id", "text")
+      val out = TextAnalysis.c4LineFilter(docs, "doc_id", "text",
+        minLineWords = 3, minLines = 2).collect()
+      out.foreach { r =>
+        val lines = r.getString(1).split("\n", -1)
+        assert(lines.length >= 2, "doc gate: at least minLines survive")
+        assert(r.getInt(2) == lines.length, "n_lines_kept matches the text")
+        lines.foreach { l =>
+          assert(Seq(".", "!", "?").contains(l.takeRight(1)), s"terminal: '$l'")
+          assert(l.trim.split(" ").length >= 3, s"min words: '$l'")
+          assert(!l.toLowerCase.contains("javascript"), s"poison: '$l'")
+        }
+      }
+    }
+  }
+
+  test("exciseDuplicateSpans accounting closes and spans really leave — random dup plants") {
+    import graft.ext.Dedup
+    trials(5) { rnd =>
+      // random docs, with a shared 4-word run planted into a random subset
+      val vocab = (0 until 40).map(i => s"w$i")
+      val plant = "dup1 dup2 dup3 dup4"
+      val docs = (0 until rnd.nextInt(10) + 6).map { i =>
+        val words = (0 until rnd.nextInt(15) + 6).map(_ =>
+          vocab(rnd.nextInt(vocab.size)))
+        val text =
+          if (rnd.nextBoolean()) (words.take(3) ++ Seq(plant) ++ words.drop(3)).mkString(" ")
+          else words.mkString(" ")
+        (i.toLong, text)
+      }.toDF("doc_id", "text")
+      val out = Dedup.exciseDuplicateSpans(docs, "doc_id", "text", 2).collect()
+      val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.length == orig.size, "every doc survives with accounting")
+      out.foreach { r =>
+        val (id, text) = (r.getLong(0), r.getString(1))
+        val normOrig = orig(id).split(" ", -1).mkString(" ")
+        assert(r.getInt(4) == normOrig.length - text.length,
+          "n_chars_removed closes against the normalized original")
+        val origWords = normOrig.split(" ", -1).length
+        val keptWords = if (text.isEmpty) 0 else text.split(" ", -1).length
+        assert(r.getLong(3) == origWords - keptWords,
+          "n_words_removed closes against the word counts")
+        assert((r.getLong(2) == 0) == (r.getLong(3) == 0),
+          "spans and words zero together")
+      }
+    }
+  }
+
+  test("heavyHitterWords: shares in (0,1], sum over ALL words is 1 at floor 1/total") {
+    trials(5) { rnd =>
+      val vocab = (0 until rnd.nextInt(10) + 3).map(i => s"t$i")
+      val docs = (0 until rnd.nextInt(10) + 3).map { i =>
+        (i.toLong, (0 until rnd.nextInt(20) + 1).map(_ =>
+          vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val total = docs.collect().map(_.getString(1).split(" ", -1).length).sum
+      val all = TextAnalysis.heavyHitterWords(docs, "text", 1.0 / (2 * total))
+        .collect()
+      val sum = all.map(_.getDouble(2)).sum
+      assert(math.abs(sum - 1.0) < 1e-4, s"shares sum ~1, got $sum")
+      assert(all.map(_.getLong(1)).sum == total, "counts conserve")
     }
   }
 }
