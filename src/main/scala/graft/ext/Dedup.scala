@@ -1053,10 +1053,20 @@ object Dedup {
         .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__sh"))))
         .filter(col("__df") <= maxShingleDf)
         .drop("__df")
-    // ORDER MATTERS on the left side: the |A| window runs on the raw
-    // (uncapped) shingle rows, the df filter prunes after.
-    val l = capped(raw
-        .withColumn("__na", count(lit(1)).over(Window.partitionBy(col(docKey)))))
+    // ORDER MATTERS: the |A| window runs on the raw (uncapped) shingle
+    // rows, the df filter prunes after. Both sides re-derive their
+    // shingles from the scan; ColumnPruning trims the |A| window out of
+    // the r branch, so the capped plan pays exactly one df window per
+    // side. (A shared-subtree ReuseExchange form was tried and does NOT
+    // survive the optimizer: pruning strips the unused |A| column — and
+    // any no-op aggregate kept only to reference it — out of the r
+    // branch, which de-canonicalizes the two exchanges. The honest
+    // alternatives are this recompute or a corpus-sized pin; recompute
+    // wins while the shingle explode is cheaper than materializing
+    // every shingle instance.)
+    val withNa = raw
+      .withColumn("__na", count(lit(1)).over(Window.partitionBy(col(docKey))))
+    val l = capped(withNa)
       .select(col(docKey).as("a"), col("__na"), col("__sh"))
     val r = capped(raw).select(col(docKey).as("b"), col("__sh"))
     l.join(r, Seq("__sh"))
