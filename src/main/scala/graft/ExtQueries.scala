@@ -1978,6 +1978,18 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_uncertain_sample" -> ((s, dir) => {
+      // Active-learning draw: the 50 docs nearest the classifier's
+      // decision boundary — what a labeling pass should read first.
+      // Bounded-k heap (TakeOrdered), never a full sort.
+      Classify.mostUncertain(
+          Classify.scoreLinear(read(s, dir, "documents"), "doc_id", "text",
+            Classify.fixtureWeights(s, ClsBuckets), ClsBuckets,
+            bias = ClsBias),
+          "doc_id", k = 50)
+        .orderBy("doc_id")
+    }),
+
     "q_quality_ensemble" -> ((s, dir) => {
       // The three quality legs VOTING together — heuristics (Gopher
       // bounds), LM perplexity (head/middle of the corpus by the
@@ -5611,6 +5623,15 @@ object ExtQueries {
                    || 'clsplit'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
                  ELSE 'test' END AS split
           FROM rep ORDER BY doc_id""",
+
+    // Margin = |prob - 0.5| at 6dp, k-smallest with doc-key ties.
+    "q_uncertain_sample" ->
+      s"""WITH $classifierScoreCte,
+          m AS (SELECT doc_id, n_feats, logit, prob, label,
+              ROUND(ABS(prob - 0.5), 6) AS margin FROM cls),
+          top AS (SELECT * FROM m ORDER BY margin, doc_id LIMIT 50)
+          SELECT doc_id, n_feats, logit, prob, label, margin
+          FROM top ORDER BY doc_id""",
 
     // All three legs replayed from their pinned fragments; NULL ppl_bin
     // (sub-2-word docs) falls to the ELSE 0 vote on both engines.

@@ -82,6 +82,22 @@ object Classify {
         col("label"))
   }
 
+  /** UNCERTAINTY sampling over [[scoreLinear]] output — the active-
+    * learning draw: the k docs whose probability sits closest to the
+    * decision boundary (margin = |prob − 0.5|, 6dp) are the ones a
+    * labeling pass should see first — they move the model most per
+    * label, and they are exactly where the broadcast model disagrees
+    * with itself. Deterministic: margin ties break on the doc key.
+    * Runs as TakeOrderedAndProject — a per-partition k-heap + merge,
+    * never a full sort (the bounded-k discipline every draw in this
+    * library follows). */
+  def mostUncertain(scored: DataFrame, docKey: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    scored.withColumn("margin", round(abs(col("prob") - 0.5), 6))
+      .orderBy(col("margin").asc, col(docKey))
+      .limit(k)
+  }
+
   /** Deterministic DEMO weight table: weight(b) = round(u(b) − 0.5, 6)
     * with u(b) the md5-derived uniform of (b || salt) — a fixed
     * pseudo-random model both engines regenerate bit-for-bit, standing

@@ -981,10 +981,13 @@ object TextAnalysis {
           lit(0.0)) / col("__c1") +
           lit(disc) * col("__n1p") / col("__c1") * pc)
       .otherwise(pc)
+    // One reference table per bigram SIDE: c(w1) and N1+(w1,·) pre-join
+    // on the vocab (bounded rows, driver-free) so the doc-bigram stream
+    // pays three broadcast joins, not four.
+    val w1Side = refUni.join(hist, Seq("__w1"), "left")
     val scored = wordBigrams(df, Seq(docKey), textCol)
       .join(refBi, Seq("__w1", "__w2"), "left")
-      .join(refUni, Seq("__w1"), "left")
-      .join(hist, Seq("__w1"), "left")
+      .join(w1Side, Seq("__w1"), "left")
       .join(cont, Seq("__w2"), "left")
       .crossJoin(broadcast(totals))
       .withColumn("__lp", round(log(pkn), 6).cast(DecimalType(25, 6)))
