@@ -1978,6 +1978,19 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_score_drift" -> ((s, dir) => {
+      // PSI between the even- and odd-id halves' classifier scores —
+      // the model-monitoring drift number, per 0.1-wide probability
+      // bin (two halves of one synthetic corpus ⇒ the PSI should read
+      // "stable"; the arithmetic is what the oracle pins).
+      val docs = read(s, dir, "documents")
+      def half(m: Int) = Classify.scoreLinear(
+        docs.filter(col("doc_id") % 2 === m), "doc_id", "text",
+        Classify.fixtureWeights(s, ClsBuckets), ClsBuckets, bias = ClsBias)
+      Classify.scoreDrift(half(0), half(1), "prob", bins = 10)
+        .orderBy("bin")
+    }),
+
     "q_uncertain_sample" -> ((s, dir) => {
       // Active-learning draw: the 50 docs nearest the classifier's
       // decision boundary — what a labeling pass should read first.
@@ -5623,6 +5636,39 @@ object ExtQueries {
                    || 'clsplit'), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
                  ELSE 'test' END AS split
           FROM rep ORDER BY doc_id""",
+
+    // The classifier chain split even/odd, binned on the 10-bin spine,
+    // add-one smoothed shares, 6dp PSI contributions.
+    "q_score_drift" ->
+      s"""WITH $classifierScoreCte,
+          ha AS (SELECT CAST(LEAST(FLOOR(prob * 10), 9) AS INTEGER) AS bin
+            FROM cls WHERE doc_id % 2 = 0),
+          hb AS (SELECT CAST(LEAST(FLOOR(prob * 10), 9) AS INTEGER) AS bin
+            FROM cls WHERE doc_id % 2 = 1),
+          ca AS (SELECT bin, COUNT(*) AS n_a FROM ha GROUP BY bin),
+          cb AS (SELECT bin, COUNT(*) AS n_b FROM hb GROUP BY bin),
+          ta AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t FROM ca),
+          tb AS (SELECT CAST(SUM(n_b) AS BIGINT) AS t FROM cb),
+          spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER) AS bin)
+          SELECT spine.bin,
+            CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+            CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+            ROUND(CAST(COALESCE(n_a, 0) + 1 AS DOUBLE)
+              / CAST((SELECT t FROM ta) + 10 AS DOUBLE), 6) AS share_a,
+            ROUND(CAST(COALESCE(n_b, 0) + 1 AS DOUBLE)
+              / CAST((SELECT t FROM tb) + 10 AS DOUBLE), 6) AS share_b,
+            ROUND((CAST(COALESCE(n_a, 0) + 1 AS DOUBLE)
+                / CAST((SELECT t FROM ta) + 10 AS DOUBLE)
+              - CAST(COALESCE(n_b, 0) + 1 AS DOUBLE)
+                / CAST((SELECT t FROM tb) + 10 AS DOUBLE))
+              * ln((CAST(COALESCE(n_a, 0) + 1 AS DOUBLE)
+                  / CAST((SELECT t FROM ta) + 10 AS DOUBLE))
+                / (CAST(COALESCE(n_b, 0) + 1 AS DOUBLE)
+                  / CAST((SELECT t FROM tb) + 10 AS DOUBLE))), 6)
+              AS psi_contrib
+          FROM spine LEFT JOIN ca ON spine.bin = ca.bin
+            LEFT JOIN cb ON spine.bin = cb.bin
+          ORDER BY spine.bin""",
 
     // Margin = |prob - 0.5| at 6dp, k-smallest with doc-key ties.
     "q_uncertain_sample" ->

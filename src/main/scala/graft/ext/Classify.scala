@@ -98,6 +98,50 @@ object Classify {
       .limit(k)
   }
 
+  /** Score-distribution DRIFT between two corpus slices — the
+    * Population Stability Index over fixed-width probability bins,
+    * the standard model-monitoring number ("has the score
+    * distribution my gate sees moved since calibration?"). Per bin b:
+    * contrib_b = (share_a(b) − share_b(b)) · ln(share_a(b)/share_b(b)),
+    * shares add-one smoothed over the bin spine so empty bins stay
+    * finite; PSI = Σ contrib (< 0.1 stable, 0.1–0.25 drifting, > 0.25
+    * act — the industry rule of thumb). Returns one row per bin with
+    * counts, 6dp shares and 6dp contribution (the total is the sum —
+    * derivable, so it does not ship as a duplicated column).
+    *
+    * Shape: two combine-enabled bin aggs (≤ `bins` rows each) joined
+    * on a Range spine with broadcast single-row totals — nothing
+    * corpus-sized moves. Deterministic: integer counts, exact-integer
+    * IEEE divides, ln 6dp-rounded. */
+  def scoreDrift(a: DataFrame, b: DataFrame, valueCol: String,
+                 bins: Int): DataFrame = {
+    require(bins >= 2, s"need >= 2 bins, got $bins")
+    val spark = a.sparkSession
+    def binned(d: DataFrame, n: String): DataFrame = d
+      .select(least(floor(col(valueCol) * bins), lit(bins - 1))
+        .cast("int").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    val ca = binned(a, "n_a")
+    val cb = binned(b, "n_b")
+    val ta = ca.agg(sum(col("n_a")).as("__ta"))
+    val tb = cb.agg(sum(col("n_b")).as("__tb"))
+    val spine = spark.range(bins.toLong).select(col("id").cast("int").as("bin"))
+    val sa = (coalesce(col("n_a"), lit(0L)) + 1).cast(DoubleType) /
+      (col("__ta") + bins).cast(DoubleType)
+    val sb = (coalesce(col("n_b"), lit(0L)) + 1).cast(DoubleType) /
+      (col("__tb") + bins).cast(DoubleType)
+    spine
+      .join(ca, Seq("bin"), "left")
+      .join(cb, Seq("bin"), "left")
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        round(sa, 6).as("share_a"),
+        round(sb, 6).as("share_b"),
+        round((sa - sb) * log(sa / sb), 6).as("psi_contrib"))
+  }
+
   /** Deterministic DEMO weight table: weight(b) = round(u(b) − 0.5, 6)
     * with u(b) the md5-derived uniform of (b || salt) — a fixed
     * pseudo-random model both engines regenerate bit-for-bit, standing

@@ -3041,4 +3041,20 @@ class ExtSpec extends SparkSpec {
       .collect()
     assert(short.length == 1 && short(0).getLong(1) == 0L && short(0).isNullAt(2))
   }
+
+  test("scoreDrift PSI: identical slices give ~zero, a shifted slice does not") {
+    import org.apache.spark.sql.types.DecimalType
+    val a = (1L to 200L).map(i => (i, (i % 100) / 100.0)).toDF("id", "prob")
+    val same = Classify.scoreDrift(a, a, "prob", bins = 10).collect()
+    assert(same.length == 10, "one row per bin, empty bins included")
+    assert(same.forall(_.getDouble(5) == 0.0),
+      "identical distributions have zero contribution everywhere")
+    // shift the second slice's mass upward — PSI must be positive
+    val b = a.select(col("id"), least(col("prob") + 0.4, lit(0.99)).as("prob"))
+    val drift = Classify.scoreDrift(a, b, "prob", bins = 10).collect()
+    val psi = drift.map(_.getDouble(5)).sum
+    assert(psi > 0.1, s"shifted distribution must read as drifting, psi=$psi")
+    // counts conserve per side
+    assert(drift.map(_.getLong(1)).sum == 200 && drift.map(_.getLong(2)).sum == 200)
+  }
 }
