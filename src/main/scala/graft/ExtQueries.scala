@@ -1705,6 +1705,43 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dup_cluster_sizes" -> ((s, dir) => {
+      // Duplicate-FAMILY size histogram: how many clusters of each
+      // size the verified near-dup graph contains — the one-table
+      // answer to "is my duplication a few huge families or a long
+      // tail of pairs?", which decides eviction strategy (keep-best
+      // per family vs pair-greedy) and sizes the CC work itself.
+      val docs = read(s, dir, "documents")
+      val verified = Dedup.verifiedNearDupPairs(docs, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
+      Dedup.dupClusters(verified)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+        .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy("size")
+    }),
+
+    "q_excise_report" -> ((s, dir) => {
+      // Per-source EXCISION accounting: what the span-removal pass
+      // would delete, as a corpus-shrink table (docs touched, spans,
+      // words, chars, and the removed-char share of the normalized
+      // corpus) — the go/no-go partner to q_duplication_report, now
+      // measured on the actual transform output.
+      val docs = read(s, dir, "documents")
+      Dedup.exciseDuplicateSpans(docs, "doc_id", "text", DupGramWords)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("n_spans_removed") > 0).cast("long")).as("docs_touched"),
+          sum(col("n_spans_removed")).as("spans_removed"),
+          sum(col("n_words_removed")).as("words_removed"),
+          sum(col("n_chars_removed").cast("long")).as("chars_removed"),
+          sum(length(col("text")).cast("long")).as("chars_kept"))
+        .withColumn("removed_share", round(
+          col("chars_removed").cast("double") /
+            (col("chars_removed") + col("chars_kept")), 6))
+        .orderBy("source")
+    }),
+
     "q_dup_clusters" -> ((s, dir) => {
       // Transitive duplicate CLUSTERS over the verified near-dup graph:
       // min-label propagation to the component minimum (a distributed
@@ -5110,6 +5147,14 @@ object ExtQueries {
 
     "q_dup_clusters" -> dupClustersOracleSql,
 
+    // Cluster labels to sizes to the size histogram.
+    "q_dup_cluster_sizes" ->
+      s"""$dupClustersCte,
+          cl AS (SELECT node, MIN(label) AS cluster FROM cc GROUP BY node),
+          sz AS (SELECT cluster, COUNT(*) AS size FROM cl GROUP BY cluster)
+          SELECT size, COUNT(*) AS n_clusters
+          FROM sz GROUP BY size ORDER BY size""",
+
     "q_dedup_keep_best" -> dedupKeepBestOracleSql,
 
     // The star-contraction variant must produce the identical
@@ -5561,6 +5606,53 @@ object ExtQueries {
           FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
             LEFT JOIN agg a ON w.doc_id = a.doc_id
           ORDER BY w.doc_id""",
+
+    // The excision chain closed per source: same spans/kept arithmetic,
+    // rolled up with the removed-char share of the normalized corpus.
+    "q_excise_report" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          g AS (SELECT doc_id, CAST(i AS INTEGER) AS p,
+                  md5(array_to_string(ws[i:i+$DupGramWords-1], ' ')) AS h
+                FROM w, LATERAL (SELECT unnest(
+                  generate_series(1, len(ws)-$DupGramWords+1)) AS i)
+                WHERE len(ws) >= $DupGramWords),
+          d AS (SELECT doc_id, p FROM g
+                QUALIFY count(*) OVER (PARTITION BY h) > 1),
+          i AS (SELECT doc_id, p,
+                  CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         <= $DupGramWords THEN 0 ELSE 1 END AS nw FROM d),
+          si AS (SELECT doc_id, p,
+                  SUM(nw) OVER (PARTITION BY doc_id ORDER BY p) AS isl FROM i),
+          sp AS (SELECT doc_id, MIN(p) AS s, MAX(p) + $DupGramWords - 1 AS e
+                FROM si GROUP BY doc_id, isl),
+          agg AS (SELECT doc_id, COUNT(*) AS nsp, SUM(e - s + 1) AS nwr
+                FROM sp GROUP BY doc_id),
+          words AS (SELECT doc_id,
+              unnest(generate_series(1, len(ws))) AS wi, unnest(ws) AS word
+            FROM w),
+          kept AS (SELECT x.doc_id, string_agg(word, ' ' ORDER BY wi) AS ktext
+                FROM words x WHERE NOT EXISTS
+                  (SELECT 1 FROM sp WHERE sp.doc_id = x.doc_id
+                     AND x.wi BETWEEN sp.s AND sp.e)
+                GROUP BY x.doc_id),
+          per AS (SELECT w.doc_id,
+              COALESCE(a.nsp, 0) AS nsp, COALESCE(a.nwr, 0) AS nwr,
+              len(array_to_string(ws, ' ')) - len(COALESCE(k.ktext, ''))
+                AS ncr,
+              len(COALESCE(k.ktext, '')) AS nck
+            FROM w LEFT JOIN kept k ON w.doc_id = k.doc_id
+              LEFT JOIN agg a ON w.doc_id = a.doc_id)
+          SELECT d0.source, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN nsp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS docs_touched,
+            CAST(SUM(nsp) AS BIGINT) AS spans_removed,
+            CAST(SUM(nwr) AS BIGINT) AS words_removed,
+            CAST(SUM(ncr) AS BIGINT) AS chars_removed,
+            CAST(SUM(nck) AS BIGINT) AS chars_kept,
+            ROUND(CAST(SUM(ncr) AS DOUBLE) / (SUM(ncr) + SUM(nck)), 6)
+              AS removed_share
+          FROM per JOIN documents d0 ON per.doc_id = d0.doc_id
+          GROUP BY d0.source ORDER BY d0.source""",
 
     // fastText-shaped scorer replayed: the same md5 bucket wheel on
     // unigram + bigram terms, the same md5-derived fixture weights,
