@@ -592,6 +592,37 @@ object EventStream {
       }
   }
 
+  /** Streaming TRENDING-TERM counts: watermarked tumbling-window word
+    * counts over a text stream — the drift canary for live ingest (a
+    * term surging inside one window is template spam, an event, or a
+    * new crawl source; all three deserve a look before the mixture
+    * shifts). Explode is map-side; the windowed agg is the same
+    * partial-agg + state-store shape as [[tumblingCounts]], keyed by
+    * (window, term) with the watermark bounding state. Top-k per
+    * window is a BATCH read over the sink table
+    * ([[topTermsPerWindow]]) — streaming cannot rank inside the
+    * micro-batch without a per-window shuffle every trigger, and the
+    * sink table is exactly the (window, term, n) relation the rank
+    * wants. */
+  def windowedTermCounts(docs: DataFrame, tsCol: String, textCol: String,
+                         window_ : String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame =
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .groupBy(window(col(tsCol), window_), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("term"), col("n"))
+
+  /** The batch rank over a [[windowedTermCounts]] sink: top `k` terms
+    * per window, count-descending with term tiebreak (total order —
+    * deterministic on any cluster). */
+  def topTermsPerWindow(counts: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    graft.ops.Analytics.topKPerGroup(counts, Seq("win_start"),
+      Seq(col("n").desc, col("term")), k)
+  }
+
   /** Streaming LEARNED-quality gate — the streaming twin of
     * [[graft.ext.Classify.scoreLinear]] ∘ filter(label = 'keep'),
     * composed with the keyed keep-existing upsert so at-least-once

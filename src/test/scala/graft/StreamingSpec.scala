@@ -689,4 +689,37 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(got == batchKeep, s"stream gate must equal the batch gate, got $got")
   }
+
+  test("windowed trending terms: stream equals the batch twin, top-k ranks deterministically") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val rows = Seq(
+      (ts(5), "spark spark stream"),
+      (ts(20), "batch spark"),
+      (ts(65), "drift drift drift alert"),
+      (ts(70), "drift alert"))
+    val q = EventStream.windowedTermCounts(
+        mem.toDF().toDF("ts", "text"), "ts", "text")
+      .writeStream.format("memory").queryName("trend").outputMode("update")
+      .start()
+    mem.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("trend")
+      .select("win_start", "term", "n")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    val want = rows.toDF("ts", "text")
+      .select(col("ts"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(window(col("ts"), "1 hour"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("term"), col("n"))
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    assert(got == want, "stream must equal the batch tumbling counts")
+    val top = EventStream.topTermsPerWindow(spark.table("trend")
+        .select("win_start", "term", "n"), k = 1)
+      .select("win_start", "term").as[(java.sql.Timestamp, String)]
+      .collect().toMap
+    assert(top(ts(0)) == "spark" && top(java.sql.Timestamp.valueOf(
+      "2026-01-01 11:00:00")) == "drift", s"window champions, got $top")
+  }
 }
