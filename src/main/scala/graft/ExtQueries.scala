@@ -1350,6 +1350,22 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_mixture_by_lang" -> ((s, dir) => {
+      // LANGUAGE-conditioned α-temperature mixture — the multilingual
+      // recipe (XLM-R/mT5 line): budgets apportioned over the DETECTED
+      // language, upsampling low-supply languages against the dominant
+      // one. langId composes straight into the mixture machinery as
+      // the stratum column; nothing else changes.
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.langId(col("text")).as("source"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      Sampling.mixtureByTemperature(docs, col("source"), col("doc_id"),
+          col("n_tokens"), MixtureLangs, TempTotal, TempAlphaHundredths,
+          shards = MixtureShards)
+        .orderBy("doc_id")
+    }),
+
     "q_semantic_dedup" -> ((s, dir) => {
       // Cross-modal near-dup removal: a document is evicted when its
       // EMBEDDING is a verified cosine near-duplicate of a lower-id
@@ -2615,6 +2631,10 @@ object ExtQueries {
     * buckets, deterministic fixture weights, small positive bias. */
   private val ClsBuckets = 1024
   private val ClsBias = 0.05
+  /** Language strata for the lang-keyed mixture (marker codes + the
+    * detector's 'und' fallback). */
+  private val MixtureLangs =
+    graft.ext.TextAnalysis.LangMarkers.map(_._1) :+ "und"
   /** Heavy-hitter share floor (0.4% of word instances at any SF). */
   private val HeavyShare = 0.004
   /** Kneser–Ney absolute discount (hundredths): the 0.75 default the
@@ -2988,16 +3008,15 @@ object ExtQueries {
     * tokens one each to the largest remainders, remainder DESC / name
     * ASC, zero-weight sources never bumped) → the literal-budget
     * mixture chain under those budgets, redistribution pass included. */
-  private def mixtureTempSql: String = {
-    val srcVals = TempSources.map(s => s"('$s')").mkString(", ")
-    val keysIn = TempSources.map(s => s"'$s'").mkString(", ")
+  /** The α-temperature chain over an arbitrary `base` CTE (must yield
+    * base(doc_id, source, n_tokens, shard, h)) and stratum list —
+    * shared by the source-keyed and language-keyed mixtures. */
+  private def mixtureTempChainSql(baseCtes: String,
+                                  sources: Seq[String]): String = {
+    val srcVals = sources.map(s => s"('$s')").mkString(", ")
+    val keysIn = sources.map(s => s"'$s'").mkString(", ")
     val alphaLit = TempAlphaHundredths / 100.0
-    s"""base AS (SELECT doc_id, source,
-         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
-         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8)) AS BIGINT)
-           % $MixtureShards AS shard,
-         md5(CAST(doc_id AS VARCHAR)) AS h
-       FROM documents),
+    s"""$baseCtes,
        srcs AS (SELECT * FROM (VALUES $srcVals) AS v(source)),
        sup0 AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS s
          FROM base WHERE source IN ($keysIn) GROUP BY 1),
@@ -3029,6 +3048,39 @@ object ExtQueries {
        sel AS (SELECT doc_id, source, n_tokens FROM c WHERE before < shard_budget),
        $mixtureRedistTailSql"""
   }
+
+  private def mixtureBaseSql: String =
+    s"""base AS (SELECT doc_id, source,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8)) AS BIGINT)
+           % $MixtureShards AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+       FROM documents)"""
+
+  private def mixtureTempSql: String =
+    mixtureTempChainSql(mixtureBaseSql, TempSources)
+
+  /** Language-keyed base: the q_lang_id marker-score CASE as the
+    * stratum, everything else identical. */
+  private def mixtureLangBaseSql: String = {
+    val scores = MarkerSql.map { case (code, arr) =>
+      s"len(list_intersect(str_split(lower(text), ' '), $arr)) AS s_$code"
+    }.mkString(", ")
+    val best = MarkerSql.keys.map(c => s"s_$c").mkString("greatest(", ", ", ")")
+    val pick = TextAnalysis.LangMarkers.map(_._1)
+      .map(c => s"WHEN s_$c = best AND s_$c > 0 THEN '$c'").mkString(" ")
+    s"""lsc AS (SELECT doc_id, text, $scores FROM documents),
+       lb AS (SELECT *, $best AS best FROM lsc),
+       base AS (SELECT doc_id, CASE $pick ELSE 'und' END AS source,
+         CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix'), 1, 8)) AS BIGINT)
+           % $MixtureShards AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+       FROM lb)"""
+  }
+
+  private def mixtureLangSql: String =
+    mixtureTempChainSql(mixtureLangBaseSql, MixtureLangs)
   private val WideBands = 2
   private val WideSliceBits = 12
   // Pigeonhole recall guarantee requires maxHamming < WideBands.
@@ -4803,6 +4855,10 @@ object ExtQueries {
 
     "q_mixture_temp" ->
       s"""WITH $mixtureTempSql
+          SELECT doc_id, source, n_tokens FROM sel2 ORDER BY doc_id""",
+
+    "q_mixture_by_lang" ->
+      s"""WITH $mixtureLangSql
           SELECT doc_id, source, n_tokens FROM sel2 ORDER BY doc_id""",
 
     // The q_mixture_report tail over the ADJUSTED budgets and pass-2
