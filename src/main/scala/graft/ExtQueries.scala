@@ -2056,6 +2056,28 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_gate_agreement" -> ((s, dir) => {
+      // Gate AGREEMENT audit: the (gopher, classifier) confusion
+      // counts per source — where the heuristic and learned legs
+      // disagree is exactly the slice to hand-audit before trusting
+      // either gate (systematic disagreement on one source means a
+      // domain the heuristics or the model misread).
+      val docs = read(s, dir, "documents")
+      val t = col("text")
+      val gopher = docs.select(col("doc_id"), col("source"),
+        (TextAnalysis.nWords(t).between(50, 100000) &&
+          round(TextAnalysis.meanWordLen(t), 6).between(3, 10) &&
+          round(TextAnalysis.repetitionRatio(t), 6) < 0.5).as("gopher_keep"))
+      val cls = Classify.scoreLinear(docs, "doc_id", "text",
+          Classify.fixtureWeights(s, ClsBuckets), ClsBuckets, bias = ClsBias)
+        .select(col("doc_id"), (col("label") === "keep").as("cls_keep"))
+      gopher.join(cls, Seq("doc_id"))
+        .groupBy(col("source"), col("gopher_keep"), col("cls_keep"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("agree", col("gopher_keep") === col("cls_keep"))
+        .orderBy("source", "gopher_keep", "cls_keep")
+    }),
+
     "q_quality_ensemble" -> ((s, dir) => {
       // The three quality legs VOTING together — heuristics (Gopher
       // bounds), LM perplexity (head/middle of the corpus by the
@@ -5826,6 +5848,24 @@ object ExtQueries {
           top AS (SELECT * FROM m ORDER BY margin, doc_id LIMIT 50)
           SELECT doc_id, n_feats, logit, prob, label, margin
           FROM top ORDER BY doc_id""",
+
+    // Gopher CASE + classifier CTE joined, confusion-rolled per source.
+    "q_gate_agreement" ->
+      s"""WITH $classifierScoreCte,
+          gq AS (SELECT doc_id, source,
+              (len(str_split(text, ' ')) BETWEEN 50 AND 100000)
+              AND (ROUND((length(text) - (len(str_split(text, ' ')) - 1.0))
+                    / len(str_split(text, ' ')), 6) BETWEEN 3 AND 10)
+              AND (ROUND(1.0 - CAST(len(list_distinct(str_split(lower(text), ' ')))
+                    AS DOUBLE) / len(str_split(lower(text), ' ')), 6) < 0.5)
+                AS gopher_keep
+            FROM documents)
+          SELECT gq.source, gq.gopher_keep,
+            cls.label = 'keep' AS cls_keep, COUNT(*) AS n_docs,
+            gq.gopher_keep = (cls.label = 'keep') AS agree
+          FROM gq JOIN cls ON gq.doc_id = cls.doc_id
+          GROUP BY 1, 2, 3
+          ORDER BY gq.source, gq.gopher_keep, cls_keep""",
 
     // All three legs replayed from their pinned fragments; NULL ppl_bin
     // (sub-2-word docs) falls to the ELSE 0 vote on both engines.
