@@ -3,6 +3,7 @@ package graft
 import graft.ext._
 import graft.ops.{Analytics, BloomJoin, Cardinality, Checksum}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -93,6 +94,52 @@ object ExtQueries {
         .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount"))
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    "q_tpch_q10" -> ((s, dir) => {
+      // TPC-H Q10 (returned-item revenue): one quarter of orders, the
+      // 'R' lineitems, customer + broadcast nation — top-20 customers
+      // by lost revenue. The two fact filters reach both scans; the
+      // wide customer attributes ride the group key, not a re-join.
+      val cust = read(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+      val ord = read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate") < lit("1996-04-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+      val li = read(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val nat = read(s, dir, "nation").select("n_nationkey", "n_name")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    "q_tpch_q18" -> ((s, dir) => {
+      // TPC-H Q18 (large-volume customers): the having-subquery shape —
+      // a full lineitem pre-aggregation gates the join, so only the
+      // handful of >300-qty orders ever shuffle toward orders/customer.
+      // The pre-agg is map-side combinable on l_orderkey; AQE sees the
+      // tiny survivor set and broadcasts it into both joins.
+      val big = read(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum2(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300.0)
+      val ord = read(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      val cust = read(s, dir, "customer").select("c_custkey", "c_name")
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
     }),
 
     "q_rolling_mean" -> ((s, dir) => {
@@ -709,6 +756,33 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_curation_fates" -> ((s, dir) => {
+      // The pipeline's EXPLAINABILITY table: every doc (dropped ones
+      // included) with the FIRST stage that would remove it — 'length',
+      // 'repetitious', 'near_dup', or 'kept'. Same stages, same
+      // constants as q_curation_pipeline, so the two queries reconcile
+      // row for row; the audit a 100 TB curation run publishes next to
+      // its output so "why did my doc disappear?" is a lookup, not a
+      // re-run. The eviction set is bounded (verified near-dup losers)
+      // → rides to every doc as a broadcast left join.
+      val docs = read(s, dir, "documents")
+      val t = col("text")
+      val lengthOk = TextAnalysis.nWords(t).between(20, 100000)
+      val repOk = round(TextAnalysis.repetitionRatio(t), 6) < 0.8
+      val quality = Dedup.pin(docs.filter(lengthOk && repOk))
+      val verified = Dedup.verifiedNearDupPairs(quality, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
+      val evicted = verified.select(col("b").as("doc_id")).distinct()
+        .withColumn("__evicted", lit(true))
+      docs.join(broadcast(evicted), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"),
+          when(!lengthOk, lit("length"))
+            .when(!repOk, lit("repetitious"))
+            .when(col("__evicted"), lit("near_dup"))
+            .otherwise(lit("kept")).as("fate"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_near" -> ((s, dir) => {
       // The full near-dup CLEANING pipeline end-to-end: MinHash → LSH
       // candidates → Jaccard verify → greedy eviction of the higher id of
@@ -814,6 +888,37 @@ object ExtQueries {
       val res = Similarity.ivfTopKWith(queries, corpus, k = 3, cents,
         nProbe = IvfProbes)
       val truth = Similarity.bruteForceTopK(queries, corpus, 3)
+      Retrieval.recallAtK(res, truth, k = 3).orderBy("q_id")
+    }),
+
+    "q_embed_rp" -> ((s, dir) => {
+      // Johnson–Lindenstrauss random projection 64 → 16: seeded ±6dp
+      // hyperplanes inlined as literals, scale 0.25 = 1/√16 (binary-
+      // exact, so both engines multiply the same double). Map-only,
+      // zero shuffles — the projected corpus is 1/4 the scan bytes of
+      // every downstream distance pass.
+      Similarity.randomProject(
+          read(s, dir, "embeddings").select("vec_id", "embedding"),
+          "embedding", RpPlanes, "projected", scale = RpScale)
+        .select("vec_id", "projected")
+        .orderBy("vec_id")
+    }),
+
+    "q_rp_recall" -> ((s, dir) => {
+      // The projection's distortion, measured not assumed: exact top-3
+      // in the 16-dim projected space scored against exact top-3 in the
+      // original 64-dim space, recall@3 per query. The corpus projects
+      // once and feeds both the query and corpus sides.
+      val e = read(s, dir, "embeddings").select("vec_id", "embedding")
+      val p = Similarity.randomProject(e, "embedding", RpPlanes,
+          "projected", scale = RpScale)
+        .select(col("vec_id"), col("projected").as("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val pq = p.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val truth = Similarity.bruteForceTopK(q, e, 3)
+      val res = Similarity.bruteForceTopK(pq, p, 3)
       Retrieval.recallAtK(res, truth, k = 3).orderBy("q_id")
     }),
 
@@ -1772,6 +1877,43 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_dup_centrality" -> ((s, dir) => {
+      // PageRank-style centrality over the verified near-dup graph:
+      // CentralityIters fixed power-iteration rounds, decimal-exact
+      // contribution sums — which member of each duplicate family is
+      // most similar to the rest (the natural representative), as a
+      // first-class table.
+      val docs = read(s, dir, "documents")
+      val verified = Dedup.verifiedNearDupPairs(docs, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
+      Dedup.pairCentrality(verified, "a", "b", iters = CentralityIters)
+        .select(col("u").as("doc_id"), col("deg"), col("centrality"))
+        .orderBy("doc_id")
+    }),
+
+    "q_central_representatives" -> ((s, dir) => {
+      // The composition q_dup_centrality exists for: per duplicate
+      // CLUSTER, keep the most central member (ties to the smallest
+      // id) — a principled alternative to min-id (q_dup_clusters) and
+      // heuristic-quality (q_dedup_keep_best) survivor selection. The
+      // verified pair table is pinned once and feeds both the cluster
+      // rounds and the centrality rounds.
+      val docs = read(s, dir, "documents")
+      val verified = Dedup.pin(Dedup.verifiedNearDupPairs(docs, "doc_id",
+        "text", k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard))
+      val clusters = Dedup.dupClusters(verified)
+      val cent = Dedup.pairCentrality(verified, "a", "b",
+        iters = CentralityIters)
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("centrality").desc, col("node"))
+      clusters.join(cent, clusters("node") === cent("u"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster").as("cluster_id"), col("node").as("doc_id"),
+          col("centrality"))
+        .orderBy("cluster_id")
+    }),
+
     "q_dedup_keep_best" -> ((s, dir) => {
       // Quality-aware survivor selection: per near-dup cluster keep the
       // HIGHEST-quality member (ties to the smallest id), not the
@@ -1849,6 +1991,32 @@ object ExtQueries {
       Sampling.packToExamples(docs, col("doc_id"), col("n_tokens"), "text",
           budget = PackBudget, shards = PackShards, sep = PackSep)
         .orderBy("shard", "pack_id")
+    }),
+
+    "q_pack_boundaries" -> ((s, dir) => {
+      // The packing's attention-mask companion: per member doc, its
+      // pack, 0-based slot, and the token offset where it starts
+      // inside the example — what a dataloader needs to stop
+      // cross-document attention. Same prefix rule, same order as
+      // q_pack_examples; token_start is the within-pack exclusive
+      // prefix sum.
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      Sampling.packBoundaries(docs, col("doc_id"), col("n_tokens"),
+          budget = PackBudget, shards = PackShards)
+        .orderBy("shard", "pack_id", "seq")
+    }),
+
+    "q_interleave_sources" -> ((s, dir) => {
+      // Deterministic source-interleaved training order: round-robin
+      // across sources so adjacent examples come from different
+      // corpora — pos = rank_within_source × n_sources + source_index,
+      // a pure function of (doc_id, source).
+      Sampling.interleaveBySource(read(s, dir, "documents"),
+          col("source"), col("doc_id"))
+        .select("doc_id", "source", "pos")
+        .orderBy("pos")
     }),
 
     "q_sample_per_group" -> ((s, dir) => {
@@ -2338,6 +2506,9 @@ object ExtQueries {
   )
 
   private val NearDupJaccard = 0.8
+  /** Fixed power-iteration rounds for the pair-graph centrality — the
+    * oracle unrolls exactly this many. */
+  private val CentralityIters = 3
   // Paragraph dedup re-chunks the newline-less word-soup corpus into
   // fixed word-count "paragraphs"; 8 words is small enough that the
   // ~30-word vocabulary produces real cross-document repetition.
@@ -3114,6 +3285,14 @@ object ExtQueries {
   /** Second independent set for the multi-probe query. */
   private lazy val AnnPlanes2 = Similarity.randomPlanes(AnnBits, AnnDim, AnnSeed + 1)
 
+  /** JL projection target dim — 16 so the 1/√k scale (0.25) is
+    * binary-exact and both engines multiply the identical double. */
+  private val RpDim = 16
+  private val RpScale = 0.25
+  /** Projection matrix shared by the Spark queries and the generated
+    * oracle text — [[Similarity.randomPlanes]]' 6dp literals. */
+  private lazy val RpPlanes = Similarity.randomPlanes(RpDim, AnnDim, AnnSeed + 7)
+
   // DuckDB mirrors. The multi-line/generated ones are built with Scala
   // string ops; they are still plain ANSI-ish SQL at the driver.
   private val MarkerSql: Map[String, String] = TextAnalysis.LangMarkers.map {
@@ -3211,6 +3390,16 @@ object ExtQueries {
 
   private def bucketSql(v: String): String = bucketSqlWith(v, AnnPlanes)
 
+  /** JL projection of `v` as a DuckDB list literal expression: the
+    * SAME RpPlanes rows the Spark query inlines, the same binary-exact
+    * 0.25 scale, the same 6dp round per component. */
+  private def rpProjSql(v: String): String =
+    RpPlanes.map { p =>
+      val plane = p.mkString("[", ", ", "]")
+      s"""ROUND(list_dot_product(
+            list_transform($v, x -> CAST(x AS DOUBLE)), $plane) * $RpScale, 6)"""
+    }.mkString("[", ",\n ", "]")
+
   /** 3-gram shingle list of `lower(text)` in DuckDB. */
   private def shinglesSqlOf(expr: String): String =
     s"""list_transform(generate_series(1, len(str_split(lower($expr), ' ')) - 2),
@@ -3294,6 +3483,27 @@ object ExtQueries {
     s"""$dupClustersCte
           SELECT node AS doc_id, MIN(label) AS cluster_id
           FROM cc GROUP BY node ORDER BY doc_id"""
+
+  /** Unrolled power-iteration CTEs over `edges(src, dst)` (the
+    * symmetric closure dupClustersCte already builds): the SAME
+    * rounding ladder as Dedup.pairCentrality — contributions round to
+    * 12dp then sum as exact DECIMAL(20,12), each round's rank rounds
+    * to 12dp, damping written as (1 - 0.85) so both engines evaluate
+    * the identical IEEE expression tree. Ends at `pr$iters(u, deg, pr)`. */
+  private def pairCentralityCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""pr$k AS (SELECT x.u, d.deg, x.pr FROM (
+            SELECT e.dst AS u,
+              ROUND((1 - 0.85) / nn.n + 0.85 * CAST(SUM(
+                CAST(ROUND(p.pr / p.deg, 12) AS DECIMAL(20,12))) AS DOUBLE), 12) AS pr
+            FROM edges e JOIN pr${k - 1} p ON e.src = p.u CROSS JOIN nn
+            GROUP BY e.dst, nn.n) x JOIN d ON x.u = d.u)"""
+    }.mkString(",\n          ")
+    s"""d AS (SELECT src AS u, COUNT(*) AS deg FROM edges GROUP BY src),
+          nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+          pr0 AS (SELECT u, deg, 1.0 / n AS pr FROM d CROSS JOIN nn),
+          $rounds"""
+  }
 
   /** Keep-best oracle: rank each cluster's members by (quality DESC,
     * doc_id ASC) — quality is the same single-divide double chain as
@@ -3805,6 +4015,32 @@ object ExtQueries {
          JOIN region ON n_regionkey = r_regionkey
          WHERE r_name = 'EUROPE' AND year(o_orderdate) = 1998
          GROUP BY n_name ORDER BY revenue DESC, n_name""",
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= DATE '1996-01-01'
+           AND o_orderdate < DATE '1996-04-01'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue DESC, c_custkey LIMIT 20""",
+
+    "q_tpch_q18" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           FROM lineitem GROUP BY l_orderkey
+           HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 300.0)
+         SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+         FROM big
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
 
     "q_rolling_mean" ->
       """SELECT event_id, event_type,
@@ -4429,6 +4665,42 @@ object ExtQueries {
             FROM sampled)
           ORDER BY doc_id""",
 
+    // Same CTE chain as q_curation_pipeline up through `verified`, then
+    // every doc classified by its FIRST failing stage.
+    "q_curation_fates" ->
+      s"""WITH q AS (SELECT doc_id, text, source FROM documents
+            WHERE len(str_split(text, ' ')) BETWEEN 20 AND 100000
+              AND ROUND(1.0 - CAST(len(list_distinct(str_split(lower(text), ' '))) AS DOUBLE)
+                / len(str_split(lower(text), ' ')), 6) < 0.8),
+          sig AS (SELECT doc_id, ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM q),
+          bands AS (
+            SELECT doc_id, 0 AS band_id, md5(concat_ws('|', mh0, mh1)) AS band_hash FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band_id, md5(concat_ws('|', mh2, mh3)) AS band_hash FROM sig),
+          pairs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r USING (band_id, band_hash)
+            WHERE l.doc_id < r.doc_id),
+          verified AS (
+            SELECT a, b FROM pairs
+            JOIN q da ON pairs.a = da.doc_id
+            JOIN q db ON pairs.b = db.doc_id
+            WHERE ROUND(
+              CAST(len(list_intersect(list_distinct(str_split(lower(da.text), ' ')),
+                                      list_distinct(str_split(lower(db.text), ' ')))) AS DOUBLE)
+              / len(list_distinct(list_concat(list_distinct(str_split(lower(da.text), ' ')),
+                                              list_distinct(str_split(lower(db.text), ' '))))), 6)
+              >= $NearDupJaccard)
+          SELECT d.doc_id, d.source,
+            CASE WHEN NOT (len(str_split(d.text, ' ')) BETWEEN 20 AND 100000)
+                   THEN 'length'
+                 WHEN NOT (ROUND(1.0 - CAST(len(list_distinct(str_split(lower(d.text), ' '))) AS DOUBLE)
+                     / len(str_split(lower(d.text), ' ')), 6) < 0.8)
+                   THEN 'repetitious'
+                 WHEN d.doc_id IN (SELECT b FROM verified) THEN 'near_dup'
+                 ELSE 'kept' END AS fate
+          FROM documents d ORDER BY doc_id""",
+
     "q_dedup_near" ->
       s"""WITH sig AS (SELECT doc_id,
             ${(0 until 4).map(minhashSqlCol).mkString(", ")} FROM documents),
@@ -4525,6 +4797,41 @@ object ExtQueries {
           FROM tr0 LEFT JOIN r
             ON tr0.q_id = r.q_id AND tr0.vec_id = r.vec_id
           GROUP BY tr0.q_id ORDER BY tr0.q_id""",
+
+    "q_embed_rp" ->
+      s"""SELECT vec_id, ${rpProjSql("embedding")} AS projected
+          FROM embeddings ORDER BY vec_id""",
+
+    // Both ranking tables re-derived from scratch: truth over the raw
+    // embeddings, result over the projected lists computed by the SAME
+    // inlined plane literals; then the standard recall@k close.
+    "q_rp_recall" ->
+      s"""WITH p AS (SELECT vec_id, ${rpProjSql("embedding")} AS pvec
+            FROM embeddings),
+          tr AS (SELECT q_id, vec_id,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id)
+                AS INTEGER) AS rank
+            FROM embeddings CROSS JOIN
+              (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5) q
+            QUALIFY rank <= 3),
+          rp AS (SELECT q_id, vec_id,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY ${cosSql("q_vec", "pvec")} DESC, vec_id)
+                AS INTEGER) AS rank
+            FROM p CROSS JOIN
+              (SELECT vec_id AS q_id, pvec AS q_vec FROM p
+               WHERE vec_id < 5) q
+            QUALIFY rank <= 3)
+          SELECT tr.q_id, COUNT(*) AS n_truth,
+            CAST(SUM(CASE WHEN rp.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit,
+            ROUND(CAST(SUM(CASE WHEN rp.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*), 6) AS recall
+          FROM tr LEFT JOIN rp
+            ON tr.q_id = rp.q_id AND tr.vec_id = rp.vec_id
+          GROUP BY tr.q_id ORDER BY tr.q_id""",
 
     // Discount/ideal constants inlined from the SAME driver derivation
     // the Spark op uses (Retrieval.ndcgDiscounts/ndcgIdeals).
@@ -5225,6 +5532,23 @@ object ExtQueries {
 
     "q_dup_clusters" -> dupClustersOracleSql,
 
+    "q_dup_centrality" ->
+      s"""$dupClustersCte,
+          ${pairCentralityCtes(CentralityIters)}
+          SELECT u AS doc_id, deg, ROUND(pr, 6) AS centrality
+          FROM pr$CentralityIters ORDER BY doc_id""",
+
+    "q_central_representatives" ->
+      s"""$dupClustersCte,
+          clus AS (SELECT node, MIN(label) AS cluster FROM cc GROUP BY node),
+          ${pairCentralityCtes(CentralityIters)},
+          ranked AS (SELECT c.cluster, c.node, ROUND(p.pr, 6) AS centrality,
+              row_number() OVER (PARTITION BY c.cluster
+                ORDER BY ROUND(p.pr, 6) DESC, c.node) AS rn
+            FROM clus c JOIN pr$CentralityIters p ON c.node = p.u)
+          SELECT cluster AS cluster_id, node AS doc_id, centrality
+          FROM ranked WHERE rn = 1 ORDER BY cluster_id""",
+
     // Cluster labels to sizes to the size histogram.
     "q_dup_cluster_sizes" ->
       s"""$dupClustersCte,
@@ -5420,6 +5744,44 @@ object ExtQueries {
             string_agg(text, '$PackSep' ORDER BY h, doc_id) AS text,
             COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
           FROM c GROUP BY 1, 2 ORDER BY shard, pack_id""",
+
+    // Same prefix-rule chain as q_pack_budget; seq and token_start are
+    // windows inside each (shard, pack) under the identical order.
+    "q_pack_boundaries" ->
+      s"""WITH t AS (SELECT doc_id,
+            CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'pack'), 1, 8)) AS BIGINT)
+              % $PackShards AS shard,
+            md5(CAST(doc_id AS VARCHAR)) AS h
+          FROM documents),
+          c AS (SELECT doc_id, n_tokens, shard, h,
+            CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // $PackBudget
+              AS BIGINT) AS pack_id
+          FROM t)
+          SELECT shard, pack_id,
+            CAST(row_number() OVER (PARTITION BY shard, pack_id
+              ORDER BY h, doc_id) - 1 AS INTEGER) AS seq,
+            doc_id,
+            CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard, pack_id
+              ORDER BY h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS token_start,
+            n_tokens
+          FROM c ORDER BY shard, pack_id, seq""",
+
+    "q_interleave_sources" ->
+      """WITH t AS (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+          FROM documents),
+          s AS (SELECT source,
+            CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+          FROM (SELECT DISTINCT source FROM documents)),
+          n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM s)
+          SELECT doc_id, t.source, CAST((r - 1) * ns + sidx AS BIGINT) AS pos
+          FROM t JOIN s ON t.source = s.source CROSS JOIN n
+          ORDER BY pos""",
 
     "q_sample_per_group" ->
       s"""SELECT doc_id, source, n_chars FROM (

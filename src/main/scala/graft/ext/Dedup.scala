@@ -829,6 +829,54 @@ object Dedup {
     docs.join(evict, Seq(docKey), "left_anti")
   }
 
+  /** PageRank-style centrality over an undirected PAIR graph (the
+    * verified near-dup / winnow / containment pair tables this module
+    * produces): fixed `iters` power-iteration rounds of
+    * pr' = (1−d)/N + d·Σ_neighbors pr(u)/deg(u), restricted to nodes
+    * that appear in some pair (singletons have nothing to rank
+    * against). The use: pick each duplicate FAMILY's most central
+    * member as its representative — the doc most similar to the rest
+    * of its family — instead of [[keepClusterRepresentatives]]'
+    * arbitrary minimum key.
+    *
+    * Scale shape: per round, one join of the rank table to the edge
+    * list + one combine-enabled agg on the destination — the standard
+    * distributed power iteration; rounds are FIXED (no driver
+    * convergence probe), lineage pinned per round. Numeric contract:
+    * each contribution rounds to 12dp then sums as an exact
+    * DECIMAL(20,12) (order-independent across any partitioning — the
+    * dsum discipline), each new rank rounds to 12dp, the published
+    * rank to 6dp; N comes from one scalar count. An oracle unrolls
+    * the same `iters` rounds with identical rounding. */
+  def pairCentrality(pairs: DataFrame, aCol: String, bCol: String,
+                     iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(iters >= 1 && iters <= 20, "1..20 fixed rounds")
+    require(damping > 0 && damping < 1, "0 < damping < 1")
+    val edges = pin(
+      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+        .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+        .distinct())
+    try {
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      val n = deg.count()
+      if (n == 0) return deg.select(col("u"), col("deg"),
+        lit(0.0).as("centrality")).limit(0)
+      var pr = deg.withColumn("pr", lit(1.0 / n))
+      for (_ <- 1 to iters) {
+        val contrib = edges.join(pr, "u")
+          .select(col("v"), round(col("pr") / col("deg"), 12).as("c"))
+        pr = pin(contrib.groupBy(col("v").as("u"))
+          .agg(sum(col("c").cast(DecimalType(20, 12))).as("s"))
+          .join(deg, "u")
+          .select(col("u"), col("deg"),
+            round(lit((1 - damping) / n) +
+              lit(damping) * col("s").cast(DoubleType), 12).as("pr")))
+      }
+      pr.select(col("u"), col("deg"), round(col("pr"), 6).as("centrality"))
+    } finally freeCheckpoint(edges)
+  }
+
   /** SimHash over the word multiset: `bits`-bit signature where bit i is
     * the sign of the sum over words of (±1 by word-hash bit i). Expressed
     * as explode → groupBy(doc) with `bits` conditional-sum aggregates —

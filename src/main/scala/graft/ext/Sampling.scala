@@ -513,6 +513,67 @@ object Sampling {
         expr(s"__before div $budget").as("pack_id"): _*)
   }
 
+  /** Per-example DOCUMENT BOUNDARIES for packed training examples —
+    * the companion table [[packToExamples]]'s dataloader needs to
+    * build attention masks that stop cross-document attention: for
+    * every member doc, its pack, its 0-based sequence slot, and the
+    * token offset where it starts inside the example (separator
+    * tokens excluded — the tokenizer accounts for those downstream).
+    *
+    * Plan: [[packByBudget]]'s map-only assignment + one window per
+    * (shard, pack) in the SAME (md5(key), key) order the prefix rule
+    * packed them — `token_start` is the within-pack exclusive prefix
+    * sum, so it needs no subtraction against the global prefix.
+    * Window groups are bounded by the token budget, never a hot key:
+    * the shape survives any corpus size because pack membership does. */
+  def packBoundaries(df: DataFrame, key: Column, tokens: Column,
+                     budget: Long, shards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Seq(md5(key.cast("string")), key)
+    val wSum = Window.partitionBy(col("shard"), col("pack_id"))
+      .orderBy(order: _*).rowsBetween(Window.unboundedPreceding, -1)
+    val wSeq = Window.partitionBy(col("shard"), col("pack_id"))
+      .orderBy(order: _*)
+    packByBudget(df, key, tokens, budget, shards)
+      .select(col("shard"), col("pack_id"),
+        (row_number().over(wSeq) - 1).as("seq"), key,
+        coalesce(sum(tokens).over(wSum), lit(0L)).as("token_start"),
+        tokens.cast("long").as("n_tokens"))
+  }
+
+  /** Deterministic SOURCE-INTERLEAVED training order: round-robin
+    * across sources so adjacent examples come from different corpora —
+    * the data-order half of mixture training (a shuffled-but-clumped
+    * order lets one source dominate whole batches; strict interleave
+    * bounds any window's per-source share at ⌈w/n⌉). Every doc gets
+    * `pos = rank_within_source × n_sources + source_index`, a pure
+    * function of (key, source) — reproducible on any partitioning,
+    * stable under re-runs, and collision-free (positions are distinct
+    * by construction, though not dense when sources differ in size:
+    * after the shortest source is exhausted its slots simply go
+    * unfilled, which a dataloader reading in `pos` order never sees).
+    *
+    * Plan: one row_number window PER SOURCE partition (the
+    * [[samplePerGroup]] shape) in (md5(key), key) order + a broadcast
+    * when-chain for the source index (sources are bounded metadata —
+    * the same collect contract as mixture budgets). At 100 TB the
+    * per-source rank is the inherent cost of a per-source total order;
+    * a deployment that cannot afford the single-partition-per-source
+    * sort range-partitions each source by the md5 prefix and offsets
+    * ranks by per-range counts — same output, same contract. */
+  def interleaveBySource(df: DataFrame, source: Column, key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sources = df.select(source.cast("string").as("__s")).distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    require(sources.nonEmpty, "interleaveBySource: empty input")
+    val idx = sources.zipWithIndex.tail.foldLeft(
+      when(source === sources.head, lit(0L))) { case (acc, (s, i)) =>
+        acc.when(source === s, lit(i.toLong)) }
+    val r = row_number().over(Window.partitionBy(source)
+      .orderBy(md5(key.cast("string")), key))
+    df.withColumn("pos", (r - 1).cast("long") * sources.size + idx)
+  }
+
   /** Leakage-safe train/val/test assignment: the split key is the
     * document's duplicate-CLUSTER representative, not the document —
     * so a near-duplicate family lands in ONE split and the eval set

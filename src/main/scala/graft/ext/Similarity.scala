@@ -91,6 +91,31 @@ object Similarity {
       lit(s"signBucket: expected $dim-dim vector, got "), size(vec).cast("string"))))
   }
 
+  /** Johnson–Lindenstrauss random projection: dim → planes.size, each
+    * output component = round(vec · plane_j × scale, 6dp). The planes
+    * come from [[randomPlanes]] (seeded, 6dp literals) so the SQL
+    * oracle inlines the SAME matrix; `scale` defaults to the JL
+    * variance-preserving 1/√k and callers who need decimal-exact
+    * cross-engine agreement pick a k whose 1/√k is binary-exact
+    * (k = 16 → 0.25). Map-only, zero shuffles, codegen'd `vec_dot`
+    * per component — the cheap front half of a project-then-search
+    * ANN pipeline: at 100 TB the projected corpus is dim/k of the
+    * original scan bytes for every downstream distance pass, and the
+    * projection itself streams through once. Distortion is the JL
+    * bound's, measured honestly by `q_rp_recall` (projected-space
+    * top-k vs exact top-k) rather than assumed. */
+  def randomProject(df: DataFrame, vec: String, planes: Seq[Seq[Double]],
+                    outCol: String, scale: Double): DataFrame = {
+    val dim = planes.head.size
+    require(planes.forall(_.size == dim), "planes must share one dimension")
+    val proj = array(planes.map(p =>
+      round(vec_dot(col(vec), typedlit(p)) * scale, 6)): _*)
+    df.withColumn(outCol,
+      when(size(col(vec)) === dim, proj).otherwise(raise_error(concat(
+        lit(s"randomProject: expected $dim-dim vector, got "),
+        size(col(vec)).cast("string")))))
+  }
+
   /** Bucketed ANN: join query and corpus on equal sign-bucket, then exact
     * cosine within the bucket. Recall < 1 by construction (that is the
     * point); one hash shuffle on the bucket key. */

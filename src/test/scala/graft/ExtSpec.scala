@@ -3057,4 +3057,109 @@ class ExtSpec extends SparkSpec {
     // counts conserve per side
     assert(drift.map(_.getLong(1)).sum == 200 && drift.map(_.getLong(2)).sum == 200)
   }
+
+  test("pairCentrality: symmetric path graph, mass conserved, hub wins, empty graph empty") {
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val pr = Dedup.pairCentrality(pairs, "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(pr.keySet == Set(1L, 2L, 3L))
+    assert(pr(1)._1 == 1 && pr(2)._1 == 2 && pr(3)._1 == 1, "degrees")
+    assert(pr(1)._2 == pr(3)._2, "symmetric endpoints rank equally")
+    assert(pr(2)._2 > pr(1)._2, "the hub out-ranks the leaves")
+    val mass = pr.values.map(_._2).sum
+    assert(math.abs(mass - 1.0) < 1e-4, s"PageRank mass ~1, got $mass")
+    // pure function of the pair set: any partitioning, same numbers
+    val re = Dedup.pairCentrality(pairs.repartition(7), "a", "b", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(pr.forall { case (k, (_, c)) => re(k) == c })
+    assert(Dedup.pairCentrality(pairs.limit(0), "a", "b").count() == 0)
+  }
+
+  test("randomProject: hand-checked components, dim guard raises") {
+    // 2-dim planes picked by hand: p0 = (1, 0), p1 = (0.5, 0.5).
+    val planes = Seq(Seq(1.0, 0.0), Seq(0.5, 0.5))
+    val df = Seq((1L, Seq(2.0f, 4.0f))).toDF("id", "v")
+    val out = Similarity.randomProject(df, "v", planes, "p", scale = 0.5)
+      .select("p").as[Seq[Double]].head()
+    assert(out == Seq(1.0, 1.5), s"(2·1+4·0)·0.5 and (2+4)·0.5·0.5, got $out")
+    // a vector of the wrong dimension must raise, not silently truncate
+    val bad = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val e = intercept[Exception] {
+      Similarity.randomProject(bad, "v", planes, "p", scale = 1.0).collect()
+    }
+    assert(e.getMessage.contains("expected 2-dim"), e.getMessage)
+  }
+
+  test("randomProject preserves neighborhoods well enough to rank (JL sanity)") {
+    // 64-dim corpus with two tight clusters; after 64→16 projection the
+    // nearest neighbor of each member must stay inside its own cluster.
+    val dim = 64
+    def vec(base: Double, jitter: Double): Seq[Float] =
+      (0 until dim).map(i => (math.sin(base * (i + 1)) + jitter * math.cos(i)).toFloat)
+    val rows = Seq(
+      (0L, vec(1.0, 0.01)), (1L, vec(1.0, 0.02)), (2L, vec(1.0, 0.03)),
+      (10L, vec(5.0, 0.01)), (11L, vec(5.0, 0.02)), (12L, vec(5.0, 0.03)))
+    val df = rows.toDF("vec_id", "embedding")
+    val planes = Similarity.randomPlanes(16, dim, seed = 7L)
+    val p = Similarity.randomProject(df, "embedding", planes, "projected", 0.25)
+      .select(col("vec_id"), col("projected").as("embedding"))
+    val q = p.select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val nn = Similarity.bruteForceTopK(q, p, k = 2) // rank 1 = self
+      .filter(col("rank") === 2).select("q_id", "vec_id")
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, _) =>
+      assert((nn(id) < 10L) == (id < 10L),
+        s"projected NN of $id left its cluster: ${nn(id)}")
+    }
+  }
+
+  test("interleaveBySource: round-robin positions, distinct, rank-stable under repartition") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),
+      (5L, "b"), (6L, "b"),
+      (7L, "c")).toDF("doc_id", "source")
+    val out = Sampling.interleaveBySource(docs, col("source"), col("doc_id"))
+      .select("doc_id", "source", "pos").collect()
+    val pos = out.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(pos.map(_._3).distinct.length == 7, "positions are distinct")
+    // pos mod n_sources recovers the source index: a=0, b=1, c=2
+    val idx = Map("a" -> 0L, "b" -> 1L, "c" -> 2L)
+    pos.foreach { case (id, src, p) =>
+      assert(p % 3 == idx(src), s"doc $id from $src at pos $p breaks round-robin")
+    }
+    // the interleave is a pure function of (key, source): any partitioning
+    val re = Sampling.interleaveBySource(docs.repartition(13), col("source"),
+        col("doc_id")).select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    pos.foreach { case (id, _, p) => assert(re(id) == p) }
+  }
+
+  test("packBoundaries: offsets reassemble packs exactly") {
+    val docs = (1L to 40L).map(i => (i, 1L + (i % 7))).toDF("doc_id", "n_tokens")
+    val b = Sampling.packBoundaries(docs, col("doc_id"), col("n_tokens"),
+        budget = 20L, shards = 2)
+      .orderBy("shard", "pack_id", "seq").collect()
+    // per (shard, pack): seq is dense from 0; token_start is the running
+    // sum of the previous members' tokens; membership agrees with
+    // packByBudget on the same inputs.
+    val byPack = b.groupBy(r => (r.getLong(0), r.getLong(1)))
+    byPack.foreach { case ((sh, pk), rows) =>
+      val sorted = rows.sortBy(_.getInt(2))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(2) == i, s"seq dense in ($sh,$pk)")
+      }
+      var run = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(4) == run, s"token_start mismatch in ($sh,$pk)")
+        run += r.getLong(5)
+      }
+    }
+    val member = Sampling.packByBudget(docs, col("doc_id"), col("n_tokens"),
+        budget = 20L, shards = 2)
+      .select("doc_id", "shard", "pack_id").as[(Long, Long, Long)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    b.foreach { r =>
+      assert(member(r.getLong(3)) == (r.getLong(0), r.getLong(1)),
+        "boundary rows agree with packByBudget membership")
+    }
+  }
 }

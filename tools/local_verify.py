@@ -30,6 +30,17 @@ for name, sql in sorted(oracle.items()):
         if len(exp) != len(got):
             fails.append((name, f"rows {len(got)} != {len(exp)}"))
             continue
+        # Array columns (numpy arrays from DuckDB, lists from parquet) are
+        # unsortable/unhashable in pandas — canonicalize to their Python-list
+        # string form first. Doubles stringify identically iff bit-identical,
+        # which is exactly the contract being checked.
+        for c in exp.columns:
+            for df in (exp, got):
+                if df[c].map(lambda v: hasattr(v, "__len__")
+                             and not isinstance(v, str)).any():
+                    df[c] = df[c].map(lambda v: str(list(v))
+                                      if hasattr(v, "__len__")
+                                      and not isinstance(v, str) else str(v))
         exp = exp.sort_values(by=list(exp.columns), ignore_index=True)
         got = got.sort_values(by=list(got.columns), ignore_index=True)
         bad = None
