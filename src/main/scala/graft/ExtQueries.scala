@@ -400,6 +400,29 @@ object ExtQueries {
         .orderBy("bucket", "event_type")
     }),
 
+    "q_event_funnel" -> ((s, dir) => {
+      // Ordered-step funnel per user: first view, first click at or
+      // after it, first purchase at or after that — NULLs from the
+      // first step a user never reached. All shuffles on the user key;
+      // no per-user event list ever materializes.
+      Analytics.funnel(read(s, dir, "events"), col("user_id"), col("ts"),
+          Seq("first_view" -> (col("event_type") === "view"),
+            "first_click" -> (col("event_type") === "click"),
+            "first_purchase" -> (col("event_type") === "purchase")))
+        .select(col("k").as("user_id"), col("first_view"),
+          col("first_click"), col("first_purchase"))
+        .orderBy("user_id")
+    }),
+
+    "q_cohort_retention" -> ((s, dir) => {
+      // Cohort retention: users keyed by first-event day, counted once
+      // per day-offset they returned on — the explicit distinct-triple
+      // two-stage shape, not COUNT(DISTINCT) under a hot reducer.
+      Analytics.cohortRetention(read(s, dir, "events"), col("user_id"),
+          col("ts"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     "q_winsorize" -> ((s, dir) => {
       // Outlier clipping: events.value clipped to per-type [p05, p95].
       graft.ops.Cleaning.winsorize(
@@ -901,6 +924,19 @@ object ExtQueries {
           read(s, dir, "embeddings").select("vec_id", "embedding"),
           "embedding", RpPlanes, "projected", scale = RpScale)
         .select("vec_id", "projected")
+        .orderBy("vec_id")
+    }),
+
+    "q_embed_center" -> ((s, dir) => {
+      // Mean-centering the embedding corpus (removes the common bias
+      // direction that inflates every cosine) + the centered norm the
+      // downstream cosine must renormalize by. One decimal-exact
+      // aggregate pass broadcast back over the corpus — no corpus
+      // shuffle.
+      Similarity.centerEmbeddings(
+          read(s, dir, "embeddings").select("vec_id", "embedding"),
+          "embedding", AnnDim, "centered")
+        .select("vec_id", "centered", "centered_norm")
         .orderBy("vec_id")
     }),
 
@@ -4801,6 +4837,49 @@ object ExtQueries {
     "q_embed_rp" ->
       s"""SELECT vec_id, ${rpProjSql("embedding")} AS projected
           FROM embeddings ORDER BY vec_id""",
+
+    // Per-dimension means re-derived with the same 6dp-round →
+    // DECIMAL(25,6) sum → one double divide ladder the Spark op pins.
+    "q_embed_center" -> {
+      val meanExprs = (1 to AnnDim).map(i =>
+        s"""CAST(SUM(CAST(ROUND(CAST(embedding[$i] AS DOUBLE), 6)
+             AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)""").mkString(",\n ")
+      s"""WITH m AS (SELECT [$meanExprs] AS mean FROM embeddings),
+          c AS (SELECT vec_id,
+              list_transform(generate_series(1, $AnnDim),
+                i -> ROUND(ROUND(CAST(embedding[i] AS DOUBLE), 6) - mean[i], 6))
+                AS centered
+            FROM embeddings CROSS JOIN m)
+          SELECT vec_id, centered,
+            ROUND(sqrt(list_dot_product(centered, centered)), 6) AS centered_norm
+          FROM c ORDER BY vec_id"""
+    },
+
+    "q_event_funnel" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS first_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, MIN(e.ts) AS first_click
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts >= s1.first_view
+            GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= s2.first_click
+            GROUP BY e.user_id)
+          SELECT s1.user_id, s1.first_view, s2.first_click, s3.first_purchase
+          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+          ORDER BY user_id""",
+
+    "q_cohort_retention" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id),
+          du AS (SELECT DISTINCT f.cohort_day,
+              CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+                AS INTEGER) AS day_offset,
+              e.user_id
+            FROM events e JOIN f USING (user_id))
+          SELECT cohort_day, day_offset, COUNT(*) AS n_users
+          FROM du GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Both ranking tables re-derived from scratch: truth over the raw
     // embeddings, result over the projected lists computed by the SAME

@@ -116,6 +116,37 @@ object Similarity {
         size(col(vec)).cast("string")))))
   }
 
+  /** Mean-center the embedding corpus per dimension (the standard
+    * pre-whitening step before cosine ANN — a common bias direction
+    * inflates every similarity; centering removes it) and republish
+    * the centered norm (centering breaks unit norms, so downstream
+    * cosine MUST renormalize — the norm column makes that explicit).
+    *
+    * Determinism contract: inputs round to 6dp doubles, per-dimension
+    * sums run as exact DECIMAL(25,6) (order-independent on any
+    * partitioning), one double divide per dimension, centered values
+    * round to 6dp. Plan: ONE aggregate pass producing `dim` decimal
+    * sums + a count (a single row of driver-size metadata), broadcast
+    * back over the corpus, `zip_with` subtract — two corpus scans
+    * total, no shuffle of the corpus itself. */
+  def centerEmbeddings(df: DataFrame, vec: String, dim: Int,
+                       outCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(dim >= 1, "need dim >= 1")
+    val sums = (0 until dim).map(i =>
+      sum(round(element_at(col(vec), i + 1).cast(DoubleType), 6)
+        .cast(DecimalType(25, 6))).as(s"s$i"))
+    val m = df.agg(sums.head, (sums.tail :+ count(lit(1)).as("n")): _*)
+      .select(array((0 until dim).map(i =>
+        col(s"s$i").cast(DoubleType) / col("n")): _*).as("__mean"))
+    df.crossJoin(broadcast(m))
+      .withColumn(outCol, zip_with(
+        transform(col(vec), x => round(x.cast(DoubleType), 6)),
+        col("__mean"), (x, mu) => round(x - mu, 6)))
+      .withColumn(s"${outCol}_norm", round(vec_norm(col(outCol)), 6))
+      .drop("__mean")
+  }
+
   /** Bucketed ANN: join query and corpus on equal sign-bucket, then exact
     * cosine within the bucket. Recall < 1 by construction (that is the
     * point); one hash shuffle on the bucket key. */

@@ -571,6 +571,52 @@ object Analytics {
         min(col(ts)).as("session_start"), max(col(ts)).as("session_end"))
   }
 
+  /** Ordered-step FUNNEL per key: for each named step, the earliest
+    * event satisfying its predicate AT OR AFTER the key's previous-step
+    * timestamp — first `steps.head`, then the first matching event ≥
+    * that, and so on. Output: one row per key that completed step 1,
+    * one timestamp column per step (NULL from the first step the key
+    * never reached — aggregate the NULL pattern for conversion rates).
+    *
+    * Plan shape: per step, one filtered scan → keyed join against the
+    * survivors-so-far → combine-enabled MIN agg; every shuffle is on
+    * the SAME key, so the exchanges line up and each step's survivor
+    * set only shrinks. No windows, no per-key event sorting — at
+    * 100 TB the per-user event list never materializes anywhere. */
+  def funnel(events: DataFrame, key: Column, ts: Column,
+             steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.map(_._1).distinct.size == steps.size, "step names unique")
+    val s0 = events.filter(steps.head._2).groupBy(key.as("k"))
+      .agg(min(ts).as(steps.head._1))
+    steps.sliding(2).foldLeft(s0) { case (acc, Seq((prevName, _), (name, cond))) =>
+      val nxt = events.filter(cond).select(key.as("k"), ts.as("__t"))
+        .join(acc.select(col("k"), col(prevName)), Seq("k"))
+        .filter(col("__t") >= col(prevName))
+        .groupBy("k").agg(min(col("__t")).as(name))
+      acc.join(nxt, Seq("k"), "left")
+    }
+  }
+
+  /** Cohort RETENTION: users grouped by the calendar day of their first
+    * event, counted once per (cohort, day-offset) they came back on.
+    * Two keyed aggs + one keyed join: first-day per user (combine-
+    * enabled MIN), join back on the user key, distinct (cohort, offset,
+    * user) — the explicit two-stage shape instead of COUNT(DISTINCT),
+    * so the heavy dedup happens partitioned by the full triple, not
+    * under one (cohort, offset) reducer when a cohort is hot. */
+  def cohortRetention(events: DataFrame, key: Column, ts: Column): DataFrame = {
+    val firstDay = events.groupBy(key.as("k"))
+      .agg(min(to_date(ts)).as("cohort_day"))
+    events.select(key.as("k"), to_date(ts).as("__d"))
+      .join(firstDay, Seq("k"))
+      .select(col("cohort_day"),
+        datediff(col("__d"), col("cohort_day")).as("day_offset"), col("k"))
+      .distinct()
+      .groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Skew-safe grouped aggregation: pre-aggregate on (keys, salt) so one
     * hot key's rows spread over `nSalts` reducers, then combine the
     * partials in a second (tiny: |keys|×nSalts rows) stage. For algebraic

@@ -3113,6 +3113,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("centerEmbeddings: hand-checked means, centered mean ~0, norms published") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.centerEmbeddings(df, "embedding", 2, "centered")
+      .orderBy("vec_id").collect()
+    // means: (2, 2) -> centered rows (-1, -2) and (1, 2)
+    assert(out(0).getSeq[Double](2) == Seq(-1.0, -2.0))
+    assert(out(1).getSeq[Double](2) == Seq(1.0, 2.0))
+    assert(out(0).getDouble(3) == math.rint(math.sqrt(5.0) * 1e6) / 1e6,
+      "centered norm published at 6dp")
+    // invariant to partitioning (decimal sums, not double fold order)
+    val re = Similarity.centerEmbeddings(df.repartition(5), "embedding", 2,
+      "centered").orderBy("vec_id").collect()
+    assert(re(0).getSeq[Double](2) == Seq(-1.0, -2.0))
+  }
+
   test("interleaveBySource: round-robin positions, distinct, rank-stable under repartition") {
     val docs = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"),

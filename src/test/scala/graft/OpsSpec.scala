@@ -693,4 +693,46 @@ class OpsSpec extends SparkSpec {
     val relErr = math.abs(est - 1000.0) / 1000.0
     assert(relErr < 4.0 / math.sqrt(62.0), s"estimate $est too far from 1000")
   }
+
+  test("funnel: steps must be ordered, drop-offs are NULL, pre-step events ignored") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val events = Seq(
+      // user 1 completes in order
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      // user 2 clicked BEFORE viewing — that click must not count; the
+      // later one does; never purchased
+      (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "click", ts(5)),
+      // user 3 never viewed — absent from the funnel entirely
+      (3L, "click", ts(1)), (3L, "purchase", ts(2))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(events, col("user_id"), col("ts"),
+        Seq("v" -> (col("event_type") === "view"),
+          "c" -> (col("event_type") === "click"),
+          "p" -> (col("event_type") === "purchase")))
+      .orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(out(0).getTimestamp(1) == ts(1) && out(0).getTimestamp(2) == ts(2)
+      && out(0).getTimestamp(3) == ts(3))
+    assert(out(1).getTimestamp(2) == ts(5), "pre-view click ignored")
+    assert(out(1).isNullAt(3), "no purchase -> NULL")
+  }
+
+  test("cohortRetention: first day defines the cohort, one count per user per offset") {
+    import java.sql.Timestamp
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val events = Seq(
+      (1L, ts(1, 9)), (1L, ts(1, 21)), (1L, ts(3, 1)),   // day0 twice, day2
+      (2L, ts(1, 5)), (2L, ts(2, 5)),                    // day0, day1
+      (3L, ts(2, 7))                                     // later cohort
+    ).toDF("user_id", "ts")
+    val out = Analytics.cohortRetention(events, col("user_id"), col("ts"))
+      .orderBy("cohort_day", "day_offset")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0, 2L),   // users 1+2, day-0 double visit counted once
+      ("2024-01-01", 1, 1L),   // user 2 returned next day
+      ("2024-01-01", 2, 1L),   // user 1 returned two days later
+      ("2024-01-02", 0, 1L)))  // user 3's own cohort
+  }
 }
