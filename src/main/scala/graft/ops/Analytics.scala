@@ -578,11 +578,13 @@ object Analytics {
     * one timestamp column per step (NULL from the first step the key
     * never reached — aggregate the NULL pattern for conversion rates).
     *
-    * Plan shape: per step, one filtered scan → keyed join against the
-    * survivors-so-far → combine-enabled MIN agg; every shuffle is on
-    * the SAME key, so the exchanges line up and each step's survivor
-    * set only shrinks. No windows, no per-key event sorting — at
-    * 100 TB the per-user event list never materializes anywhere. */
+    * Plan shape: per step, one filtered scan → ONE keyed left join
+    * against the accumulator → combine-enabled MIN agg back on the
+    * key (earlier step columns are constant per key, so they ride the
+    * agg as MINs instead of a second join — the accumulator is
+    * consumed exactly once per step and every exchange is on the SAME
+    * key). No windows, no per-key event sorting — at 100 TB the
+    * per-user event list never materializes anywhere. */
   def funnel(events: DataFrame, key: Column, ts: Column,
              steps: Seq[(String, Column)]): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
@@ -590,11 +592,14 @@ object Analytics {
     val s0 = events.filter(steps.head._2).groupBy(key.as("k"))
       .agg(min(ts).as(steps.head._1))
     steps.sliding(2).foldLeft(s0) { case (acc, Seq((prevName, _), (name, cond))) =>
-      val nxt = events.filter(cond).select(key.as("k"), ts.as("__t"))
-        .join(acc.select(col("k"), col(prevName)), Seq("k"))
-        .filter(col("__t") >= col(prevName))
-        .groupBy("k").agg(min(col("__t")).as(name))
-      acc.join(nxt, Seq("k"), "left")
+      val carried = acc.columns.filter(_ != "k")
+      acc.join(events.filter(cond).select(key.as("k"), ts.as("__t")),
+          Seq("k"), "left")
+        .withColumn("__ok", when(col("__t") >= col(prevName), col("__t")))
+        .groupBy(col("k"))
+        .agg(min(col(carried.head)).as(carried.head),
+          (carried.tail.map(c => min(col(c)).as(c)) :+
+            min(col("__ok")).as(name)): _*)
     }
   }
 

@@ -299,6 +299,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(countScans(plan) == 2, s"expected 2 scans: $plan")
   }
 
+  test("q_embed_rp is map-only: one scan, no exchange, no join") {
+    val plan = executedPlan("q_embed_rp")
+    assert(countScans(plan) == 1, s"expected 1 scan:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"projection must not shuffle the corpus:\n$plan")
+    assert(!plan.contains("Join"), s"map-only plan must not join:\n$plan")
+  }
+
+  test("q_embed_center: means broadcast back, corpus never hash-shuffles") {
+    val plan = executedPlan("q_embed_center")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"single-row means must ride a broadcast:\n$plan")
+    assert(countScans(plan) == 2,
+      s"one stats pass + one centering pass:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus must not hash-shuffle (only the single-partition agg):\n$plan")
+  }
+
+  test("q_event_funnel: three filtered scans, keyed joins only, no cartesian") {
+    val plan = executedPlan("q_event_funnel")
+    assert(countScans(plan) == 3, s"one filtered scan per step:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel joins must be keyed:\n$plan")
+  }
+
+  test("q_cohort_retention: two event scans, keyed join, no cartesian") {
+    val plan = executedPlan("q_cohort_retention")
+    assert(countScans(plan) == 2, s"first-day pass + return pass:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("q_pack_boundaries: two exchanges (shard, then pack windows), no join") {
+    val plan = executedPlan("q_pack_boundaries")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"prefix window + pack windows only:\n$plan")
+    assert(!plan.contains("Join"), s"boundary table needs no join:\n$plan")
+  }
+
+  test("q_tpch_q10 broadcasts the nation dim") {
+    val plan = executedPlan("q_tpch_q10")
+    assert(plan.contains("BroadcastHashJoin"), s"nation must broadcast:\n$plan")
+  }
+
   test("q_excise default containment plan unchanged: no df window unless capped") {
     // The maxShingleDf default must compile to the uncapped plan —
     // cap-off has exactly two Window nodes' worth of work: |A| per doc
