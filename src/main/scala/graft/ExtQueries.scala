@@ -423,6 +423,24 @@ object ExtQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    "q_funnel_rates" -> ((s, dir) => {
+      // The funnel's published summary: users per step + conversion
+      // rates vs step 1 — one bounded agg over the per-user funnel
+      // table (COUNT of a nullable column counts completions).
+      Analytics.funnel(read(s, dir, "events"), col("user_id"), col("ts"),
+          Seq("first_view" -> (col("event_type") === "view"),
+            "first_click" -> (col("event_type") === "click"),
+            "first_purchase" -> (col("event_type") === "purchase")))
+        .agg(count(lit(1)).as("n_view"),
+          count(col("first_click")).as("n_click"),
+          count(col("first_purchase")).as("n_purchase"))
+        .select(col("n_view"), col("n_click"), col("n_purchase"),
+          round(col("n_click").cast(DoubleType) /
+            col("n_view").cast(DoubleType), 6).as("rate_click"),
+          round(col("n_purchase").cast(DoubleType) /
+            col("n_view").cast(DoubleType), 6).as("rate_purchase"))
+    }),
+
     "q_winsorize" -> ((s, dir) => {
       // Outlier clipping: events.value clipped to per-type [p05, p95].
       graft.ops.Cleaning.winsorize(
@@ -2322,6 +2340,24 @@ object ExtQueries {
         .orderBy("word")
     }),
 
+    "q_collocations" -> ((s, dir) => {
+      // PMI-ranked collocations: strongest two-word associations seen
+      // ≥ CollocMinCount times — phrase-mining / tokenizer diagnostics.
+      // Count tables meet in keyed joins; totals broadcast; top-k heap.
+      TextAnalysis.collocations(read(s, dir, "documents"), "text",
+          minCount = CollocMinCount, k = CollocTopK)
+    }),
+
+    "q_label_balance" -> ((s, dir) => {
+      // Deterministic class balancing: every label keeps exactly
+      // min-class-count members by stable hash order — the skew fix
+      // before classifier training, stable under corpus growth.
+      Sampling.balanceClasses(read(s, dir, "embeddings"),
+          col("label"), col("vec_id"))
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }),
+
     "q_length_quantiles" -> ((s, dir) => {
       // Per-source doc-length quantiles (p50/p90/p99 words) — the
       // sequence-length planning table (context-window budgeting,
@@ -2866,6 +2902,9 @@ object ExtQueries {
     graft.ext.TextAnalysis.LangMarkers.map(_._1) :+ "und"
   /** Heavy-hitter share floor (0.4% of word instances at any SF). */
   private val HeavyShare = 0.004
+  /** Collocation gate + report size (oracle-shared). */
+  private val CollocMinCount = 5L
+  private val CollocTopK = 30
   /** Kneser–Ney absolute discount (hundredths): the 0.75 default the
     * literature converged on (Chen & Goodman 1999). */
   private val KnDiscountHundredths = 75
@@ -3425,6 +3464,20 @@ object ExtQueries {
     }.mkString(" + ")
 
   private def bucketSql(v: String): String = bucketSqlWith(v, AnnPlanes)
+
+  /** Shared funnel step chain (view → click → purchase, each step's
+    * first event at or after the previous step's) ending at s1/s2/s3. */
+  private val funnelCtes: String =
+    """s1 AS (SELECT user_id, MIN(ts) AS first_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, MIN(e.ts) AS first_click
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts >= s1.first_view
+            GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= s2.first_click
+            GROUP BY e.user_id)"""
 
   /** JL projection of `v` as a DuckDB list literal expression: the
     * SAME RpPlanes rows the Spark query inlines, the same binary-exact
@@ -4856,19 +4909,23 @@ object ExtQueries {
     },
 
     "q_event_funnel" ->
-      """WITH s1 AS (SELECT user_id, MIN(ts) AS first_view FROM events
-            WHERE event_type = 'view' GROUP BY user_id),
-          s2 AS (SELECT e.user_id, MIN(e.ts) AS first_click
-            FROM events e JOIN s1 USING (user_id)
-            WHERE e.event_type = 'click' AND e.ts >= s1.first_view
-            GROUP BY e.user_id),
-          s3 AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
-            FROM events e JOIN s2 USING (user_id)
-            WHERE e.event_type = 'purchase' AND e.ts >= s2.first_click
-            GROUP BY e.user_id)
+      s"""WITH $funnelCtes
           SELECT s1.user_id, s1.first_view, s2.first_click, s3.first_purchase
           FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
           ORDER BY user_id""",
+
+    "q_funnel_rates" ->
+      s"""WITH $funnelCtes,
+          j AS (SELECT s1.user_id, s2.first_click, s3.first_purchase
+            FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id))
+          SELECT COUNT(*) AS n_view,
+            COUNT(first_click) AS n_click,
+            COUNT(first_purchase) AS n_purchase,
+            ROUND(CAST(COUNT(first_click) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS rate_click,
+            ROUND(CAST(COUNT(first_purchase) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS rate_purchase
+          FROM j""",
 
     "q_cohort_retention" ->
       """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
@@ -6352,6 +6409,39 @@ object ExtQueries {
           FROM c CROSS JOIN t
           WHERE ROUND(CAST(n AS DOUBLE) / tot, 6) >= $HeavyShare
           ORDER BY word""",
+
+    // The SAME single pmi double-expression tree as the Spark side
+    // (one ln over nested divides), totals taken BEFORE the min-count
+    // filter.
+    "q_collocations" ->
+      s"""WITH ws AS (SELECT str_split(lower(text), ' ') AS w FROM documents),
+          b0 AS (SELECT unnest(list_transform(
+              generate_series(1, len(w) - 1),
+              i -> w[i] || ' ' || w[i + 1])) AS bg FROM ws),
+          bc AS (SELECT str_split(bg, ' ')[1] AS w1, str_split(bg, ' ')[2] AS w2,
+              COUNT(*) AS n_pair FROM b0 GROUP BY 1, 2),
+          uc AS (SELECT unnest(w) AS wd FROM ws),
+          u AS (SELECT wd, COUNT(*) AS n_w FROM uc GROUP BY wd),
+          m AS (SELECT CAST(SUM(n_pair) AS DOUBLE) AS mm FROM bc),
+          n AS (SELECT CAST(SUM(n_w) AS DOUBLE) AS nn FROM u)
+          SELECT bc.w1, bc.w2, bc.n_pair,
+            ROUND(ln((CAST(bc.n_pair AS DOUBLE) / m.mm) /
+              ((CAST(a.n_w AS DOUBLE) / n.nn) *
+               (CAST(b.n_w AS DOUBLE) / n.nn))), 6) AS pmi
+          FROM bc JOIN u a ON bc.w1 = a.wd JOIN u b ON bc.w2 = b.wd
+          CROSS JOIN m CROSS JOIN n
+          WHERE bc.n_pair >= $CollocMinCount
+          ORDER BY pmi DESC, w1, w2 LIMIT $CollocTopK""",
+
+    "q_label_balance" ->
+      """WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label),
+          m AS (SELECT MIN(n) AS mn FROM c),
+          r AS (SELECT vec_id, label,
+              row_number() OVER (PARTITION BY label
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings)
+          SELECT vec_id, label FROM r CROSS JOIN m
+          WHERE rn <= mn ORDER BY vec_id""",
 
     // quantile_cont is DuckDB's exact interpolated percentile — the
     // twin of Spark's percentile() (both 6dp-rounded).

@@ -541,6 +541,28 @@ object Sampling {
         tokens.cast("long").as("n_tokens"))
   }
 
+  /** Deterministic CLASS-BALANCED downsample: every class keeps exactly
+    * min-class-count members, winners chosen by the stable (md5(key),
+    * key) order — the label-balancing step before training a classifier
+    * on skewed data, reproducible on any partitioning and stable under
+    * corpus growth (a new row only displaces hash-later rows of its own
+    * class). Plan: one combine-enabled class-count agg reduced to a
+    * single-row MIN (broadcast back), one per-class rank window. The
+    * window sorts within each class — the inherent cost of exact
+    * per-class quotas; a skew-hostile deployment swaps in the
+    * per-range-offset rank trick documented on [[interleaveBySource]]. */
+  def balanceClasses(df: DataFrame, classCol: Column, key: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mn = df.groupBy(classCol.as("__c")).agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("__mn"))
+    val rn = row_number().over(Window.partitionBy(classCol)
+      .orderBy(md5(key.cast("string")), key))
+    df.withColumn("__rn", rn)
+      .crossJoin(broadcast(mn))
+      .filter(col("__rn") <= col("__mn"))
+      .drop("__rn", "__mn")
+  }
+
   /** Deterministic SOURCE-INTERLEAVED training order: round-robin
     * across sources so adjacent examples come from different corpora —
     * the data-order half of mixture training (a shuffled-but-clumped

@@ -882,6 +882,46 @@ object TextAnalysis {
         Seq(col("__bp.w1").as("__w1"), col("__bp.w2").as("__w2")): _*)
   }
 
+  /** PMI-ranked collocations: the corpus's strongest two-word
+    * associations — pmi = ln(p(ab) / (p(a)·p(b))) over whitespace
+    * bigrams, reported for pairs seen ≥ `minCount` times (rare-pair
+    * PMI is noise by construction). The standard phrase-mining /
+    * tokenizer-diagnostics table (which word pairs behave as one
+    * unit).
+    *
+    * Plan: one bigram explode → combine-enabled pair counts; one word
+    * explode → vocab counts; two keyed joins of the (already
+    * aggregated, vocab-bounded) pair table against the unigram table;
+    * totals ride as broadcast single-row aggs; top-k closes as a
+    * TakeOrdered heap. The corpus is never joined row-level — only
+    * count tables meet. Numeric contract: counts are exact longs; the
+    * pmi expression is ONE double tree (same shape in the oracle),
+    * rounded 6dp. */
+  def collocations(df: DataFrame, textCol: String,
+                   minCount: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    require(minCount >= 1 && k >= 1, "need minCount >= 1 and k >= 1")
+    val pairs0 = wordBigrams(df, Seq.empty, textCol)
+      .groupBy(col("__w1").as("w1"), col("__w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val uni = df.select(explode(tokens(lower(col(textCol)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n_w"))
+    // Totals BEFORE the min-count filter — p(ab) and p(a) are relative
+    // to the whole corpus, not the surviving pairs.
+    val m = pairs0.agg(sum(col("n_pair")).cast(DoubleType).as("__m"))
+    val n = uni.agg(sum(col("n_w")).cast(DoubleType).as("__n"))
+    pairs0.filter(col("n_pair") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("n_w").as("__na")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("n_w").as("__nb")), Seq("w2"))
+      .crossJoin(broadcast(m)).crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(log((col("n_pair").cast(DoubleType) / col("__m")) /
+          ((col("__na").cast(DoubleType) / col("__n")) *
+           (col("__nb").cast(DoubleType) / col("__n")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   def perplexity(df: DataFrame, docKey: String, textCol: String,
                  ref: DataFrame, refTextCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType

@@ -3113,6 +3113,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("collocations: PMI golden value, min-count gate, totals pre-filter") {
+    // corpus: "a b" ×3 and "c d" ×1 → bigrams: (a,b)=3, (c,d)=1; words:
+    // a=3 b=3 c=1 d=1, N=8, M=4.
+    val df = Seq("a b", "a b", "a b", "c d").toDF("text")
+    val out = TextAnalysis.collocations(df, "text", minCount = 2, k = 10)
+      .collect()
+    assert(out.length == 1, "only (a,b) clears minCount=2")
+    val r = out.head
+    assert(r.getString(0) == "a" && r.getString(1) == "b" && r.getLong(2) == 3)
+    // pmi = ln((3/4) / ((3/8)·(3/8))) — M and N from the UNFILTERED corpus
+    val expect = math.rint(math.log((3.0 / 4.0) / ((3.0 / 8.0) * (3.0 / 8.0))) * 1e6) / 1e6
+    assert(r.getDouble(3) == expect, s"got ${r.getDouble(3)}, want $expect")
+  }
+
+  test("balanceClasses: exact min-class quota per label, stable under repartition") {
+    val df = (1L to 30L).map(i => (i, (i % 3).toInt))
+      .filter { case (i, l) => l != 2 || i <= 12 }  // class 2 has only 4 members
+      .toDF("id", "label")
+    val out = Sampling.balanceClasses(df, col("label"), col("id"))
+      .select("id", "label").as[(Long, Int)].collect()
+    val byClass = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byClass == Map(0 -> 4, 1 -> 4, 2 -> 4), s"quota = min class size: $byClass")
+    val re = Sampling.balanceClasses(df.repartition(9), col("label"), col("id"))
+      .select("id", "label").as[(Long, Int)].collect()
+    assert(re.toSet == out.toSet, "winners are a pure function of (key, label)")
+  }
+
   test("centerEmbeddings: hand-checked means, centered mean ~0, norms published") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)),
