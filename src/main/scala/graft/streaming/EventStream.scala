@@ -97,6 +97,74 @@ object EventStream {
       }
   }
 
+  /** A key's funnel state: finalized first-qualifying times per step
+    * (epoch ms, -1 = unreached) + events still newer than the watermark,
+    * buffered until they are stable. */
+  case class FunnelBuffer(fin: Seq[Long], bufTs: Seq[Long], bufStep: Seq[Int])
+
+  /** One funnel refinement for a key: how many steps it has reached and
+    * each step's first-qualifying time (ms, -1 unreached). The LAST
+    * update per key is the funnel — earlier ones are its progress. */
+  case class FunnelUpdate(user_id: Long, reached: Int, times: Seq[Long])
+
+  /** Streaming ordered-step funnel — the streaming twin of
+    * [[graft.ops.Analytics.funnel]] with steps named by event type:
+    * step i's time is the FIRST event of its type at or after step
+    * i−1's time. Correct under cross-batch reordering the same way
+    * [[sessionize]] is: events buffer until the watermark passes them,
+    * then fold into the finalized times in timestamp order — at that
+    * point nothing earlier can still be admitted, so every finalized
+    * time is exactly the batch operator's MIN over admitted events (an
+    * event later than the watermark is dropped by Spark before this
+    * operator and excluded from both sides of that equality). Emits an
+    * update whenever finalization changes a key's funnel; a key fires
+    * on new data or on the event-time timeout set to its earliest
+    * buffered event.
+    *
+    * State: steps.size longs per key FOREVER (a funnel's memory of
+    * "has this user ever viewed" is inherently per-user lifetime
+    * state — bounded by the key space, not the event volume) plus the
+    * watermark-horizon buffer, same bound as sessionize. */
+  def funnelUpdates(events: Dataset[Event], spark: SparkSession,
+                    steps: Seq[String],
+                    watermark: String = "10 minutes"): Dataset[FunnelUpdate] = {
+    import spark.implicits._
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "step types unique")
+    val idx = steps.zipWithIndex.toMap
+    events
+      .withWatermark("ts", watermark)
+      .filter(e => idx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelBuffer, FunnelUpdate](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelBuffer]) =>
+          val prior = state.getOption.getOrElse(
+            FunnelBuffer(Seq.fill(steps.size)(-1L), Nil, Nil))
+          val buf = prior.bufTs.zip(prior.bufStep) ++
+            rows.map(e => (e.ts.getTime, idx(e.event_type)))
+          val wm = state.getCurrentWatermarkMs()
+          val (stable, pending) = buf.partition(_._1 <= wm)
+          val fin = prior.fin.toArray
+          // ts-order fold = the batch MIN-at-or-after semantics; the
+          // step index tie-break lets an equal-timestamp later step
+          // qualify (batch uses >=).
+          stable.sortBy(identity).foreach { case (t, i) =>
+            if (if (i == 0) fin(0) < 0
+                else fin(i) < 0 && fin(i - 1) >= 0 && t >= fin(i - 1))
+              fin(i) = t
+          }
+          state.update(FunnelBuffer(fin.toSeq, pending.map(_._1),
+            pending.map(_._2)))
+          if (pending.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(pending.map(_._1).min, wm + 1))
+          if (fin.toSeq != prior.fin)
+            Iterator.single(FunnelUpdate(userId, fin.count(_ >= 0), fin.toSeq))
+          else Iterator.empty
+      }
+  }
+
   /** Streaming exact dedup: the streaming twin of `ext.Dedup.exactByKey` /
     * the upsert sink's within-batch dedup. State is bounded by the
     * watermark — a duplicate arriving later than `watermark` after the

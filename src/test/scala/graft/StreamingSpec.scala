@@ -722,4 +722,57 @@ class StreamingSpec extends SparkSpec {
     assert(top(ts(0)) == "spark" && top(java.sql.Timestamp.valueOf(
       "2026-01-01 11:00:00")) == "drift", s"window champions, got $top")
   }
+
+  test("streaming funnel finalizes to the batch funnel; pre-step events ignored") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.funnelUpdates(mem.toDS(), spark,
+        Seq("view", "click", "purchase"), watermark = "30 minutes")
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 7 clicks BEFORE viewing (must not count), then views; user 8
+    // views only.
+    mem.addData(
+      ev(1, "2024-01-01 09:00:00", 7, "click", 0),
+      ev(2, "2024-01-01 09:10:00", 7, "view", 0),
+      ev(3, "2024-01-01 09:20:00", 8, "view", 0))
+    q.processAllAvailable()
+    // the qualifying click + purchase, plus a far-future watermark pusher
+    mem.addData(
+      ev(4, "2024-01-01 09:30:00", 7, "click", 0),
+      ev(5, "2024-01-01 09:40:00", 7, "purchase", 0),
+      ev(6, "2024-01-01 12:00:00", 99, "view", 0))
+    q.processAllAvailable()
+    // watermark passes every real event -> timeouts fire, funnels finalize
+    mem.addData(ev(7, "2024-01-01 14:00:00", 99, "click", 0))
+    q.processAllAvailable(); q.stop()
+    def ms(t: String) = Timestamp.valueOf(t).getTime
+    // LAST update per user is the funnel
+    val last = spark.table("funnel_out").as[EventStream.FunnelUpdate]
+      .collect().groupBy(_.user_id)
+      .map { case (u, ups) => u -> ups.maxBy(_.reached) }
+    assert(last(7L).reached == 3 && last(7L).times == Seq(
+      ms("2024-01-01 09:10:00"), ms("2024-01-01 09:30:00"),
+      ms("2024-01-01 09:40:00")), s"user 7: ${last(7L)}")
+    assert(last(8L).reached == 1 &&
+      last(8L).times.tail == Seq(-1L, -1L), s"user 8: ${last(8L)}")
+    // and the batch twin agrees on the same admitted events
+    val batch = graft.ops.Analytics.funnel(
+        Seq(
+          ev(1, "2024-01-01 09:00:00", 7, "click", 0),
+          ev(2, "2024-01-01 09:10:00", 7, "view", 0),
+          ev(3, "2024-01-01 09:20:00", 8, "view", 0),
+          ev(4, "2024-01-01 09:30:00", 7, "click", 0),
+          ev(5, "2024-01-01 09:40:00", 7, "purchase", 0)).toDF(),
+        col("user_id"), col("ts"),
+        Seq("v" -> (col("event_type") === "view"),
+          "c" -> (col("event_type") === "click"),
+          "p" -> (col("event_type") === "purchase")))
+      .orderBy("k").collect()
+    assert(batch(0).getTimestamp(1).getTime == last(7L).times(0)
+      && batch(0).getTimestamp(2).getTime == last(7L).times(1)
+      && batch(0).getTimestamp(3).getTime == last(7L).times(2))
+    assert(batch(1).getTimestamp(1).getTime == last(8L).times(0)
+      && batch(1).isNullAt(2))
+  }
 }
