@@ -1762,6 +1762,32 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_image_phash" -> ((s, dir) => {
+      // REAL perceptual hashing: decode each PNG, dHash the luminance
+      // gradient signs into a 56-bit long — the image-dedup key. The
+      // oracle replays the sample grid + sign bits from the pixel
+      // formula without decoding; a codec, channel, or bit-order bug
+      // breaks the hash.
+      Multimodal.perceptualHash(
+          Multimodal.withSyntheticPng(read(s, dir, "documents"), "doc_id"),
+          "doc_id", hw = PhashW, hh = PhashH)
+        .orderBy("doc_id")
+    }),
+
+    "q_image_dup_families" -> ((s, dir) => {
+      // Image dedup by perceptual hash: equal-dHash families (count +
+      // min-id representative) — one hash shuffle on the long key,
+      // never pairwise. The scale shape: families bound the output,
+      // not the corpus square.
+      Multimodal.perceptualHash(
+          Multimodal.withSyntheticPng(read(s, dir, "documents"), "doc_id"),
+          "doc_id", hw = PhashW, hh = PhashH)
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("rep_id"))
+        .filter(col("n_images") >= 2)
+        .orderBy("phash")
+    }),
+
     "q_video_frames" -> ((s, dir) => {
       // REAL video frame sampling over a REAL container: an animated
       // GIF per doc (javax.imageio writes and re-reads it — logical
@@ -2905,6 +2931,36 @@ object ExtQueries {
   /** Collocation gate + report size (oracle-shared). */
   private val CollocMinCount = 5L
   private val CollocTopK = 30
+  /** dHash grid: 8×7 = 56 bits keeps the long positive (simhash cap). */
+  private val PhashW = 8
+  private val PhashH = 7
+
+  /** Closed-form dHash CTE chain ending at `b(doc_id, phash)`: the NN
+    * sample grid (x ∈ [0, hw], y ∈ [0, hh)) over the synthetic pixel
+    * formula, gradient-sign bits summed as distinct powers of two. */
+  private def phashCtes: String =
+    s"""dims AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+            FROM documents),
+          gx AS (SELECT doc_id, w, h,
+            unnest(generate_series(0, $PhashW)) AS x FROM dims),
+          gxy AS (SELECT doc_id, w, h, x,
+            unnest(generate_series(0, ${PhashH - 1})) AS y FROM gx),
+          l AS (SELECT doc_id, x, y,
+              ((doc_id * 7 + ((x * w) // ${PhashW + 1}) * 3
+                + ((y * h) // $PhashH) * 5) % 256)
+            + ((doc_id * 11 + ((x * w) // ${PhashW + 1}) * 13
+                + ((y * h) // $PhashH) * 17) % 256)
+            + ((doc_id * 19 + ((x * w) // ${PhashW + 1}) * 23
+                + ((y * h) // $PhashH) * 29) % 256) AS lum
+            FROM gxy),
+          b AS (SELECT a.doc_id,
+              CAST(SUM(CASE WHEN a.lum > c.lum
+                THEN CAST(1 AS BIGINT) << (a.y * $PhashW + a.x)
+                ELSE 0 END) AS BIGINT) AS phash
+            FROM l a JOIN l c ON a.doc_id = c.doc_id AND a.y = c.y
+              AND c.x = a.x + 1
+            WHERE a.x < $PhashW
+            GROUP BY a.doc_id)"""
   /** Kneser–Ney absolute discount (hundredths): the 0.75 default the
     * literature converged on (Chen & Goodman 1999). */
   private val KnDiscountHundredths = 75
@@ -5633,6 +5689,17 @@ object ExtQueries {
            CAST(SUM((doc_id * 11 + sx * 13 + sy * 17) % 256) AS BIGINT) AS g_sum,
            CAST(SUM((doc_id * 19 + sx * 23 + sy * 29) % 256) AS BIGINT) AS b_sum
          FROM m GROUP BY 1 ORDER BY doc_id""",
+
+    "q_image_phash" ->
+      s"""WITH $phashCtes
+          SELECT b.doc_id, CAST(4 + b.doc_id % 5 AS INTEGER) AS width,
+            CAST(3 + b.doc_id % 4 AS INTEGER) AS height, b.phash
+          FROM b ORDER BY doc_id""",
+
+    "q_image_dup_families" ->
+      s"""WITH $phashCtes
+          SELECT phash, COUNT(*) AS n_images, MIN(doc_id) AS rep_id
+          FROM b GROUP BY phash HAVING COUNT(*) >= 2 ORDER BY phash""",
 
     // Sampled frames: nFrames = 2 + doc_id % 3, sampled idx ∈ {0, 2} ∩
     // [0, nFrames); frame id = doc_id·31 + idx feeds the same pixel

@@ -106,6 +106,58 @@ object Multimodal {
   case class ImageFeatures(id: Long, width: Int, height: Int,
                            r_sum: Long, g_sum: Long, b_sum: Long)
 
+  case class ImageHash(id: Long, width: Int, height: Int, phash: Long)
+
+  /** dHash PERCEPTUAL image hash over the decoded raster: nearest-
+    * neighbor sample the image to a (hw+1)×hh luminance grid (lum =
+    * r+g+b, exact integers), bit (y·hw+x) = [lum(x,y) > lum(x+1,y)] —
+    * the standard gradient-sign fingerprint that survives re-encoding
+    * and small resizes, packed into one long (hw·hh ≤ 60, the simhash
+    * long-cap convention). The image-dedup key: equal hashes find
+    * re-encoded/resized copies that byte-level dedup misses, and the
+    * signature feeds the SAME banded near-dup machinery as simhash
+    * (`Dedup.simhashDupPairs`) when hamming tolerance is wanted.
+    * Map-only mapPartitions decode (codec context per partition);
+    * downstream grouping is a plain hash shuffle on the long. */
+  def perceptualHash(df: DataFrame, idCol: String,
+                     hw: Int = 8, hh: Int = 7): DataFrame = {
+    require(hw >= 1 && hh >= 1 && hw * hh <= 60,
+      "1..60 hash bits fit the long (sign bit untouched)")
+    val inEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    df.select(col(idCol).cast("long"), col("media"))
+      .as[(Long, Array[Byte])](inEnc)
+      .mapPartitions { it =>
+        val reader = pngReader()
+        def lum(img: java.awt.image.BufferedImage, x: Int, y: Int): Int = {
+          val rgb = img.getRGB(x, y)
+          ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        }
+        val out = it.map { case (id, bytes) =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis, true, true)
+          val img = try reader.read(0) finally iis.close()
+          val (w, h) = (img.getWidth, img.getHeight)
+          var bits = 0L
+          var y = 0
+          while (y < hh) {
+            val sy = y * h / hh
+            var x = 0
+            while (x < hw) {
+              if (lum(img, x * w / (hw + 1), sy) >
+                  lum(img, (x + 1) * w / (hw + 1), sy))
+                bits |= 1L << (y * hw + x)
+              x += 1
+            }
+            y += 1
+          }
+          ImageHash(id, w, h, bits)
+        }
+        out ++ { reader.dispose(); Iterator.empty }
+      }(Encoders.product[ImageHash])
+      .toDF(idCol, "width", "height", "phash")
+  }
+
   /** REAL image decode, partition-batched: javax.imageio parses each
     * row's PNG bytes and the decoded raster reduces to dimensions + exact
     * per-channel pixel sums (integers — no FP accumulation to round).

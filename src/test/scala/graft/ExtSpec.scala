@@ -3113,6 +3113,36 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("perceptualHash: matches the closed-form dHash, equal images collide, bit cap guards") {
+    // Closed-form replica of the synthetic pixel formula + dHash rule.
+    def expect(id: Long, hw: Int, hh: Int): Long = {
+      val w = 4 + (id % 5).toInt; val h = 3 + (id % 4).toInt
+      def lum(x: Int, y: Int): Long =
+        Math.floorMod(id * 7 + x * 3 + y * 5, 256) +
+        Math.floorMod(id * 11 + x * 13 + y * 17, 256) +
+        Math.floorMod(id * 19 + x * 23 + y * 29, 256)
+      var bits = 0L
+      for (y <- 0 until hh; x <- 0 until hw)
+        if (lum(x * w / (hw + 1), y * h / hh) >
+            lum((x + 1) * w / (hw + 1), y * h / hh))
+          bits |= 1L << (y * hw + x)
+      bits
+    }
+    val ids = Seq(0L, 1L, 7L, 123L, 1280L)
+    val df = Multimodal.withSyntheticPng(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.perceptualHash(df, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    ids.foreach { id =>
+      assert(got(id) == expect(id, 8, 7), s"id $id: real decode != closed form")
+    }
+    // ids 0 and 1280 are pixel-identical by construction (period
+    // lcm(5,4,256) divides 1280) -> identical hashes
+    assert(got(0L) == got(1280L), "identical images must collide")
+    intercept[IllegalArgumentException] {
+      Multimodal.perceptualHash(df, "doc_id", hw = 8, hh = 8)
+    }
+  }
+
   test("collocations: PMI golden value, min-count gate, totals pre-filter") {
     // corpus: "a b" ×3 and "c d" ×1 → bigrams: (a,b)=3, (c,d)=1; words:
     // a=3 b=3 c=1 d=1, N=8, M=4.
