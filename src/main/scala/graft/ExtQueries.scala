@@ -976,6 +976,25 @@ object ExtQueries {
       Retrieval.recallAtK(res, truth, k = 3).orderBy("q_id")
     }),
 
+    "q_center_recall" -> ((s, dir) => {
+      // Centering's retrieval effect, measured not assumed: exact top-3
+      // over the mean-centered corpus scored against exact top-3 over
+      // the raw corpus. Centering rotates similarity toward
+      // discriminative directions — recall < 1 here is the point (it
+      // quantifies how much the common-bias direction was distorting
+      // raw cosine).
+      val e = read(s, dir, "embeddings").select("vec_id", "embedding")
+      val c = Similarity.centerEmbeddings(e, "embedding", AnnDim, "centered")
+        .select(col("vec_id"), col("centered").as("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val cq = c.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val truth = Similarity.bruteForceTopK(q, e, 3)
+      val res = Similarity.bruteForceTopK(cq, c, 3)
+      Retrieval.recallAtK(res, truth, k = 3).orderBy("q_id")
+    }),
+
     "q_ann_mrr" -> ((s, dir) => {
       // Reciprocal rank@3 of the same IVF-vs-brute pairing as
       // q_ann_recall — the order-sensitive companion metric.
@@ -1786,6 +1805,20 @@ object ExtQueries {
         .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("rep_id"))
         .filter(col("n_images") >= 2)
         .orderBy("phash")
+    }),
+
+    "q_image_dup_pairs" -> ((s, dir) => {
+      // Hamming-tolerant image near-dup pairs: the SAME pigeonhole
+      // banding machinery as simhash (2 bands of 28 bits; hamming ≤ 1
+      // guarantees one identical slice) over the 56-bit dHash —
+      // re-encoded/slightly-altered copies pair without an all-pairs
+      // scan.
+      val sigs = Multimodal.perceptualHash(
+        Multimodal.withSyntheticPng(read(s, dir, "documents"), "doc_id"),
+        "doc_id", hw = PhashW, hh = PhashH)
+      Dedup.simhashDupPairs(sigs, "doc_id", "phash", PhashW * PhashH,
+          bands = 2, maxHamming = 1)
+        .orderBy("a", "b")
     }),
 
     "q_video_frames" -> ((s, dir) => {
@@ -3521,6 +3554,21 @@ object ExtQueries {
 
   private def bucketSql(v: String): String = bucketSqlWith(v, AnnPlanes)
 
+  /** Shared centering chain ending at `c(vec_id, embedding, centered)`:
+    * per-dimension means by the same 6dp-round → DECIMAL(25,6) sum →
+    * one double divide ladder Similarity.centerEmbeddings pins. */
+  private def centerCtes: String = {
+    val meanExprs = (1 to AnnDim).map(i =>
+      s"""CAST(SUM(CAST(ROUND(CAST(embedding[$i] AS DOUBLE), 6)
+           AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)""").mkString(",\n ")
+    s"""m AS (SELECT [$meanExprs] AS mean FROM embeddings),
+          c AS (SELECT vec_id, embedding,
+              list_transform(generate_series(1, $AnnDim),
+                i -> ROUND(ROUND(CAST(embedding[i] AS DOUBLE), 6) - mean[i], 6))
+                AS centered
+            FROM embeddings CROSS JOIN m)"""
+  }
+
   /** Shared funnel step chain (view → click → purchase, each step's
     * first event at or after the previous step's) ending at s1/s2/s3. */
   private val funnelCtes: String =
@@ -4949,20 +4997,40 @@ object ExtQueries {
 
     // Per-dimension means re-derived with the same 6dp-round →
     // DECIMAL(25,6) sum → one double divide ladder the Spark op pins.
-    "q_embed_center" -> {
-      val meanExprs = (1 to AnnDim).map(i =>
-        s"""CAST(SUM(CAST(ROUND(CAST(embedding[$i] AS DOUBLE), 6)
-             AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*)""").mkString(",\n ")
-      s"""WITH m AS (SELECT [$meanExprs] AS mean FROM embeddings),
-          c AS (SELECT vec_id,
-              list_transform(generate_series(1, $AnnDim),
-                i -> ROUND(ROUND(CAST(embedding[i] AS DOUBLE), 6) - mean[i], 6))
-                AS centered
-            FROM embeddings CROSS JOIN m)
+    "q_embed_center" ->
+      s"""WITH $centerCtes
           SELECT vec_id, centered,
             ROUND(sqrt(list_dot_product(centered, centered)), 6) AS centered_norm
-          FROM c ORDER BY vec_id"""
-    },
+          FROM c ORDER BY vec_id""",
+
+    // Centering's retrieval effect, measured: centered-space exact top-3
+    // vs raw-space exact top-3, the recall@k close over both chains.
+    "q_center_recall" ->
+      s"""WITH $centerCtes,
+          tr AS (SELECT q_id, vec_id,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY ${cosSql("q_vec", "embedding")} DESC, vec_id)
+                AS INTEGER) AS rank
+            FROM embeddings CROSS JOIN
+              (SELECT vec_id AS q_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5) q
+            QUALIFY rank <= 3),
+          rc AS (SELECT q_id, vec_id,
+              CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY ${cosSql("q_vec", "centered")} DESC, vec_id)
+                AS INTEGER) AS rank
+            FROM c CROSS JOIN
+              (SELECT vec_id AS q_id, centered AS q_vec FROM c
+               WHERE vec_id < 5) q
+            QUALIFY rank <= 3)
+          SELECT tr.q_id, COUNT(*) AS n_truth,
+            CAST(SUM(CASE WHEN rc.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hit,
+            ROUND(CAST(SUM(CASE WHEN rc.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / COUNT(*), 6) AS recall
+          FROM tr LEFT JOIN rc
+            ON tr.q_id = rc.q_id AND tr.vec_id = rc.vec_id
+          GROUP BY tr.q_id ORDER BY tr.q_id""",
 
     "q_event_funnel" ->
       s"""WITH $funnelCtes
@@ -5700,6 +5768,20 @@ object ExtQueries {
       s"""WITH $phashCtes
           SELECT phash, COUNT(*) AS n_images, MIN(doc_id) AS rep_id
           FROM b GROUP BY phash HAVING COUNT(*) >= 2 ORDER BY phash""",
+
+    // Same banding arithmetic as q_simhash_pairs, over the dHash chain.
+    "q_image_dup_pairs" ->
+      s"""WITH $phashCtes,
+          bandids AS (SELECT unnest(generate_series(0, 1)) AS band_id),
+          banded AS (SELECT doc_id, phash, band_id,
+              (phash >> (band_id * ${PhashW * PhashH / 2}))
+                & ${(1L << (PhashW * PhashH / 2)) - 1} AS slice
+            FROM b CROSS JOIN bandids),
+          cand AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+              CAST(bit_count(xor(l.phash, r.phash)) AS INTEGER) AS hamming
+            FROM banded l JOIN banded r USING (band_id, slice)
+            WHERE l.doc_id < r.doc_id)
+          SELECT a, b, hamming FROM cand WHERE hamming <= 1 ORDER BY a, b""",
 
     // Sampled frames: nFrames = 2 + doc_id % 3, sampled idx ∈ {0, 2} ∩
     // [0, nFrames); frame id = doc_id·31 + idx feeds the same pixel
