@@ -121,6 +121,55 @@ object ExtQueries {
         .limit(20)
     }),
 
+    "q_tpch_q7" -> ((s, dir) => {
+      // TPC-H Q7 (volume shipping between two nations): both directions
+      // of the NATION_1↔NATION_2 pair, revenue by (supp nation, cust
+      // nation, ship year). Dims broadcast; the pair filter applies
+      // AFTER the nation names attach, pruning to two combinations.
+      val li = read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"),
+          year(col("l_shipdate")).as("l_year"))
+      val ord = read(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = read(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val sup = read(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val n1 = read(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = read(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(dsumProd(col("l_extendedprice"), lit(1) - col("l_discount"))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    "q_tpch_q14" -> ((s, dir) => {
+      // TPC-H Q14 (promotion revenue share): one month of lineitems
+      // against the part dim — promo revenue over total as a single
+      // conditional/unconditional aggregate pair, one scalar row.
+      val li = read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1996-02-01").cast("date"))
+        .select("l_partkey", "l_extendedprice", "l_discount")
+      val part = read(s, dir, "part").select("p_partkey", "p_type")
+      val d = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      val disc = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(18, 2))
+      d.agg(
+          sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0)))
+            .cast(DoubleType).as("__p"),
+          sum(disc).cast(DoubleType).as("__t"))
+        .select(round(lit(100.0) * col("__p") / col("__t"), 6)
+          .as("promo_share"))
+    }),
+
     "q_tpch_q18" -> ((s, dir) => {
       // TPC-H Q18 (large-volume customers): the having-subquery shape —
       // a full lineitem pre-aggregation gates the join, so only the
@@ -398,6 +447,18 @@ object ExtQueries {
         .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_v"))
         .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_v"))
         .orderBy("bucket", "event_type")
+    }),
+
+    "q_anomaly_zscore" -> ((s, dir) => {
+      // Rolling outlier detection: trailing 20-row z-score per event
+      // type with the |z| > 3 flag — the standard metric-series anomaly
+      // gate, O(n) growing-frame moments, flag compared on the ROUNDED z.
+      Analytics.rollingZScore(
+          read(s, dir, "events").select("event_id", "event_type", "ts", "value"),
+          "value", Seq("event_type"), Seq("ts", "event_id"),
+          k = ZScoreWindow, out = "zscore")
+        .select("event_id", "event_type", "zscore", "zscore_anomaly")
+        .orderBy("event_id")
     }),
 
     "q_event_funnel" -> ((s, dir) => {
@@ -2645,6 +2706,8 @@ object ExtQueries {
   // ~30-word vocabulary produces real cross-document repetition.
   private val ParaChunkWords = 8
   private val RollCorrWindow = 30
+  /** Trailing window for the rolling z-score anomaly gate. */
+  private val ZScoreWindow = 20
   private val BollingerWindow = 20
   private val RsiWindow = 14
   private val SkewTopK = 25
@@ -4223,6 +4286,35 @@ object ExtQueries {
          GROUP BY 1, 2, 3, 4
          ORDER BY revenue DESC, c_custkey LIMIT 20""",
 
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+         GROUP BY 1, 2, 3
+         ORDER BY supp_nation, cust_nation, l_year""",
+
+    "q_tpch_q14" ->
+      """SELECT ROUND(100.0 *
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))
+             ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE), 6)
+           AS promo_share
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1996-02-01'""",
+
     "q_tpch_q18" ->
       """WITH big AS (
            SELECT l_orderkey,
@@ -5031,6 +5123,30 @@ object ExtQueries {
           FROM tr LEFT JOIN rc
             ON tr.q_id = rc.q_id AND tr.vec_id = rc.vec_id
           GROUP BY tr.q_id ORDER BY tr.q_id""",
+
+    // Same moment ladder as q_rolling_std; z and its flag close over the
+    // ROUNDED value so both engines compare the identical double.
+    "q_anomaly_zscore" ->
+      s"""SELECT event_id, event_type,
+            CASE WHEN n >= 2 AND
+                sqrt(greatest(n * sxx - sx * sx, 0.0) / (n * (n - 1))) > 0
+              THEN ROUND((CAST(value AS DOUBLE) - sx / n)
+                / sqrt(greatest(n * sxx - sx * sx, 0.0) / (n * (n - 1))), 6)
+            END AS zscore,
+            abs(CASE WHEN n >= 2 AND
+                sqrt(greatest(n * sxx - sx * sx, 0.0) / (n * (n - 1))) > 0
+              THEN ROUND((CAST(value AS DOUBLE) - sx / n)
+                / sqrt(greatest(n * sxx - sx * sx, 0.0) / (n * (n - 1))), 6)
+            END) > 3.0 AS zscore_anomaly
+          FROM (SELECT event_id, event_type, value,
+              CAST(COUNT(value) OVER w AS DOUBLE) AS n,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+              CAST(SUM(CAST(value AS DECIMAL(18,6))
+                * CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sxx
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+              ROWS BETWEEN ${ZScoreWindow - 1} PRECEDING AND CURRENT ROW))
+          ORDER BY event_id""",
 
     "q_event_funnel" ->
       s"""WITH $funnelCtes

@@ -358,6 +358,31 @@ object Analytics {
       when(n >= 2, round(sqrt(vx / (n * (n - 1))), 6)))
   }
 
+  /** Trailing k-row z-score per key + the |z| > 3 anomaly flag — the
+    * streaming-friendly outlier detector over a metric series (how many
+    * rolling standard deviations the current value sits from its recent
+    * mean). Same O(n) difference-of-growing-frames moments and the same
+    * decimal-exact → one-double-tree contract as [[rollingStd]]; the
+    * flag is computed from the ROUNDED z so both engines compare the
+    * identical double. NULL where the window has < 2 rows or zero
+    * variance (a flat window has no scale — flagging there would be
+    * noise, not signal). */
+  def rollingZScore(df: DataFrame, valueCol: String, partCols: Seq[String],
+                    orderCols: Seq[String], k: Int, out: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val w0 = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val (fsum, fcnt) = frameMoments(w0, k)
+    val xi = col(valueCol).cast(DecimalType(18, 6))
+    val n = fcnt(col(valueCol)).cast(DoubleType)
+    val sx = fsum(xi).cast(DoubleType)
+    val sxx = fsum(xi * xi).cast(DoubleType)
+    val std = sqrt(greatest(n * sxx - sx * sx, lit(0.0)) / (n * (n - 1)))
+    df.withColumn(out, when(n >= 2 && std > 0,
+        round((col(valueCol).cast(DoubleType) - sx / n) / std, 6)))
+      .withColumn(s"${out}_anomaly", abs(col(out)) > lit(3.0))
+  }
+
   /** Running peak and drawdown per key — the classic risk analytic over a
     * price series (how far below its historical high the series sits).
     * `peak` = cumulative max of the raw value (no arithmetic — exact);

@@ -694,6 +694,27 @@ class OpsSpec extends SparkSpec {
     assert(relErr < 4.0 / math.sqrt(62.0), s"estimate $est too far from 1000")
   }
 
+  test("rollingZScore: hand-checked z, flat window abstains, flag uses rounded z") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // key a: 1, 1, 1, 10 — first row has n=1 (NULL), rows 2-3 flat
+    // window (std 0 -> NULL), row 4 z = (10 - 4)/sqrt(...) over {1,1,1,10}
+    val df = Seq(
+      ("a", ts(1), 1.0), ("a", ts(2), 1.0), ("a", ts(3), 1.0), ("a", ts(4), 10.0)
+    ).zipWithIndex.map { case ((k, t, v), i) => (i.toLong, k, t, v) }
+      .toDF("event_id", "event_type", "ts", "value")
+    val out = Analytics.rollingZScore(df, "value", Seq("event_type"),
+        Seq("ts", "event_id"), k = 10, out = "z")
+      .orderBy("event_id").collect()
+    assert(out(0).isNullAt(4), "n=1 abstains")
+    assert(out(1).isNullAt(4) && out(2).isNullAt(4), "flat window abstains")
+    // exact arithmetic over {1,1,1,10}: n=4, sx=13, sxx=103,
+    // var = (4*103 - 169)/(4*3) = 20.25, std = 4.5, z = (10 - 3.25)/4.5
+    val want = math.rint((10.0 - 13.0 / 4.0) / 4.5 * 1e6) / 1e6
+    assert(out(3).getDouble(4) == want, s"got ${out(3).getDouble(4)}")
+    assert(!out(3).getBoolean(5), "1.5 sigma is not an anomaly")
+  }
+
   test("funnel: steps must be ordered, drop-offs are NULL, pre-step events ignored") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
