@@ -449,6 +449,22 @@ object ExtQueries {
         .orderBy("bucket", "event_type")
     }),
 
+    "q_asof_tolerance" -> ((s, dir) => {
+      // Tolerance-bounded as-of join (pandas merge_asof(tolerance=1d)):
+      // the latest signup at or before each purchase counts only within
+      // a day — stale context must not attach. Same one-shuffle
+      // union+window plan; the age gate nulls after the window.
+      val ev = read(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      Analytics.asOfJoinBackward(purchases, signups, "user_id", "ts",
+          Map("value" -> "sig_val"), toleranceSec = Some(86400L))
+        .select(col("event_id"), col("user_id"), col("sig_val"))
+        .orderBy("event_id")
+    }),
+
     "q_anomaly_zscore" -> ((s, dir) => {
       // Rolling outlier detection: trailing 20-row z-score per event
       // type with the |z| > 3 flag — the standard metric-series anomaly
@@ -5123,6 +5139,19 @@ object ExtQueries {
           FROM tr LEFT JOIN rc
             ON tr.q_id = rc.q_id AND tr.vec_id = rc.vec_id
           GROUP BY tr.q_id ORDER BY tr.q_id""",
+
+    // Native ASOF match, then the 1-day age gate as a CASE — the same
+    // null-after-match rule the Spark op applies.
+    "q_asof_tolerance" ->
+      """SELECT l.event_id, l.user_id,
+           CASE WHEN l.ts - r.ts <= INTERVAL 1 DAY THEN r.value END AS sig_val
+         FROM (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN
+              (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'signup') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY event_id""",
 
     // Same moment ladder as q_rolling_std; z and its flag close over the
     // ROUNDED value so both engines compare the identical double.

@@ -65,7 +65,8 @@ object Analytics {
     * `rightVals` are (colName -> output name); left columns pass through.
     */
   def asOfJoinBackward(left: DataFrame, right: DataFrame, key: String,
-                       ts: String, rightVals: Map[String, String]): DataFrame = {
+                       ts: String, rightVals: Map[String, String],
+                       toleranceSec: Option[Long] = None): DataFrame = {
     val rightTagged = right.select(col(key), col(ts), lit(0).as("__src"),
       struct(col(ts).as("__rts") +:
         rightVals.toSeq.map { case (c, out) => col(c).as(out) }: _*).as("__r"))
@@ -76,8 +77,15 @@ object Analytics {
       .orderBy(col(ts), col("__src"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val matched = unioned.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    // pandas merge_asof(tolerance=...): a match older than the tolerance
+    // nulls out AFTER the window — no extra shuffle, and the age test is
+    // exact integer µs (NULL match → NULL condition → NULL, unchanged).
+    val okAge = toleranceSec.map { tol =>
+      unix_micros(col(ts)) - unix_micros(col("__m").getField("__rts")) <=
+        tol * 1000000L
+    }.getOrElse(lit(true))
     val extracted = rightVals.values.foldLeft(matched) { (d, out) =>
-      d.withColumn(out, col("__m").getField(out))
+      d.withColumn(out, when(okAge, col("__m").getField(out)))
     }
     extracted.filter(col("__src") === 1).drop("__src", "__r", "__m")
       .select((left.columns.toIndexedSeq.map(col) ++ rightVals.values.map(col)): _*)

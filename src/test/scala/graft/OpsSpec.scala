@@ -694,6 +694,32 @@ class OpsSpec extends SparkSpec {
     assert(relErr < 4.0 / math.sqrt(62.0), s"estimate $est too far from 1000")
   }
 
+  test("asOfJoinBackward tolerance: boundary inclusive, stale match nulls, no-match unchanged") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, ts("2024-01-02 00:00:00")),  // match exactly 1 day old
+      (2L, 7L, ts("2024-01-05 00:00:01")),  // match 1 day + 1 s old -> null
+      (3L, 8L, ts("2024-01-01 00:00:00"))   // no right row at all
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 10.0),
+      (7L, ts("2024-01-04 00:00:00"), 20.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Analytics.asOfJoinBackward(left, right, "user_id", "ts",
+        Map("value" -> "v"), toleranceSec = Some(86400L))
+      .orderBy("event_id").collect()
+    assert(out(0).getDouble(3) == 10.0, "exactly-at-tolerance match keeps")
+    assert(out(1).isNullAt(3), "one second past tolerance nulls")
+    assert(out(2).isNullAt(3), "no-match row stays null")
+    // tolerance None must be byte-identical to the untoleranced op
+    val a = Analytics.asOfJoinBackward(left, right, "user_id", "ts",
+      Map("value" -> "v")).orderBy("event_id").collect().toSeq
+    val b = Analytics.asOfJoinBackward(left, right, "user_id", "ts",
+      Map("value" -> "v"), None).orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("rollingZScore: hand-checked z, flat window abstains, flag uses rounded z") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")

@@ -551,4 +551,70 @@ class PropertySpec extends SparkSpec {
       assert(all.map(_.getLong(1)).sum == total, "counts conserve")
     }
   }
+
+  test("interleaveBySource: bijection onto residue classes, prefix balance — random corpora") {
+    import graft.ext.Sampling
+    trials(5) { rnd =>
+      val nSrc = rnd.nextInt(4) + 2
+      val rows = (0 until rnd.nextInt(80) + 20)
+        .map(i => (i.toLong, s"s${rnd.nextInt(nSrc)}"))
+      val present = rows.map(_._2).distinct.sorted
+      val out = Sampling.interleaveBySource(rows.toDF("id", "src"),
+          col("src"), col("id"))
+        .select("id", "src", "pos").as[(Long, String, Long)].collect()
+      assert(out.map(_._3).distinct.length == rows.size, "positions distinct")
+      // every position's residue class identifies its source
+      val srcIdx = present.zipWithIndex.toMap
+      out.foreach { case (_, s, p) =>
+        assert(p % present.size == srcIdx(s), "residue = source index") }
+      // reading in pos order, any prefix holds at most ceil(len/n)+1 more
+      // of one source than another source that still has members left
+      val ordered = out.sortBy(_._3).map(_._2)
+      val counts = present.map(s => s -> rows.count(_._2 == s)).toMap
+      ordered.zipWithIndex.foreach { case (_, i) =>
+        val pre = ordered.take(i + 1).groupBy(identity).view.mapValues(_.length)
+        for (a <- present; b <- present if a != b) {
+          val (ca, cb) = (pre.getOrElse(a, 0), pre.getOrElse(b, 0))
+          if (cb < counts(b))
+            assert(ca - cb <= 1, s"round-robin balance broke at prefix $i")
+        }
+      }
+    }
+  }
+
+  test("packBoundaries: offsets tile each pack exactly — random token widths") {
+    import graft.ext.Sampling
+    trials(5) { rnd =>
+      val docs = (0 until rnd.nextInt(60) + 20)
+        .map(i => (i.toLong, (rnd.nextInt(9) + 1).toLong)).toDF("k", "toks")
+      val budget = (rnd.nextInt(20) + 10).toLong
+      val b = Sampling.packBoundaries(docs, col("k"), col("toks"),
+          budget, shards = rnd.nextInt(3) + 1).collect()
+      b.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_.getInt(2))
+        var run = 0L
+        sorted.foreach { r =>
+          assert(r.getLong(4) == run, "token_start is the exact running sum")
+          run += r.getLong(5)
+        }
+      }
+      assert(b.length == docs.count(), "every doc appears exactly once")
+    }
+  }
+
+  test("balanceClasses: exact quotas, subset, class-wise prefix stability — random labels") {
+    import graft.ext.Sampling
+    trials(5) { rnd =>
+      val rows = (0 until rnd.nextInt(100) + 30)
+        .map(i => (i.toLong, rnd.nextInt(4)))
+      val df = rows.toDF("id", "lbl")
+      val out = Sampling.balanceClasses(df, col("lbl"), col("id"))
+        .select("id", "lbl").as[(Long, Int)].collect()
+      val minCount = rows.groupBy(_._2).map(_._2.size).min
+      val got = out.groupBy(_._2).view.mapValues(_.length).toMap
+      rows.map(_._2).distinct.foreach { l =>
+        assert(got(l) == minCount, s"class $l quota $minCount, got ${got(l)}") }
+      assert(out.toSet.subsetOf(rows.toSet), "output is a subset of input")
+    }
+  }
 }
