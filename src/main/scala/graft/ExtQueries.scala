@@ -2104,6 +2104,20 @@ object ExtQueries {
         .orderBy("cluster_id")
     }),
 
+    "q_dup_triangles" -> ((s, dir) => {
+      // Per-node triangle counts over the verified near-dup graph: how
+      // clique-like each duplicate family is (triangle-rich = safe to
+      // collapse; triangle-free chains are the over-eviction hazard).
+      // One wedge join + a semi-join close, never enumerating beyond
+      // the graph's wedge count.
+      val docs = read(s, dir, "documents")
+      val verified = Dedup.verifiedNearDupPairs(docs, "doc_id", "text",
+        k = 4, bands = 2, rowsPerBand = 2, threshold = NearDupJaccard)
+      Dedup.pairTriangles(verified, "a", "b")
+        .select(col("node").as("doc_id"), col("n_triangles"))
+        .orderBy("doc_id")
+    }),
+
     "q_dedup_keep_best" -> ((s, dir) => {
       // Quality-aware survivor selection: per near-dup cluster keep the
       // HIGHEST-quality member (ties to the smallest id), not the
@@ -5961,6 +5975,19 @@ object ExtQueries {
           FROM documents ORDER BY doc_id, frame_idx""",
 
     "q_dup_clusters" -> dupClustersOracleSql,
+
+    // Wedge + close over the canonical a<b verified pairs; each triangle
+    // generated once, exploded to its three corners.
+    "q_dup_triangles" ->
+      s"""WITH $verifiedPairsCte,
+          e AS (SELECT DISTINCT a, b FROM verified),
+          t AS (SELECT ab.a, ab.b, bc.b AS c
+            FROM e ab JOIN e bc ON ab.b = bc.a
+            WHERE EXISTS (SELECT 1 FROM e ac
+              WHERE ac.a = ab.a AND ac.b = bc.b)),
+          n AS (SELECT unnest([a, b, c]) AS node FROM t)
+          SELECT node AS doc_id, COUNT(*) AS n_triangles
+          FROM n GROUP BY node ORDER BY doc_id""",
 
     "q_dup_centrality" ->
       s"""$dupClustersCte,

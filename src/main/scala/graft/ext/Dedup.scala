@@ -860,8 +860,11 @@ object Dedup {
     try {
       val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
       val n = deg.count()
-      if (n == 0) return deg.select(col("u"), col("deg"),
-        lit(0.0).as("centrality")).limit(0)
+      // Pinned so the empty frame materializes BEFORE the finally frees
+      // the edge blocks it derives from (a lazy escapee would read
+      // unpersisted checkpoint blocks).
+      if (n == 0) return pin(deg.select(col("u"), col("deg"),
+        lit(0.0).as("centrality")).limit(0))
       var pr = deg.withColumn("pr", lit(1.0 / n))
       for (_ <- 1 to iters) {
         val contrib = edges.join(pr, "u")
@@ -875,6 +878,30 @@ object Dedup {
       }
       pr.select(col("u"), col("deg"), round(col("pr"), 6).as("centrality"))
     } finally freeCheckpoint(edges)
+  }
+
+  /** Per-node TRIANGLE counts over an undirected pair graph (pairs
+    * canonical a < b): how cohesive each duplicate family is — a node in
+    * many triangles sits in a clique-like boilerplate family (safe to
+    * collapse to one representative); a triangle-free chain is the
+    * over-eviction hazard `dupClusters` documents. The standard
+    * distributed shape: one wedge join (b is the pivot; cost Σ deg²,
+    * the graph's wedge count — bounded for dedup graphs because
+    * verified-pair degrees are) + one semi-join closing each wedge
+    * against the edge list, then an explode + combine-enabled count per
+    * corner. Each triangle a<b<c is generated exactly once. */
+  def pairTriangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    // Pinned (NOT freed here — the returned plan reads these blocks;
+    // they release with the result frame): the edge list feeds all
+    // three join arms, and without the pin each arm re-derives the
+    // upstream pair computation.
+    val e = pin(pairs.select(col(aCol).as("a"), col(bCol).as("b")).distinct())
+    val wedges = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+    val tri = wedges.join(
+      e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
   /** SimHash over the word multiset: `bits`-bit signature where bit i is

@@ -3058,6 +3058,16 @@ class ExtSpec extends SparkSpec {
     assert(drift.map(_.getLong(1)).sum == 200 && drift.map(_.getLong(2)).sum == 200)
   }
 
+  test("pairTriangles: K4 corners count C(3,2)=3 each, chains are triangle-free") {
+    // K4 on {1,2,3,4} (all 6 canonical pairs) + a chain 10-11-12.
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (11L, 12L)).toDF("a", "b")
+    val got = Dedup.pairTriangles(pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every K4 node sits in 3 of the 4 triangles; chain nodes in none
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
   test("pairCentrality: symmetric path graph, mass conserved, hub wins, empty graph empty") {
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
     val pr = Dedup.pairCentrality(pairs, "a", "b", iters = 3)
