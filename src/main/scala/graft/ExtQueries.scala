@@ -1219,6 +1219,23 @@ object ExtQueries {
         .orderBy("shard")
     }),
 
+    "q_bloom_index_lookup" -> ((s, dir) => {
+      // Secondary-index point lookup: the corpus is CONTENT-sharded
+      // (md5 of text), so specific doc_ids would otherwise need a
+      // full-corpus scan; per-shard blooms prune to the might-contain
+      // shards (driver-side filter test), the exact re-filter closes,
+      // and one absent key exercises the miss path.
+      val path = s"$RunScratch/graft_bloomidx_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      Export.writeBloomIndexed(s,
+        read(s, dir, "documents").select("doc_id", "source", "n_chars", "text"),
+        shardBy = col("text"), keyCol = "doc_id", nShards = ExportShards,
+        path = path, expectedPerShard = 1024L)
+      Export.readBloomIndexed(s, path, "doc_id", BloomLookupKeys)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "q_export_jsonl" -> ((s, dir) => {
       // The JSONL last mile: gzipped JSONL shards under the SAME pure
       // md5 shard key as the parquet export, manifest computed from the
@@ -2854,6 +2871,9 @@ object ExtQueries {
       p
     })
   private val ExportShards = 8
+  /** Point-lookup key set for the bloom-indexed export (one absent key
+    * exercises the miss path); oracle-shared. */
+  private val BloomLookupKeys = Seq(3L, 17L, 41L, 401L, 499L, 987654L)
   /** Size-targeted export: ~16 KiB of text bytes per shard, 4 stripes
     * (≈9 shards at sf0.01's 149 KB corpus — the boundary rule is
     * exercised with several packs per stripe). Shared verbatim by the
@@ -5514,6 +5534,13 @@ object ExtQueries {
            CAST(SUM(512 + ((nb + 511) // 512) * 512) + 1024 AS BIGINT)
              AS tar_bytes
          FROM sh GROUP BY 1 ORDER BY shard""",
+
+    // The index must change WHAT IS READ, never what is returned: the
+    // oracle is the plain point lookup on the logical table.
+    "q_bloom_index_lookup" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+          WHERE doc_id IN (${BloomLookupKeys.mkString(", ")})
+          ORDER BY doc_id""",
 
     "q_export_manifest" ->
       """WITH sh AS (SELECT doc_id, text, n_chars,

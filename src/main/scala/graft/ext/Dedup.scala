@@ -889,7 +889,11 @@ object Dedup {
     * the graph's wedge count — bounded for dedup graphs because
     * verified-pair degrees are) + one semi-join closing each wedge
     * against the edge list, then an explode + combine-enabled count per
-    * corner. Each triangle a<b<c is generated exactly once. */
+    * corner. Each triangle a<b<c is generated exactly once. On a
+    * power-law graph (this op outgrowing dup graphs), orient edges
+    * low-degree → high-degree before the wedge join to drop the bound
+    * from Σ deg² to O(m^1.5) — the standard mitigation, not needed
+    * while degrees are verification-bounded. */
   def pairTriangles(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     // Pinned (NOT freed here — the returned plan reads these blocks;
     // they release with the result frame): the edge list feeds all

@@ -484,6 +484,91 @@ object Export {
     * quantile bin, or epoch-day — any monotone integer mapping keeps
     * locality); bits beyond `bits` are truncated, negatives are the
     * caller's bug. bits × N ≤ 62 keeps the key in a long. */
+  /** Bloom-indexed sharded export — a SECONDARY lookup index for a
+    * corpus sharded by something OTHER than the lookup key (content
+    * shards, time shards, source shards): each shard directory gets a
+    * Bloom filter over its `keyCol` values, and [[readBloomIndexed]]
+    * opens only the shards whose filter might contain a requested key.
+    * When shard = f(lookup key) the filter is pointless (compute the
+    * shard); when it is not — the normal case for "find these doc_ids
+    * in a content-sharded 100 TB corpus" — the index turns a full-scan
+    * lookup into reads of the few true-positive shards plus an fpp
+    * tail.
+    *
+    * The blooms are built from the data READ BACK off the sink (the
+    * manifest discipline: they vouch for what is on disk) and are
+    * insertion-order independent (set bits are an OR over per-item
+    * hashes), so the index bytes are deterministic for a given key
+    * set. Each filter costs ~1.2 bytes/key at fpp 1% — index METADATA,
+    * collected through the driver like the IVF centroid files; size
+    * `nShards` so a single shard's filter stays driver-small (more
+    * shards = smaller filters AND finer pruning).
+    *
+    * `expectedPerShard` pre-sizes each filter so the key stream inserts
+    * in ONE pass (no per-group buffering); undersizing only raises the
+    * fpp (more false shard reads), never correctness — the reader
+    * re-filters exactly. */
+  def writeBloomIndexed(spark: SparkSession, df: DataFrame, shardBy: Column,
+                        keyCol: String, nShards: Int, path: String,
+                        expectedPerShard: Long, fpp: Double = 0.01): Unit = {
+    require(nShards >= 1, "need at least one shard")
+    require(expectedPerShard >= 1 && fpp > 0 && fpp < 1, "sane sizing")
+    df.withColumn("shard", Sampling.hashBucket(shardBy, nShards))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.util.sketch.BloomFilter
+    val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
+    val blooms = spark.read.parquet(path)
+      .select(col("shard").cast("long"), col(keyCol).cast("long"))
+      .as[(Long, Long)](pairEnc)
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .mapGroups { (shard, rows) =>
+        val bf = BloomFilter.create(expectedPerShard, fpp)
+        rows.foreach(r => bf.putLong(r._2))
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (shard, bos.toByteArray)
+      }(outEnc)
+      .collect()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path, "_blooms")
+    fs.delete(dir, true); fs.mkdirs(dir)
+    blooms.foreach { case (shard, bytes) =>
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(dir, s"shard-$shard.bloom"), true)
+      try out.write(bytes) finally out.close()
+    }
+  }
+
+  /** Pruned point-lookup against a [[writeBloomIndexed]] sink: test the
+    * requested keys against each shard's filter ON THE DRIVER (the
+    * filters are the index — tiny vs the data), read ONLY the
+    * might-contain shard directories, then re-filter exactly (false
+    * positives cost a shard read, never a wrong row). An absent key
+    * costs at most its fpp-tail shard reads and returns nothing. */
+  def readBloomIndexed(spark: SparkSession, path: String, keyCol: String,
+                       keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "no keys to look up")
+    import org.apache.spark.util.sketch.BloomFilter
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(path, "_blooms")
+    val shards = fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".bloom"))
+      .flatMap { p =>
+        val in = fs.open(p)
+        val bf = try BloomFilter.readFrom(in) finally in.close()
+        val shard = p.getName.stripPrefix("shard-").stripSuffix(".bloom").toLong
+        if (keys.exists(bf.mightContainLong)) Some(shard) else None
+      }
+    val empty = spark.read.parquet(path).filter(lit(false)).drop("shard")
+    if (shards.isEmpty) empty
+    else spark.read.parquet(shards.map(sh => s"$path/shard=$sh"): _*)
+      .filter(col(keyCol).isin(keys: _*))
+  }
+
   def zorderKey(cols: Seq[Column], bits: Int): Column = {
     val n = cols.size
     require(n >= 1, "need at least one column")

@@ -3058,6 +3058,35 @@ class ExtSpec extends SparkSpec {
     assert(drift.map(_.getLong(1)).sum == 200 && drift.map(_.getLong(2)).sum == 200)
   }
 
+  test("bloomIndexed: lookup prunes shards, exact rows, absent key empty, index bytes stable") {
+    val dir = java.nio.file.Files.createTempDirectory("bloomidx").toString
+    val docs = (0L until 400L).map(i => (i, s"text body $i", i % 7))
+      .toDF("doc_id", "text", "grp")
+    Export.writeBloomIndexed(spark, docs, shardBy = col("text"),
+      keyCol = "doc_id", nShards = 8, path = dir, expectedPerShard = 128L)
+    // exact result incl. one absent key
+    val keys = Seq(5L, 123L, 399L, 99999L)
+    val got = Export.readBloomIndexed(spark, dir, "doc_id", keys)
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(5L, 123L, 399L))
+    // PRUNING: the lookup read strictly fewer shard dirs than exist
+    val shardsRead = got.inputFiles.map(_.replaceAll("/[^/]*$", ""))
+      .distinct.length
+    assert(shardsRead < 8, s"bloom index must prune, read $shardsRead/8 shard dirs")
+    // absent key alone: at most fpp-tail shards, zero rows
+    assert(Export.readBloomIndexed(spark, dir, "doc_id", Seq(99999L)).count() == 0)
+    // index bytes are deterministic (insertion-order independent)
+    def bloomBytes: Map[String, Seq[Byte]] = {
+      val d = new java.io.File(dir, "_blooms")
+      d.listFiles().map(f => f.getName ->
+        java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val first = bloomBytes
+    Export.writeBloomIndexed(spark, docs.repartition(13), shardBy = col("text"),
+      keyCol = "doc_id", nShards = 8, path = dir, expectedPerShard = 128L)
+    assert(bloomBytes == first, "rebuild on any partitioning = same index bytes")
+  }
+
   test("pairTriangles: K4 corners count C(3,2)=3 each, chains are triangle-free") {
     // K4 on {1,2,3,4} (all 6 canonical pairs) + a chain 10-11-12.
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
