@@ -2026,6 +2026,16 @@ object ExtQueries {
         docs.filter(col("doc_id") % 2 =!= 0), "text")
     }),
 
+    "q_source_overlap_kmv" -> ((s, dir) => {
+      // Sketch-estimated pairwise SOURCE overlap (bottom-k/KMV over
+      // 3-gram shingle hashes) next to its exact referee, with the
+      // within-3/√k agreement flag — the cross-source similarity
+      // matrix at sources×k metadata cost.
+      Contamination.sourceOverlapKmv(read(s, dir, "documents"),
+          "source", "text", n = 3, k = KmvOverlapK)
+        .orderBy("src_a", "src_b")
+    }),
+
     "q_oov_ratio" -> ((s, dir) => {
       // Corpus-statistics quality signal: per-doc share of word
       // occurrences outside the global top-200 vocabulary.
@@ -2874,6 +2884,8 @@ object ExtQueries {
   /** Point-lookup key set for the bloom-indexed export (one absent key
     * exercises the miss path); oracle-shared. */
   private val BloomLookupKeys = Seq(3L, 17L, 41L, 401L, 499L, 987654L)
+  /** Bottom-k sketch size for the pairwise source-overlap estimate. */
+  private val KmvOverlapK = 64
   /** Size-targeted export: ~16 KiB of text bytes per shard, 4 stripes
     * (≈9 shards at sf0.01's 149 KB corpus — the boundary rule is
     * exercised with several packs per stripe). Shared verbatim by the
@@ -6145,6 +6157,48 @@ object ExtQueries {
            ROUND(n_both / n_a, 6) AS containment_a,
            ROUND(n_both / n_b, 6) AS containment_b
          FROM t""",
+
+    // Same bottom-k estimator ladder as the Spark op: per-source rank
+    // window, union k-min per pair, both-sources fraction; exact values
+    // from the h-keyed self-join; the flag compares ROUNDED doubles.
+    "q_source_overlap_kmv" ->
+      s"""WITH sh AS (SELECT DISTINCT src,
+            CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+          FROM (SELECT source AS src, unnest(${shinglesSqlOf("text")}) AS g
+                FROM documents)),
+          sizes AS (SELECT src, COUNT(*) AS n FROM sh GROUP BY src),
+          prs AS (SELECT a.src AS src_a, b.src AS src_b,
+              a.n AS n_a, b.n AS n_b
+            FROM sizes a JOIN sizes b ON a.src < b.src),
+          inter AS (SELECT x.src AS src_a, y.src AS src_b,
+              COUNT(*) AS n_both
+            FROM sh x JOIN sh y ON x.h = y.h AND x.src < y.src
+            GROUP BY 1, 2),
+          sk AS (SELECT src, h FROM (SELECT src, h,
+              row_number() OVER (PARTITION BY src ORDER BY h) AS rn FROM sh)
+            WHERE rn <= $KmvOverlapK),
+          u AS (SELECT p.src_a, p.src_b, s.h,
+              MAX(CASE WHEN s.src = p.src_a THEN 1 ELSE 0 END) AS ia,
+              MAX(CASE WHEN s.src = p.src_b THEN 1 ELSE 0 END) AS ib
+            FROM prs p JOIN sk s ON s.src IN (p.src_a, p.src_b)
+            GROUP BY 1, 2, 3),
+          km AS (SELECT src_a, src_b, ia, ib,
+              row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+            FROM u),
+          est AS (SELECT src_a, src_b,
+              CAST(SUM(ia * ib) AS DOUBLE) / COUNT(*) AS je
+            FROM km WHERE rn <= $KmvOverlapK GROUP BY 1, 2),
+          f AS (SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+              COALESCE(i.n_both, 0) AS n_both,
+              ROUND(CAST(COALESCE(i.n_both, 0) AS DOUBLE)
+                / (p.n_a + p.n_b - COALESCE(i.n_both, 0)), 6) AS j_exact,
+              ROUND(e.je, 6) AS j_est
+            FROM prs p
+            LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b
+            JOIN est e ON p.src_a = e.src_a AND p.src_b = e.src_b)
+          SELECT src_a, src_b, n_a, n_b, n_both, j_exact, j_est,
+            abs(j_est - j_exact) <= ${3.0 / math.sqrt(KmvOverlapK)} AS est_ok
+          FROM f ORDER BY src_a, src_b""",
 
     "q_decontaminate" ->
       s"""WITH bsh AS (SELECT doc_id AS bench_id,

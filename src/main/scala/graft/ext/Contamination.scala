@@ -110,6 +110,69 @@ object Contamination {
         round(col("n_both") / col("n_b"), 6).as("containment_b"))
   }
 
+  /** KMV-estimated PAIRWISE source overlap — the cross-source
+    * similarity matrix at sketch cost: per source, the k smallest
+    * distinct shingle hashes form a bottom-k (KMV) sketch; a pair's
+    * Jaccard estimate is the both-sources fraction of the k smallest
+    * hashes of the sketch UNION (the standard bottom-k estimator, SE ≈
+    * 1/√k). At 100 TB the sketches are sources×k rows of metadata
+    * where the exact answer needs the full pairwise shingle join —
+    * this op emits BOTH (the exact value is the test-scale referee,
+    * the [[graft.ops.Cardinality]] sketch-contract convention) plus an
+    * `est_ok` flag asserting the estimate sits within 3/√k of exact.
+    *
+    * Plan: one distinct (source, hash) shuffle feeds the exact sizes,
+    * the exact intersections (h-keyed self-join — cost is actual
+    * collisions, never source × source rows), and the per-source rank
+    * window; everything after is bounded by sources² × k. The
+    * per-source rank window sorts within each source — at billions of
+    * distinct shingles per source, swap in a per-partition k-heap +
+    * merge (TakeOrdered per group); the estimator is unchanged. */
+  def sourceOverlapKmv(docs: DataFrame, sourceCol: String, textCol: String,
+                       n: Int = 3, k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DoubleType
+    require(n >= 1 && k >= 8, "need n >= 1 and a sketch of >= 8 mins")
+    val sh = docs.select(col(sourceCol).cast("string").as("src"),
+        explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .select(col("src"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("n"))
+    val prs = sizes.select(col("src").as("src_a"), col("n").as("n_a"))
+      .join(sizes.select(col("src").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    val inter = sh.select(col("src").as("src_a"), col("h"))
+      .join(sh.select(col("src").as("src_b"), col("h")), Seq("h"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_both"))
+    val sk = sh.withColumn("rn",
+        row_number().over(Window.partitionBy("src").orderBy("h")))
+      .filter(col("rn") <= k).select("src", "h")
+    val u = prs.select("src_a", "src_b")
+      .join(sk.withColumnRenamed("src", "__s"),
+        col("__s") === col("src_a") || col("__s") === col("src_b"))
+      .groupBy("src_a", "src_b", "h")
+      .agg(max(when(col("__s") === col("src_a"), 1).otherwise(0)).as("ia"),
+        max(when(col("__s") === col("src_b"), 1).otherwise(0)).as("ib"))
+    val est = u.withColumn("rn", row_number().over(
+        Window.partitionBy("src_a", "src_b").orderBy("h")))
+      .filter(col("rn") <= k)
+      .groupBy("src_a", "src_b")
+      .agg((sum(col("ia") * col("ib")).cast(DoubleType) /
+        count(lit(1))).as("__je"))
+    val bound = 3.0 / math.sqrt(k)
+    prs.join(inter, Seq("src_a", "src_b"), "left")
+      .join(est, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_both"), lit(0L)).as("n_both"),
+        round(coalesce(col("n_both"), lit(0L)).cast(DoubleType) /
+          (col("n_a") + col("n_b") - coalesce(col("n_both"), lit(0L))), 6)
+          .as("j_exact"),
+        round(col("__je"), 6).as("j_est"))
+      .withColumn("est_ok", abs(col("j_est") - col("j_exact")) <= bound)
+  }
+
   /** The decontamination stage itself: drop every training document
     * `contaminatedPairs` flags, keep the rest intact. The flagged-id set
     * is bounded by the benchmark's shingle reach (tiny next to the

@@ -3058,6 +3058,22 @@ class ExtSpec extends SparkSpec {
     assert(drift.map(_.getLong(1)).sum == 200 && drift.map(_.getLong(2)).sum == 200)
   }
 
+  test("sourceOverlapKmv: identical sources estimate 1, disjoint estimate 0, exact referee right") {
+    // a and b share EVERY shingle (same texts); c is disjoint.
+    val docs = Seq(
+      ("a", "one two three four five six"),
+      ("b", "one two three four five six"),
+      ("c", "seven eight nine ten eleven twelve")
+    ).toDF("source", "text")
+    val out = Contamination.sourceOverlapKmv(docs, "source", "text", n = 3, k = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(5), r.getDouble(6), r.getBoolean(7))).toMap
+    assert(out(("a", "b")) == (1.0, 1.0, true), "identical sets: exact = est = 1")
+    assert(out(("a", "c"))._1 == 0.0 && out(("a", "c"))._2 == 0.0,
+      "disjoint sets: exact = est = 0")
+    assert(out.values.forall(_._3), "every estimate within 3/sqrt(k)")
+  }
+
   test("bloomIndexed: lookup prunes shards, exact rows, absent key empty, index bytes stable") {
     val dir = java.nio.file.Files.createTempDirectory("bloomidx").toString
     val docs = (0L until 400L).map(i => (i, s"text body $i", i % 7))
