@@ -449,6 +449,16 @@ object ExtQueries {
         .orderBy("bucket", "event_type")
     }),
 
+    "q_moment_stats" -> ((s, dir) => {
+      // Distribution profile per event type in ONE combine-enabled agg:
+      // mean/variance/skewness/excess-kurtosis from four algebraic
+      // power sums — no percentile sort, no second pass.
+      Analytics.momentStats(
+          read(s, dir, "events").select("event_type", "value"),
+          "value", Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
     "q_asof_tolerance" -> ((s, dir) => {
       // Tolerance-bounded as-of join (pandas merge_asof(tolerance=1d)):
       // the latest signup at or before each purchase counts only within
@@ -5185,6 +5195,46 @@ object ExtQueries {
           FROM tr LEFT JOIN rc
             ON tr.q_id = rc.q_id AND tr.vec_id = rc.vec_id
           GROUP BY tr.q_id ORDER BY tr.q_id""",
+
+    // Same power-sum ladder and the same +,−,×,÷,sqrt-only closing tree
+    // as Analytics.momentStats (no pow() — libm last-ulp hazard).
+    "q_moment_stats" ->
+      """WITH s AS (SELECT event_type,
+            COUNT(value) AS n,
+            CAST(SUM(CAST(ROUND(CAST(value AS DOUBLE), 6)
+              AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+            CAST(SUM(CAST(ROUND(ROUND(CAST(value AS DOUBLE), 6)
+              * ROUND(CAST(value AS DOUBLE), 6), 6)
+              AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+            CAST(SUM(CAST(ROUND(ROUND(CAST(value AS DOUBLE), 6)
+              * ROUND(CAST(value AS DOUBLE), 6)
+              * ROUND(CAST(value AS DOUBLE), 6), 6)
+              AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+            CAST(SUM(CAST(ROUND(ROUND(CAST(value AS DOUBLE), 6)
+              * ROUND(CAST(value AS DOUBLE), 6)
+              * ROUND(CAST(value AS DOUBLE), 6)
+              * ROUND(CAST(value AS DOUBLE), 6), 6)
+              AS DECIMAL(38,6))) AS DOUBLE) AS s4
+          FROM events GROUP BY event_type),
+          c AS (SELECT event_type, n,
+            CAST(n AS DOUBLE) AS nd, s1, s2, s3, s4,
+            s1 / CAST(n AS DOUBLE) AS mean,
+            s2 / CAST(n AS DOUBLE)
+              - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)) AS m2
+          FROM s)
+          SELECT event_type, n,
+            ROUND(mean, 6) AS mean,
+            ROUND(m2, 6) AS variance,
+            CASE WHEN n >= 2 AND m2 > 0 THEN
+              ROUND((s3 / nd - 3.0 * mean * (s2 / nd)
+                + 2.0 * mean * mean * mean) / (sqrt(m2) * m2), 6)
+            END AS skewness,
+            CASE WHEN n >= 2 AND m2 > 0 THEN
+              ROUND((s4 / nd - 4.0 * mean * (s3 / nd)
+                + 6.0 * mean * mean * (s2 / nd)
+                - 3.0 * mean * mean * mean * mean) / (m2 * m2) - 3.0, 6)
+            END AS kurtosis_excess
+          FROM c ORDER BY event_type""",
 
     // Native ASOF match, then the 1-day age gate as a CASE — the same
     // null-after-match rule the Spark op applies.

@@ -604,6 +604,48 @@ object Analytics {
         min(col(ts)).as("session_start"), max(col(ts)).as("session_end"))
   }
 
+  /** One-pass per-group moment statistics: count, mean, population
+    * variance, skewness, and EXCESS kurtosis from four algebraic power
+    * sums — the distribution profile of a metric column in ONE
+    * combine-enabled aggregate (no percentile sort, no second pass),
+    * the shape that survives any scale because power sums merge
+    * associatively across partitions.
+    *
+    * Numeric contract: inputs round to 6dp; each power (v², v³, v⁴)
+    * computes as a left-associated double product, rounds to 6dp, and
+    * sums as an exact DECIMAL(38,6) (order-independent); the closing
+    * moment algebra is one double tree using only +,−,×,÷,sqrt
+    * (all correctly-rounded IEEE — deliberately NO pow(), whose last
+    * ulp differs between libm implementations), rounded 6dp. Skew and
+    * kurtosis are NULL where variance is 0 or n < 2 (no shape to
+    * measure). */
+  def momentStats(df: DataFrame, valueCol: String,
+                  groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val v = round(col(valueCol).cast(DoubleType), 6)
+    def dsum(p: Column): Column =
+      sum(round(p, 6).cast(DecimalType(38, 6))).cast(DoubleType)
+    val agged = df.groupBy(groupCols.map(col): _*)
+      .agg(count(col(valueCol)).as("n"),
+        dsum(v).as("__s1"), dsum(v * v).as("__s2"),
+        dsum(v * v * v).as("__s3"), dsum(v * v * v * v).as("__s4"))
+    val n = col("n").cast(DoubleType)
+    val mean = col("__s1") / n
+    val m2 = col("__s2") / n - mean * mean
+    val m3 = col("__s3") / n - lit(3.0) * mean * (col("__s2") / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("__s4") / n - lit(4.0) * mean * (col("__s3") / n) +
+      lit(6.0) * mean * mean * (col("__s2") / n) -
+      lit(3.0) * mean * mean * mean * mean
+    agged.select((groupCols.map(col) ++ Seq(col("n"),
+      round(mean, 6).as("mean"),
+      round(m2, 6).as("variance"),
+      when(col("n") >= 2 && m2 > 0,
+        round(m3 / (sqrt(m2) * m2), 6)).as("skewness"),
+      when(col("n") >= 2 && m2 > 0,
+        round(m4 / (m2 * m2) - lit(3.0), 6)).as("kurtosis_excess"))): _*)
+  }
+
   /** Ordered-step FUNNEL per key: for each named step, the earliest
     * event satisfying its predicate AT OR AFTER the key's previous-step
     * timestamp — first `steps.head`, then the first matching event ≥

@@ -694,6 +694,25 @@ class OpsSpec extends SparkSpec {
     assert(relErr < 4.0 / math.sqrt(62.0), s"estimate $est too far from 1000")
   }
 
+  test("momentStats: symmetric data has ~0 skew, uniform-ish kurtosis negative, constants abstain") {
+    // symmetric around 2: {1,2,3} -> mean 2, var 2/3, skew 0
+    val sym = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 5.0), ("b", 5.0)).toDF("k", "v")
+    val out = Analytics.momentStats(sym, "v", Seq("k"))
+      .orderBy("k").collect()
+    assert(out(0).getLong(1) == 3 && out(0).getDouble(2) == 2.0)
+    assert(out(0).getDouble(3) == math.rint(2.0 / 3.0 * 1e6) / 1e6)
+    assert(out(0).getDouble(4) == 0.0, "symmetric -> zero skew")
+    // 3-point uniform's excess kurtosis = -1.5 exactly
+    assert(out(0).getDouble(5) == -1.5, s"got ${out(0).getDouble(5)}")
+    assert(out(1).getDouble(3) == 0.0 && out(1).isNullAt(4) && out(1).isNullAt(5),
+      "zero-variance group abstains from shape stats")
+    // partitioning invariance (decimal power sums)
+    val re = Analytics.momentStats(sym.repartition(7), "v", Seq("k"))
+      .orderBy("k").collect()
+    assert(re.map(_.toString).toSeq == out.map(_.toString).toSeq)
+  }
+
   test("asOfJoinBackward tolerance: boundary inclusive, stale match nulls, no-match unchanged") {
     import java.sql.Timestamp
     def ts(s: String) = Timestamp.valueOf(s)
