@@ -1229,6 +1229,43 @@ object ExtQueries {
         .orderBy("shard")
     }),
 
+    "q_time_travel" -> ((s, dir) => {
+      // Snapshot-versioned sink (table-format lite): v1 = the even half,
+      // v2 = the full corpus (odds land as v2's delta). Reading v1 AFTER
+      // v2 exists must return exactly the even half — history stays
+      // readable forever because batch dirs are immutable and manifests
+      // are published atomically.
+      val path = s"$RunScratch/graft_snap_tt_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path, docs, Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.readSnapshot(s, path, 1).orderBy("doc_id")
+    }),
+
+    "q_snapshot_delta" -> ((s, dir) => {
+      // The incremental consumer's read: rows ADDED between v1 and v2 —
+      // the delta IS v2's immutable batch dir, plus an idempotence
+      // check: v3 replays the full corpus and must add nothing, so the
+      // (1, 3] delta still equals the odd half.
+      val path = s"$RunScratch/graft_snap_delta_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path, docs, Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path, docs, Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.readSnapshotDelta(s, path, from = 1, to = 3)
+        .orderBy("doc_id")
+    }),
+
     "q_bloom_index_lookup" -> ((s, dir) => {
       // Secondary-index point lookup: the corpus is CONTENT-sharded
       // (md5 of text), so specific doc_ids would otherwise need a
@@ -5603,6 +5640,17 @@ object ExtQueries {
       s"""SELECT doc_id, source, n_chars FROM documents
           WHERE doc_id IN (${BloomLookupKeys.mkString(", ")})
           ORDER BY doc_id""",
+
+    // Version 1 is the even half, whatever was written after it.
+    "q_time_travel" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+
+    // The (1, 3] delta is the odd half: v2 added it, the v3 replay
+    // added nothing (keep-existing idempotence).
+    "q_snapshot_delta" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id % 2 <> 0 ORDER BY doc_id""",
 
     "q_export_manifest" ->
       """WITH sh AS (SELECT doc_id, text, n_chars,

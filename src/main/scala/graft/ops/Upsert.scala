@@ -75,4 +75,94 @@ object Upsert {
       partCol: String): Unit =
     freshAgainstPartitionedSink(spark, sinkPath, incoming, keys, tieBreak, partCol)
       .write.mode("append").partitionBy(partCol).parquet(sinkPath)
+
+  // ───────── snapshot-versioned sink (time travel, table-format lite) ─────────
+  //
+  // Each write lands its FRESH rows (keep-existing upsert semantics) in a
+  // new immutable `batch-N` directory and publishes snapshot manifest
+  // `_snapshots/v<N>.list` — a text file whose lines are the data dirs
+  // composing that version. Reading version N unions exactly those dirs,
+  // so every historical version stays readable FOREVER (time travel) and
+  // a version's delta is its own batch dir. The manifest is written
+  // tmp-then-rename: readers either see a complete snapshot or none —
+  // a crash mid-write leaves at most an orphaned data dir the next
+  // successful write ignores (never a torn table). Data dirs are
+  // immutable after publish; there is no compaction here by design
+  // (compactShards composes when batch counts grow).
+
+  private def fsFor(spark: SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  private def snapDir(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_snapshots")
+
+  /** Latest published snapshot version; 0 for a fresh/empty sink. */
+  def latestVersion(spark: SparkSession, path: String): Int = {
+    val fs = fsFor(spark, path)
+    if (!fs.exists(snapDir(path))) 0
+    else fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  private def manifestDirs(spark: SparkSession, path: String,
+                           version: Int): Seq[String] = {
+    val fs = fsFor(spark, path)
+    val p = new org.apache.hadoop.fs.Path(snapDir(path), s"v$version.list")
+    require(fs.exists(p), s"no snapshot v$version at $path")
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    lines.filter(_.nonEmpty)
+  }
+
+  /** Publish the batch as snapshot latest+1: fresh rows (within-batch
+    * dedup + anti-join against the CURRENT snapshot) land in an
+    * immutable `batch-N` dir; the manifest lists every dir of the new
+    * version. Returns the published version. Idempotent in content: a
+    * replayed batch publishes a new version whose delta is EMPTY and
+    * whose read equals the previous version row-for-row. */
+  def writeSnapshot(spark: SparkSession, path: String, batch: DataFrame,
+                    keys: Seq[String], tieBreak: Seq[String]): Int = {
+    val cur = latestVersion(spark, path)
+    val deduped = dedupOnKey(batch, keys, tieBreak)
+    val fresh =
+      if (cur == 0) deduped
+      else deduped.join(
+        readSnapshot(spark, path, cur).select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
+    val dirName = s"batch-${cur + 1}"
+    fresh.write.mode("overwrite").parquet(s"$path/$dirName")
+    val dirs = (if (cur == 0) Seq.empty
+                else manifestDirs(spark, path, cur)) :+ dirName
+    val fs = fsFor(spark, path)
+    fs.mkdirs(snapDir(path))
+    val tmp = new org.apache.hadoop.fs.Path(snapDir(path),
+      s"v${cur + 1}.list.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(snapDir(path), s"v${cur + 1}.list"))
+    cur + 1
+  }
+
+  /** Time travel: version N exactly as published, whatever has been
+    * written since — a union read of its manifest's immutable dirs. */
+  def readSnapshot(spark: SparkSession, path: String, version: Int): DataFrame =
+    spark.read.parquet(
+      manifestDirs(spark, path, version).map(d => s"$path/$d"): _*)
+
+  /** The rows ADDED between two snapshots — the batch dirs in
+    * (from, to], read directly (append-only keep-existing sink: deltas
+    * ARE the new dirs; nothing is ever updated or removed). `from` = 0
+    * reads everything up to `to`. */
+  def readSnapshotDelta(spark: SparkSession, path: String,
+                        from: Int, to: Int): DataFrame = {
+    require(from >= 0 && to > from, s"need 0 <= from < to, got $from..$to")
+    val dirs = manifestDirs(spark, path, to)
+      .filter(_.stripPrefix("batch-").toInt > from)
+    spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+  }
 }

@@ -38,4 +38,33 @@ class UpsertPartitionedSpec extends SparkSpec {
     Upsert.upsertPartitioned(spark, sink, batch, Seq("id"), Seq("v"), "day")
     assert(spark.read.parquet(sink).count() == 4, "re-run appends nothing")
   }
+
+  test("snapshot sink: time travel stable, replay delta empty, manifests atomic") {
+    val path = java.nio.file.Files.createTempDirectory("snap").toString
+    assert(Upsert.latestVersion(spark, path) == 0, "fresh sink is version 0")
+    val v1rows = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(Upsert.writeSnapshot(spark, path, v1rows, Seq("id"), Seq("id")) == 1)
+    // v2: one genuinely new key + one conflicting key with a NEW value —
+    // keep-existing must drop the conflict
+    val v2rows = Seq((2L, "CHANGED"), (3L, "c")).toDF("id", "v")
+    assert(Upsert.writeSnapshot(spark, path, v2rows, Seq("id"), Seq("id")) == 2)
+    // time travel: v1 unchanged by v2
+    assert(Upsert.readSnapshot(spark, path, 1).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(Upsert.readSnapshot(spark, path, 2).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "conflicting key keeps the EXISTING value")
+    // replaying v2's batch publishes v3 with an empty delta
+    assert(Upsert.writeSnapshot(spark, path, v2rows, Seq("id"), Seq("id")) == 3)
+    assert(Upsert.readSnapshotDelta(spark, path, 2, 3).count() == 0)
+    assert(Upsert.readSnapshotDelta(spark, path, 1, 3).as[(Long, String)]
+      .collect().toSet == Set((3L, "c")))
+    // manifests are rename-published: no .tmp files survive
+    val snaps = new java.io.File(path, "_snapshots").listFiles().map(_.getName)
+      .filterNot(_.startsWith("."))   // local-FS .crc sidecars
+    assert(snaps.sorted.toSeq == Seq("v1.list", "v2.list", "v3.list"), snaps.toSeq)
+    intercept[IllegalArgumentException] {
+      Upsert.readSnapshot(spark, path, 9)
+    }
+  }
 }
