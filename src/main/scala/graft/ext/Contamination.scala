@@ -133,11 +133,14 @@ object Contamination {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
     require(n >= 1 && k >= 8, "need n >= 1 and a sketch of >= 8 mins")
-    val sh = docs.select(col(sourceCol).cast("string").as("src"),
+    // Pinned: the (src, h) table feeds FOUR consumers (sizes, both
+    // intersection arms, the sketch window) — without the pin each one
+    // re-explodes and re-distincts every shingle of the corpus.
+    val sh = Dedup.pin(docs.select(col(sourceCol).cast("string").as("src"),
         explode(Dedup.shingles(col(textCol), n)).as("g"))
       .select(col("src"),
         conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("h"))
-      .distinct()
+      .distinct())
     val sizes = sh.groupBy("src").agg(count(lit(1)).as("n"))
     val prs = sizes.select(col("src").as("src_a"), col("n").as("n_a"))
       .join(sizes.select(col("src").as("src_b"), col("n").as("n_b")),

@@ -135,16 +135,36 @@ object Upsert {
         keys, "left_anti")
     val dirName = s"batch-${cur + 1}"
     fresh.write.mode("overwrite").parquet(s"$path/$dirName")
-    val dirs = (if (cur == 0) Seq.empty
-                else manifestDirs(spark, path, cur)) :+ dirName
+    publishManifest(spark, path, cur + 1,
+      (if (cur == 0) Seq.empty else manifestDirs(spark, path, cur)) :+ dirName)
+    cur + 1
+  }
+
+  private def publishManifest(spark: SparkSession, path: String,
+                              version: Int, dirs: Seq[String]): Unit = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
     val tmp = new org.apache.hadoop.fs.Path(snapDir(path),
-      s"v${cur + 1}.list.tmp")
+      s"v$version.list.tmp")
     val out = fs.create(tmp, true)
     try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
     fs.rename(tmp,
-      new org.apache.hadoop.fs.Path(snapDir(path), s"v${cur + 1}.list"))
+      new org.apache.hadoop.fs.Path(snapDir(path), s"v$version.list"))
+  }
+
+  /** Compact the current version's batch-dir chain into ONE dir and
+    * publish it as version latest+1 (content-identical read). Older
+    * manifests keep referencing the original immutable dirs, so every
+    * historical version still time-travels — nothing is deleted here
+    * (retention is a separate, explicitly destructive decision a
+    * deployment makes against its own version horizon). */
+  def compactSnapshots(spark: SparkSession, path: String): Int = {
+    val cur = latestVersion(spark, path)
+    require(cur >= 1, "nothing to compact: no published snapshot")
+    val dirName = s"compact-${cur + 1}"
+    readSnapshot(spark, path, cur)
+      .write.mode("overwrite").parquet(s"$path/$dirName")
+    publishManifest(spark, path, cur + 1, Seq(dirName))
     cur + 1
   }
 
@@ -154,15 +174,21 @@ object Upsert {
     spark.read.parquet(
       manifestDirs(spark, path, version).map(d => s"$path/$d"): _*)
 
-  /** The rows ADDED between two snapshots — the batch dirs in
-    * (from, to], read directly (append-only keep-existing sink: deltas
-    * ARE the new dirs; nothing is ever updated or removed). `from` = 0
-    * reads everything up to `to`. */
+  /** The rows ADDED between two snapshots: the dirs in `to`'s manifest
+    * that `from`'s manifest lacks, read directly (append-only
+    * keep-existing chain: new dirs ARE the delta; nothing is updated or
+    * removed in place). Across a [[compactSnapshots]] boundary the set
+    * difference is the whole compacted dir — a rewrite, not an append;
+    * diff by key there ([[graft.ops.Checksum]]'s snapshot diff), or
+    * take deltas between versions on the same side of the compaction.
+    * `from` = 0 reads everything up to `to`. */
   def readSnapshotDelta(spark: SparkSession, path: String,
                         from: Int, to: Int): DataFrame = {
     require(from >= 0 && to > from, s"need 0 <= from < to, got $from..$to")
-    val dirs = manifestDirs(spark, path, to)
-      .filter(_.stripPrefix("batch-").toInt > from)
-    spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+    val base = if (from == 0) Set.empty[String]
+               else manifestDirs(spark, path, from).toSet
+    val dirs = manifestDirs(spark, path, to).filterNot(base)
+    if (dirs.isEmpty) readSnapshot(spark, path, to).limit(0)
+    else spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
   }
 }

@@ -749,4 +749,27 @@ object EventStream {
       .foreachBatch(write)
       .start()
   }
+
+  /** Streaming front end of the SNAPSHOT-VERSIONED sink
+    * ([[graft.ops.Upsert.writeSnapshot]]): every micro-batch publishes
+    * one new snapshot version whose delta is the batch's fresh rows —
+    * so the sink is simultaneously an upsert table (read the latest
+    * version), a changelog (read the deltas), and a time-travel archive
+    * (read any historical version), all from one write path. Replay
+    * safety is CONTENT-level: a re-delivered micro-batch publishes a
+    * version with an EMPTY delta (keep-existing anti-join), so readers
+    * of any version see no duplicates — version numbers may advance on
+    * replay, row content never does. */
+  def snapshotSink(stream: DataFrame, sinkPath: String, keys: Seq[String],
+                   tieBreak: Seq[String],
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ops.Upsert.writeSnapshot(batch.sparkSession, sinkPath,
+          batch, keys, tieBreak)
+        ()
+      }
+      .start()
 }

@@ -723,6 +723,29 @@ class StreamingSpec extends SparkSpec {
       "2026-01-01 11:00:00")) == "drift", s"window champions, got $top")
   }
 
+  test("streaming snapshot sink: one version per batch, travel stable, keep-existing across batches") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.Upsert
+    val path = java.nio.file.Files.createTempDirectory("snaps").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("snaps_ckpt").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.snapshotSink(mem.toDF().toDF("id", "v"), path,
+      Seq("id"), Seq("id"), ckpt)
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((2L, "CHANGED"), (3L, "c"))
+    q.processAllAvailable(); q.stop()
+    assert(Upsert.latestVersion(spark, path) == 2, "one version per micro-batch")
+    assert(Upsert.readSnapshot(spark, path, 2).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "keep-existing across micro-batches")
+    assert(Upsert.readSnapshot(spark, path, 1).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")),
+      "batch-1's version still time-travels")
+    assert(Upsert.readSnapshotDelta(spark, path, 1, 2).as[(Long, String)]
+      .collect().toSet == Set((3L, "c")))
+  }
+
   test("streaming funnel finalizes to the batch funnel; pre-step events ignored") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]

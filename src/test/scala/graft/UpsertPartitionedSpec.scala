@@ -67,4 +67,25 @@ class UpsertPartitionedSpec extends SparkSpec {
       Upsert.readSnapshot(spark, path, 9)
     }
   }
+
+  test("snapshot compaction: read identical, history intact, chain continues on top") {
+    val path = java.nio.file.Files.createTempDirectory("snapc").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    assert(Upsert.compactSnapshots(spark, path) == 3)
+    assert(Upsert.readSnapshot(spark, path, 3).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")), "compaction = same rows")
+    assert(Upsert.readSnapshot(spark, path, 1).as[(Long, String)]
+      .collect().toSet == Set((1L, "a")), "pre-compaction travel intact")
+    // the chain continues on top of the compacted dir
+    Upsert.writeSnapshot(spark, path,
+      Seq((3L, "c")).toDF("id", "v"), Seq("id"), Seq("id"))
+    assert(Upsert.readSnapshot(spark, path, 4).count() == 3)
+    assert(Upsert.readSnapshotDelta(spark, path, 3, 4).as[(Long, String)]
+      .collect().toSet == Set((3L, "c")), "post-compaction delta is the append")
+    // across the compaction boundary the 'delta' is the rewrite
+    assert(Upsert.readSnapshotDelta(spark, path, 2, 3).count() == 2)
+  }
 }
