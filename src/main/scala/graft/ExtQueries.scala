@@ -449,6 +449,19 @@ object ExtQueries {
         .orderBy("bucket", "event_type")
     }),
 
+    "q_json_extract" -> ((s, dir) => {
+      // Semi-structured extraction at scale: events.props is a JSON
+      // property bag; pull `k` with the codegen'd path extractor and
+      // aggregate per value — telemetry analysis without a schema
+      // migration, map-only until the combine-enabled agg.
+      read(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("value"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_v"))
+        .orderBy("k")
+    }),
+
     "q_moment_stats" -> ((s, dir) => {
       // Distribution profile per event type in ONE combine-enabled agg:
       // mean/variance/skewness/excess-kurtosis from four algebraic
@@ -5232,6 +5245,12 @@ object ExtQueries {
           FROM tr LEFT JOIN rc
             ON tr.q_id = rc.q_id AND tr.vec_id = rc.vec_id
           GROUP BY tr.q_id ORDER BY tr.q_id""",
+
+    "q_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+         FROM events GROUP BY 1 ORDER BY k""",
 
     // Same power-sum ladder and the same +,−,×,÷,sqrt-only closing tree
     // as Analytics.momentStats (no pow() — libm last-ulp hazard).

@@ -174,6 +174,35 @@ object Upsert {
     spark.read.parquet(
       manifestDirs(spark, path, version).map(d => s"$path/$d"): _*)
 
+  /** EXPLICITLY DESTRUCTIVE retention: drop every snapshot manifest
+    * older than `keepFrom` and delete any data dir no surviving
+    * manifest references. The one operation in this sink that deletes
+    * anything — time travel works up to the horizon a deployment pays
+    * to keep, and [[compactSnapshots]] before expiry makes the
+    * surviving versions cheap (old batch chains become unreferenced
+    * and reclaim here). Returns the number of data dirs deleted. */
+  def expireSnapshots(spark: SparkSession, path: String,
+                      keepFrom: Int): Int = {
+    val cur = latestVersion(spark, path)
+    require(keepFrom >= 1 && keepFrom <= cur,
+      s"keepFrom must name an existing snapshot (1..$cur), got $keepFrom")
+    val fs = fsFor(spark, path)
+    val keepVersions = (keepFrom to cur)
+    val referenced = keepVersions.flatMap(v => manifestDirs(spark, path, v)).toSet
+    val allVersions = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toInt }
+    val doomedDirs = allVersions.filter(_ < keepFrom)
+      .flatMap(v => manifestDirs(spark, path, v)).toSet -- referenced
+    allVersions.filter(_ < keepFrom).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.list"), false)
+    }
+    doomedDirs.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
+    }
+    doomedDirs.size
+  }
+
   /** The rows ADDED between two snapshots: the dirs in `to`'s manifest
     * that `from`'s manifest lacks, read directly (append-only
     * keep-existing chain: new dirs ARE the delta; nothing is updated or

@@ -88,4 +88,22 @@ class UpsertPartitionedSpec extends SparkSpec {
     // across the compaction boundary the 'delta' is the rewrite
     assert(Upsert.readSnapshotDelta(spark, path, 2, 3).count() == 2)
   }
+
+  test("snapshot expiry: old versions gone, survivors intact, shared dirs never deleted") {
+    val path = java.nio.file.Files.createTempDirectory("snape").toString
+    Upsert.writeSnapshot(spark, path, Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path, Seq((2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.compactSnapshots(spark, path)                 // v3 = compact dir
+    Upsert.writeSnapshot(spark, path, Seq((3L, "c")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // expire before the compaction: batch-1/batch-2 are unreferenced by
+    // v3/v4 and must be reclaimed; the compact dir is SHARED and must stay
+    assert(Upsert.expireSnapshots(spark, path, keepFrom = 3) == 2)
+    intercept[IllegalArgumentException] { Upsert.readSnapshot(spark, path, 1) }
+    assert(Upsert.readSnapshot(spark, path, 3).count() == 2, "kept horizon reads")
+    assert(Upsert.readSnapshot(spark, path, 4).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val dataDirs = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_")).sorted
+    assert(dataDirs.toSeq == Seq("batch-4", "compact-3"), dataDirs.toSeq)
+  }
 }
