@@ -523,6 +523,21 @@ object ExtQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    "q_funnel_windowed" -> ((s, dir) => {
+      // Time-boxed funnel: each step must land within 6 hours of the
+      // previous one — the product-analytics default ("clicked within N
+      // hours of viewing"), same plan as q_event_funnel plus the exact
+      // integer-µs gap gate.
+      Analytics.funnel(read(s, dir, "events"), col("user_id"), col("ts"),
+          Seq("first_view" -> (col("event_type") === "view"),
+            "first_click" -> (col("event_type") === "click"),
+            "first_purchase" -> (col("event_type") === "purchase")),
+          maxGapSec = Some(21600L))
+        .select(col("k").as("user_id"), col("first_view"),
+          col("first_click"), col("first_purchase"))
+        .orderBy("user_id")
+    }),
+
     "q_funnel_rates" -> ((s, dir) => {
       // The funnel's published summary: users per step + conversion
       // rates vs step 1 — one bounded agg over the per-user funnel
@@ -5331,6 +5346,24 @@ object ExtQueries {
 
     "q_event_funnel" ->
       s"""WITH $funnelCtes
+          SELECT s1.user_id, s1.first_view, s2.first_click, s3.first_purchase
+          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+          ORDER BY user_id""",
+
+    // Same step chain with the 6-hour gap gate on each transition.
+    "q_funnel_windowed" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS first_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+          s2 AS (SELECT e.user_id, MIN(e.ts) AS first_click
+            FROM events e JOIN s1 USING (user_id)
+            WHERE e.event_type = 'click' AND e.ts >= s1.first_view
+              AND e.ts <= s1.first_view + INTERVAL 6 HOUR
+            GROUP BY e.user_id),
+          s3 AS (SELECT e.user_id, MIN(e.ts) AS first_purchase
+            FROM events e JOIN s2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts >= s2.first_click
+              AND e.ts <= s2.first_click + INTERVAL 6 HOUR
+            GROUP BY e.user_id)
           SELECT s1.user_id, s1.first_view, s2.first_click, s3.first_purchase
           FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
           ORDER BY user_id""",

@@ -661,16 +661,26 @@ object Analytics {
     * key). No windows, no per-key event sorting — at 100 TB the
     * per-user event list never materializes anywhere. */
   def funnel(events: DataFrame, key: Column, ts: Column,
-             steps: Seq[(String, Column)]): DataFrame = {
+             steps: Seq[(String, Column)],
+             maxGapSec: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, "a funnel needs at least two steps")
     require(steps.map(_._1).distinct.size == steps.size, "step names unique")
+    require(maxGapSec.forall(_ >= 1), "maxGapSec must be >= 1 when set")
     val s0 = events.filter(steps.head._2).groupBy(key.as("k"))
       .agg(min(ts).as(steps.head._1))
     steps.sliding(2).foldLeft(s0) { case (acc, Seq((prevName, _), (name, cond))) =>
       val carried = acc.columns.filter(_ != "k")
+      // Optional TIME-BOXED funnel (the product-analytics default:
+      // "clicked within N hours of viewing"): the step must land at or
+      // after the previous step AND within the gap — exact integer µs,
+      // boundary inclusive on both ends.
+      val inWindow = maxGapSec.map(g =>
+        unix_micros(col("__t")) - unix_micros(col(prevName)) <=
+          g * 1000000L).getOrElse(lit(true))
       acc.join(events.filter(cond).select(key.as("k"), ts.as("__t")),
           Seq("k"), "left")
-        .withColumn("__ok", when(col("__t") >= col(prevName), col("__t")))
+        .withColumn("__ok",
+          when(col("__t") >= col(prevName) && inWindow, col("__t")))
         .groupBy(col("k"))
         .agg(min(col(carried.head)).as(carried.head),
           (carried.tail.map(c => min(col(c)).as(c)) :+

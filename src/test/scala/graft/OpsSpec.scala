@@ -784,6 +784,34 @@ class OpsSpec extends SparkSpec {
     assert(out(1).isNullAt(3), "no purchase -> NULL")
   }
 
+  test("funnel maxGap: in-window boundary keeps, beyond-gap later event still counts") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: click exactly at the 1h boundary — keeps
+      (1L, "view", ts("2024-01-01 09:00:00")), (1L, "click", ts("2024-01-01 10:00:00")),
+      // user 2: first click beyond the gap, but a LATER in-window?? no —
+      // all clicks beyond the gap → NULL despite clicks existing
+      (2L, "view", ts("2024-01-01 09:00:00")), (2L, "click", ts("2024-01-01 11:00:01"))
+    ).toDF("user_id", "event_type", "ts")
+    val out = Analytics.funnel(events, col("user_id"), col("ts"),
+        Seq("v" -> (col("event_type") === "view"),
+          "c" -> (col("event_type") === "click")),
+        maxGapSec = Some(3600L))
+      .orderBy("k").collect()
+    assert(out(0).getTimestamp(2) == ts("2024-01-01 10:00:00"),
+      "boundary-inclusive gap")
+    assert(out(1).isNullAt(2), "all steps beyond the gap -> NULL")
+    // None must match the unwindowed funnel exactly
+    val a = Analytics.funnel(events, col("user_id"), col("ts"),
+      Seq("v" -> (col("event_type") === "view"),
+        "c" -> (col("event_type") === "click"))).orderBy("k").collect().toSeq
+    val b = Analytics.funnel(events, col("user_id"), col("ts"),
+      Seq("v" -> (col("event_type") === "view"),
+        "c" -> (col("event_type") === "click")), None).orderBy("k").collect().toSeq
+    assert(a == b)
+  }
+
   test("cohortRetention: first day defines the cohort, one count per user per offset") {
     import java.sql.Timestamp
     def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
