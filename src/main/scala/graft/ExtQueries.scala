@@ -45,6 +45,34 @@ object ExtQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    "q_tpch_q1" -> ((s, dir) => {
+      // The full TPC-H Q1 pricing summary (q_agg_group's complete
+      // form): shipdate cutoff, the three-factor charge sum, and the
+      // three averages. Charge is an EXACT decimal product with TIGHT
+      // factor precisions — (18,2)·(3,2)·(3,2) widens to (26,6), inside
+      // precision 38 on both engines (a naive (18,2)³ overflows 38 and
+      // the overflow-rounding rules differ; per-row double rounding
+      // measurably knife-edges against DuckDB — both tried and
+      // rejected). (3,2) fits because discount and tax are sub-1.
+      val li = read(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2001-06-01").cast("date"))
+      val charge = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(3, 2)) *
+        (lit(1) + col("l_tax")).cast(DecimalType(3, 2))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum2(col("l_quantity")).as("sum_qty"),
+          dsum2(col("l_extendedprice")).as("sum_base_price"),
+          dsumProd(col("l_extendedprice"), lit(1) - col("l_discount"))
+            .as("sum_disc_price"),
+          sum(charge).cast(DoubleType).as("sum_charge"),
+          round(dsum2(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          round(dsum2(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
+          round(dsum2(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     "q_tpch_q3" -> ((s, dir) => {
       // TPC-H Q3 (shipping-priority revenue): selective dimension
       // filter, two key joins, decimal-exact revenue, top-10 via
@@ -447,6 +475,24 @@ object ExtQueries {
         .agg(count(lit(1)).as("n"), dsum2(col("value")).as("sum_v"))
         .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_v"))
         .orderBy("bucket", "event_type")
+    }),
+
+    "q_event_transitions" -> ((s, dir) => {
+      // Event-path mining: consecutive event-type transitions per user
+      // (lead over the per-user time order), global transition counts +
+      // the per-source-state probability — the product's Markov
+      // transition matrix. One user-keyed window + a bounded
+      // (types × types) agg.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      read(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("__next", lead(col("event_type"), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast(DoubleType) /
+          sum(col("n")).over(Window.partitionBy("from_type")), 6))
+        .orderBy("from_type", "to_type")
     }),
 
     "q_json_extract" -> ((s, dir) => {
@@ -4383,6 +4429,31 @@ object ExtQueries {
            COUNT(*) AS n
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
 
+    // Charge is the exact (18,2)·(3,2)·(3,2) decimal product — see the
+    // Spark-side precision note.
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(3,2))
+             * CAST(1 + l_tax AS DECIMAL(3,2))) AS DOUBLE) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= DATE '2001-06-01'
+         GROUP BY 1, 2
+         ORDER BY l_returnflag, l_linestatus""",
+
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -5260,6 +5331,18 @@ object ExtQueries {
           FROM tr LEFT JOIN rc
             ON tr.q_id = rc.q_id AND tr.vec_id = rc.vec_id
           GROUP BY tr.q_id ORDER BY tr.q_id""",
+
+    "q_event_transitions" ->
+      """WITH t AS (SELECT event_type AS from_type,
+            lead(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS to_type
+          FROM events),
+          c AS (SELECT from_type, to_type, COUNT(*) AS n
+            FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          SELECT from_type, to_type, n,
+            ROUND(CAST(n AS DOUBLE) /
+              SUM(n) OVER (PARTITION BY from_type), 6) AS p
+          FROM c ORDER BY from_type, to_type""",
 
     "q_json_extract" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
