@@ -1268,6 +1268,17 @@ object ExtQueries {
         .orderBy("q_id", "rank")
     }),
 
+    "q_cluster_quality" -> ((s, dir) => {
+      // IVF cohesion report: per list, member count + mean cosine to
+      // the own centroid — q_ivf_skew's semantic companion (skew says a
+      // list is too big; this says whether its members even belong
+      // together). Same memoized Lloyd centroids as every IVF query.
+      val corpus = read(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = IvfCentCache.getOrElseUpdate(dir,
+        Similarity.ivfCentroidsLloyd(corpus, IvfLists))
+      Similarity.clusterQuality(corpus, cents).orderBy("list")
+    }),
+
     "q_cos_dup_pairs" -> ((s, dir) => {
       // Embedding-cosine near-dup pairs above threshold, within sign-LSH
       // buckets.
@@ -5649,6 +5660,16 @@ object ExtQueries {
             CAST(row_number() OVER (PARTITION BY q_id
               ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
           FROM scored QUALIFY rank <= 3 ORDER BY q_id, rank""",
+
+    // Assignment chain shared with every IVF oracle; the mean is the
+    // exact-decimal-sum-of-rounded-cosines / count ladder.
+    "q_cluster_quality" ->
+      s"""$IvfAssignSqlChain
+          SELECT a.list, COUNT(*) AS n_vectors,
+            ROUND(CAST(SUM(CAST(${cosSql("a.embedding", "c.c_vec")}
+              AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 6) AS mean_cos
+          FROM assign a JOIN cent c USING (list)
+          GROUP BY a.list ORDER BY list""",
 
     "q_ann_ivf" -> IvfLloydOracleSql,
 

@@ -239,6 +239,33 @@ object Similarity {
     * members, which assign to themselves at cosine 1). `rounds` controls
     * how many refinements run — each is one linear pass + a tiny agg, so
     * at 100 TB extra rounds cost scans, not shuffles of the corpus. */
+  /** Per-cluster QUALITY report for an IVF index: each list's size and
+    * its members' mean cosine to their own centroid — the cohesion
+    * number behind nLists/nProbe tuning (a low-cohesion list scatters
+    * its members' true neighbors across probes; a giant list defeats
+    * pruning — the skew report q_ivf_skew's semantic companion).
+    * Assignment is the same map-only [[ivfAssign]] pass the index uses;
+    * the per-member centroid cosine is one rounded expression resolved
+    * by a K-branch when-chain over the bounded centroid set, and the
+    * mean is the exact-decimal-sum-of-rounded-terms / count ladder —
+    * one combine-enabled agg on the list key, no joins. */
+  def clusterQuality(corpus: DataFrame,
+                     cents: Seq[(Long, Seq[Double])],
+                     cVec: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    require(cents.nonEmpty, "need trained centroids")
+    val assigned = corpus.withColumn("__vn", vec_norm(col(cVec)))
+      .withColumn("list", ivfAssign(col(cVec), col("__vn"), cents))
+    val cos = cents.foldLeft(lit(null).cast(DoubleType)) { case (acc, (l, c)) =>
+      when(col("list") === l, centCos(col(cVec), col("__vn"), c)).otherwise(acc)
+    }
+    assigned.select(col("list"), cos.as("__cos"))
+      .groupBy("list")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("__cos").cast(DecimalType(25, 6))).cast(DoubleType) /
+          count(lit(1)), 6).as("mean_cos"))
+  }
+
   def ivfCentroidsLloyd(corpus: DataFrame, nLists: Int,
                         cId: String = "vec_id", cVec: String = "embedding",
                         rounds: Int = 1): Seq[(Long, Seq[Double])] = {
