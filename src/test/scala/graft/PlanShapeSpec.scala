@@ -343,6 +343,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"nation must broadcast:\n$plan")
   }
 
+  test("q_moment_stats is ONE combine-enabled aggregate: single scan, no window, no join") {
+    val plan = executedPlan("q_moment_stats")
+    assert(countScans(plan) == 1, s"one pass:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"power sums need no window or join:\n$plan")
+  }
+
+  test("q_json_extract: one scan, extraction stays in codegen, no join") {
+    val plan = executedPlan("q_json_extract")
+    assert(countScans(plan) == 1 && !plan.contains("Join"), s"map+agg only:\n$plan")
+    // codegen stages print as "*(n)" in the simple plan string
+    assert(plan.contains("*("), s"extraction must stay in codegen:\n$plan")
+  }
+
+  test("q_collocations: count tables meet in joins, top-k is a heap") {
+    val plan = executedPlan("q_collocations")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a per-partition heap:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("q_excise default containment plan unchanged: no df window unless capped") {
     // The maxShingleDf default must compile to the uncapped plan —
     // cap-off has exactly two Window nodes' worth of work: |A| per doc
