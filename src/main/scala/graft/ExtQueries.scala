@@ -569,6 +569,32 @@ object ExtQueries {
         .orderBy("cohort_day", "day_offset")
     }),
 
+    "q_retention_curve" -> ((s, dir) => {
+      // The aggregate retention CURVE with censoring handled honestly:
+      // rate(offset) = active users at that offset / users whose cohort
+      // is OLD ENOUGH to have reached it (a late cohort can't show
+      // day-29 retention — counting it in the denominator fakes decay).
+      // Everything past cohortRetention is bounded (offsets × cohorts).
+      val r = Dedup.pin(Analytics.cohortRetention(
+        read(s, dir, "events"), col("user_id"), col("ts")))
+      val sizes = r.filter(col("day_offset") === 0)
+        .select(col("cohort_day"), col("n_users").as("cohort_size"))
+      val maxDay = read(s, dir, "events")
+        .agg(max(to_date(col("ts"))).as("max_day"))
+      val active = r.groupBy("day_offset")
+        .agg(sum(col("n_users")).as("n_active"))
+      val eligible = r.select("day_offset").distinct()
+        .crossJoin(sizes).crossJoin(broadcast(maxDay))
+        .filter(datediff(col("max_day"), col("cohort_day")) >= col("day_offset"))
+        .groupBy("day_offset")
+        .agg(sum(col("cohort_size")).as("n_eligible"))
+      active.join(eligible, Seq("day_offset"))
+        .select(col("day_offset"), col("n_active"), col("n_eligible"),
+          round(col("n_active").cast(DoubleType) /
+            col("n_eligible").cast(DoubleType), 6).as("rate"))
+        .orderBy("day_offset")
+    }),
+
     "q_funnel_windowed" -> ((s, dir) => {
       // Time-boxed funnel: each step must land within 6 hours of the
       // previous one — the product-analytics default ("clicked within N
@@ -5443,6 +5469,36 @@ object ExtQueries {
           SELECT s1.user_id, s1.first_view, s2.first_click, s3.first_purchase
           FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
           ORDER BY user_id""",
+
+    // Same distinct-triple cohort chain; the denominator counts only
+    // cohorts old enough to reach each offset.
+    "q_retention_curve" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id),
+          du AS (SELECT DISTINCT f.cohort_day,
+              CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+                AS INTEGER) AS day_offset,
+              e.user_id
+            FROM events e JOIN f USING (user_id)),
+          r AS (SELECT cohort_day, day_offset, COUNT(*) AS n_users
+            FROM du GROUP BY 1, 2),
+          sizes AS (SELECT cohort_day, n_users AS cohort_size FROM r
+            WHERE day_offset = 0),
+          md AS (SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events),
+          active AS (SELECT day_offset, SUM(n_users) AS n_active
+            FROM r GROUP BY 1),
+          eligible AS (SELECT o.day_offset, SUM(s.cohort_size) AS n_eligible
+            FROM (SELECT DISTINCT day_offset FROM r) o
+            CROSS JOIN sizes s CROSS JOIN md
+            WHERE date_diff('day', s.cohort_day, md.max_day) >= o.day_offset
+            GROUP BY 1)
+          SELECT a.day_offset,
+            CAST(a.n_active AS BIGINT) AS n_active,
+            CAST(e.n_eligible AS BIGINT) AS n_eligible,
+            ROUND(CAST(a.n_active AS DOUBLE)
+              / CAST(e.n_eligible AS DOUBLE), 6) AS rate
+          FROM active a JOIN eligible e USING (day_offset)
+          ORDER BY day_offset""",
 
     // Same step chain with the 6-hour gap gate on each transition.
     "q_funnel_windowed" ->
