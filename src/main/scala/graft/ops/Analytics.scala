@@ -107,7 +107,8 @@ object Analytics {
     * winner among right rows sharing (key, ts). One shuffle on the key
     * + a local sort — the sort-merge price, no range explosion. */
   def asOfJoinForward(left: DataFrame, right: DataFrame, key: String,
-                      ts: String, rightVals: Map[String, String]): DataFrame = {
+                      ts: String, rightVals: Map[String, String],
+                      toleranceSec: Option[Long] = None): DataFrame = {
     val rightTagged = right.select(col(key), col(ts), lit(1).as("__src"),
       struct(col(ts).as("__rts") +:
         rightVals.toSeq.map { case (c, out) => col(c).as(out) }: _*).as("__r"))
@@ -118,8 +119,14 @@ object Analytics {
       .orderBy(col(ts), col("__src"), col("__r"))
       .rowsBetween(0, Window.unboundedFollowing)
     val matched = unioned.withColumn("__m", first(col("__r"), ignoreNulls = true).over(w))
+    // Symmetric twin of the backward tolerance: a label from TOO FAR in
+    // the future is no label (exact integer µs, nulls after the window).
+    val okAge = toleranceSec.map { tol =>
+      unix_micros(col("__m").getField("__rts")) - unix_micros(col(ts)) <=
+        tol * 1000000L
+    }.getOrElse(lit(true))
     val extracted = rightVals.values.foldLeft(matched) { (d, out) =>
-      d.withColumn(out, col("__m").getField(out))
+      d.withColumn(out, when(okAge, col("__m").getField(out)))
     }
     extracted.filter(col("__src") === 0).drop("__src", "__r", "__m")
       .select((left.columns.toIndexedSeq.map(col) ++ rightVals.values.map(col)): _*)

@@ -739,6 +739,29 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("asOfJoinForward tolerance: boundary keeps, far-future label nulls, None identical") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 7L, ts("2024-01-01 00:00:00")),  // next right exactly 1 day later
+      (2L, 7L, ts("2024-01-03 00:00:01"))   // next right 1 day + lots later -> null
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, ts("2024-01-02 00:00:00"), 10.0),
+      (7L, ts("2024-01-06 00:00:00"), 20.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Analytics.asOfJoinForward(left, right, "user_id", "ts",
+        Map("value" -> "v"), toleranceSec = Some(86400L))
+      .orderBy("event_id").collect()
+    assert(out(0).getDouble(3) == 10.0, "exactly-at-tolerance future label keeps")
+    assert(out(1).isNullAt(3), "label beyond the tolerance nulls")
+    val a = Analytics.asOfJoinForward(left, right, "user_id", "ts",
+      Map("value" -> "v")).orderBy("event_id").collect().toSeq
+    val b = Analytics.asOfJoinForward(left, right, "user_id", "ts",
+      Map("value" -> "v"), None).orderBy("event_id").collect().toSeq
+    assert(a == b)
+  }
+
   test("rollingZScore: hand-checked z, flat window abstains, flag uses rounded z") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
