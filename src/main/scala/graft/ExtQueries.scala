@@ -477,6 +477,18 @@ object ExtQueries {
         .orderBy("bucket", "event_type")
     }),
 
+    "q_category_drift" -> ((s, dir) => {
+      // Categorical PSI: did the event-type MIX shift between the two
+      // halves of the month? scoreDrift's twin for label columns —
+      // the monitoring check before numeric drift even matters.
+      val ev = read(s, dir, "events")
+      Classify.categoryDrift(
+          ev.filter(col("ts") < lit("2024-01-16 00:00:00").cast("timestamp")),
+          ev.filter(col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp")),
+          "event_type")
+        .orderBy("category")
+    }),
+
     "q_event_transitions" -> ((s, dir) => {
       // Event-path mining: consecutive event-type transitions per user
       // (lead over the per-user time order), global transition counts +
@@ -5368,6 +5380,37 @@ object ExtQueries {
           FROM tr LEFT JOIN rc
             ON tr.q_id = rc.q_id AND tr.vec_id = rc.vec_id
           GROUP BY tr.q_id ORDER BY tr.q_id""",
+
+    // scoreDrift's smoothing ladder with k = |category union| as the
+    // bin count; the same single psi expression tree.
+    "q_category_drift" ->
+      """WITH ca AS (SELECT event_type AS category, COUNT(*) AS n_a
+            FROM events WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+            GROUP BY 1),
+          cb AS (SELECT event_type AS category, COUNT(*) AS n_b
+            FROM events WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+            GROUP BY 1),
+          j AS (SELECT category, n_a, n_b FROM ca FULL JOIN cb USING (category)),
+          k AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk FROM j),
+          ta AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t FROM ca),
+          tb AS (SELECT CAST(SUM(n_b) AS BIGINT) AS t FROM cb)
+          SELECT category,
+            CAST(COALESCE(n_a, 0) AS BIGINT) AS n_a,
+            CAST(COALESCE(n_b, 0) AS BIGINT) AS n_b,
+            ROUND(CAST(COALESCE(n_a, 0) + 1 AS DOUBLE)
+              / CAST(ta.t + k.kk AS DOUBLE), 6) AS share_a,
+            ROUND(CAST(COALESCE(n_b, 0) + 1 AS DOUBLE)
+              / CAST(tb.t + k.kk AS DOUBLE), 6) AS share_b,
+            ROUND((CAST(COALESCE(n_a, 0) + 1 AS DOUBLE)
+                / CAST(ta.t + k.kk AS DOUBLE)
+              - CAST(COALESCE(n_b, 0) + 1 AS DOUBLE)
+                / CAST(tb.t + k.kk AS DOUBLE))
+              * ln((CAST(COALESCE(n_a, 0) + 1 AS DOUBLE)
+                  / CAST(ta.t + k.kk AS DOUBLE))
+                / (CAST(COALESCE(n_b, 0) + 1 AS DOUBLE)
+                  / CAST(tb.t + k.kk AS DOUBLE))), 6) AS psi_contrib
+          FROM j CROSS JOIN k CROSS JOIN ta CROSS JOIN tb
+          ORDER BY category""",
 
     "q_event_transitions" ->
       """WITH t AS (SELECT event_type AS from_type,

@@ -142,6 +142,38 @@ object Classify {
         round((sa - sb) * log(sa / sb), 6).as("psi_contrib"))
   }
 
+  /** [[scoreDrift]]'s CATEGORICAL twin: PSI over a label/category
+    * column between two slices (the monitoring check for "did the
+    * event-type / language / source mix shift between snapshots").
+    * Same Laplace smoothing with k = |category union| standing in for
+    * the bin count, so empty-on-one-side categories contribute a
+    * finite, well-defined term instead of ±∞. Two combine-enabled
+    * count aggs on a bounded category key + a bounded full-outer join;
+    * totals and k ride as broadcast single-row aggs. */
+  def categoryDrift(a: DataFrame, b: DataFrame, catCol: String): DataFrame = {
+    def counts(d: DataFrame, n: String): DataFrame =
+      d.select(col(catCol).cast("string").as("category"))
+        .groupBy("category").agg(count(lit(1)).as(n))
+    val ca = counts(a, "n_a")
+    val cb = counts(b, "n_b")
+    val joined = ca.join(cb, Seq("category"), "full")
+    val k = joined.agg(count(lit(1)).as("__k"))
+    val ta = ca.agg(sum(col("n_a")).as("__ta"))
+    val tb = cb.agg(sum(col("n_b")).as("__tb"))
+    val sa = (coalesce(col("n_a"), lit(0L)) + 1).cast(DoubleType) /
+      (col("__ta") + col("__k")).cast(DoubleType)
+    val sb = (coalesce(col("n_b"), lit(0L)) + 1).cast(DoubleType) /
+      (col("__tb") + col("__k")).cast(DoubleType)
+    joined.crossJoin(broadcast(k))
+      .crossJoin(broadcast(ta)).crossJoin(broadcast(tb))
+      .select(col("category"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        round(sa, 6).as("share_a"),
+        round(sb, 6).as("share_b"),
+        round((sa - sb) * log(sa / sb), 6).as("psi_contrib"))
+  }
+
   /** Deterministic DEMO weight table: weight(b) = round(u(b) − 0.5, 6)
     * with u(b) the md5-derived uniform of (b || salt) — a fixed
     * pseudo-random model both engines regenerate bit-for-bit, standing

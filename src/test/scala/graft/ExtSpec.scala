@@ -3058,6 +3058,22 @@ class ExtSpec extends SparkSpec {
     assert(drift.map(_.getLong(1)).sum == 200 && drift.map(_.getLong(2)).sum == 200)
   }
 
+  test("categoryDrift: identical slices ~zero PSI, one-sided category stays finite") {
+    val a = Seq("x", "x", "y", "z").toDF("c")
+    val same = Classify.categoryDrift(a, a, "c").collect()
+    assert(same.length == 3 && same.forall(_.getDouble(5) == 0.0),
+      "identical mixes contribute zero everywhere")
+    // category 'w' exists only on side b — smoothing keeps it finite
+    val b = Seq("x", "y", "w", "w").toDF("c")
+    val drift = Classify.categoryDrift(a, b, "c")
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(drift.keySet == Set("x", "y", "z", "w"), "full category union")
+    assert(drift.values.forall(v => !v.isNaN && !v.isInfinite),
+      "Laplace smoothing keeps every contribution finite")
+    assert(drift("w") > 0 && drift("z") > 0,
+      "one-sided categories register drift")
+  }
+
   test("sourceOverlapKmv: identical sources estimate 1, disjoint estimate 0, exact referee right") {
     // a and b share EVERY shingle (same texts); c is disjoint.
     val docs = Seq(

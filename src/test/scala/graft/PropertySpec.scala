@@ -552,6 +552,25 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("momentStats matches a naive per-group reference — random values") {
+    trials(5) { rnd =>
+      val rows = (0 until rnd.nextInt(200) + 50)
+        .map(i => (s"g${i % 3}", math.rint(rnd.nextDouble() * 2000) / 100))
+      val out = Analytics.momentStats(rows.toDF("k", "v"), "v", Seq("k"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+      rows.groupBy(_._1).foreach { case (g, vs) =>
+        val xs = vs.map(_._2)
+        val mean = xs.sum / xs.size
+        val m2 = xs.map(x => (x - mean) * (x - mean)).sum / xs.size
+        val (n, gm, gv) = out(g)
+        assert(n == xs.size)
+        assert(math.abs(gm - mean) < 1e-6, s"$g mean $gm vs $mean")
+        assert(math.abs(gv - m2) < 1e-5, s"$g var $gv vs $m2")
+      }
+    }
+  }
+
   test("interleaveBySource: bijection onto residue classes, prefix balance — random corpora") {
     import graft.ext.Sampling
     trials(5) { rnd =>
