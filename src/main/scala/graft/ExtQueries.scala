@@ -219,6 +219,89 @@ object ExtQueries {
         .limit(100)
     }),
 
+    "q_tpch_q9" -> ((s, dir) => {
+      // TPC-H Q9 (product-type profit by nation and year) ADAPTED to
+      // the testdata's columns: there is no partsupp table, so supply
+      // cost is modeled as 60% of p_retailprice per unit (same join
+      // graph, same expression-heavy aggregate — the 5-way join-reorder
+      // stressor is the point, not the cost constant). Plan story: the
+      // p_name filter prunes part to ~1/6 and BROADCASTS it into the
+      // lineitem scan FIRST — the selective dim cuts the fact before
+      // either shuffle join — then supplier rides a second broadcast,
+      // orders is the one big shuffle join, nation closes broadcast.
+      // A reordering that joined orders first would shuffle 6× the
+      // rows; at 100× scale that is the Q9 cliff. Decimal precisions
+      // kept tight so the profit sum stays exact inside precision 38
+      // on both engines (the Q1 lesson).
+      val li = read(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+          "l_extendedprice", "l_discount")
+      val part = read(s, dir, "part")
+        .filter(col("p_name").contains("bolt"))
+        .select("p_partkey", "p_retailprice")
+      val sup = read(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val ord = read(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val nat = read(s, dir, "nation").select("n_nationkey", "n_name")
+      val amount =
+        col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount")).cast(DecimalType(3, 2)) -
+        col("p_retailprice").cast(DecimalType(12, 2)) *
+          lit(0.60).cast(DecimalType(3, 2)) *
+          col("l_quantity").cast(DecimalType(12, 2))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(sum(amount).cast(DoubleType).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    "q_tpch_q21" -> ((s, dir) => {
+      // TPC-H Q21 (suppliers who kept orders waiting) ADAPTED to the
+      // testdata's columns: no receipt/commit dates, so "late" =
+      // l_shipdate more than 90 days after o_orderdate. The shape is
+      // the real stressor: the EXISTS (another supplier in the order)
+      // becomes a LEFT SEMI join, the NOT EXISTS (no OTHER supplier
+      // late) a LEFT ANTI join — the double anti-join pattern whose
+      // naive per-row-subquery plan is quadratic at scale. Join order:
+      // the nation-filtered supplier broadcast prunes l1 to 1/5 BEFORE
+      // the semi/anti shuffles — the cheap filter runs first, the two
+      // l_orderkey shuffles only carry the candidate slice against the
+      // (orderkey, suppkey, shipdate)-narrow full lineitem side.
+      val lateBy = expr("INTERVAL 90 DAYS")
+      val ordF = read(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val li = read(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+      val sup = read(s, dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+      // NATION_12 (not TPC-H's SAUDI ARABIA, which the synthetic data
+      // lacks): the one nation non-empty at sf0.001/0.01/0.1 alike, so
+      // the plan pins and the rows>0 smoke hold at every harness SF.
+      val nat = read(s, dir, "nation")
+        .filter(col("n_name") === "NATION_12").select("n_nationkey")
+      val l1 = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + lateBy)
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate", "s_name")
+      val l2 = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val l3 = li.select(col("l_orderkey").as("ok3"),
+        col("l_suppkey").as("sk3"), col("l_shipdate").as("sd3"))
+      l1.join(l2, col("ok2") === col("l_orderkey") &&
+          col("sk2") =!= col("l_suppkey"), "left_semi")
+        .join(l3, col("ok3") === col("l_orderkey") &&
+          col("sk3") =!= col("l_suppkey") &&
+          col("sd3") > col("o_orderdate") + lateBy, "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
     "q_rolling_mean" -> ((s, dir) => {
       // Frame window: trailing 7-row mean per event type — the rolling
       // analytic beyond the reference's lag-1. (event_id breaks ts ties
@@ -945,7 +1028,9 @@ object ExtQueries {
       // Asymmetric doc-in-doc detection: >= 60% of a's distinct
       // 3-gram shingles occur in b (Jaccard misses the short-quote-
       // inside-long-article case this catches). Candidates only meet
-      // inside shared-shingle buckets.
+      // inside shared-shingle buckets. Runs the DEFAULT operator shape
+      // — the generous df-cap (10k) is ACTIVE, mirrored in the oracle:
+      // the safe-at-100-TB form is what ships, not an opt-in.
       Dedup.containmentPairs(read(s, dir, "documents"), "doc_id", "text",
           n = 3, threshold = ContainmentTau)
         .orderBy("a", "b")
@@ -1136,12 +1221,17 @@ object ExtQueries {
       // hyperplanes inlined as literals, scale 0.25 = 1/√16 (binary-
       // exact, so both engines multiply the same double). Map-only,
       // zero shuffles — the projected corpus is 1/4 the scan bytes of
-      // every downstream distance pass.
+      // every downstream distance pass. The vector is EXPLODED to
+      // (vec_id, dim_idx, value) scalar rows at the query boundary:
+      // the oracle harness hashes scalar cells only (array columns
+      // crash its pandas sort), and the op itself still returns the
+      // packed array for downstream consumers (q_rp_recall).
       Similarity.randomProject(
           read(s, dir, "embeddings").select("vec_id", "embedding"),
           "embedding", RpPlanes, "projected", scale = RpScale)
-        .select("vec_id", "projected")
-        .orderBy("vec_id")
+        .select(col("vec_id"),
+          posexplode(col("projected")).as(Seq("dim_idx", "value")))
+        .orderBy("vec_id", "dim_idx")
     }),
 
     "q_embed_center" -> ((s, dir) => {
@@ -1149,12 +1239,15 @@ object ExtQueries {
       // direction that inflates every cosine) + the centered norm the
       // downstream cosine must renormalize by. One decimal-exact
       // aggregate pass broadcast back over the corpus — no corpus
-      // shuffle.
+      // shuffle. Exploded to scalar rows for the oracle harness (see
+      // q_embed_rp); centered_norm repeats per dim row by design.
       Similarity.centerEmbeddings(
           read(s, dir, "embeddings").select("vec_id", "embedding"),
           "embedding", AnnDim, "centered")
-        .select("vec_id", "centered", "centered_norm")
-        .orderBy("vec_id")
+        .select(col("vec_id"),
+          posexplode(col("centered")).as(Seq("dim_idx", "value")),
+          col("centered_norm"))
+        .orderBy("vec_id", "dim_idx")
     }),
 
     "q_rp_recall" -> ((s, dir) => {
@@ -1637,6 +1730,30 @@ object ExtQueries {
           lit(" é")))
       Bpe.withTokenCount(docs, "doc_id", "itext", Bpe.ByteMerges,
           byteFallback = true)
+        .orderBy("doc_id")
+    }),
+
+    "q_token_roundtrip" -> ((s, dir) => {
+      // The tokenize-then-detokenize-losslessly check a training-data
+      // pipeline ships with: encode each doc to token IDS (lossless
+      // pre-tokenization — case and whitespace preserved, byte
+      // fallback for non-ASCII) and decode back IN THE SAME PASS;
+      // roundtrip_ok is measured, not asserted. The mixed-case + CJK +
+      // punctuation + double-space suffix exercises every pre-token
+      // class. Output is scalarized at the boundary (first-4 ids as
+      // t0..t3) per the oracle-harness contract; the DuckDB oracle
+      // replays the same segmentation ORDERED and maps symbols through
+      // the same induced vocabulary, pinning the id stream itself.
+      val docs2 = read(s, dir, "documents").select(col("doc_id"),
+        concat(substring(col("text"), 1, 80), lit("  Mixed CASE 数据 é!"))
+          .as("itext"))
+      Bpe.encodeTokens(docs2, "doc_id", "itext", Bpe.ByteMerges)
+        .select(col("doc_id"), col("n_tokens"),
+          element_at(col("token_ids"), 1).as("t0"),
+          element_at(col("token_ids"), 2).as("t1"),
+          element_at(col("token_ids"), 3).as("t2"),
+          element_at(col("token_ids"), 4).as("t3"),
+          col("roundtrip_ok"))
         .orderBy("doc_id")
     }),
 
@@ -2539,6 +2656,24 @@ object ExtQueries {
       // so the corpus-shrink number is reportable).
       Dedup.exciseDuplicateSpans(read(s, dir, "documents"), "doc_id",
           "text", DupGramWords)
+        .orderBy("doc_id")
+    }),
+
+    "q_dedup_lrs" -> ((s, dir) => {
+      // Exact CHARACTER-level longest-repeated-substring per doc via a
+      // per-row suffix automaton — the self-repetition detector beyond
+      // fixed-width gram spans (generation loops, in-doc boilerplate).
+      // Map-only, O(chars) memory per row. The 150-char prefix bounds
+      // the DuckDB oracle's brute-force replay (every substring of
+      // length ≤ LrsClamp); lrs_len clamps to LrsClamp because a
+      // length-L repeat implies repeats at every shorter length, so
+      // both engines agree exactly at and below the clamp. Docs with
+      // lrs_len ≥ 20 route into the span-excision machinery.
+      Dedup.longestRepeatedSubstring(read(s, dir, "documents"), "doc_id",
+          "text", maxChars = LrsPrefix)
+        .select(col("doc_id"),
+          least(col("lrs_len"), lit(LrsClamp)).cast("int").as("lrs_len"),
+          (col("lrs_len") >= LrsRepetitiveFloor).as("is_repetitive"))
         .orderBy("doc_id")
     }),
 
@@ -3519,6 +3654,12 @@ object ExtQueries {
     * near-dup runs repeat well past 8 words, so spans are non-trivial
     * while random 8-grams from the synthetic vocabulary stay unique. */
   private val DupGramWords = 8
+
+  /** LRS query bounds: prefix scanned, clamp (= oracle brute-force max
+    * substring length), and the routing floor for "self-repetitive". */
+  private val LrsPrefix = 150
+  private val LrsClamp = 50
+  private val LrsRepetitiveFloor = 20
   /** Winnowing: 16-char grams, window of 8 — guarantees detection of
     * shared substrings >= 23 chars; at these sizes the pair query
     * isolates the injected near-dup families (24 pairs at sf0.01)
@@ -4134,6 +4275,18 @@ object ExtQueries {
     Bpe.ByteMerges.zipWithIndex
       .map { case ((l, r), i) => s"('$l $r', ${i + 1})" }.mkString(", ")
 
+  /** (symbol, id) VALUES of the encode vocabulary — merge outputs get
+    * 256+i, first rank winning duplicate output strings, exactly
+    * [[graft.ext.Bpe.vocabOf]]; single chars/byte markers fall through
+    * to ascii()/hex rules in the oracle, exactly `idOfSymbol`. */
+  private lazy val BpeVocabValues: String = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    Bpe.ByteMerges.zipWithIndex.flatMap { case ((a, b), i) =>
+      val out = a + b
+      if (seen.add(out)) Some(s"('$out', ${256 + i})") else None
+    }.mkString(", ")
+  }
+
   /** Shared CTE chain for the bigram-LM oracles: retrain the add-one
     * model on the every-10th-doc reference slice and score every
     * document — ends defining `scored(doc_id, n_bigrams, ppl)`. */
@@ -4451,6 +4604,75 @@ object ExtQueries {
             USING (doc_id)
           ORDER BY doc_id""",
 
+    // Ordered token-ID stream: the same recursive merge CTE but with
+    // word POSITION threaded through (wpos), flattened in (wpos,
+    // symbol) order and mapped to ids via the induced vocabulary —
+    // merge outputs by the VALUES table, '<0xHH>' markers by hex, bare
+    // chars by ascii(). roundtrip_ok is literal true here: the decode
+    // inverse is Spark-measured per row and property-pinned in
+    // BpePropertySpec; DuckDB pins the id stream itself.
+    "q_token_roundtrip" ->
+      s"""WITH RECURSIVE merges(pair, rank) AS (VALUES $BpeByteMergeValues),
+          vocab(sym, vid) AS (VALUES $BpeVocabValues),
+          docs2 AS (
+            SELECT doc_id, substr(text, 1, 80) || '  Mixed CASE 数据 é!'
+              AS itext
+            FROM documents),
+          words AS (
+            SELECT doc_id, gs.i AS wpos, ws[gs.i] AS word
+            FROM (SELECT doc_id,
+                regexp_extract_all(itext, '${Bpe.EncodePattern}') AS ws
+              FROM docs2) w,
+              LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) gs),
+          seg(doc_id, wpos, toks, done) AS (
+            SELECT doc_id, wpos,
+              CASE WHEN regexp_matches(word, '[^\\x00-\\x7f]')
+                THEN list_transform(
+                  range(1, len(hex(encode(word))) // 2 + 1),
+                  i -> '<0x' || substr(hex(encode(word)), 2*i - 1, 2) || '>')
+                ELSE string_split(word, '') END,
+              false
+            FROM words
+            UNION ALL
+            SELECT s.doc_id, s.wpos,
+              CASE WHEN b.bi IS NULL THEN s.toks
+                   ELSE list_concat(list_concat(
+                     s.toks[1:b.bi-1], [s.toks[b.bi] || s.toks[b.bi+1]]),
+                     s.toks[b.bi+2:len(s.toks)]) END,
+              b.bi IS NULL
+            FROM seg s LEFT JOIN LATERAL (
+              SELECT gs.i AS bi
+              FROM (SELECT unnest(range(1, len(s.toks))) AS i) gs
+              JOIN merges m ON m.pair = s.toks[gs.i] || ' ' || s.toks[gs.i+1]
+              ORDER BY m.rank, gs.i LIMIT 1
+            ) b ON true
+            WHERE NOT s.done),
+          flat AS (
+            SELECT doc_id, wpos, gs.i AS spos, toks[gs.i] AS sym
+            FROM seg,
+              LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) gs
+            WHERE done),
+          ids AS (
+            SELECT f.doc_id,
+              row_number() OVER (PARTITION BY f.doc_id
+                ORDER BY f.wpos, f.spos) AS tpos,
+              COALESCE(v.vid,
+                CASE WHEN len(f.sym) = 6 AND substr(f.sym, 1, 3) = '<0x'
+                  THEN (strpos('0123456789ABCDEF', substr(f.sym, 4, 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF', substr(f.sym, 5, 1)) - 1)
+                  ELSE ascii(f.sym) END) AS tid
+            FROM flat f LEFT JOIN vocab v ON f.sym = v.sym)
+          SELECT d.doc_id, CAST(COALESCE(t.n, 0) AS INTEGER) AS n_tokens,
+            t.t0, t.t1, t.t2, t.t3, true AS roundtrip_ok
+          FROM documents d LEFT JOIN (
+            SELECT doc_id, count(*) AS n,
+              CAST(MAX(CASE WHEN tpos = 1 THEN tid END) AS INTEGER) AS t0,
+              CAST(MAX(CASE WHEN tpos = 2 THEN tid END) AS INTEGER) AS t1,
+              CAST(MAX(CASE WHEN tpos = 3 THEN tid END) AS INTEGER) AS t2,
+              CAST(MAX(CASE WHEN tpos = 4 THEN tid END) AS INTEGER) AS t3
+            FROM ids GROUP BY doc_id) t USING (doc_id)
+          ORDER BY d.doc_id""",
+
     "q_url_normalize" ->
       s"""$UrlDomainSqlChain
           SELECT doc_id, url, host, domain FROM dom ORDER BY doc_id""",
@@ -4583,6 +4805,46 @@ object ExtQueries {
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    // Q9 adapted (no partsupp in testdata): supply cost = 60% of
+    // p_retailprice per unit; same tight decimal ladder as the Spark
+    // side — (18,2)·(3,2) minus (12,2)·(3,2)·(12,2), exact inside 38.
+    "q_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(3,2))
+             - CAST(p_retailprice AS DECIMAL(12,2))
+               * CAST(0.60 AS DECIMAL(3,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_name LIKE '%bolt%'
+         GROUP BY 1, 2
+         ORDER BY nation, o_year DESC""",
+
+    // Q21 adapted (no receipt/commit dates): late = shipped more than
+    // 90 days after order date; orders restricted to status 'F'.
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM lineitem l1
+         JOIN orders ON o_orderkey = l1.l_orderkey
+         JOIN supplier ON s_suppkey = l1.l_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         WHERE o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+           AND n_name = 'NATION_12'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey != l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND l3.l_suppkey != l1.l_suppkey
+               AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name LIMIT 100""",
 
     "q_rolling_mean" ->
       """SELECT event_id, event_type,
@@ -5341,16 +5603,22 @@ object ExtQueries {
           GROUP BY tr0.q_id ORDER BY tr0.q_id""",
 
     "q_embed_rp" ->
-      s"""SELECT vec_id, ${rpProjSql("embedding")} AS projected
-          FROM embeddings ORDER BY vec_id""",
+      s"""WITH p AS (SELECT vec_id, ${rpProjSql("embedding")} AS projected
+               FROM embeddings)
+          SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim_idx,
+            projected[i] AS value
+          FROM p CROSS JOIN generate_series(1, ${RpPlanes.size}) AS t(i)
+          ORDER BY vec_id, dim_idx""",
 
     // Per-dimension means re-derived with the same 6dp-round →
     // DECIMAL(25,6) sum → one double divide ladder the Spark op pins.
     "q_embed_center" ->
       s"""WITH $centerCtes
-          SELECT vec_id, centered,
+          SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim_idx,
+            centered[i] AS value,
             ROUND(sqrt(list_dot_product(centered, centered)), 6) AS centered_norm
-          FROM c ORDER BY vec_id""",
+          FROM c CROSS JOIN generate_series(1, $AnnDim) AS t(i)
+          ORDER BY vec_id, dim_idx""",
 
     // Centering's retrieval effect, measured: centered-space exact top-3
     // vs raw-space exact top-3, the recall@k close over both chains.
@@ -6412,15 +6680,21 @@ object ExtQueries {
     // component-minimum labeling, so it shares the oracle verbatim.
     "q_dup_clusters_star" -> dupClustersOracleSql,
 
+    // Mirrors the operator's DEFAULT df-cap (10k): |A| over the
+    // uncapped per-doc shingles, then hot shingles leave both join
+    // sides. At test SF no shingle approaches the cap, so this equals
+    // the exact form — the QUALIFY pins the semantics, not the data.
     "q_containment_pairs" ->
       s"""WITH s AS (SELECT doc_id,
               unnest(list_distinct($ShinglesSql)) AS sh
             FROM documents),
-          l AS (SELECT doc_id, sh,
+          l0 AS (SELECT doc_id, sh,
               count(*) OVER (PARTITION BY doc_id) AS na FROM s),
+          l AS (SELECT doc_id, sh, na FROM l0
+            QUALIFY count(*) OVER (PARTITION BY sh) <= ${Dedup.DefaultMaxShingleDf}),
           p AS (SELECT l.doc_id AS a, r.doc_id AS b, l.na,
               count(*) AS n_shared
-            FROM l JOIN s r ON l.sh = r.sh AND l.doc_id != r.doc_id
+            FROM l JOIN l r ON l.sh = r.sh AND l.doc_id != r.doc_id
             GROUP BY 1, 2, 3)
           SELECT a, b, n_shared,
             ROUND(CAST(n_shared AS DOUBLE) / na, 6) AS containment
@@ -6984,6 +7258,29 @@ object ExtQueries {
               AS removed_share
           FROM per JOIN documents d0 ON per.doc_id = d0.doc_id
           GROUP BY d0.source ORDER BY d0.source""",
+
+    // Suffix-automaton LRS replayed by brute force, bounded by the
+    // clamp: enumerate EVERY substring of length ≤ LrsClamp in the
+    // 150-char lowercased prefix, find lengths with a duplicate
+    // occurrence, take the max. A length-L repeat implies repeats at
+    // all shorter lengths, so max-over-duplicated-lengths below the
+    // clamp equals the automaton's clamped answer exactly.
+    "q_dedup_lrs" ->
+      s"""WITH t AS (SELECT doc_id, lower(substr(text, 1, $LrsPrefix)) AS s
+            FROM documents),
+          dup AS (
+            SELECT doc_id, l FROM (
+              SELECT t.doc_id, gs.l AS l, substr(t.s, p.i, gs.l) AS sub
+              FROM t,
+                LATERAL (SELECT unnest(range(1, len(s) + 1)) AS i) p,
+                LATERAL (SELECT unnest(range(1, $LrsClamp + 1)) AS l) gs
+              WHERE p.i + gs.l - 1 <= len(t.s))
+            GROUP BY doc_id, l, sub HAVING count(*) >= 2),
+          mx AS (SELECT doc_id, MAX(l) AS lrs FROM dup GROUP BY doc_id)
+          SELECT d.doc_id, CAST(COALESCE(mx.lrs, 0) AS INTEGER) AS lrs_len,
+            COALESCE(mx.lrs, 0) >= $LrsRepetitiveFloor AS is_repetitive
+          FROM documents d LEFT JOIN mx USING (doc_id)
+          ORDER BY d.doc_id""",
 
     // fastText-shaped scorer replayed: the same md5 bucket wheel on
     // unigram + bigram terms, the same md5-derived fixture weights,

@@ -60,6 +60,15 @@ object Bpe {
     * both engines' regex alternation is leftmost-first. */
   val PreTokenPatternBytes = "[a-z]+|[0-9]+|[^\\x00-\\x7f]+|[^a-z0-9\\s]"
 
+  /** LOSSLESS pre-tokenizer for [[encodeIds]]: adds UPPERCASE-run and
+    * WHITESPACE-run classes so the alternatives TILE the whole string —
+    * every character lands in exactly one pre-token and nothing is
+    * dropped or case-folded, which is what makes decode(encode(s)) == s
+    * exact (the count/chunk ops lowercase and skip whitespace because
+    * they only need sizes; an encoder that feeds a trainer must not). */
+  val EncodePattern =
+    "[a-z]+|[A-Z]+|[0-9]+|[^\\x00-\\x7f]+|\\s+|[^a-zA-Z0-9\\s]"
+
   /** [[Merges]] extended with byte-level merges — the demo table for
     * byte-fallback mode (a learned byte-level vocabulary flows through
     * the same parameter). The chains assemble the UTF-8 bytes of 数
@@ -109,7 +118,14 @@ object Bpe {
     mergeLoop(initialSymbols(word, byteFallback = true), rank)
 
   private def mergeLoop(buf: scala.collection.mutable.ArrayBuffer[String],
-                        rank: Map[(String, String), Int]): Int = {
+                        rank: Map[(String, String), Int]): Int =
+    mergeSymbols(buf, rank).length
+
+  /** The greedy merge loop, returning the final SYMBOL sequence (the
+    * count ops read only its length; [[encodeIds]] reads the symbols). */
+  private def mergeSymbols(buf: scala.collection.mutable.ArrayBuffer[String],
+                           rank: Map[(String, String), Int]
+                          ): scala.collection.mutable.ArrayBuffer[String] = {
     var done = buf.length <= 1
     while (!done) {
       var bestRank = Int.MaxValue
@@ -127,7 +143,7 @@ object Bpe {
         if (buf.length <= 1) done = true
       }
     }
-    buf.length
+    buf
   }
 
   /** LEARN a merge table from the corpus — the training half of the
@@ -335,5 +351,133 @@ object Bpe {
         }
       }(outEnc)
       .toDF(docKey, "n_tokens_bpe")
+  }
+
+  // ───────────── token-id encode / lossless decode (round-trip) ─────────────
+
+  /** Token-id vocabulary induced by a merge table: ids 0–255 are RAW
+    * BYTES (a single ASCII char symbol's id is its code point, which IS
+    * its UTF-8 byte; a `<0xHH>` byte marker's id is HH — markers only
+    * arise for bytes ≥ 0x80, so the two ranges cannot collide), and id
+    * 256+i is the OUTPUT symbol of merge i. Every symbol the merge loop
+    * can produce has an id by induction: seeds are single chars/bytes,
+    * every merge output is enumerated here. If two merges produce the
+    * same string the FIRST keeps the id — the decoded bytes are
+    * identical either way, so the round-trip cannot tell. */
+  def vocabOf(merges: Seq[(String, String)]): Map[String, Int] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      val out = a + b
+      if (!m.contains(out)) m(out) = 256 + i
+    }
+    m.toMap
+  }
+
+  /** UTF-8 bytes of a symbol string: `<0xHH>` markers parse to their
+    * byte, literal characters contribute their own UTF-8 bytes (merge
+    * tables keep the classes separate, but a mixed literal/marker
+    * symbol would still decode correctly). */
+  private def symbolBytes(sym: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < sym.length) {
+      if (i + 5 < sym.length && sym.charAt(i) == '<' &&
+          sym.charAt(i + 1) == '0' && sym.charAt(i + 2) == 'x' &&
+          sym.charAt(i + 5) == '>') {
+        bos.write(Integer.parseInt(sym.substring(i + 3, i + 5), 16))
+        i += 6
+      } else {
+        val cp = sym.codePointAt(i)
+        bos.write(new String(Character.toChars(cp))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        i += Character.charCount(cp)
+      }
+    }
+    bos.toByteArray
+  }
+
+  private def idOfSymbol(sym: String, vocab: Map[String, Int]): Int =
+    vocab.getOrElse(sym,
+      if (sym.length == 6 && sym.charAt(0) == '<' && sym.charAt(5) == '>')
+        Integer.parseInt(sym.substring(3, 5), 16)
+      else if (sym.length == 1 && sym.charAt(0) < 0x80) sym.charAt(0).toInt
+      else throw new IllegalStateException(
+        s"no vocabulary id for symbol '$sym' — merge table and vocab disagree"))
+
+  private[ext] def encodeIdsWith(text: String, pre: java.util.regex.Pattern,
+                                 rank: Map[(String, String), Int],
+                                 vocab: Map[String, Int]): Array[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val m = pre.matcher(if (text == null) "" else text)
+    while (m.find())
+      mergeSymbols(initialSymbols(m.group(), byteFallback = true), rank)
+        .foreach(s => out += idOfSymbol(s, vocab))
+    out.toArray
+  }
+
+  /** ENCODE one string to its token-id sequence under `merges`
+    * (byte-fallback mode, [[EncodePattern]] lossless pre-tokenization).
+    * Pure function of (text, merges) — identical ids on driver or any
+    * executor. */
+  def encodeIds(text: String,
+                merges: Seq[(String, String)] = ByteMerges): Array[Int] =
+    encodeIdsWith(text, java.util.regex.Pattern.compile(EncodePattern),
+      merges.zipWithIndex.toMap, vocabOf(merges))
+
+  /** LOSSLESS DECODE: token ids back to text — ids < 256 are raw bytes,
+    * larger ids expand to their merge-output symbol's bytes, and the
+    * concatenated byte stream parses back as UTF-8. Inverse of
+    * [[encodeIds]] by construction (BpePropertySpec pins
+    * decode(encode(s)) == s over arbitrary well-formed strings). */
+  def decodeIds(ids: Seq[Int],
+                merges: Seq[(String, String)] = ByteMerges): String = {
+    val bySym: Map[Int, String] = vocabOf(merges).map(_.swap)
+    val bos = new java.io.ByteArrayOutputStream()
+    ids.foreach { id =>
+      if (id >= 0 && id < 256) bos.write(id)
+      else bySym.get(id) match {
+        case Some(sym) => bos.write(symbolBytes(sym))
+        case None => throw new IllegalArgumentException(
+          s"decodeIds: unknown token id $id for this merge table")
+      }
+    }
+    new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Per-document token-id sequences with the round-trip MEASURED, not
+    * assumed: (docKey, n_tokens, token_ids, roundtrip_ok) where
+    * roundtrip_ok is decode(encode(text)) == text computed in the same
+    * pass. `token_ids` is a packed array for downstream consumers
+    * (shuffling ids is ~4 bytes/token vs re-encoding text everywhere);
+    * query boundaries must explode/scalarize it — the oracle-harness
+    * contract. Same mapPartitions tier as [[withTokenCount]]: map-only,
+    * zero shuffles, rank + vocab compiled once per partition. Encode
+    * does NOT lowercase — decode must reproduce the input
+    * byte-for-byte, which is the point. */
+  def encodeTokens(df: DataFrame, docKey: String, textCol: String,
+                   merges: Seq[(String, String)] = ByteMerges): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val vocab = vocabOf(merges)
+    val bySym: Map[Int, String] = vocab.map(_.swap)
+    df.select(col(docKey).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val pre = java.util.regex.Pattern.compile(EncodePattern)
+        it.map { case (id, text) =>
+          val t = if (text == null) "" else text
+          val ids = encodeIdsWith(t, pre, rank, vocab)
+          val back = {
+            val bos = new java.io.ByteArrayOutputStream()
+            ids.foreach { tid =>
+              if (tid < 256) bos.write(tid) else bos.write(symbolBytes(bySym(tid)))
+            }
+            new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+          }
+          (id, ids.length, ids, back == t)
+        }
+      }
+      .toDF(docKey, "n_tokens", "token_ids", "roundtrip_ok")
   }
 }

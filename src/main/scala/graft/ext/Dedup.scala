@@ -898,8 +898,15 @@ object Dedup {
     // Pinned (NOT freed here — the returned plan reads these blocks;
     // they release with the result frame): the edge list feeds all
     // three join arms, and without the pin each arm re-derives the
-    // upstream pair computation.
-    val e = pin(pairs.select(col(aCol).as("a"), col(bCol).as("b")).distinct())
+    // upstream pair computation. Edges are canonicalized a < b HERE
+    // (least/greatest, the simhashDupPairs idiom) rather than assumed:
+    // a caller passing both edge directions would otherwise generate
+    // each triangle several times and silently inflate per-node counts.
+    val e = pin(pairs
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
     val wedges = e.select(col("a"), col("b"))
       .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
     val tri = wedges.join(
@@ -1107,12 +1114,17 @@ object Dedup {
     * gram-stats lesson); candidates meet ONLY inside a shared
     * shingle's bucket (the contamination join shape — never
     * all-pairs); one (a, b) agg closes. Skew: a boilerplate shingle
-    * shared by D docs costs O(D²) bucket rows — cap hot shingles
-    * upstream (the [[graft.ext.Contamination.cappedBenchShingles]]
-    * df-cap) when a corpus has them. */
+    * shared by D docs costs O(D²) bucket rows — so the df-cap is ON BY
+    * DEFAULT ([[DefaultMaxShingleDf]]): a shingle in more than that
+    * many docs is boilerplate by any reading, and 10k² bucket rows per
+    * such shingle is already the outer edge of acceptable. Pass
+    * `Int.MaxValue` explicitly for the exact uncapped form (compiles
+    * back to the window-free plan). */
+  val DefaultMaxShingleDf = 10000
+
   def containmentPairs(docs: DataFrame, docKey: String, textCol: String,
                        n: Int, threshold: Double,
-                       maxShingleDf: Int = Int.MaxValue): DataFrame = {
+                       maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
     require(maxShingleDf >= 1, s"maxShingleDf must be >= 1, got $maxShingleDf")
@@ -1272,5 +1284,106 @@ object Dedup {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("__wi"), col("__w")))),
           x => x.getField("__w")), " ").as(textCol))
+  }
+
+  // ───────── suffix-automaton exact LRS (beyond fixed-width grams) ─────────
+
+  /** Length of the LONGEST REPEATED SUBSTRING of `s` (occurrences may
+    * overlap — the standard LRS), via a suffix automaton: the max
+    * `len(v)` over states whose endpos count ≥ 2. O(|s|) states and
+    * time (each of ≤ 2|s|−1 states is created once; the clone loop
+    * amortizes against suffix-link depth), O(|s|) memory — the per-ROW
+    * bound that makes this safe inside mapPartitions at any corpus
+    * size. Character-level and exact, where [[duplicateSpans]] is
+    * word-gram-level and fixed-width: this is the detector for
+    * pathological self-repetition (generation loops, copy-pasted
+    * boilerplate inside one doc) that n-gram machinery quantizes. */
+  private[graft] def lrsLength(s: String): Int = {
+    if (s.length < 2) return 0
+    val maxStates = 2 * s.length + 2
+    val len = new Array[Int](maxStates)
+    val link = new Array[Int](maxStates)
+    val cnt = new Array[Long](maxStates)
+    val trans = new Array[scala.collection.mutable.HashMap[Char, Int]](maxStates)
+    trans(0) = scala.collection.mutable.HashMap.empty
+    link(0) = -1
+    var size = 1
+    var last = 0
+    var ci = 0
+    while (ci < s.length) {
+      val c = s.charAt(ci)
+      val cur = size; size += 1
+      len(cur) = len(last) + 1
+      cnt(cur) = 1
+      trans(cur) = scala.collection.mutable.HashMap.empty
+      var p = last
+      while (p != -1 && !trans(p).contains(c)) {
+        trans(p)(c) = cur
+        p = link(p)
+      }
+      if (p == -1) link(cur) = 0
+      else {
+        val q = trans(p)(c)
+        if (len(p) + 1 == len(q)) link(cur) = q
+        else {
+          val clone = size; size += 1
+          len(clone) = len(p) + 1
+          link(clone) = link(q)
+          cnt(clone) = 0
+          trans(clone) = trans(q).clone()
+          while (p != -1 && trans(p).get(c).contains(q)) {
+            trans(p)(c) = clone
+            p = link(p)
+          }
+          link(q) = clone
+          link(cur) = clone
+        }
+      }
+      last = cur
+      ci += 1
+    }
+    // endpos sizes: push occurrence counts up the suffix links in
+    // decreasing-len order (a state's link always has smaller len).
+    val order = Array.range(1, size).sortBy(v => -len(v))
+    var i = 0
+    while (i < order.length) {
+      val v = order(i)
+      if (link(v) > 0) cnt(link(v)) += cnt(v)
+      i += 1
+    }
+    var best = 0
+    var v = 1
+    while (v < size) {
+      if (cnt(v) >= 2 && len(v) > best) best = len(v)
+      v += 1
+    }
+    best
+  }
+
+  /** Per-document exact LRS length over `lower(substr(text, 1,
+    * maxChars))` — map-only, zero shuffles, O(maxChars) memory per row
+    * (the automaton lives and dies inside one iterator step; `maxChars`
+    * is the explicit bound a 100 TB run sizes against executor memory —
+    * the default caps the automaton at ~20k states ≈ a few MB
+    * transient). Output: (docKey, lrs_len). Feeds the excision family
+    * as a ROUTER: docs whose LRS clears a floor are the ones worth the
+    * word-gram span machinery ([[duplicateSpans]] /
+    * [[exciseDuplicateSpans]]); the rest skip it — the Lee-et-al
+    * suffix-array pass re-expressed as a bounded per-row exact
+    * computation plus the existing distributed gram path, instead of a
+    * corpus-global suffix array no shuffle plan survives. */
+  def longestRepeatedSubstring(df: DataFrame, docKey: String,
+                               textCol: String,
+                               maxChars: Int = 10000): DataFrame = {
+    require(maxChars >= 2, s"need maxChars >= 2, got $maxChars")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(docKey).cast("long"),
+        lower(substring(col(textCol), 1, maxChars)))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, lrsLength(if (t == null) "" else t))
+      })
+      .toDF(docKey, "lrs_len")
   }
 }

@@ -513,6 +513,13 @@ object Export {
                         expectedPerShard: Long, fpp: Double = 0.01): Unit = {
     require(nShards >= 1, "need at least one shard")
     require(expectedPerShard >= 1 && fpp > 0 && fpp < 1, "sane sizing")
+    // Fail fast on NULL keys — BEFORE any data lands: Encoders.scalaLong
+    // would NPE opaquely mid bloom build, and a null key can't be
+    // point-looked-up anyway, so it is a contract violation worth a
+    // clear message while the sink is still untouched.
+    require(df.filter(col(keyCol).isNull).limit(1).count() == 0,
+      s"writeBloomIndexed: NULL in key column '$keyCol' — bloom point " +
+        "lookup needs non-null keys; filter or impute them first")
     df.withColumn("shard", Sampling.hashBucket(shardBy, nShards))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
     import org.apache.spark.sql.Encoders

@@ -585,8 +585,16 @@ object Sampling {
     * ranks by per-range counts — same output, same contract. */
   def interleaveBySource(df: DataFrame, source: Column, key: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sources = df.select(source.cast("string").as("__s")).distinct()
-      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    val raw = df.select(source.cast("string").as("__s")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    // Fail fast on NULL sources: a null String would NPE inside .sorted
+    // (opaque) and give a NULL when-chain position (silent). A caller
+    // with nullable sources decides the stratum (coalesce to a sentinel)
+    // — this op won't invent one.
+    require(!raw.contains(null),
+      "interleaveBySource: NULL source value — coalesce sources to a " +
+        "sentinel stratum before interleaving")
+    val sources = raw.sorted
     require(sources.nonEmpty, "interleaveBySource: empty input")
     val idx = sources.zipWithIndex.tail.foldLeft(
       when(source === sources.head, lit(0L))) { case (acc, (s, i)) =>

@@ -118,14 +118,60 @@ object Upsert {
     lines.filter(_.nonEmpty)
   }
 
-  /** Publish the batch as snapshot latest+1: fresh rows (within-batch
-    * dedup + anti-join against the CURRENT snapshot) land in an
-    * immutable `batch-N` dir; the manifest lists every dir of the new
-    * version. Returns the published version. Idempotent in content: a
-    * replayed batch publishes a new version whose delta is EMPTY and
-    * whose read equals the previous version row-for-row. */
+  /** Claim version number `latest+1` by CREATE-EXCLUSIVE of a
+    * `v<N>.claim` marker (atomic on HDFS and local FS — the namenode/
+    * open(O_EXCL) arbitrates): the optimistic-concurrency step that
+    * stops two writers publishing the same version number. On
+    * collision the loser re-reads the latest version (published OR
+    * claimed) and claims the next slot — so two writers racing for v2
+    * publish v2 and v3, never v2 twice. A crashed claimant leaves an
+    * orphaned claim file; its version number is simply skipped
+    * (version numbers are dense only absent crashes — `latestVersion`
+    * counts published manifests, so readers never see the hole).
+    *
+    * CONTENT concurrency is still keep-existing-best-effort: a writer
+    * anti-joins against the latest snapshot PUBLISHED at claim time,
+    * so two truly concurrent writers can both append the same key
+    * (each unseen by the other) — the Delta/Iceberg conflict-check
+    * this lite sink deliberately omits. Version-number integrity and
+    * manifest atomicity hold regardless. */
+  private def claimVersion(spark: SparkSession, path: String): Int = {
+    val fs = fsFor(spark, path)
+    fs.mkdirs(snapDir(path))
+    var attempts = 0
+    while (attempts < 1000) {
+      val published = latestVersion(spark, path)
+      val claimed = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".claim") =>
+          n.stripPrefix("v").stripSuffix(".claim").toInt }
+        .foldLeft(0)(math.max)
+      val target = math.max(published, claimed) + 1
+      val marker = new org.apache.hadoop.fs.Path(snapDir(path), s"v$target.claim")
+      try {
+        // overwrite = false → atomic create-exclusive; throws if a
+        // concurrent writer won the race for this version number.
+        fs.create(marker, false).close()
+        return target
+      } catch {
+        case _: java.io.IOException => attempts += 1 // lost the race; retry
+      }
+    }
+    throw new IllegalStateException(
+      s"claimVersion: could not claim a snapshot version at $path after " +
+        "1000 attempts — writer storm or a filesystem refusing exclusive create")
+  }
+
+  /** Publish the batch as snapshot latest+1 (version number claimed via
+    * [[claimVersion]] — two writers can never publish the same
+    * version): fresh rows (within-batch dedup + anti-join against the
+    * CURRENT snapshot) land in an immutable `batch-N` dir; the manifest
+    * lists every dir of the new version. Returns the published version.
+    * Idempotent in content: a replayed batch publishes a new version
+    * whose delta is EMPTY and whose read equals the previous version
+    * row-for-row. */
   def writeSnapshot(spark: SparkSession, path: String, batch: DataFrame,
                     keys: Seq[String], tieBreak: Seq[String]): Int = {
+    val target = claimVersion(spark, path)
     val cur = latestVersion(spark, path)
     val deduped = dedupOnKey(batch, keys, tieBreak)
     val fresh =
@@ -133,11 +179,11 @@ object Upsert {
       else deduped.join(
         readSnapshot(spark, path, cur).select(keys.map(col): _*).distinct(),
         keys, "left_anti")
-    val dirName = s"batch-${cur + 1}"
+    val dirName = s"batch-$target"
     fresh.write.mode("overwrite").parquet(s"$path/$dirName")
-    publishManifest(spark, path, cur + 1,
+    publishManifest(spark, path, target,
       (if (cur == 0) Seq.empty else manifestDirs(spark, path, cur)) :+ dirName)
-    cur + 1
+    target
   }
 
   private def publishManifest(spark: SparkSession, path: String,
@@ -148,8 +194,25 @@ object Upsert {
       s"v$version.list.tmp")
     val out = fs.create(tmp, true)
     try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
-    fs.rename(tmp,
+    // rename is the atomic-publish step; a false return (destination
+    // exists, permission lost, or an object store whose "rename" is a
+    // non-atomic copy that failed) would otherwise let writeSnapshot
+    // report a version whose manifest never appeared — readers of that
+    // version would then fail despite a "successful" write. Throw
+    // instead: the tmp file and batch dir are orphans the next
+    // successful publish ignores. (On object stores without atomic
+    // rename — S3 — front this sink with an HDFS/consistent-rename
+    // layer or swap publishManifest for a conditional PUT.)
+    val ok = fs.rename(tmp,
       new org.apache.hadoop.fs.Path(snapDir(path), s"v$version.list"))
+    if (!ok) throw new java.io.IOException(
+      s"publishManifest: atomic rename to v$version.list failed at $path — " +
+        "snapshot NOT published (manifest tmp left for inspection)")
+    // The claim marker has served its purpose once the manifest exists;
+    // best-effort cleanup (an orphaned marker is harmless — claimVersion
+    // skips past it).
+    fs.delete(new org.apache.hadoop.fs.Path(snapDir(path),
+      s"v$version.claim"), false)
   }
 
   /** Compact the current version's batch-dir chain into ONE dir and
@@ -161,11 +224,14 @@ object Upsert {
   def compactSnapshots(spark: SparkSession, path: String): Int = {
     val cur = latestVersion(spark, path)
     require(cur >= 1, "nothing to compact: no published snapshot")
-    val dirName = s"compact-${cur + 1}"
+    // Same claim discipline as writeSnapshot: a compactor racing a
+    // writer must not reuse the writer's version number.
+    val target = claimVersion(spark, path)
+    val dirName = s"compact-$target"
     readSnapshot(spark, path, cur)
       .write.mode("overwrite").parquet(s"$path/$dirName")
-    publishManifest(spark, path, cur + 1, Seq(dirName))
-    cur + 1
+    publishManifest(spark, path, target, Seq(dirName))
+    target
   }
 
   /** Time travel: version N exactly as published, whatever has been

@@ -2854,13 +2854,14 @@ class ExtSpec extends SparkSpec {
       (1L, "x y z a b c"),
       (2L, "x y z a b c")) ++
       (3 to 6).map(i => (i.toLong, s"x y z u$i"))).toDF("doc_id", "text")
-    val uncapped = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5)
+    val uncapped = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5,
+        maxShingleDf = Int.MaxValue)
       .orderBy("a", "b").as[(Long, Long, Long, Double)].collect().toSeq
-    // A generous cap (nothing reaches it) must be output-identical.
-    val generous = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5,
-        maxShingleDf = 100)
+    // The DEFAULT is a generous cap (r14 flip) — nothing reaches it
+    // here, so it must be output-identical to the exact form.
+    val generous = Dedup.containmentPairs(docs, "doc_id", "text", 3, 0.5)
       .orderBy("a", "b").as[(Long, Long, Long, Double)].collect().toSeq
-    assert(generous == uncapped, "cap above every df is the identity")
+    assert(generous == uncapped, "default cap above every df is the identity")
     // Cap 3 drops the df-6 boilerplate shingle from both sides: docs
     // 1-2 still surface on their 3 remaining shared shingles with the
     // FULL 4-shingle denominator; the boilerplate-only pairs vanish.
@@ -3127,6 +3128,41 @@ class ExtSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // every K4 node sits in 3 of the 4 triangles; chain nodes in none
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+    // Canonicalization is the op's job (r14 ADVICE): BOTH edge
+    // directions + self-loops in the input must not inflate counts.
+    val messy = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .union(Seq((1L, 1L)).toDF("a", "b"))
+    val got2 = Dedup.pairTriangles(messy, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got, s"direction-doubled input inflated counts: $got2")
+  }
+
+  test("longestRepeatedSubstring: suffix-automaton LRS exact vs brute force") {
+    assert(Dedup.lrsLength("") == 0)
+    assert(Dedup.lrsLength("a") == 0)
+    assert(Dedup.lrsLength("aa") == 1)
+    assert(Dedup.lrsLength("abab") == 2)
+    assert(Dedup.lrsLength("aaaa") == 3, "overlapping occurrences count")
+    assert(Dedup.lrsLength("banana") == 3, "'ana' overlaps itself")
+    assert(Dedup.lrsLength("abcdefg") == 0)
+    // Exactness against brute force on random small-alphabet strings
+    // (small alphabets maximize repeats and clone churn in the SAM).
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 25) {
+      val s = (0 until rnd.nextInt(50)).map(_ => "abc"(rnd.nextInt(3))).mkString
+      val brute = (1 to s.length).reverse.find { l =>
+        (0 to s.length - l).map(i => s.substring(i, i + l))
+          .groupBy(identity).exists(_._2.size >= 2)
+      }.getOrElse(0)
+      assert(Dedup.lrsLength(s) == brute, s"SAM vs brute diverged on '$s'")
+    }
+    // Dataset op: lowercases, null-safe, map-only
+    val df = Seq((1L, "XyXy tail"), (2L, "one off"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val got = Dedup.longestRepeatedSubstring(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == 2, "'xyxy' after lowering repeats 'xy'")
+    assert(got(3L) == 0, "null text reads as empty")
   }
 
   test("pairCentrality: symmetric path graph, mass conserved, hub wins, empty graph empty") {

@@ -364,14 +364,60 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
-  test("q_excise default containment plan unchanged: no df window unless capped") {
-    // The maxShingleDf default must compile to the uncapped plan —
-    // cap-off has exactly two Window nodes' worth of work: |A| per doc
-    // on the left; capped adds a df window per side.
-    val off = executedPlan("q_containment_pairs")
-    val on = executedPlan("q_containment_capped")
+  test("q_domain_cap: PSL rule joins all broadcast, one corpus scan, one shuffle") {
+    // The r13→r14 quiet-bench wobble on this query (0.74–1.19 s across
+    // runs of IDENTICAL code; url_normalize/domain_block wobble in the
+    // same runs) is host variance, not a plan change — this pin makes
+    // any REAL regression (a rule join falling to sort-merge, a second
+    // corpus scan, an extra shuffle) fail loudly instead of reading as
+    // noise. Shape: map-only URL parse → per-width broadcast rule
+    // joins → ONE hash shuffle for the per-domain sample window.
+    val plan = executedPlan("q_domain_cap")
+    assert(!plan.contains("SortMergeJoin"),
+      s"PSL rule tables must broadcast:\n$plan")
+    assert(countScans(plan) == 1, s"one corpus scan:\n$plan")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles <= 1,
+      s"expected at most the window's shuffle, got $shuffles:\n$plan")
+  }
+
+  test("q_tpch_q9: selective part dim broadcasts ahead of the orders shuffle") {
+    val plan = executedPlan("q_tpch_q9")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"part/supplier/nation must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    // lineitem, part, supplier, orders, nation = 5 scans, one each.
+    assert(countScans(plan) == 5, s"each table scanned once:\n$plan")
+  }
+
+  test("q_tpch_q21: exists/not-exists compile to semi/anti joins, never per-row subqueries") {
+    val plan = executedPlan("q_tpch_q21")
+    assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"no quadratic fallback:\n$plan")
+  }
+
+  test("containment: df-cap is the DEFAULT shape; explicit uncap compiles window-free") {
+    // The r14 flip: the generous df-cap is ON by default, so the
+    // default-shape query carries the same df windows as the tight-cap
+    // query — the safe-at-100-TB plan is what ships. The exact form is
+    // opt-in (maxShingleDf = Int.MaxValue) and must still compile back
+    // to the window-free plan (no df window, only the |A| window).
     def windows(p: String) = "Window".r.findAllIn(p).size
-    assert(windows(on) > windows(off),
-      s"cap must add df windows: off=${windows(off)} on=${windows(on)}")
+    val deflt = executedPlan("q_containment_pairs")
+    val tight = executedPlan("q_containment_capped")
+    assert(windows(deflt) == windows(tight),
+      s"default must carry the cap's df windows: default=${windows(deflt)} " +
+        s"tight=${windows(tight)}")
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+    val uncapped = graft.ext.Dedup.containmentPairs(docs, "doc_id", "text",
+      3, 0.6, maxShingleDf = Int.MaxValue)
+    uncapped.collect()
+    val off = uncapped.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(windows(off) < windows(deflt),
+      s"explicit uncap must drop the df windows: off=${windows(off)} " +
+        s"default=${windows(deflt)}")
   }
 }

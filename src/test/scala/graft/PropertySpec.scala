@@ -400,6 +400,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE encode/decode: lossless round-trip over random multi-script strings") {
+    import graft.ext.Bpe
+    // Pool spans every pre-token class: lower/upper/digit runs,
+    // whitespace runs (incl. tabs/newlines), ASCII punctuation,
+    // non-ASCII (CJK with byte merges, accented, currency, a
+    // surrogate-pair emoji), and merge-prone English fragments.
+    val pool: IndexedSeq[String] =
+      (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).map(_.toString) ++
+        Seq(" ", "  ", "\n", "\t", ".", ",", "!", "?", "-",
+          "数", "据", "数据", "é", "ü", "€", "😀",
+          "the ", "and ", "tion", "Then THE")
+    trials(8) { rnd =>
+      val s = (0 until rnd.nextInt(80))
+        .map(_ => pool(rnd.nextInt(pool.size))).mkString
+      val ids = Bpe.encodeIds(s)
+      assert(Bpe.decodeIds(ids.toIndexedSeq) == s,
+        s"round-trip failed on: ${s.take(60)}")
+      assert(ids.forall(i => i >= 0 && i < 256 + Bpe.ByteMerges.size),
+        "ids stay inside the induced vocabulary range")
+    }
+    // Merges really fire: 'the' is ONE token (t+h, th+e), and the CJK
+    // byte chain reassembles 数据 to one token — then decodes exactly.
+    assert(Bpe.encodeIds("the").length == 1)
+    assert(Bpe.encodeIds("数据").length == 1)
+    assert(Bpe.decodeIds(Bpe.encodeIds("The Quick  brown\nfox 数据 é!").toIndexedSeq)
+      == "The Quick  brown\nfox 数据 é!")
+    // An id outside the table refuses loudly, not garbage output.
+    intercept[IllegalArgumentException] { Bpe.decodeIds(Seq(9999)) }
+  }
+
+  test("encodeTokens: the dataset op measures its own round-trip") {
+    import graft.ext.Bpe
+    val df = Seq((1L, "The QUICK  brown\nfox 数据 é!"), (2L, ""),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Bpe.encodeTokens(df, "doc_id", "text").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Boolean]("roundtrip_ok")),
+      "every row must decode back to its input (null reads as empty)")
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getAs[Int]("n_tokens") == r1.getAs[Seq[Int]]("token_ids").size)
+    assert(out.find(_.getLong(0) == 2L).get.getAs[Int]("n_tokens") == 0)
+  }
+
   test("temperatureBudgets: exact apportionment, α endpoints, supply monotonicity") {
     trials(3) { rnd =>
       val srcs = Seq("a", "b", "c", "d")

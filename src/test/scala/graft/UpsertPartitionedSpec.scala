@@ -68,6 +68,31 @@ class UpsertPartitionedSpec extends SparkSpec {
     }
   }
 
+  test("snapshot claims: a rival's claim forces the next version — never a double publish") {
+    val path = java.nio.file.Files.createTempDirectory("snapr").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // A rival writer holds the v2 claim (and may crash before
+    // publishing) — simulated by creating the marker directly.
+    val claim = new java.io.File(path + "/_snapshots", "v2.claim")
+    assert(claim.createNewFile(), "precondition: rival claims v2")
+    // This writer must NOT reuse v2: it claims past the marker and
+    // publishes v3, anti-joined against the latest PUBLISHED version.
+    assert(Upsert.writeSnapshot(spark, path,
+      Seq((2L, "b")).toDF("id", "v"), Seq("id"), Seq("id")) == 3)
+    assert(Upsert.readSnapshot(spark, path, 3).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    // latestVersion counts PUBLISHED manifests only — the orphaned v2
+    // claim is a skipped number, not a readable hole.
+    assert(Upsert.latestVersion(spark, path) == 3)
+    intercept[IllegalArgumentException] { Upsert.readSnapshot(spark, path, 2) }
+    // Published versions' claim markers are cleaned up; only the
+    // rival's orphan survives.
+    val claims = new java.io.File(path, "_snapshots").listFiles()
+      .map(_.getName).filter(_.endsWith(".claim"))
+    assert(claims.toSeq == Seq("v2.claim"), claims.toSeq)
+  }
+
   test("snapshot compaction: read identical, history intact, chain continues on top") {
     val path = java.nio.file.Files.createTempDirectory("snapc").toString
     Upsert.writeSnapshot(spark, path,

@@ -30,17 +30,19 @@ for name, sql in sorted(oracle.items()):
         if len(exp) != len(got):
             fails.append((name, f"rows {len(got)} != {len(exp)}"))
             continue
-        # Array columns (numpy arrays from DuckDB, lists from parquet) are
-        # unsortable/unhashable in pandas — canonicalize to their Python-list
-        # string form first. Doubles stringify identically iff bit-identical,
-        # which is exactly the contract being checked.
-        for c in exp.columns:
-            for df in (exp, got):
-                if df[c].map(lambda v: hasattr(v, "__len__")
-                             and not isinstance(v, str)).any():
-                    df[c] = df[c].map(lambda v: str(list(v))
-                                      if hasattr(v, "__len__")
-                                      and not isinstance(v, str) else str(v))
+        # The DRIVER harness sorts all result columns with pandas and
+        # crashes on array cells (unhashable numpy.ndarray) — so a
+        # non-scalar output column is a FAILURE here too, not something
+        # to paper over. Queries must explode/stringify vectors at the
+        # boundary (r13 lesson: q_embed_rp/q_embed_center shipped red
+        # because an earlier version of this script canonicalized).
+        nonscalar = sorted({c for df in (exp, got) for c in df.columns
+                            if df[c].map(lambda v: hasattr(v, "__len__")
+                                         and not isinstance(v, (str, bytes))).any()})
+        if nonscalar:
+            fails.append((name, f"non-scalar output columns {nonscalar} "
+                          "(driver harness would crash; explode or stringify)"))
+            continue
         exp = exp.sort_values(by=list(exp.columns), ignore_index=True)
         got = got.sort_values(by=list(got.columns), ignore_index=True)
         bad = None
