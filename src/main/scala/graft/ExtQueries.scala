@@ -302,6 +302,112 @@ object ExtQueries {
         .limit(100)
     }),
 
+    "q_tpch_q4" -> ((s, dir) => {
+      // TPC-H Q4 (order-priority checking) ADAPTED: no commit/receipt
+      // dates in the testdata, so "late" = a lineitem shipped more
+      // than 90 days after the order date (the Q21 convention). The
+      // EXISTS compiles to a LEFT SEMI join on l_orderkey whose extra
+      // non-equi term references o_orderdate — never a per-order
+      // subquery. The quarter filter prunes orders BEFORE the semi
+      // shuffle; lineitem ships only (l_orderkey, l_shipdate).
+      val ord = read(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01").cast("date") &&
+          col("o_orderdate") < lit("1996-10-01").cast("date"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = read(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_tpch_q6" -> ((s, dir) => {
+      // TPC-H Q6 (forecast revenue change): pure scan bandwidth —
+      // every predicate and the 4-column projection reach the parquet
+      // scan (PushedFilters + ReadSchema), one partial agg, one
+      // single-row exchange. The at-scale story is ONLY pruning; a
+      // plan that read all 16 lineitem columns for this would be the
+      // bug, and the PlanShapeSpec pin would catch it.
+      read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+          col("l_shipdate") < lit("1997-01-01").cast("date") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(dsumProd(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))
+    }),
+
+    "q_tpch_q13" -> ((s, dir) => {
+      // TPC-H Q13 (customer order-count distribution) ADAPTED: the
+      // reference excludes "special request" comments; there is no
+      // comment column, so the excluded class is URGENT orders. LEFT
+      // OUTER keeps zero-order customers — the c_count = 0 bucket IS
+      // the point of Q13 — and the priority term sits in the JOIN
+      // condition (a post-filter would silently fake an inner join).
+      // Two aggs: per-customer count, then count-of-counts; both are
+      // map-side combinable and the second input is ≤ |customers|.
+      val cust = read(s, dir, "customer").select("c_custkey")
+      val ord = read(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q_tpch_q17" -> ((s, dir) => {
+      // TPC-H Q17 (small-quantity-order revenue) ADAPTED: brand-only
+      // filter (no container column, and brand+size is empty at
+      // sf0.001). The correlated per-part avg subquery is DECORRELATED
+      // into ONE window over the brand-filtered slice — broadcast the
+      // tiny part dim, one hash shuffle on l_partkey, never a per-part
+      // subquery or a second lineitem scan. The threshold l_quantity <
+      // 0.2·avg(qty) is rewritten 5·qty·cnt < sum(qty): division-free
+      // and decimal-exact, so both engines compare identical values.
+      val part = read(s, dir, "part")
+        .filter(col("p_brand") === "Brand#23").select("p_partkey")
+      val li = read(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val w = Window.partitionBy(col("l_partkey"))
+      val q = col("l_quantity").cast(DecimalType(12, 2))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .withColumn("__sq", sum(q).over(w))
+        .withColumn("__ct", count(lit(1)).over(w))
+        .filter(q * lit(5) * col("__ct") < col("__sq"))
+        .agg((dsum2(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+    }),
+
+    "q_tpch_q22" -> ((s, dir) => {
+      // TPC-H Q22 (global sales opportunity) ADAPTED: no phone column,
+      // so the country code is c_nationkey over an odd-key set; and
+      // "never places orders" is vacuous in the synthetic data (every
+      // customer orders), so the anti-join target is HIGH-VALUE orders
+      // (> 450k — ~10% of orders, leaving ~35% of customers without
+      // one). Shape preserved exactly: scalar avg threshold as a
+      // broadcast single-row cross join with the division-free
+      // acctbal·n > sum compare, then LEFT ANTI, then the final group.
+      // The anti side ships only o_custkey after its selective filter.
+      val sel = read(s, dir, "customer")
+        .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+      val bal = col("c_acctbal").cast(DecimalType(12, 2))
+      val thresh = sel.filter(col("c_acctbal") > 0)
+        .agg(sum(bal).as("__s"), count(lit(1)).as("__n"))
+      val bigOrders = read(s, dir, "orders")
+        .filter(col("o_totalprice") > 450000.0).select("o_custkey")
+      sel.crossJoin(broadcast(thresh))
+        .filter(bal * col("__n") > col("__s"))
+        .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(bal).cast(DoubleType).as("totacctbal"))
+        .orderBy("cntrycode")
+    }),
+
     "q_rolling_mean" -> ((s, dir) => {
       // Frame window: trailing 7-row mean per event type — the rolling
       // analytic beyond the reference's lag-1. (event_id breaks ts ties
@@ -1755,6 +1861,18 @@ object ExtQueries {
           element_at(col("token_ids"), 4).as("t3"),
           col("roundtrip_ok"))
         .orderBy("doc_id")
+    }),
+
+    "q_token_compression" -> ((s, dir) => {
+      // Bytes-per-token by source — the tokenizer-fit metric a training
+      // pipeline reports per corpus slice (where the vocabulary's
+      // merges were learned shows up as a lower ratio). Lossless
+      // encoder over a 120-char prefix (bounds the DuckDB replay);
+      // ratio over exact integer sums, never avg-of-ratios.
+      val docs2 = read(s, dir, "documents").select(col("source"),
+        substring(col("text"), 1, 120).as("itext"))
+      Bpe.tokenCompression(docs2, "source", "itext")
+        .orderBy("source")
     }),
 
     "q_url_normalize" -> ((s, dir) => {
@@ -4673,6 +4791,56 @@ object ExtQueries {
             FROM ids GROUP BY doc_id) t USING (doc_id)
           ORDER BY d.doc_id""",
 
+    // Same recursive-merge segmentation as q_token_roundtrip (wpos keeps
+    // duplicate words distinct), summed per doc then per source; bytes
+    // via octet_length of the UTF-8 prefix; ratio over exact integer
+    // sums on both engines.
+    "q_token_compression" ->
+      s"""WITH RECURSIVE merges(pair, rank) AS (VALUES $BpeByteMergeValues),
+          docs2 AS (
+            SELECT doc_id, source, substr(text, 1, 120) AS itext
+            FROM documents),
+          words AS (
+            SELECT doc_id, gs.i AS wpos, ws[gs.i] AS word
+            FROM (SELECT doc_id,
+                regexp_extract_all(itext, '${Bpe.EncodePattern}') AS ws
+              FROM docs2) w,
+              LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) gs),
+          seg(doc_id, wpos, toks, done) AS (
+            SELECT doc_id, wpos,
+              CASE WHEN regexp_matches(word, '[^\\x00-\\x7f]')
+                THEN list_transform(
+                  range(1, len(hex(encode(word))) // 2 + 1),
+                  i -> '<0x' || substr(hex(encode(word)), 2*i - 1, 2) || '>')
+                ELSE string_split(word, '') END,
+              false
+            FROM words
+            UNION ALL
+            SELECT s.doc_id, s.wpos,
+              CASE WHEN b.bi IS NULL THEN s.toks
+                   ELSE list_concat(list_concat(
+                     s.toks[1:b.bi-1], [s.toks[b.bi] || s.toks[b.bi+1]]),
+                     s.toks[b.bi+2:len(s.toks)]) END,
+              b.bi IS NULL
+            FROM seg s LEFT JOIN LATERAL (
+              SELECT gs.i AS bi
+              FROM (SELECT unnest(range(1, len(s.toks))) AS i) gs
+              JOIN merges m ON m.pair = s.toks[gs.i] || ' ' || s.toks[gs.i+1]
+              ORDER BY m.rank, gs.i LIMIT 1
+            ) b ON true
+            WHERE NOT s.done),
+          cnt AS (SELECT doc_id, SUM(len(toks)) AS n
+            FROM seg WHERE done GROUP BY doc_id)
+          SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(SUM(COALESCE(octet_length(encode(d.itext)), 0)) AS BIGINT)
+              AS total_bytes,
+            CAST(SUM(COALESCE(cnt.n, 0)) AS BIGINT) AS total_tokens,
+            ROUND(
+              CAST(SUM(COALESCE(octet_length(encode(d.itext)), 0)) AS DOUBLE)
+              / CAST(SUM(COALESCE(cnt.n, 0)) AS DOUBLE), 6) AS bytes_per_token
+          FROM docs2 d LEFT JOIN cnt USING (doc_id)
+          GROUP BY d.source ORDER BY d.source""",
+
     "q_url_normalize" ->
       s"""$UrlDomainSqlChain
           SELECT doc_id, url, host, domain FROM dom ORDER BY doc_id""",
@@ -4845,6 +5013,69 @@ object ExtQueries {
                AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
          GROUP BY s_name
          ORDER BY numwait DESC, s_name LIMIT 100""",
+
+    // Q4 adapted: late = shipped >90d after order date (Q21's rule).
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders
+         WHERE o_orderdate >= DATE '1996-07-01'
+           AND o_orderdate < DATE '1996-10-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+             WHERE l_orderkey = o_orderkey
+               AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+
+    // Q13 adapted: excluded class = URGENT orders (no comment column).
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT OUTER JOIN orders
+             ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+           GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
+    // Q17 adapted: brand-only filter; threshold replayed DIVISION-FREE
+    // (qty·5·cnt < sum(qty)) via the same window decorrelation, so the
+    // compare is decimal-exact on both engines.
+    "q_tpch_q17" ->
+      """WITH f AS (
+           SELECT l_partkey, l_quantity, l_extendedprice
+           FROM lineitem JOIN part ON p_partkey = l_partkey
+           WHERE p_brand = 'Brand#23'),
+         w AS (
+           SELECT l_extendedprice,
+             CAST(l_quantity AS DECIMAL(12,2)) AS q,
+             SUM(CAST(l_quantity AS DECIMAL(12,2)))
+               OVER (PARTITION BY l_partkey) AS sq,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS ct
+           FROM f)
+         SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0 AS avg_yearly
+         FROM w WHERE q * 5 * ct < sq""",
+
+    // Q22 adapted: cntrycode = c_nationkey (odd keys), anti target =
+    // orders > 450k; threshold compare division-free (bal·n > sum).
+    "q_tpch_q22" ->
+      """WITH sel AS (
+           SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+           WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+         t AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s,
+             COUNT(*) AS n FROM sel WHERE c_acctbal > 0)
+         SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+         FROM sel, t
+         WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n > s
+           AND NOT EXISTS (SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+         GROUP BY 1 ORDER BY 1""",
 
     "q_rolling_mean" ->
       """SELECT event_id, event_type,

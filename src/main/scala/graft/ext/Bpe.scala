@@ -480,4 +480,41 @@ object Bpe {
       }
       .toDF(docKey, "n_tokens", "token_ids", "roundtrip_ok")
   }
+
+  /** BYTES-PER-TOKEN compression by group — the tokenizer-fit metric a
+    * training pipeline reports per source/language (a vocabulary that
+    * compresses English at 4 bytes/token and code at 1.5 is telling you
+    * where its merges were learned). Uses the LOSSLESS encoder (
+    * [[EncodePattern]] + byte fallback), so whitespace and case count —
+    * the count ops' lowercased/whitespace-free totals would flatter the
+    * ratio. Map-only encode, then ONE tiny agg shuffle keyed by the
+    * group column (partial agg upstream: the shuffle carries one row
+    * per (partition, group)). Ratio = total_bytes / total_tokens over
+    * exact integer sums — NOT avg-of-per-doc-ratios, which would weight
+    * short docs equally with long ones. */
+  def tokenCompression(df: DataFrame, groupCol: String, textCol: String,
+                       merges: Seq[(String, String)] = ByteMerges): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+    val vocab = vocabOf(merges)
+    df.select(col(groupCol).cast("string"), col(textCol))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val pre = java.util.regex.Pattern.compile(EncodePattern)
+        it.map { case (g, text) =>
+          val t = if (text == null) "" else text
+          (g, t.getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong,
+            encodeIdsWith(t, pre, rank, vocab).length.toLong)
+        }
+      }
+      .toDF(groupCol, "__bytes", "__tokens")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__bytes")).as("total_bytes"),
+        sum(col("__tokens")).as("total_tokens"))
+      .withColumn("bytes_per_token",
+        round(col("total_bytes").cast("double") /
+          col("total_tokens").cast("double"), 6))
+  }
 }

@@ -235,9 +235,17 @@ object Upsert {
   }
 
   /** Time travel: version N exactly as published, whatever has been
-    * written since — a union read of its manifest's immutable dirs. */
+    * written since — a union read of its manifest's immutable dirs.
+    * mergeSchema makes the read ADDITIVELY SCHEMA-EVOLVED: a later
+    * batch may carry new columns, and earlier dirs surface NULL there
+    * (without it, parquet union reads take ONE footer's schema and
+    * silently drop the new columns for every row). Cost: one footer
+    * read per file at planning — bounded by the batch-dir chain length,
+    * which [[compactSnapshots]] keeps short. Renames/drops/retypes are
+    * NOT supported (no column-id mapping in this format-lite sink —
+    * the documented line short of Delta/Iceberg). */
   def readSnapshot(spark: SparkSession, path: String, version: Int): DataFrame =
-    spark.read.parquet(
+    spark.read.option("mergeSchema", "true").parquet(
       manifestDirs(spark, path, version).map(d => s"$path/$d"): _*)
 
   /** EXPLICITLY DESTRUCTIVE retention: drop every snapshot manifest
@@ -284,6 +292,7 @@ object Upsert {
                else manifestDirs(spark, path, from).toSet
     val dirs = manifestDirs(spark, path, to).filterNot(base)
     if (dirs.isEmpty) readSnapshot(spark, path, to).limit(0)
-    else spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => s"$path/$d"): _*)
   }
 }

@@ -390,6 +390,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(countScans(plan) == 5, s"each table scanned once:\n$plan")
   }
 
+  test("q_tpch_q4: EXISTS is a semi join; quarter filter pushed to the orders scan") {
+    val plan = executedPlan("q_tpch_q4")
+    assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(countScans(plan) == 2, s"orders + lineitem, once each:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), " +
+      "GreaterThanOrEqual(o_orderdate"),
+      s"quarter filter must reach the orders scan:\n$plan")
+  }
+
+  test("q_tpch_q6: every predicate and the narrow projection reach the scan") {
+    val plan = executedPlan("q_tpch_q6")
+    assert(countScans(plan) == 1 && !plan.contains("Join"),
+      s"single-scan aggregate:\n$plan")
+    // PushedFilters renders truncated ("GreaterThanOrEqual(l_shipda...")
+    // so assert the pushdown on its stable prefix and the residual
+    // Filter node via regex (expr ids vary run to run).
+    assert(plan.contains("GreaterThanOrEqual(l_shipda"),
+      s"shipdate range must reach PushedFilters:\n$plan")
+    assert("l_quantity#\\d+ < 24\\.0".r.findFirstIn(plan).isDefined,
+      s"quantity predicate must be in the scan's Filter:\n$plan")
+    // ReadSchema must carry ONLY the 4 referenced columns.
+    val schema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .forall(schema.contains) && !schema.contains("l_orderkey"),
+      s"scan must prune to the 4 used columns: $schema")
+  }
+
+  test("q_tpch_q13: outer join preserved — the zero-order bucket is the point") {
+    val plan = executedPlan("q_tpch_q13")
+    assert(plan.contains("LeftOuter"),
+      s"priority term must stay IN the outer join, not demote it:\n$plan")
+    assert(countScans(plan) == 2, s"customer + orders, once each:\n$plan")
+  }
+
+  test("q_tpch_q17: correlated avg decorrelates to ONE window — no second lineitem scan") {
+    val plan = executedPlan("q_tpch_q17")
+    assert(countScans(plan) == 2, s"lineitem + part, once each:\n$plan")
+    assert(plan.contains("Window"), s"per-part stats via window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"filtered part dim must broadcast:\n$plan")
+  }
+
+  test("q_tpch_q22: scalar threshold broadcasts; NOT EXISTS is an anti join") {
+    val plan = executedPlan("q_tpch_q22")
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS must be an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row threshold must broadcast (BNLJ), never cartesian:\n$plan")
+  }
+
   test("q_tpch_q21: exists/not-exists compile to semi/anti joins, never per-row subqueries") {
     val plan = executedPlan("q_tpch_q21")
     assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")

@@ -93,6 +93,27 @@ class UpsertPartitionedSpec extends SparkSpec {
     assert(claims.toSeq == Seq("v2.claim"), claims.toSeq)
   }
 
+  test("snapshot schema evolution: a later batch's new column reads as NULL for old rows") {
+    val path = java.nio.file.Files.createTempDirectory("snape").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((2L, "b", 7.5)).toDF("id", "v", "w"), Seq("id"), Seq("id"))
+    val v2 = Upsert.readSnapshot(spark, path, 2)
+    assert(v2.columns.toSet == Set("id", "v", "w"),
+      "merged read must surface the evolved column")
+    val rows = v2.select("id", "v", "w").as[(Long, String, Option[Double])]
+      .collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(7.5))),
+      s"old rows read NULL in the new column: $rows")
+    // Time travel to v1 shows the schema AS PUBLISHED — no w column.
+    assert(Upsert.readSnapshot(spark, path, 1).columns.toSet == Set("id", "v"))
+    // The delta between v1 and v2 is exactly the evolved batch.
+    assert(Upsert.readSnapshotDelta(spark, path, 1, 2)
+      .select("id", "v", "w").as[(Long, String, Option[Double])]
+      .collect().toSet == Set((2L, "b", Some(7.5))))
+  }
+
   test("snapshot compaction: read identical, history intact, chain continues on top") {
     val path = java.nio.file.Files.createTempDirectory("snapc").toString
     Upsert.writeSnapshot(spark, path,
