@@ -554,6 +554,49 @@ object ExtQueries {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    "q_expectations" -> ((s, dir) => {
+      // Data contract over lineitem: the pre-publish gate every
+      // pipeline runs — null bounds, value ranges, domain membership,
+      // composite-key uniqueness. The WHOLE contract is one aggregate
+      // pass (partial aggs map-side, a one-row shuffle, plus one
+      // expand for the uniqueness countDistinct); the report is
+      // O(#rules) rows however big the table.
+      import graft.ops.Validate
+      Validate.expectationReport(read(s, dir, "lineitem"),
+          Seq(Validate.notNull("l_shipdate"),
+            Validate.inRange("l_quantity", 1, 50),
+            Validate.inRange("l_discount", 0, 0.1),
+            Validate.positive("l_extendedprice"),
+            Validate.inSet("l_returnflag", Seq("A", "N", "R"))),
+          uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber")))
+        .orderBy("rule")
+    }),
+
+    "q_ref_integrity" -> ((s, dir) => {
+      // Referential integrity across the star: orphan counts for the
+      // two fact→dim edges, each ONE anti join against the distinct
+      // parent keys (AQE broadcasts the small side) — never a
+      // driver-side key diff.
+      import graft.ops.Validate
+      Validate.refIntegrityReport(read(s, dir, "orders"), "o_custkey",
+          read(s, dir, "customer"), "c_custkey")
+        .unionByName(Validate.refIntegrityReport(
+          read(s, dir, "lineitem"), "l_orderkey",
+          read(s, dir, "orders"), "o_orderkey"))
+        .orderBy("rule")
+    }),
+
+    "q_profile" -> ((s, dir) => {
+      // Per-column dataset profile (rows/nulls/exact distinct/numeric
+      // min-max) in ONE aggregate pass over orders — the datasheet for
+      // arbitrary tables where corpusDatasheet is the documents-
+      // specific one. Non-numeric min/max stays NULL: cross-engine
+      // string/timestamp rendering is a minefield the range checks
+      // never need.
+      graft.ops.Validate.profile(read(s, dir, "orders"))
+        .orderBy("column")
+    }),
+
     "q_linear_trend" -> ((s, dir) => {
       // Per-symbol OLS drift: slope/intercept/r² of value against its
       // observation rank — exact decimal moments, one key shuffle (the
@@ -5303,6 +5346,99 @@ object ExtQueries {
             AND ca.l_linestatus = cb.l_linestatus)
          SELECT * FROM j WHERE status IS NOT NULL
          ORDER BY l_returnflag, l_linestatus""",
+
+    // Contract replay: same NULL-pred-is-violation semantics (CASE WHEN
+    // <pred> THEN 0 ELSE 1 — a NULL compare falls to ELSE on both
+    // engines); uniqueness counts only all-non-null key rows.
+    "q_expectations" ->
+      """SELECT rule, CAST(checked AS BIGINT) AS checked,
+           CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS pass
+         FROM (
+           SELECT 'not_null(l_shipdate)' AS rule, count(*) AS checked,
+             SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END)
+               AS violations FROM lineitem
+           UNION ALL
+           SELECT 'in_range(l_quantity)', count(*),
+             SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+               THEN 0 ELSE 1 END) FROM lineitem
+           UNION ALL
+           SELECT 'in_range(l_discount)', count(*),
+             SUM(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+               THEN 0 ELSE 1 END) FROM lineitem
+           UNION ALL
+           SELECT 'positive(l_extendedprice)', count(*),
+             SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+             FROM lineitem
+           UNION ALL
+           SELECT 'in_set(l_returnflag)', count(*),
+             SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END)
+             FROM lineitem
+           UNION ALL
+           SELECT 'unique(l_orderkey,l_linenumber)',
+             count(CASE WHEN l_orderkey IS NOT NULL
+               AND l_linenumber IS NOT NULL THEN 1 END),
+             count(CASE WHEN l_orderkey IS NOT NULL
+               AND l_linenumber IS NOT NULL THEN 1 END)
+               - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)
+         ORDER BY rule""",
+
+    "q_ref_integrity" ->
+      """SELECT rule, CAST(checked AS BIGINT) AS checked,
+           CAST(violations AS BIGINT) AS violations,
+           violations = 0 AS pass
+         FROM (
+           SELECT 'ref(o_custkey -> c_custkey)' AS rule,
+             count(*) AS checked,
+             SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS violations
+           FROM orders LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+             ON o_custkey = c_custkey
+           WHERE o_custkey IS NOT NULL
+           UNION ALL
+           SELECT 'ref(l_orderkey -> o_orderkey)', count(*),
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+           FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+             ON l_orderkey = o_orderkey
+           WHERE l_orderkey IS NOT NULL)
+         ORDER BY rule""",
+
+    // Per-column profile of orders; numeric min/max only (timestamps/
+    // strings stay NULL by design — see the op's doc).
+    "q_profile" ->
+      """SELECT "column", CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_distinct AS BIGINT) AS n_distinct, min_num, max_num
+         FROM (
+           SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+             SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+             CAST(max(o_orderkey) AS DOUBLE) AS max_num FROM orders
+           UNION ALL
+           SELECT 'o_custkey', count(*),
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_custkey),
+             CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+           FROM orders
+           UNION ALL
+           SELECT 'o_orderstatus', count(*),
+             SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderstatus), NULL, NULL FROM orders
+           UNION ALL
+           SELECT 'o_totalprice', count(*),
+             SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_totalprice),
+             CAST(min(o_totalprice) AS DOUBLE),
+             CAST(max(o_totalprice) AS DOUBLE) FROM orders
+           UNION ALL
+           SELECT 'o_orderdate', count(*),
+             SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderdate), NULL, NULL FROM orders
+           UNION ALL
+           SELECT 'o_orderpriority', count(*),
+             SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderpriority), NULL, NULL FROM orders)
+         ORDER BY "column"""",
 
     "q_linear_trend" ->
       """WITH r AS (SELECT event_type, value,

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, DoubleType}
+
+/** Data contracts — the expectation/validation layer every production
+  * pipeline runs before publishing a table (null bounds, value ranges,
+  * set membership, key uniqueness, referential integrity), expressed as
+  * Spark aggregates so the whole contract costs ONE pass.
+  *
+  * Scale shape: every row-level expectation folds into a single
+  * aggregate over the table (partial aggs map-side, a one-row shuffle);
+  * uniqueness rides the same aggregate as `count - count(distinct key)`
+  * (one expand per unique rule — bounded, and still one scan).
+  * Referential integrity is the only rule class needing a second table:
+  * a LEFT ANTI join counted, never a driver-side diff. Nothing here
+  * collects data rows; reports are O(#rules), not O(rows).
+  *
+  * The report row is (rule, checked, violations, pass) — identical
+  * whatever the partitioning, so contracts can gate a 100 TB publish
+  * from any cluster size. */
+object Validate {
+
+  /** A row-level expectation: `pred` must hold on every row. NULL
+    * predicate results count as VIOLATIONS (a rule that cannot evaluate
+    * did not pass — the conservative read; scope rules to non-null rows
+    * explicitly with `col.isNull || pred` when NULL is acceptable). */
+  final case class Expect(name: String, pred: Column)
+
+  /** Row-level expectation builders — thin, named wrappers so contract
+    * definitions read as a checklist. */
+  def notNull(c: String): Expect = Expect(s"not_null($c)", col(c).isNotNull)
+  def inRange(c: String, lo: Double, hi: Double): Expect =
+    Expect(s"in_range($c)", col(c) >= lo && col(c) <= hi)
+  def inSet(c: String, values: Seq[String]): Expect =
+    Expect(s"in_set($c)", col(c).isin(values: _*))
+  def positive(c: String): Expect = Expect(s"positive($c)", col(c) > 0)
+  def matches(c: String, regex: String): Expect =
+    Expect(s"matches($c)", col(c).rlike(regex))
+
+  /** Evaluate row expectations + key-uniqueness rules in ONE aggregate
+    * pass. Output: (rule, checked, violations, pass) — one row per rule.
+    *
+    * Uniqueness semantics: violations = rows beyond the first per key =
+    * `count(key cols all non-null) - count(distinct key)`; rows with any
+    * NULL key column are excluded from both sides (NULL keys are a
+    * not_null rule's job, not a uniqueness artifact). */
+  def expectationReport(df: DataFrame, expects: Seq[Expect],
+                        uniqueKeys: Seq[Seq[String]] = Nil): DataFrame = {
+    require(expects.nonEmpty || uniqueKeys.nonEmpty, "no rules given")
+    val rowAggs = expects.flatMap { e =>
+      Seq(count(lit(1)).as(s"__c_${e.name}"),
+        // NULL pred -> violation: coalesce the "passed" flag to false.
+        sum(when(coalesce(e.pred, lit(false)), 0L).otherwise(1L))
+          .as(s"__v_${e.name}"))
+    }
+    val uniqAggs = uniqueKeys.flatMap { keys =>
+      val name = s"unique(${keys.mkString(",")})"
+      val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+      Seq(count(when(nonNull, 1)).as(s"__c_$name"),
+        (count(when(nonNull, 1)) -
+          countDistinct(keys.head, keys.tail: _*)).as(s"__v_$name"))
+    }
+    val aggs = rowAggs ++ uniqAggs
+    val names = expects.map(_.name) ++
+      uniqueKeys.map(k => s"unique(${k.mkString(",")})")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // Pivot the single row to one row per rule — plan-side (explode of
+    // a struct array), no collect.
+    one.select(explode(array(names.map(n => struct(
+        lit(n).as("rule"),
+        col(s"__c_$n").cast("long").as("checked"),
+        col(s"__v_$n").cast("long").as("violations"))): _*)).as("r"))
+      .select(col("r.rule"), col("r.checked"), col("r.violations"),
+        (col("r.violations") === 0L).as("pass"))
+  }
+
+  /** Referential integrity: every non-null `fk` in `child` must exist
+    * in `parent.pk`. violations = orphan child ROWS (counted per row,
+    * not per distinct key — the number a cleanup job must touch).
+    * One anti join on the key; the parent side ships only its distinct
+    * pk (AQE broadcasts it when small). */
+  def refIntegrityReport(child: DataFrame, fk: String,
+                         parent: DataFrame, pk: String): DataFrame = {
+    val orphans = child.filter(col(fk).isNotNull)
+      .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+    val checked = child.filter(col(fk).isNotNull).agg(count(lit(1)).as("checked"))
+    checked.crossJoin(broadcast(orphans))
+      .select(lit(s"ref($fk -> $pk)").as("rule"),
+        col("checked").cast("long").as("checked"),
+        col("violations").cast("long").as("violations"),
+        (col("violations") === 0L).as("pass"))
+  }
+
+  /** Per-column profile in ONE aggregate pass: rows, null count, exact
+    * distinct count, numeric min/max (NULL for non-numeric columns —
+    * cross-engine min/max of strings/timestamps is a rendering
+    * minefield; the numeric ones are what range checks read anyway).
+    * Output: (column, n_rows, n_nulls, n_distinct, min_num, max_num).
+    * Exact distinct = one expand per column in the same scan; for
+    * quick-look profiling at extreme widths swap in approx_count_
+    * distinct — exactness here is what lets the oracle pin it. */
+  def profile(df: DataFrame, columns: Seq[String] = Nil): DataFrame = {
+    val cols = if (columns.nonEmpty) columns else df.columns.toSeq
+    require(cols.nonEmpty, "no columns to profile")
+    val numeric = df.schema.fields
+      .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSet
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__r_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+        countDistinct(col(c)).as(s"__d_$c"),
+        (if (numeric(c)) min(col(c)).cast(DoubleType) else lit(null).cast(DoubleType))
+          .as(s"__lo_$c"),
+        (if (numeric(c)) max(col(c)).cast(DoubleType) else lit(null).cast(DoubleType))
+          .as(s"__hi_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+          lit(c).as("column"),
+          col(s"__r_$c").cast("long").as("n_rows"),
+          col(s"__n_$c").cast("long").as("n_nulls"),
+          col(s"__d_$c").cast("long").as("n_distinct"),
+          col(s"__lo_$c").as("min_num"),
+          col(s"__hi_$c").as("max_num"))): _*)).as("p"))
+      .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct",
+        "p.min_num", "p.max_num")
+  }
+}

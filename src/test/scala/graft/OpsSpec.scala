@@ -852,4 +852,56 @@ class OpsSpec extends SparkSpec {
       ("2024-01-01", 2, 1L),   // user 1 returned two days later
       ("2024-01-02", 0, 1L)))  // user 3's own cohort
   }
+
+  test("expectationReport: NULL pred is a violation; uniqueness skips NULL keys; one scan") {
+    import graft.ops.Validate
+    val df = Seq(
+      (Some(1L), Some("a"), Some(5.0)),
+      (Some(1L), Some("a"), Some(500.0)),   // dup key; out of range
+      (Some(2L), None, None),               // NULL name + NULL score
+      (None, Some("c"), Some(7.0))          // NULL key: excluded from unique
+    ).toDF("id", "name", "score")
+    val got = Validate.expectationReport(df,
+        Seq(Validate.notNull("name"), Validate.inRange("score", 0, 100)),
+        uniqueKeys = Seq(Seq("id", "name")))
+      .orderBy("rule")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq(
+      // score NULL row -> violation (NULL pred = did not pass)
+      ("in_range(score)", 4L, 2L, false),
+      ("not_null(name)", 4L, 1L, false),
+      // rows with a NULL key column drop from BOTH sides: checked = 2
+      // (the two (1,a) rows), violations = 1 duplicate
+      ("unique(id,name)", 2L, 1L, false)), got.toString)
+    // The whole contract is one aggregate over one scan.
+    val plan = Validate.expectationReport(df,
+        Seq(Validate.notNull("name")), Seq(Seq("id")))
+      .queryExecution.executedPlan.toString
+    assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 2, plan)
+  }
+
+  test("refIntegrityReport: orphan rows counted per row; NULL fks out of scope") {
+    import graft.ops.Validate
+    val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val r = Validate.refIntegrityReport(child, "fk", parent, "pk").collect()(0)
+    assert(r.getString(0) == "ref(fk -> pk)")
+    assert(r.getLong(1) == 3L, "NULL fk not checked")
+    assert(r.getLong(2) == 1L, "one orphan row (9)")
+    assert(!r.getBoolean(3))
+  }
+
+  test("profile: rows/nulls/exact distinct per column; numeric-only min/max") {
+    import graft.ops.Validate
+    val df = Seq((1L, Some("x"), Some(2.5)), (2L, Some("x"), None),
+      (3L, None, Some(-1.0))).toDF("id", "tag", "v")
+    val got = Validate.profile(df).orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)))).toSeq
+    assert(got == Seq(
+      ("id", 3L, 0L, 3L, Some(1.0), Some(3.0)),
+      ("tag", 3L, 1L, 1L, None, None),
+      ("v", 3L, 1L, 2L, Some(-1.0), Some(2.5))), got.toString)
+  }
 }
