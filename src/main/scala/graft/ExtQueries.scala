@@ -790,6 +790,42 @@ object ExtQueries {
         .orderBy("event_id")
     }),
 
+    "q_attribution" -> ((s, dir) => {
+      // First/last-touch attribution per purchase: earliest + latest
+      // click/view/signup by the same user in the 3-day lookback —
+      // ONE user-key window over a range frame, never the naive
+      // conversion×touch range join (Θ(convs · touches-per-user)).
+      // Tie-break at equal ts is lexicographic on the channel label,
+      // deterministic on both engines.
+      Analytics.attributeConversions(read(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"), col("value"),
+          isConversion = col("event_type") === "purchase",
+          isTouch = col("event_type").isin("click", "view", "signup"),
+          touchLabel = col("event_type"),
+          lookbackSeconds = AttributionLookbackSec)
+        .select(col("conv_id").as("event_id"), col("user_id"),
+          col("first_touch"), col("last_touch"))
+        .orderBy("event_id")
+    }),
+
+    "q_attribution_report" -> ((s, dir) => {
+      // Channel-level close over the same attribution rows: conversions
+      // and decimal-exact revenue credited to each LAST touch channel
+      // ('(none)' = no touch in the window). Tiny post-agg on top of
+      // the one-window op.
+      Analytics.attributeConversions(read(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"), col("value"),
+          isConversion = col("event_type") === "purchase",
+          isTouch = col("event_type").isin("click", "view", "signup"),
+          touchLabel = col("event_type"),
+          lookbackSeconds = AttributionLookbackSec)
+        .groupBy(coalesce(col("last_touch"), lit("(none)")).as("channel"))
+        .agg(count(lit(1)).as("conversions"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("revenue"))
+        .orderBy("channel")
+    }),
+
     "q_event_funnel" -> ((s, dir) => {
       // Ordered-step funnel per user: first view, first click at or
       // after it, first purchase at or after that — NULLs from the
@@ -3816,6 +3852,11 @@ object ExtQueries {
     * while random 8-grams from the synthetic vocabulary stay unique. */
   private val DupGramWords = 8
 
+  /** Attribution lookback: 3 days — long enough that most purchases
+    * find a touch in the synthetic stream, short enough that '(none)'
+    * is non-empty too (both branches exercised). */
+  private val AttributionLookbackSec = 3L * 24 * 3600
+
   /** LRS query bounds: prefix scanned, clamp (= oracle brute-force max
     * substring length), and the routing floor for "self-repetitive". */
   private val LrsPrefix = 150
@@ -6141,6 +6182,38 @@ object ExtQueries {
             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
               ROWS BETWEEN ${ZScoreWindow - 1} PRECEDING AND CURRENT ROW))
           ORDER BY event_id""",
+
+    // Attribution replayed with correlated min/max subqueries (the
+    // oracle needn't be scale-shaped); ORDER BY ts, event_type mirrors
+    // the op's lexicographic struct(ts, label) tie-break exactly.
+    "q_attribution" ->
+      """WITH conv AS (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'),
+          tch AS (SELECT user_id, ts, event_type FROM events
+            WHERE event_type IN ('click', 'view', 'signup'))
+          SELECT c.event_id, c.user_id,
+            (SELECT t.event_type FROM tch t WHERE t.user_id = c.user_id
+               AND t.ts <= c.ts AND t.ts >= c.ts - INTERVAL 3 DAY
+               ORDER BY t.ts, t.event_type LIMIT 1) AS first_touch,
+            (SELECT t.event_type FROM tch t WHERE t.user_id = c.user_id
+               AND t.ts <= c.ts AND t.ts >= c.ts - INTERVAL 3 DAY
+               ORDER BY t.ts DESC, t.event_type DESC LIMIT 1) AS last_touch
+          FROM conv c ORDER BY c.event_id""",
+
+    "q_attribution_report" ->
+      """WITH conv AS (SELECT event_id, user_id, ts, value FROM events
+            WHERE event_type = 'purchase'),
+          tch AS (SELECT user_id, ts, event_type FROM events
+            WHERE event_type IN ('click', 'view', 'signup')),
+          attr AS (SELECT c.event_id, c.value,
+            (SELECT t.event_type FROM tch t WHERE t.user_id = c.user_id
+               AND t.ts <= c.ts AND t.ts >= c.ts - INTERVAL 3 DAY
+               ORDER BY t.ts DESC, t.event_type DESC LIMIT 1) AS last_touch
+          FROM conv c)
+          SELECT COALESCE(last_touch, '(none)') AS channel,
+            CAST(count(*) AS BIGINT) AS conversions,
+            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          FROM attr GROUP BY 1 ORDER BY 1""",
 
     "q_event_funnel" ->
       s"""WITH $funnelCtes

@@ -762,4 +762,46 @@ object Analytics {
       array((0 until nSalts).map(lit): _*)).as("__salt"))
     l.join(r, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** First/last-touch ATTRIBUTION: for every conversion event, the
+    * earliest and latest touch by the same user inside a lookback
+    * window ending at the conversion. One per-conversion row:
+    * (conv_id, user, conv_ts, value, first_touch, first_ts,
+    * last_touch, last_ts) — touch columns NULL when no touch falls in
+    * the window (report layers decide how to bucket unattributed
+    * conversions; this op won't invent a channel).
+    *
+    * Scale shape: NO conversion×touch join (the naive range join is
+    * Θ(convs · touches-per-user) rows). ONE window partitioned by user
+    * over a RANGE frame of `lookbackSeconds` on the microsecond
+    * timeline; first/last = min/max of struct(ts, label) — null-skipped
+    * for non-touch rows, lexicographic tie-break on label at equal ts
+    * (deterministic whatever the partitioning). One user-key shuffle
+    * total; state per frame is two structs.
+    *
+    * A touch at EXACTLY the conversion timestamp counts (frame upper
+    * bound inclusive — simultaneous click+purchase attributes to the
+    * click); both window bounds are inclusive, matching
+    * `t.ts BETWEEN c.ts - lookback AND c.ts`. */
+  def attributeConversions(events: DataFrame, user: Column, ts: Column,
+                           convId: Column, value: Column,
+                           isConversion: Column, isTouch: Column,
+                           touchLabel: Column,
+                           lookbackSeconds: Long): DataFrame = {
+    require(lookbackSeconds > 0, "lookback must be positive")
+    val w = Window.partitionBy(user).orderBy(unix_micros(ts))
+      .rangeBetween(-lookbackSeconds * 1000000L, 0L)
+    val tagged = when(isTouch && ts.isNotNull,
+      struct(ts.as("t"), touchLabel.as("label")))
+    events
+      .withColumn("__first", min(tagged).over(w))
+      .withColumn("__last", max(tagged).over(w))
+      .filter(isConversion)
+      .select(convId.as("conv_id"), user.as("user_id"),
+        ts.as("conv_ts"), value.as("value"),
+        col("__first.label").as("first_touch"),
+        col("__first.t").as("first_ts"),
+        col("__last.label").as("last_touch"),
+        col("__last.t").as("last_ts"))
+  }
 }

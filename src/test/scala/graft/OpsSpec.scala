@@ -853,6 +853,40 @@ class OpsSpec extends SparkSpec {
       ("2024-01-02", 0, 1L)))  // user 3's own cohort
   }
 
+  test("attributeConversions: lookback bounds inclusive, label tie-break, unattributed NULL") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: touch outside lookback, two touches inside (the second
+      // pair at the SAME ts exercises the label tie-break), conversion
+      (10L, 1L, "click", ts("2024-01-01 00:00:00"), 0.0),  // outside (3d+1s before)
+      (11L, 1L, "view", ts("2024-01-02 00:00:01"), 0.0),   // first in window
+      (12L, 1L, "click", ts("2024-01-03 00:00:00"), 0.0),  // same-ts pair...
+      (13L, 1L, "signup", ts("2024-01-03 00:00:00"), 0.0), // ...signup > click
+      (14L, 1L, "purchase", ts("2024-01-04 00:00:01"), 9.5),
+      // user 2: only touch is AT the conversion ts — counts (inclusive)
+      (20L, 2L, "view", ts("2024-01-05 12:00:00"), 0.0),
+      (21L, 2L, "purchase", ts("2024-01-05 12:00:00"), 3.0),
+      // user 3: no touch at all
+      (30L, 3L, "purchase", ts("2024-01-06 00:00:00"), 1.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Analytics.attributeConversions(events, col("user_id"),
+        col("ts"), col("event_id"), col("value"),
+        col("event_type") === "purchase",
+        col("event_type").isin("click", "view", "signup"),
+        col("event_type"), lookbackSeconds = 3L * 24 * 3600)
+      .orderBy("conv_id")
+      .select("conv_id", "first_touch", "last_touch")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        Option(r.getString(2)))).toSeq
+    assert(got == Seq(
+      // first = the 01-02 view (01-01 click is 3d1s back, outside);
+      // last = max(struct(ts,label)) at the tied 01-03 ts -> signup
+      (14L, Some("view"), Some("signup")),
+      (21L, Some("view"), Some("view")),
+      (30L, None, None)), got.toString)
+  }
+
   test("expectationReport: NULL pred is a violation; uniqueness skips NULL keys; one scan") {
     import graft.ops.Validate
     val df = Seq(
