@@ -1136,8 +1136,10 @@ object Dedup {
     // |A| below keeps counting them (a's denominator is its whole
     // profile), so containment only SHRINKS under the cap: a recall
     // trade on corpus boilerplate, never a precision one. Below the cap
-    // the output is identical to the uncapped form, and the default
-    // compiles to the uncapped plan (no df window, no extra shuffle).
+    // the output is identical to the uncapped form. Since r14 the
+    // DEFAULT is the capped shape (df windows active — the safe plan
+    // at 100 TB ships by default); only an explicit Int.MaxValue
+    // compiles back to the window-free plan (PlanShapeSpec pins both).
     def capped(d: DataFrame): DataFrame =
       if (maxShingleDf == Int.MaxValue) d
       else d
@@ -1299,19 +1301,23 @@ object Dedup {
     * pathological self-repetition (generation loops, copy-pasted
     * boilerplate inside one doc) that n-gram machinery quantizes. */
   private[graft] def lrsLength(s: String): Int = {
-    if (s.length < 2) return 0
-    val maxStates = 2 * s.length + 2
+    // CODE POINTS, not UTF-16 units: a surrogate-pair emoji must count
+    // as one character or astral-heavy text doubles its lengths and
+    // diverges from the oracle's (code-point) brute force.
+    val cps = s.codePoints().toArray
+    if (cps.length < 2) return 0
+    val maxStates = 2 * cps.length + 2
     val len = new Array[Int](maxStates)
     val link = new Array[Int](maxStates)
     val cnt = new Array[Long](maxStates)
-    val trans = new Array[scala.collection.mutable.HashMap[Char, Int]](maxStates)
+    val trans = new Array[scala.collection.mutable.HashMap[Int, Int]](maxStates)
     trans(0) = scala.collection.mutable.HashMap.empty
     link(0) = -1
     var size = 1
     var last = 0
     var ci = 0
-    while (ci < s.length) {
-      val c = s.charAt(ci)
+    while (ci < cps.length) {
+      val c = cps(ci)
       val cur = size; size += 1
       len(cur) = len(last) + 1
       cnt(cur) = 1

@@ -513,26 +513,29 @@ object Export {
                         expectedPerShard: Long, fpp: Double = 0.01): Unit = {
     require(nShards >= 1, "need at least one shard")
     require(expectedPerShard >= 1 && fpp > 0 && fpp < 1, "sane sizing")
-    // Fail fast on NULL keys — BEFORE any data lands: Encoders.scalaLong
-    // would NPE opaquely mid bloom build, and a null key can't be
-    // point-looked-up anyway, so it is a contract violation worth a
-    // clear message while the sink is still untouched.
-    require(df.filter(col(keyCol).isNull).limit(1).count() == 0,
-      s"writeBloomIndexed: NULL in key column '$keyCol' — bloom point " +
-        "lookup needs non-null keys; filter or impute them first")
     df.withColumn("shard", Sampling.hashBucket(shardBy, nShards))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
     import org.apache.spark.sql.Encoders
     import org.apache.spark.util.sketch.BloomFilter
-    val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    // The key rides a NULLABLE (boxed) encoder so a NULL key surfaces
+    // as a clear contract error INSIDE the one pass the build already
+    // makes over the written files — a pre-write df.filter(...).count()
+    // guard would re-execute the caller's whole upstream lineage as an
+    // extra job (a NULL key can't be point-looked-up either way).
+    val pairEnc = Encoders.tuple(Encoders.scalaLong, Encoders.LONG)
     val outEnc = Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)
     val blooms = spark.read.parquet(path)
       .select(col("shard").cast("long"), col(keyCol).cast("long"))
-      .as[(Long, Long)](pairEnc)
+      .as[(Long, java.lang.Long)](pairEnc)
       .groupByKey(_._1)(Encoders.scalaLong)
       .mapGroups { (shard, rows) =>
         val bf = BloomFilter.create(expectedPerShard, fpp)
-        rows.foreach(r => bf.putLong(r._2))
+        rows.foreach { r =>
+          if (r._2 == null) throw new IllegalArgumentException(
+            s"writeBloomIndexed: NULL in key column '$keyCol' — bloom " +
+              "point lookup needs non-null keys; filter or impute them first")
+          bf.putLong(r._2)
+        }
         val bos = new java.io.ByteArrayOutputStream()
         bf.writeTo(bos)
         (shard, bos.toByteArray)

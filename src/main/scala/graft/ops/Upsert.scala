@@ -119,22 +119,22 @@ object Upsert {
   }
 
   /** Claim version number `latest+1` by CREATE-EXCLUSIVE of a
-    * `v<N>.claim` marker (atomic on HDFS and local FS — the namenode/
-    * open(O_EXCL) arbitrates): the optimistic-concurrency step that
-    * stops two writers publishing the same version number. On
-    * collision the loser re-reads the latest version (published OR
-    * claimed) and claims the next slot — so two writers racing for v2
-    * publish v2 and v3, never v2 twice. A crashed claimant leaves an
-    * orphaned claim file; its version number is simply skipped
-    * (version numbers are dense only absent crashes — `latestVersion`
-    * counts published manifests, so readers never see the hole).
+    * `v<N>.claim` marker: the optimistic-concurrency step that stops
+    * two writers publishing the same version number. On collision the
+    * loser re-reads the latest version (published OR claimed) and
+    * claims the next slot — so two writers racing for v2 publish v2
+    * and v3, never v2 twice. A crashed claimant leaves an orphaned
+    * claim file; its version number is simply skipped (version numbers
+    * are dense only absent crashes — `latestVersion` counts published
+    * manifests, so readers never see the hole).
     *
-    * CONTENT concurrency is still keep-existing-best-effort: a writer
-    * anti-joins against the latest snapshot PUBLISHED at claim time,
-    * so two truly concurrent writers can both append the same key
-    * (each unseen by the other) — the Delta/Iceberg conflict-check
-    * this lite sink deliberately omits. Version-number integrity and
-    * manifest atomicity hold regardless. */
+    * Atomicity of the claim itself: on HDFS the namenode arbitrates
+    * `create(overwrite = false)`. On the LOCAL filesystem Hadoop's
+    * RawLocalFileSystem implements that flag as exists()-then-create —
+    * a TOCTOU window — so `file:` paths go through java.nio
+    * `Files.createFile`, which is a real O_EXCL open. Object stores
+    * without atomic create-exclusive need a fronting layer (same
+    * caveat as the manifest rename). */
   private def claimVersion(spark: SparkSession, path: String): Int = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
@@ -148,9 +148,11 @@ object Upsert {
       val target = math.max(published, claimed) + 1
       val marker = new org.apache.hadoop.fs.Path(snapDir(path), s"v$target.claim")
       try {
-        // overwrite = false → atomic create-exclusive; throws if a
-        // concurrent writer won the race for this version number.
-        fs.create(marker, false).close()
+        if (fs.getScheme == "file") {
+          val p = org.apache.hadoop.fs.Path
+            .getPathWithoutSchemeAndAuthority(fs.makeQualified(marker))
+          java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toString))
+        } else fs.create(marker, false).close()
         return target
       } catch {
         case _: java.io.IOException => attempts += 1 // lost the race; retry
@@ -159,6 +161,43 @@ object Upsert {
     throw new IllegalStateException(
       s"claimVersion: could not claim a snapshot version at $path after " +
         "1000 attempts — writer storm or a filesystem refusing exclusive create")
+  }
+
+  /** Post-publish LINEAGE reconciliation — the second half of the
+    * optimistic protocol. The hazard: W1 claims v2, W2 claims v3, both
+    * chain off v1; W2 publishes v3 = [b1, b3] first, W1 then publishes
+    * v2 = [b1, b2] — every FUTURE writer chains off v3 (the latest
+    * manifest) and batch-2 silently leaves the lineage despite W1's
+    * "successful" write. So after publishing, a writer verifies its
+    * data dir is reachable from the LATEST manifest; if an interleaved
+    * publish orphaned it, the writer re-claims a fresh (higher) version
+    * and republishes `latest's dirs :+ its own dir` — converging
+    * because claims strictly increase and every republished manifest
+    * re-includes the dir. Each intermediate version stays a readable,
+    * self-consistent snapshot.
+    *
+    * What this does NOT give: key-level conflict detection. Two racers
+    * each anti-joined against the version published at THEIR claim
+    * time, so the reconciled lineage can carry the same key in two
+    * dirs — keep-existing is best-effort under concurrency, the
+    * documented line short of Delta/Iceberg. */
+  private[graft] def reconcileLineage(spark: SparkSession, path: String,
+                                      published: Int, dirName: String): Int = {
+    var version = published
+    var attempts = 0
+    while (attempts < 100) {
+      val latest = latestVersion(spark, path)
+      if (latest == version ||
+          manifestDirs(spark, path, latest).contains(dirName)) return version
+      version = claimVersion(spark, path)
+      publishManifest(spark, path, version,
+        manifestDirs(spark, path, latestVersion(spark, path))
+          .filterNot(_ == dirName) :+ dirName)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"reconcileLineage: $dirName still unreachable from the latest " +
+        s"manifest at $path after 100 republishes — writer storm")
   }
 
   /** Publish the batch as snapshot latest+1 (version number claimed via
@@ -183,7 +222,7 @@ object Upsert {
     fresh.write.mode("overwrite").parquet(s"$path/$dirName")
     publishManifest(spark, path, target,
       (if (cur == 0) Seq.empty else manifestDirs(spark, path, cur)) :+ dirName)
-    target
+    reconcileLineage(spark, path, target, dirName)
   }
 
   private def publishManifest(spark: SparkSession, path: String,
@@ -230,8 +269,22 @@ object Upsert {
     val dirName = s"compact-$target"
     readSnapshot(spark, path, cur)
       .write.mode("overwrite").parquet(s"$path/$dirName")
-    publishManifest(spark, path, target, Seq(dirName))
-    target
+    // A writer may publish BETWEEN the base read (cur) and this
+    // publish; its dirs are not in the compacted file, and a bare
+    // [compact-N] manifest would drop them from the lineage. Detect
+    // the interleaved versions and carry their novel dirs alongside
+    // the compacted one (the rows are rewritten-base + the
+    // interleaved appends — exactly what a sequential compact-then-
+    // write would read). The writers' own reconcileLineage covers the
+    // inverse order (writer publishes after this publish).
+    val baseDirs = manifestDirs(spark, path, cur).toSet
+    val interleaved = ((cur + 1) until target)
+      .filter(v => fsFor(spark, path).exists(new org.apache.hadoop.fs.Path(
+        snapDir(path), s"v$v.list")))
+      .flatMap(v => manifestDirs(spark, path, v))
+      .distinct.filterNot(baseDirs)
+    publishManifest(spark, path, target, dirName +: interleaved)
+    reconcileLineage(spark, path, target, dirName)
   }
 
   /** Time travel: version N exactly as published, whatever has been

@@ -49,18 +49,24 @@ object Validate {
   def expectationReport(df: DataFrame, expects: Seq[Expect],
                         uniqueKeys: Seq[Seq[String]] = Nil): DataFrame = {
     require(expects.nonEmpty || uniqueKeys.nonEmpty, "no rules given")
-    val rowAggs = expects.flatMap { e =>
-      Seq(count(lit(1)).as(s"__c_${e.name}"),
+    // Aggregates are aliased by rule POSITION, not rule name: names
+    // carry dots (nested columns) that col() would parse as paths, and
+    // two rules may legitimately share a name (warn + fail tiers of
+    // the same range). sum() over an EMPTY table is NULL — coalesce to
+    // 0 so an empty partition reports pass = true, not pass = NULL
+    // (which a .filter(col("pass")) gate would silently drop).
+    val rowAggs = expects.zipWithIndex.flatMap { case (e, i) =>
+      Seq(count(lit(1)).as(s"__c_$i"),
         // NULL pred -> violation: coalesce the "passed" flag to false.
-        sum(when(coalesce(e.pred, lit(false)), 0L).otherwise(1L))
-          .as(s"__v_${e.name}"))
+        coalesce(sum(when(coalesce(e.pred, lit(false)), 0L).otherwise(1L)),
+          lit(0L)).as(s"__v_$i"))
     }
-    val uniqAggs = uniqueKeys.flatMap { keys =>
-      val name = s"unique(${keys.mkString(",")})"
+    val uniqAggs = uniqueKeys.zipWithIndex.flatMap { case (keys, j) =>
+      val i = expects.size + j
       val nonNull = keys.map(col(_).isNotNull).reduce(_ && _)
-      Seq(count(when(nonNull, 1)).as(s"__c_$name"),
+      Seq(count(when(nonNull, 1)).as(s"__c_$i"),
         (count(when(nonNull, 1)) -
-          countDistinct(keys.head, keys.tail: _*)).as(s"__v_$name"))
+          countDistinct(keys.head, keys.tail: _*)).as(s"__v_$i"))
     }
     val aggs = rowAggs ++ uniqAggs
     val names = expects.map(_.name) ++
@@ -68,10 +74,10 @@ object Validate {
     val one = df.agg(aggs.head, aggs.tail: _*)
     // Pivot the single row to one row per rule — plan-side (explode of
     // a struct array), no collect.
-    one.select(explode(array(names.map(n => struct(
+    one.select(explode(array(names.zipWithIndex.map { case (n, i) => struct(
         lit(n).as("rule"),
-        col(s"__c_$n").cast("long").as("checked"),
-        col(s"__v_$n").cast("long").as("violations"))): _*)).as("r"))
+        col(s"__c_$i").cast("long").as("checked"),
+        col(s"__v_$i").cast("long").as("violations")) }: _*)).as("r"))
       .select(col("r.rule"), col("r.checked"), col("r.violations"),
         (col("r.violations") === 0L).as("pass"))
   }
@@ -83,11 +89,17 @@ object Validate {
     * pk (AQE broadcasts it when small). */
   def refIntegrityReport(child: DataFrame, fk: String,
                          parent: DataFrame, pk: String): DataFrame = {
-    val orphans = child.filter(col(fk).isNotNull)
-      .join(parent.select(col(pk).as(fk)).distinct(), Seq(fk), "left_anti")
-      .agg(count(lit(1)).as("violations"))
-    val checked = child.filter(col(fk).isNotNull).agg(count(lit(1)).as("checked"))
-    checked.crossJoin(broadcast(orphans))
+    // ONE child scan: a left-outer join against the distinct parent
+    // keys, with checked + orphan counts in the same aggregate (an
+    // anti join + a separate count would read the child — the 100 TB
+    // side — twice). The marker column is non-null exactly on matches.
+    val marker = s"__pk_$pk"
+    child.filter(col(fk).isNotNull).select(col(fk))
+      .join(parent.select(col(pk).as(fk), lit(1).as(marker)).distinct(),
+        Seq(fk), "left_outer")
+      .agg(count(lit(1)).as("checked"),
+        coalesce(sum(when(col(marker).isNull, 1L).otherwise(0L)), lit(0L))
+          .as("violations"))
       .select(lit(s"ref($fk -> $pk)").as("rule"),
         col("checked").cast("long").as("checked"),
         col("violations").cast("long").as("violations"),

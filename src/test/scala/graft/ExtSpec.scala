@@ -3145,6 +3145,11 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.lrsLength("aaaa") == 3, "overlapping occurrences count")
     assert(Dedup.lrsLength("banana") == 3, "'ana' overlaps itself")
     assert(Dedup.lrsLength("abcdefg") == 0)
+    // CODE POINTS, not UTF-16 units: two identical astral emoji are a
+    // repeat of length 1, not the surrogate-pair illusion of length 2.
+    assert(Dedup.lrsLength("😀😀") == 1, "surrogate pair = one character")
+    assert(Dedup.lrsLength("a😀b😀c") == 1)
+    assert(Dedup.lrsLength("😀a😀a") == 2, "'😀a' repeats as two code points")
     // Exactness against brute force on random small-alphabet strings
     // (small alphabets maximize repeats and clone churn in the SAM).
     val rnd = new scala.util.Random(7)

@@ -915,6 +915,31 @@ class OpsSpec extends SparkSpec {
     assert("LocalTableScan|Scan".r.findAllIn(plan).size <= 2, plan)
   }
 
+  test("expectationReport: dotted rule names, duplicate rules, empty table") {
+    import graft.ops.Validate
+    // Positional aliases must survive rule names containing dots
+    // (nested columns) and two rules sharing a name (warn + fail tiers).
+    val nested = Seq((1L, 5.0)).toDF("id", "score")
+      .select(struct(col("id"), col("score")).as("user"))
+    val gotNested = Validate.expectationReport(nested,
+        Seq(Validate.Expect("not_null(user.id)", col("user.id").isNotNull)))
+      .collect()(0)
+    assert(gotNested.getString(0) == "not_null(user.id)" &&
+      gotNested.getBoolean(3))
+    val dup = Validate.expectationReport(Seq(50.0, 150.0).toDF("score"),
+        Seq(Validate.inRange("score", 0, 100), Validate.inRange("score", 0, 200)))
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(dup == Seq(("in_range(score)", 1L), ("in_range(score)", 0L)),
+      dup.toString)
+    // Empty table: 0 violations and pass = TRUE, never NULL (a
+    // .filter(col("pass")) gate must keep the row).
+    val empty = Validate.expectationReport(
+        Seq.empty[(Long, String)].toDF("id", "name"),
+        Seq(Validate.notNull("name")), Seq(Seq("id")))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(empty == Seq((0L, 0L, true), (0L, 0L, true)), empty.toString)
+  }
+
   test("refIntegrityReport: orphan rows counted per row; NULL fks out of scope") {
     import graft.ops.Validate
     val child = Seq(Some(1L), Some(1L), Some(9L), None).toDF("fk")

@@ -93,6 +93,36 @@ class UpsertPartitionedSpec extends SparkSpec {
     assert(claims.toSeq == Seq("v2.claim"), claims.toSeq)
   }
 
+  test("snapshot lineage reconcile: an interleaved publish cannot orphan a batch") {
+    // The W1/W2 hazard: W1 claims v2, W2 claims v3, W2 publishes
+    // v3 = [b1, b3] FIRST, W1 then publishes v2 = [b1, b2] — without
+    // reconciliation every later writer chains off v3 and batch-2
+    // leaves the lineage forever. Reproduce the post-race state by
+    // hand (manifests are plain dir-name lists), then let W1's
+    // reconcile step repair it.
+    val path = java.nio.file.Files.createTempDirectory("snapl").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$path/batch-2")
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$path/batch-3")
+    def publishRaw(v: Int, dirs: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "_snapshots", s"v$v.list"),
+        dirs.mkString("\n").getBytes("UTF-8"))
+    publishRaw(3, Seq("batch-1", "batch-3"))  // W2 won the publish race
+    publishRaw(2, Seq("batch-1", "batch-2"))  // W1's late publish
+    // W1's reconcile: batch-2 is unreachable from v3 (the latest), so
+    // it must claim v4 and republish [v3's dirs, batch-2].
+    val healed = Upsert.reconcileLineage(spark, path, 2, "batch-2")
+    assert(healed == 4, s"expected a fresh v4, got v$healed")
+    assert(Upsert.readSnapshot(spark, path, 4).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "no batch may leave the lineage")
+    // And a writer whose dir IS reachable does nothing.
+    assert(Upsert.reconcileLineage(spark, path, 4, "batch-2") == 4)
+    assert(Upsert.latestVersion(spark, path) == 4)
+  }
+
   test("snapshot schema evolution: a later batch's new column reads as NULL for old rows") {
     val path = java.nio.file.Files.createTempDirectory("snape").toString
     Upsert.writeSnapshot(spark, path,
