@@ -3237,6 +3237,29 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_k_anonymity" -> ((s, dir) => {
+      // Structural re-identification risk: equivalence classes over
+      // (nation, segment) quasi-identifiers, histogrammed by class
+      // size with the below-k flag — redaction's counterpart (scrubbed
+      // text can still leak through a class of one). Two cascaded
+      // aggs, second input ≤ |classes|.
+      Privacy.kAnonymityReport(read(s, dir, "customer"),
+          Seq("c_nationkey", "c_mktsegment"), k = 10)
+        .orderBy("class_size")
+    }),
+
+    "q_l_diversity" -> ((s, dir) => {
+      // k-anonymity's refinement: a large class whose members all
+      // share the sensitive value (here: debt vs credit standing)
+      // still leaks it. Distinct-sensitive-count per class,
+      // histogrammed with the below-l flag.
+      Privacy.lDiversityReport(
+          read(s, dir, "customer").withColumn("balance_sign",
+            when(col("c_acctbal") < 0, "debt").otherwise("credit")),
+          Seq("c_nationkey", "c_mktsegment"), "balance_sign", l = 2)
+        .orderBy("diversity")
+    }),
+
     "q_redact_pii" -> ((s, dir) => {
       // PII scrubber end-to-end: the synthetic corpus carries no PII,
       // so the query plants a deterministic contact block per doc (both
@@ -8208,6 +8231,32 @@ object ExtQueries {
             FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
             ORDER BY wkey ASC, doc_id LIMIT $WeightedSampleK)
           ORDER BY doc_id""",
+
+    "q_k_anonymity" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment,
+            count(*) AS class_size
+          FROM customer GROUP BY 1, 2)
+         SELECT CAST(class_size AS BIGINT) AS class_size,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           class_size < 10 AS below_k
+         FROM c GROUP BY class_size ORDER BY class_size""",
+
+    // NULL acctbal falls to 'credit' on both engines (NULL < 0 is
+    // NULL -> CASE else / when-otherwise alike).
+    "q_l_diversity" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment,
+            CASE WHEN c_acctbal < 0 THEN 'debt' ELSE 'credit' END AS sign
+          FROM customer),
+         cl AS (SELECT c_nationkey, c_mktsegment, count(*) AS nrows,
+            count(DISTINCT sign)
+              + MAX(CASE WHEN sign IS NULL THEN 1 ELSE 0 END) AS diversity
+          FROM b GROUP BY 1, 2)
+         SELECT CAST(diversity AS BIGINT) AS diversity,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(SUM(nrows) AS BIGINT) AS n_rows,
+           diversity < 2 AS below_l
+         FROM cl GROUP BY diversity ORDER BY diversity""",
 
     // Same planted contact block, same Java∩RE2 patterns (interpolated
     // from the TextAnalysis constants — one source of truth), same

@@ -3137,6 +3137,29 @@ class ExtSpec extends SparkSpec {
     assert(got2 == got, s"direction-doubled input inflated counts: $got2")
   }
 
+  test("privacy reports: class sizes, NULL quasi is a class, NULL sensitive counts once") {
+    import graft.ext.Privacy
+    val df = Seq(
+      ("A", "x", Some("s1")), ("A", "x", Some("s1")), ("A", "x", Some("s2")),
+      ("B", "y", Some("s1")),                       // singleton class
+      (null.asInstanceOf[String], "y", None),       // NULL quasi class,
+      (null.asInstanceOf[String], "y", Some("s1"))  // 2 rows, null+“s1”
+    ).toDF("q1", "q2", "s")
+    val k = Privacy.kAnonymityReport(df, Seq("q1", "q2"), k = 2)
+      .orderBy("class_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(k == Seq((1L, 1L, 1L, true), (2L, 1L, 2L, false),
+      (3L, 1L, 3L, false)), k.toString)
+    val l = Privacy.lDiversityReport(df, Seq("q1", "q2"), "s", l = 2)
+      .orderBy("diversity")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    // (B,y): one value -> diversity 1, below. (A,x): s1+s2 -> 2.
+    // (NULL,y): s1 + the NULL "value" -> 2.
+    assert(l == Seq((1L, 1L, 1L, true), (2L, 2L, 5L, false)), l.toString)
+  }
+
   test("longestRepeatedSubstring: suffix-automaton LRS exact vs brute force") {
     assert(Dedup.lrsLength("") == 0)
     assert(Dedup.lrsLength("a") == 0)
