@@ -390,6 +390,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(countScans(plan) == 5, s"each table scanned once:\n$plan")
   }
 
+  test("q_attribution: one window over one events scan — never a conversion×touch join") {
+    // The naive attribution plan is a per-user range join (conversions
+    // × touches); the op's contract is ONE user-partitioned window. A
+    // Join or a second events scan here is the Θ(convs·touches)
+    // regression.
+    val plan = executedPlan("q_attribution")
+    assert(countScans(plan) == 1, s"one events scan:\n$plan")
+    assert(!plan.contains("Join"), s"window, not a range join:\n$plan")
+    assert(plan.contains("Window"), s"the range-frame window:\n$plan")
+  }
+
   test("q_tpch_q4: EXISTS is a semi join; quarter filter pushed to the orders scan") {
     val plan = executedPlan("q_tpch_q4")
     assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
