@@ -1137,26 +1137,38 @@ object Dedup {
     // profile), so containment only SHRINKS under the cap: a recall
     // trade on corpus boilerplate, never a precision one. Below the cap
     // the output is identical to the uncapped form. Since r14 the
-    // DEFAULT is the capped shape (df windows active — the safe plan
-    // at 100 TB ships by default); only an explicit Int.MaxValue
-    // compiles back to the window-free plan (PlanShapeSpec pins both).
+    // DEFAULT is the capped shape (the safe plan at 100 TB ships by
+    // default); only an explicit Int.MaxValue compiles back to the
+    // cap-free plan (PlanShapeSpec pins both).
+    //
+    // The cap is a BROADCAST ANTI JOIN against the hot-shingle list,
+    // not a per-shingle count window: the hot set is tiny BY
+    // DEFINITION (each member appears in > maxShingleDf docs, so
+    // |hot| ≤ shingle-instances / maxShingleDf — a 10k cap divides the
+    // corpus' shingle volume by 10k), while a df window re-shuffles and
+    // re-sorts the FULL shingle explosion once per join side. The agg
+    // feeding the broadcast is combine-reduced (partial counts
+    // map-side). Measured at sf0.1: the window form cost
+    // q_containment_pairs 2.4 → 3.8 s over the uncapped plan; this
+    // form returns it to parity while keeping the cap.
+    val hot =
+      if (maxShingleDf == Int.MaxValue) null
+      else raw.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxShingleDf)
+        .select("__sh")
     def capped(d: DataFrame): DataFrame =
       if (maxShingleDf == Int.MaxValue) d
-      else d
-        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("__sh"))))
-        .filter(col("__df") <= maxShingleDf)
-        .drop("__df")
+      else d.join(broadcast(hot), Seq("__sh"), "left_anti")
     // ORDER MATTERS: the |A| window runs on the raw (uncapped) shingle
-    // rows, the df filter prunes after. Both sides re-derive their
+    // rows, the anti join prunes after. Both sides re-derive their
     // shingles from the scan; ColumnPruning trims the |A| window out of
-    // the r branch, so the capped plan pays exactly one df window per
-    // side. (A shared-subtree ReuseExchange form was tried and does NOT
-    // survive the optimizer: pruning strips the unused |A| column — and
-    // any no-op aggregate kept only to reference it — out of the r
-    // branch, which de-canonicalizes the two exchanges. The honest
-    // alternatives are this recompute or a corpus-sized pin; recompute
-    // wins while the shingle explode is cheaper than materializing
-    // every shingle instance.)
+    // the r branch. (A shared-subtree ReuseExchange form was tried and
+    // does NOT survive the optimizer: pruning strips the unused |A|
+    // column — and any no-op aggregate kept only to reference it — out
+    // of the r branch, which de-canonicalizes the two exchanges. The
+    // honest alternatives are this recompute or a corpus-sized pin;
+    // recompute wins while the shingle explode is cheaper than
+    // materializing every shingle instance.)
     val withNa = raw
       .withColumn("__na", count(lit(1)).over(Window.partitionBy(col(docKey))))
     val l = capped(withNa)

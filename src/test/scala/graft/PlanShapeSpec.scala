@@ -460,26 +460,36 @@ class PlanShapeSpec extends SparkSpec {
       s"no quadratic fallback:\n$plan")
   }
 
-  test("containment: df-cap is the DEFAULT shape; explicit uncap compiles window-free") {
-    // The r14 flip: the generous df-cap is ON by default, so the
-    // default-shape query carries the same df windows as the tight-cap
-    // query — the safe-at-100-TB plan is what ships. The exact form is
-    // opt-in (maxShingleDf = Int.MaxValue) and must still compile back
-    // to the window-free plan (no df window, only the |A| window).
+  test("containment: df-cap is the DEFAULT shape — BROADCAST anti join, never df windows") {
+    // The r14 flip + rework: the generous df-cap is ON by default, and
+    // it compiles to a broadcast anti join against the tiny hot-shingle
+    // list — NOT a per-shingle count window (a window re-shuffles and
+    // re-sorts the full shingle explosion per join side; measured
+    // 2.4 → 3.8 s at sf0.1 before the rework). The only window in ANY
+    // shape is the |A| denominator. The exact form is opt-in
+    // (maxShingleDf = Int.MaxValue) and compiles with no anti join.
     def windows(p: String) = "Window".r.findAllIn(p).size
-    val deflt = executedPlan("q_containment_pairs")
-    val tight = executedPlan("q_containment_capped")
-    assert(windows(deflt) == windows(tight),
-      s"default must carry the cap's df windows: default=${windows(deflt)} " +
-        s"tight=${windows(tight)}")
+    def antis(p: String) = "LeftAnti".r.findAllIn(p).size
+    // Join-type pins read the OPTIMIZED LOGICAL plan: at sf0.001 the
+    // hot list is EMPTY and AQE (correctly) erases an anti join with
+    // an empty build side from the executed plan — the logical shape
+    // is what must not regress to a window.
+    for (name <- Seq("q_containment_pairs", "q_containment_capped")) {
+      val logical = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan.toString
+      assert(antis(logical) >= 1, s"$name cap must be an anti join:\n$logical")
+      val p = executedPlan(name)
+      assert(windows(p) == 1,
+        s"$name must carry ONLY the |A| window, got ${windows(p)}:\n$p")
+    }
     val docs = graft.sources.Tables.table(spark, dir, "documents")
     val uncapped = graft.ext.Dedup.containmentPairs(docs, "doc_id", "text",
       3, 0.6, maxShingleDf = Int.MaxValue)
     uncapped.collect()
     val off = uncapped.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(windows(off) < windows(deflt),
-      s"explicit uncap must drop the df windows: off=${windows(off)} " +
-        s"default=${windows(deflt)}")
+    assert(antis(off) == 0 && windows(off) == 1,
+      s"explicit uncap must drop the anti join: antis=${antis(off)} " +
+        s"windows=${windows(off)}")
   }
 }
