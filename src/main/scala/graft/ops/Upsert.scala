@@ -155,7 +155,17 @@ object Upsert {
         } else fs.create(marker, false).close()
         return target
       } catch {
-        case _: java.io.IOException => attempts += 1 // lost the race; retry
+        // Only a LOST RACE retries. java.nio and Hadoop each signal it
+        // with their own FileAlreadyExistsException; some HDFS paths
+        // surface it as a bare IOException, distinguishable by the
+        // marker now existing. Anything else (permission denied,
+        // connectivity) is a real failure — rethrowing immediately
+        // beats spinning 1000 list+create loops into a misleading
+        // "writer storm" report.
+        case _: java.nio.file.FileAlreadyExistsException => attempts += 1
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => attempts += 1
+        case e: java.io.IOException =>
+          if (fs.exists(marker)) attempts += 1 else throw e
       }
     }
     throw new IllegalStateException(

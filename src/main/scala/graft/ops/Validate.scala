@@ -119,23 +119,28 @@ object Validate {
     require(cols.nonEmpty, "no columns to profile")
     val numeric = df.schema.fields
       .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSet
-    val aggs = cols.flatMap { c =>
-      Seq(count(lit(1)).as(s"__r_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
-        countDistinct(col(c)).as(s"__d_$c"),
-        (if (numeric(c)) min(col(c)).cast(DoubleType) else lit(null).cast(DoubleType))
-          .as(s"__lo_$c"),
-        (if (numeric(c)) max(col(c)).cast(DoubleType) else lit(null).cast(DoubleType))
-          .as(s"__hi_$c"))
+    // Aggregates aliased by column POSITION, and the source column
+    // referenced back-quoted — a name carrying a dot or backtick would
+    // otherwise parse as a path (the pitfall expectationReport documents
+    // and dodges with positional aliases). Display name rides in lit().
+    def src(c: String): Column = col("`" + c.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(lit(1)).as(s"__r_$i"),
+        sum(when(src(c).isNull, 1L).otherwise(0L)).as(s"__n_$i"),
+        countDistinct(src(c)).as(s"__d_$i"),
+        (if (numeric(c)) min(src(c)).cast(DoubleType) else lit(null).cast(DoubleType))
+          .as(s"__lo_$i"),
+        (if (numeric(c)) max(src(c)).cast(DoubleType) else lit(null).cast(DoubleType))
+          .as(s"__hi_$i"))
     }
     df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(cols.map(c => struct(
+      .select(explode(array(cols.zipWithIndex.map { case (c, i) => struct(
           lit(c).as("column"),
-          col(s"__r_$c").cast("long").as("n_rows"),
-          col(s"__n_$c").cast("long").as("n_nulls"),
-          col(s"__d_$c").cast("long").as("n_distinct"),
-          col(s"__lo_$c").as("min_num"),
-          col(s"__hi_$c").as("max_num"))): _*)).as("p"))
+          col(s"__r_$i").cast("long").as("n_rows"),
+          col(s"__n_$i").cast("long").as("n_nulls"),
+          col(s"__d_$i").cast("long").as("n_distinct"),
+          col(s"__lo_$i").as("min_num"),
+          col(s"__hi_$i").as("max_num")) }: _*)).as("p"))
       .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct",
         "p.min_num", "p.max_num")
   }

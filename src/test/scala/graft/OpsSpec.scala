@@ -963,4 +963,18 @@ class OpsSpec extends SparkSpec {
       ("tag", 3L, 1L, 1L, None, None),
       ("v", 3L, 1L, 2L, Some(-1.0), Some(2.5))), got.toString)
   }
+
+  test("profile: dotted / backticked column names resolve (positional aliases)") {
+    import graft.ops.Validate
+    // A name with a dot would parse as a struct path (and one with a
+    // backtick would break the quoting) if aggregates were aliased or
+    // resolved by raw name — the expectationReport pitfall.
+    val df = Seq((1L, 2.0), (2L, 4.0)).toDF("a.b", "w`x")
+    val got = Validate.profile(df).orderBy("column").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)))).toSeq
+    assert(got == Seq(
+      ("a.b", 2L, 0L, 2L, Some(1.0), Some(2.0)),
+      ("w`x", 2L, 0L, 2L, Some(2.0), Some(4.0))), got.toString)
+  }
 }
