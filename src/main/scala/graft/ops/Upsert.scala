@@ -118,6 +118,68 @@ object Upsert {
     lines.filter(_.nonEmpty)
   }
 
+  /** CREATE-EXCLUSIVE of a marker file — the arbitration primitive
+    * under every claim/lock here. On HDFS the namenode arbitrates
+    * `create(overwrite = false)`. On the LOCAL filesystem Hadoop's
+    * RawLocalFileSystem implements that flag as exists()-then-create —
+    * a TOCTOU window — so `file:` paths go through java.nio
+    * `Files.createFile`, which is a real O_EXCL open. Object stores
+    * without atomic create-exclusive need a fronting layer (same
+    * caveat as the manifest rename). Throws the filesystem's
+    * already-exists/IO exception on a lost race — callers classify. */
+  private def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+                              marker: org.apache.hadoop.fs.Path): Unit =
+    if (fs.getScheme == "file") {
+      val p = org.apache.hadoop.fs.Path
+        .getPathWithoutSchemeAndAuthority(fs.makeQualified(marker))
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toString))
+      ()
+    } else fs.create(marker, false).close()
+
+  // ── provenance ──────────────────────────────────────────────────
+  // Manifests are dir-name lists, but concurrency reasoning needs ROW
+  // provenance: which original batches a dir's rows descend from.
+  //   batch-N            → root batch-N (itself)
+  //   batch-N-r<k>       → root batch-N (a conflict-resolved REWRITE of
+  //                        batch-N's fresh rows, see reconcileLineage)
+  //   compact-N          → the roots it absorbed, recorded at compaction
+  //                        time in `_snapshots/compact-N.absorbed` (one
+  //                        root per line; the CLOSURE, so reading it
+  //                        never recurses)
+  // coverage(dirs) = union of provenance — "whose contributions does
+  // this lineage already carry". Reconciliation and the compaction
+  // carry diff COVERAGE, never dir names: a dir absorbed by a later
+  // compaction is still reachable, and a compacted base can never be
+  // re-included alongside its own compact dir (the r14 double-read
+  // hazards).
+
+  private[graft] def rootOf(dirName: String): String =
+    dirName.replaceFirst("-r\\d+$", "")
+
+  private def absorbedPath(path: String, dirName: String) =
+    new org.apache.hadoop.fs.Path(snapDir(path), s"$dirName.absorbed")
+
+  private def provenance(spark: SparkSession, path: String,
+                         dirName: String): Set[String] =
+    if (dirName.startsWith("compact-")) {
+      val fs = fsFor(spark, path)
+      val f = absorbedPath(path, dirName)
+      // A compact dir without an absorbed record (pre-provenance sinks)
+      // is its own opaque root — conservative: it can satisfy no other
+      // dir's reachability and is never skipped from a carry.
+      if (!fs.exists(f)) Set(dirName)
+      else {
+        val in = fs.open(f)
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toSet
+        finally in.close()
+      }
+    } else Set(rootOf(dirName))
+
+  private def coverage(spark: SparkSession, path: String,
+                       dirs: Seq[String]): Set[String] =
+    dirs.iterator.flatMap(d => provenance(spark, path, d)).toSet
+
   /** Claim version number `latest+1` by CREATE-EXCLUSIVE of a
     * `v<N>.claim` marker: the optimistic-concurrency step that stops
     * two writers publishing the same version number. On collision the
@@ -126,15 +188,8 @@ object Upsert {
     * and v3, never v2 twice. A crashed claimant leaves an orphaned
     * claim file; its version number is simply skipped (version numbers
     * are dense only absent crashes — `latestVersion` counts published
-    * manifests, so readers never see the hole).
-    *
-    * Atomicity of the claim itself: on HDFS the namenode arbitrates
-    * `create(overwrite = false)`. On the LOCAL filesystem Hadoop's
-    * RawLocalFileSystem implements that flag as exists()-then-create —
-    * a TOCTOU window — so `file:` paths go through java.nio
-    * `Files.createFile`, which is a real O_EXCL open. Object stores
-    * without atomic create-exclusive need a fronting layer (same
-    * caveat as the manifest rename). */
+    * manifests, so readers never see the hole), and [[expireSnapshots]]
+    * sweeps claims the protocol has provably passed. */
   private def claimVersion(spark: SparkSession, path: String): Int = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
@@ -148,11 +203,7 @@ object Upsert {
       val target = math.max(published, claimed) + 1
       val marker = new org.apache.hadoop.fs.Path(snapDir(path), s"v$target.claim")
       try {
-        if (fs.getScheme == "file") {
-          val p = org.apache.hadoop.fs.Path
-            .getPathWithoutSchemeAndAuthority(fs.makeQualified(marker))
-          java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toString))
-        } else fs.create(marker, false).close()
+        createExclusive(fs, marker)
         return target
       } catch {
         // Only a LOST RACE retries. java.nio and Hadoop each signal it
@@ -179,30 +230,65 @@ object Upsert {
     * v2 = [b1, b2] — every FUTURE writer chains off v3 (the latest
     * manifest) and batch-2 silently leaves the lineage despite W1's
     * "successful" write. So after publishing, a writer verifies its
-    * data dir is reachable from the LATEST manifest; if an interleaved
-    * publish orphaned it, the writer re-claims a fresh (higher) version
-    * and republishes `latest's dirs :+ its own dir` — converging
-    * because claims strictly increase and every republished manifest
-    * re-includes the dir. Each intermediate version stays a readable,
-    * self-consistent snapshot.
+    * CONTRIBUTION is reachable from the latest manifest — by COVERAGE
+    * (root provenance), not dir name, so a dir absorbed into a later
+    * compact-* counts as reachable and is never re-published on top of
+    * the compaction that already carries its rows (the r14 duplication
+    * hazard). If an interleaved publish orphaned it, the writer
+    * re-claims a fresh (higher) version and republishes on top of the
+    * latest lineage — converging because claims strictly increase.
+    * Each intermediate version stays a readable, self-consistent
+    * snapshot.
     *
-    * What this does NOT give: key-level conflict detection. Two racers
-    * each anti-joined against the version published at THEIR claim
-    * time, so the reconciled lineage can carry the same key in two
-    * dirs — keep-existing is best-effort under concurrency, the
-    * documented line short of Delta/Iceberg. */
+    * KEY-LEVEL conflict resolution: both racers anti-joined against
+    * the version published at THEIR claim time, so the latest lineage
+    * may hold keys our batch also claims — appending the dir verbatim
+    * would duplicate them. Before republishing, the batch's rows are
+    * anti-joined against the FOREIGN dirs of the latest lineage (dirs
+    * whose provenance the writer's base chain did not cover); if any
+    * key was stolen, the surviving rows land in an immutable REWRITE
+    * dir `<root>-r<version>` (the original dir stays untouched — its
+    * own published version remains a self-consistent snapshot) and the
+    * rewrite is what joins the lineage. Keep-existing therefore holds
+    * per KEY under concurrency; which racer "existed first" is decided
+    * by reconciliation order, not wall clock. */
   private[graft] def reconcileLineage(spark: SparkSession, path: String,
-                                      published: Int, dirName: String): Int = {
+      published: Int, dirName: String, keys: Seq[String],
+      baseCoverage: Set[String],
+      schema: org.apache.spark.sql.types.StructType): Int = {
+    val known = baseCoverage + rootOf(dirName)
     var version = published
+    var curDir = dirName
     var attempts = 0
     while (attempts < 100) {
       val latest = latestVersion(spark, path)
-      if (latest == version ||
-          manifestDirs(spark, path, latest).contains(dirName)) return version
+      if (latest == version) return version
+      val latestDirs = manifestDirs(spark, path, latest)
+      if (coverage(spark, path, latestDirs).contains(rootOf(dirName)))
+        return version
+      // Orphaned: interleaved publishes won the chain. Resolve key
+      // conflicts against the dirs our base never saw, then republish.
+      val foreign = latestDirs.filter(d =>
+        provenance(spark, path, d).exists(r => !known.contains(r)))
       version = claimVersion(spark, path)
-      publishManifest(spark, path, version,
-        manifestDirs(spark, path, latestVersion(spark, path))
-          .filterNot(_ == dirName) :+ dirName)
+      val own = spark.read.schema(schema).parquet(s"$path/$curDir")
+      val nextDir =
+        if (foreign.isEmpty) curDir
+        else {
+          val rivalKeys = spark.read.schema(schema)
+            .parquet(foreign.map(d => s"$path/$d"): _*)
+            .select(keys.map(col): _*).distinct()
+          val stolen = own.join(rivalKeys, keys, "left_semi").count()
+          if (stolen == 0) curDir
+          else {
+            val rw = s"${rootOf(dirName)}-r$version"
+            own.join(rivalKeys, keys, "left_anti")
+              .write.mode("overwrite").parquet(s"$path/$rw")
+            rw
+          }
+        }
+      publishManifest(spark, path, version, latestDirs :+ nextDir)
+      curDir = nextDir
       attempts += 1
     }
     throw new IllegalStateException(
@@ -222,6 +308,8 @@ object Upsert {
                     keys: Seq[String], tieBreak: Seq[String]): Int = {
     val target = claimVersion(spark, path)
     val cur = latestVersion(spark, path)
+    val baseDirs = if (cur == 0) Seq.empty[String]
+                   else manifestDirs(spark, path, cur)
     val deduped = dedupOnKey(batch, keys, tieBreak)
     val fresh =
       if (cur == 0) deduped
@@ -230,9 +318,9 @@ object Upsert {
         keys, "left_anti")
     val dirName = s"batch-$target"
     fresh.write.mode("overwrite").parquet(s"$path/$dirName")
-    publishManifest(spark, path, target,
-      (if (cur == 0) Seq.empty else manifestDirs(spark, path, cur)) :+ dirName)
-    reconcileLineage(spark, path, target, dirName)
+    publishManifest(spark, path, target, baseDirs :+ dirName)
+    reconcileLineage(spark, path, target, dirName, keys,
+      coverage(spark, path, baseDirs), fresh.schema)
   }
 
   private def publishManifest(spark: SparkSession, path: String,
@@ -269,32 +357,99 @@ object Upsert {
     * manifests keep referencing the original immutable dirs, so every
     * historical version still time-travels — nothing is deleted here
     * (retention is a separate, explicitly destructive decision a
-    * deployment makes against its own version horizon). */
+    * deployment makes against its own version horizon).
+    *
+    * Concurrency: compaction is SERIALIZED by an exclusive
+    * `_snapshots/compact.lock` — two concurrent compactors basing on
+    * the same version would otherwise each publish a full base rewrite
+    * and the later one's carry would double-read the earlier's rows.
+    * (A crashed compactor leaves the lock; the error message names it
+    * — remove it after confirming no compactor is live. Writers are
+    * never blocked by the lock.) Compaction racing WRITERS stays
+    * optimistic: interleaved batch dirs are carried next to the
+    * compact dir, diffed by PROVENANCE so a dir whose rows the
+    * compacted base already covers (the base dirs themselves, or a
+    * rewrite of an absorbed batch) is never double-included. */
   def compactSnapshots(spark: SparkSession, path: String): Int = {
-    val cur = latestVersion(spark, path)
-    require(cur >= 1, "nothing to compact: no published snapshot")
-    // Same claim discipline as writeSnapshot: a compactor racing a
-    // writer must not reuse the writer's version number.
-    val target = claimVersion(spark, path)
-    val dirName = s"compact-$target"
-    readSnapshot(spark, path, cur)
-      .write.mode("overwrite").parquet(s"$path/$dirName")
-    // A writer may publish BETWEEN the base read (cur) and this
-    // publish; its dirs are not in the compacted file, and a bare
-    // [compact-N] manifest would drop them from the lineage. Detect
-    // the interleaved versions and carry their novel dirs alongside
-    // the compacted one (the rows are rewritten-base + the
-    // interleaved appends — exactly what a sequential compact-then-
-    // write would read). The writers' own reconcileLineage covers the
-    // inverse order (writer publishes after this publish).
-    val baseDirs = manifestDirs(spark, path, cur).toSet
-    val interleaved = ((cur + 1) until target)
-      .filter(v => fsFor(spark, path).exists(new org.apache.hadoop.fs.Path(
-        snapDir(path), s"v$v.list")))
-      .flatMap(v => manifestDirs(spark, path, v))
-      .distinct.filterNot(baseDirs)
-    publishManifest(spark, path, target, dirName +: interleaved)
-    reconcileLineage(spark, path, target, dirName)
+    val fs = fsFor(spark, path)
+    fs.mkdirs(snapDir(path))
+    val lock = new org.apache.hadoop.fs.Path(snapDir(path), "compact.lock")
+    try createExclusive(fs, lock) catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"compactSnapshots: another compaction holds $lock — if its " +
+            "process crashed, delete the lock file and retry", e)
+    }
+    try {
+      val cur = latestVersion(spark, path)
+      require(cur >= 1, "nothing to compact: no published snapshot")
+      // Same claim discipline as writeSnapshot: a compactor racing a
+      // writer must not reuse the writer's version number.
+      val target = claimVersion(spark, path)
+      val dirName = s"compact-$target"
+      val baseDirs = manifestDirs(spark, path, cur)
+      val absorbed = coverage(spark, path, baseDirs)
+      readSnapshot(spark, path, cur)
+        .write.mode("overwrite").parquet(s"$path/$dirName")
+      // Record provenance BEFORE the manifest publish: a manifest
+      // referencing a compact dir must never be readable without the
+      // dir's absorbed set (reconciliation reasons over it).
+      val af = absorbedPath(path, dirName)
+      val out = fs.create(af, true)
+      try out.write(absorbed.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      // A writer may publish BETWEEN the base read (cur) and this
+      // publish; its dirs are not in the compacted file, and a bare
+      // [compact-N] manifest would drop them from the lineage. Carry
+      // the interleaved dirs whose provenance the base does NOT cover
+      // (the rows are rewritten-base + the interleaved appends —
+      // exactly what a sequential compact-then-write would read). The
+      // writers' own reconcileLineage covers the inverse order (writer
+      // publishes after this publish). Provenance roots are singletons
+      // for batch/rewrite dirs and compact dirs are lock-excluded, so
+      // the subset test is exact — but guard the invariant anyway.
+      val interleaved = ((cur + 1) until target)
+        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+          snapDir(path), s"v$v.list")))
+        .flatMap(v => manifestDirs(spark, path, v))
+        .distinct
+        .filterNot(d => provenance(spark, path, d).subsetOf(absorbed))
+      interleaved.foreach { d =>
+        val p = provenance(spark, path, d)
+        if (p.exists(absorbed)) throw new IllegalStateException(
+          s"compactSnapshots: interleaved dir $d partially overlaps the " +
+            s"compacted base (${p.filter(absorbed)}) — concurrent " +
+            "compaction artifacts; resolve manually")
+      }
+      publishManifest(spark, path, target, dirName +: interleaved)
+      reconcileCompact(spark, path, target, dirName, absorbed)
+    } finally fs.delete(lock, false)
+  }
+
+  /** Compactor's post-publish reconciliation: if an interleaved writer
+    * (who chained off a pre-compaction manifest) published a lineage
+    * without the compact dir, republish `compact dir + the latest
+    * dirs its base does not cover`. No key-level step — the compact
+    * dir's rows ARE the base lineage, so covered dirs are whole-row
+    * duplicates to exclude, never key conflicts to resolve. */
+  private def reconcileCompact(spark: SparkSession, path: String,
+      published: Int, dirName: String, absorbed: Set[String]): Int = {
+    var version = published
+    var attempts = 0
+    while (attempts < 100) {
+      val latest = latestVersion(spark, path)
+      if (latest == version) return version
+      val latestDirs = manifestDirs(spark, path, latest)
+      if (latestDirs.contains(dirName)) return version
+      val carry = latestDirs
+        .filterNot(d => provenance(spark, path, d).subsetOf(absorbed))
+      version = claimVersion(spark, path)
+      publishManifest(spark, path, version, dirName +: carry)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"reconcileCompact: $dirName still unreachable from the latest " +
+        s"manifest at $path after 100 republishes — writer storm")
   }
 
   /** Time travel: version N exactly as published, whatever has been
@@ -317,25 +472,43 @@ object Upsert {
     * anything — time travel works up to the horizon a deployment pays
     * to keep, and [[compactSnapshots]] before expiry makes the
     * surviving versions cheap (old batch chains become unreferenced
-    * and reclaim here). Returns the number of data dirs deleted. */
+    * and reclaim here). Also sweeps HYGIENE debris: `v<N>.claim`
+    * markers with N ≤ the latest published version are provably dead
+    * (claims always target past max(published, claimed), so those
+    * numbers can never be re-claimed — a crashed claimant's marker
+    * would otherwise be listed by every future claim forever), and a
+    * deleted compact dir takes its `.absorbed` provenance record with
+    * it. Returns the number of data dirs deleted. */
   def expireSnapshots(spark: SparkSession, path: String,
                       keepFrom: Int): Int = {
     val cur = latestVersion(spark, path)
     require(keepFrom >= 1 && keepFrom <= cur,
       s"keepFrom must name an existing snapshot (1..$cur), got $keepFrom")
     val fs = fsFor(spark, path)
-    val keepVersions = (keepFrom to cur)
-    val referenced = keepVersions.flatMap(v => manifestDirs(spark, path, v)).toSet
-    val allVersions = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+    val snapNames = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+    // PUBLISHED versions only — crashed claims leave holes in the
+    // version numbering, so the keep range cannot be assumed dense.
+    val allVersions = snapNames
       .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
         n.stripPrefix("v").stripSuffix(".list").toInt }
+    val referenced = allVersions.filter(_ >= keepFrom)
+      .flatMap(v => manifestDirs(spark, path, v)).toSet
     val doomedDirs = allVersions.filter(_ < keepFrom)
       .flatMap(v => manifestDirs(spark, path, v)).toSet -- referenced
     allVersions.filter(_ < keepFrom).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.list"), false)
     }
+    snapNames
+      .collect { case n if n.startsWith("v") && n.endsWith(".claim") =>
+        n.stripPrefix("v").stripSuffix(".claim").toInt }
+      .filter(_ <= cur)
+      .foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.claim"),
+          false)
+      }
     doomedDirs.foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
+      if (d.startsWith("compact-")) fs.delete(absorbedPath(path, d), false)
     }
     doomedDirs.size
   }

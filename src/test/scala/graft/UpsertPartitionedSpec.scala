@@ -112,15 +112,109 @@ class UpsertPartitionedSpec extends SparkSpec {
     publishRaw(3, Seq("batch-1", "batch-3"))  // W2 won the publish race
     publishRaw(2, Seq("batch-1", "batch-2"))  // W1's late publish
     // W1's reconcile: batch-2 is unreachable from v3 (the latest), so
-    // it must claim v4 and republish [v3's dirs, batch-2].
-    val healed = Upsert.reconcileLineage(spark, path, 2, "batch-2")
+    // it must claim v4 and republish [v3's dirs, batch-2] — no rewrite
+    // dir, since the racers' keys are disjoint.
+    val sch = Seq((0L, "")).toDF("id", "v").schema
+    val healed = Upsert.reconcileLineage(spark, path, 2, "batch-2",
+      Seq("id"), Set("batch-1"), sch)
     assert(healed == 4, s"expected a fresh v4, got v$healed")
     assert(Upsert.readSnapshot(spark, path, 4).as[(Long, String)]
       .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
       "no batch may leave the lineage")
+    assert(!new java.io.File(path, "batch-2-r4").exists(),
+      "disjoint keys must republish the original dir, not a rewrite")
     // And a writer whose dir IS reachable does nothing.
-    assert(Upsert.reconcileLineage(spark, path, 4, "batch-2") == 4)
+    assert(Upsert.reconcileLineage(spark, path, 4, "batch-2",
+      Seq("id"), Set("batch-1"), sch) == 4)
     assert(Upsert.latestVersion(spark, path) == 4)
+  }
+
+  test("snapshot reconcile: two racers inserting the SAME key converge to one copy") {
+    // W1 and W2 both chain off v1 and both insert key 2; W2's publish
+    // wins the chain. W1's reconcile must detect the stolen key,
+    // rewrite its batch minus it, and republish — keep-existing holds
+    // per KEY under concurrency, and every version stays readable.
+    val path = java.nio.file.Files.createTempDirectory("snapk").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Seq((2L, "W1"), (4L, "d")).toDF("id", "v").write.parquet(s"$path/batch-2")
+    Seq((2L, "W2"), (3L, "c")).toDF("id", "v").write.parquet(s"$path/batch-3")
+    def publishRaw(v: Int, dirs: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "_snapshots", s"v$v.list"),
+        dirs.mkString("\n").getBytes("UTF-8"))
+    publishRaw(3, Seq("batch-1", "batch-3"))  // W2 won the chain
+    publishRaw(2, Seq("batch-1", "batch-2"))  // W1's late publish
+    val sch = Seq((0L, "")).toDF("id", "v").schema
+    val healed = Upsert.reconcileLineage(spark, path, 2, "batch-2",
+      Seq("id"), Set("batch-1"), sch)
+    assert(healed == 4, s"expected a fresh v4, got v$healed")
+    val v4 = Upsert.readSnapshot(spark, path, 4).as[(Long, String)]
+      .collect().toSet
+    assert(v4 == Set((1L, "a"), (2L, "W2"), (3L, "c"), (4L, "d")),
+      s"exactly one copy of key 2 (the chain winner's): $v4")
+    // W1's own published version is untouched and self-consistent.
+    assert(Upsert.readSnapshot(spark, path, 2).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "W1"), (4L, "d")))
+    // W2's reconcile (its contribution is reachable) changes nothing.
+    assert(Upsert.reconcileLineage(spark, path, 3, "batch-3",
+      Seq("id"), Set("batch-1"), sch) == 3)
+    assert(Upsert.latestVersion(spark, path) == 4)
+  }
+
+  test("snapshot reconcile: a compaction that absorbed the batch counts as reachable") {
+    // The r14 ADVICE hazard (b): a compactor publishes between a
+    // writer's publish and its reconcile check, absorbing the batch's
+    // rows into compact-N while dropping the batch DIR name. A
+    // name-based check would re-claim and republish [compact-N,
+    // batch-X] — every base row read twice. Coverage-based
+    // reachability must treat the absorbed dir as reachable.
+    val path = java.nio.file.Files.createTempDirectory("snapab").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    assert(Upsert.compactSnapshots(spark, path) == 3)
+    val sch = Seq((0L, "")).toDF("id", "v").schema
+    // batch-2's writer reconciles late: latest manifest is [compact-3]
+    // which carries batch-2's rows — reconcile must be a no-op.
+    assert(Upsert.reconcileLineage(spark, path, 2, "batch-2",
+      Seq("id"), Set("batch-1"), sch) == 2)
+    assert(Upsert.latestVersion(spark, path) == 3,
+      "no republish on top of the absorbing compaction")
+    assert(Upsert.readSnapshot(spark, path, 3).count() == 2)
+  }
+
+  test("compaction is serialized by an exclusive lock") {
+    val path = java.nio.file.Files.createTempDirectory("snaplk").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    val lock = new java.io.File(path + "/_snapshots", "compact.lock")
+    assert(lock.createNewFile(), "precondition: rival compactor holds the lock")
+    val e = intercept[IllegalStateException] { Upsert.compactSnapshots(spark, path) }
+    assert(e.getMessage.contains("compact.lock"), e.getMessage)
+    assert(lock.delete())
+    assert(Upsert.compactSnapshots(spark, path) == 2, "lock released → compaction runs")
+    assert(!lock.exists(), "lock removed after a successful compaction")
+  }
+
+  test("expiry sweeps dead claim markers: no version inflation after a crashed claimant") {
+    val path = java.nio.file.Files.createTempDirectory("snapgc").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // A claimant takes v2 and crashes before publishing.
+    val claim = new java.io.File(path + "/_snapshots", "v2.claim")
+    assert(claim.createNewFile())
+    // The next writer skips the dead number and publishes v3.
+    assert(Upsert.writeSnapshot(spark, path,
+      Seq((2L, "b")).toDF("id", "v"), Seq("id"), Seq("id")) == 3)
+    // Expiry (even one that keeps every version) sweeps claims the
+    // protocol has provably passed (≤ latest published).
+    assert(Upsert.expireSnapshots(spark, path, keepFrom = 1) == 0)
+    assert(!claim.exists(), "dead claim swept")
+    // The next version is latest+1 — no inflation from debris.
+    assert(Upsert.writeSnapshot(spark, path,
+      Seq((3L, "c")).toDF("id", "v"), Seq("id"), Seq("id")) == 4)
   }
 
   test("snapshot schema evolution: a later batch's new column reads as NULL for old rows") {
