@@ -1128,8 +1128,15 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DoubleType
     require(maxShingleDf >= 1, s"maxShingleDf must be >= 1, got $maxShingleDf")
-    val raw = docs.select(col(docKey),
-      explode(array_distinct(shingles(col(textCol), n))).as("__sh"))
+    // |A| (the containment denominator, a's DISTINCT shingle count) is
+    // derived AT EXPLODE TIME as size() of the very array being
+    // exploded — map-side, zero shuffles. r14 computed it as a count
+    // window over the doc key: a full extra shuffle+sort of the
+    // explosion for a number the pre-explode array already knows.
+    val exploded = docs
+      .select(col(docKey), array_distinct(shingles(col(textCol), n)).as("__arr"))
+      .select(col(docKey), size(col("__arr")).as("__na"),
+        explode(col("__arr")).as("__sh"))
     // The df-cap (the Contamination df-cap, in-operator): shingles in
     // more than `maxShingleDf` docs leave BOTH join sides — they stop
     // generating O(df²) bucket rows and stop counting as shared — while
@@ -1141,16 +1148,28 @@ object Dedup {
     // default); only an explicit Int.MaxValue compiles back to the
     // cap-free plan (PlanShapeSpec pins both).
     //
-    // The cap is a BROADCAST ANTI JOIN against the hot-shingle list,
-    // not a per-shingle count window: the hot set is tiny BY
-    // DEFINITION (each member appears in > maxShingleDf docs, so
-    // |hot| ≤ shingle-instances / maxShingleDf — a 10k cap divides the
-    // corpus' shingle volume by 10k), while a df window re-shuffles and
-    // re-sorts the FULL shingle explosion once per join side. The agg
-    // feeding the broadcast is combine-reduced (partial counts
-    // map-side). Measured at sf0.1: the window form cost
-    // q_containment_pairs 2.4 → 3.8 s over the uncapped plan; this
-    // form returns it to parity while keeping the cap.
+    // The capped plan PINS the (doc, na, shingle) explosion ONCE
+    // (localCheckpoint — executor-local blocks, spills past memory):
+    // the hot-shingle df-agg and BOTH join sides read the pin, so the
+    // tokenize+explode (the corpus-bandwidth-dominant step) runs once
+    // instead of four times. r14 shipped a 4×-recompute form whose
+    // comment claimed parity (~2.4 s) — the quiet closes contradicted
+    // it (3.8-4.3 s in-suite). Measured isolated at sf0.1 (min of two
+    // passes): r14 recompute+window 2.26 s → this shape 1.66-1.72 s.
+    // The pin is corpus-shingle-sized, the price SCALING.md records;
+    // the uncapped opt-in form keeps the pin-free two-branch plan.
+    //
+    // The cap itself is an ANTI JOIN against the tiny-by-definition
+    // hot list (|hot| ≤ shingle-instances / maxShingleDf), NOT a
+    // per-shingle count window (a window re-sorts the full explosion
+    // per side; measured 2.4 → 3.8 s in r14). No broadcast() hint:
+    // AQE broadcasts the hot list when it is actually small and falls
+    // back to a shuffle anti join when a caller-supplied tiny
+    // maxShingleDf (or 100 TB of boilerplate) grows it past the
+    // threshold — a forced hint would ship an unbounded build side to
+    // the driver (r14 ADVICE).
+    val raw =
+      if (maxShingleDf == Int.MaxValue) exploded else exploded.localCheckpoint()
     val hot =
       if (maxShingleDf == Int.MaxValue) null
       else raw.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
@@ -1158,20 +1177,11 @@ object Dedup {
         .select("__sh")
     def capped(d: DataFrame): DataFrame =
       if (maxShingleDf == Int.MaxValue) d
-      else d.join(broadcast(hot), Seq("__sh"), "left_anti")
-    // ORDER MATTERS: the |A| window runs on the raw (uncapped) shingle
-    // rows, the anti join prunes after. Both sides re-derive their
-    // shingles from the scan; ColumnPruning trims the |A| window out of
-    // the r branch. (A shared-subtree ReuseExchange form was tried and
-    // does NOT survive the optimizer: pruning strips the unused |A|
-    // column — and any no-op aggregate kept only to reference it — out
-    // of the r branch, which de-canonicalizes the two exchanges. The
-    // honest alternatives are this recompute or a corpus-sized pin;
-    // recompute wins while the shingle explode is cheaper than
-    // materializing every shingle instance.)
-    val withNa = raw
-      .withColumn("__na", count(lit(1)).over(Window.partitionBy(col(docKey))))
-    val l = capped(withNa)
+      else d.join(hot, Seq("__sh"), "left_anti")
+    // |A| counts the UNCAPPED profile (computed above, pre-cap), the
+    // anti join prunes after — so the cap shrinks containment, never
+    // inflates it.
+    val l = capped(raw)
       .select(col(docKey).as("a"), col("__na"), col("__sh"))
     val r = capped(raw).select(col(docKey).as("b"), col("__sh"))
     l.join(r, Seq("__sh"))

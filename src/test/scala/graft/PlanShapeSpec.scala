@@ -460,14 +460,17 @@ class PlanShapeSpec extends SparkSpec {
       s"no quadratic fallback:\n$plan")
   }
 
-  test("containment: df-cap is the DEFAULT shape — BROADCAST anti join, never df windows") {
-    // The r14 flip + rework: the generous df-cap is ON by default, and
-    // it compiles to a broadcast anti join against the tiny hot-shingle
-    // list — NOT a per-shingle count window (a window re-shuffles and
-    // re-sorts the full shingle explosion per join side; measured
-    // 2.4 → 3.8 s at sf0.1 before the rework). The only window in ANY
-    // shape is the |A| denominator. The exact form is opt-in
-    // (maxShingleDf = Int.MaxValue) and compiles with no anti join.
+  test("containment: df-cap is the DEFAULT shape — anti join, pinned explosion, ZERO windows") {
+    // The r15 rework: the generous df-cap is ON by default; it compiles
+    // to an anti join against the tiny hot-shingle list (AQE picks
+    // broadcast vs shuffle — no forced hint, r14 ADVICE), the (doc, na,
+    // shingle) explosion is pinned ONCE (localCheckpoint → RDD scan)
+    // so tokenize+explode never recomputes, and the |A| denominator is
+    // size() of the exploded array — NO window in any shape (r14's
+    // count-window re-shuffled the full explosion; measured 2.26 →
+    // 1.66-1.72 s isolated at sf0.1). The exact form is opt-in
+    // (maxShingleDf = Int.MaxValue) and compiles with no anti join and
+    // no pin.
     def windows(p: String) = "Window".r.findAllIn(p).size
     def antis(p: String) = "LeftAnti".r.findAllIn(p).size
     // Join-type pins read the OPTIMIZED LOGICAL plan: at sf0.001 the
@@ -475,12 +478,14 @@ class PlanShapeSpec extends SparkSpec {
     // an empty build side from the executed plan — the logical shape
     // is what must not regress to a window.
     for (name <- Seq("q_containment_pairs", "q_containment_capped")) {
-      val logical = SparkEntry.queries(name)(spark, dir)
-        .queryExecution.optimizedPlan.toString
+      val df = SparkEntry.queries(name)(spark, dir)
+      val logical = df.queryExecution.optimizedPlan.toString
       assert(antis(logical) >= 1, s"$name cap must be an anti join:\n$logical")
+      assert(logical.contains("LogicalRDD") || logical.contains("Scan ExistingRDD"),
+        s"$name must read the pinned explosion, not recompute it:\n$logical")
       val p = executedPlan(name)
-      assert(windows(p) == 1,
-        s"$name must carry ONLY the |A| window, got ${windows(p)}:\n$p")
+      assert(windows(p) == 0,
+        s"$name must carry NO window (|A| is size() at explode), got ${windows(p)}:\n$p")
     }
     val docs = graft.sources.Tables.table(spark, dir, "documents")
     val uncapped = graft.ext.Dedup.containmentPairs(docs, "doc_id", "text",
@@ -488,8 +493,10 @@ class PlanShapeSpec extends SparkSpec {
     uncapped.collect()
     val off = uncapped.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(antis(off) == 0 && windows(off) == 1,
-      s"explicit uncap must drop the anti join: antis=${antis(off)} " +
-        s"windows=${windows(off)}")
+    assert(antis(off) == 0 && windows(off) == 0,
+      s"explicit uncap must drop the anti join and carry no window: " +
+        s"antis=${antis(off)} windows=${windows(off)}")
+    assert(!off.contains("Scan ExistingRDD"),
+      "explicit uncap must not pin (pin-free two-branch plan)")
   }
 }
