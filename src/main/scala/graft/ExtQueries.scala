@@ -408,6 +408,272 @@ object ExtQueries {
         .orderBy("cntrycode")
     }),
 
+    "q_tpch_q2" -> ((s, dir) => {
+      // TPC-H Q2 (min-cost supplier per part in a region) ADAPTED: no
+      // partsupp table, so the supply relation is the distinct
+      // (l_partkey, l_suppkey) pairs observed in lineitem and the
+      // supply cost is MIN(l_extendedprice) per pair — an exact double
+      // (no arithmetic), so the min-equality compare is bit-identical
+      // across engines. The correlated-MIN subquery is the canonical
+      // decorrelation cliff: a per-row re-execution is Θ(parts·pairs).
+      // Decorrelated here to ONE pass — the region-restricted pair
+      // table is computed once and the per-part minimum is a window
+      // over it (partitioned by partkey), NOT an agg + self-join that
+      // would scan lineitem twice. Join order: the part filter
+      // (size ≤ 15 AND one of six types ⇒ ~1/12 of parts) and the
+      // region-filtered supplier dim both broadcast into the pair agg
+      // before the window, so the window input is already the pruned
+      // slice. One lineitem shuffle (the pair agg) + one partkey
+      // window shuffle total.
+      val ps = read(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice")).as("supply_cost"))
+      val eu = read(s, dir, "supplier")
+        .join(broadcast(read(s, dir, "nation")
+          .join(broadcast(read(s, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey", "n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+      val pf = read(s, dir, "part")
+        .filter(col("p_size") <= 15 && col("p_type") === "LARGE")
+        .select("p_partkey", "p_name")
+      val w = Window.partitionBy(col("l_partkey"))
+      ps.join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(eu), col("l_suppkey") === col("s_suppkey"))
+        .withColumn("__mc", min(col("supply_cost")).over(w))
+        .filter(col("supply_cost") === col("__mc"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+          "supply_cost")
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    "q_tpch_q8" -> ((s, dir) => {
+      // TPC-H Q8 (national market share): NATION_6's share of ECONOMY
+      // volume sold to AMERICA-region customers per year. Plan story:
+      // the p_type filter (1/6 of parts) broadcasts into lineitem
+      // FIRST; orders (date-pruned) is the one big shuffle join;
+      // customer rides a second shuffle keyed o_custkey; nation ×2 and
+      // region close as broadcasts (supplier is a broadcast too — 100
+      // rows). The share division happens on decimal-exact sums cast
+      // to double, rounded to 6dp so the compare is bit-stable.
+      val vol = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(3, 2))
+      val pf = read(s, dir, "part")
+        .filter(col("p_type") === "ECONOMY").select("p_partkey")
+      val ord = read(s, dir, "orders")
+        .filter(col("o_orderdate").between("1996-01-01", "1997-12-31"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+      val amNat = read(s, dir, "nation")
+        .join(broadcast(read(s, dir, "region")
+          .filter(col("r_name") === "AMERICA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cn_key"))
+      val cust = read(s, dir, "customer")
+        .join(broadcast(amNat), col("c_nationkey") === col("cn_key"))
+        .select("c_custkey")
+      val supNat = read(s, dir, "supplier")
+        .join(broadcast(read(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("sn_name"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "sn_name")
+      read(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey",
+          "l_extendedprice", "l_discount")
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("sn_name") === "NATION_6", vol)
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).cast(DoubleType) /
+          sum(vol).cast(DoubleType), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    "q_tpch_q11" -> ((s, dir) => {
+      // TPC-H Q11 (important stock for one nation) ADAPTED: no
+      // partsupp, so a part's "value" held by NATION_7's suppliers is
+      // the decimal-exact sum of l_extendedprice over that nation's
+      // lineitems. Shape preserved: GROUP BY part HAVING value above a
+      // fraction of the nation total — the scalar-subquery threshold is
+      // a broadcast ONE-ROW cross join (never an unpartitioned window,
+      // which would serialize every part through one reducer at scale),
+      // and `value·1000 > total` keeps the compare in exact decimal
+      // arithmetic with no fraction cast. The nation's supplier dim
+      // (~4 of 100 rows) broadcasts into the fact before the partkey
+      // shuffle, so the agg only shuffles the 1/25 slice.
+      val sup7 = read(s, dir, "supplier")
+        .join(broadcast(read(s, dir, "nation")
+          .filter(col("n_name") === "NATION_7")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      // Eager pin of the per-part agg (bounded by part cardinality):
+      // the total-side and filter-side consumers would otherwise each
+      // re-run the lineitem scan + partkey shuffle (the isnotnull
+      // pushed under the join defeats exchange reuse).
+      val pv = read(s, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_extendedprice")
+        .join(broadcast(sup7), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("__v"))
+        .localCheckpoint()
+      val tot = pv.agg(sum(col("__v")).as("__tot"))
+      pv.crossJoin(broadcast(tot))
+        .filter(col("__v") * 1000 > col("__tot"))
+        .select(col("l_partkey").as("p_partkey"),
+          col("__v").cast(DoubleType).as("part_value"))
+        .orderBy(col("part_value").desc, col("p_partkey"))
+    }),
+
+    "q_tpch_q12" -> ((s, dir) => {
+      // TPC-H Q12 (shipmode / priority matrix) ADAPTED: no
+      // shipmode/commit/receipt columns, so the bucketing dimension is
+      // lateness severity under the repo's established rule (late =
+      // shipped >90d after order date; critical = >180d), restricted to
+      // 1997 shipments. The shape is the point: one big
+      // lineitem⋈orders shuffle on orderkey (both sides large — the one
+      // join in the suite that cannot broadcast either side before the
+      // date filters) feeding a two-way CASE pivot aggregate. The
+      // year filter is pushed to the lineitem scan; only three narrow
+      // columns survive the scan on each side.
+      val li = read(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)
+        .select("l_orderkey", "l_shipdate")
+      val ord = read(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(when(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 180 DAYS"), "critical")
+          .otherwise("late").as("sev"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("sev")
+    }),
+
+    "q_tpch_q15" -> ((s, dir) => {
+      // TPC-H Q15 (top supplier): revenue per supplier over 1997-Q1,
+      // then the supplier(s) whose revenue EQUALS the max. The view +
+      // scalar-max shape decorrelates to: one suppkey agg over the
+      // date-pruned scan, a broadcast one-row MAX cross join, and an
+      // exact-decimal equality (sums are decimal, never double, so
+      // max-equality cannot be lost to float association order). The
+      // 100-row supplier dim broadcasts for the name at the end.
+      // Eager pin of the per-supplier agg (bounded by supplier
+      // cardinality): the max side and the filter side would otherwise
+      // each re-run the lineitem scan + suppkey shuffle (the isnotnull
+      // pushed under the join defeats exchange reuse).
+      val rev = read(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1997-01-01" &&
+          col("l_shipdate") < "1997-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount")).cast(DecimalType(3, 2))).as("__rev"))
+        .localCheckpoint()
+      val mx = rev.agg(max(col("__rev")).as("__mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("__rev") === col("__mx"))
+        .join(broadcast(read(s, dir, "supplier").select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("__rev").cast(DoubleType).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q_tpch_q16" -> ((s, dir) => {
+      // TPC-H Q16 (supplier count by part attributes) ADAPTED: the
+      // supply relation is lineitem's distinct pairs; the excluded
+      // "complaint" suppliers are those with negative balance (no
+      // comment column). Plan order matters: the part attribute filter
+      // (8 of 50 sizes, brand/type excludes) BROADCASTS into lineitem
+      // BEFORE the distinct — the dedup shuffle carries ~1/6 of the
+      // pairs, not all of them. The supplier blacklist is a broadcast
+      // LEFT ANTI (6 rows). COUNT(DISTINCT suppkey) re-shuffles on the
+      // 3-col group key; both shuffles are narrow-key only.
+      val pf = read(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val bad = read(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      read(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey").distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    "q_tpch_q19" -> ((s, dir) => {
+      // TPC-H Q19 (disjunctive OR-of-ANDs predicate join) ADAPTED to
+      // the available columns (no shipmode/shipinstruct): three
+      // brand×size×quantity conjunctions OR'd together. The stressor is
+      // predicate placement: the part-only disjunction (brand+size) is
+      // pre-applied to the part side so the broadcast carries ~3/50 of
+      // brands, and the lineitem-only envelope (qty ∈ [1,30]) is pushed
+      // to the fact scan; the full mixed-table residual stays on the
+      // join. A planner that kept the whole OR as a post-join filter
+      // would broadcast all 2000 parts and filter late — at 100× scale
+      // that's the Q19 cliff.
+      val pf = read(s, dir, "part")
+        .filter((col("p_brand") === "Brand#11" && col("p_size").between(1, 5)) ||
+          (col("p_brand") === "Brand#22" && col("p_size").between(1, 10)) ||
+          (col("p_brand") === "Brand#33" && col("p_size").between(1, 15)))
+        .select("p_partkey", "p_brand")
+      read(s, dir, "lineitem")
+        .filter(col("l_quantity").between(1, 30))
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        .join(broadcast(pf), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#11" && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#22" && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#33" && col("l_quantity").between(20, 30))))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount")).cast(DecimalType(3, 2)))
+          .cast(DoubleType).as("revenue"))
+    }),
+
+    "q_tpch_q20" -> ((s, dir) => {
+      // TPC-H Q20 (suppliers holding excess stock of a part family)
+      // ADAPTED: no partsupp/availqty, so "excess" = the supplier
+      // shipped MORE THAN HALF of a PROMO part's total 1997 volume.
+      // The canonical two-level nested IN (supplier IN pairs WHERE part
+      // IN family AND qty > 0.5·(correlated SUM)) decorrelates to ONE
+      // aggregate pass: group the PROMO-pruned 1997 slice by
+      // (part, supplier), get the part total as a window over the SAME
+      // aggregate (partitioned by partkey — never a second lineitem
+      // scan), compare in integer-exact decimal (sq·2 > tot), then ONE
+      // distinct-suppkey semi join into the nation-filtered supplier
+      // dim. The PROMO part list broadcasts before the pair shuffle.
+      val promo = read(s, dir, "part")
+        .filter(col("p_type") === "PROMO").select("p_partkey")
+      val pairs = read(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")) === 1997)
+        .select("l_partkey", "l_suppkey", "l_quantity")
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("__sq"))
+      val w = Window.partitionBy(col("l_partkey"))
+      val excess = pairs
+        .withColumn("__tot", sum(col("__sq")).over(w))
+        .filter(col("__sq") * 2 > col("__tot"))
+        .select("l_suppkey")
+      read(s, dir, "supplier")
+        .join(broadcast(read(s, dir, "nation")
+          .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    }),
+
     "q_rolling_mean" -> ((s, dir) => {
       // Frame window: trailing 7-row mean per event type — the rolling
       // analytic beyond the reference's lag-1. (event_id breaks ts ties
@@ -824,6 +1090,47 @@ object ExtQueries {
           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
             .as("revenue"))
         .orderBy("channel")
+    }),
+
+    "q_attr_linear" -> ((s, dir) => {
+      // Multi-touch credit, LINEAR model: each purchase's value splits
+      // equally across its in-window touches. Same one-window scale
+      // shape as q_attribution (zero joins); the oracle recomputes the
+      // split through the naive pair join DuckDB can afford at sf0.01.
+      Analytics.attributionReport(read(s, dir, "events"),
+        col("user_id"), col("ts"), col("value"),
+        isConversion = col("event_type") === "purchase",
+        isTouch = col("event_type").isin("click", "view", "signup"),
+        touchLabel = col("event_type"),
+        lookbackSeconds = AttributionLookbackSec, model = "linear")
+    }),
+
+    "q_attr_position" -> ((s, dir) => {
+      // Multi-touch credit, POSITION (U-shaped 40/20/40) model: 40% to
+      // the first touch's channel, 40% to the last, 20% split across
+      // the middles (100% / 50-50 when only one / two touches exist).
+      Analytics.attributionReport(read(s, dir, "events"),
+        col("user_id"), col("ts"), col("value"),
+        isConversion = col("event_type") === "purchase",
+        isTouch = col("event_type").isin("click", "view", "signup"),
+        touchLabel = col("event_type"),
+        lookbackSeconds = AttributionLookbackSec, model = "position")
+    }),
+
+    "q_attr_decay" -> ((s, dir) => {
+      // Multi-touch credit, TIME-DECAY model: half-life bucketed decay
+      // (a touch k day-buckets before the purchase weighs 2^-k). The
+      // bucket trick keeps the weights window-computable (per-channel
+      // × bucket-residue counts over ONE shared frame) and exact —
+      // every weight is a negative power of two, so channel sums are
+      // order-independent and hash-match the oracle's pair-join sum.
+      Analytics.attributionReport(read(s, dir, "events"),
+        col("user_id"), col("ts"), col("value"),
+        isConversion = col("event_type") === "purchase",
+        isTouch = col("event_type").isin("click", "view", "signup"),
+        touchLabel = col("event_type"),
+        lookbackSeconds = AttributionLookbackSec, model = "decay",
+        halflifeSeconds = 24L * 3600)
     }),
 
     "q_event_funnel" -> ((s, dir) => {
@@ -5184,6 +5491,135 @@ object ExtQueries {
              WHERE o_custkey = c_custkey AND o_totalprice > 450000)
          GROUP BY 1 ORDER BY 1""",
 
+    // Q2 adapted (no partsupp): supply cost = MIN(l_extendedprice) per
+    // observed (part, supplier) pair; correlated MIN kept literal here
+    // so DuckDB exercises the canonical nested shape.
+    "q_tpch_q2" ->
+      """WITH ps AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+             MIN(l_extendedprice) AS supply_cost
+           FROM lineitem GROUP BY 1, 2),
+         eu AS (SELECT s_suppkey, s_acctbal, s_name, n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE')
+         SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+         FROM ps ps1 JOIN part ON pk = p_partkey JOIN eu ON sk = s_suppkey
+         WHERE p_size <= 15 AND p_type = 'LARGE'
+           AND supply_cost = (SELECT MIN(ps2.supply_cost)
+             FROM ps ps2 JOIN eu eu2 ON ps2.sk = eu2.s_suppkey
+             WHERE ps2.pk = ps1.pk)
+         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+
+    "q_tpch_q8" ->
+      """SELECT year(o_orderdate) AS o_year,
+           ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_6'
+               THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(3,2))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE),
+             6) AS mkt_share
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         JOIN region ON cn.n_regionkey = r_regionkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+           AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+         GROUP BY 1 ORDER BY 1""",
+
+    // Q11 adapted (no partsupp): part value for a nation = exact sum of
+    // that nation's lineitem extended prices; threshold = 1/1000 of the
+    // nation total, compared as value*1000 > total (exact decimal).
+    "q_tpch_q11" ->
+      """WITH pv AS (SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+           FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_7' GROUP BY 1)
+         SELECT l_partkey AS p_partkey, CAST(v AS DOUBLE) AS part_value
+         FROM pv, (SELECT SUM(v) AS tot FROM pv)
+         WHERE v * 1000 > tot
+         ORDER BY part_value DESC, p_partkey""",
+
+    // Q12 adapted (no shipmode/receipt): severity buckets under the
+    // repo's late rule (>90d after order date; critical >180d).
+    "q_tpch_q12" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 180 DAY
+             THEN 'critical' ELSE 'late' END AS sev,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE year(l_shipdate) = 1997
+           AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+         GROUP BY 1 ORDER BY 1""",
+
+    "q_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(3,2))) AS total_revenue
+           FROM lineitem
+           WHERE l_shipdate >= DATE '1997-01-01'
+             AND l_shipdate < DATE '1997-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name,
+           CAST(total_revenue AS DOUBLE) AS total_revenue
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey,
+           (SELECT MAX(total_revenue) AS mx FROM rev)
+         WHERE total_revenue = mx
+         ORDER BY s_suppkey""",
+
+    // Q16 adapted (no partsupp/comment): pairs from lineitem; the
+    // excluded suppliers are the negative-balance ones.
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         JOIN part ON l_partkey = p_partkey
+         WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+           AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2, 3
+         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    // Q19 adapted (no shipmode/shipinstruct): three brand×size×qty
+    // conjunctions OR'd across the part-lineitem join.
+    "q_tpch_q19" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 30)""",
+
+    // Q20 adapted (no availqty): excess = supplier shipped more than
+    // half a PROMO part's total 1997 quantity; nested-IN kept literal.
+    "q_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name = 'NATION_3' AND s_suppkey IN (
+           SELECT l_suppkey FROM (
+             SELECT l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+               SUM(SUM(CAST(l_quantity AS DECIMAL(12,2))))
+                 OVER (PARTITION BY l_partkey) AS tot
+             FROM lineitem
+             WHERE year(l_shipdate) = 1997 AND l_partkey IN
+               (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+             GROUP BY l_partkey, l_suppkey)
+           WHERE sq * 2 > tot)
+         ORDER BY s_name""",
+
     "q_rolling_mean" ->
       """SELECT event_id, event_type,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) OVER w AS DOUBLE)
@@ -6237,6 +6673,104 @@ object ExtQueries {
             CAST(count(*) AS BIGINT) AS conversions,
             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
           FROM attr GROUP BY 1 ORDER BY 1""",
+
+    // Linear credit via the naive conversion×touch pair join (fine in
+    // DuckDB at sf0.01; the Spark side must NEVER take this shape).
+    // Double ops mirror the operator expression order exactly; credits
+    // round to 6dp then sum as DECIMAL(20,6).
+    "q_attr_linear" ->
+      """WITH conv AS (SELECT event_id AS cid, user_id, ts AS cts, value
+            FROM events WHERE event_type = 'purchase'),
+          tch AS (SELECT user_id, ts AS tts, event_type AS ch FROM events
+            WHERE event_type IN ('click', 'view', 'signup')),
+          p AS (SELECT cid, value, ch FROM conv JOIN tch USING (user_id)
+            WHERE tts <= cts AND tts >= cts - INTERVAL 3 DAY),
+          n AS (SELECT cid, count(*) AS nn FROM p GROUP BY 1),
+          cr AS (SELECT p.cid, p.ch,
+              ROUND(any_value(p.value) * count(*) / any_value(n.nn), 6) AS rc
+            FROM p JOIN n USING (cid) GROUP BY p.cid, p.ch),
+          att AS (SELECT ch AS channel, CAST(count(*) AS BIGINT) AS conversions,
+              CAST(SUM(CAST(rc AS DECIMAL(20,6))) AS DOUBLE) AS credit
+            FROM cr WHERE rc > 0 GROUP BY 1),
+          un AS (SELECT '(none)' AS channel,
+              CAST(count(*) AS BIGINT) AS conversions,
+              CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6))) AS DOUBLE) AS credit
+            FROM conv c WHERE NOT EXISTS (SELECT 1 FROM tch t
+              WHERE t.user_id = c.user_id AND t.tts <= c.cts
+                AND t.tts >= c.cts - INTERVAL 3 DAY)
+            HAVING count(*) > 0)
+          SELECT * FROM att UNION ALL SELECT * FROM un ORDER BY channel""",
+
+    // U-shaped 40/20/40: first/last tie-break is (ts, label) /
+    // (ts DESC, label DESC) — the operator's struct min/max order.
+    "q_attr_position" ->
+      """WITH conv AS (SELECT event_id AS cid, user_id, ts AS cts, value
+            FROM events WHERE event_type = 'purchase'),
+          tch AS (SELECT user_id, ts AS tts, event_type AS ch FROM events
+            WHERE event_type IN ('click', 'view', 'signup')),
+          p AS (SELECT cid, value, ch, tts FROM conv JOIN tch USING (user_id)
+            WHERE tts <= cts AND tts >= cts - INTERVAL 3 DAY),
+          fl AS (SELECT cid, value, ch,
+              count(*) OVER (PARTITION BY cid) AS nn,
+              first_value(ch) OVER (PARTITION BY cid ORDER BY tts, ch) AS fch,
+              first_value(ch) OVER (PARTITION BY cid ORDER BY tts DESC, ch DESC) AS lch
+            FROM p),
+          g AS (SELECT cid, ch, any_value(value) AS v, any_value(nn) AS nn,
+              count(*) AS nc, any_value(fch) AS fch, any_value(lch) AS lch
+            FROM fl GROUP BY cid, ch),
+          cr AS (SELECT cid, ch, ROUND(CASE
+              WHEN nn = 1 THEN v * (CASE WHEN fch = ch THEN 1.0 ELSE 0.0 END)
+              WHEN nn = 2 THEN
+                v * 0.5 * (CASE WHEN fch = ch THEN 1.0 ELSE 0.0 END)
+                + v * 0.5 * (CASE WHEN lch = ch THEN 1.0 ELSE 0.0 END)
+              ELSE v * 0.4 * (CASE WHEN fch = ch THEN 1.0 ELSE 0.0 END)
+                + v * 0.4 * (CASE WHEN lch = ch THEN 1.0 ELSE 0.0 END)
+                + v * 0.2 * (nc - (CASE WHEN fch = ch THEN 1.0 ELSE 0.0 END)
+                  - (CASE WHEN lch = ch THEN 1.0 ELSE 0.0 END)) / (nn - 2)
+              END, 6) AS rc FROM g),
+          att AS (SELECT ch AS channel, CAST(count(*) AS BIGINT) AS conversions,
+              CAST(SUM(CAST(rc AS DECIMAL(20,6))) AS DOUBLE) AS credit
+            FROM cr WHERE rc > 0 GROUP BY 1),
+          un AS (SELECT '(none)' AS channel,
+              CAST(count(*) AS BIGINT) AS conversions,
+              CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6))) AS DOUBLE) AS credit
+            FROM conv c WHERE NOT EXISTS (SELECT 1 FROM tch t
+              WHERE t.user_id = c.user_id AND t.tts <= c.cts
+                AND t.tts >= c.cts - INTERVAL 3 DAY)
+            HAVING count(*) > 0)
+          SELECT * FROM att UNION ALL SELECT * FROM un ORDER BY channel""",
+
+    // Half-life bucket decay: weight = 2^-(conv_bucket - touch_bucket)
+    // with day buckets of the epoch-micros line — exact powers of two,
+    // so the pair-join sum here equals the operator's windowed
+    // residue-count reconstruction bit-for-bit.
+    "q_attr_decay" ->
+      """WITH conv AS (SELECT event_id AS cid, user_id, ts AS cts, value
+            FROM events WHERE event_type = 'purchase'),
+          tch AS (SELECT user_id, ts AS tts, event_type AS ch FROM events
+            WHERE event_type IN ('click', 'view', 'signup')),
+          p AS (SELECT cid, value, ch,
+              (epoch_us(cts) // 86400000000) - (epoch_us(tts) // 86400000000) AS dist
+            FROM conv JOIN tch USING (user_id)
+            WHERE tts <= cts AND tts >= cts - INTERVAL 3 DAY),
+          wt AS (SELECT cid, value, ch,
+              1.0 / (1::BIGINT << dist) AS w FROM p),
+          tot AS (SELECT cid, SUM(w) AS wtot FROM wt GROUP BY 1),
+          cw AS (SELECT cid, ch, any_value(value) AS v, SUM(w) AS wc
+            FROM wt GROUP BY cid, ch),
+          cr AS (SELECT cid, ch, ROUND(v * wc / wtot, 6) AS rc
+            FROM cw JOIN tot USING (cid)),
+          att AS (SELECT ch AS channel, CAST(count(*) AS BIGINT) AS conversions,
+              CAST(SUM(CAST(rc AS DECIMAL(20,6))) AS DOUBLE) AS credit
+            FROM cr WHERE rc > 0 GROUP BY 1),
+          un AS (SELECT '(none)' AS channel,
+              CAST(count(*) AS BIGINT) AS conversions,
+              CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6))) AS DOUBLE) AS credit
+            FROM conv c WHERE NOT EXISTS (SELECT 1 FROM tch t
+              WHERE t.user_id = c.user_id AND t.tts <= c.cts
+                AND t.tts >= c.cts - INTERVAL 3 DAY)
+            HAVING count(*) > 0)
+          SELECT * FROM att UNION ALL SELECT * FROM un ORDER BY channel""",
 
     "q_event_funnel" ->
       s"""WITH $funnelCtes

@@ -804,4 +804,155 @@ object Analytics {
         col("__last.label").as("last_touch"),
         col("__last.t").as("last_ts"))
   }
+
+  /** Multi-touch ATTRIBUTION credit models — the report layer every
+    * marketing-analytics user asks for after [[attributeConversions]]'
+    * first/last touch: `linear` (equal split across in-window touches),
+    * `position` (U-shaped 40/20/40: first, middles, last), and `decay`
+    * (half-life bucketed exponential decay). Returns one row per
+    * channel: (channel, conversions, credit), plus a `(none)` row
+    * carrying the full value of unattributed conversions.
+    *
+    * Scale shape — the same contract as [[attributeConversions]]: NO
+    * conversion×touch join anywhere (the naive credit-split join is
+    * Θ(convs · touches-per-user) rows through a shuffle). ONE window
+    * partitioned by user over the `lookbackSeconds` range frame
+    * computes every per-channel aggregate in a single WindowExec (the
+    * aggregates all share one window spec); the channel list is a
+    * driver collect BOUNDED BY CHANNEL CARDINALITY (tens, like the ANN
+    * centroid collects — documented operator contract); the unpivot
+    * multiplies conversions × (channels+1) rows, bounded the same way;
+    * the final group is on the tiny channel key. One user-key shuffle
+    * + one channel-key shuffle total, at ANY conversion/touch ratio.
+    *
+    * Exactness contract: per-conversion credits are ROUND(·, 6) then
+    * summed as DECIMAL(20,6) — the channel totals are bit-stable under
+    * any row order and match a SQL oracle computing the same formulas.
+    * The decay weights are exact negative powers of two (half-life
+    * BUCKET decay: a touch `k` half-life buckets before the conversion
+    * weighs 2^-k, where buckets are fixed `halflifeSeconds` windows of
+    * the epoch-micros timeline). Bucketing is what makes the weight
+    * WINDOW-COMPUTABLE without a pair join: a frame of width
+    * `lookbackSeconds` spans at most M = lookback/halflife + 2
+    * consecutive buckets, so per-(channel, bucket mod M) counts over
+    * the one shared window reconstruct every touch's bucket distance
+    * exactly — the continuous-exponential variant would need exp() of
+    * unbounded epoch offsets (overflow) or a per-pair join.
+    *
+    * A touch at exactly the conversion timestamp counts (both frame
+    * bounds inclusive); first/last tie-break at equal ts is
+    * lexicographic on the label, deterministic on both engines.
+    */
+  def attributionReport(events: DataFrame, user: Column, ts: Column,
+                        value: Column, isConversion: Column, isTouch: Column,
+                        touchLabel: Column, lookbackSeconds: Long,
+                        model: String,
+                        halflifeSeconds: Long = 0L): DataFrame = {
+    require(lookbackSeconds > 0, "lookback must be positive")
+    require(Set("linear", "position", "decay")(model),
+      s"unknown model '$model' (linear | position | decay)")
+    val touch = isTouch && ts.isNotNull
+    // Bounded driver collect: distinct channel labels (operator
+    // contract — channels are a small closed set, like event types).
+    val channels = events.filter(touch)
+      .select(touchLabel.cast("string").as("__c")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val lookUs = lookbackSeconds * 1000000L
+    val w = Window.partitionBy(user).orderBy(unix_micros(ts))
+      .rangeBetween(-lookUs, 0L)
+
+    val idx = channels.indices
+    val m = if (model == "decay") {
+      require(halflifeSeconds > 0, "decay model needs halflifeSeconds")
+      val m0 = (lookbackSeconds / halflifeSeconds).toInt + 2
+      require(m0 <= 62, "lookback/halflife too large for exact 2^-k weights")
+      m0
+    } else 0
+    // Bucket = epoch-micros DIV halflife-micros (exact: the subtraction
+    // makes the dividend an exact multiple, so the double division is
+    // exact integer — never a float-floor off-by-one). A frame spans at
+    // most m consecutive buckets, so bucket mod m is injective inside
+    // it and pmod(r0 - r, m) recovers each touch's exact bucket
+    // distance from the conversion.
+    val hUs = if (model == "decay") halflifeSeconds * 1000000L else 1L
+    val ep = ((unix_micros(ts) - pmod(unix_micros(ts), lit(hUs))) / lit(hUs))
+      .cast("long")
+    // EVERY window aggregate goes into ONE select over the shared spec
+    // `w` — sequential withColumns would leave a Project between each
+    // logical Window and defeat CollapseWindow, stacking one
+    // WindowExec + Sort per aggregate (the pin asserts exactly one).
+    val winCols = Seq.newBuilder[Column]
+    winCols += count(when(touch, 1)).over(w).as("__N")
+    for (i <- idx)
+      winCols += count(when(touch && touchLabel === channels(i), 1))
+        .over(w).as(s"__n_$i")
+    if (model == "position") {
+      val tagged = when(touch, struct(ts.as("t"),
+        touchLabel.cast("string").as("label")))
+      winCols += min(tagged).over(w).as("__first")
+      winCols += max(tagged).over(w).as("__last")
+    }
+    if (model == "decay")
+      for (i <- idx; r <- 0 until m)
+        winCols += count(when(touch && touchLabel === channels(i) &&
+          pmod(ep, lit(m)) === r, 1)).over(w).as(s"__d_${i}_$r")
+    var base = events.select(col("*") +: winCols.result(): _*)
+    if (model == "decay") {
+      // Row-level close over the window counts: W_i = Σ_r count(channel
+      // i, bucket≡r) · 2^-dist(r) — every term an exact negative power
+      // of two, so the additions are order-independent and oracle-exact.
+      base = base.withColumn("__r0", pmod(ep, lit(m)))
+      def wsum(i: Int): Column =
+        (0 until m).map { r =>
+          col(s"__d_${i}_$r") * (lit(1.0) /
+            expr(s"shiftleft(1L, CAST(pmod(__r0 - $r, $m) AS INT))"))
+        }.reduce(_ + _)
+      base = idx.foldLeft(base)((d, i) => d.withColumn(s"__w_$i", wsum(i)))
+      base = base.withColumn("__W", idx.map(i => col(s"__w_$i")).reduce(_ + _))
+    }
+
+    // Per-channel rounded credit for the conversion row, or NULL when
+    // the channel earns nothing (keeps the unpivot sparse). The double
+    // expressions mirror the SQL oracle operation-for-operation so the
+    // pre-round values are bit-identical.
+    def emit(c: Column): Column = { val r = round(c, 6); when(r > 0, r) }
+    val credits: Seq[(String, Column)] = model match {
+      case "linear" =>
+        idx.map { i =>
+          channels(i) ->
+            emit(when(col("__N") > 0, value * col(s"__n_$i") / col("__N")))
+        }
+      case "position" =>
+        idx.map { i =>
+          val f = when(col("__first.label") === channels(i), 1.0).otherwise(0.0)
+          val l = when(col("__last.label") === channels(i), 1.0).otherwise(0.0)
+          val n = col(s"__n_$i")
+          channels(i) -> emit(
+            when(col("__N") === 1, value * f)
+              .when(col("__N") === 2, value * 0.5 * f + value * 0.5 * l)
+              .when(col("__N") >= 3,
+                value * 0.4 * f + value * 0.4 * l +
+                  value * 0.2 * (n - f - l) / (col("__N") - 2)))
+        }
+      case "decay" =>
+        idx.map { i =>
+          channels(i) ->
+            emit(when(col("__W") > 0, value * col(s"__w_$i") / col("__W")))
+        }
+    }
+
+    val perConv = base.filter(isConversion && ts.isNotNull)
+    val entries = credits.map { case (c, cr) =>
+      struct(lit(c).as("channel"), cr.as("credit"))
+    } :+ struct(lit("(none)").as("channel"),
+      when(col("__N") === 0, round(value, 6)).as("credit"))
+    perConv
+      .select(explode(array(entries: _*)).as("__e"))
+      .filter(col("__e.credit").isNotNull)
+      .groupBy(col("__e.channel").as("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        sum(col("__e.credit").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("credit"))
+      .orderBy("channel")
+  }
 }

@@ -887,6 +887,52 @@ class OpsSpec extends SparkSpec {
       (30L, None, None)), got.toString)
   }
 
+  test("attributionReport: linear / position / decay credits match hand computation") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // user 1: click d1, view d2, click d3 → purchase d3 (value 8);
+      // all three inside the 2-day lookback (bounds inclusive).
+      (10L, 1L, "click", ts("2024-01-01 00:00:00"), 0.0),
+      (11L, 1L, "view", ts("2024-01-02 00:00:00"), 0.0),
+      (12L, 1L, "click", ts("2024-01-03 00:00:00"), 0.0),
+      (13L, 1L, "purchase", ts("2024-01-03 00:00:00"), 8.0),
+      // user 2: unattributed purchase (value 2)
+      (20L, 2L, "purchase", ts("2024-01-05 00:00:00"), 2.0),
+      // user 3: single view 23:00 → purchase 01:00 next day (value 1):
+      // only 2h apart but ONE day-bucket boundary between them (decay
+      // dist = 1 — bucket semantics, not elapsed time; still 100% of
+      // the credit since it's the only touch).
+      (30L, 3L, "view", ts("2024-01-04 23:00:00"), 0.0),
+      (31L, 3L, "purchase", ts("2024-01-05 01:00:00"), 1.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    def run(model: String) =
+      Analytics.attributionReport(events, col("user_id"), col("ts"),
+          col("value"), col("event_type") === "purchase",
+          col("event_type").isin("click", "view"), col("event_type"),
+          lookbackSeconds = 2L * 24 * 3600, model = model,
+          halflifeSeconds = 24L * 3600)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    // linear: u1 splits 8 as click 2/3, view 1/3; u3 view 1.0
+    assert(run("linear") == Seq(
+      ("(none)", 1L, 2.0),
+      ("click", 1L, 5.333333),
+      ("view", 2L, 3.666667)), run("linear").toString)
+    // position (N=3): first=click(d1) 40%, last=click(d3) 40%, middle
+    // view 20% → click 6.4, view 1.6; u3 single touch → view 1.0
+    assert(run("position") == Seq(
+      ("(none)", 1L, 2.0),
+      ("click", 1L, 6.4),
+      ("view", 2L, 2.6)), run("position").toString)
+    // decay (1d half-life buckets): weights click d1→0.25, view d2→0.5,
+    // click d3→1.0; W=1.75 → click 8·1.25/1.75, view 8·0.5/1.75
+    assert(run("decay") == Seq(
+      ("(none)", 1L, 2.0),
+      ("click", 1L, 5.714286),
+      ("view", 2L, 3.285714)), run("decay").toString)
+  }
+
   test("expectationReport: NULL pred is a violation; uniqueness skips NULL keys; one scan") {
     import graft.ops.Validate
     val df = Seq(

@@ -401,6 +401,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"), s"the range-frame window:\n$plan")
   }
 
+  test("multi-touch attribution: every model is one window, one scan, zero joins") {
+    // The credit-split temptation is a conversion×touch pair join; the
+    // operator's contract is that linear, position, AND decay all stay
+    // a single user-partitioned range window over one events scan (the
+    // bounded channel-list collect happens outside the returned plan).
+    for (q <- Seq("q_attr_linear", "q_attr_position", "q_attr_decay")) {
+      val plan = executedPlan(q)
+      assert(countScans(plan) == 1, s"$q: one events scan:\n$plan")
+      assert(!plan.contains("Join"), s"$q: window, not a pair join:\n$plan")
+      val windows = "Window".r.findAllIn(plan).size
+      assert(windows == 1, s"$q: all aggregates share ONE WindowExec:\n$plan")
+    }
+  }
+
   test("q_tpch_q4: EXISTS is a semi join; quarter filter pushed to the orders scan") {
     val plan = executedPlan("q_tpch_q4")
     assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
@@ -458,6 +472,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"NOT EXISTS must be an anti join:\n$plan")
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"no quadratic fallback:\n$plan")
+  }
+
+  test("q_tpch_q2: correlated MIN decorrelates to ONE pair agg + window — no self-join re-scan") {
+    val plan = executedPlan("q_tpch_q2")
+    assert(countScans(plan) == 5,
+      s"lineitem, part, supplier, nation, region — once each:\n$plan")
+    assert(plan.contains("Window"),
+      s"per-part min must be a window over the pair agg:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"no quadratic fallback:\n$plan")
+  }
+
+  test("q_tpch_q20: two-level nested IN decorrelates to one agg + window + semi joins") {
+    val plan = executedPlan("q_tpch_q20")
+    assert(countScans(plan) == 4,
+      s"lineitem, part, supplier, nation — once each (the part total is a window over the SAME pair agg, never a second lineitem scan):\n$plan")
+    assert(plan.contains("Window"),
+      s"part total must be a window over the pair agg:\n$plan")
+    assert(plan.contains("LeftSemi"),
+      s"both INs must compile to semi joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("q_tpch_q15: revenue agg pinned once — lineitem never re-scanned for the scalar MAX") {
+    val plan = executedPlan("q_tpch_q15")
+    val liScans = "lineitem".r.findAllIn(plan).size
+    assert(liScans <= 1,
+      s"the max side and the filter side must both read the pinned suppkey agg:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row max must broadcast, never cartesian:\n$plan")
+  }
+
+  test("q_tpch_q11: part-value agg pinned once — the 1/1000 threshold never re-scans lineitem") {
+    val plan = executedPlan("q_tpch_q11")
+    val liScans = "lineitem".r.findAllIn(plan).size
+    assert(liScans <= 1,
+      s"the total side and the filter side must both read the pinned partkey agg:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the 1-row total must broadcast, never cartesian:\n$plan")
+  }
+
+  test("q_tpch_q19: disjunctive predicate splits — part side broadcasts pre-filtered") {
+    val plan = executedPlan("q_tpch_q19")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the brand/size-pruned part dim must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"the OR-of-ANDs must stay an equi-join residual, never a cross product:\n$plan")
   }
 
   test("containment: df-cap is the DEFAULT shape — anti join, pinned explosion, ZERO windows") {
