@@ -3567,6 +3567,18 @@ object ExtQueries {
         .orderBy("diversity")
     }),
 
+    "q_t_closeness" -> ((s, dir) => {
+      // l-diversity's refinement: a class can be diverse yet leak when
+      // its sensitive DISTRIBUTION skews from the table's. Variational
+      // distance per nation class over the market-segment distribution,
+      // computed in exact integer arithmetic over a common denominator
+      // (no order-dependent float sums) — one double division at the
+      // end, rounded to 6dp.
+      Privacy.tClosenessReport(read(s, dir, "customer"),
+          Seq("c_nationkey"), "c_mktsegment", t = 0.1)
+        .orderBy("c_nationkey")
+    }),
+
     "q_redact_pii" -> ((s, dir) => {
       // PII scrubber end-to-end: the synthetic corpus carries no PII,
       // so the query plants a deterministic contact block per doc (both
@@ -8791,6 +8803,36 @@ object ExtQueries {
            CAST(SUM(nrows) AS BIGINT) AS n_rows,
            diversity < 2 AS below_l
          FROM cl GROUP BY diversity ORDER BY diversity""",
+
+    // Variational distance per class in exact integer arithmetic over
+    // the common denominator n_c·N (absent values contribute
+    // (N − Σ_present n_v)·n_c), one double division, ROUND 6 — mirrors
+    // the operator's decimal pipeline term for term.
+    "q_t_closeness" ->
+      """WITH cv AS (SELECT c_nationkey,
+            COALESCE(CAST(c_mktsegment AS VARCHAR), '(null)') AS v,
+            count(*) AS ncv
+          FROM customer GROUP BY 1, 2),
+         cls AS (SELECT c_nationkey, SUM(ncv) AS nc FROM cv GROUP BY 1),
+         vals AS (SELECT v, SUM(ncv) AS nv FROM cv GROUP BY 1),
+         tot AS (SELECT SUM(ncv) AS nn FROM cv),
+         per AS (SELECT c_nationkey,
+            SUM(ABS(CAST(ncv AS DECIMAL(19,0)) * CAST(nn AS DECIMAL(19,0))
+              - CAST(nv AS DECIMAL(19,0)) * CAST(nc AS DECIMAL(19,0)))) AS s1,
+            CAST(SUM(nv) AS BIGINT) AS s2,
+            CAST(MAX(nc) AS BIGINT) AS c, CAST(MAX(nn) AS BIGINT) AS t
+          FROM cv JOIN cls USING (c_nationkey) JOIN vals USING (v), tot
+          GROUP BY 1)
+         SELECT c_nationkey, c AS class_size,
+           ROUND(CAST(s1 + CAST(t - s2 AS DECIMAL(19,0))
+               * CAST(c AS DECIMAL(19,0)) AS DOUBLE)
+             / CAST(CAST(c AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))
+               * 2 AS DOUBLE), 6) AS t_distance,
+           ROUND(CAST(s1 + CAST(t - s2 AS DECIMAL(19,0))
+               * CAST(c AS DECIMAL(19,0)) AS DOUBLE)
+             / CAST(CAST(c AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))
+               * 2 AS DOUBLE), 6) > 0.1 AS above_t
+         FROM per ORDER BY c_nationkey""",
 
     // Same planted contact block, same Java∩RE2 patterns (interpolated
     // from the TextAnalysis constants — one source of truth), same

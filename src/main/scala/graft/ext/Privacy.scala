@@ -1,7 +1,9 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Privacy-risk audits for release datasets — the re-identification
   * counterpart to PII redaction (`TextAnalysis.redactPii` scrubs
@@ -61,5 +63,66 @@ object Privacy {
       .select(col("diversity").cast("long").as("diversity"),
         col("n_classes"), col("n_rows").cast("long").as("n_rows"),
         (col("diversity") < l).as("below_l"))
+  }
+
+  /** t-CLOSENESS report: l-diversity's refinement — a class can be
+    * diverse yet still leak if its sensitive-value DISTRIBUTION skews
+    * far from the table's (e.g. 90% one diagnosis in a class vs 10%
+    * globally). Per equivalence class, the variational (total
+    * variation) distance between the class's sensitive distribution
+    * and the global one: TVD = ½ Σᵥ |p_c(v) − q(v)| — the standard
+    * "equal distance" instantiation for categorical attributes.
+    * Output: one row per class (quasi cols, class_size, t_distance,
+    * above_t), ordered for release review.
+    *
+    * Exactness: the distance is computed in INTEGER arithmetic over a
+    * common denominator — Σ|n_cv·N − n_v·n_c| as DECIMAL(38,0), plus
+    * (N − Σ_{v∈c} n_v)·n_c for the values absent from the class (each
+    * contributes |0 − q(v)|; their q's sum to 1 − Σ_present q) — then
+    * ONE double division rounded to 6dp. No float sum ever runs over
+    * a data-dependent row order, so the report is bit-stable.
+    *
+    * Scale shape: one (quasi, value) aggregation over the raw rows
+    * (the only full-data shuffle), pinned eagerly because three
+    * consumers read it (the grand total, the per-value totals window,
+    * the main pass); then two windows + one group over the BOUNDED
+    * (classes × domain) aggregate. The value-partitioned window runs
+    * first so the class-partitioned one leaves the frame partitioned
+    * by quasi for the final groupBy — no extra exchange. NULL
+    * sensitive values fold to the '(null)' category (a disclosure
+    * too), matching [[lDiversityReport]]'s accounting. */
+  def tClosenessReport(df: DataFrame, quasi: Seq[String],
+                       sensitive: String, t: Double): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0 && t < 1, s"t-closeness needs t in (0,1), got $t")
+    val dec = DecimalType(19, 0)
+    val cv = df
+      .groupBy(quasi.map(col) :+
+        coalesce(col(sensitive).cast("string"), lit("(null)")).as("__v"): _*)
+      .agg(count(lit(1)).as("__ncv"))
+      .localCheckpoint()
+    val tot = cv.agg(sum(col("__ncv")).cast("long").as("__nn"))
+    val wValue = Window.partitionBy(col("__v"))
+    val wClass = Window.partitionBy(quasi.map(col): _*)
+    val g = cv
+      .withColumn("__nv", sum(col("__ncv")).over(wValue))
+      .withColumn("__nc", sum(col("__ncv")).over(wClass))
+      .crossJoin(broadcast(tot))
+    val diff = abs(col("__ncv").cast(dec) * col("__nn").cast(dec) -
+      col("__nv").cast(dec) * col("__nc").cast(dec))
+    g.groupBy(quasi.map(col): _*)
+      .agg(max(col("__nc")).cast("long").as("__c"),
+        max(col("__nn")).as("__t"),
+        sum(diff).as("__s1"),
+        sum(col("__nv")).cast("long").as("__s2"))
+      .select(quasi.map(col) :+
+        col("__c").as("class_size") :+
+        round(
+          (col("__s1") +
+            (col("__t") - col("__s2")).cast(dec) * col("__c").cast(dec))
+            .cast(DoubleType) /
+          (col("__c").cast(dec) * col("__t").cast(dec) * 2).cast(DoubleType),
+          6).as("t_distance"): _*)
+      .withColumn("above_t", col("t_distance") > t)
   }
 }

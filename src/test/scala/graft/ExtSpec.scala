@@ -3160,6 +3160,29 @@ class ExtSpec extends SparkSpec {
     assert(l == Seq((1L, 1L, 1L, true), (2L, 2L, 5L, false)), l.toString)
   }
 
+  test("tClosenessReport: variational distance per class, absent values charged, NULL folds") {
+    import graft.ext.Privacy
+    // Global: x 3/6, y 3/6. A={x,x}: TVD ½(|1-.5|+|0-.5|)=0.5;
+    // B={x,y}: 0; C={y,y}: 0.5.
+    val df = Seq(("A", "x"), ("A", "x"), ("B", "x"), ("B", "y"),
+      ("C", "y"), ("C", "y")).toDF("q", "s")
+    val got = Privacy.tClosenessReport(df, Seq("q"), "s", t = 0.3)
+      .orderBy("q")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq(("A", 2L, 0.5, true), ("B", 2L, 0.0, false),
+      ("C", 2L, 0.5, true)), got.toString)
+    // NULL sensitive is its own '(null)' category: D={null,null} vs
+    // global {x, null, null}: q_null=2/3, q_x=1/3; D: ½(|1-2/3|+1/3)=1/3.
+    val dfn = Seq(("D", None), ("D", None), ("E", Some("x")))
+      .toDF("q", "s")
+    val gn = Privacy.tClosenessReport(dfn, Seq("q"), "s", t = 0.5)
+      .orderBy("q").collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(gn == Seq(("D", 0.333333, false), ("E", 0.666667, true)),
+      gn.toString)
+  }
+
   test("longestRepeatedSubstring: suffix-automaton LRS exact vs brute force") {
     assert(Dedup.lrsLength("") == 0)
     assert(Dedup.lrsLength("a") == 0)
