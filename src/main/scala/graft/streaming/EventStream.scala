@@ -199,10 +199,20 @@ object EventStream {
     * same user's most-recent-window signup value — the streaming analogue
     * of the batch backward as-of join (Analytics.asOfJoinBackward), with
     * the unbounded "latest ever" lookback replaced by a bounded interval
-    * so both join-state stores can evict by watermark. */
+    * so both join-state stores can evict by watermark.
+    *
+    * `joinType` "inner" (default) emits matches as they meet;
+    * "left_outer" ADDITIONALLY emits each unmatched purchase with a NULL
+    * `sig_val` — but only once the watermark has passed the point where
+    * a matching signup could still arrive (Structured Streaming's outer
+    * semantics: the null verdict must be final, so it waits out the
+    * watermark delay — plan on that latency downstream). */
   def intervalJoin(purchases: DataFrame, signups: DataFrame,
                    lookback: String = "1 hour",
-                   watermark: String = "2 hours"): DataFrame = {
+                   watermark: String = "2 hours",
+                   joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_outer")(joinType),
+      s"joinType must be inner or left_outer, got $joinType")
     val l = purchases.withWatermark("ts", watermark)
       .select(col("event_id"), col("user_id").as("l_user"), col("ts").as("l_ts"))
     val r = signups.withWatermark("ts", watermark)
@@ -210,7 +220,8 @@ object EventStream {
     l.join(r,
       col("l_user") === col("r_user") &&
         col("r_ts") <= col("l_ts") &&
-        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback"))
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $lookback"),
+      joinType)
       .select(col("event_id"), col("l_user").as("user_id"),
         col("l_ts").as("ts"), col("sig_val"))
   }

@@ -121,6 +121,35 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((1L, 7L, 42.0)), "only the in-lookback same-user signup joins")
   }
 
+  test("intervalJoin left_outer: unmatched purchase emits NULL only after the watermark verdict") {
+    implicit val sc = spark.sqlContext
+    val (pm, sm) = (MemoryStream[Event], MemoryStream[Event])
+    val q = EventStream.intervalJoin(pm.toDF(), sm.toDF(), "1 hour",
+        "2 hours", "left_outer")
+      .writeStream.format("memory").queryName("outer_join_out")
+      .outputMode(OutputMode.Append()).start()
+    sm.addData(ev(10, "2024-01-01 09:30:00", 7, "signup", 42.0))
+    pm.addData(
+      ev(1, "2024-01-01 10:00:00", 7, "purchase", 5.0),  // matched
+      ev(2, "2024-01-01 10:00:00", 8, "purchase", 6.0))  // no signup
+    q.processAllAvailable()
+    // The null verdict is NOT final yet: a user-8 signup could still
+    // arrive within the watermark delay, so only the match is out.
+    val early = spark.table("outer_join_out")
+      .select("event_id").as[Long].collect().toSet
+    assert(early == Set(1L), s"outer row must wait out the watermark: $early")
+    // Push both watermarks well past 10:00 + lookback → null finalizes.
+    sm.addData(ev(90, "2024-01-01 15:00:00", 99, "signup", 0.0))
+    pm.addData(ev(91, "2024-01-01 15:00:00", 99, "purchase", 0.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("outer_join_out")
+      .filter(col("event_id").isin(1L, 2L))
+      .select("event_id", "user_id", "sig_val")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)))).toSet
+    assert(got == Set((1L, 7L, Some(42.0)), (2L, 8L, None)), got.toString)
+  }
+
   test("intervalJoin agrees with batch asOfJoinBackward restricted to the lookback") {
     // The two operators are documented analogues: the streaming join is
     // the as-of join with the unbounded lookback replaced by an interval
