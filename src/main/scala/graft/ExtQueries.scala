@@ -1133,6 +1133,34 @@ object ExtQueries {
         halflifeSeconds = 24L * 3600)
     }),
 
+    "q_markov_transitions" -> ((s, dir) => {
+      // First-order journey chain over the events stream: per user,
+      // conversions close journeys; exact (from, to) transition counts
+      // including the (start)/(conv)/(null) boundary states. One
+      // user-key shuffle; three windows share one sort; output bounded
+      // by (channels+2)².
+      Analytics.markovTransitions(read(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id"),
+        isConversion = col("event_type") === "purchase",
+        isTouch = col("event_type").isin("click", "view", "signup"),
+        touchLabel = col("event_type"))
+    }),
+
+    "q_attr_markov" -> ((s, dir) => {
+      // Data-driven attribution: removal effect per channel from the
+      // journey chain's absorption probability, solved EXACTLY in
+      // rational arithmetic on the bounded collected matrix (no float
+      // linear algebra — bit-deterministic on any machine). The chain
+      // itself is oracle-verified via q_markov_transitions; the solve
+      // has no SQL form, so this entry takes the rows-only check and
+      // its numbers are pinned by the hand-solved spec instead.
+      Analytics.attributionMarkov(read(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id"),
+        isConversion = col("event_type") === "purchase",
+        isTouch = col("event_type").isin("click", "view", "signup"),
+        touchLabel = col("event_type"))
+    }),
+
     "q_event_funnel" -> ((s, dir) => {
       // Ordered-step funnel per user: first view, first click at or
       // after it, first purchase at or after that — NULLs from the
@@ -6751,6 +6779,33 @@ object ExtQueries {
                 AND t.tts >= c.cts - INTERVAL 3 DAY)
             HAVING count(*) > 0)
           SELECT * FROM att UNION ALL SELECT * FROM un ORDER BY channel""",
+
+    // Journey chain replay: same prior-conversion journey split, same
+    // lag/terminal semantics, exact integer counts.
+    "q_markov_transitions" ->
+      """WITH e AS (SELECT user_id AS u, ts, event_id AS tie,
+            event_type = 'purchase' AS conv,
+            CASE WHEN event_type = 'purchase' THEN '(conv)'
+              ELSE event_type END AS st
+          FROM events
+          WHERE event_type IN ('click', 'view', 'signup', 'purchase')),
+         j AS (SELECT *, COALESCE(SUM(CASE WHEN conv THEN 1 ELSE 0 END)
+             OVER (PARTITION BY u ORDER BY ts, tie
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS jid
+           FROM e),
+         s AS (SELECT *,
+             COALESCE(LAG(st) OVER (PARTITION BY u, jid ORDER BY ts, tie),
+               '(start)') AS frm,
+             ROW_NUMBER() OVER (PARTITION BY u, jid ORDER BY ts, tie) AS rn,
+             COUNT(*) OVER (PARTITION BY u, jid) AS cnt
+           FROM j),
+         pairs AS (
+           SELECT frm AS f, st AS t FROM s
+           UNION ALL
+           SELECT st AS f, '(null)' AS t FROM s WHERE rn = cnt AND NOT conv)
+         SELECT f AS from_state, t AS to_state,
+           CAST(count(*) AS BIGINT) AS n
+         FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Half-life bucket decay: weight = 2^-(conv_bucket - touch_bucket)
     // with day buckets of the epoch-micros line — exact powers of two,

@@ -955,4 +955,175 @@ object Analytics {
           .cast(org.apache.spark.sql.types.DoubleType).as("credit"))
       .orderBy("channel")
   }
+
+  /** First-order Markov TRANSITION MATRIX over touch journeys — the
+    * substrate of data-driven attribution ([[attributionMarkov]]).
+    *
+    * Journey semantics: per user, events ordered by (ts, tie); each
+    * conversion CLOSES the journey containing the touches before it
+    * (the next touch starts a fresh journey). States: `(start)` opens
+    * every journey, each touch is its channel label, a closing
+    * conversion is `(conv)`, and a journey whose last event is a touch
+    * (never converted) closes with `(null)`. Consecutive same-channel
+    * touches keep their self-loop (standard first-order counting).
+    * Output: (from_state, to_state, n) — exact integer counts.
+    *
+    * Scale shape: ONE user-key shuffle. The journey id is a running
+    * prior-conversion count (window), the from-state is lag(state)
+    * within (user, journey), and the `(null)` terminals come from the
+    * SAME sorted pass (a journey-partitioned max-order check) — three
+    * window functions over one partitioning, collapsing to one sort.
+    * The (from, to) count agg output is bounded by (channels+2)². */
+  def markovTransitions(events: DataFrame, user: Column, ts: Column,
+                        tie: Column, isConversion: Column, isTouch: Column,
+                        touchLabel: Column): DataFrame = {
+    val e = events
+      .filter((isTouch || isConversion) && ts.isNotNull)
+      .select(user.as("__u"), ts.as("__ts"), tie.as("__tie"),
+        isConversion.as("__conv"),
+        when(isConversion, "(conv)")
+          .otherwise(touchLabel.cast("string")).as("__st"))
+    val wOrd = Window.partitionBy(col("__u")).orderBy(col("__ts"), col("__tie"))
+    // Journey = count of conversions STRICTLY BEFORE the row, so a
+    // conversion row stays in the journey it closes.
+    val withJ = e.withColumn("__j",
+      coalesce(sum(when(col("__conv"), 1L).otherwise(0L))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val wJ = Window.partitionBy(col("__u"), col("__j"))
+      .orderBy(col("__ts"), col("__tie"))
+    val steps = withJ
+      .withColumn("__from", coalesce(lag(col("__st"), 1).over(wJ),
+        lit("(start)")))
+      .withColumn("__rn", row_number().over(wJ))
+      .withColumn("__last",
+        col("__rn") === count(lit(1)).over(
+          Window.partitionBy(col("__u"), col("__j"))))
+    // Each row contributes its (from → state) step, plus a terminal
+    // (state → (null)) when it ends a never-converted journey.
+    steps
+      .select(explode(array(
+        struct(col("__from").as("f"), col("__st").as("t")),
+        struct(col("__st").as("f"),
+          when(col("__last") && !col("__conv"), "(null)").as("t"))))
+        .as("__e"))
+      .filter(col("__e.t").isNotNull)
+      .groupBy(col("__e.f").as("from_state"), col("__e.t").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("from_state", "to_state")
+  }
+
+  /** Exact rational q = num/den over BigInt — the absorption solve in
+    * [[attributionMarkov]] runs in EXACT arithmetic so the report is
+    * deterministic to the last bit on any machine. */
+  private final case class Rat(num: BigInt, den: BigInt) {
+    require(den != 0)
+    def norm: Rat = {
+      val s = if (den < 0) -1 else 1
+      val g = num.gcd(den)
+      if (g == 0) Rat(0, 1) else Rat(s * num / g, s * den / g)
+    }
+    def +(o: Rat) = Rat(num * o.den + o.num * den, den * o.den).norm
+    def -(o: Rat) = Rat(num * o.den - o.num * den, den * o.den).norm
+    def *(o: Rat) = Rat(num * o.num, den * o.den).norm
+    def /(o: Rat) = Rat(num * o.den, den * o.num).norm
+    def toDouble: Double = BigDecimal(num) ./ (BigDecimal(den)) match {
+      case d => d.toDouble
+    }
+  }
+  private object Rat { val Zero = Rat(0, 1); val One = Rat(1, 1) }
+
+  /** Absorption probability P(reach `(conv)` from `(start)`) of the
+    * transition-count chain, with every state in `removed` forced to 0
+    * (the removal-effect counterfactual: paths through a removed
+    * channel simply die). Exact Gaussian elimination over rationals on
+    * the BOUNDED (channels+2)-state system. */
+  private def absorption(trans: Seq[(String, String, Long)],
+                         removed: Set[String]): Rat = {
+    val froms = trans.groupBy(_._1)
+    val states = trans.flatMap(t => Seq(t._1, t._2)).distinct
+      .filterNot(s => s == "(conv)" || s == "(null)" || removed(s))
+      .sorted
+    if (!states.contains("(start)")) return Rat.Zero
+    val n = states.size
+    val ix = states.zipWithIndex.toMap
+    // p(s) = Σ_t P(s,t)·p(t); p(conv)=1, p(null)=0, p(removed)=0.
+    // Rows: p(s) − Σ_{t transient} P(s,t)·p(t) = P(s,conv).
+    val a = Array.fill(n, n + 1)(Rat.Zero)
+    for ((s, i) <- states.zipWithIndex) {
+      a(i)(i) = Rat.One
+      val out = froms.getOrElse(s, Seq.empty)
+      val tot = out.map(_._3).sum
+      if (tot > 0) for ((_, t, c) <- out) {
+        val p = Rat(c, tot)
+        if (t == "(conv)") a(i)(n) = a(i)(n) + p
+        else ix.get(t).foreach(j => a(i)(j) = a(i)(j) - p)
+      }
+    }
+    // Gaussian elimination with partial (first-nonzero) pivoting —
+    // exact rationals need no numeric pivot choice.
+    for (c0 <- 0 until n) {
+      val pr = (c0 until n).find(r => a(r)(c0).num != 0)
+        .getOrElse(return Rat.Zero) // singular: start can't reach conv
+      val tmp = a(c0); a(c0) = a(pr); a(pr) = tmp
+      val piv = a(c0)(c0)
+      for (k <- c0 to n) a(c0)(k) = a(c0)(k) / piv
+      for (r <- 0 until n if r != c0 && a(r)(c0).num != 0) {
+        val f = a(r)(c0)
+        for (k <- c0 to n) a(r)(k) = a(r)(k) - f * a(c0)(k)
+      }
+    }
+    a(ix("(start)"))(n)
+  }
+
+  /** Data-driven (Markov removal-effect) ATTRIBUTION: build the
+    * first-order journey chain ([[markovTransitions]]), solve the
+    * absorption probability P(convert) EXACTLY, then per channel the
+    * REMOVAL EFFECT r_c = (P − P(chain without c)) / P — how much of
+    * the conversion probability that channel's presence carries — and
+    * the normalized credit share r_c / Σ r. Output: (channel,
+    * removal_effect, credit_share), 6dp, ordered.
+    *
+    * Scale shape: the heavy lifting is [[markovTransitions]]' one
+    * user-key shuffle; the (channels+2)² count matrix is a BOUNDED
+    * driver collect (same contract as the ANN centroid collects), and
+    * the per-channel solves are driver-side exact-rational Gaussian
+    * eliminations on a ≤(channels+2)-state system — microseconds, and
+    * bit-deterministic on any machine (no float linear algebra). */
+  def attributionMarkov(events: DataFrame, user: Column, ts: Column,
+                        tie: Column, isConversion: Column, isTouch: Column,
+                        touchLabel: Column): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val trans = markovTransitions(events, user, ts, tie, isConversion,
+      isTouch, touchLabel)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val channels = trans.flatMap(t => Seq(t._1, t._2))
+      .filterNot(Set("(start)", "(conv)", "(null)")).distinct.sorted
+    val p = absorption(trans, Set.empty)
+    val rows =
+      if (p.num == 0) channels.map(c => (c, 0.0, 0.0))
+      else {
+        val effects = channels.map { c =>
+          c -> ((p - absorption(trans, Set(c))) / p)
+        }
+        val tot = effects.map(_._2).foldLeft(Rat.Zero)(_ + _)
+        effects.map { case (c, r) =>
+          val share = if (tot.num == 0) Rat.Zero else r / tot
+          (c, round6(r), round6(share))
+        }
+      }
+    rows.toDF("channel", "removal_effect", "credit_share")
+      .orderBy("channel")
+  }
+
+  /** Half-even-free 6dp rounding of an exact rational: scale by 10^6,
+    * divide with HALF_UP (round-half-away for the positive values these
+    * reports produce), back to double — matches Spark's `round`. */
+  private def round6(r: Rat): Double = {
+    val scaled = r.num * BigInt(1000000)
+    val q = BigDecimal(scaled) / BigDecimal(r.den)
+    (q.setScale(0, BigDecimal.RoundingMode.HALF_UP) / BigDecimal(1000000))
+      .toDouble
+  }
 }

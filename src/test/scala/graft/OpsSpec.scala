@@ -933,6 +933,44 @@ class OpsSpec extends SparkSpec {
       ("view", 2L, 3.285714)), run("decay").toString)
   }
 
+  test("markovTransitions + attributionMarkov: journey split, terminals, exact removal effects") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val events = Seq(
+      // u1, journey 1: a → conv; journey 2 (post-conversion): b → (null)
+      (1L, 1L, "a", ts("2024-01-01 00:00:00"), 0.0),
+      (2L, 1L, "purchase", ts("2024-01-01 01:00:00"), 1.0),
+      (7L, 1L, "b", ts("2024-01-01 02:00:00"), 0.0),
+      // u2: a → b → conv
+      (3L, 2L, "a", ts("2024-01-01 00:00:00"), 0.0),
+      (4L, 2L, "b", ts("2024-01-01 01:00:00"), 0.0),
+      (5L, 2L, "purchase", ts("2024-01-01 02:00:00"), 2.0),
+      // u3: b, never converts
+      (6L, 3L, "b", ts("2024-01-01 00:00:00"), 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    def args = (col("user_id"), col("ts"), col("event_id"),
+      col("event_type") === "purchase", col("event_type").isin("a", "b"),
+      col("event_type"))
+    val trans = Analytics.markovTransitions(events, args._1, args._2,
+        args._3, args._4, args._5, args._6)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    assert(trans == Map(
+      ("(start)", "a") -> 2L, ("(start)", "b") -> 2L,
+      ("a", "b") -> 1L, ("a", "(conv)") -> 1L,
+      ("b", "(conv)") -> 1L, ("b", "(null)") -> 2L), trans.toString)
+    // Hand solve: P(b)=1/3, P(a)=1/2+P(b)/2=2/3, P=P(a)/2+P(b)/2=1/2.
+    // Remove a → P=1/6, r_a=2/3. Remove b → P=1/4, r_b=1/2.
+    // Shares: (2/3)/(7/6)=4/7, (1/2)/(7/6)=3/7.
+    val got = Analytics.attributionMarkov(events, args._1, args._2,
+        args._3, args._4, args._5, args._6)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq
+    assert(got == Seq(
+      ("a", 0.666667, 0.571429),
+      ("b", 0.5, 0.428571)), got.toString)
+  }
+
   test("expectationReport: NULL pred is a violation; uniqueness skips NULL keys; one scan") {
     import graft.ops.Validate
     val df = Seq(
