@@ -3607,6 +3607,20 @@ object ExtQueries {
         .orderBy("c_nationkey")
     }),
 
+    "q_t_closeness_ordered" -> ((s, dir) => {
+      // Ordered-attribute variant: priority is a RANKED scale, so the
+      // right distance is the adjacent-rank EMD (cumulative mass
+      // differences), not the variational distance that reads "one
+      // band off" and "four bands off" the same. Priority-mix drift
+      // per order year vs the whole table; exact integer cumulative
+      // sums, one division, 6dp.
+      Privacy.tClosenessOrderedReport(
+          read(s, dir, "orders")
+            .withColumn("o_year", year(col("o_orderdate"))),
+          Seq("o_year"), "o_orderpriority", t = 0.05)
+        .orderBy("o_year")
+    }),
+
     "q_redact_pii" -> ((s, dir) => {
       // PII scrubber end-to-end: the synthetic corpus carries no PII,
       // so the query plants a deterministic contact block per doc (both
@@ -8888,6 +8902,41 @@ object ExtQueries {
              / CAST(CAST(c AS DECIMAL(19,0)) * CAST(t AS DECIMAL(19,0))
                * 2 AS DOUBLE), 6) > 0.1 AS above_t
          FROM per ORDER BY c_nationkey""",
+
+    // Ordered EMD over priority ranks: cumulative integer mass diffs,
+    // densified against the global value list, normalized by
+    // (m-1)·n_c·N — mirrors the operator's decimal pipeline.
+    "q_t_closeness_ordered" ->
+      """WITH b AS (SELECT year(o_orderdate) AS o_year,
+            o_orderpriority AS v FROM orders),
+         cv AS (SELECT o_year, v, count(*) AS ncv FROM b GROUP BY 1, 2),
+         vals AS (SELECT v, SUM(ncv) AS nv,
+             ROW_NUMBER() OVER (ORDER BY v) AS rk
+           FROM cv GROUP BY v),
+         cls AS (SELECT o_year, SUM(ncv) AS nc FROM cv GROUP BY 1),
+         tot AS (SELECT SUM(ncv) AS nn FROM cv),
+         dense AS (SELECT cls.o_year, vals.rk, vals.nv, cls.nc,
+             COALESCE(cv.ncv, 0) AS ncv
+           FROM cls CROSS JOIN vals
+           LEFT JOIN cv ON cv.o_year = cls.o_year AND cv.v = vals.v),
+         cum AS (SELECT o_year, nc, nn,
+             SUM(CAST(ncv AS DECIMAL(19,0)) * CAST(nn AS DECIMAL(19,0))
+               - CAST(nv AS DECIMAL(19,0)) * CAST(nc AS DECIMAL(19,0)))
+               OVER (PARTITION BY o_year ORDER BY rk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM dense, tot),
+         per AS (SELECT o_year, CAST(MAX(nc) AS BIGINT) AS c2,
+             CAST(MAX(nn) AS BIGINT) AS t2, SUM(ABS(c)) AS s
+           FROM cum GROUP BY 1)
+         SELECT o_year, c2 AS class_size,
+           ROUND(CAST(s AS DOUBLE)
+             / CAST(CAST(c2 AS DECIMAL(19,0)) * CAST(t2 AS DECIMAL(19,0))
+               * (SELECT count(*) - 1 FROM vals) AS DOUBLE), 6) AS t_distance,
+           ROUND(CAST(s AS DOUBLE)
+             / CAST(CAST(c2 AS DECIMAL(19,0)) * CAST(t2 AS DECIMAL(19,0))
+               * (SELECT count(*) - 1 FROM vals) AS DOUBLE), 6) > 0.05
+             AS above_t
+         FROM per ORDER BY o_year""",
 
     // Same planted contact block, same Java∩RE2 patterns (interpolated
     // from the TextAnalysis constants — one source of truth), same

@@ -125,4 +125,68 @@ object Privacy {
           6).as("t_distance"): _*)
       .withColumn("above_t", col("t_distance") > t)
   }
+
+  /** ORDERED t-closeness: for a sensitive attribute whose values have a
+    * meaningful order (income bands, severity grades), the variational
+    * distance undercounts — "one band off" and "nine bands off" read the
+    * same. The ordered-distance instantiation from the t-closeness
+    * paper is the Earth Mover's Distance with unit ground distance
+    * between ADJACENT ranks: EMD = (Σᵢ |Σ_{j≤i} (p_c(vⱼ) − q(vⱼ))|) /
+    * (m − 1) over the m globally-observed values in rank order.
+    *
+    * Exactness: same integer common-denominator trick as
+    * [[tClosenessReport]] — the cumulative mass differences are
+    * Σ_{j≤i} (n_cvⱼ·N − n_vⱼ·n_c), exact DECIMAL(38,0) running sums,
+    * one double division by (m−1)·n_c·N at the end, 6dp.
+    *
+    * Scale shape: the per-class distance needs the cumulative diff at
+    * EVERY global value, including values a class never takes — so the
+    * (class, value) aggregate is densified against the global value
+    * list via a broadcast cross join (|classes| × m rows; the sensitive
+    * DOMAIN is small by the operator's contract — bands, grades — while
+    * classes are unbounded). One full-data shuffle, one broadcast
+    * densify + left join, one rank-ordered window per class, one close
+    * aggregate. */
+  def tClosenessOrderedReport(df: DataFrame, quasi: Seq[String],
+                              sensitive: String, t: Double): DataFrame = {
+    require(quasi.nonEmpty, "need at least one quasi-identifier column")
+    require(t > 0 && t < 1, s"t-closeness needs t in (0,1), got $t")
+    val dec = DecimalType(19, 0)
+    val cv = df
+      .groupBy(quasi.map(col) :+ col(sensitive).as("__v"): _*)
+      .agg(count(lit(1)).as("__ncv"))
+      .localCheckpoint()
+    // Global value list with ranks and totals — bounded by the domain.
+    val vals = cv.groupBy(col("__v"))
+      .agg(sum(col("__ncv")).cast("long").as("__nv"))
+      .withColumn("__rk", row_number().over(
+        Window.orderBy(col("__v"))))
+      .localCheckpoint()
+    val tot = cv.agg(sum(col("__ncv")).cast("long").as("__nn"))
+    val m = vals.count() // bounded domain (operator contract)
+    require(m >= 2, "ordered t-closeness needs at least 2 sensitive values")
+    // Densify: every class × every global value (absent → n_cv = 0).
+    val classes = cv.groupBy(quasi.map(col): _*)
+      .agg(sum(col("__ncv")).cast("long").as("__nc"))
+    val dense = classes.crossJoin(broadcast(vals))
+      .join(cv.withColumnRenamed("__ncv", "__ncv0"),
+        quasi :+ "__v", "left")
+      .withColumn("__ncv", coalesce(col("__ncv0"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val term = col("__ncv").cast(dec) * col("__nn").cast(dec) -
+      col("__nv").cast(dec) * col("__nc").cast(dec)
+    val wCum = Window.partitionBy(quasi.map(col): _*).orderBy(col("__rk"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    dense
+      .withColumn("__cum", sum(term).over(wCum))
+      .groupBy(quasi.map(col): _*)
+      .agg(max(col("__nc")).as("__c"), max(col("__nn")).as("__t"),
+        sum(abs(col("__cum"))).as("__s"))
+      .select(quasi.map(col) :+
+        col("__c").as("class_size") :+
+        round(col("__s").cast(DoubleType) /
+          (col("__c").cast(dec) * col("__t").cast(dec) * (m - 1))
+            .cast(DoubleType), 6).as("t_distance"): _*)
+      .withColumn("above_t", col("t_distance") > t)
+  }
 }

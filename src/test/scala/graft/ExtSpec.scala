@@ -3183,6 +3183,22 @@ class ExtSpec extends SparkSpec {
       gn.toString)
   }
 
+  test("tClosenessOrderedReport: EMD distinguishes middle from extreme skew") {
+    import graft.ext.Privacy
+    // Values 1<2<3, classes A={1,1}, B={2,2}, C={3,3}: the variational
+    // distance reads all three as 2/3-distant; the ORDERED distance
+    // knows the middle band is closer to uniform than the extremes —
+    // EMD(A)=EMD(C)=1/2, EMD(B)=1/3.
+    val df = Seq(("A", 1), ("A", 1), ("B", 2), ("B", 2),
+      ("C", 3), ("C", 3)).toDF("q", "s")
+    val got = Privacy.tClosenessOrderedReport(df, Seq("q"), "s", t = 0.4)
+      .orderBy("q")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    assert(got == Seq(("A", 2L, 0.5, true), ("B", 2L, 0.333333, false),
+      ("C", 2L, 0.5, true)), got.toString)
+  }
+
   test("longestRepeatedSubstring: suffix-automaton LRS exact vs brute force") {
     assert(Dedup.lrsLength("") == 0)
     assert(Dedup.lrsLength("a") == 0)
