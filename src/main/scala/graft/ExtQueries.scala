@@ -1146,20 +1146,12 @@ object ExtQueries {
         touchLabel = col("event_type"))
     }),
 
-    "q_attr_markov" -> ((s, dir) => {
-      // Data-driven attribution: removal effect per channel from the
-      // journey chain's absorption probability, solved EXACTLY in
-      // rational arithmetic on the bounded collected matrix (no float
-      // linear algebra — bit-deterministic on any machine). The chain
-      // itself is oracle-verified via q_markov_transitions; the solve
-      // has no SQL form, so this entry takes the rows-only check and
-      // its numbers are pinned by the hand-solved spec instead.
-      Analytics.attributionMarkov(read(s, dir, "events"),
-        col("user_id"), col("ts"), col("event_id"),
-        isConversion = col("event_type") === "purchase",
-        isTouch = col("event_type").isin("click", "view", "signup"),
-        touchLabel = col("event_type"))
-    }),
+    // NOTE deliberate non-entry: Analytics.attributionMarkov (the
+    // removal-effect solve over this chain) has no SQL form — exact
+    // rational Gaussian elimination — and this suite's contract is
+    // full-strength (every query hash-matches an oracle; no rows-only
+    // fallback, ContractSpec). The chain feeding it IS oracle-verified
+    // here, and the solve is pinned by OpsSpec's hand-solved fixture.
 
     "q_event_funnel" -> ((s, dir) => {
       // Ordered-step funnel per user: first view, first click at or
@@ -1999,6 +1991,38 @@ object ExtQueries {
       graft.ops.Upsert.writeSnapshot(s, path, docs, Seq("doc_id"), Seq("doc_id"))
       graft.ops.Upsert.writeSnapshot(s, path, docs, Seq("doc_id"), Seq("doc_id"))
       graft.ops.Upsert.readSnapshotDelta(s, path, from = 1, to = 3)
+        .orderBy("doc_id")
+    }),
+
+    "q_snap_merge" -> ((s, dir) => {
+      // The CDC apply: copy-on-write MERGE of an I/U/D change batch
+      // against the even-docs snapshot. Disjoint op classes by
+      // construction: every 20th key deleted, other %4 keys updated
+      // (+1e6 chars marker), odd keys inserted, and an I on present
+      // %20==2 keys that keep-existing must drop. The oracle replays
+      // the final state straight from the logical table — one SQL
+      // expression, no sink — so the hash pins delete, update, insert,
+      // AND the dropped clobber at once.
+      val path = s"$RunScratch/graft_snap_merge_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      val changes = docs.withColumn("op",
+          when(col("doc_id") % 2 === 1, "I")
+            .when(col("doc_id") % 20 === 0, "D")
+            .when(col("doc_id") % 4 === 0, "U")
+            .when(col("doc_id") % 20 === 2, "I"))
+        .filter(col("op").isNotNull)
+        .withColumn("n_chars", when(col("op") === "U",
+          col("n_chars") + 1000000).otherwise(col("n_chars")))
+      graft.ops.Upsert.mergeSnapshot(s, path, changes,
+        Seq("doc_id"), Seq("doc_id"), "op")
+      graft.ops.Upsert.readSnapshot(s, path,
+          graft.ops.Upsert.latestVersion(s, path))
         .orderBy("doc_id")
     }),
 
@@ -7252,6 +7276,17 @@ object ExtQueries {
     "q_snapshot_delta" ->
       """SELECT doc_id, source, n_chars FROM documents
          WHERE doc_id % 2 <> 0 ORDER BY doc_id""",
+
+    // Final state after the I/U/D merge: odds inserted; evens survive
+    // unless %20==0 (deleted); surviving %4 evens carry the +1e6 update
+    // marker; the %20==2 clobber attempt left no trace (keep-existing).
+    "q_snap_merge" ->
+      """SELECT doc_id, source,
+           CASE WHEN doc_id % 2 = 0 AND doc_id % 4 = 0 AND doc_id % 20 <> 0
+             THEN n_chars + 1000000 ELSE n_chars END AS n_chars
+         FROM documents
+         WHERE doc_id % 2 = 1 OR doc_id % 20 <> 0
+         ORDER BY doc_id""",
 
     "q_export_manifest" ->
       """WITH sh AS (SELECT doc_id, text, n_chars,

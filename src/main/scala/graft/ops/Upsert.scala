@@ -160,21 +160,23 @@ object Upsert {
     new org.apache.hadoop.fs.Path(snapDir(path), s"$dirName.absorbed")
 
   private def provenance(spark: SparkSession, path: String,
-                         dirName: String): Set[String] =
-    if (dirName.startsWith("compact-")) {
-      val fs = fsFor(spark, path)
-      val f = absorbedPath(path, dirName)
-      // A compact dir without an absorbed record (pre-provenance sinks)
-      // is its own opaque root — conservative: it can satisfy no other
-      // dir's reachability and is never skipped from a carry.
-      if (!fs.exists(f)) Set(dirName)
-      else {
-        val in = fs.open(f)
-        try scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().filter(_.nonEmpty).toSet
-        finally in.close()
-      }
-    } else Set(rootOf(dirName))
+                         dirName: String): Set[String] = {
+    val fs = fsFor(spark, path)
+    val f = absorbedPath(path, dirName)
+    // Any dir may carry an explicit absorbed record (compact dirs
+    // always do; merge rewrites do too — their names don't parse to a
+    // root). A compact dir WITHOUT one (pre-provenance sinks) is its
+    // own opaque root — conservative: it can satisfy no other dir's
+    // reachability and is never skipped from a carry.
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+    else if (dirName.startsWith("compact-")) Set(dirName)
+    else Set(rootOf(dirName))
+  }
 
   private def coverage(spark: SparkSession, path: String,
                        dirs: Seq[String]): Set[String] =
@@ -452,6 +454,165 @@ object Upsert {
         s"manifest at $path after 100 republishes — writer storm")
   }
 
+  /** Copy-on-write MERGE — the CDC apply the keep-existing sink can't
+    * express: `changes` carries the data columns plus `opCol` ∈
+    * {"I","U","D"}; the result publishes as version latest+1.
+    *   I — insert iff the key is absent (the sink's keep-existing
+    *       contract, preserved);
+    *   U — upsert: replace the current row for the key, insert if new;
+    *   D — delete the key (absent key → no-op).
+    * Multiple change rows per key collapse to ONE op via the same
+    * tie-break as [[dedupOnKey]] before anything applies.
+    *
+    * Copy-on-write discipline: ONLY the base dirs that actually hold a
+    * touched (U/D) key are rewritten (as `<dir>-m<version>`, minus
+    * those keys, with an `.absorbed` provenance record so lineage
+    * reasoning still covers the original); untouched dirs carry into
+    * the new manifest BY REFERENCE — a merge touching 0.1% of keys
+    * rewrites ~0.1% of a compacted sink, not the corpus. Every
+    * historical version still time-travels (originals are never
+    * deleted here; [[expireSnapshots]] reclaims them past the horizon).
+    * Run [[compactSnapshots]] periodically: the affected-dir probe and
+    * the rewrite granularity are both per-dir, so a short dir chain is
+    * what makes merges cheap.
+    *
+    * Concurrency: a merge is a REWRITER, so it serializes against
+    * compactions and other merges on the same exclusive lock. Plain
+    * appenders stay optimistic: dirs a writer publishes between this
+    * merge's base read and its publish are carried by provenance diff
+    * (their rows win over the merge's deletes/updates — sequential
+    * merge-then-write equivalence), and the post-publish reconcile
+    * resolves insert races key-level (the merge's fresh rows re-verify
+    * against any dirs that interleave AFTER its publish, rewriting
+    * `merge-N-r<v>` minus stolen keys — same discipline as
+    * [[writeSnapshot]]'s reconcile). Returns the published version. */
+  def mergeSnapshot(spark: SparkSession, path: String, changes: DataFrame,
+                    keys: Seq[String], tieBreak: Seq[String],
+                    opCol: String = "op"): Int = {
+    val fs = fsFor(spark, path)
+    fs.mkdirs(snapDir(path))
+    val lock = new org.apache.hadoop.fs.Path(snapDir(path), "compact.lock")
+    try createExclusive(fs, lock) catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"mergeSnapshot: another rewriter holds $lock — if its " +
+            "process crashed, delete the lock file and retry", e)
+    }
+    try {
+      val cur = latestVersion(spark, path)
+      require(cur >= 1, "nothing to merge into: no published snapshot")
+      val op = upper(col(opCol))
+      val deduped = dedupOnKey(changes, keys, tieBreak)
+        .withColumn(opCol, op).localCheckpoint()
+      require(deduped.filter(col(opCol).isNull ||
+          !col(opCol).isin("I", "U", "D")).isEmpty,
+        s"mergeSnapshot: $opCol must be one of I/U/D")
+      val target = claimVersion(spark, path)
+      val baseDirs = manifestDirs(spark, path, cur)
+      val baseCoverage = coverage(spark, path, baseDirs)
+      // Touched = keys whose current row must go (U replaces, D ends).
+      val touched = deduped.filter(col(opCol) =!= "I")
+        .select(keys.map(col): _*).distinct().localCheckpoint()
+      val snapshotSchema = readSnapshot(spark, path, cur).schema
+      val (rewritten, carried) = baseDirs.partition { d =>
+        !spark.read.schema(snapshotSchema).parquet(s"$path/$d")
+          .join(touched, keys, "left_semi").isEmpty
+      }
+      val rewriteNames = rewritten.map { d =>
+        val rw = s"$d-m$target"
+        spark.read.schema(snapshotSchema).parquet(s"$path/$d")
+          .join(touched, keys, "left_anti")
+          .write.mode("overwrite").parquet(s"$path/$rw")
+        val out = fs.create(absorbedPath(path, rw), true)
+        try out.write(provenance(spark, path, d).toSeq.sorted
+          .mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        rw
+      }
+      // Landing rows: every U (old copy just removed), plus I rows
+      // whose key the base snapshot lacks (keep-existing).
+      val present = readSnapshot(spark, path, cur)
+        .select(keys.map(col): _*).distinct()
+      val land = deduped.filter(col(opCol) === "U").drop(opCol)
+        .unionByName(deduped.filter(col(opCol) === "I").drop(opCol)
+          .join(present, keys, "left_anti"))
+      val mergeDir = s"merge-$target"
+      land.write.mode("overwrite").parquet(s"$path/$mergeDir")
+      // Interleaved appenders between the base read and this publish:
+      // carry their dirs (their rows win over this merge's deletes —
+      // sequential merge-then-write equivalence).
+      val interleaved = ((cur + 1) until target)
+        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+          snapDir(path), s"v$v.list")))
+        .flatMap(v => manifestDirs(spark, path, v))
+        .distinct
+        .filterNot(d =>
+          provenance(spark, path, d).subsetOf(baseCoverage))
+      publishManifest(spark, path, target,
+        carried ++ rewriteNames ++ interleaved :+ mergeDir)
+      reconcileMerge(spark, path, target,
+        carried ++ rewriteNames ++ interleaved, mergeDir, keys,
+        baseCoverage ++
+          interleaved.flatMap(d => provenance(spark, path, d)),
+        land.schema)
+    } finally fs.delete(lock, false)
+  }
+
+  /** Merge's post-publish reconciliation. Unlike a plain writer, an
+    * orphaned merge must NEVER republish on top of the latest manifest
+    * — that manifest references the PRE-merge originals, and carrying
+    * them would resurrect every deleted key next to the rewrites. It
+    * republishes its OWN dir set (carried + rewrites + merge dir) plus
+    * only the FOREIGN dirs its coverage has never seen (the
+    * interleaving appender's batches — whose rows win over the merge's
+    * deletes, same sequential merge-then-write equivalence as the
+    * in-flight carry), resolving insert races key-level: fresh merge
+    * rows stolen by a foreign dir are rewritten away (`merge-N-r<v>`),
+    * keep-existing discipline. */
+  private def reconcileMerge(spark: SparkSession, path: String,
+      published: Int, ownDirs: Seq[String], mergeDir: String,
+      keys: Seq[String], baseKnown: Set[String],
+      schema: org.apache.spark.sql.types.StructType): Int = {
+    var version = published
+    var curMergeDir = mergeDir
+    var dirs = ownDirs
+    var known = baseKnown + rootOf(mergeDir)
+    var attempts = 0
+    while (attempts < 100) {
+      val latest = latestVersion(spark, path)
+      if (latest == version) return version
+      val latestDirs = manifestDirs(spark, path, latest)
+      if (coverage(spark, path, latestDirs).contains(rootOf(mergeDir)))
+        return version
+      val foreign = latestDirs.filter(d =>
+        provenance(spark, path, d).exists(r => !known.contains(r)))
+      version = claimVersion(spark, path)
+      val nextMergeDir =
+        if (foreign.isEmpty) curMergeDir
+        else {
+          val own = spark.read.schema(schema).parquet(s"$path/$curMergeDir")
+          val rivalKeys = spark.read.schema(schema)
+            .parquet(foreign.map(d => s"$path/$d"): _*)
+            .select(keys.map(col): _*).distinct()
+          if (own.join(rivalKeys, keys, "left_semi").isEmpty) curMergeDir
+          else {
+            val rw = s"${rootOf(mergeDir)}-r$version"
+            own.join(rivalKeys, keys, "left_anti")
+              .write.mode("overwrite").parquet(s"$path/$rw")
+            rw
+          }
+        }
+      dirs = dirs ++ foreign
+      known = known ++ foreign.flatMap(d => provenance(spark, path, d))
+      publishManifest(spark, path, version, dirs :+ nextMergeDir)
+      curMergeDir = nextMergeDir
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"reconcileMerge: $mergeDir still unreachable from the latest " +
+        s"manifest at $path after 100 republishes — writer storm")
+  }
+
   /** Time travel: version N exactly as published, whatever has been
     * written since — a union read of its manifest's immutable dirs.
     * mergeSchema makes the read ADDITIVELY SCHEMA-EVOLVED: a later
@@ -508,7 +669,9 @@ object Upsert {
       }
     doomedDirs.foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
-      if (d.startsWith("compact-")) fs.delete(absorbedPath(path, d), false)
+      // Any dir may own an absorbed record (compact dirs, merge
+      // rewrites); deleting a missing one is a no-op.
+      fs.delete(absorbedPath(path, d), false)
     }
     doomedDirs.size
   }

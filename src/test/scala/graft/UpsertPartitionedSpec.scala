@@ -68,6 +68,79 @@ class UpsertPartitionedSpec extends SparkSpec {
     }
   }
 
+  test("merge: I/U/D apply copy-on-write; untouched dirs carry by reference; history intact") {
+    val path = java.nio.file.Files.createTempDirectory("snapm").toString
+    // v1 = batch-1 {1:a, 2:b}; v2 adds batch-2 {5:e} (untouched later)
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((5L, "e")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // Changes: update 2, delete 1, insert 4, and an I on the present
+    // key 5 that keep-existing must drop.
+    val changes = Seq(("U", 2L, "B"), ("D", 1L, null.asInstanceOf[String]),
+      ("I", 4L, "d"), ("I", 5L, "CLOBBER"))
+      .toDF("op", "id", "v")
+    val v3 = Upsert.mergeSnapshot(spark, path, changes, Seq("id"),
+      Seq("id"), "op")
+    assert(v3 == 3)
+    assert(Upsert.readSnapshot(spark, path, 3).select("id", "v")
+      .as[(Long, String)].collect().toSet ==
+      Set((2L, "B"), (4L, "d"), (5L, "e")), "U replaced, D gone, I landed, present-key I dropped")
+    // Copy-on-write: batch-2 (no touched key) carries BY REFERENCE,
+    // batch-1 was rewritten, the merge dir holds the fresh rows.
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path, "_snapshots", "v3.list")), "UTF-8")
+      .split("\n").toSet
+    assert(manifest == Set("batch-2", "batch-1-m3", "merge-3"), manifest)
+    // Time travel: v2 still shows the pre-merge world.
+    assert(Upsert.readSnapshot(spark, path, 2).select("id", "v")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (5L, "e")))
+    // Replay idempotence IN CONTENT: the same changes publish v4 with
+    // an identical read (U re-lands the same value; D/I are no-ops).
+    val v4 = Upsert.mergeSnapshot(spark, path, changes, Seq("id"),
+      Seq("id"), "op")
+    assert(Upsert.readSnapshot(spark, path, v4).select("id", "v")
+      .as[(Long, String)].collect().toSet ==
+      Set((2L, "B"), (4L, "d"), (5L, "e")))
+    // A deleted key is insertable again by a plain append.
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a2")).toDF("id", "v"), Seq("id"), Seq("id"))
+    assert(Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).select("id", "v")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a2"), (2L, "B"), (4L, "d"), (5L, "e")))
+    // U on an ABSENT key inserts (upsert half of MERGE semantics).
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 9L, "nine")).toDF("op", "id", "v"), Seq("id"), Seq("id"), "op")
+    assert(Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).filter(col("id") === 9)
+      .select("v").as[String].collect().toSeq == Seq("nine"))
+    // Bad op value refuses.
+    intercept[IllegalArgumentException] {
+      Upsert.mergeSnapshot(spark, path,
+        Seq(("X", 1L, "z")).toDF("op", "id", "v"), Seq("id"), Seq("id"), "op")
+    }
+  }
+
+  test("merge: compaction after a merge reads identical and absorbs the rewrite provenance") {
+    val path = java.nio.file.Files.createTempDirectory("snapmc").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("D", 2L, null.asInstanceOf[String])).toDF("op", "id", "v"),
+      Seq("id"), Seq("id"), "op")
+    val vc = Upsert.compactSnapshots(spark, path)
+    assert(Upsert.readSnapshot(spark, path, vc).select("id", "v")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (3L, "c")))
+    // The deleted key must NOT resurrect through a later append chain.
+    Upsert.writeSnapshot(spark, path,
+      Seq((7L, "g")).toDF("id", "v"), Seq("id"), Seq("id"))
+    assert(Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).filter(col("id") === 2).isEmpty)
+  }
+
   test("snapshot claims: a rival's claim forces the next version — never a double publish") {
     val path = java.nio.file.Files.createTempDirectory("snapr").toString
     Upsert.writeSnapshot(spark, path,
