@@ -783,4 +783,38 @@ object EventStream {
         ()
       }
       .start()
+
+  /** Streaming CDC APPLY: each micro-batch of change rows (opCol ∈
+    * I/U/D) MERGES into the snapshot sink
+    * ([[graft.ops.Upsert.mergeSnapshot]]) — the streaming front end of
+    * a Debezium/binlog-style feed. Every micro-batch publishes one new
+    * version; copy-on-write rewrites only the dirs holding touched
+    * keys, so a trickle of updates against a compacted 100 TB snapshot
+    * rewrites per-batch work, not the corpus. Replay safety is
+    * CONTENT-level like [[snapshotSink]]: re-merging a delivered batch
+    * republishes the same state (U re-lands its value over itself, D of
+    * a gone key is a no-op, I of a present key drops) — version numbers
+    * may advance on replay, row content never does. An EMPTY sink
+    * bootstraps from the first batch's I/U rows. Ordering: at-least-once
+    * + content idempotence needs IN-ORDER batch delivery per key, which
+    * Structured Streaming's sequential foreachBatch provides; the
+    * within-batch collapse picks one op per key by `tieBreak`. */
+  def cdcMergeSink(stream: DataFrame, sinkPath: String, keys: Seq[String],
+                   tieBreak: Seq[String], opCol: String,
+                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        if (graft.ops.Upsert.latestVersion(s, sinkPath) == 0)
+          graft.ops.Upsert.writeSnapshot(s, sinkPath,
+            batch.filter(col(opCol).isin("I", "U")).drop(opCol),
+            keys, tieBreak)
+        else
+          graft.ops.Upsert.mergeSnapshot(s, sinkPath, batch, keys,
+            tieBreak, opCol)
+        ()
+      }
+      .start()
 }

@@ -415,6 +415,16 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q_markov_transitions: one events scan, zero joins — never a journey self-join") {
+    // The tempting shape is a journeys×events join to find terminals;
+    // the operator's contract is windows over ONE scan plus a bounded
+    // (from, to) count agg.
+    val plan = executedPlan("q_markov_transitions")
+    assert(countScans(plan) == 1, s"one events scan:\n$plan")
+    assert(!plan.contains("Join"), s"windows, not a self-join:\n$plan")
+    assert(plan.contains("Window"), s"the journey windows:\n$plan")
+  }
+
   test("q_tpch_q4: EXISTS is a semi join; quarter filter pushed to the orders scan") {
     val plan = executedPlan("q_tpch_q4")
     assert(plan.contains("LeftSemi"), s"EXISTS must be a semi join:\n$plan")
