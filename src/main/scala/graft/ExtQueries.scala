@@ -2026,6 +2026,34 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_incr_agg" -> ((s, dir) => {
+      // Incremental materialized aggregate: the per-source doc count +
+      // exact char sum maintained across TWO source versions (evens,
+      // then everything) with the second refresh reading ONLY the
+      // odd-docs delta. The oracle recomputes the aggregate from the
+      // full logical table — the hash proves increment == recompute
+      // bit-for-bit (decimal sums, never float).
+      val src = s"$RunScratch/graft_incr_src_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val agg = s"$RunScratch/graft_incr_agg_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(src), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      fs.delete(new org.apache.hadoop.fs.Path(agg), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, src,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.refreshAggregate(s, src, agg, Seq("source"), "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, src, docs, Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.refreshAggregate(s, src, agg, Seq("source"), "n_chars")
+      graft.ops.Upsert.readSnapshot(s, agg,
+          graft.ops.Upsert.latestVersion(s, agg))
+        .select(col("source"), col("n"),
+          col("sum_v").cast(DoubleType).as("sum_chars"))
+        .orderBy("source")
+    }),
+
     "q_bloom_index_lookup" -> ((s, dir) => {
       // Secondary-index point lookup: the corpus is CONTENT-sharded
       // (md5 of text), so specific doc_ids would otherwise need a
@@ -7287,6 +7315,14 @@ object ExtQueries {
          FROM documents
          WHERE doc_id % 2 = 1 OR doc_id % 20 <> 0
          ORDER BY doc_id""",
+
+    // Increment == recompute: the maintained aggregate must equal the
+    // one-shot group over the full logical table.
+    "q_incr_agg" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DECIMAL(28,6))
+             AS DOUBLE) AS sum_chars
+         FROM documents GROUP BY source ORDER BY source""",
 
     "q_export_manifest" ->
       """WITH sh AS (SELECT doc_id, text, n_chars,

@@ -658,6 +658,8 @@ object Upsert {
       .flatMap(v => manifestDirs(spark, path, v)).toSet -- referenced
     allVersions.filter(_ < keepFrom).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.list"), false)
+      // Aggregate-maintenance coverage marker, if this sink has them.
+      fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.src"), false)
     }
     snapNames
       .collect { case n if n.startsWith("v") && n.endsWith(".claim") =>
@@ -693,5 +695,102 @@ object Upsert {
     if (dirs.isEmpty) readSnapshot(spark, path, to).limit(0)
     else spark.read.option("mergeSchema", "true")
       .parquet(dirs.map(d => s"$path/$d"): _*)
+  }
+
+  // ── incremental aggregate maintenance ───────────────────────────
+
+  private def srcMarkerPath(aggPath: String, aggVersion: Int) =
+    new org.apache.hadoop.fs.Path(snapDir(aggPath), s"v$aggVersion.src")
+
+  /** The source version the CURRENT aggregate snapshot covers: the
+    * latest published agg version's `.src` marker, or 0 when there is
+    * none — fresh sink, pre-maintenance sink, or the crash window
+    * between a publish and its marker write (all of which
+    * [[refreshAggregate]] answers with a full recompute, the
+    * correctness-preserving fallback). */
+  def aggregateCoveredVersion(spark: SparkSession, aggPath: String): Int = {
+    val v = latestVersion(spark, aggPath)
+    if (v == 0) return 0
+    val fs = fsFor(spark, aggPath)
+    val m = srcMarkerPath(aggPath, v)
+    if (!fs.exists(m)) 0
+    else {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** INCREMENTAL MATERIALIZED AGGREGATE: bring the grouped-aggregate
+    * snapshot at `aggPath` (per `groupCols`: row count `n` + exact
+    * decimal `sum_v` of `valueCol`) up to date with the APPEND-ONLY
+    * source snapshot at `srcPath`, reading ONLY the source versions the
+    * aggregate hasn't seen. Each refresh publishes one aggregate
+    * version via the copy-on-write merge — U rows for the groups the
+    * delta touched, nothing else rewrites — and records the covered
+    * source version in a `v<N>.src` marker next to the manifest.
+    *
+    * The 100 TB point: a refresh costs (delta scan + one group
+    * shuffle + a merge that rewrites only touched-group dirs), never a
+    * full recompute of the source — the materialized-view maintenance
+    * loop a warehouse runs continuously. Returns the published agg
+    * version (or the current one when already up to date).
+    *
+    * Exactly-once arithmetic across crashes: the marker is written
+    * AFTER its version publishes, so the only bad window leaves a
+    * published version with no marker — [[aggregateCoveredVersion]]
+    * reads that as "coverage unknown" and the next refresh recomputes
+    * from the FULL source (idempotent in content), never double-adds a
+    * delta. Requires the source to be an append-only keep-existing
+    * chain ([[writeSnapshot]]); a merged-on source breaks delta
+    * purity — recompute instead (covered = 0 forces exactly that).
+    * Sums are exact decimals (DECIMAL(28,6) over the cast input), so
+    * increment-then-read equals recompute bit-for-bit. */
+  def refreshAggregate(spark: SparkSession, srcPath: String,
+                       aggPath: String, groupCols: Seq[String],
+                       valueCol: String): Int = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val srcLatest = latestVersion(spark, srcPath)
+    require(srcLatest >= 1, s"no source snapshot at $srcPath")
+    val covered = aggregateCoveredVersion(spark, aggPath)
+    val aggCur = latestVersion(spark, aggPath)
+    if (covered == srcLatest) return aggCur
+    // sum_v is pinned to DECIMAL(28,6) on EVERY path (Spark's sum
+    // widens to (38,6); a bootstrap at one precision and increments at
+    // another would make the union read's decimal types conflict).
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+          sum(col(valueCol).cast(dec)).cast(dec).as("sum_v"))
+    val published =
+      if (covered == 0) {
+        // Bootstrap OR unknown coverage: full recompute. For a fresh
+        // sink this is writeSnapshot; for an existing sink the merge's
+        // U rows overwrite every group (groups never vanish under an
+        // append-only source, so no D pass is needed).
+        val full = aggOf(readSnapshot(spark, srcPath, srcLatest))
+        if (aggCur == 0)
+          writeSnapshot(spark, aggPath, full, groupCols, groupCols)
+        else
+          mergeSnapshot(spark, aggPath, full.withColumn("__op", lit("U")),
+            groupCols, groupCols, "__op")
+      } else {
+        val deltaAgg = aggOf(
+          readSnapshotDelta(spark, srcPath, covered, srcLatest))
+          .withColumnRenamed("n", "__dn").withColumnRenamed("sum_v", "__ds")
+        val cur = readSnapshot(spark, aggPath, aggCur)
+          .select((groupCols.map(col) :+ col("n") :+ col("sum_v")): _*)
+        val changes = deltaAgg.join(cur, groupCols, "left")
+          .select((groupCols.map(col) :+
+            (coalesce(col("n"), lit(0L)) + col("__dn")).as("n") :+
+            (coalesce(col("sum_v"), lit(0).cast(dec)) + col("__ds"))
+              .cast(dec).as("sum_v") :+
+            lit("U").as("__op")): _*)
+        mergeSnapshot(spark, aggPath, changes, groupCols, groupCols, "__op")
+      }
+    val fs = fsFor(spark, aggPath)
+    val out = fs.create(srcMarkerPath(aggPath, published), true)
+    try out.write(srcLatest.toString.getBytes("UTF-8")) finally out.close()
+    published
   }
 }

@@ -141,6 +141,43 @@ class UpsertPartitionedSpec extends SparkSpec {
       Upsert.latestVersion(spark, path)).filter(col("id") === 2).isEmpty)
   }
 
+  test("incremental aggregate: bootstrap, delta-only refresh, no-op, crash-window fallback") {
+    val src = java.nio.file.Files.createTempDirectory("iasrc").toString
+    val agg = java.nio.file.Files.createTempDirectory("iaagg").toString
+    Upsert.writeSnapshot(spark, src,
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+        .toDF("id", "g", "v"), Seq("id"), Seq("id"))
+    // Bootstrap refresh: full recompute.
+    val a1 = Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+    def state(ver: Int) = Upsert.readSnapshot(spark, agg, ver)
+      .select(col("g"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(state(a1) == Set(("a", 2L, 30.0), ("b", 1L, 5.0)))
+    // Source grows (new group + growth of an old one); the refresh
+    // must read ONLY the delta and still equal a full recompute.
+    Upsert.writeSnapshot(spark, src,
+      Seq((4L, "a", 1.0), (5L, "c", 7.0)).toDF("id", "g", "v"),
+      Seq("id"), Seq("id"))
+    val a2 = Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+    assert(state(a2) == Set(("a", 3L, 31.0), ("b", 1L, 5.0), ("c", 1L, 7.0)))
+    // Untouched-group dir discipline: group b's stats never rewrote?
+    // (copy-on-write is per-dir, both groups share batch dirs here, so
+    // just pin the content and the version chain.)
+    assert(Upsert.latestVersion(spark, agg) == a2 && a2 > a1)
+    // Already covered → no-op, same version.
+    assert(Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v") == a2)
+    // Crash window: marker missing for the latest agg version → the
+    // next refresh falls back to a FULL recompute (never double-adds).
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(agg), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$agg/_snapshots/v$a2.src"),
+      false)
+    val a3 = Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+    assert(a3 > a2, "unknown coverage republishes")
+    assert(state(a3) == Set(("a", 3L, 31.0), ("b", 1L, 5.0), ("c", 1L, 7.0)),
+      "fallback recompute equals the incremental state — no double-add")
+  }
+
   test("snapshot claims: a rival's claim forces the next version — never a double publish") {
     val path = java.nio.file.Files.createTempDirectory("snapr").toString
     Upsert.writeSnapshot(spark, path,
