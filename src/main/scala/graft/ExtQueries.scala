@@ -2026,6 +2026,25 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_snap_erase" -> ((s, dir) => {
+      // Right-to-be-forgotten: erase every %10 doc from the snapshot
+      // sink and read VERSION 1 — the hash pins that HISTORY lost the
+      // subject too (time travel must not resurrect an erased key),
+      // which is what separates erasure from a delete-merge.
+      val path = s"$RunScratch/graft_snap_erase_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path, docs, Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.eraseKeys(s, path,
+        docs.filter(col("doc_id") % 10 === 0).select("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.readSnapshot(s, path, 1).orderBy("doc_id")
+    }),
+
     "q_incr_agg" -> ((s, dir) => {
       // Incremental materialized aggregate: the per-source doc count +
       // exact char sum maintained across TWO source versions (evens,
@@ -7314,6 +7333,13 @@ object ExtQueries {
              THEN n_chars + 1000000 ELSE n_chars END AS n_chars
          FROM documents
          WHERE doc_id % 2 = 1 OR doc_id % 20 <> 0
+         ORDER BY doc_id""",
+
+    // Version 1 (the evens) after erasing every %10 key — history
+    // itself must lose the subject.
+    "q_snap_erase" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
          ORDER BY doc_id""",
 
     // Increment == recompute: the maintained aggregate must equal the

@@ -697,6 +697,99 @@ object Upsert {
       .parquet(dirs.map(d => s"$path/$d"): _*)
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN erasure: physically remove every row
+    * matching `doomed`'s keys from EVERY version of the snapshot sink —
+    * history included, which is the point: after this, no time-travel
+    * read, delta read, or compaction can surface the subject again.
+    * The destructive counterpart of the Privacy audits (they measure
+    * structural leakage; this removes the subject).
+    *
+    * Offline, explicitly destructive, and serialized on the rewriter
+    * lock. Every referenced dir holding a doomed key is rewritten to
+    * `<dir>-e<epoch>` (minus those keys, `.absorbed` provenance
+    * preserved so future merges/compactions still reason over roots),
+    * ALL manifests are repointed, and the original dirs are DELETED —
+    * the data is gone, not just unreachable. Version numbers and count
+    * are unchanged: erasure edits history in place rather than
+    * appending to it (an append would leave the subject readable at
+    * older versions). Manifest repointing is delete+rename per
+    * version — not atomic for concurrent readers; this is an offline
+    * compliance op (the lock already excludes writers of the rewrite
+    * class; pause readers too). Returns the number of rows erased. */
+  def eraseKeys(spark: SparkSession, path: String, doomed: DataFrame,
+                keys: Seq[String]): Long = {
+    val fs = fsFor(spark, path)
+    fs.mkdirs(snapDir(path))
+    val lock = new org.apache.hadoop.fs.Path(snapDir(path), "compact.lock")
+    try createExclusive(fs, lock) catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"eraseKeys: another rewriter holds $lock — if its process " +
+            "crashed, delete the lock file and retry", e)
+    }
+    try {
+      val cur = latestVersion(spark, path)
+      require(cur >= 1, s"no snapshot to erase from at $path")
+      // A claimed (never-published) version number makes the epoch
+      // unique across every concurrent/past operation with zero new
+      // state formats; latestVersion skips claim holes by design.
+      val epoch = claimVersion(spark, path)
+      val keyRows = doomed.select(keys.map(col): _*).distinct()
+        .localCheckpoint()
+      val snapNames = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+      val versions = snapNames.collect {
+        case n if n.startsWith("v") && n.endsWith(".list") =>
+          n.stripPrefix("v").stripSuffix(".list").toInt
+      }.sorted
+      val perVersion = versions.map(v => v -> manifestDirs(spark, path, v))
+      val allDirs = perVersion.flatMap(_._2).distinct
+      var erased = 0L
+      val renames = allDirs.flatMap { d =>
+        val df = spark.read.option("mergeSchema", "true")
+          .parquet(s"$path/$d")
+        val hit = df.join(keyRows, keys, "left_semi").count()
+        if (hit == 0) None
+        else {
+          erased += hit
+          val rw = s"$d-e$epoch"
+          df.join(keyRows, keys, "left_anti")
+            .write.mode("overwrite").parquet(s"$path/$rw")
+          val out = fs.create(absorbedPath(path, rw), true)
+          try out.write(provenance(spark, path, d).toSeq.sorted
+            .mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          Some(d -> rw)
+        }
+      }.toMap
+      if (renames.nonEmpty) {
+        perVersion.foreach { case (v, dirs) =>
+          if (dirs.exists(renames.contains)) {
+            val newList = dirs.map(d => renames.getOrElse(d, d))
+            val tmp = new org.apache.hadoop.fs.Path(snapDir(path),
+              s"v$v.list.tmp")
+            val out = fs.create(tmp, true)
+            try out.write(newList.mkString("\n").getBytes("UTF-8"))
+            finally out.close()
+            val dst = new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.list")
+            fs.delete(dst, false)
+            if (!fs.rename(tmp, dst)) throw new java.io.IOException(
+              s"eraseKeys: manifest repoint failed for v$v at $path — " +
+                "restore from the rewritten dirs before serving reads")
+          }
+        }
+        // Physical deletion LAST, after every manifest stopped
+        // referencing the originals: a crash before this point leaves a
+        // consistent (partially repointed) sink plus extra copies to
+        // re-erase; a crash after a manifest repoint never dangles.
+        renames.keys.foreach { d =>
+          fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
+          fs.delete(absorbedPath(path, d), false)
+        }
+      }
+      erased
+    } finally fs.delete(lock, false)
+  }
+
   // ── incremental aggregate maintenance ───────────────────────────
 
   private def srcMarkerPath(aggPath: String, aggVersion: Int) =

@@ -141,6 +141,44 @@ class UpsertPartitionedSpec extends SparkSpec {
       Upsert.latestVersion(spark, path)).filter(col("id") === 2).isEmpty)
   }
 
+  test("eraseKeys: subject gone from EVERY version, originals deleted, sink keeps working") {
+    val path = java.nio.file.Files.createTempDirectory("snaperase").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((3L, "c")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.compactSnapshots(spark, path)                       // v3
+    Upsert.writeSnapshot(spark, path,
+      Seq((4L, "d")).toDF("id", "v"), Seq("id"), Seq("id"))    // v4
+    val erased = Upsert.eraseKeys(spark, path,
+      Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    // Key 2 lived in batch-1 AND in the compacted dir: 2 physical rows.
+    assert(erased == 2L, s"rows erased: $erased")
+    // No version — not even pre-compaction history — surfaces it.
+    for (ver <- 1 to 4)
+      assert(Upsert.readSnapshot(spark, path, ver)
+        .filter(col("id") === 2).isEmpty, s"v$ver still shows the subject")
+    assert(Upsert.readSnapshot(spark, path, 1).as[(Long, String)]
+      .collect().toSet == Set((1L, "a")))
+    assert(Upsert.readSnapshot(spark, path, 4).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // The original dirs are physically gone, not just unreferenced.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "batch-1")),
+      "erasure must DELETE the original data dir")
+    // The subject is insertable again, and the rewrite chain keeps
+    // working (merge after erasure exercises provenance on -e dirs).
+    Upsert.writeSnapshot(spark, path,
+      Seq((2L, "b2")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 4L, "D2")).toDF("op", "id", "v"), Seq("id"), Seq("id"), "op")
+    assert(Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Long, String)]
+      .collect().toSet ==
+      Set((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "D2")))
+  }
+
   test("incremental aggregate: bootstrap, delta-only refresh, no-op, crash-window fallback") {
     val src = java.nio.file.Files.createTempDirectory("iasrc").toString
     val agg = java.nio.file.Files.createTempDirectory("iaagg").toString
