@@ -697,6 +697,47 @@ object Upsert {
       .parquet(dirs.map(d => s"$path/$d"): _*)
   }
 
+  /** Hygiene sweep for ORPHANED data dirs: a writer that crashed
+    * between its parquet write and its manifest publish leaves a
+    * batch/merge/compact/rewrite dir no manifest will ever reference —
+    * invisible to readers, but it holds disk and pollutes listings
+    * forever ([[expireSnapshots]] only reclaims dirs old manifests
+    * referenced). Deletes every top-level data dir absent from ALL
+    * published manifests, plus its `.absorbed` record.
+    *
+    * OFFLINE op under the rewriter lock, and the lock is not enough on
+    * its own: an in-flight APPENDER has written its dir but not yet its
+    * manifest — exactly the orphan signature — so run this only while
+    * no writers are active (the same operational class as
+    * [[eraseKeys]]). Returns the number of dirs reclaimed. */
+  def vacuumOrphans(spark: SparkSession, path: String): Int = {
+    val fs = fsFor(spark, path)
+    fs.mkdirs(snapDir(path))
+    val lock = new org.apache.hadoop.fs.Path(snapDir(path), "compact.lock")
+    try createExclusive(fs, lock) catch {
+      case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"vacuumOrphans: another rewriter holds $lock — if its " +
+            "process crashed, delete the lock file and retry", e)
+    }
+    try {
+      val versions = fs.listStatus(snapDir(path)).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+          n.stripPrefix("v").stripSuffix(".list").toInt }
+      val referenced = versions
+        .flatMap(v => manifestDirs(spark, path, v)).toSet
+      val orphans = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(_ == "_snapshots").filterNot(referenced)
+      orphans.foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
+        fs.delete(absorbedPath(path, d), false)
+      }
+      orphans.size
+    } finally fs.delete(lock, false)
+  }
+
   /** RIGHT-TO-BE-FORGOTTEN erasure: physically remove every row
     * matching `doomed`'s keys from EVERY version of the snapshot sink —
     * history included, which is the point: after this, no time-travel

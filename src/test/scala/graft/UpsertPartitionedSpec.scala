@@ -141,6 +141,24 @@ class UpsertPartitionedSpec extends SparkSpec {
       Upsert.latestVersion(spark, path)).filter(col("id") === 2).isEmpty)
   }
 
+  test("vacuumOrphans: crashed-writer dirs reclaimed, referenced dirs untouched") {
+    val path = java.nio.file.Files.createTempDirectory("snapvac").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // Simulate a writer that crashed between data write and manifest
+    // publish: a batch dir no manifest references.
+    Seq((99L, "ghost")).toDF("id", "v")
+      .write.parquet(s"$path/batch-7")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    assert(Upsert.vacuumOrphans(spark, path) == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "batch-7")),
+      "orphan reclaimed")
+    assert(Upsert.readSnapshot(spark, path, 1).as[(Long, String)]
+      .collect().toSet == Set((1L, "a")), "referenced dir untouched")
+    assert(Upsert.vacuumOrphans(spark, path) == 0, "idempotent")
+  }
+
   test("eraseKeys: subject gone from EVERY version, originals deleted, sink keeps working") {
     val path = java.nio.file.Files.createTempDirectory("snaperase").toString
     Upsert.writeSnapshot(spark, path,
