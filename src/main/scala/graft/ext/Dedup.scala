@@ -1168,8 +1168,14 @@ object Dedup {
     // maxShingleDf (or 100 TB of boilerplate) grows it past the
     // threshold — a forced hint would ship an unbounded build side to
     // the driver (r14 ADVICE).
+    // LAZY checkpoint: the pin still truncates lineage and shares the
+    // materialized explosion across the hot-list agg and both join
+    // sides, but nothing executes until the caller's first action —
+    // merely CONSTRUCTING the query (plan inspection, speculative
+    // composition) must not launch a corpus-bandwidth job.
     val raw =
-      if (maxShingleDf == Int.MaxValue) exploded else exploded.localCheckpoint()
+      if (maxShingleDf == Int.MaxValue) exploded
+      else exploded.localCheckpoint(false)
     val hot =
       if (maxShingleDf == Int.MaxValue) null
       else raw.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))

@@ -157,6 +157,10 @@ object Privacy {
       .agg(count(lit(1)).as("__ncv"))
       .localCheckpoint()
     // Global value list with ranks and totals — bounded by the domain.
+    // Values keep their NATIVE type so the rank order is the
+    // attribute's real order (a string fold would rank 10 before 2);
+    // NULL is its own rank (first) and the densify join below is
+    // null-safe so classes holding NULLs keep their mass.
     val vals = cv.groupBy(col("__v"))
       .agg(sum(col("__ncv")).cast("long").as("__nv"))
       .withColumn("__rk", row_number().over(
@@ -166,11 +170,18 @@ object Privacy {
     val m = vals.count() // bounded domain (operator contract)
     require(m >= 2, "ordered t-closeness needs at least 2 sensitive values")
     // Densify: every class × every global value (absent → n_cv = 0).
+    // The left join is NULL-SAFE on both the quasi keys and the value:
+    // a NULL-keyed class and a NULL sensitive value must match
+    // themselves or their mass silently zeroes and the distance
+    // inflates.
     val classes = cv.groupBy(quasi.map(col): _*)
       .agg(sum(col("__ncv")).cast("long").as("__nc"))
+    val cvR = cv.select(quasi.map(c => col(c).as(s"__q_$c")) :+
+      col("__v").as("__v2") :+ col("__ncv").as("__ncv0"): _*)
+    val joinCond = (quasi.map(c => col(c) <=> col(s"__q_$c")) :+
+      (col("__v") <=> col("__v2"))).reduce(_ && _)
     val dense = classes.crossJoin(broadcast(vals))
-      .join(cv.withColumnRenamed("__ncv", "__ncv0"),
-        quasi :+ "__v", "left")
+      .join(cvR, joinCond, "left")
       .withColumn("__ncv", coalesce(col("__ncv0"), lit(0L)))
       .crossJoin(broadcast(tot))
     val term = col("__ncv").cast(dec) * col("__nn").cast(dec) -

@@ -851,7 +851,9 @@ object Analytics {
     require(lookbackSeconds > 0, "lookback must be positive")
     require(Set("linear", "position", "decay")(model),
       s"unknown model '$model' (linear | position | decay)")
-    val touch = isTouch && ts.isNotNull
+    // A NULL label can't name a channel (and would NPE the driver-side
+    // channel sort): label-less touches are out of scope, like ts-less.
+    val touch = isTouch && ts.isNotNull && touchLabel.isNotNull
     // Bounded driver collect: distinct channel labels (operator
     // contract — channels are a small closed set, like event types).
     val channels = events.filter(touch)
@@ -978,7 +980,8 @@ object Analytics {
                         tie: Column, isConversion: Column, isTouch: Column,
                         touchLabel: Column): DataFrame = {
     val e = events
-      .filter((isTouch || isConversion) && ts.isNotNull)
+      .filter(((isTouch && touchLabel.isNotNull) || isConversion) &&
+        ts.isNotNull)
       .select(user.as("__u"), ts.as("__ts"), tie.as("__tie"),
         isConversion.as("__conv"),
         when(isConversion, "(conv)")

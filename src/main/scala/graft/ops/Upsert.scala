@@ -254,43 +254,85 @@ object Upsert {
     * rewrite is what joins the lineage. Keep-existing therefore holds
     * per KEY under concurrency; which racer "existed first" is decided
     * by reconciliation order, not wall clock. */
+  /** Published versions in `(baseVersion, latest]` whose dirs the
+    * latest manifest's coverage has DROPPED. Coverage is monotone by
+    * design (compaction absorbs, rewrites keep roots, erasure repoints
+    * every manifest), so a non-empty result means a CROSSED publish: a
+    * writer chained its manifest from a base that predates another
+    * writer's already-published version — the other side of the TOCTOU
+    * this module's reconciles exist for. Both writers can pass a naive
+    * "am I latest / am I reachable" check in that interleaving (each
+    * was latest for a moment), so every reconcile must ALSO sweep its
+    * own window for dropped thirds and carry them forward. */
+  private def droppedPublished(spark: SparkSession, path: String,
+      baseVersion: Int, latest: Int,
+      latestCov: Set[String]): Seq[String] = {
+    val fs = fsFor(spark, path)
+    ((baseVersion + 1) to latest)
+      .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+        snapDir(path), s"v$v.list")))
+      .flatMap(v => manifestDirs(spark, path, v))
+      .distinct
+      .filterNot(d => provenance(spark, path, d).subsetOf(latestCov))
+  }
+
   private[graft] def reconcileLineage(spark: SparkSession, path: String,
       published: Int, dirName: String, keys: Seq[String],
       baseCoverage: Set[String],
-      schema: org.apache.spark.sql.types.StructType): Int = {
-    val known = baseCoverage + rootOf(dirName)
+      schema: org.apache.spark.sql.types.StructType,
+      baseVersion: Int): Int = {
+    var known = baseCoverage + rootOf(dirName)
     var version = published
     var curDir = dirName
     var attempts = 0
     while (attempts < 100) {
       val latest = latestVersion(spark, path)
-      if (latest == version) return version
       val latestDirs = manifestDirs(spark, path, latest)
-      if (coverage(spark, path, latestDirs).contains(rootOf(dirName)))
-        return version
-      // Orphaned: interleaved publishes won the chain. Resolve key
-      // conflicts against the dirs our base never saw, then republish.
-      val foreign = latestDirs.filter(d =>
-        provenance(spark, path, d).exists(r => !known.contains(r)))
+      val latestCov = coverage(spark, path, latestDirs)
+      val dropped = droppedPublished(spark, path, baseVersion, latest,
+        latestCov)
+      val selfOk = latestCov.contains(rootOf(dirName))
+      if (selfOk && dropped.isEmpty) return version
       version = claimVersion(spark, path)
-      val own = spark.read.schema(schema).parquet(s"$path/$curDir")
-      val nextDir =
-        if (foreign.isEmpty) curDir
-        else {
-          val rivalKeys = spark.read.schema(schema)
-            .parquet(foreign.map(d => s"$path/$d"): _*)
-            .select(keys.map(col): _*).distinct()
-          val stolen = own.join(rivalKeys, keys, "left_semi").count()
-          if (stolen == 0) curDir
+      if (selfOk) {
+        // Our own batch already rides the chain (possibly as a
+        // rewrite — never re-add the original next to it); only
+        // re-attach the dropped thirds on top of the current latest.
+        known = known ++ dropped.flatMap(d => provenance(spark, path, d))
+        publishManifest(spark, path, version,
+          (latestDirs ++ dropped).distinct)
+      } else {
+        // WE are orphaned (interleaved publishes won the chain), and a
+        // crossed publish may have dropped thirds too. Republish the
+        // union, resolving key conflicts: rival dirs (anything whose
+        // provenance our base never saw) win, OUR dir yields — a
+        // deterministic keep-existing winner under any race.
+        val rivals = (latestDirs ++ dropped).distinct.filter(d =>
+          provenance(spark, path, d).exists(r => !known.contains(r)))
+        val nextDir =
+          if (rivals.isEmpty) curDir
           else {
-            val rw = s"${rootOf(dirName)}-r$version"
-            own.join(rivalKeys, keys, "left_anti")
-              .write.mode("overwrite").parquet(s"$path/$rw")
-            rw
+            val own = spark.read.schema(schema).parquet(s"$path/$curDir")
+            val rivalKeys = spark.read.schema(schema)
+              .parquet(rivals.map(d => s"$path/$d"): _*)
+              .select(keys.map(col): _*).distinct()
+            val stolen = own.join(rivalKeys, keys, "left_semi").count()
+            if (stolen == 0) curDir
+            else {
+              val rw = s"${rootOf(dirName)}-r$version"
+              own.join(rivalKeys, keys, "left_anti")
+                .write.mode("overwrite").parquet(s"$path/$rw")
+              rw
+            }
           }
-        }
-      publishManifest(spark, path, version, latestDirs :+ nextDir)
-      curDir = nextDir
+        // Accumulate resolved provenance: already-resolved rivals must
+        // not be re-read and re-anti-joined on the next iteration.
+        known = known ++ rivals.flatMap(d => provenance(spark, path, d))
+        val carry = (latestDirs ++ dropped).distinct
+          .filterNot(d => d == curDir || d == nextDir)
+        publishManifest(spark, path, version, carry :+ nextDir)
+        curDir = nextDir
+      }
       attempts += 1
     }
     throw new IllegalStateException(
@@ -322,7 +364,7 @@ object Upsert {
     fresh.write.mode("overwrite").parquet(s"$path/$dirName")
     publishManifest(spark, path, target, baseDirs :+ dirName)
     reconcileLineage(spark, path, target, dirName, keys,
-      coverage(spark, path, baseDirs), fresh.schema)
+      coverage(spark, path, baseDirs), fresh.schema, baseVersion = cur)
   }
 
   private def publishManifest(spark: SparkSession, path: String,
@@ -424,7 +466,8 @@ object Upsert {
             "compaction artifacts; resolve manually")
       }
       publishManifest(spark, path, target, dirName +: interleaved)
-      reconcileCompact(spark, path, target, dirName, absorbed)
+      reconcileCompact(spark, path, target, dirName, absorbed,
+        baseVersion = cur)
     } finally fs.delete(lock, false)
   }
 
@@ -435,16 +478,28 @@ object Upsert {
     * dir's rows ARE the base lineage, so covered dirs are whole-row
     * duplicates to exclude, never key conflicts to resolve. */
   private def reconcileCompact(spark: SparkSession, path: String,
-      published: Int, dirName: String, absorbed: Set[String]): Int = {
+      published: Int, dirName: String, absorbed: Set[String],
+      baseVersion: Int): Int = {
     var version = published
     var attempts = 0
     while (attempts < 100) {
       val latest = latestVersion(spark, path)
-      if (latest == version) return version
       val latestDirs = manifestDirs(spark, path, latest)
-      if (latestDirs.contains(dirName)) return version
-      val carry = latestDirs
-        .filterNot(d => provenance(spark, path, d).subsetOf(absorbed))
+      val latestCov = coverage(spark, path, latestDirs)
+      // Crossed-publish sweep: an appender that published between this
+      // compactor's interleaved scan and its manifest rename is in
+      // neither the compacted base nor the carry — and its own
+      // reconcile may have exited while IT was momentarily latest.
+      val dropped = droppedPublished(spark, path, baseVersion, latest,
+        latestCov).filterNot(d => provenance(spark, path, d)
+          .subsetOf(absorbed))
+      // Name check, not coverage: a compact dir's provenance is its
+      // ABSORBED set (never itself), and no other compactor can absorb
+      // it while this one still holds the lock.
+      if (latestDirs.contains(dirName) && dropped.isEmpty) return version
+      val carry = (latestDirs ++ dropped).distinct
+        .filterNot(d => d == dirName ||
+          provenance(spark, path, d).subsetOf(absorbed))
       version = claimVersion(spark, path)
       publishManifest(spark, path, version, dirName +: carry)
       attempts += 1
@@ -529,15 +584,6 @@ object Upsert {
         finally out.close()
         rw
       }
-      // Landing rows: every U (old copy just removed), plus I rows
-      // whose key the base snapshot lacks (keep-existing).
-      val present = readSnapshot(spark, path, cur)
-        .select(keys.map(col): _*).distinct()
-      val land = deduped.filter(col(opCol) === "U").drop(opCol)
-        .unionByName(deduped.filter(col(opCol) === "I").drop(opCol)
-          .join(present, keys, "left_anti"))
-      val mergeDir = s"merge-$target"
-      land.write.mode("overwrite").parquet(s"$path/$mergeDir")
       // Interleaved appenders between the base read and this publish:
       // carry their dirs (their rows win over this merge's deletes —
       // sequential merge-then-write equivalence).
@@ -548,13 +594,33 @@ object Upsert {
         .distinct
         .filterNot(d =>
           provenance(spark, path, d).subsetOf(baseCoverage))
+      // Landing rows: every U (old copy just removed), plus I rows
+      // whose key the base snapshot lacks (keep-existing). Both must
+      // ALSO yield to the interleaved appenders' keys — those dirs are
+      // carried unrewritten, and `present` (built from the BASE) can't
+      // see them, so a landing row sharing a key would publish the key
+      // twice (the pre-publish twin of reconcileMerge's key resolve).
+      val present = readSnapshot(spark, path, cur)
+        .select(keys.map(col): _*).distinct()
+      val land0 = deduped.filter(col(opCol) === "U").drop(opCol)
+        .unionByName(deduped.filter(col(opCol) === "I").drop(opCol)
+          .join(present, keys, "left_anti"))
+      val land =
+        if (interleaved.isEmpty) land0
+        else land0.join(
+          spark.read.option("mergeSchema", "true")
+            .parquet(interleaved.map(d => s"$path/$d"): _*)
+            .select(keys.map(col): _*).distinct(),
+          keys, "left_anti")
+      val mergeDir = s"merge-$target"
+      land.write.mode("overwrite").parquet(s"$path/$mergeDir")
       publishManifest(spark, path, target,
         carried ++ rewriteNames ++ interleaved :+ mergeDir)
       reconcileMerge(spark, path, target,
         carried ++ rewriteNames ++ interleaved, mergeDir, keys,
         baseCoverage ++
           interleaved.flatMap(d => provenance(spark, path, d)),
-        land.schema)
+        land.schema, baseVersion = cur)
     } finally fs.delete(lock, false)
   }
 
@@ -572,7 +638,8 @@ object Upsert {
   private def reconcileMerge(spark: SparkSession, path: String,
       published: Int, ownDirs: Seq[String], mergeDir: String,
       keys: Seq[String], baseKnown: Set[String],
-      schema: org.apache.spark.sql.types.StructType): Int = {
+      schema: org.apache.spark.sql.types.StructType,
+      baseVersion: Int): Int = {
     var version = published
     var curMergeDir = mergeDir
     var dirs = ownDirs
@@ -580,32 +647,48 @@ object Upsert {
     var attempts = 0
     while (attempts < 100) {
       val latest = latestVersion(spark, path)
-      if (latest == version) return version
       val latestDirs = manifestDirs(spark, path, latest)
-      if (coverage(spark, path, latestDirs).contains(rootOf(mergeDir)))
-        return version
-      val foreign = latestDirs.filter(d =>
-        provenance(spark, path, d).exists(r => !known.contains(r)))
+      val latestCov = coverage(spark, path, latestDirs)
+      // Crossed-publish sweep: an appender that published between the
+      // merge's interleaved scan and its manifest rename — and whose
+      // own reconcile exited while it was momentarily latest — must be
+      // carried here or its batch is dropped from the chain.
+      val dropped = droppedPublished(spark, path, baseVersion, latest,
+        latestCov).filterNot(d =>
+          provenance(spark, path, d).forall(known.contains))
+      val selfOk = latestCov.contains(rootOf(mergeDir))
+      if (selfOk && dropped.isEmpty) return version
       version = claimVersion(spark, path)
-      val nextMergeDir =
-        if (foreign.isEmpty) curMergeDir
-        else {
-          val own = spark.read.schema(schema).parquet(s"$path/$curMergeDir")
-          val rivalKeys = spark.read.schema(schema)
-            .parquet(foreign.map(d => s"$path/$d"): _*)
-            .select(keys.map(col): _*).distinct()
-          if (own.join(rivalKeys, keys, "left_semi").isEmpty) curMergeDir
+      if (selfOk) {
+        // Our chain is intact; only re-attach the dropped thirds on
+        // top of the CURRENT latest (republishing our own dir set here
+        // would drop whatever chained after us).
+        known = known ++ dropped.flatMap(d => provenance(spark, path, d))
+        publishManifest(spark, path, version,
+          (latestDirs ++ dropped).distinct)
+      } else {
+        val foreign = (latestDirs ++ dropped).distinct.filter(d =>
+          provenance(spark, path, d).exists(r => !known.contains(r)))
+        val nextMergeDir =
+          if (foreign.isEmpty) curMergeDir
           else {
-            val rw = s"${rootOf(mergeDir)}-r$version"
-            own.join(rivalKeys, keys, "left_anti")
-              .write.mode("overwrite").parquet(s"$path/$rw")
-            rw
+            val own = spark.read.schema(schema).parquet(s"$path/$curMergeDir")
+            val rivalKeys = spark.read.schema(schema)
+              .parquet(foreign.map(d => s"$path/$d"): _*)
+              .select(keys.map(col): _*).distinct()
+            if (own.join(rivalKeys, keys, "left_semi").isEmpty) curMergeDir
+            else {
+              val rw = s"${rootOf(mergeDir)}-r$version"
+              own.join(rivalKeys, keys, "left_anti")
+                .write.mode("overwrite").parquet(s"$path/$rw")
+              rw
+            }
           }
-        }
-      dirs = dirs ++ foreign
-      known = known ++ foreign.flatMap(d => provenance(spark, path, d))
-      publishManifest(spark, path, version, dirs :+ nextMergeDir)
-      curMergeDir = nextMergeDir
+        dirs = dirs ++ foreign
+        known = known ++ foreign.flatMap(d => provenance(spark, path, d))
+        publishManifest(spark, path, version, dirs :+ nextMergeDir)
+        curMergeDir = nextMergeDir
+      }
       attempts += 1
     }
     throw new IllegalStateException(
@@ -827,6 +910,19 @@ object Upsert {
           fs.delete(absorbedPath(path, d), false)
         }
       }
+      // Orphaned dirs (crashed writers) are invisible to readers but
+      // still hold bytes — including, possibly, the subject's. "The
+      // data is gone" must cover them too; writers are quiesced by
+      // this op's contract, so deleting unreferenced dirs is safe.
+      val allTop = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .toSeq.filter(_.isDirectory).map(_.getPath.getName)
+        .filterNot(_ == "_snapshots")
+      val referencedNow = perVersion.flatMap(_._2)
+        .map(d => renames.getOrElse(d, d)).toSet
+      allTop.filterNot(referencedNow).foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
+        fs.delete(absorbedPath(path, d), false)
+      }
       erased
     } finally fs.delete(lock, false)
   }
@@ -875,9 +971,11 @@ object Upsert {
     * published version with no marker — [[aggregateCoveredVersion]]
     * reads that as "coverage unknown" and the next refresh recomputes
     * from the FULL source (idempotent in content), never double-adds a
-    * delta. Requires the source to be an append-only keep-existing
-    * chain ([[writeSnapshot]]); a merged-on source breaks delta
-    * purity — recompute instead (covered = 0 forces exactly that).
+    * delta. Deltas are additionally validated for PURITY before use:
+    * a dir renamed out of the manifest (merge/erasure rewrite) or a
+    * new dir whose provenance overlaps the covered coverage (reconcile
+    * rewrite, compaction) means the name diff is not an append — the
+    * refresh detects it and recomputes instead of double-counting.
     * Sums are exact decimals (DECIMAL(28,6) over the cast input), so
     * increment-then-read equals recompute bit-for-bit. */
   def refreshAggregate(spark: SparkSession, srcPath: String,
@@ -886,9 +984,31 @@ object Upsert {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     val srcLatest = latestVersion(spark, srcPath)
     require(srcLatest >= 1, s"no source snapshot at $srcPath")
-    val covered = aggregateCoveredVersion(spark, aggPath)
+    val covered0 = aggregateCoveredVersion(spark, aggPath)
     val aggCur = latestVersion(spark, aggPath)
-    if (covered == srcLatest) return aggCur
+    if (covered0 == srcLatest) return aggCur
+    // Delta PURITY check — the name-based delta is only additive when
+    // (a) every covered dir is still in the latest manifest (an
+    // erasure/merge rewrite renames dirs; its rows were already
+    // counted) and (b) no new dir's provenance overlaps the covered
+    // coverage (a reconcile rewrite batch-N-r<k> or a compaction
+    // re-packages already-counted rows under a new name). Any impurity
+    // → recompute from the full source (correct at recompute cost),
+    // same as an expired covered manifest.
+    val covered = if (covered0 == 0) 0 else {
+      val srcFs = fsFor(spark, srcPath)
+      if (!srcFs.exists(new org.apache.hadoop.fs.Path(snapDir(srcPath),
+          s"v$covered0.list"))) 0
+      else {
+        val cDirs = manifestDirs(spark, srcPath, covered0)
+        val lDirs = manifestDirs(spark, srcPath, srcLatest)
+        val cCov = coverage(spark, srcPath, cDirs)
+        val pure = cDirs.forall(lDirs.contains) &&
+          lDirs.filterNot(cDirs.toSet).forall(d =>
+            provenance(spark, srcPath, d).intersect(cCov).isEmpty)
+        if (pure) covered0 else 0
+      }
+    }
     // sum_v is pinned to DECIMAL(28,6) on EVERY path (Spark's sum
     // widens to (38,6); a bootstrap at one precision and increments at
     // another would make the union read's decimal types conflict).

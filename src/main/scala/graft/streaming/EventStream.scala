@@ -807,13 +807,31 @@ object EventStream {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
+        // A routine compaction holds the rewriter lock mergeSnapshot
+        // claims; a streaming sink must wait it out (bounded), not die.
+        def withLockRetry[A](f: => A): A = {
+          var left = 30
+          while (true) {
+            try return f catch {
+              case e: IllegalStateException
+                  if e.getMessage != null && e.getMessage.contains("holds")
+                    && left > 0 =>
+                left -= 1; Thread.sleep(2000)
+            }
+          }
+          sys.error("unreachable")
+        }
+        // upper() here must mirror mergeSnapshot's own normalization:
+        // a lowercase-op feed's FIRST batch would otherwise bootstrap
+        // empty (every row filtered) while later batches merge fine —
+        // a silent, permanent loss of the first batch.
         if (graft.ops.Upsert.latestVersion(s, sinkPath) == 0)
           graft.ops.Upsert.writeSnapshot(s, sinkPath,
-            batch.filter(col(opCol).isin("I", "U")).drop(opCol),
+            batch.filter(upper(col(opCol)).isin("I", "U")).drop(opCol),
             keys, tieBreak)
         else
-          graft.ops.Upsert.mergeSnapshot(s, sinkPath, batch, keys,
-            tieBreak, opCol)
+          withLockRetry(graft.ops.Upsert.mergeSnapshot(s, sinkPath, batch,
+            keys, tieBreak, opCol))
         ()
       }
       .start()

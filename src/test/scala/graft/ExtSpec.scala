@@ -3197,6 +3197,15 @@ class ExtSpec extends SparkSpec {
         r.getBoolean(3))).toSeq
     assert(got == Seq(("A", 2L, 0.5, true), ("B", 2L, 0.333333, false),
       ("C", 2L, 0.5, true)), got.toString)
+    // NULL sensitive values keep their mass (null-safe densify): NULL
+    // ranks first; D={null,null} → EMD 1/3, E={x} → 2/3 over m=2.
+    val dfn = Seq(("D", None), ("D", None), ("E", Some("x")))
+      .toDF("q", "s")
+    val gn = Privacy.tClosenessOrderedReport(dfn, Seq("q"), "s", t = 0.5)
+      .orderBy("q").collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getBoolean(3))).toSeq
+    assert(gn == Seq(("D", 0.333333, false), ("E", 0.666667, true)),
+      gn.toString)
   }
 
   test("longestRepeatedSubstring: suffix-automaton LRS exact vs brute force") {

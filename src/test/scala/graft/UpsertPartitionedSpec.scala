@@ -259,6 +259,42 @@ class UpsertPartitionedSpec extends SparkSpec {
     assert(claims.toSeq == Seq("v2.claim"), claims.toSeq)
   }
 
+  test("snapshot reconcile: CROSSED publishes — the later writer sweeps the dropped earlier batch") {
+    // The r15-review hole: W1 (claims v2) publishes FIRST and its
+    // reconcile exits while it is momentarily latest; W2 (claims v3,
+    // base v1, never saw batch-2) publishes v3 WITHOUT batch-2. A naive
+    // "am I covered" check passes for BOTH writers and batch-2 is lost.
+    // The fix: every reconcile also sweeps its own window for PUBLISHED
+    // versions the latest chain dropped, and carries them forward.
+    val path = java.nio.file.Files.createTempDirectory("snapx").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Seq((2L, "b")).toDF("id", "v").write.parquet(s"$path/batch-2")
+    Seq((3L, "c")).toDF("id", "v").write.parquet(s"$path/batch-3")
+    def publishRaw(v: Int, dirs: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "_snapshots", s"v$v.list"),
+        dirs.mkString("\n").getBytes("UTF-8"))
+    publishRaw(2, Seq("batch-1", "batch-2"))  // W1 published FIRST...
+    // ...and its reconcile exited while v2 was latest (not simulated —
+    // that's the point: W1 is gone).
+    publishRaw(3, Seq("batch-1", "batch-3"))  // W2's crossed publish
+    val sch = Seq((0L, "")).toDF("id", "v").schema
+    // W2's reconcile: its own batch-3 IS covered by v3 (itself), but
+    // the window sweep must find v2's dropped batch-2 and republish.
+    val healed = Upsert.reconcileLineage(spark, path, 3, "batch-3",
+      Seq("id"), Set("batch-1"), sch, baseVersion = 1)
+    assert(Upsert.latestVersion(spark, path) == 4,
+      "the crossed publish must force a healing v4")
+    assert(Upsert.readSnapshot(spark, path, 4).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"batch-2 must not leave the lineage (healed=$healed)")
+    // Re-running the sweep is a no-op.
+    assert(Upsert.reconcileLineage(spark, path, 4, "batch-3",
+      Seq("id"), Set("batch-1"), sch, baseVersion = 1) == 4)
+    assert(Upsert.latestVersion(spark, path) == 4)
+  }
+
   test("snapshot lineage reconcile: an interleaved publish cannot orphan a batch") {
     // The W1/W2 hazard: W1 claims v2, W2 claims v3, W2 publishes
     // v3 = [b1, b3] FIRST, W1 then publishes v2 = [b1, b2] — without
@@ -282,7 +318,7 @@ class UpsertPartitionedSpec extends SparkSpec {
     // dir, since the racers' keys are disjoint.
     val sch = Seq((0L, "")).toDF("id", "v").schema
     val healed = Upsert.reconcileLineage(spark, path, 2, "batch-2",
-      Seq("id"), Set("batch-1"), sch)
+      Seq("id"), Set("batch-1"), sch, baseVersion = 1)
     assert(healed == 4, s"expected a fresh v4, got v$healed")
     assert(Upsert.readSnapshot(spark, path, 4).as[(Long, String)]
       .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
@@ -291,7 +327,7 @@ class UpsertPartitionedSpec extends SparkSpec {
       "disjoint keys must republish the original dir, not a rewrite")
     // And a writer whose dir IS reachable does nothing.
     assert(Upsert.reconcileLineage(spark, path, 4, "batch-2",
-      Seq("id"), Set("batch-1"), sch) == 4)
+      Seq("id"), Set("batch-1"), sch, baseVersion = 1) == 4)
     assert(Upsert.latestVersion(spark, path) == 4)
   }
 
@@ -313,7 +349,7 @@ class UpsertPartitionedSpec extends SparkSpec {
     publishRaw(2, Seq("batch-1", "batch-2"))  // W1's late publish
     val sch = Seq((0L, "")).toDF("id", "v").schema
     val healed = Upsert.reconcileLineage(spark, path, 2, "batch-2",
-      Seq("id"), Set("batch-1"), sch)
+      Seq("id"), Set("batch-1"), sch, baseVersion = 1)
     assert(healed == 4, s"expected a fresh v4, got v$healed")
     val v4 = Upsert.readSnapshot(spark, path, 4).as[(Long, String)]
       .collect().toSet
@@ -324,7 +360,7 @@ class UpsertPartitionedSpec extends SparkSpec {
       .collect().toSet == Set((1L, "a"), (2L, "W1"), (4L, "d")))
     // W2's reconcile (its contribution is reachable) changes nothing.
     assert(Upsert.reconcileLineage(spark, path, 3, "batch-3",
-      Seq("id"), Set("batch-1"), sch) == 3)
+      Seq("id"), Set("batch-1"), sch, baseVersion = 1) == 3)
     assert(Upsert.latestVersion(spark, path) == 4)
   }
 
@@ -345,7 +381,7 @@ class UpsertPartitionedSpec extends SparkSpec {
     // batch-2's writer reconciles late: latest manifest is [compact-3]
     // which carries batch-2's rows — reconcile must be a no-op.
     assert(Upsert.reconcileLineage(spark, path, 2, "batch-2",
-      Seq("id"), Set("batch-1"), sch) == 2)
+      Seq("id"), Set("batch-1"), sch, baseVersion = 1) == 2)
     assert(Upsert.latestVersion(spark, path) == 3,
       "no republish on top of the absorbing compaction")
     assert(Upsert.readSnapshot(spark, path, 3).count() == 2)
