@@ -141,6 +141,102 @@ class UpsertPartitionedSpec extends SparkSpec {
       Upsert.latestVersion(spark, path)).filter(col("id") === 2).isEmpty)
   }
 
+  test("merge property: random I/U/D rounds track an in-memory model through compaction") {
+    // Seeded-random model test over the whole merge lifecycle: six
+    // rounds of mixed changes (unique keys per batch so the model's op
+    // application is unambiguous), a compaction mid-stream, and a plain
+    // append — after every step the latest snapshot must equal the
+    // model map exactly, and the pre-step version must still
+    // time-travel to its own state.
+    val rnd = new scala.util.Random(42)
+    val path = java.nio.file.Files.createTempDirectory("snapprop").toString
+    var model = (1L to 10L).map(k => k -> rnd.nextInt(100)).toMap
+    Upsert.writeSnapshot(spark, path, model.toSeq.toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    def latestState(): Map[Long, Int] =
+      Upsert.readSnapshot(spark, path,
+        Upsert.latestVersion(spark, path))
+        .as[(Long, Int)].collect().toMap
+    assert(latestState() == model)
+    for (round <- 1 to 6) {
+      val ks = rnd.shuffle((0L to 19L).toList).take(8)
+      val changes = ks.map { k =>
+        rnd.nextInt(3) match {
+          case 0 => ("I", k, rnd.nextInt(100))
+          case 1 => ("U", k, rnd.nextInt(100))
+          case _ => ("D", k, 0)
+        }
+      }
+      val before = model
+      val prevVer = Upsert.latestVersion(spark, path)
+      Upsert.mergeSnapshot(spark, path, changes.toDF("op", "id", "v"),
+        Seq("id"), Seq("id"), "op")
+      changes.foreach {
+        case ("I", k, v) => if (!model.contains(k)) model += k -> v
+        case ("U", k, v) => model += k -> v
+        case (_, k, _)   => model -= k
+      }
+      assert(latestState() == model, s"round $round diverged from model")
+      assert(Upsert.readSnapshot(spark, path, prevVer)
+        .as[(Long, Int)].collect().toMap == before,
+        s"round $round mutated history")
+      if (round == 3) {
+        Upsert.compactSnapshots(spark, path)
+        assert(latestState() == model, "compaction changed content")
+      }
+      if (round == 5) {
+        val extra = Seq((100L + round, rnd.nextInt(100)))
+        Upsert.writeSnapshot(spark, path, extra.toDF("id", "v"),
+          Seq("id"), Seq("id"))
+        extra.foreach { case (k, v) =>
+          if (!model.contains(k)) model += k -> v
+        }
+        assert(latestState() == model, "append diverged from model")
+      }
+    }
+  }
+
+  test("incremental aggregate property: refresh after every random append equals recompute") {
+    val rnd = new scala.util.Random(7)
+    val src = java.nio.file.Files.createTempDirectory("iaprop_s").toString
+    val agg = java.nio.file.Files.createTempDirectory("iaprop_a").toString
+    var nextId = 0L
+    var model = Vector.empty[(String, Double)]
+    for (round <- 1 to 5) {
+      val batch = (1 to 6).map { _ =>
+        nextId += 1
+        (nextId, s"g${rnd.nextInt(3)}", rnd.nextInt(50).toDouble)
+      }
+      Upsert.writeSnapshot(spark, src, batch.toDF("id", "g", "v"),
+        Seq("id"), Seq("id"))
+      model = model ++ batch.map(b => (b._2, b._3))
+      val v = Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+      val got = Upsert.readSnapshot(spark, agg, v)
+        .select(col("g"), col("n"), col("sum_v").cast("double"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = model.groupBy(_._1).map { case (g, xs) =>
+        g -> ((xs.size.toLong, xs.map(_._2).sum))
+      }
+      assert(got == want, s"round $round: $got != $want")
+    }
+    // A compaction of the SOURCE between appends forces the purity
+    // fallback (full recompute) — still must equal the model.
+    Upsert.compactSnapshots(spark, src)
+    Upsert.writeSnapshot(spark, src,
+      Seq((9999L, "g0", 5.0)).toDF("id", "g", "v"), Seq("id"), Seq("id"))
+    model = model :+ (("g0", 5.0))
+    val v = Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+    val got = Upsert.readSnapshot(spark, agg, v)
+      .select(col("g"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = model.groupBy(_._1).map { case (g, xs) =>
+      g -> ((xs.size.toLong, xs.map(_._2).sum))
+    }
+    assert(got == want, s"post-compaction refresh diverged: $got != $want")
+  }
+
   test("vacuumOrphans: crashed-writer dirs reclaimed, referenced dirs untouched") {
     val path = java.nio.file.Files.createTempDirectory("snapvac").toString
     Upsert.writeSnapshot(spark, path,
