@@ -268,14 +268,61 @@ object Upsert {
       baseVersion: Int, latest: Int,
       latestCov: Set[String]): Seq[String] = {
     val fs = fsFor(spark, path)
+    // Dirs of every DROPPED VERSION — the full manifest of any window
+    // version holding an uncovered dir, not just the uncovered dirs
+    // themselves. A dropped version is internally consistent (a merge
+    // publishes its rewrites NEXT TO its merge dir); cherry-picking
+    // only its uncovered dirs can pair a merge dir with the PRE-merge
+    // original from the latest chain, resurrecting deleted keys. The
+    // caller collapses the union with [[collapseShadows]].
     ((baseVersion + 1) to latest)
       .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
         snapDir(path), s"v$v.list")))
-      .flatMap(v => manifestDirs(spark, path, v))
-      .distinct
-      .filterNot(d => provenance(spark, path, d).subsetOf(latestCov))
+      .map(v => manifestDirs(spark, path, v))
+      .filter(_.exists(d =>
+        !provenance(spark, path, d).subsetOf(latestCov)))
+      .flatten.distinct
   }
 
+  /** Collapse a carry set to one dir per line of truth: an original is
+    * SHADOWED by its own rewrite (`<dir>-r/m/e...` — name-prefixed,
+    * same root, strictly newer row truth: rewrites only ever yield or
+    * erase rows) and an absorbed dir is shadowed by a dir whose
+    * provenance strictly contains it (compaction) or by a compact dir
+    * with equal provenance (single-batch compaction). Publishing an
+    * original NEXT TO its rewrite would resurrect every yielded/erased
+    * key — the carry paths must never do it. */
+  private[graft] def collapseShadows(spark: SparkSession, path: String,
+      dirs: Seq[String]): Seq[String] = {
+    val distinct = dirs.distinct
+    val prov = distinct.map(d => d -> provenance(spark, path, d)).toMap
+    distinct.filterNot { d =>
+      distinct.exists { e =>
+        e != d && prov(d).subsetOf(prov(e)) && (
+          prov(e) != prov(d) ||               // strict superset: absorbed
+          e.startsWith(d + "-") ||            // my own rewrite
+          (e.startsWith("compact-") && !d.startsWith("compact-")))
+      }
+    }
+  }
+
+  /** Post-publish reconciliation for any SELF-ROOTED dir (a writer's
+    * batch dir or a merge's merge dir; compaction has its own variant
+    * since a compact dir's provenance never names itself).
+    *
+    * Loop invariantly: read the latest chain, sweep the window for
+    * dropped PUBLISHED versions, and if either our root is off the
+    * chain or a dropped version exists, republish the shadow-collapsed
+    * union — one dir per line of truth, rewrites over originals
+    * ([[collapseShadows]]), so a carried merge/rewrite version never
+    * rides next to the pre-rewrite original (that would resurrect
+    * yielded/deleted keys). Key conflicts resolve deterministically:
+    * rival dirs (roots our base never saw) win, OUR dir yields via a
+    * `-r<version>` rewrite. Residual documented bound: when BOTH
+    * crossed writers' reconciles have already exited, a third carrier
+    * re-attaches their dirs verbatim — each writer resolves conflicts
+    * for its OWN dir only (per-writer responsibility; a total order
+    * needs the commit log this format-lite sink deliberately lacks). */
   private[graft] def reconcileLineage(spark: SparkSession, path: String,
       published: Int, dirName: String, keys: Seq[String],
       baseCoverage: Set[String],
@@ -291,48 +338,39 @@ object Upsert {
       val latestCov = coverage(spark, path, latestDirs)
       val dropped = droppedPublished(spark, path, baseVersion, latest,
         latestCov)
-      val selfOk = latestCov.contains(rootOf(dirName))
-      if (selfOk && dropped.isEmpty) return version
+      if (latestCov.contains(rootOf(dirName)) && dropped.isEmpty)
+        return version
       version = claimVersion(spark, path)
-      if (selfOk) {
-        // Our own batch already rides the chain (possibly as a
-        // rewrite — never re-add the original next to it); only
-        // re-attach the dropped thirds on top of the current latest.
-        known = known ++ dropped.flatMap(d => provenance(spark, path, d))
-        publishManifest(spark, path, version,
-          (latestDirs ++ dropped).distinct)
-      } else {
-        // WE are orphaned (interleaved publishes won the chain), and a
-        // crossed publish may have dropped thirds too. Republish the
-        // union, resolving key conflicts: rival dirs (anything whose
-        // provenance our base never saw) win, OUR dir yields — a
-        // deterministic keep-existing winner under any race.
-        val rivals = (latestDirs ++ dropped).distinct.filter(d =>
-          provenance(spark, path, d).exists(r => !known.contains(r)))
-        val nextDir =
-          if (rivals.isEmpty) curDir
+      val union = collapseShadows(spark, path,
+        latestDirs ++ dropped ++ Seq(curDir))
+      // Our own root's current form in the union (a rewrite of ours
+      // from an earlier heal survives the collapse over the original).
+      val ownDir = union.find(d => rootOf(d) == rootOf(dirName))
+        .getOrElse(curDir)
+      val rivals = union.filter(d => rootOf(d) != rootOf(dirName) &&
+        provenance(spark, path, d).exists(r => !known.contains(r)))
+      val nextDir =
+        if (rivals.isEmpty) ownDir
+        else {
+          val own = spark.read.schema(schema).parquet(s"$path/$ownDir")
+          val rivalKeys = spark.read.schema(schema)
+            .parquet(rivals.map(d => s"$path/$d"): _*)
+            .select(keys.map(col): _*).distinct()
+          val stolen = own.join(rivalKeys, keys, "left_semi").count()
+          if (stolen == 0) ownDir
           else {
-            val own = spark.read.schema(schema).parquet(s"$path/$curDir")
-            val rivalKeys = spark.read.schema(schema)
-              .parquet(rivals.map(d => s"$path/$d"): _*)
-              .select(keys.map(col): _*).distinct()
-            val stolen = own.join(rivalKeys, keys, "left_semi").count()
-            if (stolen == 0) curDir
-            else {
-              val rw = s"${rootOf(dirName)}-r$version"
-              own.join(rivalKeys, keys, "left_anti")
-                .write.mode("overwrite").parquet(s"$path/$rw")
-              rw
-            }
+            val rw = s"${rootOf(dirName)}-r$version"
+            own.join(rivalKeys, keys, "left_anti")
+              .write.mode("overwrite").parquet(s"$path/$rw")
+            rw
           }
-        // Accumulate resolved provenance: already-resolved rivals must
-        // not be re-read and re-anti-joined on the next iteration.
-        known = known ++ rivals.flatMap(d => provenance(spark, path, d))
-        val carry = (latestDirs ++ dropped).distinct
-          .filterNot(d => d == curDir || d == nextDir)
-        publishManifest(spark, path, version, carry :+ nextDir)
-        curDir = nextDir
-      }
+        }
+      // Accumulate resolved provenance: already-resolved rivals must
+      // not be re-read and re-anti-joined on the next iteration.
+      known = known ++ rivals.flatMap(d => provenance(spark, path, d))
+      publishManifest(spark, path, version,
+        union.filterNot(d => rootOf(d) == rootOf(dirName)) :+ nextDir)
+      curDir = nextDir
       attempts += 1
     }
     throw new IllegalStateException(
@@ -497,10 +535,13 @@ object Upsert {
       // ABSORBED set (never itself), and no other compactor can absorb
       // it while this one still holds the lock.
       if (latestDirs.contains(dirName) && dropped.isEmpty) return version
-      val carry = (latestDirs ++ dropped).distinct
+      version = claimVersion(spark, path)
+      // Shadow-collapse the union so a carried original never rides
+      // next to its own rewrite; the absorbed-set filter then removes
+      // whatever the compact dir itself already carries.
+      val carry = collapseShadows(spark, path, latestDirs ++ dropped)
         .filterNot(d => d == dirName ||
           provenance(spark, path, d).subsetOf(absorbed))
-      version = claimVersion(spark, path)
       publishManifest(spark, path, version, dirName +: carry)
       attempts += 1
     }
@@ -616,84 +657,16 @@ object Upsert {
       land.write.mode("overwrite").parquet(s"$path/$mergeDir")
       publishManifest(spark, path, target,
         carried ++ rewriteNames ++ interleaved :+ mergeDir)
-      reconcileMerge(spark, path, target,
-        carried ++ rewriteNames ++ interleaved, mergeDir, keys,
-        baseCoverage ++
+      // The merge dir is self-rooted, so the unified reconcile applies:
+      // its dropped-version sweep carries WHOLE dropped manifests and
+      // shadow-collapses (rewrites over originals), which is exactly
+      // what keeps a re-attached merge from pairing with pre-merge
+      // originals; key conflicts resolve with the merge dir yielding.
+      reconcileLineage(spark, path, target, mergeDir, keys,
+        baseCoverage ++ rewriteNames ++
           interleaved.flatMap(d => provenance(spark, path, d)),
         land.schema, baseVersion = cur)
     } finally fs.delete(lock, false)
-  }
-
-  /** Merge's post-publish reconciliation. Unlike a plain writer, an
-    * orphaned merge must NEVER republish on top of the latest manifest
-    * — that manifest references the PRE-merge originals, and carrying
-    * them would resurrect every deleted key next to the rewrites. It
-    * republishes its OWN dir set (carried + rewrites + merge dir) plus
-    * only the FOREIGN dirs its coverage has never seen (the
-    * interleaving appender's batches — whose rows win over the merge's
-    * deletes, same sequential merge-then-write equivalence as the
-    * in-flight carry), resolving insert races key-level: fresh merge
-    * rows stolen by a foreign dir are rewritten away (`merge-N-r<v>`),
-    * keep-existing discipline. */
-  private def reconcileMerge(spark: SparkSession, path: String,
-      published: Int, ownDirs: Seq[String], mergeDir: String,
-      keys: Seq[String], baseKnown: Set[String],
-      schema: org.apache.spark.sql.types.StructType,
-      baseVersion: Int): Int = {
-    var version = published
-    var curMergeDir = mergeDir
-    var dirs = ownDirs
-    var known = baseKnown + rootOf(mergeDir)
-    var attempts = 0
-    while (attempts < 100) {
-      val latest = latestVersion(spark, path)
-      val latestDirs = manifestDirs(spark, path, latest)
-      val latestCov = coverage(spark, path, latestDirs)
-      // Crossed-publish sweep: an appender that published between the
-      // merge's interleaved scan and its manifest rename — and whose
-      // own reconcile exited while it was momentarily latest — must be
-      // carried here or its batch is dropped from the chain.
-      val dropped = droppedPublished(spark, path, baseVersion, latest,
-        latestCov).filterNot(d =>
-          provenance(spark, path, d).forall(known.contains))
-      val selfOk = latestCov.contains(rootOf(mergeDir))
-      if (selfOk && dropped.isEmpty) return version
-      version = claimVersion(spark, path)
-      if (selfOk) {
-        // Our chain is intact; only re-attach the dropped thirds on
-        // top of the CURRENT latest (republishing our own dir set here
-        // would drop whatever chained after us).
-        known = known ++ dropped.flatMap(d => provenance(spark, path, d))
-        publishManifest(spark, path, version,
-          (latestDirs ++ dropped).distinct)
-      } else {
-        val foreign = (latestDirs ++ dropped).distinct.filter(d =>
-          provenance(spark, path, d).exists(r => !known.contains(r)))
-        val nextMergeDir =
-          if (foreign.isEmpty) curMergeDir
-          else {
-            val own = spark.read.schema(schema).parquet(s"$path/$curMergeDir")
-            val rivalKeys = spark.read.schema(schema)
-              .parquet(foreign.map(d => s"$path/$d"): _*)
-              .select(keys.map(col): _*).distinct()
-            if (own.join(rivalKeys, keys, "left_semi").isEmpty) curMergeDir
-            else {
-              val rw = s"${rootOf(mergeDir)}-r$version"
-              own.join(rivalKeys, keys, "left_anti")
-                .write.mode("overwrite").parquet(s"$path/$rw")
-              rw
-            }
-          }
-        dirs = dirs ++ foreign
-        known = known ++ foreign.flatMap(d => provenance(spark, path, d))
-        publishManifest(spark, path, version, dirs :+ nextMergeDir)
-        curMergeDir = nextMergeDir
-      }
-      attempts += 1
-    }
-    throw new IllegalStateException(
-      s"reconcileMerge: $mergeDir still unreachable from the latest " +
-        s"manifest at $path after 100 republishes — writer storm")
   }
 
   /** Time travel: version N exactly as published, whatever has been

@@ -391,6 +391,63 @@ class UpsertPartitionedSpec extends SparkSpec {
     assert(Upsert.latestVersion(spark, path) == 4)
   }
 
+  test("snapshot reconcile: a dropped MERGE re-attaches with its rewrites — deletes stay dead") {
+    // The r15-review hole in the first sweep: carrying only a dropped
+    // version's UNCOVERED dirs pairs its merge dir with the PRE-merge
+    // original from the crossed chain — deleted keys resurrect and
+    // updated keys double. The sweep must carry whole dropped
+    // manifests, shadow-collapsed (rewrite wins over original).
+    val path = java.nio.file.Files.createTempDirectory("snapdm").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // A real merge publishes v2 = [batch-1-m2, merge-2]: D 1, U 2→B.
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("D", 1L, "x"), ("U", 2L, "B")).toDF("op", "id", "v"),
+      Seq("id"), Seq("id"), "op")
+    // Crossed appender W chained from v1 publishes v3 WITHOUT the
+    // merge (hand-built: W read latest before the merge published and
+    // its manifest rename landed after).
+    Seq((7L, "g")).toDF("id", "v").write.parquet(s"$path/batch-3")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_snapshots", "v3.list"),
+      Seq("batch-1", "batch-3").mkString("\n").getBytes("UTF-8"))
+    val sch = Seq((0L, "")).toDF("id", "v").schema
+    Upsert.reconcileLineage(spark, path, 3, "batch-3",
+      Seq("id"), Set("batch-1"), sch, baseVersion = 1)
+    val latest = Upsert.latestVersion(spark, path)
+    val got = Upsert.readSnapshot(spark, path, latest)
+      .as[(Long, String)].collect().toSeq
+    assert(got.toSet == Set((2L, "B"), (7L, "g")),
+      s"deleted key resurrected or update lost: $got")
+    assert(got.size == 2, s"duplicate keys published: $got")
+  }
+
+  test("snapshot reconcile: crossed same-key inserts heal on the SELF-OK path too") {
+    // Both writers insert key 2; W1 publishes v2 first and exits; W2
+    // crossed-publishes v3. W2's own dir IS covered (selfOk) but the
+    // window sweep must still resolve the contested key — W2 yields.
+    val path = java.nio.file.Files.createTempDirectory("snapsk").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Seq((2L, "W1")).toDF("id", "v").write.parquet(s"$path/batch-2")
+    Seq((2L, "W2"), (3L, "c")).toDF("id", "v").write.parquet(s"$path/batch-3")
+    def publishRaw(v: Int, dirs: Seq[String]): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(path, "_snapshots", s"v$v.list"),
+        dirs.mkString("\n").getBytes("UTF-8"))
+    publishRaw(2, Seq("batch-1", "batch-2"))  // W1 first, then gone
+    publishRaw(3, Seq("batch-1", "batch-3"))  // W2's crossed publish
+    val sch = Seq((0L, "")).toDF("id", "v").schema
+    Upsert.reconcileLineage(spark, path, 3, "batch-3",
+      Seq("id"), Set("batch-1"), sch, baseVersion = 1)
+    val got = Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Long, String)]
+      .collect().toSeq
+    assert(got.toSet == Set((1L, "a"), (2L, "W1"), (3L, "c")),
+      s"earlier publisher must win the contested key: $got")
+    assert(got.size == 3, s"key 2 published twice: $got")
+  }
+
   test("snapshot lineage reconcile: an interleaved publish cannot orphan a batch") {
     // The W1/W2 hazard: W1 claims v2, W2 claims v3, W2 publishes
     // v3 = [b1, b3] FIRST, W1 then publishes v2 = [b1, b2] — without
