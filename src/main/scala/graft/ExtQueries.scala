@@ -1133,6 +1133,95 @@ object ExtQueries {
         halflifeSeconds = 24L * 3600)
     }),
 
+    "q_attr_shapley" -> ((s, dir) => {
+      // Multi-touch credit, ORDERED-SHAPLEY model: position k of n
+      // in-window touches earns (H(n) − H(n−k))/n of the value — the
+      // airport-game closed form, recency-monotone but nowhere zero.
+      // Same one-window zero-join shape as the other models; weights
+      // are 1e18-scaled exact longs folded per channel with HOFs, so
+      // the oracle's pair-join + weight-table replay hash-matches.
+      Analytics.attributionShapley(read(s, dir, "events"),
+        col("user_id"), col("ts"), col("value"),
+        isConversion = col("event_type") === "purchase",
+        isTouch = col("event_type").isin("click", "view", "signup"),
+        touchLabel = col("event_type"),
+        lookbackSeconds = AttributionLookbackSec)
+    }),
+
+    "q_profile_drift" -> ((s, dir) => {
+      // Freshness/volume contract between two snapshot versions: v1 =
+      // the even docs, v2 = the full corpus; the drift report reads
+      // both PUBLISHED versions of the sink and diffs their profiles —
+      // row growth, null-rate delta, distinct drift per column. The
+      // oracle recomputes both profiles straight from the logical
+      // table. (The r14 gate item: Upsert.writeSnapshotGated runs
+      // driftViolations over exactly this report BEFORE publishing.)
+      val path = s"$RunScratch/graft_snap_drift_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path, docs, Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Validate.profileDrift(
+          graft.ops.Validate.profile(
+            graft.ops.Upsert.readSnapshot(s, path, 2)),
+          graft.ops.Validate.profile(
+            graft.ops.Upsert.readSnapshot(s, path, 1)))
+        .orderBy("column")
+    }),
+
+    "q_time_travel_ts" -> ((s, dir) => {
+      // AS-OF time travel: read the sink at the wall-clock instant v1
+      // was published — after v2 exists — and get exactly v1's content.
+      // The publish stamps are written by the sink itself (v<N>.meta);
+      // the 15 ms pause guarantees v2's stamp is strictly later even at
+      // clock granularity, so the resolver's answer is deterministic.
+      val path = s"$RunScratch/graft_snap_ttts_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      val t1 = graft.ops.Upsert.publishedAtMs(s, path, 1)
+      Thread.sleep(15)
+      graft.ops.Upsert.writeSnapshot(s, path, docs, Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.readSnapshotAsOf(s, path, t1).orderBy("doc_id")
+    }),
+
+    "q_snap_point_lookup" -> ((s, dir) => {
+      // Key-range-pruned POINT READ: the sink lands as two disjoint
+      // key-range batches (low/high doc_id halves); looking up a
+      // handful of low keys must open ONLY the low dir — asserted via
+      // the probe audit (a wrong candidate set fails loudly here, and
+      // UpsertPartitionedSpec pins it structurally). Oracle: a plain
+      // filter on the logical table.
+      val path = s"$RunScratch/graft_snap_point_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val mid = 250L // non-empty halves at every SF (doc_id 0..499 at sf0.01)
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") < mid), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") >= mid), Seq("doc_id"), Seq("doc_id"))
+      val probe = docs.filter(col("doc_id") % 100 === 7 &&
+        col("doc_id") < mid).select("doc_id") // 7, 107, 207 at every SF
+      val out = graft.ops.Upsert.readSnapshotForKeys(s, path, 2, probe,
+        Seq("doc_id")).orderBy("doc_id")
+      val probed = graft.ops.Upsert.lastProbedDirs.get()
+      require(probed == Seq("batch-1"),
+        s"point lookup probed $probed, expected only batch-1 — " +
+          "key-range pruning regressed")
+      out
+    }),
+
     "q_markov_transitions" -> ((s, dir) => {
       // First-order journey chain over the events stream: per user,
       // conversions close journeys; exact (from, to) transition counts
@@ -6819,7 +6908,7 @@ object ExtQueries {
             FROM cr WHERE rc > 0 GROUP BY 1),
           un AS (SELECT '(none)' AS channel,
               CAST(count(*) AS BIGINT) AS conversions,
-              CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6))) AS DOUBLE) AS credit
+              CAST(SUM(COALESCE(CAST(ROUND(value, 6) AS DECIMAL(20,6)), 0)) AS DOUBLE) AS credit
             FROM conv c WHERE NOT EXISTS (SELECT 1 FROM tch t
               WHERE t.user_id = c.user_id AND t.tts <= c.cts
                 AND t.tts >= c.cts - INTERVAL 3 DAY)
@@ -6858,7 +6947,7 @@ object ExtQueries {
             FROM cr WHERE rc > 0 GROUP BY 1),
           un AS (SELECT '(none)' AS channel,
               CAST(count(*) AS BIGINT) AS conversions,
-              CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6))) AS DOUBLE) AS credit
+              CAST(SUM(COALESCE(CAST(ROUND(value, 6) AS DECIMAL(20,6)), 0)) AS DOUBLE) AS credit
             FROM conv c WHERE NOT EXISTS (SELECT 1 FROM tch t
               WHERE t.user_id = c.user_id AND t.tts <= c.cts
                 AND t.tts >= c.cts - INTERVAL 3 DAY)
@@ -6917,7 +7006,7 @@ object ExtQueries {
             FROM cr WHERE rc > 0 GROUP BY 1),
           un AS (SELECT '(none)' AS channel,
               CAST(count(*) AS BIGINT) AS conversions,
-              CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6))) AS DOUBLE) AS credit
+              CAST(SUM(COALESCE(CAST(ROUND(value, 6) AS DECIMAL(20,6)), 0)) AS DOUBLE) AS credit
             FROM conv c WHERE NOT EXISTS (SELECT 1 FROM tch t
               WHERE t.user_id = c.user_id AND t.tts <= c.cts
                 AND t.tts >= c.cts - INTERVAL 3 DAY)
@@ -7341,6 +7430,103 @@ object ExtQueries {
       """SELECT doc_id, source, n_chars FROM documents
          WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
          ORDER BY doc_id""",
+
+    // As-of time travel resolves to version 1 — the even half — because
+    // the probe instant is v1's own publish stamp and v2 published
+    // strictly later.
+    "q_time_travel_ts" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+
+    // Pruning must change WHAT IS OPENED, never what is returned: the
+    // oracle is the plain key filter on the logical table (the probe
+    // keys are %100==7 below the low/high split at 250).
+    "q_snap_point_lookup" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id % 100 = 7 AND doc_id < 250
+         ORDER BY doc_id""",
+
+    // Per-column drift between the full corpus (v2) and the even half
+    // (v1): recomputed straight from the logical table, exact longs +
+    // ROUND(·,6) rates like the engine report.
+    "q_profile_drift" ->
+      """WITH curp AS (
+           SELECT 'doc_id' AS colname, CAST(count(*) AS BIGINT) AS r,
+             CAST(COALESCE(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nl,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS d FROM documents
+           UNION ALL
+           SELECT 'n_chars', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+           UNION ALL
+           SELECT 'source', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(count(DISTINCT source) AS BIGINT) FROM documents),
+         prevp AS (
+           SELECT 'doc_id' AS colname, CAST(count(*) AS BIGINT) AS r,
+             CAST(COALESCE(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nl,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS d
+             FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT 'n_chars', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(count(DISTINCT n_chars) AS BIGINT)
+             FROM documents WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT 'source', CAST(count(*) AS BIGINT),
+             CAST(COALESCE(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT),
+             CAST(count(DISTINCT source) AS BIGINT)
+             FROM documents WHERE doc_id % 2 = 0)
+         SELECT curp.colname AS "column", 'common' AS status,
+           prevp.r AS n_rows_prev, curp.r AS n_rows_cur,
+           curp.r - prevp.r AS row_growth,
+           ROUND(CAST(prevp.nl AS DOUBLE) / prevp.r, 6) AS null_rate_prev,
+           ROUND(CAST(curp.nl AS DOUBLE) / curp.r, 6) AS null_rate_cur,
+           ROUND(CAST(curp.nl AS DOUBLE) / curp.r
+             - CAST(prevp.nl AS DOUBLE) / prevp.r, 6) AS null_rate_delta,
+           prevp.d AS n_distinct_prev, curp.d AS n_distinct_cur,
+           curp.d - prevp.d AS distinct_delta
+         FROM curp JOIN prevp USING (colname)
+         ORDER BY "column"""",
+
+    // Ordered-Shapley credit via the naive pair join + the SAME exact
+    // 1e18-scaled weight table the engine embeds (generated from one
+    // Scala function — engine map literal and oracle VALUES can never
+    // drift apart). Position = arrival rank (ts, channel); summing
+    // BIGINT weights is exact on both engines, and the single
+    // long→double→÷1e18 conversion is IEEE-identical.
+    "q_attr_shapley" -> {
+      val rows = (for { n <- 1 to 32; k <- 1 to n } yield
+        s"($n,$k,${graft.ops.Analytics.shapleyWeightScaled(k, n)})")
+        .mkString(", ")
+      s"""WITH conv AS (SELECT event_id AS cid, user_id, ts AS cts, value
+            FROM events WHERE event_type = 'purchase'),
+          tch AS (SELECT user_id, ts AS tts, event_type AS ch FROM events
+            WHERE event_type IN ('click', 'view', 'signup')),
+          p AS (SELECT cid, value, ch,
+              ROW_NUMBER() OVER (PARTITION BY cid ORDER BY tts, ch) AS kk,
+              COUNT(*) OVER (PARTITION BY cid) AS nn
+            FROM conv JOIN tch USING (user_id)
+            WHERE tts <= cts AND tts >= cts - INTERVAL 3 DAY),
+          wts(nn, kk, wt) AS (VALUES $rows),
+          cw AS (SELECT cid, ch, any_value(value) AS v,
+              CAST(SUM(wt) AS BIGINT) AS ws
+            FROM p JOIN wts ON wts.nn = p.nn AND wts.kk = p.kk
+            GROUP BY cid, ch),
+          cr AS (SELECT cid, ch,
+              ROUND(v * (CAST(ws AS DOUBLE) / 1e18), 6) AS rc FROM cw),
+          att AS (SELECT ch AS channel, CAST(count(*) AS BIGINT) AS conversions,
+              CAST(SUM(CAST(rc AS DECIMAL(20,6))) AS DOUBLE) AS credit
+            FROM cr WHERE rc > 0 GROUP BY 1),
+          un AS (SELECT '(none)' AS channel,
+              CAST(count(*) AS BIGINT) AS conversions,
+              CAST(SUM(COALESCE(CAST(ROUND(value, 6) AS DECIMAL(20,6)), 0)) AS DOUBLE) AS credit
+            FROM conv c WHERE NOT EXISTS (SELECT 1 FROM tch t
+              WHERE t.user_id = c.user_id AND t.tts <= c.cts
+                AND t.tts >= c.cts - INTERVAL 3 DAY)
+            HAVING count(*) > 0)
+          SELECT * FROM att UNION ALL SELECT * FROM un ORDER BY channel"""
+    },
 
     // Increment == recompute: the maintained aggregate must equal the
     // one-shot group over the full logical table.
@@ -9008,7 +9194,7 @@ object ExtQueries {
             o_orderpriority AS v FROM orders),
          cv AS (SELECT o_year, v, count(*) AS ncv FROM b GROUP BY 1, 2),
          vals AS (SELECT v, SUM(ncv) AS nv,
-             ROW_NUMBER() OVER (ORDER BY v) AS rk
+             ROW_NUMBER() OVER (ORDER BY v NULLS FIRST) AS rk
            FROM cv GROUP BY v),
          cls AS (SELECT o_year, SUM(ncv) AS nc FROM cv GROUP BY 1),
          tot AS (SELECT SUM(ncv) AS nn FROM cv),

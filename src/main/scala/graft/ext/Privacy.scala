@@ -163,8 +163,13 @@ object Privacy {
     // null-safe so classes holding NULLs keep their mass.
     val vals = cv.groupBy(col("__v"))
       .agg(sum(col("__ncv")).cast("long").as("__nv"))
+      // NULL's rank is pinned FIRST explicitly: Spark's default
+      // orderBy sorts NULL first but DuckDB's ROW_NUMBER() sorts NULL
+      // last — left implicit, a nullable sensitive attribute would
+      // rank (hence EMD) differently per engine. The oracle SQL pins
+      // NULLS FIRST to match.
       .withColumn("__rk", row_number().over(
-        Window.orderBy(col("__v"))))
+        Window.orderBy(col("__v").asc_nulls_first)))
       .localCheckpoint()
     val tot = cv.agg(sum(col("__ncv")).cast("long").as("__nn"))
     val m = vals.count() // bounded domain (operator contract)

@@ -947,7 +947,124 @@ object Analytics {
     val entries = credits.map { case (c, cr) =>
       struct(lit(c).as("channel"), cr.as("credit"))
     } :+ struct(lit("(none)").as("channel"),
-      when(col("__N") === 0, round(value, 6)).as("credit"))
+      // NULL-valued unattributed conversions still COUNT (credit 0),
+      // mirroring the oracle's COUNT(*) + null-ignoring SUM — without
+      // the coalesce the NULL credit is filtered and the conversion
+      // vanishes from the (none) row entirely.
+      when(col("__N") === 0, coalesce(round(value, 6), lit(0.0)))
+        .as("credit"))
+    perConv
+      .select(explode(array(entries: _*)).as("__e"))
+      .filter(col("__e.credit").isNotNull)
+      .groupBy(col("__e.channel").as("channel"))
+      .agg(count(lit(1)).as("conversions"),
+        sum(col("__e.credit").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("credit"))
+      .orderBy("channel")
+  }
+
+  /** EXACT scaled weight for ordered-Shapley attribution: position `k`
+    * of `n` touches earns w(k,n) = (H(n) − H(n−k)) / n — the Shapley
+    * value of the "airport game" with linearly increasing stand-ins
+    * d_j = j over the arrival order (Littlechild–Owen 1973 closed
+    * form), normalized so Σ_k w(k,n) = 1. Later touches earn more
+    * (recency-monotone) but EVERY touch earns something — the two
+    * properties practitioners ask Shapley for that first/last and
+    * U-shaped both lack. Computed as an exact rational
+    * (Σ_{j=n−k+1..n} L/j) / (n·L) with L = lcm(1..n) in BigInteger,
+    * then fixed-point scaled by 10¹⁸ (HALF_UP) — both engines sum
+    * LONGs, so credit parity is exact by construction. */
+  def shapleyWeightScaled(k: Int, n: Int): Long = {
+    require(k >= 1 && k <= n, s"need 1 <= k <= n, got k=$k n=$n")
+    import java.math.BigInteger
+    val lcm = (1 to n).foldLeft(BigInteger.ONE) { (a, j) =>
+      val b = BigInteger.valueOf(j); a.divide(a.gcd(b)).multiply(b) }
+    val num = (n - k + 1 to n).foldLeft(BigInteger.ZERO) { (a, j) =>
+      a.add(lcm.divide(BigInteger.valueOf(j))) }
+    val den = lcm.multiply(BigInteger.valueOf(n))
+    new java.math.BigDecimal(num)
+      .multiply(new java.math.BigDecimal(BigInteger.TEN.pow(18)))
+      .divide(new java.math.BigDecimal(den), 0,
+        java.math.RoundingMode.HALF_UP)
+      .longValueExact()
+  }
+
+  /** ORDERED-SHAPLEY multi-touch attribution — the remaining standard
+    * model next to linear/position/decay ([[attributionReport]]): each
+    * in-window touch earns [[shapleyWeightScaled]] of the conversion
+    * value by its arrival position. Same output contract as the other
+    * models: (channel, conversions, credit) + a `(none)` row.
+    *
+    * Scale shape: NO conversion×touch join — ONE window partitioned by
+    * user over the lookback range frame carries a per-conversion
+    * `collect_list` of its in-window touches (row-local, bounded by a
+    * user's touches inside the lookback — enforced ≤ `maxTouches`,
+    * loud `raise_error` beyond, never silent misweighting), and the
+    * per-channel weight sums are higher-order-function folds over that
+    * array — zero extra shuffles beyond the user window and the final
+    * tiny channel group. The (k, n) → weight table is a driver-built
+    * literal map of Σ_{n≤maxTouches} n entries (528 at the default 32)
+    * — compile-time metadata, not a join side.
+    *
+    * Exactness: weights are 10¹⁸-scaled LONGs, per-channel sums are
+    * exact integer folds, and the single long→double→÷10¹⁸ conversion
+    * is IEEE-identical on any engine — ROUND(·,6) credits then sum as
+    * DECIMAL(20,6) like every other attribution model here. */
+  def attributionShapley(events: DataFrame, user: Column, ts: Column,
+                         value: Column, isConversion: Column,
+                         isTouch: Column, touchLabel: Column,
+                         lookbackSeconds: Long,
+                         maxTouches: Int = 32): DataFrame = {
+    require(lookbackSeconds > 0, "lookback must be positive")
+    require(maxTouches >= 1 && maxTouches <= 128,
+      s"maxTouches must be in 1..128, got $maxTouches")
+    val touch = isTouch && ts.isNotNull && touchLabel.isNotNull
+    // Bounded driver collect: distinct channel labels (same operator
+    // contract as attributionReport).
+    val channels = events.filter(touch)
+      .select(touchLabel.cast("string").as("__c")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val lookUs = lookbackSeconds * 1000000L
+    val w = Window.partitionBy(user).orderBy(unix_micros(ts))
+      .rangeBetween(-lookUs, 0L)
+    val weights: Map[String, Long] = (for {
+      n <- 1 to maxTouches; k <- 1 to n
+    } yield s"${n}_$k" -> shapleyWeightScaled(k, n)).toMap
+    val wmap = typedLit(weights)
+    val tagged = when(touch,
+      struct(unix_micros(ts).as("t"), touchLabel.cast("string").as("label")))
+    // BOTH window aggregates in ONE select over the shared spec (the
+    // CollapseWindow discipline attributionReport documents).
+    val base = events.select(col("*"),
+      count(when(touch, 1)).over(w).as("__n0"),
+      sort_array(collect_list(tagged).over(w)).as("__st"))
+    // Loud overflow: a conversion window beyond the weight table would
+    // otherwise silently earn zero for positions past the cap.
+    val guarded = base.withColumn("__N",
+      when(col("__n0") > maxTouches,
+        raise_error(concat(lit("attributionShapley: a conversion window " +
+          s"holds more than maxTouches=$maxTouches touches ("),
+          col("__n0"), lit(") — raise maxTouches"))).cast("long"))
+        .otherwise(col("__n0")))
+    def wsum(ch: String): Column = aggregate(
+      sequence(lit(1), col("__N").cast("int")),
+      lit(0L),
+      (acc, k) => acc + coalesce(
+        when(element_at(col("__st"), k).getField("label") === ch,
+          element_at(wmap,
+            concat_ws("_", col("__N").cast("string"), k.cast("string")))),
+        lit(0L)))
+    def emit(c: Column): Column = { val r = round(c, 6); when(r > 0, r) }
+    val credits = channels.map { ch =>
+      ch -> emit(when(col("__N") > 0,
+        value * (wsum(ch).cast("double") / lit(1.0e18))))
+    }
+    val perConv = guarded.filter(isConversion && ts.isNotNull)
+    val entries = credits.map { case (c, cr) =>
+      struct(lit(c).as("channel"), cr.as("credit"))
+    } :+ struct(lit("(none)").as("channel"),
+      when(col("__N") === 0, coalesce(round(value, 6), lit(0.0)))
+        .as("credit"))
     perConv
       .select(explode(array(entries: _*)).as("__e"))
       .filter(col("__e.credit").isNotNull)

@@ -4,6 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Thrown when a rewriter op (compaction, merge, erasure, vacuum) finds
+  * the exclusive `_snapshots/compact.lock` already held. A TYPED class
+  * (extending IllegalStateException for source compatibility with
+  * callers matching the old message) so retry loops — the streaming CDC
+  * sink above all — can classify a lock collision structurally instead
+  * of grepping exception text, which silently turns fatal the day the
+  * message is reworded. */
+final class LockHeldException(msg: String, cause: Throwable)
+  extends IllegalStateException(msg, cause)
+
 /** Idempotent-append ("upsert") semantics of the reference's sink
   * (SURVEY.md §2.9; ref `etl.py:182-191, 331-341, 438-449`).
   *
@@ -136,6 +146,199 @@ object Upsert {
       ()
     } else fs.create(marker, false).close()
 
+  /** Take the exclusive rewriter lock or throw [[LockHeldException]].
+    * One lock for every rewrite-class op (compact/merge/erase/vacuum):
+    * they all rewrite or delete referenced dirs, so any two racing
+    * would double-carry or read a half-replaced base. */
+  private def acquireRewriterLock(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, opName: String): org.apache.hadoop.fs.Path = {
+    val lock = new org.apache.hadoop.fs.Path(snapDir(path), "compact.lock")
+    try createExclusive(fs, lock) catch {
+      case e: java.io.IOException =>
+        throw new LockHeldException(
+          s"$opName: another rewriter holds $lock — if its process " +
+            "crashed, delete the lock file and retry", e)
+    }
+    lock
+  }
+
+  // ── dir-level key-range stats ────────────────────────────────────
+  // Every data dir gets a `_snapshots/<dir>.stats` sidecar at write
+  // time: per key column, the min/max of its non-null values. Probing
+  // ops (merge's touched-dir scan, erasure's hit scan, point reads)
+  // compare the probe keys' range against each dir's recorded range and
+  // SKIP dirs that cannot hold a matching key — the difference between
+  // "every merge opens every dir of a 100 TB sink" and "a merge opens
+  // the handful of dirs its keys can live in". Equi-joins are
+  // null-rejecting, so only non-null ranges matter; a dir with no
+  // non-null key values can never match and records `none`. Missing
+  // sidecars (pre-stats dirs) and unsupported key types degrade to
+  // "always probe" — pruning is an optimization, never a correctness
+  // gate. Ranges are per-column: disjointness on ANY key column rules
+  // out a composite-key match (all columns must match for equality).
+
+  private def statsPath(path: String, dirName: String) =
+    new org.apache.hadoop.fs.Path(snapDir(path), s"$dirName.stats")
+
+  /** Canonical comparable domain per supported key type. Unsupported
+    * types (float/decimal/binary/…) return None and that column simply
+    * never prunes. */
+  private def statTag(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => Some("long")
+      case StringType => Some("string")
+      case DateType => Some("date")
+      case TimestampType => Some("ts")
+      case _ => None
+    }
+  }
+
+  private def encodeStatValue(tag: String, v: Any): String = tag match {
+    case "long" => v.asInstanceOf[Number].longValue.toString
+    case "string" => java.net.URLEncoder.encode(v.asInstanceOf[String], "UTF-8")
+    case "date" => v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+      case d: java.time.LocalDate => d.toEpochDay.toString
+    }
+    case "ts" => v match {
+      case t: java.sql.Timestamp =>
+        (t.getTime / 1000L * 1000000L + t.getNanos / 1000L).toString
+      case t: java.time.Instant =>
+        (t.getEpochSecond * 1000000L + t.getNano / 1000L).toString
+    }
+  }
+
+  /** Decoded stat values compare as Long (long/date/ts) or String. */
+  private def decodeStatValue(tag: String, s: String): Any = tag match {
+    case "string" => java.net.URLDecoder.decode(s, "UTF-8")
+    case _ => s.toLong
+  }
+
+  private def statLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: String, y: String) => x < y
+    case _ => throw new IllegalStateException(s"stat type mismatch: $a / $b")
+  }
+
+  /** Per-key-column (tag, min, max) of `df`, None per column with no
+    * non-null values. Costs one narrow aggregate over the key columns. */
+  private def keyRanges(df: DataFrame, keys: Seq[String])
+      : Seq[(String, String, Option[(Any, Any)])] = {
+    val tagged = keys.flatMap(k => statTag(df.schema(k).dataType).map(k -> _))
+    if (tagged.isEmpty) return Nil
+    val aggs = tagged.flatMap { case (k, _) =>
+      Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")) }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    tagged.zipWithIndex.map { case ((k, tag), i) =>
+      val lo = row.get(2 * i); val hi = row.get(2 * i + 1)
+      (k, tag, if (lo == null || hi == null) None
+               else Some((decodeStatValue(tag, encodeStatValue(tag, lo)),
+                          decodeStatValue(tag, encodeStatValue(tag, hi)))))
+    }
+  }
+
+  /** Record the `.stats` sidecar for a just-written data dir: one line
+    * per supported key column, `col TAB tag TAB min TAB max` (URL-coded
+    * strings), or `col TAB tag TAB none` when the dir holds no non-null
+    * values for it. One columnar scan of the NEW dir only — at 100 TB
+    * the dir is the batch, never the corpus. Best-effort: a failure to
+    * write stats must never fail the data write (readers just probe). */
+  private def writeKeyStats(spark: SparkSession, path: String,
+      dirName: String, keys: Seq[String]): Unit =
+    try {
+      val fs = fsFor(spark, path)
+      val df = spark.read.parquet(s"$path/$dirName")
+      val present = keys.filter(df.columns.contains)
+      if (present.size != keys.size) return
+      val lines = keyRanges(df, present).map {
+        case (k, tag, Some((lo, hi))) =>
+          s"$k\t$tag\t${encodeStatValue(tag, lo)}\t${encodeStatValue(tag, hi)}"
+        case (k, tag, None) => s"$k\t$tag\tnone"
+      }
+      if (lines.isEmpty) return
+      val out = fs.create(statsPath(path, dirName), true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Parsed `.stats` sidecar: col → (tag, None = no non-null values |
+    * Some(min, max)). None overall when the sidecar is absent. */
+  private def readKeyStats(spark: SparkSession, path: String,
+      dirName: String): Option[Map[String, (String, Option[(Any, Any)])]] = {
+    val fs = fsFor(spark, path)
+    val p = statsPath(path, dirName)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList finally in.close()
+    Some(lines.map { l =>
+      val parts = l.split("\t", -1)
+      if (parts(2) == "none") parts(0) -> (parts(1), None)
+      else parts(0) -> (parts(1), Some((decodeStatValue(parts(1), parts(2)),
+        decodeStatValue(parts(1), parts(3)))))
+    }.toMap)
+  }
+
+  /** Test/ops audit: the dir subset the last probe-pruned op actually
+    * opened (merge's touched scan, erasure's hit scan, point reads).
+    * Written for spec assertions that non-overlapping dirs are never
+    * probed; not part of the operator contract. */
+  private[graft] val lastProbedDirs =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
+  /** The subset of `dirs` whose recorded key ranges can overlap
+    * `probe`'s keys. One tiny min/max aggregate over the probe (bounded
+    * driver metadata, like the version manifests themselves); dirs
+    * without a sidecar are kept (conservative). A probe with no
+    * non-null value in some key column matches nothing (equi-joins are
+    * null-rejecting) → no dir qualifies. */
+  private[graft] def overlappingDirs(spark: SparkSession, path: String,
+      dirs: Seq[String], keys: Seq[String], probe: DataFrame): Seq[String] = {
+    val pr = keyRanges(probe, keys.filter(probe.columns.contains))
+    if (pr.isEmpty) return dirs // no supported key column → probe all
+    if (pr.exists(_._3.isEmpty)) return Nil // a key col with only NULLs
+    val pRange = pr.map { case (k, tag, r) => k -> (tag, r.get) }.toMap
+    dirs.filter { d =>
+      readKeyStats(spark, path, d) match {
+        case None => true
+        case Some(stats) =>
+          pRange.forall { case (k, (tag, (pLo, pHi))) =>
+            stats.get(k) match {
+              case Some((dTag, Some((dLo, dHi)))) if dTag == tag =>
+                !(statLt(pHi, dLo) || statLt(dHi, pLo))
+              case Some((dTag, None)) if dTag == tag => false // dir: no keys
+              case _ => true // unknown column/tag → conservative
+            }
+          }
+      }
+    }
+  }
+
+  /** The sink's key columns, persisted once so keyless ops (compaction)
+    * can still record stats sidecars for the dirs they write. */
+  private def keyColsPath(path: String) =
+    new org.apache.hadoop.fs.Path(snapDir(path), "keys.cols")
+
+  private def recordKeyCols(spark: SparkSession, path: String,
+      keys: Seq[String]): Unit =
+    try {
+      val fs = fsFor(spark, path)
+      val out = fs.create(keyColsPath(path), true)
+      try out.write(keys.mkString("\n").getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def recordedKeyCols(spark: SparkSession, path: String): Seq[String] = {
+    val fs = fsFor(spark, path)
+    if (!fs.exists(keyColsPath(path))) Nil
+    else {
+      val in = fs.open(keyColsPath(path))
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+  }
+
   // ── provenance ──────────────────────────────────────────────────
   // Manifests are dir-name lists, but concurrency reasoning needs ROW
   // provenance: which original batches a dir's rows descend from.
@@ -155,6 +358,19 @@ object Upsert {
 
   private[graft] def rootOf(dirName: String): String =
     dirName.replaceFirst("-r\\d+$", "")
+
+  /** The version number of a dir's LAST rewrite suffix (`-r<v>` heal,
+    * `-m<v>` merge, `-e<v>` erasure), 0 for a pristine dir. Rewrite
+    * versions come from [[claimVersion]] so they are unique and
+    * strictly increase over time, and every rewrite reads the dir's
+    * THEN-CURRENT form — so among same-root, equal-provenance siblings
+    * (e.g. `batch-1-r5` vs `batch-1-r7` from two heal rounds whose
+    * intermediate manifests a crossed publish dropped), the HIGHER
+    * suffix is the newer line of truth: it already carries every yield/
+    * erase the lower one does. */
+  private[graft] def rewriteSeq(dirName: String): Int =
+    "-[rme](\\d+)$".r.findFirstMatchIn(dirName)
+      .map(_.group(1).toInt).getOrElse(0)
 
   private def absorbedPath(path: String, dirName: String) =
     new org.apache.hadoop.fs.Path(snapDir(path), s"$dirName.absorbed")
@@ -181,6 +397,37 @@ object Upsert {
   private def coverage(spark: SparkSession, path: String,
                        dirs: Seq[String]): Set[String] =
     dirs.iterator.flatMap(d => provenance(spark, path, d)).toSet
+
+  // ── rewrite generation ──────────────────────────────────────────
+  // Content-CHANGING rewrites (merge U/D, erasure, a reconcile heal
+  // that yields keys) are invisible to name-based delta reasoning once
+  // a later compaction absorbs the renamed dirs — so each one drops a
+  // `gen-<version>.touch` marker (version from claimVersion → unique,
+  // race-free without a counter file). Incremental consumers
+  // ([[refreshAggregate]]) record the generation fingerprint they saw;
+  // a changed fingerprint means counted rows were mutated and the only
+  // safe refresh is a recompute. Compaction does NOT touch a marker:
+  // it is content-preserving by construction.
+
+  private def touchRewriteGen(spark: SparkSession, path: String,
+      version: Int): Unit =
+    try {
+      val fs = fsFor(spark, path)
+      fs.create(new org.apache.hadoop.fs.Path(snapDir(path),
+        s"gen-$version.touch"), true).close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Fingerprint of the content-rewrite history: (count, max version)
+    * of the gen markers. Markers are only ever added with unique
+    * versions, so any new rewrite changes the pair. */
+  private[graft] def rewriteGen(spark: SparkSession, path: String): String = {
+    val fs = fsFor(spark, path)
+    if (!fs.exists(snapDir(path))) return "0:0"
+    val vs = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen-") && n.endsWith(".touch") =>
+        n.stripPrefix("gen-").stripSuffix(".touch").toInt }
+    s"${vs.size}:${vs.foldLeft(0)(math.max)}"
+  }
 
   /** Claim version number `latest+1` by CREATE-EXCLUSIVE of a
     * `v<N>.claim` marker: the optimistic-concurrency step that stops
@@ -301,7 +548,14 @@ object Upsert {
         e != d && prov(d).subsetOf(prov(e)) && (
           prov(e) != prov(d) ||               // strict superset: absorbed
           e.startsWith(d + "-") ||            // my own rewrite
-          (e.startsWith("compact-") && !d.startsWith("compact-")))
+          (e.startsWith("compact-") && !d.startsWith("compact-")) ||
+          // SIBLING rewrites of one root (batch-1-r5 vs batch-1-r7:
+          // equal provenance, neither name-prefixes the other — two
+          // heal rounds re-attached by a dropped-manifest carry). The
+          // higher claim-version suffix is the newer truth
+          // ([[rewriteSeq]]); keeping both would publish the same keys
+          // twice and resurrect rows the newer rewrite yielded.
+          (rootOf(e) == rootOf(d) && rewriteSeq(e) > rewriteSeq(d)))
       }
     }
   }
@@ -345,8 +599,13 @@ object Upsert {
         latestDirs ++ dropped ++ Seq(curDir))
       // Our own root's current form in the union (a rewrite of ours
       // from an earlier heal survives the collapse over the original).
-      val ownDir = union.find(d => rootOf(d) == rootOf(dirName))
-        .getOrElse(curDir)
+      // NEWEST rewrite wins ([[rewriteSeq]]): after collapseShadows at
+      // most one same-root dir survives, but if the carry re-attached
+      // equal-provenance siblings, picking first-in-sequence could
+      // resurrect keys the newer heal already yielded.
+      val sameRoot = union.filter(d => rootOf(d) == rootOf(dirName))
+      val ownDir = if (sameRoot.isEmpty) curDir
+                   else sameRoot.maxBy(rewriteSeq)
       val rivals = union.filter(d => rootOf(d) != rootOf(dirName) &&
         provenance(spark, path, d).exists(r => !known.contains(r)))
       val nextDir =
@@ -362,6 +621,10 @@ object Upsert {
             val rw = s"${rootOf(dirName)}-r$version"
             own.join(rivalKeys, keys, "left_anti")
               .write.mode("overwrite").parquet(s"$path/$rw")
+            writeKeyStats(spark, path, rw, keys)
+            // The heal yields keys a reader may already have counted —
+            // a content-changing rewrite for delta-purity purposes.
+            touchRewriteGen(spark, path, version)
             rw
           }
         }
@@ -400,9 +663,49 @@ object Upsert {
         keys, "left_anti")
     val dirName = s"batch-$target"
     fresh.write.mode("overwrite").parquet(s"$path/$dirName")
+    recordKeyCols(spark, path, keys)
+    writeKeyStats(spark, path, dirName, keys)
     publishManifest(spark, path, target, baseDirs :+ dirName)
     reconcileLineage(spark, path, target, dirName, keys,
       coverage(spark, path, baseDirs), fresh.schema, baseVersion = cur)
+  }
+
+  /** [[writeSnapshot]] behind a PROFILE-DRIFT GATE: the candidate new
+    * state (current version ∪ the batch's fresh rows) is profiled
+    * against the current version, and any [[Validate.driftViolations]]
+    * breach REFUSES the publish — nothing is claimed or written, the
+    * exception lists the breached rules. The freshness/volume contract
+    * run where it belongs: before the version exists, so consumers
+    * never see (and never have to roll back) a drifted publish.
+    * Cost: one extra profile pass over the candidate state — the price
+    * of the gate, paid only by writers that opt in. Bootstrap writes
+    * (no current version) publish ungated: there is nothing to drift
+    * from. */
+  def writeSnapshotGated(spark: SparkSession, path: String, batch: DataFrame,
+      keys: Seq[String], tieBreak: Seq[String],
+      maxNullRateJump: Double, maxRowGrowthPct: Double,
+      minRowGrowthPct: Double = 0.0,
+      allowAddedColumns: Boolean = true,
+      allowDroppedColumns: Boolean = false): Int = {
+    val cur = latestVersion(spark, path)
+    if (cur >= 1) {
+      val existing = readSnapshot(spark, path, cur)
+      val deduped = dedupOnKey(batch, keys, tieBreak)
+      val fresh = deduped.join(
+        existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      val candidate = existing.unionByName(fresh, allowMissingColumns = true)
+      val bad = Validate.driftViolations(
+        Validate.profileDrift(Validate.profile(candidate),
+          Validate.profile(existing)),
+        maxNullRateJump, maxRowGrowthPct, minRowGrowthPct,
+        allowAddedColumns, allowDroppedColumns)
+        .select(col("violation"), col("column")).collect()
+      if (bad.nonEmpty) throw new IllegalStateException(
+        "writeSnapshotGated: drift gate refused the publish: " +
+          bad.map(r => s"${r.getString(0)}(${r.getString(1)})")
+            .mkString(", "))
+    }
+    writeSnapshot(spark, path, batch, keys, tieBreak)
   }
 
   private def publishManifest(spark: SparkSession, path: String,
@@ -427,11 +730,86 @@ object Upsert {
     if (!ok) throw new java.io.IOException(
       s"publishManifest: atomic rename to v$version.list failed at $path — " +
         "snapshot NOT published (manifest tmp left for inspection)")
+    // Publish timestamp sidecar for AS-OF time travel. Best-effort and
+    // written AFTER the rename: a crash in between leaves a published
+    // version without a .meta, which [[publishedAtMs]] answers with the
+    // manifest file's modification time (close enough for a resolver
+    // whose contract is "latest version published at or before ts").
+    // The sidecar — not mtime — is the primary source because in-place
+    // manifest repoints (eraseKeys) refresh mtime but preserve .meta.
+    try {
+      val mf = fs.create(new org.apache.hadoop.fs.Path(snapDir(path),
+        s"v$version.meta"), true)
+      try mf.write(System.currentTimeMillis().toString.getBytes("UTF-8"))
+      finally mf.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
     // The claim marker has served its purpose once the manifest exists;
     // best-effort cleanup (an orphaned marker is harmless — claimVersion
     // skips past it).
     fs.delete(new org.apache.hadoop.fs.Path(snapDir(path),
       s"v$version.claim"), false)
+  }
+
+  /** Wall-clock publish time (epoch millis) of snapshot `version`: the
+    * `v<N>.meta` sidecar stamped at publish, or the manifest file's
+    * modification time for pre-.meta sinks. */
+  def publishedAtMs(spark: SparkSession, path: String, version: Int): Long = {
+    val fs = fsFor(spark, path)
+    val meta = new org.apache.hadoop.fs.Path(snapDir(path), s"v$version.meta")
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else {
+      val list = new org.apache.hadoop.fs.Path(snapDir(path), s"v$version.list")
+      require(fs.exists(list), s"no snapshot v$version at $path")
+      fs.getFileStatus(list).getModificationTime
+    }
+  }
+
+  /** The snapshot version a reader at wall-clock `tsMs` would have seen
+    * as latest: the HIGHEST version whose publish time is ≤ tsMs.
+    * Highest-version (not latest-timestamp) because reconciliation can
+    * publish versions out of wall-clock order during writer races — the
+    * read contract is always "the max published version", so the as-of
+    * answer is the max version that existed then. Throws when nothing
+    * was published by `tsMs`. */
+  def versionAsOf(spark: SparkSession, path: String, tsMs: Long): Int = {
+    val fs = fsFor(spark, path)
+    require(fs.exists(snapDir(path)), s"no snapshot sink at $path")
+    val versions = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toInt }
+    val at = versions.filter(v => publishedAtMs(spark, path, v) <= tsMs)
+    require(at.nonEmpty,
+      s"no snapshot published at or before epoch-ms $tsMs at $path")
+    at.max
+  }
+
+  /** Time travel by TIMESTAMP: the sink exactly as a reader at epoch-ms
+    * `tsMs` saw it — `readSnapshot` of [[versionAsOf]]. */
+  def readSnapshotAsOf(spark: SparkSession, path: String,
+                       tsMs: Long): DataFrame =
+    readSnapshot(spark, path, versionAsOf(spark, path, tsMs))
+
+  /** POINT READ: the rows of snapshot `version` whose keys appear in
+    * `probe` — opening ONLY the dirs whose key-range stats can overlap
+    * the probed keys. The read path twin of the merge/erase probe
+    * pruning: a handful-of-keys lookup against a compacted 100 TB sink
+    * opens the few dirs those keys can live in, not the corpus. Dirs
+    * without stats are read (correctness never depends on a sidecar). */
+  def readSnapshotForKeys(spark: SparkSession, path: String, version: Int,
+      probe: DataFrame, keys: Seq[String]): DataFrame = {
+    val dirs = manifestDirs(spark, path, version)
+    val keyRows = probe.select(keys.map(col): _*).distinct()
+      .localCheckpoint()
+    val candidates = overlappingDirs(spark, path, dirs, keys, keyRows)
+    lastProbedDirs.set(candidates)
+    if (candidates.isEmpty)
+      readSnapshot(spark, path, version).limit(0)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(candidates.map(d => s"$path/$d"): _*)
+      .join(keyRows, keys, "left_semi")
   }
 
   /** Compact the current version's batch-dir chain into ONE dir and
@@ -452,21 +830,43 @@ object Upsert {
     * compact dir, diffed by PROVENANCE so a dir whose rows the
     * compacted base already covers (the base dirs themselves, or a
     * rewrite of an absorbed batch) is never double-included. */
+  /** Test hook: runs between the (lock-free) base rewrite and the lock
+    * acquisition, so specs can inject a racing rewriter into exactly
+    * the window the staleness re-validation exists for. */
+  private[graft] var compactPreLockHook: () => Unit = () => ()
+
   def compactSnapshots(spark: SparkSession, path: String): Int = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
-    val lock = new org.apache.hadoop.fs.Path(snapDir(path), "compact.lock")
-    try createExclusive(fs, lock) catch {
-      case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"compactSnapshots: another compaction holds $lock — if its " +
-            "process crashed, delete the lock file and retry", e)
-    }
-    try {
+    // The critical section covers ONLY claim-diff + publish + carry
+    // reconcile — metadata ops. The base rewrite (the hours-long part
+    // at 100 TB) runs LOCK-FREE and is re-validated after acquisition:
+    // holding the lock across the rewrite would serialize every merge,
+    // erasure, and streaming CDC batch behind the slowest operation in
+    // the sink (the r15 liveness hole). Staleness check: dirs are
+    // immutable and every rewriter REPLACES the dirs it touches in the
+    // latest manifest, so "all base dirs still listed" ⟺ "the content
+    // we compacted is still the live content". Plain appends only ADD
+    // dirs and are carried. On a stale base the orphaned rewrite is
+    // deleted and the compaction retried from the new latest.
+    var attempts = 0
+    while (attempts < 5) {
+      // Advisory fail-fast (not the protection — the post-lock
+      // staleness check is): a rewriter holding the lock RIGHT NOW is
+      // about to invalidate whatever base we'd compact, so don't burn a
+      // full rewrite on it. Racy by nature; a collision that slips
+      // through just costs one stale-retry.
+      val advisory = new org.apache.hadoop.fs.Path(snapDir(path),
+        "compact.lock")
+      if (fs.exists(advisory)) throw new LockHeldException(
+        s"compactSnapshots: another rewriter holds $advisory — if its " +
+          "process crashed, delete the lock file and retry", null)
       val cur = latestVersion(spark, path)
       require(cur >= 1, "nothing to compact: no published snapshot")
       // Same claim discipline as writeSnapshot: a compactor racing a
-      // writer must not reuse the writer's version number.
+      // writer must not reuse the writer's version number. The claim
+      // also makes the dir name unique across racing compactors even
+      // before either holds the lock.
       val target = claimVersion(spark, path)
       val dirName = s"compact-$target"
       val baseDirs = manifestDirs(spark, path, cur)
@@ -480,33 +880,52 @@ object Upsert {
       val out = fs.create(af, true)
       try out.write(absorbed.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      // A writer may publish BETWEEN the base read (cur) and this
-      // publish; its dirs are not in the compacted file, and a bare
-      // [compact-N] manifest would drop them from the lineage. Carry
-      // the interleaved dirs whose provenance the base does NOT cover
-      // (the rows are rewritten-base + the interleaved appends —
-      // exactly what a sequential compact-then-write would read). The
-      // writers' own reconcileLineage covers the inverse order (writer
-      // publishes after this publish). Provenance roots are singletons
-      // for batch/rewrite dirs and compact dirs are lock-excluded, so
-      // the subset test is exact — but guard the invariant anyway.
-      val interleaved = ((cur + 1) until target)
-        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
-          snapDir(path), s"v$v.list")))
-        .flatMap(v => manifestDirs(spark, path, v))
-        .distinct
-        .filterNot(d => provenance(spark, path, d).subsetOf(absorbed))
-      interleaved.foreach { d =>
-        val p = provenance(spark, path, d)
-        if (p.exists(absorbed)) throw new IllegalStateException(
-          s"compactSnapshots: interleaved dir $d partially overlaps the " +
-            s"compacted base (${p.filter(absorbed)}) — concurrent " +
-            "compaction artifacts; resolve manually")
-      }
-      publishManifest(spark, path, target, dirName +: interleaved)
-      reconcileCompact(spark, path, target, dirName, absorbed,
-        baseVersion = cur)
-    } finally fs.delete(lock, false)
+      val statKeys = recordedKeyCols(spark, path)
+      if (statKeys.nonEmpty) writeKeyStats(spark, path, dirName, statKeys)
+      compactPreLockHook()
+      val lock = acquireRewriterLock(fs, path, "compactSnapshots")
+      try {
+        val latestNow = latestVersion(spark, path)
+        val latestDirs = manifestDirs(spark, path, latestNow)
+        if (baseDirs.forall(latestDirs.contains)) {
+          // A writer may publish BETWEEN the base read (cur) and this
+          // publish; its dirs are not in the compacted file, and a bare
+          // [compact-N] manifest would drop them from the lineage.
+          // Carry the latest dirs whose provenance the base does NOT
+          // cover (the rows are rewritten-base + the interleaved
+          // appends — exactly what a sequential compact-then-write
+          // would read). The writers' own reconcileLineage covers the
+          // inverse order (writer publishes after this publish).
+          val interleaved = latestDirs
+            .filterNot(d => provenance(spark, path, d).subsetOf(absorbed))
+          interleaved.foreach { d =>
+            val p = provenance(spark, path, d)
+            if (p.exists(absorbed)) throw new IllegalStateException(
+              s"compactSnapshots: interleaved dir $d partially overlaps " +
+                s"the compacted base (${p.filter(absorbed)}) — concurrent " +
+                "compaction artifacts; resolve manually")
+          }
+          // Publish strictly above whatever is latest: re-claim when a
+          // writer published past our pre-rewrite claim (readers take
+          // the max version as "current"; publishing below it would
+          // park the compact dir in dead history).
+          val pubV = if (latestNow >= target) claimVersion(spark, path)
+                     else target
+          publishManifest(spark, path, pubV, dirName +: interleaved)
+          return reconcileCompact(spark, path, pubV, dirName, absorbed,
+            baseVersion = cur)
+        }
+      } finally fs.delete(lock, false)
+      // Stale base: a rewriter (merge/erasure/another compactor)
+      // replaced part of what we compacted. Drop the orphan and retry.
+      fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
+      fs.delete(af, false)
+      fs.delete(statsPath(path, dirName), false)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"compactSnapshots: base rewritten under us 5 times at $path — " +
+        "rewriter storm; retry when merges/erasures quiesce")
   }
 
   /** Compactor's post-publish reconciliation: if an interleaved writer
@@ -587,13 +1006,7 @@ object Upsert {
                     opCol: String = "op"): Int = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
-    val lock = new org.apache.hadoop.fs.Path(snapDir(path), "compact.lock")
-    try createExclusive(fs, lock) catch {
-      case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"mergeSnapshot: another rewriter holds $lock — if its " +
-            "process crashed, delete the lock file and retry", e)
-    }
+    val lock = acquireRewriterLock(fs, path, "mergeSnapshot")
     try {
       val cur = latestVersion(spark, path)
       require(cur >= 1, "nothing to merge into: no published snapshot")
@@ -610,10 +1023,18 @@ object Upsert {
       val touched = deduped.filter(col(opCol) =!= "I")
         .select(keys.map(col): _*).distinct().localCheckpoint()
       val snapshotSchema = readSnapshot(spark, path, cur).schema
-      val (rewritten, carried) = baseDirs.partition { d =>
+      // Key-range pruning: only dirs whose recorded range can overlap
+      // the touched keys get the left-semi probe — the rest carry
+      // without being OPENED. On a compacted 100 TB sink a trickle
+      // merge probes the handful of dirs its keys can live in instead
+      // of full-scanning every dir (the r15 per-merge cost).
+      val candidates = overlappingDirs(spark, path, baseDirs, keys, touched)
+      lastProbedDirs.set(candidates)
+      val (rewritten, probedClean) = candidates.partition { d =>
         !spark.read.schema(snapshotSchema).parquet(s"$path/$d")
           .join(touched, keys, "left_semi").isEmpty
       }
+      val carried = probedClean ++ baseDirs.filterNot(candidates.contains)
       val rewriteNames = rewritten.map { d =>
         val rw = s"$d-m$target"
         spark.read.schema(snapshotSchema).parquet(s"$path/$d")
@@ -623,8 +1044,12 @@ object Upsert {
         try out.write(provenance(spark, path, d).toSeq.sorted
           .mkString("\n").getBytes("UTF-8"))
         finally out.close()
+        writeKeyStats(spark, path, rw, keys)
         rw
       }
+      // Rows of already-published dirs changed → name-based delta
+      // readers must recompute ([[rewriteGen]]).
+      if (rewriteNames.nonEmpty) touchRewriteGen(spark, path, target)
       // Interleaved appenders between the base read and this publish:
       // carry their dirs (their rows win over this merge's deletes —
       // sequential merge-then-write equivalence).
@@ -655,6 +1080,8 @@ object Upsert {
           keys, "left_anti")
       val mergeDir = s"merge-$target"
       land.write.mode("overwrite").parquet(s"$path/$mergeDir")
+      recordKeyCols(spark, path, keys)
+      writeKeyStats(spark, path, mergeDir, keys)
       publishManifest(spark, path, target,
         carried ++ rewriteNames ++ interleaved :+ mergeDir)
       // The merge dir is self-rooted, so the unified reconcile applies:
@@ -714,8 +1141,10 @@ object Upsert {
       .flatMap(v => manifestDirs(spark, path, v)).toSet -- referenced
     allVersions.filter(_ < keepFrom).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.list"), false)
-      // Aggregate-maintenance coverage marker, if this sink has them.
+      // Aggregate-maintenance coverage marker, if this sink has them,
+      // and the publish-timestamp sidecar.
       fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.src"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.meta"), false)
     }
     snapNames
       .collect { case n if n.startsWith("v") && n.endsWith(".claim") =>
@@ -728,8 +1157,10 @@ object Upsert {
     doomedDirs.foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
       // Any dir may own an absorbed record (compact dirs, merge
-      // rewrites); deleting a missing one is a no-op.
+      // rewrites) and a key-range stats sidecar; deleting a missing
+      // one is a no-op.
       fs.delete(absorbedPath(path, d), false)
+      fs.delete(statsPath(path, d), false)
     }
     doomedDirs.size
   }
@@ -769,13 +1200,7 @@ object Upsert {
   def vacuumOrphans(spark: SparkSession, path: String): Int = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
-    val lock = new org.apache.hadoop.fs.Path(snapDir(path), "compact.lock")
-    try createExclusive(fs, lock) catch {
-      case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"vacuumOrphans: another rewriter holds $lock — if its " +
-            "process crashed, delete the lock file and retry", e)
-    }
+    val lock = acquireRewriterLock(fs, path, "vacuumOrphans")
     try {
       val versions = fs.listStatus(snapDir(path)).toSeq
         .map(_.getPath.getName)
@@ -789,6 +1214,7 @@ object Upsert {
       orphans.foreach { d =>
         fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
         fs.delete(absorbedPath(path, d), false)
+        fs.delete(statsPath(path, d), false)
       }
       orphans.size
     } finally fs.delete(lock, false)
@@ -817,19 +1243,16 @@ object Upsert {
                 keys: Seq[String]): Long = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
-    val lock = new org.apache.hadoop.fs.Path(snapDir(path), "compact.lock")
-    try createExclusive(fs, lock) catch {
-      case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"eraseKeys: another rewriter holds $lock — if its process " +
-            "crashed, delete the lock file and retry", e)
-    }
+    val lock = acquireRewriterLock(fs, path, "eraseKeys")
     try {
       val cur = latestVersion(spark, path)
       require(cur >= 1, s"no snapshot to erase from at $path")
       // A claimed (never-published) version number makes the epoch
       // unique across every concurrent/past operation with zero new
-      // state formats; latestVersion skips claim holes by design.
+      // state formats; latestVersion skips claim holes by design (the
+      // orphaned `v<epoch>.claim` marker is harmless and is swept by
+      // [[expireSnapshots]] once later publishes pass it — one skipped
+      // version number per erasure, by construction).
       val epoch = claimVersion(spark, path)
       val keyRows = doomed.select(keys.map(col): _*).distinct()
         .localCheckpoint()
@@ -840,8 +1263,15 @@ object Upsert {
       }.sorted
       val perVersion = versions.map(v => v -> manifestDirs(spark, path, v))
       val allDirs = perVersion.flatMap(_._2).distinct
+      // Key-range pruning: dirs whose recorded range cannot hold any
+      // doomed key are skipped without being opened — across ALL
+      // versions, this is the dominant cost of an erasure on a long
+      // history. Sound because equality needs per-column overlap;
+      // statless dirs are probed.
+      val candidates = overlappingDirs(spark, path, allDirs, keys, keyRows)
+      lastProbedDirs.set(candidates)
       var erased = 0L
-      val renames = allDirs.flatMap { d =>
+      val renames = candidates.flatMap { d =>
         val df = spark.read.option("mergeSchema", "true")
           .parquet(s"$path/$d")
         val hit = df.join(keyRows, keys, "left_semi").count()
@@ -855,9 +1285,13 @@ object Upsert {
           try out.write(provenance(spark, path, d).toSeq.sorted
             .mkString("\n").getBytes("UTF-8"))
           finally out.close()
+          val statKeys0 = recordedKeyCols(spark, path)
+          writeKeyStats(spark, path, rw,
+            if (statKeys0.nonEmpty) statKeys0 else keys)
           Some(d -> rw)
         }
       }.toMap
+      if (renames.nonEmpty) touchRewriteGen(spark, path, epoch)
       if (renames.nonEmpty) {
         perVersion.foreach { case (v, dirs) =>
           if (dirs.exists(renames.contains)) {
@@ -881,6 +1315,7 @@ object Upsert {
         renames.keys.foreach { d =>
           fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
           fs.delete(absorbedPath(path, d), false)
+          fs.delete(statsPath(path, d), false)
         }
       }
       // Orphaned dirs (crashed writers) are invisible to readers but
@@ -895,6 +1330,7 @@ object Upsert {
       allTop.filterNot(referencedNow).foreach { d =>
         fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
         fs.delete(absorbedPath(path, d), false)
+        fs.delete(statsPath(path, d), false)
       }
       erased
     } finally fs.delete(lock, false)
@@ -905,6 +1341,29 @@ object Upsert {
   private def srcMarkerPath(aggPath: String, aggVersion: Int) =
     new org.apache.hadoop.fs.Path(snapDir(aggPath), s"v$aggVersion.src")
 
+  /** Marker payload: covered source version + the source's rewrite-
+    * generation fingerprint at counting time (absent on legacy
+    * markers). A generation mismatch means counted rows were mutated
+    * (merge/erase/heal) — name-based delta reasoning is void. */
+  private def readSrcMarker(spark: SparkSession, aggPath: String,
+      aggVersion: Int): (Int, Option[String]) = {
+    val fs = fsFor(spark, aggPath)
+    val m = srcMarkerPath(aggPath, aggVersion)
+    if (!fs.exists(m)) return (0, None)
+    val in = fs.open(m)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    (lines.headOption.map(_.trim.toInt).getOrElse(0),
+      lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty))
+  }
+
+  private def writeSrcMarker(spark: SparkSession, aggPath: String,
+      aggVersion: Int, srcVersion: Int, gen: String): Unit = {
+    val fs = fsFor(spark, aggPath)
+    val out = fs.create(srcMarkerPath(aggPath, aggVersion), true)
+    try out.write(s"$srcVersion\n$gen".getBytes("UTF-8")) finally out.close()
+  }
+
   /** The source version the CURRENT aggregate snapshot covers: the
     * latest published agg version's `.src` marker, or 0 when there is
     * none — fresh sink, pre-maintenance sink, or the crash window
@@ -914,15 +1373,14 @@ object Upsert {
   def aggregateCoveredVersion(spark: SparkSession, aggPath: String): Int = {
     val v = latestVersion(spark, aggPath)
     if (v == 0) return 0
-    val fs = fsFor(spark, aggPath)
-    val m = srcMarkerPath(aggPath, v)
-    if (!fs.exists(m)) 0
-    else {
-      val in = fs.open(m)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-      finally in.close()
-    }
+    readSrcMarker(spark, aggPath, v)._1
   }
+
+  /** Test/ops audit of the last [[refreshAggregate]]: `"noop"`,
+    * `"recompute"`, or `"incremental:<dir,dir,…>"` naming exactly the
+    * source dirs the delta read opened. */
+  private[graft] val lastRefresh =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
 
   /** INCREMENTAL MATERIALIZED AGGREGATE: bring the grouped-aggregate
     * snapshot at `aggPath` (per `groupCols`: row count `n` + exact
@@ -957,31 +1415,55 @@ object Upsert {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     val srcLatest = latestVersion(spark, srcPath)
     require(srcLatest >= 1, s"no source snapshot at $srcPath")
-    val covered0 = aggregateCoveredVersion(spark, aggPath)
     val aggCur = latestVersion(spark, aggPath)
-    if (covered0 == srcLatest) return aggCur
-    // Delta PURITY check — the name-based delta is only additive when
-    // (a) every covered dir is still in the latest manifest (an
-    // erasure/merge rewrite renames dirs; its rows were already
-    // counted) and (b) no new dir's provenance overlaps the covered
-    // coverage (a reconcile rewrite batch-N-r<k> or a compaction
-    // re-packages already-counted rows under a new name). Any impurity
-    // → recompute from the full source (correct at recompute cost),
-    // same as an expired covered manifest.
-    val covered = if (covered0 == 0) 0 else {
-      val srcFs = fsFor(spark, srcPath)
-      if (!srcFs.exists(new org.apache.hadoop.fs.Path(snapDir(srcPath),
-          s"v$covered0.list"))) 0
-      else {
-        val cDirs = manifestDirs(spark, srcPath, covered0)
-        val lDirs = manifestDirs(spark, srcPath, srcLatest)
-        val cCov = coverage(spark, srcPath, cDirs)
-        val pure = cDirs.forall(lDirs.contains) &&
-          lDirs.filterNot(cDirs.toSet).forall(d =>
-            provenance(spark, srcPath, d).intersect(cCov).isEmpty)
-        if (pure) covered0 else 0
-      }
+    val (covered0, gen0) = if (aggCur == 0) (0, None)
+                           else readSrcMarker(spark, aggPath, aggCur)
+    // Generation fingerprint read FIRST: a rewrite landing between this
+    // read and the data read makes the recorded gen stale, which the
+    // NEXT refresh answers with a recompute — conservative, never
+    // double-counts. Legacy markers (no gen line) only trust the name
+    // diff when the source has never seen a content rewrite at all.
+    val genNow = rewriteGen(spark, srcPath)
+    val genOk = gen0 match {
+      case Some(g) => g == genNow
+      case None => genNow == "0:0"
     }
+    if (covered0 == srcLatest && genOk) { lastRefresh.set("noop"); return aggCur }
+    // Delta PURITY classification. The incremental path is sound when
+    // the latest manifest splits cleanly into (a) CARRIERS of exactly
+    // the counted content — dirs of the covered manifest verbatim
+    // (immutable), or `compact-*` repackagings (content-preserving by
+    // construction, trustworthy because the generation fingerprint
+    // proves no merge/erase/heal ran since counting) — and (b) FRESH
+    // dirs whose provenance is disjoint from the covered coverage. A
+    // compaction that straddles counted and uncounted rows (absorbed an
+    // uncounted append) is mixed → recompute; so is a dropped counted
+    // root or an expired covered manifest. The r15 shape — any rename
+    // forces recompute — kept routine compaction from ever staying
+    // incremental, defeating the operator's own 100 TB story.
+    val freshDirs: Option[Seq[String]] =
+      if (covered0 == 0 || !genOk) None
+      else {
+        val srcFs = fsFor(spark, srcPath)
+        if (!srcFs.exists(new org.apache.hadoop.fs.Path(snapDir(srcPath),
+            s"v$covered0.list"))) None
+        else {
+          val cDirs = manifestDirs(spark, srcPath, covered0)
+          val lDirs = manifestDirs(spark, srcPath, srcLatest)
+          val cCov = coverage(spark, srcPath, cDirs)
+          val counted = lDirs.filter(d =>
+            provenance(spark, srcPath, d).subsetOf(cCov))
+          val fresh = lDirs.filter(d =>
+            provenance(spark, srcPath, d).intersect(cCov).isEmpty)
+          val mixed = lDirs.exists(d =>
+            !counted.contains(d) && !fresh.contains(d))
+          val carriersOk = counted.forall(d =>
+            cDirs.contains(d) || d.startsWith("compact-"))
+          val allCarried = cCov.subsetOf(
+            coverage(spark, srcPath, counted))
+          if (!mixed && carriersOk && allCarried) Some(fresh) else None
+        }
+      }
     // sum_v is pinned to DECIMAL(28,6) on EVERY path (Spark's sum
     // widens to (38,6); a bootstrap at one precision and increments at
     // another would make the union read's decimal types conflict).
@@ -989,21 +1471,19 @@ object Upsert {
       df.groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n"),
           sum(col(valueCol).cast(dec)).cast(dec).as("sum_v"))
-    val published =
-      if (covered == 0) {
-        // Bootstrap OR unknown coverage: full recompute. For a fresh
-        // sink this is writeSnapshot; for an existing sink the merge's
-        // U rows overwrite every group (groups never vanish under an
-        // append-only source, so no D pass is needed).
-        val full = aggOf(readSnapshot(spark, srcPath, srcLatest))
-        if (aggCur == 0)
-          writeSnapshot(spark, aggPath, full, groupCols, groupCols)
-        else
-          mergeSnapshot(spark, aggPath, full.withColumn("__op", lit("U")),
-            groupCols, groupCols, "__op")
-      } else {
-        val deltaAgg = aggOf(
-          readSnapshotDelta(spark, srcPath, covered, srcLatest))
+    val published = freshDirs match {
+      case Some(Nil) =>
+        // Pure repackaging (compaction, nothing else): content already
+        // covered — re-stamp the marker on the CURRENT agg version and
+        // publish nothing.
+        lastRefresh.set("noop")
+        writeSrcMarker(spark, aggPath, aggCur, srcLatest, genNow)
+        return aggCur
+      case Some(dirs) =>
+        lastRefresh.set(s"incremental:${dirs.mkString(",")}")
+        val delta = spark.read.option("mergeSchema", "true")
+          .parquet(dirs.map(d => s"$srcPath/$d"): _*)
+        val deltaAgg = aggOf(delta)
           .withColumnRenamed("n", "__dn").withColumnRenamed("sum_v", "__ds")
         val cur = readSnapshot(spark, aggPath, aggCur)
           .select((groupCols.map(col) :+ col("n") :+ col("sum_v")): _*)
@@ -1014,10 +1494,31 @@ object Upsert {
               .cast(dec).as("sum_v") :+
             lit("U").as("__op")): _*)
         mergeSnapshot(spark, aggPath, changes, groupCols, groupCols, "__op")
-      }
-    val fs = fsFor(spark, aggPath)
-    val out = fs.create(srcMarkerPath(aggPath, published), true)
-    try out.write(srcLatest.toString.getBytes("UTF-8")) finally out.close()
+      case None =>
+        // Bootstrap OR unknown/impure coverage: full recompute. For a
+        // fresh sink this is writeSnapshot. For an existing sink the
+        // merge's U rows overwrite every surviving group AND groups no
+        // longer present in the source (an erasure or delete-merge can
+        // empty a group entirely) get explicit D ops — without them the
+        // stale row would survive forever, retaining an erased
+        // subject's sums.
+        lastRefresh.set("recompute")
+        val full = aggOf(readSnapshot(spark, srcPath, srcLatest))
+        if (aggCur == 0)
+          writeSnapshot(spark, aggPath, full, groupCols, groupCols)
+        else {
+          val gone = readSnapshot(spark, aggPath, aggCur)
+            .select(groupCols.map(col): _*)
+            .join(full.select(groupCols.map(col): _*), groupCols, "left_anti")
+            .withColumn("n", lit(null).cast("long"))
+            .withColumn("sum_v", lit(null).cast(dec))
+          mergeSnapshot(spark, aggPath,
+            full.withColumn("__op", lit("U"))
+              .unionByName(gone.withColumn("__op", lit("D"))),
+            groupCols, groupCols, "__op")
+        }
+    }
+    writeSrcMarker(spark, aggPath, published, srcLatest, genNow)
     published
   }
 }

@@ -144,4 +144,70 @@ object Validate {
       .select("p.column", "p.n_rows", "p.n_nulls", "p.n_distinct",
         "p.min_num", "p.max_num")
   }
+
+  /** PROFILE DRIFT between two [[profile]] outputs (vN vs vN−1 of a
+    * table or snapshot sink): per column — status (added / dropped /
+    * common), row growth, null-rate delta, distinct drift. The
+    * freshness/volume contract a publish gate reads: a column whose
+    * null rate jumped, a table that stopped growing, a silently
+    * dropped column are all one filter away.
+    *
+    * Scale shape: both inputs are O(#columns) profile rows (the heavy
+    * pass already happened inside [[profile]]); this is a full-outer
+    * join of two tiny frames — driver-class cost at any data scale.
+    * Rates are ROUND(·, 6) doubles computed from the exact long
+    * counts, so the report is engine-stable and oracle-pinnable. */
+  def profileDrift(cur: DataFrame, prev: DataFrame): DataFrame = {
+    val c = cur.select(col("column"), col("n_rows").as("__rc"),
+      col("n_nulls").as("__nc"), col("n_distinct").as("__dc"))
+    val p = prev.select(col("column"), col("n_rows").as("__rp"),
+      col("n_nulls").as("__np"), col("n_distinct").as("__dp"))
+    def rate(n: Column, r: Column): Column =
+      when(r > 0, round(n.cast(DoubleType) / r, 6))
+    c.join(p, Seq("column"), "full_outer")
+      .select(
+        col("column"),
+        when(col("__rp").isNull, "added")
+          .when(col("__rc").isNull, "dropped")
+          .otherwise("common").as("status"),
+        col("__rp").as("n_rows_prev"),
+        col("__rc").as("n_rows_cur"),
+        (col("__rc") - col("__rp")).as("row_growth"),
+        rate(col("__np"), col("__rp")).as("null_rate_prev"),
+        rate(col("__nc"), col("__rc")).as("null_rate_cur"),
+        when(col("__rp") > 0 && col("__rc") > 0,
+          round(col("__nc").cast(DoubleType) / col("__rc") -
+            col("__np").cast(DoubleType) / col("__rp"), 6))
+          .as("null_rate_delta"),
+        col("__dp").as("n_distinct_prev"),
+        col("__dc").as("n_distinct_cur"),
+        (col("__dc") - col("__dp")).as("distinct_delta"))
+      .orderBy("column")
+  }
+
+  /** The [[profileDrift]] rows that breach a publish contract, with a
+    * `violation` naming the breached rule — empty result ⟺ the publish
+    * may proceed. Bounds: `maxNullRateJump` on null_rate_delta,
+    * `maxRowGrowthPct`/`minRowGrowthPct` on rows (growth percentage of
+    * the previous count; negative growth = shrink), column
+    * adds/drops per the flags. */
+  def driftViolations(drift: DataFrame, maxNullRateJump: Double,
+      maxRowGrowthPct: Double, minRowGrowthPct: Double,
+      allowAddedColumns: Boolean = true,
+      allowDroppedColumns: Boolean = false): DataFrame = {
+    val growthPct = when(col("n_rows_prev") > 0,
+      col("row_growth").cast(DoubleType) / col("n_rows_prev") * 100.0)
+    val reason =
+      when(col("status") === "dropped" && lit(!allowDroppedColumns),
+        "column_dropped")
+      .when(col("status") === "added" && lit(!allowAddedColumns),
+        "column_added")
+      .when(col("status") === "common" &&
+        col("null_rate_delta") > maxNullRateJump, "null_rate_jump")
+      .when(col("status") === "common" && growthPct > maxRowGrowthPct,
+        "row_growth_above_max")
+      .when(col("status") === "common" && growthPct < minRowGrowthPct,
+        "row_growth_below_min")
+    drift.withColumn("violation", reason).filter(col("violation").isNotNull)
+  }
 }

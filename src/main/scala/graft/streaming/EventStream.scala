@@ -799,39 +799,60 @@ object EventStream {
     * + content idempotence needs IN-ORDER batch delivery per key, which
     * Structured Streaming's sequential foreachBatch provides; the
     * within-batch collapse picks one op per key by `tieBreak`. */
+  /** Retry `f` while it throws [[graft.ops.LockHeldException]] — the
+    * TYPED signal that a rewriter (compaction, another merge) holds the
+    * sink's exclusive lock — with exponential backoff (250 ms doubling
+    * to a 10 s cap) until `budgetMs` elapses, then rethrow. The r15
+    * shape matched on exception TEXT with a hard 60 s budget: a
+    * reworded message silently turned every collision fatal, and any
+    * compaction longer than a minute killed the production CDC feed.
+    * Compaction's critical section now covers only its metadata publish
+    * ([[graft.ops.Upsert.compactSnapshots]]), so waits are short — but
+    * a STREAMING caller's default is still wait-forever: dying is the
+    * one wrong answer for a feed whose input is durable upstream. */
+  private[graft] def retryWhileLocked[A](budgetMs: Long)(f: => A): A = {
+    val deadline = System.nanoTime() + budgetMs.min(Long.MaxValue / 4) * 1000000L
+    var sleepMs = 250L
+    while (true) {
+      try return f catch {
+        case e: graft.ops.LockHeldException =>
+          if (budgetMs != Long.MaxValue && System.nanoTime() >= deadline)
+            throw e
+          Thread.sleep(sleepMs)
+          sleepMs = math.min(sleepMs * 2, 10000L)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   def cdcMergeSink(stream: DataFrame, sinkPath: String, keys: Seq[String],
                    tieBreak: Seq[String], opCol: String,
-                   checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+                   checkpoint: String,
+                   lockWaitMs: Long = Long.MaxValue): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        // A routine compaction holds the rewriter lock mergeSnapshot
-        // claims; a streaming sink must wait it out (bounded), not die.
-        def withLockRetry[A](f: => A): A = {
-          var left = 30
-          while (true) {
-            try return f catch {
-              case e: IllegalStateException
-                  if e.getMessage != null && e.getMessage.contains("holds")
-                    && left > 0 =>
-                left -= 1; Thread.sleep(2000)
-            }
-          }
-          sys.error("unreachable")
-        }
         // upper() here must mirror mergeSnapshot's own normalization:
         // a lowercase-op feed's FIRST batch would otherwise bootstrap
         // empty (every row filtered) while later batches merge fine —
         // a silent, permanent loss of the first batch.
-        if (graft.ops.Upsert.latestVersion(s, sinkPath) == 0)
+        if (graft.ops.Upsert.latestVersion(s, sinkPath) == 0) {
+          // Bootstrap must mirror mergeSnapshot's dedup-THEN-apply: the
+          // per-key op collapse picks one winning op per key BEFORE any
+          // filtering, so a key whose tieBreak winner is D (an I and a
+          // D of the same key in the first batch) bootstraps ABSENT —
+          // filtering to I/U first would resurrect the discarded I row.
+          val collapsed = graft.ops.Upsert.dedupOnKey(
+            batch.withColumn(opCol, upper(col(opCol))), keys, tieBreak)
           graft.ops.Upsert.writeSnapshot(s, sinkPath,
-            batch.filter(upper(col(opCol)).isin("I", "U")).drop(opCol),
+            collapsed.filter(col(opCol).isin("I", "U")).drop(opCol),
             keys, tieBreak)
-        else
-          withLockRetry(graft.ops.Upsert.mergeSnapshot(s, sinkPath, batch,
-            keys, tieBreak, opCol))
+        } else
+          retryWhileLocked(lockWaitMs)(
+            graft.ops.Upsert.mergeSnapshot(s, sinkPath, batch,
+              keys, tieBreak, opCol))
         ()
       }
       .start()

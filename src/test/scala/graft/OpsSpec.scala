@@ -1061,4 +1061,33 @@ class OpsSpec extends SparkSpec {
       ("a.b", 2L, 0L, 2L, Some(1.0), Some(2.0)),
       ("w`x", 2L, 0L, 2L, Some(2.0), Some(4.0))), got.toString)
   }
+
+  test("profileDrift: growth/null-rate/distinct deltas; added and dropped columns classified") {
+    val prev = Validate.profile(
+      Seq((1L, Some("x"), 1.0), (2L, Some("y"), 2.0), (3L, None, 3.0))
+        .toDF("id", "s", "gone"))
+    val cur = Validate.profile(
+      Seq((1L, Some("x"), 10), (2L, None, 20), (3L, None, 30),
+        (4L, None, 40)).toDF("id", "s", "fresh"))
+    val got = Validate.profileDrift(cur, prev).collect().map(r =>
+      (r.getString(0), r.getString(1), Option(r.get(4)),
+        Option(r.get(7)), Option(r.get(10)))).toSeq
+    // (column, status, row_growth, null_rate_delta, distinct_delta)
+    assert(got == Seq(
+      ("fresh", "added", None, None, None),
+      ("gone", "dropped", None, None, None),
+      // id: 3 → 4 rows, still all-distinct non-null
+      ("id", "common", Some(1L), Some(0.0), Some(1L)),
+      // s: null rate 1/3 → 3/4, distinct 2 → 1
+      ("s", "common", Some(1L), Some(0.416667), Some(-1L))), got.toString)
+    // The gate reads exactly these rows.
+    val bad = Validate.driftViolations(Validate.profileDrift(cur, prev),
+        maxNullRateJump = 0.2, maxRowGrowthPct = 1000.0,
+        minRowGrowthPct = -100.0, allowAddedColumns = true,
+        allowDroppedColumns = false)
+      .select("column", "violation").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(bad == Set(("gone", "column_dropped"), ("s", "null_rate_jump")),
+      bad.toString)
+  }
 }

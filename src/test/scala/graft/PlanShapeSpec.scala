@@ -406,13 +406,76 @@ class PlanShapeSpec extends SparkSpec {
     // operator's contract is that linear, position, AND decay all stay
     // a single user-partitioned range window over one events scan (the
     // bounded channel-list collect happens outside the returned plan).
-    for (q <- Seq("q_attr_linear", "q_attr_position", "q_attr_decay")) {
+    for (q <- Seq("q_attr_linear", "q_attr_position", "q_attr_decay",
+        "q_attr_shapley")) {
       val plan = executedPlan(q)
       assert(countScans(plan) == 1, s"$q: one events scan:\n$plan")
       assert(!plan.contains("Join"), s"$q: window, not a pair join:\n$plan")
       val windows = "Window".r.findAllIn(plan).size
       assert(windows == 1, s"$q: all aggregates share ONE WindowExec:\n$plan")
     }
+  }
+
+  test("q_attr_shapley: weights fold row-locally — no weight-table join, credits conserve value") {
+    // The (k, n) weight table is a LITERAL map folded by HOFs, never a
+    // join side; and because Σ_k w(k,n) = 1 exactly at the 1e18 fixed
+    // point, total credited value must equal total conversion value up
+    // to the per-credit 6dp rounding (bounded by #credit cells).
+    val plan = executedPlan("q_attr_shapley")
+    assert(!plan.contains("Join"), s"weight lookup must not join:\n$plan")
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val credited = SparkEntry.queries("q_attr_shapley")(spark, dir)
+      .agg(sum("credit")).head().getDouble(0)
+    val total = spark.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value"), 6))).head().getDouble(0)
+    assert(math.abs(credited - total) < 5e-3,
+      s"credits must conserve conversion value up to 6dp-per-cell " +
+        s"rounding: $credited vs $total")
+  }
+
+  test("q_tpch_q8: part filter broadcasts ahead of the orders shuffle; no cartesian") {
+    val plan = executedPlan("q_tpch_q8")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 1/6 p_type slice must broadcast into lineitem:\n$plan")
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 2,
+      s"at most the orders and customer joins may shuffle ($smj):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"no quadratic fallback:\n$plan")
+  }
+
+  test("q_tpch_q12: one lineitem scan + one orders scan feed a single join and one two-way agg") {
+    val plan = executedPlan("q_tpch_q12")
+    assert(countScans(plan) == 2, s"lineitem + orders, once each:\n$plan")
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin"
+      .r.findAllIn(plan).size
+    assert(joins == 1, s"exactly ONE orderkey join ($joins):\n$plan")
+    assert(!plan.contains("Window"),
+      s"the severity pivot is a CASE aggregate, not a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
+  test("q_tpch_q16: dims broadcast, blacklist is an anti join, lineitem scanned once") {
+    val plan = executedPlan("q_tpch_q16")
+    // ≤ 3: AQE may eliminate the blacklist scan outright when the
+    // negative-balance side is empty at this SF — fewer is fine, a
+    // SECOND fact scan is what the pin forbids.
+    assert(countScans(plan) <= 3, s"lineitem + part + supplier:\n$plan")
+    assert("lineitem".r.findAllIn(plan).size <= 1,
+      s"the distinct-agg must not re-scan the fact:\n$plan")
+    // AQE elides the anti join at runtime when the blacklist side is
+    // EMPTY at this SF (empty-relation propagation — keeping every row
+    // is exactly the anti join's answer), so the join-shape pin reads
+    // the optimized LOGICAL plan: a per-row NOT IN subquery or a
+    // cartesian would show up there whatever the runtime data.
+    spark.catalog.clearCache()
+    val logical = SparkEntry.queries("q_tpch_q16")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(logical.contains("LeftAnti"),
+      s"the complaint blacklist must be an anti join:\n$logical")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
   }
 
   test("q_markov_transitions: one events scan, zero joins — never a journey self-join") {

@@ -808,6 +808,83 @@ class StreamingSpec extends SparkSpec {
       "replayed CDC batch republishes identical content")
   }
 
+  test("CDC bootstrap collapses ops per key BEFORE filtering: an I beaten by a D bootstraps absent") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.Upsert
+    val path = java.nio.file.Files.createTempDirectory("cdcb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdcb_ckpt").toString
+    val mem = MemoryStream[(String, Long, String)]
+    // tieBreak on v: key 1's D row ("a") sorts before its I row ("z"),
+    // so the winning op is D. The r15 bootstrap filtered to I/U rows
+    // FIRST, materializing key 1 from the discarded I row — diverging
+    // from mergeSnapshot's dedup-then-apply that every later batch gets.
+    val q = EventStream.cdcMergeSink(mem.toDF().toDF("op", "id", "v"),
+      path, Seq("id"), Seq("v"), "op", ckpt)
+    mem.addData(("I", 1L, "z"), ("D", 1L, "a"), ("I", 2L, "b"))
+    q.processAllAvailable(); q.stop()
+    assert(Upsert.readSnapshot(spark, path, 1).select("id", "v")
+      .as[(Long, String)].collect().toSet == Set((2L, "b")),
+      "key 1's winning op is D — it must not bootstrap")
+  }
+
+  test("retryWhileLocked: typed match, no fixed cap, budget honored") {
+    // Budget exceeded → the typed exception propagates.
+    var calls = 0
+    val e = intercept[graft.ops.LockHeldException] {
+      EventStream.retryWhileLocked(400L) {
+        calls += 1
+        throw new graft.ops.LockHeldException("completely reworded text", null)
+      }
+    }
+    assert(e.getMessage.contains("reworded"))
+    assert(calls >= 2, "must have retried before the budget ran out")
+    // Transient hold → retries past it and returns, whatever the
+    // message says (the r15 shape grepped for 'holds' and a reworded
+    // message turned every collision fatal).
+    var left = 3
+    val got = EventStream.retryWhileLocked(Long.MaxValue) {
+      if (left > 0) { left -= 1
+        throw new graft.ops.LockHeldException("anything at all", null) }
+      42
+    }
+    assert(got == 42 && left == 0)
+    // A non-lock failure is NEVER retried.
+    var once = 0
+    intercept[IllegalArgumentException] {
+      EventStream.retryWhileLocked(Long.MaxValue) {
+        once += 1; throw new IllegalArgumentException("real failure")
+      }
+    }
+    assert(once == 1)
+  }
+
+  test("streaming CDC sink waits out a long-held rewriter lock instead of dying") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.Upsert
+    val path = java.nio.file.Files.createTempDirectory("cdcl").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdcl_ckpt").toString
+    val mem = MemoryStream[(String, Long, String)]
+    val q = EventStream.cdcMergeSink(mem.toDF().toDF("op", "id", "v"),
+      path, Seq("id"), Seq("id"), "op", ckpt)
+    mem.addData(("I", 1L, "a"))
+    q.processAllAvailable() // bootstrap (lock-free)
+    // A rewriter holds the lock; release it 3 s later from another
+    // thread. The merge batch must WAIT (typed retry + backoff, default
+    // budget unbounded) and then land — the r15 sink died once its
+    // 60 s text-matched budget ran out, killing the feed under any real
+    // compaction; the critical-section shrink plus this wait closes it.
+    val lock = new java.io.File(path + "/_snapshots", "compact.lock")
+    assert(lock.createNewFile(), "precondition: rival rewriter holds the lock")
+    val releaser = new Thread(() => { Thread.sleep(3000); lock.delete(); () })
+    releaser.start()
+    mem.addData(("U", 1L, "A2"), ("I", 2L, "b"))
+    q.processAllAvailable(); q.stop(); releaser.join()
+    assert(Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).select("id", "v")
+      .as[(Long, String)].collect().toSet == Set((1L, "A2"), (2L, "b")),
+      "the batch landed after the lock cleared")
+  }
+
   test("streaming funnel finalizes to the batch funnel; pre-step events ignored") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]

@@ -59,10 +59,19 @@ class UpsertPartitionedSpec extends SparkSpec {
     assert(Upsert.readSnapshotDelta(spark, path, 2, 3).count() == 0)
     assert(Upsert.readSnapshotDelta(spark, path, 1, 3).as[(Long, String)]
       .collect().toSet == Set((3L, "c")))
-    // manifests are rename-published: no .tmp files survive
+    // manifests are rename-published: no .tmp files survive; the other
+    // legitimate metadata are the publish stamps (.meta), key-range
+    // stats sidecars (.stats) and the key-column record (keys.cols)
     val snaps = new java.io.File(path, "_snapshots").listFiles().map(_.getName)
       .filterNot(_.startsWith("."))   // local-FS .crc sidecars
-    assert(snaps.sorted.toSeq == Seq("v1.list", "v2.list", "v3.list"), snaps.toSeq)
+    assert(!snaps.exists(_.endsWith(".tmp")), snaps.toSeq)
+    assert(snaps.filter(_.endsWith(".list")).sorted.toSeq ==
+      Seq("v1.list", "v2.list", "v3.list"), snaps.toSeq)
+    assert(snaps.filter(_.endsWith(".meta")).sorted.toSeq ==
+      Seq("v1.meta", "v2.meta", "v3.meta"), snaps.toSeq)
+    assert(snaps.toSet.subsetOf(Set("v1.list", "v2.list", "v3.list",
+      "v1.meta", "v2.meta", "v3.meta", "keys.cols",
+      "batch-1.stats", "batch-2.stats", "batch-3.stats")), snaps.toSeq)
     intercept[IllegalArgumentException] {
       Upsert.readSnapshot(spark, path, 9)
     }
@@ -220,13 +229,20 @@ class UpsertPartitionedSpec extends SparkSpec {
       }
       assert(got == want, s"round $round: $got != $want")
     }
-    // A compaction of the SOURCE between appends forces the purity
-    // fallback (full recompute) — still must equal the model.
+    // A compaction of the SOURCE between appends is a pure repackaging:
+    // the coverage-based purity check must KEEP the delta-only path
+    // (reading exactly the one new batch dir), and the result must
+    // still equal the model.
     Upsert.compactSnapshots(spark, src)
     Upsert.writeSnapshot(spark, src,
       Seq((9999L, "g0", 5.0)).toDF("id", "g", "v"), Seq("id"), Seq("id"))
     model = model :+ (("g0", 5.0))
     val v = Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+    val mode = Upsert.lastRefresh.get()
+    assert(mode.startsWith("incremental:") && mode.contains("batch-") &&
+      !mode.contains("compact-"),
+      s"post-compaction refresh must stay incremental on the new batch " +
+        s"only, was: $mode")
     val got = Upsert.readSnapshot(spark, agg, v)
       .select(col("g"), col("n"), col("sum_v").cast("double"))
       .as[(String, Long, Double)].collect()
@@ -630,5 +646,210 @@ class UpsertPartitionedSpec extends SparkSpec {
     val dataDirs = new java.io.File(path).listFiles()
       .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_")).sorted
     assert(dataDirs.toSeq == Seq("batch-4", "compact-3"), dataDirs.toSeq)
+  }
+
+  test("key-range pruning: merge probes only dirs whose range can hold the touched keys") {
+    val path = java.nio.file.Files.createTempDirectory("snapkr").toString
+    // Two disjoint key-range dirs: lows (1..100) and highs (1000..1100).
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "lo1"), (100L, "lo2")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((1000L, "hi1"), (1100L, "hi2")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    // A merge touching only high keys must not OPEN the low dir.
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 1000L, "HI1"), ("D", 1100L, "x")).toDF("op", "id", "v"),
+      Seq("id"), Seq("id"), "op")
+    val probed = Upsert.lastProbedDirs.get()
+    assert(probed == Seq("batch-2"),
+      s"merge must probe only the overlapping dir, probed: $probed")
+    val latest = Upsert.latestVersion(spark, path)
+    assert(Upsert.readSnapshot(spark, path, latest).as[(Long, String)]
+      .collect().toSet ==
+      Set((1L, "lo1"), (100L, "lo2"), (1000L, "HI1")),
+      "pruned merge result")
+    // The untouched low dir was carried BY REFERENCE, never rewritten.
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).sorted.toSeq
+    assert(dirs.contains("batch-1") && !dirs.exists(_.startsWith("batch-1-")),
+      s"low dir must survive unrewritten: $dirs")
+
+    // Erasure of a low key must not open the high dirs.
+    Upsert.eraseKeys(spark, path, Seq(Tuple1(100L)).toDF("id"), Seq("id"))
+    val probedErase = Upsert.lastProbedDirs.get()
+    assert(probedErase.forall(d => d == "batch-1" || d.startsWith("batch-1-")),
+      s"erase must probe only low-range dirs, probed: $probedErase")
+    assert(Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Long, String)]
+      .collect().toSet == Set((1L, "lo1"), (1000L, "HI1")))
+  }
+
+  test("key-range pruning: point read opens only overlapping dirs; no-overlap probe reads nothing") {
+    val path = java.nio.file.Files.createTempDirectory("snappt").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (50L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((900L, "c")).toDF("id", "v"), Seq("id"), Seq("id"))
+    val got = Upsert.readSnapshotForKeys(spark, path, 2,
+      Seq(Tuple1(50L)).toDF("id"), Seq("id"))
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-1"),
+      s"probed: ${Upsert.lastProbedDirs.get()}")
+    assert(got.as[(Long, String)].collect().toSeq == Seq((50L, "b")))
+    // A probe between the ranges overlaps neither dir.
+    val none = Upsert.readSnapshotForKeys(spark, path, 2,
+      Seq(Tuple1(500L)).toDF("id"), Seq("id"))
+    assert(Upsert.lastProbedDirs.get().isEmpty && none.isEmpty,
+      "disjoint probe opens nothing and returns nothing")
+    // String keys prune too (lexicographic ranges).
+    val sp = java.nio.file.Files.createTempDirectory("snapstr").toString
+    Upsert.writeSnapshot(spark, sp,
+      Seq(("apple", 1), ("banana", 2)).toDF("k", "n"), Seq("k"), Seq("k"))
+    Upsert.writeSnapshot(spark, sp,
+      Seq(("walnut", 3), ("zebra", 4)).toDF("k", "n"), Seq("k"), Seq("k"))
+    Upsert.readSnapshotForKeys(spark, sp, 2,
+      Seq(Tuple1("zebra")).toDF("k"), Seq("k")).collect()
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-2"),
+      s"string probe: ${Upsert.lastProbedDirs.get()}")
+  }
+
+  test("compaction re-validates its base after the lock: a merge in the window forces a redo") {
+    val path = java.nio.file.Files.createTempDirectory("snapcc").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((3L, "c")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // Inject a rewriter into the rewrite→lock window: the merge deletes
+    // key 2 AFTER the compactor has already written its (now stale)
+    // compacted file. Without the re-validation the compaction would
+    // publish the pre-merge rows and resurrect the deleted key.
+    var fired = false
+    Upsert.compactPreLockHook = () => {
+      if (!fired) { // only on the first pass — the redo must see a clean window
+        fired = true
+        Upsert.mergeSnapshot(spark, path,
+          Seq(("D", 2L, "")).toDF("op", "id", "v"), Seq("id"), Seq("id"), "op")
+      }
+    }
+    try {
+      val v = Upsert.compactSnapshots(spark, path)
+      assert(fired, "hook must have fired")
+      assert(Upsert.readSnapshot(spark, path, v).as[(Long, String)]
+        .collect().toSet == Set((1L, "a"), (3L, "c")),
+        "compaction after redo reflects the merge — deleted key stays dead")
+      assert(Upsert.readSnapshot(spark, path,
+        Upsert.latestVersion(spark, path)).filter(col("id") === 2).isEmpty)
+    } finally Upsert.compactPreLockHook = () => ()
+    // The stale first-pass compact dir must not linger as a readable
+    // orphan in any manifest.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val referenced = (1 to Upsert.latestVersion(spark, path)).flatMap { v =>
+      val p = new org.apache.hadoop.fs.Path(path + "/_snapshots", s"v$v.list")
+      if (!fs.exists(p)) Nil
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    }
+    val compacts = referenced.filter(_.startsWith("compact-")).distinct
+    assert(compacts.size == 1,
+      s"exactly one compact dir may be referenced, got: $compacts")
+  }
+
+  test("collapseShadows: equal-provenance sibling rewrites keep only the newest") {
+    val path = java.nio.file.Files.createTempDirectory("snapsib").toString
+    // batch-1-r5 and batch-1-r7 share root batch-1 and (name-derived)
+    // provenance {batch-1}; neither prefixes the other. The r15 shape
+    // kept both — publishing the same keys twice and resurrecting rows
+    // the newer heal yielded.
+    val kept = Upsert.collapseShadows(spark, path,
+      Seq("batch-1-r5", "batch-1-r7", "batch-2"))
+    assert(kept.sorted == Seq("batch-1-r7", "batch-2"),
+      s"newest sibling must shadow the older: $kept")
+    // And the original next to both: prefix rule + sibling rule compose.
+    val kept2 = Upsert.collapseShadows(spark, path,
+      Seq("batch-1", "batch-1-r5", "batch-1-r7"))
+    assert(kept2 == Seq("batch-1-r7"), s"got: $kept2")
+  }
+
+  test("timestamp time travel: as-of resolves to the version live at that instant") {
+    val path = java.nio.file.Files.createTempDirectory("snapts").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    val t1 = Upsert.publishedAtMs(spark, path, 1)
+    Thread.sleep(15)
+    Upsert.writeSnapshot(spark, path,
+      Seq((2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    val t2 = Upsert.publishedAtMs(spark, path, 2)
+    assert(t2 > t1, "publish stamps must advance")
+    assert(Upsert.versionAsOf(spark, path, t1) == 1)
+    assert(Upsert.readSnapshotAsOf(spark, path, t1).as[(Long, String)]
+      .collect().toSet == Set((1L, "a")), "as-of v1's instant reads v1")
+    assert(Upsert.versionAsOf(spark, path, System.currentTimeMillis()) == 2)
+    intercept[IllegalArgumentException] {
+      Upsert.versionAsOf(spark, path, t1 - 100000)
+    }
+  }
+
+  test("refreshAggregate recompute emits D ops: groups erased from the source vanish from the aggregate") {
+    val src = java.nio.file.Files.createTempDirectory("iadel_s").toString
+    val agg = java.nio.file.Files.createTempDirectory("iadel_a").toString
+    Upsert.writeSnapshot(spark, src,
+      Seq((1L, "gA", 10.0), (2L, "gA", 5.0), (3L, "gB", 7.0))
+        .toDF("id", "g", "v"), Seq("id"), Seq("id"))
+    Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+    // Erase EVERY gA row — right-to-be-forgotten across history. The
+    // erasure bumps the source's rewrite generation, so the refresh
+    // recomputes AND must emit a D for the now-empty group: the r15
+    // shape merged U rows only, leaving gA's stale sums readable
+    // forever (undercutting erasure itself).
+    Upsert.eraseKeys(spark, src,
+      Seq(Tuple1(1L), Tuple1(2L)).toDF("id"), Seq("id"))
+    val v = Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+    assert(Upsert.lastRefresh.get() == "recompute",
+      s"erasure must force a recompute, was ${Upsert.lastRefresh.get()}")
+    val got = Upsert.readSnapshot(spark, agg, v)
+      .select(col("g"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("gB", 1L, 7.0)),
+      s"erased group must vanish from the aggregate, got: $got")
+    // And a same-version erasure with no new source version must still
+    // be noticed (gen mismatch at equal covered version).
+    Upsert.eraseKeys(spark, src, Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+    val v2 = Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+    assert(Upsert.lastRefresh.get() == "recompute")
+    assert(Upsert.readSnapshot(spark, agg, v2)
+      .filter(col("n").isNotNull).isEmpty ||
+      Upsert.readSnapshot(spark, agg, v2).isEmpty,
+      "all groups gone after erasing everything")
+  }
+
+  test("writeSnapshotGated: a null-rate jump refuses the publish; a clean batch lands") {
+    val path = java.nio.file.Files.createTempDirectory("snapgate").toString
+    Upsert.writeSnapshot(spark, path,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    // A batch that would push v's null rate from 0 to ~0.5 must be
+    // refused — and refusal publishes NOTHING (no version, no dir).
+    val bad = (51L to 100L).map(i => (i, null: String)).toDF("id", "v")
+    val e = intercept[IllegalStateException] {
+      Upsert.writeSnapshotGated(spark, path, bad, Seq("id"), Seq("id"),
+        maxNullRateJump = 0.1, maxRowGrowthPct = 500.0)
+    }
+    assert(e.getMessage.contains("null_rate_jump"), e.getMessage)
+    assert(Upsert.latestVersion(spark, path) == 1, "nothing published")
+    // A clean batch passes the same gate.
+    val good = (51L to 60L).map(i => (i, s"v$i")).toDF("id", "v")
+    val v = Upsert.writeSnapshotGated(spark, path, good, Seq("id"), Seq("id"),
+      maxNullRateJump = 0.1, maxRowGrowthPct = 500.0)
+    assert(v == 2 && Upsert.readSnapshot(spark, path, 2).count() == 60)
+    // Row-growth bound: a 10x explosion trips the gate.
+    val flood = (1000L to 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+    val e2 = intercept[IllegalStateException] {
+      Upsert.writeSnapshotGated(spark, path, flood, Seq("id"), Seq("id"),
+        maxNullRateJump = 0.1, maxRowGrowthPct = 100.0)
+    }
+    assert(e2.getMessage.contains("row_growth_above_max"), e2.getMessage)
   }
 }
