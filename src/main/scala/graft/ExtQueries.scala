@@ -1222,6 +1222,37 @@ object ExtQueries {
       out
     }),
 
+    "q_snap_optimize" -> ((s, dir) => {
+      // Bin-pack OPTIMIZE: three trickle batches pack into ONE dir
+      // while the big first batch carries by reference — maintenance
+      // cost proportional to the new data, not the corpus. The query
+      // itself requires the manifest shape (pack + carried big dir);
+      // the oracle pins the content: identical to the full table.
+      val path = s"$RunScratch/graft_snap_opt_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 4 =!= 0), Seq("doc_id"), Seq("doc_id"))
+      for (r <- 1 to 3)
+        graft.ops.Upsert.writeSnapshot(s, path,
+          docs.filter(col("doc_id") % 4 === 0 && col("doc_id") % 3 === r % 3),
+          Seq("doc_id"), Seq("doc_id"))
+      val bigSize = fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(path, "batch-1")).getLength
+      val v = graft.ops.Upsert.compactSmallDirs(s, path,
+        smallBytes = bigSize - 1)
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        path + "/_snapshots", s"v$v.list"))
+      val dirs = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      require(dirs.sorted == List("batch-1", s"compact-$v"),
+        s"optimize must pack the trickle dirs and carry the big one: $dirs")
+      graft.ops.Upsert.readSnapshot(s, path, v).orderBy("doc_id")
+    }),
+
     "q_markov_transitions" -> ((s, dir) => {
       // First-order journey chain over the events stream: per user,
       // conversions close journeys; exact (from, to) transition counts
@@ -7429,6 +7460,12 @@ object ExtQueries {
     "q_snap_erase" ->
       """SELECT doc_id, source, n_chars FROM documents
          WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
+         ORDER BY doc_id""",
+
+    // Packing must change HOW rows are stored, never which rows exist:
+    // the oracle is the whole logical table.
+    "q_snap_optimize" ->
+      """SELECT doc_id, source, n_chars FROM documents
          ORDER BY doc_id""",
 
     // As-of time travel resolves to version 1 — the even half — because

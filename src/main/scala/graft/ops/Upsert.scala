@@ -238,12 +238,38 @@ object Upsert {
     }
   }
 
+  private def bloomPath(path: String, dirName: String) =
+    new org.apache.hadoop.fs.Path(snapDir(path), s"$dirName.bloom")
+
+  /** Canonical composite-key string for the bloom sidecars: each key
+    * column cast to string, unit-separator joined. Rows with ANY null
+    * key component are excluded on the dir side (equi-joins are
+    * null-rejecting — they can never match a probe) and a null-keyed
+    * probe row canonicalizes to a string that simply never hits. */
+  private def keyCanon(keys: Seq[String]): org.apache.spark.sql.Column =
+    concat_ws("\u0001", keys.map(k => col(k).cast("string")): _*)
+
+  /** Keys-per-dir cap for the bloom sidecar (~1.2 bytes/key at 1%
+    * fpp → ≤ ~5 MB). Range stats cover every dir; blooms additionally
+    * cover the dirs where point reads actually multiply — the many
+    * SMALL trickle dirs whose ranges all overlap under hash-distributed
+    * keys. A multi-TB compacted dir gets no bloom (a probe that
+    * range-overlaps it reads it — one dir, not a fleet). */
+  private val BloomMaxKeys = 4L * 1000 * 1000
+  /** Max probe keys a point read will collect for bloom tests — a
+    * bounded driver set, same class as the manifest listings. */
+  private[graft] val BloomProbeMax = 1024
+
   /** Record the `.stats` sidecar for a just-written data dir: one line
     * per supported key column, `col TAB tag TAB min TAB max` (URL-coded
     * strings), or `col TAB tag TAB none` when the dir holds no non-null
-    * values for it. One columnar scan of the NEW dir only — at 100 TB
-    * the dir is the batch, never the corpus. Best-effort: a failure to
-    * write stats must never fail the data write (readers just probe). */
+    * values for it. Small dirs (≤ [[BloomMaxKeys]] non-null keys) also
+    * get a `.bloom` exact-membership sketch over [[keyCanon]] — range
+    * stats cannot prune hash-distributed keys (every dir spans the full
+    * range), the bloom can. One columnar scan of the NEW dir only — at
+    * 100 TB the dir is the batch, never the corpus. Best-effort: a
+    * failure to write sidecars must never fail the data write (readers
+    * just probe). */
   private def writeKeyStats(spark: SparkSession, path: String,
       dirName: String, keys: Seq[String]): Unit =
     try {
@@ -260,7 +286,28 @@ object Upsert {
       val out = fs.create(statsPath(path, dirName), true)
       try out.write(lines.mkString("\n").getBytes("UTF-8"))
       finally out.close()
+      try {
+        val nn = df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        val n = nn.count()
+        if (n <= BloomMaxKeys) {
+          val bf = nn.stat.bloomFilter(keyCanon(keys), math.max(n, 64L), 0.01)
+          val bo = fs.create(bloomPath(path, dirName), true)
+          try bf.writeTo(bo) finally bo.close()
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def readKeyBloom(spark: SparkSession, path: String,
+      dirName: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val fs = fsFor(spark, path)
+    val p = bloomPath(path, dirName)
+    if (!fs.exists(p)) None
+    else try {
+      val in = fs.open(p)
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+      finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
 
   /** Parsed `.stats` sidecar: col → (tag, None = no non-null values |
     * Some(min, max)). None overall when the sidecar is absent. */
@@ -803,7 +850,23 @@ object Upsert {
     val dirs = manifestDirs(spark, path, version)
     val keyRows = probe.select(keys.map(col): _*).distinct()
       .localCheckpoint()
-    val candidates = overlappingDirs(spark, path, dirs, keys, keyRows)
+    val ranged = overlappingDirs(spark, path, dirs, keys, keyRows)
+    // Second pruning stage for hash-distributed keys, where every
+    // dir's RANGE overlaps: when the probe is small enough to collect
+    // (the point-read contract — bounded like the manifest listings),
+    // drop the dirs whose bloom says no probed key can be present.
+    // Statless/bloomless dirs stay; blooms only ever prune true
+    // negatives, so correctness is unchanged.
+    val canon = keyRows.select(keyCanon(keys).as("__k"))
+      .limit(BloomProbeMax + 1).collect().map(_.getString(0))
+    val candidates =
+      if (canon.length > BloomProbeMax) ranged
+      else ranged.filter { d =>
+        readKeyBloom(spark, path, d) match {
+          case None => true
+          case Some(bf) => canon.exists(bf.mightContainString)
+        }
+      }
     lastProbedDirs.set(candidates)
     if (candidates.isEmpty)
       readSnapshot(spark, path, version).limit(0)
@@ -921,11 +984,103 @@ object Upsert {
       fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
       fs.delete(af, false)
       fs.delete(statsPath(path, dirName), false)
+      fs.delete(bloomPath(path, dirName), false)
       attempts += 1
     }
     throw new IllegalStateException(
       s"compactSnapshots: base rewritten under us 5 times at $path — " +
         "rewriter storm; retry when merges/erasures quiesce")
+  }
+
+  /** PARTIAL compaction — the bin-pack "OPTIMIZE" a 100 TB sink runs
+    * ROUTINELY where [[compactSnapshots]] is the rare full rewrite:
+    * repackage into one dir ONLY the current version's dirs smaller
+    * than `smallBytes`, carrying every large dir by reference. A day
+    * of trickle CDC batches packs into one dir while the multi-TB
+    * compacted base is never touched — maintenance cost proportional
+    * to the NEW data, not the corpus (a full compaction's rewrite is
+    * itself the most expensive op in the sink; running it daily is the
+    * anti-pattern this exists to avoid).
+    *
+    * Same discipline as [[compactSnapshots]]: the pack rewrite runs
+    * LOCK-FREE into a claim-named `compact-<v>` dir with an
+    * `.absorbed` record (= the packed dirs' coverage, so provenance
+    * reasoning, [[collapseShadows]] and [[refreshAggregate]]'s
+    * purity classification all compose — a pack of already-counted
+    * dirs reads as a counted carrier, a pack of fresh appends as
+    * fresh); staleness is re-validated under the lock (a rewriter
+    * replacing a PACKED dir forces a redo; rewrites of carried-large
+    * dirs are fine — they are carried from the LATEST manifest);
+    * reconcileCompact sweeps crossed publishes. Content-preserving:
+    * never bumps the rewrite generation. Returns the published
+    * version, or the current one when fewer than `minDirs` dirs
+    * qualify (nothing to pack). */
+  def compactSmallDirs(spark: SparkSession, path: String,
+      smallBytes: Long = 128L << 20, minDirs: Int = 2): Int = {
+    require(minDirs >= 2, "packing fewer than 2 dirs is a rename")
+    val fs = fsFor(spark, path)
+    fs.mkdirs(snapDir(path))
+    var attempts = 0
+    while (attempts < 5) {
+      val advisory = new org.apache.hadoop.fs.Path(snapDir(path),
+        "compact.lock")
+      if (fs.exists(advisory)) throw new LockHeldException(
+        s"compactSmallDirs: another rewriter holds $advisory — if its " +
+          "process crashed, delete the lock file and retry", null)
+      val cur = latestVersion(spark, path)
+      require(cur >= 1, "nothing to compact: no published snapshot")
+      val baseDirs = manifestDirs(spark, path, cur)
+      val smalls = baseDirs.filter { d =>
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(path, d))
+          .getLength <= smallBytes
+      }
+      if (smalls.size < minDirs) return cur
+      val absorbed = coverage(spark, path, smalls)
+      val target = claimVersion(spark, path)
+      val dirName = s"compact-$target"
+      spark.read.option("mergeSchema", "true")
+        .parquet(smalls.map(d => s"$path/$d"): _*)
+        .write.mode("overwrite").parquet(s"$path/$dirName")
+      val af = absorbedPath(path, dirName)
+      val out = fs.create(af, true)
+      try out.write(absorbed.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      val statKeys = recordedKeyCols(spark, path)
+      if (statKeys.nonEmpty) writeKeyStats(spark, path, dirName, statKeys)
+      compactPreLockHook()
+      val lock = acquireRewriterLock(fs, path, "compactSmallDirs")
+      try {
+        val latestNow = latestVersion(spark, path)
+        val latestDirs = manifestDirs(spark, path, latestNow)
+        if (smalls.forall(latestDirs.contains)) {
+          // Carry everything else from the LATEST manifest (large base
+          // dirs, interleaved appends, even rewrites of large dirs a
+          // merge landed meanwhile — only the PACKED dirs' liveness
+          // matters to this publish).
+          val carry = latestDirs.filterNot(smalls.contains)
+          carry.foreach { d =>
+            val p = provenance(spark, path, d)
+            if (p.exists(absorbed)) throw new IllegalStateException(
+              s"compactSmallDirs: carried dir $d partially overlaps the " +
+                s"packed set (${p.filter(absorbed)}) — concurrent " +
+                "compaction artifacts; resolve manually")
+          }
+          val pubV = if (latestNow >= target) claimVersion(spark, path)
+                     else target
+          publishManifest(spark, path, pubV, dirName +: carry)
+          return reconcileCompact(spark, path, pubV, dirName, absorbed,
+            baseVersion = cur)
+        }
+      } finally fs.delete(lock, false)
+      fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
+      fs.delete(af, false)
+      fs.delete(statsPath(path, dirName), false)
+      fs.delete(bloomPath(path, dirName), false)
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"compactSmallDirs: packed dirs kept being rewritten under us 5 " +
+        s"times at $path — rewriter storm; retry when merges quiesce")
   }
 
   /** Compactor's post-publish reconciliation: if an interleaved writer
@@ -1161,6 +1316,7 @@ object Upsert {
       // one is a no-op.
       fs.delete(absorbedPath(path, d), false)
       fs.delete(statsPath(path, d), false)
+      fs.delete(bloomPath(path, d), false)
     }
     doomedDirs.size
   }
@@ -1215,6 +1371,7 @@ object Upsert {
         fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
         fs.delete(absorbedPath(path, d), false)
         fs.delete(statsPath(path, d), false)
+        fs.delete(bloomPath(path, d), false)
       }
       orphans.size
     } finally fs.delete(lock, false)
@@ -1316,6 +1473,7 @@ object Upsert {
           fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
           fs.delete(absorbedPath(path, d), false)
           fs.delete(statsPath(path, d), false)
+          fs.delete(bloomPath(path, d), false)
         }
       }
       // Orphaned dirs (crashed writers) are invisible to readers but
@@ -1331,6 +1489,7 @@ object Upsert {
         fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
         fs.delete(absorbedPath(path, d), false)
         fs.delete(statsPath(path, d), false)
+        fs.delete(bloomPath(path, d), false)
       }
       erased
     } finally fs.delete(lock, false)

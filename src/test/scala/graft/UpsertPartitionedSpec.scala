@@ -71,7 +71,8 @@ class UpsertPartitionedSpec extends SparkSpec {
       Seq("v1.meta", "v2.meta", "v3.meta"), snaps.toSeq)
     assert(snaps.toSet.subsetOf(Set("v1.list", "v2.list", "v3.list",
       "v1.meta", "v2.meta", "v3.meta", "keys.cols",
-      "batch-1.stats", "batch-2.stats", "batch-3.stats")), snaps.toSeq)
+      "batch-1.stats", "batch-2.stats", "batch-3.stats",
+      "batch-1.bloom", "batch-2.bloom", "batch-3.bloom")), snaps.toSeq)
     intercept[IllegalArgumentException] {
       Upsert.readSnapshot(spark, path, 9)
     }
@@ -823,6 +824,68 @@ class UpsertPartitionedSpec extends SparkSpec {
       .filter(col("n").isNotNull).isEmpty ||
       Upsert.readSnapshot(spark, agg, v2).isEmpty,
       "all groups gone after erasing everything")
+  }
+
+  test("compactSmallDirs: small dirs pack into one, large dirs carry by reference") {
+    val path = java.nio.file.Files.createTempDirectory("snapopt").toString
+    // One big dir, three trickle dirs.
+    Upsert.writeSnapshot(spark, path,
+      (1L to 5000L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    for (b <- 0 to 2)
+      Upsert.writeSnapshot(spark, path,
+        (10001L + b * 10 to 10010L + b * 10).map(i => (i, s"t$i"))
+          .toDF("id", "v"), Seq("id"), Seq("id"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val bigSize = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(path, "batch-1")).getLength
+    val before = Upsert.readSnapshot(spark, path, 4)
+      .as[(Long, String)].collect().toSet
+    val v = Upsert.compactSmallDirs(spark, path, smallBytes = bigSize - 1)
+    assert(v == 5, s"published version $v")
+    // Manifest shape: the pack + the untouched big dir, nothing else.
+    val in = fs.open(new org.apache.hadoop.fs.Path(
+      path + "/_snapshots", s"v$v.list"))
+    val dirs = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    assert(dirs.sorted == List("batch-1", "compact-5"),
+      s"pack + carried big dir, got: $dirs")
+    assert(Upsert.readSnapshot(spark, path, v)
+      .as[(Long, String)].collect().toSet == before, "content identical")
+    assert(Upsert.readSnapshot(spark, path, 2).count() == 5010,
+      "history intact")
+    // Nothing qualifies under a tiny threshold → no-op, current version.
+    assert(Upsert.compactSmallDirs(spark, path, smallBytes = 1) == v)
+    // The pack is content-preserving: an incremental aggregate stays
+    // delta-only across it (counted-carrier classification).
+    val agg = java.nio.file.Files.createTempDirectory("snapopt_a").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((20001L, "z")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.refreshAggregate(spark, path, agg, Seq("v"), "id")
+    Upsert.compactSmallDirs(spark, path, smallBytes = bigSize - 1)
+    Upsert.writeSnapshot(spark, path,
+      Seq((20002L, "z2")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.refreshAggregate(spark, path, agg, Seq("v"), "id")
+    val mode = Upsert.lastRefresh.get()
+    assert(mode.startsWith("incremental:") && !mode.contains("compact-"),
+      s"refresh across a pack must stay delta-only, was: $mode")
+  }
+
+  test("bloom pruning: interleaved ranges defeat min/max, the bloom still prunes point reads") {
+    val path = java.nio.file.Files.createTempDirectory("snapbloom").toString
+    // Both dirs span [1, 1500]-ish ranges — min/max stats overlap any
+    // probe; only the membership sketch can tell them apart.
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (1000L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((500L, "c"), (1500L, "d")).toDF("id", "v"), Seq("id"), Seq("id"))
+    val got = Upsert.readSnapshotForKeys(spark, path, 2,
+      Seq(Tuple1(500L)).toDF("id"), Seq("id"))
+    assert(got.as[(Long, String)].collect().toSeq == Seq((500L, "c")))
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-2"),
+      s"bloom must prune the range-overlapping miss dir: " +
+        s"${Upsert.lastProbedDirs.get()}")
   }
 
   test("writeSnapshotGated: a null-rate jump refuses the publish; a clean batch lands") {
