@@ -1321,20 +1321,27 @@ object Upsert {
     doomedDirs.size
   }
 
-  /** The rows ADDED between two snapshots: the dirs in `to`'s manifest
-    * that `from`'s manifest lacks, read directly (append-only
-    * keep-existing chain: new dirs ARE the delta; nothing is updated or
-    * removed in place). Across a [[compactSnapshots]] boundary the set
-    * difference is the whole compacted dir — a rewrite, not an append;
-    * diff by key there ([[graft.ops.Checksum]]'s snapshot diff), or
-    * take deltas between versions on the same side of the compaction.
+  /** The rows ADDED between two snapshots, diffed by PROVENANCE, not
+    * dir name: a `to`-manifest dir is delta only if its provenance is
+    * disjoint from `from`'s coverage. Pure repackagings — a
+    * [[compactSmallDirs]] pack, a full compaction of exactly the
+    * `from` lineage, a merge/erase REWRITE of old dirs — are excluded
+    * (their rows were already read; the r15 name-diff surfaced a whole
+    * compacted corpus as "delta" across every routine pack, which at
+    * 100 TB is a full re-read per maintenance cycle). A dir that
+    * STRADDLES (a full compaction absorbing post-`from` appends) is
+    * still included whole — its covered rows repeat; take deltas
+    * between versions on the same side of a full compaction, or diff
+    * by key ([[graft.ops.Checksum]]'s snapshot diff). Additions only
+    * by contract: rows a merge/erasure REMOVED are not surfaced.
     * `from` = 0 reads everything up to `to`. */
   def readSnapshotDelta(spark: SparkSession, path: String,
                         from: Int, to: Int): DataFrame = {
     require(from >= 0 && to > from, s"need 0 <= from < to, got $from..$to")
-    val base = if (from == 0) Set.empty[String]
-               else manifestDirs(spark, path, from).toSet
-    val dirs = manifestDirs(spark, path, to).filterNot(base)
+    if (from == 0) return readSnapshot(spark, path, to)
+    val fromCov = coverage(spark, path, manifestDirs(spark, path, from))
+    val dirs = manifestDirs(spark, path, to)
+      .filterNot(d => provenance(spark, path, d).subsetOf(fromCov))
     if (dirs.isEmpty) readSnapshot(spark, path, to).limit(0)
     else spark.read.option("mergeSchema", "true")
       .parquet(dirs.map(d => s"$path/$d"): _*)

@@ -627,8 +627,15 @@ class UpsertPartitionedSpec extends SparkSpec {
     assert(Upsert.readSnapshot(spark, path, 4).count() == 3)
     assert(Upsert.readSnapshotDelta(spark, path, 3, 4).as[(Long, String)]
       .collect().toSet == Set((3L, "c")), "post-compaction delta is the append")
-    // across the compaction boundary the 'delta' is the rewrite
-    assert(Upsert.readSnapshotDelta(spark, path, 2, 3).count() == 2)
+    // Across the compaction boundary: NOTHING was added between v2 and
+    // its own repackaging, and the provenance diff knows it (the
+    // name-diff used to surface the whole compacted corpus as delta —
+    // a full re-read per routine maintenance cycle at scale).
+    assert(Upsert.readSnapshotDelta(spark, path, 2, 3).count() == 0)
+    // And ACROSS the pack: v2 → v4 delta is still exactly the append.
+    assert(Upsert.readSnapshotDelta(spark, path, 2, 4).as[(Long, String)]
+      .collect().toSet == Set((3L, "c")),
+      "delta across the repackaging boundary is the true append")
   }
 
   test("snapshot expiry: old versions gone, survivors intact, shared dirs never deleted") {
@@ -826,6 +833,85 @@ class UpsertPartitionedSpec extends SparkSpec {
       "all groups gone after erasing everything")
   }
 
+  test("op-soup property: random append/merge/pack/compact/erase rounds track the model, refresh always equals recompute") {
+    // One randomized interleaving of EVERY sink op class against an
+    // in-memory model — the integration the per-op tests can't give:
+    // key-range pruning inside merges, packs as counted carriers,
+    // erasure generation bumps, delta-purity classification, and D-op
+    // recomputes all firing against each other.
+    val rnd = new scala.util.Random(16)
+    val src = java.nio.file.Files.createTempDirectory("soup_s").toString
+    val agg = java.nio.file.Files.createTempDirectory("soup_a").toString
+    var model = Map.empty[Long, (String, Double)] // id -> (g, v)
+    def latestState() = Upsert.readSnapshot(spark, src,
+        Upsert.latestVersion(spark, src))
+      .select(col("id"), col("g"), col("v"))
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    def checkRefresh(): Unit = {
+      val v = Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+      val got = Upsert.readSnapshot(spark, agg, v)
+        .select(col("g"), col("n"), col("sum_v").cast("double"))
+        .as[(String, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val want = model.values.groupBy(_._1).map { case (g, xs) =>
+        g -> ((xs.size.toLong, xs.map(_._2).sum))
+      }
+      assert(got == want, s"aggregate diverged: $got != $want " +
+        s"(mode ${Upsert.lastRefresh.get()})")
+    }
+    // Bootstrap.
+    Upsert.writeSnapshot(spark, src,
+      Seq((1L, "g0", 1.0), (2L, "g1", 2.0)).toDF("id", "g", "v"),
+      Seq("id"), Seq("id"))
+    model = Map(1L -> (("g0", 1.0)), 2L -> (("g1", 2.0)))
+    checkRefresh()
+    var nextId = 100L
+    for (round <- 1 to 14) {
+      rnd.nextInt(5) match {
+        case 0 => // keep-existing append: one dup key, two fresh
+          val dup = model.keys.toSeq.sorted.headOption.getOrElse(1L)
+          val rows = Seq((dup, "gX", -1.0)) ++ (1 to 2).map { _ =>
+            nextId += 1; (nextId, s"g${rnd.nextInt(3)}", rnd.nextInt(9).toDouble)
+          }
+          Upsert.writeSnapshot(spark, src, rows.toDF("id", "g", "v"),
+            Seq("id"), Seq("id"))
+          rows.drop(1).foreach { case (k, g, v) =>
+            if (!model.contains(k)) model += k -> ((g, v)) }
+        case 1 if model.size >= 2 =>
+          // CDC merge: U the smallest key, D the largest, I one new —
+          // distinct keys by construction (one op per key, so the
+          // within-batch collapse is deterministic).
+          val keys = model.keys.toSeq.sorted
+          val up = keys.head
+          val del = keys.last
+          nextId += 1
+          val ins = (nextId, s"g${rnd.nextInt(3)}", 3.0)
+          val ch = Seq(("U", up, "gU", 5.0), ("D", del, "", 0.0),
+            ("I", ins._1, ins._2, ins._3))
+          Upsert.mergeSnapshot(spark, src, ch.toDF("op", "id", "g", "v"),
+            Seq("id"), Seq("id"), "op")
+          model += up -> (("gU", 5.0))
+          model -= del
+          model += ins._1 -> ((ins._2, ins._3))
+        case 1 => () // too few keys to merge distinctly this round
+        case 2 => // bin-pack the trickle dirs
+          Upsert.compactSmallDirs(spark, src, smallBytes = 1L << 30)
+        case 3 => // full compaction
+          Upsert.compactSnapshots(spark, src)
+        case 4 => // right-to-be-forgotten one key
+          model.keys.toSeq.sorted.drop(1).headOption.foreach { k =>
+            Upsert.eraseKeys(spark, src, Seq(Tuple1(k)).toDF("id"), Seq("id"))
+            model -= k
+          }
+      }
+      assert(latestState() == model,
+        s"round $round state diverged (op class above)")
+      if (round % 2 == 0) checkRefresh()
+    }
+    checkRefresh()
+  }
+
   test("compactSmallDirs: small dirs pack into one, large dirs carry by reference") {
     val path = java.nio.file.Files.createTempDirectory("snapopt").toString
     // One big dir, three trickle dirs.
@@ -870,6 +956,29 @@ class UpsertPartitionedSpec extends SparkSpec {
     val mode = Upsert.lastRefresh.get()
     assert(mode.startsWith("incremental:") && !mode.contains("compact-"),
       s"refresh across a pack must stay delta-only, was: $mode")
+  }
+
+  test("merge with an evolved schema: the CDC path adds a column, old rows read NULL") {
+    val path = java.nio.file.Files.createTempDirectory("snapme").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    // The change batch carries a NEW column w: U replaces key 2 with a
+    // w value, I lands key 4 with one; keys 1/3 stay in the original
+    // (id, v)-schema dir and must surface w = NULL.
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 2L, "B", Some(9.5)), ("I", 4L, "d", Some(1.5)))
+        .toDF("op", "id", "v", "w"),
+      Seq("id"), Seq("id"), "op")
+    val latest = Upsert.latestVersion(spark, path)
+    val got = Upsert.readSnapshot(spark, path, latest)
+      .select("id", "v", "w").as[(Long, String, Option[Double])]
+      .collect().toSet
+    assert(got == Set((1L, "a", None), (3L, "c", None),
+      (2L, "B", Some(9.5)), (4L, "d", Some(1.5))), got.toString)
+    // Pre-merge history keeps its published schema.
+    assert(Upsert.readSnapshot(spark, path, 1).columns.toSet ==
+      Set("id", "v"))
   }
 
   test("bloom pruning: interleaved ranges defeat min/max, the bloom still prunes point reads") {
