@@ -2193,6 +2193,40 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    "q_incr_agg_minmax" -> ((s, dir) => {
+      // The maintained aggregate's FULL stat row: count + exact sum +
+      // min/max, incremented across two source versions (the second
+      // refresh reads only the odd-docs delta; min/max merge via
+      // least/greatest — safe exactly because every non-append
+      // mutation is routed to the recompute path by the generation
+      // fingerprint). Oracle recomputes all four from the logical
+      // table: increment == recompute bit-for-bit.
+      val src = s"$RunScratch/graft_incrmm_src_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val agg = s"$RunScratch/graft_incrmm_agg_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(src), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      fs.delete(new org.apache.hadoop.fs.Path(agg), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, src,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.refreshAggregate(s, src, agg, Seq("source"), "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, src, docs, Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.refreshAggregate(s, src, agg, Seq("source"), "n_chars")
+      require(graft.ops.Upsert.lastRefresh.get().startsWith("incremental:"),
+        s"second refresh must be delta-only, was " +
+          graft.ops.Upsert.lastRefresh.get())
+      graft.ops.Upsert.readSnapshot(s, agg,
+          graft.ops.Upsert.latestVersion(s, agg))
+        .select(col("source"), col("n"),
+          col("sum_v").cast(DoubleType).as("sum_chars"),
+          col("min_v").cast(DoubleType).as("min_chars"),
+          col("max_v").cast(DoubleType).as("max_chars"))
+        .orderBy("source")
+    }),
+
     "q_bloom_index_lookup" -> ((s, dir) => {
       // Secondary-index point lookup: the corpus is CONTENT-sharded
       // (md5 of text), so specific doc_ids would otherwise need a
@@ -7571,6 +7605,16 @@ object ExtQueries {
       """SELECT source, CAST(count(*) AS BIGINT) AS n,
            CAST(CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DECIMAL(28,6))
              AS DOUBLE) AS sum_chars
+         FROM documents GROUP BY source ORDER BY source""",
+
+    // Full stat row: min/max merged via least/greatest across the
+    // incremental refreshes must equal the one-shot bounds.
+    "q_incr_agg_minmax" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(n_chars AS DECIMAL(28,6))) AS DECIMAL(28,6))
+             AS DOUBLE) AS sum_chars,
+           CAST(MIN(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS min_chars,
+           CAST(MAX(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS max_chars
          FROM documents GROUP BY source ORDER BY source""",
 
     "q_export_manifest" ->

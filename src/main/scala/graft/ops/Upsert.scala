@@ -1633,10 +1633,16 @@ object Upsert {
     // sum_v is pinned to DECIMAL(28,6) on EVERY path (Spark's sum
     // widens to (38,6); a bootstrap at one precision and increments at
     // another would make the union read's decimal types conflict).
+    // min_v/max_v ride along: both are MERGEABLE under append-only
+    // increments (least/greatest of old and delta), and every
+    // non-append mutation already lands on the recompute path via the
+    // generation fingerprint — exactly the split that makes them safe.
     def aggOf(df: DataFrame): DataFrame =
       df.groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n"),
-          sum(col(valueCol).cast(dec)).cast(dec).as("sum_v"))
+          sum(col(valueCol).cast(dec)).cast(dec).as("sum_v"),
+          min(col(valueCol).cast(dec)).as("min_v"),
+          max(col(valueCol).cast(dec)).as("max_v"))
     val published = freshDirs match {
       case Some(Nil) =>
         // Pure repackaging (compaction, nothing else): content already
@@ -1646,20 +1652,36 @@ object Upsert {
         writeSrcMarker(spark, aggPath, aggCur, srcLatest, genNow)
         return aggCur
       case Some(dirs) =>
-        lastRefresh.set(s"incremental:${dirs.mkString(",")}")
-        val delta = spark.read.option("mergeSchema", "true")
-          .parquet(dirs.map(d => s"$srcPath/$d"): _*)
-        val deltaAgg = aggOf(delta)
-          .withColumnRenamed("n", "__dn").withColumnRenamed("sum_v", "__ds")
-        val cur = readSnapshot(spark, aggPath, aggCur)
-          .select((groupCols.map(col) :+ col("n") :+ col("sum_v")): _*)
-        val changes = deltaAgg.join(cur, groupCols, "left")
-          .select((groupCols.map(col) :+
-            (coalesce(col("n"), lit(0L)) + col("__dn")).as("n") :+
-            (coalesce(col("sum_v"), lit(0).cast(dec)) + col("__ds"))
-              .cast(dec).as("sum_v") :+
-            lit("U").as("__op")): _*)
-        mergeSnapshot(spark, aggPath, changes, groupCols, groupCols, "__op")
+        val curAgg = readSnapshot(spark, aggPath, aggCur)
+        if (!curAgg.columns.contains("min_v")) {
+          // Pre-min/max aggregate sink: one recompute upgrades every
+          // group to the full stat schema, then increments resume.
+          lastRefresh.set("recompute")
+          val full = aggOf(readSnapshot(spark, srcPath, srcLatest))
+          mergeSnapshot(spark, aggPath, full.withColumn("__op", lit("U")),
+            groupCols, groupCols, "__op")
+        } else {
+          lastRefresh.set(s"incremental:${dirs.mkString(",")}")
+          val delta = spark.read.option("mergeSchema", "true")
+            .parquet(dirs.map(d => s"$srcPath/$d"): _*)
+          val deltaAgg = aggOf(delta)
+            .withColumnRenamed("n", "__dn").withColumnRenamed("sum_v", "__ds")
+            .withColumnRenamed("min_v", "__dmin")
+            .withColumnRenamed("max_v", "__dmax")
+          val cur = curAgg.select((groupCols.map(col) :+ col("n") :+
+            col("sum_v") :+ col("min_v") :+ col("max_v")): _*)
+          val changes = deltaAgg.join(cur, groupCols, "left")
+            .select((groupCols.map(col) :+
+              (coalesce(col("n"), lit(0L)) + col("__dn")).as("n") :+
+              (coalesce(col("sum_v"), lit(0).cast(dec)) + col("__ds"))
+                .cast(dec).as("sum_v") :+
+              // least/greatest skip NULLs: a brand-new group takes the
+              // delta's bound verbatim.
+              least(col("min_v"), col("__dmin")).as("min_v") :+
+              greatest(col("max_v"), col("__dmax")).as("max_v") :+
+              lit("U").as("__op")): _*)
+          mergeSnapshot(spark, aggPath, changes, groupCols, groupCols, "__op")
+        }
       case None =>
         // Bootstrap OR unknown/impure coverage: full recompute. For a
         // fresh sink this is writeSnapshot. For an existing sink the
@@ -1678,6 +1700,8 @@ object Upsert {
             .join(full.select(groupCols.map(col): _*), groupCols, "left_anti")
             .withColumn("n", lit(null).cast("long"))
             .withColumn("sum_v", lit(null).cast(dec))
+            .withColumn("min_v", lit(null).cast(dec))
+            .withColumn("max_v", lit(null).cast(dec))
           mergeSnapshot(spark, aggPath,
             full.withColumn("__op", lit("U"))
               .unionByName(gone.withColumn("__op", lit("D"))),

@@ -931,6 +931,31 @@ class OpsSpec extends SparkSpec {
       ("(none)", 1L, 2.0),
       ("click", 1L, 5.714286),
       ("view", 2L, 3.285714)), run("decay").toString)
+    // ordered Shapley (airport-game closed form): w(k,3) = (H(3)−H(3−k))/3
+    // → 1/9, 5/18, 11/18 for positions 1..3. u1: click gets 8·(1/9 +
+    // 11/18) = 8·13/18 = 5.777778, view 8·5/18 = 2.222222; u3 single
+    // touch w(1,1) = 1 → view +1.0.
+    val shap = Analytics.attributionShapley(events, col("user_id"),
+        col("ts"), col("value"), col("event_type") === "purchase",
+        col("event_type").isin("click", "view"), col("event_type"),
+        lookbackSeconds = 2L * 24 * 3600)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(shap == Seq(
+      ("(none)", 1L, 2.0),
+      ("click", 1L, 5.777778),
+      ("view", 2L, 3.222222)), shap.toString)
+    // Fixed-point weights partition 1e18 up to per-term HALF_UP
+    // rounding (≤ n ULPs of 1e-18 — credit conservation at double
+    // precision is untouched), and are strictly increasing in k
+    // (recency-monotone) with every position earning something.
+    for (n <- 1 to 32) {
+      val ws = (1 to n).map(k => Analytics.shapleyWeightScaled(k, n))
+      assert(math.abs(ws.sum - 1000000000000000000L) <= n,
+        s"weights of n=$n must partition 1e18 ± rounding: ${ws.sum}")
+      assert(ws.head > 0 && ws == ws.sorted && ws.distinct == ws,
+        s"weights of n=$n must be positive and strictly increasing: $ws")
+    }
   }
 
   test("markovTransitions + attributionMarkov: journey split, terminals, exact removal effects") {
