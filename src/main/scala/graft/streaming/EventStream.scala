@@ -784,6 +784,44 @@ object EventStream {
       }
       .start()
 
+  /** [[snapshotSink]] behind the PROFILE-DRIFT GATE, with a DEAD-LETTER
+    * path: each micro-batch publishes via
+    * [[graft.ops.Upsert.writeSnapshotGated]]; a batch the gate refuses
+    * is written whole to `quarantinePath` (append, with a `__batch_id`
+    * column for replay bookkeeping) and the stream KEEPS RUNNING — the
+    * one wrong answer for a durable feed is dying on a data-quality
+    * blip, and the second-wrong is publishing it. Quarantined batches
+    * are for a human: inspect, fix or bless, and re-feed. Gate
+    * violations also log to stderr with the refused version's reason
+    * string (the exception message lists breached rules per column). */
+  def snapshotSinkGated(stream: DataFrame, sinkPath: String,
+      keys: Seq[String], tieBreak: Seq[String], checkpoint: String,
+      quarantinePath: String,
+      maxNullRateJump: Double, maxRowGrowthPct: Double,
+      minRowGrowthPct: Double = 0.0): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        try {
+          graft.ops.Upsert.writeSnapshotGated(s, sinkPath, batch,
+            keys, tieBreak, maxNullRateJump, maxRowGrowthPct,
+            minRowGrowthPct)
+          ()
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage != null &&
+                e.getMessage.startsWith("writeSnapshotGated") =>
+            System.err.println(
+              s"[snapshotSinkGated] batch $batchId quarantined: " +
+                e.getMessage)
+            batch.withColumn("__batch_id", lit(batchId))
+              .write.mode("append").parquet(quarantinePath)
+        }
+      }
+      .start()
+
   /** Streaming CDC APPLY: each micro-batch of change rows (opCol ∈
     * I/U/D) MERGES into the snapshot sink
     * ([[graft.ops.Upsert.mergeSnapshot]]) — the streaming front end of

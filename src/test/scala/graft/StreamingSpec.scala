@@ -885,6 +885,36 @@ class StreamingSpec extends SparkSpec {
       "the batch landed after the lock cleared")
   }
 
+  test("gated snapshot sink: a drifting batch quarantines, the stream and the sink keep going") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.Upsert
+    val path = java.nio.file.Files.createTempDirectory("gss").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gss_ckpt").toString
+    val quar = java.nio.file.Files.createTempDirectory("gss_q").toString + "/q"
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStream.snapshotSinkGated(mem.toDF().toDF("id", "v"),
+      path, Seq("id"), Seq("id"), ckpt, quar,
+      maxNullRateJump = 0.1, maxRowGrowthPct = 1000.0)
+    mem.addData((1 to 20).map(i => (i.toLong, s"v$i")): _*)
+    q.processAllAvailable()
+    // A batch of mostly-null values trips the null-rate gate: it must
+    // land in quarantine, NOT in the sink — and the stream survives.
+    mem.addData((21 to 40).map(i => (i.toLong, null: String)): _*)
+    q.processAllAvailable()
+    // A clean follow-up batch still publishes.
+    mem.addData((41L, "z"))
+    q.processAllAvailable(); q.stop()
+    val latest = Upsert.latestVersion(spark, path)
+    val state = Upsert.readSnapshot(spark, path, latest)
+      .as[(Long, String)].collect().toMap
+    assert(state.size == 21 && state(41L) == "z" && !state.contains(25L),
+      s"drifted batch must not publish, clean ones must: ${state.size}")
+    val quarantined = spark.read.parquet(quar)
+    assert(quarantined.count() == 20 &&
+      quarantined.columns.contains("__batch_id"),
+      "refused batch parked whole in quarantine with its batch id")
+  }
+
   test("streaming funnel finalizes to the batch funnel; pre-step events ignored") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[Event]
