@@ -607,6 +607,65 @@ object Upsert {
     }
   }
 
+  /** Deterministic key-conflict HEALING among CARRIED dirs — closes
+    * the crossed-publish residual the r15 design documented as "needs
+    * a commit log": when a reconcile's dropped-version sweep
+    * re-attaches dirs from BOTH sides of a crossed publish (each
+    * writer exited its own reconcile while momentarily latest, so
+    * neither resolved against the other), the re-attached dirs can
+    * share keys and no writer owns the conflict. The CARRIER resolves
+    * it: among self-rooted dirs in the carry, the LOWER claim number
+    * wins its keys — claim numbers are unique and totally ordered, so
+    * every carrier picks the same winner without any log — and each
+    * later dir rewrites to `<root>-r<version>` minus the stolen keys
+    * (originals stay; historical versions still time-travel). Only
+    * pairs INVOLVING a re-attached root are checked (one semi-join
+    * per involved dir against the union of its earlier peers), so the
+    * cost is paid only on the rare dropped-carry path. Skipped when
+    * the sink never recorded key columns (pre-keys sinks keep the
+    * documented verbatim-carry bound). */
+  private def resolveCarriedConflicts(spark: SparkSession, path: String,
+      union: Seq[String], reattached: Set[String], excludeRoot: String,
+      keys: Seq[String], version: Int): Seq[String] = {
+    if (keys.isEmpty || reattached.isEmpty) return union
+    def selfRooted(d: String) =
+      provenance(spark, path, d) == Set(rootOf(d))
+    def rootNum(d: String): Long =
+      "(\\d+)$".r.findFirstIn(rootOf(d)).map(_.toLong).getOrElse(Long.MaxValue)
+    val newsRoots = reattached.map(rootOf)
+    val ordered = union.filter(d => rootOf(d) != excludeRoot && selfRooted(d))
+      .sortBy(rootNum)
+    val current = scala.collection.mutable.LinkedHashMap(
+      union.map(d => d -> d): _*)
+    for (i <- ordered.indices) {
+      val b = ordered(i)
+      val earlier = ordered.take(i)
+      val involved = newsRoots.contains(rootOf(b)) ||
+        earlier.exists(a => newsRoots.contains(rootOf(a)))
+      if (earlier.nonEmpty && involved) {
+        val bCur = current(b)
+        val bDf = spark.read.option("mergeSchema", "true")
+          .parquet(s"$path/$bCur")
+        if (keys.forall(bDf.columns.contains)) {
+          val eKeys = spark.read.option("mergeSchema", "true")
+            .parquet(earlier.map(a => s"$path/${current(a)}"): _*)
+            .select(keys.map(col): _*).distinct()
+          if (!bDf.join(eKeys, keys, "left_semi").isEmpty) {
+            // `-r<v>` rewrite names parse back to their root (batch-N
+            // or merge-N alike), so provenance stays name-derived.
+            val rw = s"${rootOf(b)}-r$version"
+            bDf.join(eKeys, keys, "left_anti")
+              .write.mode("overwrite").parquet(s"$path/$rw")
+            writeKeyStats(spark, path, rw, keys)
+            touchRewriteGen(spark, path, version)
+            current(b) = rw
+          }
+        }
+      }
+    }
+    union.map(current)
+  }
+
   /** Post-publish reconciliation for any SELF-ROOTED dir (a writer's
     * batch dir or a merge's merge dir; compaction has its own variant
     * since a compact dir's provenance never names itself).
@@ -619,11 +678,12 @@ object Upsert {
     * rides next to the pre-rewrite original (that would resurrect
     * yielded/deleted keys). Key conflicts resolve deterministically:
     * rival dirs (roots our base never saw) win, OUR dir yields via a
-    * `-r<version>` rewrite. Residual documented bound: when BOTH
-    * crossed writers' reconciles have already exited, a third carrier
-    * re-attaches their dirs verbatim — each writer resolves conflicts
-    * for its OWN dir only (per-writer responsibility; a total order
-    * needs the commit log this format-lite sink deliberately lacks). */
+    * `-r<version>` rewrite; and conflicts BETWEEN re-attached dirs
+    * (both crossed writers already exited — the r15 residual bound)
+    * heal via [[resolveCarriedConflicts]] by claim order, so the
+    * format-lite sink gets a total order without a commit log. The
+    * only remaining verbatim-carry case is a sink that never recorded
+    * its key columns. */
   private[graft] def reconcileLineage(spark: SparkSession, path: String,
       published: Int, dirName: String, keys: Seq[String],
       baseCoverage: Set[String],
@@ -642,8 +702,16 @@ object Upsert {
       if (latestCov.contains(rootOf(dirName)) && dropped.isEmpty)
         return version
       version = claimVersion(spark, path)
-      val union = collapseShadows(spark, path,
+      val union0 = collapseShadows(spark, path,
         latestDirs ++ dropped ++ Seq(curDir))
+      // Crossed-publish healing: re-attached dirs from a dropped
+      // version may conflict with EACH OTHER (both writers exited) —
+      // the carrier resolves those pairs deterministically by claim
+      // order before the key resolution for OUR own dir below.
+      val union =
+        if (dropped.isEmpty) union0
+        else resolveCarriedConflicts(spark, path, union0, dropped.toSet,
+          rootOf(dirName), keys, version)
       // Our own root's current form in the union (a rewrite of ours
       // from an earlier heal survives the collapse over the original).
       // NEWEST rewrite wins ([[rewriteSeq]]): after collapseShadows at
@@ -1112,10 +1180,17 @@ object Upsert {
       version = claimVersion(spark, path)
       // Shadow-collapse the union so a carried original never rides
       // next to its own rewrite; the absorbed-set filter then removes
-      // whatever the compact dir itself already carries.
-      val carry = collapseShadows(spark, path, latestDirs ++ dropped)
+      // whatever the compact dir itself already carries. Crossed
+      // re-attachments heal by claim order like the writer reconcile —
+      // the compactor may be the only carrier that ever sees both
+      // sides of the cross.
+      val carry0 = collapseShadows(spark, path, latestDirs ++ dropped)
         .filterNot(d => d == dirName ||
           provenance(spark, path, d).subsetOf(absorbed))
+      val carry =
+        if (dropped.isEmpty) carry0
+        else resolveCarriedConflicts(spark, path, carry0, dropped.toSet,
+          dirName, recordedKeyCols(spark, path), version)
       publishManifest(spark, path, version, dirName +: carry)
       attempts += 1
     }

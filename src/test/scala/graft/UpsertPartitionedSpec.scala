@@ -765,6 +765,50 @@ class UpsertPartitionedSpec extends SparkSpec {
       s"exactly one compact dir may be referenced, got: $compacts")
   }
 
+  test("crossed-publish healing: a third carrier resolves conflicts between two exited writers") {
+    // The r15 residual bound, reproduced exactly: W1 published v2 =
+    // [b1, b2] and W2 published v3 = [b1, b3] CROSSED (each exited its
+    // reconcile while momentarily latest, so neither saw the other),
+    // and batch-2/batch-3 share key 42. A third writer W3 chained off
+    // v1 publishes v4 = [b1, b4]; its dropped-version sweep re-attaches
+    // BOTH sides. Verbatim re-attachment would publish key 42 twice —
+    // the healing must let the EARLIER claim (batch-2) win and rewrite
+    // batch-3 minus the stolen key, deterministically, with no log.
+    val path = java.nio.file.Files.createTempDirectory("snapx3").toString
+    val snap = new java.io.File(path, "_snapshots"); snap.mkdirs()
+    def writeDir(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("id", "v").write.parquet(s"$path/$name")
+    def writeManifest(v: Int, dirs: Seq[String]): Unit = {
+      val f = new java.io.FileWriter(new java.io.File(snap, s"v$v.list"))
+      try f.write(dirs.mkString("\n")) finally f.close()
+    }
+    writeDir("batch-1", Seq((1L, "a")))
+    writeDir("batch-2", Seq((2L, "w1"), (42L, "FIRST")))
+    writeDir("batch-3", Seq((3L, "w2"), (42L, "SECOND")))
+    writeDir("batch-4", Seq((4L, "d")))
+    writeManifest(1, Seq("batch-1"))
+    writeManifest(2, Seq("batch-1", "batch-2"))
+    writeManifest(3, Seq("batch-1", "batch-3"))
+    writeManifest(4, Seq("batch-1", "batch-4")) // W3's crossed publish
+    val schema = spark.read.parquet(s"$path/batch-4").schema
+    Upsert.reconcileLineage(spark, path, published = 4,
+      dirName = "batch-4", keys = Seq("id"),
+      baseCoverage = Set("batch-1"), schema = schema, baseVersion = 1)
+    val latest = Upsert.latestVersion(spark, path)
+    val rows = Upsert.readSnapshot(spark, path, latest)
+      .as[(Long, String)].collect()
+    assert(rows.count(_._1 == 42L) == 1,
+      s"key 42 must appear exactly once after healing: ${rows.toSeq}")
+    assert(rows.toMap.apply(42L) == "FIRST",
+      "the earlier claim (batch-2) must win the key")
+    assert(rows.map(_._1).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 42L),
+      s"every writer's non-conflicting rows survive: ${rows.toSeq}")
+    // batch-3's ORIGINAL is untouched (its own published version still
+    // time-travels with both rows); only the lineage carries a rewrite.
+    assert(Upsert.readSnapshot(spark, path, 3)
+      .filter(col("id") === 42L).count() == 1)
+  }
+
   test("collapseShadows: equal-provenance sibling rewrites keep only the newest") {
     val path = java.nio.file.Files.createTempDirectory("snapsib").toString
     // batch-1-r5 and batch-1-r7 share root batch-1 and (name-derived)
