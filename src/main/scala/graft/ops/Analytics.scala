@@ -1039,8 +1039,12 @@ object Analytics {
       count(when(touch, 1)).over(w).as("__n0"),
       sort_array(collect_list(tagged).over(w)).as("__st"))
     // Loud overflow: a conversion window beyond the weight table would
-    // otherwise silently earn zero for positions past the cap.
-    val guarded = base.withColumn("__N",
+    // otherwise silently earn zero for positions past the cap. The
+    // guard is applied AFTER the conversion filter below (on perConv),
+    // so it is safe by construction: a touch-only user with 33 events
+    // in a window must never trip it, whatever the optimizer does with
+    // filter/projection ordering.
+    def guardN(df: DataFrame): DataFrame = df.withColumn("__N",
       when(col("__n0") > maxTouches,
         raise_error(concat(lit("attributionShapley: a conversion window " +
           s"holds more than maxTouches=$maxTouches touches ("),
@@ -1059,7 +1063,7 @@ object Analytics {
       ch -> emit(when(col("__N") > 0,
         value * (wsum(ch).cast("double") / lit(1.0e18))))
     }
-    val perConv = guarded.filter(isConversion && ts.isNotNull)
+    val perConv = guardN(base.filter(isConversion && ts.isNotNull))
     val entries = credits.map { case (c, cr) =>
       struct(lit(c).as("channel"), cr.as("credit"))
     } :+ struct(lit("(none)").as("channel"),

@@ -215,9 +215,28 @@ object Upsert {
     case _ => s.toLong
   }
 
+  /** Strings compare in UNSIGNED UTF-8 byte order — the order Spark's
+    * min/max computed the sidecar values under. Java's String.compareTo
+    * is UTF-16 code-unit order, which disagrees above the BMP (a
+    * surrogate pair sorts below U+E000 in UTF-16 but above it in
+    * UTF-8); pruning under the wrong order silently DROPS matching
+    * dirs — missing point-read rows, un-rewritten merge dirs
+    * (resurrected deletes), incomplete erasure. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes("UTF-8"); val b = y.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
   private def statLt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long) => x < y
-    case (x: String, y: String) => x < y
+    case (x: String, y: String) => utf8Lt(x, y)
     case _ => throw new IllegalStateException(s"stat type mismatch: $a / $b")
   }
 
@@ -242,12 +261,15 @@ object Upsert {
     new org.apache.hadoop.fs.Path(snapDir(path), s"$dirName.bloom")
 
   /** Canonical composite-key string for the bloom sidecars: each key
-    * column cast to string, unit-separator joined. Rows with ANY null
-    * key component are excluded on the dir side (equi-joins are
-    * null-rejecting — they can never match a probe) and a null-keyed
+    * column cast to string, unit-separator joined -- in NAME-SORTED
+    * column order, so a point read passing the same key set in a
+    * different order probes the same canon the writer hashed (an
+    * order-sensitive canon would bloom-prune true matches silently).
+    * Rows with ANY null key component are excluded on the dir side
+    * (equi-joins are null-rejecting — they can never match a probe) and a null-keyed
     * probe row canonicalizes to a string that simply never hits. */
   private def keyCanon(keys: Seq[String]): org.apache.spark.sql.Column =
-    concat_ws("\u0001", keys.map(k => col(k).cast("string")): _*)
+    concat_ws("\u0001", keys.sorted.map(k => col(k).cast("string")): _*)
 
   /** Keys-per-dir cap for the bloom sidecar (~1.2 bytes/key at 1%
     * fpp → ≤ ~5 MB). Range stats cover every dir; blooms additionally
@@ -419,6 +441,22 @@ object Upsert {
     "-[rme](\\d+)$".r.findFirstMatchIn(dirName)
       .map(_.group(1).toInt).getOrElse(0)
 
+  /** The ORIGINAL root a dir's name descends from, stripping EVERY
+    * trailing rewrite suffix, stacked included (`batch-1-m5-r7` →
+    * `batch-1`). [[rootOf]] strips only a final `-r` (it exists to
+    * derive name-based provenance and `-m`/`-e` rewrites carry explicit
+    * `.absorbed` records instead); FAMILY identity — "are these two
+    * dirs rewrites of the same line of truth?" — needs the full strip,
+    * or a heal rewrite (`batch-1-r3`) and a merge rewrite
+    * (`batch-1-m5`) of one root pass as unrelated and ride the same
+    * manifest together, publishing their shared keys twice. */
+  private[graft] def familyRoot(dirName: String): String = {
+    var d = dirName
+    var prev = ""
+    while (d != prev) { prev = d; d = d.replaceFirst("-[rme]\\d+$", "") }
+    d
+  }
+
   private def absorbedPath(path: String, dirName: String) =
     new org.apache.hadoop.fs.Path(snapDir(path), s"$dirName.absorbed")
 
@@ -457,12 +495,17 @@ object Upsert {
   // it is content-preserving by construction.
 
   private def touchRewriteGen(spark: SparkSession, path: String,
-      version: Int): Unit =
-    try {
-      val fs = fsFor(spark, path)
-      fs.create(new org.apache.hadoop.fs.Path(snapDir(path),
-        s"gen-$version.touch"), true).close()
-    } catch { case scala.util.control.NonFatal(_) => () }
+      version: Int): Unit = {
+    // NOT best-effort: this marker is the sole signal that routes
+    // incremental consumers to a recompute after a content rewrite — a
+    // swallowed failure here lets the next refresh double-count the
+    // rewritten rows (or retain an erased subject's sums) silently.
+    // Failing the whole op is the cheap, honest outcome: the caller
+    // retries and no reader ever saw a lie.
+    val fs = fsFor(spark, path)
+    fs.create(new org.apache.hadoop.fs.Path(snapDir(path),
+      s"gen-$version.touch"), true).close()
+  }
 
   /** Fingerprint of the content-rewrite history: (count, max version)
     * of the gen markers. Markers are only ever added with unique
@@ -596,13 +639,15 @@ object Upsert {
           prov(e) != prov(d) ||               // strict superset: absorbed
           e.startsWith(d + "-") ||            // my own rewrite
           (e.startsWith("compact-") && !d.startsWith("compact-")) ||
-          // SIBLING rewrites of one root (batch-1-r5 vs batch-1-r7:
-          // equal provenance, neither name-prefixes the other — two
-          // heal rounds re-attached by a dropped-manifest carry). The
-          // higher claim-version suffix is the newer truth
-          // ([[rewriteSeq]]); keeping both would publish the same keys
-          // twice and resurrect rows the newer rewrite yielded.
-          (rootOf(e) == rootOf(d) && rewriteSeq(e) > rewriteSeq(d)))
+          // SIBLING rewrites of one FAMILY root (batch-1-r5 vs
+          // batch-1-r7, or batch-1-r3 vs batch-1-m5: equal provenance,
+          // neither name-prefixes the other — two rewrite lines
+          // re-attached by a dropped-manifest carry). The higher
+          // claim-version suffix is the newer truth ([[rewriteSeq]] —
+          // every rewrite reads the then-current form); keeping both
+          // would publish the same keys twice and resurrect rows the
+          // newer rewrite yielded or deleted.
+          (familyRoot(e) == familyRoot(d) && rewriteSeq(e) > rewriteSeq(d)))
       }
     }
   }
@@ -629,19 +674,21 @@ object Upsert {
       keys: Seq[String], version: Int): Seq[String] = {
     if (keys.isEmpty || reattached.isEmpty) return union
     def selfRooted(d: String) =
-      provenance(spark, path, d) == Set(rootOf(d))
+      provenance(spark, path, d) == Set(familyRoot(d))
     def rootNum(d: String): Long =
-      "(\\d+)$".r.findFirstIn(rootOf(d)).map(_.toLong).getOrElse(Long.MaxValue)
-    val newsRoots = reattached.map(rootOf)
-    val ordered = union.filter(d => rootOf(d) != excludeRoot && selfRooted(d))
+      "(\\d+)$".r.findFirstIn(familyRoot(d)).map(_.toLong)
+        .getOrElse(Long.MaxValue)
+    val newsRoots = reattached.map(familyRoot)
+    val ordered = union
+      .filter(d => familyRoot(d) != excludeRoot && selfRooted(d))
       .sortBy(rootNum)
     val current = scala.collection.mutable.LinkedHashMap(
       union.map(d => d -> d): _*)
     for (i <- ordered.indices) {
       val b = ordered(i)
       val earlier = ordered.take(i)
-      val involved = newsRoots.contains(rootOf(b)) ||
-        earlier.exists(a => newsRoots.contains(rootOf(a)))
+      val involved = newsRoots.contains(familyRoot(b)) ||
+        earlier.exists(a => newsRoots.contains(familyRoot(a)))
       if (earlier.nonEmpty && involved) {
         val bCur = current(b)
         val bDf = spark.read.option("mergeSchema", "true")
@@ -651,11 +698,17 @@ object Upsert {
             .parquet(earlier.map(a => s"$path/${current(a)}"): _*)
             .select(keys.map(col): _*).distinct()
           if (!bDf.join(eKeys, keys, "left_semi").isEmpty) {
-            // `-r<v>` rewrite names parse back to their root (batch-N
-            // or merge-N alike), so provenance stays name-derived.
-            val rw = s"${rootOf(b)}-r$version"
+            // Suffix the CURRENT form so the prefix rule shadows it,
+            // and record provenance EXPLICITLY: a heal of a merge/
+            // erasure rewrite (batch-1-m5-r12) would name-derive the
+            // wrong root (rootOf only strips the final -r).
+            val rw = s"${current(b)}-r$version"
             bDf.join(eKeys, keys, "left_anti")
               .write.mode("overwrite").parquet(s"$path/$rw")
+            val out = fsFor(spark, path).create(absorbedPath(path, rw), true)
+            try out.write(provenance(spark, path, b).toSeq.sorted
+              .mkString("\n").getBytes("UTF-8"))
+            finally out.close()
             writeKeyStats(spark, path, rw, keys)
             touchRewriteGen(spark, path, version)
             current(b) = rw
@@ -711,17 +764,20 @@ object Upsert {
       val union =
         if (dropped.isEmpty) union0
         else resolveCarriedConflicts(spark, path, union0, dropped.toSet,
-          rootOf(dirName), keys, version)
+          familyRoot(dirName), keys, version)
       // Our own root's current form in the union (a rewrite of ours
-      // from an earlier heal survives the collapse over the original).
-      // NEWEST rewrite wins ([[rewriteSeq]]): after collapseShadows at
-      // most one same-root dir survives, but if the carry re-attached
-      // equal-provenance siblings, picking first-in-sequence could
-      // resurrect keys the newer heal already yielded.
-      val sameRoot = union.filter(d => rootOf(d) == rootOf(dirName))
+      // from an earlier heal — or a later MERGE/ERASURE of our batch —
+      // survives the collapse over the original). NEWEST rewrite wins
+      // ([[rewriteSeq]]): after collapseShadows at most one same-family
+      // dir survives, but if the carry re-attached equal-provenance
+      // siblings, picking first-in-sequence could resurrect keys the
+      // newer rewrite already yielded or deleted. FAMILY root, not
+      // rootOf: a merge rewrite batch-N-m5 of our batch IS our current
+      // form and must not be treated as a rival nor ridden next to.
+      val sameRoot = union.filter(d => familyRoot(d) == familyRoot(dirName))
       val ownDir = if (sameRoot.isEmpty) curDir
                    else sameRoot.maxBy(rewriteSeq)
-      val rivals = union.filter(d => rootOf(d) != rootOf(dirName) &&
+      val rivals = union.filter(d => familyRoot(d) != familyRoot(dirName) &&
         provenance(spark, path, d).exists(r => !known.contains(r)))
       val nextDir =
         if (rivals.isEmpty) ownDir
@@ -747,7 +803,7 @@ object Upsert {
       // not be re-read and re-anti-joined on the next iteration.
       known = known ++ rivals.flatMap(d => provenance(spark, path, d))
       publishManifest(spark, path, version,
-        union.filterNot(d => rootOf(d) == rootOf(dirName)) :+ nextDir)
+        union.filterNot(d => familyRoot(d) == familyRoot(dirName)) :+ nextDir)
       curDir = nextDir
       attempts += 1
     }
@@ -1384,6 +1440,20 @@ object Upsert {
         fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.claim"),
           false)
       }
+    // Rewrite-generation markers older than the horizon: without a
+    // sweep they accumulate one tiny file per merge/erase/heal forever
+    // (listed by every rewriteGen call — worst exactly on object
+    // stores where small-file listings cost). Sweeping changes the
+    // fingerprint, so the NEXT aggregate refresh recomputes once —
+    // the correct price inside an op that just destroyed history.
+    snapNames
+      .collect { case n if n.startsWith("gen-") && n.endsWith(".touch") =>
+        n.stripPrefix("gen-").stripSuffix(".touch").toInt }
+      .filter(_ < keepFrom)
+      .foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(snapDir(path),
+          s"gen-$v.touch"), false)
+      }
     doomedDirs.foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
       // Any dir may own an absorbed record (compact dirs, merge
@@ -1698,8 +1768,13 @@ object Upsert {
             provenance(spark, srcPath, d).intersect(cCov).isEmpty)
           val mixed = lDirs.exists(d =>
             !counted.contains(d) && !fresh.contains(d))
+          // Pristine compact names ONLY: "compact-5-m9" (a merge
+          // rewrite of a pack) is content-changing — the generation
+          // fingerprint already forces a recompute when one exists,
+          // but the name test must not vouch for it independently.
+          val pristineCompact = "^compact-\\d+$".r
           val carriersOk = counted.forall(d =>
-            cDirs.contains(d) || d.startsWith("compact-"))
+            cDirs.contains(d) || pristineCompact.findFirstIn(d).isDefined)
           val allCarried = cCov.subsetOf(
             coverage(spark, srcPath, counted))
           if (!mixed && carriersOk && allCarried) Some(fresh) else None

@@ -849,13 +849,19 @@ object EventStream {
     * a STREAMING caller's default is still wait-forever: dying is the
     * one wrong answer for a feed whose input is durable upstream. */
   private[graft] def retryWhileLocked[A](budgetMs: Long)(f: => A): A = {
-    val deadline = System.nanoTime() + budgetMs.min(Long.MaxValue / 4) * 1000000L
+    // Any budget too large to convert to nanos without overflow IS
+    // unbounded ((Long.MaxValue - now)/1e6 ms ≈ 290 years) — a naive
+    // `min(cap) * 1_000_000` wraps negative for large finite budgets
+    // and would rethrow on the FIRST collision, silently restoring the
+    // die-on-compaction behavior this retry exists to remove.
+    val unbounded = budgetMs >= Long.MaxValue / 1000000L
+    val deadline = if (unbounded) Long.MaxValue
+                   else System.nanoTime() + budgetMs * 1000000L
     var sleepMs = 250L
     while (true) {
       try return f catch {
         case e: graft.ops.LockHeldException =>
-          if (budgetMs != Long.MaxValue && System.nanoTime() >= deadline)
-            throw e
+          if (!unbounded && System.nanoTime() >= deadline) throw e
           Thread.sleep(sleepMs)
           sleepMs = math.min(sleepMs * 2, 10000L)
       }

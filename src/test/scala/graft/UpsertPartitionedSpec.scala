@@ -823,6 +823,36 @@ class UpsertPartitionedSpec extends SparkSpec {
     val kept2 = Upsert.collapseShadows(spark, path,
       Seq("batch-1", "batch-1-r5", "batch-1-r7"))
     assert(kept2 == Seq("batch-1-r7"), s"got: $kept2")
+    // CROSS-KIND siblings: a heal rewrite (-r3) and a MERGE rewrite
+    // (-m5) of one root, re-attached together. The -m name doesn't
+    // parse back to the root (rootOf strips only -r) — family identity
+    // plus the merge's .absorbed record must still collapse them to
+    // the newer line, or the merge's deletes resurrect.
+    val snap = new java.io.File(path, "_snapshots"); snap.mkdirs()
+    val af = new java.io.FileWriter(new java.io.File(snap,
+      "batch-1-m5.absorbed"))
+    try af.write("batch-1") finally af.close()
+    val kept3 = Upsert.collapseShadows(spark, path,
+      Seq("batch-1-r3", "batch-1-m5", "batch-2"))
+    assert(kept3.sorted == Seq("batch-1-m5", "batch-2"),
+      s"the newer merge rewrite must shadow the heal sibling: $kept3")
+  }
+
+  test("key-range pruning: supplementary-plane string keys compare in UTF-8 order, never UTF-16") {
+    // U+1F600 is a surrogate pair: it sorts BELOW U+E000 in UTF-16
+    // code units but ABOVE it in UTF-8 bytes (Spark's min/max order).
+    // A UTF-16 comparison would prune the dir and silently lose the
+    // row — missing point reads, un-rewritten merges, partial erasure.
+    val path = java.nio.file.Files.createTempDirectory("snaputf").toString
+    val emoji = new String(Character.toChars(0x1F600))
+    Upsert.writeSnapshot(spark, path,
+      Seq((emoji, 1)).toDF("k", "n"), Seq("k"), Seq("k"))
+    val got = Upsert.readSnapshotForKeys(spark, path, 1,
+      Seq(Tuple1("\uE000"), Tuple1(emoji)).toDF("k"), Seq("k"))
+      .as[(String, Int)].collect().toSeq
+    assert(got == Seq((emoji, 1)),
+      s"supplementary-plane key must survive range pruning: $got " +
+        s"(probed ${Upsert.lastProbedDirs.get()})")
   }
 
   test("timestamp time travel: as-of resolves to the version live at that instant") {
