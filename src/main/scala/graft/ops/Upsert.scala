@@ -1141,6 +1141,13 @@ object Upsert {
     * qualify (nothing to pack). */
   def compactSmallDirs(spark: SparkSession, path: String,
       smallBytes: Long = 128L << 20, minDirs: Int = 2): Int = {
+    // Deliberately mirrors compactSnapshots' claim/rewrite/validate/
+    // publish skeleton rather than sharing one parameterized loop: the
+    // two differ in load-bearing edges (what staleness re-validates —
+    // packed dirs only vs the whole base; carry = name-exclusion here
+    // vs coverage-exclusion there; a coverage overlap is a THROW here
+    // and a silent drop there), and hiding those behind predicates
+    // traded visible duplication for invisible divergence risk.
     require(minDirs >= 2, "packing fewer than 2 dirs is a rename")
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
