@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
 final class LockHeldException(msg: String, cause: Throwable)
   extends IllegalStateException(msg, cause)
 
+/** Thrown when [[Upsert.writeSnapshotGated]]'s drift gate refuses a
+  * publish. TYPED (extending IllegalStateException with the same
+  * message prefix for source compatibility) so dead-letter routing —
+  * the gated streaming sink's quarantine above all — classifies a
+  * refusal structurally instead of matching exception text, which
+  * silently turns a quarantine into stream death the day the message
+  * is reworded. */
+final class DriftRefusedException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Idempotent-append ("upsert") semantics of the reference's sink
   * (SURVEY.md §2.9; ref `etl.py:182-191, 331-341, 438-449`).
   *
@@ -240,36 +250,75 @@ object Upsert {
     case _ => throw new IllegalStateException(s"stat type mismatch: $a / $b")
   }
 
-  /** Per-key-column (tag, min, max) of `df`, None per column with no
-    * non-null values. Costs one narrow aggregate over the key columns. */
-  private def keyRanges(df: DataFrame, keys: Seq[String])
-      : Seq[(String, String, Option[(Any, Any)])] = {
+  /** Per-key-column (tag, min, max) of `df` — None per column with no
+    * non-null values — PLUS the count of rows with every key column
+    * non-null (the bloom sidecar's sizing input, folded into the same
+    * aggregate so a sidecar write costs one range pass, not a range
+    * pass plus a count pass). ONE narrow aggregate over the key
+    * columns. Count is 0 when no column has a supported stat type (the
+    * early return — no stats means no bloom either, by contract). */
+  private[graft] def keyRangesWithCount(df: DataFrame, keys: Seq[String])
+      : (Seq[(String, String, Option[(Any, Any)])], Long) = {
     val tagged = keys.flatMap(k => statTag(df.schema(k).dataType).map(k -> _))
-    if (tagged.isEmpty) return Nil
+    if (tagged.isEmpty) return (Nil, 0L)
+    val nnPred = keys.map(col(_).isNotNull).reduce(_ && _)
     val aggs = tagged.flatMap { case (k, _) =>
-      Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")) }
+      Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")) } :+
+      count(when(nnPred, lit(1))).as("__nn")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    tagged.zipWithIndex.map { case ((k, tag), i) =>
+    val ranges = tagged.zipWithIndex.map { case ((k, tag), i) =>
       val lo = row.get(2 * i); val hi = row.get(2 * i + 1)
       (k, tag, if (lo == null || hi == null) None
                else Some((decodeStatValue(tag, encodeStatValue(tag, lo)),
                           decodeStatValue(tag, encodeStatValue(tag, hi)))))
     }
+    (ranges, row.getLong(2 * tagged.size))
   }
 
+  /** Per-key-column (tag, min, max) of `df`, None per column with no
+    * non-null values. Costs one narrow aggregate over the key columns. */
+  private[graft] def keyRanges(df: DataFrame, keys: Seq[String])
+      : Seq[(String, String, Option[(Any, Any)])] =
+    keyRangesWithCount(df, keys)._1
+
+  /** Bloom sidecars live at `<dir>.bloom2`. The suffix is a CANON
+    * VERSION: v1 (`.bloom`) canonicalized timestamp/date keys via
+    * cast-to-string, whose rendering follows the SESSION TIMEZONE — a
+    * bloom written under one zone and probed under another produced
+    * false negatives, silently pruning dirs that DO hold the probed
+    * keys (dropped point-read rows). The canon below is
+    * timezone-independent; bumping the file name makes every v1
+    * sidecar invisible rather than wrong (a bloomless dir degrades to
+    * "always probe" — sound). Cleanup paths delete both suffixes. */
   private def bloomPath(path: String, dirName: String) =
+    new org.apache.hadoop.fs.Path(snapDir(path), s"$dirName.bloom2")
+
+  private def legacyBloomPath(path: String, dirName: String) =
     new org.apache.hadoop.fs.Path(snapDir(path), s"$dirName.bloom")
 
   /** Canonical composite-key string for the bloom sidecars: each key
-    * column cast to string, unit-separator joined -- in NAME-SORTED
-    * column order, so a point read passing the same key set in a
-    * different order probes the same canon the writer hashed (an
+    * column canonicalized to a string, unit-separator joined -- in
+    * NAME-SORTED column order, so a point read passing the same key set
+    * in a different order probes the same canon the writer hashed (an
     * order-sensitive canon would bloom-prune true matches silently).
-    * Rows with ANY null key component are excluded on the dir side
-    * (equi-joins are null-rejecting — they can never match a probe) and a null-keyed
-    * probe row canonicalizes to a string that simply never hits. */
-  private def keyCanon(keys: Seq[String]): org.apache.spark.sql.Column =
-    concat_ws("\u0001", keys.sorted.map(k => col(k).cast("string")): _*)
+    * Timestamp and date keys canonicalize TIMEZONE-INDEPENDENTLY
+    * (epoch micros / epoch day, mirroring [[encodeStatValue]]) — a
+    * plain cast renders under spark.sql.session.timeZone, so a sidecar
+    * written under one zone would false-negative every probe made
+    * under another. Rows with ANY null key component are excluded on
+    * the dir side (equi-joins are null-rejecting — they can never
+    * match a probe) and a null-keyed probe row canonicalizes to a
+    * string that never hits a fully-keyed dir row. */
+  private def keyCanon(df: DataFrame, keys: Seq[String])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    def canon(k: String) = df.schema(k).dataType match {
+      case TimestampType => unix_micros(col(k)).cast("string")
+      case DateType => unix_date(col(k)).cast("string")
+      case _ => col(k).cast("string")
+    }
+    concat_ws("\u0001", keys.sorted.map(canon): _*)
+  }
 
   /** Keys-per-dir cap for the bloom sidecar (~1.2 bytes/key at 1%
     * fpp → ≤ ~5 MB). Range stats cover every dir; blooms additionally
@@ -299,7 +348,11 @@ object Upsert {
       val df = spark.read.parquet(s"$path/$dirName")
       val present = keys.filter(df.columns.contains)
       if (present.size != keys.size) return
-      val lines = keyRanges(df, present).map {
+      // Ranges and the fully-keyed row count in ONE pass (the count
+      // sizes the bloom); the bloom build is the only second pass —
+      // two scans of the NEW dir per sidecar write, down from three.
+      val (ranges, n) = keyRangesWithCount(df, present)
+      val lines = ranges.map {
         case (k, tag, Some((lo, hi))) =>
           s"$k\t$tag\t${encodeStatValue(tag, lo)}\t${encodeStatValue(tag, hi)}"
         case (k, tag, None) => s"$k\t$tag\tnone"
@@ -309,10 +362,10 @@ object Upsert {
       try out.write(lines.mkString("\n").getBytes("UTF-8"))
       finally out.close()
       try {
-        val nn = df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
-        val n = nn.count()
         if (n <= BloomMaxKeys) {
-          val bf = nn.stat.bloomFilter(keyCanon(keys), math.max(n, 64L), 0.01)
+          val nn = df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+          val bf = nn.stat.bloomFilter(keyCanon(df, keys),
+            math.max(n, 64L), 0.01)
           val bo = fs.create(bloomPath(path, dirName), true)
           try bf.writeTo(bo) finally bo.close()
         }
@@ -356,12 +409,39 @@ object Upsert {
   private[graft] val lastProbedDirs =
     new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
 
+  /** Test/ops audit: the dir subset the last merge's KEEP-EXISTING
+    * probe (its I rows' presence check) actually opened — merge runs
+    * two probes per call (touched-dir scan → [[lastProbedDirs]],
+    * present-key scan → here), so they need separate audit slots. */
+  private[graft] val lastPresentDirs =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
+  /** Delete every sidecar a data dir may own (provenance record, range
+    * stats, bloom — current and legacy canon suffix). Data-dir deletion
+    * stays at the call sites; missing files are no-ops. */
+  private def deleteDirSidecars(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, dirName: String): Unit = {
+    fs.delete(absorbedPath(path, dirName), false)
+    fs.delete(statsPath(path, dirName), false)
+    fs.delete(bloomPath(path, dirName), false)
+    fs.delete(legacyBloomPath(path, dirName), false)
+  }
+
   /** The subset of `dirs` whose recorded key ranges can overlap
     * `probe`'s keys. One tiny min/max aggregate over the probe (bounded
     * driver metadata, like the version manifests themselves); dirs
     * without a sidecar are kept (conservative). A probe with no
     * non-null value in some key column matches nothing (equi-joins are
     * null-rejecting) → no dir qualifies. */
+  /** The closed-interval overlap test both prune stages rest on:
+    * probe range [pLo, pHi] can share a key with dir range [dLo, dHi]
+    * iff neither lies strictly past the other under [[statLt]]'s order
+    * (the order Spark's min/max computed both ranges under — the
+    * PropertySpec prune-never-drops property pins the two agree). */
+  private[graft] def rangeOverlaps(pLo: Any, pHi: Any,
+      dLo: Any, dHi: Any): Boolean =
+    !(statLt(pHi, dLo) || statLt(dHi, pLo))
+
   private[graft] def overlappingDirs(spark: SparkSession, path: String,
       dirs: Seq[String], keys: Seq[String], probe: DataFrame): Seq[String] = {
     val pr = keyRanges(probe, keys.filter(probe.columns.contains))
@@ -375,11 +455,40 @@ object Upsert {
           pRange.forall { case (k, (tag, (pLo, pHi))) =>
             stats.get(k) match {
               case Some((dTag, Some((dLo, dHi)))) if dTag == tag =>
-                !(statLt(pHi, dLo) || statLt(dHi, pLo))
+                rangeOverlaps(pLo, pHi, dLo, dHi)
               case Some((dTag, None)) if dTag == tag => false // dir: no keys
               case _ => true // unknown column/tag → conservative
             }
           }
+      }
+    }
+  }
+
+  /** TWO-STAGE dir pruning for a key probe — the one entry point every
+    * probing op (merge's touched scan, erasure's hit scan, point reads,
+    * the keep-existing anti join) goes through. Stage 1: range stats
+    * ([[overlappingDirs]]). Stage 2: when the probe's keys are few
+    * enough to collect (≤ [[BloomProbeMax]] — bounded driver metadata,
+    * the caller's probes are already key-distinct), drop the dirs whose
+    * bloom sidecar proves no probed key is present — the stage that
+    * still prunes under HASH-DISTRIBUTED keys, where every dir's range
+    * spans the whole domain and stage 1 admits everything. Dirs without
+    * sidecars always survive both stages; blooms only ever prune true
+    * negatives, so pruning is an optimization, never a correctness
+    * gate. Callers publish the result to [[lastProbedDirs]] themselves
+    * (several ops run more than one probe per call). */
+  private[graft] def pruneDirs(spark: SparkSession, path: String,
+      dirs: Seq[String], keys: Seq[String], probe: DataFrame): Seq[String] = {
+    val ranged = overlappingDirs(spark, path, dirs, keys, probe)
+    if (ranged.isEmpty) return ranged
+    if (!keys.forall(probe.columns.contains)) return ranged
+    val canon = probe.select(keyCanon(probe, keys).as("__k"))
+      .limit(BloomProbeMax + 1).collect().map(_.getString(0))
+    if (canon.length > BloomProbeMax) ranged
+    else ranged.filter { d =>
+      readKeyBloom(spark, path, d) match {
+        case None => true
+        case Some(bf) => canon.exists(bf.mightContainString)
       }
     }
   }
@@ -812,10 +921,43 @@ object Upsert {
         s"manifest at $path after 100 republishes — writer storm")
   }
 
+  /** The KEEP-EXISTING anti join, probe-pruned: `deduped`'s rows whose
+    * key is absent from the snapshot composed of `baseDirs` — reading
+    * ONLY the dirs whose range stats (+ bloom, for collectable probes)
+    * can overlap the BATCH's keys. This is the write-path twin of
+    * [[readSnapshotForKeys]]: on a compacted 100 TB sink a trickle
+    * append anti-joins against the handful of dirs its keys can live
+    * in, not the corpus — the batch, not the sink, sets the cost of a
+    * write. Sound because a dir that cannot contain any batch key
+    * contributes nothing to the anti join's right side; null-keyed
+    * batch rows are always fresh on both the pruned and unpruned path
+    * (equi-joins are null-rejecting). Publishes the probed subset to
+    * [[lastProbedDirs]] for spec/ops audit. */
+  private def freshAgainstSnapshotDirs(spark: SparkSession, path: String,
+      baseDirs: Seq[String], deduped: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val keyRows = deduped.select(keys.map(col): _*).distinct()
+      .localCheckpoint()
+    val candidates = pruneDirs(spark, path, baseDirs, keys, keyRows)
+    lastProbedDirs.set(candidates)
+    // Schema PINNED to the key columns: the scan reads only the keys
+    // (ReadSchema = keys, not the dirs' full width), and a dir written
+    // before a key column existed surfaces NULL there (never matches —
+    // same as the mergeSchema union read did) instead of failing the
+    // select when no candidate carries the column.
+    if (candidates.isEmpty) deduped
+    else deduped.join(
+      spark.read.schema(keyRows.schema)
+        .parquet(candidates.map(d => s"$path/$d"): _*)
+        .distinct(),
+      keys, "left_anti")
+  }
+
   /** Publish the batch as snapshot latest+1 (version number claimed via
     * [[claimVersion]] — two writers can never publish the same
-    * version): fresh rows (within-batch dedup + anti-join against the
-    * CURRENT snapshot) land in an immutable `batch-N` dir; the manifest
+    * version): fresh rows (within-batch dedup + probe-PRUNED anti-join
+    * against the CURRENT snapshot, [[freshAgainstSnapshotDirs]]) land
+    * in an immutable `batch-N` dir; the manifest
     * lists every dir of the new version. Returns the published version.
     * Idempotent in content: a replayed batch publishes a new version
     * whose delta is EMPTY and whose read equals the previous version
@@ -829,9 +971,7 @@ object Upsert {
     val deduped = dedupOnKey(batch, keys, tieBreak)
     val fresh =
       if (cur == 0) deduped
-      else deduped.join(
-        readSnapshot(spark, path, cur).select(keys.map(col): _*).distinct(),
-        keys, "left_anti")
+      else freshAgainstSnapshotDirs(spark, path, baseDirs, deduped, keys)
     val dirName = s"batch-$target"
     fresh.write.mode("overwrite").parquet(s"$path/$dirName")
     recordKeyCols(spark, path, keys)
@@ -841,17 +981,215 @@ object Upsert {
       coverage(spark, path, baseDirs), fresh.schema, baseVersion = cur)
   }
 
+  // ── maintained drift-gate profile ───────────────────────────────
+  // writeSnapshotGated needs (per column: rows, nulls, distinct) for
+  // the candidate state and the current state. Profiling both from the
+  // data is two corpus-wide passes per gated publish; instead the gate
+  // MAINTAINS the profile as a `v<N>.profile` sidecar — counts add,
+  // and distinct is a KMV sketch (the k smallest md5 fingerprints of
+  // the distinct values: a set-valued fact of the data, so the union
+  // of two sketches re-capped at k IS the sketch of the union — the
+  // mergeable partial graft.ops.Cardinality documents). A gated
+  // publish then costs one pass over the BATCH's fresh rows plus a
+  // sidecar merge. Soundness of the cache: a published version's
+  // content is immutable (merges/compactions make NEW versions, which
+  // simply have no sidecar yet and re-bootstrap once), except eraseKeys
+  // — which edits history in place and therefore deletes every profile
+  // sidecar it touches. Timestamps/dates fingerprint via epoch
+  // micros/days (session-timezone-independent, like the bloom canon).
+
+  private[graft] val ProfileK = 256
+  /** 16^15 = 2^60 as an exact double — maps a 15-hex-digit fingerprint
+    * prefix onto the unit interval without precision loss (the same
+    * estimator constant as [[Cardinality]]). */
+  private val ProfileHexNorm = math.pow(16.0, 15.0)
+
+  // Qualified-private, not `private`: the encoder's generated code
+  // instantiates this class reflectively, and a Scala-private nested
+  // case class compiles to a private constructor codegen cannot call.
+  private[ops] case class ColSketch(idx: Int, rows: Long, nulls: Long,
+      fps: Array[String])
+
+  private def fpHex(bytes: Array[Byte]): String = {
+    val hex = "0123456789abcdef"
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hex((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = hex(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  private def capSet(buf: java.util.TreeSet[String], k: Int): Array[String] = {
+    while (buf.size > k) buf.pollLast()
+    val out = new Array[String](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** ONE distributed pass over `df`: per column — row count, null
+    * count, and the KMV partial (k smallest md5 fingerprints of the
+    * distinct non-null values). Partitions keep capped sorted buffers
+    * (the map-side combine), the per-column merge is distributed, and
+    * only #columns merged sketches reach the driver. */
+  private def profileSketch(df: DataFrame, k: Int = ProfileK)
+      : (Long, Map[String, (Long, Array[String])]) = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns.toSeq
+    require(cols.nonEmpty, "profileSketch: no columns")
+    val proj = df.select(cols.map { c =>
+      df.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c)).cast("string").as(c)
+        case DateType => unix_date(col(c)).cast("string").as(c)
+        case _ => col(c).cast("string").as(c)
+      }
+    }: _*)
+    val n = cols.size
+    val partials = proj.mapPartitions { it =>
+      val rows = new Array[Long](n); val nulls = new Array[Long](n)
+      val bufs = Array.fill(n)(new java.util.TreeSet[String]())
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.foreach { r =>
+        var i = 0
+        while (i < n) {
+          rows(i) += 1
+          if (r.isNullAt(i)) nulls(i) += 1
+          else {
+            val fp = fpHex(md.digest(r.getString(i).getBytes("UTF-8")))
+            val buf = bufs(i)
+            if (buf.size < k) { buf.add(fp); () }
+            else if (fp < buf.last && buf.add(fp)) { buf.pollLast(); () }
+          }
+          i += 1
+        }
+      }
+      (0 until n).iterator.map(i =>
+        ColSketch(i, rows(i), nulls(i), capSet(bufs(i), k)))
+    }
+    val merged = partials.groupByKey(_.idx)
+      .reduceGroups { (a: ColSketch, b: ColSketch) =>
+        val buf = new java.util.TreeSet[String]()
+        a.fps.foreach(buf.add); b.fps.foreach(buf.add)
+        ColSketch(a.idx, a.rows + b.rows, a.nulls + b.nulls, capSet(buf, k))
+      }.map(_._2).collect()
+    val byIdx = merged.map(cs => cs.idx -> cs).toMap
+    val rowsTotal = byIdx.values.headOption.map(_.rows).getOrElse(0L)
+    (rowsTotal, cols.zipWithIndex.map { case (c, i) =>
+      val cs = byIdx.getOrElse(i, ColSketch(i, 0L, 0L, Array.empty[String]))
+      c -> ((cs.nulls, cs.fps))
+    }.toMap)
+  }
+
+  /** KMV estimate from a sketch: exact when fewer than k fingerprints
+    * exist (the sketch IS the distinct set), else (k-1)/R_k —
+    * [[Cardinality]]'s estimator, rounded to a count. */
+  private def kmvDistinct(fps: Array[String], k: Int = ProfileK): Long =
+    if (fps.length < k) fps.length.toLong
+    else {
+      val kth = java.lang.Long.parseLong(fps(fps.length - 1).substring(0, 15), 16)
+      math.round((k - 1).toDouble * ProfileHexNorm / kth.toDouble)
+    }
+
+  /** Profile union: counts add; a column missing on one side was
+    * all-NULL there (unionByName allowMissingColumns semantics);
+    * sketches union-then-recap. */
+  private def mergeProfileStats(prevRows: Long,
+      prev: Map[String, (Long, Array[String])], freshRows: Long,
+      fresh: Map[String, (Long, Array[String])], k: Int = ProfileK)
+      : (Long, Map[String, (Long, Array[String])]) = {
+    val cols = prev.keySet ++ fresh.keySet
+    (prevRows + freshRows, cols.iterator.map { c =>
+      val (pn, pf) = prev.getOrElse(c, (prevRows, Array.empty[String]))
+      val (fn, ff) = fresh.getOrElse(c, (freshRows, Array.empty[String]))
+      val buf = new java.util.TreeSet[String]()
+      pf.foreach(buf.add); ff.foreach(buf.add)
+      c -> ((pn + fn, capSet(buf, k)))
+    }.toMap)
+  }
+
+  /** A maintained profile as the 4-column frame [[Validate.profileDrift]]
+    * reads (column, n_rows, n_nulls, n_distinct) — distinct from the
+    * sketch, exact below k. */
+  private def profileStatsToDF(spark: SparkSession, rows: Long,
+      m: Map[String, (Long, Array[String])]): DataFrame = {
+    import spark.implicits._
+    m.toSeq.sortBy(_._1)
+      .map { case (c, (nulls, fps)) => (c, rows, nulls, kmvDistinct(fps)) }
+      .toDF("column", "n_rows", "n_nulls", "n_distinct")
+  }
+
+  private def profilePath(path: String, version: Int) =
+    new org.apache.hadoop.fs.Path(snapDir(path), s"v$version.profile")
+
+  /** Sidecar format: `#rows<TAB>n` then one line per column —
+    * `urlenc(col) TAB nulls TAB fp,fp,…`. Best-effort write: a missing
+    * sidecar only costs the next gated publish a re-bootstrap. */
+  private def writeProfileSidecar(spark: SparkSession, path: String,
+      version: Int, rows: Long,
+      m: Map[String, (Long, Array[String])]): Unit =
+    try {
+      val fs = fsFor(spark, path)
+      val lines = s"#rows\t$rows" +: m.toSeq.sortBy(_._1).map {
+        case (c, (nulls, fps)) =>
+          s"${java.net.URLEncoder.encode(c, "UTF-8")}\t$nulls\t${fps.mkString(",")}"
+      }
+      val out = fs.create(profilePath(path, version), true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def readProfileSidecar(spark: SparkSession, path: String,
+      version: Int): Option[(Long, Map[String, (Long, Array[String])])] = {
+    val fs = fsFor(spark, path)
+    val pp = profilePath(path, version)
+    if (!fs.exists(pp)) return None
+    try {
+      val in = fs.open(pp)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList finally in.close()
+      val rows = lines.head.split("\t")(1).toLong
+      Some((rows, lines.tail.map { l =>
+        val parts = l.split("\t", -1)
+        val fps = if (parts(2).isEmpty) Array.empty[String]
+                  else parts(2).split(",")
+        java.net.URLDecoder.decode(parts(0), "UTF-8") ->
+          ((parts(1).toLong, fps))
+      }.toMap))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Test/ops audit of the last [[writeSnapshotGated]] gate evaluation:
+    * `"maintained"` (sidecar diffed — no corpus scan), `"recomputed"`
+    * (sidecar absent — one bootstrap pass over the current version) or
+    * `"bootstrap"` (empty sink, published ungated). */
+  private[graft] val lastGateMode =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
   /** [[writeSnapshot]] behind a PROFILE-DRIFT GATE: the candidate new
     * state (current version ∪ the batch's fresh rows) is profiled
     * against the current version, and any [[Validate.driftViolations]]
-    * breach REFUSES the publish — nothing is claimed or written, the
-    * exception lists the breached rules. The freshness/volume contract
-    * run where it belongs: before the version exists, so consumers
-    * never see (and never have to roll back) a drifted publish.
-    * Cost: one extra profile pass over the candidate state — the price
-    * of the gate, paid only by writers that opt in. Bootstrap writes
-    * (no current version) publish ungated: there is nothing to drift
-    * from. */
+    * breach REFUSES the publish with a typed
+    * [[graft.ops.DriftRefusedException]] — nothing is claimed or
+    * written, the message lists the breached rules. The freshness/
+    * volume contract run where it belongs: before the version exists,
+    * so consumers never see (and never have to roll back) a drifted
+    * publish.
+    *
+    * Cost scales with the BATCH, not the corpus: the gate diffs the
+    * MAINTAINED `v<N>.profile` sidecar (counts + KMV distinct
+    * sketches) against itself-plus-the-fresh-rows' one-pass sketch;
+    * the probe-pruned anti join supplies the fresh rows at batch cost
+    * too. Only a sink whose current version has no sidecar (first
+    * gated write, post-merge/compaction version, post-erasure) pays
+    * one bootstrap pass over the corpus — and persists it, so the cost
+    * amortizes to once per rewrite. Bootstrap writes (no current
+    * version) publish ungated: there is nothing to drift from. */
   def writeSnapshotGated(spark: SparkSession, path: String, batch: DataFrame,
       keys: Seq[String], tieBreak: Seq[String],
       maxNullRateJump: Double, maxRowGrowthPct: Double,
@@ -859,24 +1197,53 @@ object Upsert {
       allowAddedColumns: Boolean = true,
       allowDroppedColumns: Boolean = false): Int = {
     val cur = latestVersion(spark, path)
+    var candidate: Option[(Long, Map[String, (Long, Array[String])])] = None
+    var baseDirs: Seq[String] = Nil
     if (cur >= 1) {
-      val existing = readSnapshot(spark, path, cur)
+      baseDirs = manifestDirs(spark, path, cur)
       val deduped = dedupOnKey(batch, keys, tieBreak)
-      val fresh = deduped.join(
-        existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
-      val candidate = existing.unionByName(fresh, allowMissingColumns = true)
+      val fresh = freshAgainstSnapshotDirs(spark, path, baseDirs, deduped, keys)
+      val (prevRows, prevM) = readProfileSidecar(spark, path, cur) match {
+        case Some(p) =>
+          lastGateMode.set("maintained"); p
+        case None =>
+          // Bootstrap the maintained profile ONCE from the current
+          // corpus. Persisting it for `cur` is always truthful — a
+          // published version's content never changes out from under
+          // its sidecar (erasure deletes sidecars when it edits
+          // history).
+          lastGateMode.set("recomputed")
+          val p = profileSketch(readSnapshot(spark, path, cur))
+          writeProfileSidecar(spark, path, cur, p._1, p._2)
+          p
+      }
+      val (fRows, fM) = profileSketch(fresh)
+      val cand = mergeProfileStats(prevRows, prevM, fRows, fM)
+      candidate = Some(cand)
       val bad = Validate.driftViolations(
-        Validate.profileDrift(Validate.profile(candidate),
-          Validate.profile(existing)),
+        Validate.profileDrift(profileStatsToDF(spark, cand._1, cand._2),
+          profileStatsToDF(spark, prevRows, prevM)),
         maxNullRateJump, maxRowGrowthPct, minRowGrowthPct,
         allowAddedColumns, allowDroppedColumns)
         .select(col("violation"), col("column")).collect()
-      if (bad.nonEmpty) throw new IllegalStateException(
+      if (bad.nonEmpty) throw new DriftRefusedException(
         "writeSnapshotGated: drift gate refused the publish: " +
           bad.map(r => s"${r.getString(0)}(${r.getString(1)})")
             .mkString(", "))
+    } else lastGateMode.set("bootstrap")
+    val published = writeSnapshot(spark, path, batch, keys, tieBreak)
+    // Maintain the profile forward — but ONLY when the published
+    // manifest is exactly base + our batch dir. An interleaved writer
+    // or a reconcile rewrite means the candidate profile no longer
+    // describes the published content; skipping the persist is sound
+    // (the next gated write re-bootstraps once), persisting a lie is
+    // not.
+    candidate.foreach { case (rows, m) =>
+      val dirs = manifestDirs(spark, path, published)
+      if (dirs.sorted == (baseDirs :+ s"batch-$published").sorted)
+        writeProfileSidecar(spark, path, published, rows, m)
     }
-    writeSnapshot(spark, path, batch, keys, tieBreak)
+    published
   }
 
   private def publishManifest(spark: SparkSession, path: String,
@@ -974,23 +1341,7 @@ object Upsert {
     val dirs = manifestDirs(spark, path, version)
     val keyRows = probe.select(keys.map(col): _*).distinct()
       .localCheckpoint()
-    val ranged = overlappingDirs(spark, path, dirs, keys, keyRows)
-    // Second pruning stage for hash-distributed keys, where every
-    // dir's RANGE overlaps: when the probe is small enough to collect
-    // (the point-read contract — bounded like the manifest listings),
-    // drop the dirs whose bloom says no probed key can be present.
-    // Statless/bloomless dirs stay; blooms only ever prune true
-    // negatives, so correctness is unchanged.
-    val canon = keyRows.select(keyCanon(keys).as("__k"))
-      .limit(BloomProbeMax + 1).collect().map(_.getString(0))
-    val candidates =
-      if (canon.length > BloomProbeMax) ranged
-      else ranged.filter { d =>
-        readKeyBloom(spark, path, d) match {
-          case None => true
-          case Some(bf) => canon.exists(bf.mightContainString)
-        }
-      }
+    val candidates = pruneDirs(spark, path, dirs, keys, keyRows)
     lastProbedDirs.set(candidates)
     if (candidates.isEmpty)
       readSnapshot(spark, path, version).limit(0)
@@ -1106,9 +1457,7 @@ object Upsert {
       // Stale base: a rewriter (merge/erasure/another compactor)
       // replaced part of what we compacted. Drop the orphan and retry.
       fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
-      fs.delete(af, false)
-      fs.delete(statsPath(path, dirName), false)
-      fs.delete(bloomPath(path, dirName), false)
+      deleteDirSidecars(fs, path, dirName)
       attempts += 1
     }
     throw new IllegalStateException(
@@ -1204,9 +1553,7 @@ object Upsert {
         }
       } finally fs.delete(lock, false)
       fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
-      fs.delete(af, false)
-      fs.delete(statsPath(path, dirName), false)
-      fs.delete(bloomPath(path, dirName), false)
+      deleteDirSidecars(fs, path, dirName)
       attempts += 1
     }
     throw new IllegalStateException(
@@ -1284,44 +1631,82 @@ object Upsert {
     * the rewrite granularity are both per-dir, so a short dir chain is
     * what makes merges cheap.
     *
-    * Concurrency: a merge is a REWRITER, so it serializes against
-    * compactions and other merges on the same exclusive lock. Plain
-    * appenders stay optimistic: dirs a writer publishes between this
-    * merge's base read and its publish are carried by provenance diff
-    * (their rows win over the merge's deletes/updates — sequential
-    * merge-then-write equivalence), and the post-publish reconcile
-    * resolves insert races key-level (the merge's fresh rows re-verify
-    * against any dirs that interleave AFTER its publish, rewriting
-    * `merge-N-r<v>` minus stolen keys — same discipline as
+    * Concurrency: a merge is a REWRITER, but its rewrites run
+    * LOCK-FREE into claim-named paths; only staleness re-validation +
+    * publish hold the exclusive rewriter lock (compaction's r16
+    * discipline — holding it across a large-dir rewrite serialized
+    * every other rewriter and stalled the streaming CDC feed behind
+    * the slowest rewrite in the sink). A dir replaced under us is
+    * caught by the post-lock check and the merge redone from the new
+    * latest. Plain appenders stay optimistic: dirs a writer publishes
+    * between this merge's base read and its publish are carried by
+    * provenance diff (their rows win over the merge's deletes/updates
+    * — sequential merge-then-write equivalence), and the post-publish
+    * reconcile resolves insert races key-level (the merge's fresh rows
+    * re-verify against any dirs that interleave AFTER its publish,
+    * rewriting `merge-N-r<v>` minus stolen keys — same discipline as
     * [[writeSnapshot]]'s reconcile). Returns the published version. */
+  /** Test hook: runs between a merge's (lock-free) rewrites and its
+    * lock acquisition, so specs can inject a racing rewriter into
+    * exactly the window the staleness re-validation exists for (the
+    * merge twin of [[compactPreLockHook]]). */
+  private[graft] var mergePreLockHook: () => Unit = () => ()
+
   def mergeSnapshot(spark: SparkSession, path: String, changes: DataFrame,
                     keys: Seq[String], tieBreak: Seq[String],
                     opCol: String = "op"): Int = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
-    val lock = acquireRewriterLock(fs, path, "mergeSnapshot")
-    try {
+    val op = upper(col(opCol))
+    val deduped = dedupOnKey(changes, keys, tieBreak)
+      .withColumn(opCol, op).localCheckpoint()
+    require(deduped.filter(col(opCol).isNull ||
+        !col(opCol).isin("I", "U", "D")).isEmpty,
+      s"mergeSnapshot: $opCol must be one of I/U/D")
+    val touched = deduped.filter(col(opCol) =!= "I")
+      .select(keys.map(col): _*).distinct().localCheckpoint()
+    val iRows = deduped.filter(col(opCol) === "I").drop(opCol)
+    val uRows = deduped.filter(col(opCol) === "U").drop(opCol)
+    val iKeys = iRows.select(keys.map(col): _*).distinct().localCheckpoint()
+    // The critical section covers ONLY staleness re-validation +
+    // publish — metadata ops, the discipline compaction adopted in r16.
+    // Every data rewrite (touched-dir copies, the landing write — the
+    // hours-long part when a merge hits a large dir at 100 TB) runs
+    // LOCK-FREE into claim-named paths: holding the lock across it
+    // serialized every other merge, compaction, and streaming CDC batch
+    // behind the slowest rewrite in the sink. Staleness check under the
+    // lock: dirs are immutable and every rewriter REPLACES the dirs it
+    // touches in the latest manifest, so "all base dirs still listed"
+    // <=> "the content we probed/rewrote is still the live content".
+    // Plain appends only ADD dirs and are carried as interleaved. On a
+    // stale base the orphaned rewrites are deleted and the merge
+    // retried from the new latest. (An OFFLINE eraseKeys can still
+    // delete a dir out from under the lock-free reads — that op's
+    // contract quiesces writers, this merge included.)
+    var attempts = 0
+    while (attempts < 5) {
+      // Advisory fail-fast (not the protection — the post-lock
+      // staleness check is): a rewriter holding the lock RIGHT NOW is
+      // about to invalidate whatever base we'd read, so don't burn the
+      // rewrites on it; streaming CDC callers classify this typed
+      // throw and retry with backoff. Racy by nature; a collision that
+      // slips through just costs one stale-retry.
+      val advisory = new org.apache.hadoop.fs.Path(snapDir(path),
+        "compact.lock")
+      if (fs.exists(advisory)) throw new LockHeldException(
+        s"mergeSnapshot: another rewriter holds $advisory — if its " +
+          "process crashed, delete the lock file and retry", null)
       val cur = latestVersion(spark, path)
       require(cur >= 1, "nothing to merge into: no published snapshot")
-      val op = upper(col(opCol))
-      val deduped = dedupOnKey(changes, keys, tieBreak)
-        .withColumn(opCol, op).localCheckpoint()
-      require(deduped.filter(col(opCol).isNull ||
-          !col(opCol).isin("I", "U", "D")).isEmpty,
-        s"mergeSnapshot: $opCol must be one of I/U/D")
       val target = claimVersion(spark, path)
       val baseDirs = manifestDirs(spark, path, cur)
       val baseCoverage = coverage(spark, path, baseDirs)
-      // Touched = keys whose current row must go (U replaces, D ends).
-      val touched = deduped.filter(col(opCol) =!= "I")
-        .select(keys.map(col): _*).distinct().localCheckpoint()
       val snapshotSchema = readSnapshot(spark, path, cur).schema
-      // Key-range pruning: only dirs whose recorded range can overlap
-      // the touched keys get the left-semi probe — the rest carry
+      // Touched-key pruning (range stats + bloom): only dirs that can
+      // hold a U/D key get the left-semi probe — the rest carry
       // without being OPENED. On a compacted 100 TB sink a trickle
-      // merge probes the handful of dirs its keys can live in instead
-      // of full-scanning every dir (the r15 per-merge cost).
-      val candidates = overlappingDirs(spark, path, baseDirs, keys, touched)
+      // merge probes the handful of dirs its keys can live in.
+      val candidates = pruneDirs(spark, path, baseDirs, keys, touched)
       lastProbedDirs.set(candidates)
       val (rewritten, probedClean) = candidates.partition { d =>
         !spark.read.schema(snapshotSchema).parquet(s"$path/$d")
@@ -1340,53 +1725,100 @@ object Upsert {
         writeKeyStats(spark, path, rw, keys)
         rw
       }
-      // Rows of already-published dirs changed → name-based delta
-      // readers must recompute ([[rewriteGen]]).
-      if (rewriteNames.nonEmpty) touchRewriteGen(spark, path, target)
-      // Interleaved appenders between the base read and this publish:
-      // carry their dirs (their rows win over this merge's deletes —
-      // sequential merge-then-write equivalence).
-      val interleaved = ((cur + 1) until target)
-        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
-          snapDir(path), s"v$v.list")))
-        .flatMap(v => manifestDirs(spark, path, v))
-        .distinct
-        .filterNot(d =>
-          provenance(spark, path, d).subsetOf(baseCoverage))
-      // Landing rows: every U (old copy just removed), plus I rows
-      // whose key the base snapshot lacks (keep-existing). Both must
-      // ALSO yield to the interleaved appenders' keys — those dirs are
-      // carried unrewritten, and `present` (built from the BASE) can't
-      // see them, so a landing row sharing a key would publish the key
-      // twice (the pre-publish twin of reconcileMerge's key resolve).
-      val present = readSnapshot(spark, path, cur)
-        .select(keys.map(col): _*).distinct()
-      val land0 = deduped.filter(col(opCol) === "U").drop(opCol)
-        .unionByName(deduped.filter(col(opCol) === "I").drop(opCol)
-          .join(present, keys, "left_anti"))
-      val land =
-        if (interleaved.isEmpty) land0
-        else land0.join(
-          spark.read.option("mergeSchema", "true")
-            .parquet(interleaved.map(d => s"$path/$d"): _*)
-            .select(keys.map(col): _*).distinct(),
+      // Landing rows: every U (old copy just removed by the rewrites),
+      // plus I rows whose key the base snapshot lacks (keep-existing).
+      // The presence probe is PRUNED to the dirs the BATCH's I keys can
+      // live in — the write-path twin of the touched-dir pruning; the
+      // corpus-wide readSnapshot scan this replaces was the last
+      // corpus-proportional cost in the merge.
+      val presentDirs = pruneDirs(spark, path, baseDirs, keys, iKeys)
+      lastPresentDirs.set(presentDirs)
+      val freshI =
+        if (presentDirs.isEmpty) iRows
+        else iRows.join(
+          spark.read.schema(iKeys.schema)
+            .parquet(presentDirs.map(d => s"$path/$d"): _*)
+            .distinct(),
           keys, "left_anti")
+      val land0 = uRows.unionByName(freshI)
       val mergeDir = s"merge-$target"
-      land.write.mode("overwrite").parquet(s"$path/$mergeDir")
+      land0.write.mode("overwrite").parquet(s"$path/$mergeDir")
       recordKeyCols(spark, path, keys)
       writeKeyStats(spark, path, mergeDir, keys)
-      publishManifest(spark, path, target,
-        carried ++ rewriteNames ++ interleaved :+ mergeDir)
-      // The merge dir is self-rooted, so the unified reconcile applies:
-      // its dropped-version sweep carries WHOLE dropped manifests and
-      // shadow-collapses (rewrites over originals), which is exactly
-      // what keeps a re-attached merge from pairing with pre-merge
-      // originals; key conflicts resolve with the merge dir yielding.
-      reconcileLineage(spark, path, target, mergeDir, keys,
-        baseCoverage ++ rewriteNames ++
-          interleaved.flatMap(d => provenance(spark, path, d)),
-        land.schema, baseVersion = cur)
-    } finally fs.delete(lock, false)
+      mergePreLockHook()
+      val lock = acquireRewriterLock(fs, path, "mergeSnapshot")
+      try {
+        val latestNow = latestVersion(spark, path)
+        val latestDirs = manifestDirs(spark, path, latestNow)
+        if (baseDirs.forall(latestDirs.contains)) {
+          // Interleaved appenders between the base read and this
+          // publish: carry their dirs (their rows win over this
+          // merge's deletes — sequential merge-then-write
+          // equivalence). Taken from the LATEST manifest, so writers
+          // that claimed above `target` are covered too.
+          val interleaved = latestDirs.filterNot(baseDirs.contains)
+            .filterNot(d =>
+              provenance(spark, path, d).subsetOf(baseCoverage))
+          // Publish strictly above whatever is latest (readers take
+          // the max version as current).
+          val pubV = if (latestNow >= target) claimVersion(spark, path)
+                     else target
+          // Landing rows must ALSO yield to the interleaved appenders'
+          // keys — those dirs are carried unrewritten and the base
+          // presence probe cannot see them, so a landing row sharing a
+          // key would publish the key twice. Only I keys can actually
+          // collide (a U/D key existed in the base, so no interleaved
+          // keep-existing append can carry it), and the cost is
+          // batch-sized on the rare contended path — the long rewrites
+          // above stay lock-free.
+          val finalMerge =
+            if (interleaved.isEmpty) mergeDir
+            else {
+              val inKeys = spark.read.option("mergeSchema", "true")
+                .parquet(interleaved.map(d => s"$path/$d"): _*)
+                .select(keys.map(col): _*).distinct()
+              val rw = s"$mergeDir-r$pubV"
+              spark.read.parquet(s"$path/$mergeDir")
+                .join(inKeys, keys, "left_anti")
+                .write.mode("overwrite").parquet(s"$path/$rw")
+              writeKeyStats(spark, path, rw, keys)
+              // The unfiltered landing dir is never published — drop
+              // it rather than leave a vacuum-bait orphan.
+              fs.delete(new org.apache.hadoop.fs.Path(path, mergeDir), true)
+              deleteDirSidecars(fs, path, mergeDir)
+              rw
+            }
+          // Rows of already-published dirs changed -> name-based delta
+          // readers must recompute ([[rewriteGen]]). Before the
+          // manifest rename, so no reader ever sees the publish
+          // without the marker.
+          if (rewriteNames.nonEmpty) touchRewriteGen(spark, path, target)
+          publishManifest(spark, path, pubV,
+            carried ++ rewriteNames ++ interleaved :+ finalMerge)
+          // The merge dir is self-rooted, so the unified reconcile
+          // applies: its dropped-version sweep carries WHOLE dropped
+          // manifests and shadow-collapses (rewrites over originals),
+          // which is exactly what keeps a re-attached merge from
+          // pairing with pre-merge originals; key conflicts resolve
+          // with the merge dir yielding.
+          return reconcileLineage(spark, path, pubV, finalMerge, keys,
+            baseCoverage ++ rewriteNames ++
+              interleaved.flatMap(d => provenance(spark, path, d)),
+            land0.schema, baseVersion = cur)
+        }
+      } finally fs.delete(lock, false)
+      // Stale base: a rewriter (another merge, a compactor, an
+      // erasure) replaced a dir we probed, carried, or rewrote. Drop
+      // the orphaned rewrites and retry from the new latest.
+      (rewriteNames :+ mergeDir).foreach { d =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
+        deleteDirSidecars(fs, path, d)
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"mergeSnapshot: base rewritten under us 5 times at $path — " +
+        "rewriter storm; retry when compactions/erasures quiesce")
   }
 
   /** Time travel: version N exactly as published, whatever has been
@@ -1438,6 +1870,8 @@ object Upsert {
       // and the publish-timestamp sidecar.
       fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.src"), false)
       fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.meta"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.profile"),
+        false)
     }
     snapNames
       .collect { case n if n.startsWith("v") && n.endsWith(".claim") =>
@@ -1466,11 +1900,33 @@ object Upsert {
       // Any dir may own an absorbed record (compact dirs, merge
       // rewrites) and a key-range stats sidecar; deleting a missing
       // one is a no-op.
-      fs.delete(absorbedPath(path, d), false)
-      fs.delete(statsPath(path, d), false)
-      fs.delete(bloomPath(path, d), false)
+      deleteDirSidecars(fs, path, d)
     }
     doomedDirs.size
+  }
+
+  /** [[expireSnapshots]] with a WALL-CLOCK horizon — "keep 30 days" as
+    * one call: drops every version a reader at epoch-ms `tsMs` could no
+    * longer see as latest, i.e. keeps [[versionAsOf]]`(tsMs)` and
+    * everything above it (the as-of version was still current AT the
+    * horizon, so time travel to any instant ≥ `tsMs` keeps working).
+    * Resolution uses the `v<N>.meta` publish stamps (mtime fallback for
+    * pre-.meta sinks). Versions published out of wall-clock order by
+    * reconciliation races are kept whenever their NUMBER is above the
+    * as-of answer — conservative, never destroys a readable instant.
+    * No version published at or before `tsMs` → nothing expires (a
+    * horizon before the sink's birth must not be an error — retention
+    * jobs run it blindly). Returns the number of data dirs deleted. */
+  def expireSnapshotsOlderThan(spark: SparkSession, path: String,
+      tsMs: Long): Int = {
+    val fs = fsFor(spark, path)
+    require(fs.exists(snapDir(path)), s"no snapshot sink at $path")
+    val any = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+      .exists(n => n.startsWith("v") && n.endsWith(".list") &&
+        publishedAtMs(spark, path,
+          n.stripPrefix("v").stripSuffix(".list").toInt) <= tsMs)
+    if (!any) return 0
+    expireSnapshots(spark, path, versionAsOf(spark, path, tsMs))
   }
 
   /** The rows ADDED between two snapshots, diffed by PROVENANCE, not
@@ -1528,9 +1984,7 @@ object Upsert {
         .filterNot(_ == "_snapshots").filterNot(referenced)
       orphans.foreach { d =>
         fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
-        fs.delete(absorbedPath(path, d), false)
-        fs.delete(statsPath(path, d), false)
-        fs.delete(bloomPath(path, d), false)
+        deleteDirSidecars(fs, path, d)
       }
       orphans.size
     } finally fs.delete(lock, false)
@@ -1584,7 +2038,7 @@ object Upsert {
       // versions, this is the dominant cost of an erasure on a long
       // history. Sound because equality needs per-column overlap;
       // statless dirs are probed.
-      val candidates = overlappingDirs(spark, path, allDirs, keys, keyRows)
+      val candidates = pruneDirs(spark, path, allDirs, keys, keyRows)
       lastProbedDirs.set(candidates)
       var erased = 0L
       val renames = candidates.flatMap { d =>
@@ -1624,15 +2078,20 @@ object Upsert {
                 "restore from the rewritten dirs before serving reads")
           }
         }
+        // Erasure edits every version's content IN PLACE, so every
+        // maintained drift-gate profile (v<N>.profile) is now a lie —
+        // delete them all; the next gated publish re-bootstraps once.
+        snapNames.filter(n => n.startsWith("v") && n.endsWith(".profile"))
+          .foreach { n =>
+            fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), n), false)
+          }
         // Physical deletion LAST, after every manifest stopped
         // referencing the originals: a crash before this point leaves a
         // consistent (partially repointed) sink plus extra copies to
         // re-erase; a crash after a manifest repoint never dangles.
         renames.keys.foreach { d =>
           fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
-          fs.delete(absorbedPath(path, d), false)
-          fs.delete(statsPath(path, d), false)
-          fs.delete(bloomPath(path, d), false)
+          deleteDirSidecars(fs, path, d)
         }
       }
       // Orphaned dirs (crashed writers) are invisible to readers but
@@ -1646,9 +2105,7 @@ object Upsert {
         .map(d => renames.getOrElse(d, d)).toSet
       allTop.filterNot(referencedNow).foreach { d =>
         fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
-        fs.delete(absorbedPath(path, d), false)
-        fs.delete(statsPath(path, d), false)
-        fs.delete(bloomPath(path, d), false)
+        deleteDirSidecars(fs, path, d)
       }
       erased
     } finally fs.delete(lock, false)
@@ -1794,12 +2251,28 @@ object Upsert {
     // increments (least/greatest of old and delta), and every
     // non-append mutation already lands on the recompute path via the
     // generation fingerprint — exactly the split that makes them safe.
-    def aggOf(df: DataFrame): DataFrame =
-      df.groupBy(groupCols.map(col): _*)
+    def aggOf(df: DataFrame): DataFrame = {
+      val agg = df.groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n"),
           sum(col(valueCol).cast(dec)).cast(dec).as("sum_v"),
           min(col(valueCol).cast(dec)).as("min_v"),
           max(col(valueCol).cast(dec)).as("max_v"))
+      // NULL group keys are REFUSED, loudly, in the same pass (the
+      // guard rides the aggregate output — group-count rows, zero
+      // extra scans): mergeSnapshot's key joins are null-rejecting, so
+      // an incremental refresh could never update or delete a NULL
+      // group — it would append a fresh row NEXT TO the stale one,
+      // silently duplicating the group forever. Coalesce group columns
+      // to a sentinel upstream when NULL groups are meaningful.
+      groupCols.foldLeft(agg) { (d, k) =>
+        d.withColumn(k, when(col(k).isNull, raise_error(lit(
+          s"refreshAggregate: NULL in group column '$k' — the aggregate " +
+            "sink's key joins are null-rejecting, so a NULL group can " +
+            "never be updated or deleted; coalesce to a sentinel " +
+            "upstream")).cast(df.schema(k).dataType))
+          .otherwise(col(k)))
+      }
+    }
     val published = freshDirs match {
       case Some(Nil) =>
         // Pure repackaging (compaction, nothing else): content already
@@ -1830,7 +2303,15 @@ object Upsert {
           val changes = deltaAgg.join(cur, groupCols, "left")
             .select((groupCols.map(col) :+
               (coalesce(col("n"), lit(0L)) + col("__dn")).as("n") :+
-              (coalesce(col("sum_v"), lit(0).cast(dec)) + col("__ds"))
+              // BOTH sides null-coalesced: a delta whose every row has
+              // a NULL value yields __ds = NULL, and `sum_v + NULL`
+              // would wipe the previously accumulated sum while n
+              // still increments. NULL survives only when NEITHER side
+              // has a value — matching what a recompute's sum() gives.
+              when(col("sum_v").isNull && col("__ds").isNull,
+                lit(null).cast(dec))
+                .otherwise(coalesce(col("sum_v"), lit(0).cast(dec)) +
+                  coalesce(col("__ds"), lit(0).cast(dec)))
                 .cast(dec).as("sum_v") :+
               // least/greatest skip NULLs: a brand-new group takes the
               // delta's bound verbatim.

@@ -11,6 +11,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** slf4j (Spark's own logging backend) — used by the lock-retry loop,
+    * whose silence would otherwise hide an indefinitely stalled feed. */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
 
@@ -810,9 +814,11 @@ object EventStream {
             minRowGrowthPct)
           ()
         } catch {
-          case e: IllegalStateException
-              if e.getMessage != null &&
-                e.getMessage.startsWith("writeSnapshotGated") =>
+          // TYPED, not message-matched: routing on exception text is
+          // exactly the fragility the LockHeldException rework removed
+          // — a reworded gate message would turn quarantining into
+          // stream death silently.
+          case e: graft.ops.DriftRefusedException =>
             System.err.println(
               s"[snapshotSinkGated] batch $batchId quarantined: " +
                 e.getMessage)
@@ -857,11 +863,21 @@ object EventStream {
     val unbounded = budgetMs >= Long.MaxValue / 1000000L
     val deadline = if (unbounded) Long.MaxValue
                    else System.nanoTime() + budgetMs * 1000000L
+    val startedNs = System.nanoTime()
     var sleepMs = 250L
     while (true) {
       try return f catch {
         case e: graft.ops.LockHeldException =>
           if (!unbounded && System.nanoTime() >= deadline) throw e
+          // LOG every retry: the default budget is wait-forever, and a
+          // crashed rewriter's orphaned lock file never expires — a
+          // silent retry loop would stall the feed indefinitely with
+          // no operator ever told what it is waiting for (the lock
+          // message even names the manual fix). Backoff caps at 10 s,
+          // so steady-state noise is ≤ 6 lines/minute.
+          log.warn("sink lock held for {} s; retrying in {} ms: {}",
+            (System.nanoTime() - startedNs) / 1000000000L,
+            sleepMs, e.getMessage)
           Thread.sleep(sleepMs)
           sleepMs = math.min(sleepMs * 2, 10000L)
       }
@@ -900,4 +916,64 @@ object EventStream {
         ()
       }
       .start()
+
+  /** Re-feed BLESSED quarantined batches into the gated snapshot sink —
+    * the missing half of [[snapshotSinkGated]]'s dead-letter loop (the
+    * sink wrote refused batches with a `__batch_id`; until now an
+    * operator had to hand-write the replay). Each requested batch that
+    * is (a) present in the quarantine and (b) not already replayed goes
+    * back through the SAME gate via
+    * [[graft.ops.Upsert.writeSnapshotGated]]; `force = true`
+    * publishes ungated ([[graft.ops.Upsert.writeSnapshot]]) — the
+    * explicit human override for a batch that is correct even though
+    * the thresholds still flag it. A batch the gate STILL refuses is
+    * skipped (left quarantined, later batches still replay) rather than
+    * failing the run. Replayed batches are marked consumed via
+    * `_replayed/b<id>.done` markers inside the quarantine dir (an
+    * underscore path, so quarantine reads ignore it) — replay is
+    * idempotent, and at-least-once replay is content-safe anyway
+    * (keep-existing publishes an empty delta on re-delivery). Batches
+    * replay in ascending id order — the order the stream would have
+    * published them. Returns the batch ids actually published. */
+  def replayQuarantine(spark: SparkSession, quarantinePath: String,
+      sinkPath: String, batchIds: Seq[Long], keys: Seq[String],
+      tieBreak: Seq[String], maxNullRateJump: Double,
+      maxRowGrowthPct: Double, minRowGrowthPct: Double = 0.0,
+      force: Boolean = false): Seq[Long] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(quarantinePath),
+      spark.sparkContext.hadoopConfiguration)
+    val markerDir = new org.apache.hadoop.fs.Path(quarantinePath, "_replayed")
+    fs.mkdirs(markerDir)
+    def marker(id: Long) =
+      new org.apache.hadoop.fs.Path(markerDir, s"b$id.done")
+    val all = spark.read.parquet(quarantinePath)
+    // Bounded driver set: one id per refused micro-batch, the same
+    // metadata class as the sink's manifest listings.
+    val present = all.select(col("__batch_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    batchIds.distinct.sorted
+      .filter(present.contains).filterNot(id => fs.exists(marker(id)))
+      .filter { id =>
+        val batch = all.filter(col("__batch_id") === id).drop("__batch_id")
+        val ok =
+          try {
+            if (force)
+              graft.ops.Upsert.writeSnapshot(spark, sinkPath, batch,
+                keys, tieBreak)
+            else
+              graft.ops.Upsert.writeSnapshotGated(spark, sinkPath, batch,
+                keys, tieBreak, maxNullRateJump, maxRowGrowthPct,
+                minRowGrowthPct)
+            true
+          } catch {
+            case e: graft.ops.DriftRefusedException =>
+              log.warn("replayQuarantine: batch {} still refused: {}",
+                id, e.getMessage)
+              false
+          }
+        if (ok) fs.create(marker(id), true).close()
+        ok
+      }
+  }
 }

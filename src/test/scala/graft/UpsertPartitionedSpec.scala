@@ -72,7 +72,7 @@ class UpsertPartitionedSpec extends SparkSpec {
     assert(snaps.toSet.subsetOf(Set("v1.list", "v2.list", "v3.list",
       "v1.meta", "v2.meta", "v3.meta", "keys.cols",
       "batch-1.stats", "batch-2.stats", "batch-3.stats",
-      "batch-1.bloom", "batch-2.bloom", "batch-3.bloom")), snaps.toSeq)
+      "batch-1.bloom2", "batch-2.bloom2", "batch-3.bloom2")), snaps.toSeq)
     intercept[IllegalArgumentException] {
       Upsert.readSnapshot(spark, path, 9)
     }
