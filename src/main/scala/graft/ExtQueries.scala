@@ -1253,6 +1253,138 @@ object ExtQueries {
       graft.ops.Upsert.readSnapshot(s, path, v).orderBy("doc_id")
     }),
 
+    "q_snap_write_pruned" -> ((s, dir) => {
+      // WRITE-PATH pruning (the r16 verdict's last corpus-proportional
+      // sink cost): an append's keep-existing anti join probes only the
+      // dirs the batch's key range can overlap — here the high half,
+      // never the low dir. The query requires the probe audit; the
+      // oracle pins the keep-existing CONTENT (the re-sent high rows
+      // must lose to the sink's copies, the genuinely-new low rows
+      // land), which a wrong candidate set would corrupt.
+      val path = s"$RunScratch/graft_snap_wp_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val mid = 250L
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") < mid && col("doc_id") % 2 === 0),
+        Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") >= mid), Seq("doc_id"), Seq("doc_id"))
+      // High-keys-only append: re-sends of existing high rows (doctored
+      // n_chars that MUST lose) plus nothing new — probed = high dir.
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") >= mid && col("doc_id") % 3 === 0)
+          .withColumn("n_chars",
+            lit(-1).cast(docs.schema("n_chars").dataType)),
+        Seq("doc_id"), Seq("doc_id"))
+      val probed = graft.ops.Upsert.lastProbedDirs.get()
+      require(probed == Seq("batch-2"),
+        s"append probed $probed, expected only batch-2 — write-path " +
+          "keep-existing pruning regressed")
+      // Low-keys append of the odd low half: disjoint from batch-2 and
+      // batch-3 ranges, overlaps batch-1's range but not its (even)
+      // keys — all rows are fresh and land.
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") < mid && col("doc_id") % 2 === 1),
+        Seq("doc_id"), Seq("doc_id"))
+      val probed2 = graft.ops.Upsert.lastProbedDirs.get()
+      require(probed2.forall(_ == "batch-1"),
+        s"low append probed $probed2 — must never open the high dirs")
+      graft.ops.Upsert.readSnapshot(s, path,
+        graft.ops.Upsert.latestVersion(s, path)).orderBy("doc_id")
+    }),
+
+    "q_snap_retention" -> ((s, dir) => {
+      // Wall-clock retention: three versions, then "keep what a reader
+      // at v3's instant could see" — v1/v2 expire, v3 survives whole
+      // (its manifest still references the shared early dirs, so their
+      // bytes stay). Oracle: the full table — retention changes which
+      // VERSIONS resolve, never the surviving version's content.
+      val path = s"$RunScratch/graft_snap_ret_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 3 === 0), Seq("doc_id"), Seq("doc_id"))
+      Thread.sleep(15)
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 3 === 1), Seq("doc_id"), Seq("doc_id"))
+      Thread.sleep(15)
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 3 === 2), Seq("doc_id"), Seq("doc_id"))
+      val t3 = graft.ops.Upsert.publishedAtMs(s, path, 3)
+      graft.ops.Upsert.expireSnapshotsOlderThan(s, path, t3)
+      require(!fs.exists(new org.apache.hadoop.fs.Path(
+          path + "/_snapshots", "v1.list")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          path + "/_snapshots", "v3.list")),
+        "retention must expire v1/v2 and keep the as-of horizon v3")
+      graft.ops.Upsert.readSnapshot(s, path, 3).orderBy("doc_id")
+    }),
+
+    "q_snap_changes" -> ((s, dir) => {
+      // CHANGE FEED (Delta CDF read-side parity): v1 = the even docs;
+      // v2 = a merge updating the %10==0 keys (+1000 chars), deleting
+      // the %10==2 keys and inserting the %10==1 odds. The key-diff
+      // change feed between the two versions must be EXACTLY those
+      // I/U/D rows — unchanged keys (%10 ∈ {4,6,8}) absent, D rows
+      // carrying the OLD values, U rows the new. One full-outer key
+      // join of the two versions; no history walk.
+      val path = s"$RunScratch/graft_snap_cdf_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("__op", lit("U"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("__op", lit("D")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("__op", lit("I")))
+      graft.ops.Upsert.mergeSnapshot(s, path, changes,
+        Seq("doc_id"), Seq("doc_id"), "__op")
+      graft.ops.Upsert.snapshotChanges(s, path, 1, 2, Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    "q_gate_incremental" -> ((s, dir) => {
+      // The drift gate at BATCH cost: after one bootstrap profile pass,
+      // every later gated publish diffs the maintained v<N>.profile
+      // sidecar against the fresh rows' one-pass sketch — required via
+      // the gate-mode audit ("maintained" = no corpus scan). The oracle
+      // pins the published content; a gate that refused a clean batch
+      // (sketch drift where there is none) would fail it.
+      val path = s"$RunScratch/graft_snap_gate_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      def gated(batch: DataFrame): Int =
+        graft.ops.Upsert.writeSnapshotGated(s, path, batch,
+          Seq("doc_id"), Seq("doc_id"),
+          maxNullRateJump = 0.1, maxRowGrowthPct = 1000.0)
+      gated(docs.filter(col("doc_id") % 4 === 0))
+      gated(docs.filter(col("doc_id") % 4 === 1)) // bootstraps the sidecar
+      gated(docs.filter(col("doc_id") % 4 === 2))
+      require(graft.ops.Upsert.lastGateMode.get() == "maintained",
+        s"third gated publish ran '${graft.ops.Upsert.lastGateMode.get()}' " +
+          "— the maintained-profile path regressed to corpus scans")
+      val v = gated(docs.filter(col("doc_id") % 4 === 3))
+      require(graft.ops.Upsert.lastGateMode.get() == "maintained")
+      graft.ops.Upsert.readSnapshot(s, path, v).orderBy("doc_id")
+    }),
+
     "q_markov_transitions" -> ((s, dir) => {
       // First-order journey chain over the events stream: per user,
       // conversions close journeys; exact (from, to) transition counts
@@ -7515,6 +7647,43 @@ object ExtQueries {
     "q_snap_point_lookup" ->
       """SELECT doc_id, source, n_chars FROM documents
          WHERE doc_id % 100 = 7 AND doc_id < 250
+         ORDER BY doc_id""",
+
+    // Write-path pruning: the four appends cover the whole table
+    // exactly once (low evens, highs, doctored high re-sends that must
+    // LOSE keep-existing, low odds) — so the sink equals the plain
+    // table iff the pruned anti join kept the originals and admitted
+    // the fresh rows.
+    "q_snap_write_pruned" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         ORDER BY doc_id""",
+
+    // Wall-clock retention never edits the surviving version's content:
+    // v3 (the as-of horizon) reads the full three-batch union.
+    "q_snap_retention" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         ORDER BY doc_id""",
+
+    // The exact I/U/D set of the v1→v2 fixture: inserts are the %10==1
+    // odds, deletes carry the OLD %10==2 rows, updates the NEW (+1000)
+    // %10==0 rows; untouched evens produce nothing.
+    "q_snap_changes" ->
+      """SELECT 'I' AS op, doc_id, source, n_chars FROM documents
+         WHERE doc_id % 10 = 1
+         UNION ALL
+         SELECT 'D', doc_id, source, n_chars FROM documents
+         WHERE doc_id % 10 = 2
+         UNION ALL
+         SELECT 'U', doc_id, source,
+           CAST(n_chars + 1000 AS BIGINT) FROM documents
+         WHERE doc_id % 10 = 0
+         ORDER BY doc_id""",
+
+    // Four clean gated publishes (one per doc_id mod-4 class) must all
+    // pass the drift gate — the maintained-sidecar diff sees the same
+    // no-drift a recompute would — and land the whole table.
+    "q_gate_incremental" ->
+      """SELECT doc_id, source, n_chars FROM documents
          ORDER BY doc_id""",
 
     // Per-column drift between the full corpus (v2) and the even half

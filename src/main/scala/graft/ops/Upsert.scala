@@ -362,7 +362,11 @@ object Upsert {
       try out.write(lines.mkString("\n").getBytes("UTF-8"))
       finally out.close()
       try {
-        if (n <= BloomMaxKeys) {
+        // n == 0: every range line is "none", so stage-1 pruning
+        // already drops this dir for ANY probe — don't spend a Spark
+        // job building a bloom nothing will ever consult. (Empty dirs
+        // are routine: idempotent replays, fully-duplicate batches.)
+        if (n > 0 && n <= BloomMaxKeys) {
           val nn = df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
           val bf = nn.stat.bloomFilter(keyCanon(df, keys),
             math.max(n, 64L), 0.01)
@@ -442,9 +446,60 @@ object Upsert {
       dLo: Any, dHi: Any): Boolean =
     !(statLt(pHi, dLo) || statLt(dHi, pLo))
 
+  /** Per-column (name, tag, min/max) of a probe — [[keyRanges]]'
+    * result shape, reused by every prune/filter consumer so the one
+    * probe aggregate is computed once per op, not once per stage. */
+  private[graft] type ProbeRanges = Seq[(String, String, Option[(Any, Any)])]
+
+  /** PUSHABLE bounding-box predicate for a key probe: each supported
+    * key column bounded to the probe's [min, max]. Sound as a PRE-JOIN
+    * filter on the dir side of any key equi-join/semi/anti probe: a
+    * dir row outside the box cannot equal any probe row (equality
+    * needs every column inside its bound), and NULL-keyed dir rows —
+    * which the filter also drops — can never match a null-rejecting
+    * equi-join. The payoff is WHERE the predicate runs: it pushes to
+    * the parquet scan (typed literals, no casts around the column), so
+    * row groups outside the probe's range are skipped by footer stats
+    * — pruning INSIDE dirs the manifest-level stages can't skip, above
+    * all the big key-sorted compact dirs (too large for a bloom, range
+    * = the whole domain). Columns whose scan-side type disagrees with
+    * the probe's stat tag contribute no bound (mixed-type comparison
+    * semantics would be unsound); None when nothing is boundable. */
+  private def probeRangeFilter(schema: org.apache.spark.sql.types.StructType,
+      pr: ProbeRanges): Option[org.apache.spark.sql.Column] = {
+    val conds = pr.flatMap { case (k, tag, r) =>
+      val scanTag = schema.fields.find(_.name == k)
+        .flatMap(f => statTag(f.dataType))
+      if (!scanTag.contains(tag)) None
+      else r.map { case (lo, hi) =>
+        def toLit(v: Any) = tag match {
+          case "string" => lit(v.asInstanceOf[String])
+          case "date" => lit(java.time.LocalDate
+            .ofEpochDay(v.asInstanceOf[Long]))
+          case "ts" =>
+            val us = v.asInstanceOf[Long]
+            lit(java.time.Instant.ofEpochSecond(
+              java.lang.Math.floorDiv(us, 1000000L),
+              java.lang.Math.floorMod(us, 1000000L) * 1000L))
+          // Cast the LITERAL to the column's exact integral type (the
+          // value came from that column, so it fits): a long literal
+          // against an int column would wrap the ATTRIBUTE in a cast
+          // and lose parquet pushdown.
+          case _ => lit(v.asInstanceOf[Long]).cast(schema(k).dataType)
+        }
+        col(k) >= toLit(lo) && col(k) <= toLit(hi)
+      }
+    }
+    conds.reduceOption(_ && _)
+  }
+
   private[graft] def overlappingDirs(spark: SparkSession, path: String,
-      dirs: Seq[String], keys: Seq[String], probe: DataFrame): Seq[String] = {
-    val pr = keyRanges(probe, keys.filter(probe.columns.contains))
+      dirs: Seq[String], keys: Seq[String], probe: DataFrame): Seq[String] =
+    overlappingDirs(spark, path, dirs,
+      keyRanges(probe, keys.filter(probe.columns.contains)))
+
+  private[graft] def overlappingDirs(spark: SparkSession, path: String,
+      dirs: Seq[String], pr: ProbeRanges): Seq[String] = {
     if (pr.isEmpty) return dirs // no supported key column → probe all
     if (pr.exists(_._3.isEmpty)) return Nil // a key col with only NULLs
     val pRange = pr.map { case (k, tag, r) => k -> (tag, r.get) }.toMap
@@ -478,8 +533,11 @@ object Upsert {
     * gate. Callers publish the result to [[lastProbedDirs]] themselves
     * (several ops run more than one probe per call). */
   private[graft] def pruneDirs(spark: SparkSession, path: String,
-      dirs: Seq[String], keys: Seq[String], probe: DataFrame): Seq[String] = {
-    val ranged = overlappingDirs(spark, path, dirs, keys, probe)
+      dirs: Seq[String], keys: Seq[String], probe: DataFrame,
+      pr0: Option[ProbeRanges] = None): Seq[String] = {
+    val pr = pr0.getOrElse(
+      keyRanges(probe, keys.filter(probe.columns.contains)))
+    val ranged = overlappingDirs(spark, path, dirs, pr)
     if (ranged.isEmpty) return ranged
     if (!keys.forall(probe.columns.contains)) return ranged
     val canon = probe.select(keyCanon(probe, keys).as("__k"))
@@ -938,19 +996,25 @@ object Upsert {
       keys: Seq[String]): DataFrame = {
     val keyRows = deduped.select(keys.map(col): _*).distinct()
       .localCheckpoint()
-    val candidates = pruneDirs(spark, path, baseDirs, keys, keyRows)
+    val pr = keyRanges(keyRows, keys.filter(keyRows.columns.contains))
+    val candidates = pruneDirs(spark, path, baseDirs, keys, keyRows, Some(pr))
     lastProbedDirs.set(candidates)
     // Schema PINNED to the key columns: the scan reads only the keys
     // (ReadSchema = keys, not the dirs' full width), and a dir written
     // before a key column existed surfaces NULL there (never matches —
     // same as the mergeSchema union read did) instead of failing the
-    // select when no candidate carries the column.
+    // select when no candidate carries the column. The batch's
+    // bounding box rides the scan as a PUSHED predicate: row groups
+    // outside the batch's key range are skipped by footer stats — the
+    // within-dir prune for dirs the sidecar stages must admit.
     if (candidates.isEmpty) deduped
-    else deduped.join(
-      spark.read.schema(keyRows.schema)
+    else {
+      val scan0 = spark.read.schema(keyRows.schema)
         .parquet(candidates.map(d => s"$path/$d"): _*)
-        .distinct(),
-      keys, "left_anti")
+      val scan = probeRangeFilter(keyRows.schema, pr)
+        .map(scan0.filter).getOrElse(scan0)
+      deduped.join(scan.distinct(), keys, "left_anti")
+    }
   }
 
   /** Publish the batch as snapshot latest+1 (version number claimed via
@@ -1341,13 +1405,21 @@ object Upsert {
     val dirs = manifestDirs(spark, path, version)
     val keyRows = probe.select(keys.map(col): _*).distinct()
       .localCheckpoint()
-    val candidates = pruneDirs(spark, path, dirs, keys, keyRows)
+    val pr = keyRanges(keyRows, keys.filter(keyRows.columns.contains))
+    val candidates = pruneDirs(spark, path, dirs, keys, keyRows, Some(pr))
     lastProbedDirs.set(candidates)
     if (candidates.isEmpty)
       readSnapshot(spark, path, version).limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(candidates.map(d => s"$path/$d"): _*)
-      .join(keyRows, keys, "left_semi")
+    else {
+      val scan0 = spark.read.option("mergeSchema", "true")
+        .parquet(candidates.map(d => s"$path/$d"): _*)
+      // The probe's bounding box pushes to the scan: inside a big
+      // key-sorted compact dir, footer stats skip the row groups the
+      // probed keys can't live in (the semi join stays for exactness).
+      probeRangeFilter(scan0.schema, pr)
+        .map(scan0.filter).getOrElse(scan0)
+        .join(keyRows, keys, "left_semi")
+    }
   }
 
   /** Compact the current version's batch-dir chain into ONE dir and
@@ -1409,8 +1481,23 @@ object Upsert {
       val dirName = s"compact-$target"
       val baseDirs = manifestDirs(spark, path, cur)
       val absorbed = coverage(spark, path, baseDirs)
-      readSnapshot(spark, path, cur)
-        .write.mode("overwrite").parquet(s"$path/$dirName")
+      val statKeys = recordedKeyCols(spark, path)
+      // KEY-SORTED rewrite: range-partition + sort by the sink's keys,
+      // so the compact dir's parquet footers carry tight, DISJOINT
+      // per-file/per-row-group key ranges. The big compact dir is
+      // exactly where the sidecar stages go blind (range = the whole
+      // domain, > bloom cap) — the sort is what lets every later
+      // probe's pushed bounding box skip row groups inside it. Cost:
+      // one range exchange on a rewrite that already reads and writes
+      // the corpus; at 100 TB the sort shuffle rides the job that was
+      // the price of compaction anyway.
+      val base = readSnapshot(spark, path, cur)
+      val compacted =
+        if (statKeys.nonEmpty && statKeys.forall(base.columns.contains))
+          base.repartitionByRange(statKeys.map(col): _*)
+            .sortWithinPartitions(statKeys.map(col): _*)
+        else base
+      compacted.write.mode("overwrite").parquet(s"$path/$dirName")
       // Record provenance BEFORE the manifest publish: a manifest
       // referencing a compact dir must never be readable without the
       // dir's absorbed set (reconciliation reasons over it).
@@ -1418,7 +1505,6 @@ object Upsert {
       val out = fs.create(af, true)
       try out.write(absorbed.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      val statKeys = recordedKeyCols(spark, path)
       if (statKeys.nonEmpty) writeKeyStats(spark, path, dirName, statKeys)
       compactPreLockHook()
       val lock = acquireRewriterLock(fs, path, "compactSnapshots")
@@ -1518,14 +1604,23 @@ object Upsert {
       val absorbed = coverage(spark, path, smalls)
       val target = claimVersion(spark, path)
       val dirName = s"compact-$target"
-      spark.read.option("mergeSchema", "true")
+      val statKeys = recordedKeyCols(spark, path)
+      // Same key-sorted discipline as the full compaction: the pack is
+      // small (that's its definition), so the sort is cheap — and the
+      // pack dir's footers stay probe-skippable instead of smearing
+      // the trickle batches' keys across every row group.
+      val packed0 = spark.read.option("mergeSchema", "true")
         .parquet(smalls.map(d => s"$path/$d"): _*)
-        .write.mode("overwrite").parquet(s"$path/$dirName")
+      val packed =
+        if (statKeys.nonEmpty && statKeys.forall(packed0.columns.contains))
+          packed0.repartitionByRange(statKeys.map(col): _*)
+            .sortWithinPartitions(statKeys.map(col): _*)
+        else packed0
+      packed.write.mode("overwrite").parquet(s"$path/$dirName")
       val af = absorbedPath(path, dirName)
       val out = fs.create(af, true)
       try out.write(absorbed.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      val statKeys = recordedKeyCols(spark, path)
       if (statKeys.nonEmpty) writeKeyStats(spark, path, dirName, statKeys)
       compactPreLockHook()
       val lock = acquireRewriterLock(fs, path, "compactSmallDirs")
@@ -1668,6 +1763,11 @@ object Upsert {
     val iRows = deduped.filter(col(opCol) === "I").drop(opCol)
     val uRows = deduped.filter(col(opCol) === "U").drop(opCol)
     val iKeys = iRows.select(keys.map(col): _*).distinct().localCheckpoint()
+    // Probe bounding boxes, computed ONCE (probes don't change across
+    // stale retries): shared by the sidecar prune stages and pushed
+    // into every probe scan for within-dir row-group skipping.
+    val touchedPr = keyRanges(touched, keys)
+    val iPr = keyRanges(iKeys, keys)
     // The critical section covers ONLY staleness re-validation +
     // publish — metadata ops, the discipline compaction adopted in r16.
     // Every data rewrite (touched-dir copies, the landing write — the
@@ -1706,10 +1806,13 @@ object Upsert {
       // hold a U/D key get the left-semi probe — the rest carry
       // without being OPENED. On a compacted 100 TB sink a trickle
       // merge probes the handful of dirs its keys can live in.
-      val candidates = pruneDirs(spark, path, baseDirs, keys, touched)
+      val candidates = pruneDirs(spark, path, baseDirs, keys, touched,
+        Some(touchedPr))
       lastProbedDirs.set(candidates)
+      val tFilter = probeRangeFilter(snapshotSchema, touchedPr)
       val (rewritten, probedClean) = candidates.partition { d =>
-        !spark.read.schema(snapshotSchema).parquet(s"$path/$d")
+        val sc = spark.read.schema(snapshotSchema).parquet(s"$path/$d")
+        !tFilter.map(sc.filter).getOrElse(sc)
           .join(touched, keys, "left_semi").isEmpty
       }
       val carried = probedClean ++ baseDirs.filterNot(candidates.contains)
@@ -1731,15 +1834,18 @@ object Upsert {
       // live in — the write-path twin of the touched-dir pruning; the
       // corpus-wide readSnapshot scan this replaces was the last
       // corpus-proportional cost in the merge.
-      val presentDirs = pruneDirs(spark, path, baseDirs, keys, iKeys)
+      val presentDirs = pruneDirs(spark, path, baseDirs, keys, iKeys,
+        Some(iPr))
       lastPresentDirs.set(presentDirs)
       val freshI =
         if (presentDirs.isEmpty) iRows
-        else iRows.join(
-          spark.read.schema(iKeys.schema)
+        else {
+          val pScan0 = spark.read.schema(iKeys.schema)
             .parquet(presentDirs.map(d => s"$path/$d"): _*)
-            .distinct(),
-          keys, "left_anti")
+          val pScan = probeRangeFilter(iKeys.schema, iPr)
+            .map(pScan0.filter).getOrElse(pScan0)
+          iRows.join(pScan.distinct(), keys, "left_anti")
+        }
       val land0 = uRows.unionByName(freshI)
       val mergeDir = s"merge-$target"
       land0.write.mode("overwrite").parquet(s"$path/$mergeDir")
@@ -1955,6 +2061,54 @@ object Upsert {
       .parquet(dirs.map(d => s"$path/$d"): _*)
   }
 
+  /** CHANGE FEED between two snapshot versions — the exact row-level
+    * I/U/D set a CDC consumer needs (Delta CDF's read side, derived by
+    * KEY DIFF rather than stored change files, so it works across any
+    * mix of appends, merges, compactions and even erasures):
+    * `op` = I (key only in `to`, new values), D (key only in `from`,
+    * OLD values — the consumer needs what to delete), U (key in both
+    * with any non-key column differing null-safely, new values).
+    * Unchanged keys produce no row. Unlike [[readSnapshotDelta]]
+    * (additions-only at new-dirs cost), this is the EXACT diff and
+    * costs what a diff costs: two version scans + one key shuffle —
+    * the same shape as one sort-merge join, no per-version history
+    * walk, so diffing a 100 TB sink is one join job, not a replay.
+    * Schema-evolved columns compare as NULL on the side that lacks
+    * them (an added column makes a row U only if some `to` value is
+    * non-null). NULL-keyed rows are excluded (the sink's key ops are
+    * null-rejecting; a NULL key cannot be addressed by any consumer
+    * merge either). */
+  def snapshotChanges(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Int, keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(fromVersion >= 1 && toVersion >= 1,
+      s"need published versions, got $fromVersion..$toVersion")
+    val oldDf = readSnapshot(spark, path, fromVersion)
+    val newDf = readSnapshot(spark, path, toVersion)
+    val cols = (oldDf.columns ++ newDf.columns).distinct
+      .filterNot(keys.contains).toSeq
+    def prep(df: DataFrame, marker: String, prefix: String) = {
+      val withMissing = cols.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+      val nn = keys.map(col(_).isNotNull).reduce(_ && _)
+      cols.foldLeft(withMissing.filter(nn).withColumn(marker, lit(true)))(
+        (d, c) => d.withColumnRenamed(c, prefix + c))
+    }
+    val o = prep(oldDf, "__o_present", "__o_")
+    val n = prep(newDf, "__n_present", "__n_")
+    val same = cols.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val op = when(col("__o_present").isNull, "I")
+      .when(col("__n_present").isNull, "D")
+      .when(!same, "U")
+    o.join(n, keys, "full_outer")
+      .withColumn(opCol, op)
+      .filter(col(opCol).isNotNull)
+      .select((col(opCol) +: keys.map(col)) ++
+        cols.map(c => when(col(opCol) === "D", col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c)): _*)
+  }
+
   /** Hygiene sweep for ORPHANED data dirs: a writer that crashed
     * between its parquet write and its manifest publish leaves a
     * batch/merge/compact/rewrite dir no manifest will ever reference —
@@ -2038,13 +2192,20 @@ object Upsert {
       // versions, this is the dominant cost of an erasure on a long
       // history. Sound because equality needs per-column overlap;
       // statless dirs are probed.
-      val candidates = pruneDirs(spark, path, allDirs, keys, keyRows)
+      val doomedPr = keyRanges(keyRows, keys.filter(keyRows.columns.contains))
+      val candidates = pruneDirs(spark, path, allDirs, keys, keyRows,
+        Some(doomedPr))
       lastProbedDirs.set(candidates)
       var erased = 0L
       val renames = candidates.flatMap { d =>
         val df = spark.read.option("mergeSchema", "true")
           .parquet(s"$path/$d")
-        val hit = df.join(keyRows, keys, "left_semi").count()
+        // Bounded hit PROBE (pushed bounding box + semi join) decides
+        // whether the dir rewrites at all; the rewrite below reads the
+        // dir in full — it must copy every surviving row anyway.
+        val probeSide = probeRangeFilter(df.schema, doomedPr)
+          .map(df.filter).getOrElse(df)
+        val hit = probeSide.join(keyRows, keys, "left_semi").count()
         if (hit == 0) None
         else {
           erased += hit

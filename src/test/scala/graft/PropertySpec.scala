@@ -679,4 +679,69 @@ class PropertySpec extends SparkSpec {
       assert(out.toSet.subsetOf(rows.toSet), "output is a subset of input")
     }
   }
+
+  test("sidecar pruning never drops: every stored key survives a point read — random key types") {
+    // The invariant the whole pruning stack rests on (range `.stats` +
+    // `.bloom2`, [[Upsert.pruneDirs]]): a dir containing a probed key
+    // is NEVER pruned, for any key type and any value — including the
+    // UTF-8-vs-UTF-16 order edge (supplementary-plane characters sort
+    // differently under the two encodings; stats are compared in the
+    // order Spark's min/max computed them) and timezone-sensitive
+    // timestamp/date canons. Blooms/stats only ever skip true
+    // negatives, so a single lost row here means a silently partial
+    // point read, merge, or erasure.
+    val trickyStrings = Seq("", "a", "Z", "é", "", "�",
+      new String(Character.toChars(0x1F600)),
+      new String(Character.toChars(0x10FFFF)),
+      "a" + new String(Character.toChars(0x1F600)) + "b",
+      "sep", "km/h", "née", "ÿ", "😁x")
+    trials(3) { rnd =>
+      def randStr() =
+        if (rnd.nextBoolean()) trickyStrings(rnd.nextInt(trickyStrings.size))
+        else rnd.alphanumeric.take(rnd.nextInt(8) + 1).mkString
+      def randLong() = rnd.nextLong() % 1000000L
+      def randTs() = new java.sql.Timestamp(
+        math.abs(rnd.nextLong() % 4102444800000L)) // 1970..2100
+      def randDate() = java.sql.Date.valueOf(java.time.LocalDate
+        .ofEpochDay(rnd.nextInt(60000).toLong - 10000))
+      def run[T](mk: () => T)(implicit enc: org.apache.spark.sql.Encoder[(T, Int)],
+          enck: org.apache.spark.sql.Encoder[Tuple1[T]]): Unit = {
+        val path = java.nio.file.Files.createTempDirectory("snapprop").toString
+        // Three batches of random keys → three dirs with stats+blooms;
+        // duplicates across batches exercise keep-existing too.
+        val keys = (0 until 10).map(_ => mk()).distinct
+        val batches = keys.grouped((keys.size + 2) / 3).toSeq
+        var tag = 0
+        batches.foreach { b =>
+          tag += 1
+          Upsert.writeSnapshot(spark,
+            path, b.map(k => (k, tag)).toDF("k", "n"), Seq("k"), Seq("n"))
+        }
+        val v = Upsert.latestVersion(spark, path)
+        val all = Upsert.readSnapshot(spark, path, v)
+          .as[(T, Int)].collect().toMap
+        assert(all.keySet == keys.toSet, s"sink holds every key: $path")
+        // Probe a sample of keys ALONE (the sharpest prune — one key,
+        // so one false range/bloom negative loses the whole answer)
+        // and every key in a random group; stored rows must always
+        // come back.
+        rnd.shuffle(keys).take(4).foreach { k =>
+          val got = Upsert.readSnapshotForKeys(spark, path, v,
+            Seq(Tuple1(k)).toDF("k"), Seq("k")).as[(T, Int)].collect()
+          assert(got.length == 1 && got.head._1 == k,
+            s"point read lost key '$k' (probed ${Upsert.lastProbedDirs.get()})")
+        }
+        val group = rnd.shuffle(keys).take(rnd.nextInt(keys.size) + 1)
+        val gotG = Upsert.readSnapshotForKeys(spark, path, v,
+          group.map(Tuple1(_)).toDF("k"), Seq("k")).as[(T, Int)]
+          .collect().toSeq.map(_._1).toSet
+        assert(gotG == group.toSet, s"group probe lost keys: " +
+          s"missing ${group.toSet -- gotG} (probed ${Upsert.lastProbedDirs.get()})")
+      }
+      run(() => randStr())
+      run(() => randLong())
+      run(() => randTs())
+      run(() => randDate())
+    }
+  }
 }

@@ -913,6 +913,35 @@ class StreamingSpec extends SparkSpec {
     assert(quarantined.count() == 20 &&
       quarantined.columns.contains("__batch_id"),
       "refused batch parked whole in quarantine with its batch id")
+
+    // ── dead-letter replay: the loop's missing half ────────────────
+    val refusedId = quarantined.select("__batch_id")
+      .as[Long].head()
+    // Ungated replay would re-refuse (nothing about the batch changed):
+    // same thresholds → still refused, still quarantined, run survives.
+    val still = EventStream.replayQuarantine(spark, quar, path,
+      Seq(refusedId), Seq("id"), Seq("id"),
+      maxNullRateJump = 0.1, maxRowGrowthPct = 1000.0)
+    assert(still.isEmpty, s"unblessed replay must not publish: $still")
+    assert(Upsert.latestVersion(spark, path) == latest)
+    // The human blesses it: force-replay publishes, and the sink state
+    // equals the never-refused run (all 41 keys, nulls included).
+    val replayed = EventStream.replayQuarantine(spark, quar, path,
+      Seq(refusedId), Seq("id"), Seq("id"),
+      maxNullRateJump = 0.1, maxRowGrowthPct = 1000.0, force = true)
+    assert(replayed == Seq(refusedId), s"blessed replay publishes: $replayed")
+    val after = Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path))
+    assert(after.count() == 41 &&
+      after.filter(col("id") === 25L).select("v").head().isNullAt(0),
+      "replayed rows land with their original content")
+    // Replay is IDEMPOTENT: the consumed marker stops a second pass.
+    val again = EventStream.replayQuarantine(spark, quar, path,
+      Seq(refusedId), Seq("id"), Seq("id"),
+      maxNullRateJump = 0.1, maxRowGrowthPct = 1000.0, force = true)
+    assert(again.isEmpty && Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).count() == 41,
+      "a consumed batch never replays twice")
   }
 
   test("streaming funnel finalizes to the batch funnel; pre-step events ignored") {

@@ -347,6 +347,49 @@ class UpsertPartitionedSpec extends SparkSpec {
       "fallback recompute equals the incremental state — no double-add")
   }
 
+  test("incremental aggregate: an all-NULL-value delta never wipes an accumulated sum") {
+    val src = java.nio.file.Files.createTempDirectory("iansrc").toString
+    val agg = java.nio.file.Files.createTempDirectory("ianagg").toString
+    Upsert.writeSnapshot(spark, src,
+      Seq((1L, "a", Some(10.0)), (2L, "a", Some(20.0)))
+        .toDF("id", "g", "v"), Seq("id"), Seq("id"))
+    Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+    // Delta whose EVERY row for group a has a NULL value: sum() over it
+    // is NULL, and an un-coalesced `sum_v + NULL` would null the
+    // accumulated 30 while n still grows — exactly what a recompute
+    // would NOT do.
+    Upsert.writeSnapshot(spark, src,
+      Seq((3L, "a", None: Option[Double]), (4L, "b", None: Option[Double]))
+        .toDF("id", "g", "v"), Seq("id"), Seq("id"))
+    val v = Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+    assert(Upsert.lastRefresh.get().startsWith("incremental"),
+      s"must take the delta path: ${Upsert.lastRefresh.get()}")
+    val got = Upsert.readSnapshot(spark, agg, v)
+      .select(col("g"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Long, Option[Double])].collect()
+      .map { case (g, n, sv) => g -> ((n, sv)) }.toMap
+    assert(got("a") == ((3L, Some(30.0))),
+      s"group a keeps its sum over an all-NULL delta: $got")
+    assert(got("b") == ((1L, None)),
+      s"a never-valued group's sum is NULL, matching a recompute: $got")
+  }
+
+  test("incremental aggregate: NULL group keys are refused loudly, never silently duplicated") {
+    val src = java.nio.file.Files.createTempDirectory("iagsrc").toString
+    val agg = java.nio.file.Files.createTempDirectory("iagagg").toString
+    Upsert.writeSnapshot(spark, src,
+      Seq((1L, Some("a"), 10.0), (2L, None: Option[String], 20.0))
+        .toDF("id", "g", "v"), Seq("id"), Seq("id"))
+    val e = intercept[Exception] {
+      Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("NULL in group column"),
+      s"refusal must name the hazard: ${rootMsg(e).take(300)}")
+  }
+
   test("snapshot claims: a rival's claim forces the next version — never a double publish") {
     val path = java.nio.file.Files.createTempDirectory("snapr").toString
     Upsert.writeSnapshot(spark, path,
@@ -1097,5 +1140,350 @@ class UpsertPartitionedSpec extends SparkSpec {
         maxNullRateJump = 0.1, maxRowGrowthPct = 100.0)
     }
     assert(e2.getMessage.contains("row_growth_above_max"), e2.getMessage)
+  }
+
+  test("write-path pruning: an append's keep-existing check opens only range-overlapping dirs") {
+    val path = java.nio.file.Files.createTempDirectory("snapwp").toString
+    // Two disjoint key-range dirs: lows (1..100) and highs (1000..1100).
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "lo1"), (100L, "lo2")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((1000L, "hi1"), (1100L, "hi2")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    // A high-key append must check keep-existing against the HIGH dir
+    // only — the low dir is never opened (the write-path twin of the
+    // merge/erase probe pruning).
+    Upsert.writeSnapshot(spark, path,
+      Seq((1000L, "SHOULD_LOSE"), (1050L, "hi3")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-2"),
+      s"append probed: ${Upsert.lastProbedDirs.get()}")
+    val got = Upsert.readSnapshot(spark, path, 3).as[(Long, String)]
+      .collect().toMap
+    assert(got(1000L) == "hi1" && got(1050L) == "hi3" && got.size == 5,
+      s"keep-existing holds under pruning: $got")
+    // An append fully disjoint from every dir probes NOTHING — zero
+    // anti-join input, the batch lands whole.
+    Upsert.writeSnapshot(spark, path,
+      Seq((500L, "mid")).toDF("id", "v"), Seq("id"), Seq("id"))
+    assert(Upsert.lastProbedDirs.get().isEmpty,
+      s"disjoint append probed: ${Upsert.lastProbedDirs.get()}")
+    assert(Upsert.readSnapshot(spark, path, 4).count() == 6)
+  }
+
+  test("bloom pruning: overlapping ranges, the bloom stage still prunes the keyless dir") {
+    val path = java.nio.file.Files.createTempDirectory("snapbl").toString
+    // Both dirs span ~the whole domain — range pruning admits BOTH for
+    // any probe inside it (the hash-distributed-keys regime). Only the
+    // bloom sidecar can tell them apart.
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (500L, "b"), (1000L, "c")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((2L, "d"), (999L, "e")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // Point read of key 500: in batch-1 only, but inside both ranges.
+    val got = Upsert.readSnapshotForKeys(spark, path, 2,
+      Seq(Tuple1(500L)).toDF("id"), Seq("id")).as[(Long, String)]
+      .collect().toSeq
+    assert(got == Seq((500L, "b")))
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-1"),
+      s"bloom must prune batch-2 (range overlaps, key absent): " +
+        s"${Upsert.lastProbedDirs.get()}")
+    // A one-key MERGE gets the same bloom stage: U of 999 (batch-2
+    // only, inside batch-1's range) must open batch-2 alone.
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 999L, "E2")).toDF("op", "id", "v"),
+      Seq("id"), Seq("id"), "op")
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-2"),
+      s"merge touched-probe: ${Upsert.lastProbedDirs.get()}")
+    assert(Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Long, String)]
+      .collect().toMap.apply(999L) == "E2")
+    // And ERASE: key 500 now lives in batch-1 only; the erase probes
+    // past batch-2's bloom without opening it.
+    Upsert.eraseKeys(spark, path, Seq(Tuple1(500L)).toDF("id"), Seq("id"))
+    assert(Upsert.lastProbedDirs.get().forall(d => !d.startsWith("batch-2")),
+      s"erase probed: ${Upsert.lastProbedDirs.get()}")
+    assert(Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).filter(col("id") === 500L).isEmpty)
+  }
+
+  test("merge keep-existing probe (present set) prunes to the I keys' dirs") {
+    val path = java.nio.file.Files.createTempDirectory("snapmp").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "lo")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((1000L, "hi")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // I of a LOW key (present → must drop) + U of a HIGH key: the
+    // present-set probe sees only the low dir; the touched probe only
+    // the high dir. Two separate audit slots, two separate answers.
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("I", 1L, "SHOULD_LOSE"), ("U", 1000L, "HI2"))
+        .toDF("op", "id", "v"), Seq("id"), Seq("id"), "op")
+    assert(Upsert.lastPresentDirs.get() == Seq("batch-1"),
+      s"present probe: ${Upsert.lastPresentDirs.get()}")
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-2"),
+      s"touched probe: ${Upsert.lastProbedDirs.get()}")
+    val got = Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Long, String)]
+      .collect().toMap
+    assert(got == Map(1L -> "lo", 1000L -> "HI2"),
+      s"keep-existing I dropped, U applied: $got")
+  }
+
+  test("merge race: an interleaved append in the lock-free window keeps both writers' rows, keys once") {
+    val path = java.nio.file.Files.createTempDirectory("snapmr1").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // While the merge rewrites lock-free, an appender publishes key 50
+    // — the SAME key the merge's I row carries. The merge must yield
+    // (sequential merge-then-append equivalence) and the key publish
+    // exactly once, with the appender's value.
+    var fired = false
+    Upsert.mergePreLockHook = () => {
+      if (!fired) {
+        fired = true
+        Upsert.writeSnapshot(spark, path,
+          Seq((50L, "APPENDER"), (60L, "x")).toDF("id", "v"),
+          Seq("id"), Seq("id"))
+      }
+    }
+    try {
+      Upsert.mergeSnapshot(spark, path,
+        Seq(("I", 50L, "MERGER"), ("U", 1L, "A2"))
+          .toDF("op", "id", "v"), Seq("id"), Seq("id"), "op")
+    } finally Upsert.mergePreLockHook = () => ()
+    assert(fired, "hook must have fired")
+    val rows = Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Long, String)].collect()
+    assert(rows.count(_._1 == 50L) == 1,
+      s"key 50 must appear exactly once: ${rows.toSeq}")
+    assert(rows.toMap == Map(1L -> "A2", 2L -> "b",
+      50L -> "APPENDER", 60L -> "x"),
+      s"merge applied, appender carried, I yielded: ${rows.toSeq}")
+  }
+
+  test("merge race: a compaction rewriting the base forces a stale-retry, no lost deletes") {
+    val path = java.nio.file.Files.createTempDirectory("snapmr2").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((3L, "c")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // A compactor replaces BOTH base dirs inside the merge's
+    // rewrite→lock window: the merge's staleness check must fail the
+    // first pass and the retry must run against the compacted base.
+    var fired = false
+    Upsert.mergePreLockHook = () => {
+      if (!fired) { fired = true; Upsert.compactSnapshots(spark, path) }
+    }
+    try {
+      Upsert.mergeSnapshot(spark, path,
+        Seq(("D", 2L, ""), ("U", 3L, "C2")).toDF("op", "id", "v"),
+        Seq("id"), Seq("id"), "op")
+    } finally Upsert.mergePreLockHook = () => ()
+    assert(fired)
+    val got = Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Long, String)]
+      .collect().toSet
+    assert(got == Set((1L, "a"), (3L, "C2")),
+      s"delete survived the compaction race: $got")
+    // No orphaned first-pass rewrite dirs linger on disk.
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_"))
+    val latestDirs = (1 to Upsert.latestVersion(spark, path)).flatMap { v =>
+      val f = new java.io.File(path + "/_snapshots", s"v$v.list")
+      if (!f.exists()) Nil
+      else scala.io.Source.fromFile(f).getLines().toList
+    }.toSet
+    assert(dirs.forall(latestDirs.contains),
+      s"every on-disk dir is referenced by some manifest: ${dirs.toSeq}")
+  }
+
+  test("merge race: merge vs merge — the second retries and both edits land") {
+    val path = java.nio.file.Files.createTempDirectory("snapmr3").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // A rival merge rewrites batch-1 (touching key 1) inside our
+    // merge's window; our merge touches key 2 of the SAME dir — its
+    // first-pass rewrite is stale and must be redone off the rival's.
+    var fired = false
+    Upsert.mergePreLockHook = () => {
+      if (!fired) {
+        fired = true
+        Upsert.mergeSnapshot(spark, path,
+          Seq(("U", 1L, "RIVAL")).toDF("op", "id", "v"),
+          Seq("id"), Seq("id"), "op")
+      }
+    }
+    try {
+      Upsert.mergeSnapshot(spark, path,
+        Seq(("U", 2L, "MINE")).toDF("op", "id", "v"),
+        Seq("id"), Seq("id"), "op")
+    } finally Upsert.mergePreLockHook = () => ()
+    assert(fired)
+    val rows = Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Long, String)].collect()
+    assert(rows.toMap == Map(1L -> "RIVAL", 2L -> "MINE") &&
+      rows.length == 2,
+      s"both merges' edits land exactly once: ${rows.toSeq}")
+  }
+
+  test("gated publishes run off the maintained profile; erasure forces one re-bootstrap") {
+    val path = java.nio.file.Files.createTempDirectory("snapgp").toString
+    def gated(rows: Seq[(Long, String)]): Int =
+      Upsert.writeSnapshotGated(spark, path, rows.toDF("id", "v"),
+        Seq("id"), Seq("id"),
+        maxNullRateJump = 0.1, maxRowGrowthPct = 1000.0)
+    gated((1L to 20L).map(i => (i, s"v$i")))
+    assert(Upsert.lastGateMode.get() == "bootstrap")
+    // First gate evaluation: no sidecar yet → one recompute pass,
+    // which PERSISTS the profile for the published version…
+    gated(Seq((21L, "x")))
+    assert(Upsert.lastGateMode.get() == "recomputed")
+    // …so every later gated publish diffs sidecars — batch-cost only.
+    gated(Seq((22L, "y")))
+    assert(Upsert.lastGateMode.get() == "maintained")
+    gated(Seq((23L, "z")))
+    assert(Upsert.lastGateMode.get() == "maintained")
+    // The gate still REFUSES in maintained mode (the sketch diff sees
+    // the same drift the recompute would).
+    intercept[graft.ops.DriftRefusedException] {
+      gated((100L to 120L).map(i => (i, null: String)))
+    }
+    assert(Upsert.lastGateMode.get() == "maintained")
+    assert(Upsert.latestVersion(spark, path) == 4, "refusal publishes nothing")
+    // Erasure edits history in place → every profile sidecar is
+    // deleted; the next gated publish re-bootstraps ONCE, then the
+    // maintained path resumes.
+    Upsert.eraseKeys(spark, path, Seq(Tuple1(21L)).toDF("id"), Seq("id"))
+    val profiles = new java.io.File(path, "_snapshots").listFiles()
+      .map(_.getName).filter(_.endsWith(".profile"))
+    assert(profiles.isEmpty, s"erasure must drop profiles: ${profiles.toSeq}")
+    gated(Seq((24L, "w")))
+    assert(Upsert.lastGateMode.get() == "recomputed")
+    gated(Seq((25L, "q")))
+    assert(Upsert.lastGateMode.get() == "maintained")
+    val ids = Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).select("id").as[Long]
+      .collect().toSet
+    assert(ids == ((1L to 20L).toSet ++ Set(22L, 23L, 24L, 25L)),
+      "erased key gone, all gated publishes present")
+  }
+
+  test("probe pushdown: sorted compaction + bounding-box filters reach the parquet scan") {
+    val path = java.nio.file.Files.createTempDirectory("snappd").toString
+    Upsert.writeSnapshot(spark, path,
+      (1L to 400L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      (401L to 800L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    val cv = Upsert.compactSnapshots(spark, path)
+    // The compact dir is KEY-SORTED: its non-empty part files carry
+    // pairwise-disjoint id ranges, so footer stats can answer a probe.
+    val parts = new java.io.File(path, s"compact-$cv").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+      .toSeq
+    val ranges = parts.flatMap { f =>
+      val ids = spark.read.parquet(f.getAbsolutePath)
+        .select("id").as[Long].collect().toSeq
+      assert(ids == ids.sorted,
+        s"rows inside each compact part file must be key-sorted " +
+          s"(row-group stats depend on it): ${f.getName}")
+      if (ids.isEmpty) None else Some((ids.head, ids.last))
+    }.sortBy(_._1)
+    // When the range exchange lands >1 file, files carry disjoint
+    // ordered ranges (AQE may legally coalesce tiny test inputs to 1).
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"part ranges must be disjoint and ordered: $ranges")
+      case _ => ()
+    }
+    // The point read's plan pushes the probe's bounding box to the
+    // parquet scan — row groups outside [42, 43] are skipped by
+    // footer stats even though the manifest-level stages must admit
+    // the (corpus-spanning) compact dir.
+    val rd = Upsert.readSnapshotForKeys(spark, path, cv,
+      Seq(Tuple1(42L), Tuple1(43L)).toDF("id"), Seq("id"))
+    val plan = rd.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(id,42)") &&
+      plan.contains("LessThanOrEqual(id,43)") &&
+      plan.contains("PushedFilters"),
+      s"probe bounds must reach PushedFilters:\n${plan.take(2000)}")
+    assert(rd.as[(Long, String)].collect().toSet ==
+      Set((42L, "v42"), (43L, "v43")))
+    // The WRITE path pushes the batch's box into its keep-existing
+    // anti-join scan too.
+    Upsert.writeSnapshot(spark, path,
+      Seq((42L, "SHOULD_LOSE"), (801L, "new")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    val after = Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Long, String)].collect().toMap
+    assert(after(42L) == "v42" && after(801L) == "new" && after.size == 801,
+      "keep-existing correct under pushdown")
+    // A merge against the sorted compact dir stays correct (the
+    // touched probe and the rewrite disagree on filtering — only the
+    // probe is bounded).
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("D", 700L, ""), ("U", 42L, "U42")).toDF("op", "id", "v"),
+      Seq("id"), Seq("id"), "op")
+    val merged = Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Long, String)].collect().toMap
+    assert(merged(42L) == "U42" && !merged.contains(700L) &&
+      merged.size == 800)
+  }
+
+  test("snapshotChanges: exact I/U/D diff, D rows carry old values, schema evolution compares as NULL") {
+    val path = java.nio.file.Files.createTempDirectory("snapcdf").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 2L, "B2"), ("D", 3L, ""), ("I", 4L, "d"))
+        .toDF("op", "id", "v"), Seq("id"), Seq("id"), "op")
+    val cdf = Upsert.snapshotChanges(spark, path, 1, 2, Seq("id"))
+      .select("op", "id", "v").as[(String, Long, String)].collect().toSet
+    assert(cdf == Set(("U", 2L, "B2"), ("D", 3L, "c"), ("I", 4L, "d")),
+      s"unchanged key 1 absent, D carries the OLD value: $cdf")
+    // Identity diff: a version against itself is empty.
+    assert(Upsert.snapshotChanges(spark, path, 2, 2, Seq("id")).isEmpty)
+    // Reverse diff inverts ops (I↔D, U keeps new-side values).
+    val rev = Upsert.snapshotChanges(spark, path, 2, 1, Seq("id"))
+      .select("op", "id", "v").as[(String, Long, String)].collect().toSet
+    assert(rev == Set(("U", 2L, "b"), ("I", 3L, "c"), ("D", 4L, "d")), rev)
+    // Additive schema evolution: v3 adds column w. A key that merely
+    // GAINS a null w is unchanged; the new row surfaces with its w.
+    Upsert.writeSnapshot(spark, path,
+      Seq((5L, "e", 9L)).toDF("id", "v", "w"), Seq("id"), Seq("id"))
+    val evo = Upsert.snapshotChanges(spark, path, 2, 3, Seq("id"))
+      .select("op", "id", "v", "w")
+      .as[(String, Long, String, Option[Long])].collect().toSet
+    assert(evo == Set(("I", 5L, "e", Some(9L))),
+      s"only the genuinely-new row changes across the evolution: $evo")
+  }
+
+  test("wall-clock retention: expireSnapshotsOlderThan keeps every version a reader at ts could see") {
+    val path = java.nio.file.Files.createTempDirectory("snapret").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), Seq("id"))
+    val t1 = Upsert.publishedAtMs(spark, path, 1)
+    Thread.sleep(15)
+    Upsert.writeSnapshot(spark, path,
+      Seq((2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Thread.sleep(15)
+    Upsert.writeSnapshot(spark, path,
+      Seq((3L, "c")).toDF("id", "v"), Seq("id"), Seq("id"))
+    val t3 = Upsert.publishedAtMs(spark, path, 3)
+    // A horizon before the FIRST publish expires nothing.
+    assert(Upsert.expireSnapshotsOlderThan(spark, path, t1 - 1000) == 0)
+    assert(Upsert.readSnapshot(spark, path, 1).count() == 1)
+    // "Keep what a reader at t3 could see as latest" = keep v3 (and
+    // nothing older): v1/v2 manifests go, v3 still reads in full.
+    Upsert.expireSnapshotsOlderThan(spark, path, t3)
+    intercept[IllegalArgumentException] { Upsert.readSnapshot(spark, path, 1) }
+    intercept[IllegalArgumentException] { Upsert.readSnapshot(spark, path, 2) }
+    assert(Upsert.readSnapshot(spark, path, 3).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "the as-of horizon version survives whole")
   }
 }
