@@ -1374,14 +1374,12 @@ object ExtQueries {
         graft.ops.Upsert.writeSnapshotGated(s, path, batch,
           Seq("doc_id"), Seq("doc_id"),
           maxNullRateJump = 0.1, maxRowGrowthPct = 1000.0)
-      gated(docs.filter(col("doc_id") % 4 === 0))
-      gated(docs.filter(col("doc_id") % 4 === 1)) // bootstraps the sidecar
-      gated(docs.filter(col("doc_id") % 4 === 2))
+      gated(docs.filter(col("doc_id") % 3 === 0))
+      gated(docs.filter(col("doc_id") % 3 === 1)) // bootstraps the sidecar
+      val v = gated(docs.filter(col("doc_id") % 3 === 2))
       require(graft.ops.Upsert.lastGateMode.get() == "maintained",
         s"third gated publish ran '${graft.ops.Upsert.lastGateMode.get()}' " +
           "— the maintained-profile path regressed to corpus scans")
-      val v = gated(docs.filter(col("doc_id") % 4 === 3))
-      require(graft.ops.Upsert.lastGateMode.get() == "maintained")
       graft.ops.Upsert.readSnapshot(s, path, v).orderBy("doc_id")
     }),
 
@@ -7679,7 +7677,7 @@ object ExtQueries {
          WHERE doc_id % 10 = 0
          ORDER BY doc_id""",
 
-    // Four clean gated publishes (one per doc_id mod-4 class) must all
+    // Three clean gated publishes (one per doc_id mod-3 class) must all
     // pass the drift gate — the maintained-sidecar diff sees the same
     // no-drift a recompute would — and land the whole table.
     "q_gate_incremental" ->

@@ -540,11 +540,21 @@ object Upsert {
     val ranged = overlappingDirs(spark, path, dirs, pr)
     if (ranged.isEmpty) return ranged
     if (!keys.forall(probe.columns.contains)) return ranged
+    // Collect the probe canon (a Spark job) only when some surviving
+    // dir actually HAS a bloom to consult — statless dirs, legacy-canon
+    // sidecars and the big compact dirs (> bloom cap by design) would
+    // otherwise cost every write/merge/erase one dead collect.
+    val fs = fsFor(spark, path)
+    val withBloom = ranged.filter(d =>
+      try fs.exists(bloomPath(path, d))
+      catch { case scala.util.control.NonFatal(_) => false }).toSet
+    if (withBloom.isEmpty) return ranged
     val canon = probe.select(keyCanon(probe, keys).as("__k"))
       .limit(BloomProbeMax + 1).collect().map(_.getString(0))
     if (canon.length > BloomProbeMax) ranged
     else ranged.filter { d =>
-      readKeyBloom(spark, path, d) match {
+      if (!withBloom.contains(d)) true
+      else readKeyBloom(spark, path, d) match {
         case None => true
         case Some(bf) => canon.exists(bf.mightContainString)
       }

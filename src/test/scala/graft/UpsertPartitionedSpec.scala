@@ -983,9 +983,35 @@ class UpsertPartitionedSpec extends SparkSpec {
       Seq("id"), Seq("id"))
     model = Map(1L -> (("g0", 1.0)), 2L -> (("g1", 2.0)))
     checkRefresh()
+    // Change-feed induction: at every step, the I/U/D diff between the
+    // previous and current version, APPLIED to the previous model,
+    // must reproduce the current model — the property a CDC consumer
+    // relies on. Erasure resyncs without a check: it edits history in
+    // place (both versions lose the subject), it is not a change event.
+    var prevV = Upsert.latestVersion(spark, src)
+    var prevModel = model
+    def checkChanges(): Unit = {
+      val curV = Upsert.latestVersion(spark, src)
+      if (curV != prevV) {
+        val cdf = Upsert.snapshotChanges(spark, src, prevV, curV, Seq("id"))
+          .select(col("op"), col("id"), col("g"), col("v"))
+          .as[(String, Long, String, Double)].collect()
+        assert(cdf.map(_._2).distinct.length == cdf.length,
+          s"change feed must emit one row per key: ${cdf.toSeq}")
+        val applied = cdf.foldLeft(prevModel) {
+          case (m, ("D", id, _, _)) => m - id
+          case (m, (_, id, g, v)) => m + (id -> ((g, v)))
+        }
+        assert(applied == model,
+          s"replaying changes($prevV→$curV) onto the old state diverged: " +
+            s"$applied != $model")
+      }
+      prevV = curV; prevModel = model
+    }
     var nextId = 100L
     for (round <- 1 to 14) {
-      rnd.nextInt(5) match {
+      val opClass = rnd.nextInt(5)
+      opClass match {
         case 0 => // keep-existing append: one dup key, two fresh
           val dup = model.keys.toSeq.sorted.headOption.getOrElse(1L)
           val rows = Seq((dup, "gX", -1.0)) ++ (1 to 2).map { _ =>
@@ -1024,6 +1050,9 @@ class UpsertPartitionedSpec extends SparkSpec {
       }
       assert(latestState() == model,
         s"round $round state diverged (op class above)")
+      if (opClass == 4) { prevV = Upsert.latestVersion(spark, src)
+                          prevModel = model }
+      else checkChanges()
       if (round % 2 == 0) checkRefresh()
     }
     checkRefresh()
