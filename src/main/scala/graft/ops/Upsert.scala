@@ -1037,15 +1037,28 @@ object Upsert {
     * whose delta is EMPTY and whose read equals the previous version
     * row-for-row. */
   def writeSnapshot(spark: SparkSession, path: String, batch: DataFrame,
-                    keys: Seq[String], tieBreak: Seq[String]): Int = {
+                    keys: Seq[String], tieBreak: Seq[String]): Int =
+    writeSnapshotFrom(spark, path, dedupOnKey(batch, keys, tieBreak),
+      fresh0 = None, basedOn = -1, keys, tieBreak)
+
+  /** [[writeSnapshot]] body, with an optional PRECOMPUTED fresh set:
+    * the gated path already ran the keep-existing anti join (its
+    * profile diff needs the fresh rows), and re-running it inside the
+    * publish would charge every gated write the probe twice. `fresh0`
+    * is trusted ONLY when the latest version at claim time still is
+    * `basedOn` — an interleaved publish invalidates it and the anti
+    * join re-runs against the actual base, same as the ungated path. */
+  private def writeSnapshotFrom(spark: SparkSession, path: String,
+      deduped: DataFrame, fresh0: Option[DataFrame], basedOn: Int,
+      keys: Seq[String], tieBreak: Seq[String]): Int = {
     val target = claimVersion(spark, path)
     val cur = latestVersion(spark, path)
     val baseDirs = if (cur == 0) Seq.empty[String]
                    else manifestDirs(spark, path, cur)
-    val deduped = dedupOnKey(batch, keys, tieBreak)
     val fresh =
       if (cur == 0) deduped
-      else freshAgainstSnapshotDirs(spark, path, baseDirs, deduped, keys)
+      else fresh0.filter(_ => cur == basedOn).getOrElse(
+        freshAgainstSnapshotDirs(spark, path, baseDirs, deduped, keys))
     val dirName = s"batch-$target"
     fresh.write.mode("overwrite").parquet(s"$path/$dirName")
     recordKeyCols(spark, path, keys)
@@ -1273,10 +1286,16 @@ object Upsert {
     val cur = latestVersion(spark, path)
     var candidate: Option[(Long, Map[String, (Long, Array[String])])] = None
     var baseDirs: Seq[String] = Nil
+    val deduped = dedupOnKey(batch, keys, tieBreak)
+    var freshForWrite: Option[DataFrame] = None
     if (cur >= 1) {
       baseDirs = manifestDirs(spark, path, cur)
-      val deduped = dedupOnKey(batch, keys, tieBreak)
-      val fresh = freshAgainstSnapshotDirs(spark, path, baseDirs, deduped, keys)
+      // Checkpointed: the profile sketch below and the publish (which
+      // reuses this fresh set via writeSnapshotFrom — no second anti
+      // join) both read the materialized batch-sized result.
+      val fresh = freshAgainstSnapshotDirs(spark, path, baseDirs,
+        deduped, keys).localCheckpoint()
+      freshForWrite = Some(fresh)
       val (prevRows, prevM) = readProfileSidecar(spark, path, cur) match {
         case Some(p) =>
           lastGateMode.set("maintained"); p
@@ -1305,7 +1324,8 @@ object Upsert {
           bad.map(r => s"${r.getString(0)}(${r.getString(1)})")
             .mkString(", "))
     } else lastGateMode.set("bootstrap")
-    val published = writeSnapshot(spark, path, batch, keys, tieBreak)
+    val published = writeSnapshotFrom(spark, path, deduped,
+      freshForWrite, basedOn = cur, keys, tieBreak)
     // Maintain the profile forward — but ONLY when the published
     // manifest is exactly base + our batch dir. An interleaved writer
     // or a reconcile rewrite means the candidate profile no longer
@@ -2088,13 +2108,41 @@ object Upsert {
     * non-null). NULL-keyed rows are excluded (the sink's key ops are
     * null-rejecting; a NULL key cannot be addressed by any consumer
     * merge either). */
+  /** Audit: the (from-only, to-only) dir lists the last
+    * [[snapshotChanges]] actually read — spec hook for the
+    * shared-dir pruning, not operator contract. */
+  private[graft] val lastDiffDirs =
+    new java.util.concurrent.atomic.AtomicReference[(Seq[String], Seq[String])]((Nil, Nil))
+
   def snapshotChanges(spark: SparkSession, path: String,
       fromVersion: Int, toVersion: Int, keys: Seq[String],
       opCol: String = "op"): DataFrame = {
     require(fromVersion >= 1 && toVersion >= 1,
       s"need published versions, got $fromVersion..$toVersion")
-    val oldDf = readSnapshot(spark, path, fromVersion)
-    val newDf = readSnapshot(spark, path, toVersion)
+    // SHARED-DIR pruning: a dir referenced by BOTH manifests feeds
+    // identical rows to both sides, and the sink invariant (each key
+    // in at most one dir per version) means such a key's row pair is
+    // exactly that shared copy twice — unchanged by construction. So
+    // the diff needs only the SYMMETRIC DIFFERENCE of the manifests:
+    // after a trickle merge the feed reads the touched/landing dirs,
+    // not the carried corpus. (A full compaction renames everything —
+    // the diff degrades to both full sides and correctly emits
+    // nothing; take feeds between versions on the same side of a full
+    // rewrite, as with [[readSnapshotDelta]].) Columns living only in
+    // shared dirs belong to rows that cannot change and drop out of
+    // the compare unharmed.
+    val fromDirs = manifestDirs(spark, path, fromVersion)
+    val toDirs = manifestDirs(spark, path, toVersion)
+    val shared = fromDirs.toSet & toDirs.toSet
+    val oldOnly = fromDirs.filterNot(shared)
+    val newOnly = toDirs.filterNot(shared)
+    lastDiffDirs.set((oldOnly, newOnly))
+    def readDirs(dirs: Seq[String]) =
+      if (dirs.isEmpty) readSnapshot(spark, path, toVersion).limit(0)
+      else spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => s"$path/$d"): _*)
+    val oldDf = readDirs(oldOnly)
+    val newDf = readDirs(newOnly)
     val cols = (oldDf.columns ++ newDf.columns).distinct
       .filterNot(keys.contains).toSeq
     def prep(df: DataFrame, marker: String, prefix: String) = {

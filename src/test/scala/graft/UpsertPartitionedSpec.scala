@@ -1489,6 +1489,24 @@ class UpsertPartitionedSpec extends SparkSpec {
       .as[(String, Long, String, Option[Long])].collect().toSet
     assert(evo == Set(("I", 5L, "e", Some(9L))),
       s"only the genuinely-new row changes across the evolution: $evo")
+    // SHARED-DIR pruning: a dir carried by reference in both manifests
+    // is never read — the feed costs the touched dirs, not the corpus.
+    val p2 = java.nio.file.Files.createTempDirectory("snapcdf2").toString
+    Upsert.writeSnapshot(spark, p2,
+      Seq((1L, "lo1"), (2L, "lo2")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, p2,
+      Seq((1000L, "hi")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.mergeSnapshot(spark, p2,
+      Seq(("U", 1000L, "HI2")).toDF("op", "id", "v"),
+      Seq("id"), Seq("id"), "op")
+    val feed = Upsert.snapshotChanges(spark, p2, 2, 3, Seq("id"))
+      .select("op", "id", "v").as[(String, Long, String)].collect().toSet
+    assert(feed == Set(("U", 1000L, "HI2")), feed)
+    val (oldOnly, newOnly) = Upsert.lastDiffDirs.get()
+    assert(!oldOnly.contains("batch-1") && !newOnly.contains("batch-1"),
+      s"carried batch-1 must not feed the diff: $oldOnly / $newOnly")
+    assert(oldOnly == Seq("batch-2"),
+      s"old side reads only the replaced dir: $oldOnly")
   }
 
   test("wall-clock retention: expireSnapshotsOlderThan keeps every version a reader at ts could see") {
