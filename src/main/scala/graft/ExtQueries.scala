@@ -1327,6 +1327,34 @@ object ExtQueries {
       graft.ops.Upsert.readSnapshot(s, path, 3).orderBy("doc_id")
     }),
 
+    "q_snap_count" -> ((s, dir) => {
+      // COUNT(*) from driver metadata: three appends + a merge build a
+      // four-dir version whose row count must come entirely from the
+      // `__rows` sidecar lines — the in-query require proves NO dir was
+      // scanned. Oracle: plain count of the logical table (the merge
+      // deletes the %100==3 keys and the appends cover the rest).
+      val path = s"$RunScratch/graft_snap_cnt_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 1), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.mergeSnapshot(s, path,
+        docs.filter(col("doc_id") % 100 === 3).withColumn("__op", lit("D")),
+        Seq("doc_id"), Seq("doc_id"), "__op")
+      val v = graft.ops.Upsert.latestVersion(s, path)
+      val n = graft.ops.Upsert.countSnapshot(s, path, v)
+      require(graft.ops.Upsert.lastCountScanned.get().isEmpty,
+        s"metadata count scanned dirs: " +
+          s"${graft.ops.Upsert.lastCountScanned.get()}")
+      import s.implicits._
+      Seq(n).toDF("n_rows")
+    }),
+
     "q_snap_changes" -> ((s, dir) => {
       // CHANGE FEED (Delta CDF read-side parity): v1 = the even docs;
       // v2 = a merge updating the %10==0 keys (+1000 chars), deleting
@@ -7661,6 +7689,12 @@ object ExtQueries {
     "q_snap_retention" ->
       """SELECT doc_id, source, n_chars FROM documents
          ORDER BY doc_id""",
+
+    // Metadata-only count of the post-merge version: everything except
+    // the deleted %100==3 keys.
+    "q_snap_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows FROM documents
+         WHERE doc_id % 100 <> 3""",
 
     // The exact I/U/D set of the v1→v2 fixture: inserts are the %10==1
     // odds, deletes carry the OLD %10==2 rows, updates the NEW (+1000)

@@ -258,13 +258,14 @@ object Upsert {
     * columns. Count is 0 when no column has a supported stat type (the
     * early return — no stats means no bloom either, by contract). */
   private[graft] def keyRangesWithCount(df: DataFrame, keys: Seq[String])
-      : (Seq[(String, String, Option[(Any, Any)])], Long) = {
+      : (Seq[(String, String, Option[(Any, Any)])], Long, Long) = {
     val tagged = keys.flatMap(k => statTag(df.schema(k).dataType).map(k -> _))
-    if (tagged.isEmpty) return (Nil, 0L)
+    if (tagged.isEmpty) return (Nil, 0L, -1L)
     val nnPred = keys.map(col(_).isNotNull).reduce(_ && _)
     val aggs = tagged.flatMap { case (k, _) =>
       Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")) } :+
-      count(when(nnPred, lit(1))).as("__nn")
+      count(when(nnPred, lit(1))).as("__nn") :+
+      count(lit(1)).as("__rows")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val ranges = tagged.zipWithIndex.map { case ((k, tag), i) =>
       val lo = row.get(2 * i); val hi = row.get(2 * i + 1)
@@ -272,7 +273,7 @@ object Upsert {
                else Some((decodeStatValue(tag, encodeStatValue(tag, lo)),
                           decodeStatValue(tag, encodeStatValue(tag, hi)))))
     }
-    (ranges, row.getLong(2 * tagged.size))
+    (ranges, row.getLong(2 * tagged.size), row.getLong(2 * tagged.size + 1))
   }
 
   /** Per-key-column (tag, min, max) of `df`, None per column with no
@@ -351,12 +352,16 @@ object Upsert {
       // Ranges and the fully-keyed row count in ONE pass (the count
       // sizes the bloom); the bloom build is the only second pass —
       // two scans of the NEW dir per sidecar write, down from three.
-      val (ranges, n) = keyRangesWithCount(df, present)
+      val (ranges, n, totalRows) = keyRangesWithCount(df, present)
       val lines = ranges.map {
         case (k, tag, Some((lo, hi))) =>
           s"$k\t$tag\t${encodeStatValue(tag, lo)}\t${encodeStatValue(tag, hi)}"
         case (k, tag, None) => s"$k\t$tag\tnone"
-      }
+      // Total-row line (same aggregate, zero extra cost): lets
+      // [[countSnapshot]] answer COUNT(*) from driver metadata. The
+      // "__" prefix can never collide with a key column the range
+      // consumers look up (keys are data column names).
+      } ++ (if (totalRows >= 0) Seq(s"__rows\trows\t$totalRows") else Nil)
       if (lines.isEmpty) return
       val out = fs.create(statsPath(path, dirName), true)
       try out.write(lines.mkString("\n").getBytes("UTF-8"))
@@ -398,12 +403,54 @@ object Upsert {
     val in = fs.open(p)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList finally in.close()
-    Some(lines.map { l =>
+    Some(lines.filterNot(_.startsWith("__rows\t")).map { l =>
       val parts = l.split("\t", -1)
       if (parts(2) == "none") parts(0) -> (parts(1), None)
       else parts(0) -> (parts(1), Some((decodeStatValue(parts(1), parts(2)),
         decodeStatValue(parts(1), parts(3)))))
     }.toMap)
+  }
+
+  /** The `__rows` total of a dir's `.stats` sidecar — None when the
+    * sidecar (or, for pre-r17 sidecars, the line) is absent. */
+  private def readDirRowCount(spark: SparkSession, path: String,
+      dirName: String): Option[Long] = {
+    val fs = fsFor(spark, path)
+    val p = statsPath(path, dirName)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.startsWith("__rows\t")).toList
+    finally in.close()
+    lines.headOption.map(_.split("\t", -1)(2).toLong)
+  }
+
+  /** Audit for [[countSnapshot]]: the dirs whose rows had to be
+    * SCANNED (no `__rows` sidecar line) on the last call. Empty ⟺ the
+    * count was answered entirely from driver metadata. */
+  private[graft] val lastCountScanned =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
+  /** COUNT(*) of a snapshot version at DRIVER-METADATA cost: manifest
+    * dirs are disjoint row sets (the sink's invariant — keep-existing
+    * appends, copy-on-write rewrites), so the version's count is the
+    * sum of the per-dir `__rows` sidecar totals stamped at write time.
+    * A 100 TB sink answers in O(#dirs) sidecar reads with zero
+    * executor work; dirs without the line (older sidecars, foreign
+    * dirs) fall back to a per-dir scan-count — correctness never
+    * rests on a sidecar. */
+  def countSnapshot(spark: SparkSession, path: String,
+      version: Int): Long = {
+    val dirs = manifestDirs(spark, path, version)
+    val scanned = scala.collection.mutable.ArrayBuffer.empty[String]
+    val total = dirs.map { d =>
+      readDirRowCount(spark, path, d).getOrElse {
+        scanned += d
+        spark.read.parquet(s"$path/$d").count()
+      }
+    }.sum
+    lastCountScanned.set(scanned.toSeq)
+    total
   }
 
   /** Test/ops audit: the dir subset the last probe-pruned op actually

@@ -1509,6 +1509,33 @@ class UpsertPartitionedSpec extends SparkSpec {
       s"old side reads only the replaced dir: $oldOnly")
   }
 
+  test("countSnapshot: metadata-only count equals the scan count; statless dirs fall back") {
+    val path = java.nio.file.Files.createTempDirectory("snapcnt").toString
+    Upsert.writeSnapshot(spark, path,
+      (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      (41L to 55L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("D", 5L, ""), ("I", 100L, "x")).toDF("op", "id", "v"),
+      Seq("id"), Seq("id"), "op")
+    val v = Upsert.latestVersion(spark, path)
+    assert(Upsert.countSnapshot(spark, path, v) ==
+      Upsert.readSnapshot(spark, path, v).count())
+    assert(Upsert.lastCountScanned.get().isEmpty,
+      s"every dir must answer from its sidecar: " +
+        s"${Upsert.lastCountScanned.get()}")
+    // Historical versions count too (their dirs keep their sidecars).
+    assert(Upsert.countSnapshot(spark, path, 1) == 40L)
+    // A dir without the sidecar line degrades to a scan of THAT dir.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/_snapshots",
+      "batch-2.stats"), false)
+    assert(Upsert.countSnapshot(spark, path, 2) == 55L)
+    assert(Upsert.lastCountScanned.get() == Seq("batch-2"),
+      s"only the statless dir scans: ${Upsert.lastCountScanned.get()}")
+  }
+
   test("wall-clock retention: expireSnapshotsOlderThan keeps every version a reader at ts could see") {
     val path = java.nio.file.Files.createTempDirectory("snapret").toString
     Upsert.writeSnapshot(spark, path,
