@@ -1355,6 +1355,31 @@ object ExtQueries {
       Seq(n).toDF("n_rows")
     }),
 
+    "q_snap_history" -> ((s, dir) => {
+      // DESCRIBE HISTORY at metadata cost: every version's dir count
+      // and row count, the counts answered from the __rows sidecars
+      // (required below — no scan). published_ms is wall-clock and
+      // excluded from the oracle'd columns.
+      val path = s"$RunScratch/graft_snap_hist_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 1), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.mergeSnapshot(s, path,
+        docs.filter(col("doc_id") % 100 === 3).withColumn("__op", lit("D")),
+        Seq("doc_id"), Seq("doc_id"), "__op")
+      val h = graft.ops.Upsert.snapshotHistory(s, path)
+        .select("version", "n_dirs", "n_rows").orderBy("version")
+      require(graft.ops.Upsert.lastCountScanned.get().isEmpty,
+        "history must count from sidecars alone")
+      h
+    }),
+
     "q_snap_changes" -> ((s, dir) => {
       // CHANGE FEED (Delta CDF read-side parity): v1 = the even docs;
       // v2 = a merge updating the %10==0 keys (+1000 chars), deleting
@@ -7689,6 +7714,20 @@ object ExtQueries {
     "q_snap_retention" ->
       """SELECT doc_id, source, n_chars FROM documents
          ORDER BY doc_id""",
+
+    // Version ledger of the three-publish fixture: v1 = evens (1 dir),
+    // v2 = + odds (2 dirs), v3 = the D-merge (both batch dirs
+    // rewritten + the empty landing dir = 3) minus the %100==3 keys.
+    "q_snap_history" ->
+      """SELECT CAST(1 AS INTEGER) AS version, CAST(1 AS INTEGER) AS n_dirs,
+           CAST(count(*) AS BIGINT) AS n_rows
+         FROM documents WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT 2, 2, CAST(count(*) AS BIGINT) FROM documents
+         UNION ALL
+         SELECT 3, 3, CAST(count(*) AS BIGINT) FROM documents
+         WHERE doc_id % 100 <> 3
+         ORDER BY version""",
 
     // Metadata-only count of the post-merge version: everything except
     // the deleted %100==3 keys.

@@ -2155,6 +2155,26 @@ object Upsert {
     * non-null). NULL-keyed rows are excluded (the sink's key ops are
     * null-rejecting; a NULL key cannot be addressed by any consumer
     * merge either). */
+  /** DESCRIBE HISTORY: one row per published version — (version,
+    * published_ms, n_dirs, n_rows) — at driver-metadata cost: publish
+    * stamps from the `v<N>.meta` sidecars ([[publishedAtMs]]), row
+    * counts from the `__rows` stats lines ([[countSnapshot]]; statless
+    * dirs degrade that version's row to a per-dir scan). The operator
+    * a 100 TB deployment points its dashboards at — no executor work
+    * on the sidecar path. */
+  def snapshotHistory(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsFor(spark, path)
+    require(fs.exists(snapDir(path)), s"no snapshot sink at $path")
+    import spark.implicits._
+    fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .sorted
+      .map(v => (v, publishedAtMs(spark, path, v),
+        manifestDirs(spark, path, v).size, countSnapshot(spark, path, v)))
+      .toDF("version", "published_ms", "n_dirs", "n_rows")
+  }
+
   /** Audit: the (from-only, to-only) dir lists the last
     * [[snapshotChanges]] actually read — spec hook for the
     * shared-dir pruning, not operator contract. */

@@ -1050,6 +1050,10 @@ class UpsertPartitionedSpec extends SparkSpec {
       }
       assert(latestState() == model,
         s"round $round state diverged (op class above)")
+      assert(Upsert.countSnapshot(spark, src,
+          Upsert.latestVersion(spark, src)) == model.size.toLong,
+        s"round $round metadata count diverged " +
+          s"(scanned ${Upsert.lastCountScanned.get()})")
       if (opClass == 4) { prevV = Upsert.latestVersion(spark, src)
                           prevModel = model }
       else checkChanges()
