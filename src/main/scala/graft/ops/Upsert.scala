@@ -359,8 +359,10 @@ object Upsert {
         case (k, tag, None) => s"$k\t$tag\tnone"
       // Total-row line (same aggregate, zero extra cost): lets
       // [[countSnapshot]] answer COUNT(*) from driver metadata. The
-      // "__" prefix can never collide with a key column the range
-      // consumers look up (keys are data column names).
+      // reserved tag "rows" disambiguates it from the RANGE line of a
+      // key column that happens to be named __rows (whose tag is
+      // always a data-type tag) — both readers match the full
+      // `__rows\trows\t` prefix.
       } ++ (if (totalRows >= 0) Seq(s"__rows\trows\t$totalRows") else Nil)
       if (lines.isEmpty) return
       val out = fs.create(statsPath(path, dirName), true)
@@ -403,7 +405,10 @@ object Upsert {
     val in = fs.open(p)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().filter(_.nonEmpty).toList finally in.close()
-    Some(lines.filterNot(_.startsWith("__rows\t")).map { l =>
+    // Drop only the reserved total line (tag "rows" — no data column
+    // can produce it); a key column actually NAMED __rows keeps its
+    // range line.
+    Some(lines.filterNot(_.startsWith("__rows\trows\t")).map { l =>
       val parts = l.split("\t", -1)
       if (parts(2) == "none") parts(0) -> (parts(1), None)
       else parts(0) -> (parts(1), Some((decodeStatValue(parts(1), parts(2)),
@@ -414,16 +419,23 @@ object Upsert {
   /** The `__rows` total of a dir's `.stats` sidecar — None when the
     * sidecar (or, for pre-r17 sidecars, the line) is absent. */
   private def readDirRowCount(spark: SparkSession, path: String,
-      dirName: String): Option[Long] = {
-    val fs = fsFor(spark, path)
-    val p = statsPath(path, dirName)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().filter(_.startsWith("__rows\t")).toList
-    finally in.close()
-    lines.headOption.map(_.split("\t", -1)(2).toLong)
-  }
+      dirName: String): Option[Long] =
+    try {
+      val fs = fsFor(spark, path)
+      val p = statsPath(path, dirName)
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      // Full-prefix match INCLUDING the reserved "rows" tag: a data
+      // column literally named __rows writes a range line
+      // `__rows\t<long|string|…>\t…` which must never be mistaken for
+      // the total (its tag can never be "rows"). Any truncation or
+      // corruption (the sidecar write is best-effort and non-atomic)
+      // degrades to None → per-dir scan, per the sidecar contract.
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.startsWith("__rows\trows\t")).toList
+      finally in.close()
+      lines.headOption.map(_.split("\t", -1)(2).trim.toLong)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Audit for [[countSnapshot]]: the dirs whose rows had to be
     * SCANNED (no `__rows` sidecar line) on the last call. Empty ⟺ the
@@ -514,27 +526,51 @@ object Upsert {
     * semantics would be unsound); None when nothing is boundable. */
   private def probeRangeFilter(schema: org.apache.spark.sql.types.StructType,
       pr: ProbeRanges): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType}
     val conds = pr.flatMap { case (k, tag, r) =>
       val scanTag = schema.fields.find(_.name == k)
         .flatMap(f => statTag(f.dataType))
       if (!scanTag.contains(tag)) None
       else r.map { case (lo, hi) =>
-        def toLit(v: Any) = tag match {
-          case "string" => lit(v.asInstanceOf[String])
-          case "date" => lit(java.time.LocalDate
-            .ofEpochDay(v.asInstanceOf[Long]))
-          case "ts" =>
-            val us = v.asInstanceOf[Long]
-            lit(java.time.Instant.ofEpochSecond(
-              java.lang.Math.floorDiv(us, 1000000L),
-              java.lang.Math.floorMod(us, 1000000L) * 1000L))
-          // Cast the LITERAL to the column's exact integral type (the
-          // value came from that column, so it fits): a long literal
-          // against an int column would wrap the ATTRIBUTE in a cast
-          // and lose parquet pushdown.
-          case _ => lit(v.asInstanceOf[Long]).cast(schema(k).dataType)
+        if (tag == "long") {
+          // The probe's values need NOT fit the scan column's integral
+          // type (the probe is the caller's frame — a long probe
+          // against an int sink is legal): CLAMP the bounds into the
+          // column's representable range, so the literal cast below is
+          // always lossless. A naive cast would WRAP (or throw under
+          // ANSI) and the wrapped box silently drops true matches —
+          // lost point-read rows, merge dirs misclassified clean,
+          // partial erasure. A probe range wholly outside the column's
+          // domain can match nothing: the filter is `false`.
+          val (tMin, tMax) = schema(k).dataType match {
+            case ByteType => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+            case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
+            case IntegerType => (Int.MinValue.toLong, Int.MaxValue.toLong)
+            case _ => (Long.MinValue, Long.MaxValue)
+          }
+          val loL = lo.asInstanceOf[Long]; val hiL = hi.asInstanceOf[Long]
+          if (loL > tMax || hiL < tMin) lit(false)
+          else {
+            // Literal cast (now provably lossless) keeps the column
+            // bare: a long literal against an int attribute would wrap
+            // the ATTRIBUTE in a cast and lose parquet pushdown.
+            def lc(v: Long) = lit(v).cast(schema(k).dataType)
+            col(k) >= lc(math.max(loL, tMin)) &&
+              col(k) <= lc(math.min(hiL, tMax))
+          }
+        } else {
+          def toLit(v: Any) = tag match {
+            case "string" => lit(v.asInstanceOf[String])
+            case "date" => lit(java.time.LocalDate
+              .ofEpochDay(v.asInstanceOf[Long]))
+            case _ => // "ts"
+              val us = v.asInstanceOf[Long]
+              lit(java.time.Instant.ofEpochSecond(
+                java.lang.Math.floorDiv(us, 1000000L),
+                java.lang.Math.floorMod(us, 1000000L) * 1000L))
+          }
+          col(k) >= toLit(lo) && col(k) <= toLit(hi)
         }
-        col(k) >= toLit(lo) && col(k) <= toLit(hi)
       }
     }
     conds.reduceOption(_ && _)
@@ -607,6 +643,22 @@ object Upsert {
       }
     }
   }
+
+  /** KEY-SORTED rewrite for compaction outputs: range-partition + sort
+    * by the sink's recorded keys, so the compacted dir's parquet
+    * footers carry tight, DISJOINT per-file/per-row-group key ranges.
+    * A big compact dir is exactly where the sidecar prune stages go
+    * blind (range = the whole domain, > bloom cap) — the sort is what
+    * lets every later probe's pushed bounding box skip row groups
+    * inside it. Cost: one range exchange riding a rewrite that already
+    * reads and writes its whole input. Identity when the sink has no
+    * recorded keys or a key column is absent. */
+  private def keySortedForFooters(df: DataFrame,
+      statKeys: Seq[String]): DataFrame =
+    if (statKeys.nonEmpty && statKeys.forall(df.columns.contains))
+      df.repartitionByRange(statKeys.map(col): _*)
+        .sortWithinPartitions(statKeys.map(col): _*)
+    else df
 
   /** The sink's key columns, persisted once so keyless ops (compaction)
     * can still record stats sidecars for the dirs they write. */
@@ -1056,21 +1108,28 @@ object Upsert {
     val pr = keyRanges(keyRows, keys.filter(keyRows.columns.contains))
     val candidates = pruneDirs(spark, path, baseDirs, keys, keyRows, Some(pr))
     lastProbedDirs.set(candidates)
-    // Schema PINNED to the key columns: the scan reads only the keys
-    // (ReadSchema = keys, not the dirs' full width), and a dir written
-    // before a key column existed surfaces NULL there (never matches —
-    // same as the mergeSchema union read did) instead of failing the
-    // select when no candidate carries the column. The batch's
-    // bounding box rides the scan as a PUSHED predicate: row groups
-    // outside the batch's key range are skipped by footer stats — the
-    // within-dir prune for dirs the sidecar stages must admit.
+    // mergeSchema union read, PROJECTED to the key columns: the scan
+    // still reads only the keys (Catalyst prunes ReadSchema to the
+    // select), but the column TYPES are the dirs' own — pinning the
+    // probe's schema instead crashes the vectorized reader when a
+    // batch arrives with a narrower key type (int batch vs a long
+    // sink); the anti join coerces the comparison. A key column absent
+    // from EVERY candidate dir can match nothing (null-rejecting
+    // join): the whole batch is fresh. The batch's bounding box rides
+    // the scan as a PUSHED predicate: row groups outside the batch's
+    // key range are skipped by footer stats — the within-dir prune for
+    // dirs the sidecar stages must admit.
     if (candidates.isEmpty) deduped
     else {
-      val scan0 = spark.read.schema(keyRows.schema)
+      val scan0 = spark.read.option("mergeSchema", "true")
         .parquet(candidates.map(d => s"$path/$d"): _*)
-      val scan = probeRangeFilter(keyRows.schema, pr)
-        .map(scan0.filter).getOrElse(scan0)
-      deduped.join(scan.distinct(), keys, "left_anti")
+      if (!keys.forall(scan0.columns.contains)) deduped
+      else {
+        val keyed = scan0.select(keys.map(col): _*)
+        val scan = probeRangeFilter(keyed.schema, pr)
+          .map(keyed.filter).getOrElse(keyed)
+        deduped.join(scan.distinct(), keys, "left_anti")
+      }
     }
   }
 
@@ -1559,22 +1618,8 @@ object Upsert {
       val baseDirs = manifestDirs(spark, path, cur)
       val absorbed = coverage(spark, path, baseDirs)
       val statKeys = recordedKeyCols(spark, path)
-      // KEY-SORTED rewrite: range-partition + sort by the sink's keys,
-      // so the compact dir's parquet footers carry tight, DISJOINT
-      // per-file/per-row-group key ranges. The big compact dir is
-      // exactly where the sidecar stages go blind (range = the whole
-      // domain, > bloom cap) — the sort is what lets every later
-      // probe's pushed bounding box skip row groups inside it. Cost:
-      // one range exchange on a rewrite that already reads and writes
-      // the corpus; at 100 TB the sort shuffle rides the job that was
-      // the price of compaction anyway.
-      val base = readSnapshot(spark, path, cur)
-      val compacted =
-        if (statKeys.nonEmpty && statKeys.forall(base.columns.contains))
-          base.repartitionByRange(statKeys.map(col): _*)
-            .sortWithinPartitions(statKeys.map(col): _*)
-        else base
-      compacted.write.mode("overwrite").parquet(s"$path/$dirName")
+      keySortedForFooters(readSnapshot(spark, path, cur), statKeys)
+        .write.mode("overwrite").parquet(s"$path/$dirName")
       // Record provenance BEFORE the manifest publish: a manifest
       // referencing a compact dir must never be readable without the
       // dir's absorbed set (reconciliation reasons over it).
@@ -1584,7 +1629,12 @@ object Upsert {
       finally out.close()
       if (statKeys.nonEmpty) writeKeyStats(spark, path, dirName, statKeys)
       compactPreLockHook()
-      val lock = acquireRewriterLock(fs, path, "compactSnapshots")
+      val lock = try acquireRewriterLock(fs, path, "compactSnapshots")
+        catch { case e: LockHeldException =>
+          fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
+          deleteDirSidecars(fs, path, dirName)
+          throw e
+        }
       try {
         val latestNow = latestVersion(spark, path)
         val latestDirs = manifestDirs(spark, path, latestNow)
@@ -1686,21 +1736,22 @@ object Upsert {
       // small (that's its definition), so the sort is cheap — and the
       // pack dir's footers stay probe-skippable instead of smearing
       // the trickle batches' keys across every row group.
-      val packed0 = spark.read.option("mergeSchema", "true")
-        .parquet(smalls.map(d => s"$path/$d"): _*)
-      val packed =
-        if (statKeys.nonEmpty && statKeys.forall(packed0.columns.contains))
-          packed0.repartitionByRange(statKeys.map(col): _*)
-            .sortWithinPartitions(statKeys.map(col): _*)
-        else packed0
-      packed.write.mode("overwrite").parquet(s"$path/$dirName")
+      keySortedForFooters(
+          spark.read.option("mergeSchema", "true")
+            .parquet(smalls.map(d => s"$path/$d"): _*), statKeys)
+        .write.mode("overwrite").parquet(s"$path/$dirName")
       val af = absorbedPath(path, dirName)
       val out = fs.create(af, true)
       try out.write(absorbed.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
       if (statKeys.nonEmpty) writeKeyStats(spark, path, dirName, statKeys)
       compactPreLockHook()
-      val lock = acquireRewriterLock(fs, path, "compactSmallDirs")
+      val lock = try acquireRewriterLock(fs, path, "compactSmallDirs")
+        catch { case e: LockHeldException =>
+          fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
+          deleteDirSidecars(fs, path, dirName)
+          throw e
+        }
       try {
         val latestNow = latestVersion(spark, path)
         val latestDirs = manifestDirs(spark, path, latestNow)
@@ -1915,11 +1966,18 @@ object Upsert {
         Some(iPr))
       lastPresentDirs.set(presentDirs)
       val freshI =
-        if (presentDirs.isEmpty) iRows
+        if (presentDirs.isEmpty || !keys.forall(snapshotSchema.fieldNames.contains))
+          iRows
         else {
-          val pScan0 = spark.read.schema(iKeys.schema)
+          // SINK-typed key schema (from the snapshot's own union
+          // schema, already computed): pinning the probe's types would
+          // crash the reader on a narrower-typed batch; the anti join
+          // coerces the comparison.
+          val pSchema = org.apache.spark.sql.types.StructType(
+            keys.map(k => snapshotSchema(snapshotSchema.fieldIndex(k))))
+          val pScan0 = spark.read.schema(pSchema)
             .parquet(presentDirs.map(d => s"$path/$d"): _*)
-          val pScan = probeRangeFilter(iKeys.schema, iPr)
+          val pScan = probeRangeFilter(pSchema, iPr)
             .map(pScan0.filter).getOrElse(pScan0)
           iRows.join(pScan.distinct(), keys, "left_anti")
         }
@@ -1929,7 +1987,19 @@ object Upsert {
       recordKeyCols(spark, path, keys)
       writeKeyStats(spark, path, mergeDir, keys)
       mergePreLockHook()
-      val lock = acquireRewriterLock(fs, path, "mergeSnapshot")
+      // A rival taking the lock inside the rewrite→acquire window
+      // throws LockHeldException here; without cleanup every such
+      // collision (the streaming CDC sink retries them routinely)
+      // would strand a full set of rewritten dirs for the offline
+      // vacuum — delete the orphans before propagating.
+      val lock = try acquireRewriterLock(fs, path, "mergeSnapshot")
+        catch { case e: LockHeldException =>
+          (rewriteNames :+ mergeDir).foreach { d =>
+            fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
+            deleteDirSidecars(fs, path, d)
+          }
+          throw e
+        }
       try {
         val latestNow = latestVersion(spark, path)
         val latestDirs = manifestDirs(spark, path, latestNow)
@@ -2104,12 +2174,14 @@ object Upsert {
       tsMs: Long): Int = {
     val fs = fsFor(spark, path)
     require(fs.exists(snapDir(path)), s"no snapshot sink at $path")
-    val any = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
-      .exists(n => n.startsWith("v") && n.endsWith(".list") &&
-        publishedAtMs(spark, path,
-          n.stripPrefix("v").stripSuffix(".list").toInt) <= tsMs)
-    if (!any) return 0
-    expireSnapshots(spark, path, versionAsOf(spark, path, tsMs))
+    // One stamp pass serves both the nothing-to-expire guard and the
+    // as-of horizon (versionAsOf would re-open every v<N>.meta).
+    val at = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .filter(v => publishedAtMs(spark, path, v) <= tsMs)
+    if (at.isEmpty) return 0
+    expireSnapshots(spark, path, at.max)
   }
 
   /** The rows ADDED between two snapshots, diffed by PROVENANCE, not

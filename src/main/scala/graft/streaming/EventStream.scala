@@ -947,7 +947,20 @@ object EventStream {
     fs.mkdirs(markerDir)
     def marker(id: Long) =
       new org.apache.hadoop.fs.Path(markerDir, s"b$id.done")
-    val all = spark.read.parquet(quarantinePath)
+    // mergeSchema: the quarantine accumulates heterogeneous refused
+    // batches over the stream's life — schema drift is exactly why
+    // batches land here, and a single-footer read would silently drop
+    // a later batch's added columns on the blessed replay. An empty or
+    // marker-only quarantine (underscore paths are invisible to the
+    // read) is a no-op, not a schema-inference crash.
+    val all =
+      try spark.read.option("mergeSchema", "true").parquet(quarantinePath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null &&
+              e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+          return Nil
+      }
     // Bounded driver set: one id per refused micro-batch, the same
     // metadata class as the sink's manifest listings.
     val present = all.select(col("__batch_id")).distinct()

@@ -942,6 +942,15 @@ class StreamingSpec extends SparkSpec {
     assert(again.isEmpty && Upsert.readSnapshot(spark, path,
       Upsert.latestVersion(spark, path)).count() == 41,
       "a consumed batch never replays twice")
+    // A never-populated quarantine (or one holding only _replayed
+    // markers, invisible to the parquet read) is a no-op, not a
+    // schema-inference crash.
+    val emptyQ = java.nio.file.Files.createTempDirectory("gss_eq")
+      .toString + "/q"
+    new java.io.File(emptyQ, "_replayed").mkdirs()
+    assert(EventStream.replayQuarantine(spark, emptyQ, path,
+      Seq(0L), Seq("id"), Seq("id"),
+      maxNullRateJump = 0.1, maxRowGrowthPct = 1000.0).isEmpty)
   }
 
   test("streaming funnel finalizes to the batch funnel; pre-step events ignored") {

@@ -1540,6 +1540,100 @@ class UpsertPartitionedSpec extends SparkSpec {
       s"only the statless dir scans: ${Upsert.lastCountScanned.get()}")
   }
 
+  test("probe bounds clamp to the scan column's integral range — no wrap, no lost matches") {
+    // Int-keyed sink probed with LONGS beyond the int domain: the
+    // pushed bounding box must clamp (a naive literal cast wraps, the
+    // box goes empty, and the stored row silently vanishes from point
+    // reads and erasures).
+    val path = java.nio.file.Files.createTempDirectory("snapclamp").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((10, "a"), (20, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    val got = Upsert.readSnapshotForKeys(spark, path, 1,
+      Seq(10L, 3000000000L).toDF("id"), Seq("id"))
+      .as[(Int, String)].collect().toSeq
+    assert(got == Seq((10, "a")),
+      s"long probe on an int sink must still find the row: $got")
+    // A probe range wholly ABOVE the int domain matches nothing.
+    assert(Upsert.readSnapshotForKeys(spark, path, 1,
+      Seq(3000000000L, 4000000000L).toDF("id"), Seq("id")).isEmpty)
+    // Erasure with a long-typed doomed frame reaches the int row.
+    Upsert.eraseKeys(spark, path, Seq(Tuple1(20L)).toDF("id"), Seq("id"))
+    assert(Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Int, String)]
+      .collect().toSeq == Seq((10, "a")))
+  }
+
+  test("a lock collision after the lock-free rewrites leaves no orphan dirs") {
+    val path = java.nio.file.Files.createTempDirectory("snaplock").toString
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val lockPath = new org.apache.hadoop.fs.Path(path + "/_snapshots",
+      "compact.lock")
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    def dataDirs() = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_"))
+      .sorted.toSeq
+    // A rival takes the lock inside the rewrite→acquire window: the
+    // merge must clean up its rewritten dirs before propagating the
+    // typed collision (the CDC sink retries these routinely — leaking
+    // a rewrite set per collision would bloat the sink until vacuum).
+    Upsert.mergePreLockHook = () => fs.create(lockPath, false).close()
+    try intercept[graft.ops.LockHeldException] {
+      Upsert.mergeSnapshot(spark, path,
+        Seq(("U", 1L, "A2")).toDF("op", "id", "v"),
+        Seq("id"), Seq("id"), "op")
+    } finally Upsert.mergePreLockHook = () => ()
+    assert(dataDirs() == Seq("batch-1"),
+      s"no merge orphans may survive the collision: ${dataDirs()}")
+    fs.delete(lockPath, false)
+    // Same for the compactors' pack/compact dirs.
+    Upsert.compactPreLockHook = () => fs.create(lockPath, false).close()
+    try intercept[graft.ops.LockHeldException] {
+      Upsert.compactSnapshots(spark, path)
+    } finally Upsert.compactPreLockHook = () => ()
+    assert(dataDirs() == Seq("batch-1"),
+      s"no compact orphans may survive: ${dataDirs()}")
+    fs.delete(lockPath, false)
+    // The sink still works after both collisions.
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 1L, "A2")).toDF("op", "id", "v"), Seq("id"), Seq("id"), "op")
+    assert(Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Long, String)]
+      .collect().toSet == Set((1L, "A2"), (2L, "b")))
+  }
+
+  test("sidecar robustness: corrupt __rows degrades to a scan; a key column named __rows never lies") {
+    val path = java.nio.file.Files.createTempDirectory("snaprb").toString
+    Upsert.writeSnapshot(spark, path,
+      (1L to 7L).map(i => (i, s"v$i")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // Truncate the total line mid-number (the sidecar write is
+    // best-effort and non-atomic): count must fall back to scanning
+    // that dir, never throw.
+    val statsFile = new java.io.File(path + "/_snapshots", "batch-1.stats")
+    val lines = scala.io.Source.fromFile(statsFile).getLines().toList
+    val w = new java.io.FileWriter(statsFile)
+    try w.write(lines.map(l =>
+      if (l.startsWith("__rows\trows\t")) "__rows\trows\t" else l)
+      .mkString("\n"))
+    finally w.close()
+    assert(Upsert.countSnapshot(spark, path, 1) == 7L)
+    assert(Upsert.lastCountScanned.get() == Seq("batch-1"),
+      s"corrupt total must scan: ${Upsert.lastCountScanned.get()}")
+    // A sink KEYED on a column literally named __rows: its range line
+    // must neither be dropped (pruning keeps working) nor be mistaken
+    // for a total (tags disambiguate).
+    val p2 = java.nio.file.Files.createTempDirectory("snaprb2").toString
+    Upsert.writeSnapshot(spark, p2,
+      Seq((100L, "x"), (200L, "y")).toDF("__rows", "v"),
+      Seq("__rows"), Seq("__rows"))
+    assert(Upsert.countSnapshot(spark, p2, 1) == 2L)
+    val got = Upsert.readSnapshotForKeys(spark, p2, 1,
+      Seq(Tuple1(100L)).toDF("__rows"), Seq("__rows"))
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((100L, "x")))
+  }
+
   test("wall-clock retention: expireSnapshotsOlderThan keeps every version a reader at ts could see") {
     val path = java.nio.file.Files.createTempDirectory("snapret").toString
     Upsert.writeSnapshot(spark, path,
