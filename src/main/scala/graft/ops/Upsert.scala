@@ -383,13 +383,18 @@ object Upsert {
       } catch { case scala.util.control.NonFatal(_) => () }
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Opens the sidecar DIRECTLY — no exists() precheck. The only
+    * caller ([[pruneDirs]]) has already established existence for its
+    * `withBloom` set, so a second exists() here doubled the metadata
+    * RPCs per bloom-bearing dir — the cost class the hoisted check was
+    * added to avoid on object stores. A missing/corrupt file lands in
+    * the catch and degrades to "always probe", per the sidecar
+    * contract. */
   private def readKeyBloom(spark: SparkSession, path: String,
       dirName: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
     val fs = fsFor(spark, path)
-    val p = bloomPath(path, dirName)
-    if (!fs.exists(p)) None
-    else try {
-      val in = fs.open(p)
+    try {
+      val in = fs.open(bloomPath(path, dirName))
       try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
       finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -2210,6 +2215,43 @@ object Upsert {
       .parquet(dirs.map(d => s"$path/$d"): _*)
   }
 
+  /** DESCRIBE HISTORY: one row per published version — (version,
+    * published_ms, n_dirs, n_rows) — at driver-metadata cost: publish
+    * stamps from the `v<N>.meta` sidecars ([[publishedAtMs]]), row
+    * counts from the `__rows` stats lines ([[countSnapshot]]; statless
+    * dirs degrade that version's row to a per-dir scan). The operator
+    * a 100 TB deployment points its dashboards at — no executor work
+    * on the sidecar path. */
+  def snapshotHistory(spark: SparkSession, path: String): DataFrame = {
+    val fs = fsFor(spark, path)
+    require(fs.exists(snapDir(path)), s"no snapshot sink at $path")
+    import spark.implicits._
+    // The scanned-dirs audit must cover EVERY version's count, not just
+    // the final loop iteration's (countSnapshot resets the slot per
+    // call) — otherwise "history counted from sidecars alone" asserts
+    // only the newest version and an earlier one silently falling back
+    // to a scan would pass.
+    val scannedUnion = scala.collection.mutable.ArrayBuffer.empty[String]
+    val rows = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .sorted
+      .map { v =>
+        val r = (v, publishedAtMs(spark, path, v),
+          manifestDirs(spark, path, v).size, countSnapshot(spark, path, v))
+        scannedUnion ++= lastCountScanned.get()
+        r
+      }
+    lastCountScanned.set(scannedUnion.distinct.toSeq)
+    rows.toDF("version", "published_ms", "n_dirs", "n_rows")
+  }
+
+  /** Audit: the (from-only, to-only) dir lists the last
+    * [[snapshotChanges]] actually read — spec hook for the
+    * shared-dir pruning, not operator contract. */
+  private[graft] val lastDiffDirs =
+    new java.util.concurrent.atomic.AtomicReference[(Seq[String], Seq[String])]((Nil, Nil))
+
   /** CHANGE FEED between two snapshot versions — the exact row-level
     * I/U/D set a CDC consumer needs (Delta CDF's read side, derived by
     * KEY DIFF rather than stored change files, so it works across any
@@ -2227,32 +2269,6 @@ object Upsert {
     * non-null). NULL-keyed rows are excluded (the sink's key ops are
     * null-rejecting; a NULL key cannot be addressed by any consumer
     * merge either). */
-  /** DESCRIBE HISTORY: one row per published version — (version,
-    * published_ms, n_dirs, n_rows) — at driver-metadata cost: publish
-    * stamps from the `v<N>.meta` sidecars ([[publishedAtMs]]), row
-    * counts from the `__rows` stats lines ([[countSnapshot]]; statless
-    * dirs degrade that version's row to a per-dir scan). The operator
-    * a 100 TB deployment points its dashboards at — no executor work
-    * on the sidecar path. */
-  def snapshotHistory(spark: SparkSession, path: String): DataFrame = {
-    val fs = fsFor(spark, path)
-    require(fs.exists(snapDir(path)), s"no snapshot sink at $path")
-    import spark.implicits._
-    fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-        n.stripPrefix("v").stripSuffix(".list").toInt }
-      .sorted
-      .map(v => (v, publishedAtMs(spark, path, v),
-        manifestDirs(spark, path, v).size, countSnapshot(spark, path, v)))
-      .toDF("version", "published_ms", "n_dirs", "n_rows")
-  }
-
-  /** Audit: the (from-only, to-only) dir lists the last
-    * [[snapshotChanges]] actually read — spec hook for the
-    * shared-dir pruning, not operator contract. */
-  private[graft] val lastDiffDirs =
-    new java.util.concurrent.atomic.AtomicReference[(Seq[String], Seq[String])]((Nil, Nil))
-
   def snapshotChanges(spark: SparkSession, path: String,
       fromVersion: Int, toVersion: Int, keys: Seq[String],
       opCol: String = "op"): DataFrame = {
@@ -2284,6 +2300,13 @@ object Upsert {
     val newDf = readDirs(newOnly)
     val cols = (oldDf.columns ++ newDf.columns).distinct
       .filterNot(keys.contains).toSeq
+    // A DATA column named like the op column would make the final
+    // select emit two `op` columns (the computed op next to the
+    // renamed-back data column) — ambiguous for every downstream
+    // consumer. Refuse loudly; the caller picks a free name.
+    require(!cols.contains(opCol) && !keys.contains(opCol),
+      s"snapshotChanges: the sink already has a column named '$opCol' — " +
+        "pass a different opCol")
     def prep(df: DataFrame, marker: String, prefix: String) = {
       val withMissing = cols.foldLeft(df)((d, c) =>
         if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
@@ -2306,24 +2329,46 @@ object Upsert {
           .otherwise(col(s"__n_$c")).as(c)): _*)
   }
 
-  /** Hygiene sweep for ORPHANED data dirs: a writer that crashed
-    * between its parquet write and its manifest publish leaves a
-    * batch/merge/compact/rewrite dir no manifest will ever reference —
-    * invisible to readers, but it holds disk and pollutes listings
-    * forever ([[expireSnapshots]] only reclaims dirs old manifests
-    * referenced). Deletes every top-level data dir absent from ALL
-    * published manifests, plus its `.absorbed` record.
+  /** Hygiene sweep for ORPHANED data dirs, OFFLINE form: deletes every
+    * top-level data dir absent from ALL published manifests with no
+    * grace window. An in-flight APPENDER or lock-free rewriter has
+    * written dirs but not yet its manifest — exactly the orphan
+    * signature — so this zero-grace form is safe only while no writers
+    * are active (the same operational class as a quiesced
+    * [[eraseKeys]]). For a LIVE fleet use the graced overload. */
+  def vacuumOrphans(spark: SparkSession, path: String): Int =
+    vacuumOrphans(spark, path, 0L)
+
+  /** Reclaim data dirs referenced by NO published manifest — the leak
+    * [[expireSnapshots]] cannot see (it computes doomed dirs from
+    * expired manifests, and a never-published dir is in none). The
+    * lock-free rewrite discipline is exactly what creates them: a merge
+    * or compaction that CRASHES after its claim-named rewrites
+    * (`<dir>-m<v>`, `compact-<v>`, `batch-<v>`, `merge-<v>`, …) but
+    * before its publish leaves rewrite-sized dirs nothing will ever
+    * reference or delete — at the 100 TB design point with a writer
+    * fleet, an unbounded storage leak.
     *
-    * OFFLINE op under the rewriter lock, and the lock is not enough on
-    * its own: an in-flight APPENDER has written its dir but not yet its
-    * manifest — exactly the orphan signature — so run this only while
-    * no writers are active (the same operational class as
-    * [[eraseKeys]]). Returns the number of dirs reclaimed. */
-  def vacuumOrphans(spark: SparkSession, path: String): Int = {
+    * `minAgeMs` is the GRACE WINDOW that distinguishes a crash's debris
+    * from an in-flight writer's not-yet-published dirs: only dirs whose
+    * NEWEST content mtime (the dir entry and its files — a rewrite
+    * still receiving part files is young by construction) is older than
+    * the window are reclaimed. The operator contract is the same as
+    * Delta VACUUM's retention horizon: `minAgeMs` MUST exceed the
+    * longest rewrite-plus-publish any writer runs, or the sweep can
+    * eat a slow writer's pending dirs (its publish would then reference
+    * deleted data). A listing failure on a candidate counts as "young"
+    * — never delete blind. Holds the rewriter lock for the scan +
+    * deletes (metadata cost), so the manifest set cannot move under the
+    * sweep; rewriters' lock-free phases are unaffected and their short
+    * critical sections just queue behind it. Returns dirs reclaimed. */
+  def vacuumOrphans(spark: SparkSession, path: String,
+      minAgeMs: Long): Int = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
     val lock = acquireRewriterLock(fs, path, "vacuumOrphans")
     try {
+      val now = System.currentTimeMillis()
       val versions = fs.listStatus(snapDir(path)).toSeq
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
@@ -2331,8 +2376,19 @@ object Upsert {
       val referenced = versions
         .flatMap(v => manifestDirs(spark, path, v)).toSet
       val orphans = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        .toSeq.filter(_.isDirectory).map(_.getPath.getName)
-        .filterNot(_ == "_snapshots").filterNot(referenced)
+        .toSeq.filter(_.isDirectory)
+        .filterNot(st => st.getPath.getName == "_snapshots")
+        .filterNot(st => referenced(st.getPath.getName))
+        .filter { st =>
+          minAgeMs <= 0L || {
+            val newest =
+              try (st.getModificationTime +: fs.listStatus(st.getPath)
+                .toSeq.map(_.getModificationTime)).max
+              catch { case scala.util.control.NonFatal(_) => now }
+            now - newest >= minAgeMs
+          }
+        }
+        .map(_.getPath.getName)
       orphans.foreach { d =>
         fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
         deleteDirSidecars(fs, path, d)

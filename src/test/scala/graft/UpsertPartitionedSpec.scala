@@ -272,6 +272,64 @@ class UpsertPartitionedSpec extends SparkSpec {
     assert(Upsert.vacuumOrphans(spark, path) == 0, "idempotent")
   }
 
+  test("vacuumOrphans with grace: a crashed rewriter's claim-named dirs reclaim after the window, not before") {
+    val path = java.nio.file.Files.createTempDirectory("snapvacg").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((3L, "c")).toDF("id", "v"), Seq("id"), Seq("id"))
+    val before = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(_.startsWith("_")).toSet
+    // A merge CRASHES between its lock-free rewrites and its lock
+    // acquisition — the exact window the r16/r17 critical-section
+    // shrink opened. Its touched-dir rewrite (batch-1-m*) and landing
+    // dir (merge-*) are on disk, referenced by NO manifest, and
+    // nothing in the protocol will ever delete them.
+    Upsert.mergePreLockHook =
+      () => throw new RuntimeException("injected rewriter crash")
+    try {
+      intercept[RuntimeException] {
+        Upsert.mergeSnapshot(spark, path,
+          Seq(("U", 2L, "B2"), ("I", 9L, "i")).toDF("op", "id", "v"),
+          Seq("id"), Seq("id"), "op")
+      }
+    } finally Upsert.mergePreLockHook = () => ()
+    val after = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(_.startsWith("_")).toSet
+    val leaked = after -- before
+    assert(leaked.nonEmpty && leaked.forall(d =>
+        d.contains("-m") || d.startsWith("merge-")),
+      s"crash must leak rewrite-class orphans: $leaked")
+    // expireSnapshots CANNOT see them (they are in no manifest) — the
+    // gap the graced vacuum exists for.
+    // Inside the grace window the orphans are indistinguishable from an
+    // in-flight rewriter's pending dirs: nothing reclaims.
+    assert(Upsert.vacuumOrphans(spark, path, minAgeMs = 3600L * 1000) == 0,
+      "young orphans survive the grace window")
+    assert(leaked.forall(d => new java.io.File(path, d).exists()))
+    // Past the window (0 here — the fixture can't wait an hour) the
+    // sweep reclaims EXACTLY the crash debris.
+    assert(Upsert.vacuumOrphans(spark, path, minAgeMs = 0L) == leaked.size,
+      "graced vacuum reclaims exactly the crashed rewriter's dirs")
+    assert(leaked.forall(d => !new java.io.File(path, d).exists()))
+    // Readers and a subsequent merge are unaffected: the retried merge
+    // lands on the intact base.
+    assert(Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "pre-crash content intact after vacuum")
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 2L, "B2"), ("I", 9L, "i")).toDF("op", "id", "v"),
+      Seq("id"), Seq("id"), "op")
+    assert(Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).as[(Long, String)]
+      .collect().toSet ==
+        Set((1L, "a"), (2L, "B2"), (3L, "c"), (9L, "i")),
+      "post-vacuum merge applies cleanly")
+  }
+
   test("eraseKeys: subject gone from EVERY version, originals deleted, sink keeps working") {
     val path = java.nio.file.Files.createTempDirectory("snaperase").toString
     Upsert.writeSnapshot(spark, path,
