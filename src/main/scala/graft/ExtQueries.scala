@@ -1436,6 +1436,107 @@ object ExtQueries {
       graft.ops.Upsert.readSnapshot(s, path, v).orderBy("doc_id")
     }),
 
+    "q_snap_changes_compacted" -> ((s, dir) => {
+      // CHANGE FEED ACROSS A FULL COMPACTION, at O(changes) cost: the
+      // span v1→v4 crosses a compactSnapshots boundary, where the
+      // key-diff degrades to joining both full corpora (every dir
+      // renamed). The write-time change records compose instead — the
+      // in-query require pins the recorded path (no version dirs read
+      // by the feed); the oracle pins the exact endpoint I/U/D set.
+      val path = s"$RunScratch/graft_snap_cdr_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("__op", lit("U"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("__op", lit("D")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("__op", lit("I")))
+      graft.ops.Upsert.mergeSnapshot(s, path, changes,
+        Seq("doc_id"), Seq("doc_id"), "__op")           // v2: the merge
+      graft.ops.Upsert.compactSnapshots(s, path)        // v3: boundary
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 10 === 5),
+        Seq("doc_id"), Seq("doc_id"))                   // v4: append
+      val out = graft.ops.Upsert.snapshotChanges(s, path, 1, 4,
+        Seq("doc_id")).orderBy("doc_id")
+      val mode = graft.ops.Upsert.lastChangesMode.get()
+      require(mode == "recorded:2,3,4",
+        s"feed ran '$mode' — the recorded composition regressed to the " +
+          "key-diff (full-corpus join across the compaction)")
+      val (oldSide, newSide) = graft.ops.Upsert.lastDiffDirs.get()
+      require(oldSide.isEmpty && newSide.isEmpty,
+        s"recorded feed must read no version dirs: $oldSide / $newSide")
+      out
+    }),
+
+    "q_snap_skip" -> ((s, dir) => {
+      // VALUE-COLUMN data skipping: the sink's two dirs separate on a
+      // declared skip column (score = doc_id % 100) while their KEY
+      // ranges fully overlap — key stats cannot prune, the value box
+      // can. A bounded read [600,700] must open ONLY the high-score
+      // dir — required via the probe audit — while both dirs' doc_id
+      // KEY ranges interleave across the whole domain (key stats alone
+      // cannot prune); the oracle pins the exact filtered rows, which
+      // a wrong candidate set would lose. Bounds [60,70] sit inside
+      // the high band at every SF (doc_id is dense from 0).
+      val path = s"$RunScratch/graft_snap_skip_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("score", col("doc_id") % 100)
+      graft.ops.Upsert.declareSkipCols(s, path, Seq("score"))
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("score") < 50), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("score") >= 50), Seq("doc_id"), Seq("doc_id"))
+      val out = graft.ops.Upsert.readSnapshotWhere(s, path, 2,
+        Map("score" -> ((60L, 70L)))).orderBy("doc_id")
+      val probed = graft.ops.Upsert.lastProbedDirs.get()
+      require(probed == Seq("batch-2"),
+        s"bounded read probed $probed, expected only batch-2 — " +
+          "value-column skipping regressed")
+      out
+    }),
+
+    "q_snap_rename" -> ((s, dir) => {
+      // DECLARED schema evolution as metadata: after renameColumn +
+      // addColumn, old dirs heal at read time (n_chars surfaces as
+      // len), a producer still emitting the dead name is normalized
+      // into the live column (required structurally below — no fork),
+      // and the added column reads as typed NULL. Zero data rewritten.
+      val path = s"$RunScratch/graft_snap_ren_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.renameColumn(s, path, "n_chars", "len")
+      graft.ops.Upsert.addColumn(s, path, "lang",
+        org.apache.spark.sql.types.StringType)
+      // The odd batch still uses the DEAD name — write-side
+      // normalization must land it under `len`.
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 1), Seq("doc_id"), Seq("doc_id"))
+      val b2 = s.read.parquet(s"$path/batch-2").columns.toSeq
+      require(b2.contains("len") && !b2.contains("n_chars"),
+        s"dead-name batch forked the physical schema: $b2")
+      graft.ops.Upsert.readSnapshot(s, path, 2)
+        .select("doc_id", "source", "len", "lang").orderBy("doc_id")
+    }),
+
     "q_markov_transitions" -> ((s, dir) => {
       // First-order journey chain over the events stream: per user,
       // conversions close journeys; exact (from, to) transition counts
@@ -7755,6 +7856,42 @@ object ExtQueries {
     // no-drift a recompute would — and land the whole table.
     "q_gate_incremental" ->
       """SELECT doc_id, source, n_chars FROM documents
+         ORDER BY doc_id""",
+
+    // Endpoint diff of the v1→v4 span (merge, compaction, append),
+    // composed from write-time records: inserts are the %10==1 odds
+    // (merge) and %10==5 odds (append), deletes carry the OLD %10==2
+    // rows, updates the NEW (+1000) %10==0 rows; the compaction
+    // contributes nothing (pure repackaging); untouched evens absent.
+    "q_snap_changes_compacted" ->
+      """SELECT 'I' AS op, doc_id, source, n_chars FROM documents
+         WHERE doc_id % 10 = 1
+         UNION ALL
+         SELECT 'I', doc_id, source, n_chars FROM documents
+         WHERE doc_id % 10 = 5
+         UNION ALL
+         SELECT 'D', doc_id, source, n_chars FROM documents
+         WHERE doc_id % 10 = 2
+         UNION ALL
+         SELECT 'U', doc_id, source,
+           CAST(n_chars + 1000 AS BIGINT) FROM documents
+         WHERE doc_id % 10 = 0
+         ORDER BY doc_id""",
+
+    // The bounded read equals a plain filter on the logical table —
+    // dir pruning changes what is OPENED, never what is returned.
+    "q_snap_skip" ->
+      """SELECT doc_id, source, n_chars, doc_id % 100 AS score
+         FROM documents
+         WHERE doc_id % 100 BETWEEN 60 AND 70
+         ORDER BY doc_id""",
+
+    // Declared evolution is a read-time projection: the whole table
+    // under the renamed column, the added column as NULL.
+    "q_snap_rename" ->
+      """SELECT doc_id, source, n_chars AS len,
+           CAST(NULL AS VARCHAR) AS lang
+         FROM documents
          ORDER BY doc_id""",
 
     // Per-column drift between the full corpus (v2) and the even half

@@ -250,18 +250,27 @@ object Upsert {
     case _ => throw new IllegalStateException(s"stat type mismatch: $a / $b")
   }
 
-  /** Per-key-column (tag, min, max) of `df` — None per column with no
-    * non-null values — PLUS the count of rows with every key column
-    * non-null (the bloom sidecar's sizing input, folded into the same
-    * aggregate so a sidecar write costs one range pass, not a range
-    * pass plus a count pass). ONE narrow aggregate over the key
-    * columns. Count is 0 when no column has a supported stat type (the
-    * early return — no stats means no bloom either, by contract). */
+  /** Per-column (tag, min, max) of `df` over `statCols` — None per
+    * column with no non-null values — PLUS the count of rows with
+    * every `nnCols` column non-null (the bloom sidecar's sizing input,
+    * folded into the same aggregate so a sidecar write costs one range
+    * pass, not a range pass plus a count pass). ONE narrow aggregate.
+    * Count is 0 when no column has a supported stat type (the early
+    * return — no stats means no bloom either, by contract). `statCols`
+    * = keys for probes; the sidecar writer extends it with declared
+    * skip columns at zero extra passes. */
   private[graft] def keyRangesWithCount(df: DataFrame, keys: Seq[String])
+      : (Seq[(String, String, Option[(Any, Any)])], Long, Long) =
+    keyRangesWithCount(df, keys, keys)
+
+  private[graft] def keyRangesWithCount(df: DataFrame,
+      statCols: Seq[String], nnCols: Seq[String])
       : (Seq[(String, String, Option[(Any, Any)])], Long, Long) = {
-    val tagged = keys.flatMap(k => statTag(df.schema(k).dataType).map(k -> _))
+    val tagged = statCols.flatMap(k =>
+      statTag(df.schema(k).dataType).map(k -> _))
     if (tagged.isEmpty) return (Nil, 0L, -1L)
-    val nnPred = keys.map(col(_).isNotNull).reduce(_ && _)
+    val nnPred = nnCols.map(col(_).isNotNull)
+      .reduceOption(_ && _).getOrElse(lit(true))
     val aggs = tagged.flatMap { case (k, _) =>
       Seq(min(col(k)).as(s"__lo_$k"), max(col(k)).as(s"__hi_$k")) } :+
       count(when(nnPred, lit(1))).as("__nn") :+
@@ -347,12 +356,30 @@ object Upsert {
     try {
       val fs = fsFor(spark, path)
       val df = spark.read.parquet(s"$path/$dirName")
+      // GATED sinks ([[gateMarkerPath]] present): stamp the dir's
+      // drift profile here, where every dir write in the sink already
+      // converges (appends, merge rewrites + landings, compaction
+      // outputs, erasure rewrites, heals) — one extra pass over the
+      // NEW dir, and the gate never re-reads published data. Before
+      // the key-presence bail: a dir without the key columns still
+      // profiles (the gate covers all columns, not just keys).
+      try {
+        if (fs.exists(gateMarkerPath(path))) {
+          val (rows, m) = profileSketch(df)
+          writeProfileFile(fs, dirProfilePath(path, dirName), rows, m)
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
       val present = keys.filter(df.columns.contains)
       if (present.size != keys.size) return
       // Ranges and the fully-keyed row count in ONE pass (the count
       // sizes the bloom); the bloom build is the only second pass —
       // two scans of the NEW dir per sidecar write, down from three.
-      val (ranges, n, totalRows) = keyRangesWithCount(df, present)
+      // Declared skip columns ride the SAME aggregate (a few extra
+      // min/max columns, zero extra passes); the non-null count stays
+      // keyed to the key columns (it sizes the key bloom).
+      val statCols = present ++ recordedSkipCols(spark, path)
+        .filter(df.columns.contains).filterNot(present.contains)
+      val (ranges, n, totalRows) = keyRangesWithCount(df, statCols, present)
       val lines = ranges.map {
         case (k, tag, Some((lo, hi))) =>
           s"$k\t$tag\t${encodeStatValue(tag, lo)}\t${encodeStatValue(tag, hi)}"
@@ -493,6 +520,7 @@ object Upsert {
     fs.delete(statsPath(path, dirName), false)
     fs.delete(bloomPath(path, dirName), false)
     fs.delete(legacyBloomPath(path, dirName), false)
+    fs.delete(dirProfilePath(path, dirName), false)
   }
 
   /** The subset of `dirs` whose recorded key ranges can overlap
@@ -687,6 +715,240 @@ object Upsert {
         .getLines().filter(_.nonEmpty).toList
       finally in.close()
     }
+  }
+
+  // ── value-column data skipping ──────────────────────────────────
+  // Key-range sidecars prune KEY probes; a reader filtering on a
+  // non-key column (`n_chars > x`) still opens every dir. Declared
+  // SKIP COLUMNS extend each dir's `.stats` sidecar with min/max lines
+  // for value columns — same format, same folded writer aggregate
+  // (zero extra passes) — and [[readSnapshotWhere]] prunes manifest
+  // dirs whose recorded box cannot intersect a predicate's bounds
+  // (Delta's dataSkippingNumIndexedCols read path, by declaration
+  // instead of first-N). Declaration affects FUTURE dir writes; dirs
+  // written before it have no lines for the column and are read
+  // (conservative, never wrong). Run a compaction after declaring to
+  // backfill the corpus's sidecars in one rewrite.
+
+  private def skipColsPath(path: String) =
+    new org.apache.hadoop.fs.Path(snapDir(path), "skip.cols")
+
+  /** Declare the value columns whose min/max every FUTURE dir write
+    * records for data skipping. Overwrites the previous declaration
+    * (the sidecars of already-written dirs are unaffected either way). */
+  def declareSkipCols(spark: SparkSession, path: String,
+      cols: Seq[String]): Unit = {
+    val fs = fsFor(spark, path)
+    fs.mkdirs(snapDir(path))
+    val out = fs.create(skipColsPath(path), true)
+    try out.write(cols.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def recordedSkipCols(spark: SparkSession, path: String): Seq[String] =
+    try {
+      val fs = fsFor(spark, path)
+      if (!fs.exists(skipColsPath(path))) Nil
+      else {
+        val in = fs.open(skipColsPath(path))
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).toList
+        finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  // ── schema-evolution metadata ops ───────────────────────────────
+  // The sink tolerates ADDITIVE physical evolution (mergeSchema) but
+  // had no DECLARED evolution: a renamed source column silently forked
+  // the schema — old dirs under the old name, new dirs under the new,
+  // readers seeing both half-NULL. `_snapshots/schema.map` records
+  // add/rename ops as ORDERED metadata lines; no data is rewritten:
+  //   - reads apply the map (rename = coalesce old into new where both
+  //     physical names coexist, then drop the old; add = surface the
+  //     column as typed NULL until data carries it);
+  //   - writes NORMALIZE incoming batches through the map, so a
+  //     producer still emitting the dead name keeps landing in the
+  //     live column instead of forking;
+  //   - a compaction physically migrates (it reads the mapped view and
+  //     writes it), after which the map entries are no-ops.
+  // KEY columns are identity and refuse to rename (their physical name
+  // is burned into every sidecar, probe and manifest invariant);
+  // declared skip columns rename atomically with the map (old dirs'
+  // stats lines simply stop pruning — conservative, never wrong).
+
+  private def schemaMapPath(path: String) =
+    new org.apache.hadoop.fs.Path(snapDir(path), "schema.map")
+
+  /** (kind, a, b) triples in declaration order: ("add", name, ddl) |
+    * ("rename", from, to). */
+  private def recordedSchemaMap(spark: SparkSession,
+      path: String): Seq[(String, String, String)] =
+    try {
+      val fs = fsFor(spark, path)
+      if (!fs.exists(schemaMapPath(path))) Nil
+      else {
+        val in = fs.open(schemaMapPath(path))
+        try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty).map { l =>
+            val a = l.split("\t", 3)
+            (a(0), java.net.URLDecoder.decode(a(1), "UTF-8"),
+              if (a(0) == "add") a(2)
+              else java.net.URLDecoder.decode(a(2), "UTF-8"))
+          }.toList
+        finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => Nil }
+
+  private def appendSchemaMapLine(spark: SparkSession, path: String,
+      kind: String, a: String, b: String): Unit = {
+    val fs = fsFor(spark, path)
+    fs.mkdirs(snapDir(path))
+    val prior = recordedSchemaMap(spark, path)
+    val bEnc = if (kind == "add") b
+               else java.net.URLEncoder.encode(b, "UTF-8")
+    val lines = prior.map { case (k, x, y) =>
+      val yEnc = if (k == "add") y else java.net.URLEncoder.encode(y, "UTF-8")
+      s"$k\t${java.net.URLEncoder.encode(x, "UTF-8")}\t$yEnc"
+    } :+ s"$kind\t${java.net.URLEncoder.encode(a, "UTF-8")}\t$bEnc"
+    val out = fs.create(schemaMapPath(path), true)
+    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Declare a column added to the sink's LOGICAL schema: reads
+    * surface it as a typed NULL until some batch physically carries
+    * it. Metadata-only — nothing is rewritten. */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType): Unit = {
+    require(name.nonEmpty, "addColumn: empty name")
+    appendSchemaMapLine(spark, path, "add", name, dataType.sql)
+  }
+
+  /** Declare a column RENAME as metadata: reads project the old
+    * physical name into the new (coalescing where both coexist);
+    * writes normalize a batch still using the old name. Refuses to
+    * rename a recorded KEY column — keys are the sink's identity, and
+    * every sidecar, probe and manifest invariant is keyed to their
+    * physical names. Declared skip columns follow the rename. */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String): Unit = {
+    require(from != to, "renameColumn: from == to")
+    require(!recordedKeyCols(spark, path).contains(from),
+      s"renameColumn: '$from' is a key column — keys are the sink's " +
+        "identity and cannot rename (create a new sink and backfill)")
+    appendSchemaMapLine(spark, path, "rename", from, to)
+    val skips = recordedSkipCols(spark, path)
+    if (skips.contains(from))
+      declareSkipCols(spark, path, skips.map(c => if (c == from) to else c))
+  }
+
+  /** The logical view of a physically-read frame: apply the declared
+    * evolution ops in order. Idempotent (a physically-migrated dir
+    * no-ops every entry). */
+  private def applySchemaMap(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame =
+    recordedSchemaMap(spark, path).foldLeft(df) {
+      case (d, ("add", name, ddl)) =>
+        if (d.columns.contains(name)) d
+        else d.withColumn(name, lit(null).cast(
+          org.apache.spark.sql.types.DataType.fromDDL(ddl)))
+      case (d, ("rename", from, to)) =>
+        (d.columns.contains(from), d.columns.contains(to)) match {
+          case (true, true) =>
+            // Both physical names coexist (dirs from before and after
+            // the rename): per row at most one side is non-null; a dir
+            // carrying both prefers the live name.
+            d.withColumn(to, coalesce(col(to), col(from))).drop(from)
+          case (true, false) => d.withColumnRenamed(from, to)
+          case _ => d
+        }
+      case (d, _) => d
+    }
+
+  /** Write-side normalization: route a batch still using renamed-away
+    * column names into the live names (prevents the silent fork).
+    * Adds are not materialized — absence reads as NULL. */
+  private def normalizeBatch(spark: SparkSession, path: String,
+      batch: DataFrame): DataFrame =
+    recordedSchemaMap(spark, path).foldLeft(batch) {
+      case (d, ("rename", from, to)) if d.columns.contains(from) &&
+          !d.columns.contains(to) => d.withColumnRenamed(from, to)
+      case (d, _) => d
+    }
+
+  /** Renamed-away SOURCE names — using one as a merge key is refused
+    * loudly (the physical dirs still carry it, but it is no longer the
+    * sink's live identity and the landing rows would fork). */
+  private def renamedAwayCols(spark: SparkSession, path: String): Set[String] = {
+    val m = recordedSchemaMap(spark, path)
+    val renames = m.collect { case ("rename", f, t) => (f, t) }
+    // A name re-introduced by a later rename chain (a→b then c→a) is
+    // live again; walk in order.
+    var dead = Set.empty[String]
+    renames.foreach { case (f, t) => dead = dead - t + f }
+    dead
+  }
+
+  /** Stat tag for a PROBE bound supplied as a Scala value. */
+  private def probeTagOf(v: Any): Option[String] = v match {
+    case _: Byte | _: Short | _: Int | _: Long => Some("long")
+    case _: String => Some("string")
+    case _: java.sql.Date | _: java.time.LocalDate => Some("date")
+    case _: java.sql.Timestamp | _: java.time.Instant => Some("ts")
+    case _ => None
+  }
+
+  /** Read snapshot `version` restricted to closed per-column bounds
+    * `ranges` (`col -> (lo, hi)`, Scala values: integral, String,
+    * Date/LocalDate, Timestamp/Instant) — opening ONLY the dirs whose
+    * recorded `.stats` box can intersect the bounds. The value-column
+    * twin of [[readSnapshotForKeys]]: on a sink whose dirs separate by
+    * a declared skip column (ingest date, score band, tenant), a
+    * bounded read opens the matching dirs, not the corpus. Dirs
+    * without a recorded range for a bounded column are read
+    * (conservative); the surviving scan applies the bounds as a real
+    * filter — pushed to parquet with typed literals where the scan
+    * type matches, coercing otherwise — so the result is exact
+    * whatever the sidecars knew. Publishes the probed subset to
+    * [[lastProbedDirs]]. */
+  def readSnapshotWhere(spark: SparkSession, path: String, version: Int,
+      ranges: Map[String, (Any, Any)]): DataFrame = {
+    require(ranges.nonEmpty, "readSnapshotWhere: no bounds given")
+    val pr: ProbeRanges = ranges.toSeq.map { case (k, (lo, hi)) =>
+      val tag = probeTagOf(lo).filter(t => probeTagOf(hi).contains(t))
+        .getOrElse(throw new IllegalArgumentException(
+          s"readSnapshotWhere: unsupported/mismatched bound types for " +
+            s"'$k': ${lo.getClass.getSimpleName}/${hi.getClass.getSimpleName}"))
+      (k, tag, Some((decodeStatValue(tag, encodeStatValue(tag, lo)),
+        decodeStatValue(tag, encodeStatValue(tag, hi)))))
+    }
+    val dirs = manifestDirs(spark, path, version)
+    val candidates = overlappingDirs(spark, path, dirs, pr)
+    lastProbedDirs.set(candidates)
+    if (candidates.isEmpty)
+      return readSnapshot(spark, path, version).limit(0)
+    // Mapped BEFORE the bounds apply, so `ranges` addresses the
+    // LOGICAL (post-evolution) column names; a renamed column's bound
+    // filters through the coalesce (no pushdown for that column —
+    // conservative, still exact).
+    val scan = applySchemaMap(spark, path,
+      spark.read.option("mergeSchema", "true")
+        .parquet(candidates.map(d => s"$path/$d"): _*))
+    require(ranges.keys.forall(scan.columns.contains),
+      s"readSnapshotWhere: bounded column(s) absent from the snapshot " +
+        s"schema: ${ranges.keys.filterNot(scan.columns.contains).mkString(",")}")
+    // Pushable typed bounds where the scan type agrees with the probe
+    // tag; coercing `between` for the rest — exactness never rests on
+    // the pushdown.
+    val boundable = pr.filter { case (k, tag, _) =>
+      scan.schema.fields.find(_.name == k)
+        .flatMap(f => statTag(f.dataType)).contains(tag)
+    }
+    val pushed = probeRangeFilter(scan.schema, boundable)
+    val boundedSet = boundable.map(_._1).toSet
+    val generic = ranges.toSeq.filterNot(kv => boundedSet(kv._1))
+      .map { case (k, (lo, hi)) => col(k) >= lit(lo) && col(k) <= lit(hi) }
+      .reduceOption(_ && _)
+    (pushed.toSeq ++ generic.toSeq).reduceOption(_ && _)
+      .map(scan.filter).getOrElse(scan)
   }
 
   // ── provenance ──────────────────────────────────────────────────
@@ -1148,9 +1410,23 @@ object Upsert {
     * whose delta is EMPTY and whose read equals the previous version
     * row-for-row. */
   def writeSnapshot(spark: SparkSession, path: String, batch: DataFrame,
-                    keys: Seq[String], tieBreak: Seq[String]): Int =
-    writeSnapshotFrom(spark, path, dedupOnKey(batch, keys, tieBreak),
+                    keys: Seq[String], tieBreak: Seq[String]): Int = {
+    requireLiveKeys(spark, path, keys, "writeSnapshot")
+    writeSnapshotFrom(spark, path,
+      dedupOnKey(normalizeBatch(spark, path, batch), keys, tieBreak),
       fresh0 = None, basedOn = -1, keys, tieBreak)
+  }
+
+  /** Refuse a renamed-away column used as a key — the physical dirs
+    * still carry the dead name, but it is no longer the sink's live
+    * identity; keying on it would fork silently. */
+  private def requireLiveKeys(spark: SparkSession, path: String,
+      keys: Seq[String], op: String): Unit = {
+    val dead = renamedAwayCols(spark, path)
+    require(!keys.exists(dead),
+      s"$op: key column(s) ${keys.filter(dead).mkString(",")} were " +
+        "renamed away (schema.map) — use the live name")
+  }
 
   /** [[writeSnapshot]] body, with an optional PRECOMPUTED fresh set:
     * the gated path already ran the keep-existing anti join (its
@@ -1175,26 +1451,44 @@ object Upsert {
     recordKeyCols(spark, path, keys)
     writeKeyStats(spark, path, dirName, keys)
     publishManifest(spark, path, target, baseDirs :+ dirName)
-    reconcileLineage(spark, path, target, dirName, keys,
+    val rv = reconcileLineage(spark, path, target, dirName, keys,
       coverage(spark, path, baseDirs), fresh.schema, baseVersion = cur)
+    // Change record (append kind): the batch dir IS the version's I
+    // set, so the record is one small meta file. Written only when the
+    // publish landed EXACTLY as base + our dir (no heal, no carry, no
+    // interleaver) — otherwise the feed's key-diff stays the truth.
+    try {
+      if (rv == target && !fresh.columns.exists(ChangeRecCols) &&
+          manifestDirs(spark, path, rv).sorted ==
+            (baseDirs :+ dirName).sorted)
+        writeChangeMeta(fsFor(spark, path), path, rv, "append", cur,
+          Some(dirName))
+    } catch { case scala.util.control.NonFatal(_) => () }
+    rv
   }
 
-  // ── maintained drift-gate profile ───────────────────────────────
+  // ── maintained drift-gate profile (PER-DIR sidecars) ────────────
   // writeSnapshotGated needs (per column: rows, nulls, distinct) for
   // the candidate state and the current state. Profiling both from the
   // data is two corpus-wide passes per gated publish; instead the gate
-  // MAINTAINS the profile as a `v<N>.profile` sidecar — counts add,
+  // MAINTAINS the profile as `<dir>.profile` sidecars — counts add,
   // and distinct is a KMV sketch (the k smallest md5 fingerprints of
   // the distinct values: a set-valued fact of the data, so the union
   // of two sketches re-capped at k IS the sketch of the union — the
-  // mergeable partial graft.ops.Cardinality documents). A gated
-  // publish then costs one pass over the BATCH's fresh rows plus a
-  // sidecar merge. Soundness of the cache: a published version's
-  // content is immutable (merges/compactions make NEW versions, which
-  // simply have no sidecar yet and re-bootstrap once), except eraseKeys
-  // — which edits history in place and therefore deletes every profile
-  // sidecar it touches. Timestamps/dates fingerprint via epoch
-  // micros/days (session-timezone-independent, like the bloom canon).
+  // mergeable partial graft.ops.Cardinality documents). The unit of
+  // caching is the DATA DIR, not the version: dirs are immutable, so a
+  // dir's profile is truthful forever, the version profile is the
+  // exact KMV union of its manifest's dir profiles, and there is NO
+  // invalidation problem — a version created by merge/compaction/
+  // erasure reuses the carried dirs' sidecars and only its REWRITTEN
+  // dirs (batch-sized by the copy-on-write discipline) ever need a
+  // profile pass, run by the same writeKeyStats hook that stamps range
+  // stats. (The r17 design keyed profiles by VERSION: one merge or
+  // erasure orphaned the cache and the next gated publish re-profiled
+  // the corpus.) Sinks opt in via the `gate.on` marker (first gated
+  // write creates it); un-gated sinks pay nothing. Timestamps/dates
+  // fingerprint via epoch micros/days (session-timezone-independent,
+  // like the bloom canon).
 
   private[graft] val ProfileK = 256
   /** 16^15 = 2^60 as an exact double — maps a 15-hex-digit fingerprint
@@ -1322,33 +1616,41 @@ object Upsert {
       .toDF("column", "n_rows", "n_nulls", "n_distinct")
   }
 
-  private def profilePath(path: String, version: Int) =
-    new org.apache.hadoop.fs.Path(snapDir(path), s"v$version.profile")
+  // Legacy r17 VERSION-keyed profiles (`v<N>.profile`) are only swept
+  // by expiry/erasure hygiene now; nothing writes or reads them.
+
+  private def dirProfilePath(path: String, dirName: String) =
+    new org.apache.hadoop.fs.Path(snapDir(path), s"$dirName.profile")
+
+  /** Opt-in marker for per-dir profiling: created by the first
+    * [[writeSnapshotGated]] call; from then on every dir write in this
+    * sink stamps a `.profile` sidecar alongside its range stats, so
+    * the gate never re-reads published data. */
+  private def gateMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(snapDir(path), "gate.on")
 
   /** Sidecar format: `#rows<TAB>n` then one line per column —
     * `urlenc(col) TAB nulls TAB fp,fp,…`. Best-effort write: a missing
-    * sidecar only costs the next gated publish a re-bootstrap. */
-  private def writeProfileSidecar(spark: SparkSession, path: String,
-      version: Int, rows: Long,
+    * sidecar only costs the next gated publish a profile pass over
+    * that dir. */
+  private def writeProfileFile(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, rows: Long,
       m: Map[String, (Long, Array[String])]): Unit =
     try {
-      val fs = fsFor(spark, path)
       val lines = s"#rows\t$rows" +: m.toSeq.sortBy(_._1).map {
         case (c, (nulls, fps)) =>
           s"${java.net.URLEncoder.encode(c, "UTF-8")}\t$nulls\t${fps.mkString(",")}"
       }
-      val out = fs.create(profilePath(path, version), true)
+      val out = fs.create(target, true)
       try out.write(lines.mkString("\n").getBytes("UTF-8"))
       finally out.close()
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  private def readProfileSidecar(spark: SparkSession, path: String,
-      version: Int): Option[(Long, Map[String, (Long, Array[String])])] = {
-    val fs = fsFor(spark, path)
-    val pp = profilePath(path, version)
-    if (!fs.exists(pp)) return None
+  private def readProfileFile(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path)
+      : Option[(Long, Map[String, (Long, Array[String])])] =
     try {
-      val in = fs.open(pp)
+      val in = fs.open(target)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().filter(_.nonEmpty).toList finally in.close()
       val rows = lines.head.split("\t")(1).toLong
@@ -1360,12 +1662,14 @@ object Upsert {
           ((parts(1).toLong, fps))
       }.toMap))
     } catch { case scala.util.control.NonFatal(_) => None }
-  }
 
   /** Test/ops audit of the last [[writeSnapshotGated]] gate evaluation:
-    * `"maintained"` (sidecar diffed — no corpus scan), `"recomputed"`
-    * (sidecar absent — one bootstrap pass over the current version) or
-    * `"bootstrap"` (empty sink, published ungated). */
+    * `"maintained"` (every manifest dir had a profile sidecar — zero
+    * re-reads of published data), `"recomputed"` (some dirs lacked
+    * sidecars — pre-gate dirs on first opt-in, or a sidecar write that
+    * failed — and were profiled on demand, persisting the result so
+    * the cost never repeats) or `"bootstrap"` (empty sink, published
+    * ungated). */
   private[graft] val lastGateMode =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
@@ -1379,51 +1683,60 @@ object Upsert {
     * so consumers never see (and never have to roll back) a drifted
     * publish.
     *
-    * Cost scales with the BATCH, not the corpus: the gate diffs the
-    * MAINTAINED `v<N>.profile` sidecar (counts + KMV distinct
-    * sketches) against itself-plus-the-fresh-rows' one-pass sketch;
-    * the probe-pruned anti join supplies the fresh rows at batch cost
-    * too. Only a sink whose current version has no sidecar (first
-    * gated write, post-merge/compaction version, post-erasure) pays
-    * one bootstrap pass over the corpus — and persists it, so the cost
-    * amortizes to once per rewrite. Bootstrap writes (no current
-    * version) publish ungated: there is nothing to drift from. */
+    * Cost scales with the BATCH, not the corpus: the current state's
+    * profile is the exact KMV UNION of the manifest dirs' `.profile`
+    * sidecars (dirs are immutable, so a dir's sidecar is truthful
+    * forever — versions created by merge/compaction/erasure reuse the
+    * carried dirs' sidecars, their rewrites having been stamped by the
+    * same writeKeyStats hook that writes range stats); the candidate
+    * adds the fresh rows' one-pass sketch, and the probe-pruned anti
+    * join supplies those fresh rows at batch cost too. Only dirs
+    * predating the sink's gate opt-in (or whose best-effort sidecar
+    * write failed) are profiled on demand — and persisted, so that
+    * cost never repeats. Bootstrap writes (no current version) publish
+    * ungated: there is nothing to drift from. */
   def writeSnapshotGated(spark: SparkSession, path: String, batch: DataFrame,
       keys: Seq[String], tieBreak: Seq[String],
       maxNullRateJump: Double, maxRowGrowthPct: Double,
       minRowGrowthPct: Double = 0.0,
       allowAddedColumns: Boolean = true,
       allowDroppedColumns: Boolean = false): Int = {
+    val fs = fsFor(spark, path)
+    fs.mkdirs(snapDir(path))
+    // Opt the sink into per-dir profiling BEFORE any write: this
+    // call's own batch dir (and every later rewrite) gets its sidecar
+    // stamped at write time.
+    try { if (!fs.exists(gateMarkerPath(path)))
+      fs.create(gateMarkerPath(path), true).close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+    requireLiveKeys(spark, path, keys, "writeSnapshotGated")
     val cur = latestVersion(spark, path)
-    var candidate: Option[(Long, Map[String, (Long, Array[String])])] = None
-    var baseDirs: Seq[String] = Nil
-    val deduped = dedupOnKey(batch, keys, tieBreak)
+    val deduped = dedupOnKey(normalizeBatch(spark, path, batch),
+      keys, tieBreak)
     var freshForWrite: Option[DataFrame] = None
     if (cur >= 1) {
-      baseDirs = manifestDirs(spark, path, cur)
+      val baseDirs = manifestDirs(spark, path, cur)
       // Checkpointed: the profile sketch below and the publish (which
       // reuses this fresh set via writeSnapshotFrom — no second anti
       // join) both read the materialized batch-sized result.
       val fresh = freshAgainstSnapshotDirs(spark, path, baseDirs,
         deduped, keys).localCheckpoint()
       freshForWrite = Some(fresh)
-      val (prevRows, prevM) = readProfileSidecar(spark, path, cur) match {
-        case Some(p) =>
-          lastGateMode.set("maintained"); p
-        case None =>
-          // Bootstrap the maintained profile ONCE from the current
-          // corpus. Persisting it for `cur` is always truthful — a
-          // published version's content never changes out from under
-          // its sidecar (erasure deletes sidecars when it edits
-          // history).
-          lastGateMode.set("recomputed")
-          val p = profileSketch(readSnapshot(spark, path, cur))
-          writeProfileSidecar(spark, path, cur, p._1, p._2)
+      var missing = List.empty[String]
+      val perDir = baseDirs.map { d =>
+        readProfileFile(fs, dirProfilePath(path, d)).getOrElse {
+          missing ::= d
+          val p = profileSketch(spark.read.parquet(s"$path/$d"))
+          writeProfileFile(fs, dirProfilePath(path, d), p._1, p._2)
           p
+        }
       }
+      lastGateMode.set(if (missing.isEmpty) "maintained" else "recomputed")
+      val (prevRows, prevM) = perDir
+        .reduceOption((a, b) => mergeProfileStats(a._1, a._2, b._1, b._2))
+        .getOrElse((0L, Map.empty[String, (Long, Array[String])]))
       val (fRows, fM) = profileSketch(fresh)
       val cand = mergeProfileStats(prevRows, prevM, fRows, fM)
-      candidate = Some(cand)
       val bad = Validate.driftViolations(
         Validate.profileDrift(profileStatsToDF(spark, cand._1, cand._2),
           profileStatsToDF(spark, prevRows, prevM)),
@@ -1435,20 +1748,13 @@ object Upsert {
           bad.map(r => s"${r.getString(0)}(${r.getString(1)})")
             .mkString(", "))
     } else lastGateMode.set("bootstrap")
-    val published = writeSnapshotFrom(spark, path, deduped,
+    // No version-level persist: the batch dir's own profile sidecar is
+    // stamped inside the publish path (writeKeyStats sees the gate
+    // marker), and carried dirs already have theirs — there is nothing
+    // that can go stale when an interleaved writer or reconcile
+    // rewrite changes the published manifest.
+    writeSnapshotFrom(spark, path, deduped,
       freshForWrite, basedOn = cur, keys, tieBreak)
-    // Maintain the profile forward — but ONLY when the published
-    // manifest is exactly base + our batch dir. An interleaved writer
-    // or a reconcile rewrite means the candidate profile no longer
-    // describes the published content; skipping the persist is sound
-    // (the next gated write re-bootstraps once), persisting a lie is
-    // not.
-    candidate.foreach { case (rows, m) =>
-      val dirs = manifestDirs(spark, path, published)
-      if (dirs.sorted == (baseDirs :+ s"batch-$published").sorted)
-        writeProfileSidecar(spark, path, published, rows, m)
-    }
-    published
   }
 
   private def publishManifest(spark: SparkSession, path: String,
@@ -1557,9 +1863,10 @@ object Upsert {
       // The probe's bounding box pushes to the scan: inside a big
       // key-sorted compact dir, footer stats skip the row groups the
       // probed keys can't live in (the semi join stays for exactness).
-      probeRangeFilter(scan0.schema, pr)
-        .map(scan0.filter).getOrElse(scan0)
-        .join(keyRows, keys, "left_semi")
+      applySchemaMap(spark, path,
+        probeRangeFilter(scan0.schema, pr)
+          .map(scan0.filter).getOrElse(scan0)
+          .join(keyRows, keys, "left_semi"))
     }
   }
 
@@ -1668,8 +1975,17 @@ object Upsert {
           val pubV = if (latestNow >= target) claimVersion(spark, path)
                      else target
           publishManifest(spark, path, pubV, dirName +: interleaved)
-          return reconcileCompact(spark, path, pubV, dirName, absorbed,
+          val rv = reconcileCompact(spark, path, pubV, dirName, absorbed,
             baseVersion = cur)
+          // Change record (none kind): this version's content equals
+          // latestNow's — but only when every latest dir was cleanly
+          // classified base-or-interleaved and the reconcile did not
+          // republish; a covered-but-not-base carry would make "no
+          // change vs latestNow" a lie, so it skips instead.
+          if (rv == pubV && latestDirs.forall(d =>
+              baseDirs.contains(d) || interleaved.contains(d)))
+            writeChangeMeta(fs, path, rv, "none", latestNow, None)
+          return rv
         }
       } finally fs.delete(lock, false)
       // Stale base: a rewriter (merge/erasure/another compactor)
@@ -1776,8 +2092,13 @@ object Upsert {
           val pubV = if (latestNow >= target) claimVersion(spark, path)
                      else target
           publishManifest(spark, path, pubV, dirName +: carry)
-          return reconcileCompact(spark, path, pubV, dirName, absorbed,
+          val rv = reconcileCompact(spark, path, pubV, dirName, absorbed,
             baseVersion = cur)
+          // Change record (none kind): pack(smalls) + carry is exactly
+          // latestNow's content by construction.
+          if (rv == pubV)
+            writeChangeMeta(fs, path, rv, "none", latestNow, None)
+          return rv
         }
       } finally fs.delete(lock, false)
       fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
@@ -1885,9 +2206,10 @@ object Upsert {
                     opCol: String = "op"): Int = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
+    requireLiveKeys(spark, path, keys, "mergeSnapshot")
     val op = upper(col(opCol))
-    val deduped = dedupOnKey(changes, keys, tieBreak)
-      .withColumn(opCol, op).localCheckpoint()
+    val deduped = dedupOnKey(normalizeBatch(spark, path, changes),
+      keys, tieBreak).withColumn(opCol, op).localCheckpoint()
     require(deduped.filter(col(opCol).isNull ||
         !col(opCol).isin("I", "U", "D")).isEmpty,
       s"mergeSnapshot: $opCol must be one of I/U/D")
@@ -1934,7 +2256,10 @@ object Upsert {
       val target = claimVersion(spark, path)
       val baseDirs = manifestDirs(spark, path, cur)
       val baseCoverage = coverage(spark, path, baseDirs)
-      val snapshotSchema = readSnapshot(spark, path, cur).schema
+      // RAW schema: the rewrites pin it onto per-dir reads, and dirs
+      // carry PHYSICAL names — the mapped view would NULL a renamed
+      // column out of every pre-rename dir.
+      val snapshotSchema = readSnapshotRaw(spark, path, cur).schema
       // Touched-key pruning (range stats + bloom): only dirs that can
       // hold a U/D key get the left-semi probe — the rest carry
       // without being OPENED. On a compacted 100 TB sink a trickle
@@ -2059,10 +2384,21 @@ object Upsert {
           // which is exactly what keeps a re-attached merge from
           // pairing with pre-merge originals; key conflicts resolve
           // with the merge dir yielding.
-          return reconcileLineage(spark, path, pubV, finalMerge, keys,
+          val rv = reconcileLineage(spark, path, pubV, finalMerge, keys,
             baseCoverage ++ rewriteNames ++
               interleaved.flatMap(d => provenance(spark, path, d)),
             land0.schema, baseVersion = cur)
+          // Change record: the merge's exact I/U/D sets, persisted so
+          // the feed never re-derives them — skipped on the contended
+          // paths (interleaver carried, reconcile republished), where
+          // what landed differs from what this pass computed.
+          if (rv == pubV && interleaved.isEmpty)
+            writeMergeChangeRecord(spark, path, rv, base = cur,
+              rewritten, snapshotSchema, touched, uRows,
+              dKeys = deduped.filter(col(opCol) === "D")
+                .select(keys.map(col): _*).distinct(),
+              freshI, keys, tFilter)
+          return rv
         }
       } finally fs.delete(lock, false)
       // Stale base: a rewriter (another merge, a compactor, an
@@ -2090,6 +2426,15 @@ object Upsert {
     * NOT supported (no column-id mapping in this format-lite sink —
     * the documented line short of Delta/Iceberg). */
   def readSnapshot(spark: SparkSession, path: String, version: Int): DataFrame =
+    applySchemaMap(spark, path, readSnapshotRaw(spark, path, version))
+
+  /** The PHYSICAL union read, before declared schema evolution — what
+    * every internal rewrite path must use: a merge's pinned-schema dir
+    * reads under the MAPPED schema would silently NULL a renamed
+    * column out of old dirs (the map is a read-time projection, not a
+    * physical fact). */
+  private def readSnapshotRaw(spark: SparkSession, path: String,
+      version: Int): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(
       manifestDirs(spark, path, version).map(d => s"$path/$d"): _*)
 
@@ -2130,6 +2475,8 @@ object Upsert {
       fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.meta"), false)
       fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.profile"),
         false)
+      fs.delete(changesMetaPath(path, v), false)
+      fs.delete(changesDirPath(path, v), true)
     }
     snapNames
       .collect { case n if n.startsWith("v") && n.endsWith(".claim") =>
@@ -2211,8 +2558,9 @@ object Upsert {
     val dirs = manifestDirs(spark, path, to)
       .filterNot(d => provenance(spark, path, d).subsetOf(fromCov))
     if (dirs.isEmpty) readSnapshot(spark, path, to).limit(0)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(dirs.map(d => s"$path/$d"): _*)
+    else applySchemaMap(spark, path, spark.read
+      .option("mergeSchema", "true")
+      .parquet(dirs.map(d => s"$path/$d"): _*))
   }
 
   /** DESCRIBE HISTORY: one row per published version — (version,
@@ -2246,6 +2594,220 @@ object Upsert {
     rows.toDF("version", "published_ms", "n_dirs", "n_rows")
   }
 
+  // ── write-time CDC change records ───────────────────────────────
+  // Each publish MAY record its own exact change set against its BASE
+  // version, making [[snapshotChanges]] O(changes) over ANY version
+  // span whose records chain — including across a full compaction,
+  // where the key-diff degrades to a join of two full corpora. Layout
+  // (all under `_snapshots`, invisible to data readers and the vacuum
+  // sweep):
+  //   v<N>.changes.meta — tiny text: record kind (delta|append|none),
+  //     the BASE version the record diffs against, and (append) the
+  //     batch dir name. Written LAST: its presence commits the record.
+  //   v<N>.changes      — (kind delta only) parquet dir of change
+  //     rows: `__op` ∈ I/U/D/P — I and U carry post-images, D carries
+  //     the deleted row's PRE-image, P carries a U key's pre-image
+  //     (composition needs it to diff a multi-version span's endpoints
+  //     and to drop a no-op U chain).
+  // Appends store only the batch dir NAME — its content IS the I set,
+  // so the record costs one small file. Pure repackagings (compaction,
+  // bin-pack) record `none`. Records are BEST-EFFORT: a publish that
+  // was healed, carried, or interleaved skips its record (describing
+  // what actually landed would need the reconcile's full state), and
+  // any missing/broken link degrades the feed to the key-diff — never
+  // to a wrong answer. The recorded base version is what makes
+  // composition safe under racing writers: a version published into
+  // the span out of claim order breaks the chain (base mismatch) and
+  // the feed falls back rather than composing against the wrong
+  // predecessor.
+
+  private def changesMetaPath(path: String, version: Int) =
+    new org.apache.hadoop.fs.Path(snapDir(path), s"v$version.changes.meta")
+  private def changesDirPath(path: String, version: Int) =
+    new org.apache.hadoop.fs.Path(snapDir(path), s"v$version.changes")
+
+  private sealed trait ChangeRecord { def base: Int }
+  private final case class AppendRecord(base: Int, dir: String)
+    extends ChangeRecord
+  private final case class RepackRecord(base: Int) extends ChangeRecord
+  private final case class DeltaRecord(base: Int) extends ChangeRecord
+
+  private def writeChangeMeta(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, version: Int, kind: String, base: Int,
+      dir: Option[String]): Unit =
+    try {
+      val out = fs.create(changesMetaPath(path, version), true)
+      try out.write((s"kind\t$kind\nbase\t$base" +
+        dir.map(d => s"\ndir\t$d").getOrElse("")).getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def readChangeRecord(spark: SparkSession, path: String,
+      version: Int): Option[ChangeRecord] =
+    try {
+      val fs = fsFor(spark, path)
+      val p = changesMetaPath(path, version)
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val m = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty)
+        .map { l => val a = l.split("\t", 2); a(0) -> a(1) }.toMap
+      finally in.close()
+      val base = m("base").toInt
+      m("kind") match {
+        case "append" => Some(AppendRecord(base, m("dir")))
+        case "none" => Some(RepackRecord(base))
+        case "delta" => Some(DeltaRecord(base))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Reserved internal columns of a delta record; a sink whose DATA
+    * schema uses one of these names simply never records (feed falls
+    * back to the key-diff — degradation, not corruption). */
+  private val ChangeRecCols = Set("__op", "__v")
+
+  /** Persist a merge's exact change set. `removedPre` are the
+    * pre-images of every row the touched-dir rewrites dropped (U and D
+    * keys that were present); one probe-filtered re-read of the
+    * rewritten dirs, batch-proportional via the same pruning that
+    * selected them. A U whose key was NOT present landed as an insert
+    * and records as I — the record mirrors what the key-diff would
+    * emit, not the caller's op labels. */
+  private def writeMergeChangeRecord(spark: SparkSession, path: String,
+      version: Int, base: Int, rewritten: Seq[String],
+      snapshotSchema: org.apache.spark.sql.types.StructType,
+      touched: DataFrame, uRows: DataFrame, dKeys: DataFrame,
+      freshI: DataFrame, keys: Seq[String],
+      tFilter: Option[org.apache.spark.sql.Column]): Unit =
+    try {
+      if (snapshotSchema.fieldNames.exists(ChangeRecCols) ||
+          uRows.columns.exists(ChangeRecCols) ||
+          freshI.columns.exists(ChangeRecCols)) return
+      val fs = fsFor(spark, path)
+      val removedPre =
+        if (rewritten.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            snapshotSchema)
+        else {
+          val sc = spark.read.schema(snapshotSchema)
+            .parquet(rewritten.map(d => s"$path/$d"): _*)
+          tFilter.map(sc.filter).getOrElse(sc)
+            .join(touched, keys, "left_semi")
+        }
+      val uKeys = uRows.select(keys.map(col): _*).distinct()
+      val removedKeys = removedPre.select(keys.map(col): _*).distinct()
+        .localCheckpoint()
+      val rec = Seq(
+        removedPre.join(uKeys, keys, "left_semi")
+          .withColumn("__op", lit("P")),
+        removedPre.join(dKeys, keys, "left_semi")
+          .withColumn("__op", lit("D")),
+        uRows.join(removedKeys, keys, "left_semi")
+          .withColumn("__op", lit("U")),
+        uRows.join(removedKeys, keys, "left_anti")
+          .withColumn("__op", lit("I")),
+        freshI.withColumn("__op", lit("I")))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      rec.write.mode("overwrite")
+        .parquet(changesDirPath(path, version).toString)
+      writeChangeMeta(fs, path, version, "delta", base, None)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Test/ops audit of the last [[snapshotChanges]] path:
+    * `"recorded:v,v,…"` (composed from write-time records — no version
+    * scan) or `"keydiff"` (the exact full-outer diff). */
+  private[graft] val lastChangesMode =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** Compose the span's write-time change records into the exact
+    * endpoint diff. None ⇒ the chain is unusable (a version lacks a
+    * record, a base link mismatches, a referenced dir is gone, or a
+    * reserved column collides) and the caller falls back to the
+    * key-diff. Per key over the unioned records: the FIRST version's
+    * pre-image (P/D row) tells whether — and with which values — the
+    * key existed at `from`; the LAST version's non-P row tells whether
+    * it exists at `to`; the endpoint compare drops no-op chains
+    * (U back to the original value, delete-then-reinsert of the same
+    * row) exactly like the key-diff. Cost: a read of the record dirs
+    * (O(changes)) + one key shuffle — never the corpus. */
+  private def composeRecordedChanges(spark: SparkSession, path: String,
+      from: Int, to: Int, keys: Seq[String],
+      opCol: String): Option[DataFrame] =
+    try {
+      val fs = fsFor(spark, path)
+      val published = fs.listStatus(snapDir(path)).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+          n.stripPrefix("v").stripSuffix(".list").toInt }
+        .filter(v => v > from && v <= to).sorted
+      if (published.isEmpty) return None
+      val chain = published.map(v => v -> readChangeRecord(spark, path, v))
+      if (chain.exists(_._2.isEmpty)) return None
+      var prev = from
+      for ((v, r) <- chain) {
+        if (r.get.base != prev) return None
+        prev = v
+      }
+      val frames: Seq[DataFrame] = chain.flatMap {
+        case (_, Some(RepackRecord(_))) => None
+        case (v, Some(AppendRecord(_, dir))) =>
+          if (!fs.exists(new org.apache.hadoop.fs.Path(path, dir)))
+            return None
+          val df = spark.read.option("mergeSchema", "true")
+            .parquet(s"$path/$dir")
+          if (df.columns.exists(ChangeRecCols)) return None
+          Some(df.withColumn("__op", lit("I")).withColumn("__v", lit(v)))
+        case (v, Some(DeltaRecord(_))) =>
+          if (!fs.exists(changesDirPath(path, v))) return None
+          Some(spark.read.option("mergeSchema", "true")
+            .parquet(changesDirPath(path, v).toString)
+            .withColumn("__v", lit(v)))
+        case (_, None) => return None
+      }
+      lastChangesMode.set(s"recorded:${published.mkString(",")}")
+      lastDiffDirs.set((Nil, Nil))
+      if (frames.isEmpty) {
+        // Pure repackagings across the whole span: an EMPTY feed in
+        // the to-version's shape.
+        val base = readSnapshot(spark, path, to).limit(0)
+        val cs = base.columns.filterNot(keys.contains).toSeq
+        return Some(base.withColumn(opCol, lit("I"))
+          .select((col(opCol) +: keys.map(col)) ++ cs.map(col): _*))
+      }
+      val rec = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      val cols = rec.columns
+        .filterNot(c => keys.contains(c) || ChangeRecCols(c)).toSeq
+      require(!cols.contains(opCol) && !keys.contains(opCol),
+        s"snapshotChanges: the sink already has a column named '$opCol' — " +
+          "pass a different opCol")
+      val nn = keys.map(col(_).isNotNull).reduce(_ && _)
+      val w = Window.partitionBy(keys.map(col): _*)
+      val enriched = rec.filter(nn)
+        .withColumn("__minv", min(col("__v")).over(w))
+        .withColumn("__maxv", max(col("__v")).over(w))
+      val pre = enriched.filter(col("__v") === col("__minv") &&
+          col("__op").isin("P", "D"))
+        .select((keys.map(col) :+ lit(true).as("__had_pre")) ++
+          cols.map(c => col(c).as(s"__pre_$c")): _*)
+      val post = enriched.filter(col("__v") === col("__maxv") &&
+          col("__op") =!= "P")
+        .select((keys.map(col) :+ (col("__op") =!= "D").as("__exists")) ++
+          cols.map(c => col(c).as(s"__post_$c")): _*)
+      val same = cols.map(c => col(s"__pre_$c") <=> col(s"__post_$c"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+      val opExpr = when(col("__had_pre").isNull && col("__exists"), "I")
+        .when(col("__had_pre").isNotNull && !col("__exists"), "D")
+        .when(col("__had_pre").isNotNull && col("__exists") && !same, "U")
+      Some(post.join(pre, keys, "left")
+        .withColumn(opCol, opExpr)
+        .filter(col(opCol).isNotNull)
+        .select((col(opCol) +: keys.map(col)) ++
+          cols.map(c => when(col(opCol) === "D", col(s"__pre_$c"))
+            .otherwise(col(s"__post_$c")).as(c)): _*))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Audit: the (from-only, to-only) dir lists the last
     * [[snapshotChanges]] actually read — spec hook for the
     * shared-dir pruning, not operator contract. */
@@ -2274,6 +2836,19 @@ object Upsert {
       opCol: String = "op"): DataFrame = {
     require(fromVersion >= 1 && toVersion >= 1,
       s"need published versions, got $fromVersion..$toVersion")
+    // RECORDED fast path: when every published version in the span
+    // carries a write-time change record whose base chains to its
+    // predecessor, compose the records — O(changes) however the span
+    // was produced, INCLUDING across a full compaction (where the
+    // key-diff below degrades to reading both full sides). Reverse
+    // spans and any chain break fall through to the exact key-diff.
+    if (toVersion > fromVersion)
+      composeRecordedChanges(spark, path, fromVersion, toVersion,
+        keys, opCol) match {
+        case Some(df) => return df
+        case None => ()
+      }
+    lastChangesMode.set("keydiff")
     // SHARED-DIR pruning: a dir referenced by BOTH manifests feeds
     // identical rows to both sides, and the sink invariant (each key
     // in at most one dir per version) means such a key's row pair is
@@ -2397,6 +2972,10 @@ object Upsert {
     } finally fs.delete(lock, false)
   }
 
+  /** Test hook: runs between an erasure's (lock-free) rewrites and its
+    * lock acquisition — the erase twin of [[mergePreLockHook]]. */
+  private[graft] var erasePreLockHook: () => Unit = () => ()
+
   /** RIGHT-TO-BE-FORGOTTEN erasure: physically remove every row
     * matching `doomed`'s keys from EVERY version of the snapshot sink —
     * history included, which is the point: after this, no time-travel
@@ -2404,125 +2983,250 @@ object Upsert {
     * The destructive counterpart of the Privacy audits (they measure
     * structural leakage; this removes the subject).
     *
-    * Offline, explicitly destructive, and serialized on the rewriter
-    * lock. Every referenced dir holding a doomed key is rewritten to
+    * ONLINE against the writer fleet, with the merge/compaction
+    * discipline: every dir holding a doomed key is rewritten
     * `<dir>-e<epoch>` (minus those keys, `.absorbed` provenance
-    * preserved so future merges/compactions still reason over roots),
-    * ALL manifests are repointed, and the original dirs are DELETED —
-    * the data is gone, not just unreachable. Version numbers and count
-    * are unchanged: erasure edits history in place rather than
-    * appending to it (an append would leave the subject readable at
-    * older versions). Manifest repointing is delete+rename per
-    * version — not atomic for concurrent readers; this is an offline
-    * compliance op (the lock already excludes writers of the rewrite
-    * class; pause readers too). Returns the number of rows erased. */
+    * preserved) LOCK-FREE; only the commit — staleness re-validation,
+    * manifest repoints, original deletes, all metadata — holds the
+    * exclusive rewriter lock. A rewriter racing the lock-free phase is
+    * caught by the post-lock re-validation (its outputs are new
+    * candidate dirs; the erase loops and processes them); a rewriter
+    * racing the COMMIT sees its own staleness check fail (the repoints
+    * replace dirs in the latest manifest) and retries off the
+    * repointed truth. Version numbers and counts are unchanged:
+    * erasure edits history in place rather than appending (an append
+    * would leave the subject readable at older versions).
+    *
+    * APPENDERS (lock-free by design) are handled by a claim wait + a
+    * repoint fixpoint: before deleting originals the commit waits out
+    * fresh `v<N>.claim` markers (an in-flight appender may have read a
+    * pre-repoint manifest) and re-repoints any manifest that appears
+    * still referencing an original, until a listing pass is clean.
+    * The residual window — an appender stalled longer than the wait
+    * inside its claim→publish gap — leaves its manifest referencing a
+    * deleted dir; pause appends during erasure for a strict guarantee
+    * (rewriter-class ops need no pause). Manifest repointing is
+    * delete+rename per version — a concurrent READER of that exact
+    * version can catch the gap and should retry; the latest-version
+    * read path re-resolves and is safe.
+    *
+    * `orphanGraceMs`: unreferenced dirs may hold the subject's bytes
+    * too, so the commit sweeps orphans — but against a LIVE fleet an
+    * in-flight rewrite looks exactly like an orphan, so only dirs
+    * older than the grace are swept (same contract as
+    * [[vacuumOrphans]]; 0 sweeps everything and implies quiesced
+    * writers). Returns the number of rows erased. */
   def eraseKeys(spark: SparkSession, path: String, doomed: DataFrame,
-                keys: Seq[String]): Long = {
+                keys: Seq[String], orphanGraceMs: Long = 0L): Long = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
-    val lock = acquireRewriterLock(fs, path, "eraseKeys")
-    try {
-      val cur = latestVersion(spark, path)
-      require(cur >= 1, s"no snapshot to erase from at $path")
-      // A claimed (never-published) version number makes the epoch
-      // unique across every concurrent/past operation with zero new
-      // state formats; latestVersion skips claim holes by design (the
-      // orphaned `v<epoch>.claim` marker is harmless and is swept by
-      // [[expireSnapshots]] once later publishes pass it — one skipped
-      // version number per erasure, by construction).
-      val epoch = claimVersion(spark, path)
-      val keyRows = doomed.select(keys.map(col): _*).distinct()
-        .localCheckpoint()
-      val snapNames = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
-      val versions = snapNames.collect {
-        case n if n.startsWith("v") && n.endsWith(".list") =>
-          n.stripPrefix("v").stripSuffix(".list").toInt
-      }.sorted
-      val perVersion = versions.map(v => v -> manifestDirs(spark, path, v))
-      val allDirs = perVersion.flatMap(_._2).distinct
-      // Key-range pruning: dirs whose recorded range cannot hold any
-      // doomed key are skipped without being opened — across ALL
-      // versions, this is the dominant cost of an erasure on a long
-      // history. Sound because equality needs per-column overlap;
-      // statless dirs are probed.
-      val doomedPr = keyRanges(keyRows, keys.filter(keyRows.columns.contains))
-      val candidates = pruneDirs(spark, path, allDirs, keys, keyRows,
-        Some(doomedPr))
-      lastProbedDirs.set(candidates)
-      var erased = 0L
-      val renames = candidates.flatMap { d =>
-        val df = spark.read.option("mergeSchema", "true")
-          .parquet(s"$path/$d")
-        // Bounded hit PROBE (pushed bounding box + semi join) decides
-        // whether the dir rewrites at all; the rewrite below reads the
-        // dir in full — it must copy every surviving row anyway.
-        val probeSide = probeRangeFilter(df.schema, doomedPr)
-          .map(df.filter).getOrElse(df)
-        val hit = probeSide.join(keyRows, keys, "left_semi").count()
-        if (hit == 0) None
-        else {
-          erased += hit
-          val rw = s"$d-e$epoch"
-          df.join(keyRows, keys, "left_anti")
-            .write.mode("overwrite").parquet(s"$path/$rw")
-          val out = fs.create(absorbedPath(path, rw), true)
-          try out.write(provenance(spark, path, d).toSeq.sorted
-            .mkString("\n").getBytes("UTF-8"))
-          finally out.close()
-          val statKeys0 = recordedKeyCols(spark, path)
-          writeKeyStats(spark, path, rw,
-            if (statKeys0.nonEmpty) statKeys0 else keys)
-          Some(d -> rw)
-        }
-      }.toMap
-      if (renames.nonEmpty) touchRewriteGen(spark, path, epoch)
-      if (renames.nonEmpty) {
-        perVersion.foreach { case (v, dirs) =>
-          if (dirs.exists(renames.contains)) {
-            val newList = dirs.map(d => renames.getOrElse(d, d))
-            val tmp = new org.apache.hadoop.fs.Path(snapDir(path),
-              s"v$v.list.tmp")
-            val out = fs.create(tmp, true)
-            try out.write(newList.mkString("\n").getBytes("UTF-8"))
+    require(latestVersion(spark, path) >= 1,
+      s"no snapshot to erase from at $path")
+    val keyRows = doomed.select(keys.map(col): _*).distinct()
+      .localCheckpoint()
+    val doomedPr = keyRanges(keyRows, keys.filter(keyRows.columns.contains))
+    def listVersions(): Seq[(Int, Seq[String])] =
+      fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+          n.stripPrefix("v").stripSuffix(".list").toInt }
+        .sorted.map(v => v -> manifestDirs(spark, path, v))
+    // dir → (rewrite name if it held doomed keys, rows hit). Probed
+    // dirs are immutable, so results carry across retries.
+    val processed =
+      scala.collection.mutable.LinkedHashMap.empty[String, (Option[String], Long)]
+    val myClaims = scala.collection.mutable.ListBuffer.empty[Int]
+    def cleanupRewrites(): Unit =
+      processed.values.foreach(_._1.foreach { rw =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, rw), true)
+        deleteDirSidecars(fs, path, rw)
+      })
+    // NOTE the claim markers from each attempt STAY on disk: they are
+    // what keeps each epoch unique across every past and concurrent
+    // operation (deleting one would let the next claimant reuse the
+    // number — colliding `-e<epoch>` dir names and, worse, the
+    // `gen-<epoch>.touch` marker, silently losing a generation bump).
+    // One skipped version number per attempt, by construction;
+    // [[expireSnapshots]] sweeps them once later publishes pass.
+    var attempts = 0
+    while (attempts < 7) {
+        // ── Phase 1, LOCK-FREE: probe + rewrite new candidates ──────
+        // A claimed (never-published) version number makes each
+        // attempt's epoch unique across every concurrent operation
+        // with zero new state formats (two racing erasures must not
+        // write the same `-e` name).
+        val epoch = claimVersion(spark, path)
+        myClaims += epoch
+        val perVersion = listVersions()
+        val allDirs = perVersion.flatMap(_._2).distinct
+        val candidates = pruneDirs(spark, path,
+          allDirs.filterNot(processed.contains), keys, keyRows,
+          Some(doomedPr))
+        candidates.foreach { d =>
+          val df = spark.read.option("mergeSchema", "true")
+            .parquet(s"$path/$d")
+          // Bounded hit PROBE (pushed bounding box + semi join)
+          // decides whether the dir rewrites at all.
+          val probeSide = probeRangeFilter(df.schema, doomedPr)
+            .map(df.filter).getOrElse(df)
+          val hit = probeSide.join(keyRows, keys, "left_semi").count()
+          if (hit == 0) processed(d) = (None, 0L)
+          else {
+            val rw = s"$d-e$epoch"
+            df.join(keyRows, keys, "left_anti")
+              .write.mode("overwrite").parquet(s"$path/$rw")
+            val out = fs.create(absorbedPath(path, rw), true)
+            try out.write(provenance(spark, path, d).toSeq.sorted
+              .mkString("\n").getBytes("UTF-8"))
             finally out.close()
-            val dst = new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.list")
-            fs.delete(dst, false)
-            if (!fs.rename(tmp, dst)) throw new java.io.IOException(
-              s"eraseKeys: manifest repoint failed for v$v at $path — " +
-                "restore from the rewritten dirs before serving reads")
+            val statKeys0 = recordedKeyCols(spark, path)
+            writeKeyStats(spark, path, rw,
+              if (statKeys0.nonEmpty) statKeys0 else keys)
+            processed(d) = (Some(rw), hit)
           }
         }
-        // Erasure edits every version's content IN PLACE, so every
-        // maintained drift-gate profile (v<N>.profile) is now a lie —
-        // delete them all; the next gated publish re-bootstraps once.
-        snapNames.filter(n => n.startsWith("v") && n.endsWith(".profile"))
-          .foreach { n =>
-            fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), n), false)
+        erasePreLockHook()
+        // ── Phase 2, LOCKED: validate + metadata commit ─────────────
+        val lock = try acquireRewriterLock(fs, path, "eraseKeys")
+          catch { case e: LockHeldException =>
+            cleanupRewrites(); throw e
           }
-        // Physical deletion LAST, after every manifest stopped
-        // referencing the originals: a crash before this point leaves a
-        // consistent (partially repointed) sink plus extra copies to
-        // re-erase; a crash after a manifest repoint never dangles.
-        renames.keys.foreach { d =>
-          fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
-          deleteDirSidecars(fs, path, d)
+        var done = false
+        var erased = 0L
+        try {
+          val perVersionNow = listVersions()
+          val liveDirs = perVersionNow.flatMap(_._2).distinct
+          val liveSet = liveDirs.toSet
+          // A rewriter replaced a processed original: our rewrite of
+          // it is junk (the replacement shows up as a new candidate).
+          val stale = processed.keys.filterNot(liveSet).toList
+          stale.foreach { d =>
+            processed(d)._1.foreach { rw =>
+              fs.delete(new org.apache.hadoop.fs.Path(path, rw), true)
+              deleteDirSidecars(fs, path, rw)
+            }
+            processed.remove(d)
+          }
+          val newWork = pruneDirs(spark, path,
+            liveDirs.filterNot(processed.contains), keys, keyRows,
+            Some(doomedPr))
+          if (newWork.isEmpty) {
+            val renames = processed.collect {
+              case (d, (Some(rw), _)) => d -> rw }.toMap
+            erased = processed.collect {
+              case (_, (Some(_), h)) => h }.sum
+            def repoint(vs: Seq[(Int, Seq[String])]): Boolean = {
+              var any = false
+              vs.foreach { case (v, dirs) =>
+                if (dirs.exists(renames.contains)) {
+                  any = true
+                  val newList = dirs.map(d => renames.getOrElse(d, d))
+                  val tmp = new org.apache.hadoop.fs.Path(snapDir(path),
+                    s"v$v.list.tmp")
+                  val out = fs.create(tmp, true)
+                  try out.write(newList.mkString("\n").getBytes("UTF-8"))
+                  finally out.close()
+                  val dst = new org.apache.hadoop.fs.Path(snapDir(path),
+                    s"v$v.list")
+                  fs.delete(dst, false)
+                  if (!fs.rename(tmp, dst)) throw new java.io.IOException(
+                    s"eraseKeys: manifest repoint failed for v$v at " +
+                      s"$path — restore from the rewritten dirs before " +
+                      "serving reads")
+                }
+              }
+              any
+            }
+            if (renames.nonEmpty) {
+              touchRewriteGen(spark, path, epoch)
+              repoint(perVersionNow)
+              // Claim wait: an appender inside claim→publish read a
+              // pre-repoint manifest and may publish dirs we are about
+              // to delete. Fresh foreign claims get a bounded window
+              // to publish (their manifests then hit the fixpoint
+              // below); stale claims are crashed writers and don't
+              // block.
+              val deadline = System.currentTimeMillis() + 5000
+              var waiting = true
+              while (waiting && System.currentTimeMillis() < deadline) {
+                val now = System.currentTimeMillis()
+                val freshClaims = fs.listStatus(snapDir(path)).toSeq
+                  .filter { st =>
+                    val n = st.getPath.getName
+                    n.startsWith("v") && n.endsWith(".claim") &&
+                      !myClaims.contains(n.stripPrefix("v")
+                        .stripSuffix(".claim").toInt) &&
+                      now - st.getModificationTime < 60000
+                  }
+                if (freshClaims.isEmpty) waiting = false
+                else Thread.sleep(100)
+              }
+              // Fixpoint: repoint manifests published since (or missed)
+              // until a listing pass references no original.
+              var fix = 0
+              while (repoint(listVersions()) && fix < 20) fix += 1
+              if (fix >= 20) throw new IllegalStateException(
+                s"eraseKeys: manifests kept re-referencing pre-erase " +
+                  s"dirs at $path — appender storm; originals left in " +
+                  "place (sink consistent, subject NOT yet erased); " +
+                  "quiesce appends and rerun")
+              // Per-dir profiles survive erasure BY CONSTRUCTION
+              // (rewrites were stamped fresh ones; deleted dirs lose
+              // theirs below) — only the legacy r17 version-keyed
+              // profiles are swept, plus every change record: their
+              // D/update-pre rows hold PRE-IMAGES, possibly the
+              // subject's ("the data is gone" covers them; the feed
+              // falls back to the key-diff over erased content).
+              fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+                .filter(n => (n.startsWith("v") && n.endsWith(".profile")) ||
+                  n.contains(".changes"))
+                .foreach { n =>
+                  fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), n),
+                    true)
+                }
+              // Physical deletion LAST, after every manifest stopped
+              // referencing the originals: a crash before this point
+              // leaves a consistent (partially repointed) sink plus
+              // extra copies to re-erase; a crash after never dangles.
+              renames.keys.foreach { d =>
+                fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
+                deleteDirSidecars(fs, path, d)
+              }
+            }
+            // Orphan sweep: unreferenced dirs may hold subject bytes.
+            // Grace-filtered against a live fleet (an in-flight rewrite
+            // looks exactly like an orphan); 0 = quiesced contract.
+            val now = System.currentTimeMillis()
+            val referencedNow = listVersions().flatMap(_._2).toSet
+            fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+              .filter(_.isDirectory)
+              .filterNot(st => st.getPath.getName == "_snapshots")
+              .filterNot(st => referencedNow(st.getPath.getName))
+              .filter { st =>
+                orphanGraceMs <= 0L || {
+                  val newest =
+                    try (st.getModificationTime +: fs.listStatus(st.getPath)
+                      .toSeq.map(_.getModificationTime)).max
+                    catch { case scala.util.control.NonFatal(_) => now }
+                  now - newest >= orphanGraceMs
+                }
+              }
+              .foreach { st =>
+                fs.delete(st.getPath, true)
+                deleteDirSidecars(fs, path, st.getPath.getName)
+              }
+            done = true
+          }
+        } finally fs.delete(lock, false)
+        if (done) {
+          lastProbedDirs.set(processed.keys.toSeq)
+          return erased
         }
+        attempts += 1
       }
-      // Orphaned dirs (crashed writers) are invisible to readers but
-      // still hold bytes — including, possibly, the subject's. "The
-      // data is gone" must cover them too; writers are quiesced by
-      // this op's contract, so deleting unreferenced dirs is safe.
-      val allTop = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        .toSeq.filter(_.isDirectory).map(_.getPath.getName)
-        .filterNot(_ == "_snapshots")
-      val referencedNow = perVersion.flatMap(_._2)
-        .map(d => renames.getOrElse(d, d)).toSet
-      allTop.filterNot(referencedNow).foreach { d =>
-        fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
-        deleteDirSidecars(fs, path, d)
-      }
-      erased
-    } finally fs.delete(lock, false)
+      cleanupRewrites()
+      throw new IllegalStateException(
+        s"eraseKeys: new rewrites kept appearing under us 7 times at " +
+          s"$path — rewriter storm; retry when merges/compactions quiesce")
   }
 
   // ── incremental aggregate maintenance ───────────────────────────

@@ -77,4 +77,69 @@ class EvolvingSchemaSpec extends SparkSpec {
         "NTZ naive datetimes must reinterpret value-identically under the UTC session")
     } else info(s"raw encoding is $rawType (ns generation) — conversion path covered above")
   }
+
+  test("snapshot declared evolution: addColumn/renameColumn are metadata; reads heal, writes normalize, keys refuse") {
+    import graft.ops.Upsert
+    val path = java.nio.file.Files.createTempDirectory("snapevo").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "v", "n"),
+      Seq("id"), Seq("id"))
+    // addColumn surfaces a TYPED NULL before any data carries it.
+    Upsert.addColumn(spark, path, "lang",
+      org.apache.spark.sql.types.StringType)
+    val r1 = Upsert.readSnapshot(spark, path, 1)
+    assert(r1.columns.toSeq == Seq("id", "v", "n", "lang") &&
+      r1.schema("lang").dataType ==
+        org.apache.spark.sql.types.StringType, r1.columns.toSeq)
+    assert(r1.select("lang").collect().forall(_.isNullAt(0)))
+    // renameColumn heals OLD dirs at read time…
+    Upsert.renameColumn(spark, path, "v", "val")
+    // …normalizes a producer still emitting the dead name (no fork)…
+    Upsert.writeSnapshot(spark, path,
+      Seq((3L, "c", 30L)).toDF("id", "v", "n"), Seq("id"), Seq("id"))
+    // …and the live name lands plainly, lang data included.
+    Upsert.writeSnapshot(spark, path,
+      Seq((4L, "d", 40L, "en")).toDF("id", "val", "n", "lang"),
+      Seq("id"), Seq("id"))
+    val got = Upsert.readSnapshot(spark, path,
+        Upsert.latestVersion(spark, path))
+      .select("id", "val", "n", "lang")
+      .as[(Long, String, Long, Option[String])].collect().toSet
+    assert(got == Set((1L, "a", 10L, None), (2L, "b", 20L, None),
+      (3L, "c", 30L, None), (4L, "d", 40L, Some("en"))), got)
+    // The normalized batch physically carries the LIVE name.
+    val b2 = spark.read.parquet(s"$path/batch-2").columns.toSeq
+    assert(b2.contains("val") && !b2.contains("v"),
+      s"dead-name batch must normalize: $b2")
+    // A merge by the live name applies across pre- and post-rename
+    // dirs (the rewrite keeps physical names; the read heals).
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 1L, "A2", 11L)).toDF("op", "id", "val", "n"),
+      Seq("id"), Seq("id"), "op")
+    val m = Upsert.readSnapshot(spark, path,
+        Upsert.latestVersion(spark, path))
+      .select("id", "val").as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "A2", 2L -> "b", 3L -> "c", 4L -> "d"), m)
+    // Historical versions heal too (time travel sees today's logical
+    // schema — the map is sink-level, not version-level).
+    assert(Upsert.readSnapshot(spark, path, 1).columns.contains("val"))
+    // Keys are identity: rename refuses; a dead name as a merge key
+    // refuses loudly instead of forking.
+    intercept[IllegalArgumentException] {
+      Upsert.renameColumn(spark, path, "id", "doc")
+    }
+    intercept[IllegalArgumentException] {
+      Upsert.mergeSnapshot(spark, path,
+        Seq(("U", "x", 9L)).toDF("op", "v", "id"),
+        Seq("v"), Seq("v"), "op")
+    }
+    // Compaction physically migrates; the map then no-ops on its dir.
+    val cv = Upsert.compactSnapshots(spark, path)
+    val cc = spark.read.parquet(s"$path/compact-$cv").columns.toSeq
+    assert(cc.contains("val") && !cc.contains("v"),
+      s"compaction must write the logical schema: $cc")
+    val after = Upsert.readSnapshot(spark, path, cv)
+      .select("id", "val").as[(Long, String)].collect().toMap
+    assert(after == m, "migration preserves content")
+  }
 }

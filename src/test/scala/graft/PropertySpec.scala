@@ -744,4 +744,53 @@ class PropertySpec extends SparkSpec {
       run(() => randDate())
     }
   }
+
+  test("value-column skipping never drops: bounded reads equal the full-scan filter — random value types") {
+    // The readSnapshotWhere twin of the key property: for any declared
+    // skip-column type and any bounds (including inverted/empty ones
+    // and the UTF-8 order edge), pruning on the `.stats` value box
+    // must change only which dirs are OPENED — the result always
+    // equals filtering the full snapshot. Ground truth is the
+    // Spark-evaluated filter itself, so both sides share one
+    // comparison semantics and any divergence is the pruning's.
+    val trickyStrings = Seq("", "a", "Z", "é",
+      new String(Character.toChars(0x1F600)),
+      new String(Character.toChars(0x10FFFF)), "née", "ÿ", "😁x")
+    trials(3) { rnd =>
+      def randStr() =
+        if (rnd.nextBoolean()) trickyStrings(rnd.nextInt(trickyStrings.size))
+        else rnd.alphanumeric.take(rnd.nextInt(8) + 1).mkString
+      def randLong() = rnd.nextLong() % 1000000L
+      def randTs() = new java.sql.Timestamp(
+        math.abs(rnd.nextLong() % 4102444800000L))
+      def randDate() = java.sql.Date.valueOf(java.time.LocalDate
+        .ofEpochDay(rnd.nextInt(60000).toLong - 10000))
+      def run[T](mk: () => T)(implicit
+          enc: org.apache.spark.sql.Encoder[(Long, T)]): Unit = {
+        val path = java.nio.file.Files.createTempDirectory("snapskip").toString
+        Upsert.declareSkipCols(spark, path, Seq("v"))
+        val vals = (0 until 12).map(_ => mk())
+        val rows = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        rows.grouped(4).foreach { b =>
+          Upsert.writeSnapshot(spark, path, b.toDF("k", "v"),
+            Seq("k"), Seq("k"))
+        }
+        val ver = Upsert.latestVersion(spark, path)
+        val lo = vals(rnd.nextInt(vals.size))
+        val hi = vals(rnd.nextInt(vals.size))
+        val full = Upsert.readSnapshot(spark, path, ver)
+          .filter(col("v") >= lit(lo) && col("v") <= lit(hi))
+          .as[(Long, T)].collect().toSet
+        val got = Upsert.readSnapshotWhere(spark, path, ver,
+          Map("v" -> ((lo, hi)))).as[(Long, T)].collect().toSet
+        assert(got == full,
+          s"bounded read diverged for [$lo, $hi]: missing ${full -- got}, " +
+            s"extra ${got -- full} (probed ${Upsert.lastProbedDirs.get()})")
+      }
+      run(() => randStr())
+      run(() => randLong())
+      run(() => randTs())
+      run(() => randDate())
+    }
+  }
 }

@@ -61,16 +61,19 @@ class UpsertPartitionedSpec extends SparkSpec {
       .collect().toSet == Set((3L, "c")))
     // manifests are rename-published: no .tmp files survive; the other
     // legitimate metadata are the publish stamps (.meta), key-range
-    // stats sidecars (.stats) and the key-column record (keys.cols)
+    // stats sidecars (.stats), the key-column record (keys.cols) and
+    // the write-time change records (.changes.meta)
     val snaps = new java.io.File(path, "_snapshots").listFiles().map(_.getName)
       .filterNot(_.startsWith("."))   // local-FS .crc sidecars
     assert(!snaps.exists(_.endsWith(".tmp")), snaps.toSeq)
     assert(snaps.filter(_.endsWith(".list")).sorted.toSeq ==
       Seq("v1.list", "v2.list", "v3.list"), snaps.toSeq)
-    assert(snaps.filter(_.endsWith(".meta")).sorted.toSeq ==
+    assert(snaps.filter(n => n.endsWith(".meta") &&
+        !n.endsWith(".changes.meta")).sorted.toSeq ==
       Seq("v1.meta", "v2.meta", "v3.meta"), snaps.toSeq)
     assert(snaps.toSet.subsetOf(Set("v1.list", "v2.list", "v3.list",
       "v1.meta", "v2.meta", "v3.meta", "keys.cols",
+      "v1.changes.meta", "v2.changes.meta", "v3.changes.meta",
       "batch-1.stats", "batch-2.stats", "batch-3.stats",
       "batch-1.bloom2", "batch-2.bloom2", "batch-3.bloom2")), snaps.toSeq)
     intercept[IllegalArgumentException] {
@@ -1390,6 +1393,55 @@ class UpsertPartitionedSpec extends SparkSpec {
       s"every on-disk dir is referenced by some manifest: ${dirs.toSeq}")
   }
 
+  test("erase race: a merge landing in the erase's lock-free window — no resurrection, no lost rows") {
+    val path = java.nio.file.Files.createTempDirectory("snaper1").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "SUBJECT")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((3L, "c")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // While the erase has rewritten batch-1 lock-free (minus the
+    // subject), a rival merge updates key 1 — REPLACING batch-1 in the
+    // latest manifest with its own rewrite, which still carries the
+    // subject. The erase's post-lock validation must find that new
+    // dir, loop, and erase it too; the merge's edit must survive.
+    var fired = false
+    Upsert.erasePreLockHook = () => {
+      if (!fired) {
+        fired = true
+        Upsert.mergeSnapshot(spark, path,
+          Seq(("U", 1L, "A2"), ("I", 9L, "i")).toDF("op", "id", "v"),
+          Seq("id"), Seq("id"), "op")
+      }
+    }
+    val erased = try Upsert.eraseKeys(spark, path,
+      Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+    finally Upsert.erasePreLockHook = () => ()
+    assert(fired, "hook must have fired")
+    // One physical copy in batch-1 (historical) + one in the merge's
+    // rewrite of it (latest): both erased.
+    assert(erased == 2L, s"rows erased: $erased")
+    val latest = Upsert.latestVersion(spark, path)
+    for (v <- 1 to latest)
+      if (new java.io.File(path + "/_snapshots", s"v$v.list").exists())
+        assert(Upsert.readSnapshot(spark, path, v)
+          .filter(col("id") === 2L).isEmpty,
+          s"subject resurfaced at v$v")
+    // No surviving row was lost — the merge's update and insert land.
+    assert(Upsert.readSnapshot(spark, path, latest).as[(Long, String)]
+      .collect().toMap == Map(1L -> "A2", 3L -> "c", 9L -> "i"),
+      "merge edits survive the erase race")
+    // Nothing orphaned: every on-disk dir is referenced by a manifest.
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).toSet
+    val referenced = (1 to latest).flatMap { v =>
+      val f = new java.io.File(path + "/_snapshots", s"v$v.list")
+      if (!f.exists()) Nil
+      else scala.io.Source.fromFile(f).getLines().toList
+    }.toSet
+    assert(dirs.subsetOf(referenced),
+      s"unreferenced debris after racing erase: ${dirs -- referenced}")
+  }
+
   test("merge race: merge vs merge — the second retries and both edits land") {
     val path = java.nio.file.Files.createTempDirectory("snapmr3").toString
     Upsert.writeSnapshot(spark, path,
@@ -1419,46 +1471,58 @@ class UpsertPartitionedSpec extends SparkSpec {
       s"both merges' edits land exactly once: ${rows.toSeq}")
   }
 
-  test("gated publishes run off the maintained profile; erasure forces one re-bootstrap") {
+  test("gated publishes run off per-dir profiles; merge and erasure keep the gate maintained") {
     val path = java.nio.file.Files.createTempDirectory("snapgp").toString
     def gated(rows: Seq[(Long, String)]): Int =
       Upsert.writeSnapshotGated(spark, path, rows.toDF("id", "v"),
         Seq("id"), Seq("id"),
         maxNullRateJump = 0.1, maxRowGrowthPct = 1000.0)
-    gated((1L to 20L).map(i => (i, s"v$i")))
-    assert(Upsert.lastGateMode.get() == "bootstrap")
-    // First gate evaluation: no sidecar yet → one recompute pass,
-    // which PERSISTS the profile for the published version…
+    // A sink born BEFORE the gate opt-in: its dir has no profile
+    // sidecar, so the first gate evaluation profiles it on demand…
+    Upsert.writeSnapshot(spark, path,
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
     gated(Seq((21L, "x")))
     assert(Upsert.lastGateMode.get() == "recomputed")
-    // …so every later gated publish diffs sidecars — batch-cost only.
+    // …and PERSISTS it per dir, so every later gated publish unions
+    // sidecars — batch-cost only, no re-read of published data.
     gated(Seq((22L, "y")))
     assert(Upsert.lastGateMode.get() == "maintained")
-    gated(Seq((23L, "z")))
-    assert(Upsert.lastGateMode.get() == "maintained")
-    // The gate still REFUSES in maintained mode (the sketch diff sees
-    // the same drift the recompute would).
+    // A MERGE rewrites a dir and lands new ones; its outputs are
+    // profiled at write time (the gate marker is on), so the next
+    // gated publish STAYS maintained — the r17 version-keyed design
+    // re-profiled the corpus here.
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 1L, "V1"), ("D", 2L, ""), ("I", 23L, "z"))
+        .toDF("op", "id", "v"), Seq("id"), Seq("id"), "op")
+    gated(Seq((24L, "w")))
+    assert(Upsert.lastGateMode.get() == "maintained",
+      "merge outputs must carry profiles — gate fell back to a scan")
+    // The gate still REFUSES in maintained mode (the sketch union
+    // sees the same drift a recompute would).
     intercept[graft.ops.DriftRefusedException] {
-      gated((100L to 120L).map(i => (i, null: String)))
+      gated((100L to 140L).map(i => (i, null: String)))
     }
     assert(Upsert.lastGateMode.get() == "maintained")
-    assert(Upsert.latestVersion(spark, path) == 4, "refusal publishes nothing")
-    // Erasure edits history in place → every profile sidecar is
-    // deleted; the next gated publish re-bootstraps ONCE, then the
-    // maintained path resumes.
+    val beforeRefusal = Upsert.latestVersion(spark, path)
+    assert(Upsert.readSnapshot(spark, path, beforeRefusal)
+      .filter(col("id") >= 100L).count() == 0, "refusal publishes nothing")
+    // ERASURE deletes dirs' sidecars with the dirs and stamps fresh
+    // profiles on its rewrites — the gate never re-bootstraps.
     Upsert.eraseKeys(spark, path, Seq(Tuple1(21L)).toDF("id"), Seq("id"))
-    val profiles = new java.io.File(path, "_snapshots").listFiles()
-      .map(_.getName).filter(_.endsWith(".profile"))
-    assert(profiles.isEmpty, s"erasure must drop profiles: ${profiles.toSeq}")
-    gated(Seq((24L, "w")))
-    assert(Upsert.lastGateMode.get() == "recomputed")
     gated(Seq((25L, "q")))
-    assert(Upsert.lastGateMode.get() == "maintained")
+    assert(Upsert.lastGateMode.get() == "maintained",
+      "erasure rewrites must carry profiles — gate fell back to a scan")
     val ids = Upsert.readSnapshot(spark, path,
       Upsert.latestVersion(spark, path)).select("id").as[Long]
       .collect().toSet
-    assert(ids == ((1L to 20L).toSet ++ Set(22L, 23L, 24L, 25L)),
-      "erased key gone, all gated publishes present")
+    assert(ids == ((1L to 20L).toSet - 2L ++ Set(22L, 23L, 24L, 25L)),
+      "merged/erased keys resolved, all gated publishes present")
+    // The maintained union is NUMERICALLY honest: the gate's row count
+    // equals the real count after merge + erasure.
+    val h = Upsert.countSnapshot(spark, path,
+      Upsert.latestVersion(spark, path))
+    assert(h == ids.size.toLong, s"sidecar count drifted: $h vs ${ids.size}")
   }
 
   test("probe pushdown: sorted compaction + bounding-box filters reach the parquet scan") {
@@ -1536,6 +1600,19 @@ class UpsertPartitionedSpec extends SparkSpec {
       .select("op", "id", "v").as[(String, Long, String)].collect().toSet
     assert(cdf == Set(("U", 2L, "B2"), ("D", 3L, "c"), ("I", 4L, "d")),
       s"unchanged key 1 absent, D carries the OLD value: $cdf")
+    // The merge WROTE its change record, so that feed composed it —
+    // and the KEY-DIFF (records deleted) must give the identical set:
+    // the two paths are interchangeable truths.
+    assert(Upsert.lastChangesMode.get() == "recorded:2",
+      s"merge record must drive the feed: ${Upsert.lastChangesMode.get()}")
+    val fs0 = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs0.delete(new org.apache.hadoop.fs.Path(path + "/_snapshots",
+      "v2.changes.meta"), false)
+    val cdfKd = Upsert.snapshotChanges(spark, path, 1, 2, Seq("id"))
+      .select("op", "id", "v").as[(String, Long, String)].collect().toSet
+    assert(Upsert.lastChangesMode.get() == "keydiff" && cdfKd == cdf,
+      s"key-diff fallback must equal the recorded feed: $cdfKd")
     // Identity diff: a version against itself is empty.
     assert(Upsert.snapshotChanges(spark, path, 2, 2, Seq("id")).isEmpty)
     // Reverse diff inverts ops (I↔D, U keeps new-side values).
@@ -1564,11 +1641,65 @@ class UpsertPartitionedSpec extends SparkSpec {
     val feed = Upsert.snapshotChanges(spark, p2, 2, 3, Seq("id"))
       .select("op", "id", "v").as[(String, Long, String)].collect().toSet
     assert(feed == Set(("U", 1000L, "HI2")), feed)
+    assert(Upsert.lastChangesMode.get() == "recorded:3",
+      s"single-merge span must compose: ${Upsert.lastChangesMode.get()}")
+    // With the record removed, the key-diff's SHARED-DIR pruning is
+    // still what bounds the fallback's cost: carried dirs never read.
+    val fs2 = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(p2), spark.sparkContext.hadoopConfiguration)
+    fs2.delete(new org.apache.hadoop.fs.Path(p2 + "/_snapshots",
+      "v3.changes.meta"), false)
+    val feedKd = Upsert.snapshotChanges(spark, p2, 2, 3, Seq("id"))
+      .select("op", "id", "v").as[(String, Long, String)].collect().toSet
+    assert(feedKd == feed, s"fallback diverged: $feedKd")
     val (oldOnly, newOnly) = Upsert.lastDiffDirs.get()
     assert(!oldOnly.contains("batch-1") && !newOnly.contains("batch-1"),
       s"carried batch-1 must not feed the diff: $oldOnly / $newOnly")
     assert(oldOnly == Seq("batch-2"),
       s"old side reads only the replaced dir: $oldOnly")
+  }
+
+  test("recorded change feed: composition across merges, compaction and appends equals the key-diff") {
+    val path = java.nio.file.Files.createTempDirectory("snapcdr").toString
+    // v1: base. v2: merge (U/D/I + a U on an ABSENT key → records as
+    // I). v3: full compaction (none record — the keydiff's degradation
+    // boundary). v4: append. v5: merge deleting a key v2 UPDATED (the
+    // composed D must carry the value AT v2's base, not v2's update).
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (6L, "f"))
+        .toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 2L, "B2"), ("D", 3L, ""), ("I", 4L, "d"),
+        ("U", 7L, "g")).toDF("op", "id", "v"),
+      Seq("id"), Seq("id"), "op")
+    Upsert.compactSnapshots(spark, path)
+    Upsert.writeSnapshot(spark, path,
+      Seq((5L, "e")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("D", 2L, ""), ("U", 6L, "F2")).toDF("op", "id", "v"),
+      Seq("id"), Seq("id"), "op")
+    val to = Upsert.latestVersion(spark, path)
+    val rec = Upsert.snapshotChanges(spark, path, 1, to, Seq("id"))
+      .select("op", "id", "v").as[(String, Long, String)].collect().toSet
+    assert(Upsert.lastChangesMode.get().startsWith("recorded:"),
+      s"full chain must compose: ${Upsert.lastChangesMode.get()}")
+    // Endpoint semantics: key 2 was U'd then D'd — ONE D row with the
+    // v1 value; key 3 deleted; 4/5/7 inserted; 6 updated; 1 untouched.
+    assert(rec == Set(("D", 2L, "b"), ("D", 3L, "c"), ("I", 4L, "d"),
+      ("I", 5L, "e"), ("U", 6L, "F2"), ("I", 7L, "g")),
+      s"composed endpoint diff wrong: $rec")
+    // The key-diff across the same span (records stripped) agrees —
+    // the two paths are interchangeable truths even over a compaction.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    (1 to to).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(path + "/_snapshots",
+        s"v$v.changes.meta"), false)
+    }
+    val kd = Upsert.snapshotChanges(spark, path, 1, to, Seq("id"))
+      .select("op", "id", "v").as[(String, Long, String)].collect().toSet
+    assert(Upsert.lastChangesMode.get() == "keydiff" && kd == rec,
+      s"key-diff disagreed with composition: $kd vs $rec")
   }
 
   test("countSnapshot: metadata-only count equals the scan count; statless dirs fall back") {
