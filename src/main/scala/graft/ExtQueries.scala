@@ -1537,6 +1537,38 @@ object ExtQueries {
         .select("doc_id", "source", "len", "lang").orderBy("doc_id")
     }),
 
+    "q_snap_vacuum" -> ((s, dir) => {
+      // Crashed-rewriter hygiene: a claim-named dir that never
+      // published (here: a doctored copy injected beside the sink) is
+      // referenced by NO manifest — expiry can never reclaim it. The
+      // graced vacuum must delete EXACTLY it (required below: count 1
+      // + the dir gone + the data dirs intact) and the read — the
+      // oracle'd surface — is unchanged: hygiene touches storage,
+      // never content.
+      val path = s"$RunScratch/graft_snap_vac_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 1), Seq("doc_id"), Seq("doc_id"))
+      // The orphan: rows that must NEVER surface, under a rewrite-
+      // class name (what a crashed merge leaves behind).
+      docs.filter(col("doc_id") < 50)
+        .withColumn("n_chars", lit(-999L))
+        .write.parquet(s"$path/batch-1-m9")
+      val n = graft.ops.Upsert.vacuumOrphans(s, path, minAgeMs = 0L)
+      require(n == 1 &&
+        !fs.exists(new org.apache.hadoop.fs.Path(path, "batch-1-m9")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(path, "batch-1")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(path, "batch-2")),
+        s"vacuum must reclaim exactly the orphan (got $n)")
+      graft.ops.Upsert.readSnapshot(s, path, 2).orderBy("doc_id")
+    }),
+
     "q_markov_transitions" -> ((s, dir) => {
       // First-order journey chain over the events stream: per user,
       // conversions close journeys; exact (from, to) transition counts
@@ -7892,6 +7924,12 @@ object ExtQueries {
       """SELECT doc_id, source, n_chars AS len,
            CAST(NULL AS VARCHAR) AS lang
          FROM documents
+         ORDER BY doc_id""",
+
+    // Vacuum is storage hygiene: content never changes (the doctored
+    // orphan's -999 rows must be absent — they were never published).
+    "q_snap_vacuum" ->
+      """SELECT doc_id, source, n_chars FROM documents
          ORDER BY doc_id""",
 
     // Per-column drift between the full corpus (v2) and the even half

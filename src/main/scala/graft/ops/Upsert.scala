@@ -798,27 +798,59 @@ object Upsert {
       }
     } catch { case scala.util.control.NonFatal(_) => Nil }
 
+  /** Append one evolution line under the REWRITER LOCK, published by
+    * tmp+rename: evolution ops are rare admin actions, but a plain
+    * read-modify-overwrite had two silent failure modes — concurrent
+    * declarations losing lines, and a reader catching the truncate
+    * window of an overwriting create, seeing an EMPTY map, and serving
+    * unhealed data / landing un-normalized batches (the exact fork the
+    * map exists to prevent). The lock serializes declarers; the rename
+    * makes every read all-or-nothing. */
   private def appendSchemaMapLine(spark: SparkSession, path: String,
       kind: String, a: String, b: String): Unit = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
-    val prior = recordedSchemaMap(spark, path)
-    val bEnc = if (kind == "add") b
-               else java.net.URLEncoder.encode(b, "UTF-8")
-    val lines = prior.map { case (k, x, y) =>
-      val yEnc = if (k == "add") y else java.net.URLEncoder.encode(y, "UTF-8")
-      s"$k\t${java.net.URLEncoder.encode(x, "UTF-8")}\t$yEnc"
-    } :+ s"$kind\t${java.net.URLEncoder.encode(a, "UTF-8")}\t$bEnc"
-    val out = fs.create(schemaMapPath(path), true)
-    try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val lock = acquireRewriterLock(fs, path, s"${kind}Column")
+    try {
+      val prior = recordedSchemaMap(spark, path)
+      val bEnc = if (kind == "add") b
+                 else java.net.URLEncoder.encode(b, "UTF-8")
+      val lines = prior.map { case (k, x, y) =>
+        val yEnc = if (k == "add") y else java.net.URLEncoder.encode(y, "UTF-8")
+        s"$k\t${java.net.URLEncoder.encode(x, "UTF-8")}\t$yEnc"
+      } :+ s"$kind\t${java.net.URLEncoder.encode(a, "UTF-8")}\t$bEnc"
+      val tmp = new org.apache.hadoop.fs.Path(snapDir(path),
+        "schema.map.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(lines.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(schemaMapPath(path), false)
+      if (!fs.rename(tmp, schemaMapPath(path)))
+        throw new java.io.IOException(
+          s"schema.map publish failed at $path — declaration NOT applied")
+    } finally fs.delete(lock, false)
   }
+
+  /** Names currently DROPPED by the map (a later add/rename-to would
+    * re-use the name — refused, see [[dropColumn]]). */
+  private def droppedCols(spark: SparkSession, path: String): Set[String] =
+    recordedSchemaMap(spark, path)
+      .collect { case ("drop", n, _) => n }.toSet
 
   /** Declare a column added to the sink's LOGICAL schema: reads
     * surface it as a typed NULL until some batch physically carries
-    * it. Metadata-only — nothing is rewritten. */
+    * it. Metadata-only — nothing is rewritten. A DROPPED name cannot
+    * be re-used: without column IDs the old physical values would
+    * resurrect under the re-added name (or, normalized away, the new
+    * column could never carry data) — name re-use needs a new name or
+    * a new sink. */
   def addColumn(spark: SparkSession, path: String, name: String,
       dataType: org.apache.spark.sql.types.DataType): Unit = {
     require(name.nonEmpty, "addColumn: empty name")
+    require(!droppedCols(spark, path).contains(name),
+      s"addColumn: '$name' was dropped — a dropped name cannot be " +
+        "re-used (no column IDs in this format-lite sink: the old " +
+        "physical values would resurrect); pick a new name")
     appendSchemaMapLine(spark, path, "add", name, dataType.sql)
   }
 
@@ -834,10 +866,46 @@ object Upsert {
     require(!recordedKeyCols(spark, path).contains(from),
       s"renameColumn: '$from' is a key column — keys are the sink's " +
         "identity and cannot rename (create a new sink and backfill)")
+    // The TARGET must not collide with anything live: a rename onto a
+    // key would shadow the identity column; onto a dropped name it
+    // would resurrect old physical values; onto an existing LOGICAL
+    // column the coalesce projection would silently merge two
+    // unrelated columns, discarding `to`'s NULLs' counterparts —
+    // Delta refuses rename-onto-existing for exactly this reason.
+    require(!recordedKeyCols(spark, path).contains(to),
+      s"renameColumn: target '$to' is a key column")
+    require(!droppedCols(spark, path).contains(to),
+      s"renameColumn: target '$to' was dropped — a dropped name " +
+        "cannot be re-used (old physical values would resurrect)")
+    val cur = latestVersion(spark, path)
+    if (cur >= 1)
+      require(!readSnapshot(spark, path, cur).columns.contains(to),
+        s"renameColumn: target '$to' already exists in the sink's " +
+          "logical schema — renaming onto a live column would silently " +
+          "merge two unrelated columns")
     appendSchemaMapLine(spark, path, "rename", from, to)
     val skips = recordedSkipCols(spark, path)
     if (skips.contains(from))
       declareSkipCols(spark, path, skips.map(c => if (c == from) to else c))
+  }
+
+  /** Declare a column DROPPED from the sink's logical schema: reads
+    * project it away at EVERY version (the map is sink-level, like
+    * rename); the physical bytes linger until a compaction migrates.
+    * The name is then RETIRED — add/rename refuse to re-use it
+    * (without column IDs the old physical values would resurrect, or
+    * the write normalization would black-hole the re-added column).
+    * Refuses keys and declared skip columns (undeclare skipping
+    * first — a dropped column must not keep driving dir pruning).
+    * Metadata-only. */
+  def dropColumn(spark: SparkSession, path: String, name: String): Unit = {
+    require(!recordedKeyCols(spark, path).contains(name),
+      s"dropColumn: '$name' is a key column — keys are the sink's " +
+        "identity and cannot drop")
+    require(!recordedSkipCols(spark, path).contains(name),
+      s"dropColumn: '$name' is a declared skip column — " +
+        "declareSkipCols without it first")
+    appendSchemaMapLine(spark, path, "drop", name, "-")
   }
 
   /** The logical view of a physically-read frame: apply the declared
@@ -860,17 +928,23 @@ object Upsert {
           case (true, false) => d.withColumnRenamed(from, to)
           case _ => d
         }
+      case (d, ("drop", name, _)) =>
+        if (d.columns.contains(name)) d.drop(name) else d
       case (d, _) => d
     }
 
   /** Write-side normalization: route a batch still using renamed-away
-    * column names into the live names (prevents the silent fork).
-    * Adds are not materialized — absence reads as NULL. */
+    * column names into the live names, and strip dropped columns so a
+    * lagging producer cannot silently re-grow them (prevents the
+    * silent fork either way). Adds are not materialized — absence
+    * reads as NULL. */
   private def normalizeBatch(spark: SparkSession, path: String,
       batch: DataFrame): DataFrame =
     recordedSchemaMap(spark, path).foldLeft(batch) {
       case (d, ("rename", from, to)) if d.columns.contains(from) &&
           !d.columns.contains(to) => d.withColumnRenamed(from, to)
+      case (d, ("drop", name, _)) if d.columns.contains(name) =>
+        d.drop(name)
       case (d, _) => d
     }
 
@@ -947,8 +1021,18 @@ object Upsert {
     val generic = ranges.toSeq.filterNot(kv => boundedSet(kv._1))
       .map { case (k, (lo, hi)) => col(k) >= lit(lo) && col(k) <= lit(hi) }
       .reduceOption(_ && _)
-    (pushed.toSeq ++ generic.toSeq).reduceOption(_ && _)
+    val filtered = (pushed.toSeq ++ generic.toSeq).reduceOption(_ && _)
       .map(scan.filter).getOrElse(scan)
+    // SCHEMA STABILITY: the candidate subset's mergeSchema union may
+    // lack columns only carried by pruned dirs — the same call would
+    // then change shape with its bounds (a downstream select crashes
+    // exactly when pruning works best). Align to the full snapshot's
+    // logical schema: missing columns are typed NULL, order pinned.
+    val full = readSnapshot(spark, path, version).limit(0)
+    full.columns.foldLeft(filtered)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(full.schema(c).dataType)))
+      .select(full.columns.toIndexedSeq.map(col): _*)
   }
 
   // ── provenance ──────────────────────────────────────────────────
@@ -2330,6 +2414,14 @@ object Upsert {
           }
           throw e
         }
+      // Set inside the critical section, ACTED ON after it: the change
+      // record re-reads the rewritten dirs and writes a parquet dir —
+      // data jobs that must not run under the lock (the critical
+      // section's contract is metadata-only; a record write under it
+      // would stall every rewriter and the streaming CDC feed behind
+      // a scan). The inputs are immutable dirs, so deferring is safe.
+      var committed: Option[Int] = None
+      var recordAt: Option[Int] = None
       try {
         val latestNow = latestVersion(spark, path)
         val latestDirs = manifestDirs(spark, path, latestNow)
@@ -2391,16 +2483,24 @@ object Upsert {
           // Change record: the merge's exact I/U/D sets, persisted so
           // the feed never re-derives them — skipped on the contended
           // paths (interleaver carried, reconcile republished), where
-          // what landed differs from what this pass computed.
-          if (rv == pubV && interleaved.isEmpty)
-            writeMergeChangeRecord(spark, path, rv, base = cur,
+          // what landed differs from what this pass computed. Written
+          // AFTER the lock releases (see recordAt above).
+          if (rv == pubV && interleaved.isEmpty) recordAt = Some(rv)
+          committed = Some(rv)
+        }
+      } finally fs.delete(lock, false)
+      committed match {
+        case Some(rv) =>
+          recordAt.foreach { v =>
+            writeMergeChangeRecord(spark, path, v, base = cur,
               rewritten, snapshotSchema, touched, uRows,
               dKeys = deduped.filter(col(opCol) === "D")
                 .select(keys.map(col): _*).distinct(),
               freshI, keys, tFilter)
+          }
           return rv
-        }
-      } finally fs.delete(lock, false)
+        case None => ()
+      }
       // Stale base: a rewriter (another merge, a compactor, an
       // erasure) replaced a dir we probed, carried, or rewrote. Drop
       // the orphaned rewrites and retry from the new latest.
@@ -2750,19 +2850,30 @@ object Upsert {
         if (r.get.base != prev) return None
         prev = v
       }
+      // Schema map applied PER FRAME, before the union: records carry
+      // PHYSICAL column names frozen at their write time (a merge's
+      // pre-images use the then-raw snapshot schema), so a feed
+      // spanning a renameColumn would otherwise emit dead physical
+      // columns with spurious NULLs — diverging from the key-diff
+      // path and from every mapped read surface.
       val frames: Seq[DataFrame] = chain.flatMap {
         case (_, Some(RepackRecord(_))) => None
         case (v, Some(AppendRecord(_, dir))) =>
           if (!fs.exists(new org.apache.hadoop.fs.Path(path, dir)))
             return None
-          val df = spark.read.option("mergeSchema", "true")
-            .parquet(s"$path/$dir")
+          val df = applySchemaMap(spark, path,
+            spark.read.option("mergeSchema", "true").parquet(s"$path/$dir"))
           if (df.columns.exists(ChangeRecCols)) return None
           Some(df.withColumn("__op", lit("I")).withColumn("__v", lit(v)))
         case (v, Some(DeltaRecord(_))) =>
           if (!fs.exists(changesDirPath(path, v))) return None
-          Some(spark.read.option("mergeSchema", "true")
+          val raw = spark.read.option("mergeSchema", "true")
             .parquet(changesDirPath(path, v).toString)
+          // The op marker must survive the map (it is ours, not data):
+          // shelter it under a reserved alias across the application.
+          Some(applySchemaMap(spark, path,
+              raw.withColumnRenamed("__op", "__rec_op"))
+            .withColumnRenamed("__rec_op", "__op")
             .withColumn("__v", lit(v)))
         case (_, None) => return None
       }
@@ -2836,6 +2947,15 @@ object Upsert {
       opCol: String = "op"): DataFrame = {
     require(fromVersion >= 1 && toVersion >= 1,
       s"need published versions, got $fromVersion..$toVersion")
+    // BOTH endpoints must exist before any path runs: the composed
+    // path's chain walk covers only (from, to∩published] and would
+    // otherwise answer a typo'd too-high `to` with a plausible-looking
+    // SHORTER span's diff instead of the key-diff's loud failure.
+    val efs = fsFor(spark, path)
+    Seq(fromVersion, toVersion).foreach { v =>
+      require(efs.exists(new org.apache.hadoop.fs.Path(snapDir(path),
+        s"v$v.list")), s"no snapshot v$v at $path")
+    }
     // RECORDED fast path: when every published version in the span
     // carries a write-time change record whose base chains to its
     // predecessor, compose the records — O(changes) however the span
@@ -2867,10 +2987,15 @@ object Upsert {
     val oldOnly = fromDirs.filterNot(shared)
     val newOnly = toDirs.filterNot(shared)
     lastDiffDirs.set((oldOnly, newOnly))
+    // Mapped like every other read surface: a feed spanning a
+    // renameColumn must diff (and emit) LOGICAL columns, or the old
+    // and new physical names compare as two half-NULL columns and
+    // every renamed row surfaces as a spurious U.
     def readDirs(dirs: Seq[String]) =
       if (dirs.isEmpty) readSnapshot(spark, path, toVersion).limit(0)
-      else spark.read.option("mergeSchema", "true")
-        .parquet(dirs.map(d => s"$path/$d"): _*)
+      else applySchemaMap(spark, path,
+        spark.read.option("mergeSchema", "true")
+          .parquet(dirs.map(d => s"$path/$d"): _*))
     val oldDf = readDirs(oldOnly)
     val newDf = readDirs(newOnly)
     val cols = (oldDf.columns ++ newDf.columns).distinct
@@ -2943,33 +3068,53 @@ object Upsert {
     fs.mkdirs(snapDir(path))
     val lock = acquireRewriterLock(fs, path, "vacuumOrphans")
     try {
-      val now = System.currentTimeMillis()
       val versions = fs.listStatus(snapDir(path)).toSeq
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
           n.stripPrefix("v").stripSuffix(".list").toInt }
       val referenced = versions
         .flatMap(v => manifestDirs(spark, path, v)).toSet
-      val orphans = fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        .toSeq.filter(_.isDirectory)
-        .filterNot(st => st.getPath.getName == "_snapshots")
-        .filterNot(st => referenced(st.getPath.getName))
-        .filter { st =>
-          minAgeMs <= 0L || {
-            val newest =
-              try (st.getModificationTime +: fs.listStatus(st.getPath)
-                .toSeq.map(_.getModificationTime)).max
-              catch { case scala.util.control.NonFatal(_) => now }
-            now - newest >= minAgeMs
-          }
-        }
-        .map(_.getPath.getName)
-      orphans.foreach { d =>
-        fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
-        deleteDirSidecars(fs, path, d)
-      }
-      orphans.size
+      sweepUnreferencedDirs(fs, path, referenced, minAgeMs).size
     } finally fs.delete(lock, false)
+  }
+
+  /** Newest modification time under `st` — RECURSIVE: Spark streams
+    * part files into nested `_temporary/<attempt>` dirs whose
+    * top-level entries' mtimes go stale while data still lands levels
+    * deeper, so a one-level check would age-out an IN-FLIGHT rewrite
+    * and the grace window would not actually protect it. A listing
+    * failure reports "young" — never delete blind. */
+  private def newestMtimeRecursive(fs: org.apache.hadoop.fs.FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long =
+    try {
+      var newest = st.getModificationTime
+      val it = fs.listFiles(st.getPath, true)
+      while (it.hasNext)
+        newest = math.max(newest, it.next().getModificationTime)
+      newest
+    } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
+
+  /** Delete every top-level data dir absent from `referenced` whose
+    * newest content mtime is older than `graceMs` (≤ 0 sweeps
+    * unconditionally — the quiesced-writers contract). The ONE sweep
+    * implementation behind [[vacuumOrphans]] and [[eraseKeys]]'
+    * subject-byte pass — the grace logic is subtle enough that two
+    * copies would silently diverge. */
+  private def sweepUnreferencedDirs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, referenced: Set[String], graceMs: Long): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val doomed = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .toSeq.filter(_.isDirectory)
+      .filterNot(st => st.getPath.getName == "_snapshots")
+      .filterNot(st => referenced(st.getPath.getName))
+      .filter(st => graceMs <= 0L ||
+        now - newestMtimeRecursive(fs, st) >= graceMs)
+      .map(_.getPath.getName)
+    doomed.foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
+      deleteDirSidecars(fs, path, d)
+    }
+    doomed
   }
 
   /** Test hook: runs between an erasure's (lock-free) rewrites and its
@@ -3195,25 +3340,8 @@ object Upsert {
             // Orphan sweep: unreferenced dirs may hold subject bytes.
             // Grace-filtered against a live fleet (an in-flight rewrite
             // looks exactly like an orphan); 0 = quiesced contract.
-            val now = System.currentTimeMillis()
-            val referencedNow = listVersions().flatMap(_._2).toSet
-            fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-              .filter(_.isDirectory)
-              .filterNot(st => st.getPath.getName == "_snapshots")
-              .filterNot(st => referencedNow(st.getPath.getName))
-              .filter { st =>
-                orphanGraceMs <= 0L || {
-                  val newest =
-                    try (st.getModificationTime +: fs.listStatus(st.getPath)
-                      .toSeq.map(_.getModificationTime)).max
-                    catch { case scala.util.control.NonFatal(_) => now }
-                  now - newest >= orphanGraceMs
-                }
-              }
-              .foreach { st =>
-                fs.delete(st.getPath, true)
-                deleteDirSidecars(fs, path, st.getPath.getName)
-              }
+            sweepUnreferencedDirs(fs, path,
+              listVersions().flatMap(_._2).toSet, orphanGraceMs)
             done = true
           }
         } finally fs.delete(lock, false)

@@ -141,5 +141,75 @@ class EvolvingSchemaSpec extends SparkSpec {
     val after = Upsert.readSnapshot(spark, path, cv)
       .select("id", "val").as[(Long, String)].collect().toMap
     assert(after == m, "migration preserves content")
+    // dropColumn: reads project it away everywhere; a lagging producer
+    // re-sending it is stripped at write; keys refuse.
+    Upsert.dropColumn(spark, path, "n")
+    assert(!Upsert.readSnapshot(spark, path, cv).columns.contains("n"),
+      "dropped column must vanish from reads")
+    Upsert.writeSnapshot(spark, path,
+      Seq((5L, "e", 99L)).toDF("id", "val", "n"), Seq("id"), Seq("id"))
+    val b5 = Upsert.latestVersion(spark, path)
+    assert(!spark.read.parquet(s"$path/batch-$b5").columns.contains("n"),
+      "write normalization must strip the dropped column")
+    intercept[IllegalArgumentException] {
+      Upsert.dropColumn(spark, path, "id")
+    }
+    // A dropped name is RETIRED: re-using it (add or rename-onto)
+    // would resurrect the old physical values — refused loudly.
+    intercept[IllegalArgumentException] {
+      Upsert.addColumn(spark, path, "n",
+        org.apache.spark.sql.types.LongType)
+    }
+    intercept[IllegalArgumentException] {
+      Upsert.renameColumn(spark, path, "val", "n")
+    }
+    // Rename onto a LIVE column would coalesce-merge two unrelated
+    // columns — refused; so is renaming onto a key.
+    Upsert.addColumn(spark, path, "extra",
+      org.apache.spark.sql.types.StringType)
+    intercept[IllegalArgumentException] {
+      Upsert.renameColumn(spark, path, "extra", "val")
+    }
+    intercept[IllegalArgumentException] {
+      Upsert.renameColumn(spark, path, "extra", "id")
+    }
+  }
+
+  test("change feed across a rename: both paths emit LOGICAL columns with healed values") {
+    import graft.ops.Upsert
+    val path = java.nio.file.Files.createTempDirectory("snapevof").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    Upsert.renameColumn(spark, path, "v", "val")
+    // The merge deletes key 2 (pre-rename physical data) and inserts
+    // key 3 under the live name.
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("D", 2L, ""), ("I", 3L, "c")).toDF("op", "id", "val"),
+      Seq("id"), Seq("id"), "op")
+    def feed() = Upsert.snapshotChanges(spark, path, 1, 2, Seq("id"))
+    val rec = feed()
+    assert(!rec.columns.contains("v") && rec.columns.contains("val"),
+      s"feed must emit logical columns: ${rec.columns.toSeq}")
+    val recRows = rec.select("op", "id", "val")
+      .as[(String, Long, String)].collect().toSet
+    // D carries the OLD value healed into the LIVE column name.
+    assert(recRows == Set(("D", 2L, "b"), ("I", 3L, "c")),
+      s"recorded feed: $recRows")
+    assert(Upsert.lastChangesMode.get() == "recorded:2")
+    // Key-diff fallback agrees, column-for-column.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/_snapshots",
+      "v2.changes.meta"), false)
+    val kd = feed()
+    assert(!kd.columns.contains("v") && kd.columns.contains("val"))
+    assert(kd.select("op", "id", "val").as[(String, Long, String)]
+      .collect().toSet == recRows,
+      "key-diff fallback must equal the recorded feed across a rename")
+    // A typo'd span endpoint fails loudly on both paths (the composed
+    // walk must not answer a shorter span).
+    intercept[IllegalArgumentException] {
+      Upsert.snapshotChanges(spark, path, 1, 999, Seq("id"))
+    }
   }
 }
