@@ -1569,6 +1569,63 @@ object ExtQueries {
       graft.ops.Upsert.readSnapshot(s, path, 2).orderBy("doc_id")
     }),
 
+    "q_snap_minmax" -> ((s, dir) => {
+      // MIN/MAX at driver-metadata cost (the COUNT(*) sibling): the
+      // `.stats` sidecars already carry each dir's key bounds, and
+      // min-of-mins over disjoint dirs IS the version's min. The
+      // require pins the no-scan path; the oracle the exact values.
+      val path = s"$RunScratch/graft_snap_mm_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 1), Seq("doc_id"), Seq("doc_id"))
+      val (lo, hi) = graft.ops.Upsert.minMaxSnapshot(s, path, 2, "doc_id")
+      require(graft.ops.Upsert.lastMinMaxScanned.get().isEmpty,
+        s"metadata min/max scanned dirs: " +
+          s"${graft.ops.Upsert.lastMinMaxScanned.get()}")
+      import s.implicits._
+      Seq((lo.get.asInstanceOf[Long], hi.get.asInstanceOf[Long]))
+        .toDF("min_id", "max_id")
+    }),
+
+    "q_snap_consume" -> ((s, dir) => {
+      // Cursor-tracked feed consumption: the first consume delivers
+      // the initial snapshot (I rows, cursor → v1); after the merge,
+      // the second consume delivers EXACTLY the v1→v2 span — the
+      // oracle is the same exact I/U/D set as q_snap_changes, now
+      // arriving through the consumer loop with its durable cursor.
+      val path = s"$RunScratch/graft_snap_cons_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      val cursor = s"$path/_consumer/main.cursor"
+      var span: org.apache.spark.sql.DataFrame = null
+      require(graft.ops.Upsert.consumeChanges(s, path, cursor,
+        Seq("doc_id"))(df => span = df) == 1, "initial snapshot covers v1")
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("__op", lit("U"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("__op", lit("D")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("__op", lit("I")))
+      graft.ops.Upsert.mergeSnapshot(s, path, changes,
+        Seq("doc_id"), Seq("doc_id"), "__op")
+      require(graft.ops.Upsert.consumeChanges(s, path, cursor,
+        Seq("doc_id"))(df => span = df) == 2, "span consume covers v2")
+      span.orderBy("doc_id")
+    }),
+
     "q_markov_transitions" -> ((s, dir) => {
       // First-order journey chain over the events stream: per user,
       // conversions close journeys; exact (from, to) transition counts
@@ -7930,6 +7987,26 @@ object ExtQueries {
     // orphan's -999 rows must be absent — they were never published).
     "q_snap_vacuum" ->
       """SELECT doc_id, source, n_chars FROM documents
+         ORDER BY doc_id""",
+
+    // Metadata-only bounds of the two-batch sink = plain MIN/MAX.
+    "q_snap_minmax" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+         FROM documents""",
+
+    // The consumer's second delivery is exactly the v1→v2 span — the
+    // same I/U/D classes as q_snap_changes.
+    "q_snap_consume" ->
+      """SELECT 'I' AS op, doc_id, source, n_chars FROM documents
+         WHERE doc_id % 10 = 1
+         UNION ALL
+         SELECT 'D', doc_id, source, n_chars FROM documents
+         WHERE doc_id % 10 = 2
+         UNION ALL
+         SELECT 'U', doc_id, source,
+           CAST(n_chars + 1000 AS BIGINT) FROM documents
+         WHERE doc_id % 10 = 0
          ORDER BY doc_id""",
 
     // Per-column drift between the full corpus (v2) and the even half

@@ -497,6 +497,102 @@ object Upsert {
     total
   }
 
+  /** Audit for [[minMaxSnapshot]]: dirs whose ranges had to be SCANNED
+    * (no usable `.stats` line) on the last call. Empty ⟺ answered
+    * entirely from driver metadata. */
+  private[graft] val lastMinMaxScanned =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](Nil)
+
+  /** MIN/MAX of a stat-covered column (keys and declared skip columns)
+    * at DRIVER-METADATA cost — the [[countSnapshot]] sibling: each
+    * dir's `.stats` line already carries the min/max of its non-null
+    * values, and min-of-mins / max-of-maxes over disjoint dir sets IS
+    * the version's min/max (SQL semantics: NULLs ignored; all-null →
+    * (null, null)). Dirs without a usable line fall back to a per-dir
+    * aggregate — correctness never rests on a sidecar. Values return
+    * in the stats' canonical domain: long for integral columns, epoch
+    * day / epoch micros for date/timestamp, raw string for strings. */
+  def minMaxSnapshot(spark: SparkSession, path: String, version: Int,
+      column: String): (Option[Any], Option[Any]) = {
+    val dirs = manifestDirs(spark, path, version)
+    val scanned = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ranges: Seq[Option[(String, (Any, Any))]] = dirs.map { d =>
+      readKeyStats(spark, path, d).flatMap(_.get(column)) match {
+        case Some((tag, Some((lo, hi)))) => Some((tag, (lo, hi)))
+        case Some((_, None)) => None // dir has no non-null values
+        case None =>
+          // No sidecar or no line for this column: one bounded per-dir
+          // aggregate, encoded into the same canonical domain so the
+          // fold below compares one ordering.
+          scanned += d
+          val df = spark.read.parquet(s"$path/$d")
+          if (!df.columns.contains(column)) None
+          else statTag(df.schema(column).dataType).flatMap { tag =>
+            val r = df.agg(min(col(column)), max(col(column))).collect()(0)
+            if (r.isNullAt(0) || r.isNullAt(1)) None
+            else Some((tag,
+              (decodeStatValue(tag, encodeStatValue(tag, r.get(0))),
+               decodeStatValue(tag, encodeStatValue(tag, r.get(1))))))
+          }
+      }
+    }
+    lastMinMaxScanned.set(scanned.toSeq)
+    val present = ranges.flatten
+    require(present.map(_._1).distinct.size <= 1,
+      s"minMaxSnapshot: '$column' has mixed stat types across dirs")
+    if (present.isEmpty) (None, None)
+    else ((Some(present.map(_._2._1).reduce((a, b) =>
+        if (statLt(a, b)) a else b)): Option[Any]),
+      (Some(present.map(_._2._2).reduce((a, b) =>
+        if (statLt(a, b)) b else a)): Option[Any]))
+  }
+
+  /** Incremental CHANGE-FEED CONSUMPTION with a durable cursor — the
+    * consumer half of the CDC loop ([[snapshotChanges]] is the read,
+    * this is the "exactly once per span" bookkeeping every downstream
+    * apply job otherwise hand-rolls): `f` receives the I/U/D frame
+    * from the cursor's version to the current latest, and the cursor
+    * (a tmp+rename-published marker at `cursorPath`) advances only
+    * after `f` returns — a crash mid-apply re-delivers the SAME span
+    * (at-least-once; I/U/D application is idempotent per span, so
+    * consumers that apply by key converge). First call = the CDC
+    * "initial snapshot" convention: `f` gets the full current state
+    * as I rows. No new versions → `f` is not called. Returns the
+    * version the cursor now covers. */
+  def consumeChanges(spark: SparkSession, path: String,
+      cursorPath: String, keys: Seq[String], opCol: String = "op")(
+      f: DataFrame => Unit): Int = {
+    val fs = fsFor(spark, path)
+    val cp = new org.apache.hadoop.fs.Path(cursorPath)
+    val latest = latestVersion(spark, path)
+    require(latest >= 1, s"no snapshot to consume at $path")
+    val covered: Int =
+      if (!fs.exists(cp)) 0
+      else {
+        val in = fs.open(cp)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      }
+    if (covered >= latest) return covered
+    val frame =
+      if (covered == 0) {
+        val full = readSnapshot(spark, path, latest)
+        full.withColumn(opCol, lit("I"))
+          .select((col(opCol) +: full.columns.toIndexedSeq.map(col)): _*)
+      } else snapshotChanges(spark, path, covered, latest, keys, opCol)
+    f(frame)
+    // Cursor advances AFTER the apply, atomically (tmp+rename): the
+    // only crash window re-delivers, never skips.
+    val tmp = new org.apache.hadoop.fs.Path(cursorPath + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(latest.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(cp, false)
+    if (!fs.rename(tmp, cp)) throw new java.io.IOException(
+      s"consumeChanges: cursor publish failed at $cursorPath — the " +
+        "span was applied but not recorded; the next call re-delivers")
+    latest
+  }
+
   /** Test/ops audit: the dir subset the last probe-pruned op actually
     * opened (merge's touched scan, erasure's hit scan, point reads).
     * Written for spec assertions that non-overlapping dirs are never
@@ -3105,7 +3201,13 @@ object Upsert {
     val now = System.currentTimeMillis()
     val doomed = fs.listStatus(new org.apache.hadoop.fs.Path(path))
       .toSeq.filter(_.isDirectory)
-      .filterNot(st => st.getPath.getName == "_snapshots")
+      // ALL underscore-prefixed paths are exempt, not just _snapshots:
+      // they are the Spark/Hadoop hidden-path convention (invisible to
+      // every reader) and legitimately unreferenced — _consumer change
+      // cursors, in-flight _temporary trees. Sweeping a consumer's
+      // cursor dir would silently reset its feed to the initial
+      // snapshot.
+      .filterNot(st => st.getPath.getName.startsWith("_"))
       .filterNot(st => referenced(st.getPath.getName))
       .filter(st => graceMs <= 0L ||
         now - newestMtimeRecursive(fs, st) >= graceMs)

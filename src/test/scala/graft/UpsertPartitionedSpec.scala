@@ -1702,6 +1702,90 @@ class UpsertPartitionedSpec extends SparkSpec {
       s"key-diff disagreed with composition: $kd vs $rec")
   }
 
+  test("minMaxSnapshot: metadata-only min/max equals the scan answer; statless dirs fall back") {
+    val path = java.nio.file.Files.createTempDirectory("snapmm").toString
+    Upsert.declareSkipCols(spark, path, Seq("score"))
+    Upsert.writeSnapshot(spark, path,
+      (10L to 40L).map(i => (i, i * 2, s"v$i")).toDF("id", "score", "v"),
+      Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      (41L to 55L).map(i => (i, i * 2, s"v$i")).toDF("id", "score", "v"),
+      Seq("id"), Seq("id"))
+    val v = Upsert.latestVersion(spark, path)
+    assert(Upsert.minMaxSnapshot(spark, path, v, "id") ==
+      ((Some(10L), Some(55L))))
+    assert(Upsert.lastMinMaxScanned.get().isEmpty,
+      "key min/max must come from sidecars alone")
+    // Declared skip columns answer too (same sidecar lines).
+    assert(Upsert.minMaxSnapshot(spark, path, v, "score") ==
+      ((Some(20L), Some(110L))))
+    assert(Upsert.lastMinMaxScanned.get().isEmpty)
+    // A column with no stats line (plain value column) falls back to
+    // per-dir scans — same answer, dirs named in the audit.
+    assert(Upsert.minMaxSnapshot(spark, path, v, "v") ==
+      ((Some("v10"), Some("v55"))))
+    assert(Upsert.lastMinMaxScanned.get().sorted ==
+      Seq("batch-1", "batch-2"), Upsert.lastMinMaxScanned.get())
+    // Historical versions answer from their dirs' sidecars.
+    assert(Upsert.minMaxSnapshot(spark, path, 1, "id") ==
+      ((Some(10L), Some(40L))))
+    // A merge keeps it honest: deletes move the bounds.
+    Upsert.mergeSnapshot(spark, path,
+      (Seq(("D", 10L, 0L, ""), ("D", 55L, 0L, "")))
+        .toDF("op", "id", "score", "v"), Seq("id"), Seq("id"), "op")
+    val v2 = Upsert.latestVersion(spark, path)
+    assert(Upsert.minMaxSnapshot(spark, path, v2, "id") ==
+      ((Some(11L), Some(54L))))
+    assert(Upsert.lastMinMaxScanned.get().isEmpty,
+      "merge rewrites must carry fresh sidecars")
+  }
+
+  test("consumeChanges: cursor-tracked feed consumption — initial snapshot, spans exactly once, crash re-delivers") {
+    val path = java.nio.file.Files.createTempDirectory("snapcc").toString
+    val cursor = path + "/_consumer/main.cursor"
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    var model = Map.empty[Long, String]
+    def apply(df: org.apache.spark.sql.DataFrame): Unit =
+      df.select("op", "id", "v").as[(String, Long, String)].collect()
+        .foreach {
+          case ("D", id, _) => model -= id
+          case (_, id, v) => model += id -> v
+        }
+    // First call: the full state as I rows (CDC initial snapshot).
+    assert(Upsert.consumeChanges(spark, path, cursor, Seq("id"))(apply) == 1)
+    assert(model == Map(1L -> "a", 2L -> "b"))
+    // The cursor dir is an underscore path: hygiene sweeps must never
+    // eat it (that would silently reset the consumer to the initial
+    // snapshot).
+    assert(Upsert.vacuumOrphans(spark, path, minAgeMs = 0L) == 0)
+    assert(new java.io.File(path, "_consumer").exists(),
+      "vacuum must exempt underscore paths (consumer cursors)")
+    // No new versions → f is NOT called.
+    Upsert.consumeChanges(spark, path, cursor, Seq("id")) { _ =>
+      fail("must not deliver an empty span")
+    }
+    // Two more versions, one consume: the span arrives once, composed.
+    Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 1L, "A2"), ("D", 2L, ""), ("I", 3L, "c"))
+        .toDF("op", "id", "v"), Seq("id"), Seq("id"), "op")
+    Upsert.writeSnapshot(spark, path,
+      Seq((4L, "d")).toDF("id", "v"), Seq("id"), Seq("id"))
+    assert(Upsert.consumeChanges(spark, path, cursor, Seq("id"))(apply) == 3)
+    assert(model == Map(1L -> "A2", 3L -> "c", 4L -> "d"))
+    // Crash mid-apply: the cursor must NOT advance; the retry
+    // re-delivers the same span and the model converges (idempotent).
+    Upsert.writeSnapshot(spark, path,
+      Seq((5L, "e")).toDF("id", "v"), Seq("id"), Seq("id"))
+    intercept[RuntimeException] {
+      Upsert.consumeChanges(spark, path, cursor, Seq("id")) { _ =>
+        throw new RuntimeException("consumer crash")
+      }
+    }
+    assert(Upsert.consumeChanges(spark, path, cursor, Seq("id"))(apply) == 4)
+    assert(model == Map(1L -> "A2", 3L -> "c", 4L -> "d", 5L -> "e"))
+  }
+
   test("countSnapshot: metadata-only count equals the scan count; statless dirs fall back") {
     val path = java.nio.file.Files.createTempDirectory("snapcnt").toString
     Upsert.writeSnapshot(spark, path,
