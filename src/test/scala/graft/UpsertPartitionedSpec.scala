@@ -1786,6 +1786,37 @@ class UpsertPartitionedSpec extends SparkSpec {
     assert(model == Map(1L -> "A2", 3L -> "c", 4L -> "d", 5L -> "e"))
   }
 
+  test("readSnapshotWhere: value bounds reach PushedFilters; schema stable across pruning") {
+    val path = java.nio.file.Files.createTempDirectory("snapvw").toString
+    Upsert.declareSkipCols(spark, path, Seq("score"))
+    Upsert.writeSnapshot(spark, path,
+      (1L to 200L).map(i => (i, i % 100, s"v$i")).toDF("id", "score", "v"),
+      Seq("id"), Seq("id"))
+    // Additive evolution: only batch-2 carries `extra`.
+    Upsert.writeSnapshot(spark, path,
+      (201L to 400L).map(i => (i, 100 + i % 100, s"v$i", i))
+        .toDF("id", "score", "v", "extra"), Seq("id"), Seq("id"))
+    val rd = Upsert.readSnapshotWhere(spark, path, 2,
+      Map("score" -> ((120L, 150L))))
+    val plan = rd.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(score,120)") &&
+      plan.contains("LessThanOrEqual(score,150)") &&
+      plan.contains("PushedFilters"),
+      s"value bounds must reach PushedFilters:\n${plan.take(1500)}")
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-2"),
+      s"low dir must prune: ${Upsert.lastProbedDirs.get()}")
+    // Schema stability: bounds pruning to batch-1 (which LACKS
+    // `extra`) must still return the full logical shape.
+    val rd1 = Upsert.readSnapshotWhere(spark, path, 2,
+      Map("score" -> ((10L, 20L))))
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-1"))
+    assert(rd1.columns.sorted.toSeq == rd.columns.sorted.toSeq,
+      s"shape must not depend on the bounds: ${rd1.columns.toSeq} vs " +
+        s"${rd.columns.toSeq}")
+    assert(rd1.filter(col("extra").isNotNull).isEmpty,
+      "pruned-away column reads as NULL, not as a missing column")
+  }
+
   test("countSnapshot: metadata-only count equals the scan count; statless dirs fall back") {
     val path = java.nio.file.Files.createTempDirectory("snapcnt").toString
     Upsert.writeSnapshot(spark, path,
