@@ -514,30 +514,72 @@ object Upsert {
     * day / epoch micros for date/timestamp, raw string for strings. */
   def minMaxSnapshot(spark: SparkSession, path: String, version: Int,
       column: String): (Option[Any], Option[Any]) = {
+    // The LOGICAL column resolves through the schema map like every
+    // other read surface: retired names refuse loudly, and pre-rename
+    // dirs' sidecars (keyed by the then-physical name) answer for the
+    // live name via the alias walk — without it, a rename silently
+    // excluded every older dir from the bounds.
+    require(!droppedCols(spark, path).contains(column),
+      s"minMaxSnapshot: '$column' was dropped")
+    require(!renamedAwayCols(spark, path).contains(column),
+      s"minMaxSnapshot: '$column' was renamed away — use the live name")
+    val aliases = {
+      var set = Set(column)
+      recordedSchemaMap(spark, path).reverse.foreach {
+        case ("rename", f, t) if set(t) => set += f
+        case _ => ()
+      }
+      set
+    }
     val dirs = manifestDirs(spark, path, version)
+    var sawLine = false
     val scanned = scala.collection.mutable.ArrayBuffer.empty[String]
-    val ranges: Seq[Option[(String, (Any, Any))]] = dirs.map { d =>
-      readKeyStats(spark, path, d).flatMap(_.get(column)) match {
-        case Some((tag, Some((lo, hi)))) => Some((tag, (lo, hi)))
-        case Some((_, None)) => None // dir has no non-null values
-        case None =>
-          // No sidecar or no line for this column: one bounded per-dir
-          // aggregate, encoded into the same canonical domain so the
-          // fold below compares one ordering.
-          scanned += d
-          val df = spark.read.parquet(s"$path/$d")
-          if (!df.columns.contains(column)) None
-          else statTag(df.schema(column).dataType).flatMap { tag =>
-            val r = df.agg(min(col(column)), max(col(column))).collect()(0)
-            if (r.isNullAt(0) || r.isNullAt(1)) None
-            else Some((tag,
-              (decodeStatValue(tag, encodeStatValue(tag, r.get(0))),
-               decodeStatValue(tag, encodeStatValue(tag, r.get(1))))))
+    val fromStats: Seq[(String, (Any, Any))] = dirs.flatMap { d =>
+      readKeyStats(spark, path, d) match {
+        case Some(stats) if aliases.exists(stats.contains) =>
+          sawLine = true
+          // A dir may carry lines for several aliases (physical
+          // coexistence around a rename) — all contribute.
+          aliases.toSeq.flatMap(stats.get).collect {
+            case (tag, Some(r)) => (tag, r)
           }
+        case _ =>
+          scanned += d // no sidecar, or no line for any alias
+          Nil
       }
     }
     lastMinMaxScanned.set(scanned.toSeq)
-    val present = ranges.flatten
+    // ONE mergeSchema read + ONE aggregate over every fallback dir
+    // (min over the union == min of per-dir mins) — N sequential
+    // per-dir jobs would serialize the documented backfill case.
+    val fromScan: Option[(String, (Any, Any))] =
+      if (scanned.isEmpty) None
+      else {
+        val df = applySchemaMap(spark, path,
+          spark.read.option("mergeSchema", "true")
+            .parquet(scanned.toSeq.map(d => s"$path/$d"): _*))
+        if (!df.columns.contains(column)) {
+          // The fallback saw the dirs' real (mapped) schema: if the
+          // column exists NOWHERE — neither a stats line nor a mapped
+          // physical column — the call is a typo, not an all-NULL
+          // column; answering (None, None) would be a silent lie.
+          require(sawLine,
+            s"minMaxSnapshot: no column '$column' in snapshot " +
+              s"v$version at $path")
+          None
+        } else {
+          val tag = statTag(df.schema(column).dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"minMaxSnapshot: '$column' has no stats-comparable " +
+                s"type (${df.schema(column).dataType})"))
+          val r = df.agg(min(col(column)), max(col(column))).collect()(0)
+          if (r.isNullAt(0) || r.isNullAt(1)) None
+          else Some((tag,
+            (decodeStatValue(tag, encodeStatValue(tag, r.get(0))),
+             decodeStatValue(tag, encodeStatValue(tag, r.get(1))))))
+        }
+      }
+    val present = fromStats ++ fromScan.toSeq
     require(present.map(_._1).distinct.size <= 1,
       s"minMaxSnapshot: '$column' has mixed stat types across dirs")
     if (present.isEmpty) (None, None)
@@ -562,34 +604,60 @@ object Upsert {
   def consumeChanges(spark: SparkSession, path: String,
       cursorPath: String, keys: Seq[String], opCol: String = "op")(
       f: DataFrame => Unit): Int = {
-    val fs = fsFor(spark, path)
-    val cp = new org.apache.hadoop.fs.Path(cursorPath)
+    // The cursor's OWN filesystem — a local cursor for an object-store
+    // table is the natural deployment and must not resolve against
+    // the table's scheme ("Wrong FS").
+    val cfs = fsFor(spark, cursorPath)
     val latest = latestVersion(spark, path)
     require(latest >= 1, s"no snapshot to consume at $path")
-    val covered: Int =
-      if (!fs.exists(cp)) 0
-      else {
-        val in = fs.open(cp)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
-      }
-    if (covered >= latest) return covered
+    // Cursor = the HIGHEST `<cursorPath>.v<N>` marker. Publishing is
+    // CREATE-new-THEN-delete-old: no crash window can make the cursor
+    // vanish (a single-file delete+rename publish could die between
+    // the two and silently RESET the consumer to the initial
+    // snapshot — and an initial snapshot cannot re-deliver a missed
+    // D event, so that reset is permanent divergence, not
+    // at-least-once).
+    val cpp = new org.apache.hadoop.fs.Path(cursorPath)
+    val cursorDir = cpp.getParent
+    val cursorName = cpp.getName
+    def markers(): Seq[(Int, org.apache.hadoop.fs.Path)] =
+      if (cursorDir == null || !cfs.exists(cursorDir)) Nil
+      else cfs.listStatus(cursorDir).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(cursorName + ".v"))
+        .flatMap(p => scala.util.Try(
+          p.getName.stripPrefix(cursorName + ".v").toInt).toOption
+          .map(_ -> p))
+    val covered = markers().map(_._1).maxOption.getOrElse(0)
+    // A cursor PAST the sink's latest is never a caught-up consumer —
+    // it is the wrong sink, a copied cursor, or rolled-back history;
+    // silently returning it would skip every span until the sink
+    // happened to pass the stale number.
+    require(covered <= latest,
+      s"consumeChanges: cursor $cursorPath covers v$covered but the " +
+        s"sink's latest is v$latest — wrong sink or rolled-back history")
+    if (covered == latest) return covered
     val frame =
       if (covered == 0) {
         val full = readSnapshot(spark, path, latest)
+        // Same collision refusal as snapshotChanges (which guards the
+        // span path): withColumn would silently clobber a real data
+        // column named like the op marker.
+        require(!full.columns.contains(opCol),
+          s"consumeChanges: the sink already has a column named " +
+            s"'$opCol' — pass a different opCol")
         full.withColumn(opCol, lit("I"))
           .select((col(opCol) +: full.columns.toIndexedSeq.map(col)): _*)
       } else snapshotChanges(spark, path, covered, latest, keys, opCol)
     f(frame)
-    // Cursor advances AFTER the apply, atomically (tmp+rename): the
-    // only crash window re-delivers, never skips.
-    val tmp = new org.apache.hadoop.fs.Path(cursorPath + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(latest.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(cp, false)
-    if (!fs.rename(tmp, cp)) throw new java.io.IOException(
-      s"consumeChanges: cursor publish failed at $cursorPath — the " +
-        "span was applied but not recorded; the next call re-delivers")
+    // Advance AFTER the apply: create the new marker, then sweep the
+    // old ones best-effort (max-wins read, so leftovers are harmless).
+    if (cursorDir != null) cfs.mkdirs(cursorDir)
+    cfs.create(new org.apache.hadoop.fs.Path(cursorDir,
+      s"$cursorName.v$latest"), true).close()
+    markers().filter(_._1 < latest).foreach { case (_, p) =>
+      try cfs.delete(p, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
     latest
   }
 

@@ -1738,6 +1738,21 @@ class UpsertPartitionedSpec extends SparkSpec {
       ((Some(11L), Some(54L))))
     assert(Upsert.lastMinMaxScanned.get().isEmpty,
       "merge rewrites must carry fresh sidecars")
+    // A misspelled column refuses loudly instead of reading as
+    // all-NULL (None, None).
+    intercept[IllegalArgumentException] {
+      Upsert.minMaxSnapshot(spark, path, v2, "scroe")
+    }
+    // After a rename, the LIVE name answers from the old dirs' stats
+    // via the alias walk (still zero scans); the dead name refuses.
+    Upsert.renameColumn(spark, path, "score", "points")
+    assert(Upsert.minMaxSnapshot(spark, path, v2, "points") ==
+      ((Some(22L), Some(108L))))
+    assert(Upsert.lastMinMaxScanned.get().isEmpty,
+      "pre-rename sidecars must answer for the live name")
+    intercept[IllegalArgumentException] {
+      Upsert.minMaxSnapshot(spark, path, v2, "score")
+    }
   }
 
   test("consumeChanges: cursor-tracked feed consumption — initial snapshot, spans exactly once, crash re-delivers") {
@@ -1784,6 +1799,13 @@ class UpsertPartitionedSpec extends SparkSpec {
     }
     assert(Upsert.consumeChanges(spark, path, cursor, Seq("id"))(apply) == 4)
     assert(model == Map(1L -> "A2", 3L -> "c", 4L -> "d", 5L -> "e"))
+    // A cursor PAST the sink's latest (wrong sink / copied cursor /
+    // rolled-back history) refuses instead of silently skipping spans.
+    new java.io.File(path + "/_consumer").mkdirs()
+    new java.io.File(path + "/_consumer", "main.cursor.v99").createNewFile()
+    intercept[IllegalArgumentException] {
+      Upsert.consumeChanges(spark, path, cursor, Seq("id"))(apply)
+    }
   }
 
   test("readSnapshotWhere: value bounds reach PushedFilters; schema stable across pruning") {
