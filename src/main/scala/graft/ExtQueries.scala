@@ -1481,7 +1481,7 @@ object ExtQueries {
       // VALUE-COLUMN data skipping: the sink's two dirs separate on a
       // declared skip column (score = doc_id % 100) while their KEY
       // ranges fully overlap — key stats cannot prune, the value box
-      // can. A bounded read [600,700] must open ONLY the high-score
+      // can. A bounded read [60,70] must open ONLY the high-score
       // dir — required via the probe audit — while both dirs' doc_id
       // KEY ranges interleave across the whole domain (key stats alone
       // cannot prune); the oracle pins the exact filtered rows, which

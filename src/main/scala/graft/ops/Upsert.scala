@@ -1134,6 +1134,48 @@ object Upsert {
     case _ => None
   }
 
+  /** Driver-side cache of a DIR SET's merged PHYSICAL schema, keyed by
+    * (path, exact dir list). Data dirs are immutable, so the merged
+    * footer schema of a fixed dir list is a permanent fact — but
+    * re-deriving it via a mergeSchema `.limit(0)` read costs one footer
+    * GET per file across the whole manifest, which on an object store
+    * turns every bounded read's schema-stability step into a
+    * corpus-wide metadata storm (the exact win data skipping exists
+    * for). Repoints/rewrites change the dir LIST, so they change the
+    * key — never a stale hit. Access-ordered, capped: a long-lived
+    * session touching many sinks evicts, it never grows unbounded. */
+  private val rawSchemaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, Seq[String]),
+        org.apache.spark.sql.types.StructType](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Seq[String]),
+            org.apache.spark.sql.types.StructType]): Boolean = size > 64
+    })
+
+  private def rawUnionSchema(spark: SparkSession, path: String,
+      dirs: Seq[String]): org.apache.spark.sql.types.StructType = {
+    val key = (path, dirs)
+    val hit = rawSchemaCache.get(key)
+    if (hit != null) hit
+    else {
+      val sc = spark.read.option("mergeSchema", "true")
+        .parquet(dirs.map(d => s"$path/$d"): _*).schema
+      rawSchemaCache.put(key, sc)
+      sc
+    }
+  }
+
+  /** EMPTY frame in snapshot `version`'s LOGICAL (schema-mapped) shape,
+    * at driver-metadata cost after the first call per (path, dir list)
+    * — the schema-stability anchor for bounded/pruned reads, replacing
+    * a full-manifest mergeSchema footer read per call. */
+  private def emptyLogicalFrame(spark: SparkSession, path: String,
+      version: Int): DataFrame = {
+    val raw = rawUnionSchema(spark, path, manifestDirs(spark, path, version))
+    applySchemaMap(spark, path, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], raw))
+  }
+
   /** Read snapshot `version` restricted to closed per-column bounds
     * `ranges` (`col -> (lo, hi)`, Scala values: integral, String,
     * Date/LocalDate, Timestamp/Instant) — opening ONLY the dirs whose
@@ -1161,23 +1203,37 @@ object Upsert {
     val dirs = manifestDirs(spark, path, version)
     val candidates = overlappingDirs(spark, path, dirs, pr)
     lastProbedDirs.set(candidates)
-    if (candidates.isEmpty)
-      return readSnapshot(spark, path, version).limit(0)
+    // The FULL snapshot's logical schema (cached driver metadata, not a
+    // per-call corpus footer read) anchors both the bound validation
+    // and the shape of the result: bounds are legal iff the column
+    // exists in the LOGICAL schema — a column physically carried only
+    // by pruned dirs still validates (its value is NULL on every
+    // surviving row, so the bound correctly drops them), where
+    // validating against the pruned subset threw exactly when pruning
+    // worked best.
+    val full = emptyLogicalFrame(spark, path, version)
+    require(ranges.keys.forall(full.columns.contains),
+      s"readSnapshotWhere: bounded column(s) absent from the snapshot " +
+        s"schema: ${ranges.keys.filterNot(full.columns.contains).mkString(",")}")
+    if (candidates.isEmpty) return full
     // Mapped BEFORE the bounds apply, so `ranges` addresses the
     // LOGICAL (post-evolution) column names; a renamed column's bound
     // filters through the coalesce (no pushdown for that column —
     // conservative, still exact).
-    val scan = applySchemaMap(spark, path,
+    val scan0 = applySchemaMap(spark, path,
       spark.read.option("mergeSchema", "true")
         .parquet(candidates.map(d => s"$path/$d"): _*))
-    require(ranges.keys.forall(scan.columns.contains),
-      s"readSnapshotWhere: bounded column(s) absent from the snapshot " +
-        s"schema: ${ranges.keys.filterNot(scan.columns.contains).mkString(",")}")
+    // Bounded columns the candidate subset doesn't physically carry
+    // surface as typed NULLs (the full-schema alignment below would add
+    // them anyway; the bounds need them present to filter).
+    val scan = full.columns.foldLeft(scan0)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(full.schema(c).dataType)))
     // Pushable typed bounds where the scan type agrees with the probe
     // tag; coercing `between` for the rest — exactness never rests on
     // the pushdown.
     val boundable = pr.filter { case (k, tag, _) =>
-      scan.schema.fields.find(_.name == k)
+      scan0.schema.fields.find(_.name == k)
         .flatMap(f => statTag(f.dataType)).contains(tag)
     }
     val pushed = probeRangeFilter(scan.schema, boundable)
@@ -1187,16 +1243,9 @@ object Upsert {
       .reduceOption(_ && _)
     val filtered = (pushed.toSeq ++ generic.toSeq).reduceOption(_ && _)
       .map(scan.filter).getOrElse(scan)
-    // SCHEMA STABILITY: the candidate subset's mergeSchema union may
-    // lack columns only carried by pruned dirs — the same call would
-    // then change shape with its bounds (a downstream select crashes
-    // exactly when pruning works best). Align to the full snapshot's
-    // logical schema: missing columns are typed NULL, order pinned.
-    val full = readSnapshot(spark, path, version).limit(0)
-    full.columns.foldLeft(filtered)((d, c) =>
-        if (d.columns.contains(c)) d
-        else d.withColumn(c, lit(null).cast(full.schema(c).dataType)))
-      .select(full.columns.toIndexedSeq.map(col): _*)
+    // SCHEMA STABILITY: order pinned to the full snapshot's logical
+    // schema, so the same call never changes shape with its bounds.
+    filtered.select(full.columns.toIndexedSeq.map(col): _*)
   }
 
   // ── provenance ──────────────────────────────────────────────────
@@ -2449,6 +2498,12 @@ object Upsert {
     * merge twin of [[compactPreLockHook]]). */
   private[graft] var mergePreLockHook: () => Unit = () => ()
 
+  /** Test hook: runs after a merge COMMITTED (lock released) but before
+    * its deferred change-record write — the window in which a completed
+    * eraseKeys must void the record (its meta publish re-validates the
+    * rewrite generation under the lock). */
+  private[graft] var mergePreRecordHook: () => Unit = () => ()
+
   def mergeSnapshot(spark: SparkSession, path: String, changes: DataFrame,
                     keys: Seq[String], tieBreak: Seq[String],
                     opCol: String = "op"): Int = {
@@ -2586,6 +2641,7 @@ object Upsert {
       // a scan). The inputs are immutable dirs, so deferring is safe.
       var committed: Option[Int] = None
       var recordAt: Option[Int] = None
+      var genAtCommit: String = ""
       try {
         val latestNow = latestVersion(spark, path)
         val latestDirs = manifestDirs(spark, path, latestNow)
@@ -2649,18 +2705,28 @@ object Upsert {
           // paths (interleaver carried, reconcile republished), where
           // what landed differs from what this pass computed. Written
           // AFTER the lock releases (see recordAt above).
-          if (rv == pubV && interleaved.isEmpty) recordAt = Some(rv)
+          if (rv == pubV && interleaved.isEmpty) {
+            recordAt = Some(rv)
+            // Rewrite-generation fingerprint AT COMMIT (still under
+            // the lock): the deferred record write re-validates
+            // against it before its meta publish — an eraseKeys that
+            // completed in the window would otherwise have its
+            // record sweep overwritten, re-persisting the erased
+            // subject's pre-images under v<N>.changes.
+            genAtCommit = rewriteGen(spark, path)
+          }
           committed = Some(rv)
         }
       } finally fs.delete(lock, false)
       committed match {
         case Some(rv) =>
+          mergePreRecordHook()
           recordAt.foreach { v =>
             writeMergeChangeRecord(spark, path, v, base = cur,
               rewritten, snapshotSchema, touched, uRows,
               dKeys = deduped.filter(col(opCol) === "D")
                 .select(keys.map(col): _*).distinct(),
-              freshI, keys, tFilter)
+              freshI, keys, tFilter, genAtCommit)
           }
           return rv
         case None => ()
@@ -2943,12 +3009,18 @@ object Upsert {
       snapshotSchema: org.apache.spark.sql.types.StructType,
       touched: DataFrame, uRows: DataFrame, dKeys: DataFrame,
       freshI: DataFrame, keys: Seq[String],
-      tFilter: Option[org.apache.spark.sql.Column]): Unit =
+      tFilter: Option[org.apache.spark.sql.Column],
+      genAtCommit: String): Unit =
     try {
       if (snapshotSchema.fieldNames.exists(ChangeRecCols) ||
           uRows.columns.exists(ChangeRecCols) ||
           freshI.columns.exists(ChangeRecCols)) return
       val fs = fsFor(spark, path)
+      // Cheap pre-check (the locked re-validation below is the
+      // guarantee): if history was already rewritten since the commit,
+      // don't even stage the record's pre-images on disk — an erasure
+      // may have just removed exactly those rows.
+      if (rewriteGen(spark, path) != genAtCommit) return
       val removedPre =
         if (rewritten.isEmpty)
           spark.createDataFrame(
@@ -2976,8 +3048,30 @@ object Upsert {
         .reduce(_.unionByName(_, allowMissingColumns = true))
       rec.write.mode("overwrite")
         .parquet(changesDirPath(path, version).toString)
-      writeChangeMeta(fs, path, version, "delta", base, None)
-    } catch { case scala.util.control.NonFatal(_) => () }
+      // The meta file is the record's COMMIT POINT, and this write
+      // runs AFTER the merge's lock released (a data job must not run
+      // under the metadata-only critical section). An eraseKeys that
+      // completed inside that window swept every `.changes` file and
+      // advanced the rewrite generation — publishing the meta now
+      // would re-persist the erased subject's pre-images "after the
+      // data is gone" and serve them to any span composed from this
+      // record. So the TINY meta publish takes the rewriter lock and
+      // re-validates the generation first; any mismatch (or a held
+      // lock — an erasure may be mid-commit right now) abandons the
+      // record: the feed degrades to the key-diff, it never lies.
+      val lock = acquireRewriterLock(fs, path, "mergeChangeRecord")
+      val keep = try rewriteGen(spark, path) == genAtCommit
+        finally fs.delete(lock, false)
+      if (keep) writeChangeMeta(fs, path, version, "delta", base, None)
+      else fs.delete(changesDirPath(path, version), true)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        // Never leave an uncommitted record dir: an erasure's sweep
+        // keys off `.changes` names, and debris under _snapshots is
+        // invisible to the vacuum. Best-effort, like the record.
+        try fsFor(spark, path).delete(changesDirPath(path, version), true)
+        catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** Test/ops audit of the last [[snapshotChanges]] path:
     * `"recorded:v,v,…"` (composed from write-time records — no version
@@ -3467,9 +3561,16 @@ object Upsert {
                 val freshClaims = fs.listStatus(snapDir(path)).toSeq
                   .filter { st =>
                     val n = st.getPath.getName
+                    // Malformed claim names (operator debris) are
+                    // ignored, not thrown on: a NumberFormatException
+                    // here lands mid-commit — after the repoints,
+                    // before the original deletes — aborting the
+                    // erasure. Same Try discipline as consumeChanges'
+                    // marker parse.
                     n.startsWith("v") && n.endsWith(".claim") &&
-                      !myClaims.contains(n.stripPrefix("v")
-                        .stripSuffix(".claim").toInt) &&
+                      scala.util.Try(n.stripPrefix("v")
+                        .stripSuffix(".claim").toInt).toOption
+                        .exists(!myClaims.contains(_)) &&
                       now - st.getModificationTime < 60000
                   }
                 if (freshClaims.isEmpty) waiting = false

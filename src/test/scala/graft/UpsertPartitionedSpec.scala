@@ -1984,4 +1984,70 @@ class UpsertPartitionedSpec extends SparkSpec {
       .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
       "the as-of horizon version survives whole")
   }
+
+  test("readSnapshotWhere: a bound on a column carried only by PRUNED dirs answers empty, never throws") {
+    val path = java.nio.file.Files.createTempDirectory("snapvwh").toString
+    Upsert.declareSkipCols(spark, path, Seq("extra"))
+    // Only batch-1 physically carries `extra` (values 1..10); batch-2
+    // has no stats line for it and survives pruning conservatively.
+    Upsert.writeSnapshot(spark, path,
+      (1L to 50L).map(i => (i, s"v$i", i % 10 + 1)).toDF("id", "v", "extra"),
+      Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path,
+      (51L to 100L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    // Bound [100,200] excludes batch-1 by its recorded range; the
+    // surviving candidate (batch-2) lacks the column physically — the
+    // bound must validate against the LOGICAL schema and answer the
+    // exact (empty) result in the full logical shape.
+    val rd = Upsert.readSnapshotWhere(spark, path, 2,
+      Map("extra" -> ((100L, 200L))))
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-2"),
+      s"extra-carrying dir must prune: ${Upsert.lastProbedDirs.get()}")
+    assert(rd.columns.sorted.toSeq == Seq("extra", "id", "v"),
+      s"full logical shape: ${rd.columns.toSeq}")
+    assert(rd.isEmpty, "NULL extra on surviving rows fails the bound")
+    // A genuinely unknown column still refuses loudly.
+    val e = intercept[IllegalArgumentException] {
+      Upsert.readSnapshotWhere(spark, path, 2, Map("nope" -> ((1L, 2L))))
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("merge change record: an erasure completing in the deferred-write window voids the record") {
+    val path = java.nio.file.Files.createTempDirectory("snaprec").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "SUBJECT"), (3L, "c")).toDF("id", "v"),
+      Seq("id"), Seq("id"))
+    // The merge deletes key 3 and updates key 2; in the window between
+    // its commit and its deferred record write, an erasure removes the
+    // subject (key 2) from every version AND sweeps all change records.
+    // Without the gen re-validation, the merge would then re-persist
+    // the subject's pre/post-images under v2.changes "after the data
+    // is gone".
+    var fired = false
+    Upsert.mergePreRecordHook = () => {
+      if (!fired) {
+        fired = true
+        Upsert.eraseKeys(spark, path, Seq(Tuple1(2L)).toDF("id"), Seq("id"))
+      }
+    }
+    try Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 2L, "S2"), ("D", 3L, "")).toDF("op", "id", "v"),
+      Seq("id"), Seq("id"), "op")
+    finally Upsert.mergePreRecordHook = () => ()
+    assert(fired, "hook must have fired")
+    val snaps = new java.io.File(path, "_snapshots").listFiles()
+      .map(_.getName).filter(_.contains(".changes")).toSeq
+    assert(snaps.isEmpty,
+      s"record must be abandoned after the erasure's sweep: $snaps")
+    // The feed still answers — by key-diff — and never serves the
+    // erased subject.
+    val feed = Upsert.snapshotChanges(spark, path, 1, 2, Seq("id"))
+    assert(Upsert.lastChangesMode.get() == "keydiff")
+    assert(feed.filter(col("id") === 2L).isEmpty,
+      "erased subject must not surface through the feed")
+    assert(feed.filter(col("id") === 3L).select("op").as[String]
+      .collect().toSeq == Seq("D"), "the merge's delete still feeds")
+  }
 }
