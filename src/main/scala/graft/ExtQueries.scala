@@ -1626,6 +1626,78 @@ object ExtQueries {
       span.orderBy("doc_id")
     }),
 
+    "q_snap_dsv2" -> ((s, dir) => {
+      // PLAN-INTEGRATED snapshot read: the same two-dir skip-column
+      // sink as q_snap_skip, probed through the generic DSv2 path —
+      // spark.read.format("graft") + a PLAIN .filter, no library call.
+      // The requires pin that Catalyst's pushdown reached the sidecar
+      // machinery: only the high-score dir is opened (probe audit) and
+      // the bounds surface as PushedFilters on the scan node; the
+      // oracle is the same BETWEEN filter (what is returned never
+      // depends on what was pruned).
+      val path = s"$RunScratch/graft_snap_dsv2_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .withColumn("score", col("doc_id") % 100)
+      graft.ops.Upsert.declareSkipCols(s, path, Seq("score"))
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("score") < 50), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("score") >= 50), Seq("doc_id"), Seq("doc_id"))
+      val out = s.read.format("graft").load(path)
+        .filter(col("score") >= 60 && col("score") <= 70)
+        .orderBy("doc_id")
+      out.count() // plans + executes the inner read → probe audit set
+      val probed = graft.ops.Upsert.lastProbedDirs.get()
+      require(probed == Seq("batch-2"),
+        s"DSv2 filter probed $probed, expected only batch-2 — the " +
+          "generic path lost the sidecar pruning")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual(score,60)"),
+        s"bounds must surface as PushedFilters on the DSv2 scan:\n${
+          plan.take(800)}")
+      out
+    }),
+
+    "q_snap_dsv2_agg" -> ((s, dir) => {
+      // Complete aggregate pushdown through the DSv2 relation: a plain
+      // SQL COUNT/MIN/MAX over the snapshot answers from the `.stats`
+      // sidecars — the requires pin zero scanned dirs on both audits
+      // and no aggregate exec in the plan (the metadata row IS the
+      // answer); the oracle recomputes the same aggregates.
+      val path = s"$RunScratch/graft_snap_dsv2a_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 1), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.lastCountScanned.set(Seq("sentinel"))
+      graft.ops.Upsert.lastMinMaxScanned.set(Seq("sentinel"))
+      s.read.format("graft").load(path).createOrReplaceTempView("snap_dsv2a")
+      val out = s.sql(
+        """SELECT count(*) AS n, min(doc_id) AS min_id,
+                  max(doc_id) AS max_id FROM snap_dsv2a""")
+      out.collect()
+      require(graft.ops.Upsert.lastCountScanned.get().isEmpty &&
+        graft.ops.Upsert.lastMinMaxScanned.get().isEmpty,
+        s"metadata aggregates scanned dirs: ${
+          graft.ops.Upsert.lastCountScanned.get()} / ${
+          graft.ops.Upsert.lastMinMaxScanned.get()}")
+      require(!out.queryExecution.executedPlan.toString
+          .contains("HashAggregate"),
+        "aggregate must push down completely (no HashAggregate)")
+      out
+    }),
+
     "q_markov_transitions" -> ((s, dir) => {
       // First-order journey chain over the events stream: per user,
       // conversions close journeys; exact (from, to) transition counts
@@ -8008,6 +8080,21 @@ object ExtQueries {
            CAST(n_chars + 1000 AS BIGINT) FROM documents
          WHERE doc_id % 10 = 0
          ORDER BY doc_id""",
+
+    // The DSv2 filtered read equals the plain filter — same contract
+    // as q_snap_skip, now through the generic format("graft") path.
+    "q_snap_dsv2" ->
+      """SELECT doc_id, source, n_chars, doc_id % 100 AS score
+         FROM documents
+         WHERE doc_id % 100 BETWEEN 60 AND 70
+         ORDER BY doc_id""",
+
+    // Complete aggregate pushdown = the same plain aggregates.
+    "q_snap_dsv2_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id
+         FROM documents""",
 
     // Per-column drift between the full corpus (v2) and the even half
     // (v1): recomputed straight from the logical table, exact longs +

@@ -193,7 +193,7 @@ object Upsert {
   /** Canonical comparable domain per supported key type. Unsupported
     * types (float/decimal/binary/…) return None and that column simply
     * never prunes. */
-  private def statTag(dt: org.apache.spark.sql.types.DataType): Option[String] = {
+  private[graft] def statTag(dt: org.apache.spark.sql.types.DataType): Option[String] = {
     import org.apache.spark.sql.types._
     dt match {
       case ByteType | ShortType | IntegerType | LongType => Some("long")
@@ -244,7 +244,7 @@ object Upsert {
     a.length < b.length
   }
 
-  private def statLt(a: Any, b: Any): Boolean = (a, b) match {
+  private[graft] def statLt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long) => x < y
     case (x: String, y: String) => utf8Lt(x, y)
     case _ => throw new IllegalStateException(s"stat type mismatch: $a / $b")
@@ -1175,6 +1175,20 @@ object Upsert {
     applySchemaMap(spark, path, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], raw))
   }
+
+  /** (tag, canonical value) of a probe-able Scala value — Long for
+    * integral/date/ts (epoch day / epoch micros), String for strings;
+    * None for unsupported types. The comparison domain [[statLt]]
+    * orders and the DSv2 scan builder intersects filter bounds in. */
+  private[graft] def probeCanon(v: Any): Option[(String, Any)] =
+    probeTagOf(v).map(t =>
+      (t, decodeStatValue(t, encodeStatValue(t, v))))
+
+  /** Snapshot `version`'s LOGICAL (schema-mapped) schema at cached
+    * driver-metadata cost — the DSv2 relation's inferSchema. */
+  private[graft] def snapshotLogicalSchema(spark: SparkSession,
+      path: String, version: Int): org.apache.spark.sql.types.StructType =
+    emptyLogicalFrame(spark, path, version).schema
 
   /** Read snapshot `version` restricted to closed per-column bounds
     * `ranges` (`col -> (lo, hi)`, Scala values: integral, String,

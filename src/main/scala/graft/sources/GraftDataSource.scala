@@ -1,0 +1,307 @@
+package graft.sources
+
+import java.util
+
+import graft.ops.Upsert
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** PLAN-INTEGRATED snapshot reads: the graft snapshot sink as a
+  * DataSource V2 relation —
+  *
+  * {{{
+  *   spark.read.format("graft").load(path)                     // latest
+  *   spark.read.format("graft").option("versionAsOf", 3).load(path)
+  *   spark.read.format("graft").option("timestampAsOf", ms).load(path)
+  * }}}
+  *
+  * Every feature the library exposes as an explicit entry point rides
+  * the plain DataFrame API here, through Catalyst's own pushdown rule
+  * (V2ScanRelationPushDown):
+  *
+  *   - `.filter($"score" > x)` → [[SupportsPushDownFilters]]: the
+  *     filters' per-column bounding boxes route to the sidecar dir
+  *     pruning ([[Upsert.readSnapshotWhere]] — range stats + declared
+  *     skip columns), so the scan opens only admitted dirs and the
+  *     bounds push to parquet row-group skipping inside them. Filters
+  *     are ALSO kept as residuals (Spark re-evaluates them): pruning
+  *     accelerates, exactness never rests on it.
+  *   - `COUNT(*)` / `MIN(col)` / `MAX(col)` with no filter/grouping →
+  *     [[SupportsPushDownAggregates]] (complete pushdown): answered
+  *     from the `.stats` sidecars at driver-metadata cost
+  *     ([[Upsert.countSnapshot]] / [[Upsert.minMaxSnapshot]]) — the
+  *     plan contains no scan at all, a one-row local relation.
+  *   - column projection → [[SupportsPushDownRequiredColumns]]: the
+  *     select lands on the inner parquet read, so ReadSchema prunes.
+  *
+  * Execution delegates to the library's audited read paths via
+  * [[V1Scan]] (the JDBC connector's own bridge): the scan plans the
+  * equivalent library DataFrame and hands Spark its RDD — one code
+  * path for pruning/pushdown whether the caller uses the API or SQL.
+  *
+  * The version is pinned at table resolution: a concurrent publish
+  * between planning and execution never tears a read (same contract
+  * as `readSnapshot`). The reference system has no storage layer at
+  * all (ref `etl.py:1-487`); this is the extension surface's Spark
+  * face. */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(opts: CaseInsensitiveStringMap): String = {
+    val p = opts.get("path")
+    require(p != null && p.nonEmpty,
+      "graft: a snapshot sink path is required — spark.read.format(\"graft\").load(path)")
+    p
+  }
+
+  private def resolveVersion(spark: SparkSession,
+      opts: CaseInsensitiveStringMap): Int = {
+    val path = pathOf(opts)
+    val v = Option(opts.get("versionAsOf")).map(_.trim.toInt)
+      .orElse(Option(opts.get("timestampAsOf"))
+        .map(ts => Upsert.versionAsOf(spark, path, ts.trim.toLong)))
+      .getOrElse(Upsert.latestVersion(spark, path))
+    require(v >= 1, s"graft: no published snapshot at $path")
+    v
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    Upsert.snapshotLogicalSchema(spark, pathOf(options),
+      resolveVersion(spark, options))
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val spark = SparkSession.active
+    new GraftTable(pathOf(opts), resolveVersion(spark, opts), schema)
+  }
+}
+
+private[sources] class GraftTable(path: String, version: Int,
+    tableSchema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft.`$path`@v$version"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, version, tableSchema)
+}
+
+/** One pushed MIN/MAX/COUNT(*) column of a complete aggregate pushdown. */
+private[sources] sealed trait AggCol { def field: StructField }
+private[sources] case object CountStarCol extends AggCol {
+  val field: StructField = StructField("COUNT(*)", LongType, nullable = false)
+}
+private[sources] final case class MinCol(name: String, dt: DataType)
+    extends AggCol {
+  val field: StructField = StructField(s"MIN($name)", dt, nullable = true)
+}
+private[sources] final case class MaxCol(name: String, dt: DataType)
+    extends AggCol {
+  val field: StructField = StructField(s"MAX($name)", dt, nullable = true)
+}
+
+private[sources] class GraftScanBuilder(path: String, version: Int,
+    tableSchema: StructType)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  private var required: StructType = tableSchema
+  private var bounds: Map[String, (Any, Any)] = Map.empty
+  private var pushed: Array[Filter] = Array.empty
+  private var agg: Option[Seq[AggCol]] = None
+
+  // ── filter → closed per-column bounding box ─────────────────────
+  // Each usable comparison contributes a one-sided canonical bound;
+  // per column the los max-fold and the his min-fold (intersection of
+  // the conjuncts). Strict inequalities bound CLOSED at the same value
+  // — a sound superset; the residual filter restores exactness.
+  // One-sided results complete with the tag's domain sentinel (strings
+  // have no upper sentinel — an upper-unbounded string column simply
+  // contributes no box and prunes nothing).
+
+  private def tagSentinels(tag: String): (Option[Any], Option[Any]) =
+    tag match {
+      case "long" => (Some(Long.MinValue), Some(Long.MaxValue))
+      case "string" => (Some(""), None)
+      case "date" => (Some(-Int.MaxValue.toLong), Some(Int.MaxValue.toLong))
+      case "ts" => (Some(Long.MinValue), Some(Long.MaxValue))
+      case _ => (None, None)
+    }
+
+  private def canonToExternal(tag: String, v: Any): Any = tag match {
+    case "date" => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Long])
+    case "ts" =>
+      val us = v.asInstanceOf[Long]
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L)
+    case _ => v
+  }
+
+  /** (column, canonical lo bound, canonical hi bound) a single filter
+    * contributes — None when the filter cannot bound. */
+  private def boundOf(f: Filter): Option[(String, Option[Any], Option[Any])] = {
+    def canon(name: String, v: Any): Option[Any] = for {
+      fld <- tableSchema.fields.find(_.name == name)
+      colTag <- Upsert.statTag(fld.dataType)
+      (vTag, c) <- Upsert.probeCanon(v)
+      if vTag == colTag && v != null
+    } yield c
+    f match {
+      case EqualTo(c, v) => canon(c, v).map(x => (c, Some(x), Some(x)))
+      case EqualNullSafe(c, v) if v != null =>
+        canon(c, v).map(x => (c, Some(x), Some(x)))
+      case GreaterThan(c, v) => canon(c, v).map(x => (c, Some(x), None))
+      case GreaterThanOrEqual(c, v) => canon(c, v).map(x => (c, Some(x), None))
+      case LessThan(c, v) => canon(c, v).map(x => (c, None, Some(x)))
+      case LessThanOrEqual(c, v) => canon(c, v).map(x => (c, None, Some(x)))
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        val cs = vs.toSeq.map(canon(c, _))
+        if (cs.exists(_.isEmpty)) None
+        else {
+          val xs = cs.flatten
+          Some((c, Some(xs.reduce((a, b) => if (Upsert.statLt(a, b)) a else b)),
+            Some(xs.reduce((a, b) => if (Upsert.statLt(a, b)) b else a))))
+        }
+      case _ => None
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val contrib = filters.map(f => f -> boundOf(f))
+    pushed = contrib.collect { case (f, Some(_)) => f }
+    val perCol = contrib.flatMap(_._2).groupBy(_._1)
+    bounds = perCol.flatMap { case (c, bs) =>
+      val tag = Upsert.statTag(tableSchema(c).dataType).get
+      val (sLo, sHi) = tagSentinels(tag)
+      val lo = bs.flatMap(_._2).reduceOption((a, b) =>
+        if (Upsert.statLt(a, b)) b else a).orElse(sLo)
+      val hi = bs.flatMap(_._3).reduceOption((a, b) =>
+        if (Upsert.statLt(a, b)) a else b).orElse(sHi)
+      for (l <- lo; h <- hi)
+        yield c -> ((canonToExternal(tag, l), canonToExternal(tag, h)))
+    }
+    // EVERYTHING stays residual: the bounds accelerate (dir pruning +
+    // row-group skipping), Spark's re-evaluation keeps strictness and
+    // un-boundable predicates exact.
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  // ── complete aggregate pushdown (unfiltered, ungrouped) ─────────
+  // Residual filters block V2ScanRelationPushDown from ever calling
+  // this with a filtered plan, so acceptance here means the aggregate
+  // is over the WHOLE version — exactly the contract countSnapshot /
+  // minMaxSnapshot answer at driver-metadata cost.
+
+  private def namedCol(f: AggregateFunc,
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[(String, DataType)] = e match {
+    case nr: NamedReference if nr.fieldNames.length == 1 =>
+      val name = nr.fieldNames()(0)
+      tableSchema.fields.find(_.name == name)
+        .filter(fl => Upsert.statTag(fl.dataType).isDefined)
+        .map(fl => (name, fl.dataType))
+    case _ => None
+  }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val cols = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(CountStarCol)
+      case m: Min => namedCol(m, m.column).map { case (n, dt) => MinCol(n, dt) }
+      case m: Max => namedCol(m, m.column).map { case (n, dt) => MaxCol(n, dt) }
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) false
+    else { agg = Some(cols.flatten); true }
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    pushAggregation(aggregation)
+
+  override def build(): Scan =
+    new GraftScan(path, version, required, bounds, pushed, agg)
+}
+
+private[sources] class GraftScan(path: String, version: Int,
+    required: StructType, bounds: Map[String, (Any, Any)],
+    pushed: Array[Filter], agg: Option[Seq[AggCol]]) extends V1Scan {
+
+  override def readSchema(): StructType =
+    agg.map(cs => StructType(cs.map(_.field))).getOrElse(required)
+
+  override def description(): String =
+    s"GraftSnapshot path=$path, version=$version, " +
+      s"PushedFilters: [${pushed.mkString(", ")}]" +
+      agg.map(cs => s", PushedAggregates: [${
+        cs.map(_.field.name).mkString(", ")}]").getOrElse("")
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftV1Relation(context, path, version, readSchema(), bounds, agg)
+      .asInstanceOf[T]
+}
+
+private[sources] class GraftV1Relation(ctx: SQLContext, path: String,
+    version: Int, out: StructType, bounds: Map[String, (Any, Any)],
+    agg: Option[Seq[AggCol]]) extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = out
+
+  /** Canonical stat value → the external Row value of `dt`. */
+  private def statToExternal(v: Any, dt: DataType): Any = (v, dt) match {
+    case (l: Long, ByteType) => l.toByte
+    case (l: Long, ShortType) => l.toShort
+    case (l: Long, IntegerType) => l.toInt
+    case (l: Long, LongType) => l
+    case (s: String, StringType) => s
+    case (l: Long, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(l))
+    case (l: Long, TimestampType) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000L))
+    case _ => throw new IllegalStateException(
+      s"graft: stat value $v does not convert to $dt")
+  }
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    agg match {
+      case Some(cols) =>
+        // Metadata answer: one local row, zero executor scan work.
+        val mmCache = scala.collection.mutable.Map
+          .empty[String, (Option[Any], Option[Any])]
+        def mm(c: String) = mmCache.getOrElseUpdate(c,
+          Upsert.minMaxSnapshot(spark, path, version, c))
+        val row = Row(cols.map {
+          case CountStarCol => Upsert.countSnapshot(spark, path, version)
+          case MinCol(c, dt) => mm(c)._1.map(statToExternal(_, dt)).orNull
+          case MaxCol(c, dt) => mm(c)._2.map(statToExternal(_, dt)).orNull
+        }: _*)
+        spark.sparkContext.parallelize(Seq(row), 1)
+      case None =>
+        val df0 =
+          if (bounds.nonEmpty)
+            Upsert.readSnapshotWhere(spark, path, version, bounds)
+          else Upsert.readSnapshot(spark, path, version)
+        df0.select(out.fieldNames.toIndexedSeq.map(col): _*).rdd
+    }
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.ops.Upsert
+import org.apache.spark.sql.functions._
+
+/** The DSv2 relation (`spark.read.format("graft")`) must give plain
+  * DataFrame/SQL users the SAME machinery the library entry points
+  * expose: sidecar dir pruning for pushed filter bounds, metadata-cost
+  * COUNT/MIN/MAX via complete aggregate pushdown, column pruning,
+  * version/timestamp time travel — with exactness never resting on any
+  * of it (filters stay residual; strict bounds re-evaluate). */
+class DataSourceV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two-dir sink separated on the declared skip column `score`
+    * (keys interleave across the whole domain, so only the value box
+    * can prune), plus an `extra` column carried by batch-2 only. */
+  private def buildSink(): String = {
+    val path = java.nio.file.Files.createTempDirectory("dsv2").toString
+    Upsert.declareSkipCols(spark, path, Seq("score"))
+    val rows = (1L to 200L).map(i => (i, i % 100, s"v$i"))
+      .toDF("id", "score", "v")
+    Upsert.writeSnapshot(spark, path, rows.filter(col("score") < 50),
+      Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, path, rows.filter(col("score") >= 50),
+      Seq("id"), Seq("id"))
+    path
+  }
+
+  test("plain read equals readSnapshot; versionAsOf time-travels") {
+    val path = buildSink()
+    val dsv2 = spark.read.format("graft").load(path)
+    assert(dsv2.columns.toSeq == Seq("id", "score", "v"))
+    assert(dsv2.as[(Long, Long, String)].collect().toSet ==
+      Upsert.readSnapshot(spark, path, 2).as[(Long, Long, String)]
+        .collect().toSet)
+    val v1 = spark.read.format("graft").option("versionAsOf", 1).load(path)
+    assert(v1.count() == 100 && v1.agg(max("score")).as[Long].head() == 49)
+  }
+
+  test("pushed filter bounds prune dirs via the sidecars; strictness stays exact") {
+    val path = buildSink()
+    val rd = spark.read.format("graft").load(path)
+      .filter(col("score") >= 60 && col("score") <= 70)
+    val n = rd.count()
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-2"),
+      s"generic filter must prune to the high-score dir: " +
+        s"${Upsert.lastProbedDirs.get()}")
+    assert(n == rd.collect().length &&
+      n == (1L to 200L).count(i => i % 100 >= 60 && i % 100 <= 70))
+    // The scan's explain surface names the source and the pushed set.
+    val plan = rd.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(score,60)"),
+      s"pushed filters must surface in the plan:\n${plan.take(1200)}")
+    // STRICT bound: the closed pruning box includes the boundary row;
+    // the residual filter must still drop it.
+    val strict = spark.read.format("graft").load(path)
+      .filter(col("score") > 60 && col("score") < 62)
+    assert(strict.select("score").distinct().as[Long].collect().toSeq ==
+      Seq(61L), "strict bounds re-evaluate exactly")
+    // One-sided bound still prunes (sentinel completes the box).
+    val oneSided = spark.read.format("graft").load(path)
+      .filter(col("score") >= 90)
+    assert(oneSided.count() ==
+      (1L to 200L).count(i => i % 100 >= 90))
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-2"))
+    // Un-boundable predicates stay exact through the residual.
+    assert(spark.read.format("graft").load(path)
+      .filter(col("v") === "v7").count() == 1)
+  }
+
+  test("unfiltered COUNT(*)/MIN/MAX push down completely: metadata answer, no data scan") {
+    val path = buildSink()
+    Upsert.lastCountScanned.set(Seq("sentinel"))
+    Upsert.lastMinMaxScanned.set(Seq("sentinel"))
+    val out = spark.read.format("graft").load(path)
+      .agg(count(lit(1)), min("id"), max("id"), max("score"))
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((200L, 1L, 200L, 99L)), s"aggregate answer: $out")
+    assert(Upsert.lastCountScanned.get().isEmpty,
+      s"count must come from sidecars: ${Upsert.lastCountScanned.get()}")
+    assert(Upsert.lastMinMaxScanned.get().isEmpty,
+      s"min/max must come from sidecars: ${Upsert.lastMinMaxScanned.get()}")
+    // Complete pushdown: no aggregate exec over data remains (Spark
+    // projects the one-row scan; any HashAggregate would mean partial).
+    val plan = spark.read.format("graft").load(path)
+      .agg(count(lit(1))).queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"),
+      s"aggregate must be completely pushed:\n$plan")
+    assert(plan.contains("PushedAggregates"),
+      s"pushed aggregates must surface in the plan:\n${plan.take(1200)}")
+  }
+
+  test("filtered or grouped aggregates fall back to an exact scan") {
+    val path = buildSink()
+    val filtered = spark.read.format("graft").load(path)
+      .filter(col("score") >= 50).agg(count(lit(1))).as[Long].head()
+    assert(filtered == 100L)
+    val grouped = spark.read.format("graft").load(path)
+      .groupBy(col("score") < 50).count().as[(Boolean, Long)]
+      .collect().toMap
+    assert(grouped == Map(true -> 100L, false -> 100L))
+  }
+
+  test("column pruning reaches the inner parquet scan; SQL view works") {
+    val path = buildSink()
+    val two = spark.read.format("graft").load(path).select("id", "v")
+    assert(two.columns.toSeq == Seq("id", "v") && two.count() == 200)
+    spark.read.format("graft").load(path).createOrReplaceTempView("snap")
+    assert(spark.sql("SELECT count(*) AS n FROM snap").as[Long].head() == 200L)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM snap WHERE score BETWEEN 60 AND 70")
+      .as[Long].head() ==
+      (1L to 200L).count(i => i % 100 >= 60 && i % 100 <= 70))
+  }
+
+  test("timestampAsOf resolves like readSnapshotAsOf; schema evolution surfaces") {
+    val path = buildSink()
+    val t1 = Upsert.publishedAtMs(spark, path, 1)
+    val asOf = spark.read.format("graft")
+      .option("timestampAsOf", t1).load(path)
+    assert(asOf.count() == 100)
+    // Evolution: rename surfaces through the DSv2 schema too.
+    Upsert.renameColumn(spark, path, "v", "val")
+    val evolved = spark.read.format("graft").load(path)
+    assert(evolved.columns.toSeq == Seq("id", "score", "val"))
+    assert(evolved.filter(col("val") === "v7").count() == 1)
+  }
+}
