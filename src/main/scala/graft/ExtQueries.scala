@@ -1626,6 +1626,51 @@ object ExtQueries {
       span.orderBy("doc_id")
     }),
 
+    "q_snap_merge_mor" -> ((s, dir) => {
+      // MERGE-ON-READ: the same I/U/D apply as q_snap_changes' fixture
+      // but via deletion vectors — the requires pin that NO data dir
+      // was rewritten (only the landing dir + dv dirs appear, the
+      // touched dir's entry gains a `\tdv-…` annotation) and that the
+      // change feed still emits the exact span; the oracle pins the
+      // merged table state (same logical result as copy-on-write).
+      val path = s"$RunScratch/graft_snap_mor_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      def dirs() = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .toSeq.map(_.getPath.getName)
+        .filter(n => !n.startsWith("_")).toSet
+      val before = dirs()
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("__op", lit("U"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("__op", lit("D")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("__op", lit("I")))
+      val v2 = graft.ops.Upsert.mergeSnapshotMoR(s, path, changes,
+        Seq("doc_id"), Seq("doc_id"), "__op")
+      val added = dirs() -- before
+      require(added.forall(d => d.startsWith("merge-") ||
+          d.startsWith("dv-")) && added.exists(_.startsWith("dv-")),
+        s"MoR merge must not rewrite data dirs, added: $added")
+      val feed = graft.ops.Upsert.snapshotChanges(s, path, 1, v2,
+        Seq("doc_id"))
+      val opCounts = feed.groupBy("op").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val uN = docs.filter(col("doc_id") % 10 === 0).count()
+      val dN = docs.filter(col("doc_id") % 10 === 2).count()
+      val iN = docs.filter(col("doc_id") % 10 === 1).count()
+      require(opCounts == Map("U" -> uN, "D" -> dN, "I" -> iN),
+        s"feed classes $opCounts != U:$uN D:$dN I:$iN")
+      graft.ops.Upsert.readSnapshot(s, path, v2).orderBy("doc_id")
+    }),
+
     "q_snap_dsv2" -> ((s, dir) => {
       // PLAN-INTEGRATED snapshot read: the same two-dir skip-column
       // sink as q_snap_skip, probed through the generic DSv2 path —
@@ -8079,6 +8124,20 @@ object ExtQueries {
          SELECT 'U', doc_id, source,
            CAST(n_chars + 1000 AS BIGINT) FROM documents
          WHERE doc_id % 10 = 0
+         ORDER BY doc_id""",
+
+    // Merge-on-read applies the same logical I/U/D as copy-on-write:
+    // evens survive minus the deleted %10==2, the %10==0 updates show
+    // the new value, the %10==1 odds insert.
+    "q_snap_merge_mor" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id % 2 = 0 AND doc_id % 10 NOT IN (0, 2)
+         UNION ALL
+         SELECT doc_id, source, CAST(n_chars + 1000 AS BIGINT)
+         FROM documents WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id % 10 = 1
          ORDER BY doc_id""",
 
     // The DSv2 filtered read equals the plain filter — same contract

@@ -127,15 +127,94 @@ object Upsert {
       .foldLeft(0)(math.max)
   }
 
-  private def manifestDirs(spark: SparkSession, path: String,
-                           version: Int): Seq[String] = {
+  /** One manifest line: a data dir plus the DELETION VECTORS applied
+    * to it (merge-on-read tombstone dirs — parquet dirs of the dead
+    * rows' key columns, anti-joined at read). `dvs` is kept SORTED so
+    * two entries compare structurally: staleness checks ("is the base
+    * I read still the live content?") must see a dv added to a dir as
+    * a content change even though the dir name is unchanged.
+    * Line format: `dir` (the pre-MoR format, unchanged on disk for
+    * every dv-less sink) or `dir\tdv1,dv2`. */
+  private[graft] final case class SnapEntry(dir: String, dvs: Seq[String]) {
+    def line: String =
+      if (dvs.isEmpty) dir else s"$dir\t${dvs.mkString(",")}"
+  }
+
+  private def parseEntry(line: String): SnapEntry = {
+    val a = line.split("\t", 2)
+    if (a.length == 1 || a(1).isEmpty) SnapEntry(a(0), Nil)
+    else SnapEntry(a(0), a(1).split(",").toSeq.filter(_.nonEmpty).sorted)
+  }
+
+  private[graft] def manifestEntries(spark: SparkSession, path: String,
+                                     version: Int): Seq[SnapEntry] = {
     val fs = fsFor(spark, path)
     val p = new org.apache.hadoop.fs.Path(snapDir(path), s"v$version.list")
     require(fs.exists(p), s"no snapshot v$version at $path")
     val in = fs.open(p)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toList finally in.close()
-    lines.filter(_.nonEmpty)
+    lines.filter(_.nonEmpty).map(parseEntry)
+  }
+
+  private def manifestDirs(spark: SparkSession, path: String,
+                           version: Int): Seq[String] =
+    manifestEntries(spark, path, version).map(_.dir)
+
+  /** Marker: this sink has (ever) used merge-on-read. One exists-call
+    * lets every publish on the common dv-less sink skip the
+    * all-manifests dv-reattach scan. */
+  private def morMarkerPath(path: String) =
+    new org.apache.hadoop.fs.Path(snapDir(path), "mor.on")
+
+  /** dir name → the UNION of its dv sets across every published
+    * manifest. Reconciles and carry paths republish manifests from dir
+    * NAMES; reattaching the union keeps every published delete applied
+    * (dv files are immutable and per-dir, so union is monotone-safe:
+    * an extra dv on a dir can only remove rows its own merge already
+    * deleted there — same "deletes are never resurrected" rule the
+    * carry semantics document). Empty map for dv-less sinks. */
+  private def dvUnionFor(spark: SparkSession,
+      path: String): Map[String, Seq[String]] = {
+    val fs = fsFor(spark, path)
+    if (!fs.exists(morMarkerPath(path))) return Map.empty
+    val versions = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
+        n.stripPrefix("v").stripSuffix(".list").toInt }
+    versions.flatMap(v => manifestEntries(spark, path, v))
+      .groupBy(_.dir)
+      .collect { case (d, es) if es.exists(_.dvs.nonEmpty) =>
+        d -> es.flatMap(_.dvs).distinct.sorted }
+  }
+
+  /** Read of a pinned-schema dir scan with a dv set applied: the dv
+    * dirs' own columns (the merge-time keys) anti-join the scan. The
+    * identity for dv-less entries — every pre-MoR path pays nothing. */
+  private def antiDv(spark: SparkSession, path: String, df: DataFrame,
+      dvs: Seq[String]): DataFrame =
+    if (dvs.isEmpty) df
+    else {
+      val dv = spark.read.option("mergeSchema", "true")
+        .parquet(dvs.map(d => s"$path/$d"): _*)
+      df.join(dv, dv.columns.toIndexedSeq, "left_anti")
+    }
+
+  /** Union read of manifest entries with deletion vectors applied:
+    * one mergeSchema scan per DISTINCT dv set (the dv-less common case
+    * is exactly one scan — the pre-MoR plan, unchanged), `prep` applied
+    * to each group's dir scan BEFORE the anti join so pushable bounds
+    * still reach the parquet footers, groups unioned by name. */
+  private def readEntriesRaw(spark: SparkSession, path: String,
+      entries: Seq[SnapEntry],
+      prep: DataFrame => DataFrame = identity): DataFrame = {
+    require(entries.nonEmpty, "readEntriesRaw: no entries")
+    entries.groupBy(_.dvs).toSeq.sortBy(_._1.mkString(","))
+      .map { case (dvs, es) =>
+        antiDv(spark, path, prep(
+          spark.read.option("mergeSchema", "true")
+            .parquet(es.map(e => s"$path/${e.dir}"): _*)), dvs)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** CREATE-EXCLUSIVE of a marker file — the arbitration primitive
@@ -485,12 +564,20 @@ object Upsert {
     * rests on a sidecar. */
   def countSnapshot(spark: SparkSession, path: String,
       version: Int): Long = {
-    val dirs = manifestDirs(spark, path, version)
+    val entries = manifestEntries(spark, path, version)
     val scanned = scala.collection.mutable.ArrayBuffer.empty[String]
-    val total = dirs.map { d =>
-      readDirRowCount(spark, path, d).getOrElse {
-        scanned += d
-        spark.read.parquet(s"$path/$d").count()
+    val total = entries.map { e =>
+      // Merge-on-read entries subtract their dv totals: dv sets on one
+      // dir are disjoint BY CONSTRUCTION (each dv's keys were live at
+      // its merge — already-dead keys never re-enter a dv), so
+      // dir − Σdv is the entry's exact live count. Any missing total
+      // (dir or dv) degrades the ENTRY to a resolved scan-count.
+      val parts = (e.dir +: e.dvs).map(readDirRowCount(spark, path, _))
+      if (parts.forall(_.isDefined))
+        parts.head.get - parts.tail.map(_.get).sum
+      else {
+        scanned += e.dir
+        readEntriesRaw(spark, path, Seq(e)).count()
       }
     }.sum
     lastCountScanned.set(scanned.toSeq)
@@ -531,11 +618,19 @@ object Upsert {
       }
       set
     }
-    val dirs = manifestDirs(spark, path, version)
+    val entries = manifestEntries(spark, path, version)
     var sawLine = false
-    val scanned = scala.collection.mutable.ArrayBuffer.empty[String]
-    val fromStats: Seq[(String, (Any, Any))] = dirs.flatMap { d =>
-      readKeyStats(spark, path, d) match {
+    val scanned = scala.collection.mutable.ArrayBuffer.empty[SnapEntry]
+    val fromStats: Seq[(String, (Any, Any))] = entries.flatMap { e =>
+      readKeyStats(spark, path, e.dir) match {
+        // A merge-on-read entry's stats box is a SUPERSET (the extreme
+        // row may be dv-dead) — the entry falls back to a resolved
+        // scan; sawLine still records that the column exists.
+        case Some(stats) if aliases.exists(stats.contains) &&
+            e.dvs.nonEmpty =>
+          sawLine = true
+          scanned += e
+          Nil
         case Some(stats) if aliases.exists(stats.contains) =>
           sawLine = true
           // A dir may carry lines for several aliases (physical
@@ -544,20 +639,19 @@ object Upsert {
             case (tag, Some(r)) => (tag, r)
           }
         case _ =>
-          scanned += d // no sidecar, or no line for any alias
+          scanned += e // no sidecar, or no line for any alias
           Nil
       }
     }
-    lastMinMaxScanned.set(scanned.toSeq)
-    // ONE mergeSchema read + ONE aggregate over every fallback dir
-    // (min over the union == min of per-dir mins) — N sequential
+    lastMinMaxScanned.set(scanned.map(_.dir).toSeq)
+    // ONE resolved union read + ONE aggregate over every fallback
+    // entry (min over the union == min of per-dir mins) — N sequential
     // per-dir jobs would serialize the documented backfill case.
     val fromScan: Option[(String, (Any, Any))] =
       if (scanned.isEmpty) None
       else {
         val df = applySchemaMap(spark, path,
-          spark.read.option("mergeSchema", "true")
-            .parquet(scanned.toSeq.map(d => s"$path/$d"): _*))
+          readEntriesRaw(spark, path, scanned.toSeq))
         if (!df.columns.contains(column)) {
           // The fallback saw the dirs' real (mapped) schema: if the
           // column exists NOWHERE — neither a stats line nor a mapped
@@ -1214,8 +1308,8 @@ object Upsert {
       (k, tag, Some((decodeStatValue(tag, encodeStatValue(tag, lo)),
         decodeStatValue(tag, encodeStatValue(tag, hi)))))
     }
-    val dirs = manifestDirs(spark, path, version)
-    val candidates = overlappingDirs(spark, path, dirs, pr)
+    val entries = manifestEntries(spark, path, version)
+    val candidates = overlappingDirs(spark, path, entries.map(_.dir), pr)
     lastProbedDirs.set(candidates)
     // The FULL snapshot's logical schema (cached driver metadata, not a
     // per-call corpus footer read) anchors both the bound validation
@@ -1234,9 +1328,8 @@ object Upsert {
     // LOGICAL (post-evolution) column names; a renamed column's bound
     // filters through the coalesce (no pushdown for that column —
     // conservative, still exact).
-    val scan0 = applySchemaMap(spark, path,
-      spark.read.option("mergeSchema", "true")
-        .parquet(candidates.map(d => s"$path/$d"): _*))
+    val scan0 = applySchemaMap(spark, path, readEntriesRaw(spark, path,
+      entries.filter(e => candidates.contains(e.dir))))
     // Bounded columns the candidate subset doesn't physically carry
     // surface as typed NULLs (the full-schema alignment below would add
     // them anyway; the bounds need them present to filter).
@@ -1527,6 +1620,13 @@ object Upsert {
       union: Seq[String], reattached: Set[String], excludeRoot: String,
       keys: Seq[String], version: Int): Seq[String] = {
     if (keys.isEmpty || reattached.isEmpty) return union
+    // Merge-on-read sinks: carried dirs read through their dv union —
+    // a dv-dead key must neither force a yield (lost insert) nor ride
+    // into a heal rewrite (resurrected delete; the rewrite FOLDS dvs).
+    val dvs = dvUnionFor(spark, path)
+    def dvRead(d: String) = antiDv(spark, path,
+      spark.read.option("mergeSchema", "true").parquet(s"$path/$d"),
+      dvs.getOrElse(d, Nil))
     def selfRooted(d: String) =
       provenance(spark, path, d) == Set(familyRoot(d))
     def rootNum(d: String): Long =
@@ -1545,11 +1645,10 @@ object Upsert {
         earlier.exists(a => newsRoots.contains(familyRoot(a)))
       if (earlier.nonEmpty && involved) {
         val bCur = current(b)
-        val bDf = spark.read.option("mergeSchema", "true")
-          .parquet(s"$path/$bCur")
+        val bDf = dvRead(bCur)
         if (keys.forall(bDf.columns.contains)) {
-          val eKeys = spark.read.option("mergeSchema", "true")
-            .parquet(earlier.map(a => s"$path/${current(a)}"): _*)
+          val eKeys = earlier.map(a => dvRead(current(a)))
+            .reduce(_.unionByName(_, allowMissingColumns = true))
             .select(keys.map(col): _*).distinct()
           if (!bDf.join(eKeys, keys, "left_semi").isEmpty) {
             // Suffix the CURRENT form so the prefix rule shadows it,
@@ -1636,9 +1735,19 @@ object Upsert {
       val nextDir =
         if (rivals.isEmpty) ownDir
         else {
-          val own = spark.read.schema(schema).parquet(s"$path/$ownDir")
-          val rivalKeys = spark.read.schema(schema)
-            .parquet(rivals.map(d => s"$path/$d"): _*)
+          // Both sides read through their dv unions: a rival's dv-dead
+          // key must not steal ours, and a heal rewrite of a dv'd own
+          // dir FOLDS the dvs (republishing dead rows under the new
+          // name would resurrect them — the rename sheds the entry's
+          // dv annotation).
+          val dvs = dvUnionFor(spark, path)
+          val own = antiDv(spark, path,
+            spark.read.schema(schema).parquet(s"$path/$ownDir"),
+            dvs.getOrElse(ownDir, Nil))
+          val rivalKeys = rivals.map(d => antiDv(spark, path,
+              spark.read.schema(schema).parquet(s"$path/$d"),
+              dvs.getOrElse(d, Nil)))
+            .reduce(_.unionByName(_))
             .select(keys.map(col): _*).distinct()
           val stolen = own.join(rivalKeys, keys, "left_semi").count()
           if (stolen == 0) ownDir
@@ -1679,12 +1788,13 @@ object Upsert {
     * (equi-joins are null-rejecting). Publishes the probed subset to
     * [[lastProbedDirs]] for spec/ops audit. */
   private def freshAgainstSnapshotDirs(spark: SparkSession, path: String,
-      baseDirs: Seq[String], deduped: DataFrame,
+      baseEntries: Seq[SnapEntry], deduped: DataFrame,
       keys: Seq[String]): DataFrame = {
     val keyRows = deduped.select(keys.map(col): _*).distinct()
       .localCheckpoint()
     val pr = keyRanges(keyRows, keys.filter(keyRows.columns.contains))
-    val candidates = pruneDirs(spark, path, baseDirs, keys, keyRows, Some(pr))
+    val candidates = pruneDirs(spark, path, baseEntries.map(_.dir), keys,
+      keyRows, Some(pr))
     lastProbedDirs.set(candidates)
     // mergeSchema union read, PROJECTED to the key columns: the scan
     // still reads only the keys (Catalyst prunes ReadSchema to the
@@ -1699,15 +1809,21 @@ object Upsert {
     // dirs the sidecar stages must admit.
     if (candidates.isEmpty) deduped
     else {
-      val scan0 = spark.read.option("mergeSchema", "true")
-        .parquet(candidates.map(d => s"$path/$d"): _*)
+      val cand = baseEntries.filter(e => candidates.contains(e.dir))
+      // Projection to the keys BEFORE the anti join (ReadSchema prunes
+      // to the key columns); merge-on-read entries anti-join their dvs
+      // so a dv-deleted key probes as ABSENT — the re-insert of a
+      // logically deleted key must land, not silently drop.
+      val scan0 = readEntriesRaw(spark, path, cand, df =>
+        if (!keys.forall(df.columns.contains)) df
+        else {
+          val keyed = df.select(keys.map(col): _*)
+          probeRangeFilter(keyed.schema, pr)
+            .map(keyed.filter).getOrElse(keyed)
+        })
       if (!keys.forall(scan0.columns.contains)) deduped
-      else {
-        val keyed = scan0.select(keys.map(col): _*)
-        val scan = probeRangeFilter(keyed.schema, pr)
-          .map(keyed.filter).getOrElse(keyed)
-        deduped.join(scan.distinct(), keys, "left_anti")
-      }
+      else deduped.join(scan0.select(keys.map(col): _*).distinct(),
+        keys, "left_anti")
     }
   }
 
@@ -1751,12 +1867,13 @@ object Upsert {
       keys: Seq[String], tieBreak: Seq[String]): Int = {
     val target = claimVersion(spark, path)
     val cur = latestVersion(spark, path)
-    val baseDirs = if (cur == 0) Seq.empty[String]
-                   else manifestDirs(spark, path, cur)
+    val baseEntries = if (cur == 0) Seq.empty[SnapEntry]
+                      else manifestEntries(spark, path, cur)
+    val baseDirs = baseEntries.map(_.dir)
     val fresh =
       if (cur == 0) deduped
       else fresh0.filter(_ => cur == basedOn).getOrElse(
-        freshAgainstSnapshotDirs(spark, path, baseDirs, deduped, keys))
+        freshAgainstSnapshotDirs(spark, path, baseEntries, deduped, keys))
     val dirName = s"batch-$target"
     fresh.write.mode("overwrite").parquet(s"$path/$dirName")
     recordKeyCols(spark, path, keys)
@@ -2026,11 +2143,12 @@ object Upsert {
       keys, tieBreak)
     var freshForWrite: Option[DataFrame] = None
     if (cur >= 1) {
-      val baseDirs = manifestDirs(spark, path, cur)
+      val baseEntries = manifestEntries(spark, path, cur)
+      val baseDirs = baseEntries.map(_.dir)
       // Checkpointed: the profile sketch below and the publish (which
       // reuses this fresh set via writeSnapshotFrom — no second anti
       // join) both read the materialized batch-sized result.
-      val fresh = freshAgainstSnapshotDirs(spark, path, baseDirs,
+      val fresh = freshAgainstSnapshotDirs(spark, path, baseEntries,
         deduped, keys).localCheckpoint()
       freshForWrite = Some(fresh)
       var missing = List.empty[String]
@@ -2068,14 +2186,28 @@ object Upsert {
       freshForWrite, basedOn = cur, keys, tieBreak)
   }
 
+  /** Name-based publish: each carried dir REATTACHES the union of its
+    * published dv sets ([[dvUnionFor]] — one exists-call on dv-less
+    * sinks), so reconcile/carry paths that reason in dir names never
+    * drop a merge-on-read delete; dirs new to every manifest (fresh
+    * batches, rewrites — which FOLD their base's dvs physically) get
+    * none. Publishers attaching a BRAND-NEW dv use the entries form. */
   private def publishManifest(spark: SparkSession, path: String,
                               version: Int, dirs: Seq[String]): Unit = {
+    val dvs = dvUnionFor(spark, path)
+    publishManifestEntries(spark, path, version,
+      dirs.map(d => SnapEntry(d, dvs.getOrElse(d, Nil))))
+  }
+
+  private def publishManifestEntries(spark: SparkSession, path: String,
+      version: Int, entries: Seq[SnapEntry]): Unit = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
     val tmp = new org.apache.hadoop.fs.Path(snapDir(path),
       s"v$version.list.tmp")
     val out = fs.create(tmp, true)
-    try out.write(dirs.mkString("\n").getBytes("UTF-8")) finally out.close()
+    try out.write(entries.map(_.line).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
     // rename is the atomic-publish step; a false return (destination
     // exists, permission lost, or an object store whose "rename" is a
     // non-atomic copy that failed) would otherwise let writeSnapshot
@@ -2160,24 +2292,26 @@ object Upsert {
     * without stats are read (correctness never depends on a sidecar). */
   def readSnapshotForKeys(spark: SparkSession, path: String, version: Int,
       probe: DataFrame, keys: Seq[String]): DataFrame = {
-    val dirs = manifestDirs(spark, path, version)
+    val entries = manifestEntries(spark, path, version)
     val keyRows = probe.select(keys.map(col): _*).distinct()
       .localCheckpoint()
     val pr = keyRanges(keyRows, keys.filter(keyRows.columns.contains))
-    val candidates = pruneDirs(spark, path, dirs, keys, keyRows, Some(pr))
+    val candidates = pruneDirs(spark, path, entries.map(_.dir), keys,
+      keyRows, Some(pr))
     lastProbedDirs.set(candidates)
     if (candidates.isEmpty)
       readSnapshot(spark, path, version).limit(0)
     else {
-      val scan0 = spark.read.option("mergeSchema", "true")
-        .parquet(candidates.map(d => s"$path/$d"): _*)
-      // The probe's bounding box pushes to the scan: inside a big
-      // key-sorted compact dir, footer stats skip the row groups the
-      // probed keys can't live in (the semi join stays for exactness).
-      applySchemaMap(spark, path,
-        probeRangeFilter(scan0.schema, pr)
-          .map(scan0.filter).getOrElse(scan0)
-          .join(keyRows, keys, "left_semi"))
+      // The probe's bounding box pushes to each group's scan: inside a
+      // big key-sorted compact dir, footer stats skip the row groups
+      // the probed keys can't live in (the semi join stays for
+      // exactness); merge-on-read entries anti-join their dvs so a
+      // dv-dead key reads as absent.
+      val scan = readEntriesRaw(spark, path,
+        entries.filter(e => candidates.contains(e.dir)),
+        df => probeRangeFilter(df.schema, pr)
+          .map(df.filter).getOrElse(df))
+      applySchemaMap(spark, path, scan.join(keyRows, keys, "left_semi"))
     }
   }
 
@@ -2238,9 +2372,13 @@ object Upsert {
       // before either holds the lock.
       val target = claimVersion(spark, path)
       val dirName = s"compact-$target"
-      val baseDirs = manifestDirs(spark, path, cur)
+      val baseEntries = manifestEntries(spark, path, cur)
+      val baseDirs = baseEntries.map(_.dir)
       val absorbed = coverage(spark, path, baseDirs)
       val statKeys = recordedKeyCols(spark, path)
+      // readSnapshot resolves merge-on-read dvs, so the compact dir is
+      // the FOLDED truth — compaction is what resets dv'd entries back
+      // to plain dirs (the MoR steady-state loop).
       keySortedForFooters(readSnapshot(spark, path, cur), statKeys)
         .write.mode("overwrite").parquet(s"$path/$dirName")
       // Record provenance BEFORE the manifest publish: a manifest
@@ -2260,8 +2398,10 @@ object Upsert {
         }
       try {
         val latestNow = latestVersion(spark, path)
-        val latestDirs = manifestDirs(spark, path, latestNow)
-        if (baseDirs.forall(latestDirs.contains)) {
+        val latestEntries = manifestEntries(spark, path, latestNow)
+        val latestDirs = latestEntries.map(_.dir)
+        // Entry-level: a dv added to a base dir is a content change.
+        if (baseEntries.forall(latestEntries.contains)) {
           // A writer may publish BETWEEN the base read (cur) and this
           // publish; its dirs are not in the compacted file, and a bare
           // [compact-N] manifest would drop them from the lineage.
@@ -2354,11 +2494,12 @@ object Upsert {
           "process crashed, delete the lock file and retry", null)
       val cur = latestVersion(spark, path)
       require(cur >= 1, "nothing to compact: no published snapshot")
-      val baseDirs = manifestDirs(spark, path, cur)
-      val smalls = baseDirs.filter { d =>
-        fs.getContentSummary(new org.apache.hadoop.fs.Path(path, d))
+      val baseEntries = manifestEntries(spark, path, cur)
+      val smallEntries = baseEntries.filter { e =>
+        fs.getContentSummary(new org.apache.hadoop.fs.Path(path, e.dir))
           .getLength <= smallBytes
       }
+      val smalls = smallEntries.map(_.dir)
       if (smalls.size < minDirs) return cur
       val absorbed = coverage(spark, path, smalls)
       val target = claimVersion(spark, path)
@@ -2367,10 +2508,10 @@ object Upsert {
       // Same key-sorted discipline as the full compaction: the pack is
       // small (that's its definition), so the sort is cheap — and the
       // pack dir's footers stay probe-skippable instead of smearing
-      // the trickle batches' keys across every row group.
+      // the trickle batches' keys across every row group. Merge-on-read
+      // entries RESOLVE (dvs anti-joined) — the pack folds them.
       keySortedForFooters(
-          spark.read.option("mergeSchema", "true")
-            .parquet(smalls.map(d => s"$path/$d"): _*), statKeys)
+          readEntriesRaw(spark, path, smallEntries), statKeys)
         .write.mode("overwrite").parquet(s"$path/$dirName")
       val af = absorbedPath(path, dirName)
       val out = fs.create(af, true)
@@ -2386,8 +2527,11 @@ object Upsert {
         }
       try {
         val latestNow = latestVersion(spark, path)
-        val latestDirs = manifestDirs(spark, path, latestNow)
-        if (smalls.forall(latestDirs.contains)) {
+        val latestEntries = manifestEntries(spark, path, latestNow)
+        val latestDirs = latestEntries.map(_.dir)
+        // Entry-level: a dv added to a PACKED dir in the window means
+        // the pack carries rows the rival just deleted — redo.
+        if (smallEntries.forall(latestEntries.contains)) {
           // Carry everything else from the LATEST manifest (large base
           // dirs, interleaved appends, even rewrites of large dirs a
           // merge landed meanwhile — only the PACKED dirs' liveness
@@ -2520,10 +2664,47 @@ object Upsert {
 
   def mergeSnapshot(spark: SparkSession, path: String, changes: DataFrame,
                     keys: Seq[String], tieBreak: Seq[String],
-                    opCol: String = "op"): Int = {
+                    opCol: String = "op"): Int =
+    mergeSnapshotImpl(spark, path, changes, keys, tieBreak, opCol,
+      mor = false)
+
+  /** MERGE-ON-READ variant of [[mergeSnapshot]] — same I/U/D contract,
+    * same published result row-for-row, different WRITE amplification:
+    * instead of rewriting every touched dir copy-on-write (one U row in
+    * a multi-TB compacted dir rewrites the whole dir), each touched dir
+    * gets a DELETION VECTOR — a tiny parquet dir of the dead rows' keys
+    * — attached to its manifest entry (`dir\tdv,…`) and anti-joined at
+    * read. A trickle-CDC merge on hot keys publishes a new version with
+    * ZERO data-dir rewrites: cost = probes + the landing dir + dv dirs,
+    * all batch-proportional.
+    *
+    * The read tax is per-entry (one anti join per distinct dv set);
+    * COMPACTION FOLDS dvs physically (it reads the resolved view), so
+    * the steady state is the usual loop: trickle MoR merges between
+    * compactions, each compaction resetting entries to plain dirs.
+    * Time travel, the change feed (recorded and key-diff), metadata
+    * COUNT/MIN/MAX, erasure and expiry all stay exact — dv'd entries
+    * subtract/fall back where a sidecar alone would overstate
+    * (the Delta/Iceberg deletion-vector design, format-lite). */
+  def mergeSnapshotMoR(spark: SparkSession, path: String,
+      changes: DataFrame, keys: Seq[String], tieBreak: Seq[String],
+      opCol: String = "op"): Int =
+    mergeSnapshotImpl(spark, path, changes, keys, tieBreak, opCol,
+      mor = true)
+
+  private def mergeSnapshotImpl(spark: SparkSession, path: String,
+      changes: DataFrame, keys: Seq[String], tieBreak: Seq[String],
+      opCol: String, mor: Boolean): Int = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
     requireLiveKeys(spark, path, keys, "mergeSnapshot")
+    // The marker only ENABLES the dv-reattach scan on later publishes;
+    // created before any rewrite so no publish in flight can miss it.
+    if (mor) {
+      try { if (!fs.exists(morMarkerPath(path)))
+        fs.create(morMarkerPath(path), true).close()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     val op = upper(col(opCol))
     val deduped = dedupOnKey(normalizeBatch(spark, path, changes),
       keys, tieBreak).withColumn(opCol, op).localCheckpoint()
@@ -2571,7 +2752,9 @@ object Upsert {
       val cur = latestVersion(spark, path)
       require(cur >= 1, "nothing to merge into: no published snapshot")
       val target = claimVersion(spark, path)
-      val baseDirs = manifestDirs(spark, path, cur)
+      val baseEntries = manifestEntries(spark, path, cur)
+      val baseDirs = baseEntries.map(_.dir)
+      val entryByDir = baseEntries.map(e => e.dir -> e).toMap
       val baseCoverage = coverage(spark, path, baseDirs)
       // RAW schema: the rewrites pin it onto per-dir reads, and dirs
       // carry PHYSICAL names — the mapped view would NULL a renamed
@@ -2585,24 +2768,47 @@ object Upsert {
         Some(touchedPr))
       lastProbedDirs.set(candidates)
       val tFilter = probeRangeFilter(snapshotSchema, touchedPr)
+      // A dir's LIVE view: pinned-schema scan minus its entry's dvs —
+      // a dv-dead touched key must neither classify the dir dirty nor
+      // enter pre-images / a new dv (it is already deleted).
+      def liveDir(d: String) = antiDv(spark, path,
+        spark.read.schema(snapshotSchema).parquet(s"$path/$d"),
+        entryByDir.get(d).map(_.dvs).getOrElse(Nil))
+      def liveHits(d: String) = {
+        val sc = liveDir(d)
+        tFilter.map(sc.filter).getOrElse(sc)
+          .join(touched, keys, "left_semi")
+      }
       val (rewritten, probedClean) = candidates.partition { d =>
-        val sc = spark.read.schema(snapshotSchema).parquet(s"$path/$d")
-        !tFilter.map(sc.filter).getOrElse(sc)
-          .join(touched, keys, "left_semi").isEmpty
+        !liveHits(d).isEmpty
       }
       val carried = probedClean ++ baseDirs.filterNot(candidates.contains)
-      val rewriteNames = rewritten.map { d =>
-        val rw = s"$d-m$target"
-        spark.read.schema(snapshotSchema).parquet(s"$path/$d")
-          .join(touched, keys, "left_anti")
-          .write.mode("overwrite").parquet(s"$path/$rw")
-        val out = fs.create(absorbedPath(path, rw), true)
-        try out.write(provenance(spark, path, d).toSeq.sorted
-          .mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-        writeKeyStats(spark, path, rw, keys)
-        rw
-      }
+      // COW: rewrite each dirty dir minus touched keys, FOLDING its dvs
+      // (the rewrite is the dir's new line of truth — re-publishing
+      // dv-dead rows would resurrect them). MoR: no data rewrite at
+      // all — each dirty dir gets a dv of the hit keys instead.
+      val rewriteNames =
+        if (mor) Nil
+        else rewritten.map { d =>
+          val rw = s"$d-m$target"
+          liveDir(d).join(touched, keys, "left_anti")
+            .write.mode("overwrite").parquet(s"$path/$rw")
+          val out = fs.create(absorbedPath(path, rw), true)
+          try out.write(provenance(spark, path, d).toSeq.sorted
+            .mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          writeKeyStats(spark, path, rw, keys)
+          rw
+        }
+      val dvByDir: Map[String, String] =
+        if (!mor) Map.empty
+        else rewritten.zipWithIndex.map { case (d, i) =>
+          val dv = s"dv-$target-$i"
+          liveHits(d).select(keys.map(col): _*).distinct()
+            .write.mode("overwrite").parquet(s"$path/$dv")
+          writeKeyStats(spark, path, dv, keys)
+          d -> dv
+        }.toMap
       // Landing rows: every U (old copy just removed by the rewrites),
       // plus I rows whose key the base snapshot lacks (keep-existing).
       // The presence probe is PRUNED to the dirs the BATCH's I keys can
@@ -2622,8 +2828,14 @@ object Upsert {
           // coerces the comparison.
           val pSchema = org.apache.spark.sql.types.StructType(
             keys.map(k => snapshotSchema(snapshotSchema.fieldIndex(k))))
-          val pScan0 = spark.read.schema(pSchema)
-            .parquet(presentDirs.map(d => s"$path/$d"): _*)
+          // Grouped by dv set: a dv-DEAD key must probe as absent —
+          // the keep-existing insert of a deleted key has to land.
+          val pScan0 = baseEntries.filter(e => presentDirs.contains(e.dir))
+            .groupBy(_.dvs).toSeq.sortBy(_._1.mkString(","))
+            .map { case (dvs, es) =>
+              antiDv(spark, path, spark.read.schema(pSchema)
+                .parquet(es.map(e => s"$path/${e.dir}"): _*), dvs)
+            }.reduce(_.unionByName(_))
           val pScan = probeRangeFilter(pSchema, iPr)
             .map(pScan0.filter).getOrElse(pScan0)
           iRows.join(pScan.distinct(), keys, "left_anti")
@@ -2641,7 +2853,7 @@ object Upsert {
       // vacuum — delete the orphans before propagating.
       val lock = try acquireRewriterLock(fs, path, "mergeSnapshot")
         catch { case e: LockHeldException =>
-          (rewriteNames :+ mergeDir).foreach { d =>
+          (rewriteNames ++ dvByDir.values :+ mergeDir).foreach { d =>
             fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
             deleteDirSidecars(fs, path, d)
           }
@@ -2658,8 +2870,13 @@ object Upsert {
       var genAtCommit: String = ""
       try {
         val latestNow = latestVersion(spark, path)
-        val latestDirs = manifestDirs(spark, path, latestNow)
-        if (baseDirs.forall(latestDirs.contains)) {
+        val latestEntries = manifestEntries(spark, path, latestNow)
+        val latestDirs = latestEntries.map(_.dir)
+        // ENTRY-level staleness: a dv added to a base dir by a racing
+        // merge-on-read merge changes its content without renaming it
+        // — the name check alone would let this merge republish the
+        // pre-dv entry and resurrect the rival's deletes.
+        if (baseEntries.forall(latestEntries.contains)) {
           // Interleaved appenders between the base read and this
           // publish: carry their dirs (their rows win over this
           // merge's deletes — sequential merge-then-write
@@ -2683,8 +2900,8 @@ object Upsert {
           val finalMerge =
             if (interleaved.isEmpty) mergeDir
             else {
-              val inKeys = spark.read.option("mergeSchema", "true")
-                .parquet(interleaved.map(d => s"$path/$d"): _*)
+              val inKeys = readEntriesRaw(spark, path,
+                  latestEntries.filter(e => interleaved.contains(e.dir)))
                 .select(keys.map(col): _*).distinct()
               val rw = s"$mergeDir-r$pubV"
               spark.read.parquet(s"$path/$mergeDir")
@@ -2700,10 +2917,24 @@ object Upsert {
           // Rows of already-published dirs changed -> name-based delta
           // readers must recompute ([[rewriteGen]]). Before the
           // manifest rename, so no reader ever sees the publish
-          // without the marker.
-          if (rewriteNames.nonEmpty) touchRewriteGen(spark, path, target)
-          publishManifest(spark, path, pubV,
-            carried ++ rewriteNames ++ interleaved :+ finalMerge)
+          // without the marker. A merge-on-read dv IS a content
+          // change to a published dir — same rule.
+          if (rewriteNames.nonEmpty || dvByDir.nonEmpty)
+            touchRewriteGen(spark, path, target)
+          if (mor)
+            // Entries form: the NEW dvs are in no manifest yet, so the
+            // name-based reattach cannot supply them.
+            publishManifestEntries(spark, path, pubV,
+              carried.map(entryByDir) ++
+                rewritten.map { d =>
+                  val e = entryByDir(d)
+                  SnapEntry(e.dir, (e.dvs :+ dvByDir(d)).sorted)
+                } ++
+                latestEntries.filter(e => interleaved.contains(e.dir)) :+
+                SnapEntry(finalMerge, Nil))
+          else
+            publishManifest(spark, path, pubV,
+              carried ++ rewriteNames ++ interleaved :+ finalMerge)
           // The merge dir is self-rooted, so the unified reconcile
           // applies: its dropped-version sweep carries WHOLE dropped
           // manifests and shadow-collapses (rewrites over originals),
@@ -2736,11 +2967,25 @@ object Upsert {
         case Some(rv) =>
           mergePreRecordHook()
           recordAt.foreach { v =>
+            // Pre-images = the LIVE rows of the dirty dirs that the
+            // touched keys matched — exactly what the COW rewrites
+            // dropped / the MoR dvs killed. Passed as a THUNK: the
+            // plan's spark.read resolves files at construction, and an
+            // eraseKeys completing in this window may have deleted the
+            // originals — the record writer's gen pre-check must run
+            // before any path resolves (a throw here would fail the
+            // already-committed merge).
+            def removedPre() =
+              if (rewritten.isEmpty)
+                spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                  snapshotSchema)
+              else rewritten.map(liveHits).reduce(_.unionByName(_))
             writeMergeChangeRecord(spark, path, v, base = cur,
-              rewritten, snapshotSchema, touched, uRows,
+              removedPre _, uRows,
               dKeys = deduped.filter(col(opCol) === "D")
                 .select(keys.map(col): _*).distinct(),
-              freshI, keys, tFilter, genAtCommit)
+              freshI, keys, genAtCommit)
           }
           return rv
         case None => ()
@@ -2748,7 +2993,7 @@ object Upsert {
       // Stale base: a rewriter (another merge, a compactor, an
       // erasure) replaced a dir we probed, carried, or rewrote. Drop
       // the orphaned rewrites and retry from the new latest.
-      (rewriteNames :+ mergeDir).foreach { d =>
+      (rewriteNames ++ dvByDir.values :+ mergeDir).foreach { d =>
         fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
         deleteDirSidecars(fs, path, d)
       }
@@ -2779,8 +3024,7 @@ object Upsert {
     * physical fact). */
   private def readSnapshotRaw(spark: SparkSession, path: String,
       version: Int): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(
-      manifestDirs(spark, path, version).map(d => s"$path/$d"): _*)
+    readEntriesRaw(spark, path, manifestEntries(spark, path, version))
 
   /** EXPLICITLY DESTRUCTIVE retention: drop every snapshot manifest
     * older than `keepFrom` and delete any data dir no surviving
@@ -2807,10 +3051,15 @@ object Upsert {
     val allVersions = snapNames
       .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
         n.stripPrefix("v").stripSuffix(".list").toInt }
+    // dv dirs are referenced THROUGH their entries (merge-on-read):
+    // they reclaim with the versions that applied them and must never
+    // be deleted while a surviving manifest still anti-joins them.
+    def allNames(v: Int) = manifestEntries(spark, path, v)
+      .flatMap(e => e.dir +: e.dvs)
     val referenced = allVersions.filter(_ >= keepFrom)
-      .flatMap(v => manifestDirs(spark, path, v)).toSet
+      .flatMap(allNames).toSet
     val doomedDirs = allVersions.filter(_ < keepFrom)
-      .flatMap(v => manifestDirs(spark, path, v)).toSet -- referenced
+      .flatMap(allNames).toSet -- referenced
     allVersions.filter(_ < keepFrom).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.list"), false)
       // Aggregate-maintenance coverage marker, if this sink has them,
@@ -2899,12 +3148,12 @@ object Upsert {
     require(from >= 0 && to > from, s"need 0 <= from < to, got $from..$to")
     if (from == 0) return readSnapshot(spark, path, to)
     val fromCov = coverage(spark, path, manifestDirs(spark, path, from))
-    val dirs = manifestDirs(spark, path, to)
-      .filterNot(d => provenance(spark, path, d).subsetOf(fromCov))
-    if (dirs.isEmpty) readSnapshot(spark, path, to).limit(0)
-    else applySchemaMap(spark, path, spark.read
-      .option("mergeSchema", "true")
-      .parquet(dirs.map(d => s"$path/$d"): _*))
+    // `to`'s OWN dv sets apply: a row added in the span and already
+    // dv-deleted by `to` is not an addition a reader of `to` can see.
+    val entries = manifestEntries(spark, path, to)
+      .filterNot(e => provenance(spark, path, e.dir).subsetOf(fromCov))
+    if (entries.isEmpty) readSnapshot(spark, path, to).limit(0)
+    else applySchemaMap(spark, path, readEntriesRaw(spark, path, entries))
   }
 
   /** DESCRIBE HISTORY: one row per published version — (version,
@@ -3019,33 +3268,21 @@ object Upsert {
     * and records as I — the record mirrors what the key-diff would
     * emit, not the caller's op labels. */
   private def writeMergeChangeRecord(spark: SparkSession, path: String,
-      version: Int, base: Int, rewritten: Seq[String],
-      snapshotSchema: org.apache.spark.sql.types.StructType,
-      touched: DataFrame, uRows: DataFrame, dKeys: DataFrame,
+      version: Int, base: Int, removedPreF: () => DataFrame,
+      uRows: DataFrame, dKeys: DataFrame,
       freshI: DataFrame, keys: Seq[String],
-      tFilter: Option[org.apache.spark.sql.Column],
       genAtCommit: String): Unit =
     try {
-      if (snapshotSchema.fieldNames.exists(ChangeRecCols) ||
-          uRows.columns.exists(ChangeRecCols) ||
+      if (uRows.columns.exists(ChangeRecCols) ||
           freshI.columns.exists(ChangeRecCols)) return
       val fs = fsFor(spark, path)
       // Cheap pre-check (the locked re-validation below is the
       // guarantee): if history was already rewritten since the commit,
-      // don't even stage the record's pre-images on disk — an erasure
-      // may have just removed exactly those rows.
+      // don't even resolve the pre-image read (the dirs may be GONE —
+      // an erasure deletes originals) or stage its rows on disk.
       if (rewriteGen(spark, path) != genAtCommit) return
-      val removedPre =
-        if (rewritten.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            snapshotSchema)
-        else {
-          val sc = spark.read.schema(snapshotSchema)
-            .parquet(rewritten.map(d => s"$path/$d"): _*)
-          tFilter.map(sc.filter).getOrElse(sc)
-            .join(touched, keys, "left_semi")
-        }
+      val removedPre = removedPreF()
+      if (removedPre.columns.exists(ChangeRecCols)) return
       val uKeys = uRows.select(keys.map(col): _*).distinct()
       val removedKeys = removedPre.select(keys.map(col): _*).distinct()
         .localCheckpoint()
@@ -3253,21 +3490,23 @@ object Upsert {
     // rewrite, as with [[readSnapshotDelta]].) Columns living only in
     // shared dirs belong to rows that cannot change and drop out of
     // the compare unharmed.
-    val fromDirs = manifestDirs(spark, path, fromVersion)
-    val toDirs = manifestDirs(spark, path, toVersion)
-    val shared = fromDirs.toSet & toDirs.toSet
-    val oldOnly = fromDirs.filterNot(shared)
-    val newOnly = toDirs.filterNot(shared)
-    lastDiffDirs.set((oldOnly, newOnly))
+    // ENTRY-level sharing (dir + dv set): a merge-on-read delete
+    // changes a dir's entry without renaming it — name-level sharing
+    // would exclude the dir from both sides and silently drop the
+    // dv-deleted keys from the diff.
+    val fromEntries = manifestEntries(spark, path, fromVersion)
+    val toEntries = manifestEntries(spark, path, toVersion)
+    val shared = fromEntries.toSet & toEntries.toSet
+    val oldOnly = fromEntries.filterNot(shared)
+    val newOnly = toEntries.filterNot(shared)
+    lastDiffDirs.set((oldOnly.map(_.dir), newOnly.map(_.dir)))
     // Mapped like every other read surface: a feed spanning a
     // renameColumn must diff (and emit) LOGICAL columns, or the old
     // and new physical names compare as two half-NULL columns and
     // every renamed row surfaces as a spurious U.
-    def readDirs(dirs: Seq[String]) =
-      if (dirs.isEmpty) readSnapshot(spark, path, toVersion).limit(0)
-      else applySchemaMap(spark, path,
-        spark.read.option("mergeSchema", "true")
-          .parquet(dirs.map(d => s"$path/$d"): _*))
+    def readDirs(es: Seq[SnapEntry]) =
+      if (es.isEmpty) readSnapshot(spark, path, toVersion).limit(0)
+      else applySchemaMap(spark, path, readEntriesRaw(spark, path, es))
     val oldDf = readDirs(oldOnly)
     val newDf = readDirs(newOnly)
     val cols = (oldDf.columns ++ newDf.columns).distinct
@@ -3344,8 +3583,11 @@ object Upsert {
         .map(_.getPath.getName)
         .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
           n.stripPrefix("v").stripSuffix(".list").toInt }
+      // Entries, not dirs: a live merge-on-read dv swept as an
+      // "orphan" would resurrect every row it deletes.
       val referenced = versions
-        .flatMap(v => manifestDirs(spark, path, v)).toSet
+        .flatMap(v => manifestEntries(spark, path, v)
+          .flatMap(e => e.dir +: e.dvs)).toSet
       sweepUnreferencedDirs(fs, path, referenced, minAgeMs).size
     } finally fs.delete(lock, false)
   }
@@ -3448,11 +3690,24 @@ object Upsert {
     val keyRows = doomed.select(keys.map(col): _*).distinct()
       .localCheckpoint()
     val doomedPr = keyRanges(keyRows, keys.filter(keyRows.columns.contains))
-    def listVersions(): Seq[(Int, Seq[String])] =
+    def listVersions(): Seq[(Int, Seq[SnapEntry])] =
       fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
         .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
           n.stripPrefix("v").stripSuffix(".list").toInt }
-        .sorted.map(v => v -> manifestDirs(spark, path, v))
+        .sorted.map(v => v -> manifestEntries(spark, path, v))
+    // The erase universe includes merge-on-read DV DIRS: a dv holds the
+    // subject's KEY VALUES (a record that the subject existed) — "the
+    // data is gone" covers them. A dv rewrite minus the doomed keys is
+    // consistent: the matching data rows are physically erased in the
+    // same commit, so their tombstones have nothing left to hide.
+    // Probes and rewrites treat them exactly like data dirs (their
+    // schema IS the key columns); the erased-row count excludes them
+    // (a tombstone is not a data row).
+    val dvNames = scala.collection.mutable.Set.empty[String]
+    def namesOf(es: Seq[SnapEntry]): Seq[String] = {
+      es.foreach(e => dvNames ++= e.dvs)
+      es.flatMap(e => e.dir +: e.dvs).distinct
+    }
     // dir → (rewrite name if it held doomed keys, rows hit). Probed
     // dirs are immutable, so results carry across retries.
     val processed =
@@ -3480,7 +3735,7 @@ object Upsert {
         val epoch = claimVersion(spark, path)
         myClaims += epoch
         val perVersion = listVersions()
-        val allDirs = perVersion.flatMap(_._2).distinct
+        val allDirs = namesOf(perVersion.flatMap(_._2))
         val candidates = pruneDirs(spark, path,
           allDirs.filterNot(processed.contains), keys, keyRows,
           Some(doomedPr))
@@ -3517,7 +3772,7 @@ object Upsert {
         var erased = 0L
         try {
           val perVersionNow = listVersions()
-          val liveDirs = perVersionNow.flatMap(_._2).distinct
+          val liveDirs = namesOf(perVersionNow.flatMap(_._2))
           val liveSet = liveDirs.toSet
           // A rewriter replaced a processed original: our rewrite of
           // it is junk (the replacement shows up as a new candidate).
@@ -3536,13 +3791,20 @@ object Upsert {
             val renames = processed.collect {
               case (d, (Some(rw), _)) => d -> rw }.toMap
             erased = processed.collect {
-              case (_, (Some(_), h)) => h }.sum
-            def repoint(vs: Seq[(Int, Seq[String])]): Boolean = {
+              case (d, (Some(_), h)) if !dvNames.contains(d) => h }.sum
+            def repoint(vs: Seq[(Int, Seq[SnapEntry])]): Boolean = {
               var any = false
-              vs.foreach { case (v, dirs) =>
-                if (dirs.exists(renames.contains)) {
+              vs.foreach { case (v, entries) =>
+                if (entries.exists(e => renames.contains(e.dir) ||
+                    e.dvs.exists(renames.contains))) {
                   any = true
-                  val newList = dirs.map(d => renames.getOrElse(d, d))
+                  // Entry-aware: the dir AND its dv references repoint
+                  // together (a dv rewritten minus the doomed keys
+                  // keeps applying to every version that listed it).
+                  val newList = entries.map(e => SnapEntry(
+                    renames.getOrElse(e.dir, e.dir),
+                    e.dvs.map(n => renames.getOrElse(n, n)).sorted)
+                    .line)
                   val tmp = new org.apache.hadoop.fs.Path(snapDir(path),
                     s"v$v.list.tmp")
                   val out = fs.create(tmp, true)
@@ -3626,7 +3888,7 @@ object Upsert {
             // Grace-filtered against a live fleet (an in-flight rewrite
             // looks exactly like an orphan); 0 = quiesced contract.
             sweepUnreferencedDirs(fs, path,
-              listVersions().flatMap(_._2).toSet, orphanGraceMs)
+              namesOf(listVersions().flatMap(_._2)).toSet, orphanGraceMs)
             done = true
           }
         } finally fs.delete(lock, false)
