@@ -1671,6 +1671,48 @@ object ExtQueries {
       graft.ops.Upsert.readSnapshot(s, path, v2).orderBy("doc_id")
     }),
 
+    "q_incr_agg_feed" -> ((s, dir) => {
+      // CHANGE-FEED-DRIVEN aggregate maintenance: the downstream agg
+      // sink consumes the merge's exact span (with update pre-images)
+      // and applies it INCREMENTALLY — the require pins the feed path
+      // (no recompute despite the merge, which refreshAggregate's
+      // name-based purity could never allow); the oracle recomputes
+      // the same grouped aggregate from the merged logical table.
+      val path = s"$RunScratch/graft_feed_src_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val aggP = s"$RunScratch/graft_feed_agg_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.delete(new org.apache.hadoop.fs.Path(aggP), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.streaming.EventStream.changeFeedAggregatePoll(s, path,
+        Seq("doc_id"), aggP, Seq("source"), "n_chars") // bootstrap
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("__op", lit("U"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("__op", lit("D")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("__op", lit("I")))
+      graft.ops.Upsert.mergeSnapshot(s, path, changes,
+        Seq("doc_id"), Seq("doc_id"), "__op")
+      graft.streaming.EventStream.changeFeedAggregatePoll(s, path,
+        Seq("doc_id"), aggP, Seq("source"), "n_chars")
+      val mode = graft.ops.Upsert.lastFeedRefresh.get()
+      require(mode.startsWith("feed:"),
+        s"merge span must apply incrementally from the feed, got '$mode'")
+      graft.ops.Upsert.readSnapshot(s, aggP,
+          graft.ops.Upsert.latestVersion(s, aggP))
+        .select(col("source"), col("n"), col("n_val"),
+          col("sum_v").cast("double").as("sum_v"))
+        .orderBy("source")
+    }),
+
     "q_snap_dsv2" -> ((s, dir) => {
       // PLAN-INTEGRATED snapshot read: the same two-dir skip-column
       // sink as q_snap_skip, probed through the generic DSv2 path —
@@ -8139,6 +8181,23 @@ object ExtQueries {
          SELECT doc_id, source, n_chars FROM documents
          WHERE doc_id % 10 = 1
          ORDER BY doc_id""",
+
+    // The feed-maintained aggregate equals a recompute over the merged
+    // logical table (evens minus deletes, updates bumped, odds added).
+    "q_incr_agg_feed" ->
+      """WITH merged AS (
+           SELECT doc_id, source, n_chars FROM documents
+           WHERE doc_id % 2 = 0 AND doc_id % 10 NOT IN (0, 2)
+           UNION ALL
+           SELECT doc_id, source, CAST(n_chars + 1000 AS BIGINT)
+           FROM documents WHERE doc_id % 10 = 0
+           UNION ALL
+           SELECT doc_id, source, n_chars FROM documents
+           WHERE doc_id % 10 = 1)
+         SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(n_chars) AS BIGINT) AS n_val,
+           CAST(SUM(n_chars) AS DOUBLE) AS sum_v
+         FROM merged GROUP BY source ORDER BY source""",
 
     // The DSv2 filtered read equals the plain filter — same contract
     // as q_snap_skip, now through the generic format("graft") path.

@@ -1466,6 +1466,24 @@ object Upsert {
     s"${vs.size}:${vs.foldLeft(0)(math.max)}"
   }
 
+  /** Fingerprint of the IN-PLACE history edits only — `erase-*.touch`
+    * markers stamped by [[eraseKeys]] commits. The change feed is exact
+    * across merges/compactions/heals (they publish NEW versions and
+    * never alter an existing manifest's content), so a feed-driven
+    * consumer must NOT recompute on every merge the way name-based
+    * delta readers do ([[rewriteGen]]); erasure is the one op that
+    * rewrites BOTH of a span's endpoints in place — the erased rows
+    * vanish from both sides and the diff can never emit their deletes.
+    * This narrower fingerprint is what feed consumers pin. */
+  private[graft] def eraseGen(spark: SparkSession, path: String): String = {
+    val fs = fsFor(spark, path)
+    if (!fs.exists(snapDir(path))) return "0:0"
+    val vs = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("erase-") && n.endsWith(".touch") =>
+        n.stripPrefix("erase-").stripSuffix(".touch").toInt }
+    s"${vs.size}:${vs.foldLeft(0)(math.max)}"
+  }
+
   /** Claim version number `latest+1` by CREATE-EXCLUSIVE of a
     * `v<N>.claim` marker: the optimistic-concurrency step that stops
     * two writers publishing the same version number. On collision the
@@ -3093,6 +3111,17 @@ object Upsert {
         fs.delete(new org.apache.hadoop.fs.Path(snapDir(path),
           s"gen-$v.touch"), false)
       }
+    // Erase markers age out the same way; the changed [[eraseGen]]
+    // fingerprint forces feed consumers to recompute once — the
+    // correct price inside an op that just destroyed history.
+    snapNames
+      .collect { case n if n.startsWith("erase-") && n.endsWith(".touch") =>
+        n.stripPrefix("erase-").stripSuffix(".touch").toInt }
+      .filter(_ < keepFrom)
+      .foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(snapDir(path),
+          s"erase-$v.touch"), false)
+      }
     doomedDirs.foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(path, d), true)
       // Any dir may own an absorbed record (compact dirs, merge
@@ -3343,7 +3372,7 @@ object Upsert {
     * (O(changes)) + one key shuffle — never the corpus. */
   private def composeRecordedChanges(spark: SparkSession, path: String,
       from: Int, to: Int, keys: Seq[String],
-      opCol: String): Option[DataFrame] =
+      opCol: String, preImages: Boolean = false): Option[DataFrame] =
     try {
       val fs = fsFor(spark, path)
       val published = fs.listStatus(snapDir(path)).toSeq
@@ -3420,12 +3449,18 @@ object Upsert {
       val opExpr = when(col("__had_pre").isNull && col("__exists"), "I")
         .when(col("__had_pre").isNotNull && !col("__exists"), "D")
         .when(col("__had_pre").isNotNull && col("__exists") && !same, "U")
-      Some(post.join(pre, keys, "left")
+      val joined = post.join(pre, keys, "left")
         .withColumn(opCol, opExpr)
         .filter(col(opCol).isNotNull)
+      val base = joined
         .select((col(opCol) +: keys.map(col)) ++
           cols.map(c => when(col(opCol) === "D", col(s"__pre_$c"))
-            .otherwise(col(s"__post_$c")).as(c)): _*))
+            .otherwise(col(s"__post_$c")).as(c)): _*)
+      Some(
+        if (!preImages) base
+        else base.unionByName(joined.filter(col(opCol) === "U")
+          .select((lit("UP").as(opCol) +: keys.map(col)) ++
+            cols.map(c => col(s"__pre_$c").as(c)): _*)))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Audit: the (from-only, to-only) dir lists the last
@@ -3453,7 +3488,25 @@ object Upsert {
     * merge either). */
   def snapshotChanges(spark: SparkSession, path: String,
       fromVersion: Int, toVersion: Int, keys: Seq[String],
-      opCol: String = "op"): DataFrame = {
+      opCol: String = "op"): DataFrame =
+    snapshotChangesImpl(spark, path, fromVersion, toVersion, keys, opCol,
+      preImages = false)
+
+  /** [[snapshotChanges]] with UPDATE PRE-IMAGES (Delta CDF's
+    * update_preimage convention): each U key emits TWO rows — `U` with
+    * the new values and `UP` with the values it replaced. The extra row
+    * is what makes a downstream aggregate exactly maintainable from
+    * the feed alone (subtract the UP/D side, add the I/U side) — with
+    * post-images only, an update's group delta is underdetermined. */
+  def snapshotChangesWithPreImages(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Int, keys: Seq[String],
+      opCol: String = "op"): DataFrame =
+    snapshotChangesImpl(spark, path, fromVersion, toVersion, keys, opCol,
+      preImages = true)
+
+  private def snapshotChangesImpl(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Int, keys: Seq[String],
+      opCol: String, preImages: Boolean): DataFrame = {
     require(fromVersion >= 1 && toVersion >= 1,
       s"need published versions, got $fromVersion..$toVersion")
     // BOTH endpoints must exist before any path runs: the composed
@@ -3473,7 +3526,7 @@ object Upsert {
     // spans and any chain break fall through to the exact key-diff.
     if (toVersion > fromVersion)
       composeRecordedChanges(spark, path, fromVersion, toVersion,
-        keys, opCol) match {
+        keys, opCol, preImages) match {
         case Some(df) => return df
         case None => ()
       }
@@ -3532,12 +3585,17 @@ object Upsert {
     val op = when(col("__o_present").isNull, "I")
       .when(col("__n_present").isNull, "D")
       .when(!same, "U")
-    o.join(n, keys, "full_outer")
+    val joined = o.join(n, keys, "full_outer")
       .withColumn(opCol, op)
       .filter(col(opCol).isNotNull)
+    val base = joined
       .select((col(opCol) +: keys.map(col)) ++
         cols.map(c => when(col(opCol) === "D", col(s"__o_$c"))
           .otherwise(col(s"__n_$c")).as(c)): _*)
+    if (!preImages) base
+    else base.unionByName(joined.filter(col(opCol) === "U")
+      .select((lit("UP").as(opCol) +: keys.map(col)) ++
+        cols.map(c => col(s"__o_$c").as(c)): _*))
   }
 
   /** Hygiene sweep for ORPHANED data dirs, OFFLINE form: deletes every
@@ -3823,6 +3881,13 @@ object Upsert {
             }
             if (renames.nonEmpty) {
               touchRewriteGen(spark, path, epoch)
+              // Erasure-specific marker ([[eraseGen]]): feed-driven
+              // consumers recompute ONLY on in-place history edits,
+              // not on every merge. Same not-best-effort contract as
+              // the gen marker — a swallowed failure here lets a feed
+              // consumer silently retain the erased subject's sums.
+              fs.create(new org.apache.hadoop.fs.Path(snapDir(path),
+                s"erase-$epoch.touch"), true).close()
               repoint(perVersionNow)
               // Claim wait: an appender inside claim→publish read a
               // pre-repoint manifest and may publish dirs we are about
@@ -4140,6 +4205,164 @@ object Upsert {
         }
     }
     writeSrcMarker(spark, aggPath, published, srcLatest, genNow)
+    published
+  }
+
+  // ── feed-driven aggregate maintenance (the CDC downstream) ──────
+
+  private def feedMarkerPath(aggPath: String, aggVersion: Int) =
+    new org.apache.hadoop.fs.Path(snapDir(aggPath), s"v$aggVersion.feed")
+
+  private def readFeedMarker(spark: SparkSession, aggPath: String,
+      aggVersion: Int): (Int, Option[String]) = {
+    val fs = fsFor(spark, aggPath)
+    val m = feedMarkerPath(aggPath, aggVersion)
+    if (!fs.exists(m)) return (0, None)
+    val in = fs.open(m)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    (lines.headOption.map(_.trim.toInt).getOrElse(0),
+      lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty))
+  }
+
+  private def writeFeedMarker(spark: SparkSession, aggPath: String,
+      aggVersion: Int, srcVersion: Int, egen: String): Unit = {
+    val fs = fsFor(spark, aggPath)
+    val out = fs.create(feedMarkerPath(aggPath, aggVersion), true)
+    try out.write(s"$srcVersion\n$egen".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Test/ops audit of the last [[refreshAggregateFromFeed]]:
+    * `"noop"`, `"recompute"`, or `"feed:<from>-><to>"` naming the span
+    * the incremental apply consumed. */
+  private[graft] val lastFeedRefresh =
+    new java.util.concurrent.atomic.AtomicReference[String]("")
+
+  /** CHANGE-FEED-DRIVEN MATERIALIZED AGGREGATE — the downstream half
+    * of the CDC loop: bring the grouped aggregate at `aggPath` (per
+    * `groupCols`: row count `n`, non-null value count `n_val`, exact
+    * decimal `sum_v` of `valueCol`) up to date with the snapshot sink
+    * at `srcPath` by consuming its change feed, NOT by re-reading the
+    * source. Where [[refreshAggregate]]'s increments cover only
+    * append-pure deltas (any merge forces a recompute via the rewrite
+    * generation), this consumes the exact I/U/D span — WITH update
+    * pre-images ([[snapshotChangesWithPreImages]]) — so merges,
+    * deletes and compactions all apply incrementally: subtract the
+    * D/pre-image side, add the I/post-image side, point-read only the
+    * touched groups ([[readSnapshotForKeys]] pruning), publish one
+    * merge whose U rows are the touched groups and whose D rows are
+    * the groups the span emptied. min/max are NOT maintained here —
+    * a max is not decrement-invertible; use [[refreshAggregate]]'s
+    * recompute classes when bounds matter.
+    *
+    * Exactly-once arithmetic across crashes, sink-as-state: the
+    * covered source version + the source's ERASURE fingerprint
+    * ([[eraseGen]] — the one op that edits a span's endpoints in
+    * place, making the feed blind) ride a `v<N>.feed` marker written
+    * AFTER its aggregate version publishes; the only crash window
+    * leaves a published version with no marker, which the next refresh
+    * answers with a full recompute — idempotent in content, never a
+    * double-add. Returns the published (or current) agg version. */
+  def refreshAggregateFromFeed(spark: SparkSession, srcPath: String,
+      srcKeys: Seq[String], aggPath: String, groupCols: Seq[String],
+      valueCol: String): Int = {
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    val srcLatest = latestVersion(spark, srcPath)
+    require(srcLatest >= 1, s"no source snapshot at $srcPath")
+    val aggCur = latestVersion(spark, aggPath)
+    val (covered, egen0) = if (aggCur == 0) (0, None)
+                           else readFeedMarker(spark, aggPath, aggCur)
+    require(covered <= srcLatest,
+      s"refreshAggregateFromFeed: marker covers v$covered but the " +
+        s"source's latest is v$srcLatest — wrong source or rolled-back " +
+        "history")
+    val egenNow = eraseGen(spark, srcPath)
+    val genOk = egen0.contains(egenNow)
+    def guardNullGroups(df: DataFrame): DataFrame =
+      groupCols.foldLeft(df) { (d, k) =>
+        d.withColumn(k, when(col(k).isNull, raise_error(lit(
+          s"refreshAggregateFromFeed: NULL in group column '$k' — the " +
+            "aggregate sink's key joins are null-rejecting; coalesce " +
+            "to a sentinel upstream")).cast(df.schema(k).dataType))
+          .otherwise(col(k)))
+      }
+    def aggOf(df: DataFrame): DataFrame = guardNullGroups(
+      df.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+          count(col(valueCol)).as("n_val"),
+          sum(col(valueCol).cast(dec)).cast(dec).as("sum_v")))
+    if (covered == srcLatest && genOk) {
+      lastFeedRefresh.set("noop"); return aggCur
+    }
+    val srcFs = fsFor(spark, srcPath)
+    val coveredLive = covered >= 1 && srcFs.exists(
+      new org.apache.hadoop.fs.Path(snapDir(srcPath), s"v$covered.list"))
+    val published =
+      if (covered == 0 || !genOk || !coveredLive) {
+        // Bootstrap, post-erasure, expired-from-version, or the
+        // crash window (published agg version without a marker):
+        // full recompute — idempotent in content.
+        lastFeedRefresh.set("recompute")
+        val full = aggOf(readSnapshot(spark, srcPath, srcLatest))
+        if (aggCur == 0)
+          writeSnapshot(spark, aggPath, full, groupCols, groupCols)
+        else {
+          val gone = readSnapshot(spark, aggPath, aggCur)
+            .select(groupCols.map(col): _*)
+            .join(full.select(groupCols.map(col): _*), groupCols,
+              "left_anti")
+            .withColumn("n", lit(null).cast("long"))
+            .withColumn("n_val", lit(null).cast("long"))
+            .withColumn("sum_v", lit(null).cast(dec))
+          mergeSnapshot(spark, aggPath,
+            full.withColumn("__op", lit("U"))
+              .unionByName(gone.withColumn("__op", lit("D"))),
+            groupCols, groupCols, "__op")
+        }
+      } else {
+        val span = snapshotChangesWithPreImages(spark, srcPath,
+          covered, srcLatest, srcKeys, opCol = "__op")
+        // Signed apply: I and U (post-image) add, D and UP (the
+        // update's pre-image) subtract — the two U rows per updated
+        // key are exactly what moves a value between groups.
+        val sgn = when(col("__op").isin("I", "U"), lit(1L))
+          .otherwise(lit(-1L))
+        val delta = guardNullGroups(span.groupBy(groupCols.map(col): _*)
+          .agg(sum(sgn).as("__dn"),
+            sum(when(col(valueCol).isNotNull, sgn).otherwise(0L))
+              .as("__dnv"),
+            sum(when(col(valueCol).isNotNull,
+                sgn.cast(dec) * col(valueCol).cast(dec))
+              .otherwise(lit(0).cast(dec))).cast(dec).as("__ds")))
+          .localCheckpoint()
+        if (delta.isEmpty) {
+          // A span with no net change (idempotent replays, pure
+          // repackagings): advance the marker, publish nothing.
+          lastFeedRefresh.set("noop")
+          writeFeedMarker(spark, aggPath, aggCur, srcLatest, egenNow)
+          return aggCur
+        }
+        lastFeedRefresh.set(s"feed:$covered->$srcLatest")
+        // Only the TOUCHED groups are read back — a point read that
+        // prunes to the dirs those group keys can live in.
+        val cur = readSnapshotForKeys(spark, aggPath, aggCur, delta,
+            groupCols)
+          .select((groupCols.map(col) :+ col("n") :+ col("n_val") :+
+            col("sum_v")): _*)
+        val nNew = coalesce(col("n"), lit(0L)) + col("__dn")
+        val nvNew = coalesce(col("n_val"), lit(0L)) + col("__dnv")
+        val changes = delta.join(cur, groupCols, "left")
+          .select((groupCols.map(col) :+
+            nNew.as("n") :+ nvNew.as("n_val") :+
+            when(nvNew === 0L, lit(null).cast(dec))
+              .otherwise(coalesce(col("sum_v"), lit(0).cast(dec)) +
+                col("__ds")).cast(dec).as("sum_v") :+
+            when(nNew <= 0L, "D").otherwise("U").as("__op")): _*)
+        mergeSnapshot(spark, aggPath, changes, groupCols, groupCols,
+          "__op")
+      }
+    writeFeedMarker(spark, aggPath, published, srcLatest, egenNow)
     published
   }
 }

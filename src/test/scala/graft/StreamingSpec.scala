@@ -1005,4 +1005,78 @@ class StreamingSpec extends SparkSpec {
     assert(batch(1).getTimestamp(1).getTime == last(8L).times(0)
       && batch(1).isNullAt(2))
   }
+
+  test("change-feed subscription: downstream aggregate tracks merges, MoR, compaction; replay-safe; erasure forces recompute") {
+    import graft.ops.Upsert
+    val src = java.nio.file.Files.createTempDirectory("feedsrc").toString
+    val agg = java.nio.file.Files.createTempDirectory("feedagg").toString
+    val dec = org.apache.spark.sql.types.DecimalType(28, 6)
+    def expected() = Upsert.readSnapshot(spark, src,
+        Upsert.latestVersion(spark, src))
+      .groupBy("g").agg(count(lit(1)).as("n"), count(col("v")).as("n_val"),
+        sum(col("v").cast(dec)).cast(dec).as("sum_v"))
+      .as[(String, Long, Long, java.math.BigDecimal)].collect()
+      .map(r => (r._1, r._2, r._3, Option(r._4).map(_.toPlainString)))
+      .toSet
+    def maintained() = Upsert.readSnapshot(spark, agg,
+        Upsert.latestVersion(spark, agg))
+      .select(col("g"), col("n"), col("n_val"), col("sum_v"))
+      .as[(String, Long, Long, java.math.BigDecimal)].collect()
+      .map(r => (r._1, r._2, r._3, Option(r._4).map(_.toPlainString)))
+      .toSet
+    def poll() = EventStream.changeFeedAggregatePoll(spark, src,
+      Seq("id"), agg, Seq("g"), "v")
+    // Bootstrap.
+    Upsert.writeSnapshot(spark, src,
+      (1L to 12L).map(i => (i, s"g${i % 3}", i.toDouble)).toDF("id", "g", "v"),
+      Seq("id"), Seq("id"))
+    poll()
+    assert(Upsert.lastFeedRefresh.get() == "recompute")
+    assert(maintained() == expected(), "bootstrap equality")
+    // COW merge: U moves a value, D empties nothing, I adds — the
+    // span must apply INCREMENTALLY (no recompute).
+    Upsert.mergeSnapshot(spark, src,
+      Seq(("U", 3L, "g0", 300.0), ("D", 6L, "g0", 0.0),
+        ("I", 20L, "g9", 20.0)).toDF("op", "id", "g", "v"),
+      Seq("id"), Seq("id"), "op")
+    poll()
+    assert(Upsert.lastFeedRefresh.get().startsWith("feed:"),
+      s"merge span must apply incrementally: ${Upsert.lastFeedRefresh.get()}")
+    assert(maintained() == expected(), "post-merge equality")
+    // A D that EMPTIES a group: the aggregate row must vanish.
+    Upsert.mergeSnapshotMoR(spark, src,
+      Seq(("D", 20L, "g9", 0.0)).toDF("op", "id", "g", "v"),
+      Seq("id"), Seq("id"), "op")
+    poll()
+    assert(Upsert.lastFeedRefresh.get().startsWith("feed:"))
+    assert(maintained() == expected(), "post-MoR equality")
+    assert(!maintained().exists(_._1 == "g9"), "emptied group vanishes")
+    // Compaction: a pure repackaging is a no-op span (marker advances).
+    Upsert.compactSnapshots(spark, src)
+    poll()
+    assert(Upsert.lastFeedRefresh.get() == "noop")
+    assert(poll() >= 1 && Upsert.lastFeedRefresh.get() == "noop",
+      "caught-up polls are no-ops")
+    // Crash replay: the marker vanishing after a publish (the only
+    // crash window) must force a recompute that still converges.
+    val aggV = Upsert.latestVersion(spark, agg)
+    new java.io.File(agg + "/_snapshots", s"v$aggV.feed").delete()
+    Upsert.writeSnapshot(spark, src,
+      Seq((30L, "g1", 30.0)).toDF("id", "g", "v"), Seq("id"), Seq("id"))
+    poll()
+    assert(Upsert.lastFeedRefresh.get() == "recompute",
+      "a missing marker is an unknown coverage — recompute, never guess")
+    assert(maintained() == expected(), "post-crash equality")
+    // Erasure edits history in place — the feed is blind to it; the
+    // erase fingerprint must force a recompute that drops the subject.
+    Upsert.eraseKeys(spark, src, Seq(Tuple1(3L)).toDF("id"), Seq("id"))
+    poll()
+    assert(Upsert.lastFeedRefresh.get() == "recompute",
+      "erasure must invalidate the feed marker")
+    assert(maintained() == expected(), "post-erasure equality")
+    assert(Upsert.readSnapshot(spark, agg,
+        Upsert.latestVersion(spark, agg))
+      .filter(col("sum_v") === 300.0).isEmpty,
+      "the erased subject's contribution is gone")
+  }
 }
