@@ -1599,6 +1599,11 @@ object ExtQueries {
       // the second consume delivers EXACTLY the v1→v2 span — the
       // oracle is the same exact I/U/D set as q_snap_changes, now
       // arriving through the consumer loop with its durable cursor.
+      // The v1 slice is ONLY the classes the pins need — %10∈{0,2}
+      // present for U/D, %10==4 carried untouched (absent from the
+      // span), %10==1 absent for the I — the initial-snapshot consume
+      // was the suite's most expensive fixture read and the evens'
+      // other classes bought nothing.
       val path = s"$RunScratch/graft_snap_cons_${
         dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -1606,7 +1611,8 @@ object ExtQueries {
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
       val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
       graft.ops.Upsert.writeSnapshot(s, path,
-        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+        docs.filter((col("doc_id") % 10).isin(0, 2, 4)),
+        Seq("doc_id"), Seq("doc_id"))
       val cursor = s"$path/_consumer/main.cursor"
       var span: org.apache.spark.sql.DataFrame = null
       require(graft.ops.Upsert.consumeChanges(s, path, cursor,
@@ -2756,6 +2762,39 @@ object ExtQueries {
           col("sum_v").cast(DoubleType).as("sum_chars"),
           col("min_v").cast(DoubleType).as("min_chars"),
           col("max_v").cast(DoubleType).as("max_chars"))
+        .orderBy("source")
+    }),
+
+    "q_incr_agg_distinct" -> ((s, dir) => {
+      // APPROX-DISTINCT maintained incrementally: each group carries a
+      // KMV sketch (k smallest value fingerprints — union-then-recap
+      // equals the recompute's sketch bit-for-bit), and below k
+      // distinct values the estimate is EXACT — the fixture's value
+      // domain (n_chars % 200 < k = 256) keeps it in the exact regime
+      // at every SF, so the oracle is a plain COUNT(DISTINCT). The
+      // require pins the delta-only path on the second refresh.
+      val src = s"$RunScratch/graft_incrd_src_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val agg = s"$RunScratch/graft_incrd_agg_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(src), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(src), true)
+      fs.delete(new org.apache.hadoop.fs.Path(agg), true)
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (col("n_chars") % 200).as("val"))
+      graft.ops.Upsert.writeSnapshot(s, src,
+        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.refreshAggregate(s, src, agg, Seq("source"), "val")
+      graft.ops.Upsert.writeSnapshot(s, src, docs, Seq("doc_id"), Seq("doc_id"))
+      graft.ops.Upsert.refreshAggregate(s, src, agg, Seq("source"), "val")
+      require(graft.ops.Upsert.lastRefresh.get().startsWith("incremental:"),
+        s"second refresh must be delta-only, was " +
+          graft.ops.Upsert.lastRefresh.get())
+      graft.ops.Upsert.readSnapshot(s, agg,
+          graft.ops.Upsert.latestVersion(s, agg))
+        .select(col("source"), col("n"), col("distinct_v"))
         .orderBy("source")
     }),
 
@@ -8312,6 +8351,13 @@ object ExtQueries {
              AS DOUBLE) AS sum_chars,
            CAST(MIN(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS min_chars,
            CAST(MAX(CAST(n_chars AS DECIMAL(28,6))) AS DOUBLE) AS max_chars
+         FROM documents GROUP BY source ORDER BY source""",
+
+    // Below the sketch's k the KMV estimate is exact — the oracle is a
+    // plain COUNT(DISTINCT) over the bounded value domain.
+    "q_incr_agg_distinct" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT n_chars % 200) AS BIGINT) AS distinct_v
          FROM documents GROUP BY source ORDER BY source""",
 
     "q_export_manifest" ->

@@ -2356,7 +2356,45 @@ object Upsert {
     * the window the staleness re-validation exists for. */
   private[graft] var compactPreLockHook: () => Unit = () => ()
 
-  def compactSnapshots(spark: SparkSession, path: String): Int = {
+  def compactSnapshots(spark: SparkSession, path: String): Int =
+    compactSnapshotsWith(spark, path,
+      df => keySortedForFooters(df, recordedKeyCols(spark, path)))
+
+  /** [[compactSnapshots]] with a Z-ORDER layout: the compact dir is
+    * range-partitioned and sorted by the Morton interleave of `zCols`
+    * ([[graft.ext.Export.zorderKey]] — `bits` low bits per column,
+    * `bits * zCols.size <= 62`), instead of lexicographic key order.
+    * The key sort gives perfect footer ranges on the FIRST key column
+    * and nothing on the second — a probe bounded only on column 2 of
+    * a big compact dir reads every row group. The Morton order gives
+    * every listed column PARTIAL locality: each output file covers a
+    * hypercube of the value space, so its footer min/max is tight on
+    * EVERY z column and a bound on any of them skips files/row groups.
+    * That is the multi-dimensional skipping trade: slightly looser on
+    * column 1, usable on all of them. Integral columns only (the
+    * Morton key interleaves low bits of a long cast; declare the
+    * columns with [[declareSkipCols]] so bounded reads also prune at
+    * dir level). Content-identical, same optimistic protocol. */
+  def compactSnapshotsZOrdered(spark: SparkSession, path: String,
+      zCols: Seq[String], bits: Int = 12, shards: Int = 0): Int =
+    compactSnapshotsWith(spark, path, { df =>
+      require(zCols.nonEmpty && zCols.forall(df.columns.contains),
+        s"compactSnapshotsZOrdered: z columns ${zCols.mkString(",")} " +
+          s"must exist in the snapshot (${df.columns.mkString(",")})")
+      val z = df.withColumn("__z",
+        graft.ext.Export.zorderKey(zCols.map(col), bits))
+      // Explicit shard count pins the file layout (each output file =
+      // one z-range = one hypercube); the default lets AQE size the
+      // shuffle, which on small inputs coalesces to one file — fine
+      // for data, useless for file-level skipping.
+      (if (shards > 0) z.repartitionByRange(shards, col("__z"))
+       else z.repartitionByRange(col("__z")))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    })
+
+  private def compactSnapshotsWith(spark: SparkSession, path: String,
+      layout: DataFrame => DataFrame): Int = {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
     // The critical section covers ONLY claim-diff + publish + carry
@@ -2397,7 +2435,7 @@ object Upsert {
       // readSnapshot resolves merge-on-read dvs, so the compact dir is
       // the FOLDED truth — compaction is what resets dv'd entries back
       // to plain dirs (the MoR steady-state loop).
-      keySortedForFooters(readSnapshot(spark, path, cur), statKeys)
+      layout(readSnapshot(spark, path, cur))
         .write.mode("overwrite").parquet(s"$path/$dirName")
       // Record provenance BEFORE the manifest publish: a manifest
       // referencing a compact dir must never be readable without the
@@ -4109,12 +4147,50 @@ object Upsert {
     // increments (least/greatest of old and delta), and every
     // non-append mutation already lands on the recompute path via the
     // generation fingerprint — exactly the split that makes them safe.
+    //
+    // APPROX-DISTINCT rides as a per-group KMV sketch (`kmv`: the k
+    // smallest md5 fingerprints of the group's DISTINCT values — the
+    // same sketch family as the drift-gate profiles): a set-valued
+    // fact of the data, so union-then-recap of two groups' sketches IS
+    // the sketch of their union — the increment equals the recompute
+    // BIT-FOR-BIT, and the estimate (`distinct_v`) is EXACT while the
+    // group's distinct count stays below k (= ProfileK). The per-group
+    // build is bounded: distinct (group, fp) pairs then a top-k window
+    // — never a collect_set (unbounded per group at 100 TB).
+    val vCanon: DataFrame => org.apache.spark.sql.Column = { df =>
+      import org.apache.spark.sql.types.{DateType, TimestampType}
+      df.schema(valueCol).dataType match {
+        case TimestampType => unix_micros(col(valueCol)).cast("string")
+        case DateType => unix_date(col(valueCol)).cast("string")
+        case _ => col(valueCol).cast("string")
+      }
+    }
+    val emptyKmv = array().cast("array<string>")
+    def kmvOf(df: DataFrame): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select((groupCols.map(col) :+ md5(vCanon(df)).as("__fp")): _*)
+        .distinct()
+        .withColumn("__rn", row_number().over(Window
+          .partitionBy(groupCols.map(col): _*).orderBy(col("__fp"))))
+        .filter(col("__rn") <= ProfileK).drop("__rn")
+        .groupBy(groupCols.map(col): _*)
+        .agg(sort_array(collect_list(col("__fp"))).as("kmv"))
+    // The estimator mirrors [[kmvDistinct]]: exact below k; else
+    // (k-1) / (kth fingerprint's unit-interval position).
+    def kmvEst(kmvCol: org.apache.spark.sql.Column) =
+      when(size(kmvCol) < ProfileK, size(kmvCol).cast("long"))
+        .otherwise(round(lit((ProfileK - 1).toDouble * ProfileHexNorm) /
+          conv(substring(element_at(kmvCol, ProfileK), 1, 15),
+            16, 10).cast("double")).cast("long"))
     def aggOf(df: DataFrame): DataFrame = {
       val agg = df.groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n"),
           sum(col(valueCol).cast(dec)).cast(dec).as("sum_v"),
           min(col(valueCol).cast(dec)).as("min_v"),
           max(col(valueCol).cast(dec)).as("max_v"))
+        .join(kmvOf(df), groupCols, "left")
+        .withColumn("kmv", coalesce(col("kmv"), emptyKmv))
+        .withColumn("distinct_v", kmvEst(col("kmv")))
       // NULL group keys are REFUSED, loudly, in the same pass (the
       // guard rides the aggregate output — group-count rows, zero
       // extra scans): mergeSnapshot's key joins are null-rejecting, so
@@ -4141,9 +4217,11 @@ object Upsert {
         return aggCur
       case Some(dirs) =>
         val curAgg = readSnapshot(spark, aggPath, aggCur)
-        if (!curAgg.columns.contains("min_v")) {
-          // Pre-min/max aggregate sink: one recompute upgrades every
-          // group to the full stat schema, then increments resume.
+        if (!curAgg.columns.contains("min_v") ||
+            !curAgg.columns.contains("kmv")) {
+          // Pre-min/max or pre-kmv aggregate sink: one recompute
+          // upgrades every group to the full stat schema, then
+          // increments resume.
           lastRefresh.set("recompute")
           val full = aggOf(readSnapshot(spark, srcPath, srcLatest))
           mergeSnapshot(spark, aggPath, full.withColumn("__op", lit("U")),
@@ -4152,12 +4230,22 @@ object Upsert {
           lastRefresh.set(s"incremental:${dirs.mkString(",")}")
           val delta = spark.read.option("mergeSchema", "true")
             .parquet(dirs.map(d => s"$srcPath/$d"): _*)
-          val deltaAgg = aggOf(delta)
+          val deltaAgg = aggOf(delta).drop("distinct_v")
             .withColumnRenamed("n", "__dn").withColumnRenamed("sum_v", "__ds")
             .withColumnRenamed("min_v", "__dmin")
             .withColumnRenamed("max_v", "__dmax")
+            .withColumnRenamed("kmv", "__dkmv")
           val cur = curAgg.select((groupCols.map(col) :+ col("n") :+
-            col("sum_v") :+ col("min_v") :+ col("max_v")): _*)
+            col("sum_v") :+ col("min_v") :+ col("max_v") :+
+            col("kmv")): _*)
+          // KMV union-then-recap: the k smallest of A∪B all lie in
+          // (k smallest of A) ∪ (k smallest of B), so the re-capped
+          // union IS the sketch a recompute would build — increments
+          // and recomputes agree bit-for-bit on append-pure deltas
+          // (everything else already recomputes via the generation).
+          val mergedKmv = slice(sort_array(array_distinct(concat(
+            coalesce(col("kmv"), emptyKmv), col("__dkmv")))),
+            1, ProfileK)
           val changes = deltaAgg.join(cur, groupCols, "left")
             .select((groupCols.map(col) :+
               (coalesce(col("n"), lit(0L)) + col("__dn")).as("n") :+
@@ -4175,6 +4263,8 @@ object Upsert {
               // delta's bound verbatim.
               least(col("min_v"), col("__dmin")).as("min_v") :+
               greatest(col("max_v"), col("__dmax")).as("max_v") :+
+              mergedKmv.as("kmv") :+
+              kmvEst(mergedKmv).as("distinct_v") :+
               lit("U").as("__op")): _*)
           mergeSnapshot(spark, aggPath, changes, groupCols, groupCols, "__op")
         }
@@ -4198,6 +4288,8 @@ object Upsert {
             .withColumn("sum_v", lit(null).cast(dec))
             .withColumn("min_v", lit(null).cast(dec))
             .withColumn("max_v", lit(null).cast(dec))
+            .withColumn("kmv", lit(null).cast("array<string>"))
+            .withColumn("distinct_v", lit(null).cast("long"))
           mergeSnapshot(spark, aggPath,
             full.withColumn("__op", lit("U"))
               .unionByName(gone.withColumn("__op", lit("D"))),

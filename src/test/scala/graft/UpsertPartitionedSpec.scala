@@ -1028,12 +1028,17 @@ class UpsertPartitionedSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     def checkRefresh(): Unit = {
       val v = Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+      // distinct_v rides the same check: these groups stay far below
+      // the sketch's k, so the KMV estimate must be EXACT on every
+      // path — increments (union-then-recap) and recomputes alike.
       val got = Upsert.readSnapshot(spark, agg, v)
-        .select(col("g"), col("n"), col("sum_v").cast("double"))
-        .as[(String, Long, Double)].collect()
-        .map(r => r._1 -> ((r._2, r._3))).toMap
+        .select(col("g"), col("n"), col("sum_v").cast("double"),
+          col("distinct_v"))
+        .as[(String, Long, Double, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
       val want = model.values.groupBy(_._1).map { case (g, xs) =>
-        g -> ((xs.size.toLong, xs.map(_._2).sum))
+        g -> ((xs.size.toLong, xs.map(_._2).sum,
+          xs.map(_._2).toSeq.distinct.size.toLong))
       }
       assert(got == want, s"aggregate diverged: $got != $want " +
         s"(mode ${Upsert.lastRefresh.get()})")
@@ -2012,6 +2017,59 @@ class UpsertPartitionedSpec extends SparkSpec {
       Upsert.readSnapshotWhere(spark, path, 2, Map("nope" -> ((1L, 2L))))
     }
     assert(e.getMessage.contains("nope"))
+  }
+
+  test("z-order compaction: a probe on the SECOND column skips files the key sort cannot; content identical") {
+    val path = java.nio.file.Files.createTempDirectory("zord").toString
+    // 32x32 grid: `a` and `b` uniform, id-sort correlates with `a`
+    // only — the exact shape where single-key footer ranges go blind
+    // on `b`.
+    val rows = (0 until 1024).map(i =>
+      (i.toLong, (i / 32).toLong, (i % 32).toLong)).toDF("id", "a", "b")
+    Upsert.declareSkipCols(spark, path, Seq("a", "b"))
+    Upsert.writeSnapshot(spark, path, rows, Seq("id"), Seq("id"))
+    def compactDirOf(v: Int): String =
+      scala.io.Source.fromFile(
+        new java.io.File(path + "/_snapshots", s"v$v.list"))
+        .getLines().map(_.split("\t")(0))
+        .find(_.startsWith("compact-")).get
+    // Per-FILE b-ranges stand in for footer row-group stats (one row
+    // group per small file): a file whose [min_b, max_b] misses the
+    // probe band is exactly what the reader's pushed filter skips.
+    def intersecting(dir: String): (Int, Int) = {
+      val files = new java.io.File(path, dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val hits = files.count { f =>
+        val mm = spark.read.parquet(f.toString)
+          .agg(min("b"), max("b")).head()
+        !(mm.getLong(1) < 8L || mm.getLong(0) > 15L)
+      }
+      (hits, files.length)
+    }
+    val vSorted = Upsert.compactSnapshots(spark, path)
+    val (sortHits, sortFiles) = intersecting(compactDirOf(vSorted))
+    assert(sortHits == sortFiles,
+      s"id-sorted layout must be blind on b (every file spans b): " +
+        s"$sortHits/$sortFiles")
+    val vZ = Upsert.compactSnapshotsZOrdered(spark, path,
+      Seq("a", "b"), bits = 5, shards = 8)
+    val (zHits, zFiles) = intersecting(compactDirOf(vZ))
+    assert(zHits < zFiles,
+      s"z layout must skip files on the second column: $zHits/$zFiles")
+    assert(zHits.toDouble / zFiles < sortHits.toDouble / sortFiles,
+      s"z fraction ($zHits/$zFiles) must beat the key sort's " +
+        s"($sortHits/$sortFiles)")
+    // Content identity + the bounded read stays exact and pushed.
+    assert(Upsert.readSnapshot(spark, path, vZ)
+      .as[(Long, Long, Long)].collect().toSet ==
+      rows.as[(Long, Long, Long)].collect().toSet)
+    val rd = Upsert.readSnapshotWhere(spark, path, vZ,
+      Map("b" -> ((8L, 15L))))
+    assert(rd.count() == 32 * 8)
+    val plan = rd.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(b,8)"),
+      s"b bound must push:\n${plan.take(800)}")
   }
 
   test("merge change record: an erasure completing in the deferred-write window voids the record") {
