@@ -1719,6 +1719,39 @@ object ExtQueries {
         .orderBy("source")
     }),
 
+    "q_snap_dsv2_write" -> ((s, dir) => {
+      // The WHOLE loop through the generic API: bootstrap + CDC merge
+      // land via df.write.format("graft") (keys/mergeOp/mor options —
+      // the same publish paths as the library calls, V1Write bridge),
+      // and the read back rides the DSv2 relation. Same logical result
+      // as q_snap_merge_mor; the require pins that the mor write went
+      // through deletion vectors, not rewrites.
+      val path = s"$RunScratch/graft_snap_dsv2w_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.format("graft").option("keys", "doc_id")
+        .mode("append").save(path)
+      val changes =
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("__op", lit("U"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("__op", lit("D")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 1)
+          .withColumn("__op", lit("I")))
+      changes.write.format("graft").option("keys", "doc_id")
+        .option("mergeOp", "__op").option("mor", "true")
+        .mode("append").save(path)
+      require(fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+          .exists(_.getPath.getName.startsWith("dv-")),
+        "the mor write must publish deletion vectors")
+      s.read.format("graft").load(path).orderBy("doc_id")
+    }),
+
     "q_snap_dsv2" -> ((s, dir) => {
       // PLAN-INTEGRATED snapshot read: the same two-dir skip-column
       // sink as q_snap_skip, probed through the generic DSv2 path —
@@ -8237,6 +8270,19 @@ object ExtQueries {
            CAST(count(n_chars) AS BIGINT) AS n_val,
            CAST(SUM(n_chars) AS DOUBLE) AS sum_v
          FROM merged GROUP BY source ORDER BY source""",
+
+    // Writer-path twin of q_snap_merge_mor: the same merged state,
+    // landed and read entirely through format("graft").
+    "q_snap_dsv2_write" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id % 2 = 0 AND doc_id % 10 NOT IN (0, 2)
+         UNION ALL
+         SELECT doc_id, source, CAST(n_chars + 1000 AS BIGINT)
+         FROM documents WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id % 10 = 1
+         ORDER BY doc_id""",
 
     // The DSv2 filtered read equals the plain filter — same contract
     // as q_snap_skip, now through the generic format("graft") path.

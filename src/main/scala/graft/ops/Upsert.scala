@@ -174,17 +174,47 @@ object Upsert {
     * an extra dv on a dir can only remove rows its own merge already
     * deleted there — same "deletes are never resurrected" rule the
     * carry semantics document). Empty map for dv-less sinks. */
+  /** Per-manifest-FILE dv maps, keyed by (path, name:mtime:len):
+    * manifest files are immutable between repoints, so each file's dv
+    * map is computed once — a publish on a deep-history MoR sink opens
+    * only the manifests it has not seen (steady state: the one the
+    * previous publish wrote), not the whole chain per publish. */
+  private val manifestDvCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String),
+        Map[String, Seq[String]]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String),
+            Map[String, Seq[String]]]): Boolean = size > 1024
+    })
+
   private def dvUnionFor(spark: SparkSession,
       path: String): Map[String, Seq[String]] = {
     val fs = fsFor(spark, path)
     if (!fs.exists(morMarkerPath(path))) return Map.empty
-    val versions = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-        n.stripPrefix("v").stripSuffix(".list").toInt }
-    versions.flatMap(v => manifestEntries(spark, path, v))
-      .groupBy(_.dir)
-      .collect { case (d, es) if es.exists(_.dvs.nonEmpty) =>
-        d -> es.flatMap(_.dvs).distinct.sorted }
+    val lists = fs.listStatus(snapDir(path)).toSeq.filter { st =>
+      val n = st.getPath.getName
+      n.startsWith("v") && n.endsWith(".list")
+    }
+    val perFile = lists.flatMap { st =>
+      val n = st.getPath.getName
+      val key = (path, s"$n:${st.getModificationTime}:${st.getLen}")
+      val hit = manifestDvCache.get(key)
+      if (hit != null) Some(hit)
+      else scala.util.Try {
+        // Expiry may delete a listed manifest under us — a vanished
+        // file contributes nothing (its dirs are dead history).
+        val m = manifestEntries(spark, path,
+            n.stripPrefix("v").stripSuffix(".list").toInt)
+          .filter(_.dvs.nonEmpty)
+          .groupBy(_.dir)
+          .map { case (d, es) => d -> es.flatMap(_.dvs).distinct.sorted }
+        manifestDvCache.put(key, m)
+        m
+      }.toOption
+    }
+    perFile.flatten.groupBy(_._1)
+      .map { case (d, kvs) =>
+        d -> kvs.flatMap(_._2).distinct.sorted }
   }
 
   /** Read of a pinned-schema dir scan with a dv set applied: the dv
@@ -1239,16 +1269,17 @@ object Upsert {
     * key — never a stale hit. Access-ordered, capped: a long-lived
     * session touching many sinks evicts, it never grows unbounded. */
   private val rawSchemaCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[(String, Seq[String]),
+    new java.util.LinkedHashMap[(String, String, Seq[String]),
         org.apache.spark.sql.types.StructType](16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Seq[String]),
+          e: java.util.Map.Entry[(String, String, Seq[String]),
             org.apache.spark.sql.types.StructType]): Boolean = size > 64
     })
 
   private def rawUnionSchema(spark: SparkSession, path: String,
-      dirs: Seq[String]): org.apache.spark.sql.types.StructType = {
-    val key = (path, dirs)
+      gen: String, dirs: Seq[String])
+      : org.apache.spark.sql.types.StructType = {
+    val key = (path, gen, dirs)
     val hit = rawSchemaCache.get(key)
     if (hit != null) hit
     else {
@@ -1260,12 +1291,23 @@ object Upsert {
   }
 
   /** EMPTY frame in snapshot `version`'s LOGICAL (schema-mapped) shape,
-    * at driver-metadata cost after the first call per (path, dir list)
-    * — the schema-stability anchor for bounded/pruned reads, replacing
-    * a full-manifest mergeSchema footer read per call. */
+    * at driver-metadata cost after the first call per (path, manifest
+    * generation, dir list) — the schema-stability anchor for
+    * bounded/pruned reads, replacing a full-manifest mergeSchema
+    * footer read per call. The manifest FILE's (mtime, length) rides
+    * the cache key: dir-name reuse after a delete-and-recreate of the
+    * whole sink at the same path (claims restart at v1, so batch-1
+    * names recur) must never serve the dead sink's schema. */
   private def emptyLogicalFrame(spark: SparkSession, path: String,
       version: Int): DataFrame = {
-    val raw = rawUnionSchema(spark, path, manifestDirs(spark, path, version))
+    val fs = fsFor(spark, path)
+    val gen = try {
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+        snapDir(path), s"v$version.list"))
+      s"${st.getModificationTime}:${st.getLen}"
+    } catch { case scala.util.control.NonFatal(_) => "?" }
+    val raw = rawUnionSchema(spark, path, gen,
+      manifestDirs(spark, path, version))
     applySchemaMap(spark, path, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], raw))
   }
@@ -1454,17 +1496,23 @@ object Upsert {
       s"gen-$version.touch"), true).close()
   }
 
-  /** Fingerprint of the content-rewrite history: (count, max version)
-    * of the gen markers. Markers are only ever added with unique
-    * versions, so any new rewrite changes the pair. */
-  private[graft] def rewriteGen(spark: SparkSession, path: String): String = {
+  /** (count, max version) of the `<prefix>-*.touch` markers — the ONE
+    * fingerprint body behind [[rewriteGen]] and [[eraseGen]]: markers
+    * are only ever added with unique versions, so any new marker
+    * changes the pair. */
+  private def genFingerprint(spark: SparkSession, path: String,
+      prefix: String): String = {
     val fs = fsFor(spark, path)
     if (!fs.exists(snapDir(path))) return "0:0"
     val vs = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("gen-") && n.endsWith(".touch") =>
-        n.stripPrefix("gen-").stripSuffix(".touch").toInt }
+      .collect { case n if n.startsWith(prefix) && n.endsWith(".touch") =>
+        n.stripPrefix(prefix).stripSuffix(".touch").toInt }
     s"${vs.size}:${vs.foldLeft(0)(math.max)}"
   }
+
+  /** Fingerprint of the content-rewrite history (merge/heal/erase). */
+  private[graft] def rewriteGen(spark: SparkSession, path: String): String =
+    genFingerprint(spark, path, "gen-")
 
   /** Fingerprint of the IN-PLACE history edits only — `erase-*.touch`
     * markers stamped by [[eraseKeys]] commits. The change feed is exact
@@ -1475,14 +1523,8 @@ object Upsert {
     * rewrites BOTH of a span's endpoints in place — the erased rows
     * vanish from both sides and the diff can never emit their deletes.
     * This narrower fingerprint is what feed consumers pin. */
-  private[graft] def eraseGen(spark: SparkSession, path: String): String = {
-    val fs = fsFor(spark, path)
-    if (!fs.exists(snapDir(path))) return "0:0"
-    val vs = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("erase-") && n.endsWith(".touch") =>
-        n.stripPrefix("erase-").stripSuffix(".touch").toInt }
-    s"${vs.size}:${vs.foldLeft(0)(math.max)}"
-  }
+  private[graft] def eraseGen(spark: SparkSession, path: String): String =
+    genFingerprint(spark, path, "erase-")
 
   /** Claim version number `latest+1` by CREATE-EXCLUSIVE of a
     * `v<N>.claim` marker: the optimistic-concurrency step that stops
@@ -2381,6 +2423,10 @@ object Upsert {
       require(zCols.nonEmpty && zCols.forall(df.columns.contains),
         s"compactSnapshotsZOrdered: z columns ${zCols.mkString(",")} " +
           s"must exist in the snapshot (${df.columns.mkString(",")})")
+      require(!df.columns.contains("__z"),
+        "compactSnapshotsZOrdered: the sink has a data column named " +
+          "'__z' (the reserved scratch column) — the layout would " +
+          "silently destroy it; rename the column first")
       val z = df.withColumn("__z",
         graft.ext.Export.zorderKey(zCols.map(col), bits))
       // Explicit shard count pins the file layout (each output file =
@@ -2741,7 +2787,14 @@ object Upsert {
     * Time travel, the change feed (recorded and key-diff), metadata
     * COUNT/MIN/MAX, erasure and expiry all stay exact — dv'd entries
     * subtract/fall back where a sidecar alone would overstate
-    * (the Delta/Iceberg deletion-vector design, format-lite). */
+    * (the Delta/Iceberg deletion-vector design, format-lite).
+    *
+    * Gated sinks: per-dir drift profiles describe the PHYSICAL dirs,
+    * so a dv'd dir's profile still counts its dead rows — the gate
+    * sees a conservative (pre-delete) distribution until the next
+    * compaction folds the dvs and re-profiles. Drift thresholds fire
+    * on jumps, not absolutes, so the skew is bounded by the dv'd
+    * fraction — run compactions on the usual cadence. */
   def mergeSnapshotMoR(spark: SparkSession, path: String,
       changes: DataFrame, keys: Seq[String], tieBreak: Seq[String],
       opCol: String = "op"): Int =
@@ -2754,13 +2807,14 @@ object Upsert {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
     requireLiveKeys(spark, path, keys, "mergeSnapshot")
-    // The marker only ENABLES the dv-reattach scan on later publishes;
-    // created before any rewrite so no publish in flight can miss it.
-    if (mor) {
-      try { if (!fs.exists(morMarkerPath(path)))
-        fs.create(morMarkerPath(path), true).close()
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
+    // The marker ENABLES the dv-reattach scan on later publishes —
+    // LOAD-BEARING, not best-effort: a name-based publish on a sink
+    // whose marker is missing reattaches nothing and silently
+    // resurrects every dv-deleted row. Created before any rewrite
+    // (so no publish in flight can miss it) and a failure ABORTS the
+    // merge before any work is staged.
+    if (mor && !fs.exists(morMarkerPath(path)))
+      fs.create(morMarkerPath(path), true).close()
     val op = upper(col(opCol))
     val deduped = dedupOnKey(normalizeBatch(spark, path, changes),
       keys, tieBreak).withColumn(opCol, op).localCheckpoint()
@@ -3374,10 +3428,26 @@ object Upsert {
       // would re-persist the erased subject's pre-images "after the
       // data is gone" and serve them to any span composed from this
       // record. So the TINY meta publish takes the rewriter lock and
-      // re-validates the generation first; any mismatch (or a held
-      // lock — an erasure may be mid-commit right now) abandons the
+      // re-validates the generation first; any mismatch abandons the
       // record: the feed degrades to the key-diff, it never lies.
-      val lock = acquireRewriterLock(fs, path, "mergeChangeRecord")
+      // The acquisition RETRIES briefly: the common contender is a
+      // rival merge's own short metadata-only critical section, which
+      // never invalidates this record — giving up on the first
+      // collision systematically degraded every contended span's feed
+      // to the corpus-scale key-diff. An erasure holding the lock is
+      // caught by the gen re-check after acquisition either way; only
+      // a persistent holder (crashed rewriter) exhausts the budget.
+      var lock: org.apache.hadoop.fs.Path = null
+      var tries = 0
+      while (lock == null) {
+        try lock = acquireRewriterLock(fs, path, "mergeChangeRecord")
+        catch {
+          case e: LockHeldException =>
+            tries += 1
+            if (tries >= 10) throw e // outer catch deletes the dir
+            Thread.sleep(100L * tries)
+        }
+      }
       val keep = try rewriteGen(spark, path) == genAtCommit
         finally fs.delete(lock, false)
       if (keep) writeChangeMeta(fs, path, version, "delta", base, None)
@@ -4012,14 +4082,14 @@ object Upsert {
   private def srcMarkerPath(aggPath: String, aggVersion: Int) =
     new org.apache.hadoop.fs.Path(snapDir(aggPath), s"v$aggVersion.src")
 
-  /** Marker payload: covered source version + the source's rewrite-
-    * generation fingerprint at counting time (absent on legacy
-    * markers). A generation mismatch means counted rows were mutated
-    * (merge/erase/heal) — name-based delta reasoning is void. */
-  private def readSrcMarker(spark: SparkSession, aggPath: String,
-      aggVersion: Int): (Int, Option[String]) = {
+  /** Marker payload (shared by the `.src` and `.feed` coverage
+    * markers): covered source version + a source fingerprint at
+    * counting time (absent on legacy markers). A fingerprint mismatch
+    * means counted rows were mutated out from under the marker's
+    * reasoning — the owner recomputes. */
+  private def readCoverageMarker(spark: SparkSession, aggPath: String,
+      m: org.apache.hadoop.fs.Path): (Int, Option[String]) = {
     val fs = fsFor(spark, aggPath)
-    val m = srcMarkerPath(aggPath, aggVersion)
     if (!fs.exists(m)) return (0, None)
     val in = fs.open(m)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -4028,12 +4098,21 @@ object Upsert {
       lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty))
   }
 
-  private def writeSrcMarker(spark: SparkSession, aggPath: String,
-      aggVersion: Int, srcVersion: Int, gen: String): Unit = {
+  private def writeCoverageMarker(spark: SparkSession, aggPath: String,
+      m: org.apache.hadoop.fs.Path, srcVersion: Int, gen: String): Unit = {
     val fs = fsFor(spark, aggPath)
-    val out = fs.create(srcMarkerPath(aggPath, aggVersion), true)
+    val out = fs.create(m, true)
     try out.write(s"$srcVersion\n$gen".getBytes("UTF-8")) finally out.close()
   }
+
+  private def readSrcMarker(spark: SparkSession, aggPath: String,
+      aggVersion: Int): (Int, Option[String]) =
+    readCoverageMarker(spark, aggPath, srcMarkerPath(aggPath, aggVersion))
+
+  private def writeSrcMarker(spark: SparkSession, aggPath: String,
+      aggVersion: Int, srcVersion: Int, gen: String): Unit =
+    writeCoverageMarker(spark, aggPath, srcMarkerPath(aggPath, aggVersion),
+      srcVersion, gen)
 
   /** The source version the CURRENT aggregate snapshot covers: the
     * latest published agg version's `.src` marker, or 0 when there is
@@ -4046,6 +4125,24 @@ object Upsert {
     if (v == 0) return 0
     readSrcMarker(spark, aggPath, v)._1
   }
+
+  /** NULL group keys are REFUSED, loudly, riding the aggregate output
+    * (group-count rows, zero extra scans): mergeSnapshot's key joins
+    * are null-rejecting, so an incremental refresh could never update
+    * or delete a NULL group — it would append a fresh row NEXT TO the
+    * stale one, silently duplicating the group forever. Coalesce group
+    * columns to a sentinel upstream when NULL groups are meaningful.
+    * The ONE guard behind both aggregate maintainers. */
+  private def refuseNullGroups(df: DataFrame, groupCols: Seq[String],
+      op: String): DataFrame =
+    groupCols.foldLeft(df) { (d, k) =>
+      d.withColumn(k, when(col(k).isNull, raise_error(lit(
+        s"$op: NULL in group column '$k' — the aggregate sink's key " +
+          "joins are null-rejecting, so a NULL group can never be " +
+          "updated or deleted; coalesce to a sentinel upstream"))
+        .cast(df.schema(k).dataType))
+        .otherwise(col(k)))
+    }
 
   /** Test/ops audit of the last [[refreshAggregate]]: `"noop"`,
     * `"recompute"`, or `"incremental:<dir,dir,…>"` naming exactly the
@@ -4191,21 +4288,7 @@ object Upsert {
         .join(kmvOf(df), groupCols, "left")
         .withColumn("kmv", coalesce(col("kmv"), emptyKmv))
         .withColumn("distinct_v", kmvEst(col("kmv")))
-      // NULL group keys are REFUSED, loudly, in the same pass (the
-      // guard rides the aggregate output — group-count rows, zero
-      // extra scans): mergeSnapshot's key joins are null-rejecting, so
-      // an incremental refresh could never update or delete a NULL
-      // group — it would append a fresh row NEXT TO the stale one,
-      // silently duplicating the group forever. Coalesce group columns
-      // to a sentinel upstream when NULL groups are meaningful.
-      groupCols.foldLeft(agg) { (d, k) =>
-        d.withColumn(k, when(col(k).isNull, raise_error(lit(
-          s"refreshAggregate: NULL in group column '$k' — the aggregate " +
-            "sink's key joins are null-rejecting, so a NULL group can " +
-            "never be updated or deleted; coalesce to a sentinel " +
-            "upstream")).cast(df.schema(k).dataType))
-          .otherwise(col(k)))
-      }
+      refuseNullGroups(agg, groupCols, "refreshAggregate")
     }
     val published = freshDirs match {
       case Some(Nil) =>
@@ -4306,24 +4389,13 @@ object Upsert {
     new org.apache.hadoop.fs.Path(snapDir(aggPath), s"v$aggVersion.feed")
 
   private def readFeedMarker(spark: SparkSession, aggPath: String,
-      aggVersion: Int): (Int, Option[String]) = {
-    val fs = fsFor(spark, aggPath)
-    val m = feedMarkerPath(aggPath, aggVersion)
-    if (!fs.exists(m)) return (0, None)
-    val in = fs.open(m)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().toList finally in.close()
-    (lines.headOption.map(_.trim.toInt).getOrElse(0),
-      lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty))
-  }
+      aggVersion: Int): (Int, Option[String]) =
+    readCoverageMarker(spark, aggPath, feedMarkerPath(aggPath, aggVersion))
 
   private def writeFeedMarker(spark: SparkSession, aggPath: String,
-      aggVersion: Int, srcVersion: Int, egen: String): Unit = {
-    val fs = fsFor(spark, aggPath)
-    val out = fs.create(feedMarkerPath(aggPath, aggVersion), true)
-    try out.write(s"$srcVersion\n$egen".getBytes("UTF-8"))
-    finally out.close()
-  }
+      aggVersion: Int, srcVersion: Int, egen: String): Unit =
+    writeCoverageMarker(spark, aggPath,
+      feedMarkerPath(aggPath, aggVersion), srcVersion, egen)
 
   /** Test/ops audit of the last [[refreshAggregateFromFeed]]:
     * `"noop"`, `"recompute"`, or `"feed:<from>-><to>"` naming the span
@@ -4371,19 +4443,12 @@ object Upsert {
         "history")
     val egenNow = eraseGen(spark, srcPath)
     val genOk = egen0.contains(egenNow)
-    def guardNullGroups(df: DataFrame): DataFrame =
-      groupCols.foldLeft(df) { (d, k) =>
-        d.withColumn(k, when(col(k).isNull, raise_error(lit(
-          s"refreshAggregateFromFeed: NULL in group column '$k' — the " +
-            "aggregate sink's key joins are null-rejecting; coalesce " +
-            "to a sentinel upstream")).cast(df.schema(k).dataType))
-          .otherwise(col(k)))
-      }
-    def aggOf(df: DataFrame): DataFrame = guardNullGroups(
+    def aggOf(df: DataFrame): DataFrame = refuseNullGroups(
       df.groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n"),
           count(col(valueCol)).as("n_val"),
-          sum(col(valueCol).cast(dec)).cast(dec).as("sum_v")))
+          sum(col(valueCol).cast(dec)).cast(dec).as("sum_v")),
+      groupCols, "refreshAggregateFromFeed")
     if (covered == srcLatest && genOk) {
       lastFeedRefresh.set("noop"); return aggCur
     }
@@ -4420,13 +4485,14 @@ object Upsert {
         // key are exactly what moves a value between groups.
         val sgn = when(col("__op").isin("I", "U"), lit(1L))
           .otherwise(lit(-1L))
-        val delta = guardNullGroups(span.groupBy(groupCols.map(col): _*)
+        val delta = refuseNullGroups(span.groupBy(groupCols.map(col): _*)
           .agg(sum(sgn).as("__dn"),
             sum(when(col(valueCol).isNotNull, sgn).otherwise(0L))
               .as("__dnv"),
             sum(when(col(valueCol).isNotNull,
                 sgn.cast(dec) * col(valueCol).cast(dec))
-              .otherwise(lit(0).cast(dec))).cast(dec).as("__ds")))
+              .otherwise(lit(0).cast(dec))).cast(dec).as("__ds")),
+          groupCols, "refreshAggregateFromFeed")
           .localCheckpoint()
         if (delta.isEmpty) {
           // A span with no net change (idempotent replays, pure

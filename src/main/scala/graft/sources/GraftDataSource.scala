@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -63,21 +64,42 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
+  /** Version pinned at inferSchema time, reused by getTable: Spark
+    * calls the two on the SAME provider instance for one read, and a
+    * publish landing between them must not let the table resolve a
+    * NEWER version than the schema was derived from (the scan would
+    * serve one version's rows through another's schema — neither
+    * snapshot as published). Keyed by path so a provider reused across
+    * loads never leaks a pin to a different sink. */
+  @volatile private var pinned: Option[(String, Int)] = None
+
+  // Writes arrive with the frame's own schema (a fresh sink has
+  // nothing to infer); reads without a user schema still go through
+  // inferSchema.
+  override def supportsExternalMetadata(): Boolean = true
+
+  /** Version 0 = fresh sink: legal as a WRITE target (the bootstrap
+    * publish), refused at scan time. */
   private def resolveVersion(spark: SparkSession,
-      opts: CaseInsensitiveStringMap): Int = {
-    val path = pathOf(opts)
-    val v = Option(opts.get("versionAsOf")).map(_.trim.toInt)
+      opts: CaseInsensitiveStringMap): Int =
+    Option(opts.get("versionAsOf")).map(_.trim.toInt)
       .orElse(Option(opts.get("timestampAsOf"))
-        .map(ts => Upsert.versionAsOf(spark, path, ts.trim.toLong)))
-      .getOrElse(Upsert.latestVersion(spark, path))
-    require(v >= 1, s"graft: no published snapshot at $path")
-    v
-  }
+        .map(ts => Upsert.versionAsOf(spark, pathOf(opts), ts.trim.toLong)))
+      .orElse(pinned.collect { case (p, pv) if p == pathOf(opts) => pv })
+      .getOrElse(Upsert.latestVersion(spark, pathOf(opts)))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
-    Upsert.snapshotLogicalSchema(spark, pathOf(options),
-      resolveVersion(spark, options))
+    val path = pathOf(options)
+    pinned = None // resolve fresh, then pin for the paired getTable
+    val v = resolveVersion(spark, options)
+    pinned = Some((path, v))
+    // A FRESH sink has nothing to infer — legal only as a write
+    // target (the bootstrap publish takes the frame's own schema via
+    // ACCEPT_ANY_SCHEMA); a read refuses at scan building with the
+    // real message.
+    if (v == 0) new StructType()
+    else Upsert.snapshotLogicalSchema(spark, path, v)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -89,13 +111,82 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class GraftTable(path: String, version: Int,
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType)
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`$path`@v$version"
   override def schema(): StructType = tableSchema
+  // ACCEPT_ANY_SCHEMA: the sink normalizes batches itself (declared
+  // schema evolution + additive mergeSchema are sink features) — the
+  // planner's positional append check would refuse exactly the writes
+  // the sink exists to absorb, and a FRESH sink has no schema to
+  // check against.
+  // BOTH write capabilities: DataFrameWriter's existence check wants
+  // BATCH_WRITE; the V1Write fallback rule routes by V1_BATCH_WRITE.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(version >= 1, s"graft: no published snapshot at $path")
     new GraftScanBuilder(path, version, tableSchema)
+  }
+
+  /** APPEND = one keep-existing snapshot publish per write (V1Write →
+    * [[Upsert.writeSnapshot]] — the same dedup/anti-join/reconcile
+    * path as the library API):
+    *
+    * {{{
+    *   df.write.format("graft").option("keys", "id")
+    *     .mode("append").save(path)                 // keep-existing
+    *   cdc.write.format("graft").option("keys", "id")
+    *     .option("mergeOp", "op").mode("append").save(path)   // I/U/D
+    *   cdc.write.format("graft").option("keys", "id")
+    *     .option("mergeOp", "op").option("mor", "true")…      // + dvs
+    * }}}
+    *
+    * `keys` (comma-separated) is REQUIRED — the sink is keyed by
+    * contract; `tieBreak` defaults to the keys. `mergeOp` names an
+    * I/U/D column and routes to [[Upsert.mergeSnapshot]] (`mor=true`
+    * → [[Upsert.mergeSnapshotMoR]]). Overwrite mode is refused: the
+    * sink's history IS the product — use merge deletes, eraseKeys or
+    * expireSnapshots, each with its own explicit contract. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation()
+            : org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            require(!overwrite,
+              s"graft: overwrite is not supported — the snapshot sink " +
+                "is append/merge (history is the product); use mergeOp " +
+                "deletes, eraseKeys or expireSnapshots")
+            val opts = info.options
+            val keysOpt = opts.get("keys")
+            require(keysOpt != null && keysOpt.trim.nonEmpty,
+              "graft: writes require option(\"keys\", \"col[,col…]\") — " +
+                "the snapshot sink is keyed (keep-existing upsert)")
+            val keys = keysOpt.split(",").toIndexedSeq
+              .map(_.trim).filter(_.nonEmpty)
+            val tieBreak = Option(opts.get("tieBreak"))
+              .map(_.split(",").toIndexedSeq.map(_.trim)
+                .filter(_.nonEmpty))
+              .getOrElse(keys)
+            val spark = data.sparkSession
+            Option(opts.get("mergeOp")) match {
+              case Some(op) if Option(opts.get("mor"))
+                  .exists(_.trim.equalsIgnoreCase("true")) =>
+                Upsert.mergeSnapshotMoR(spark, path, data, keys,
+                  tieBreak, op)
+              case Some(op) =>
+                Upsert.mergeSnapshot(spark, path, data, keys, tieBreak, op)
+              case None =>
+                Upsert.writeSnapshot(spark, path, data, keys, tieBreak)
+            }
+            ()
+          }
+      }
+    }
 }
 
 /** One pushed MIN/MAX/COUNT(*) column of a complete aggregate pushdown. */

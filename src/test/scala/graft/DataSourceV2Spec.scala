@@ -115,6 +115,49 @@ class DataSourceV2Spec extends SparkSpec {
       (1L to 200L).count(i => i % 100 >= 60 && i % 100 <= 70))
   }
 
+  test("DSv2 writes: bootstrap + keep-existing append, CDC merge (COW and MoR), overwrite refused") {
+    val path = java.nio.file.Files.createTempDirectory("dsv2w").toString
+    // Bootstrap a FRESH sink straight through the writer.
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.format("graft").option("keys", "id").mode("append").save(path)
+    assert(Upsert.latestVersion(spark, path) == 1)
+    // Keep-existing: the conflicting key keeps the sink's row.
+    Seq((2L, "CHANGED"), (3L, "c")).toDF("id", "v")
+      .write.format("graft").option("keys", "id").mode("append").save(path)
+    assert(spark.read.format("graft").load(path).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // CDC merge through the writer (COW), then MoR.
+    Seq(("U", 1L, "A2"), ("D", 3L, "")).toDF("op", "id", "v")
+      .write.format("graft").option("keys", "id").option("mergeOp", "op")
+      .mode("append").save(path)
+    assert(spark.read.format("graft").load(path).as[(Long, String)]
+      .collect().toMap == Map(1L -> "A2", 2L -> "b"))
+    val before = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).toSet
+    Seq(("D", 2L, "")).toDF("op", "id", "v")
+      .write.format("graft").option("keys", "id").option("mergeOp", "op")
+      .option("mor", "true").mode("append").save(path)
+    val added = new java.io.File(path).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_")).toSet -- before
+    assert(added.exists(_.startsWith("dv-")) &&
+      added.forall(d => d.startsWith("dv-") || d.startsWith("merge-")),
+      s"mor write must go through deletion vectors: $added")
+    assert(spark.read.format("graft").load(path).as[(Long, String)]
+      .collect().toMap == Map(1L -> "A2"))
+    // Refusals: keys required; overwrite unsupported.
+    intercept[Exception] {
+      Seq((9L, "x")).toDF("id", "v")
+        .write.format("graft").mode("append").save(path)
+    }
+    intercept[Exception] {
+      Seq((9L, "x")).toDF("id", "v")
+        .write.format("graft").option("keys", "id")
+        .mode("overwrite").save(path)
+    }
+    assert(spark.read.format("graft").load(path).count() == 1,
+      "refused writes must change nothing")
+  }
+
   test("timestampAsOf resolves like readSnapshotAsOf; schema evolution surfaces") {
     val path = buildSink()
     val t1 = Upsert.publishedAtMs(spark, path, 1)
