@@ -1693,8 +1693,11 @@ object ExtQueries {
       fs.delete(new org.apache.hadoop.fs.Path(path), true)
       fs.delete(new org.apache.hadoop.fs.Path(aggP), true)
       val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      // Same fixture-slimming as q_snap_consume: v1 carries only the
+      // classes the span needs (%10∈{0,2} touched, 4 carried, 1 absent).
       graft.ops.Upsert.writeSnapshot(s, path,
-        docs.filter(col("doc_id") % 2 === 0), Seq("doc_id"), Seq("doc_id"))
+        docs.filter((col("doc_id") % 10).isin(0, 2, 4)),
+        Seq("doc_id"), Seq("doc_id"))
       graft.streaming.EventStream.changeFeedAggregatePoll(s, path,
         Seq("doc_id"), aggP, Seq("source"), "n_chars") // bootstrap
       val changes =
@@ -1717,6 +1720,38 @@ object ExtQueries {
         .select(col("source"), col("n"), col("n_val"),
           col("sum_v").cast("double").as("sum_v"))
         .orderBy("source")
+    }),
+
+    "q_snap_zorder" -> ((s, dir) => {
+      // Z-ORDER compaction end-to-end: the sink re-lays out under the
+      // Morton interleave of two declared skip columns, and a bounded
+      // read on the SECOND column still answers exactly (content
+      // identity through the z path) with the bound pushed to the
+      // scan — the require pins the pushdown; the file-level skipping
+      // win itself is spec-pinned (UpsertPartitionedSpec measures the
+      // skip fractions).
+      val path = s"$RunScratch/graft_snap_zo_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          (col("doc_id") % 16).as("score_a"),
+          (floor(col("doc_id") / 16).cast("long") % 16).as("score_b"))
+      graft.ops.Upsert.declareSkipCols(s, path, Seq("score_a", "score_b"))
+      graft.ops.Upsert.writeSnapshot(s, path, docs,
+        Seq("doc_id"), Seq("doc_id"))
+      val v = graft.ops.Upsert.compactSnapshotsZOrdered(s, path,
+        Seq("score_a", "score_b"), bits = 4, shards = 4)
+      val out = graft.ops.Upsert.readSnapshotWhere(s, path, v,
+        Map("score_b" -> ((4L, 7L)))).orderBy("doc_id")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("PushedFilters") &&
+        plan.contains("GreaterThanOrEqual(score_b,4)"),
+        s"second-column bound must push into the z-laid scan:\n${
+          plan.take(600)}")
+      out
     }),
 
     "q_snap_dsv2_write" -> ((s, dir) => {
@@ -8255,11 +8290,12 @@ object ExtQueries {
          ORDER BY doc_id""",
 
     // The feed-maintained aggregate equals a recompute over the merged
-    // logical table (evens minus deletes, updates bumped, odds added).
+    // logical table (the %10==4 carried class, %10==0 bumped by the
+    // update, %10==1 inserted; %10==2 deleted).
     "q_incr_agg_feed" ->
       """WITH merged AS (
            SELECT doc_id, source, n_chars FROM documents
-           WHERE doc_id % 2 = 0 AND doc_id % 10 NOT IN (0, 2)
+           WHERE doc_id % 10 = 4
            UNION ALL
            SELECT doc_id, source, CAST(n_chars + 1000 AS BIGINT)
            FROM documents WHERE doc_id % 10 = 0
@@ -8270,6 +8306,15 @@ object ExtQueries {
            CAST(count(n_chars) AS BIGINT) AS n_val,
            CAST(SUM(n_chars) AS DOUBLE) AS sum_v
          FROM merged GROUP BY source ORDER BY source""",
+
+    // The z-compacted sink answers the second-column bound exactly —
+    // layout changes what is SKIPPED, never what is returned.
+    "q_snap_zorder" ->
+      """SELECT doc_id, source, n_chars, doc_id % 16 AS score_a,
+           (doc_id // 16) % 16 AS score_b
+         FROM documents
+         WHERE (doc_id // 16) % 16 BETWEEN 4 AND 7
+         ORDER BY doc_id""",
 
     // Writer-path twin of q_snap_merge_mor: the same merged state,
     // landed and read entirely through format("graft").

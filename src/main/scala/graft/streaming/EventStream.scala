@@ -885,10 +885,18 @@ object EventStream {
     sys.error("unreachable")
   }
 
+  /** `mor = true` applies each micro-batch MERGE-ON-READ
+    * ([[graft.ops.Upsert.mergeSnapshotMoR]]): trickle CDC on hot keys
+    * is EXACTLY the write-amplification case deletion vectors exist
+    * for — per batch the sink writes the landing dir plus key-sized
+    * dvs instead of rewriting every touched dir. Pair with a
+    * compaction cadence (each compaction folds the accumulated dvs
+    * physically and resets the read tax). */
   def cdcMergeSink(stream: DataFrame, sinkPath: String, keys: Seq[String],
                    tieBreak: Seq[String], opCol: String,
                    checkpoint: String,
-                   lockWaitMs: Long = Long.MaxValue): org.apache.spark.sql.streaming.StreamingQuery =
+                   lockWaitMs: Long = Long.MaxValue,
+                   mor: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("update")
@@ -911,8 +919,12 @@ object EventStream {
             keys, tieBreak)
         } else
           retryWhileLocked(lockWaitMs)(
-            graft.ops.Upsert.mergeSnapshot(s, sinkPath, batch,
-              keys, tieBreak, opCol))
+            if (mor)
+              graft.ops.Upsert.mergeSnapshotMoR(s, sinkPath, batch,
+                keys, tieBreak, opCol)
+            else
+              graft.ops.Upsert.mergeSnapshot(s, sinkPath, batch,
+                keys, tieBreak, opCol))
         ()
       }
       .start()

@@ -808,6 +808,40 @@ class StreamingSpec extends SparkSpec {
       "replayed CDC batch republishes identical content")
   }
 
+  test("streaming CDC sink in merge-on-read mode: batches land as dvs, no data-dir rewrites, content equal") {
+    implicit val sc = spark.sqlContext
+    import graft.ops.Upsert
+    val path = java.nio.file.Files.createTempDirectory("cdcmor").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdcmor_ck").toString
+    val mem = MemoryStream[(String, Long, String)]
+    val q = EventStream.cdcMergeSink(mem.toDF().toDF("op", "id", "v"),
+      path, Seq("id"), Seq("id"), "op", ckpt, mor = true)
+    mem.addData(("I", 1L, "a"), ("I", 2L, "b"), ("I", 3L, "c"))
+    q.processAllAvailable()
+    def dirs() = new java.io.File(path).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+      .filterNot(_.startsWith("_")).toSet
+    val before = dirs()
+    mem.addData(("U", 2L, "B"), ("D", 1L, "x"), ("I", 4L, "d"))
+    q.processAllAvailable(); q.stop()
+    val added = dirs() -- before
+    assert(added.exists(_.startsWith("dv-")) &&
+      added.forall(d => d.startsWith("dv-") || d.startsWith("merge-")),
+      s"trickle CDC batch must land as dvs + landing dir, added: $added")
+    assert(Upsert.readSnapshot(spark, path,
+        Upsert.latestVersion(spark, path)).select("id", "v")
+      .as[(Long, String)].collect().toSet ==
+      Set((2L, "B"), (3L, "c"), (4L, "d")))
+    // Compaction folds the accumulated dvs — the steady-state loop.
+    val vc = Upsert.compactSnapshots(spark, path)
+    assert(!scala.io.Source.fromFile(
+        new java.io.File(path + "/_snapshots", s"v$vc.list"))
+      .getLines().exists(_.contains("\t")), "compaction folds the dvs")
+    assert(Upsert.readSnapshot(spark, path, vc).select("id", "v")
+      .as[(Long, String)].collect().toSet ==
+      Set((2L, "B"), (3L, "c"), (4L, "d")))
+  }
+
   test("CDC bootstrap collapses ops per key BEFORE filtering: an I beaten by a D bootstraps absent") {
     implicit val sc = spark.sqlContext
     import graft.ops.Upsert
