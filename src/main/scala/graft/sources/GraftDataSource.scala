@@ -8,7 +8,7 @@ import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
@@ -206,12 +206,22 @@ private[sources] final case class MaxCol(name: String, dt: DataType)
 private[sources] class GraftScanBuilder(path: String, version: Int,
     tableSchema: StructType)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+  with SupportsPushDownLimit {
 
   private var required: StructType = tableSchema
   private var bounds: Map[String, (Any, Any)] = Map.empty
   private var pushed: Array[Filter] = Array.empty
   private var agg: Option[Seq[AggCol]] = None
+  private var limit: Option[Int] = None
+
+  // LIMIT rides the inner read (df.limit → CollectLimit inside the
+  // bridged plan — the scan stops after n rows instead of
+  // materializing the corpus for a `.show()`); PARTIAL by contract
+  // (Spark keeps its own limit on top), which is also what makes it
+  // sound next to residual filters.
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed(): Boolean = true
 
   // ── filter → closed per-column bounding box ─────────────────────
   // Each usable comparison contributes a one-sided canonical bound;
@@ -327,12 +337,13 @@ private[sources] class GraftScanBuilder(path: String, version: Int,
     pushAggregation(aggregation)
 
   override def build(): Scan =
-    new GraftScan(path, version, required, bounds, pushed, agg)
+    new GraftScan(path, version, required, bounds, pushed, agg, limit)
 }
 
 private[sources] class GraftScan(path: String, version: Int,
     required: StructType, bounds: Map[String, (Any, Any)],
-    pushed: Array[Filter], agg: Option[Seq[AggCol]]) extends V1Scan {
+    pushed: Array[Filter], agg: Option[Seq[AggCol]],
+    limit: Option[Int]) extends V1Scan {
 
   override def readSchema(): StructType =
     agg.map(cs => StructType(cs.map(_.field))).getOrElse(required)
@@ -345,13 +356,14 @@ private[sources] class GraftScan(path: String, version: Int,
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftV1Relation(context, path, version, readSchema(), bounds, agg)
-      .asInstanceOf[T]
+    new GraftV1Relation(context, path, version, readSchema(), bounds,
+      agg, limit).asInstanceOf[T]
 }
 
 private[sources] class GraftV1Relation(ctx: SQLContext, path: String,
     version: Int, out: StructType, bounds: Map[String, (Any, Any)],
-    agg: Option[Seq[AggCol]]) extends BaseRelation with TableScan {
+    agg: Option[Seq[AggCol]], limit: Option[Int])
+  extends BaseRelation with TableScan {
 
   override def sqlContext: SQLContext = ctx
   override def schema: StructType = out
@@ -392,7 +404,8 @@ private[sources] class GraftV1Relation(ctx: SQLContext, path: String,
           if (bounds.nonEmpty)
             Upsert.readSnapshotWhere(spark, path, version, bounds)
           else Upsert.readSnapshot(spark, path, version)
-        df0.select(out.fieldNames.toIndexedSeq.map(col): _*).rdd
+        val projected = df0.select(out.fieldNames.toIndexedSeq.map(col): _*)
+        limit.map(projected.limit).getOrElse(projected).rdd
     }
   }
 }

@@ -103,6 +103,20 @@ class DataSourceV2Spec extends SparkSpec {
     assert(grouped == Map(true -> 100L, false -> 100L))
   }
 
+  test("limit pushdown: an unfiltered take stops the inner read early and stays exact") {
+    val path = buildSink()
+    val df = spark.read.format("graft").load(path).limit(5)
+    assert(df.count() == 5)
+    assert(df.collect().length == 5)
+    // Filtered limits stay exact (the limit is NOT pushed under a
+    // residual filter — Spark keeps it above, the source scans on).
+    assert(spark.read.format("graft").load(path)
+      .filter(col("score") >= 90).limit(3).collect().length == 3)
+    assert(spark.read.format("graft").load(path)
+      .filter(col("score") >= 99).limit(50).collect().length == 2,
+      "a limit larger than the filtered set returns the whole set")
+  }
+
   test("column pruning reaches the inner parquet scan; SQL view works") {
     val path = buildSink()
     val two = spark.read.format("graft").load(path).select("id", "v")
