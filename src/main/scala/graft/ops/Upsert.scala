@@ -200,17 +200,26 @@ object Upsert {
       val key = (path, s"$n:${st.getModificationTime}:${st.getLen}")
       val hit = manifestDvCache.get(key)
       if (hit != null) Some(hit)
-      else scala.util.Try {
-        // Expiry may delete a listed manifest under us — a vanished
-        // file contributes nothing (its dirs are dead history).
+      else try {
         val m = manifestEntries(spark, path,
             n.stripPrefix("v").stripSuffix(".list").toInt)
           .filter(_.dvs.nonEmpty)
           .groupBy(_.dir)
           .map { case (d, es) => d -> es.flatMap(_.dvs).distinct.sorted }
         manifestDvCache.put(key, m)
-        m
-      }.toOption
+        Some(m)
+      } catch {
+        // ONLY a vanished file is skippable (expiry deleted a listed
+        // manifest under us — its dirs are dead history). Any OTHER
+        // failure must propagate and fail the publish: swallowing a
+        // transient read error here would publish carried dirs
+        // STRIPPED of their dv annotations — the resurrect-deletes
+        // failure class the mor.on marker is load-bearing against.
+        case _: java.io.FileNotFoundException => None
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("no snapshot v") => None
+      }
     }
     perFile.flatten.groupBy(_._1)
       .map { case (d, kvs) =>
@@ -2807,14 +2816,6 @@ object Upsert {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
     requireLiveKeys(spark, path, keys, "mergeSnapshot")
-    // The marker ENABLES the dv-reattach scan on later publishes —
-    // LOAD-BEARING, not best-effort: a name-based publish on a sink
-    // whose marker is missing reattaches nothing and silently
-    // resurrects every dv-deleted row. Created before any rewrite
-    // (so no publish in flight can miss it) and a failure ABORTS the
-    // merge before any work is staged.
-    if (mor && !fs.exists(morMarkerPath(path)))
-      fs.create(morMarkerPath(path), true).close()
     val op = upper(col(opCol))
     val deduped = dedupOnKey(normalizeBatch(spark, path, changes),
       keys, tieBreak).withColumn(opCol, op).localCheckpoint()
@@ -2831,6 +2832,20 @@ object Upsert {
     // into every probe scan for within-dir row-group skipping.
     val touchedPr = keyRanges(touched, keys)
     val iPr = keyRanges(iKeys, keys)
+    // The marker ENABLES the dv-reattach scan on later publishes —
+    // LOAD-BEARING, not best-effort: a name-based publish on a sink
+    // whose marker is missing reattaches nothing and silently
+    // resurrects every dv-deleted row. Created AFTER the eager
+    // validations (a refused op column or empty sink must not brand a
+    // plain COW sink with the per-publish reattach scan forever) but
+    // BEFORE any rewrite/publish, so no manifest carrying a dv can be
+    // visible without it; a create failure aborts the merge.
+    if (mor) {
+      require(latestVersion(spark, path) >= 1,
+        "nothing to merge into: no published snapshot")
+      if (!fs.exists(morMarkerPath(path)))
+        fs.create(morMarkerPath(path), true).close()
+    }
     // The critical section covers ONLY staleness re-validation +
     // publish — metadata ops, the discipline compaction adopted in r16.
     // Every data rewrite (touched-dir copies, the landing write — the

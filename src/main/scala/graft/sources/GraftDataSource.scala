@@ -83,9 +83,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   private def resolveVersion(spark: SparkSession,
       opts: CaseInsensitiveStringMap): Int =
     Option(opts.get("versionAsOf")).map(_.trim.toInt)
+      // The pin outranks a timestampAsOf RE-resolution: inferSchema
+      // already resolved the timestamp once, and a publish landing
+      // inside the inferSchema→getTable window must not move the
+      // table past the schema it was derived from (explicit
+      // versionAsOf is deterministic either way, so its order is
+      // irrelevant — it stays first for clarity).
+      .orElse(pinned.collect { case (p, pv) if p == pathOf(opts) => pv })
       .orElse(Option(opts.get("timestampAsOf"))
         .map(ts => Upsert.versionAsOf(spark, pathOf(opts), ts.trim.toLong)))
-      .orElse(pinned.collect { case (p, pv) if p == pathOf(opts) => pv })
       .getOrElse(Upsert.latestVersion(spark, pathOf(opts)))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -94,12 +100,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     pinned = None // resolve fresh, then pin for the paired getTable
     val v = resolveVersion(spark, options)
     pinned = Some((path, v))
-    // A FRESH sink has nothing to infer — legal only as a write
-    // target (the bootstrap publish takes the frame's own schema via
-    // ACCEPT_ANY_SCHEMA); a read refuses at scan building with the
-    // real message.
-    if (v == 0) new StructType()
-    else Upsert.snapshotLogicalSchema(spark, path, v)
+    // inferSchema runs only on READS (writes carry the frame's own
+    // schema into getTable via supportsExternalMetadata) — a fresh or
+    // mistyped path must fail HERE with the real message, not surface
+    // as an empty schema whose first error is an unrelated
+    // UNRESOLVED_COLUMN on the user's next select.
+    require(v >= 1, s"graft: no published snapshot at $path")
+    Upsert.snapshotLogicalSchema(spark, path, v)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],

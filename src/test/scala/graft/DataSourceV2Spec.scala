@@ -36,6 +36,12 @@ class DataSourceV2Spec extends SparkSpec {
         .collect().toSet)
     val v1 = spark.read.format("graft").option("versionAsOf", 1).load(path)
     assert(v1.count() == 100 && v1.agg(max("score")).as[Long].head() == 49)
+    // A read of a fresh/mistyped path fails AT LOAD with the real
+    // message — not as an empty schema that errors on the next select.
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(path + "_nope")
+    }
+    assert(e.getMessage.contains("no published snapshot"))
   }
 
   test("pushed filter bounds prune dirs via the sidecars; strictness stays exact") {
