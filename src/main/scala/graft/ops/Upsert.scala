@@ -122,8 +122,7 @@ object Upsert {
     val fs = fsFor(spark, path)
     if (!fs.exists(snapDir(path))) 0
     else fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .flatMap(numberedName(_, "v", ".list"))
       .foldLeft(0)(math.max)
   }
 
@@ -139,6 +138,19 @@ object Upsert {
     def line: String =
       if (dvs.isEmpty) dir else s"$dir\t${dvs.mkString(",")}"
   }
+
+  /** Numeric N from a protocol file name `<prefix>N<suffix>`; None for
+    * anything malformed. Every name parse in the sink goes through
+    * this: operator debris (a stray `vX.claim`, a hand-made
+    * `gen-old.touch`) must never wedge the protocol — a bare `.toInt`
+    * here would throw from [[claimVersion]] and fail EVERY subsequent
+    * publish on the sink until someone deletes the debris by hand. */
+  private def numberedName(n: String, prefix: String,
+      suffix: String): Option[Int] =
+    if (n.startsWith(prefix) && n.endsWith(suffix))
+      scala.util.Try(
+        n.stripPrefix(prefix).stripSuffix(suffix).toInt).toOption
+    else None
 
   private def parseEntry(line: String): SnapEntry = {
     val a = line.split("\t", 2)
@@ -191,18 +203,16 @@ object Upsert {
       path: String): Map[String, Seq[String]] = {
     val fs = fsFor(spark, path)
     if (!fs.exists(morMarkerPath(path))) return Map.empty
-    val lists = fs.listStatus(snapDir(path)).toSeq.filter { st =>
-      val n = st.getPath.getName
-      n.startsWith("v") && n.endsWith(".list")
+    val lists = fs.listStatus(snapDir(path)).toSeq.flatMap { st =>
+      numberedName(st.getPath.getName, "v", ".list").map(st -> _)
     }
-    val perFile = lists.flatMap { st =>
+    val perFile = lists.flatMap { case (st, listV) =>
       val n = st.getPath.getName
       val key = (path, s"$n:${st.getModificationTime}:${st.getLen}")
       val hit = manifestDvCache.get(key)
       if (hit != null) Some(hit)
       else try {
-        val m = manifestEntries(spark, path,
-            n.stripPrefix("v").stripSuffix(".list").toInt)
+        val m = manifestEntries(spark, path, listV)
           .filter(_.dvs.nonEmpty)
           .groupBy(_.dir)
           .map { case (d, es) => d -> es.flatMap(_.dvs).distinct.sorted }
@@ -1514,8 +1524,7 @@ object Upsert {
     val fs = fsFor(spark, path)
     if (!fs.exists(snapDir(path))) return "0:0"
     val vs = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith(prefix) && n.endsWith(".touch") =>
-        n.stripPrefix(prefix).stripSuffix(".touch").toInt }
+      .flatMap(numberedName(_, prefix, ".touch"))
     s"${vs.size}:${vs.foldLeft(0)(math.max)}"
   }
 
@@ -1552,8 +1561,7 @@ object Upsert {
     while (attempts < 1000) {
       val published = latestVersion(spark, path)
       val claimed = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".claim") =>
-          n.stripPrefix("v").stripSuffix(".claim").toInt }
+        .flatMap(numberedName(_, "v", ".claim"))
         .foldLeft(0)(math.max)
       val target = math.max(published, claimed) + 1
       val marker = new org.apache.hadoop.fs.Path(snapDir(path), s"v$target.claim")
@@ -2339,8 +2347,7 @@ object Upsert {
     val fs = fsFor(spark, path)
     require(fs.exists(snapDir(path)), s"no snapshot sink at $path")
     val versions = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .flatMap(numberedName(_, "v", ".list"))
     val at = versions.filter(v => publishedAtMs(spark, path, v) <= tsMs)
     require(at.nonEmpty,
       s"no snapshot published at or before epoch-ms $tsMs at $path")
@@ -3174,8 +3181,7 @@ object Upsert {
     // PUBLISHED versions only — crashed claims leave holes in the
     // version numbering, so the keep range cannot be assumed dense.
     val allVersions = snapNames
-      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .flatMap(numberedName(_, "v", ".list"))
     // dv dirs are referenced THROUGH their entries (merge-on-read):
     // they reclaim with the versions that applied them and must never
     // be deleted while a surviving manifest still anti-joins them.
@@ -3197,8 +3203,7 @@ object Upsert {
       fs.delete(changesDirPath(path, v), true)
     }
     snapNames
-      .collect { case n if n.startsWith("v") && n.endsWith(".claim") =>
-        n.stripPrefix("v").stripSuffix(".claim").toInt }
+      .flatMap(numberedName(_, "v", ".claim"))
       .filter(_ <= cur)
       .foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(snapDir(path), s"v$v.claim"),
@@ -3211,8 +3216,7 @@ object Upsert {
     // fingerprint, so the NEXT aggregate refresh recomputes once —
     // the correct price inside an op that just destroyed history.
     snapNames
-      .collect { case n if n.startsWith("gen-") && n.endsWith(".touch") =>
-        n.stripPrefix("gen-").stripSuffix(".touch").toInt }
+      .flatMap(numberedName(_, "gen-", ".touch"))
       .filter(_ < keepFrom)
       .foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(snapDir(path),
@@ -3222,8 +3226,7 @@ object Upsert {
     // fingerprint forces feed consumers to recompute once — the
     // correct price inside an op that just destroyed history.
     snapNames
-      .collect { case n if n.startsWith("erase-") && n.endsWith(".touch") =>
-        n.stripPrefix("erase-").stripSuffix(".touch").toInt }
+      .flatMap(numberedName(_, "erase-", ".touch"))
       .filter(_ < keepFrom)
       .foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(snapDir(path),
@@ -3258,8 +3261,7 @@ object Upsert {
     // One stamp pass serves both the nothing-to-expire guard and the
     // as-of horizon (versionAsOf would re-open every v<N>.meta).
     val at = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .flatMap(numberedName(_, "v", ".list"))
       .filter(v => publishedAtMs(spark, path, v) <= tsMs)
     if (at.isEmpty) return 0
     expireSnapshots(spark, path, at.max)
@@ -3310,8 +3312,7 @@ object Upsert {
     // to a scan would pass.
     val scannedUnion = scala.collection.mutable.ArrayBuffer.empty[String]
     val rows = fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-        n.stripPrefix("v").stripSuffix(".list").toInt }
+      .flatMap(numberedName(_, "v", ".list"))
       .sorted
       .map { v =>
         val r = (v, publishedAtMs(spark, path, v),
@@ -3500,8 +3501,7 @@ object Upsert {
       val fs = fsFor(spark, path)
       val published = fs.listStatus(snapDir(path)).toSeq
         .map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-          n.stripPrefix("v").stripSuffix(".list").toInt }
+        .flatMap(numberedName(_, "v", ".list"))
         .filter(v => v > from && v <= to).sorted
       if (published.isEmpty) return None
       val chain = published.map(v => v -> readChangeRecord(spark, path, v))
@@ -3762,8 +3762,7 @@ object Upsert {
     try {
       val versions = fs.listStatus(snapDir(path)).toSeq
         .map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-          n.stripPrefix("v").stripSuffix(".list").toInt }
+        .flatMap(numberedName(_, "v", ".list"))
       // Entries, not dirs: a live merge-on-read dv swept as an
       // "orphan" would resurrect every row it deletes.
       val referenced = versions
@@ -3873,8 +3872,7 @@ object Upsert {
     val doomedPr = keyRanges(keyRows, keys.filter(keyRows.columns.contains))
     def listVersions(): Seq[(Int, Seq[SnapEntry])] =
       fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".list") =>
-          n.stripPrefix("v").stripSuffix(".list").toInt }
+        .flatMap(numberedName(_, "v", ".list"))
         .sorted.map(v => v -> manifestEntries(spark, path, v))
     // The erase universe includes merge-on-read DV DIRS: a dv holds the
     // subject's KEY VALUES (a record that the subject existed) — "the

@@ -64,14 +64,22 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  /** Version pinned at inferSchema time, reused by getTable: Spark
-    * calls the two on the SAME provider instance for one read, and a
-    * publish landing between them must not let the table resolve a
-    * NEWER version than the schema was derived from (the scan would
-    * serve one version's rows through another's schema — neither
-    * snapshot as published). Keyed by path so a provider reused across
-    * loads never leaks a pin to a different sink. */
-  @volatile private var pinned: Option[(String, Int)] = None
+  /** Version pinned at inferSchema time, CONSUMED by the paired
+    * getTable: Spark calls the two back-to-back on the same thread for
+    * one read, and a publish landing between them must not let the
+    * table resolve a NEWER version than the schema was derived from
+    * (the scan would serve one version's rows through another's
+    * schema — neither snapshot as published). A ThreadLocal handoff
+    * (set by inferSchema, removed by the first resolve that reads it)
+    * instead of instance state, so a provider instance shared across
+    * concurrent loads — catalog registration, two threads loading the
+    * same path — can never serve one load's pin to another, and a
+    * LATER getTable on the same thread (e.g. a user-schema read that
+    * skips inferSchema) never consumes a stale pin. Keyed by path so
+    * an interleaved load of a different sink is ignored, not misread. */
+  private val pinned = new ThreadLocal[Option[(String, Int)]] {
+    override def initialValue(): Option[(String, Int)] = None
+  }
 
   // Writes arrive with the frame's own schema (a fresh sink has
   // nothing to infer); reads without a user schema still go through
@@ -88,8 +96,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       // inside the inferSchema→getTable window must not move the
       // table past the schema it was derived from (explicit
       // versionAsOf is deterministic either way, so its order is
-      // irrelevant — it stays first for clarity).
-      .orElse(pinned.collect { case (p, pv) if p == pathOf(opts) => pv })
+      // irrelevant — it stays first for clarity). Consumed: one pin
+      // serves exactly one getTable.
+      .orElse {
+        val pin = pinned.get().collect {
+          case (p, pv) if p == pathOf(opts) => pv }
+        if (pin.isDefined) pinned.remove()
+        pin
+      }
       .orElse(Option(opts.get("timestampAsOf"))
         .map(ts => Upsert.versionAsOf(spark, pathOf(opts), ts.trim.toLong)))
       .getOrElse(Upsert.latestVersion(spark, pathOf(opts)))
@@ -97,9 +111,9 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = pathOf(options)
-    pinned = None // resolve fresh, then pin for the paired getTable
+    pinned.remove() // resolve fresh, then pin for the paired getTable
     val v = resolveVersion(spark, options)
-    pinned = Some((path, v))
+    pinned.set(Some((path, v)))
     // inferSchema runs only on READS (writes carry the frame's own
     // schema into getTable via supportsExternalMetadata) — a fresh or
     // mistyped path must fail HERE with the real message, not surface
@@ -243,7 +257,12 @@ private[sources] class GraftScanBuilder(path: String, version: Int,
     tag match {
       case "long" => (Some(Long.MinValue), Some(Long.MaxValue))
       case "string" => (Some(""), None)
-      case "date" => (Some(-Int.MaxValue.toLong), Some(Int.MaxValue.toLong))
+      // Int.MinValue, NOT -Int.MaxValue: DateType's legal domain is the
+      // full Int epoch-day range, and dir pruning is correctness-bearing
+      // (a pruned dir is never scanned — the residual can't restore it),
+      // so an off-by-one sentinel would silently drop a dir whose max
+      // is exactly the domain minimum.
+      case "date" => (Some(Int.MinValue.toLong), Some(Int.MaxValue.toLong))
       case "ts" => (Some(Long.MinValue), Some(Long.MaxValue))
       case _ => (None, None)
     }

@@ -2108,4 +2108,38 @@ class UpsertPartitionedSpec extends SparkSpec {
     assert(feed.filter(col("id") === 3L).select("op").as[String]
       .collect().toSeq == Seq("D"), "the merge's delete still feeds")
   }
+
+  test("operator debris never wedges the sink: malformed claim/touch/list names are ignored") {
+    val path = java.nio.file.Files.createTempDirectory("debris").toString
+    Upsert.writeSnapshot(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), Seq("id"), Seq("id"))
+    // Plant the debris classes an operator (or a crashed tool) can
+    // leave: a non-numeric claim, gen/erase touch markers, a stray
+    // list-suffixed note. Before the numberedName guard, claimVersion
+    // threw NumberFormatException on the claim — failing EVERY
+    // subsequent publish until someone hand-deleted the file.
+    val snaps = new java.io.File(path, "_snapshots")
+    for (n <- Seq("vSTALE.claim", "gen-old.touch", "erase-x.touch",
+        "vREADME.list"))
+      assert(new java.io.File(snaps, n).createNewFile())
+    // Writers proceed: append AND merge (merge exercises rewriteGen's
+    // fingerprint parse over the gen- debris).
+    Upsert.writeSnapshot(spark, path,
+      Seq((3L, "c")).toDF("id", "v"), Seq("id"), Seq("id"))
+    val v3 = Upsert.mergeSnapshot(spark, path,
+      Seq(("U", 1L, "A")).toDF("op", "id", "v"), Seq("id"), Seq("id"), "op")
+    assert(Upsert.readSnapshot(spark, path, v3).as[(Long, String)]
+      .collect().toMap == Map(1L -> "A", 2L -> "b", 3L -> "c"))
+    // Maintenance proceeds: expiry (claim + touch sweeps) and vacuum.
+    Upsert.expireSnapshots(spark, path, keepFrom = v3)
+    Upsert.vacuumOrphans(spark, path)
+    assert(Upsert.readSnapshot(spark, path, v3).count() == 3)
+    // The debris itself is left alone (not silently deleted — it is
+    // not ours) and publishes keep working after the sweeps.
+    assert(new java.io.File(snaps, "vSTALE.claim").exists())
+    Upsert.writeSnapshot(spark, path,
+      Seq((4L, "d")).toDF("id", "v"), Seq("id"), Seq("id"))
+    assert(Upsert.readSnapshot(spark, path,
+      Upsert.latestVersion(spark, path)).count() == 4)
+  }
 }
