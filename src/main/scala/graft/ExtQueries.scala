@@ -1859,6 +1859,57 @@ object ExtQueries {
       out
     }),
 
+    "q_snap_dsv2_join" -> ((s, dir) => {
+      // RUNTIME dir pruning through Spark's own dynamic pruning — the
+      // classic warehouse shape, fact snapshot ⋈ filtered dim, where
+      // the fact-side key set exists only at EXECUTION time (the dim
+      // filter is on `band`, a non-key column, so no static bound ever
+      // reaches the scan builder). The DSv2 Batch path advertises the
+      // sink's key as runtime-filterable (SupportsRuntimeFiltering);
+      // Spark plans a DPP subquery over the broadcast build side and
+      // feeds the collected keys to the scan, which routes them
+      // through the same range+bloom sidecar admission as the library
+      // probes — of the four key-range dirs only the one holding the
+      // dim's quartile opens. The requires pin the runtime-filter plan
+      // node and the one-dir probe audit; the oracle is the plain join
+      // (what is returned never depends on pruning).
+      val path = s"$RunScratch/graft_snap_dsv2j_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val quarter = math.max(docs.count() / 4, 1L)
+      for (b <- 0L until 4L) {
+        val hi = if (b == 3L) Long.MaxValue else (b + 1) * quarter
+        graft.ops.Upsert.writeSnapshot(s, path,
+          docs.filter(col("doc_id") >= b * quarter && col("doc_id") < hi),
+          Seq("doc_id"), Seq("doc_id"))
+      }
+      // The dim is FILE-backed (a scratch parquet) so its filter is a
+      // real selective scan predicate — the shape dynamic pruning
+      // triggers on, same as any warehouse dim table.
+      val dimPath = path + "_dim"
+      fs.delete(new org.apache.hadoop.fs.Path(dimPath), true)
+      docs.select(col("doc_id").as("did"),
+          (col("doc_id") / lit(quarter)).cast("long").as("band"))
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath).filter(col("band") === 2)
+      val out = s.read.format("graft").load(path)
+        .join(broadcast(dim), col("doc_id") === col("did"))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+      out.count() // executes → runtime filter fires → probe audit set
+      val probed = graft.ops.Upsert.lastProbedDirs.get()
+      require(probed == Seq("batch-3"),
+        s"runtime join-key pruning probed $probed, expected only " +
+          "batch-3 — the build side's keys never reached the sidecars")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("dynamicpruningexpression"),
+        s"the scan must carry Spark's runtime filter:\n${plan.take(800)}")
+      out
+    }),
+
     "q_markov_transitions" -> ((s, dir) => {
       // First-order journey chain over the events stream: per user,
       // conversions close journeys; exact (from, to) transition counts
@@ -8343,6 +8394,18 @@ object ExtQueries {
            CAST(min(doc_id) AS BIGINT) AS min_id,
            CAST(max(doc_id) AS BIGINT) AS max_id
          FROM documents""",
+
+    // Runtime-pruned join = the plain join: the dim's quartile band
+    // recomputed inline (same integer math as the scratch dim).
+    "q_snap_dsv2_join" ->
+      """SELECT d.doc_id AS doc_id, d.source AS source,
+                d.n_chars AS n_chars
+         FROM documents d
+         JOIN (SELECT doc_id AS did FROM documents
+               WHERE doc_id // (SELECT greatest(count(*) // 4, 1)
+                                FROM documents) = 2) m
+           ON d.doc_id = m.did
+         ORDER BY d.doc_id""",
 
     // Per-column drift between the full corpus (v2) and the even half
     // (v1): recomputed straight from the logical table, exact longs +

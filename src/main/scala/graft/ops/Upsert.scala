@@ -1416,6 +1416,107 @@ object Upsert {
     filtered.select(full.columns.toIndexedSeq.map(col): _*)
   }
 
+  // ── DSv2 BATCH-scan support ─────────────────────────────────────
+  // The DSv2 relation's Batch path (GraftBatchScan) plans one input
+  // partition per parquet file of the ADMITTED dirs — admission reuses
+  // the same sidecar machinery as readSnapshotWhere, extended with the
+  // runtime In-filters Spark feeds the scan from a broadcast join's
+  // build side (SupportsRuntimeFiltering). These helpers expose the
+  // pieces the scan needs at driver planning time.
+
+  /** Is snapshot `version` readable by the file-level Batch path?
+    * Requires: no declared schema evolution (the Batch reader serves
+    * physical file schemas with additive null-fill only — renames/
+    * drops/adds need the mapped read) and no deletion vectors (the dv
+    * anti-join needs the DataFrame read). Conservative: ineligible
+    * snapshots fall back to the V1 bridge, never a wrong answer. */
+  private[graft] def batchScanEligible(spark: SparkSession, path: String,
+      version: Int): Boolean =
+    recordedSchemaMap(spark, path).isEmpty &&
+      manifestEntries(spark, path, version).forall(_.dvs.isEmpty)
+
+  /** Columns whose sidecar stats can prune dirs — the sink's recorded
+    * keys plus declared skip columns. The DSv2 scan advertises exactly
+    * these as runtime-filterable (anything else could never prune, so
+    * a DPP subquery on it would be pure overhead). */
+  private[graft] def prunableCols(spark: SparkSession,
+      path: String): Seq[String] =
+    (recordedKeyCols(spark, path) ++ recordedSkipCols(spark, path)).distinct
+
+  /** Bloom-canon string of an external probe value — mirrors
+    * [[keyCanon]]'s single-column rendering (cast-to-string for
+    * long/string, epoch day / epoch micros for date/ts). */
+  private def bloomCanonOf(v: Any): Option[String] = v match {
+    case n: java.lang.Number if probeTagOf(v).contains("long") =>
+      Some(n.longValue.toString)
+    case s: String => Some(s)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toString)
+    case t: java.sql.Timestamp =>
+      Some((t.getTime / 1000L * 1000000L + t.getNanos / 1000L).toString)
+    case t: java.time.Instant =>
+      Some((t.getEpochSecond * 1000000L + t.getNano / 1000L).toString)
+    case _ => None
+  }
+
+  /** Dir admission for the DSv2 Batch scan: stage-1 range overlap over
+    * the merged per-column bounds (plan-time filter boxes ∪ runtime
+    * join-key boxes), then the bloom stage when a runtime key SET
+    * addresses the sink's whole recorded key (single column — the
+    * bloom canon is composite, so a partial key can't probe it).
+    * Bounds are external Scala values, same domain as
+    * [[readSnapshotWhere]]. Both stages admit supersets only — a
+    * pruned dir provably holds no matching row — and the join itself
+    * re-filters, so admission is never correctness-bearing for the
+    * runtime part either. Publishes the admitted set to
+    * [[lastProbedDirs]]. */
+  private[graft] def admitDirsFor(spark: SparkSession, path: String,
+      version: Int, ranges: Map[String, (Any, Any)],
+      keySets: Map[String, Seq[Any]]): Seq[String] = {
+    val pr: ProbeRanges = ranges.toSeq.flatMap { case (k, (lo, hi)) =>
+      for {
+        tl <- probeTagOf(lo); th <- probeTagOf(hi) if tl == th
+      } yield (k, tl, Some((decodeStatValue(tl, encodeStatValue(tl, lo)),
+        decodeStatValue(tl, encodeStatValue(tl, hi)))))
+    }
+    val dirs = manifestEntries(spark, path, version).map(_.dir)
+    val ranged = overlappingDirs(spark, path, dirs, pr)
+    val admitted = recordedKeyCols(spark, path) match {
+      case Seq(k) if ranged.nonEmpty && keySets.contains(k) &&
+          keySets(k).nonEmpty && keySets(k).size <= BloomProbeMax &&
+          keySets(k).forall(v => bloomCanonOf(v).isDefined) =>
+        val canons = keySets(k).flatMap(bloomCanonOf)
+        val fs = fsFor(spark, path)
+        ranged.filter { d =>
+          val hasBloom = try fs.exists(bloomPath(path, d))
+            catch { case scala.util.control.NonFatal(_) => false }
+          !hasBloom || (readKeyBloom(spark, path, d) match {
+            case None => true
+            case Some(bf) => canons.exists(bf.mightContainString)
+          })
+        }
+      case _ => ranged
+    }
+    lastProbedDirs.set(admitted)
+    admitted
+  }
+
+  /** The parquet data files of `dirs` (driver metadata listing — one
+    * RPC per dir, the same class of cost as the manifest read). */
+  private[graft] def snapshotDataFiles(spark: SparkSession, path: String,
+      dirs: Seq[String]): Seq[String] = {
+    val fs = fsFor(spark, path)
+    dirs.flatMap { d =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(path, d)).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith(".")
+        }
+        .map(_.getPath.toString)
+    }
+  }
+
   // ── provenance ──────────────────────────────────────────────────
   // Manifests are dir-name lists, but concurrency reasoning needs ROW
   // provenance: which original batches a dir's rows descend from.

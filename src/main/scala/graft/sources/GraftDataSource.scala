@@ -245,80 +245,19 @@ private[sources] class GraftScanBuilder(path: String, version: Int,
   override def isPartiallyPushed(): Boolean = true
 
   // ── filter → closed per-column bounding box ─────────────────────
-  // Each usable comparison contributes a one-sided canonical bound;
-  // per column the los max-fold and the his min-fold (intersection of
-  // the conjuncts). Strict inequalities bound CLOSED at the same value
-  // — a sound superset; the residual filter restores exactness.
-  // One-sided results complete with the tag's domain sentinel (strings
-  // have no upper sentinel — an upper-unbounded string column simply
-  // contributes no box and prunes nothing).
-
-  private def tagSentinels(tag: String): (Option[Any], Option[Any]) =
-    tag match {
-      case "long" => (Some(Long.MinValue), Some(Long.MaxValue))
-      case "string" => (Some(""), None)
-      // Int.MinValue, NOT -Int.MaxValue: DateType's legal domain is the
-      // full Int epoch-day range, and dir pruning is correctness-bearing
-      // (a pruned dir is never scanned — the residual can't restore it),
-      // so an off-by-one sentinel would silently drop a dir whose max
-      // is exactly the domain minimum.
-      case "date" => (Some(Int.MinValue.toLong), Some(Int.MaxValue.toLong))
-      case "ts" => (Some(Long.MinValue), Some(Long.MaxValue))
-      case _ => (None, None)
-    }
-
-  private def canonToExternal(tag: String, v: Any): Any = tag match {
-    case "date" => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Long])
-    case "ts" =>
-      val us = v.asInstanceOf[Long]
-      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
-        Math.floorMod(us, 1000000L) * 1000L)
-    case _ => v
-  }
-
-  /** (column, canonical lo bound, canonical hi bound) a single filter
-    * contributes — None when the filter cannot bound. */
-  private def boundOf(f: Filter): Option[(String, Option[Any], Option[Any])] = {
-    def canon(name: String, v: Any): Option[Any] = for {
-      fld <- tableSchema.fields.find(_.name == name)
-      colTag <- Upsert.statTag(fld.dataType)
-      (vTag, c) <- Upsert.probeCanon(v)
-      if vTag == colTag && v != null
-    } yield c
-    f match {
-      case EqualTo(c, v) => canon(c, v).map(x => (c, Some(x), Some(x)))
-      case EqualNullSafe(c, v) if v != null =>
-        canon(c, v).map(x => (c, Some(x), Some(x)))
-      case GreaterThan(c, v) => canon(c, v).map(x => (c, Some(x), None))
-      case GreaterThanOrEqual(c, v) => canon(c, v).map(x => (c, Some(x), None))
-      case LessThan(c, v) => canon(c, v).map(x => (c, None, Some(x)))
-      case LessThanOrEqual(c, v) => canon(c, v).map(x => (c, None, Some(x)))
-      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
-        val cs = vs.toSeq.map(canon(c, _))
-        if (cs.exists(_.isEmpty)) None
-        else {
-          val xs = cs.flatten
-          Some((c, Some(xs.reduce((a, b) => if (Upsert.statLt(a, b)) a else b)),
-            Some(xs.reduce((a, b) => if (Upsert.statLt(a, b)) b else a))))
-        }
-      case _ => None
-    }
-  }
+  // Folding lives in [[FilterBounds]] (shared with the Batch scan's
+  // runtime filters): each usable comparison contributes a one-sided
+  // canonical bound; per column the los max-fold and the his min-fold
+  // (intersection of the conjuncts). Strict inequalities bound CLOSED
+  // at the same value — a sound superset; the residual filter restores
+  // exactness. One-sided results complete with the tag's domain
+  // sentinel (strings have no upper sentinel — an upper-unbounded
+  // string column simply contributes no box and prunes nothing).
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val contrib = filters.map(f => f -> boundOf(f))
-    pushed = contrib.collect { case (f, Some(_)) => f }
-    val perCol = contrib.flatMap(_._2).groupBy(_._1)
-    bounds = perCol.flatMap { case (c, bs) =>
-      val tag = Upsert.statTag(tableSchema(c).dataType).get
-      val (sLo, sHi) = tagSentinels(tag)
-      val lo = bs.flatMap(_._2).reduceOption((a, b) =>
-        if (Upsert.statLt(a, b)) b else a).orElse(sLo)
-      val hi = bs.flatMap(_._3).reduceOption((a, b) =>
-        if (Upsert.statLt(a, b)) a else b).orElse(sHi)
-      for (l <- lo; h <- hi)
-        yield c -> ((canonToExternal(tag, l), canonToExternal(tag, h)))
-    }
+    pushed = filters.filter(f =>
+      FilterBounds.boundOf(tableSchema, f).isDefined)
+    bounds = FilterBounds.fold(tableSchema, filters)
     // EVERYTHING stays residual: the bounds accelerate (dir pruning +
     // row-group skipping), Spark's re-evaluation keeps strictness and
     // un-boundable predicates exact.
@@ -362,8 +301,24 @@ private[sources] class GraftScanBuilder(path: String, version: Int,
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     pushAggregation(aggregation)
 
-  override def build(): Scan =
-    new GraftScan(path, version, required, bounds, pushed, agg, limit)
+  override def build(): Scan = {
+    // ROUTE: plain row scans (no pushed aggregate/limit) on an
+    // evolution-free, dv-less snapshot whose read columns the row
+    // reader serves go to the BATCH path — the one Spark's runtime
+    // filtering (broadcast-join build-side pruning) can reach. Pushed
+    // aggregates (metadata one-row answer), pushed limits (early-stop
+    // inside the bridged plan), MoR versions, schema-mapped sinks and
+    // exotic column types stay on the V1 bridge. Both paths keep every
+    // filter residual, so the route is a performance choice, never a
+    // correctness one.
+    val batchable = agg.isEmpty && limit.isEmpty &&
+      required.fields.forall(f => GraftBatchScan.typeSupported(f.dataType)) &&
+      Upsert.batchScanEligible(SparkSession.active, path, version)
+    if (batchable)
+      new GraftBatchScan(path, version, tableSchema, required, bounds, pushed)
+    else
+      new GraftScan(path, version, required, bounds, pushed, agg, limit)
+  }
 }
 
 private[sources] class GraftScan(path: String, version: Int,

@@ -178,6 +178,82 @@ class DataSourceV2Spec extends SparkSpec {
       "refused writes must change nothing")
   }
 
+  test("runtime filtering: a broadcast join's build-side keys prune dirs at execution time") {
+    // Four key-range dirs; the dim's filter is on a NON-key column, so
+    // no static bound ever reaches the scan — only Spark's dynamic
+    // pruning (SupportsRuntimeFiltering on the Batch path) can skip.
+    val path = java.nio.file.Files.createTempDirectory("rtf").toString
+    for (b <- 0 until 4)
+      Upsert.writeSnapshot(spark, path,
+        ((b * 100 + 1).toLong to (b * 100 + 100).toLong)
+          .map(i => (i, s"v$i")).toDF("id", "v"),
+        Seq("id"), Seq("id"))
+    val dimPath = java.nio.file.Files.createTempDirectory("rtfdim").toString
+    (1L to 400L).map(i => (i, (i - 1) / 100)).toDF("did", "band")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("band") === 2)
+    val joined = spark.read.format("graft").load(path)
+      .join(broadcast(dim), col("id") === col("did"))
+      .select("id", "v", "band")
+    val got = joined.as[(Long, String, Long)].collect().toSet
+    assert(got == (201L to 300L).map(i => (i, s"v$i", 2L)).toSet,
+      "runtime-pruned join must equal the plain join")
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-3"),
+      s"build-side keys must prune to the one overlapping dir: " +
+        s"${Upsert.lastProbedDirs.get()}")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"the scan must carry Spark's runtime filter:\n${plan.take(1000)}")
+    assert(plan.contains("RuntimeFilterable: [id]"),
+      "the scan must advertise the sink key as runtime-filterable")
+    // The V1 fallback shapes keep working next to the Batch path: the
+    // same sink's metadata aggregate and pushed limit are unaffected.
+    assert(spark.read.format("graft").load(path)
+      .agg(count(lit(1))).as[Long].head() == 400L)
+    assert(spark.read.format("graft").load(path).limit(7)
+      .collect().length == 7)
+  }
+
+  test("Batch row reader: every supported type roundtrips; missing columns null-fill") {
+    val path = java.nio.file.Files.createTempDirectory("types").toString
+    val rows = (1L to 40L).map { i =>
+      (i, i.toInt, i.toFloat, i * 1.5, s"s$i", Array[Byte](i.toByte, 2),
+        i % 2 == 0, java.sql.Date.valueOf(java.time.LocalDate.of(2025, 1,
+          (i % 28 + 1).toInt)),
+        java.sql.Timestamp.from(java.time.Instant.parse(
+          "2025-06-01T00:00:00Z").plusSeconds(i * 61)),
+        Seq(i.toFloat, -i.toFloat), Seq(s"a$i", s"b$i"))
+    }.toDF("id", "i32", "f32", "f64", "s", "bin", "flag", "d", "ts",
+      "af", "as")
+    Upsert.writeSnapshot(spark, path, rows, Seq("id"), Seq("id"))
+    // A second dir carries an EXTRA column (additive physical
+    // evolution): Batch reads of dir-1 rows must null-fill it.
+    Upsert.writeSnapshot(spark, path,
+      Seq((100L, "x")).toDF("id", "extra"), Seq("id"), Seq("id"))
+    val viaBatch = spark.read.format("graft").load(path)
+      .filter(col("id") >= 1L) // residual-only filter keeps the Batch route
+    val plan = viaBatch.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftSnapshotBatch"),
+      s"an eligible scan must take the Batch path:\n${plan.take(600)}")
+    val lib = Upsert.readSnapshot(spark, path, 2)
+    val cols = lib.columns.toIndexedSeq.sorted
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select(cols.map(c => col(c).cast("string")): _*)
+        .collect().map(_.toSeq).toSet
+    assert(norm(viaBatch) == norm(lib),
+      "Batch rows must equal the library read, every type")
+    // MoR flips the SAME load to the V1 fallback (dv anti-join needs
+    // the DataFrame path) and stays exact.
+    Upsert.mergeSnapshotMoR(spark, path,
+      Seq(("D", 3L, "")).toDF("op", "id", "s"), Seq("id"), Seq("id"), "op")
+    val afterMor = spark.read.format("graft").load(path)
+      .filter(col("id") >= 1L)
+    assert(!afterMor.queryExecution.executedPlan.toString
+      .contains("GraftSnapshotBatch"),
+      "a dv'd snapshot must fall back to the V1 bridge")
+    assert(afterMor.count() == 40L)
+  }
+
   test("timestampAsOf resolves like readSnapshotAsOf; schema evolution surfaces") {
     val path = buildSink()
     val t1 = Upsert.publishedAtMs(spark, path, 1)
