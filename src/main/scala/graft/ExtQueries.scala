@@ -1410,6 +1410,62 @@ object ExtQueries {
         .orderBy("doc_id")
     }),
 
+    "q_snap_feed_stream" -> ((s, dir) => {
+      // The change feed as a REAL Structured Streaming source:
+      // readStream.format("graft") with snapshot VERSIONS as the
+      // checkpointed offsets. Run 1 delivers the CDC initial snapshot
+      // (v1 as I rows) and commits its offset; a COW merge lands while
+      // the stream is down; run 2 resumes FROM THE CHECKPOINT and
+      // delivers exactly the merge's I/U/D span (recorded O(changes)
+      // path) — the requires pin the resume (no re-delivered
+      // snapshot) and the recorded mode. Output = the sink-as-state
+      // accumulation of every micro-batch; the oracle recomputes the
+      // same I + I/U/D multiset.
+      val base = s"$RunScratch/graft_feed_stream_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val path = base; val ckpt = s"${base}_ckpt"; val out = s"${base}_out"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), s.sparkContext.hadoopConfiguration)
+      Seq(path, ckpt, out).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      val docs = read(s, dir, "documents").select("doc_id", "source", "n_chars")
+      graft.ops.Upsert.writeSnapshot(s, path,
+        docs.filter(col("doc_id") % 10 isin (0, 2, 4)),
+        Seq("doc_id"), Seq("doc_id"))
+      def run(): Unit = {
+        val q = s.readStream.format("graft").option("changeFeed", "true")
+          .load(path)
+          .writeStream.option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(out); ()
+          }.start()
+        q.processAllAvailable(); q.stop()
+      }
+      run()
+      val afterInit = s.read.parquet(out).count()
+      graft.ops.Upsert.mergeSnapshot(s, path,
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000L)
+          .withColumn("__op", lit("U"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 2)
+          .withColumn("__op", lit("D")))
+        .unionByName(docs.filter(col("doc_id") % 10 === 6)
+          .withColumn("__op", lit("I"))),
+        Seq("doc_id"), Seq("doc_id"), "__op")
+      run()
+      val rows = s.read.parquet(out)
+      // Resume proof: the UNCHANGED class (%10==4) was delivered once,
+      // by the initial snapshot — a replayed snapshot would double it.
+      require(rows.count() > afterInit &&
+        rows.filter(col("doc_id") % 10 === 4).count() == afterInit / 3,
+        s"restart must RESUME from the committed version, not replay " +
+          s"the snapshot: $afterInit -> ${rows.count()}")
+      require(graft.ops.Upsert.lastChangesMode.get().startsWith("recorded:"),
+        s"the resumed span must ride the recorded path: ${
+          graft.ops.Upsert.lastChangesMode.get()}")
+      rows.orderBy("doc_id", "op")
+    }),
+
     "q_gate_incremental" -> ((s, dir) => {
       // The drift gate at BATCH cost: after one bootstrap profile pass,
       // every later gated publish diffs the maintained v<N>.profile
@@ -8256,6 +8312,23 @@ object ExtQueries {
            CAST(n_chars + 1000 AS BIGINT) FROM documents
          WHERE doc_id % 10 = 0
          ORDER BY doc_id""",
+
+    // The streamed feed's accumulated micro-batches: the initial
+    // snapshot (v1 = %10 ∈ {0,2,4} as I) plus the merge's exact span.
+    "q_snap_feed_stream" ->
+      """SELECT 'I' AS op, doc_id, source, n_chars FROM documents
+         WHERE doc_id % 10 IN (0, 2, 4)
+         UNION ALL
+         SELECT 'U', doc_id, source,
+           CAST(n_chars + 1000 AS BIGINT) FROM documents
+         WHERE doc_id % 10 = 0
+         UNION ALL
+         SELECT 'D', doc_id, source, n_chars FROM documents
+         WHERE doc_id % 10 = 2
+         UNION ALL
+         SELECT 'I', doc_id, source, n_chars FROM documents
+         WHERE doc_id % 10 = 6
+         ORDER BY doc_id, op""",
 
     // Three clean gated publishes (one per doc_id mod-3 class) must all
     // pass the drift gate — the maintained-sidecar diff sees the same

@@ -1443,6 +1443,11 @@ object Upsert {
       path: String): Seq[String] =
     (recordedKeyCols(spark, path) ++ recordedSkipCols(spark, path)).distinct
 
+  /** The sink's recorded key columns — the change-feed relation's
+    * default `keys`. */
+  private[graft] def recordedKeyColsOf(spark: SparkSession,
+      path: String): Seq[String] = recordedKeyCols(spark, path)
+
   /** Bloom-canon string of an external probe value — mirrors
     * [[keyCanon]]'s single-column rendering (cast-to-string for
     * long/string, epoch day / epoch micros for date/ts). */

@@ -143,6 +143,16 @@ private[sources] object GraftBatchScan {
     case ArrayType(et, _) => scalarSupported(et)
     case other => scalarSupported(other)
   }
+
+  /** Hadoop conf as serializable pairs for the executor-side readers
+    * (credentials/fs settings must travel; Configuration itself is not
+    * serializable). */
+  def hadoopConfKVs(spark: SparkSession): Array[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val b = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+    b.result()
+  }
 }
 
 private[sources] class GraftBatchScan(path: String, version: Int,
@@ -199,16 +209,9 @@ private[sources] class GraftBatchScan(path: String, version: Int,
       .map(f => GraftInputPartition(f): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val conf = SparkSession.active.sparkContext.hadoopConfiguration
-    val kvs = {
-      val it = conf.iterator()
-      val b = Array.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
-      b.result()
-    }
-    new GraftReaderFactory(required, kvs)
-  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(required,
+      GraftBatchScan.hadoopConfKVs(SparkSession.active))
 }
 
 private[sources] final case class GraftInputPartition(file: String)

@@ -111,6 +111,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val path = pathOf(options)
+    if (GraftChangeFeed.isFeed(options)) {
+      // The CHANGE-FEED relation (batch span / streaming source):
+      // op + the logical shape of the span's endpoint.
+      val to = Option(options.get("endingVersion")).map(_.trim.toInt)
+        .getOrElse(Upsert.latestVersion(spark, path))
+      require(to >= 1, s"graft: no published snapshot at $path")
+      return GraftChangeFeed.feedSchema(spark, path, to,
+        GraftChangeFeed.opColOf(options))
+    }
     pinned.remove() // resolve fresh, then pin for the paired getTable
     val v = resolveVersion(spark, options)
     pinned.set(Some((path, v)))
@@ -127,7 +136,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val spark = SparkSession.active
-    new GraftTable(pathOf(opts), resolveVersion(spark, opts), schema)
+    val path = pathOf(opts)
+    if (GraftChangeFeed.isFeed(opts))
+      new GraftFeedTable(path, schema,
+        GraftChangeFeed.keysOf(spark, path, opts),
+        GraftChangeFeed.opColOf(opts),
+        Option(opts.get("startingVersion")).map(_.trim).getOrElse(""),
+        Option(opts.get("endingVersion")).map(_.trim.toInt))
+    else
+      new GraftTable(path, resolveVersion(spark, opts), schema)
   }
 }
 

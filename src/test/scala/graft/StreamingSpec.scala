@@ -1040,6 +1040,81 @@ class StreamingSpec extends SparkSpec {
       && batch(1).isNullAt(2))
   }
 
+  test("readStream.format(graft): versions are checkpointed offsets; resumes across restart, merge and compaction") {
+    import graft.ops.Upsert
+    val src = java.nio.file.Files.createTempDirectory("gstr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gstrck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("gstrout").toString
+    Upsert.writeSnapshot(spark, src,
+      (1L to 10L).map(i => (i, i % 3, s"v$i")).toDF("id", "g", "v"),
+      Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, src,
+      (11L to 14L).map(i => (i, i % 3, s"v$i")).toDF("id", "g", "v"),
+      Seq("id"), Seq("id"))
+    // Sink-as-state twin: every micro-batch appends with its batch id,
+    // so restarts prove WHICH offsets re-delivered.
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("changeFeed", "true").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.withColumn("__batch", lit(id))
+            .write.mode("append").parquet(outDir)
+          ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val first = spark.read.parquet(outDir)
+    assert(first.count() == 14 &&
+      first.select("op").distinct().as[String].collect().toSeq == Seq("I"),
+      "first batch = the CDC initial snapshot as I rows")
+    // While the stream is DOWN: a COW merge, then a full compaction.
+    Upsert.mergeSnapshot(spark, src,
+      Seq(("U", 3L, 0L, "U3"), ("D", 7L, 1L, ""), ("I", 20L, 2L, "I20"))
+        .toDF("op", "id", "g", "v"),
+      Seq("id"), Seq("id"), "op")
+    Upsert.compactSnapshots(spark, src)
+    run()
+    val rows = spark.read.parquet(outDir)
+    assert(rows.count() == 17,
+      s"restart must RESUME from the committed version — exactly the " +
+        s"merge's 3 changes arrive, got ${rows.count()} rows")
+    assert(Upsert.lastChangesMode.get().startsWith("recorded:"),
+      s"the resumed span must ride the recorded O(changes) path even " +
+        s"across the compaction: ${Upsert.lastChangesMode.get()}")
+    val resumed = rows.filter(col("__batch") > 0)
+      .select("op", "id").as[(String, Long)].collect().toSet
+    assert(resumed == Set(("U", 3L), ("D", 7L), ("I", 20L)),
+      s"resumed feed classes: $resumed")
+    // Applying the feed in batch order reconstructs the latest state.
+    val applied = scala.collection.mutable.Map.empty[Long, (Long, String)]
+    rows.orderBy("__batch").select("op", "id", "g", "v")
+      .as[(String, Long, Long, String)].collect().foreach {
+        case ("D", id, _, _) => applied.remove(id)
+        case (_, id, g, v) => applied(id) = (g, v)
+      }
+    val direct = Upsert.readSnapshot(spark, src,
+        Upsert.latestVersion(spark, src))
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(applied.toMap == direct,
+      "feed-applied state must equal the batch recompute")
+    // Caught-up restart: no new versions → no batch re-delivered.
+    run()
+    assert(spark.read.parquet(outDir).count() == 17,
+      "a caught-up restart must append nothing")
+    // The BATCH changeFeed relation serves the same explicit span.
+    val span = spark.read.format("graft").option("changeFeed", "true")
+      .option("startingVersion", 2).load(src)
+    assert(span.select("op", "id").as[(String, Long)].collect().toSet ==
+      Set(("U", 3L), ("D", 7L), ("I", 20L)),
+      "batch changeFeed span must equal the streamed span")
+    // startingVersion=latest: shape-only, empty.
+    assert(spark.read.format("graft").option("changeFeed", "true")
+      .option("startingVersion", "latest").load(src).isEmpty)
+  }
+
   test("change-feed subscription: downstream aggregate tracks merges, MoR, compaction; replay-safe; erasure forces recompute") {
     import graft.ops.Upsert
     val src = java.nio.file.Files.createTempDirectory("feedsrc").toString
