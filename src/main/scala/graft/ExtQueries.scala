@@ -1966,6 +1966,45 @@ object ExtQueries {
       out
     }),
 
+    "q_snap_catalog_sql" -> ((s, dir) => {
+      // The PURE-SQL face: a named catalog table (CREATE TABLE with a
+      // declared key, SQL INSERTs as keyed publishes, VERSION AS OF
+      // time travel) must equal the path API bit-for-bit — the catalog
+      // returns the same GraftTable, so scans, pushdown and the probe
+      // audits ride unchanged. The requires pin keep-existing
+      // semantics (the overlapping second INSERT does not clobber) and
+      // the time-traveled v1 count.
+      val wh = s"$RunScratch/graft_cat_wh_${
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(wh), s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(wh), true)
+      s.conf.set("spark.sql.catalog.graft_cat",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+      s.sql("CREATE TABLE graft_cat.db.docs " +
+        "(doc_id BIGINT, source STRING, n_chars BIGINT) " +
+        "OPTIONS ('keys' = 'doc_id')")
+      read(s, dir, "documents").select("doc_id", "source", "n_chars")
+        .createOrReplaceTempView("catalog_docs_src")
+      s.sql("INSERT INTO graft_cat.db.docs " +
+        "SELECT doc_id, source, n_chars FROM catalog_docs_src " +
+        "WHERE doc_id % 2 = 0")
+      // Overlaps on %4==0 (already present): keep-existing must hold.
+      s.sql("INSERT INTO graft_cat.db.docs " +
+        "SELECT doc_id, source, n_chars + 777 FROM catalog_docs_src " +
+        "WHERE doc_id % 4 IN (0, 1)")
+      val v1 = s.sql(
+        "SELECT count(*) AS n FROM graft_cat.db.docs VERSION AS OF 1")
+        .collect()(0).getLong(0)
+      val evens = s.sql("SELECT count(*) AS n FROM catalog_docs_src " +
+        "WHERE doc_id % 2 = 0").collect()(0).getLong(0)
+      require(v1 == evens, s"VERSION AS OF 1 must see the first " +
+        s"INSERT only: $v1 vs $evens")
+      s.sql("SELECT doc_id, source, n_chars FROM graft_cat.db.docs " +
+        "ORDER BY doc_id")
+    }),
+
     "q_markov_transitions" -> ((s, dir) => {
       // First-order journey chain over the events stream: per user,
       // conversions close journeys; exact (from, to) transition counts
@@ -8479,6 +8518,17 @@ object ExtQueries {
                                 FROM documents) = 2) m
            ON d.doc_id = m.did
          ORDER BY d.doc_id""",
+
+    // SQL-inserted catalog table: evens land first (keep-existing wins
+    // on the %4==0 overlap — NO +777 there), %4==1 odds insert fresh
+    // (the +777 sticks for them).
+    "q_snap_catalog_sql" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE doc_id % 2 = 0
+         UNION ALL
+         SELECT doc_id, source, CAST(n_chars + 777 AS BIGINT)
+         FROM documents WHERE doc_id % 4 = 1
+         ORDER BY doc_id""",
 
     // Per-column drift between the full corpus (v2) and the even half
     // (v1): recomputed straight from the logical table, exact longs +

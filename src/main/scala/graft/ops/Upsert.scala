@@ -1448,6 +1448,16 @@ object Upsert {
   private[graft] def recordedKeyColsOf(spark: SparkSession,
       path: String): Seq[String] = recordedKeyCols(spark, path)
 
+  /** Persist the sink's key declaration ahead of the first write —
+    * the catalog's CREATE TABLE hook, so a later plain INSERT
+    * bootstraps keyed without repeating the option. */
+  private[graft] def declareKeys(spark: SparkSession, path: String,
+      keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "declareKeys: empty key list")
+    fsFor(spark, path).mkdirs(snapDir(path))
+    recordKeyCols(spark, path, keys)
+  }
+
   /** Bloom-canon string of an external probe value — mirrors
     * [[keyCanon]]'s single-column rendering (cast-to-string for
     * long/string, epoch day / epoch micros for date/ts). */

@@ -200,26 +200,68 @@ private[sources] class GraftTable(path: String, version: Int,
                 "is append/merge (history is the product); use mergeOp " +
                 "deletes, eraseKeys or expireSnapshots")
             val opts = info.options
-            val keysOpt = opts.get("keys")
-            require(keysOpt != null && keysOpt.trim.nonEmpty,
+            // POSITIONAL resolution for SQL INSERTs: ACCEPT_ANY_SCHEMA
+            // skips Spark's own output mapping, so `INSERT … VALUES`
+            // arrives as col1/col2/…. When the arity matches the
+            // table's schema and NO incoming name matches a table
+            // column, rename positionally (SQL INSERT semantics); any
+            // name overlap means the caller addressed columns by name
+            // and the frame passes through untouched.
+            val frame = {
+              // Positional iff the arity matches and ANY incoming name
+              // is not a table column (SQL INSERT: unaliased
+              // expressions arrive as `(n_chars + 777)`, VALUES as
+              // colN). A frame whose names are all table columns is
+              // by-name (the DataFrame API's reordered-append case);
+              // CDC/evolution batches differ in arity and pass
+              // through untouched.
+              val renamed =
+                if (tableSchema.nonEmpty &&
+                    data.columns.length == tableSchema.fields.length &&
+                    data.columns.exists(!tableSchema.fieldNames.contains(_)))
+                  data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
+                else data
+              // Storage-assignment casts (the other half of the skipped
+              // resolution): a VALUES literal's narrow type must land
+              // as the DECLARED type, or the first insert would freeze
+              // the sink's physical schema narrower than the table and
+              // every later well-typed batch would fail mergeSchema.
+              // Columns the table does not declare (a mergeOp marker)
+              // pass through untouched.
+              renamed.select(renamed.columns.toIndexedSeq.map { c =>
+                tableSchema.fields.find(_.name == c) match {
+                  case Some(f) if f.dataType != renamed.schema(c).dataType =>
+                    col(c).cast(f.dataType).as(c)
+                  case _ => col(c)
+                }
+              }: _*)
+            }
+            // Keys: the write option, falling back to the sink's
+            // recorded declaration (a catalog CREATE TABLE or any
+            // earlier keyed write) — so a plain `INSERT INTO` works.
+            val spark0 = data.sparkSession
+            val keys = Option(opts.get("keys"))
+              .map(_.split(",").toIndexedSeq.map(_.trim).filter(_.nonEmpty))
+              .filter(_.nonEmpty)
+              .getOrElse(graft.ops.Upsert
+                .recordedKeyColsOf(spark0, path).toIndexedSeq)
+            require(keys.nonEmpty,
               "graft: writes require option(\"keys\", \"col[,col…]\") — " +
-                "the snapshot sink is keyed (keep-existing upsert)")
-            val keys = keysOpt.split(",").toIndexedSeq
-              .map(_.trim).filter(_.nonEmpty)
+                "the snapshot sink is keyed (keep-existing upsert); a " +
+                "catalog table declares them once at CREATE TABLE")
             val tieBreak = Option(opts.get("tieBreak"))
               .map(_.split(",").toIndexedSeq.map(_.trim)
                 .filter(_.nonEmpty))
               .getOrElse(keys)
-            val spark = data.sparkSession
             Option(opts.get("mergeOp")) match {
               case Some(op) if Option(opts.get("mor"))
                   .exists(_.trim.equalsIgnoreCase("true")) =>
-                Upsert.mergeSnapshotMoR(spark, path, data, keys,
+                Upsert.mergeSnapshotMoR(spark0, path, frame, keys,
                   tieBreak, op)
               case Some(op) =>
-                Upsert.mergeSnapshot(spark, path, data, keys, tieBreak, op)
+                Upsert.mergeSnapshot(spark0, path, frame, keys, tieBreak, op)
               case None =>
-                Upsert.writeSnapshot(spark, path, data, keys, tieBreak)
+                Upsert.writeSnapshot(spark0, path, frame, keys, tieBreak)
             }
             ()
           }

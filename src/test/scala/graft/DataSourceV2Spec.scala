@@ -164,17 +164,26 @@ class DataSourceV2Spec extends SparkSpec {
       s"mor write must go through deletion vectors: $added")
     assert(spark.read.format("graft").load(path).as[(Long, String)]
       .collect().toMap == Map(1L -> "A2"))
-    // Refusals: keys required; overwrite unsupported.
+    // A keyed sink remembers its declaration: an option-less append
+    // rides the recorded keys (the catalog INSERT path).
+    Seq((9L, "x")).toDF("id", "v")
+      .write.format("graft").mode("append").save(path)
+    assert(spark.read.format("graft").load(path).as[(Long, String)]
+      .collect().toMap == Map(1L -> "A2", 9L -> "x"))
+    // Refusals: keys required on an UNDECLARED fresh sink; overwrite
+    // unsupported anywhere.
     intercept[Exception] {
       Seq((9L, "x")).toDF("id", "v")
-        .write.format("graft").mode("append").save(path)
+        .write.format("graft").mode("append").save(path + "_fresh")
     }
+    assert(!new java.io.File(path + "_fresh", "_snapshots").exists(),
+      "a refused bootstrap must publish nothing")
     intercept[Exception] {
       Seq((9L, "x")).toDF("id", "v")
         .write.format("graft").option("keys", "id")
         .mode("overwrite").save(path)
     }
-    assert(spark.read.format("graft").load(path).count() == 1,
+    assert(spark.read.format("graft").load(path).count() == 2,
       "refused writes must change nothing")
   }
 
@@ -252,6 +261,65 @@ class DataSourceV2Spec extends SparkSpec {
       .contains("GraftSnapshotBatch"),
       "a dv'd snapshot must fall back to the V1 bridge")
     assert(afterMor.count() == 40L)
+  }
+
+  test("TableCatalog: SQL DDL/DML + time travel over named tables equal the path API") {
+    val wh = java.nio.file.Files.createTempDirectory("graftwh").toString
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    new java.io.File(wh, "db").mkdirs()
+    // CREATE declares the keys once; INSERTs are keyed publishes.
+    spark.sql("CREATE TABLE graft_cat.db.trades (id BIGINT, v STRING) " +
+      "OPTIONS ('keys' = 'id')")
+    spark.sql("INSERT INTO graft_cat.db.trades VALUES (1, 'a'), (2, 'b')")
+    spark.sql("INSERT INTO graft_cat.db.trades VALUES (2, 'CHANGED'), (3, 'c')")
+    assert(spark.sql("SELECT * FROM graft_cat.db.trades")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "keep-existing upsert semantics must hold through SQL INSERT")
+    // Time travel syntax, both forms.
+    assert(spark.sql("SELECT * FROM graft_cat.db.trades VERSION AS OF 1")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    val path = s"$wh/db/trades"
+    val t1 = Upsert.publishedAtMs(spark, path, 1)
+    val asOf = spark.sql(
+      s"SELECT * FROM graft_cat.db.trades TIMESTAMP AS OF " +
+        s"timestamp_micros(${t1 * 1000L})")
+    assert(asOf.count() == 2)
+    // The catalog returns the SAME table as the path API: the probe
+    // audit and pushdown ride unchanged through named SQL.
+    val docsPath = s"$wh/db/scored"
+    Upsert.declareSkipCols(spark, docsPath, Seq("score"))
+    val rows = (1L to 200L).map(i => (i, i % 100, s"v$i"))
+      .toDF("id", "score", "v")
+    Upsert.writeSnapshot(spark, docsPath, rows.filter(col("score") < 50),
+      Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, docsPath, rows.filter(col("score") >= 50),
+      Seq("id"), Seq("id"))
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graft_cat.db.scored " +
+        "WHERE score BETWEEN 60 AND 70").as[Long].head()
+    assert(n == (1L to 200L).count(i => i % 100 >= 60 && i % 100 <= 70))
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-2"),
+      s"named-table SQL must keep the sidecar pruning: " +
+        s"${Upsert.lastProbedDirs.get()}")
+    // DataFrame writeTo face + catalog listing + refusals + DROP.
+    Seq((9L, "z")).toDF("id", "v").writeTo("graft_cat.db.trades").append()
+    assert(spark.table("graft_cat.db.trades").count() == 4)
+    assert(spark.sql("SHOW TABLES IN graft_cat.db").collect()
+      .map(_.getString(1)).toSet == Set("trades", "scored"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft_cat.db.trades RENAME COLUMN v TO w")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE graft_cat.db.trades (id BIGINT) " +
+        "OPTIONS ('keys' = 'id')")
+    }
+    spark.sql("DROP TABLE graft_cat.db.trades")
+    assert(!new java.io.File(s"$wh/db/trades").exists(),
+      "DROP deletes the sink — the table IS the directory")
+    intercept[Exception] { spark.table("graft_cat.db.trades").collect() }
   }
 
   test("timestampAsOf resolves like readSnapshotAsOf; schema evolution surfaces") {
