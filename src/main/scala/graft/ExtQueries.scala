@@ -1878,6 +1878,18 @@ object ExtQueries {
         plan.contains("GreaterThanOrEqual(score,60)"),
         s"bounds must surface as PushedFilters on the DSv2 scan:\n${
           plan.take(800)}")
+      // An OR of two ranges on one column folds to the union box and
+      // still prunes to the high-score dir (the residual keeps the gap
+      // between the branches exact — same count as the plain filter).
+      val orRead = s.read.format("graft").load(path)
+        .filter((col("score") >= 60 && col("score") <= 62) ||
+          (col("score") >= 68 && col("score") <= 70))
+      val orN = orRead.count()
+      require(graft.ops.Upsert.lastProbedDirs.get() == Seq("batch-2"),
+        s"Or union box must prune: ${graft.ops.Upsert.lastProbedDirs.get()}")
+      require(orN == docs.filter((col("score") >= 60 && col("score") <= 62)
+          || (col("score") >= 68 && col("score") <= 70)).count(),
+        "Or residual must stay exact")
       out
     }),
 

@@ -75,6 +75,55 @@ private[sources] object FilterBounds {
           Some((c, Some(xs.reduce((a, b) => if (Upsert.statLt(a, b)) a else b)),
             Some(xs.reduce((a, b) => if (Upsert.statLt(a, b)) b else a))))
         }
+      // A prefix is a closed string range: every `p…` sorts in
+      // [p, inc(p)] under the sidecars' UTF-8 byte order. The
+      // increment stays inside ASCII (a multi-byte last char has no
+      // valid-string successor in byte order) — non-ASCII prefixes
+      // simply contribute no box, never a wrong one.
+      case StringStartsWith(c, p) if p != null && p.nonEmpty &&
+          p.last < '\u007f' =>
+        canon(c, p).flatMap { lo =>
+          canon(c, p.init + (p.last + 1).toChar)
+            .map(hi => (c, Some(lo), Some(hi)))
+        }
+      // An And intersects: same-column branches merge their bounds;
+      // mixed-column branches keep one side's box (sound — the
+      // conjunction implies each side; the single-column result shape
+      // can't carry both). Top-level conjunctions arrive pre-split by
+      // Catalyst, so this matters under Or branches.
+      case And(l, r) =>
+        (boundOf(tableSchema, l), boundOf(tableSchema, r)) match {
+          case (Some((cl, llo, lhi)), Some((cr, rlo, rhi))) if cl == cr =>
+            val lo = (llo, rlo) match {
+              case (Some(a), Some(b)) =>
+                Some(if (Upsert.statLt(a, b)) b else a)
+              case (a, b) => a.orElse(b)
+            }
+            val hi = (lhi, rhi) match {
+              case (Some(a), Some(b)) =>
+                Some(if (Upsert.statLt(a, b)) a else b)
+              case (a, b) => a.orElse(b)
+            }
+            Some((cl, lo, hi))
+          case (one, None) => one
+          case (None, one) => one
+          case (one, _) => one
+        }
+      // An Or whose BOTH branches bound the SAME column folds to the
+      // union box (min-lo, max-hi): sound — every row satisfying
+      // either branch lies inside the union — and still useful when
+      // the branches cluster (IN-lists rewritten as ranges, date
+      // windows). A side missing a bound leaves that side open.
+      case Or(l, r) =>
+        (boundOf(tableSchema, l), boundOf(tableSchema, r)) match {
+          case (Some((cl, llo, lhi)), Some((cr, rlo, rhi))) if cl == cr =>
+            val lo = for (a <- llo; b <- rlo)
+              yield if (Upsert.statLt(a, b)) a else b
+            val hi = for (a <- lhi; b <- rhi)
+              yield if (Upsert.statLt(a, b)) b else a
+            if (lo.isEmpty && hi.isEmpty) None else Some((cl, lo, hi))
+          case _ => None
+        }
       case _ => None
     }
   }

@@ -187,6 +187,45 @@ class DataSourceV2Spec extends SparkSpec {
       "refused writes must change nothing")
   }
 
+  test("Or and prefix predicates fold to boxes: pruning fires, residuals keep exactness") {
+    val path = buildSink()
+    // Or of two ranges on ONE column: the union box [60, 70] admits
+    // only the high-score dir; the residual drops the gap (63..67).
+    val orRead = spark.read.format("graft").load(path)
+      .filter((col("score") >= 60 && col("score") <= 62) ||
+        (col("score") >= 68 && col("score") <= 70))
+    val got = orRead.select("score").distinct().as[Long].collect().toSeq.sorted
+    assert(got == Seq(60L, 61L, 62L, 68L, 69L, 70L),
+      s"Or residual must keep exactness (gap excluded): $got")
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-2"),
+      s"the union box must prune to the high dir: " +
+        s"${Upsert.lastProbedDirs.get()}")
+    // An Or across DIFFERENT columns contributes no box (kept exact
+    // by the residual; everything is admitted).
+    assert(spark.read.format("graft").load(path)
+      .filter(col("score") === 60 || col("id") === 3L).count() ==
+      (1L to 200L).count(i => i % 100 == 60 || i == 3L))
+    // Prefix on a string skip column: dirs separated by the first
+    // letter; startsWith("b") folds to ["b", "c"] and prunes dir-a.
+    val p2 = java.nio.file.Files.createTempDirectory("pfx").toString
+    Upsert.declareSkipCols(spark, p2, Seq("tag"))
+    val rows = (1L to 100L).map(i =>
+      (i, (if (i <= 50) "alpha" else "beta") + i)).toDF("id", "tag")
+    Upsert.writeSnapshot(spark, p2, rows.filter(col("id") <= 50),
+      Seq("id"), Seq("id"))
+    Upsert.writeSnapshot(spark, p2, rows.filter(col("id") > 50),
+      Seq("id"), Seq("id"))
+    val pre = spark.read.format("graft").load(p2)
+      .filter(col("tag").startsWith("beta"))
+    assert(pre.count() == 50)
+    assert(Upsert.lastProbedDirs.get() == Seq("batch-2"),
+      s"the prefix box must prune the alpha dir: " +
+        s"${Upsert.lastProbedDirs.get()}")
+    // Non-ASCII prefix: no box, still exact.
+    assert(spark.read.format("graft").load(p2)
+      .filter(col("tag").startsWith("β")).count() == 0)
+  }
+
   test("runtime filtering: a broadcast join's build-side keys prune dirs at execution time") {
     // Four key-range dirs; the dim's filter is on a NON-key column, so
     // no static bound ever reaches the scan — only Spark's dynamic
