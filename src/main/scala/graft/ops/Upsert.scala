@@ -670,16 +670,44 @@ object Upsert {
     val entries = manifestEntries(spark, path, version)
     var sawLine = false
     val scanned = scala.collection.mutable.ArrayBuffer.empty[SnapEntry]
+    // Per-dv bound-touch test: a dv's OWN `.stats` box (stamped at
+    // merge time over the dead rows' keys) that cannot contain `bound`
+    // proves no deleted row carries that extreme — the dir's recorded
+    // bound is still a LIVE row's value. Erasure shrink-rewrites keep
+    // the boxes supersets, so "outside the box" stays sound. A dv with
+    // no usable line for the column (or a missing sidecar) is
+    // conservative: not provably alive.
+    def boundAlive(e: SnapEntry, tag: String, bound: Any): Boolean =
+      e.dvs.forall { dv =>
+        readKeyStats(spark, path, dv) match {
+          case Some(dvStats) =>
+            val lines = aliases.toSeq.flatMap(dvStats.get)
+            lines.nonEmpty && lines.forall {
+              case (dvTag, Some((vLo, vHi))) if dvTag == tag =>
+                statLt(bound, vLo) || statLt(vHi, bound)
+              case (dvTag, None) if dvTag == tag => true // empty dv kills nothing
+              case _ => false
+            }
+          case None => false
+        }
+      }
     val fromStats: Seq[(String, (Any, Any))] = entries.flatMap { e =>
       readKeyStats(spark, path, e.dir) match {
         // A merge-on-read entry's stats box is a SUPERSET (the extreme
-        // row may be dv-dead) — the entry falls back to a resolved
-        // scan; sawLine still records that the column exists.
+        // row may be dv-dead). The dv boxes decide: bounds no dv can
+        // touch answer at metadata cost; a touched bound falls back to
+        // the resolved scan. sawLine records the column exists either
+        // way.
         case Some(stats) if aliases.exists(stats.contains) &&
             e.dvs.nonEmpty =>
           sawLine = true
-          scanned += e
-          Nil
+          val boxes = aliases.toSeq.flatMap(stats.get).collect {
+            case (tag, Some(r)) => (tag, r)
+          }
+          if (boxes.nonEmpty && boxes.forall { case (tag, (lo, hi)) =>
+              boundAlive(e, tag, lo) && boundAlive(e, tag, hi) })
+            boxes
+          else { scanned += e; Nil }
         case Some(stats) if aliases.exists(stats.contains) =>
           sawLine = true
           // A dir may carry lines for several aliases (physical
@@ -2551,25 +2579,31 @@ object Upsert {
     * dir level). Content-identical, same optimistic protocol. */
   def compactSnapshotsZOrdered(spark: SparkSession, path: String,
       zCols: Seq[String], bits: Int = 12, shards: Int = 0): Int =
-    compactSnapshotsWith(spark, path, { df =>
-      require(zCols.nonEmpty && zCols.forall(df.columns.contains),
-        s"compactSnapshotsZOrdered: z columns ${zCols.mkString(",")} " +
-          s"must exist in the snapshot (${df.columns.mkString(",")})")
-      require(!df.columns.contains("__z"),
-        "compactSnapshotsZOrdered: the sink has a data column named " +
-          "'__z' (the reserved scratch column) — the layout would " +
-          "silently destroy it; rename the column first")
-      val z = df.withColumn("__z",
-        graft.ext.Export.zorderKey(zCols.map(col), bits))
-      // Explicit shard count pins the file layout (each output file =
-      // one z-range = one hypercube); the default lets AQE size the
-      // shuffle, which on small inputs coalesces to one file — fine
-      // for data, useless for file-level skipping.
-      (if (shards > 0) z.repartitionByRange(shards, col("__z"))
-       else z.repartitionByRange(col("__z")))
-        .sortWithinPartitions(col("__z"))
-        .drop("__z")
-    })
+    compactSnapshotsWith(spark, path,
+      zOrderLayout(_, zCols, bits, shards, "compactSnapshotsZOrdered"))
+
+  /** The shared Morton layout body behind [[compactSnapshotsZOrdered]]
+    * and [[compactSmallDirs]]' z option. */
+  private def zOrderLayout(df: DataFrame, zCols: Seq[String], bits: Int,
+      shards: Int, opName: String): DataFrame = {
+    require(zCols.nonEmpty && zCols.forall(df.columns.contains),
+      s"$opName: z columns ${zCols.mkString(",")} " +
+        s"must exist in the snapshot (${df.columns.mkString(",")})")
+    require(!df.columns.contains("__z"),
+      s"$opName: the sink has a data column named " +
+        "'__z' (the reserved scratch column) — the layout would " +
+        "silently destroy it; rename the column first")
+    val z = df.withColumn("__z",
+      graft.ext.Export.zorderKey(zCols.map(col), bits))
+    // Explicit shard count pins the file layout (each output file =
+    // one z-range = one hypercube); the default lets AQE size the
+    // shuffle, which on small inputs coalesces to one file — fine
+    // for data, useless for file-level skipping.
+    (if (shards > 0) z.repartitionByRange(shards, col("__z"))
+     else z.repartitionByRange(col("__z")))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
 
   private def compactSnapshotsWith(spark: SparkSession, path: String,
       layout: DataFrame => DataFrame): Int = {
@@ -2706,9 +2740,18 @@ object Upsert {
     * reconcileCompact sweeps crossed publishes. Content-preserving:
     * never bumps the rewrite generation. Returns the published
     * version, or the current one when fewer than `minDirs` dirs
-    * qualify (nothing to pack). */
+    * qualify (nothing to pack).
+    *
+    * `zOrderBy` nonEmpty lays the pack out in Morton order over those
+    * columns (same trade as [[compactSnapshotsZOrdered]], `zBits` low
+    * bits each, `zShards` pinned output files) instead of the
+    * lexicographic key sort — multi-column probes over the packed
+    * trickle dirs then skip on EVERY z column, not just the first
+    * key. */
   def compactSmallDirs(spark: SparkSession, path: String,
-      smallBytes: Long = 128L << 20, minDirs: Int = 2): Int = {
+      smallBytes: Long = 128L << 20, minDirs: Int = 2,
+      zOrderBy: Seq[String] = Nil, zBits: Int = 12,
+      zShards: Int = 0): Int = {
     // Deliberately mirrors compactSnapshots' claim/rewrite/validate/
     // publish skeleton rather than sharing one parameterized loop: the
     // two differ in load-bearing edges (what staleness re-validates —
@@ -2744,8 +2787,11 @@ object Upsert {
       // pack dir's footers stay probe-skippable instead of smearing
       // the trickle batches' keys across every row group. Merge-on-read
       // entries RESOLVE (dvs anti-joined) — the pack folds them.
-      keySortedForFooters(
-          readEntriesRaw(spark, path, smallEntries), statKeys)
+      // `zOrderBy` swaps the sort for the Morton layout.
+      val packed = readEntriesRaw(spark, path, smallEntries)
+      (if (zOrderBy.nonEmpty)
+         zOrderLayout(packed, zOrderBy, zBits, zShards, "compactSmallDirs")
+       else keySortedForFooters(packed, statKeys))
         .write.mode("overwrite").parquet(s"$path/$dirName")
       val af = absorbedPath(path, dirName)
       val out = fs.create(af, true)

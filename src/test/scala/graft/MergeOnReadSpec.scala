@@ -63,20 +63,27 @@ class MergeOnReadSpec extends SparkSpec {
     assert(Upsert.readSnapshot(spark, path, 2)
       .filter(col("id").isin(3L, 7L)).as[(Long, String)]
       .collect().toSet == Set((3L, "v3"), (7L, "v7")))
-    // Metadata COUNT subtracts the dv at sidecar cost; MIN/MAX falls
-    // back ONLY for the dv'd entry.
+    // Metadata COUNT subtracts the dv at sidecar cost; MIN/MAX stays
+    // metadata-only too — the dv's own key box ([3,7]) cannot contain
+    // either dir bound (1, 10), so the extremes are provably alive.
     assert(Upsert.countSnapshot(spark, path, v3) == 19)
     assert(Upsert.lastCountScanned.get().isEmpty,
       s"count must stay metadata-only: ${Upsert.lastCountScanned.get()}")
     val (lo, hi) = Upsert.minMaxSnapshot(spark, path, v3, "id")
     assert((lo, hi) == ((Some(1L), Some(20L))))
-    assert(Upsert.lastMinMaxScanned.get() == Seq("batch-1"),
-      s"only the dv'd entry falls back: ${Upsert.lastMinMaxScanned.get()}")
-    // Deleting the extreme key: min/max never serves the dead row.
+    assert(Upsert.lastMinMaxScanned.get().isEmpty,
+      s"untouched bounds answer at metadata cost: ${
+        Upsert.lastMinMaxScanned.get()}")
+    // Deleting the extreme key: the dv box TOUCHES the dir's recorded
+    // max, so exactly that entry falls back — and never serves the
+    // dead row.
     val v4 = Upsert.mergeSnapshotMoR(spark, path,
       Seq(("D", 20L, "")).toDF("op", "id", "v"),
       Seq("id"), Seq("id"), "op")
     assert(Upsert.minMaxSnapshot(spark, path, v4, "id")._2 == Some(19L))
+    assert(Upsert.lastMinMaxScanned.get() == Seq("batch-2"),
+      s"only the touched-bound entry falls back: ${
+        Upsert.lastMinMaxScanned.get()}")
   }
 
   test("MoR change feed: recorded path exact; key-diff path sees dv-only entry changes") {

@@ -2072,6 +2072,51 @@ class UpsertPartitionedSpec extends SparkSpec {
       s"b bound must push:\n${plan.take(800)}")
   }
 
+  test("z-ordered bin-pack: the packed dir skips on the second z column; large dirs carried untouched") {
+    val path = java.nio.file.Files.createTempDirectory("zpack").toString
+    Upsert.declareSkipCols(spark, path, Seq("a", "b"))
+    // One LARGE dir (must be carried by reference) + four trickle dirs
+    // whose rows grid over (a, b) — the id sort is blind on b.
+    Upsert.writeSnapshot(spark, path,
+      (10000L to 18000L).map(i => (i, i * 37 % 9973, i * 101 % 9973))
+        .toDF("id", "a", "b"),
+      Seq("id"), Seq("id"))
+    for (s <- 0 until 4)
+      Upsert.writeSnapshot(spark, path,
+        (0 until 256).map { j =>
+          val i = s * 256 + j
+          (i.toLong, (i % 1024 / 32).toLong, (i % 32).toLong)
+        }.toDF("id", "a", "b"),
+        Seq("id"), Seq("id"))
+    val largeBytes = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(path, "batch-1"))
+      .getLength
+    val v = Upsert.compactSmallDirs(spark, path,
+      smallBytes = largeBytes - 1, zOrderBy = Seq("a", "b"),
+      zBits = 5, zShards = 8)
+    val entries = scala.io.Source.fromFile(
+      new java.io.File(path + "/_snapshots", s"v$v.list"))
+      .getLines().map(_.split("\t")(0)).toList
+    assert(entries.contains("batch-1"),
+      s"the large dir must be carried by reference: $entries")
+    val pack = entries.find(_.startsWith("compact-")).get
+    // Per-FILE b-ranges: the z layout must leave some packed files
+    // outside the probe band (the key sort spans b in every file).
+    val files = new java.io.File(path, pack).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val hits = files.count { f =>
+      val mm = spark.read.parquet(f.toString).agg(min("b"), max("b")).head()
+      !(mm.getLong(1) < 8L || mm.getLong(0) > 15L)
+    }
+    assert(hits < files.length,
+      s"z-ordered pack must skip files on b: $hits/${files.length}")
+    // Content identity across the pack.
+    assert(Upsert.readSnapshot(spark, path, v).count() == 8001 + 1024)
+    assert(Upsert.readSnapshotWhere(spark, path, v,
+      Map("id" -> ((0L, 1023L)), "b" -> ((8L, 15L)))).count() == 8 * 32)
+  }
+
   test("merge change record: an erasure completing in the deferred-write window voids the record") {
     val path = java.nio.file.Files.createTempDirectory("snaprec").toString
     Upsert.writeSnapshot(spark, path,
