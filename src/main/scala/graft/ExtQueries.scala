@@ -1771,10 +1771,18 @@ object ExtQueries {
       val mode = graft.ops.Upsert.lastFeedRefresh.get()
       require(mode.startsWith("feed:"),
         s"merge span must apply incrementally from the feed, got '$mode'")
+      // Bounds ride the same feed apply: arrivals extend min_v/max_v
+      // arithmetically; only groups whose DEPARTING value equals a
+      // maintained bound point-recompute (audited ≥ 0 = the bounds
+      // logic ran on the feed path). The oracle recomputes MIN/MAX
+      // from the merged table — maintained == recompute, exactly.
+      require(graft.ops.Upsert.lastFeedBoundRecomputed.get() >= 0L,
+        "feed apply must run the maintained-bounds path")
       graft.ops.Upsert.readSnapshot(s, aggP,
           graft.ops.Upsert.latestVersion(s, aggP))
         .select(col("source"), col("n"), col("n_val"),
-          col("sum_v").cast("double").as("sum_v"))
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v"), col("max_v"))
         .orderBy("source")
     }),
 
@@ -8479,7 +8487,9 @@ object ExtQueries {
            WHERE doc_id % 10 = 1)
          SELECT source, CAST(count(*) AS BIGINT) AS n,
            CAST(count(n_chars) AS BIGINT) AS n_val,
-           CAST(SUM(n_chars) AS DOUBLE) AS sum_v
+           CAST(SUM(n_chars) AS DOUBLE) AS sum_v,
+           CAST(MIN(n_chars) AS BIGINT) AS min_v,
+           CAST(MAX(n_chars) AS BIGINT) AS max_v
          FROM merged GROUP BY source ORDER BY source""",
 
     // The z-compacted sink answers the second-column bound exactly —

@@ -991,6 +991,13 @@ object Upsert {
     val ranged = overlappingDirs(spark, path, dirs, pr)
     if (ranged.isEmpty) return ranged
     if (!keys.forall(probe.columns.contains)) return ranged
+    // The bloom stage is sound ONLY for the sink's own key set: the
+    // sidecars hash [[keyCanon]] over the RECORDED keys, so a probe on
+    // any other column set (a group-column point read against a
+    // doc-keyed sink) would false-negative real matches and silently
+    // prune dirs that hold them. Range stage-1 above is per-column and
+    // stays; the bloom is skipped.
+    if (keys.toSet != recordedKeyCols(spark, path).toSet) return ranged
     // Collect the probe canon (a Spark job) only when some surviving
     // dir actually HAS a bloom to consult — statless dirs, legacy-canon
     // sidecars and the big compact dirs (> bloom cap by design) would
@@ -4578,6 +4585,12 @@ object Upsert {
   private[graft] val lastFeedRefresh =
     new java.util.concurrent.atomic.AtomicReference[String]("")
 
+  /** Test/ops audit: groups the last feed apply POINT-RECOMPUTED
+    * because a departing value touched their maintained min/max
+    * (−1 when the last call was not a feed apply). */
+  private[graft] val lastFeedBoundRecomputed =
+    new java.util.concurrent.atomic.AtomicReference[Long](-1L)
+
   /** CHANGE-FEED-DRIVEN MATERIALIZED AGGREGATE — the downstream half
     * of the CDC loop: bring the grouped aggregate at `aggPath` (per
     * `groupCols`: row count `n`, non-null value count `n_val`, exact
@@ -4591,9 +4604,18 @@ object Upsert {
     * D/pre-image side, add the I/post-image side, point-read only the
     * touched groups ([[readSnapshotForKeys]] pruning), publish one
     * merge whose U rows are the touched groups and whose D rows are
-    * the groups the span emptied. min/max are NOT maintained here —
-    * a max is not decrement-invertible; use [[refreshAggregate]]'s
-    * recompute classes when bounds matter.
+    * the groups the span emptied.
+    *
+    * min/max ARE maintained (`min_v`/`max_v`), optimistically: arrivals
+    * extend a bound for free (`least`/`greatest`); a bound only ever
+    * RETREATS when some departing value (D or update pre-image) equals
+    * it — a max is not decrement-invertible, so exactly those groups
+    * are point-recomputed from the source ([[readSnapshotForKeys]] on
+    * the group columns — one bounded read), and every other group
+    * stays pure arithmetic. [[lastFeedBoundRecomputed]] audits the
+    * recomputed-group count. An aggregate sink bootstrapped before
+    * bounds existed (no `min_v` column) recomputes once and carries
+    * them from then on.
     *
     * Exactly-once arithmetic across crashes, sink-as-state: the
     * covered source version + the source's ERASURE fingerprint
@@ -4622,21 +4644,30 @@ object Upsert {
       df.groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n"),
           count(col(valueCol)).as("n_val"),
-          sum(col(valueCol).cast(dec)).cast(dec).as("sum_v")),
+          sum(col(valueCol).cast(dec)).cast(dec).as("sum_v"),
+          min(col(valueCol)).as("min_v"),
+          max(col(valueCol)).as("max_v")),
       groupCols, "refreshAggregateFromFeed")
+    lastFeedBoundRecomputed.set(-1L)
     if (covered == srcLatest && genOk) {
       lastFeedRefresh.set("noop"); return aggCur
     }
     val srcFs = fsFor(spark, srcPath)
     val coveredLive = covered >= 1 && srcFs.exists(
       new org.apache.hadoop.fs.Path(snapDir(srcPath), s"v$covered.list"))
+    // A sink maintained before bounds existed migrates by one
+    // recompute (its rows carry no min_v to extend or test against).
+    val hasBounds = aggCur == 0 ||
+      snapshotLogicalSchema(spark, aggPath, aggCur)
+        .fieldNames.contains("min_v")
     val published =
-      if (covered == 0 || !genOk || !coveredLive) {
-        // Bootstrap, post-erasure, expired-from-version, or the
-        // crash window (published agg version without a marker):
-        // full recompute — idempotent in content.
+      if (covered == 0 || !genOk || !coveredLive || !hasBounds) {
+        // Bootstrap, post-erasure, expired-from-version, bounds
+        // migration, or the crash window (published agg version with
+        // no marker): full recompute — idempotent in content.
         lastFeedRefresh.set("recompute")
         val full = aggOf(readSnapshot(spark, srcPath, srcLatest))
+        val vType = full.schema("min_v").dataType
         if (aggCur == 0)
           writeSnapshot(spark, aggPath, full, groupCols, groupCols)
         else {
@@ -4647,26 +4678,38 @@ object Upsert {
             .withColumn("n", lit(null).cast("long"))
             .withColumn("n_val", lit(null).cast("long"))
             .withColumn("sum_v", lit(null).cast(dec))
+            .withColumn("min_v", lit(null).cast(vType))
+            .withColumn("max_v", lit(null).cast(vType))
           mergeSnapshot(spark, aggPath,
             full.withColumn("__op", lit("U"))
-              .unionByName(gone.withColumn("__op", lit("D"))),
+              .unionByName(gone.withColumn("__op", lit("D")),
+                allowMissingColumns = true),
             groupCols, groupCols, "__op")
         }
       } else {
         val span = snapshotChangesWithPreImages(spark, srcPath,
           covered, srcLatest, srcKeys, opCol = "__op")
+        val vType = span.schema(valueCol).dataType
         // Signed apply: I and U (post-image) add, D and UP (the
         // update's pre-image) subtract — the two U rows per updated
-        // key are exactly what moves a value between groups.
-        val sgn = when(col("__op").isin("I", "U"), lit(1L))
-          .otherwise(lit(-1L))
+        // key are exactly what moves a value between groups. Arriving
+        // values also carry bound CANDIDATES (__amin/__amax);
+        // departing values carry the bound-TOUCH probes
+        // (__rmin/__rmax — a departure strictly inside the bounds can
+        // never move them).
+        val arriving = col("__op").isin("I", "U")
+        val sgn = when(arriving, lit(1L)).otherwise(lit(-1L))
         val delta = refuseNullGroups(span.groupBy(groupCols.map(col): _*)
           .agg(sum(sgn).as("__dn"),
             sum(when(col(valueCol).isNotNull, sgn).otherwise(0L))
               .as("__dnv"),
             sum(when(col(valueCol).isNotNull,
                 sgn.cast(dec) * col(valueCol).cast(dec))
-              .otherwise(lit(0).cast(dec))).cast(dec).as("__ds")),
+              .otherwise(lit(0).cast(dec))).cast(dec).as("__ds"),
+            min(when(arriving, col(valueCol))).as("__amin"),
+            max(when(arriving, col(valueCol))).as("__amax"),
+            min(when(!arriving, col(valueCol))).as("__rmin"),
+            max(when(!arriving, col(valueCol))).as("__rmax")),
           groupCols, "refreshAggregateFromFeed")
           .localCheckpoint()
         if (delta.isEmpty) {
@@ -4682,16 +4725,51 @@ object Upsert {
         val cur = readSnapshotForKeys(spark, aggPath, aggCur, delta,
             groupCols)
           .select((groupCols.map(col) :+ col("n") :+ col("n_val") :+
-            col("sum_v")): _*)
+            col("sum_v") :+ col("min_v") :+ col("max_v")): _*)
+        val joined = delta.join(cur, groupCols, "left")
+        // Bound retreat: a departing value EQUAL to the maintained
+        // bound (departures cannot lie outside it) — just those
+        // groups recompute from the source; everyone else is
+        // arithmetic.
+        val touch = (col("__rmin").isNotNull &&
+          (col("__rmin") <=> col("min_v") ||
+            col("__rmax") <=> col("max_v")))
+        val touchedKeys = joined.filter(touch)
+          .select(groupCols.map(col): _*).localCheckpoint()
+        val nTouched = touchedKeys.count()
+        lastFeedBoundRecomputed.set(nTouched)
         val nNew = coalesce(col("n"), lit(0L)) + col("__dn")
         val nvNew = coalesce(col("n_val"), lit(0L)) + col("__dnv")
-        val changes = delta.join(cur, groupCols, "left")
+        val untouched = joined.filter(!touch)
           .select((groupCols.map(col) :+
             nNew.as("n") :+ nvNew.as("n_val") :+
             when(nvNew === 0L, lit(null).cast(dec))
               .otherwise(coalesce(col("sum_v"), lit(0).cast(dec)) +
                 col("__ds")).cast(dec).as("sum_v") :+
+            when(nvNew === 0L, lit(null).cast(vType))
+              .otherwise(least(col("min_v"), col("__amin")))
+              .as("min_v") :+
+            when(nvNew === 0L, lit(null).cast(vType))
+              .otherwise(greatest(col("max_v"), col("__amax")))
+              .as("max_v") :+
             when(nNew <= 0L, "D").otherwise("U").as("__op")): _*)
+        val changes =
+          if (nTouched == 0L) untouched
+          else {
+            val recomputed = aggOf(readSnapshotForKeys(spark, srcPath,
+              srcLatest, touchedKeys, groupCols))
+            val emptied = touchedKeys
+              .join(recomputed.select(groupCols.map(col): _*),
+                groupCols, "left_anti")
+              .withColumn("n", lit(null).cast("long"))
+              .withColumn("n_val", lit(null).cast("long"))
+              .withColumn("sum_v", lit(null).cast(dec))
+              .withColumn("min_v", lit(null).cast(vType))
+              .withColumn("max_v", lit(null).cast(vType))
+            untouched
+              .unionByName(recomputed.withColumn("__op", lit("U")))
+              .unionByName(emptied.withColumn("__op", lit("D")))
+          }
         mergeSnapshot(spark, aggPath, changes, groupCols, groupCols,
           "__op")
       }

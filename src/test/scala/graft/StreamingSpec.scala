@@ -1040,6 +1040,68 @@ class StreamingSpec extends SparkSpec {
       && batch(1).isNullAt(2))
   }
 
+  test("feed-maintained min/max: arrivals are arithmetic; only bound-touching departures point-recompute") {
+    import graft.ops.Upsert
+    val src = java.nio.file.Files.createTempDirectory("fbsrc").toString
+    val agg = java.nio.file.Files.createTempDirectory("fbagg").toString
+    def poll() = EventStream.changeFeedAggregatePoll(spark, src,
+      Seq("id"), agg, Seq("g"), "v")
+    def expected() = Upsert.readSnapshot(spark, src,
+        Upsert.latestVersion(spark, src))
+      .groupBy("g").agg(min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      .as[(String, Double, Double)].collect().toSet
+    def maintained() = Upsert.readSnapshot(spark, agg,
+        Upsert.latestVersion(spark, agg))
+      .select(col("g"), col("min_v"), col("max_v"))
+      .as[(String, Double, Double)].collect().toSet
+    // g0: values {3,6,9,12}; g1: {1,4,7,10}; g2: {2,5,8,11}.
+    Upsert.writeSnapshot(spark, src,
+      (1L to 12L).map(i => (i, s"g${i % 3}", i.toDouble)).toDF("id", "g", "v"),
+      Seq("id"), Seq("id"))
+    poll()
+    assert(maintained() == expected(), "bootstrap bounds")
+    // ARRIVAL extending g0's max: pure arithmetic, zero recomputes.
+    Upsert.mergeSnapshot(spark, src,
+      Seq(("I", 30L, "g0", 300.0)).toDF("op", "id", "g", "v"),
+      Seq("id"), Seq("id"), "op")
+    poll()
+    assert(Upsert.lastFeedRefresh.get().startsWith("feed:"))
+    assert(Upsert.lastFeedBoundRecomputed.get() == 0L,
+      s"an extending arrival must not recompute: ${
+        Upsert.lastFeedBoundRecomputed.get()}")
+    assert(maintained() == expected(), "post-arrival bounds")
+    // INTERIOR departure (6 is neither bound of g0): zero recomputes.
+    Upsert.mergeSnapshot(spark, src,
+      Seq(("D", 6L, "g0", 0.0)).toDF("op", "id", "g", "v"),
+      Seq("id"), Seq("id"), "op")
+    poll()
+    assert(Upsert.lastFeedBoundRecomputed.get() == 0L,
+      "an interior departure must not recompute")
+    assert(maintained() == expected(), "post-interior bounds")
+    // BOUND RETREAT: deleting g0's max (300) — exactly that one group
+    // point-recomputes; every other group stays arithmetic.
+    Upsert.mergeSnapshot(spark, src,
+      Seq(("D", 30L, "g0", 0.0)).toDF("op", "id", "g", "v"),
+      Seq("id"), Seq("id"), "op")
+    poll()
+    assert(Upsert.lastFeedBoundRecomputed.get() == 1L,
+      s"deleting the max must recompute exactly its group: ${
+        Upsert.lastFeedBoundRecomputed.get()}")
+    assert(maintained() == expected(), "post-retreat bounds")
+    assert(maintained().find(_._1 == "g0").get._3 == 12.0,
+      "g0's max must retreat to the live 12")
+    // UPDATE moving g1's min (1 -> 100): the pre-image touches the
+    // bound — one recompute; min retreats to 4.
+    Upsert.mergeSnapshot(spark, src,
+      Seq(("U", 1L, "g1", 100.0)).toDF("op", "id", "g", "v"),
+      Seq("id"), Seq("id"), "op")
+    poll()
+    assert(Upsert.lastFeedBoundRecomputed.get() == 1L)
+    assert(maintained() == expected(), "post-update bounds")
+    assert(maintained().find(_._1 == "g1").get._2 == 4.0,
+      "g1's min must retreat to the live 4")
+  }
+
   test("readStream.format(graft): versions are checkpointed offsets; resumes across restart, merge and compaction") {
     import graft.ops.Upsert
     val src = java.nio.file.Files.createTempDirectory("gstr").toString
