@@ -677,19 +677,17 @@ object Upsert {
     // the boxes supersets, so "outside the box" stays sound. A dv with
     // no usable line for the column (or a missing sidecar) is
     // conservative: not provably alive.
-    def boundAlive(e: SnapEntry, tag: String, bound: Any): Boolean =
-      e.dvs.forall { dv =>
-        readKeyStats(spark, path, dv) match {
-          case Some(dvStats) =>
-            val lines = aliases.toSeq.flatMap(dvStats.get)
-            lines.nonEmpty && lines.forall {
-              case (dvTag, Some((vLo, vHi))) if dvTag == tag =>
-                statLt(bound, vLo) || statLt(vHi, bound)
-              case (dvTag, None) if dvTag == tag => true // empty dv kills nothing
-              case _ => false
-            }
-          case None => false
-        }
+    def boundAlive(dvLines: Seq[Option[Seq[(String, Option[(Any, Any)])]]],
+        tag: String, bound: Any): Boolean =
+      dvLines.forall {
+        case Some(lines) =>
+          lines.nonEmpty && lines.forall {
+            case (dvTag, Some((vLo, vHi))) if dvTag == tag =>
+              statLt(bound, vLo) || statLt(vHi, bound)
+            case (dvTag, None) if dvTag == tag => true // empty dv kills nothing
+            case _ => false
+          }
+        case None => false
       }
     val fromStats: Seq[(String, (Any, Any))] = entries.flatMap { e =>
       readKeyStats(spark, path, e.dir) match {
@@ -704,8 +702,13 @@ object Upsert {
           val boxes = aliases.toSeq.flatMap(stats.get).collect {
             case (tag, Some(r)) => (tag, r)
           }
+          // ONE sidecar read per dv, tested against both bounds of
+          // every alias box (not one read per test — on an object
+          // store each read is a GET).
+          val dvLines = e.dvs.map(dv => readKeyStats(spark, path, dv)
+            .map(dvStats => aliases.toSeq.flatMap(dvStats.get)))
           if (boxes.nonEmpty && boxes.forall { case (tag, (lo, hi)) =>
-              boundAlive(e, tag, lo) && boundAlive(e, tag, hi) })
+              boundAlive(dvLines, tag, lo) && boundAlive(dvLines, tag, hi) })
             boxes
           else { scanned += e; Nil }
         case Some(stats) if aliases.exists(stats.contains) =>

@@ -105,7 +105,10 @@ class GraftCatalog extends TableCatalog {
     val schema =
       if (v >= 1) Upsert.snapshotLogicalSchema(spark, path, v)
       else createdSchema(path).getOrElse(new StructType())
-    new GraftTable(path, v, schema)
+    // emptyReadable: a created-but-never-written catalog table SELECTs
+    // as 0 rows (every SQL engine's contract), not an error — the
+    // catalog has already verified the table exists.
+    new GraftTable(path, v, schema, emptyReadable = true)
   }
 
   /** `VERSION AS OF <n>` — the catalog face of `versionAsOf`. */
@@ -147,7 +150,16 @@ class GraftCatalog extends TableCatalog {
       .orElse(Option(properties.get("keys")))
     keysProp.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .filter(_.nonEmpty)
-      .foreach(ks => Upsert.declareKeys(spark, path, ks))
+      .foreach { ks =>
+        // Fail the DDL, not the first INSERT: a typo'd key name would
+        // otherwise persist and surface as a missing-column error deep
+        // inside a later write.
+        val missing = ks.filterNot(schema.fieldNames.contains)
+        require(schema.isEmpty || missing.isEmpty,
+          s"graft: key column(s) ${missing.mkString(", ")} not in the " +
+            s"declared schema (${schema.fieldNames.mkString(", ")})")
+        Upsert.declareKeys(spark, path, ks)
+      }
     if (schema.nonEmpty) {
       val out = f.create(createdSchemaPath(path), true)
       try out.write(schema.json.getBytes("UTF-8")) finally out.close()

@@ -122,14 +122,18 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     }
     pinned.remove() // resolve fresh, then pin for the paired getTable
     val v = resolveVersion(spark, options)
-    pinned.set(Some((path, v)))
     // inferSchema runs only on READS (writes carry the frame's own
     // schema into getTable via supportsExternalMetadata) — a fresh or
     // mistyped path must fail HERE with the real message, not surface
     // as an empty schema whose first error is an unrelated
     // UNRESOLVED_COLUMN on the user's next select.
     require(v >= 1, s"graft: no published snapshot at $path")
-    Upsert.snapshotLogicalSchema(spark, path, v)
+    val schema = Upsert.snapshotLogicalSchema(spark, path, v)
+    // Pin only AFTER the derivation succeeded: a throw above must not
+    // leak a pin a later user-schema getTable on this thread (which
+    // skips inferSchema) would silently consume.
+    pinned.set(Some((path, v)))
+    schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -149,7 +153,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class GraftTable(path: String, version: Int,
-    tableSchema: StructType)
+    tableSchema: StructType,
+    // Catalog tables exist the moment CREATE TABLE runs: a SELECT
+    // before the first INSERT is an EMPTY table, not an error. Path
+    // reads keep the loud failure (a mistyped path must not read as
+    // silently empty) — only the catalog, which has verified the
+    // table's existence, sets this.
+    emptyReadable: Boolean = false)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`$path`@v$version"
@@ -166,6 +176,20 @@ private[sources] class GraftTable(path: String, version: Int,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (version == 0 && emptyReadable)
+      return () => new Scan with V1Scan {
+        override def readSchema(): StructType = tableSchema
+        override def description(): String =
+          s"GraftSnapshot path=$path (empty: created, never written)"
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = tableSchema
+            override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+              context.sparkSession.sparkContext.emptyRDD[Row]
+          }.asInstanceOf[T]
+      }
     require(version >= 1, s"graft: no published snapshot at $path")
     new GraftScanBuilder(path, version, tableSchema)
   }
@@ -208,17 +232,31 @@ private[sources] class GraftTable(path: String, version: Int,
             // name overlap means the caller addressed columns by name
             // and the frame passes through untouched.
             val frame = {
-              // Positional iff the arity matches and ANY incoming name
-              // is not a table column (SQL INSERT: unaliased
-              // expressions arrive as `(n_chars + 777)`, VALUES as
-              // colN). A frame whose names are all table columns is
-              // by-name (the DataFrame API's reordered-append case);
+              // Positional ONLY for frames that are recognizably SQL
+              // INSERT output: the arity matches and every name the
+              // table does not declare is EXPRESSION-SHAPED — `colN`
+              // (VALUES) or a non-identifier like `(n_chars + 777)`
+              // (unaliased expressions). A same-arity frame carrying a
+              // real identifier the table lacks is a user's NAMED
+              // frame: it passes through by name and the sink absorbs
+              // the new column (additive evolution) — positionally
+              // renaming it would silently mis-assign values across
+              // columns. Frames whose names are all table columns are
+              // by-name by contract (documented deviation: a SQL
+              // `INSERT INTO t SELECT b, a` whose source columns are
+              // literally named b, a resolves by NAME here, not
+              // position — alias the select if position is meant).
               // CDC/evolution batches differ in arity and pass
               // through untouched.
+              def exprShaped(n: String): Boolean =
+                n.matches("col[0-9]+") ||
+                  !n.matches("[A-Za-z_][A-Za-z0-9_]*")
+              val unknown = data.columns
+                .filterNot(tableSchema.fieldNames.contains)
               val renamed =
                 if (tableSchema.nonEmpty &&
                     data.columns.length == tableSchema.fields.length &&
-                    data.columns.exists(!tableSchema.fieldNames.contains(_)))
+                    unknown.nonEmpty && unknown.forall(exprShaped))
                   data.toDF(tableSchema.fieldNames.toIndexedSeq: _*)
                 else data
               // Storage-assignment casts (the other half of the skipped

@@ -359,6 +359,31 @@ class DataSourceV2Spec extends SparkSpec {
     assert(!new java.io.File(s"$wh/db/trades").exists(),
       "DROP deletes the sink — the table IS the directory")
     intercept[Exception] { spark.table("graft_cat.db.trades").collect() }
+    // A created-but-never-written table SELECTs as empty (every SQL
+    // engine's contract) — while a mistyped PATH read still fails loud.
+    spark.sql("CREATE TABLE graft_cat.db.fresh (id BIGINT, v STRING) " +
+      "OPTIONS ('keys' = 'id')")
+    assert(spark.sql("SELECT * FROM graft_cat.db.fresh").collect().isEmpty)
+    intercept[Exception] {
+      spark.read.format("graft").load(s"$wh/db/nope").collect()
+    }
+    // A typo'd key name fails THE DDL, not the first INSERT.
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE graft_cat.db.typo (id BIGINT) " +
+        "OPTIONS ('keys' = 'idd')")
+    }
+    assert(e2.getMessage.contains("idd"))
+    // A same-arity NAMED frame with an unknown identifier column is
+    // absorbed by name (additive evolution), never positionally
+    // mis-assigned across columns.
+    Seq((100L, "tagged")).toDF("id", "label")
+      .writeTo("graft_cat.db.fresh").append()
+    val fresh = spark.table("graft_cat.db.fresh")
+    assert(fresh.select("id").as[Long].collect().toSeq == Seq(100L),
+      "the id must land in id — not be positionally clobbered")
+    assert(fresh.columns.contains("label") &&
+      fresh.filter(col("label") === "tagged").count() == 1,
+      "the unknown identifier column is absorbed, not renamed away")
   }
 
   test("timestampAsOf resolves like readSnapshotAsOf; schema evolution surfaces") {
