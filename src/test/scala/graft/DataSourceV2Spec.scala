@@ -302,6 +302,38 @@ class DataSourceV2Spec extends SparkSpec {
     assert(afterMor.count() == 40L)
   }
 
+  test("Batch row reader serves INT96 timestamps and legacy 2-level lists") {
+    // Pre-Spark-4 writers (and Hive-compat settings) produce INT96
+    // timestamps and 2-level list layouts — both claimed by the
+    // reader; pin them with a sink written under those settings.
+    val path = java.nio.file.Files.createTempDirectory("int96").toString
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    spark.conf.set("spark.sql.parquet.writeLegacyFormat", "true")
+    try {
+      Upsert.writeSnapshot(spark, path,
+        (1L to 30L).map(i => (i,
+          java.sql.Timestamp.from(java.time.Instant.parse(
+            "2025-03-01T12:00:00Z").plusSeconds(i * 3607)),
+          Seq(i.toFloat, i * 2.0f))).toDF("id", "ts", "af"),
+        Seq("id"), Seq("id"))
+    } finally {
+      spark.conf.unset("spark.sql.parquet.outputTimestampType")
+      spark.conf.unset("spark.sql.parquet.writeLegacyFormat")
+    }
+    val viaBatch = spark.read.format("graft").load(path)
+      .filter(col("id") >= 1L)
+    assert(viaBatch.queryExecution.executedPlan.toString
+      .contains("GraftSnapshotBatch"), "must ride the Batch path")
+    val lib = Upsert.readSnapshot(spark, path, 1)
+      .select("id", "ts", "af").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getSeq[Float](2)))
+      .toSet
+    val got = viaBatch.select("id", "ts", "af").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getSeq[Float](2)))
+      .toSet
+    assert(got == lib, "INT96 + legacy lists must roundtrip exactly")
+  }
+
   test("TableCatalog: SQL DDL/DML + time travel over named tables equal the path API") {
     val wh = java.nio.file.Files.createTempDirectory("graftwh").toString
     spark.conf.set("spark.sql.catalog.graft_cat",
