@@ -332,16 +332,33 @@ object Upsert {
     }
   }
 
+  /** Accepts both EXTERNAL values (Timestamp/Date/Instant/LocalDate —
+    * what Spark aggregates collect) and the CANONICAL Long the decode
+    * side produces: writeKeyStats re-encodes decoded range values when
+    * rendering sidecar lines, and before the Number branches below,
+    * that re-encode MatchError'd for date/ts tags — silently swallowed
+    * by the sidecar writer's best-effort catch, so every timestamp- or
+    * date-KEYED sink shipped with NO `.stats`/`.bloom2` sidecars at
+    * all (sound — "always probe" — but unpruned everywhere). */
   private def encodeStatValue(tag: String, v: Any): String = tag match {
     case "long" => v.asInstanceOf[Number].longValue.toString
     case "string" => java.net.URLEncoder.encode(v.asInstanceOf[String], "UTF-8")
     case "date" => v match {
+      case n: Number => n.longValue.toString // canonical epoch day
       case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
       case d: java.time.LocalDate => d.toEpochDay.toString
     }
     case "ts" => v match {
+      case n: Number => n.longValue.toString // canonical epoch micros
+      // floorDiv, not /: getTime of a pre-1970 timestamp with
+      // fractional seconds is a negative non-multiple of 1000, and
+      // truncation would shift its canon a full second HIGH (-0.5 s →
+      // +0.5 s) — a non-monotone canon that inverts recorded min/max
+      // and bloom-mismatches the write side's exact unix_micros,
+      // silently pruning dirs that hold the probed key.
       case t: java.sql.Timestamp =>
-        (t.getTime / 1000L * 1000000L + t.getNanos / 1000L).toString
+        (Math.floorDiv(t.getTime, 1000L) * 1000000L +
+          t.getNanos / 1000L).toString
       case t: java.time.Instant =>
         (t.getEpochSecond * 1000000L + t.getNano / 1000L).toString
     }
@@ -1506,7 +1523,10 @@ object Upsert {
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toString)
     case d: java.time.LocalDate => Some(d.toEpochDay.toString)
     case t: java.sql.Timestamp =>
-      Some((t.getTime / 1000L * 1000000L + t.getNanos / 1000L).toString)
+      // floorDiv: see encodeStatValue — truncation mis-canons pre-1970
+      // fractional-second probes, and bloom admission is recall-bearing.
+      Some((Math.floorDiv(t.getTime, 1000L) * 1000000L +
+        t.getNanos / 1000L).toString)
     case t: java.time.Instant =>
       Some((t.getEpochSecond * 1000000L + t.getNano / 1000L).toString)
     case _ => None
@@ -4279,15 +4299,32 @@ object Upsert {
     val in = fs.open(m)
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toList finally in.close()
-    (lines.headOption.map(_.trim.toInt).getOrElse(0),
+    // Try-guarded: a crash-truncated or corrupted first line must read
+    // as UNKNOWN coverage — (0, None) — which the refresh answers with
+    // a recompute, the design's degrade. A bare .toInt here threw
+    // NumberFormatException from every later refresh on this aggregate
+    // forever (until the marker was hand-deleted).
+    (lines.headOption.flatMap(h =>
+        scala.util.Try(h.trim.toInt).toOption).getOrElse(0),
       lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty))
   }
 
   private def writeCoverageMarker(spark: SparkSession, aggPath: String,
       m: org.apache.hadoop.fs.Path, srcVersion: Int, gen: String): Unit = {
     val fs = fsFor(spark, aggPath)
-    val out = fs.create(m, true)
+    // tmp + rename: the marker is read by every later refresh, so a
+    // crash mid-write must leave either the old marker or none (both
+    // degrade to recompute), never a truncated line. The delete→rename
+    // window reads as "no marker" — same safe degrade.
+    val tmp = new org.apache.hadoop.fs.Path(m.getParent, m.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"$srcVersion\n$gen".getBytes("UTF-8")) finally out.close()
+    fs.delete(m, false)
+    if (!fs.rename(tmp, m)) {
+      // A filesystem refusing the rename (already-exists race) keeps
+      // the tmp as debris; the marker stays absent → recompute.
+      fs.delete(tmp, false)
+    }
   }
 
   private def readSrcMarker(spark: SparkSession, aggPath: String,

@@ -431,7 +431,10 @@ private[sources] class GraftPartitionReader(file: String,
               case LogicalTypeAnnotation.TimeUnit.MILLIS =>
                 (g, i, r) => g.getLong(i, r) * 1000L
               case LogicalTypeAnnotation.TimeUnit.NANOS =>
-                (g, i, r) => g.getLong(i, r) / 1000L
+                // floorDiv: pre-epoch nanos must round DOWN to micros
+                // (Spark's floor semantics); truncation reads one
+                // microsecond high for negative non-multiples.
+                (g, i, r) => Math.floorDiv(g.getLong(i, r), 1000L)
               case _ => (g, i, r) => g.getLong(i, r)
             }
           case other => throw new IllegalStateException(

@@ -57,10 +57,30 @@ class GraftCatalog extends TableCatalog {
   private def fs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def tablePath(ident: Identifier): String =
-    (ident.namespace.toSeq :+ ident.name)
-      .foldLeft(new org.apache.hadoop.fs.Path(warehouse))(
-        new org.apache.hadoop.fs.Path(_, _)).toString
+  /** Identifier segments compose a FILESYSTEM path under the
+    * warehouse, so each one must be a plain directory name: a
+    * backticked `..`, an absolute segment or an embedded separator
+    * would resolve OUTSIDE the warehouse — and dropTable then
+    * recursively deletes whatever that path points at. Refused loudly
+    * at every entry point (tablePath is the one composer). */
+  private def validSegment(s: String): Boolean =
+    s.nonEmpty && s != "." && s != ".." &&
+      !s.contains('/') && !s.contains('\\')
+
+  private def requireValidSegments(segs: Seq[String]): Unit = {
+    val bad = segs.filterNot(validSegment)
+    require(bad.isEmpty,
+      s"graft catalog: illegal identifier segment(s) ${
+        bad.map(b => s"'$b'").mkString(", ")} — names must be plain " +
+        "directory names (no empty, '.', '..' or path separators)")
+  }
+
+  private def tablePath(ident: Identifier): String = {
+    val segs = ident.namespace.toSeq :+ ident.name
+    requireValidSegments(segs)
+    segs.foldLeft(new org.apache.hadoop.fs.Path(warehouse))(
+      new org.apache.hadoop.fs.Path(_, _)).toString
+  }
 
   private def snapDirOf(path: String) =
     new org.apache.hadoop.fs.Path(path, "_snapshots")
@@ -84,6 +104,7 @@ class GraftCatalog extends TableCatalog {
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
+    requireValidSegments(namespace.toSeq)
     val nsPath = namespace.foldLeft(
       new org.apache.hadoop.fs.Path(warehouse))(
       new org.apache.hadoop.fs.Path(_, _))

@@ -146,7 +146,7 @@ private[sources] class GraftFeedScan(path: String, declared: StructType,
         val from = startingVersion match {
           case "" => 0
           case "latest" => to // empty span: shape-only
-          case n => n.trim.toInt
+          case n => GraftOptions.int("startingVersion", n)
         }
         require(to >= 1, s"graft changeFeed: no published snapshot at $path")
         require(from <= to,
@@ -204,7 +204,7 @@ private[sources] class GraftMicroBatchStream(path: String,
   override def initialOffset(): Offset = GraftOffset(startingVersion match {
     case "" => 0
     case "latest" => Upsert.latestVersion(spark, path)
-    case n => n.trim.toInt
+    case n => GraftOptions.int("startingVersion", n)
   })
 
   override def latestOffset(): Offset =

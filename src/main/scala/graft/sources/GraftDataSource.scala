@@ -53,6 +53,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * as `readSnapshot`). The reference system has no storage layer at
   * all (ref `etl.py:1-487`); this is the extension surface's Spark
   * face. */
+/** User-option parsing with the same friendly contract as the
+  * catalog's `VERSION AS OF`: a malformed value names the option and
+  * the value instead of surfacing a bare NumberFormatException. */
+private[sources] object GraftOptions {
+  def int(name: String, v: String): Int =
+    scala.util.Try(v.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: option '$name' wants an integer snapshot version, " +
+          s"got '$v'"))
+  def long(name: String, v: String): Long =
+    scala.util.Try(v.trim.toLong).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft: option '$name' wants an epoch-millis long, got '$v'"))
+}
+
 class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
@@ -76,9 +91,18 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     * same path — can never serve one load's pin to another, and a
     * LATER getTable on the same thread (e.g. a user-schema read that
     * skips inferSchema) never consumes a stale pin. Keyed by path so
-    * an interleaved load of a different sink is ignored, not misread. */
-  private val pinned = new ThreadLocal[Option[(String, Int)]] {
-    override def initialValue(): Option[(String, Int)] = None
+    * an interleaved load of a different sink is ignored, not misread.
+    * The pin also carries the DERIVED SCHEMA and is honored only when
+    * the paired getTable resolves the SAME schema: if analysis aborted
+    * between the pair and a later load of the same path on this thread
+    * arrives with a different (user) schema, the stale pin is dropped
+    * and the version resolves fresh — a pin can never serve one
+    * schema's rows through another's shape. (A later load passing the
+    * byte-identical schema still consumes the pin; that read is
+    * self-consistent — V's rows through V's schema — merely pinned to
+    * the version the aborted load derived.) */
+  private val pinned = new ThreadLocal[Option[(String, Int, StructType)]] {
+    override def initialValue(): Option[(String, Int, StructType)] = None
   }
 
   // Writes arrive with the frame's own schema (a fresh sink has
@@ -89,23 +113,28 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   /** Version 0 = fresh sink: legal as a WRITE target (the bootstrap
     * publish), refused at scan time. */
   private def resolveVersion(spark: SparkSession,
-      opts: CaseInsensitiveStringMap): Int =
-    Option(opts.get("versionAsOf")).map(_.trim.toInt)
+      opts: CaseInsensitiveStringMap,
+      expectSchema: Option[StructType] = None): Int =
+    Option(opts.get("versionAsOf"))
+      .map(GraftOptions.int("versionAsOf", _))
       // The pin outranks a timestampAsOf RE-resolution: inferSchema
       // already resolved the timestamp once, and a publish landing
       // inside the inferSchema→getTable window must not move the
       // table past the schema it was derived from (explicit
       // versionAsOf is deterministic either way, so its order is
       // irrelevant — it stays first for clarity). Consumed: one pin
-      // serves exactly one getTable.
+      // serves exactly one getTable, and ONLY a getTable resolving
+      // the schema the pin was derived for (see the pin's doc).
       .orElse {
         val pin = pinned.get().collect {
-          case (p, pv) if p == pathOf(opts) => pv }
-        if (pin.isDefined) pinned.remove()
+          case (p, pv, ps) if p == pathOf(opts) &&
+            expectSchema.forall(_ == ps) => pv }
+        if (pinned.get().exists(_._1 == pathOf(opts))) pinned.remove()
         pin
       }
       .orElse(Option(opts.get("timestampAsOf"))
-        .map(ts => Upsert.versionAsOf(spark, pathOf(opts), ts.trim.toLong)))
+        .map(ts => Upsert.versionAsOf(spark, pathOf(opts),
+          GraftOptions.long("timestampAsOf", ts))))
       .getOrElse(Upsert.latestVersion(spark, pathOf(opts)))
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -114,7 +143,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     if (GraftChangeFeed.isFeed(options)) {
       // The CHANGE-FEED relation (batch span / streaming source):
       // op + the logical shape of the span's endpoint.
-      val to = Option(options.get("endingVersion")).map(_.trim.toInt)
+      val to = Option(options.get("endingVersion"))
+        .map(GraftOptions.int("endingVersion", _))
         .getOrElse(Upsert.latestVersion(spark, path))
       require(to >= 1, s"graft: no published snapshot at $path")
       return GraftChangeFeed.feedSchema(spark, path, to,
@@ -132,7 +162,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     // Pin only AFTER the derivation succeeded: a throw above must not
     // leak a pin a later user-schema getTable on this thread (which
     // skips inferSchema) would silently consume.
-    pinned.set(Some((path, v)))
+    pinned.set(Some((path, v, schema)))
     schema
   }
 
@@ -146,9 +176,10 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         GraftChangeFeed.keysOf(spark, path, opts),
         GraftChangeFeed.opColOf(opts),
         Option(opts.get("startingVersion")).map(_.trim).getOrElse(""),
-        Option(opts.get("endingVersion")).map(_.trim.toInt))
+        Option(opts.get("endingVersion"))
+          .map(GraftOptions.int("endingVersion", _)))
     else
-      new GraftTable(path, resolveVersion(spark, opts), schema)
+      new GraftTable(path, resolveVersion(spark, opts, Some(schema)), schema)
   }
 }
 

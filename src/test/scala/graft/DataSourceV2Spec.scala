@@ -418,6 +418,72 @@ class DataSourceV2Spec extends SparkSpec {
       "the unknown identifier column is absorbed, not renamed away")
   }
 
+  test("pre-epoch fractional-second timestamp keys keep exact canon through stats and blooms") {
+    // getTime of a pre-1970 fractional-second timestamp is a negative
+    // non-multiple of 1000; a truncating division shifts its canon a
+    // full second HIGH, inverting recorded ranges and bloom-mismatching
+    // the write side's unix_micros — which silently prunes dirs that
+    // DO hold the probed key (lost rows). floorDiv keeps both exact.
+    val path = java.nio.file.Files.createTempDirectory("tspre").toString
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val preA = ts("1969-12-31T23:59:59.500Z") // -500_000 µs
+    val preB = ts("1969-12-31T23:59:58.250Z") // -1_750_000 µs
+    Upsert.writeSnapshot(spark, path,
+      Seq((preA, "a"), (preB, "b")).toDF("ts", "v"), Seq("ts"), Seq("ts"))
+    Upsert.writeSnapshot(spark, path,
+      Seq((ts("2025-01-01T00:00:00Z"), "c"),
+        (ts("2025-06-01T00:00:00Z"), "d")).toDF("ts", "v"),
+      Seq("ts"), Seq("ts"))
+    // Sidecar range canon is the exact epoch-micros pair.
+    val (lo, hi) = Upsert.minMaxSnapshot(spark, path, 1, "ts")
+    assert((lo, hi) == ((Some(-1750000L), Some(-500000L))),
+      s"pre-epoch stat canon must floor to exact micros: $lo / $hi")
+    // Runtime key-set admission: the bloom stage must keep the dir
+    // holding the probed pre-epoch key and prune the other.
+    val admitted = Upsert.admitDirsFor(spark, path, 2, Map.empty,
+      Map("ts" -> Seq(preA)))
+    assert(admitted == Seq("batch-1"),
+      s"bloom admission must keep recall on pre-epoch keys: $admitted")
+  }
+
+  test("malformed version options fail with a message naming the option") {
+    val path = buildSink()
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "banana").load(path)
+    }
+    assert(e1.getMessage.contains("versionAsOf") &&
+      e1.getMessage.contains("banana"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("changeFeed", "true")
+        .option("endingVersion", "x7").load(path)
+    }
+    assert(e2.getMessage.contains("endingVersion") &&
+      e2.getMessage.contains("x7"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.read.format("graft").option("changeFeed", "true")
+        .option("startingVersion", "first").load(path).collect()
+    }
+    assert(e3.getMessage.contains("startingVersion"), e3.getMessage)
+  }
+
+  test("catalog identifiers that would escape the warehouse are refused") {
+    val wh = java.nio.file.Files.createTempDirectory("graftwhv").toString
+    val cat = new graft.sources.GraftCatalog
+    val opts = new java.util.HashMap[String, String]()
+    opts.put("warehouse", wh)
+    cat.initialize("graft_val",
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts))
+    import org.apache.spark.sql.connector.catalog.Identifier
+    for (bad <- Seq(Identifier.of(Array(".."), "x"),
+        Identifier.of(Array("db"), ".."),
+        Identifier.of(Array("db"), "a/b"),
+        Identifier.of(Array.empty[String], ""))) {
+      val e = intercept[IllegalArgumentException] { cat.loadTable(bad) }
+      assert(e.getMessage.contains("illegal identifier"), e.getMessage)
+      intercept[IllegalArgumentException] { cat.dropTable(bad) }
+    }
+  }
+
   test("timestampAsOf resolves like readSnapshotAsOf; schema evolution surfaces") {
     val path = buildSink()
     val t1 = Upsert.publishedAtMs(spark, path, 1)

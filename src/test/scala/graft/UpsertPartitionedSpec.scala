@@ -408,6 +408,34 @@ class UpsertPartitionedSpec extends SparkSpec {
       "fallback recompute equals the incremental state — no double-add")
   }
 
+  test("a corrupted coverage marker reads as unknown coverage and recomputes, never throws") {
+    val src = java.nio.file.Files.createTempDirectory("iacsrc").toString
+    val agg = java.nio.file.Files.createTempDirectory("iacagg").toString
+    Upsert.writeSnapshot(spark, src,
+      Seq((1L, "a", 10.0), (2L, "b", 5.0)).toDF("id", "g", "v"),
+      Seq("id"), Seq("id"))
+    val a1 = Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+    // Crash-truncated first line (the marker write is tmp+rename now,
+    // but a marker written by an older build — or a corrupted store —
+    // can still surface garbage): the refresh must degrade to a full
+    // recompute, not throw NumberFormatException forever.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(agg), spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$agg/_snapshots/v$a1.src")
+    val out = fs.create(marker, true)
+    try out.write("1x\n?:?".getBytes("UTF-8")) finally out.close()
+    Upsert.writeSnapshot(spark, src,
+      Seq((3L, "c", 7.0)).toDF("id", "g", "v"), Seq("id"), Seq("id"))
+    val a2 = Upsert.refreshAggregate(spark, src, agg, Seq("g"), "v")
+    assert(Upsert.lastRefresh.get() == "recompute",
+      s"unknown coverage must recompute: ${Upsert.lastRefresh.get()}")
+    assert(Upsert.readSnapshot(spark, agg, a2)
+      .select(col("g"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().toSet ==
+      Set(("a", 1L, 10.0), ("b", 1L, 5.0), ("c", 1L, 7.0)),
+      "the recompute equals the true aggregate — no double-add, no loss")
+  }
+
   test("incremental aggregate: an all-NULL-value delta never wipes an accumulated sum") {
     val src = java.nio.file.Files.createTempDirectory("iansrc").toString
     val agg = java.nio.file.Files.createTempDirectory("ianagg").toString
