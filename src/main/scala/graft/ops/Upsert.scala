@@ -525,6 +525,24 @@ object Upsert {
       val statCols = present ++ recordedSkipCols(spark, path)
         .filter(df.columns.contains).filterNot(present.contains)
       val (ranges, n, totalRows) = keyRangesWithCount(df, statCols, present)
+      writeKeyStatsFrom(spark, path, dirName, keys, ranges, n, totalRows,
+        Some(df.schema))
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Sidecar writer from PRECOMPUTED range/count facts — the shared
+    * tail of [[writeKeyStats]] (re-read aggregate) and
+    * [[writeDirWithStats]] (stats observed on the write job). Writes
+    * the `.stats` lines; small dirs also get the `.bloom2` sketch —
+    * the one residual post-write pass, column-pruned to the keys.
+    * Best-effort, same contract as ever: a sidecar failure never fails
+    * the data write. */
+  private def writeKeyStatsFrom(spark: SparkSession, path: String,
+      dirName: String, keys: Seq[String], ranges: ProbeRanges,
+      n: Long, totalRows: Long,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Unit =
+    try {
+      val fs = fsFor(spark, path)
       val lines = ranges.map {
         case (k, tag, Some((lo, hi))) =>
           s"$k\t$tag\t${encodeStatValue(tag, lo)}\t${encodeStatValue(tag, hi)}"
@@ -546,6 +564,12 @@ object Upsert {
         // job building a bloom nothing will ever consult. (Empty dirs
         // are routine: idempotent replays, fully-duplicate batches.)
         if (n > 0 && n <= BloomMaxKeys) {
+          // Schema pinned when the caller knows it (the dir was just
+          // written from that schema): skips the footer-inference job
+          // spark.read.parquet would otherwise run per sidecar write.
+          val df = dataSchema
+            .map(s => spark.read.schema(s).parquet(s"$path/$dirName"))
+            .getOrElse(spark.read.parquet(s"$path/$dirName"))
           val nn = df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
           val bf = nn.stat.bloomFilter(keyCanon(df, keys),
             math.max(n, 64L), 0.01)
@@ -554,6 +578,156 @@ object Upsert {
         }
       } catch { case scala.util.control.NonFatal(_) => () }
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Write `df` as data dir `<path>/<dirName>` and stamp its `.stats`
+    * sidecar from the just-written PARQUET FOOTERS at driver-metadata
+    * cost — replacing the re-read range-aggregate pass every dir write
+    * used to pay. At 100 TB that pass is a full scan of the batch;
+    * the footers already carry exact per-column min/max/null-count
+    * statistics (guide §6: footer stats are the skip machinery), so
+    * deriving the sidecar from them removes a whole pass per publish.
+    * The bloom build (small dirs) stays the one post-write pass;
+    * gated sinks keep their profile pass (a KMV sketch needs the
+    * data). Unusable footers (INT96 timestamps, stats omitted for
+    * oversized values, unexpected physical types) fall back to the
+    * re-read path, so the sidecar contract is unchanged. */
+  private def writeDirWithStats(spark: SparkSession, path: String,
+      dirName: String, df: DataFrame, keys: Seq[String]): Unit = {
+    val present = keys.filter(df.columns.contains)
+    val statCols =
+      if (present.size != keys.size) Nil
+      else present ++ recordedSkipCols(spark, path)
+        .filter(df.columns.contains).filterNot(present.contains)
+    val tagged = statCols.flatMap(k =>
+      statTag(df.schema(k).dataType).map(k -> _))
+    df.write.mode("overwrite").parquet(s"$path/$dirName")
+    // Gate profile: unchanged semantics (reads the new dir — the KMV
+    // sketch needs its own pass), best-effort, gated sinks only.
+    try {
+      val fs = fsFor(spark, path)
+      if (fs.exists(gateMarkerPath(path))) {
+        val (rows, m) = profileSketch(
+          spark.read.schema(df.schema).parquet(s"$path/$dirName"))
+        writeProfileFile(fs, dirProfilePath(path, dirName), rows, m)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    if (present.size != keys.size || tagged.isEmpty) return
+    footerStats(spark, path, dirName, tagged, present) match {
+      case Some((ranges, nn, totalRows)) =>
+        writeKeyStatsFrom(spark, path, dirName, keys, ranges, nn,
+          totalRows, Some(df.schema))
+      case None => writeKeyStats(spark, path, dirName, keys)
+    }
+  }
+
+  /** Range/count facts of a just-written dir read from its parquet
+    * FOOTERS — zero data passes. Returns (per-column ranges in
+    * [[writeKeyStats]]' shape, joint-non-null UPPER bound over
+    * `nnCols`, exact row total), or None when any needed column's
+    * stats are unusable. The non-null bound sizes the bloom: joint
+    * non-null ≤ min per-column non-null, so the bloom is sized ≥ the
+    * true key count (never undersized), and a 0 bound is exact (some
+    * key column is all-NULL → no fully-keyed row exists). String
+    * footer stats compare in unsigned byte order — the same order
+    * [[utf8Lt]] and the sidecar contract use — and parquet-mr OMITS
+    * binary stats it would have to truncate, which lands in the
+    * fallback, never a wrong bound. */
+  private def footerStats(spark: SparkSession, path: String,
+      dirName: String, tagged: Seq[(String, String)], nnCols: Seq[String])
+      : Option[(ProbeRanges, Long, Long)] = try {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val fs = fsFor(spark, path)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(path, dirName))
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")
+      }
+    val need = (tagged.map(_._1) ++ nnCols).distinct
+    var totalRows = 0L
+    val mins = scala.collection.mutable.Map.empty[String, Any]
+    val maxs = scala.collection.mutable.Map.empty[String, Any]
+    val nonNull = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    def canonOf(tag: String, pt: org.apache.parquet.schema.PrimitiveType,
+        v: Any): Option[Any] = {
+      val logical = pt.getLogicalTypeAnnotation
+      (tag, pt.getPrimitiveTypeName) match {
+        case ("long", INT32) | ("long", INT64)
+            if logical == null ||
+              logical.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+          Some(v.asInstanceOf[Number].longValue)
+        case ("string", BINARY)
+            if logical.isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+          Some(new String(
+            v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+            java.nio.charset.StandardCharsets.UTF_8))
+        case ("date", INT32)
+            if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+          Some(v.asInstanceOf[Number].longValue)
+        case ("ts", INT64) => logical match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                Some(v.asInstanceOf[Number].longValue)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                Some(v.asInstanceOf[Number].longValue * 1000L)
+              case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                Some(Math.floorDiv(v.asInstanceOf[Number].longValue, 1000L))
+            }
+          case _ => None
+        }
+        case _ => None // INT96 and anything unexpected: fallback
+      }
+    }
+    for (st <- files) {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          st.getPath, spark.sparkContext.hadoopConfiguration))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        val it = blocks.iterator()
+        while (it.hasNext) {
+          val b = it.next()
+          totalRows += b.getRowCount
+          val byName = {
+            import scala.jdk.CollectionConverters._
+            b.getColumns.asScala
+              .filter(_.getPath.size == 1)
+              .map(c => c.getPath.toDotString -> c).toMap
+          }
+          for (c <- need) {
+            val chunk = byName.getOrElse(c, return None)
+            val stats = chunk.getStatistics
+            if (stats == null || !stats.isNumNullsSet) return None
+            val nn = b.getRowCount - stats.getNumNulls
+            nonNull(c) = nonNull(c) + nn
+            tagged.find(_._1 == c).foreach { case (_, tag) =>
+              if (nn > 0) {
+                if (!stats.hasNonNullValue) return None
+                val lo = canonOf(tag, chunk.getPrimitiveType,
+                  stats.genericGetMin).getOrElse(return None)
+                val hi = canonOf(tag, chunk.getPrimitiveType,
+                  stats.genericGetMax).getOrElse(return None)
+                mins(c) = mins.get(c).filter(m => statLt(m, lo))
+                  .getOrElse(lo)
+                maxs(c) = maxs.get(c).filter(m => statLt(hi, m))
+                  .getOrElse(hi)
+              }
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    val ranges: ProbeRanges = tagged.map { case (k, tag) =>
+      (k, tag, for (lo <- mins.get(k); hi <- maxs.get(k)) yield (lo, hi))
+    }
+    val nnUpper =
+      if (nnCols.isEmpty) 0L
+      else nnCols.map(nonNull(_)).min
+    Some((ranges, nnUpper, totalRows))
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Opens the sidecar DIRECTLY — no exists() precheck. The only
     * caller ([[pruneDirs]]) has already established existence for its
@@ -1005,38 +1179,101 @@ object Upsert {
     * (several ops run more than one probe per call). */
   private[graft] def pruneDirs(spark: SparkSession, path: String,
       dirs: Seq[String], keys: Seq[String], probe: DataFrame,
-      pr0: Option[ProbeRanges] = None): Seq[String] = {
+      pr0: Option[ProbeRanges] = None,
+      canons0: Option[Option[Array[String]]] = None): Seq[String] = {
     val pr = pr0.getOrElse(
       keyRanges(probe, keys.filter(probe.columns.contains)))
     val ranged = overlappingDirs(spark, path, dirs, pr)
     if (ranged.isEmpty) return ranged
     if (!keys.forall(probe.columns.contains)) return ranged
-    // The bloom stage is sound ONLY for the sink's own key set: the
-    // sidecars hash [[keyCanon]] over the RECORDED keys, so a probe on
-    // any other column set (a group-column point read against a
-    // doc-keyed sink) would false-negative real matches and silently
-    // prune dirs that hold them. Range stage-1 above is per-column and
-    // stays; the bloom is skipped.
+    // Canon thunk: precomputed by [[probeFacts]] callers (zero extra
+    // jobs — Some(None) means "too many / uncanonizable, skip the bloom
+    // stage"), else the collect-based fallback (a Spark job, run only
+    // when a bloom actually exists — see bloomStage).
+    val canonThunk: () => Option[Array[String]] = canons0 match {
+      case Some(c) => () => c
+      case None => () => {
+        val canon = probe.select(keyCanon(probe, keys).as("__k"))
+          .limit(BloomProbeMax + 1).collect().map(_.getString(0))
+        if (canon.length > BloomProbeMax) None else Some(canon)
+      }
+    }
+    bloomStage(spark, path, ranged, keys, canonThunk)
+  }
+
+  /** Stage-2 bloom pruning over a stage-1 survivor set. The bloom
+    * stage is sound ONLY for the sink's own key set: the sidecars hash
+    * [[keyCanon]] over the RECORDED keys, so a probe on any other
+    * column set (a group-column point read against a doc-keyed sink)
+    * would false-negative real matches and silently prune dirs that
+    * hold them. The canon thunk runs only when some surviving dir
+    * actually HAS a bloom to consult — statless dirs, legacy-canon
+    * sidecars and the big compact dirs (> bloom cap by design) would
+    * otherwise cost every write/merge/erase one dead collect. */
+  private def bloomStage(spark: SparkSession, path: String,
+      ranged: Seq[String], keys: Seq[String],
+      canons: () => Option[Array[String]]): Seq[String] = {
+    if (ranged.isEmpty) return ranged
     if (keys.toSet != recordedKeyCols(spark, path).toSet) return ranged
-    // Collect the probe canon (a Spark job) only when some surviving
-    // dir actually HAS a bloom to consult — statless dirs, legacy-canon
-    // sidecars and the big compact dirs (> bloom cap by design) would
-    // otherwise cost every write/merge/erase one dead collect.
     val fs = fsFor(spark, path)
     val withBloom = ranged.filter(d =>
       try fs.exists(bloomPath(path, d))
       catch { case scala.util.control.NonFatal(_) => false }).toSet
     if (withBloom.isEmpty) return ranged
-    val canon = probe.select(keyCanon(probe, keys).as("__k"))
-      .limit(BloomProbeMax + 1).collect().map(_.getString(0))
-    if (canon.length > BloomProbeMax) ranged
-    else ranged.filter { d =>
-      if (!withBloom.contains(d)) true
-      else readKeyBloom(spark, path, d) match {
-        case None => true
-        case Some(bf) => canon.exists(bf.mightContainString)
+    canons() match {
+      case None => ranged
+      case Some(canon) => ranged.filter { d =>
+        if (!withBloom.contains(d)) true
+        else readKeyBloom(spark, path, d) match {
+          case None => true
+          case Some(bf) => canon.exists(bf.mightContainString)
+        }
       }
     }
+  }
+
+  /** ONE bounded job over a key-distinct probe frame: collect up to
+    * [[BloomProbeMax]]+1 rows. If they all fit (the trickle-write
+    * norm), the probe's RANGES and BLOOM CANONS both derive on the
+    * driver from the collected rows — replacing the range aggregate
+    * job plus the canon collect job every probing op used to pay. A
+    * larger probe falls back to the range aggregate with no canon set,
+    * exactly the regime where the bloom stage's own cap skipped it
+    * anyway. Canons are produced only when every key column's type is
+    * inside the canon domain ([[statTag]]) — exotic-typed keys keep
+    * the conservative no-bloom path (such sinks never had blooms
+    * consulted through driver canons before either). */
+  private def probeFacts(probe: DataFrame, keys: Seq[String])
+      : (ProbeRanges, Option[Option[Array[String]]]) = {
+    val cols = keys.filter(probe.columns.contains)
+    val rows = probe.limit(BloomProbeMax + 1).collect()
+    if (rows.length > BloomProbeMax)
+      return (keyRanges(probe, cols), Some(None))
+    val schema = probe.schema
+    val pr: ProbeRanges = cols.flatMap { k =>
+      statTag(schema(k).dataType).map { tag =>
+        val idx = schema.fieldIndex(k)
+        val canon = rows.iterator.filterNot(_.isNullAt(idx))
+          .flatMap(r => probeCanon(r.get(idx)))
+          .collect { case (t, v) if t == tag => v }.toSeq
+        val mn = canon.reduceOption((a, b) => if (statLt(a, b)) a else b)
+        val mx = canon.reduceOption((a, b) => if (statLt(a, b)) b else a)
+        (k, tag, for (lo <- mn; hi <- mx) yield (lo, hi))
+      }
+    }
+    val canonable = keys.forall(k => probe.columns.contains(k) &&
+      statTag(schema(k).dataType).isDefined)
+    val canons =
+      if (!canonable) None
+      else Some(rows.map { r =>
+        // Mirrors [[keyCanon]]: name-sorted columns, NULL components
+        // skipped (concat_ws semantics), canon per [[bloomCanonOf]].
+        keys.sorted.flatMap { k =>
+          val i = schema.fieldIndex(k)
+          if (r.isNullAt(i)) None else bloomCanonOf(r.get(i))
+        }.mkString("\u0001")
+      }.distinct)
+    (pr, Some(canons))
   }
 
   /** KEY-SORTED rewrite for compaction outputs: range-partition + sort
@@ -2042,10 +2279,14 @@ object Upsert {
       baseEntries: Seq[SnapEntry], deduped: DataFrame,
       keys: Seq[String]): DataFrame = {
     val keyRows = deduped.select(keys.map(col): _*).distinct()
-      .localCheckpoint()
-    val pr = keyRanges(keyRows, keys.filter(keyRows.columns.contains))
+    // ONE bounded job (probeFacts) replaces the localCheckpoint +
+    // range-aggregate + canon-collect sequence: a trickle batch's
+    // ranges and bloom canons both derive from the collected key set
+    // on the driver — at 100 TB the publish probe costs one bounded
+    // collect of the BATCH's keys, never a pass per stage.
+    val (pr, canons) = probeFacts(keyRows, keys)
     val candidates = pruneDirs(spark, path, baseEntries.map(_.dir), keys,
-      keyRows, Some(pr))
+      keyRows, Some(pr), canons)
     lastProbedDirs.set(candidates)
     // mergeSchema union read, PROJECTED to the key columns: the scan
     // still reads only the keys (Catalyst prunes ReadSchema to the
@@ -2126,9 +2367,8 @@ object Upsert {
       else fresh0.filter(_ => cur == basedOn).getOrElse(
         freshAgainstSnapshotDirs(spark, path, baseEntries, deduped, keys))
     val dirName = s"batch-$target"
-    fresh.write.mode("overwrite").parquet(s"$path/$dirName")
+    writeDirWithStats(spark, path, dirName, fresh, keys)
     recordKeyCols(spark, path, keys)
-    writeKeyStats(spark, path, dirName, keys)
     publishManifest(spark, path, target, baseDirs :+ dirName)
     val rv = reconcileLineage(spark, path, target, dirName, keys,
       coverage(spark, path, baseDirs), fresh.schema, baseVersion = cur)
@@ -2545,9 +2785,12 @@ object Upsert {
     val entries = manifestEntries(spark, path, version)
     val keyRows = probe.select(keys.map(col): _*).distinct()
       .localCheckpoint()
-    val pr = keyRanges(keyRows, keys.filter(keyRows.columns.contains))
+    // probeFacts: ranges + bloom canons from ONE bounded collect over
+    // the checkpointed keys (replacing the range aggregate + the bloom
+    // stage's canon collect).
+    val (pr, canons) = probeFacts(keyRows, keys)
     val candidates = pruneDirs(spark, path, entries.map(_.dir), keys,
-      keyRows, Some(pr))
+      keyRows, Some(pr), canons)
     lastProbedDirs.set(candidates)
     if (candidates.isEmpty)
       readSnapshot(spark, path, version).limit(0)
@@ -2677,8 +2920,12 @@ object Upsert {
       // readSnapshot resolves merge-on-read dvs, so the compact dir is
       // the FOLDED truth — compaction is what resets dv'd entries back
       // to plain dirs (the MoR steady-state loop).
-      layout(readSnapshot(spark, path, cur))
-        .write.mode("overwrite").parquet(s"$path/$dirName")
+      if (statKeys.nonEmpty)
+        writeDirWithStats(spark, path, dirName,
+          layout(readSnapshot(spark, path, cur)), statKeys)
+      else
+        layout(readSnapshot(spark, path, cur))
+          .write.mode("overwrite").parquet(s"$path/$dirName")
       // Record provenance BEFORE the manifest publish: a manifest
       // referencing a compact dir must never be readable without the
       // dir's absorbed set (reconciliation reasons over it).
@@ -2686,7 +2933,6 @@ object Upsert {
       val out = fs.create(af, true)
       try out.write(absorbed.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      if (statKeys.nonEmpty) writeKeyStats(spark, path, dirName, statKeys)
       compactPreLockHook()
       val lock = try acquireRewriterLock(fs, path, "compactSnapshots")
         catch { case e: LockHeldException =>
@@ -2819,15 +3065,17 @@ object Upsert {
       // entries RESOLVE (dvs anti-joined) — the pack folds them.
       // `zOrderBy` swaps the sort for the Morton layout.
       val packed = readEntriesRaw(spark, path, smallEntries)
-      (if (zOrderBy.nonEmpty)
-         zOrderLayout(packed, zOrderBy, zBits, zShards, "compactSmallDirs")
-       else keySortedForFooters(packed, statKeys))
-        .write.mode("overwrite").parquet(s"$path/$dirName")
+      val laidOut =
+        if (zOrderBy.nonEmpty)
+          zOrderLayout(packed, zOrderBy, zBits, zShards, "compactSmallDirs")
+        else keySortedForFooters(packed, statKeys)
+      if (statKeys.nonEmpty)
+        writeDirWithStats(spark, path, dirName, laidOut, statKeys)
+      else laidOut.write.mode("overwrite").parquet(s"$path/$dirName")
       val af = absorbedPath(path, dirName)
       val out = fs.create(af, true)
       try out.write(absorbed.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
       finally out.close()
-      if (statKeys.nonEmpty) writeKeyStats(spark, path, dirName, statKeys)
       compactPreLockHook()
       val lock = try acquireRewriterLock(fs, path, "compactSmallDirs")
         catch { case e: LockHeldException =>
@@ -3026,11 +3274,13 @@ object Upsert {
     val iRows = deduped.filter(col(opCol) === "I").drop(opCol)
     val uRows = deduped.filter(col(opCol) === "U").drop(opCol)
     val iKeys = iRows.select(keys.map(col): _*).distinct().localCheckpoint()
-    // Probe bounding boxes, computed ONCE (probes don't change across
-    // stale retries): shared by the sidecar prune stages and pushed
-    // into every probe scan for within-dir row-group skipping.
-    val touchedPr = keyRanges(touched, keys)
-    val iPr = keyRanges(iKeys, keys)
+    // Probe bounding boxes AND bloom canons, computed ONCE from one
+    // bounded collect per probe (probes don't change across stale
+    // retries): shared by the sidecar prune stages — which no longer
+    // pay a canon-collect job per attempt — and pushed into every
+    // probe scan for within-dir row-group skipping.
+    val (touchedPr, touchedCanons) = probeFacts(touched, keys)
+    val (iPr, iCanons) = probeFacts(iKeys, keys)
     // The marker ENABLES the dv-reattach scan on later publishes —
     // LOAD-BEARING, not best-effort: a name-based publish on a sink
     // whose marker is missing reattaches nothing and silently
@@ -3089,7 +3339,7 @@ object Upsert {
       // without being OPENED. On a compacted 100 TB sink a trickle
       // merge probes the handful of dirs its keys can live in.
       val candidates = pruneDirs(spark, path, baseDirs, keys, touched,
-        Some(touchedPr))
+        Some(touchedPr), touchedCanons)
       lastProbedDirs.set(candidates)
       val tFilter = probeRangeFilter(snapshotSchema, touchedPr)
       // A dir's LIVE view: pinned-schema scan minus its entry's dvs —
@@ -3103,9 +3353,19 @@ object Upsert {
         tFilter.map(sc.filter).getOrElse(sc)
           .join(touched, keys, "left_semi")
       }
-      val (rewritten, probedClean) = candidates.partition { d =>
-        !liveHits(d).isEmpty
-      }
+      // Dirty/clean classification in ONE Spark job for ALL candidate
+      // dirs (a per-dir isEmpty probe was one sequential job per dir —
+      // on a 100 TB sink with many touched dirs, that serializes round
+      // trips the scheduler can run in parallel): each candidate's
+      // pruned semi-join contributes its dir tag, the union's distinct
+      // tags are the dirty set. Same per-dir scans, same pushed probe
+      // bounds, one job.
+      val hitDirs: Set[String] =
+        if (candidates.isEmpty) Set.empty
+        else candidates.map(d => liveHits(d).select(lit(d).as("__dir")))
+          .reduce(_.unionByName(_)).distinct()
+          .collect().map(_.getString(0)).toSet
+      val (rewritten, probedClean) = candidates.partition(hitDirs.contains)
       val carried = probedClean ++ baseDirs.filterNot(candidates.contains)
       // COW: rewrite each dirty dir minus touched keys, FOLDING its dvs
       // (the rewrite is the dir's new line of truth — re-publishing
@@ -3115,22 +3375,20 @@ object Upsert {
         if (mor) Nil
         else rewritten.map { d =>
           val rw = s"$d-m$target"
-          liveDir(d).join(touched, keys, "left_anti")
-            .write.mode("overwrite").parquet(s"$path/$rw")
+          writeDirWithStats(spark, path, rw,
+            liveDir(d).join(touched, keys, "left_anti"), keys)
           val out = fs.create(absorbedPath(path, rw), true)
           try out.write(provenance(spark, path, d).toSeq.sorted
             .mkString("\n").getBytes("UTF-8"))
           finally out.close()
-          writeKeyStats(spark, path, rw, keys)
           rw
         }
       val dvByDir: Map[String, String] =
         if (!mor) Map.empty
         else rewritten.zipWithIndex.map { case (d, i) =>
           val dv = s"dv-$target-$i"
-          liveHits(d).select(keys.map(col): _*).distinct()
-            .write.mode("overwrite").parquet(s"$path/$dv")
-          writeKeyStats(spark, path, dv, keys)
+          writeDirWithStats(spark, path, dv,
+            liveHits(d).select(keys.map(col): _*).distinct(), keys)
           d -> dv
         }.toMap
       // Landing rows: every U (old copy just removed by the rewrites),
@@ -3140,7 +3398,7 @@ object Upsert {
       // corpus-wide readSnapshot scan this replaces was the last
       // corpus-proportional cost in the merge.
       val presentDirs = pruneDirs(spark, path, baseDirs, keys, iKeys,
-        Some(iPr))
+        Some(iPr), iCanons)
       lastPresentDirs.set(presentDirs)
       val freshI =
         if (presentDirs.isEmpty || !keys.forall(snapshotSchema.fieldNames.contains))
@@ -3166,9 +3424,8 @@ object Upsert {
         }
       val land0 = uRows.unionByName(freshI)
       val mergeDir = s"merge-$target"
-      land0.write.mode("overwrite").parquet(s"$path/$mergeDir")
+      writeDirWithStats(spark, path, mergeDir, land0, keys)
       recordKeyCols(spark, path, keys)
-      writeKeyStats(spark, path, mergeDir, keys)
       mergePreLockHook()
       // A rival taking the lock inside the rewrite→acquire window
       // throws LockHeldException here; without cleanup every such
@@ -4061,7 +4318,9 @@ object Upsert {
       s"no snapshot to erase from at $path")
     val keyRows = doomed.select(keys.map(col): _*).distinct()
       .localCheckpoint()
-    val doomedPr = keyRanges(keyRows, keys.filter(keyRows.columns.contains))
+    // One bounded collect gives ranges + bloom canons for every prune
+    // in the erase loop (the probe never changes across attempts).
+    val (doomedPr, doomedCanons) = probeFacts(keyRows, keys)
     def listVersions(): Seq[(Int, Seq[SnapEntry])] =
       fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
         .flatMap(numberedName(_, "v", ".list"))
@@ -4109,7 +4368,7 @@ object Upsert {
         val allDirs = namesOf(perVersion.flatMap(_._2))
         val candidates = pruneDirs(spark, path,
           allDirs.filterNot(processed.contains), keys, keyRows,
-          Some(doomedPr))
+          Some(doomedPr), doomedCanons)
         candidates.foreach { d =>
           val df = spark.read.option("mergeSchema", "true")
             .parquet(s"$path/$d")
@@ -4157,7 +4416,7 @@ object Upsert {
           }
           val newWork = pruneDirs(spark, path,
             liveDirs.filterNot(processed.contains), keys, keyRows,
-            Some(doomedPr))
+            Some(doomedPr), doomedCanons)
           if (newWork.isEmpty) {
             val renames = processed.collect {
               case (d, (Some(rw), _)) => d -> rw }.toMap
