@@ -46,8 +46,22 @@ object Profile {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         lock.synchronized {
-          jobs += JobRec(e.jobId,
-            Option(e.properties.getProperty("callSite.short")).getOrElse(""),
+          // SparkListenerJobStart.properties is documented nullable; an
+          // NPE here is swallowed by the listener bus and silently drops
+          // the job record — inflating the driver "gap" this tool exists
+          // to measure.
+          // Fallback chain: the result stage's NAME carries the call
+          // site ("parquet at Upsert.scala:603") even when the job
+          // properties carry no callSite.short.
+          val desc = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .filter(_.nonEmpty)
+            .orElse(Option(e.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short")))
+              .filter(_.nonEmpty))
+            .orElse(e.stageInfos.lastOption.map(_.name))
+            .getOrElse("")
+          jobs += JobRec(e.jobId, desc,
             e.time, stages = e.stageInfos.size,
             tasks = e.stageInfos.map(_.numTasks).sum)
         }

@@ -110,6 +110,17 @@ object Upsert {
   // immutable after publish; there is no compaction here by design
   // (compactShards composes when batch counts grow).
 
+  /** Label every Spark job `body` submits (guide §1.5): the UI (and
+    * graft.Profile) show which operator phase each of a publish's jobs
+    * belongs to. Thread-local and restored on exit, so nested phases
+    * stack naturally and callers' own descriptions survive. */
+  private def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   private def fsFor(spark: SparkSession, path: String) =
     org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
@@ -497,7 +508,8 @@ object Upsert {
     * failure to write sidecars must never fail the data write (readers
     * just probe). */
   private def writeKeyStats(spark: SparkSession, path: String,
-      dirName: String, keys: Seq[String]): Unit =
+      dirName: String, keys: Seq[String],
+      profileDone: Boolean = false): Unit =
     try {
       val fs = fsFor(spark, path)
       val df = spark.read.parquet(s"$path/$dirName")
@@ -508,8 +520,11 @@ object Upsert {
       // NEW dir, and the gate never re-reads published data. Before
       // the key-presence bail: a dir without the key columns still
       // profiles (the gate covers all columns, not just keys).
+      // `profileDone` skips it when the caller (writeDirWithStats'
+      // footer fallback) already stamped this dir's profile — the
+      // KMV sketch pass must not run twice per gated write.
       try {
-        if (fs.exists(gateMarkerPath(path))) {
+        if (!profileDone && fs.exists(gateMarkerPath(path))) {
           val (rows, m) = profileSketch(df)
           writeProfileFile(fs, dirProfilePath(path, dirName), rows, m)
         }
@@ -571,8 +586,9 @@ object Upsert {
             .map(s => spark.read.schema(s).parquet(s"$path/$dirName"))
             .getOrElse(spark.read.parquet(s"$path/$dirName"))
           val nn = df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
-          val bf = nn.stat.bloomFilter(keyCanon(df, keys),
-            math.max(n, 64L), 0.01)
+          val bf = labeledBloom(spark, dirName)(
+            nn.stat.bloomFilter(keyCanon(df, keys),
+              math.max(n, 64L), 0.01))
           val bo = fs.create(bloomPath(path, dirName), true)
           try bf.writeTo(bo) finally bo.close()
         }
@@ -592,7 +608,8 @@ object Upsert {
     * oversized values, unexpected physical types) fall back to the
     * re-read path, so the sidecar contract is unchanged. */
   private def writeDirWithStats(spark: SparkSession, path: String,
-      dirName: String, df: DataFrame, keys: Seq[String]): Unit = {
+      dirName: String, df: DataFrame, keys: Seq[String]): Unit =
+    labeled(spark, s"graft.writeDir $dirName") {
     val present = keys.filter(df.columns.contains)
     val statCols =
       if (present.size != keys.size) Nil
@@ -616,9 +633,16 @@ object Upsert {
       case Some((ranges, nn, totalRows)) =>
         writeKeyStatsFrom(spark, path, dirName, keys, ranges, nn,
           totalRows, Some(df.schema))
-      case None => writeKeyStats(spark, path, dirName, keys)
+      // profileDone: the gate profile above already stamped this dir —
+      // the fallback must not pay the KMV sketch pass a second time.
+      case None => writeKeyStats(spark, path, dirName, keys,
+        profileDone = true)
     }
   }
+
+  /** [[labeled]] wrappers for the jobs sidecar writes submit. */
+  private def labeledBloom[T](spark: SparkSession, dirName: String)
+      (body: => T): T = labeled(spark, s"graft.bloom $dirName")(body)
 
   /** Range/count facts of a just-written dir read from its parquet
     * FOOTERS — zero data passes. Returns (per-column ranges in
@@ -650,6 +674,10 @@ object Upsert {
     val maxs = scala.collection.mutable.Map.empty[String, Any]
     val nonNull = scala.collection.mutable.Map.empty[String, Long]
       .withDefaultValue(0L)
+    // Per-file facts, so the footer opens can run CONCURRENTLY (below):
+    // None = this file's stats are unusable → whole-dir fallback.
+    case class FileFacts(rows: Long, mins: Map[String, Any],
+        maxs: Map[String, Any], nonNull: Map[String, Long])
     def canonOf(tag: String, pt: org.apache.parquet.schema.PrimitiveType,
         v: Any): Option[Any] = {
       val logical = pt.getLogicalTypeAnnotation
@@ -681,16 +709,21 @@ object Upsert {
         case _ => None // INT96 and anything unexpected: fallback
       }
     }
-    for (st <- files) {
+    def factsOf(st: org.apache.hadoop.fs.FileStatus): Option[FileFacts] = {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           st.getPath, spark.sparkContext.hadoopConfiguration))
       try {
+        var rows = 0L
+        val fMins = scala.collection.mutable.Map.empty[String, Any]
+        val fMaxs = scala.collection.mutable.Map.empty[String, Any]
+        val fNn = scala.collection.mutable.Map.empty[String, Long]
+          .withDefaultValue(0L)
         val blocks = reader.getFooter.getBlocks
         val it = blocks.iterator()
         while (it.hasNext) {
           val b = it.next()
-          totalRows += b.getRowCount
+          rows += b.getRowCount
           val byName = {
             import scala.jdk.CollectionConverters._
             b.getColumns.asScala
@@ -702,7 +735,7 @@ object Upsert {
             val stats = chunk.getStatistics
             if (stats == null || !stats.isNumNullsSet) return None
             val nn = b.getRowCount - stats.getNumNulls
-            nonNull(c) = nonNull(c) + nn
+            fNn(c) = fNn(c) + nn
             tagged.find(_._1 == c).foreach { case (_, tag) =>
               if (nn > 0) {
                 if (!stats.hasNonNullValue) return None
@@ -710,15 +743,45 @@ object Upsert {
                   stats.genericGetMin).getOrElse(return None)
                 val hi = canonOf(tag, chunk.getPrimitiveType,
                   stats.genericGetMax).getOrElse(return None)
-                mins(c) = mins.get(c).filter(m => statLt(m, lo))
+                fMins(c) = fMins.get(c).filter(m => statLt(m, lo))
                   .getOrElse(lo)
-                maxs(c) = maxs.get(c).filter(m => statLt(hi, m))
+                fMaxs(c) = fMaxs.get(c).filter(m => statLt(hi, m))
                   .getOrElse(hi)
               }
             }
           }
         }
+        Some(FileFacts(rows, fMins.toMap, fMaxs.toMap, fNn.toMap))
       } finally reader.close()
+    }
+    // Footer opens run in a SMALL bounded pool, not a sequential driver
+    // loop: a compaction output on an object store would otherwise
+    // serialize N metadata RPCs on the driver (guide §5 driver-bound).
+    // Bounded at 8 — footer reads are latency-bound, not CPU-bound.
+    val perFile: Seq[Option[FileFacts]] =
+      if (files.length <= 1) files.toSeq.map(factsOf)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, files.length))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks: Seq[java.util.concurrent.Callable[Option[FileFacts]]] =
+            files.toSeq.map(st =>
+              new java.util.concurrent.Callable[Option[FileFacts]] {
+                override def call(): Option[FileFacts] = factsOf(st)
+              })
+          pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+        } finally pool.shutdown()
+      }
+    for (ff <- perFile) ff match {
+      case None => return None
+      case Some(f) =>
+        totalRows += f.rows
+        for ((c, v) <- f.nonNull) nonNull(c) = nonNull(c) + v
+        for ((c, lo) <- f.mins)
+          mins(c) = mins.get(c).filter(m => statLt(m, lo)).getOrElse(lo)
+        for ((c, hi) <- f.maxs)
+          maxs(c) = maxs.get(c).filter(m => statLt(hi, m)).getOrElse(hi)
     }
     val ranges: ProbeRanges = tagged.map { case (k, tag) =>
       (k, tag, for (lo <- mins.get(k); hi <- maxs.get(k)) yield (lo, hi))
@@ -1232,6 +1295,18 @@ object Upsert {
     }
   }
 
+  /** Balanced unionByName: a left-deep `reduce(_.unionByName(_))` over
+    * one plan per dir builds a nested Union whose analyzer recursion is
+    * as deep as the dir count — on a sink with thousands of
+    * range-overlapping trickle dirs that traversal can StackOverflow.
+    * A balanced tree keeps the depth at log2(n) with the same result. */
+  private def balancedUnion(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.size == 1) dfs.head
+    else {
+      val (l, r) = dfs.splitAt(dfs.size / 2)
+      balancedUnion(l).unionByName(balancedUnion(r))
+    }
+
   /** ONE bounded job over a key-distinct probe frame: collect up to
     * [[BloomProbeMax]]+1 rows. If they all fit (the trickle-write
     * norm), the probe's RANGES and BLOOM CANONS both derive on the
@@ -1246,7 +1321,8 @@ object Upsert {
   private def probeFacts(probe: DataFrame, keys: Seq[String])
       : (ProbeRanges, Option[Option[Array[String]]]) = {
     val cols = keys.filter(probe.columns.contains)
-    val rows = probe.limit(BloomProbeMax + 1).collect()
+    val rows = labeled(probe.sparkSession, "graft.probeFacts")(
+      probe.limit(BloomProbeMax + 1).collect())
     if (rows.length > BloomProbeMax)
       return (keyRanges(probe, cols), Some(None))
     val schema = probe.schema
@@ -2356,7 +2432,8 @@ object Upsert {
     * join re-runs against the actual base, same as the ungated path. */
   private def writeSnapshotFrom(spark: SparkSession, path: String,
       deduped: DataFrame, fresh0: Option[DataFrame], basedOn: Int,
-      keys: Seq[String], tieBreak: Seq[String]): Int = {
+      keys: Seq[String], tieBreak: Seq[String]): Int =
+      labeled(spark, "graft.publish") {
     val target = claimVersion(spark, path)
     val cur = latestVersion(spark, path)
     val baseEntries = if (cur == 0) Seq.empty[SnapEntry]
@@ -2879,7 +2956,8 @@ object Upsert {
   }
 
   private def compactSnapshotsWith(spark: SparkSession, path: String,
-      layout: DataFrame => DataFrame): Int = {
+      layout: DataFrame => DataFrame): Int =
+      labeled(spark, "graft.compact") {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
     // The critical section covers ONLY claim-diff + publish + carry
@@ -3259,7 +3337,8 @@ object Upsert {
 
   private def mergeSnapshotImpl(spark: SparkSession, path: String,
       changes: DataFrame, keys: Seq[String], tieBreak: Seq[String],
-      opCol: String, mor: Boolean): Int = {
+      opCol: String, mor: Boolean): Int =
+      labeled(spark, "graft.merge") {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
     requireLiveKeys(spark, path, keys, "mergeSnapshot")
@@ -3362,9 +3441,10 @@ object Upsert {
       // bounds, one job.
       val hitDirs: Set[String] =
         if (candidates.isEmpty) Set.empty
-        else candidates.map(d => liveHits(d).select(lit(d).as("__dir")))
-          .reduce(_.unionByName(_)).distinct()
-          .collect().map(_.getString(0)).toSet
+        else labeled(spark, "graft.merge classify")(balancedUnion(
+            candidates.map(d => liveHits(d).select(lit(d).as("__dir"))))
+          .distinct()
+          .collect()).map(_.getString(0)).toSet
       val (rewritten, probedClean) = candidates.partition(hitDirs.contains)
       val carried = probedClean ++ baseDirs.filterNot(candidates.contains)
       // COW: rewrite each dirty dir minus touched keys, FOLDING its dvs
@@ -3858,7 +3938,7 @@ object Upsert {
       uRows: DataFrame, dKeys: DataFrame,
       freshI: DataFrame, keys: Seq[String],
       genAtCommit: String): Unit =
-    try {
+    try labeled(spark, "graft.changeRecord") {
       if (uRows.columns.exists(ChangeRecCols) ||
           freshI.columns.exists(ChangeRecCols)) return
       val fs = fsFor(spark, path)
@@ -4078,7 +4158,8 @@ object Upsert {
 
   private def snapshotChangesImpl(spark: SparkSession, path: String,
       fromVersion: Int, toVersion: Int, keys: Seq[String],
-      opCol: String, preImages: Boolean): DataFrame = {
+      opCol: String, preImages: Boolean): DataFrame =
+      labeled(spark, "graft.changes") {
     require(fromVersion >= 1 && toVersion >= 1,
       s"need published versions, got $fromVersion..$toVersion")
     // BOTH endpoints must exist before any path runs: the composed
@@ -4311,7 +4392,8 @@ object Upsert {
     * [[vacuumOrphans]]; 0 sweeps everything and implies quiesced
     * writers). Returns the number of rows erased. */
   def eraseKeys(spark: SparkSession, path: String, doomed: DataFrame,
-                keys: Seq[String], orphanGraceMs: Long = 0L): Long = {
+                keys: Seq[String], orphanGraceMs: Long = 0L): Long =
+      labeled(spark, "graft.erase") {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
     require(latestVersion(spark, path) >= 1,
@@ -4660,7 +4742,8 @@ object Upsert {
     * increment-then-read equals recompute bit-for-bit. */
   def refreshAggregate(spark: SparkSession, srcPath: String,
                        aggPath: String, groupCols: Seq[String],
-                       valueCol: String): Int = {
+                       valueCol: String): Int =
+      labeled(spark, "graft.refreshAgg") {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     val srcLatest = latestVersion(spark, srcPath)
     require(srcLatest >= 1, s"no source snapshot at $srcPath")
@@ -4926,7 +5009,8 @@ object Upsert {
     * double-add. Returns the published (or current) agg version. */
   def refreshAggregateFromFeed(spark: SparkSession, srcPath: String,
       srcKeys: Seq[String], aggPath: String, groupCols: Seq[String],
-      valueCol: String): Int = {
+      valueCol: String): Int =
+      labeled(spark, "graft.refreshAggFeed") {
     val dec = org.apache.spark.sql.types.DecimalType(28, 6)
     val srcLatest = latestVersion(spark, srcPath)
     require(srcLatest >= 1, s"no source snapshot at $srcPath")

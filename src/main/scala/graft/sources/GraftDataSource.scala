@@ -114,7 +114,20 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     * publish), refused at scan time. */
   private def resolveVersion(spark: SparkSession,
       opts: CaseInsensitiveStringMap,
-      expectSchema: Option[StructType] = None): Int =
+      expectSchema: Option[StructType] = None): Int = {
+    // Consume the pin for this path UNCONDITIONALLY, before any branch:
+    // a versionAsOf load's inferSchema leaves a pin behind (its
+    // resolveVersion short-circuits on the explicit version), and a
+    // later same-thread user-schema getTable on the same path with a
+    // byte-identical schema would silently consume it and read the old
+    // pinned version instead of latest.
+    val pin = {
+      val p0 = pinned.get().collect {
+        case (p, pv, ps) if p == pathOf(opts) &&
+          expectSchema.forall(_ == ps) => pv }
+      if (pinned.get().exists(_._1 == pathOf(opts))) pinned.remove()
+      p0
+    }
     Option(opts.get("versionAsOf"))
       .map(GraftOptions.int("versionAsOf", _))
       // The pin outranks a timestampAsOf RE-resolution: inferSchema
@@ -125,17 +138,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       // irrelevant — it stays first for clarity). Consumed: one pin
       // serves exactly one getTable, and ONLY a getTable resolving
       // the schema the pin was derived for (see the pin's doc).
-      .orElse {
-        val pin = pinned.get().collect {
-          case (p, pv, ps) if p == pathOf(opts) &&
-            expectSchema.forall(_ == ps) => pv }
-        if (pinned.get().exists(_._1 == pathOf(opts))) pinned.remove()
-        pin
-      }
+      .orElse(pin)
       .orElse(Option(opts.get("timestampAsOf"))
         .map(ts => Upsert.versionAsOf(spark, pathOf(opts),
           GraftOptions.long("timestampAsOf", ts))))
       .getOrElse(Upsert.latestVersion(spark, pathOf(opts)))
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
