@@ -509,7 +509,8 @@ object Upsert {
     * just probe). */
   private def writeKeyStats(spark: SparkSession, path: String,
       dirName: String, keys: Seq[String],
-      profileDone: Boolean = false): Unit =
+      profileDone: Boolean = false,
+      preBloom: Option[Array[Byte]] = None): Unit =
     try {
       val fs = fsFor(spark, path)
       val df = spark.read.parquet(s"$path/$dirName")
@@ -541,7 +542,7 @@ object Upsert {
         .filter(df.columns.contains).filterNot(present.contains)
       val (ranges, n, totalRows) = keyRangesWithCount(df, statCols, present)
       writeKeyStatsFrom(spark, path, dirName, keys, ranges, n, totalRows,
-        Some(df.schema))
+        Some(df.schema), preBloom)
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Sidecar writer from PRECOMPUTED range/count facts — the shared
@@ -554,7 +555,8 @@ object Upsert {
   private def writeKeyStatsFrom(spark: SparkSession, path: String,
       dirName: String, keys: Seq[String], ranges: ProbeRanges,
       n: Long, totalRows: Long,
-      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None,
+      preBloom: Option[Array[Byte]] = None)
       : Unit =
     try {
       val fs = fsFor(spark, path)
@@ -578,19 +580,28 @@ object Upsert {
         // already drops this dir for ANY probe — don't spend a Spark
         // job building a bloom nothing will ever consult. (Empty dirs
         // are routine: idempotent replays, fully-duplicate batches.)
-        if (n > 0 && n <= BloomMaxKeys) {
-          // Schema pinned when the caller knows it (the dir was just
-          // written from that schema): skips the footer-inference job
-          // spark.read.parquet would otherwise run per sidecar write.
-          val df = dataSchema
-            .map(s => spark.read.schema(s).parquet(s"$path/$dirName"))
-            .getOrElse(spark.read.parquet(s"$path/$dirName"))
-          val nn = df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
-          val bf = labeledBloom(spark, dirName)(
-            nn.stat.bloomFilter(keyCanon(df, keys),
-              math.max(n, 64L), 0.01))
-          val bo = fs.create(bloomPath(path, dirName), true)
-          try bf.writeTo(bo) finally bo.close()
+        if (n > 0 && n <= BloomMaxKeys) preBloom match {
+          // Bloom observed on the write job itself (writeDirWithStats):
+          // write the serialized bytes — same bloom_filter_agg builder,
+          // same keyCanon hashing, zero extra pass. n > 0 gates it so
+          // an EMPTY dir still writes no bloom (its all-"none" stats
+          // already prune every probe).
+          case Some(bytes) =>
+            val bo = fs.create(bloomPath(path, dirName), true)
+            try bo.write(bytes) finally bo.close()
+          case None =>
+            // Schema pinned when the caller knows it (the dir was just
+            // written from that schema): skips the footer-inference job
+            // spark.read.parquet would otherwise run per sidecar write.
+            val df = dataSchema
+              .map(s => spark.read.schema(s).parquet(s"$path/$dirName"))
+              .getOrElse(spark.read.parquet(s"$path/$dirName"))
+            val nn = df.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+            val bf = labeledBloom(spark, dirName)(
+              nn.stat.bloomFilter(keyCanon(df, keys),
+                math.max(n, 64L), 0.01))
+            val bo = fs.create(bloomPath(path, dirName), true)
+            try bf.writeTo(bo) finally bo.close()
         }
       } catch { case scala.util.control.NonFatal(_) => () }
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -608,7 +619,8 @@ object Upsert {
     * oversized values, unexpected physical types) fall back to the
     * re-read path, so the sidecar contract is unchanged. */
   private def writeDirWithStats(spark: SparkSession, path: String,
-      dirName: String, df: DataFrame, keys: Seq[String]): Unit =
+      dirName: String, df: DataFrame, keys: Seq[String],
+      keyBound: Option[Long] = None): Unit =
     labeled(spark, s"graft.writeDir $dirName") {
     val present = keys.filter(df.columns.contains)
     val statCols =
@@ -617,7 +629,38 @@ object Upsert {
         .filter(df.columns.contains).filterNot(present.contains)
     val tagged = statCols.flatMap(k =>
       statTag(df.schema(k).dataType).map(k -> _))
-    df.write.mode("overwrite").parquet(s"$path/$dirName")
+    // OBSERVED bloom (guide §2.4 — remove whole passes): when the
+    // caller knows an UPPER BOUND on the dir's key count (a COW
+    // rewrite is bounded by its parent's sidecar rows, a merge landing
+    // by the batch's U+I counts, a publish by the batch's keys) and it
+    // fits the bloom cap, the bloom aggregate rides the WRITE job as a
+    // CollectMetrics observation over the same keyCanon the scan-built
+    // path hashes — the post-write bloom pass disappears. A bound can
+    // only OVERSIZE the filter (bits for `bound` items, contents =
+    // actual keys): same zero-false-negative contract, slightly larger
+    // sidecar. Best-effort: if the observation doesn't deliver, the
+    // scan-built path below still runs.
+    val obs: Option[org.apache.spark.sql.Observation] =
+      keyBound match {
+        case Some(bound) if present.size == keys.size &&
+            tagged.nonEmpty && bound > 0 && bound <= BloomMaxKeys =>
+          Some(new org.apache.spark.sql.Observation(
+            s"graft_bloom_${dirName}_${System.nanoTime()}"))
+        case _ => None
+      }
+    val toWrite = obs match {
+      case Some(o) =>
+        val bound = math.max(keyBound.get, 64L)
+        val nn = keys.map(col(_).isNotNull).reduce(_ && _)
+        val bits = org.apache.spark.util.sketch.BloomFilter
+          .optimalNumOfBits(bound, 0.01)
+        import org.apache.spark.sql.graftbridge.ColumnBridge
+        df.observe(o, ColumnBridge.internalFn("bloom_filter_agg",
+          when(nn, keyCanon(df, keys)), lit(bound), lit(bits))
+          .as("bloom"))
+      case None => df
+    }
+    toWrite.write.mode("overwrite").parquet(s"$path/$dirName")
     // Gate profile: unchanged semantics (reads the new dir — the KMV
     // sketch needs its own pass), best-effort, gated sinks only.
     try {
@@ -629,14 +672,31 @@ object Upsert {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
     if (present.size != keys.size || tagged.isEmpty) return
+    // Drain the observation (the listener delivering it is async —
+    // poll briefly, then fall back to the scan-built pass; a missing
+    // metric costs one extra job, never a wrong sidecar).
+    val preBloom: Option[Array[Byte]] = obs.flatMap { o =>
+      var bytes: Option[Array[Byte]] = None
+      var waited = 0
+      while (bytes.isEmpty && waited < 50) {
+        val m = org.apache.spark.sql.graftbridge.ColumnBridge
+          .observationGetOrEmpty(o)
+        if (m.nonEmpty)
+          bytes = Option(m.getOrElse("bloom", null))
+            .collect { case b: Array[Byte] => b }
+        else { Thread.sleep(20); waited += 1 }
+        if (m.nonEmpty && bytes.isEmpty) waited = 50
+      }
+      bytes
+    }
     footerStats(spark, path, dirName, tagged, present) match {
       case Some((ranges, nn, totalRows)) =>
         writeKeyStatsFrom(spark, path, dirName, keys, ranges, nn,
-          totalRows, Some(df.schema))
+          totalRows, Some(df.schema), preBloom)
       // profileDone: the gate profile above already stamped this dir —
       // the fallback must not pay the KMV sketch pass a second time.
       case None => writeKeyStats(spark, path, dirName, keys,
-        profileDone = true)
+        profileDone = true, preBloom = preBloom)
     }
   }
 
@@ -1307,6 +1367,31 @@ object Upsert {
       balancedUnion(l).unionByName(balancedUnion(r))
     }
 
+  /** Driver-side bloom canons of collected probe rows — mirrors
+    * [[keyCanon]]: name-sorted columns, NULL components skipped
+    * (concat_ws semantics), canon per [[bloomCanonOf]]. Shared by
+    * [[probeFacts]] and the merge prologue's facts path. */
+  private def canonRowsOf(rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      keys: Seq[String]): Array[String] =
+    rows.map { r =>
+      keys.sorted.flatMap { k =>
+        val i = schema.fieldIndex(k)
+        if (r.isNullAt(i)) None else bloomCanonOf(r.get(i))
+      }.mkString("\u0001")
+    }.distinct
+
+  /** Probe-side key frames whose EXACT row count the caller already
+    * knows broadcast explicitly below this cap: without their own
+    * checkpoint the planner estimates them from the batch checkpoint's
+    * size (filters don't shrink basic stats), which can silently flip
+    * the semi/anti probes to sort-merge — shuffling the DIR side, the
+    * exact cost the probe pruning exists to avoid (guide §3.1: pick
+    * the strategy deliberately). ~50 B/key ⇒ ≤ ~50 MB broadcast. */
+  private val BroadcastKeysMax = 1000000L
+  private def maybeBroadcastKeys(df: DataFrame, cnt: Long): DataFrame =
+    if (cnt > 0 && cnt <= BroadcastKeysMax) broadcast(df) else df
+
   /** ONE bounded job over a key-distinct probe frame: collect up to
     * [[BloomProbeMax]]+1 rows. If they all fit (the trickle-write
     * norm), the probe's RANGES and BLOOM CANONS both derive on the
@@ -1319,12 +1404,18 @@ object Upsert {
     * the conservative no-bloom path (such sinks never had blooms
     * consulted through driver canons before either). */
   private def probeFacts(probe: DataFrame, keys: Seq[String])
-      : (ProbeRanges, Option[Option[Array[String]]]) = {
+      : (ProbeRanges, Option[Option[Array[String]]], Option[Long]) = {
     val cols = keys.filter(probe.columns.contains)
     val rows = labeled(probe.sparkSession, "graft.probeFacts")(
       probe.limit(BloomProbeMax + 1).collect())
-    if (rows.length > BloomProbeMax)
-      return (keyRanges(probe, cols), Some(None))
+    if (rows.length > BloomProbeMax) {
+      // Large probe: the range aggregate also yields the probe's ROW
+      // count — an upper bound on its distinct keys, which sizes the
+      // observed bloom of the dir the caller is about to write.
+      val (pr, _, totalRows) = keyRangesWithCount(probe, cols, cols)
+      return (pr, Some(None),
+        if (totalRows >= 0) Some(totalRows) else None)
+    }
     val schema = probe.schema
     val pr: ProbeRanges = cols.flatMap { k =>
       statTag(schema(k).dataType).map { tag =>
@@ -1341,15 +1432,8 @@ object Upsert {
       statTag(schema(k).dataType).isDefined)
     val canons =
       if (!canonable) None
-      else Some(rows.map { r =>
-        // Mirrors [[keyCanon]]: name-sorted columns, NULL components
-        // skipped (concat_ws semantics), canon per [[bloomCanonOf]].
-        keys.sorted.flatMap { k =>
-          val i = schema.fieldIndex(k)
-          if (r.isNullAt(i)) None else bloomCanonOf(r.get(i))
-        }.mkString("\u0001")
-      }.distinct)
-    (pr, Some(canons))
+      else Some(canonRowsOf(rows, schema, keys))
+    (pr, Some(canons), Some(rows.length.toLong))
   }
 
   /** KEY-SORTED rewrite for compaction outputs: range-partition + sort
@@ -2353,14 +2437,19 @@ object Upsert {
     * [[lastProbedDirs]] for spec/ops audit. */
   private def freshAgainstSnapshotDirs(spark: SparkSession, path: String,
       baseEntries: Seq[SnapEntry], deduped: DataFrame,
-      keys: Seq[String]): DataFrame = {
-    val keyRows = deduped.select(keys.map(col): _*).distinct()
+      keys: Seq[String]): (DataFrame, Option[Long]) = {
+    // NO .distinct(): `deduped` is KEY-UNIQUE by construction (every
+    // caller passes dedupOnKey output), so the distinct was a redundant
+    // full shuffle of the batch's keys — and it made probeFacts'
+    // bounded limit-collect pay that whole shuffle before limiting.
+    // Guide §2.4: a distinct on data that is already unique.
+    val keyRows = deduped.select(keys.map(col): _*)
     // ONE bounded job (probeFacts) replaces the localCheckpoint +
     // range-aggregate + canon-collect sequence: a trickle batch's
     // ranges and bloom canons both derive from the collected key set
     // on the driver — at 100 TB the publish probe costs one bounded
     // collect of the BATCH's keys, never a pass per stage.
-    val (pr, canons) = probeFacts(keyRows, keys)
+    val (pr, canons, batchKeys) = probeFacts(keyRows, keys)
     val candidates = pruneDirs(spark, path, baseEntries.map(_.dir), keys,
       keyRows, Some(pr), canons)
     lastProbedDirs.set(candidates)
@@ -2375,7 +2464,7 @@ object Upsert {
     // the scan as a PUSHED predicate: row groups outside the batch's
     // key range are skipped by footer stats — the within-dir prune for
     // dirs the sidecar stages must admit.
-    if (candidates.isEmpty) deduped
+    if (candidates.isEmpty) (deduped, batchKeys)
     else {
       val cand = baseEntries.filter(e => candidates.contains(e.dir))
       // Projection to the keys BEFORE the anti join (ReadSchema prunes
@@ -2389,9 +2478,9 @@ object Upsert {
           probeRangeFilter(keyed.schema, pr)
             .map(keyed.filter).getOrElse(keyed)
         })
-      if (!keys.forall(scan0.columns.contains)) deduped
-      else deduped.join(scan0.select(keys.map(col): _*).distinct(),
-        keys, "left_anti")
+      if (!keys.forall(scan0.columns.contains)) (deduped, batchKeys)
+      else (deduped.join(scan0.select(keys.map(col): _*).distinct(),
+        keys, "left_anti"), batchKeys)
     }
   }
 
@@ -2439,12 +2528,17 @@ object Upsert {
     val baseEntries = if (cur == 0) Seq.empty[SnapEntry]
                       else manifestEntries(spark, path, cur)
     val baseDirs = baseEntries.map(_.dir)
-    val fresh =
-      if (cur == 0) deduped
-      else fresh0.filter(_ => cur == basedOn).getOrElse(
-        freshAgainstSnapshotDirs(spark, path, baseEntries, deduped, keys))
+    val (fresh, batchKeys) =
+      if (cur == 0) (deduped, None)
+      else fresh0.filter(_ => cur == basedOn).map(f => (f, None))
+        .getOrElse {
+          val (f, bk) = freshAgainstSnapshotDirs(spark, path, baseEntries,
+            deduped, keys)
+          (f, bk)
+        }
     val dirName = s"batch-$target"
-    writeDirWithStats(spark, path, dirName, fresh, keys)
+    writeDirWithStats(spark, path, dirName, fresh, keys,
+      keyBound = batchKeys)
     recordKeyCols(spark, path, keys)
     publishManifest(spark, path, target, baseDirs :+ dirName)
     val rv = reconcileLineage(spark, path, target, dirName, keys,
@@ -2717,7 +2811,7 @@ object Upsert {
       // reuses this fresh set via writeSnapshotFrom — no second anti
       // join) both read the materialized batch-sized result.
       val fresh = freshAgainstSnapshotDirs(spark, path, baseEntries,
-        deduped, keys).localCheckpoint()
+        deduped, keys)._1.localCheckpoint()
       freshForWrite = Some(fresh)
       var missing = List.empty[String]
       val perDir = baseDirs.map { d =>
@@ -2865,7 +2959,7 @@ object Upsert {
     // probeFacts: ranges + bloom canons from ONE bounded collect over
     // the checkpointed keys (replacing the range aggregate + the bloom
     // stage's canon collect).
-    val (pr, canons) = probeFacts(keyRows, keys)
+    val (pr, canons, _) = probeFacts(keyRows, keys)
     val candidates = pruneDirs(spark, path, entries.map(_.dir), keys,
       keyRows, Some(pr), canons)
     lastProbedDirs.set(candidates)
@@ -3345,21 +3439,71 @@ object Upsert {
     val op = upper(col(opCol))
     val deduped = dedupOnKey(normalizeBatch(spark, path, changes),
       keys, tieBreak).withColumn(opCol, op).localCheckpoint()
-    require(deduped.filter(col(opCol).isNull ||
-        !col(opCol).isin("I", "U", "D")).isEmpty,
+    // ONE "facts" aggregate over the checkpointed batch replaces the
+    // op-validation probe, the touched/iKeys standalone checkpoints
+    // and both probeFacts range jobs (guide §2.4 — remove whole
+    // passes): `deduped` is KEY-UNIQUE (dedupOnKey), so conditional
+    // counts ARE distinct-key counts and conditional min/max ARE the
+    // probes' bounding boxes — a single partial aggregate, no shuffle,
+    // no extra pass per prologue stage. Probes don't change across
+    // stale retries, so the facts are computed once before the loop.
+    val opc = col(opCol)
+    val badPred = opc.isNull || !opc.isin("I", "U", "D")
+    val tPred = !opc.isNull && opc.isin("U", "D")
+    val iPred = opc === "I"
+    val statKeys = keys.flatMap(k =>
+      statTag(deduped.schema(k).dataType).map(k -> _))
+    val factAggs =
+      Seq(count(when(badPred, lit(1))).as("__bad"),
+        count(when(tPred, lit(1))).as("__tn"),
+        count(when(iPred, lit(1))).as("__in"),
+        count(when(opc === "U", lit(1))).as("__un")) ++
+      statKeys.flatMap { case (k, _) => Seq(
+        min(when(tPred, col(k))), max(when(tPred, col(k))),
+        min(when(iPred, col(k))), max(when(iPred, col(k)))) }
+    val facts = labeled(spark, "graft.merge facts")(
+      deduped.agg(factAggs.head, factAggs.tail: _*).head())
+    require(facts.getLong(0) == 0,
       s"mergeSnapshot: $opCol must be one of I/U/D")
-    val touched = deduped.filter(col(opCol) =!= "I")
-      .select(keys.map(col): _*).distinct().localCheckpoint()
-    val iRows = deduped.filter(col(opCol) === "I").drop(opCol)
-    val uRows = deduped.filter(col(opCol) === "U").drop(opCol)
-    val iKeys = iRows.select(keys.map(col): _*).distinct().localCheckpoint()
-    // Probe bounding boxes AND bloom canons, computed ONCE from one
-    // bounded collect per probe (probes don't change across stale
-    // retries): shared by the sidecar prune stages — which no longer
-    // pay a canon-collect job per attempt — and pushed into every
-    // probe scan for within-dir row-group skipping.
-    val (touchedPr, touchedCanons) = probeFacts(touched, keys)
-    val (iPr, iCanons) = probeFacts(iKeys, keys)
+    val tCnt = facts.getLong(1)
+    val iCnt = facts.getLong(2)
+    val uCnt = facts.getLong(3)
+    def factRanges(offset: Int): ProbeRanges =
+      statKeys.zipWithIndex.map { case ((k, tag), j) =>
+        val lo = facts.get(4 + 4 * j + offset)
+        val hi = facts.get(4 + 4 * j + offset + 1)
+        (k, tag, if (lo == null || hi == null) None
+                 else Some((decodeStatValue(tag, encodeStatValue(tag, lo)),
+                            decodeStatValue(tag, encodeStatValue(tag, hi)))))
+      }
+    val touchedPr = factRanges(0)
+    val iPr = factRanges(2)
+    // Key-unique projections of the checkpoint — no .distinct() (a
+    // redundant shuffle), no standalone checkpoints: consumers read
+    // the batch-sized checkpoint blocks; [[maybeBroadcastKeys]] keeps
+    // the probe side broadcast where the old checkpointed-size
+    // estimate used to.
+    val touched0 = deduped.filter(tPred).select(keys.map(col): _*)
+    val touched = maybeBroadcastKeys(touched0, tCnt)
+    val iRows = deduped.filter(iPred).drop(opCol)
+    val uRows = deduped.filter(opc === "U").drop(opCol)
+    val iKeys = iRows.select(keys.map(col): _*)
+    // Bloom canons: one bounded collect per probe class, only when the
+    // facts say it fits the cap (the big regime skips the bloom stage
+    // by contract, now without even the limit-collect attempt).
+    def canonsFor(keysDf: DataFrame, cnt: Long): Option[Option[Array[String]]] = {
+      val canonable = keys.forall(k =>
+        statTag(deduped.schema(k).dataType).isDefined)
+      if (!canonable) Some(None)
+      else if (cnt > BloomProbeMax) Some(None)
+      else if (cnt == 0) Some(Some(Array.empty[String]))
+      else Some(Some(canonRowsOf(
+        labeled(spark, "graft.merge canons")(
+          keysDf.limit(BloomProbeMax + 1).collect()),
+        keysDf.schema, keys)))
+    }
+    val touchedCanons = canonsFor(touched0, tCnt)
+    val iCanons = canonsFor(iKeys, iCnt)
     // The marker ENABLES the dv-reattach scan on later publishes —
     // LOAD-BEARING, not best-effort: a name-based publish on a sink
     // whose marker is missing reattaches nothing and silently
@@ -3455,8 +3599,12 @@ object Upsert {
         if (mor) Nil
         else rewritten.map { d =>
           val rw = s"$d-m$target"
+          // keyBound: the rewrite's keys are a subset of the parent
+          // dir's rows (its sidecar row count) — the observed bloom
+          // rides the rewrite job.
           writeDirWithStats(spark, path, rw,
-            liveDir(d).join(touched, keys, "left_anti"), keys)
+            liveDir(d).join(touched, keys, "left_anti"), keys,
+            keyBound = readDirRowCount(spark, path, d))
           val out = fs.create(absorbedPath(path, rw), true)
           try out.write(provenance(spark, path, d).toSeq.sorted
             .mkString("\n").getBytes("UTF-8"))
@@ -3467,8 +3615,11 @@ object Upsert {
         if (!mor) Map.empty
         else rewritten.zipWithIndex.map { case (d, i) =>
           val dv = s"dv-$target-$i"
+          // keyBound: a dv's keys are a subset of the batch's touched
+          // keys.
           writeDirWithStats(spark, path, dv,
-            liveHits(d).select(keys.map(col): _*).distinct(), keys)
+            liveHits(d).select(keys.map(col): _*).distinct(), keys,
+            keyBound = Some(tCnt))
           d -> dv
         }.toMap
       // Landing rows: every U (old copy just removed by the rewrites),
@@ -3504,7 +3655,10 @@ object Upsert {
         }
       val land0 = uRows.unionByName(freshI)
       val mergeDir = s"merge-$target"
-      writeDirWithStats(spark, path, mergeDir, land0, keys)
+      // keyBound: the landing holds at most every U row plus every I
+      // row of the (key-unique) batch.
+      writeDirWithStats(spark, path, mergeDir, land0, keys,
+        keyBound = Some(uCnt + iCnt))
       recordKeyCols(spark, path, keys)
       mergePreLockHook()
       // A rival taking the lock inside the rewrite→acquire window
@@ -3641,12 +3795,15 @@ object Upsert {
                 spark.createDataFrame(
                   spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
                   snapshotSchema)
-              else rewritten.map(liveHits).reduce(_.unionByName(_))
+              else balancedUnion(rewritten.map(liveHits))
             writeMergeChangeRecord(spark, path, v, base = cur,
-              removedPre _, uRows,
-              dKeys = deduped.filter(col(opCol) === "D")
-                .select(keys.map(col): _*).distinct(),
-              freshI, keys, genAtCommit)
+              removedPre _,
+              landingDir = mergeDir, landingSchema = land0.schema,
+              uKeys = deduped.filter(opc === "U")
+                .select(keys.map(col): _*),
+              dKeys = deduped.filter(opc === "D")
+                .select(keys.map(col): _*),
+              keys, genAtCommit, tCnt)
           }
           return rv
         case None => ()
@@ -3935,12 +4092,13 @@ object Upsert {
     * emit, not the caller's op labels. */
   private def writeMergeChangeRecord(spark: SparkSession, path: String,
       version: Int, base: Int, removedPreF: () => DataFrame,
-      uRows: DataFrame, dKeys: DataFrame,
-      freshI: DataFrame, keys: Seq[String],
-      genAtCommit: String): Unit =
+      landingDir: String,
+      landingSchema: org.apache.spark.sql.types.StructType,
+      uKeys: DataFrame, dKeys: DataFrame,
+      keys: Seq[String],
+      genAtCommit: String, touchedCnt: Long): Unit =
     try labeled(spark, "graft.changeRecord") {
-      if (uRows.columns.exists(ChangeRecCols) ||
-          freshI.columns.exists(ChangeRecCols)) return
+      if (landingSchema.fieldNames.exists(ChangeRecCols)) return
       val fs = fsFor(spark, path)
       // Cheap pre-check (the locked re-validation below is the
       // guarantee): if history was already rewritten since the commit,
@@ -3949,19 +4107,41 @@ object Upsert {
       if (rewriteGen(spark, path) != genAtCommit) return
       val removedPre = removedPreF()
       if (removedPre.columns.exists(ChangeRecCols)) return
-      val uKeys = uRows.select(keys.map(col): _*).distinct()
-      val removedKeys = removedPre.select(keys.map(col): _*).distinct()
-        .localCheckpoint()
-      val rec = Seq(
-        removedPre.join(uKeys, keys, "left_semi")
-          .withColumn("__op", lit("P")),
-        removedPre.join(dKeys, keys, "left_semi")
-          .withColumn("__op", lit("D")),
-        uRows.join(removedKeys, keys, "left_semi")
-          .withColumn("__op", lit("U")),
-        uRows.join(removedKeys, keys, "left_anti")
-          .withColumn("__op", lit("I")),
-        freshI.withColumn("__op", lit("I")))
+      // The record in ONE write job, no standalone checkpoint (guide
+      // §2.4). Old shape: a 5-frame union of two semi-joins over
+      // removedPre, a semi + an anti of uRows against a CHECKPOINTED
+      // removedKeys, and a re-execution of the freshI presence
+      // anti-join — 3 scans of the dirty dirs plus 2 checkpoint jobs
+      // plus a second probe of the base dirs. The post-image side is
+      // EXACTLY the published landing dir (uRows ∪ freshI, immutable,
+      // already on disk — recordAt is only set when no interleaver
+      // rewrote it), so the record READS IT BACK instead of
+      // recomputing it, and the P/D and U/I splits are per-row CASE
+      // tags over the key-unique batch:
+      //  - every removedPre key is in touched = uKeys ∪ dKeys, so
+      //    key ∈ dKeys ⇒ D else P — one join against the D keys;
+      //  - a landing row is U iff its key is a batch U key AND was
+      //    removed from some dirty dir (the pre-image exists); every
+      //    other landing row is an insert.
+      val dMark = dKeys.withColumn("__is_d", lit(true))
+      val preOp = removedPre.join(maybeBroadcastKeys(dMark, touchedCnt),
+          keys, "left")
+        .withColumn("__op",
+          when(col("__is_d").isNotNull, "D").otherwise("P"))
+        .drop("__is_d")
+      val landing = spark.read.schema(landingSchema)
+        .parquet(s"$path/$landingDir")
+      val uMark = uKeys.withColumn("__is_u", lit(true))
+      val rmMark = removedPre.select(keys.map(col): _*).distinct()
+        .withColumn("__rm", lit(true))
+      val landOp = landing
+        .join(maybeBroadcastKeys(uMark, touchedCnt), keys, "left")
+        .join(maybeBroadcastKeys(rmMark, touchedCnt), keys, "left")
+        .withColumn("__op",
+          when(col("__is_u").isNotNull && col("__rm").isNotNull, "U")
+            .otherwise("I"))
+        .drop("__is_u", "__rm")
+      val rec = Seq(preOp, landOp)
         .reduce(_.unionByName(_, allowMissingColumns = true))
       rec.write.mode("overwrite")
         .parquet(changesDirPath(path, version).toString)
@@ -4402,7 +4582,7 @@ object Upsert {
       .localCheckpoint()
     // One bounded collect gives ranges + bloom canons for every prune
     // in the erase loop (the probe never changes across attempts).
-    val (doomedPr, doomedCanons) = probeFacts(keyRows, keys)
+    val (doomedPr, doomedCanons, _) = probeFacts(keyRows, keys)
     def listVersions(): Seq[(Int, Seq[SnapEntry])] =
       fs.listStatus(snapDir(path)).toSeq.map(_.getPath.getName)
         .flatMap(numberedName(_, "v", ".list"))

@@ -14,6 +14,17 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `Column.internalFn` — the internal-function constructor the
+    * Spark 4 `DataFrameStatFunctions` itself uses (e.g.
+    * `bloom_filter_agg`); private[sql], hence bridged here. */
+  def internalFn(name: String, args: Column*): Column =
+    Column.internalFn(name, args: _*)
+
+  /** Non-blocking read of an Observation's metrics (private[sql]):
+    * empty map until the async listener delivers them. */
+  def observationGetOrEmpty(o: org.apache.spark.sql.Observation)
+      : Map[String, Any] = o.getOrEmpty
+
   def registerFunction(spark: SparkSession, name: String,
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
