@@ -620,7 +620,9 @@ object Upsert {
     * re-read path, so the sidecar contract is unchanged. */
   private def writeDirWithStats(spark: SparkSession, path: String,
       dirName: String, df: DataFrame, keys: Seq[String],
-      keyBound: Option[Long] = None): Unit =
+      keyBound: Option[Long] = None,
+      dirProfile: Option[(Long, Map[String, (Long, Array[String])])] = None)
+      : Unit =
     labeled(spark, s"graft.writeDir $dirName") {
     val present = keys.filter(df.columns.contains)
     val statCols =
@@ -661,13 +663,16 @@ object Upsert {
       case None => df
     }
     toWrite.write.mode("overwrite").parquet(s"$path/$dirName")
-    // Gate profile: unchanged semantics (reads the new dir — the KMV
-    // sketch needs its own pass), best-effort, gated sinks only.
+    // Gate profile: best-effort, gated sinks only. When the caller
+    // already profiled EXACTLY these rows (writeSnapshotGated sketches
+    // its fresh set for the drift diff), the sidecar reuses that
+    // sketch — the dir's own re-read pass disappears (guide §2.4);
+    // otherwise the KMV sketch reads the new dir as before.
     try {
       val fs = fsFor(spark, path)
       if (fs.exists(gateMarkerPath(path))) {
-        val (rows, m) = profileSketch(
-          spark.read.schema(df.schema).parquet(s"$path/$dirName"))
+        val (rows, m) = dirProfile.getOrElse(profileSketch(
+          spark.read.schema(df.schema).parquet(s"$path/$dirName")))
         writeProfileFile(fs, dirProfilePath(path, dirName), rows, m)
       }
     } catch { case scala.util.control.NonFatal(_) => () }
@@ -2521,24 +2526,33 @@ object Upsert {
     * join re-runs against the actual base, same as the ungated path. */
   private def writeSnapshotFrom(spark: SparkSession, path: String,
       deduped: DataFrame, fresh0: Option[DataFrame], basedOn: Int,
-      keys: Seq[String], tieBreak: Seq[String]): Int =
+      keys: Seq[String], tieBreak: Seq[String],
+      fresh0Profile: Option[(Long, Map[String, (Long, Array[String])])] =
+        None): Int =
       labeled(spark, "graft.publish") {
     val target = claimVersion(spark, path)
     val cur = latestVersion(spark, path)
     val baseEntries = if (cur == 0) Seq.empty[SnapEntry]
                       else manifestEntries(spark, path, cur)
     val baseDirs = baseEntries.map(_.dir)
+    // fresh0 accepted (base unchanged): its caller-computed profile
+    // sketch and row count are facts of EXACTLY the rows written below
+    // — the sidecar profile pass and the bloom's sizing pass both fold
+    // away. An interleaved publish invalidates fresh0 and both facts
+    // with it.
+    val fresh0Ok = fresh0.isDefined && cur != 0 && cur == basedOn
     val (fresh, batchKeys) =
       if (cur == 0) (deduped, None)
-      else fresh0.filter(_ => cur == basedOn).map(f => (f, None))
-        .getOrElse {
-          val (f, bk) = freshAgainstSnapshotDirs(spark, path, baseEntries,
-            deduped, keys)
-          (f, bk)
-        }
+      else if (fresh0Ok) (fresh0.get, fresh0Profile.map(_._1))
+      else {
+        val (f, bk) = freshAgainstSnapshotDirs(spark, path, baseEntries,
+          deduped, keys)
+        (f, bk)
+      }
     val dirName = s"batch-$target"
     writeDirWithStats(spark, path, dirName, fresh, keys,
-      keyBound = batchKeys)
+      keyBound = batchKeys,
+      dirProfile = if (fresh0Ok) fresh0Profile else None)
     recordKeyCols(spark, path, keys)
     publishManifest(spark, path, target, baseDirs :+ dirName)
     val rv = reconcileLineage(spark, path, target, dirName, keys,
@@ -2790,7 +2804,8 @@ object Upsert {
       maxNullRateJump: Double, maxRowGrowthPct: Double,
       minRowGrowthPct: Double = 0.0,
       allowAddedColumns: Boolean = true,
-      allowDroppedColumns: Boolean = false): Int = {
+      allowDroppedColumns: Boolean = false): Int =
+      labeled(spark, "graft.gate") {
     val fs = fsFor(spark, path)
     fs.mkdirs(snapDir(path))
     // Opt the sink into per-dir profiling BEFORE any write: this
@@ -2804,6 +2819,8 @@ object Upsert {
     val deduped = dedupOnKey(normalizeBatch(spark, path, batch),
       keys, tieBreak)
     var freshForWrite: Option[DataFrame] = None
+    var freshProfile: Option[(Long, Map[String, (Long, Array[String])])] =
+      None
     if (cur >= 1) {
       val baseEntries = manifestEntries(spark, path, cur)
       val baseDirs = baseEntries.map(_.dir)
@@ -2826,7 +2843,9 @@ object Upsert {
       val (prevRows, prevM) = perDir
         .reduceOption((a, b) => mergeProfileStats(a._1, a._2, b._1, b._2))
         .getOrElse((0L, Map.empty[String, (Long, Array[String])]))
-      val (fRows, fM) = profileSketch(fresh)
+      val (fRows, fM) = labeled(spark, "graft.gate profile")(
+        profileSketch(fresh))
+      freshProfile = Some((fRows, fM))
       val cand = mergeProfileStats(prevRows, prevM, fRows, fM)
       val bad = Validate.driftViolations(
         Validate.profileDrift(profileStatsToDF(spark, cand._1, cand._2),
@@ -2845,7 +2864,8 @@ object Upsert {
     // that can go stale when an interleaved writer or reconcile
     // rewrite changes the published manifest.
     writeSnapshotFrom(spark, path, deduped,
-      freshForWrite, basedOn = cur, keys, tieBreak)
+      freshForWrite, basedOn = cur, keys, tieBreak,
+      fresh0Profile = freshProfile)
   }
 
   /** Name-based publish: each carried dir REATTACHES the union of its
@@ -2954,12 +2974,15 @@ object Upsert {
   def readSnapshotForKeys(spark: SparkSession, path: String, version: Int,
       probe: DataFrame, keys: Seq[String]): DataFrame = {
     val entries = manifestEntries(spark, path, version)
+    // LAZY checkpoint: probeFacts' first action materializes the
+    // blocks in its own job — no standalone materialization pass —
+    // and every later consumer (the semi join) reads the blocks.
     val keyRows = probe.select(keys.map(col): _*).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // probeFacts: ranges + bloom canons from ONE bounded collect over
     // the checkpointed keys (replacing the range aggregate + the bloom
     // stage's canon collect).
-    val (pr, canons, _) = probeFacts(keyRows, keys)
+    val (pr, canons, probeCnt) = probeFacts(keyRows, keys)
     val candidates = pruneDirs(spark, path, entries.map(_.dir), keys,
       keyRows, Some(pr), canons)
     lastProbedDirs.set(candidates)
@@ -2975,7 +2998,9 @@ object Upsert {
         entries.filter(e => candidates.contains(e.dir)),
         df => probeRangeFilter(df.schema, pr)
           .map(df.filter).getOrElse(df))
-      applySchemaMap(spark, path, scan.join(keyRows, keys, "left_semi"))
+      applySchemaMap(spark, path, scan.join(
+        maybeBroadcastKeys(keyRows, probeCnt.getOrElse(0L)),
+        keys, "left_semi"))
     }
   }
 
@@ -5297,8 +5322,10 @@ object Upsert {
         val touch = (col("__rmin").isNotNull &&
           (col("__rmin") <=> col("min_v") ||
             col("__rmax") <=> col("max_v")))
+        // Lazy checkpoint: the count below materializes the blocks in
+        // the same job instead of paying a separate checkpoint pass.
         val touchedKeys = joined.filter(touch)
-          .select(groupCols.map(col): _*).localCheckpoint()
+          .select(groupCols.map(col): _*).localCheckpoint(false)
         val nTouched = touchedKeys.count()
         lastFeedBoundRecomputed.set(nTouched)
         val nNew = coalesce(col("n"), lit(0L)) + col("__dn")
