@@ -181,12 +181,22 @@ private[sources] object FilterBounds {
   * else uses the V1 bridge. Exactness never rests on this choice:
   * both paths keep every filter residual. */
 private[sources] object GraftBatchScan {
-  private def scalarSupported(dt: DataType): Boolean = dt match {
+  private[sources] def scalarSupported(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType
        | FloatType | DoubleType | StringType | BinaryType | DateType
        | TimestampType => true
     case _ => false
   }
+
+  /** Escape hatch for the vectorized Batch read path: set
+    * `graft.batch.columnar=false` (runtime conf) to force the row
+    * reader — e.g. for a sink holding foreign-written TIMESTAMP(NANOS)
+    * files, which the vectorized schema converter refuses loudly while
+    * the row reader floors them to micros. */
+  val ColumnarConf = "graft.batch.columnar"
+
+  def columnarEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption(ColumnarConf).forall(_.toBoolean)
 
   def typeSupported(dt: DataType): Boolean = dt match {
     case ArrayType(et, _) => scalarSupported(et)
@@ -258,19 +268,102 @@ private[sources] class GraftBatchScan(path: String, version: Int,
       .map(f => GraftInputPartition(f): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = SparkSession.active
+    // COLUMNAR when every read column is a scalar the vectorized
+    // parquet reader serves (guide §4: vectorized beats row-at-a-time
+    // per byte; the row materializer stays the fallback for arrays and
+    // as the conf escape hatch). The decision is per-scan: mixed
+    // support cannot arise within one scan, so Spark's all-partitions
+    // columnar requirement is satisfied by construction.
+    val columnar = GraftBatchScan.columnarEnabled(spark) &&
+      required.fields.forall(f => GraftBatchScan.scalarSupported(f.dataType))
     new GraftReaderFactory(required,
-      GraftBatchScan.hadoopConfKVs(SparkSession.active))
+      GraftBatchScan.hadoopConfKVs(spark), columnar)
+  }
 }
 
 private[sources] final case class GraftInputPartition(file: String)
   extends InputPartition
 
 private[sources] class GraftReaderFactory(required: StructType,
-    confKVs: Array[(String, String)]) extends PartitionReaderFactory {
+    confKVs: Array[(String, String)], columnar: Boolean = false)
+  extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GraftPartitionReader(
       p.asInstanceOf[GraftInputPartition].file, required, confKVs)
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new GraftColumnarPartitionReader(
+      p.asInstanceOf[GraftInputPartition].file, required, confKVs)
+}
+
+/** COLUMNAR reader over ONE parquet file via Spark's own
+  * [[org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader]]
+  * (a public class of the Spark jar — no internals modified): batches
+  * flow to WholeStageCodegen through the standard ColumnarToRow
+  * transition instead of one GenericInternalRow per row. Semantics are
+  * pinned to [[GraftPartitionReader]]: missing required columns
+  * null-fill (the vectorized reader's own missing-column vectors),
+  * CORRECTED (no-op) datetime/INT96 rebase — the raw proleptic
+  * interpretation the row reader computes by hand — and the same
+  * additive-only physical divergence the eligibility gate admits.
+  * Foreign TIMESTAMP(NANOS) files fail LOUDLY in schema conversion
+  * (the row reader floors them): set [[GraftBatchScan.ColumnarConf]]
+  * false for such sinks. */
+private[sources] class GraftColumnarPartitionReader(file: String,
+    required: StructType, confKVs: Array[(String, String)])
+  extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.{ParquetReadSupport, VectorizedParquetRecordReader}
+
+  private val conf = {
+    val c = new Configuration(false)
+    confKVs.foreach { case (k, v) => c.set(k, v) }
+    // The requested Spark schema rides the conf (ParquetReadSupport's
+    // contract); the converter knobs pin the same semantics the row
+    // reader and the library's V1 reads use.
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, required.json)
+    c.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
+    c.setBoolean("spark.sql.caseSensitive", false)
+    c.setBoolean("spark.sql.parquet.binaryAsString", false)
+    c.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+    c.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled", false)
+    c.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+    c
+  }
+
+  private val reader = new VectorizedParquetRecordReader(
+    null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+    /* useOffHeap = */ false, /* capacity = */ 4096)
+
+  locally {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val len = p.getFileSystem(conf).getFileStatus(p).getLen
+    // mapred.FileSplit (which extends the mapreduce one): Spark's
+    // SpecificParquetRecordReaderBase casts its InputSplit to the
+    // mapred class.
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      p, 0, len, Array.empty[String])
+    val attempt = new org.apache.hadoop.mapreduce.TaskAttemptID(
+      new org.apache.hadoop.mapreduce.TaskID(
+        new org.apache.hadoop.mapreduce.JobID(),
+        org.apache.hadoop.mapreduce.TaskType.MAP, 0), 0)
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, attempt)
+    try {
+      reader.initialize(split, ctx)
+      reader.initBatch(new StructType(), InternalRow.empty)
+      reader.enableReturningBatches()
+    } catch { case e: Throwable => reader.close(); throw e }
+  }
+
+  override def next(): Boolean = reader.nextKeyValue()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    reader.getCurrentValue
+      .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+  override def close(): Unit = reader.close()
 }
 
 /** Row reader over ONE parquet file via the public parquet-mr Group

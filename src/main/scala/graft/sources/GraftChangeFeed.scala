@@ -6,8 +6,10 @@ import graft.ops.Upsert
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, V1Scan}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation, TableScan}
 import org.apache.spark.sql.types._
@@ -110,7 +112,8 @@ private[sources] object GraftChangeFeed {
   * bridge; streaming reads get the [[GraftMicroBatchStream]]. */
 private[sources] class GraftFeedTable(path: String,
     declared: StructType, keys: Seq[String], opCol: String,
-    startingVersion: String, endingVersion: Option[Int])
+    startingVersion: String, endingVersion: Option[Int],
+    maxVersionsPerBatch: Option[Int] = None)
   extends Table with SupportsRead {
 
   override def name(): String = s"graft.`$path`@changeFeed"
@@ -121,12 +124,13 @@ private[sources] class GraftFeedTable(path: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     () => new GraftFeedScan(path, declared, keys, opCol,
-      startingVersion, endingVersion)
+      startingVersion, endingVersion, maxVersionsPerBatch)
 }
 
 private[sources] class GraftFeedScan(path: String, declared: StructType,
     keys: Seq[String], opCol: String, startingVersion: String,
-    endingVersion: Option[Int]) extends Scan with V1Scan {
+    endingVersion: Option[Int],
+    maxVersionsPerBatch: Option[Int] = None) extends Scan with V1Scan {
 
   override def readSchema(): StructType = declared
   override def description(): String =
@@ -174,7 +178,7 @@ private[sources] class GraftFeedScan(path: String, declared: StructType,
           .mkString(", ")} — batch option(\"changeFeed\",\"true\") reads " +
         "and consumeChanges/followChanges serve every type")
     new GraftMicroBatchStream(path, declared, keys, opCol,
-      startingVersion, checkpointLocation)
+      startingVersion, checkpointLocation, maxVersionsPerBatch)
   }
 }
 
@@ -189,8 +193,9 @@ private[sources] final case class GraftOffset(version: Int) extends Offset {
   * re-reads its staged files unchanged. */
 private[sources] class GraftMicroBatchStream(path: String,
     declared: StructType, keys: Seq[String], opCol: String,
-    startingVersion: String, checkpointLocation: String)
-  extends MicroBatchStream {
+    startingVersion: String, checkpointLocation: String,
+    maxVersionsPerBatch: Option[Int] = None)
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
 
@@ -210,6 +215,30 @@ private[sources] class GraftMicroBatchStream(path: String,
   override def latestOffset(): Offset =
     GraftOffset(Upsert.latestVersion(spark, path))
 
+  // ── admission control: cap versions per micro-batch ──────────────
+  // `maxVersionsPerBatch` bounds how far one micro-batch advances the
+  // version cursor, so a stream resuming against a deep backlog works
+  // through it in bounded spans (bounded staging write, bounded state
+  // churn downstream) instead of one giant catch-up batch. Versions
+  // are this source's offset unit — ReadMaxRows carries the cap the
+  // same way Kafka's maxOffsetsPerTrigger rides it.
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerBatch.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftOffset].version
+    val latest = Upsert.latestVersion(spark, path)
+    GraftOffset(limit match {
+      case r: ReadMaxRows =>
+        math.min(latest.toLong, from.toLong + r.maxRows()).toInt
+      case _ => latest
+    })
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftOffset(Upsert.latestVersion(spark, path))
+
   override def deserializeOffset(json: String): Offset =
     GraftOffset(json.trim.toInt)
 
@@ -218,6 +247,22 @@ private[sources] class GraftMicroBatchStream(path: String,
     val from = start.asInstanceOf[GraftOffset].version
     val to = end.asInstanceOf[GraftOffset].version
     if (to <= from) return Array.empty
+    // ZERO-COPY initial snapshot (guide §2.4/§6): the from==0 batch is
+    // the full state at `to`, which already exists as the sink's
+    // immutable data files — serve those directly with a constant
+    // op="I" column instead of staging a byte-copy of the whole corpus
+    // under the checkpoint. Eligibility = the Batch scan's gate (no
+    // evolution mapping, no deletion vectors); ineligible snapshots
+    // stage as before. Replay of a pre-commit initial batch re-lists
+    // version `to`'s files: compactions publish NEW versions (old
+    // files stay until expiry), so only expiring `to` itself inside
+    // the replay window could break it — the same retention contract
+    // time travel already carries.
+    if (from == 0 && Upsert.batchScanEligible(spark, path, to)) {
+      val dirs = Upsert.manifestEntries(spark, path, to).map(_.dir)
+      return Upsert.snapshotDataFiles(spark, path, dirs)
+        .map(f => GraftFeedInitialPartition(f): InputPartition).toArray
+    }
     val dir = stageDir(from, to)
     val fs = stagedFs
     // _SUCCESS = the span is staged and final: a replayed batch (crash
@@ -236,7 +281,8 @@ private[sources] class GraftMicroBatchStream(path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(declared, GraftBatchScan.hadoopConfKVs(spark))
+    new GraftFeedReaderFactory(declared, opCol,
+      GraftBatchScan.hadoopConfKVs(spark))
 
   override def commit(end: Offset): Unit = {
     // Spans the commit log has passed are never re-planned: sweep
@@ -255,4 +301,40 @@ private[sources] class GraftMicroBatchStream(path: String,
   }
 
   override def stop(): Unit = ()
+}
+
+/** A sink data file served as the INITIAL feed batch (zero-copy):
+  * read as the feed's data columns, with the op column a constant
+  * "I". */
+private[sources] final case class GraftFeedInitialPartition(file: String)
+  extends InputPartition
+
+/** Feed partition reader factory: staged span files read under the
+  * full declared schema (op is a real column of the staged parquet);
+  * zero-copy initial-batch files read under the data columns with a
+  * constant op="I" prepended (op is the declared schema's FIRST field
+  * by [[GraftChangeFeed.feedSchema]] construction). */
+private[sources] class GraftFeedReaderFactory(declared: StructType,
+    opCol: String, confKVs: Array[(String, String)])
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case GraftInputPartition(f) =>
+        new GraftPartitionReader(f, declared, confKVs)
+      case GraftFeedInitialPartition(f) =>
+        val dataSchema = StructType(
+          declared.fields.filterNot(_.name == opCol))
+        val inner = new GraftPartitionReader(f, dataSchema, confKVs)
+        new PartitionReader[InternalRow] {
+          private val opRow: InternalRow = new GenericInternalRow(
+            Array[Any](org.apache.spark.unsafe.types.UTF8String
+              .fromString("I")))
+          private val joined = new JoinedRow()
+          override def next(): Boolean = inner.next()
+          override def get(): InternalRow = joined(opRow, inner.get())
+          override def close(): Unit = inner.close()
+        }
+      case other => throw new IllegalStateException(
+        s"graft changeFeed: unexpected partition $other")
+    }
 }

@@ -185,7 +185,13 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         GraftChangeFeed.opColOf(opts),
         Option(opts.get("startingVersion")).map(_.trim).getOrElse(""),
         Option(opts.get("endingVersion"))
-          .map(GraftOptions.int("endingVersion", _)))
+          .map(GraftOptions.int("endingVersion", _)),
+        Option(opts.get("maxVersionsPerBatch")).map { v =>
+          val n = GraftOptions.int("maxVersionsPerBatch", v)
+          require(n >= 1,
+            s"graft changeFeed: maxVersionsPerBatch wants >= 1, got $n")
+          n
+        })
     else
       new GraftTable(path, resolveVersion(spark, opts, Some(schema)), schema)
   }

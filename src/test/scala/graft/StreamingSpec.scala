@@ -1177,6 +1177,59 @@ class StreamingSpec extends SparkSpec {
       .option("startingVersion", "latest").load(src).isEmpty)
   }
 
+  test("change feed: zero-copy initial batch (nothing staged) and maxVersionsPerBatch caps catch-up spans") {
+    import graft.ops.Upsert
+    val src = java.nio.file.Files.createTempDirectory("gzc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("gzcck").toString
+    val outDir = java.nio.file.Files.createTempDirectory("gzcout").toString
+    Upsert.writeSnapshot(spark, src,
+      (1L to 8L).map(i => (i, s"v$i")).toDF("id", "v"),
+      Seq("id"), Seq("id"))                                      // v1
+    Upsert.mergeSnapshot(spark, src,
+      Seq(("I", 20L, "i20")).toDF("op", "id", "v"),
+      Seq("id"), Seq("id"), "op")                                // v2
+    Upsert.mergeSnapshot(spark, src,
+      Seq(("U", 1L, "u1"), ("D", 2L, "")).toDF("op", "id", "v"),
+      Seq("id"), Seq("id"), "op")                                // v3
+    val batchIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft")
+      .option("changeFeed", "true")
+      .option("maxVersionsPerBatch", 1).load(src)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batchIds += id
+        df.withColumn("__batch", lit(id)).write.mode("append")
+          .parquet(outDir)
+        ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    // Admission control: three capped spans (0→1, 1→2, 2→3), never
+    // one giant 0→3 catch-up batch.
+    assert(batchIds.size == 3,
+      s"maxVersionsPerBatch=1 over 3 versions must run 3 micro-batches, " +
+        s"got $batchIds")
+    val rows = spark.read.parquet(outDir)
+    assert(rows.count() == 8 + 1 + 2, s"8 I + 1 I + (U,D): ${rows.count()}")
+    // Zero-copy: the initial batch (0→1) serves the sink's own files —
+    // NOTHING staged for it; later spans stage (and commit sweeps them).
+    val staged = new java.io.File(ckpt, "graft-staged")
+    val stagedNames = Option(staged.listFiles())
+      .map(_.map(_.getName).toSeq).getOrElse(Seq.empty)
+    assert(!stagedNames.exists(_.startsWith("0-")),
+      s"the initial snapshot must not be staged: $stagedNames")
+    // Content: replaying the feed in batch order reconstructs v3.
+    val applied = scala.collection.mutable.Map.empty[Long, String]
+    rows.orderBy("__batch").select("op", "id", "v")
+      .as[(String, Long, String)].collect().foreach {
+        case ("D", id, _) => applied.remove(id)
+        case (_, id, v) => applied(id) = v
+      }
+    val direct = Upsert.readSnapshot(spark, src, 3)
+      .as[(Long, String)].collect().toMap
+    assert(applied.toMap == direct,
+      "capped feed application must reconstruct the latest state")
+  }
+
   test("change-feed subscription: downstream aggregate tracks merges, MoR, compaction; replay-safe; erasure forces recompute") {
     import graft.ops.Upsert
     val src = java.nio.file.Files.createTempDirectory("feedsrc").toString
