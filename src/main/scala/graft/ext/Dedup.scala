@@ -183,10 +183,18 @@ object Dedup {
 
   def simhashDupPairs(sigs: DataFrame, docKey: String, simhashCol: String,
                       bits: Int, bands: Int, maxHamming: Int): DataFrame = {
-    val sigPairs = simhashSigPairs(sigs, simhashCol, bits, bands, maxHamming)
+    // PINNED (§2.4): the signature frame feeds FOUR plan branches (the
+    // sig-pair distinct plus the l/r band self-join inside it, and the
+    // two doc-expansion joins) — without the pin each branch re-runs
+    // the word-explode simhash aggregation. One narrow checkpoint
+    // (docKey + one long) runs it once. Callers passing an
+    // already-pinned frame (q_dup_clusters_sig) pay one extra cheap
+    // block scan, never a recompute.
+    val s = pin(sigs.select(col(docKey), col(simhashCol)))
+    val sigPairs = simhashSigPairs(s, simhashCol, bits, bands, maxHamming)
       .select(col("sa").as("__sa"), col("sb").as("__sb"), col("hamming"))
-    val da = sigs.select(col(docKey).as("a"), col(simhashCol).as("__sa"))
-    val db = sigs.select(col(docKey).as("b"), col(simhashCol).as("__sb"))
+    val da = s.select(col(docKey).as("a"), col(simhashCol).as("__sa"))
+    val db = s.select(col(docKey).as("b"), col(simhashCol).as("__sb"))
     // least/greatest canonicalizes the doc pair (each unordered pair
     // appears once for __sa < __sb, twice for the diagonal → distinct).
     sigPairs.join(da, "__sa").join(db, "__sb")
@@ -270,7 +278,9 @@ object Dedup {
   def simhashWideDupPairs(sigs: DataFrame, docKey: String, sigCol: String,
                           bands: Int, maxHamming: Int): DataFrame = {
     require(maxHamming < bands, "pigeonhole guarantee needs maxHamming < bands")
-    val sigD = sigs.select(col(sigCol).as("__s")).distinct()
+    // Pinned for the same four-branch reason as simhashDupPairs.
+    val s = pin(sigs.select(col(docKey), col(sigCol)))
+    val sigD = s.select(col(sigCol).as("__s")).distinct()
     val banded = sigD.select(col("__s"),
       posexplode(col("__s")).as(Seq("band_id", "slice")))
     val l = banded.select(col("band_id"), col("slice"), col("__s").as("__sa"))
@@ -283,8 +293,8 @@ object Dedup {
       .select(col("__sa"), col("__sb"), hamming.cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
-    val da = sigs.select(col(docKey).as("a"), col(sigCol).as("__sa"))
-    val db = sigs.select(col(docKey).as("b"), col(sigCol).as("__sb"))
+    val da = s.select(col(docKey).as("a"), col(sigCol).as("__sa"))
+    val db = s.select(col(docKey).as("b"), col(sigCol).as("__sb"))
     sigPairs.join(da, "__sa").join(db, "__sb")
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
@@ -315,7 +325,14 @@ object Dedup {
   def verifiedNearDupPairs(docs: DataFrame, docKey: String, textCol: String,
                            k: Int, bands: Int, rowsPerBand: Int,
                            threshold: Double): DataFrame = {
-    val sigs = minhashSignature(docs, docKey, textCol, k)
+    // PINNED signatures (§2.4): the band self-join inside
+    // lshCandidatePairs reads its input twice (l/r branches — the
+    // alias rename de-canonicalizes the subtree, so exchange reuse
+    // never saves it), which re-ran the WHOLE shingle-explode +
+    // k-way md5-min aggregation — the chain's most expensive pass —
+    // once per branch. One narrow materialization (docKey + k×32 B)
+    // runs it once; both branches then scan checkpoint blocks.
+    val sigs = pin(minhashSignature(docs, docKey, textCol, k))
     val cand = lshCandidatePairs(lshBands(sigs, docKey, bands, rowsPerBand), docKey)
     verifyPairsByJaccard(cand, docs, docs, docKey, textCol, threshold)
   }
@@ -332,8 +349,9 @@ object Dedup {
   def editDistanceDupPairs(docs: DataFrame, docKey: String, textCol: String,
                            k: Int, bands: Int, rowsPerBand: Int,
                            maxDist: Int): DataFrame = {
+    // Pinned for the same two-branch reason as verifiedNearDupPairs.
     val cand = lshCandidatePairs(
-      lshBands(minhashSignature(docs, docKey, textCol, k),
+      lshBands(pin(minhashSignature(docs, docKey, textCol, k)),
         docKey, bands, rowsPerBand), docKey)
     val da = docs.select(col(docKey).as("a"), col(textCol).as("__ta"))
     val db = docs.select(col(docKey).as("b"), col(textCol).as("__tb"))
@@ -675,9 +693,16 @@ object Dedup {
 
   def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
+    // Both edge directions from ONE pass over `pairs` (§2.4): the old
+    // two-branch union embedded the whole (possibly expensive
+    // candidate→verify) pair plan twice — the swap de-canonicalizes
+    // the branches, so exchange reuse never deduped them. explode is
+    // map-side; same rows, same distinct.
     val edges = truncateLineage(
-      pairs.select(col("a").as("src"), col("b").as("dst"))
-        .unionByName(pairs.select(col("b").as("src"), col("a").as("dst")))
+      pairs.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst")),
+          struct(col("b").as("src"), col("a").as("dst")))).as("__e"))
+        .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
         .distinct(), eager = true)
     // Lazy: the initial checksum probe below materializes the seed labels
     // in the same job.
@@ -764,30 +789,49 @@ object Dedup {
       (r.getLong(0), r.getDecimal(1))
     }
     def largeStar(e: DataFrame): DataFrame = {
-      val dir = e.select(col("a").as("u"), col("b").as("v"))
-        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      // Both neighbor directions from one explode pass; the join's left
+      // side is `e` itself (canonical a < b means dir.filter(v > u)
+      // was exactly the (a→u, b→v) branch) — one evaluation per round
+      // where the union+filter shape paid three.
+      val dir = e.select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("b").as("u"), col("a").as("v")))).as("__d"))
+        .select(col("__d.u").as("u"), col("__d.v").as("v"))
       val m = dir.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      dir.filter(col("v") > col("u")).join(m, "u")
+      e.select(col("a").as("u"), col("b").as("v")).join(m, "u")
         .select(col("m").as("a"), col("v").as("b")).distinct()
     }
     def smallStar(e: DataFrame): DataFrame = {
       // Canonical edges already have a < b: N(b) ∋ a, so the "larger
-      // endpoint's view" is the edge list itself.
+      // endpoint's view" is the edge list itself. Both output classes
+      // ((m,a) when a≠m, plus (m,b)) emit from ONE pass over the
+      // m-join — the two-branch union ran the join twice and paid an
+      // extra inner distinct.
       val m = e.groupBy("b").agg(min(col("a")).as("m"))
-      val withM = e.join(m, "b")
-      withM.filter(col("a") =!= col("m"))
-        .select(col("m").as("a"), col("a").as("b"))
-        .unionByName(withM.select(col("m").as("a"), col("b")).distinct())
+      e.join(m, "b")
+        .select(explode(when(col("a") =!= col("m"),
+            array(struct(col("m").as("a"), col("a").as("b")),
+              struct(col("m").as("a"), col("b").as("b"))))
+          .otherwise(array(
+            struct(col("m").as("a"), col("b").as("b"))))).as("__e"))
+        .select(col("__e.a").as("a"), col("__e.b").as("b"))
         .distinct()
     }
     // Self-pairs carry no connectivity but their node must still get a
     // row (the dupClusters contract: one row per node APPEARING in
     // pairs) — split them out and fold them back in at labeling time.
-    val selfNodes = pairs.filter(col("a") === col("b"))
-      .select(col("a").as("node")).distinct()
-    var edges = truncateLineage(pairs.select(least(col("a"), col("b")).as("a"),
-        greatest(col("a"), col("b")).as("b"))
-      .filter(col("a") =!= col("b")).distinct(), eager = false)
+    // ONE evaluation of the (possibly expensive) pair plan (§2.4):
+    // canonicalize + distinct once, pinned; self-pairs and real edges
+    // are filters over the checkpoint blocks — the old derivation
+    // re-ran the whole candidate→verify chain a second time when
+    // selfNodes materialized at labeling.
+    val base = truncateLineage(
+      pairs.select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b")).distinct(), eager = true)
+    val selfNodes = base.filter(col("a") === col("b"))
+      .select(col("a").as("node"))
+    var edges = truncateLineage(
+      base.filter(col("a") =!= col("b")), eager = false)
     var state = probe(edges)
     var converged = state._1 == 0L
     var round = 0
@@ -815,7 +859,7 @@ object Dedup {
           .unionByName(selfNodes.select(col("node"), col("node").as("cluster")))
           .groupBy("node").agg(min("cluster").as("cluster")), eager = true)
       labels
-    } finally freeCheckpoint(edges)
+    } finally { freeCheckpoint(edges); freeCheckpoint(base) }
   }
 
   /** Cluster-level dedup: keep every document that is NOT a non-minimum
@@ -853,9 +897,14 @@ object Dedup {
     import org.apache.spark.sql.types.{DecimalType, DoubleType}
     require(iters >= 1 && iters <= 20, "1..20 fixed rounds")
     require(damping > 0 && damping < 1, "0 < damping < 1")
+    // Both directions from ONE pass over `pairs` (same §2.4 reason as
+    // dupClusters — the two-branch union ran the pair plan twice
+    // before the pin could help).
     val edges = pin(
-      pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-        .unionByName(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      pairs.select(explode(array(
+          struct(col(aCol).as("u"), col(bCol).as("v")),
+          struct(col(bCol).as("u"), col(aCol).as("v")))).as("__e"))
+        .select(col("__e.u").as("u"), col("__e.v").as("v"))
         .distinct())
     try {
       val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))

@@ -71,10 +71,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(c("rddReads") >= 2, s"expected multiple checkpoint consumers, got ${c("rddReads")}")
   }
 
-  test("q_simhash_pairs computes signatures once (exchange reuse)") {
-    val plan = executedPlan("q_simhash_pairs")
-    assert(plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
-      s"expected the signature aggregate to be reused across branches:\n$plan")
+  test("q_simhash_pairs computes signatures once (pinned checkpoint or exchange reuse)") {
+    // The signature aggregation must run once however it is shared:
+    // r22 pins it to an eager localCheckpoint (every branch reads RDD
+    // blocks, zero file scans in the final plan); the pre-pin shape
+    // shared it through AQE exchange reuse. Accept either proof.
+    val df = SparkEntry.queries("q_simhash_pairs")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val c = PlanAudit.countNodes(df.queryExecution.executedPlan)
+      .withDefaultValue(0)
+    assert((c("scans") == 0 && c("rddReads") >= 2) ||
+      plan.contains("ReusedQueryStage") || plan.contains("ReusedExchange"),
+      s"expected the signature aggregate to run once (pinned blocks or " +
+        s"reused exchange): scans=${c("scans")} rddReads=${c("rddReads")}\n$plan")
   }
 
   test("q_pivot is one scan + conditional aggregation (no discovery job)") {
