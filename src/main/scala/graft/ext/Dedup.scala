@@ -349,9 +349,13 @@ object Dedup {
   def editDistanceDupPairs(docs: DataFrame, docKey: String, textCol: String,
                            k: Int, bands: Int, rowsPerBand: Int,
                            maxDist: Int): DataFrame = {
-    // Pinned for the same two-branch reason as verifiedNearDupPairs.
+    // Deliberately NOT pinned (unlike verifiedNearDupPairs): measured
+    // both ways at sf0.1 — this chain's short verify tail lets AQE's
+    // exchange reuse carry the shared aggregation, and the eager pin's
+    // blocking materialization read ~1.4x slower (paired isolated
+    // bench, r22).
     val cand = lshCandidatePairs(
-      lshBands(pin(minhashSignature(docs, docKey, textCol, k)),
+      lshBands(minhashSignature(docs, docKey, textCol, k),
         docKey, bands, rowsPerBand), docKey)
     val da = docs.select(col(docKey).as("a"), col(textCol).as("__ta"))
     val db = docs.select(col(docKey).as("b"), col(textCol).as("__tb"))
